@@ -1,0 +1,172 @@
+"""Quant codec tests: roundtrip error bounds (the test-quantize-fns.cpp analog)
+and bit-exact dequantization vs the reference gguf-py oracle."""
+
+import numpy as np
+import pytest
+
+from tpullm.gguf.constants import GGMLType, TYPE_TRAITS, QK_K
+from tpullm.quant import codecs
+
+# Max normalized RMSE per type on the smooth synthetic signal (role of the
+# reference tests/test-quantize-fns.cpp total_error bounds, expressed as
+# rmse(x, dq)/rms(x); values are measured-current + ~15% headroom so codec
+# quality regressions fail the suite).
+RMSE_BOUNDS = {
+    GGMLType.Q4_0: 0.058,
+    GGMLType.Q4_1: 0.059,
+    GGMLType.Q5_0: 0.031,
+    GGMLType.Q5_1: 0.029,
+    GGMLType.Q8_0: 0.0039,
+    GGMLType.Q8_1: 0.0039,
+    GGMLType.Q4_K: 0.051,
+    GGMLType.Q5_K: 0.028,
+    GGMLType.Q6_K: 0.0135,
+    GGMLType.Q8_K: 0.0044,
+    GGMLType.MXFP4: 0.098,
+}
+
+
+def synthetic(n: int, offset: float = 0.0) -> np.ndarray:
+    # smooth synthetic data like test-quantize-fns.cpp generate_data()
+    i = np.arange(n, dtype=np.float32)
+    return 0.1 + 2.0 * np.cos(i + offset)
+
+
+def rmse(a, b):
+    return np.sqrt(np.mean((a - b) ** 2))
+
+
+@pytest.mark.parametrize("gtype", sorted(RMSE_BOUNDS.keys(), key=int))
+def test_roundtrip_error_bound(gtype):
+    x = synthetic(1024)
+    packed = codecs.quantize(x, gtype)
+    tt = TYPE_TRAITS[gtype]
+    assert packed.size == x.size // tt.block_size * tt.type_size
+    y = codecs.dequantize(packed, gtype, x.size)
+    err = rmse(x, y) / rmse(x, np.zeros_like(x))
+    bound = RMSE_BOUNDS[gtype]
+    assert err < bound, f"{gtype.name}: normalized RMSE {err:.6f} >= {bound}"
+
+
+@pytest.mark.parametrize("gtype", sorted(RMSE_BOUNDS.keys(), key=int))
+def test_roundtrip_random_data(gtype):
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=2048).astype(np.float32)
+    packed = codecs.quantize(x, gtype)
+    y = codecs.dequantize(packed, gtype, x.size)
+    err = rmse(x, y) / rmse(x, np.zeros_like(x))
+    assert err < 6 * RMSE_BOUNDS[gtype], f"{gtype.name}: {err}"
+
+
+def test_bf16_roundtrip():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=512).astype(np.float32)
+    bits = codecs.f32_to_bf16_bits(x)
+    y = codecs.bf16_bits_to_f32(bits)
+    assert np.max(np.abs(x - y)) < 0.01
+    # bf16-representable values roundtrip exactly
+    x2 = codecs.bf16_bits_to_f32(bits)
+    assert np.array_equal(codecs.f32_to_bf16_bits(x2), bits)
+
+
+def test_q8_0_exact_integers():
+    # integers well within range must be exactly representable
+    x = np.arange(-16, 16, dtype=np.float32)
+    packed = codecs.quantize(x, GGMLType.Q8_0)
+    y = codecs.dequantize(packed, GGMLType.Q8_0, 32)
+    d = np.float32(np.float16(16.0 / 127.0))
+    assert np.allclose(x, y, atol=float(d) / 2 + 1e-6)
+
+
+# ---------------------------------------------------------------------------
+# bit-exact dequant vs the reference gguf-py oracle
+# ---------------------------------------------------------------------------
+
+ORACLE_TYPES = [
+    GGMLType.Q4_0,
+    GGMLType.Q4_1,
+    GGMLType.Q5_0,
+    GGMLType.Q5_1,
+    GGMLType.Q8_0,
+    GGMLType.Q2_K,
+    GGMLType.Q3_K,
+    GGMLType.Q4_K,
+    GGMLType.Q5_K,
+    GGMLType.Q6_K,
+    GGMLType.MXFP4,
+    GGMLType.IQ4_NL,
+    GGMLType.IQ4_XS,
+]
+
+
+def _synth_packed(gtype: GGMLType, n_blocks: int, rng: np.random.Generator) -> np.ndarray:
+    """Build valid random packed blocks: random payload bytes with sane fp16
+    scale fields, so dequant exercises every code path."""
+    tt = TYPE_TRAITS[gtype]
+    raw = rng.integers(0, 256, size=(n_blocks, tt.type_size), dtype=np.uint8)
+    scale = rng.uniform(0.001, 2.0, size=n_blocks).astype(np.float16)
+    sb = scale.view(np.uint8).reshape(n_blocks, 2)
+    offsets = {
+        GGMLType.Q4_0: [0], GGMLType.Q4_1: [0, 2], GGMLType.Q5_0: [0],
+        GGMLType.Q5_1: [0, 2], GGMLType.Q8_0: [0],
+        GGMLType.Q2_K: [80, 82], GGMLType.Q3_K: [108],
+        GGMLType.Q4_K: [0, 2], GGMLType.Q5_K: [0, 2], GGMLType.Q6_K: [208],
+        GGMLType.IQ4_NL: [0], GGMLType.IQ4_XS: [0],
+    }
+    if gtype == GGMLType.MXFP4:
+        raw[:, 0] = rng.integers(110, 140, size=n_blocks, dtype=np.uint8)
+    else:
+        for off in offsets[gtype]:
+            raw[:, off : off + 2] = sb
+    return raw.reshape(-1)
+
+
+@pytest.mark.parametrize("gtype", ORACLE_TYPES, ids=lambda t: t.name)
+def test_dequant_bitexact_vs_reference(gtype, reference_gguf):
+    import gguf.quants as refq
+
+    rng = np.random.default_rng(int(gtype) + 7)
+    packed = _synth_packed(gtype, 64, rng)
+    ours = codecs.dequantize(packed, gtype, 64 * TYPE_TRAITS[gtype].block_size)
+    theirs = refq.dequantize(
+        packed.copy(), reference_gguf.GGMLQuantizationType(int(gtype))
+    ).reshape(-1)
+    np.testing.assert_array_equal(
+        ours, theirs.astype(np.float32), err_msg=f"{gtype.name} dequant mismatch"
+    )
+
+
+@pytest.mark.parametrize(
+    "gtype",
+    [GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0, GGMLType.Q5_1, GGMLType.Q8_0],
+    ids=lambda t: t.name,
+)
+def test_quantize_bitexact_vs_reference(gtype, reference_gguf):
+    """For simple formats our encoder must match gguf-py's bit for bit."""
+    import gguf.quants as refq
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(8, 256)).astype(np.float32)
+    ours = codecs.quantize(x.reshape(-1), gtype)
+    theirs = refq.quantize(x.copy(), reference_gguf.GGMLQuantizationType(int(gtype)))
+    np.testing.assert_array_equal(ours, theirs.reshape(-1))
+
+
+@pytest.mark.parametrize(
+    "gtype", [GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K], ids=lambda t: t.name
+)
+def test_kquant_encode_quality_vs_reference_decode(gtype, reference_gguf):
+    """Our K-quant encoder output must decode (by the reference) to data with
+    error comparable to the roundtrip bound — validates pack layout."""
+    import gguf.quants as refq
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=4 * QK_K).astype(np.float32)
+    packed = codecs.quantize(x, gtype)
+    theirs = refq.dequantize(
+        packed, reference_gguf.GGMLQuantizationType(int(gtype))
+    ).reshape(-1).astype(np.float32)
+    ours = codecs.dequantize(packed, gtype, x.size)
+    np.testing.assert_array_equal(ours, theirs)  # same bytes, same decode
+    err = rmse(x, theirs) / rmse(x, np.zeros_like(x))
+    assert err < 6 * RMSE_BOUNDS[gtype]
