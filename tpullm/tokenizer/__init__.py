@@ -1,0 +1,44 @@
+"""Tokenizers: SPM (SentencePiece-style) and byte-level BPE, loaded from GGUF
+metadata. WPM/UGM/RWKV-trie families follow (reference supports 7 families,
+llama.h:71-79)."""
+
+from __future__ import annotations
+
+from ..gguf.reader import GGUFReader
+from .bpe import BPETokenizer
+from .spm import SPMTokenizer
+from .vocab import SpecialIds, Vocab
+from .wpm import WPMTokenizer
+
+Tokenizer = SPMTokenizer | BPETokenizer | WPMTokenizer
+
+
+def from_vocab(vocab: Vocab) -> Tokenizer:
+    if vocab.model in ("llama", "spm"):
+        return SPMTokenizer(vocab)
+    if vocab.model in ("gpt2", "bpe"):
+        return BPETokenizer(vocab)
+    if vocab.model in ("bert", "wpm"):
+        return WPMTokenizer(vocab)
+    raise NotImplementedError(f"tokenizer model {vocab.model!r} not supported yet")
+
+
+def from_gguf(r: GGUFReader) -> Tokenizer:
+    return from_vocab(Vocab.from_gguf(r))
+
+
+def load(path) -> Tokenizer:
+    return from_gguf(GGUFReader(path))
+
+
+__all__ = [
+    "Vocab",
+    "SpecialIds",
+    "SPMTokenizer",
+    "BPETokenizer",
+    "WPMTokenizer",
+    "Tokenizer",
+    "from_vocab",
+    "from_gguf",
+    "load",
+]
