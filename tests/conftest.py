@@ -9,6 +9,13 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = _flags + " --xla_force_host_platform_device_count=8"
 
+import jax
+
+# The axon TPU plugin (sitecustomize) overrides JAX_PLATFORMS via
+# jax.config — override it back so tests run on the 8-device virtual CPU
+# mesh, not the remote chip.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 

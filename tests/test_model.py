@@ -1,0 +1,183 @@
+"""Model correctness: JAX llama forward vs an independent numpy reference,
+prefill/decode consistency, quantized and tied-embedding variants, generation.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tpullm.gguf import GGMLType, GGUFReader
+from tpullm.models.testing import make_tiny_llama_gguf
+from tpullm.runtime import Engine, Sampler, SamplerParams
+
+
+# ---------------------------------------------------------------------------
+# independent numpy reference implementation (second opinion on the math)
+# ---------------------------------------------------------------------------
+
+def np_forward(reader: GGUFReader, tokens: np.ndarray) -> np.ndarray:
+    md = reader.metadata
+    arch = md["general.architecture"]
+    n_layer = md[f"{arch}.block_count"]
+    n_head = md[f"{arch}.attention.head_count"]
+    n_head_kv = md[f"{arch}.attention.head_count_kv"]
+    n_embd = md[f"{arch}.embedding_length"]
+    eps = md[f"{arch}.attention.layer_norm_rms_epsilon"]
+    base = md[f"{arch}.rope.freq_base"]
+    hd = n_embd // n_head
+
+    def t(name):
+        return reader.tensors[name].to_numpy().astype(np.float64)
+
+    def rms(x, w):
+        return x / np.sqrt((x * x).mean(-1, keepdims=True) + eps) * w
+
+    def rope(x, pos):  # x: [T, H, D], "norm" style: adjacent pairs
+        T, H, D = x.shape
+        out = x.copy()
+        inv = base ** (-np.arange(0, D // 2) * 2.0 / D)
+        theta = pos[:, None] * inv  # [T, D/2]
+        c, s = np.cos(theta), np.sin(theta)
+        x0, x1 = x[..., 0::2], x[..., 1::2]
+        out[..., 0::2] = x0 * c[:, None, :] - x1 * s[:, None, :]
+        out[..., 1::2] = x0 * s[:, None, :] + x1 * c[:, None, :]
+        return out
+
+    T = len(tokens)
+    pos = np.arange(T)
+    x = t("token_embd.weight")[tokens]  # [T, E]
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        h = rms(x, t(p + "attn_norm.weight"))
+        q = (h @ t(p + "attn_q.weight").T).reshape(T, n_head, hd)
+        k = (h @ t(p + "attn_k.weight").T).reshape(T, n_head_kv, hd)
+        v = (h @ t(p + "attn_v.weight").T).reshape(T, n_head_kv, hd)
+        q, k = rope(q, pos), rope(k, pos)
+        g = n_head // n_head_kv
+        out = np.zeros((T, n_head, hd))
+        for hh in range(n_head):
+            kk, vv = k[:, hh // g], v[:, hh // g]
+            scores = q[:, hh] @ kk.T / np.sqrt(hd)
+            scores += np.triu(np.full((T, T), -np.inf), k=1)
+            e = np.exp(scores - scores.max(-1, keepdims=True))
+            out[:, hh] = (e / e.sum(-1, keepdims=True)) @ vv
+        x = x + out.reshape(T, n_embd) @ t(p + "attn_output.weight").T
+        h = rms(x, t(p + "ffn_norm.weight"))
+        gate = h @ t(p + "ffn_gate.weight").T
+        up = h @ t(p + "ffn_up.weight").T
+        act = gate / (1 + np.exp(-gate)) * up
+        x = x + act @ t(p + "ffn_down.weight").T
+    x = rms(x, t("output_norm.weight"))
+    if "output.weight" in reader.tensors:
+        return x @ t("output.weight").T
+    return x @ t("token_embd.weight").T
+
+
+@pytest.fixture(scope="module")
+def tiny_model(tmp_path_factory):
+    path = tmp_path_factory.mktemp("models") / "tiny.gguf"
+    return make_tiny_llama_gguf(path)
+
+
+def test_forward_matches_numpy_reference(tiny_model):
+    eng = Engine(tiny_model, mode="dense", dtype=jnp.float32, max_seq=128, kv_dtype=jnp.float32)
+    toks = eng.tokenizer.tokenize("the quick brown fox", add_special=True)
+    ref = np_forward(eng.reader, np.asarray(toks))
+    got = eng.prefill(toks)
+    np.testing.assert_allclose(got, ref[-1], rtol=2e-4, atol=2e-4)
+
+
+def test_prefill_decode_consistency(tiny_model):
+    eng = Engine(tiny_model, mode="dense", dtype=jnp.float32, max_seq=128, kv_dtype=jnp.float32)
+    toks = eng.tokenizer.tokenize("hello world the", add_special=True)
+    full = eng.prefill(toks)
+
+    eng2 = Engine(tiny_model, mode="dense", dtype=jnp.float32, max_seq=128, kv_dtype=jnp.float32)
+    eng2.prefill(toks[:-1])
+    step = eng2.decode_step(toks[-1])
+    np.testing.assert_allclose(full, step, rtol=2e-4, atol=2e-4)
+
+
+def test_multi_step_decode_matches_prefill(tiny_model):
+    eng = Engine(tiny_model, mode="dense", dtype=jnp.float32, max_seq=128, kv_dtype=jnp.float32)
+    toks = eng.tokenizer.tokenize("the quick brown fox jumps over", add_special=True)
+    split = 3
+    eng.prefill(toks[:split])
+    for t in toks[split:-1]:
+        eng.decode_step(t)
+    step = eng.decode_step(toks[-1])
+
+    eng.reset()
+    eng.cache = type(eng.cache).new(eng.hp, 1, 128, eng.kv_dtype)
+    full = eng.prefill(toks)
+    np.testing.assert_allclose(full, step, rtol=5e-4, atol=5e-4)
+
+
+def test_tied_embeddings(tmp_path):
+    path = make_tiny_llama_gguf(tmp_path / "tied.gguf", tie_embeddings=True)
+    eng = Engine(path, mode="dense", dtype=jnp.float32, max_seq=64, kv_dtype=jnp.float32)
+    toks = eng.tokenizer.tokenize("hello", add_special=True)
+    ref = np_forward(eng.reader, np.asarray(toks))
+    got = eng.prefill(toks)
+    np.testing.assert_allclose(got, ref[-1], rtol=2e-4, atol=2e-4)
+
+
+def test_quantized_weights_close_to_f32(tmp_path):
+    kw = dict(n_embd=256, n_head=4, n_head_kv=2, n_ff=256, n_layer=2, seed=3)
+    p32 = make_tiny_llama_gguf(tmp_path / "f32.gguf", weight_type=GGMLType.F32, **kw)
+    pq = make_tiny_llama_gguf(tmp_path / "q4k.gguf", weight_type=GGMLType.Q4_K, **kw)
+    e32 = Engine(p32, mode="dense", dtype=jnp.float32, max_seq=64, kv_dtype=jnp.float32)
+    eq = Engine(pq, mode="quant", dtype=jnp.float32, max_seq=64)
+    toks = e32.tokenizer.tokenize("the quick brown", add_special=True)
+    l32 = e32.prefill(toks)
+    lq = eq.prefill(toks)
+    # 4-bit quantization noise bounded: logits correlate strongly
+    cos = np.dot(l32, lq) / (np.linalg.norm(l32) * np.linalg.norm(lq))
+    assert cos > 0.95, f"Q4_K cosine {cos}"
+
+    p8 = make_tiny_llama_gguf(tmp_path / "q8.gguf", weight_type=GGMLType.Q8_0, **kw)
+    e8 = Engine(p8, mode="quant", dtype=jnp.float32, max_seq=64, kv_dtype=jnp.float32)
+    l8 = e8.prefill(toks)
+    cos8 = np.dot(l32, l8) / (np.linalg.norm(l32) * np.linalg.norm(l8))
+    assert cos8 > 0.999, f"Q8_0 cosine {cos8}"
+
+
+def test_greedy_generation_deterministic(tiny_model):
+    eng = Engine(tiny_model, mode="dense", dtype=jnp.float32, max_seq=128, kv_dtype=jnp.float32)
+    ids = eng.tokenizer.tokenize("the quick", add_special=True)
+    out1 = list(eng.generate_tokens(ids, max_new_tokens=8))
+    eng.reset()
+    eng.cache = type(eng.cache).new(eng.hp, 1, 128, eng.kv_dtype)
+    out2 = list(eng.generate_tokens(ids, max_new_tokens=8))
+    assert out1 == out2
+    assert len(out1) > 0
+
+
+def test_yarn_rope_runs(tmp_path):
+    path = make_tiny_llama_gguf(tmp_path / "yarn.gguf", rope_scaling="yarn")
+    eng = Engine(path, mode="dense", dtype=jnp.float32, max_seq=64, kv_dtype=jnp.float32)
+    toks = eng.tokenizer.tokenize("hello world", add_special=True)
+    logits = eng.prefill(toks)
+    assert np.isfinite(logits).all()
+
+
+def test_sampler_top_p_top_k():
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=1000).astype(np.float32)
+    s = Sampler(SamplerParams(temp=1.0, top_k=10, top_p=0.9, seed=7))
+    picks = {s.sample(logits) for _ in range(50)}
+    top10 = set(np.argsort(-logits)[:10])
+    assert picks <= top10
+    # greedy
+    g = Sampler(SamplerParams(temp=0.0))
+    assert g.sample(logits) == int(np.argmax(logits))
+
+
+def test_repetition_penalty():
+    logits = np.ones(10, dtype=np.float32)
+    logits[3] = 5.0
+    s = Sampler(SamplerParams(temp=0.0, penalty_repeat=1000.0, penalty_last_n=8))
+    assert s.sample(logits) == 3
+    s.accept(3)
+    assert s.sample(logits) != 3

@@ -1,0 +1,136 @@
+"""Model hyperparameters read from GGUF metadata.
+
+Role of the reference's llama_hparams (src/llama-hparams.h) + the metadata →
+hparams mapping in llama_model::load_hparams (src/llama-model.cpp).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..gguf.constants import Keys
+from ..gguf.reader import GGUFReader
+
+
+@dataclass
+class RopeParams:
+    dims: int = 0  # rotary dims (<= head_dim)
+    freq_base: float = 10000.0
+    scaling_type: str = "none"  # none | linear | yarn | longrope
+    scale_factor: float = 1.0
+    orig_ctx: int = 0
+    attn_factor: float = 1.0
+    ext_factor: float = 0.0
+    beta_fast: float = 32.0
+    beta_slow: float = 1.0
+    # "norm" = rotate adjacent pairs (GGML interleaved, llama GGUF layout);
+    # "neox" = rotate halves (GPT-NeoX/HF layout, qwen/gemma/phi GGUFs)
+    style: str = "norm"
+
+
+@dataclass
+class HParams:
+    arch: str
+    n_vocab: int
+    n_ctx_train: int
+    n_embd: int
+    n_layer: int
+    n_head: int
+    n_head_kv: int
+    n_ff: int
+    head_dim: int
+    head_dim_v: int
+    rms_eps: float
+    rope: RopeParams
+    # MoE
+    n_expert: int = 0
+    n_expert_used: int = 0
+    n_ff_exp: int = 0
+    expert_weights_scale: float = 1.0
+    expert_weights_norm: bool = False
+    expert_gating_func: str = "softmax"  # softmax | sigmoid
+    # attention extras
+    sliding_window: int = 0
+    attn_scale: float | None = None
+    causal: bool = True
+    # misc
+    extra: dict = field(default_factory=dict)
+
+    @property
+    def n_gqa(self) -> int:
+        return self.n_head // max(self.n_head_kv, 1)
+
+    @property
+    def n_embd_k(self) -> int:
+        return self.head_dim * self.n_head_kv
+
+    @property
+    def n_embd_v(self) -> int:
+        return self.head_dim_v * self.n_head_kv
+
+
+# arch → rope style (reference: llama_model_rope_type, src/llama-model.cpp)
+NEOX_ROPE_ARCHS = {
+    "falcon", "gptneox", "stablelm", "qwen", "qwen2", "qwen2moe", "qwen3",
+    "qwen3moe", "olmo", "olmo2", "olmoe", "phi2", "phi3", "phimoe", "gemma",
+    "gemma2", "gemma3", "gemma3n", "starcoder2", "openelm", "dbrx", "bert",
+    "nomic-bert", "minicpm3", "command-r", "cohere2", "internlm2", "exaone",
+    "exaone4", "smollm3", "gpt-oss", "deci", "nemotron", "granite-hybrid",
+}
+
+
+def hparams_from_gguf(r: GGUFReader) -> HParams:
+    arch = r.architecture
+
+    def k(template, default=None):
+        v = r.metadata.get(template.format(arch=arch))
+        return default if v is None else v
+
+    n_embd = int(k(Keys.LLM.EMBEDDING_LENGTH))
+    n_head = int(k(Keys.Attention.HEAD_COUNT))
+    n_head_kv = int(k(Keys.Attention.HEAD_COUNT_KV, n_head))
+    head_dim = int(k(Keys.Attention.KEY_LENGTH, n_embd // max(n_head, 1)))
+    head_dim_v = int(k(Keys.Attention.VALUE_LENGTH, head_dim))
+
+    n_vocab = k(Keys.LLM.VOCAB_SIZE)
+    if n_vocab is None:
+        toks = r.metadata.get(Keys.Tokenizer.LIST)
+        n_vocab = len(toks) if toks is not None else 0
+    n_vocab = int(n_vocab)
+
+    scaling = k(Keys.Rope.SCALING_TYPE, "none") or "none"
+    rope = RopeParams(
+        dims=int(k(Keys.Rope.DIMENSION_COUNT, head_dim)),
+        freq_base=float(k(Keys.Rope.FREQ_BASE, 10000.0)),
+        scaling_type=str(scaling),
+        scale_factor=float(k(Keys.Rope.SCALING_FACTOR, 1.0)),
+        orig_ctx=int(k(Keys.Rope.SCALING_ORIG_CTX_LEN, 0)),
+        attn_factor=float(k(Keys.Rope.SCALING_ATTN_FACTOR, 1.0)),
+        ext_factor=float(k(Keys.Rope.SCALING_YARN_EXT_FACTOR, 0.0)),
+        beta_fast=float(k(Keys.Rope.SCALING_YARN_BETA_FAST, 32.0)),
+        beta_slow=float(k(Keys.Rope.SCALING_YARN_BETA_SLOW, 1.0)),
+        style="neox" if arch in NEOX_ROPE_ARCHS else "norm",
+    )
+
+    return HParams(
+        arch=arch,
+        n_vocab=n_vocab,
+        n_ctx_train=int(k(Keys.LLM.CONTEXT_LENGTH, 2048)),
+        n_embd=n_embd,
+        n_layer=int(k(Keys.LLM.BLOCK_COUNT)),
+        n_head=n_head,
+        n_head_kv=n_head_kv,
+        n_ff=int(k(Keys.LLM.FEED_FORWARD_LENGTH, 0)),
+        head_dim=head_dim,
+        head_dim_v=head_dim_v,
+        rms_eps=float(k(Keys.Attention.LAYERNORM_RMS_EPS, 1e-5)),
+        rope=rope,
+        n_expert=int(k(Keys.LLM.EXPERT_COUNT, 0)),
+        n_expert_used=int(k(Keys.LLM.EXPERT_USED_COUNT, 0)),
+        n_ff_exp=int(k(Keys.LLM.EXPERT_FEED_FORWARD_LENGTH, 0)),
+        expert_weights_scale=float(k(Keys.LLM.EXPERT_WEIGHTS_SCALE, 1.0)),
+        expert_weights_norm=bool(k(Keys.LLM.EXPERT_WEIGHTS_NORM, False)),
+        sliding_window=int(k(Keys.Attention.SLIDING_WINDOW, 0)),
+        attn_scale=(float(k(Keys.Attention.SCALE)) if k(Keys.Attention.SCALE) is not None else None),
+        causal=bool(k(Keys.Attention.CAUSAL, True)),
+    )

@@ -1,0 +1,130 @@
+"""LLaMA-family decoder (llama/llama2/llama3/mistral/tinyllama + qwen2-style
+bias/qk-norm variants).
+
+Graph-equivalent of the reference's llm_build_llama (src/models/llama.cpp) —
+re-expressed as a functional JAX program: RMSNorm → GQA attention with RoPE
+and KV-cache append → SwiGLU FFN, residual chain, final norm + (possibly
+tied) output head. Built once per (batch, seq) bucket and jit-compiled; no
+per-step graph rebuild.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..gguf.reader import GGUFReader
+from ..ops.attention import attention, causal_mask
+from ..ops.norms import rms_norm
+from ..ops.rope import apply_rope
+from ..runtime.kvcache import KVCache
+from .hparams import HParams
+from .weights import load_embedding, load_linear, load_vector
+
+Params = dict[str, Any]
+
+
+def build_params(r: GGUFReader, hp: HParams, mode: str = "auto",
+                 dtype=jnp.bfloat16) -> Params:
+    """Upload weights from GGUF into device arrays / packed quant planes.
+
+    Tensor names follow the GGUF convention (reference src/llama-arch.cpp
+    LLM_TENSOR_NAMES): token_embd, blk.N.{attn_norm,attn_q,attn_k,attn_v,
+    attn_output,ffn_norm,ffn_gate,ffn_up,ffn_down}, output_norm, output.
+    """
+    t = r.tensors
+
+    def linear(name):
+        return load_linear(t[name], mode=mode, dtype=dtype)
+
+    def maybe_vector(name):
+        return load_vector(t[name]) if name in t else None
+
+    layers = []
+    for i in range(hp.n_layer):
+        p = f"blk.{i}."
+        layer = {
+            "attn_norm": load_vector(t[p + "attn_norm.weight"]),
+            "wq": linear(p + "attn_q.weight"),
+            "wk": linear(p + "attn_k.weight"),
+            "wv": linear(p + "attn_v.weight"),
+            "wo": linear(p + "attn_output.weight"),
+            "ffn_norm": load_vector(t[p + "ffn_norm.weight"]),
+            "w_gate": linear(p + "ffn_gate.weight"),
+            "w_up": linear(p + "ffn_up.weight"),
+            "w_down": linear(p + "ffn_down.weight"),
+            # optional extras: qwen2 attn biases, qwen3/olmo2 qk-norm
+            "bq": maybe_vector(p + "attn_q.bias"),
+            "bk": maybe_vector(p + "attn_k.bias"),
+            "bv": maybe_vector(p + "attn_v.bias"),
+            "q_norm": maybe_vector(p + "attn_q_norm.weight"),
+            "k_norm": maybe_vector(p + "attn_k_norm.weight"),
+        }
+        layers.append(layer)
+
+    params: Params = {
+        "tok_embd": load_embedding(t["token_embd.weight"], dtype=dtype),
+        "layers": layers,
+        "output_norm": load_vector(t["output_norm.weight"]),
+    }
+    if "output.weight" in t:
+        params["output"] = linear("output.weight")
+    else:
+        params["output"] = None  # tied to tok_embd
+    return params
+
+
+def forward(
+    hp: HParams,
+    params: Params,
+    tokens: jax.Array,  # [B, T] int32
+    positions: jax.Array,  # [B, T] int32
+    cache: KVCache,
+    cache_offset,  # scalar int: write position in the cache
+) -> tuple[jax.Array, KVCache]:
+    """Returns (logits [B, T, n_vocab] f32, updated cache)."""
+    B, T = tokens.shape
+    x = params["tok_embd"][tokens]  # [B, T, E]
+    scale = hp.attn_scale if hp.attn_scale is not None else hp.head_dim ** -0.5
+
+    kv_len = cache_offset + T
+    mask = causal_mask(positions, cache.max_len, kv_len, hp.sliding_window)
+
+    for li, layer in enumerate(params["layers"]):
+        h = rms_norm(x, layer["attn_norm"], hp.rms_eps)
+        q = layer["wq"](h)
+        k = layer["wk"](h)
+        v = layer["wv"](h)
+        if layer["bq"] is not None:
+            q = q + layer["bq"].astype(q.dtype)
+        if layer["bk"] is not None:
+            k = k + layer["bk"].astype(k.dtype)
+        if layer["bv"] is not None:
+            v = v + layer["bv"].astype(v.dtype)
+        q = q.reshape(B, T, hp.n_head, hp.head_dim)
+        k = k.reshape(B, T, hp.n_head_kv, hp.head_dim)
+        v = v.reshape(B, T, hp.n_head_kv, hp.head_dim_v)
+        if layer["q_norm"] is not None:
+            q = rms_norm(q, layer["q_norm"], hp.rms_eps)
+        if layer["k_norm"] is not None:
+            k = rms_norm(k, layer["k_norm"], hp.rms_eps)
+        q = apply_rope(q, positions, hp.rope)
+        k = apply_rope(k, positions, hp.rope)
+
+        cache = cache.update(li, k, v, cache_offset)
+        attn_out = attention(q, cache.k[li], cache.v[li], mask, scale)
+        x = x + layer["wo"](attn_out.reshape(B, T, hp.n_head * hp.head_dim_v))
+
+        h = rms_norm(x, layer["ffn_norm"], hp.rms_eps)
+        gate = layer["w_gate"](h)
+        up = layer["w_up"](h)
+        x = x + layer["w_down"](jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up)
+
+    x = rms_norm(x, params["output_norm"], hp.rms_eps)
+    if params["output"] is not None:
+        logits = params["output"](x)
+    else:
+        logits = jnp.dot(x, params["tok_embd"].T.astype(x.dtype))
+    return logits.astype(jnp.float32), cache

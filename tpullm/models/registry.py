@@ -1,0 +1,72 @@
+"""Architecture registry: GGUF `general.architecture` → (build_params, forward).
+
+The growth pattern mirrors the reference's src/models/ directory (one build
+function per family, llama-model.cpp build_graph dispatch); new archs register
+with @register_arch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from ..gguf.reader import GGUFReader
+from .hparams import HParams, hparams_from_gguf
+
+
+@dataclass(frozen=True)
+class ArchSpec:
+    name: str
+    build_params: Callable
+    forward: Callable
+
+
+_REGISTRY: dict[str, ArchSpec] = {}
+
+
+def register_arch(name: str, build_params, forward, aliases: tuple[str, ...] = ()):
+    spec = ArchSpec(name, build_params, forward)
+    _REGISTRY[name] = spec
+    for a in aliases:
+        _REGISTRY[a] = spec
+    return spec
+
+
+def get_arch(name: str) -> ArchSpec:
+    _ensure_builtin()
+    spec = _REGISTRY.get(name)
+    if spec is None:
+        raise NotImplementedError(
+            f"architecture {name!r} not implemented (have: {sorted(set(s.name for s in _REGISTRY.values()))})"
+        )
+    return spec
+
+
+def supported_archs() -> list[str]:
+    _ensure_builtin()
+    return sorted(_REGISTRY)
+
+
+_BUILTIN_DONE = False
+
+
+def _ensure_builtin():
+    # lazy: model modules import runtime pieces, so registering at import
+    # time would create a cycle
+    global _BUILTIN_DONE
+    if _BUILTIN_DONE:
+        return
+    _BUILTIN_DONE = True
+    from . import llama
+
+    register_arch(
+        "llama",
+        llama.build_params,
+        llama.forward,
+        # same graph family: biases/qk-norm handled by optional tensors
+        aliases=("mistral", "qwen2", "qwen3"),
+    )
+
+
+def load_hparams(r: GGUFReader) -> HParams:
+    return hparams_from_gguf(r)

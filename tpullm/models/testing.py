@@ -1,0 +1,108 @@
+"""Test-model synthesis: tiny random llama GGUFs with a functional SPM vocab.
+
+Plays the role of the reference's vocab-only fixture GGUFs (models/
+ggml-vocab-*.gguf) and stories260K-style tiny models used by the server tests
+— lets the whole pipeline (load → tokenize → forward → sample) run hermetically.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..gguf.constants import GGMLType, TokenType
+from ..gguf.writer import GGUFWriter
+
+
+def _byte_vocab(extra_words: list[str]) -> tuple[list[str], list[float], list[int]]:
+    tokens = ["<unk>", "<s>", "</s>"]
+    types = [TokenType.UNKNOWN, TokenType.CONTROL, TokenType.CONTROL]
+    scores = [-99.0, -99.0, -99.0]
+    for b in range(256):
+        tokens.append(f"<0x{b:02X}>")
+        types.append(TokenType.BYTE)
+        scores.append(-98.0)
+    for i, w in enumerate(extra_words):
+        tokens.append(w)
+        types.append(TokenType.NORMAL)
+        scores.append(-float(i))
+    return tokens, scores, types
+
+
+DEFAULT_WORDS = [
+    "▁the", "▁quick", "▁brown", "▁fox", "▁jumps", "▁over", "▁lazy", "▁dog",
+    "▁hello", "▁world", "he", "ll", "o", "wor", "ld", "▁a", "▁an", "ing", "ed",
+    "▁", "t", "h", "e", "a", "s", "d", "f", "g",
+]
+
+
+def make_tiny_llama_gguf(
+    path,
+    *,
+    n_layer: int = 2,
+    n_embd: int = 64,
+    n_head: int = 4,
+    n_head_kv: int = 2,
+    n_ff: int = 128,
+    n_ctx: int = 256,
+    weight_type: GGMLType = GGMLType.F32,
+    tie_embeddings: bool = False,
+    rope_scaling: str | None = None,
+    seed: int = 0,
+    arch: str = "llama",
+    extra_kv: dict | None = None,
+) -> str:
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = _byte_vocab(DEFAULT_WORDS)
+    n_vocab = len(tokens)
+    head_dim = n_embd // n_head
+
+    w = GGUFWriter(path, architecture=arch)
+    w.add_kv("general.name", "tpullm-tiny")
+    w.add_kv(f"{arch}.block_count", n_layer)
+    w.add_kv(f"{arch}.context_length", n_ctx)
+    w.add_kv(f"{arch}.embedding_length", n_embd)
+    w.add_kv(f"{arch}.feed_forward_length", n_ff)
+    w.add_kv(f"{arch}.attention.head_count", n_head)
+    w.add_kv(f"{arch}.attention.head_count_kv", n_head_kv)
+    w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_kv(f"{arch}.rope.freq_base", 10000.0)
+    w.add_kv(f"{arch}.rope.dimension_count", head_dim)
+    if rope_scaling == "yarn":
+        w.add_kv(f"{arch}.rope.scaling.type", "yarn")
+        w.add_kv(f"{arch}.rope.scaling.factor", 2.0)
+        w.add_kv(f"{arch}.rope.scaling.original_context_length", n_ctx // 2)
+        w.add_kv(f"{arch}.rope.scaling.yarn_ext_factor", 1.0)
+    w.add_kv("tokenizer.ggml.model", "llama")
+    w.add_kv("tokenizer.ggml.tokens", tokens)
+    w.add_kv("tokenizer.ggml.scores", np.asarray(scores, dtype=np.float32))
+    w.add_kv("tokenizer.ggml.token_type", np.asarray(types, dtype=np.int32))
+    w.add_kv("tokenizer.ggml.bos_token_id", 1)
+    w.add_kv("tokenizer.ggml.eos_token_id", 2)
+    w.add_kv("tokenizer.ggml.unknown_token_id", 0)
+    w.add_kv("tokenizer.ggml.add_bos_token", True)
+    for k, v in (extra_kv or {}).items():
+        w.add_kv(k, v)
+
+    def rand(shape, scale=0.05):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    def add_w(name, arr, qtype=weight_type):
+        w.add_tensor(name, arr, qtype)
+
+    add_w("token_embd.weight", rand((n_vocab, n_embd)), weight_type)
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        add_w(p + "attn_norm.weight", np.ones(n_embd, dtype=np.float32), GGMLType.F32)
+        add_w(p + "attn_q.weight", rand((n_head * head_dim, n_embd)))
+        add_w(p + "attn_k.weight", rand((n_head_kv * head_dim, n_embd)))
+        add_w(p + "attn_v.weight", rand((n_head_kv * head_dim, n_embd)))
+        add_w(p + "attn_output.weight", rand((n_embd, n_head * head_dim)))
+        add_w(p + "ffn_norm.weight", np.ones(n_embd, dtype=np.float32), GGMLType.F32)
+        add_w(p + "ffn_gate.weight", rand((n_ff, n_embd)))
+        add_w(p + "ffn_up.weight", rand((n_ff, n_embd)))
+        add_w(p + "ffn_down.weight", rand((n_embd, n_ff)))
+    add_w("output_norm.weight", np.ones(n_embd, dtype=np.float32), GGMLType.F32)
+    if not tie_embeddings:
+        add_w("output.weight", rand((n_vocab, n_embd)))
+    w.write()
+    return str(path)
