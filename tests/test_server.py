@@ -1,0 +1,171 @@
+"""Server tests: continuous-batching scheduler + REST API over a tiny model
+(≡ reference tools/server/tests pytest suite on stories260K)."""
+
+import queue
+import time
+
+import numpy as np
+import pytest
+
+from tpullm.models.testing import make_tiny_llama_gguf
+from tpullm.runtime.batch_engine import BatchEngine
+from tpullm.runtime.sampling import SamplerParams
+from tpullm.server.scheduler import GenRequest, Scheduler
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory):
+    path = make_tiny_llama_gguf(
+        tmp_path_factory.mktemp("srv") / "tiny.gguf",
+        n_embd=64, n_head=4, n_head_kv=2, n_ff=128, n_layer=2,
+    )
+    return BatchEngine(path, n_slots=3, max_seq=128, mode="dense",
+                       prefill_chunk=32)
+
+
+def _drain(req: GenRequest, timeout=60):
+    pieces, reason, stats = [], None, None
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        try:
+            ev = req.out.get(timeout=timeout)
+        except queue.Empty:
+            break
+        if ev[0] == "token":
+            pieces.append(ev[1])
+        else:
+            reason, stats = ev[1], ev[2]
+            break
+    return pieces, reason, stats
+
+
+def test_batch_engine_matches_single_slot(engine):
+    toks = engine.tokenizer.tokenize("the quick brown fox", add_special=True)
+    l0 = engine.prefill_slot(0, toks)
+    l2 = engine.prefill_slot(2, toks)
+    np.testing.assert_allclose(l0, l2, rtol=2e-2, atol=2e-2)
+    # decode both slots together; equal states → equal logits
+    out = engine.decode_batch({0: 7, 2: 7})
+    np.testing.assert_allclose(out[0], out[2], rtol=2e-2, atol=2e-2)
+    engine.free_slot(0)
+    engine.free_slot(2)
+
+
+def test_slot_isolation(engine):
+    """Generating in one slot must not disturb another slot's state."""
+    t1 = engine.tokenizer.tokenize("the quick", add_special=True)
+    t2 = engine.tokenizer.tokenize("hello world over the", add_special=True)
+    la = engine.prefill_slot(0, t1)
+    engine.prefill_slot(1, t2)
+    # advance slot 1 a few steps
+    for tok in (5, 9, 12):
+        engine.decode_batch({1: tok})
+    # slot 0's next logits must equal a fresh engine's
+    out = engine.decode_batch({0: 4})[0]
+    engine2 = BatchEngine(
+        engine.reader.path, n_slots=3, max_seq=128, mode="dense", prefill_chunk=32
+    )
+    engine2.prefill_slot(0, t1)
+    ref = engine2.decode_batch({0: 4})[0]
+    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
+    engine.free_slot(0)
+    engine.free_slot(1)
+
+
+def test_scheduler_single_request(engine):
+    sched = Scheduler(engine)
+    sched.start()
+    try:
+        ids = engine.tokenizer.tokenize("the quick brown", add_special=True)
+        req = sched.submit(GenRequest(prompt_ids=ids, max_tokens=8,
+                                      sampling=SamplerParams(temp=0.0)))
+        toks, reason, stats = _drain(req)
+        assert reason in ("stop", "length")
+        assert stats["prompt_n"] == len(ids)
+        assert stats["predicted_n"] == len(toks)
+        assert stats["ttft_ms"] >= 0
+    finally:
+        sched.stop()
+
+
+def test_scheduler_concurrent_requests(engine):
+    sched = Scheduler(engine)
+    sched.start()
+    try:
+        ids = engine.tokenizer.tokenize("the quick", add_special=True)
+        reqs = [
+            sched.submit(GenRequest(prompt_ids=ids, max_tokens=6,
+                                    sampling=SamplerParams(temp=0.0)))
+            for _ in range(5)  # more than n_slots → queueing exercised
+        ]
+        results = [_drain(r) for r in reqs]
+        for toks, reason, stats in results:
+            assert reason in ("stop", "length")
+        # greedy + same prompt → identical outputs across slots
+        first = results[0][0]
+        for toks, _, _ in results[1:]:
+            assert toks == first
+    finally:
+        sched.stop()
+
+
+@pytest.mark.parametrize("stream", [False, True])
+def test_http_api(engine, stream):
+    """Drive the aiohttp app in-process via aiohttp's test utilities."""
+    import asyncio
+
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from tpullm.server.api import Server
+
+    sched = Scheduler(engine)
+    sched.start()
+
+    async def run():
+        server = Server(sched, model_name="tiny")
+        client = TestClient(TestServer(server.app))
+        await client.start_server()
+        try:
+            r = await client.get("/health")
+            assert (await r.json())["status"] == "ok"
+
+            r = await client.get("/v1/models")
+            assert (await r.json())["data"][0]["id"] == "tiny"
+
+            r = await client.post("/tokenize", json={"content": "hello"})
+            toks = (await r.json())["tokens"]
+            assert toks
+            r = await client.post("/detokenize", json={"tokens": toks})
+            assert "hello" in (await r.json())["content"]
+
+            body = {"prompt": "the quick", "max_tokens": 4, "temperature": 0,
+                    "stream": stream}
+            r = await client.post("/v1/completions", json=body)
+            assert r.status == 200
+            if stream:
+                raw = await r.text()
+                assert "data: [DONE]" in raw
+            else:
+                data = await r.json()
+                assert data["choices"][0]["finish_reason"] in ("stop", "length")
+                assert data["usage"]["prompt_tokens"] > 0
+
+            r = await client.post("/v1/chat/completions", json={
+                "messages": [{"role": "user", "content": "hi"}],
+                "max_tokens": 4, "temperature": 0,
+            })
+            data = await r.json()
+            assert data["choices"][0]["message"]["role"] == "assistant"
+
+            r = await client.get("/metrics")
+            assert "tpullm_requests_total" in await r.text()
+
+            r = await client.get("/slots")
+            assert len(await r.json()) == engine.n_slots
+        finally:
+            await client.close()
+
+    try:
+        asyncio.run(run())
+    finally:
+        sched.stop()

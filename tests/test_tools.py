@@ -1,0 +1,97 @@
+"""CLI tools smoke tests: gguf-dump, quantize (roundtrip), cli generation,
+perplexity, chat templates."""
+
+import json
+import sys
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tpullm.chat import apply_chat_template
+from tpullm.gguf import GGMLType, GGUFReader
+from tpullm.models.testing import make_tiny_llama_gguf
+
+
+@pytest.fixture(scope="module")
+def tiny(tmp_path_factory):
+    return make_tiny_llama_gguf(
+        tmp_path_factory.mktemp("t") / "tiny.gguf",
+        n_embd=256, n_head=4, n_head_kv=2, n_ff=256, n_layer=2,
+    )
+
+
+def test_gguf_dump(tiny, capsys):
+    from tpullm.tools.gguf_dump import main
+
+    assert main([str(tiny), "--json"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["version"] == 3
+    assert any(t["name"] == "token_embd.weight" for t in out["tensors"])
+
+
+def test_quantize_roundtrip(tiny, tmp_path):
+    from tpullm.tools.quantize import quantize_model
+
+    dst = tmp_path / "q4km.gguf"
+    stats = quantize_model(str(tiny), str(dst), "Q4_K_M", verbose=False)
+    assert stats["out_bytes"] < stats["in_bytes"] / 2
+
+    r = GGUFReader(dst)
+    assert r.tensors["blk.0.attn_q.weight"].ggml_type == GGMLType.Q4_K
+    # _M recipe upgrades attn_v; output head goes to Q6_K
+    assert r.tensors["blk.0.attn_v.weight"].ggml_type == GGMLType.Q6_K
+    assert r.tensors["output.weight"].ggml_type == GGMLType.Q6_K
+    assert r.tensors["output_norm.weight"].ggml_type == GGMLType.F32
+    assert r.metadata["general.file_type"] == 15
+
+    # the quantized model still loads and runs
+    from tpullm.runtime import Engine
+
+    eng = Engine(dst, mode="quant", max_seq=64)
+    ids = eng.tokenizer.tokenize("hello", add_special=True)
+    logits = eng.prefill(ids)
+    assert np.isfinite(logits).all()
+
+
+def test_cli_completion(tiny, capsys, monkeypatch):
+    from tpullm.tools.cli import main
+
+    rc = main(["-m", str(tiny), "-p", "the quick", "-n", "4", "--temp", "0",
+               "--mode", "dense"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.startswith("the quick")
+
+
+def test_perplexity_runs(tiny):
+    from tpullm.runtime import Engine
+    from tpullm.tools.perplexity import perplexity
+
+    eng = Engine(tiny, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    text = "the quick brown fox jumps over the lazy dog " * 40
+    ppl, n = perplexity(eng, text, n_ctx=32, max_windows=2)
+    assert np.isfinite(ppl) and ppl > 1.0
+    assert n > 0
+
+
+def test_chat_template_builtin():
+    msgs = [{"role": "system", "content": "be nice"},
+            {"role": "user", "content": "hi"}]
+    out = apply_chat_template(None, msgs)
+    assert "<|im_start|>user\nhi<|im_end|>" in out
+    assert out.endswith("<|im_start|>assistant\n")
+
+    out = apply_chat_template("...<|start_header_id|>...", msgs, add_generation_prompt=True)
+    assert "<|start_header_id|>user<|end_header_id|>" in out
+
+
+def test_chat_template_jinja():
+    tpl = (
+        "{% for m in messages %}<{{ m.role }}>{{ m.content }}</{{ m.role }}>"
+        "{% endfor %}{% if add_generation_prompt %}<assistant>{% endif %}"
+    )
+    out = apply_chat_template(tpl, [{"role": "user", "content": "yo"}])
+    assert out == "<user>yo</user><assistant>"

@@ -6,13 +6,13 @@ hparams mapping in llama_model::load_hparams (src/llama-model.cpp).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from ..gguf.constants import Keys
 from ..gguf.reader import GGUFReader
 
 
-@dataclass
+@dataclass(frozen=True)
 class RopeParams:
     dims: int = 0  # rotary dims (<= head_dim)
     freq_base: float = 10000.0
@@ -28,7 +28,7 @@ class RopeParams:
     style: str = "norm"
 
 
-@dataclass
+@dataclass(frozen=True)
 class HParams:
     arch: str
     n_vocab: int
@@ -53,8 +53,6 @@ class HParams:
     sliding_window: int = 0
     attn_scale: float | None = None
     causal: bool = True
-    # misc
-    extra: dict = field(default_factory=dict)
 
     @property
     def n_gqa(self) -> int:

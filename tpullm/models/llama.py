@@ -89,7 +89,8 @@ def forward(
     x = params["tok_embd"][tokens]  # [B, T, E]
     scale = hp.attn_scale if hp.attn_scale is not None else hp.head_dim ** -0.5
 
-    kv_len = cache_offset + T
+    offsets = jnp.broadcast_to(jnp.asarray(cache_offset).reshape(-1), (B,)).astype(jnp.int32)
+    kv_len = jnp.asarray(cache_offset) + T
     mask = causal_mask(positions, cache.max_len, kv_len, hp.sliding_window)
 
     for li, layer in enumerate(params["layers"]):
@@ -113,8 +114,13 @@ def forward(
         q = apply_rope(q, positions, hp.rope)
         k = apply_rope(k, positions, hp.rope)
 
-        cache = cache.update(li, k, v, cache_offset)
-        attn_out = attention(q, cache.k[li], cache.v[li], mask, scale)
+        cache = cache.update(
+            li, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), cache_offset
+        )
+        attn_out = attention(
+            q, cache.k[li], cache.v[li], mask, scale,
+            offsets=offsets, sliding_window=hp.sliding_window,
+        )
         x = x + layer["wo"](attn_out.reshape(B, T, hp.n_head * hp.head_dim_v))
 
         h = rms_norm(x, layer["ffn_norm"], hp.rms_eps)

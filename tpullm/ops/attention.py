@@ -10,25 +10,25 @@ import jax.numpy as jnp
 
 def attention_reference(
     q: jax.Array,  # [B, T, H, D]
-    k: jax.Array,  # [B, S, Hkv, D]
-    v: jax.Array,  # [B, S, Hkv, Dv]
+    k: jax.Array,  # [B, Hkv, S, D]
+    v: jax.Array,  # [B, Hkv, S, Dv]
     mask: jax.Array,  # [B, T, S] bool (True = attend)
     scale: float,
     softcap: float = 0.0,
 ) -> jax.Array:
     B, T, H, D = q.shape
-    Hkv = k.shape[2]
+    Hkv = k.shape[1]
     G = H // Hkv
     qf = q.reshape(B, T, Hkv, G, D).astype(jnp.float32)
     kf = k.astype(jnp.float32)
-    scores = jnp.einsum("bthgd,bshd->bhgts", qf, kf) * scale  # [B,Hkv,G,T,S]
+    scores = jnp.einsum("bthgd,bhsd->bhgts", qf, kf) * scale  # [B,Hkv,G,T,S]
     if softcap:
         scores = jnp.tanh(scores / softcap) * softcap
     scores = jnp.where(mask[:, None, None, :, :], scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1)
     # rows with no valid key (fully masked) produce NaN; zero them
     probs = jnp.where(jnp.any(mask[:, None, None, :, :], axis=-1, keepdims=True), probs, 0.0)
-    out = jnp.einsum("bhgts,bshd->bthgd", probs, v.astype(jnp.float32))
+    out = jnp.einsum("bhgts,bhsd->bthgd", probs, v.astype(jnp.float32))
     return out.reshape(B, T, H, v.shape[-1]).astype(q.dtype)
 
 
@@ -42,15 +42,30 @@ def causal_mask(
     key_pos = jnp.arange(n_keys)[None, None, :]
     qpos = positions[:, :, None]
     mask = key_pos <= qpos
-    mask &= key_pos < (kv_len if isinstance(kv_len, int) else kv_len)
+    kv_len = jnp.asarray(kv_len)
+    if kv_len.ndim == 1:  # per-slot lengths (continuous batching)
+        kv_len = kv_len[:, None, None]
+    mask &= key_pos < kv_len
     if sliding_window > 0:
         mask &= key_pos > qpos - sliding_window
     return mask
 
 
-def attention(q, k, v, mask, scale, softcap: float = 0.0) -> jax.Array:
+def attention(
+    q, k, v, mask, scale, softcap: float = 0.0,
+    offsets: jax.Array | None = None, sliding_window: int = 0,
+) -> jax.Array:
+    """Dispatch: Pallas flash kernel when the shape qualifies (prefill-sized
+    T, aligned S) and per-batch offsets are provided; jnp reference otherwise
+    (decode steps — weight streaming dominates there)."""
     from .pallas import flash
 
-    if flash.available() and flash.supports(q, k, v):
-        return flash.flash_attention(q, k, v, mask, scale, softcap)
+    if (
+        offsets is not None
+        and flash.available()
+        and flash.supports(q.shape, k.shape, sliding_window)
+    ):
+        return flash.flash_attention(
+            q, k, v, offsets, scale, softcap, sliding_window
+        )
     return attention_reference(q, k, v, mask, scale, softcap)

@@ -100,7 +100,7 @@ def _dequant_tile(plane_tiles: dict[str, jax.Array], gtype: GGMLType, tk: int, t
 
 
 def _kernel(x_ref, *refs, gtype: GGMLType, plane_names: tuple[str, ...], tk: int, tn: int,
-            out_dtype):
+            out_dtype, resident_rows: tuple[int, ...]):
     *plane_refs, out_ref, acc_ref = refs
     k = pl.program_id(2)
 
@@ -108,7 +108,21 @@ def _kernel(x_ref, *refs, gtype: GGMLType, plane_names: tuple[str, ...], tk: int
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    tiles = {name: ref[:] for name, ref in zip(plane_names, plane_refs)}
+    tiles = {}
+    for name, ref, rpt in zip(plane_names, plane_refs, resident_rows):
+        if rpt:
+            # plane too thin to tile on K (sublane divisibility): full-K block
+            # stays resident; pick this step's rows with a one-hot matmul —
+            # Mosaic can't prove alignment of a dynamic sublane slice, but a
+            # tiny (rpt×R)@(R×TN) MXU select is always legal
+            full = ref[:].astype(jnp.float32)  # (R, tn)
+            R = full.shape[0]
+            col = jax.lax.broadcasted_iota(jnp.int32, (rpt, R), 1)
+            row = jax.lax.broadcasted_iota(jnp.int32, (rpt, R), 0)
+            sel = (col == k * rpt + row).astype(jnp.float32)
+            tiles[name] = jnp.dot(sel, full, preferred_element_type=jnp.float32)
+        else:
+            tiles[name] = ref[:]
     w = _dequant_tile(tiles, gtype, tk, tn)
     x = x_ref[:].astype(jnp.bfloat16)
     acc_ref[:] += jnp.dot(x, w, preferred_element_type=jnp.float32)
@@ -134,15 +148,26 @@ def _qmm_2d(x, planes_flat, gtype, M, K, N, plane_names, out_dtype, interpret):
     in_specs = [
         pl.BlockSpec((tm, tk), lambda m, n, k: (m, k), memory_space=pltpu.VMEM)
     ]
-    for name in plane_names:
+    resident_rows = []
+    for name, plane in zip(plane_names, planes_flat):
         num, den = _plane_row_factor(gtype, name)
         rows = tk * num // den
-        in_specs.append(
-            pl.BlockSpec((rows, tn), lambda m, n, k: (k, n), memory_space=pltpu.VMEM)
-        )
+        if rows % 8 == 0 and rows == plane.shape[0] * tk // K:
+            in_specs.append(
+                pl.BlockSpec((rows, tn), lambda m, n, k: (k, n), memory_space=pltpu.VMEM)
+            )
+            resident_rows.append(0)
+        else:
+            # thin scale plane: keep all K rows resident, slice in-kernel
+            full_rows = plane.shape[0]
+            in_specs.append(
+                pl.BlockSpec((full_rows, tn), lambda m, n, k: (0, n), memory_space=pltpu.VMEM)
+            )
+            resident_rows.append(rows)
 
     kernel = functools.partial(
-        _kernel, gtype=gtype, plane_names=plane_names, tk=tk, tn=tn, out_dtype=out_dtype
+        _kernel, gtype=gtype, plane_names=plane_names, tk=tk, tn=tn,
+        out_dtype=out_dtype, resident_rows=tuple(resident_rows),
     )
     flops = 2 * M * K * N
     bytes_accessed = x.size * x.dtype.itemsize + sum(

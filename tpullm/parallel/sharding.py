@@ -1,0 +1,103 @@
+"""Tensor-parallel sharding rules for model parameters and KV cache.
+
+Megatron-style TP expressed as NamedShardings (the role the reference's
+LLAMA_SPLIT_MODE_ROW split-buffer plays on CUDA, ggml-cuda.cu:812-860 —
+but with XLA-inserted, compute-overlapped collectives instead of explicit
+gather/concat):
+
+  - attn q/k/v and ffn gate/up: output-feature (head) sharded → column-parallel
+  - attn output and ffn down:   input-feature sharded → row-parallel (psum)
+  - embeddings / norms:         replicated
+  - KV cache:                   sharded over kv heads
+
+A rule falls back to replication when the dimension doesn't divide the mesh
+axis, so odd vocab heads or small test models still run.
+"""
+
+from __future__ import annotations
+
+import re
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.weights import DenseLinear, QuantLinear
+from ..runtime.kvcache import KVCache
+from .mesh import MODEL_AXIS
+
+# tensor-name patterns → (dense spec over [n_in, n_out], quant plane row/col)
+COL_PARALLEL = re.compile(r"(wq|wk|wv|w_gate|w_up|output)$")
+ROW_PARALLEL = re.compile(r"(wo|w_down)$")
+
+
+def _axis_size(mesh: Mesh) -> int:
+    return mesh.shape[MODEL_AXIS]
+
+
+def _put(x, mesh, spec):
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+def _shard_linear(lin, mesh: Mesh, kind: str):
+    tp = _axis_size(mesh)
+    if isinstance(lin, DenseLinear):
+        n_in, n_out = lin.w.shape
+        if kind == "col" and n_out % tp == 0:
+            return DenseLinear(_put(lin.w, mesh, P(None, MODEL_AXIS)))
+        if kind == "row" and n_in % tp == 0:
+            return DenseLinear(_put(lin.w, mesh, P(MODEL_AXIS, None)))
+        return DenseLinear(_put(lin.w, mesh, P()))
+    if isinstance(lin, QuantLinear):
+        planes = {}
+        for name, arr in lin.planes.items():
+            if kind == "col" and arr.shape[1] % tp == 0:
+                planes[name] = _put(arr, mesh, P(None, MODEL_AXIS))
+            elif kind == "row" and arr.shape[0] % tp == 0:
+                # every plane's row count is K/const, so row-sharding stays
+                # aligned across planes when divisible
+                planes[name] = _put(arr, mesh, P(MODEL_AXIS, None))
+            else:
+                planes[name] = _put(arr, mesh, P())
+        return QuantLinear(lin.gtype, lin.n_out, lin.n_in, planes)
+    return lin
+
+
+def shard_params(params: dict, mesh: Mesh) -> dict:
+    """Place a llama-family param tree onto the mesh with TP rules."""
+
+    def place(obj, kind=None):
+        if isinstance(obj, (DenseLinear, QuantLinear)):
+            return _shard_linear(obj, mesh, kind or "col")
+        if obj is None:
+            return None
+        return _put(obj, mesh, P())
+
+    out = {
+        "tok_embd": place(params["tok_embd"]),
+        "output_norm": place(params["output_norm"]),
+        "output": _shard_linear(params["output"], mesh, "col")
+        if params["output"] is not None
+        else None,
+        "layers": [],
+    }
+    for layer in params["layers"]:
+        new = {}
+        for name, val in layer.items():
+            if val is None:
+                new[name] = None
+            elif COL_PARALLEL.search(name):
+                new[name] = _shard_linear(val, mesh, "col")
+            elif ROW_PARALLEL.search(name):
+                new[name] = _shard_linear(val, mesh, "row")
+            else:
+                new[name] = _put(val, mesh, P())
+        out["layers"].append(new)
+    return out
+
+
+def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:
+    """KV sharded over kv-heads (dim 2 of [L,B,Hkv,S,D]) when divisible."""
+    tp = _axis_size(mesh)
+    hkv = cache.k.shape[2]
+    spec = P(None, None, MODEL_AXIS, None, None) if hkv % tp == 0 else P()
+    return KVCache(_put(cache.k, mesh, spec), _put(cache.v, mesh, spec))

@@ -43,6 +43,45 @@ def _get_step(fwd, hp):
     return step
 
 
+def _get_device_gen(fwd, hp, chunk: int):
+    """Device-resident generation: prefill-and-sample plus a lax.scan decode
+    chunk. Only sampled token ids cross back to the host (the ≡ of the
+    reference's backend samplers — and essential here, where the host link
+    is orders of magnitude slower than HBM)."""
+    key = (fwd, repr(hp), chunk, "gen")
+    fns = _STEP_CACHE.get(key)
+    if fns is not None:
+        return fns
+
+    from ..ops.sampling_ops import sample_token
+
+    @functools.partial(jax.jit, donate_argnames=("cache",))
+    def prefill_sample(params, tokens, positions, cache, offset, n_last, rng, sp):
+        logits, cache = fwd(hp, params, tokens, positions, cache, offset)
+        tok = sample_token(logits[0, n_last].astype(jnp.float32), rng, sp)
+        return tok, cache
+
+    @functools.partial(jax.jit, donate_argnames=("cache",))
+    def decode_chunk(params, cache, token, n_past, rng, sp):
+        def body(carry, _):
+            token, n_past, cache, rng = carry
+            toks = token.reshape(1, 1)
+            pos = n_past.reshape(1, 1).astype(jnp.int32)
+            logits, cache = fwd(hp, params, toks, pos, cache, n_past)
+            rng, sub = jax.random.split(rng)
+            nxt = sample_token(logits[0, 0].astype(jnp.float32), sub, sp)
+            return (nxt, n_past + 1, cache, rng), nxt
+
+        (token, n_past, cache, rng), toks = jax.lax.scan(
+            body, (token, n_past, cache, rng), None, length=chunk
+        )
+        return toks, cache, n_past, rng
+
+    fns = (prefill_sample, decode_chunk)
+    _STEP_CACHE[key] = fns
+    return fns
+
+
 @dataclass
 class PerfCounters:
     """≡ llama_perf_context (llama.h:1519)."""
@@ -120,6 +159,23 @@ class Engine:
         self.perf.n_prefill += n
         return out
 
+    def prefill_all_logits(self, tokens: list[int]) -> np.ndarray:
+        """Like prefill, but returns logits for every position [T, n_vocab]
+        (perplexity / imatrix path)."""
+        n = len(tokens)
+        bucket = self._bucket(n)
+        toks = np.zeros((self.batch, bucket), dtype=np.int32)
+        toks[0, :n] = tokens
+        pos = np.arange(self.n_past, self.n_past + bucket, dtype=np.int32)
+        pos = np.broadcast_to(pos, (self.batch, bucket))
+        logits, self.cache = self._step(
+            self.params, jnp.asarray(toks), jnp.asarray(pos), self.cache,
+            jnp.int32(self.n_past),
+        )
+        out = np.asarray(logits[0, :n])
+        self.n_past += n
+        return out
+
     def decode_step(self, token: int) -> np.ndarray:
         """Feed one token; returns next-token logits [n_vocab]."""
         t0 = time.perf_counter()
@@ -156,6 +212,79 @@ class Engine:
             if self.n_past >= self.max_seq:
                 return
             logits = self.decode_step(token)
+
+    def generate_tokens_device(
+        self,
+        prompt_tokens: list[int],
+        max_new_tokens: int = 128,
+        temp: float = 0.0,
+        top_k: int = 40,
+        top_p: float = 0.95,
+        min_p: float = 0.05,
+        seed: int = 0,
+        stop_on_eog: bool = True,
+        chunk: int = 32,
+    ) -> list[int]:
+        """Device-resident generation: sampling happens on-chip; only token
+        ids are read back, in chunks. The fast path for simple sampler
+        configs (greedy/temp/top-k/top-p/min-p)."""
+        if self.batch != 1:
+            raise ValueError("device generation path is single-stream")
+        from ..ops.sampling_ops import DeviceSamplingParams
+
+        prefill_sample, decode_chunk = _get_device_gen(
+            self.arch.forward, self.hp, chunk
+        )
+        sp = DeviceSamplingParams.make(temp, top_k, top_p, min_p)
+        rng = jax.random.PRNGKey(seed)
+        vocab = self.tokenizer.vocab
+
+        n = len(prompt_tokens)
+        bucket = self._bucket(n)
+        toks = np.zeros((self.batch, bucket), dtype=np.int32)
+        toks[0, :n] = prompt_tokens
+        pos = np.broadcast_to(
+            np.arange(self.n_past, self.n_past + bucket, dtype=np.int32),
+            (self.batch, bucket),
+        )
+        t0 = time.perf_counter()
+        rng, sub = jax.random.split(rng)
+        tok_dev, self.cache = prefill_sample(
+            self.params, jnp.asarray(toks), jnp.asarray(pos), self.cache,
+            jnp.int32(self.n_past), jnp.int32(n - 1), sub, sp,
+        )
+        self.n_past += n
+        self.perf.t_prefill_s += time.perf_counter() - t0
+        self.perf.n_prefill += n
+
+        out: list[int] = []
+        first = int(tok_dev)
+        if stop_on_eog and vocab.is_eog(first):
+            return out
+        out.append(first)
+        n_past_dev = jnp.int32(self.n_past)
+        t0 = time.perf_counter()
+        while len(out) < max_new_tokens and self.n_past + chunk < self.max_seq:
+            tok_chunk, self.cache, n_past_dev, rng = decode_chunk(
+                self.params, self.cache, tok_dev, n_past_dev, rng, sp
+            )
+            ids = np.asarray(tok_chunk).tolist()
+            self.n_past += chunk
+            self.perf.n_decode += chunk
+            done = False
+            for t in ids:
+                if stop_on_eog and vocab.is_eog(t):
+                    done = True
+                    break
+                out.append(t)
+                if len(out) >= max_new_tokens:
+                    done = True
+                    break
+            if done:
+                break
+            tok_dev = tok_chunk[-1]
+        self.perf.t_decode_s += time.perf_counter() - t0
+        return out
 
     def generate(
         self,

@@ -1,0 +1,42 @@
+"""tpullm-server entry point (≡ reference llama-server CLI)."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="tpullm-server")
+    ap.add_argument("-m", "--model", required=True)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("-c", "--ctx-size", type=int, default=4096)
+    ap.add_argument("-np", "--parallel", type=int, default=4, help="number of slots")
+    ap.add_argument("--mode", choices=["auto", "quant", "dense"], default="auto")
+    ap.add_argument("--prefill-chunk", type=int, default=512)
+    args = ap.parse_args(argv)
+
+    from aiohttp import web
+
+    from .api import make_app
+
+    app, sched = make_app(
+        args.model,
+        n_slots=args.parallel,
+        max_seq=args.ctx_size,
+        mode=args.mode,
+        prefill_chunk=args.prefill_chunk,
+    )
+    print(f"tpullm-server listening on http://{args.host}:{args.port} "
+          f"({sched.engine.hp.arch}, {sched.engine.n_slots} slots, "
+          f"ctx {sched.engine.max_seq})", file=sys.stderr)
+    try:
+        web.run_app(app, host=args.host, port=args.port, print=None)
+    finally:
+        sched.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,237 @@
+"""OpenAI-compatible HTTP server (≡ reference tools/server REST surface:
+/v1/completions, /v1/chat/completions, /health, /metrics, /slots, /props,
+/tokenize, /detokenize), on aiohttp over the continuous-batching scheduler."""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import time
+import uuid
+
+from aiohttp import web
+
+from ..chat import apply_chat_template
+from ..runtime.sampling import SamplerParams
+from .scheduler import GenRequest, Scheduler
+
+
+def _sampling_from_body(body: dict) -> SamplerParams:
+    return SamplerParams(
+        temp=float(body.get("temperature", 0.8)),
+        top_k=int(body.get("top_k", 40)),
+        top_p=float(body.get("top_p", 0.95)),
+        min_p=float(body.get("min_p", 0.05)),
+        seed=int(body.get("seed", 0xFFFFFFFF)),
+        penalty_repeat=float(body.get("repeat_penalty", 1.0)),
+        penalty_freq=float(body.get("frequency_penalty", 0.0)),
+        penalty_present=float(body.get("presence_penalty", 0.0)),
+    )
+
+
+@web.middleware
+async def _json_errors(request, handler):
+    try:
+        return await handler(request)
+    except web.HTTPException:
+        raise
+    except (json.JSONDecodeError, ValueError, KeyError, TypeError) as e:
+        return web.json_response(
+            {"error": {"message": f"invalid request: {e}", "type": "invalid_request_error"}},
+            status=400,
+        )
+
+
+class Server:
+    def __init__(self, scheduler: Scheduler, model_name: str = "tpullm"):
+        self.sched = scheduler
+        self.model_name = model_name
+        self.t_start = time.time()
+        self.app = web.Application(middlewares=[_json_errors])
+        r = self.app.router
+        r.add_get("/health", self.health)
+        r.add_get("/v1/models", self.models)
+        r.add_get("/props", self.props)
+        r.add_get("/metrics", self.metrics)
+        r.add_get("/slots", self.slots)
+        r.add_post("/tokenize", self.tokenize)
+        r.add_post("/detokenize", self.detokenize)
+        r.add_post("/completion", self.completions)  # llama.cpp alias
+        r.add_post("/v1/completions", self.completions)
+        r.add_post("/v1/chat/completions", self.chat_completions)
+
+    # -- info endpoints ------------------------------------------------------------
+
+    async def health(self, request):
+        return web.json_response({"status": "ok"})
+
+    async def models(self, request):
+        return web.json_response({
+            "object": "list",
+            "data": [{"id": self.model_name, "object": "model",
+                      "created": int(self.t_start), "owned_by": "tpullm"}],
+        })
+
+    async def props(self, request):
+        eng = self.sched.engine
+        return web.json_response({
+            "model": self.model_name,
+            "n_ctx": eng.max_seq,
+            "n_slots": eng.n_slots,
+            "arch": eng.hp.arch,
+            "n_vocab": eng.hp.n_vocab,
+        })
+
+    async def metrics(self, request):
+        s = self.sched
+        eng = s.engine
+        busy = sum(1 for x in s.slots_info() if x["state"] != "idle")
+        lines = [
+            "# TYPE tpullm_requests_total counter",
+            f"tpullm_requests_total {s.n_requests}",
+            "# TYPE tpullm_tokens_generated_total counter",
+            f"tpullm_tokens_generated_total {s.n_tokens_generated}",
+            "# TYPE tpullm_prompt_tokens_total counter",
+            f"tpullm_prompt_tokens_total {s.n_prompt_tokens}",
+            "# TYPE tpullm_slots_busy gauge",
+            f"tpullm_slots_busy {busy}",
+            "# TYPE tpullm_slots_total gauge",
+            f"tpullm_slots_total {eng.n_slots}",
+        ]
+        return web.Response(text="\n".join(lines) + "\n",
+                            content_type="text/plain")
+
+    async def slots(self, request):
+        return web.json_response(self.sched.slots_info())
+
+    async def tokenize(self, request):
+        body = await request.json()
+        ids = self.sched.engine.tokenizer.tokenize(
+            body.get("content", ""), add_special=bool(body.get("add_special", False)),
+            parse_special=bool(body.get("parse_special", True)),
+        )
+        return web.json_response({"tokens": ids})
+
+    async def detokenize(self, request):
+        body = await request.json()
+        text = self.sched.engine.tokenizer.detokenize(body.get("tokens", []))
+        return web.json_response({"content": text})
+
+    # -- generation ------------------------------------------------------------------
+
+    async def completions(self, request):
+        body = await request.json()
+        prompt = body.get("prompt", "")
+        if isinstance(prompt, list):
+            prompt = prompt[0] if prompt else ""
+        tok = self.sched.engine.tokenizer
+        ids = tok.tokenize(prompt, add_special=True, parse_special=True)
+        req = GenRequest(
+            prompt_ids=ids,
+            max_tokens=int(body.get("max_tokens", body.get("n_predict", 128))),
+            sampling=_sampling_from_body(body),
+            stop=body.get("stop") or [],
+        )
+        rid = f"cmpl-{uuid.uuid4().hex[:12]}"
+        self.sched.submit(req)
+        if body.get("stream"):
+            return await self._stream(request, req, rid, chat=False)
+        text, reason, stats = await self._collect(req)
+        return web.json_response({
+            "id": rid, "object": "text_completion", "created": int(time.time()),
+            "model": self.model_name,
+            "choices": [{"index": 0, "text": text, "finish_reason": reason}],
+            "usage": {
+                "prompt_tokens": stats.get("prompt_n", len(ids)),
+                "completion_tokens": stats.get("predicted_n", 0),
+                "total_tokens": stats.get("prompt_n", 0) + stats.get("predicted_n", 0),
+            },
+            "timings": stats,
+        })
+
+    async def chat_completions(self, request):
+        body = await request.json()
+        messages = body.get("messages", [])
+        vocab = self.sched.engine.tokenizer.vocab
+        prompt = apply_chat_template(
+            vocab.chat_template, messages, add_generation_prompt=True,
+            tools=body.get("tools"),
+        )
+        tok = self.sched.engine.tokenizer
+        ids = tok.tokenize(prompt, add_special=True, parse_special=True)
+        req = GenRequest(
+            prompt_ids=ids,
+            max_tokens=int(body.get("max_tokens", 128)),
+            sampling=_sampling_from_body(body),
+            stop=body.get("stop") or [],
+        )
+        rid = f"chatcmpl-{uuid.uuid4().hex[:12]}"
+        self.sched.submit(req)
+        if body.get("stream"):
+            return await self._stream(request, req, rid, chat=True)
+        text, reason, stats = await self._collect(req)
+        return web.json_response({
+            "id": rid, "object": "chat.completion", "created": int(time.time()),
+            "model": self.model_name,
+            "choices": [{
+                "index": 0,
+                "message": {"role": "assistant", "content": text},
+                "finish_reason": reason,
+            }],
+            "usage": {
+                "prompt_tokens": stats.get("prompt_n", len(ids)),
+                "completion_tokens": stats.get("predicted_n", 0),
+                "total_tokens": stats.get("prompt_n", 0) + stats.get("predicted_n", 0),
+            },
+            "timings": stats,
+        })
+
+    async def _collect(self, req: GenRequest):
+        loop = asyncio.get_event_loop()
+        pieces = []
+        while True:
+            ev = await loop.run_in_executor(None, req.out.get)
+            if ev[0] == "token":
+                pieces.append(ev[2])
+            else:
+                return "".join(pieces), ev[1], ev[2]
+
+    async def _stream(self, request, req: GenRequest, rid: str, chat: bool):
+        resp = web.StreamResponse(headers={
+            "Content-Type": "text/event-stream",
+            "Cache-Control": "no-cache",
+        })
+        await resp.prepare(request)
+        loop = asyncio.get_event_loop()
+        obj = "chat.completion.chunk" if chat else "text_completion"
+        while True:
+            ev = await loop.run_in_executor(None, req.out.get)
+            if ev[0] == "token":
+                if chat:
+                    delta = {"choices": [{"index": 0, "delta": {"content": ev[2]},
+                                          "finish_reason": None}]}
+                else:
+                    delta = {"choices": [{"index": 0, "text": ev[2],
+                                          "finish_reason": None}]}
+                delta.update({"id": rid, "object": obj, "model": self.model_name})
+                await resp.write(f"data: {json.dumps(delta)}\n\n".encode())
+            else:
+                final = {"id": rid, "object": obj, "model": self.model_name,
+                         "choices": [{"index": 0, "finish_reason": ev[1],
+                                      **({"delta": {}} if chat else {"text": ""})}],
+                         "timings": ev[2]}
+                await resp.write(f"data: {json.dumps(final)}\n\n".encode())
+                await resp.write(b"data: [DONE]\n\n")
+                break
+        await resp.write_eof()
+        return resp
+
+
+def make_app(model_path, **engine_kw) -> tuple[web.Application, Scheduler]:
+    from ..runtime.batch_engine import BatchEngine
+
+    engine = BatchEngine(model_path, **engine_kw)
+    sched = Scheduler(engine)
+    sched.start()
+    server = Server(sched)
+    return server.app, sched

@@ -1,0 +1,196 @@
+"""Continuous-batching scheduler (≡ reference server-context.cpp update_slots
++ server-queue.cpp task queue).
+
+One background thread owns the BatchEngine; each iteration admits at most one
+queued request into a free slot (chunked prefill) and then decodes one token
+for every generating slot in a single batched step. Results stream to
+per-request queues consumed by the HTTP layer.
+"""
+
+from __future__ import annotations
+
+import itertools
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from enum import Enum
+
+import numpy as np
+
+from ..runtime.batch_engine import BatchEngine
+from ..runtime.sampling import Sampler, SamplerParams
+
+
+class SlotState(Enum):
+    IDLE = "idle"
+    GENERATING = "generating"
+
+
+@dataclass
+class GenRequest:
+    prompt_ids: list[int]
+    max_tokens: int = 128
+    sampling: SamplerParams = field(default_factory=SamplerParams)
+    stop: list[str] = field(default_factory=list)
+    id: int = field(default_factory=itertools.count().__next__)
+    # events: ("token", token_id, text) | ("done", finish_reason, stats)
+    out: queue.Queue = field(default_factory=queue.Queue)
+
+
+@dataclass
+class _Slot:
+    index: int
+    state: SlotState = SlotState.IDLE
+    request: GenRequest | None = None
+    sampler: Sampler | None = None
+    n_generated: int = 0
+    text: str = ""
+    pending_token: int | None = None
+    t_start: float = 0.0
+    t_first_token: float = 0.0
+
+
+class Scheduler:
+    def __init__(self, engine: BatchEngine):
+        self.engine = engine
+        self.slots = [_Slot(i) for i in range(engine.n_slots)]
+        self.pending: queue.Queue[GenRequest] = queue.Queue()
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+        self._wake = threading.Event()
+        # metrics (≡ server_metrics)
+        self.n_requests = 0
+        self.n_tokens_generated = 0
+        self.n_prompt_tokens = 0
+
+    # -- public API ---------------------------------------------------------------
+
+    def submit(self, req: GenRequest) -> GenRequest:
+        self.n_requests += 1
+        self.pending.put(req)
+        self._wake.set()
+        return req
+
+    def start(self):
+        self._thread = threading.Thread(target=self._run, daemon=True, name="tpullm-sched")
+        self._thread.start()
+
+    def stop(self):
+        self._stop.set()
+        self._wake.set()
+        if self._thread:
+            self._thread.join(timeout=10)
+
+    def slots_info(self) -> list[dict]:
+        return [
+            {
+                "id": s.index,
+                "state": s.state.value,
+                "n_past": int(self.engine.n_past[s.index]),
+                "n_generated": s.n_generated,
+                "request_id": s.request.id if s.request else None,
+            }
+            for s in self.slots
+        ]
+
+    # -- loop -----------------------------------------------------------------------
+
+    def _run(self):
+        while not self._stop.is_set():
+            did_work = self._iteration()
+            if not did_work:
+                self._wake.wait(timeout=0.05)
+                self._wake.clear()
+
+    def _free_slots(self):
+        return [s for s in self.slots if s.state == SlotState.IDLE]
+
+    def _iteration(self) -> bool:
+        did = False
+        # admit one pending request into a free slot (prompt phase)
+        free = self._free_slots()
+        if free and not self.pending.empty():
+            try:
+                req = self.pending.get_nowait()
+            except queue.Empty:
+                req = None
+            if req is not None:
+                self._admit(free[0], req)
+                did = True
+
+        # one batched decode step over generating slots
+        gen = {
+            s.index: s.pending_token
+            for s in self.slots
+            if s.state == SlotState.GENERATING and s.pending_token is not None
+        }
+        if gen:
+            logits = self.engine.decode_batch(gen)
+            for idx, lg in logits.items():
+                self._advance(self.slots[idx], lg)
+            did = True
+        return did
+
+    def _admit(self, slot: _Slot, req: GenRequest):
+        eng = self.engine
+        n = len(req.prompt_ids)
+        if n >= eng.max_seq:
+            req.out.put(("done", "context_overflow", {}))
+            return
+        slot.request = req
+        slot.sampler = Sampler(req.sampling)
+        slot.n_generated = 0
+        slot.text = ""
+        slot.t_start = time.perf_counter()
+        eng.free_slot(slot.index)
+        self.n_prompt_tokens += n
+        logits = eng.prefill_slot(slot.index, req.prompt_ids)
+        slot.state = SlotState.GENERATING
+        self._advance(slot, logits, first=True)
+
+    def _advance(self, slot: _Slot, logits: np.ndarray, first: bool = False):
+        req = slot.request
+        sampler = slot.sampler
+        token = sampler.sample(logits)
+        sampler.accept(token)
+        vocab = self.engine.tokenizer.vocab
+        if first:
+            slot.t_first_token = time.perf_counter()
+
+        if vocab.is_eog(token):
+            self._finish(slot, "stop")
+            return
+        piece = self.engine.tokenizer.detokenize([token])
+        slot.text += piece
+        slot.n_generated += 1
+        self.n_tokens_generated += 1
+        req.out.put(("token", token, piece))
+
+        for stop in req.stop:
+            if stop and stop in slot.text:
+                self._finish(slot, "stop")
+                return
+        if slot.n_generated >= req.max_tokens:
+            self._finish(slot, "length")
+            return
+        if int(self.engine.n_past[slot.index]) + 1 >= self.engine.max_seq:
+            self._finish(slot, "length")
+            return
+        slot.pending_token = token
+
+    def _finish(self, slot: _Slot, reason: str):
+        req = slot.request
+        now = time.perf_counter()
+        stats = {
+            "prompt_n": len(req.prompt_ids),
+            "predicted_n": slot.n_generated,
+            "ttft_ms": round((slot.t_first_token - slot.t_start) * 1e3, 2),
+            "total_ms": round((now - slot.t_start) * 1e3, 2),
+        }
+        req.out.put(("done", reason, stats))
+        slot.state = SlotState.IDLE
+        slot.request = None
+        slot.sampler = None
+        slot.pending_token = None
+        self._wake.set()

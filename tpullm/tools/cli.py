@@ -1,0 +1,116 @@
+"""tpullm: generation CLI (≡ reference tools/cli + tools/completion).
+
+Single-prompt completion and interactive chat on the same Engine the server
+uses. Flags mirror the reference's common ones (-m/-p/-n/-c/--temp/...).
+Every flag also reads a TPULLM_* env fallback (≡ LLAMA_ARG_* convention).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _env(name, default=None):
+    return os.environ.get(f"TPULLM_{name.upper().replace('-', '_')}", default)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="tpullm", description="TPU-native LLM inference")
+    ap.add_argument("-m", "--model", default=_env("model"), required=_env("model") is None)
+    ap.add_argument("-p", "--prompt", default=None)
+    ap.add_argument("-n", "--n-predict", type=int, default=int(_env("n_predict", 128)))
+    ap.add_argument("-c", "--ctx-size", type=int, default=int(_env("ctx_size", 2048)))
+    ap.add_argument("--temp", type=float, default=float(_env("temp", 0.8)))
+    ap.add_argument("--top-k", type=int, default=int(_env("top_k", 40)))
+    ap.add_argument("--top-p", type=float, default=float(_env("top_p", 0.95)))
+    ap.add_argument("--min-p", type=float, default=float(_env("min_p", 0.05)))
+    ap.add_argument("--seed", type=int, default=int(_env("seed", -1)))
+    ap.add_argument("--repeat-penalty", type=float, default=1.0)
+    ap.add_argument("--repeat-last-n", type=int, default=64)
+    ap.add_argument("--mode", choices=["auto", "quant", "dense"], default="auto",
+                    help="weight path: packed+Pallas or dequantized bf16")
+    ap.add_argument("--chat", action="store_true", help="interactive chat")
+    ap.add_argument("--no-display-prompt", action="store_true")
+    ap.add_argument("--verbose", "-v", action="store_true")
+    return ap
+
+
+def make_engine(args):
+    from ..runtime import Engine
+
+    return Engine(args.model, mode=args.mode, max_seq=args.ctx_size)
+
+
+def make_sampler(args):
+    from ..runtime import Sampler, SamplerParams
+
+    seed = args.seed if args.seed >= 0 else 0xFFFFFFFF
+    return Sampler(SamplerParams(
+        temp=args.temp, top_k=args.top_k, top_p=args.top_p, min_p=args.min_p,
+        seed=seed, penalty_repeat=args.repeat_penalty,
+        penalty_last_n=args.repeat_last_n,
+    ))
+
+
+def run_completion(args) -> int:
+    eng = make_engine(args)
+    sampler = make_sampler(args)
+    prompt = args.prompt if args.prompt is not None else sys.stdin.read()
+    if not args.no_display_prompt:
+        sys.stdout.write(prompt)
+        sys.stdout.flush()
+    ids = eng.tokenizer.tokenize(prompt, add_special=True, parse_special=True)
+    for tok in eng.generate_tokens(ids, max_new_tokens=args.n_predict, sampler=sampler):
+        sys.stdout.write(eng.tokenizer.detokenize([tok]))
+        sys.stdout.flush()
+    sys.stdout.write("\n")
+    if args.verbose:
+        print(eng.perf.report(), file=sys.stderr)
+    return 0
+
+
+def run_chat(args) -> int:
+    from ..chat import apply_chat_template
+
+    eng = make_engine(args)
+    sampler = make_sampler(args)
+    messages = []
+    print("tpullm chat — empty line or /exit to quit", file=sys.stderr)
+    while True:
+        try:
+            user = input("> ")
+        except (EOFError, KeyboardInterrupt):
+            break
+        if not user.strip() or user.strip() == "/exit":
+            break
+        messages.append({"role": "user", "content": user})
+        prompt = apply_chat_template(
+            eng.tokenizer.vocab.chat_template, messages, add_generation_prompt=True
+        )
+        eng.reset()
+        from ..runtime.kvcache import KVCache
+
+        eng.cache = KVCache.new(eng.hp, eng.batch, eng.max_seq, eng.kv_dtype)
+        ids = eng.tokenizer.tokenize(prompt, add_special=True, parse_special=True)
+        pieces = []
+        for tok in eng.generate_tokens(ids, max_new_tokens=args.n_predict, sampler=sampler):
+            piece = eng.tokenizer.detokenize([tok])
+            pieces.append(piece)
+            sys.stdout.write(piece)
+            sys.stdout.flush()
+        sys.stdout.write("\n")
+        messages.append({"role": "assistant", "content": "".join(pieces)})
+    return 0
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.chat:
+        return run_chat(args)
+    return run_completion(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,89 @@
+"""tpullm-perplexity: PPL over a text corpus + KL-divergence vs base logits
+(≡ reference tools/perplexity).
+
+Computes windowed next-token perplexity exactly like the reference: the corpus
+is tokenized, split into n_ctx windows, the first half of each window is
+context-only, and NLL is accumulated over the second half.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import sys
+
+import numpy as np
+
+
+def perplexity(engine, text: str, n_ctx: int = 512, max_windows: int | None = None,
+               progress=lambda *a: None):
+    import jax.numpy as jnp
+
+    from ..runtime.kvcache import KVCache
+
+    tok = engine.tokenizer
+    ids = tok.tokenize(text, add_special=True)
+    n_win = len(ids) // n_ctx
+    if max_windows:
+        n_win = min(n_win, max_windows)
+    if n_win == 0:
+        raise ValueError(f"corpus too short: {len(ids)} tokens < n_ctx {n_ctx}")
+
+    nll = 0.0
+    count = 0
+    first_eval = n_ctx // 2
+    for wi in range(n_win):
+        window = ids[wi * n_ctx : (wi + 1) * n_ctx]
+        engine.reset()
+        engine.cache = KVCache.new(engine.hp, engine.batch, engine.max_seq, engine.kv_dtype)
+        logits = engine.prefill_all_logits(window)
+        logp = logits - _logsumexp(logits)
+        for t in range(first_eval, n_ctx - 1):
+            nll -= float(logp[t, window[t + 1]])
+            count += 1
+        progress(wi + 1, n_win, math.exp(nll / max(count, 1)))
+    return math.exp(nll / count), count
+
+
+def _logsumexp(x: np.ndarray) -> np.ndarray:
+    m = x.max(axis=-1, keepdims=True)
+    return m + np.log(np.exp(x - m).sum(axis=-1, keepdims=True))
+
+
+def kl_divergence(logits_a: np.ndarray, logits_b: np.ndarray) -> float:
+    """Mean token KLD between two logit sets [T, V] (≡ --kl-divergence)."""
+    la = logits_a - _logsumexp(logits_a)
+    lb = logits_b - _logsumexp(logits_b)
+    return float(np.mean(np.sum(np.exp(la) * (la - lb), axis=-1)))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="Perplexity over a text file")
+    ap.add_argument("-m", "--model", required=True)
+    ap.add_argument("-f", "--file", required=True)
+    ap.add_argument("-c", "--ctx", type=int, default=512)
+    ap.add_argument("--max-windows", type=int, default=None)
+    ap.add_argument("--mode", default="auto")
+    ap.add_argument("--json", action="store_true")
+    args = ap.parse_args(argv)
+
+    from ..runtime import Engine
+
+    engine = Engine(args.model, mode=args.mode, max_seq=max(args.ctx, 512))
+    text = open(args.file, encoding="utf-8", errors="replace").read()
+
+    def prog(i, n, ppl):
+        print(f"[{i}/{n}] ppl={ppl:.4f}", file=sys.stderr, flush=True)
+
+    ppl, n_tokens = perplexity(engine, text, n_ctx=args.ctx,
+                               max_windows=args.max_windows, progress=prog)
+    if args.json:
+        print(json.dumps({"ppl": ppl, "n_tokens": n_tokens, "n_ctx": args.ctx}))
+    else:
+        print(f"PPL = {ppl:.4f} over {n_tokens} tokens (n_ctx={args.ctx})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
