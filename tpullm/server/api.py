@@ -17,15 +17,35 @@ from .scheduler import GenRequest, Scheduler
 
 
 def _sampling_from_body(body: dict) -> SamplerParams:
+    bias = body.get("logit_bias") or {}
+    if isinstance(bias, list):  # llama.cpp style [[id, bias], ...]
+        bias = {int(t): float(b) for t, b in bias}
+    else:
+        bias = {int(t): float(b) for t, b in bias.items()}
     return SamplerParams(
         temp=float(body.get("temperature", 0.8)),
         top_k=int(body.get("top_k", 40)),
         top_p=float(body.get("top_p", 0.95)),
         min_p=float(body.get("min_p", 0.05)),
+        typical_p=float(body.get("typical_p", 1.0)),
         seed=int(body.get("seed", 0xFFFFFFFF)),
+        penalty_last_n=int(body.get("repeat_last_n", 64)),
         penalty_repeat=float(body.get("repeat_penalty", 1.0)),
         penalty_freq=float(body.get("frequency_penalty", 0.0)),
         penalty_present=float(body.get("presence_penalty", 0.0)),
+        dry_multiplier=float(body.get("dry_multiplier", 0.0)),
+        dry_base=float(body.get("dry_base", 1.75)),
+        dry_allowed_length=int(body.get("dry_allowed_length", 2)),
+        dry_penalty_last_n=int(body.get("dry_penalty_last_n", -1)),
+        xtc_probability=float(body.get("xtc_probability", 0.0)),
+        xtc_threshold=float(body.get("xtc_threshold", 0.1)),
+        top_n_sigma=float(body.get("top_n_sigma", 0.0)),
+        dynatemp_range=float(body.get("dynatemp_range", 0.0)),
+        dynatemp_exponent=float(body.get("dynatemp_exponent", 1.0)),
+        mirostat=int(body.get("mirostat", 0)),
+        mirostat_tau=float(body.get("mirostat_tau", 5.0)),
+        mirostat_eta=float(body.get("mirostat_eta", 0.1)),
+        logit_bias=bias,
     )
 
 
