@@ -169,3 +169,36 @@ def test_http_api(engine, stream):
         asyncio.run(run())
     finally:
         sched.stop()
+
+def test_scheduler_grammar_constrained(engine):
+    """json-schema grammar forces valid JSON output regardless of weights."""
+    import json as _json
+
+    from tpullm.grammar import json_schema_to_gbnf
+
+    gbnf = json_schema_to_gbnf({
+        "type": "object",
+        "properties": {"n": {"type": "integer"}},
+        "required": ["n"],
+        "additionalProperties": False,
+    })
+    sched = Scheduler(engine)
+    sched.start()
+    try:
+        ids = engine.tokenizer.tokenize("the quick", add_special=True)
+        req = sched.submit(GenRequest(
+            prompt_ids=ids, max_tokens=48,
+            sampling=SamplerParams(temp=0.0), grammar=gbnf,
+        ))
+        toks, reason, stats = _drain(req)
+        text = engine.tokenizer.detokenize(toks)
+        # output must be a valid prefix of the grammar language in all cases
+        from tpullm.grammar import GrammarMatcher, parse_gbnf
+
+        m = GrammarMatcher(parse_gbnf(gbnf))
+        assert m.accept_text(text), f"grammar rejected output {text!r}"
+        if reason == "stop":  # EOG only allowed at grammar completion
+            obj = _json.loads(text)
+            assert isinstance(obj["n"], int)
+    finally:
+        sched.stop()

@@ -49,6 +49,25 @@ def _sampling_from_body(body: dict) -> SamplerParams:
     )
 
 
+def _grammar_from_body(body: dict) -> str | None:
+    """Resolve grammar/json_schema/response_format params to GBNF text
+    (≡ server's params_from_json_cmpl grammar handling)."""
+    if body.get("grammar"):
+        return str(body["grammar"])
+    schema = body.get("json_schema")
+    rf = body.get("response_format") or {}
+    if not schema and isinstance(rf, dict):
+        if rf.get("type") == "json_schema":
+            schema = (rf.get("json_schema") or {}).get("schema", {})
+        elif rf.get("type") == "json_object":
+            schema = rf.get("schema", {})
+    if schema is not None:
+        from ..grammar import json_schema_to_gbnf
+
+        return json_schema_to_gbnf(schema)
+    return None
+
+
 @web.middleware
 async def _json_errors(request, handler):
     try:
@@ -151,6 +170,7 @@ class Server:
             max_tokens=int(body.get("max_tokens", body.get("n_predict", 128))),
             sampling=_sampling_from_body(body),
             stop=body.get("stop") or [],
+            grammar=_grammar_from_body(body),
         )
         rid = f"cmpl-{uuid.uuid4().hex[:12]}"
         self.sched.submit(req)
@@ -184,6 +204,7 @@ class Server:
             max_tokens=int(body.get("max_tokens", 128)),
             sampling=_sampling_from_body(body),
             stop=body.get("stop") or [],
+            grammar=_grammar_from_body(body),
         )
         rid = f"chatcmpl-{uuid.uuid4().hex[:12]}"
         self.sched.submit(req)

@@ -33,6 +33,7 @@ class GenRequest:
     max_tokens: int = 128
     sampling: SamplerParams = field(default_factory=SamplerParams)
     stop: list[str] = field(default_factory=list)
+    grammar: str | None = None  # GBNF text (set from grammar/json_schema params)
     id: int = field(default_factory=itertools.count().__next__)
     # events: ("token", token_id, text) | ("done", finish_reason, stats)
     out: queue.Queue = field(default_factory=queue.Queue)
@@ -139,7 +140,19 @@ class Scheduler:
             req.out.put(("done", "context_overflow", {}))
             return
         slot.request = req
-        slot.sampler = Sampler(req.sampling)
+        if req.grammar:
+            from ..grammar import GrammarConstraint
+
+            constraint = GrammarConstraint.from_tokenizer(
+                req.grammar, eng.tokenizer
+            )
+            slot.sampler = Sampler(
+                req.sampling,
+                constraint_fn=constraint,
+                constraint_accept=constraint.accept,
+            )
+        else:
+            slot.sampler = Sampler(req.sampling)
         slot.n_generated = 0
         slot.text = ""
         slot.t_start = time.perf_counter()

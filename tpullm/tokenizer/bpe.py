@@ -253,6 +253,25 @@ class BPETokenizer:
             ids.extend(self._bpe_word(mapped))
         return ids
 
+    def piece_bytes(self, tid: int) -> bytes:
+        """Raw output bytes of a token (byte-level decode; control tokens
+        contribute nothing)."""
+        vocab = self.vocab
+        ttype = vocab.token_type(tid)
+        text = vocab.tokens[tid]
+        if ttype.name == "CONTROL":
+            return b""
+        if ttype.name == "USER_DEFINED":
+            return text.encode("utf-8")
+        raw = bytearray()
+        for ch in text:
+            b = self._u2b.get(ch)
+            if b is not None:
+                raw.append(b)
+            else:
+                raw.extend(ch.encode("utf-8"))
+        return bytes(raw)
+
     def tokenize(
         self, text: str, add_special: bool = True, parse_special: bool = False
     ) -> list[int]:

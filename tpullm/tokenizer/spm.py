@@ -19,6 +19,18 @@ class SPMTokenizer:
     def __init__(self, vocab: Vocab):
         self.vocab = vocab
 
+    def piece_bytes(self, tid: int) -> bytes:
+        """Raw bytes this token contributes to output text (grammar/stop-string
+        matching; ≡ llama_token_to_piece with special=false)."""
+        vocab = self.vocab
+        ttype = vocab.token_type(tid)
+        text = vocab.tokens[tid]
+        if ttype.name == "BYTE":
+            return bytes([int(text[3:5], 16)])
+        if ttype.name in ("CONTROL", "UNKNOWN"):
+            return b""
+        return text.replace(SPM_SPACE, " ").encode("utf-8")
+
     def tokenize_fragment(self, text: str) -> list[int]:
         """Tokenize one raw-text fragment (no specials, no bos/eos)."""
         vocab = self.vocab

@@ -109,6 +109,13 @@ class WPMTokenizer:
             out.append(vocab.special.sep)
         return out
 
+    def piece_bytes(self, tid: int) -> bytes:
+        vocab = self.vocab
+        ttype = vocab.token_type(tid)
+        if ttype.name in ("CONTROL", "UNKNOWN"):
+            return b""
+        return vocab.tokens[tid].replace(PHANTOM, " ").encode("utf-8")
+
     def detokenize(self, ids, remove_special: bool = False, unparse_special: bool = False) -> str:
         vocab = self.vocab
         pieces = []
