@@ -76,6 +76,61 @@ def build_params(r: GGUFReader, hp: HParams, mode: str = "auto",
     return params
 
 
+def attn_block(
+    hp: HParams,
+    layer: dict,
+    x: jax.Array,  # [B, T, E]
+    positions: jax.Array,
+    cache: KVCache,
+    li: int,
+    cache_offset,
+    mask: jax.Array,
+    offsets: jax.Array,
+) -> tuple[jax.Array, KVCache]:
+    """One pre-norm GQA attention block with residual (shared by the llama
+    family and its MoE variants)."""
+    B, T = x.shape[:2]
+    scale = hp.attn_scale if hp.attn_scale is not None else hp.head_dim ** -0.5
+    h = rms_norm(x, layer["attn_norm"], hp.rms_eps)
+    q = layer["wq"](h)
+    k = layer["wk"](h)
+    v = layer["wv"](h)
+    if layer["bq"] is not None:
+        q = q + layer["bq"].astype(q.dtype)
+    if layer["bk"] is not None:
+        k = k + layer["bk"].astype(k.dtype)
+    if layer["bv"] is not None:
+        v = v + layer["bv"].astype(v.dtype)
+    q = q.reshape(B, T, hp.n_head, hp.head_dim)
+    k = k.reshape(B, T, hp.n_head_kv, hp.head_dim)
+    v = v.reshape(B, T, hp.n_head_kv, hp.head_dim_v)
+    if layer["q_norm"] is not None:
+        q = rms_norm(q, layer["q_norm"], hp.rms_eps)
+    if layer["k_norm"] is not None:
+        k = rms_norm(k, layer["k_norm"], hp.rms_eps)
+    q = apply_rope(q, positions, hp.rope)
+    k = apply_rope(k, positions, hp.rope)
+
+    cache = cache.update(
+        li, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), cache_offset
+    )
+    attn_out = attention(
+        q, cache.k[li], cache.v[li], mask, scale,
+        offsets=offsets, sliding_window=hp.sliding_window,
+    )
+    x = x + layer["wo"](attn_out.reshape(B, T, hp.n_head * hp.head_dim_v))
+    return x, cache
+
+
+def output_head(hp: HParams, params: Params, x: jax.Array) -> jax.Array:
+    x = rms_norm(x, params["output_norm"], hp.rms_eps)
+    if params["output"] is not None:
+        logits = params["output"](x)
+    else:
+        logits = jnp.dot(x, params["tok_embd"].T.astype(x.dtype))
+    return logits.astype(jnp.float32)
+
+
 def forward(
     hp: HParams,
     params: Params,
@@ -87,50 +142,18 @@ def forward(
     """Returns (logits [B, T, n_vocab] f32, updated cache)."""
     B, T = tokens.shape
     x = params["tok_embd"][tokens]  # [B, T, E]
-    scale = hp.attn_scale if hp.attn_scale is not None else hp.head_dim ** -0.5
 
     offsets = jnp.broadcast_to(jnp.asarray(cache_offset).reshape(-1), (B,)).astype(jnp.int32)
     kv_len = jnp.asarray(cache_offset) + T
     mask = causal_mask(positions, cache.max_len, kv_len, hp.sliding_window)
 
     for li, layer in enumerate(params["layers"]):
-        h = rms_norm(x, layer["attn_norm"], hp.rms_eps)
-        q = layer["wq"](h)
-        k = layer["wk"](h)
-        v = layer["wv"](h)
-        if layer["bq"] is not None:
-            q = q + layer["bq"].astype(q.dtype)
-        if layer["bk"] is not None:
-            k = k + layer["bk"].astype(k.dtype)
-        if layer["bv"] is not None:
-            v = v + layer["bv"].astype(v.dtype)
-        q = q.reshape(B, T, hp.n_head, hp.head_dim)
-        k = k.reshape(B, T, hp.n_head_kv, hp.head_dim)
-        v = v.reshape(B, T, hp.n_head_kv, hp.head_dim_v)
-        if layer["q_norm"] is not None:
-            q = rms_norm(q, layer["q_norm"], hp.rms_eps)
-        if layer["k_norm"] is not None:
-            k = rms_norm(k, layer["k_norm"], hp.rms_eps)
-        q = apply_rope(q, positions, hp.rope)
-        k = apply_rope(k, positions, hp.rope)
-
-        cache = cache.update(
-            li, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), cache_offset
+        x, cache = attn_block(
+            hp, layer, x, positions, cache, li, cache_offset, mask, offsets
         )
-        attn_out = attention(
-            q, cache.k[li], cache.v[li], mask, scale,
-            offsets=offsets, sliding_window=hp.sliding_window,
-        )
-        x = x + layer["wo"](attn_out.reshape(B, T, hp.n_head * hp.head_dim_v))
-
         h = rms_norm(x, layer["ffn_norm"], hp.rms_eps)
         gate = layer["w_gate"](h)
         up = layer["w_up"](h)
         x = x + layer["w_down"](jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up)
 
-    x = rms_norm(x, params["output_norm"], hp.rms_eps)
-    if params["output"] is not None:
-        logits = params["output"](x)
-    else:
-        logits = jnp.dot(x, params["tok_embd"].T.astype(x.dtype))
-    return logits.astype(jnp.float32), cache
+    return output_head(hp, params, x), cache

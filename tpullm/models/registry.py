@@ -57,7 +57,7 @@ def _ensure_builtin():
     if _BUILTIN_DONE:
         return
     _BUILTIN_DONE = True
-    from . import llama
+    from . import llama, qwen_moe
 
     register_arch(
         "llama",
@@ -65,6 +65,12 @@ def _ensure_builtin():
         llama.forward,
         # same graph family: biases/qk-norm handled by optional tensors
         aliases=("mistral", "qwen2", "qwen3"),
+    )
+    register_arch(
+        "qwen3moe",
+        qwen_moe.build_params,
+        qwen_moe.forward,
+        aliases=("qwen2moe",),
     )
 
 

@@ -106,3 +106,77 @@ def make_tiny_llama_gguf(
         add_w("output.weight", rand((n_vocab, n_embd)))
     w.write()
     return str(path)
+
+
+def make_tiny_moe_gguf(
+    path,
+    *,
+    arch: str = "qwen3moe",
+    n_layer: int = 2,
+    n_embd: int = 64,
+    n_head: int = 4,
+    n_head_kv: int = 2,
+    n_expert: int = 4,
+    n_expert_used: int = 2,
+    n_ff_exp: int = 96,
+    n_ff_shexp: int = 0,  # >0 adds a qwen2moe-style shared expert
+    n_ctx: int = 256,
+    seed: int = 0,
+) -> str:
+    """Tiny qwen2moe/qwen3moe-shaped GGUF with stacked expert tensors."""
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = _byte_vocab(DEFAULT_WORDS)
+    n_vocab = len(tokens)
+    head_dim = n_embd // n_head
+
+    w = GGUFWriter(path, architecture=arch)
+    w.add_kv("general.name", "tpullm-tiny-moe")
+    w.add_kv(f"{arch}.block_count", n_layer)
+    w.add_kv(f"{arch}.context_length", n_ctx)
+    w.add_kv(f"{arch}.embedding_length", n_embd)
+    w.add_kv(f"{arch}.feed_forward_length", n_ff_exp)
+    w.add_kv(f"{arch}.attention.head_count", n_head)
+    w.add_kv(f"{arch}.attention.head_count_kv", n_head_kv)
+    w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_kv(f"{arch}.rope.freq_base", 10000.0)
+    w.add_kv(f"{arch}.rope.dimension_count", head_dim)
+    w.add_kv(f"{arch}.expert_count", n_expert)
+    w.add_kv(f"{arch}.expert_used_count", n_expert_used)
+    w.add_kv(f"{arch}.expert_feed_forward_length", n_ff_exp)
+    w.add_kv("tokenizer.ggml.model", "llama")
+    w.add_kv("tokenizer.ggml.tokens", tokens)
+    w.add_kv("tokenizer.ggml.scores", np.asarray(scores, dtype=np.float32))
+    w.add_kv("tokenizer.ggml.token_type", np.asarray(types, dtype=np.int32))
+    w.add_kv("tokenizer.ggml.bos_token_id", 1)
+    w.add_kv("tokenizer.ggml.eos_token_id", 2)
+    w.add_kv("tokenizer.ggml.unknown_token_id", 0)
+    w.add_kv("tokenizer.ggml.add_bos_token", True)
+
+    def rand(shape, scale=0.05):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    w.add_tensor("token_embd.weight", rand((n_vocab, n_embd)))
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        w.add_tensor(p + "attn_norm.weight", np.ones(n_embd, dtype=np.float32))
+        w.add_tensor(p + "attn_q.weight", rand((n_head * head_dim, n_embd)))
+        w.add_tensor(p + "attn_k.weight", rand((n_head_kv * head_dim, n_embd)))
+        w.add_tensor(p + "attn_v.weight", rand((n_head_kv * head_dim, n_embd)))
+        w.add_tensor(p + "attn_output.weight", rand((n_embd, n_head * head_dim)))
+        if arch == "qwen3moe":
+            w.add_tensor(p + "attn_q_norm.weight", np.ones(head_dim, dtype=np.float32))
+            w.add_tensor(p + "attn_k_norm.weight", np.ones(head_dim, dtype=np.float32))
+        w.add_tensor(p + "ffn_norm.weight", np.ones(n_embd, dtype=np.float32))
+        w.add_tensor(p + "ffn_gate_inp.weight", rand((n_expert, n_embd)))
+        w.add_tensor(p + "ffn_gate_exps.weight", rand((n_expert, n_ff_exp, n_embd)))
+        w.add_tensor(p + "ffn_up_exps.weight", rand((n_expert, n_ff_exp, n_embd)))
+        w.add_tensor(p + "ffn_down_exps.weight", rand((n_expert, n_embd, n_ff_exp)))
+        if n_ff_shexp:
+            w.add_tensor(p + "ffn_gate_inp_shexp.weight", rand((n_embd,)))
+            w.add_tensor(p + "ffn_gate_shexp.weight", rand((n_ff_shexp, n_embd)))
+            w.add_tensor(p + "ffn_up_shexp.weight", rand((n_ff_shexp, n_embd)))
+            w.add_tensor(p + "ffn_down_shexp.weight", rand((n_embd, n_ff_shexp)))
+    w.add_tensor("output_norm.weight", np.ones(n_embd, dtype=np.float32))
+    w.add_tensor("output.weight", rand((n_vocab, n_embd)))
+    w.write()
+    return str(path)

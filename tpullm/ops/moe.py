@@ -1,0 +1,97 @@
+"""Mixture-of-experts routed FFN.
+
+Reference: llm_graph_context::build_moe_ffn (src/llama-graph.cpp:785-960) +
+the CUDA MUL_MAT_ID / topk-moe kernels (ggml-cuda/mmid.cu, topk-moe.cu).
+
+TPU-first design — two execution regimes instead of an expert-indexed GEMM
+kernel:
+  * few tokens (decode): gather the k selected experts' weights from HBM and
+    batch the per-token GEMVs — reads only k/E of the expert bytes, which is
+    the decode bandwidth optimum (≡ MMVQ's role).
+  * many tokens (prefill): run ALL experts as one big batched einsum on the
+    MXU and combine with the routing weights. When B*T >> E every expert's
+    weights are touched anyway, so streaming them once through dense matmuls
+    beats scatter/gather bookkeeping under XLA's static shapes.
+The switch is static (trace-time) on the token count, so each jitted program
+contains exactly one regime.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# tokens-per-program at or below which the gather path is used
+_GATHER_MAX_TOKENS = 16
+
+
+def route(
+    router_logits: jax.Array,  # [N, n_expert] f32
+    n_expert_used: int,
+    gating: str = "softmax",  # softmax | sigmoid
+    norm_weights: bool = False,
+    scale: float = 1.0,
+) -> tuple[jax.Array, jax.Array]:
+    """Top-k expert routing (≡ fused topk-moe.cu: softmax → top-k → renorm).
+
+    Returns (weights [N, k] f32, idx [N, k] int32).
+    """
+    if gating == "sigmoid":
+        probs = jax.nn.sigmoid(router_logits)
+    else:
+        probs = jax.nn.softmax(router_logits, axis=-1)
+    weights, idx = jax.lax.top_k(probs, n_expert_used)
+    if norm_weights:
+        weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    if scale != 1.0:
+        weights = weights * scale
+    return weights, idx.astype(jnp.int32)
+
+
+def moe_ffn(
+    x: jax.Array,  # [N, n_embd]
+    weights: jax.Array,  # [N, k] routing weights
+    idx: jax.Array,  # [N, k] expert ids
+    w_gate: jax.Array,  # [E, n_embd, n_ff]
+    w_up: jax.Array,  # [E, n_embd, n_ff]
+    w_down: jax.Array,  # [E, n_ff, n_embd]
+) -> jax.Array:
+    """SwiGLU expert FFN, combining the k routed experts per token."""
+    n_tokens = x.shape[0]
+    if n_tokens <= _GATHER_MAX_TOKENS:
+        return _moe_gather(x, weights, idx, w_gate, w_up, w_down)
+    return _moe_dense(x, weights, idx, w_gate, w_up, w_down)
+
+
+def _swiglu(gate: jax.Array, up: jax.Array) -> jax.Array:
+    return (jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype)) * up
+
+
+def _moe_gather(x, weights, idx, w_gate, w_up, w_down):
+    """Decode regime: gather k experts' weights per token."""
+    # [N, k, n_embd, n_ff] weight gathers ride XLA's dynamic-gather; with
+    # N*k small this is k expert-reads from HBM
+    wg = w_gate[idx]  # [N, k, E_in, F]
+    wu = w_up[idx]
+    wd = w_down[idx]  # [N, k, F, E_in]
+    gate = jnp.einsum("ne,nkef->nkf", x, wg)
+    up = jnp.einsum("ne,nkef->nkf", x, wu)
+    act = _swiglu(gate, up)
+    out = jnp.einsum("nkf,nkfe->nke", act, wd)
+    return jnp.einsum("nke,nk->ne", out.astype(jnp.float32),
+                      weights.astype(jnp.float32)).astype(x.dtype)
+
+
+def _moe_dense(x, weights, idx, w_gate, w_up, w_down):
+    """Prefill regime: every expert computes every token on the MXU, then the
+    routing weights (zero for unselected experts) combine them."""
+    E = w_gate.shape[0]
+    gate = jnp.einsum("ne,xef->xnf", x, w_gate)  # [E, N, F]
+    up = jnp.einsum("ne,xef->xnf", x, w_up)
+    act = _swiglu(gate, up)
+    out = jnp.einsum("xnf,xfe->xne", act, w_down)  # [E, N, n_embd]
+    # dense per-(token, expert) weight matrix from the top-k selection
+    onehot = jax.nn.one_hot(idx, E, dtype=jnp.float32)  # [N, k, E]
+    dense_w = jnp.einsum("nkx,nk->nx", onehot, weights.astype(jnp.float32))
+    return jnp.einsum("xne,nx->ne", out.astype(jnp.float32),
+                      dense_w).astype(x.dtype)
