@@ -1,0 +1,196 @@
+"""Architecture correctness: gemma2/gemma3/gpt2 vs independent numpy
+references (≡ reference per-arch graph builders in src/models/)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tpullm.gguf import GGUFReader
+from tpullm.models.testing import make_tiny_gemma_gguf, make_tiny_gpt2_gguf
+from tpullm.runtime import Engine
+
+
+def _rms(x, w, eps):
+    return x / np.sqrt((x * x).mean(-1, keepdims=True) + eps) * w
+
+
+def _ln(x, w, b, eps):
+    mu = x.mean(-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(-1, keepdims=True)
+    return (x - mu) / np.sqrt(var + eps) * w + b
+
+
+def _rope_neox(x, pos, base):
+    T, H, D = x.shape
+    half = D // 2
+    inv = base ** (-np.arange(half) * 2.0 / D)
+    theta = pos[:, None] * inv
+    c, s = np.cos(theta), np.sin(theta)
+    x0, x1 = x[..., :half], x[..., half:]
+    out = x.copy()
+    out[..., :half] = x0 * c[:, None, :] - x1 * s[:, None, :]
+    out[..., half:] = x0 * s[:, None, :] + x1 * c[:, None, :]
+    return out
+
+
+def _gelu_tanh(x):
+    return 0.5 * x * (1 + np.tanh(np.sqrt(2 / np.pi) * (x + 0.044715 * x**3)))
+
+
+def _mha(q, k, v, n_head, n_head_kv, scale, window=0, softcap=0.0):
+    T, _, hd = q.shape
+    g = n_head // n_head_kv
+    out = np.zeros((T, n_head, v.shape[-1]))
+    for hh in range(n_head):
+        kk, vv = k[:, hh // g], v[:, hh // g]
+        scores = q[:, hh] @ kk.T * scale
+        if softcap:
+            scores = np.tanh(scores / softcap) * softcap
+        mask = np.triu(np.full((T, T), -np.inf), k=1)
+        if window > 0:
+            qpos = np.arange(T)[:, None]
+            kpos = np.arange(T)[None, :]
+            mask = np.where(kpos <= qpos - window, -np.inf, mask)
+        scores = scores + mask
+        e = np.exp(scores - scores.max(-1, keepdims=True))
+        out[:, hh] = (e / e.sum(-1, keepdims=True)) @ vv
+    return out
+
+
+def np_gemma_forward(reader: GGUFReader, tokens):
+    md = reader.metadata
+    arch = md["general.architecture"]
+    n_layer = md[f"{arch}.block_count"]
+    n_head = md[f"{arch}.attention.head_count"]
+    n_head_kv = md[f"{arch}.attention.head_count_kv"]
+    n_embd = md[f"{arch}.embedding_length"]
+    eps = md[f"{arch}.attention.layer_norm_rms_epsilon"]
+    base = md[f"{arch}.rope.freq_base"]
+    base_swa = md.get(f"{arch}.rope.freq_base_swa", base)
+    window = md[f"{arch}.attention.sliding_window"]
+    pattern = 6 if arch == "gemma3" else 2
+    cap_attn = md.get(f"{arch}.attn_logit_softcapping", 0.0)
+    cap_final = md.get(f"{arch}.final_logit_softcapping", 0.0)
+    hd = n_embd // n_head
+
+    def t(name):
+        return reader.tensors[name].to_numpy().astype(np.float64)
+
+    def has(name):
+        return name in reader.tensors
+
+    T = len(tokens)
+    pos = np.arange(T)
+    x = t("token_embd.weight")[tokens] * np.sqrt(n_embd)
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        swa = (i + 1) % pattern != 0
+        b = base_swa if swa else base
+        h = _rms(x, t(p + "attn_norm.weight"), eps)
+        q = (h @ t(p + "attn_q.weight").T).reshape(T, n_head, hd)
+        k = (h @ t(p + "attn_k.weight").T).reshape(T, n_head_kv, hd)
+        v = (h @ t(p + "attn_v.weight").T).reshape(T, n_head_kv, hd)
+        if has(p + "attn_q_norm.weight"):
+            q = _rms(q, t(p + "attn_q_norm.weight"), eps)
+            k = _rms(k, t(p + "attn_k_norm.weight"), eps)
+        q, k = _rope_neox(q, pos, b), _rope_neox(k, pos, b)
+        out = _mha(q, k, v, n_head, n_head_kv, 1 / np.sqrt(hd),
+                   window=window if swa else 0, softcap=cap_attn)
+        attn = out.reshape(T, n_embd) @ t(p + "attn_output.weight").T
+        attn = _rms(attn, t(p + "post_attention_norm.weight"), eps)
+        x = x + attn
+        h = _rms(x, t(p + "ffn_norm.weight"), eps)
+        gate = h @ t(p + "ffn_gate.weight").T
+        up = h @ t(p + "ffn_up.weight").T
+        ffn = (_gelu_tanh(gate) * up) @ t(p + "ffn_down.weight").T
+        ffn = _rms(ffn, t(p + "post_ffw_norm.weight"), eps)
+        x = x + ffn
+    x = _rms(x, t("output_norm.weight"), eps)
+    logits = x @ t("token_embd.weight").T
+    if cap_final:
+        logits = np.tanh(logits / cap_final) * cap_final
+    return logits
+
+
+def np_gpt2_forward(reader: GGUFReader, tokens):
+    md = reader.metadata
+    n_layer = md["gpt2.block_count"]
+    n_head = md["gpt2.attention.head_count"]
+    n_embd = md["gpt2.embedding_length"]
+    eps = md["gpt2.attention.layer_norm_epsilon"]
+    hd = n_embd // n_head
+
+    def t(name):
+        return reader.tensors[name].to_numpy().astype(np.float64)
+
+    T = len(tokens)
+    x = t("token_embd.weight")[tokens] + t("position_embd.weight")[:T]
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        h = _ln(x, t(p + "attn_norm.weight"), t(p + "attn_norm.bias"), eps)
+        qkv = h @ t(p + "attn_qkv.weight").T + t(p + "attn_qkv.bias")
+        q = qkv[:, :n_embd].reshape(T, n_head, hd)
+        k = qkv[:, n_embd:2 * n_embd].reshape(T, n_head, hd)
+        v = qkv[:, 2 * n_embd:].reshape(T, n_head, hd)
+        out = _mha(q, k, v, n_head, n_head, 1 / np.sqrt(hd))
+        x = x + out.reshape(T, n_embd) @ t(p + "attn_output.weight").T + t(p + "attn_output.bias")
+        h = _ln(x, t(p + "ffn_norm.weight"), t(p + "ffn_norm.bias"), eps)
+        up = h @ t(p + "ffn_up.weight").T + t(p + "ffn_up.bias")
+        act = _gelu_tanh(up)
+        x = x + act @ t(p + "ffn_down.weight").T + t(p + "ffn_down.bias")
+    x = _ln(x, t("output_norm.weight"), t("output_norm.bias"), eps)
+    return x @ t("token_embd.weight").T
+
+
+@pytest.mark.parametrize("arch", ["gemma2", "gemma3"])
+def test_gemma_forward_matches_numpy(tmp_path, arch):
+    path = make_tiny_gemma_gguf(tmp_path / f"{arch}.gguf", arch=arch,
+                                n_layer=3, sliding_window=8)
+    eng = Engine(path, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    toks = eng.tokenizer.tokenize("the quick brown fox jumps over", add_special=True)
+    got = eng.prefill_all_logits(toks)
+    ref = np_gemma_forward(eng.reader, np.asarray(toks))
+    np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
+
+
+def test_gemma3_swa_pattern():
+    from tpullm.models.hparams import HParams, RopeParams
+
+    hp = HParams(arch="gemma3", n_vocab=1, n_ctx_train=1, n_embd=1, n_layer=6,
+                 n_head=1, n_head_kv=1, n_ff=1, head_dim=1, head_dim_v=1,
+                 rms_eps=1e-5, rope=RopeParams(), sliding_window=16,
+                 swa_pattern=6)
+    assert [hp.is_swa(i) for i in range(6)] == [True] * 5 + [False]
+
+
+def test_gemma_decode_matches_prefill(tmp_path):
+    path = make_tiny_gemma_gguf(tmp_path / "g.gguf", arch="gemma3", n_layer=3,
+                                sliding_window=8)
+    eng = Engine(path, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    toks = eng.tokenizer.tokenize("the quick brown", add_special=True)
+    all_logits = eng.prefill_all_logits(toks)
+    eng2 = Engine(path, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    eng2.prefill(toks[:-1])
+    last = eng2.decode_step(toks[-1])
+    np.testing.assert_allclose(last, all_logits[-1], rtol=2e-3, atol=2e-3)
+
+
+def test_gpt2_forward_matches_numpy(tmp_path):
+    path = make_tiny_gpt2_gguf(tmp_path / "gpt2.gguf")
+    eng = Engine(path, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    toks = eng.tokenizer.tokenize("hello world", add_special=False)
+    got = eng.prefill_all_logits(toks)
+    ref = np_gpt2_forward(eng.reader, np.asarray(toks))
+    np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
+
+
+def test_gpt2_generation_runs(tmp_path):
+    path = make_tiny_gpt2_gguf(tmp_path / "gpt2.gguf")
+    eng = Engine(path, mode="dense", max_seq=64)
+    out = eng.generate("hello", max_new_tokens=6)
+    assert isinstance(out, str)

@@ -154,7 +154,8 @@ def np_moe_forward(reader: GGUFReader, tokens: np.ndarray) -> np.ndarray:
 def test_moe_forward_matches_numpy(tmp_path, arch, shexp):
     path = make_tiny_moe_gguf(tmp_path / f"{arch}.gguf", arch=arch,
                               n_ff_shexp=shexp)
-    eng = Engine(path, mode="dense", dtype=jnp.float32, max_seq=64)
+    eng = Engine(path, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
     toks = eng.tokenizer.tokenize("the quick brown fox", add_special=True)
     got = eng.prefill_all_logits(toks)
     ref = np_moe_forward(eng.reader, np.asarray(toks))
@@ -171,11 +172,13 @@ def test_moe_generation_runs(tmp_path):
 def test_moe_decode_matches_prefill(tmp_path):
     """Decode path (gather regime) must agree with prefill logits."""
     path = make_tiny_moe_gguf(tmp_path / "m.gguf")
-    eng = Engine(path, mode="dense", dtype=jnp.float32, max_seq=64)
+    eng = Engine(path, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
     toks = eng.tokenizer.tokenize("the quick brown", add_special=True)
     all_logits = eng.prefill_all_logits(toks)
 
-    eng2 = Engine(path, mode="dense", dtype=jnp.float32, max_seq=64)
+    eng2 = Engine(path, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
     eng2.prefill(toks[:-1])
     last = eng2.decode_step(toks[-1])
     np.testing.assert_allclose(last, all_logits[-1], rtol=2e-3, atol=2e-3)

@@ -174,6 +174,8 @@ class Keys:
         EXPERT_WEIGHTS_SCALE = "{arch}.expert_weights_scale"
         EXPERT_WEIGHTS_NORM = "{arch}.expert_weights_norm"
         VOCAB_SIZE = "{arch}.vocab_size"
+        ATTN_LOGIT_SOFTCAPPING = "{arch}.attn_logit_softcapping"
+        FINAL_LOGIT_SOFTCAPPING = "{arch}.final_logit_softcapping"
 
     class Attention:
         HEAD_COUNT = "{arch}.attention.head_count"
@@ -183,12 +185,14 @@ class Keys:
         LAYERNORM_RMS_EPS = "{arch}.attention.layer_norm_rms_epsilon"
         LAYERNORM_EPS = "{arch}.attention.layer_norm_epsilon"
         SLIDING_WINDOW = "{arch}.attention.sliding_window"
+        SLIDING_WINDOW_PATTERN = "{arch}.attention.sliding_window_pattern"
         SCALE = "{arch}.attention.scale"
         CAUSAL = "{arch}.attention.causal"
 
     class Rope:
         DIMENSION_COUNT = "{arch}.rope.dimension_count"
         FREQ_BASE = "{arch}.rope.freq_base"
+        FREQ_BASE_SWA = "{arch}.rope.freq_base_swa"
         SCALING_TYPE = "{arch}.rope.scaling.type"
         SCALING_FACTOR = "{arch}.rope.scaling.factor"
         SCALING_ATTN_FACTOR = "{arch}.rope.scaling.attn_factor"

@@ -8,6 +8,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import numpy as np
+
 from ..gguf.constants import Keys
 from ..gguf.reader import GGUFReader
 
@@ -51,8 +53,19 @@ class HParams:
     expert_gating_func: str = "softmax"  # softmax | sigmoid
     # attention extras
     sliding_window: int = 0
+    # SWA layer interleave: is_swa(il) = (il + 1) % swa_pattern != 0
+    # (1 = every layer when sliding_window > 0; gemma2 = 2; gemma3 = 6)
+    swa_pattern: int = 1
     attn_scale: float | None = None
     causal: bool = True
+    # gemma-family extras
+    softcap_attn: float = 0.0
+    softcap_final: float = 0.0
+    rope_freq_base_swa: float = 0.0  # per-layer rope base for SWA layers
+    embd_scale: float = 1.0  # token-embedding multiplier (gemma: sqrt(n_embd))
+
+    def is_swa(self, il: int) -> bool:
+        return self.sliding_window > 0 and (il + 1) % self.swa_pattern != 0
 
     @property
     def n_gqa(self) -> int:
@@ -121,7 +134,10 @@ def hparams_from_gguf(r: GGUFReader) -> HParams:
         n_ff=int(k(Keys.LLM.FEED_FORWARD_LENGTH, 0)),
         head_dim=head_dim,
         head_dim_v=head_dim_v,
-        rms_eps=float(k(Keys.Attention.LAYERNORM_RMS_EPS, 1e-5)),
+        rms_eps=float(k(
+            Keys.Attention.LAYERNORM_RMS_EPS,
+            k(Keys.Attention.LAYERNORM_EPS, 1e-5),
+        )),
         rope=rope,
         n_expert=int(k(Keys.LLM.EXPERT_COUNT, 0)),
         n_expert_used=int(k(Keys.LLM.EXPERT_USED_COUNT, 0)),
@@ -129,6 +145,19 @@ def hparams_from_gguf(r: GGUFReader) -> HParams:
         expert_weights_scale=float(k(Keys.LLM.EXPERT_WEIGHTS_SCALE, 1.0)),
         expert_weights_norm=bool(k(Keys.LLM.EXPERT_WEIGHTS_NORM, False)),
         sliding_window=int(k(Keys.Attention.SLIDING_WINDOW, 0)),
+        swa_pattern=int(k(
+            Keys.Attention.SLIDING_WINDOW_PATTERN,
+            {"gemma2": 2, "gemma3": 6}.get(arch, 1),
+        )),
         attn_scale=(float(k(Keys.Attention.SCALE)) if k(Keys.Attention.SCALE) is not None else None),
         causal=bool(k(Keys.Attention.CAUSAL, True)),
+        softcap_attn=float(k(Keys.LLM.ATTN_LOGIT_SOFTCAPPING, 0.0)),
+        softcap_final=float(k(Keys.LLM.FINAL_LOGIT_SOFTCAPPING, 0.0)),
+        rope_freq_base_swa=float(k(
+            Keys.Rope.FREQ_BASE_SWA,
+            10000.0 if arch in ("gemma3", "gemma3n") else 0.0,
+        )),
+        embd_scale=(
+            float(np.sqrt(n_embd)) if arch.startswith("gemma") else 1.0
+        ),
     )

@@ -72,6 +72,15 @@ def _ensure_builtin():
         qwen_moe.forward,
         aliases=("qwen2moe",),
     )
+    from . import gemma, gpt2
+
+    register_arch(
+        "gemma3",
+        gemma.build_params,
+        gemma.forward,
+        aliases=("gemma2",),
+    )
+    register_arch("gpt2", gpt2.build_params, gpt2.forward)
 
 
 def load_hparams(r: GGUFReader) -> HParams:

@@ -108,6 +108,136 @@ def make_tiny_llama_gguf(
     return str(path)
 
 
+def make_tiny_gemma_gguf(
+    path,
+    *,
+    arch: str = "gemma3",
+    n_layer: int = 6,
+    n_embd: int = 64,
+    n_head: int = 4,
+    n_head_kv: int = 2,
+    n_ff: int = 128,
+    n_ctx: int = 256,
+    sliding_window: int = 16,
+    seed: int = 0,
+) -> str:
+    """Tiny gemma2/gemma3-shaped GGUF: pre+post norms, iSWA, qk-norm (g3),
+    softcaps (g2)."""
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = _byte_vocab(DEFAULT_WORDS)
+    n_vocab = len(tokens)
+    head_dim = n_embd // n_head
+
+    w = GGUFWriter(path, architecture=arch)
+    w.add_kv("general.name", "tpullm-tiny-gemma")
+    w.add_kv(f"{arch}.block_count", n_layer)
+    w.add_kv(f"{arch}.context_length", n_ctx)
+    w.add_kv(f"{arch}.embedding_length", n_embd)
+    w.add_kv(f"{arch}.feed_forward_length", n_ff)
+    w.add_kv(f"{arch}.attention.head_count", n_head)
+    w.add_kv(f"{arch}.attention.head_count_kv", n_head_kv)
+    w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_kv(f"{arch}.attention.sliding_window", sliding_window)
+    w.add_kv(f"{arch}.rope.dimension_count", head_dim)
+    if arch == "gemma3":
+        w.add_kv(f"{arch}.rope.freq_base", 1_000_000.0)
+        w.add_kv(f"{arch}.rope.freq_base_swa", 10000.0)
+    else:
+        w.add_kv(f"{arch}.rope.freq_base", 10000.0)
+        w.add_kv(f"{arch}.attn_logit_softcapping", 50.0)
+        w.add_kv(f"{arch}.final_logit_softcapping", 30.0)
+    w.add_kv("tokenizer.ggml.model", "llama")
+    w.add_kv("tokenizer.ggml.tokens", tokens)
+    w.add_kv("tokenizer.ggml.scores", np.asarray(scores, dtype=np.float32))
+    w.add_kv("tokenizer.ggml.token_type", np.asarray(types, dtype=np.int32))
+    w.add_kv("tokenizer.ggml.bos_token_id", 1)
+    w.add_kv("tokenizer.ggml.eos_token_id", 2)
+    w.add_kv("tokenizer.ggml.unknown_token_id", 0)
+    w.add_kv("tokenizer.ggml.add_bos_token", True)
+
+    def rand(shape, scale=0.05):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    w.add_tensor("token_embd.weight", rand((n_vocab, n_embd)))
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        w.add_tensor(p + "attn_norm.weight", np.ones(n_embd, dtype=np.float32))
+        w.add_tensor(p + "attn_q.weight", rand((n_head * head_dim, n_embd)))
+        w.add_tensor(p + "attn_k.weight", rand((n_head_kv * head_dim, n_embd)))
+        w.add_tensor(p + "attn_v.weight", rand((n_head_kv * head_dim, n_embd)))
+        w.add_tensor(p + "attn_output.weight", rand((n_embd, n_head * head_dim)))
+        w.add_tensor(p + "post_attention_norm.weight", np.ones(n_embd, dtype=np.float32))
+        if arch == "gemma3":
+            w.add_tensor(p + "attn_q_norm.weight", np.ones(head_dim, dtype=np.float32))
+            w.add_tensor(p + "attn_k_norm.weight", np.ones(head_dim, dtype=np.float32))
+        w.add_tensor(p + "ffn_norm.weight", np.ones(n_embd, dtype=np.float32))
+        w.add_tensor(p + "ffn_gate.weight", rand((n_ff, n_embd)))
+        w.add_tensor(p + "ffn_up.weight", rand((n_ff, n_embd)))
+        w.add_tensor(p + "ffn_down.weight", rand((n_embd, n_ff)))
+        w.add_tensor(p + "post_ffw_norm.weight", np.ones(n_embd, dtype=np.float32))
+    w.add_tensor("output_norm.weight", np.ones(n_embd, dtype=np.float32))
+    w.write()  # tied embeddings (gemma always ties)
+    return str(path)
+
+
+def make_tiny_gpt2_gguf(
+    path,
+    *,
+    n_layer: int = 2,
+    n_embd: int = 64,
+    n_head: int = 4,
+    n_ff: int = 128,
+    n_ctx: int = 128,
+    seed: int = 0,
+) -> str:
+    """Tiny gpt2-shaped GGUF: LayerNorm+bias, learned positions, fused qkv."""
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = _byte_vocab(DEFAULT_WORDS)
+    n_vocab = len(tokens)
+    head_dim = n_embd // n_head
+
+    w = GGUFWriter(path, architecture="gpt2")
+    w.add_kv("general.name", "tpullm-tiny-gpt2")
+    w.add_kv("gpt2.block_count", n_layer)
+    w.add_kv("gpt2.context_length", n_ctx)
+    w.add_kv("gpt2.embedding_length", n_embd)
+    w.add_kv("gpt2.feed_forward_length", n_ff)
+    w.add_kv("gpt2.attention.head_count", n_head)
+    w.add_kv("gpt2.attention.layer_norm_epsilon", 1e-5)
+    w.add_kv("tokenizer.ggml.model", "llama")
+    w.add_kv("tokenizer.ggml.tokens", tokens)
+    w.add_kv("tokenizer.ggml.scores", np.asarray(scores, dtype=np.float32))
+    w.add_kv("tokenizer.ggml.token_type", np.asarray(types, dtype=np.int32))
+    w.add_kv("tokenizer.ggml.bos_token_id", 1)
+    w.add_kv("tokenizer.ggml.eos_token_id", 2)
+    w.add_kv("tokenizer.ggml.unknown_token_id", 0)
+    w.add_kv("tokenizer.ggml.add_bos_token", False)
+
+    def rand(shape, scale=0.05):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    w.add_tensor("token_embd.weight", rand((n_vocab, n_embd)))
+    w.add_tensor("position_embd.weight", rand((n_ctx, n_embd)))
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        w.add_tensor(p + "attn_norm.weight", np.ones(n_embd, dtype=np.float32))
+        w.add_tensor(p + "attn_norm.bias", rand((n_embd,)))
+        w.add_tensor(p + "attn_qkv.weight", rand((3 * n_embd, n_embd)))
+        w.add_tensor(p + "attn_qkv.bias", rand((3 * n_embd,)))
+        w.add_tensor(p + "attn_output.weight", rand((n_embd, n_embd)))
+        w.add_tensor(p + "attn_output.bias", rand((n_embd,)))
+        w.add_tensor(p + "ffn_norm.weight", np.ones(n_embd, dtype=np.float32))
+        w.add_tensor(p + "ffn_norm.bias", rand((n_embd,)))
+        w.add_tensor(p + "ffn_up.weight", rand((n_ff, n_embd)))
+        w.add_tensor(p + "ffn_up.bias", rand((n_ff,)))
+        w.add_tensor(p + "ffn_down.weight", rand((n_embd, n_ff)))
+        w.add_tensor(p + "ffn_down.bias", rand((n_embd,)))
+    w.add_tensor("output_norm.weight", np.ones(n_embd, dtype=np.float32))
+    w.add_tensor("output_norm.bias", rand((n_embd,)))
+    w.write()  # tied output head
+    return str(path)
+
+
 def make_tiny_moe_gguf(
     path,
     *,
