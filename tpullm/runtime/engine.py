@@ -24,7 +24,7 @@ from ..runtime.kvcache import KVCache
 from ..runtime.sampling import Sampler, SamplerParams
 from .. import tokenizer as tokenizer_mod
 
-PREFILL_BUCKETS = (32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
+PREFILL_BUCKETS = (8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
 
 # jitted step functions shared across Engine instances of the same model
 # config, so a second context over the same weights reuses compiled programs

@@ -31,6 +31,12 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--repeat-last-n", type=int, default=64)
     ap.add_argument("--mode", choices=["auto", "quant", "dense"], default="auto",
                     help="weight path: packed+Pallas or dequantized bf16")
+    ap.add_argument("-md", "--model-draft", default=_env("model_draft"),
+                    help="draft model for speculative decoding")
+    ap.add_argument("--draft-max", type=int, default=int(_env("draft_max", 5)),
+                    help="max draft tokens per round")
+    ap.add_argument("--spec-ngram", action="store_true",
+                    help="model-free n-gram speculation")
     ap.add_argument("--chat", action="store_true", help="interactive chat")
     ap.add_argument("--no-display-prompt", action="store_true")
     ap.add_argument("--verbose", "-v", action="store_true")
@@ -62,9 +68,33 @@ def run_completion(args) -> int:
         sys.stdout.write(prompt)
         sys.stdout.flush()
     ids = eng.tokenizer.tokenize(prompt, add_special=True, parse_special=True)
-    for tok in eng.generate_tokens(ids, max_new_tokens=args.n_predict, sampler=sampler):
-        sys.stdout.write(eng.tokenizer.detokenize([tok]))
-        sys.stdout.flush()
+    if args.model_draft or args.spec_ngram:
+        from ..runtime import Engine
+        from ..runtime.speculative import (
+            DraftModelSpeculator, NgramSpeculator, generate_speculative,
+        )
+
+        if args.model_draft:
+            spec = DraftModelSpeculator(
+                Engine(args.model_draft, mode=args.mode, max_seq=args.ctx_size),
+                n_draft=args.draft_max,
+            )
+        else:
+            spec = NgramSpeculator(n_draft=args.draft_max)
+        out, stats = generate_speculative(
+            eng, spec, ids, max_new_tokens=args.n_predict, sampler=sampler
+        )
+        sys.stdout.write(eng.tokenizer.detokenize(out))
+        if args.verbose:
+            print(
+                f"\nspeculative: {stats.n_rounds} rounds, "
+                f"{stats.n_drafted} drafted, accept {stats.accept_rate:.0%}",
+                file=sys.stderr,
+            )
+    else:
+        for tok in eng.generate_tokens(ids, max_new_tokens=args.n_predict, sampler=sampler):
+            sys.stdout.write(eng.tokenizer.detokenize([tok]))
+            sys.stdout.flush()
     sys.stdout.write("\n")
     if args.verbose:
         print(eng.perf.report(), file=sys.stderr)
