@@ -111,6 +111,7 @@ class Engine:
         max_seq: int = 2048,
         batch: int = 1,
         kv_dtype=jnp.bfloat16,
+        lora: list | None = None,  # [(path, scale), ...]
     ):
         t0 = time.perf_counter()
         self.reader = GGUFReader(model_path)
@@ -118,6 +119,12 @@ class Engine:
         self.arch = get_arch(self.hp.arch)
         self.tokenizer = tokenizer_mod.from_gguf(self.reader)
         self.params = self.arch.build_params(self.reader, self.hp, mode=mode, dtype=dtype)
+        for lora_path, lora_scale in lora or []:
+            from ..models.lora import apply_lora, load_lora_gguf
+
+            self.params = apply_lora(
+                self.params, load_lora_gguf(lora_path), lora_scale, dtype=dtype
+            )
         self.max_seq = max_seq
         self.batch = batch
         self.kv_dtype = kv_dtype

@@ -15,6 +15,8 @@ def main(argv=None):
     ap.add_argument("-np", "--parallel", type=int, default=4, help="number of slots")
     ap.add_argument("--mode", choices=["auto", "quant", "dense"], default="auto")
     ap.add_argument("--prefill-chunk", type=int, default=512)
+    ap.add_argument("--slot-save-path", default=None,
+                    help="directory for /slots/:id?action=save|restore files")
     args = ap.parse_args(argv)
 
     from aiohttp import web
@@ -23,6 +25,7 @@ def main(argv=None):
 
     app, sched = make_app(
         args.model,
+        slot_save_path=args.slot_save_path,
         n_slots=args.parallel,
         max_seq=args.ctx_size,
         mode=args.mode,

@@ -82,9 +82,11 @@ async def _json_errors(request, handler):
 
 
 class Server:
-    def __init__(self, scheduler: Scheduler, model_name: str = "tpullm"):
+    def __init__(self, scheduler: Scheduler, model_name: str = "tpullm",
+                 slot_save_path: str | None = None):
         self.sched = scheduler
         self.model_name = model_name
+        self.slot_save_path = slot_save_path
         self.t_start = time.time()
         self.app = web.Application(middlewares=[_json_errors])
         r = self.app.router
@@ -93,6 +95,7 @@ class Server:
         r.add_get("/props", self.props)
         r.add_get("/metrics", self.metrics)
         r.add_get("/slots", self.slots)
+        r.add_post("/slots/{slot_id}", self.slot_action)
         r.add_post("/tokenize", self.tokenize)
         r.add_post("/detokenize", self.detokenize)
         r.add_post("/completion", self.completions)  # llama.cpp alias
@@ -142,6 +145,34 @@ class Server:
 
     async def slots(self, request):
         return web.json_response(self.sched.slots_info())
+
+    async def slot_action(self, request):
+        """POST /slots/:id?action=save|restore|erase (≡ server slot-save API;
+        requires --slot-save-path for save/restore)."""
+        import os
+
+        slot_id = int(request.match_info["slot_id"])
+        action = request.query.get("action", "")
+        if slot_id < 0 or slot_id >= self.sched.engine.n_slots:
+            return web.json_response({"error": {"message": "invalid slot"}}, status=400)
+        if action == "erase":
+            return web.json_response(self.sched.slot_erase(slot_id))
+        if action not in ("save", "restore"):
+            return web.json_response({"error": {"message": "unknown action"}}, status=400)
+        if not self.slot_save_path:
+            return web.json_response(
+                {"error": {"message": "server started without --slot-save-path"}},
+                status=400,
+            )
+        body = await request.json()
+        fname = os.path.basename(str(body.get("filename", f"slot{slot_id}.npz")))
+        path = os.path.join(self.slot_save_path, fname)
+        loop = asyncio.get_event_loop()
+        if action == "save":
+            out = await loop.run_in_executor(None, self.sched.slot_save, slot_id, path)
+        else:
+            out = await loop.run_in_executor(None, self.sched.slot_restore, slot_id, path)
+        return web.json_response(out)
 
     async def tokenize(self, request):
         body = await request.json()
@@ -268,11 +299,12 @@ class Server:
         return resp
 
 
-def make_app(model_path, **engine_kw) -> tuple[web.Application, Scheduler]:
+def make_app(model_path, slot_save_path: str | None = None,
+             **engine_kw) -> tuple[web.Application, Scheduler]:
     from ..runtime.batch_engine import BatchEngine
 
     engine = BatchEngine(model_path, **engine_kw)
     sched = Scheduler(engine)
     sched.start()
-    server = Server(sched)
+    server = Server(sched, slot_save_path=slot_save_path)
     return server.app, sched

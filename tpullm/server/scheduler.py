@@ -47,6 +47,7 @@ class _Slot:
     sampler: Sampler | None = None
     n_generated: int = 0
     text: str = ""
+    tokens: list = field(default_factory=list)  # prompt + generated ids
     pending_token: int | None = None
     t_start: float = 0.0
     t_first_token: float = 0.0
@@ -82,6 +83,31 @@ class Scheduler:
         self._wake.set()
         if self._thread:
             self._thread.join(timeout=10)
+
+    def slot_save(self, slot_id: int, path) -> dict:
+        """≡ SERVER_TASK_TYPE_SLOT_SAVE (server-task.h:24)."""
+        from ..runtime.state import save_slot_state
+
+        s = self.slots[slot_id]
+        save_slot_state(self.engine, slot_id, path, tokens=s.tokens)
+        return {"id_slot": slot_id, "n_saved": int(self.engine.n_past[slot_id])}
+
+    def slot_restore(self, slot_id: int, path) -> dict:
+        from ..runtime.state import load_slot_state
+
+        s = self.slots[slot_id]
+        if s.state != SlotState.IDLE:
+            raise ValueError(f"slot {slot_id} busy")
+        s.tokens = load_slot_state(self.engine, slot_id, path)
+        return {"id_slot": slot_id, "n_restored": int(self.engine.n_past[slot_id])}
+
+    def slot_erase(self, slot_id: int) -> dict:
+        s = self.slots[slot_id]
+        if s.state != SlotState.IDLE:
+            raise ValueError(f"slot {slot_id} busy")
+        self.engine.free_slot(slot_id)
+        s.tokens = []
+        return {"id_slot": slot_id, "n_erased": 1}
 
     def slots_info(self) -> list[dict]:
         return [
@@ -155,6 +181,7 @@ class Scheduler:
             slot.sampler = Sampler(req.sampling)
         slot.n_generated = 0
         slot.text = ""
+        slot.tokens = list(req.prompt_ids)
         slot.t_start = time.perf_counter()
         eng.free_slot(slot.index)
         self.n_prompt_tokens += n
@@ -176,6 +203,7 @@ class Scheduler:
             return
         piece = self.engine.tokenizer.detokenize([token])
         slot.text += piece
+        slot.tokens.append(token)
         slot.n_generated += 1
         self.n_tokens_generated += 1
         req.out.put(("token", token, piece))
