@@ -71,6 +71,7 @@ def forward(
     positions: jax.Array,
     cache: KVCache,
     cache_offset,
+    return_hidden: bool = False,
 ) -> tuple[jax.Array, KVCache]:
     B, T = tokens.shape
     x = params["tok_embd"][tokens] * jnp.asarray(hp.embd_scale, dtype=params["tok_embd"].dtype)
@@ -129,6 +130,8 @@ def forward(
         x = x + ffn
 
     x = rms_norm(x, params["output_norm"], hp.rms_eps)
+    if return_hidden:
+        return x.astype(jnp.float32), cache
     if params["output"] is not None:
         logits = params["output"](x)
     else:

@@ -68,6 +68,7 @@ def forward(
     positions: jax.Array,
     cache: KVCache,
     cache_offset,
+    return_hidden: bool = False,
 ) -> tuple[jax.Array, KVCache]:
     B, T = tokens.shape
     x = params["tok_embd"][tokens] + params["pos_embd"][positions]
@@ -113,6 +114,8 @@ def forward(
         x = x + down
 
     x = layer_norm(x, params["output_norm"], params["output_norm_b"], hp.rms_eps)
+    if return_hidden:
+        return x.astype(jnp.float32), cache
     if params["output"] is not None:
         logits = params["output"](x)
     else:

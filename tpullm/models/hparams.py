@@ -63,6 +63,9 @@ class HParams:
     softcap_final: float = 0.0
     rope_freq_base_swa: float = 0.0  # per-layer rope base for SWA layers
     embd_scale: float = 1.0  # token-embedding multiplier (gemma: sqrt(n_embd))
+    # default pooling for embeddings (llama_pooling_type):
+    # none | mean | cls | last | rank
+    pooling: str = "none"
 
     def is_swa(self, il: int) -> bool:
         return self.sliding_window > 0 and (il + 1) % self.swa_pattern != 0
@@ -150,7 +153,10 @@ def hparams_from_gguf(r: GGUFReader) -> HParams:
             {"gemma2": 2, "gemma3": 6}.get(arch, 1),
         )),
         attn_scale=(float(k(Keys.Attention.SCALE)) if k(Keys.Attention.SCALE) is not None else None),
-        causal=bool(k(Keys.Attention.CAUSAL, True)),
+        causal=bool(k(
+            Keys.Attention.CAUSAL,
+            arch not in ("bert", "nomic-bert", "jina-bert-v2"),
+        )),
         softcap_attn=float(k(Keys.LLM.ATTN_LOGIT_SOFTCAPPING, 0.0)),
         softcap_final=float(k(Keys.LLM.FINAL_LOGIT_SOFTCAPPING, 0.0)),
         rope_freq_base_swa=float(k(
@@ -159,5 +165,10 @@ def hparams_from_gguf(r: GGUFReader) -> HParams:
         )),
         embd_scale=(
             float(np.sqrt(n_embd)) if arch.startswith("gemma") else 1.0
+        ),
+        pooling={0: "none", 1: "mean", 2: "cls", 3: "last", 4: "rank"}.get(
+            int(k("{arch}.pooling_type",
+                  1 if arch in ("bert", "nomic-bert", "jina-bert-v2") else 0)),
+            "none",
         ),
     )

@@ -138,8 +138,11 @@ def forward(
     positions: jax.Array,  # [B, T] int32
     cache: KVCache,
     cache_offset,  # scalar int: write position in the cache
+    return_hidden: bool = False,  # trace-time switch: final-norm hidden states
 ) -> tuple[jax.Array, KVCache]:
-    """Returns (logits [B, T, n_vocab] f32, updated cache)."""
+    """Returns (logits [B, T, n_vocab] f32, updated cache); with
+    return_hidden, (hidden [B, T, E] f32, cache) instead (embeddings path,
+    ≡ llama_get_embeddings)."""
     B, T = tokens.shape
     x = params["tok_embd"][tokens]  # [B, T, E]
 
@@ -156,4 +159,6 @@ def forward(
         up = layer["w_up"](h)
         x = x + layer["w_down"](jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up)
 
+    if return_hidden:
+        return rms_norm(x, params["output_norm"], hp.rms_eps).astype(jnp.float32), cache
     return output_head(hp, params, x), cache

@@ -88,6 +88,7 @@ def forward(
     positions: jax.Array,
     cache: KVCache,
     cache_offset,
+    return_hidden: bool = False,
 ) -> tuple[jax.Array, KVCache]:
     B, T = tokens.shape
     x = params["tok_embd"][tokens]
@@ -132,4 +133,6 @@ def forward(
             ffn = ffn + (sh.astype(jnp.float32) * g).astype(ffn.dtype)
         x = x + ffn.reshape(B, T, -1)
 
+    if return_hidden:
+        return rms_norm(x, params["output_norm"], hp.rms_eps).astype(jnp.float32), cache
     return output_head(hp, params, x), cache

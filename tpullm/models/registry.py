@@ -81,6 +81,14 @@ def _ensure_builtin():
         aliases=("gemma2",),
     )
     register_arch("gpt2", gpt2.build_params, gpt2.forward)
+    from . import bert
+
+    register_arch(
+        "bert",
+        bert.build_params,
+        bert.forward,
+        aliases=("nomic-bert", "jina-bert-v2"),
+    )
 
 
 def load_hparams(r: GGUFReader) -> HParams:

@@ -108,6 +108,76 @@ def make_tiny_llama_gguf(
     return str(path)
 
 
+def make_tiny_bert_gguf(
+    path,
+    *,
+    n_layer: int = 2,
+    n_embd: int = 64,
+    n_head: int = 4,
+    n_ff: int = 128,
+    n_ctx: int = 128,
+    seed: int = 0,
+) -> str:
+    """Tiny BERT-shaped GGUF with a WPM vocab (embedding-model fixture)."""
+    rng = np.random.default_rng(seed)
+    tokens = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+    types = [TokenType.CONTROL] * 5
+    words = ["the", "quick", "brown", "fox", "hello", "world", "dog", "cat",
+             "a", "an", "and", "of"]
+    tokens += ["▁" + w for w in words]
+    types += [TokenType.NORMAL] * len(words)
+    for ch in "abcdefghijklmnopqrstuvwxyz":
+        tokens += ["▁" + ch, ch]
+        types += [TokenType.NORMAL, TokenType.NORMAL]
+    n_vocab = len(tokens)
+    head_dim = n_embd // n_head
+
+    w = GGUFWriter(path, architecture="bert")
+    w.add_kv("general.name", "tpullm-tiny-bert")
+    w.add_kv("bert.block_count", n_layer)
+    w.add_kv("bert.context_length", n_ctx)
+    w.add_kv("bert.embedding_length", n_embd)
+    w.add_kv("bert.feed_forward_length", n_ff)
+    w.add_kv("bert.attention.head_count", n_head)
+    w.add_kv("bert.attention.layer_norm_epsilon", 1e-12)
+    w.add_kv("bert.attention.causal", False)
+    w.add_kv("bert.pooling_type", 1)  # mean
+    w.add_kv("tokenizer.ggml.model", "bert")
+    w.add_kv("tokenizer.ggml.tokens", tokens)
+    w.add_kv("tokenizer.ggml.token_type",
+             np.asarray(types, dtype=np.int32))
+    w.add_kv("tokenizer.ggml.cls_token_id", 2)
+    w.add_kv("tokenizer.ggml.seperator_token_id", 3)
+    w.add_kv("tokenizer.ggml.unknown_token_id", 1)
+    w.add_kv("tokenizer.ggml.padding_token_id", 0)
+
+    def rand(shape, scale=0.05):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    w.add_tensor("token_embd.weight", rand((n_vocab, n_embd)))
+    w.add_tensor("position_embd.weight", rand((n_ctx, n_embd)))
+    w.add_tensor("token_types.weight", rand((2, n_embd)))
+    w.add_tensor("token_embd_norm.weight", np.ones(n_embd, dtype=np.float32))
+    w.add_tensor("token_embd_norm.bias", rand((n_embd,)))
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        for nm in ("attn_q", "attn_k", "attn_v"):
+            w.add_tensor(p + nm + ".weight", rand((n_embd, n_embd)))
+            w.add_tensor(p + nm + ".bias", rand((n_embd,)))
+        w.add_tensor(p + "attn_output.weight", rand((n_embd, n_embd)))
+        w.add_tensor(p + "attn_output.bias", rand((n_embd,)))
+        w.add_tensor(p + "attn_output_norm.weight", np.ones(n_embd, dtype=np.float32))
+        w.add_tensor(p + "attn_output_norm.bias", rand((n_embd,)))
+        w.add_tensor(p + "ffn_up.weight", rand((n_ff, n_embd)))
+        w.add_tensor(p + "ffn_up.bias", rand((n_ff,)))
+        w.add_tensor(p + "ffn_down.weight", rand((n_embd, n_ff)))
+        w.add_tensor(p + "ffn_down.bias", rand((n_embd,)))
+        w.add_tensor(p + "layer_output_norm.weight", np.ones(n_embd, dtype=np.float32))
+        w.add_tensor(p + "layer_output_norm.bias", rand((n_embd,)))
+    w.write()
+    return str(path)
+
+
 def make_tiny_gemma_gguf(
     path,
     *,

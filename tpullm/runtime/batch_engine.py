@@ -102,6 +102,51 @@ class BatchEngine:
         self.n_past[slot] = start + n
         return np.asarray(logits[slot, n - 1])
 
+    def embed_tokens(self, slot: int, tokens: list[int],
+                     pooling: str | None = None,
+                     normalize: bool = True) -> np.ndarray:
+        """Pooled embedding computed in an idle slot (slot state is consumed
+        and freed). ≡ server embeddings endpoint over a borrowed slot."""
+        pooling = pooling or (
+            self.hp.pooling if self.hp.pooling != "none" else "mean"
+        )
+        fwd, hp = self.arch.forward, self.hp
+        if not hasattr(self, "_hidden_step"):
+            @functools.partial(jax.jit, donate_argnames=("cache",))
+            def _hidden(params, toks, positions, cache, offsets):
+                return fwd(hp, params, toks, positions, cache, offsets,
+                           return_hidden=True)
+
+            self._hidden_step = _hidden
+
+        n = len(tokens)
+        bucket = self._bucket(n)
+        toks = np.zeros((self.n_slots, bucket), dtype=np.int32)
+        toks[slot, :n] = tokens
+        pos = np.broadcast_to(np.arange(bucket, dtype=np.int32),
+                              (self.n_slots, bucket)).copy()
+        offsets = np.full(self.n_slots, -1, dtype=np.int32)
+        # causal models need a real cache write (throwaway, slot freed after);
+        # encoders carry the valid-token count in the offset slot instead
+        offsets[slot] = 0 if hp.causal else n
+        hidden, self.cache = self._hidden_step(
+            self.params, jnp.asarray(toks), jnp.asarray(pos), self.cache,
+            jnp.asarray(offsets),
+        )
+        self.n_past[slot] = 0
+        h = np.asarray(hidden[slot, :n])
+        if pooling == "mean":
+            v = h.mean(axis=0)
+        elif pooling == "cls":
+            v = h[0]
+        elif pooling == "last":
+            v = h[-1]
+        else:
+            raise ValueError(f"unsupported pooling {pooling!r}")
+        if normalize:
+            v = v / max(np.linalg.norm(v), 1e-12)
+        return v
+
     def decode_batch(self, tokens: dict[int, int]) -> dict[int, np.ndarray]:
         """One decode step for the given {slot: token}; returns {slot: logits}."""
         t0 = time.perf_counter()

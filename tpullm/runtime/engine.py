@@ -293,6 +293,59 @@ class Engine:
         self.perf.t_decode_s += time.perf_counter() - t0
         return out
 
+    # -- embeddings --------------------------------------------------------------
+
+    def embed_tokens(self, tokens: list[int], pooling: str | None = None,
+                     normalize: bool = True) -> np.ndarray:
+        """Pooled embedding vector [n_embd] (≡ llama_get_embeddings_seq with
+        cparams.pooling_type). pooling: mean | cls | last (default from the
+        model's pooling_type metadata, mean if unset)."""
+        pooling = pooling or (
+            self.hp.pooling if self.hp.pooling != "none" else "mean"
+        )
+        key = (self.arch.forward, repr(self.hp), "hidden")
+        step = _STEP_CACHE.get(key)
+        if step is None:
+            fwd, hp = self.arch.forward, self.hp
+
+            @functools.partial(jax.jit, donate_argnames=("cache",))
+            def step(params, toks, positions, cache, offset):
+                return fwd(hp, params, toks, positions, cache, offset,
+                           return_hidden=True)
+
+            _STEP_CACHE[key] = step
+
+        n = len(tokens)
+        bucket = self._bucket(n)
+        toks = np.zeros((self.batch, bucket), dtype=np.int32)
+        toks[0, :n] = tokens
+        pos = np.broadcast_to(np.arange(bucket, dtype=np.int32), (self.batch, bucket))
+        # non-causal encoders take the valid-token count through the offset
+        # slot (they have no cache); causal models run a throwaway prefill at 0
+        offset = jnp.int32(n) if not self.hp.causal else jnp.int32(0)
+        hidden, self.cache = step(
+            self.params, jnp.asarray(toks), jnp.asarray(pos), self.cache,
+            offset,
+        )
+        self.n_past = 0  # embedding pass does not advance generation state
+        h = np.asarray(hidden[0, :n])  # [n, E]
+        if pooling == "mean":
+            v = h.mean(axis=0)
+        elif pooling == "cls":
+            v = h[0]
+        elif pooling == "last":
+            v = h[-1]
+        else:
+            raise ValueError(f"unsupported pooling {pooling!r}")
+        if normalize:
+            v = v / max(np.linalg.norm(v), 1e-12)
+        return v
+
+    def embed(self, text: str, pooling: str | None = None,
+              normalize: bool = True) -> np.ndarray:
+        ids = self.tokenizer.tokenize(text, add_special=True, parse_special=True)
+        return self.embed_tokens(ids, pooling=pooling, normalize=normalize)
+
     def generate(
         self,
         prompt: str,

@@ -98,6 +98,10 @@ class Server:
         r.add_post("/slots/{slot_id}", self.slot_action)
         r.add_post("/tokenize", self.tokenize)
         r.add_post("/detokenize", self.detokenize)
+        r.add_post("/embedding", self.embeddings)  # llama.cpp alias
+        r.add_post("/v1/embeddings", self.embeddings)
+        r.add_post("/rerank", self.rerank)  # llama.cpp alias
+        r.add_post("/v1/rerank", self.rerank)
         r.add_post("/completion", self.completions)  # llama.cpp alias
         r.add_post("/v1/completions", self.completions)
         r.add_post("/v1/chat/completions", self.chat_completions)
@@ -186,6 +190,57 @@ class Server:
         body = await request.json()
         text = self.sched.engine.tokenizer.detokenize(body.get("tokens", []))
         return web.json_response({"content": text})
+
+    # -- embeddings ------------------------------------------------------------------
+
+    async def embeddings(self, request):
+        """OpenAI-compatible /v1/embeddings: input str or [str]."""
+        body = await request.json()
+        inputs = body.get("input", body.get("content", ""))
+        if isinstance(inputs, str):
+            inputs = [inputs]
+        tok = self.sched.engine.tokenizer
+        loop = asyncio.get_event_loop()
+        data = []
+        for i, text in enumerate(inputs):
+            ids = tok.tokenize(str(text), add_special=True, parse_special=True)
+            vec = await loop.run_in_executor(None, self.sched.embed, ids)
+            data.append({"object": "embedding", "index": i,
+                         "embedding": [float(x) for x in vec]})
+        return web.json_response({
+            "object": "list", "model": self.model_name, "data": data,
+            "usage": {"prompt_tokens": sum(len(d["embedding"]) for d in data),
+                      "total_tokens": 0},
+        })
+
+    async def rerank(self, request):
+        """Rerank via embedding cosine similarity. NOTE: the reference uses
+        rank-head (pooling=rank) models; this endpoint serves the same API
+        shape with bi-encoder scoring until a rank head lands."""
+        import numpy as _np
+
+        body = await request.json()
+        query = str(body.get("query", ""))
+        docs = [str(d) for d in body.get("documents", [])]
+        top_n = int(body.get("top_n", len(docs)))
+        tok = self.sched.engine.tokenizer
+        loop = asyncio.get_event_loop()
+
+        async def emb(text):
+            ids = tok.tokenize(text, add_special=True, parse_special=True)
+            return await loop.run_in_executor(None, self.sched.embed, ids)
+
+        qv = await emb(query)
+        results = []
+        for i, d in enumerate(docs):
+            dv = await emb(d)
+            results.append({"index": i,
+                            "relevance_score": float(_np.dot(qv, dv))})
+        results.sort(key=lambda r: -r["relevance_score"])
+        return web.json_response({
+            "model": self.model_name, "object": "list",
+            "results": results[:top_n],
+        })
 
     # -- generation ------------------------------------------------------------------
 

@@ -58,6 +58,7 @@ class Scheduler:
         self.engine = engine
         self.slots = [_Slot(i) for i in range(engine.n_slots)]
         self.pending: queue.Queue[GenRequest] = queue.Queue()
+        self._embed_jobs: queue.Queue = queue.Queue()
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
         self._wake = threading.Event()
@@ -73,6 +74,18 @@ class Scheduler:
         self.pending.put(req)
         self._wake.set()
         return req
+
+    def embed(self, tokens: list[int], pooling: str | None = None,
+              timeout: float = 300.0) -> np.ndarray:
+        """Blocking pooled-embedding call, executed on the scheduler thread
+        in a free slot (≡ server embeddings endpoint over a borrowed slot)."""
+        job = {"tokens": tokens, "pooling": pooling, "out": queue.Queue()}
+        self._embed_jobs.put(job)
+        self._wake.set()
+        res = job["out"].get(timeout=timeout)
+        if isinstance(res, Exception):
+            raise res
+        return res
 
     def start(self):
         self._thread = threading.Thread(target=self._run, daemon=True, name="tpullm-sched")
@@ -135,6 +148,23 @@ class Scheduler:
 
     def _iteration(self) -> bool:
         did = False
+        # embedding jobs run in any idle slot, one per iteration
+        if not self._embed_jobs.empty():
+            free_e = self._free_slots()
+            if free_e:
+                try:
+                    job = self._embed_jobs.get_nowait()
+                except queue.Empty:
+                    job = None
+                if job is not None:
+                    try:
+                        v = self.engine.embed_tokens(
+                            free_e[0].index, job["tokens"], job["pooling"]
+                        )
+                        job["out"].put(v)
+                    except Exception as e:  # surface to the caller
+                        job["out"].put(e)
+                    did = True
         # admit one pending request into a free slot (prompt phase)
         free = self._free_slots()
         if free and not self.pending.empty():
