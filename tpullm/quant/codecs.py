@@ -791,6 +791,11 @@ def dequantize(data: np.ndarray, gtype: GGMLType, n_elements: int) -> np.ndarray
         return np.ascontiguousarray(data).view("<f2")[:n_elements].astype(F32)
     if gtype == GGMLType.BF16:
         return bf16_bits_to_f32(np.ascontiguousarray(data).view("<u2")[:n_elements])
+    from . import native
+
+    nat = native.dequantize(data, gtype, n_elements)
+    if nat is not None:
+        return nat[:n_elements]
     fn = _DEQUANT.get(gtype)
     if fn is None:
         raise NotImplementedError(f"dequantization of {gtype.name} not implemented yet")
@@ -814,4 +819,9 @@ def quantize(values: np.ndarray, gtype: GGMLType) -> np.ndarray:
     tt = TYPE_TRAITS[gtype]
     if values.size % tt.block_size:
         raise ValueError(f"{values.size} elements not a multiple of {tt.block_size}")
+    from . import native
+
+    nat = native.quantize(values, gtype)
+    if nat is not None:
+        return nat
     return fn(values)
