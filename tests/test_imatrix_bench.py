@@ -1,0 +1,105 @@
+"""imatrix collection/weighted-quantization + bench tool tests
+(≡ reference tools/imatrix + tools/llama-bench smoke coverage)."""
+
+import numpy as np
+import pytest
+
+from tpullm.models.testing import make_tiny_llama_gguf
+
+
+@pytest.fixture(scope="module")
+def model(tmp_path_factory):
+    return make_tiny_llama_gguf(
+        tmp_path_factory.mktemp("im") / "m.gguf",
+        n_embd=64, n_head=4, n_head_kv=2, n_ff=128, n_layer=2,
+    )
+
+
+def test_imatrix_collect_and_roundtrip(model, tmp_path):
+    from tpullm.tools.imatrix import collect_imatrix, load_imatrix, save_imatrix
+
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(3, 200, size=96).tolist()
+    stats = collect_imatrix(model, tokens, chunk_size=32, verbose=False)
+    assert stats["chunk_count"] == 3
+    assert "blk.0.ffn_up.weight" in stats["sums"]
+    assert stats["sums"]["blk.0.ffn_up.weight"].shape == (64,)
+    assert (stats["sums"]["blk.0.ffn_up.weight"] >= 0).all()
+
+    f = tmp_path / "im.gguf"
+    save_imatrix(f, stats, dataset="synthetic")
+    loaded = load_imatrix(f)
+    np.testing.assert_allclose(
+        loaded["blk.0.ffn_up.weight"],
+        stats["sums"]["blk.0.ffn_up.weight"] / stats["counts"]["blk.0.ffn_up.weight"],
+        rtol=1e-5,
+    )
+
+
+def test_imatrix_weighted_quantization_improves_weighted_error(tmp_path):
+    """Channels marked important by the imatrix must quantize better."""
+    from tpullm.gguf.constants import GGMLType, TYPE_TRAITS
+    from tpullm.quant import codecs
+
+    rng = np.random.default_rng(1)
+    x = (rng.standard_normal((8, 256)) * 0.2).astype(np.float32)
+    qw = np.ones((8, 256), dtype=np.float32)
+    qw[:, :64] = 100.0  # first channels matter most
+
+    plain = codecs.quantize(x.reshape(-1), GGMLType.Q4_K)
+    weighted = codecs.quantize(x.reshape(-1), GGMLType.Q4_K, qw=qw.reshape(-1))
+    assert not np.array_equal(plain, weighted)
+
+    tt = TYPE_TRAITS[GGMLType.Q4_K]
+
+    def werr(packed):
+        y = codecs.dequantize(packed, GGMLType.Q4_K, x.size).reshape(8, 256)
+        return float((qw * (y - x) ** 2).sum())
+
+    assert werr(weighted) <= werr(plain)
+
+
+def test_quantize_model_with_imatrix(tmp_path):
+    from tpullm.tools.imatrix import collect_imatrix, save_imatrix, load_imatrix
+    from tpullm.tools.quantize import quantize_model
+    from tpullm.runtime import Engine
+
+    # rows must divide the 256-element superblock for K-quants to apply
+    model = make_tiny_llama_gguf(tmp_path / "m256.gguf", n_embd=256, n_head=4,
+                                 n_head_kv=2, n_ff=256, n_layer=2)
+    tokens = np.random.default_rng(0).integers(3, 200, size=64).tolist()
+    stats = collect_imatrix(model, tokens, chunk_size=32, verbose=False)
+    imf = tmp_path / "im.gguf"
+    save_imatrix(imf, stats)
+
+    dst = tmp_path / "q.gguf"
+    out = quantize_model(model, str(dst), "Q4_K_M", verbose=False,
+                         imatrix=load_imatrix(imf))
+    assert out["out_bytes"] < out["in_bytes"]
+    eng = Engine(str(dst), mode="quant", max_seq=64)
+    assert isinstance(eng.generate("the quick", max_new_tokens=4), str)
+
+
+def test_bench_tool_runs(model, capsys):
+    from tpullm.tools.bench import main
+
+    rc = main(["-m", str(model), "-p", "16", "-n", "4", "-r", "1",
+               "-c", "64", "--mode", "dense", "-o", "json"])
+    assert rc == 0
+    import json
+
+    rows = json.loads(capsys.readouterr().out)
+    assert rows[0]["pp_ts"] > 0 and rows[0]["tg_ts"] > 0
+
+
+def test_batched_bench_tool_runs(model, capsys):
+    from tpullm.tools.batched_bench import main
+
+    rc = main(["-m", str(model), "-npp", "8", "-ntg", "4", "-npl", "1,2",
+               "-c", "64", "--mode", "dense", "-o", "json"])
+    assert rc == 0
+    import json
+
+    rows = json.loads(capsys.readouterr().out)
+    assert len(rows) == 2
+    assert all(r["tg_ts"] > 0 for r in rows)

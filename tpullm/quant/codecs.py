@@ -583,13 +583,21 @@ def _pack_scale_min_k4(ls: np.ndarray, lm: np.ndarray) -> np.ndarray:
     return out
 
 
-def quant_q4_k(x: np.ndarray) -> np.ndarray:
+def quant_q4_k(x: np.ndarray, qw: np.ndarray | None = None) -> np.ndarray:
     x = x.reshape(-1, QK_K).astype(F32)
     n = x.shape[0]
     groups = x.reshape(n, 8, 32)
     sum_x2 = (groups * groups).sum(axis=2)  # (n, 8)
-    av_x = np.sqrt(sum_x2 / 32.0)
-    weights = av_x[:, :, None] + np.abs(groups)
+    if qw is not None:
+        # imatrix weighting (reference llama-quant quant_weights path):
+        # w[j] = qw[j] * sqrt(sigma2 + x[j]^2), sigma2 = 2*sum(x^2)/QK_K
+        sigma2 = 2.0 * sum_x2.sum(axis=1) / QK_K  # (n,)
+        weights = qw.reshape(n, 8, 32).astype(F32) * np.sqrt(
+            sigma2[:, None, None] + groups * groups
+        )
+    else:
+        av_x = np.sqrt(sum_x2 / 32.0)
+        weights = av_x[:, :, None] + np.abs(groups)
     gflat = groups.reshape(n * 8, 32)
     wflat = weights.reshape(n * 8, 32)
     scales, mins, _ = _make_qkx2_quants(gflat, wflat, nmax=15)
@@ -630,13 +638,19 @@ def quant_q4_k(x: np.ndarray) -> np.ndarray:
     return out.reshape(-1)
 
 
-def quant_q5_k(x: np.ndarray) -> np.ndarray:
+def quant_q5_k(x: np.ndarray, qw: np.ndarray | None = None) -> np.ndarray:
     x = x.reshape(-1, QK_K).astype(F32)
     n = x.shape[0]
     groups = x.reshape(n, 8, 32)
     sum_x2 = (groups * groups).sum(axis=2)
-    av_x = np.sqrt(sum_x2 / 32.0)
-    weights = av_x[:, :, None] + np.abs(groups)
+    if qw is not None:
+        sigma2 = 2.0 * sum_x2.sum(axis=1) / QK_K
+        weights = qw.reshape(n, 8, 32).astype(F32) * np.sqrt(
+            sigma2[:, None, None] + groups * groups
+        )
+    else:
+        av_x = np.sqrt(sum_x2 / 32.0)
+        weights = av_x[:, :, None] + np.abs(groups)
     scales, mins, _ = _make_qkx2_quants(
         groups.reshape(n * 8, 32), weights.reshape(n * 8, 32), nmax=31
     )
@@ -679,11 +693,18 @@ def quant_q5_k(x: np.ndarray) -> np.ndarray:
     return out.reshape(-1)
 
 
-def quant_q6_k(x: np.ndarray) -> np.ndarray:
+def quant_q6_k(x: np.ndarray, qw: np.ndarray | None = None) -> np.ndarray:
     x = x.reshape(-1, QK_K).astype(F32)
     n = x.shape[0]
     groups = x.reshape(n * 16, 16)
-    scales, _ = _make_qx_quants(groups, nmax=32)
+    if qw is not None:
+        sigma2 = 2.0 * (x * x).sum(axis=1) / QK_K  # (n,)
+        wq = qw.reshape(n, QK_K).astype(F32) * np.sqrt(
+            sigma2[:, None] + x * x
+        )
+        scales, _ = _make_qx_quants(groups, nmax=32, qw=wq.reshape(n * 16, 16))
+    else:
+        scales, _ = _make_qx_quants(groups, nmax=32)
     scales = scales.reshape(n, 16)
     absmax_idx = np.abs(scales).argmax(axis=1)
     max_scale = scales[np.arange(n), absmax_idx]
@@ -804,8 +825,12 @@ def dequantize(data: np.ndarray, gtype: GGMLType, n_elements: int) -> np.ndarray
     return out.reshape(-1)[:n_elements]
 
 
-def quantize(values: np.ndarray, gtype: GGMLType) -> np.ndarray:
-    """Quantize float32 values (flat, multiple of block size) to packed uint8."""
+def quantize(values: np.ndarray, gtype: GGMLType,
+             qw: np.ndarray | None = None) -> np.ndarray:
+    """Quantize float32 values (flat, multiple of block size) to packed uint8.
+
+    qw: optional per-element importance weights (imatrix), same length as
+    values; honored by the K-quant encoders."""
     values = np.ascontiguousarray(values, dtype=np.float32).reshape(-1)
     if gtype == GGMLType.F32:
         return values.view(np.uint8)
@@ -819,6 +844,8 @@ def quantize(values: np.ndarray, gtype: GGMLType) -> np.ndarray:
     tt = TYPE_TRAITS[gtype]
     if values.size % tt.block_size:
         raise ValueError(f"{values.size} elements not a multiple of {tt.block_size}")
+    if qw is not None and gtype in (GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K):
+        return fn(values, np.ascontiguousarray(qw, dtype=np.float32).reshape(-1))
     from . import native
 
     nat = native.quantize(values, gtype)

@@ -69,7 +69,11 @@ def tensor_type_policy(name: str, default: GGMLType, ftype_name: str,
     return default
 
 
-def quantize_model(src: str, dst: str, ftype_name: str, verbose: bool = True) -> dict:
+def quantize_model(src: str, dst: str, ftype_name: str, verbose: bool = True,
+                   imatrix: dict | None = None) -> dict:
+    """imatrix: {weight name: [n_in] importance} (tools/imatrix.load_imatrix)
+    — K-quant encoders weight their scale search by it (≡ llama-quant's
+    imatrix-weighted quantization)."""
     default_type, ftype = FTYPES[ftype_name.upper()]
     r = GGUFReader(src)
     arch = r.architecture
@@ -95,7 +99,12 @@ def quantize_model(src: str, dst: str, ftype_name: str, verbose: bool = True) ->
             out_bytes = t.n_bytes
         else:
             values = t.to_numpy().astype(np.float32)
-            payload = codecs.quantize(values.reshape(-1), target).tobytes()
+            qw = None
+            if imatrix and t.name in imatrix:
+                row = np.asarray(imatrix[t.name], dtype=np.float32)
+                if values.ndim >= 2 and row.size == values.shape[-1]:
+                    qw = np.broadcast_to(row, values.shape).reshape(-1)
+            payload = codecs.quantize(values.reshape(-1), target, qw=qw).tobytes()
             w.add_packed_tensor(t.name, t.shape, target, payload)
             out_bytes = len(payload)
         stats["in_bytes"] += t.n_bytes
@@ -113,10 +122,19 @@ def main(argv=None):
     ap.add_argument("src")
     ap.add_argument("dst")
     ap.add_argument("ftype", choices=sorted(FTYPES), help="target file type")
+    ap.add_argument("--imatrix", default=None,
+                    help="importance matrix GGUF from tpullm-imatrix")
     ap.add_argument("-q", "--quiet", action="store_true")
     args = ap.parse_args(argv)
     t0 = time.time()
-    stats = quantize_model(args.src, args.dst, args.ftype, verbose=not args.quiet)
+    imatrix = None
+    if args.imatrix:
+        from .imatrix import load_imatrix
+
+        imatrix = load_imatrix(args.imatrix)
+        print(f"loaded imatrix for {len(imatrix)} tensors", file=sys.stderr)
+    stats = quantize_model(args.src, args.dst, args.ftype,
+                           verbose=not args.quiet, imatrix=imatrix)
     print(
         f"quantized {stats['tensors']} tensors: "
         f"{stats['in_bytes']/1e9:.3f} GB -> {stats['out_bytes']/1e9:.3f} GB "
