@@ -1,0 +1,124 @@
+"""HF→GGUF conversion parity: converted model's logits must match
+transformers' (≡ convert_hf_to_gguf.py correctness, validated the way the
+reference CI compares converted models)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from tpullm.runtime import Engine  # noqa: E402
+from tpullm.tools.convert_hf import convert_hf_to_gguf  # noqa: E402
+
+
+def _make_hf_llama(tmp_path, tie=False, qwen=False):
+    from transformers import LlamaConfig, LlamaForCausalLM, Qwen2Config, Qwen2ForCausalLM
+
+    kw = dict(
+        vocab_size=96, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rope_theta=10000.0,
+        tie_word_embeddings=tie,
+    )
+    torch.manual_seed(0)
+    if qwen:
+        model = Qwen2ForCausalLM(Qwen2Config(**kw))
+    else:
+        model = LlamaForCausalLM(LlamaConfig(**kw))
+    model.eval()
+    d = tmp_path / ("hf_qwen" if qwen else "hf_llama")
+    model.save_pretrained(d, safe_serialization=True)
+    return model, str(d)
+
+
+@pytest.mark.parametrize("qwen", [False, True])
+def test_convert_matches_transformers_logits(tmp_path, qwen):
+    model, d = _make_hf_llama(tmp_path, qwen=qwen)
+    out = str(tmp_path / "m.gguf")
+    stats = convert_hf_to_gguf(d, out, outtype="f32", verbose=False)
+    assert stats["arch"] == ("qwen2" if qwen else "llama")
+
+    ids = [3, 17, 42, 7, 19, 55]
+    with torch.no_grad():
+        ref = model(torch.tensor([ids])).logits[0].numpy()
+
+    eng = Engine(out, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    got = eng.prefill_all_logits(ids)
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_convert_tied_embeddings(tmp_path):
+    model, d = _make_hf_llama(tmp_path, tie=True)
+    out = str(tmp_path / "tied.gguf")
+    convert_hf_to_gguf(d, out, outtype="f32", verbose=False)
+    eng = Engine(out, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    assert eng.params["output"] is None  # tied head
+    ids = [3, 5, 9]
+    with torch.no_grad():
+        ref = model(torch.tensor([ids])).logits[0].numpy()
+    got = eng.prefill_all_logits(ids)
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_convert_vocab_bpe(tmp_path):
+    """tokenizer.json BPE vocab lands in GGUF metadata."""
+    _, d = _make_hf_llama(tmp_path)
+    tok = {
+        "added_tokens": [
+            {"id": 0, "content": "<unk>", "special": True},
+            {"id": 1, "content": "<s>", "special": True},
+        ],
+        "model": {
+            "type": "BPE",
+            "vocab": {"a": 2, "b": 3, "ab": 4},
+            "merges": ["a b"],
+        },
+    }
+    json.dump(tok, open(os.path.join(d, "tokenizer.json"), "w"))
+    out = str(tmp_path / "v.gguf")
+    convert_hf_to_gguf(d, out, outtype="f32", verbose=False)
+
+    from tpullm.gguf import GGUFReader
+
+    r = GGUFReader(out)
+    assert r.metadata["tokenizer.ggml.model"] == "gpt2"
+    assert r.metadata["tokenizer.ggml.tokens"][:5] == ["<unk>", "<s>", "a", "b", "ab"]
+    assert r.metadata["tokenizer.ggml.merges"] == ["a b"]
+
+
+def test_spm_proto_parser(tmp_path):
+    """Minimal SPM protobuf writer→parser roundtrip."""
+    import struct
+
+    from tpullm.tools.convert_hf import _parse_spm
+
+    def varint(v):
+        out = b""
+        while True:
+            b7 = v & 0x7F
+            v >>= 7
+            if v:
+                out += bytes([b7 | 0x80])
+            else:
+                out += bytes([b7])
+                return out
+
+    def piece(text, score, ptype):
+        body = b"\x0a" + varint(len(text.encode())) + text.encode()
+        body += b"\x15" + struct.pack("<f", score)
+        body += b"\x18" + varint(ptype)
+        return b"\x0a" + varint(len(body)) + body
+
+    blob = piece("<unk>", 0.0, 2) + piece("▁the", -1.5, 1) + piece("<0x0A>", 0.0, 6)
+    f = tmp_path / "tokenizer.model"
+    f.write_bytes(blob)
+    pieces = _parse_spm(str(f))
+    assert pieces == [("<unk>", 0.0, 2), ("▁the", -1.5, 1), ("<0x0A>", 0.0, 6)]

@@ -1,0 +1,368 @@
+"""tpullm-convert-hf: HuggingFace checkpoint → GGUF.
+
+Reference: convert_hf_to_gguf.py (301 registered model classes; here the
+llama/mistral/qwen2/qwen3(+moe)/gemma2/gemma3/gpt2 families) — config.json →
+GGUF metadata, safetensors/bin weights → (optionally f16) tensors with the
+llama-family QK rope permute, tokenizer.json (byte-level BPE) or
+tokenizer.model (SentencePiece) → GGUF vocab.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+import numpy as np
+
+from ..gguf.constants import GGMLType, TokenType
+from ..gguf.writer import GGUFWriter
+
+# model_type → GGUF architecture
+ARCH_MAP = {
+    "llama": "llama",
+    "mistral": "llama",
+    "qwen2": "qwen2",
+    "qwen3": "qwen3",
+    "qwen2_moe": "qwen2moe",
+    "qwen3_moe": "qwen3moe",
+    "gemma2": "gemma2",
+    "gemma3": "gemma3",
+    "gemma3_text": "gemma3",
+    "gpt2": "gpt2",
+}
+
+# rope "norm" (interleaved) archs need HF→GGUF QK permutation
+PERMUTE_QK_ARCHS = {"llama"}
+
+
+def _permute_qk(w: np.ndarray, n_head: int) -> np.ndarray:
+    """HF half-rotation layout → GGUF interleaved-pair layout
+    (convert_hf_to_gguf.py LlamaModel.permute)."""
+    shape = w.shape
+    return (
+        w.reshape(n_head, 2, shape[0] // n_head // 2, *shape[1:])
+        .swapaxes(1, 2)
+        .reshape(shape)
+    )
+
+
+def _load_tensors(src_dir: str):
+    """Yield (name, numpy array) from safetensors shards or torch bins."""
+    st = sorted(glob.glob(os.path.join(src_dir, "*.safetensors")))
+    if st:
+        from safetensors import safe_open
+
+        for shard in st:
+            with safe_open(shard, framework="np") as f:
+                for name in f.keys():
+                    yield name, f.get_tensor(name)
+        return
+    bins = sorted(glob.glob(os.path.join(src_dir, "pytorch_model*.bin")))
+    if not bins:
+        raise FileNotFoundError(f"no safetensors/bin weights under {src_dir}")
+    import torch
+
+    for shard in bins:
+        sd = torch.load(shard, map_location="cpu", weights_only=True)
+        for name, t in sd.items():
+            yield name, t.float().numpy()
+
+
+# HF suffix → GGUF suffix for per-layer tensors (llama/qwen/gemma families)
+_LAYER_MAP = {
+    "self_attn.q_proj.weight": "attn_q.weight",
+    "self_attn.q_proj.bias": "attn_q.bias",
+    "self_attn.k_proj.weight": "attn_k.weight",
+    "self_attn.k_proj.bias": "attn_k.bias",
+    "self_attn.v_proj.weight": "attn_v.weight",
+    "self_attn.v_proj.bias": "attn_v.bias",
+    "self_attn.o_proj.weight": "attn_output.weight",
+    "self_attn.q_norm.weight": "attn_q_norm.weight",
+    "self_attn.k_norm.weight": "attn_k_norm.weight",
+    "mlp.gate_proj.weight": "ffn_gate.weight",
+    "mlp.up_proj.weight": "ffn_up.weight",
+    "mlp.down_proj.weight": "ffn_down.weight",
+    "input_layernorm.weight": "attn_norm.weight",
+    "post_attention_layernorm.weight": "ffn_norm.weight",
+    # gemma2/3 extra norms
+    "pre_feedforward_layernorm.weight": "ffn_norm.weight",
+    "post_feedforward_layernorm.weight": "post_ffw_norm.weight",
+    # MoE (qwen2_moe/qwen3_moe)
+    "mlp.gate.weight": "ffn_gate_inp.weight",
+    "mlp.shared_expert_gate.weight": "ffn_gate_inp_shexp.weight",
+    "mlp.shared_expert.gate_proj.weight": "ffn_gate_shexp.weight",
+    "mlp.shared_expert.up_proj.weight": "ffn_up_shexp.weight",
+    "mlp.shared_expert.down_proj.weight": "ffn_down_shexp.weight",
+}
+
+
+def map_tensor_name(name: str, arch: str) -> str | None:
+    """HF tensor name → GGUF name; None = skip (≡ gguf-py tensor_mapping)."""
+    if name.startswith("model."):
+        name = name[len("model."):]
+    if name in ("embed_tokens.weight",):
+        return "token_embd.weight"
+    if name == "norm.weight":
+        return "output_norm.weight"
+    if name == "lm_head.weight":
+        return "output.weight"
+    if name.startswith("layers."):
+        parts = name.split(".", 2)
+        bid, rest = parts[1], parts[2]
+        # gemma2/3: post_attention_layernorm is the POST norm; the pre-FFN
+        # norm is pre_feedforward_layernorm
+        if arch.startswith("gemma") and rest == "post_attention_layernorm.weight":
+            return f"blk.{bid}.post_attention_norm.weight"
+        mapped = _LAYER_MAP.get(rest)
+        if mapped:
+            return f"blk.{bid}.{mapped}"
+    if name == "rotary_emb.inv_freq" or name.endswith(".rotary_emb.inv_freq"):
+        return None
+    return None
+
+
+def _convert_vocab_bpe(w: GGUFWriter, tok_json: dict, cfg: dict):
+    model = tok_json.get("model", {})
+    vocab = model.get("vocab", {})
+    id_to_tok = {int(i): t for t, i in vocab.items()}
+    added = {int(a["id"]): a for a in tok_json.get("added_tokens", [])}
+    n = max(max(id_to_tok, default=-1), max(added, default=-1)) + 1
+    tokens, types = [], []
+    for i in range(n):
+        if i in added:
+            tokens.append(added[i]["content"])
+            types.append(TokenType.CONTROL if added[i].get("special") else TokenType.USER_DEFINED)
+        elif i in id_to_tok:
+            tokens.append(id_to_tok[i])
+            types.append(TokenType.NORMAL)
+        else:
+            tokens.append(f"[PAD{i}]")
+            types.append(TokenType.UNUSED)
+    merges = model.get("merges", [])
+    merges = [" ".join(m) if isinstance(m, list) else m for m in merges]
+    w.add_kv("tokenizer.ggml.model", "gpt2")
+    w.add_kv("tokenizer.ggml.pre", "llama3" if cfg.get("model_type") == "llama" else "default")
+    w.add_kv("tokenizer.ggml.tokens", tokens)
+    w.add_kv("tokenizer.ggml.token_type", np.asarray(types, dtype=np.int32))
+    w.add_kv("tokenizer.ggml.merges", merges)
+    return len(tokens)
+
+
+def _parse_spm(path: str):
+    """Minimal SentencePiece .model protobuf parse: repeated SentencePiece
+    {piece=1 string, score=2 float, type=3 enum} under field 1."""
+    import struct
+
+    data = open(path, "rb").read()
+    pieces = []
+
+    def read_varint(buf, i):
+        shift = 0
+        val = 0
+        while True:
+            b = buf[i]
+            i += 1
+            val |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return val, i
+            shift += 7
+
+    i = 0
+    while i < len(data):
+        tag, i = read_varint(data, i)
+        field, wire = tag >> 3, tag & 7
+        if field == 1 and wire == 2:  # SentencePiece message
+            ln, i = read_varint(data, i)
+            sub = data[i : i + ln]
+            i += ln
+            piece, score, ptype = "", 0.0, 1
+            j = 0
+            while j < len(sub):
+                t2, j = read_varint(sub, j)
+                f2, w2 = t2 >> 3, t2 & 7
+                if f2 == 1 and w2 == 2:
+                    l2, j = read_varint(sub, j)
+                    piece = sub[j : j + l2].decode("utf-8", errors="replace")
+                    j += l2
+                elif f2 == 2 and w2 == 5:
+                    score = struct.unpack("<f", sub[j : j + 4])[0]
+                    j += 4
+                elif f2 == 3 and w2 == 0:
+                    ptype, j = read_varint(sub, j)
+                else:  # skip unknown
+                    if w2 == 0:
+                        _, j = read_varint(sub, j)
+                    elif w2 == 2:
+                        l2, j = read_varint(sub, j)
+                        j += l2
+                    elif w2 == 5:
+                        j += 4
+                    elif w2 == 1:
+                        j += 8
+            pieces.append((piece, score, ptype))
+        else:  # skip other top-level fields
+            if wire == 0:
+                _, i = read_varint(data, i)
+            elif wire == 2:
+                ln, i = read_varint(data, i)
+                i += ln
+            elif wire == 5:
+                i += 4
+            elif wire == 1:
+                i += 8
+    return pieces
+
+
+_SPM_TYPE_MAP = {
+    1: TokenType.NORMAL, 2: TokenType.UNKNOWN, 3: TokenType.CONTROL,
+    4: TokenType.USER_DEFINED, 5: TokenType.UNUSED, 6: TokenType.BYTE,
+}
+
+
+def _convert_vocab_spm(w: GGUFWriter, model_path: str):
+    pieces = _parse_spm(model_path)
+    tokens = [p[0] for p in pieces]
+    scores = np.asarray([p[1] for p in pieces], dtype=np.float32)
+    types = np.asarray(
+        [int(_SPM_TYPE_MAP.get(p[2], TokenType.NORMAL)) for p in pieces],
+        dtype=np.int32,
+    )
+    w.add_kv("tokenizer.ggml.model", "llama")
+    w.add_kv("tokenizer.ggml.tokens", tokens)
+    w.add_kv("tokenizer.ggml.scores", scores)
+    w.add_kv("tokenizer.ggml.token_type", types)
+    return len(tokens)
+
+
+def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
+                       verbose: bool = True) -> dict:
+    cfg = json.load(open(os.path.join(src_dir, "config.json")))
+    model_type = cfg.get("model_type", "llama")
+    arch = ARCH_MAP.get(model_type)
+    if arch is None:
+        raise NotImplementedError(f"model_type {model_type!r} not supported yet "
+                                  f"(have: {sorted(ARCH_MAP)})")
+    n_head = int(cfg.get("num_attention_heads", cfg.get("n_head")))
+    n_kv = int(cfg.get("num_key_value_heads", n_head))
+    n_embd = int(cfg.get("hidden_size", cfg.get("n_embd")))
+    n_layer = int(cfg.get("num_hidden_layers", cfg.get("n_layer")))
+    head_dim = int(cfg.get("head_dim", n_embd // n_head))
+
+    w = GGUFWriter(dst, architecture=arch)
+    w.add_kv("general.name", os.path.basename(os.path.abspath(src_dir)))
+    w.add_kv(f"{arch}.block_count", n_layer)
+    w.add_kv(f"{arch}.context_length", int(cfg.get("max_position_embeddings", 2048)))
+    w.add_kv(f"{arch}.embedding_length", n_embd)
+    w.add_kv(f"{arch}.feed_forward_length", int(cfg.get("intermediate_size", cfg.get("n_inner", 4 * n_embd) or 4 * n_embd)))
+    w.add_kv(f"{arch}.attention.head_count", n_head)
+    w.add_kv(f"{arch}.attention.head_count_kv", n_kv)
+    w.add_kv(f"{arch}.attention.key_length", head_dim)
+    w.add_kv(f"{arch}.attention.value_length", head_dim)
+    eps = cfg.get("rms_norm_eps", cfg.get("layer_norm_epsilon", 1e-5))
+    if arch == "gpt2":
+        w.add_kv(f"{arch}.attention.layer_norm_epsilon", float(eps))
+    else:
+        w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon", float(eps))
+        w.add_kv(f"{arch}.rope.freq_base", float(cfg.get("rope_theta", 10000.0)))
+        w.add_kv(f"{arch}.rope.dimension_count", head_dim)
+    if cfg.get("sliding_window"):
+        w.add_kv(f"{arch}.attention.sliding_window", int(cfg["sliding_window"]))
+    if cfg.get("attn_logit_softcapping"):
+        w.add_kv(f"{arch}.attn_logit_softcapping", float(cfg["attn_logit_softcapping"]))
+    if cfg.get("final_logit_softcapping"):
+        w.add_kv(f"{arch}.final_logit_softcapping", float(cfg["final_logit_softcapping"]))
+    rope_scaling = cfg.get("rope_scaling") or {}
+    if rope_scaling.get("rope_type", rope_scaling.get("type")) == "yarn":
+        w.add_kv(f"{arch}.rope.scaling.type", "yarn")
+        w.add_kv(f"{arch}.rope.scaling.factor", float(rope_scaling.get("factor", 1.0)))
+        w.add_kv(f"{arch}.rope.scaling.original_context_length",
+                 int(rope_scaling.get("original_max_position_embeddings", 0)))
+    # MoE
+    if cfg.get("num_experts") or cfg.get("num_local_experts"):
+        w.add_kv(f"{arch}.expert_count",
+                 int(cfg.get("num_experts", cfg.get("num_local_experts"))))
+        w.add_kv(f"{arch}.expert_used_count", int(cfg.get("num_experts_per_tok", 2)))
+        if cfg.get("moe_intermediate_size"):
+            w.add_kv(f"{arch}.expert_feed_forward_length",
+                     int(cfg["moe_intermediate_size"]))
+
+    # vocab
+    n_vocab = int(cfg.get("vocab_size", 0))
+    tok_json_path = os.path.join(src_dir, "tokenizer.json")
+    spm_path = os.path.join(src_dir, "tokenizer.model")
+    if os.path.exists(tok_json_path):
+        _convert_vocab_bpe(w, json.load(open(tok_json_path)), cfg)
+    elif os.path.exists(spm_path):
+        _convert_vocab_spm(w, spm_path)
+    elif verbose:
+        print("warning: no tokenizer files found; writing weights only",
+              file=sys.stderr)
+    w.add_kv(f"{arch}.vocab_size", n_vocab)
+    for key, kv in (("bos_token_id", "tokenizer.ggml.bos_token_id"),
+                    ("eos_token_id", "tokenizer.ggml.eos_token_id"),
+                    ("pad_token_id", "tokenizer.ggml.padding_token_id")):
+        v = cfg.get(key)
+        if isinstance(v, list):
+            v = v[0] if v else None
+        if v is not None:
+            w.add_kv(kv, int(v))
+
+    gtype = {"f32": GGMLType.F32, "f16": GGMLType.F16, "bf16": GGMLType.BF16}[outtype]
+    n_tensors = 0
+    # stack MoE experts: collect experts.N.* into 3D tensors
+    expert_acc: dict[str, dict[int, np.ndarray]] = {}
+    for name, arr in _load_tensors(src_dir):
+        if ".mlp.experts." in name:
+            # model.layers.L.mlp.experts.E.{gate,up,down}_proj.weight
+            parts = name.split(".")
+            li = parts[2]; ei = int(parts[5]); proj = parts[6]
+            key = {"gate_proj": f"blk.{li}.ffn_gate_exps.weight",
+                   "up_proj": f"blk.{li}.ffn_up_exps.weight",
+                   "down_proj": f"blk.{li}.ffn_down_exps.weight"}.get(proj)
+            if key:
+                expert_acc.setdefault(key, {})[ei] = np.asarray(arr, dtype=np.float32)
+            continue
+        gname = map_tensor_name(name, arch)
+        if gname is None:
+            if verbose and "inv_freq" not in name:
+                print(f"skip {name}", file=sys.stderr)
+            continue
+        arr = np.asarray(arr, dtype=np.float32)
+        if arch in PERMUTE_QK_ARCHS and gname.endswith("attn_q.weight"):
+            arr = _permute_qk(arr, n_head)
+        elif arch in PERMUTE_QK_ARCHS and gname.endswith("attn_k.weight"):
+            arr = _permute_qk(arr, n_kv)
+        if arch.startswith("gemma") and gname.endswith("norm.weight"):
+            arr = arr + 1.0  # gemma norms store w-1 in HF
+        # norms/1-d stay f32
+        t = gtype if arr.ndim >= 2 else GGMLType.F32
+        w.add_tensor(gname, arr, t)
+        n_tensors += 1
+        if verbose:
+            print(f"{name} -> {gname} {tuple(arr.shape)}", file=sys.stderr)
+    for key, experts in expert_acc.items():
+        stacked = np.stack([experts[i] for i in sorted(experts)], axis=0)
+        w.add_tensor(key, stacked, gtype)
+        n_tensors += 1
+    w.write()
+    return {"n_tensors": n_tensors, "arch": arch, "out": dst}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="tpullm-convert-hf")
+    ap.add_argument("model_dir")
+    ap.add_argument("-o", "--outfile", required=True)
+    ap.add_argument("--outtype", default="f16", choices=["f32", "f16", "bf16"])
+    ap.add_argument("-q", "--quiet", action="store_true")
+    args = ap.parse_args(argv)
+    stats = convert_hf_to_gguf(args.model_dir, args.outfile, args.outtype,
+                               verbose=not args.quiet)
+    print(f"wrote {stats['out']} ({stats['arch']}, {stats['n_tensors']} tensors)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
