@@ -130,3 +130,84 @@ def test_graft_entry():
     out = jax.jit(fn)(*args)
     assert out.shape[-1] > 0
     g.dryrun_multichip(8)
+
+
+# -- 4D pipeline parallelism -------------------------------------------------------
+
+
+def test_pipeline_train_step_matches_single_device(tmp_path):
+    """dp×pp×tp shard_map pipeline loss == plain single-device loss."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpullm.gguf import GGUFReader
+    from tpullm.models import get_arch, load_hparams
+    from tpullm.models.testing import make_tiny_llama_gguf
+    from tpullm.parallel.pipeline import (
+        make_mesh3,
+        make_pipeline_train_step,
+        place_stacked,
+        stack_llama_params,
+    )
+    from tpullm.training import loss_fn
+
+    path = make_tiny_llama_gguf(
+        tmp_path / "p.gguf", n_layer=4, n_embd=64, n_head=4, n_head_kv=2,
+        n_ff=128,
+    )
+    reader = GGUFReader(path)
+    hp = load_hparams(reader)
+    arch = get_arch(hp.arch)
+    params = arch.build_params(reader, hp, mode="dense", dtype=jnp.float32)
+
+    rng = np.random.default_rng(0)
+    B, T = 4, 16
+    tokens = rng.integers(3, 200, size=(B, T)).astype(np.int32)
+
+    ref_loss = float(loss_fn(arch.forward, hp, params, jnp.asarray(tokens)))
+
+    mesh = make_mesh3(dp=2, pp=2, tp=2, devices=jax.devices()[:8])
+    stacked = stack_llama_params(params)
+    with mesh:
+        placed = place_stacked(stacked, hp, mesh)
+        step = make_pipeline_train_step(hp, mesh, lr=0.0)
+        new_params, loss = step(placed, jnp.asarray(tokens))
+    assert abs(float(loss) - ref_loss) < 2e-3, (float(loss), ref_loss)
+
+
+def test_pipeline_train_step_learns(tmp_path):
+    """A few SGD steps through the pipeline reduce the loss."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpullm.gguf import GGUFReader
+    from tpullm.models import get_arch, load_hparams
+    from tpullm.models.testing import make_tiny_llama_gguf
+    from tpullm.parallel.pipeline import (
+        make_mesh3,
+        make_pipeline_train_step,
+        place_stacked,
+        stack_llama_params,
+    )
+
+    path = make_tiny_llama_gguf(
+        tmp_path / "p.gguf", n_layer=2, n_embd=64, n_head=4, n_head_kv=2,
+        n_ff=128,
+    )
+    reader = GGUFReader(path)
+    hp = load_hparams(reader)
+    arch = get_arch(hp.arch)
+    params = arch.build_params(reader, hp, mode="dense", dtype=jnp.float32)
+
+    tokens = np.tile(np.arange(3, 19, dtype=np.int32), (4, 1))
+    mesh = make_mesh3(dp=2, pp=2, tp=2, devices=jax.devices()[:8])
+    with mesh:
+        placed = place_stacked(stack_llama_params(params), hp, mesh)
+        step = make_pipeline_train_step(hp, mesh, lr=0.5)
+        losses = []
+        for _ in range(5):
+            placed, loss = step(placed, jnp.asarray(tokens))
+            losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
