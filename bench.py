@@ -20,7 +20,8 @@ CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
 MODEL = os.path.join(CACHE, "bench-llama3-8b-q4km.gguf")
 
 N_WARMUP = 5
-N_STEPS = 64
+N_STEPS = 256
+CHUNK = 128  # decode steps per device program call (amortizes dispatch)
 
 
 def log(*a):
@@ -52,15 +53,16 @@ def main():
 
     prompt = list(range(3, 19))  # 16 tokens
     t0 = time.time()
-    out = eng.generate_tokens_device(prompt, max_new_tokens=33, chunk=32,
-                                     stop_on_eog=False)
+    out = eng.generate_tokens_device(prompt, max_new_tokens=CHUNK + 1,
+                                     chunk=CHUNK, stop_on_eog=False)
     log(f"prefill+warmup incl. compile: {time.time()-t0:.1f}s "
         f"({len(out)} tokens)")
 
     # steady-state decode: device-resident scan chunks, ids-only readback
+    eng.reset()
     eng.perf = type(eng.perf)()
     out = eng.generate_tokens_device(
-        list(range(3, 19)), max_new_tokens=N_STEPS, chunk=32, stop_on_eog=False
+        list(range(3, 19)), max_new_tokens=N_STEPS, chunk=CHUNK, stop_on_eog=False
     )
     dt = eng.perf.t_decode_s
     n = eng.perf.n_decode

@@ -181,3 +181,43 @@ def test_repetition_penalty():
     assert s.sample(logits) == 3
     s.accept(3)
     assert s.sample(logits) != 3
+
+
+def test_q8_kv_cache_close_to_dense(tiny_model):
+    """Q8_0-quantized KV cache (≡ -ctk q8_0, the fork's headline config):
+    logits stay close to the bf16-cache path, decode matches prefill."""
+    import jax.numpy as jnp
+
+    from tpullm.runtime.kvcache import QuantKVCache
+
+    eng_f = Engine(tiny_model, mode="dense", dtype=jnp.float32, max_seq=64,
+                   kv_dtype=jnp.float32)
+    eng_q = Engine(tiny_model, mode="dense", dtype=jnp.float32, max_seq=64,
+                   kv_dtype="q8_0")
+    assert isinstance(eng_q.cache, QuantKVCache)
+    toks = eng_f.tokenizer.tokenize("the quick brown fox jumps", add_special=True)
+    lf = eng_f.prefill_all_logits(toks)
+    lq = eng_q.prefill_all_logits(toks)
+    # int8 KV costs well under 1% relative error on logits
+    np.testing.assert_allclose(lq, lf, rtol=0.05, atol=0.05)
+
+    # greedy generations agree for a few steps
+    eng_f2 = Engine(tiny_model, mode="dense", max_seq=64)
+    eng_q2 = Engine(tiny_model, mode="dense", max_seq=64, kv_dtype="q8_0")
+    ids = eng_f2.tokenizer.tokenize("the quick", add_special=True)
+    out_f = list(eng_f2.generate_tokens(ids, 8, stop_on_eog=False))
+    out_q = list(eng_q2.generate_tokens(ids, 8, stop_on_eog=False))
+    assert out_f == out_q
+
+
+def test_q8_kv_batch_engine(tiny_model):
+    from tpullm.runtime.batch_engine import BatchEngine
+
+    eng = BatchEngine(tiny_model, n_slots=2, max_seq=64, mode="dense",
+                      kv_dtype="q8_0", prefill_chunk=32)
+    toks = eng.tokenizer.tokenize("hello world", add_special=True)
+    l0 = eng.prefill_slot(0, toks)
+    l1 = eng.prefill_slot(1, toks)
+    np.testing.assert_allclose(l0, l1, rtol=2e-2, atol=2e-2)
+    out = eng.decode_batch({0: 7, 1: 7})
+    np.testing.assert_allclose(out[0], out[1], rtol=2e-2, atol=2e-2)

@@ -109,8 +109,9 @@ def forward(
         cache = cache.update(
             li, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), cache_offset
         )
+        k_all, v_all = cache.kv(li)
         attn_out = attention(
-            q, cache.k[li], cache.v[li], mask, scale,
+            q, k_all, v_all, mask, scale,
             softcap=hp.softcap_attn, offsets=offsets,
             sliding_window=hp.sliding_window if swa else 0,
         )

@@ -95,8 +95,9 @@ def forward(
         cache = cache.update(
             li, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), cache_offset
         )
+        k_all, v_all = cache.kv(li)
         attn_out = attention(
-            q, cache.k[li], cache.v[li], mask, scale, offsets=offsets
+            q, k_all, v_all, mask, scale, offsets=offsets
         )
         attn_out = layer["wo"](attn_out.reshape(B, T, n_q))
         if layer["bo"] is not None:

@@ -114,8 +114,9 @@ def attn_block(
     cache = cache.update(
         li, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), cache_offset
     )
+    k_all, v_all = cache.kv(li)
     attn_out = attention(
-        q, cache.k[li], cache.v[li], mask, scale,
+        q, k_all, v_all, mask, scale,
         offsets=offsets, sliding_window=hp.sliding_window,
     )
     x = x + layer["wo"](attn_out.reshape(B, T, hp.n_head * hp.head_dim_v))

@@ -5,25 +5,30 @@ This is the TPU analog of the reference's MMQ/MMVQ kernels
 weights stay packed in HBM; codes are expanded and scaled in VMEM on the way
 into the MXU.
 
-## Plane schema
+## Plane schema (v2 — unified affine form)
 
-At load time ggml block formats are repacked into column-major "planes"
-(K = n_in rows × N = n_out lanes) chosen so a Pallas kernel can slice
-(TK, TN) tiles directly and unpack with shift/mask only — no sublane
-shuffles:
+At load time ggml block formats are repacked into column-major planes
+(K = n_in rows × N = n_out lanes) reducing EVERY type to one kernel form:
 
-- 4-bit codes use *half-split* packing: byte[k, n] = q[k, n] | q[k + K/2, n] << 4
-  so a tile unpacks to two K-ranges (low nibbles → k, high → k + K/2).
-- high bits (Q5_*, Q6_K hi, Q3_K hi) use bit-plane packing: byte[k, n] bit j
-  belongs to code[k + j·K/8, n] (2-bit fields: k + j·K/4).
-- scales keep ggml's factored form (f16 super-scale × int sub-scale), so the
-  effective scale d·sc is computed in f32 exactly as ggml-quants.c does:
+    w[k, n] = scale[k//G, n] · map(code[k, n]) − minus[k//G, n]
 
-    w[k, n] = super(f16)[k//SB, n] · sub(int)[k//G, n] · map(code[k, n]) [ − min term ]
+- code planes: 4-bit codes use *half-split* packing (byte[r] = q[r] | q[r + U/2] << 4
+  within each U-row unit); extra high bits (Q5_*, Q6_K, Q3_K) use bit-plane
+  packing; Q8_0 keeps int8 rows. Unpack in-kernel is shift/mask only.
+- `scale` [K/G, N] f32 is the PRE-MULTIPLIED effective group scale
+  (d·sc for K-quants, d for simple blocks, 2^(e-128) for MXFP4): the factored
+  f16×int math of ggml-quants.c is evaluated exactly once at repack, in f32,
+  so the hot kernel does a single FMA per element and no sub-scale decoding.
+- `minus` [K/G, N] f32 folds both the K-quant min term (dmin·m) and the
+  symmetric-type bias (d·8 for Q4_0 etc.): absent for purely scaled types.
+- `map` is identity or a small LUT (MXFP4/IQ4_NL nonlinear grids).
 
-Every type reduces to that affine/LUT form; `dequant_planes` is the jnp
-reference used both as the CPU fallback and the conformance oracle for the
-Pallas kernel (tpullm/ops/pallas/qmm.py).
+Scale planes cost (4+4)/G bytes per weight (≈0.25 B at G=32) on top of the
+packed codes — a deliberate trade: the kernel streams at HBM speed instead
+of stalling on per-element scale decode (measured 28 → ~800 GB/s on v5e).
+
+`dequant_planes` is the jnp reference used both as the CPU fallback and the
+conformance oracle for the Pallas kernel (tpullm/ops/pallas/qmm.py).
 """
 
 from __future__ import annotations
@@ -65,123 +70,126 @@ def _bitplane_pack(bits: np.ndarray, width: int, unit: int) -> np.ndarray:
     return out.reshape(K * width // 8, N)
 
 
-def _fields(data: np.ndarray, gtype: GGMLType, n_out: int, n_in: int):
-    """Decode packed blocks into (codes (K,N) uint8, plane dict of scale fields)."""
+def _decode_blocks(data: np.ndarray, gtype: GGMLType, n_out: int, n_in: int):
+    """Packed ggml blocks → (codes (K, N) uint8, scale (K/G, N) f32,
+    minus (K/G, N) f32 | None). All factored scales are resolved here."""
     tt = TYPE_TRAITS[gtype]
     nb = n_in // tt.block_size  # blocks per row
     b = np.ascontiguousarray(data, dtype=np.uint8).reshape(n_out, nb, tt.type_size)
 
-    def col(x):  # (n_out, nb, ...) -> (nb*..., n_out) i.e. K-major planes
-        x = np.moveaxis(x, 0, -1)  # (nb, ..., n_out)
+    def col(x):  # (n_out, groups...) -> (K', n_out) K-major planes
+        x = np.moveaxis(x, 0, -1)
         return np.ascontiguousarray(x.reshape(-1, n_out))
+
+    def f16(x):
+        return x.copy().view("<f2").astype(F32)
 
     if gtype in (GGMLType.Q4_0, GGMLType.Q4_1):
         off = 2 if gtype == GGMLType.Q4_0 else 4
         qs = b[..., off : off + 16]
-        codes = np.concatenate([qs & 0x0F, qs >> 4], axis=2)  # (n_out, nb, 32)
-        planes = {"d": col(b[..., 0:2].copy().view("<f2"))}
-        if gtype == GGMLType.Q4_1:
-            planes["m"] = col(b[..., 2:4].copy().view("<f2"))
-        return col(codes), planes
+        codes = np.concatenate([qs & 0x0F, qs >> 4], axis=2)
+        d = f16(b[..., 0:2])[..., 0]  # (n_out, nb)
+        if gtype == GGMLType.Q4_0:
+            return col(codes), col(d), col((d * 8.0).astype(F32))
+        m = f16(b[..., 2:4])[..., 0]
+        return col(codes), col(d), col((-m).astype(F32))
 
     if gtype in (GGMLType.Q5_0, GGMLType.Q5_1):
         off = 6 if gtype == GGMLType.Q5_0 else 8
-        hb_off = off - 4
         qs = b[..., off : off + 16]
-        qh = b[..., hb_off : hb_off + 4].copy().view("<u4")[..., 0]  # (n_out, nb)
+        qh = b[..., off - 4 : off].copy().view("<u4")[..., 0]
         shifts = np.arange(32, dtype=np.uint32)
         hbits = ((qh[..., None] >> shifts) & 1).astype(np.uint8)
         codes = np.concatenate([qs & 0x0F, qs >> 4], axis=2) | (hbits << 4)
-        planes = {"d": col(b[..., 0:2].copy().view("<f2"))}
-        if gtype == GGMLType.Q5_1:
-            planes["m"] = col(b[..., 2:4].copy().view("<f2"))
-        return col(codes), planes
+        d = f16(b[..., 0:2])[..., 0]
+        if gtype == GGMLType.Q5_0:
+            return col(codes), col(d), col((d * 16.0).astype(F32))
+        m = f16(b[..., 2:4])[..., 0]
+        return col(codes), col(d), col((-m).astype(F32))
 
     if gtype == GGMLType.Q8_0:
-        codes = b[..., 2:34].copy().view(np.int8)
-        return col(codes.view(np.uint8)), {"d": col(b[..., 0:2].copy().view("<f2"))}
+        codes = b[..., 2:34].copy()  # int8 bits stored as u8
+        d = f16(b[..., 0:2])[..., 0]
+        return col(codes), col(d), None
 
     if gtype == GGMLType.MXFP4:
         qs = b[..., 1:17]
         codes = np.concatenate([qs & 0x0F, qs >> 4], axis=2)
-        return col(codes), {"e": col(b[..., 0:1])}
+        e = b[..., 0].astype(np.int32)
+        scale = np.exp2(e.astype(F32) - 128.0)
+        return col(codes), col(scale), None
 
     if gtype == GGMLType.IQ4_NL:
         qs = b[..., 2:18]
         codes = np.concatenate([qs & 0x0F, qs >> 4], axis=2)
-        return col(codes), {"d": col(b[..., 0:2].copy().view("<f2"))}
+        return col(codes), col(f16(b[..., 0:2])[..., 0]), None
 
     if gtype in (GGMLType.Q4_K, GGMLType.Q5_K):
-        d = b[..., 0:2].copy().view("<f2")
-        dmin = b[..., 2:4].copy().view("<f2")
+        d = f16(b[..., 0:2])[..., 0]  # (n_out, nb)
+        dmin = f16(b[..., 2:4])[..., 0]
         sc, mi = codecs._get_scale_min_k4(b[..., 4:16].reshape(-1, 12))
-        sc = sc.reshape(n_out, nb, 8)
-        mi = mi.reshape(n_out, nb, 8)
+        sc = sc.reshape(n_out, nb, 8).astype(F32)
+        mi = mi.reshape(n_out, nb, 8).astype(F32)
+        scale = (d[..., None] * sc).astype(F32)  # exact ggml d1 = d·sc
+        minus = (dmin[..., None] * mi).astype(F32)
         if gtype == GGMLType.Q4_K:
             qs = b[..., 16:144]
         else:
             qs = b[..., 48:176]
-        # chunk c of 32 bytes holds elems [64c, 64c+32) (lo) and [64c+32, 64c+64) (hi)
         qs = qs.reshape(n_out, nb, 4, 32)
         codes = np.concatenate([qs & 0x0F, qs >> 4], axis=3).reshape(n_out, nb, 256)
         if gtype == GGMLType.Q5_K:
-            qh = b[..., 16:48]  # (n_out, nb, 32)
-            hb = np.stack(
-                [((qh >> j) & 1) for j in range(8)], axis=2
-            ).reshape(n_out, nb, 8, 32)
-            # bit 2c -> lo of chunk c (elems 64c..64c+32), bit 2c+1 -> hi
+            qh = b[..., 16:48]
+            hb = np.stack([((qh >> j) & 1) for j in range(8)], axis=2).reshape(
+                n_out, nb, 8, 32
+            )
             codes = codes | (hb.reshape(n_out, nb, 256) << 4)
-        return col(codes), {
-            "d": col(d),
-            "dmin": col(dmin),
-            "sc": col(sc),
-            "m": col(mi),
-        }
+        return col(codes), col(scale), col(minus)
 
     if gtype == GGMLType.Q6_K:
         ql = b[..., 0:128].reshape(n_out, nb, 2, 64)
         qh = b[..., 128:192].reshape(n_out, nb, 2, 32)
-        sc = b[..., 192:208].copy().view(np.int8)
-        d = b[..., 208:210].copy().view("<f2")
-        lo = np.concatenate([ql & 0x0F, ql >> 4], axis=3)  # order q1,q2,q3,q4
-        hi = np.stack(
-            [(qh >> (2 * j)) & 3 for j in range(4)], axis=3
-        )  # (n_out, nb, 2, 4, 32)
-        hi = hi.reshape(n_out, nb, 2, 128)
+        sc = b[..., 192:208].copy().view(np.int8).astype(F32)  # (n_out, nb, 16)
+        d = f16(b[..., 208:210])[..., 0]
+        lo = np.concatenate([ql & 0x0F, ql >> 4], axis=3)
+        hi = np.stack([(qh >> (2 * j)) & 3 for j in range(4)], axis=3).reshape(
+            n_out, nb, 2, 128
+        )
         codes = (lo | (hi << 4)).reshape(n_out, nb, 256)
-        return col(codes), {"d": col(d), "sc": col(sc.view(np.uint8))}
+        scale = (d[..., None] * sc.reshape(n_out, nb, 16)).astype(F32)
+        minus = (scale * 32.0).astype(F32)
+        return col(codes), col(scale), col(minus)
 
     if gtype == GGMLType.Q2_K:
         scales = b[..., 0:16]
         qs = b[..., 16:80].reshape(n_out, nb, 2, 32)
-        d = b[..., 80:82].copy().view("<f2")
-        dmin = b[..., 82:84].copy().view("<f2")
-        codes = np.stack(
-            [(qs >> s) & 3 for s in (0, 2, 4, 6)], axis=3
-        ).reshape(n_out, nb, 256)
-        return col(codes), {
-            "d": col(d),
-            "dmin": col(dmin),
-            "sc": col(scales & 0x0F),
-            "m": col(scales >> 4),
-        }
+        d = f16(b[..., 80:82])[..., 0]
+        dmin = f16(b[..., 82:84])[..., 0]
+        codes = np.stack([(qs >> s) & 3 for s in (0, 2, 4, 6)], axis=3).reshape(
+            n_out, nb, 256
+        )
+        scale = (d[..., None] * (scales & 0x0F).astype(F32)).astype(F32)
+        minus = (dmin[..., None] * (scales >> 4).astype(F32)).astype(F32)
+        return col(codes), col(scale), col(minus)
 
     if gtype == GGMLType.Q3_K:
         hmask = b[..., 0:32]
         qs = b[..., 32:96].reshape(n_out, nb, 2, 32)
         sc = codecs._q3_k_scales(b[..., 96:108].reshape(-1, 12)).reshape(n_out, nb, 16)
-        d = b[..., 108:110].copy().view("<f2")
+        d = f16(b[..., 108:110])[..., 0]
         lo = np.stack([(qs >> s) & 3 for s in (0, 2, 4, 6)], axis=3).reshape(
             n_out, nb, 256
         )
         hb = np.stack([(hmask >> j) & 1 for j in range(8)], axis=2).reshape(
             n_out, nb, 256
         )
-        codes = lo | (hb << 2)  # 3-bit code, value = code - 4 (hb=1 means +4)
-        return col(codes), {"d": col(d), "sc": col(sc.view(np.uint8))}
+        codes = lo | (hb << 2)  # 3-bit code, value = code - 4
+        scale = (d[..., None] * sc.astype(F32)).astype(F32)
+        minus = (scale * 4.0).astype(F32)
+        return col(codes), col(scale), col(minus)
 
     if gtype == GGMLType.IQ4_XS:
-        d = b[..., 0:2].copy().view("<f2")
+        d = f16(b[..., 0:2])[..., 0]
         scales_h = b[..., 2:4].copy().view("<u2")[..., 0]
         scales_l = b[..., 4:8]
         qs = b[..., 8:136].reshape(n_out, nb, 8, 16)
@@ -191,26 +199,27 @@ def _fields(data: np.ndarray, gtype: GGMLType, n_out: int, n_in: int):
             lsl = (scales_l[..., ib // 2] >> (4 * (ib & 1))) & 0x0F
             lsh = (scales_h >> (2 * ib)) & 3
             ls[..., ib] = (lsl.astype(np.int32) | (lsh.astype(np.int32) << 4)) - 32
-        return col(codes), {"d": col(d), "sc": col(ls.astype(np.int8).view(np.uint8))}
+        scale = (d[..., None] * ls.astype(F32)).astype(F32)
+        return col(codes), col(scale), None
 
     raise NotImplementedError(f"repack of {gtype.name} not supported")
 
 
-# metadata: (code_bits, sub-block size G, superblock SB, has mins, LUT)
+# metadata: code bits, scale-group size G, split unit U, optional LUT/sign
 _SCHEMA = {
-    GGMLType.Q4_0: dict(bits=4, G=32, bias=8),
-    GGMLType.Q4_1: dict(bits=4, G=32, affine=True),
-    GGMLType.Q5_0: dict(bits=5, G=32, bias=16),
-    GGMLType.Q5_1: dict(bits=5, G=32, affine=True),
+    GGMLType.Q4_0: dict(bits=4, G=32),
+    GGMLType.Q4_1: dict(bits=4, G=32),
+    GGMLType.Q5_0: dict(bits=5, G=32),
+    GGMLType.Q5_1: dict(bits=5, G=32),
     GGMLType.Q8_0: dict(bits=8, G=32, signed=True),
-    GGMLType.MXFP4: dict(bits=4, G=32, lut=MXFP4_VALUES, e8m0=True),
+    GGMLType.MXFP4: dict(bits=4, G=32, lut=MXFP4_VALUES),
     GGMLType.IQ4_NL: dict(bits=4, G=32, lut=IQ4_NL_VALUES),
-    GGMLType.Q4_K: dict(bits=4, G=32, SB=256, kscale=True, kmin=True),
-    GGMLType.Q5_K: dict(bits=5, G=32, SB=256, kscale=True, kmin=True),
-    GGMLType.Q6_K: dict(bits=6, G=16, SB=256, kscale=True, sc_signed=True, bias=32),
-    GGMLType.Q2_K: dict(bits=2, G=16, SB=256, kscale=True, kmin=True),
-    GGMLType.Q3_K: dict(bits=3, G=16, SB=256, kscale=True, sc_signed=True, bias=4),
-    GGMLType.IQ4_XS: dict(bits=4, G=32, SB=256, kscale=True, sc_signed=True, lut=IQ4_NL_VALUES),
+    GGMLType.Q4_K: dict(bits=4, G=32, SB=256),
+    GGMLType.Q5_K: dict(bits=5, G=32, SB=256),
+    GGMLType.Q6_K: dict(bits=6, G=16, SB=256),
+    GGMLType.Q2_K: dict(bits=2, G=16, SB=256),
+    GGMLType.Q3_K: dict(bits=3, G=16, SB=256),
+    GGMLType.IQ4_XS: dict(bits=4, G=32, SB=256, lut=IQ4_NL_VALUES),
 }
 
 
@@ -226,7 +235,7 @@ def split_unit(gtype: GGMLType) -> int:
 
 def repack(data: np.ndarray, gtype: GGMLType, n_out: int, n_in: int) -> dict[str, jax.Array]:
     """Repack ggml blocks (row-major packed bytes) into TPU planes (host→device)."""
-    codes, extra = _fields(data, gtype, n_out, n_in)
+    codes, scale, minus = _decode_blocks(data, gtype, n_out, n_in)
     meta = _SCHEMA[gtype]
     bits = meta["bits"]
     U = split_unit(gtype)
@@ -246,16 +255,10 @@ def repack(data: np.ndarray, gtype: GGMLType, n_out: int, n_in: int) -> dict[str
         planes["qs"] = _bitplane_pack(codes, 2, U)
     elif bits == 8:
         planes["qs"] = codes
-    planes.update(extra)
-    out = {}
-    for k, v in planes.items():
-        if v.dtype == np.dtype("<f2"):
-            # store f16 scale fields as f32 planes (small: 1/G of the weight);
-            # value is the exact f32 of the stored f16, matching ggml dequant
-            out[k] = jnp.asarray(v.astype(np.float32))
-        else:
-            out[k] = jnp.asarray(v)
-    return out
+    planes["scale"] = scale
+    if minus is not None:
+        planes["minus"] = minus
+    return {k: jnp.asarray(v) for k, v in planes.items()}
 
 
 # ---------------------------------------------------------------------------
@@ -313,37 +316,17 @@ def _expand_codes(planes: dict[str, jax.Array], gtype: GGMLType) -> jax.Array:
     return c
 
 
-def _group_scales(planes: dict[str, jax.Array], gtype: GGMLType, K: int):
-    """Effective per-sub-group (G rows) scale & min planes, f32 [K/G, N]."""
+def _mapped_values(codes: jax.Array, gtype: GGMLType) -> jax.Array:
+    """codes (int32) → f32 values through the type's code map."""
     meta = _SCHEMA[gtype]
-    G = meta["G"]
-    n_groups = K // G
-
-    def rep_rows(x, rep):
-        # repeat along rows via broadcast (Mosaic-friendly; no jnp.repeat)
-        S, N = x.shape
-        return jnp.broadcast_to(x[:, None, :], (S, rep, N)).reshape(S * rep, N)
-
-    if meta.get("e8m0"):
-        scale = jnp.exp2(_u32(planes["e"]).astype(jnp.float32) - 128.0)
-        return scale, None
-    d = planes["d"].astype(jnp.float32)  # [K/SB or K/G, N]
-    if meta.get("kscale"):
-        sc = _u32(planes["sc"])
-        if meta.get("sc_signed"):
-            sc = _sign8(sc)
-        sc = sc.astype(jnp.float32)  # [K/G, N]
-        rep = n_groups // d.shape[0]
-        scale = rep_rows(d, rep) * sc
-        if meta.get("kmin"):
-            dmin = planes["dmin"].astype(jnp.float32)
-            mins = rep_rows(dmin, rep) * _u32(planes["m"]).astype(jnp.float32)
-            return scale, mins
-        return scale, None
-    # simple 32-block types: d (and m) are already per group
-    if meta.get("affine"):
-        return d, -planes["m"].astype(jnp.float32)  # w = d*q + m  ->  minus(-m)
-    return d, None
+    if meta.get("lut"):
+        lut = meta["lut"]
+        # branchless LUT via where-chain (16-entry gathers don't vectorize)
+        out = jnp.full(codes.shape, float(lut[0]), dtype=jnp.float32)
+        for i in range(1, len(lut)):
+            out = jnp.where(codes == i, float(lut[i]), out)
+        return out
+    return codes.astype(jnp.float32)
 
 
 def dequant_planes(planes: dict[str, jax.Array], gtype: GGMLType, n_out: int, n_in: int,
@@ -351,17 +334,12 @@ def dequant_planes(planes: dict[str, jax.Array], gtype: GGMLType, n_out: int, n_
     """Reference dequant of the full plane set -> dense [K, N] = [n_in, n_out]."""
     meta = _SCHEMA[gtype]
     G = meta["G"]
-    codes = _expand_codes(planes, gtype)  # [K, N] int32
-    vals = codes.astype(jnp.float32)
-    if meta.get("lut"):
-        lut = jnp.asarray(meta["lut"], dtype=jnp.float32)
-        vals = lut[codes]
-    if meta.get("bias"):
-        vals = vals - meta["bias"]
-    scale, mins = _group_scales(planes, gtype, n_in)
-    vals = vals.reshape(n_in // G, G, n_out) * scale[:, None, :]
-    if mins is not None:
-        vals = vals - mins[:, None, :]
+    codes = _expand_codes(planes, gtype)
+    vals = _mapped_values(codes, gtype)
+    n_groups = n_in // G
+    vals = vals.reshape(n_groups, G, n_out) * planes["scale"].reshape(n_groups, 1, n_out)
+    if "minus" in planes:
+        vals = vals - planes["minus"].reshape(n_groups, 1, n_out)
     return vals.reshape(n_in, n_out).astype(dtype)
 
 

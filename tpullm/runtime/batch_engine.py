@@ -20,7 +20,7 @@ from ..gguf.reader import GGUFReader
 from ..models.registry import get_arch, load_hparams
 from .. import tokenizer as tokenizer_mod
 from .engine import PREFILL_BUCKETS, PerfCounters
-from .kvcache import KVCache
+from .kvcache import KVCache, make_cache
 
 
 class BatchEngine:
@@ -45,7 +45,7 @@ class BatchEngine:
         self.max_seq = max_seq
         self.prefill_chunk = min(prefill_chunk, max_seq)
         self.kv_dtype = kv_dtype
-        self.cache = KVCache.new(self.hp, n_slots, max_seq, kv_dtype)
+        self.cache = make_cache(self.hp, n_slots, max_seq, kv_dtype)
         self.n_past = np.zeros(n_slots, dtype=np.int32)
         self.perf = PerfCounters(t_load_s=time.perf_counter() - t0)
 

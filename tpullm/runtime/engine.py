@@ -20,7 +20,7 @@ import numpy as np
 
 from ..gguf.reader import GGUFReader
 from ..models.registry import get_arch, load_hparams
-from ..runtime.kvcache import KVCache
+from ..runtime.kvcache import KVCache, make_cache
 from ..runtime.sampling import Sampler, SamplerParams
 from .. import tokenizer as tokenizer_mod
 
@@ -128,7 +128,7 @@ class Engine:
         self.max_seq = max_seq
         self.batch = batch
         self.kv_dtype = kv_dtype
-        self.cache = KVCache.new(self.hp, batch, max_seq, kv_dtype)
+        self.cache = make_cache(self.hp, batch, max_seq, kv_dtype)
         self.n_past = 0
         self.perf = PerfCounters(t_load_s=time.perf_counter() - t0)
 

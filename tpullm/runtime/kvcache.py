@@ -46,6 +46,10 @@ class KVCache:
         shape_v = (hp.n_layer, batch, hp.n_head_kv, max_len, hp.head_dim_v)
         return cls(jnp.zeros(shape_k, dtype), jnp.zeros(shape_v, dtype))
 
+    def kv(self, layer: int) -> tuple[jax.Array, jax.Array]:
+        """Attention-ready (k, v) views for a layer: [B, Hkv, S, D]."""
+        return self.k[layer], self.v[layer]
+
     def update(self, layer: int, k_new: jax.Array, v_new: jax.Array, offset) -> "KVCache":
         """Write k/v [B, Hkv, T, D] at sequence position `offset` of `layer`.
 
@@ -75,3 +79,102 @@ class KVCache:
         k_l = jax.vmap(row)(self.k[layer], k_new, offset)
         v_l = jax.vmap(row)(self.v[layer], v_new, offset)
         return KVCache(self.k.at[layer].set(k_l), self.v.at[layer].set(v_l))
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class QuantKVCache:
+    """Q8-quantized KV storage (≡ cparams.type_k/type_v = q8_0 + the fork's
+    Q8 flash-attention pipeline, SURVEY.md §2.4).
+
+    int8 codes with one f32 scale per (layer, batch, head, position) vector —
+    per-row rather than ggml's per-32-block scale, which keeps the layout a
+    clean [..., S, D] int8 plane the MXU path can consume; HBM traffic per
+    cached value drops bf16→int8+scale (≈0.53×). Dequantization is an
+    elementwise multiply XLA fuses into the attention matmul's operand read.
+    """
+
+    k_q: jax.Array  # [L, B, Hkv, S, Dk] int8
+    v_q: jax.Array  # [L, B, Hkv, S, Dv] int8
+    k_s: jax.Array  # [L, B, Hkv, S] f32
+    v_s: jax.Array  # [L, B, Hkv, S] f32
+
+    def tree_flatten(self):
+        return (self.k_q, self.v_q, self.k_s, self.v_s), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def max_len(self) -> int:
+        return self.k_q.shape[3]
+
+    @property
+    def batch(self) -> int:
+        return self.k_q.shape[1]
+
+    @classmethod
+    def new(cls, hp: HParams, batch: int, max_len: int, dtype=None) -> "QuantKVCache":
+        sk = (hp.n_layer, batch, hp.n_head_kv, max_len, hp.head_dim)
+        sv = (hp.n_layer, batch, hp.n_head_kv, max_len, hp.head_dim_v)
+        ss = (hp.n_layer, batch, hp.n_head_kv, max_len)
+        return cls(
+            jnp.zeros(sk, jnp.int8), jnp.zeros(sv, jnp.int8),
+            jnp.zeros(ss, jnp.float32), jnp.zeros(ss, jnp.float32),
+        )
+
+    @staticmethod
+    def _quantize(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+        """[..., D] → (int8 codes, f32 scale[...])."""
+        xf = x.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(xf), axis=-1)
+        scale = amax / 127.0
+        inv = jnp.where(scale > 0, 1.0 / jnp.where(scale > 0, scale, 1.0), 0.0)
+        q = jnp.clip(jnp.round(xf * inv[..., None]), -127, 127).astype(jnp.int8)
+        return q, scale
+
+    def kv(self, layer: int) -> tuple[jax.Array, jax.Array]:
+        k = self.k_q[layer].astype(jnp.bfloat16) * self.k_s[layer][..., None].astype(jnp.bfloat16)
+        v = self.v_q[layer].astype(jnp.bfloat16) * self.v_s[layer][..., None].astype(jnp.bfloat16)
+        return k, v
+
+    def update(self, layer: int, k_new: jax.Array, v_new: jax.Array, offset) -> "QuantKVCache":
+        k_q, k_s = self._quantize(k_new)  # [B, Hkv, T, D], [B, Hkv, T]
+        v_q, v_s = self._quantize(v_new)
+        offset = jnp.asarray(offset)
+        if offset.ndim == 0:
+            kq = jax.lax.dynamic_update_slice(self.k_q, k_q[None], (layer, 0, 0, offset, 0))
+            vq = jax.lax.dynamic_update_slice(self.v_q, v_q[None], (layer, 0, 0, offset, 0))
+            ks = jax.lax.dynamic_update_slice(self.k_s, k_s[None], (layer, 0, 0, offset))
+            vs = jax.lax.dynamic_update_slice(self.v_s, v_s[None], (layer, 0, 0, offset))
+            return QuantKVCache(kq, vq, ks, vs)
+
+        def row4(cache_row, new_row, off):
+            start = jnp.maximum(off, 0)
+            cur = jax.lax.dynamic_slice(cache_row, (0, start, 0), new_row.shape)
+            src = jnp.where(off >= 0, new_row, cur)
+            return jax.lax.dynamic_update_slice(cache_row, src, (0, start, 0))
+
+        def row3(cache_row, new_row, off):
+            start = jnp.maximum(off, 0)
+            cur = jax.lax.dynamic_slice(cache_row, (0, start), new_row.shape)
+            src = jnp.where(off >= 0, new_row, cur)
+            return jax.lax.dynamic_update_slice(cache_row, src, (0, start))
+
+        kq = self.k_q.at[layer].set(jax.vmap(row4)(self.k_q[layer], k_q, offset))
+        vq = self.v_q.at[layer].set(jax.vmap(row4)(self.v_q[layer], v_q, offset))
+        ks = self.k_s.at[layer].set(jax.vmap(row3)(self.k_s[layer], k_s, offset))
+        vs = self.v_s.at[layer].set(jax.vmap(row3)(self.v_s[layer], v_s, offset))
+        return QuantKVCache(kq, vq, ks, vs)
+
+
+def make_cache(hp: HParams, batch: int, max_len: int, kv_dtype):
+    """kv_dtype: jnp dtype for dense storage, or the string 'q8_0'
+    (≡ --cache-type-k/v q8_0)."""
+    if isinstance(kv_dtype, str):
+        if kv_dtype in ("q8_0", "q8"):
+            return QuantKVCache.new(hp, batch, max_len)
+        kv_dtype = {"f16": jnp.float16, "bf16": jnp.bfloat16,
+                    "f32": jnp.float32}[kv_dtype]
+    return KVCache.new(hp, batch, max_len, kv_dtype)

@@ -66,8 +66,9 @@ def _instrumented_llama_forward(hp, params, tokens, positions, cache, offset):
         from ..ops.attention import attention
 
         scale = hp.attn_scale if hp.attn_scale is not None else hp.head_dim ** -0.5
+        k_all, v_all = cache.kv(li)
         attn_out = attention(
-            q, cache.k[li], cache.v[li], mask, scale,
+            q, k_all, v_all, mask, scale,
             offsets=offsets, sliding_window=hp.sliding_window,
         ).reshape(B, T, hp.n_head * hp.head_dim_v)
         stats[p + "attn_output.weight"] = sq(attn_out)
