@@ -20,8 +20,8 @@ CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
 MODEL = os.path.join(CACHE, "bench-llama3-8b-q4km.gguf")
 
 N_WARMUP = 5
-N_STEPS = 256
-CHUNK = 128  # decode steps per device program call (amortizes dispatch)
+N_STEPS = 512
+CHUNK = 256  # decode steps per device program call (amortizes dispatch)
 
 
 def log(*a):

@@ -90,7 +90,7 @@ def _decode_blocks(data: np.ndarray, gtype: GGMLType, n_out: int, n_in: int):
         codes = np.concatenate([qs & 0x0F, qs >> 4], axis=2)
         d = f16(b[..., 0:2])[..., 0]  # (n_out, nb)
         if gtype == GGMLType.Q4_0:
-            return col(codes), col(d), col((d * 8.0).astype(F32))
+            return col(codes), col(d), None  # bias 8 folded in-kernel
         m = f16(b[..., 2:4])[..., 0]
         return col(codes), col(d), col((-m).astype(F32))
 
@@ -103,7 +103,7 @@ def _decode_blocks(data: np.ndarray, gtype: GGMLType, n_out: int, n_in: int):
         codes = np.concatenate([qs & 0x0F, qs >> 4], axis=2) | (hbits << 4)
         d = f16(b[..., 0:2])[..., 0]
         if gtype == GGMLType.Q5_0:
-            return col(codes), col(d), col((d * 16.0).astype(F32))
+            return col(codes), col(d), None  # bias 16 folded in-kernel
         m = f16(b[..., 2:4])[..., 0]
         return col(codes), col(d), col((-m).astype(F32))
 
@@ -157,8 +157,7 @@ def _decode_blocks(data: np.ndarray, gtype: GGMLType, n_out: int, n_in: int):
         )
         codes = (lo | (hi << 4)).reshape(n_out, nb, 256)
         scale = (d[..., None] * sc.reshape(n_out, nb, 16)).astype(F32)
-        minus = (scale * 32.0).astype(F32)
-        return col(codes), col(scale), col(minus)
+        return col(codes), col(scale), None  # bias 32 folded in-kernel
 
     if gtype == GGMLType.Q2_K:
         scales = b[..., 0:16]
@@ -185,8 +184,7 @@ def _decode_blocks(data: np.ndarray, gtype: GGMLType, n_out: int, n_in: int):
         )
         codes = lo | (hb << 2)  # 3-bit code, value = code - 4
         scale = (d[..., None] * sc.astype(F32)).astype(F32)
-        minus = (scale * 4.0).astype(F32)
-        return col(codes), col(scale), col(minus)
+        return col(codes), col(scale), None  # bias 4 folded in-kernel
 
     if gtype == GGMLType.IQ4_XS:
         d = f16(b[..., 0:2])[..., 0]
@@ -207,18 +205,18 @@ def _decode_blocks(data: np.ndarray, gtype: GGMLType, n_out: int, n_in: int):
 
 # metadata: code bits, scale-group size G, split unit U, optional LUT/sign
 _SCHEMA = {
-    GGMLType.Q4_0: dict(bits=4, G=32),
+    GGMLType.Q4_0: dict(bits=4, G=32, bias=8),
     GGMLType.Q4_1: dict(bits=4, G=32),
-    GGMLType.Q5_0: dict(bits=5, G=32),
+    GGMLType.Q5_0: dict(bits=5, G=32, bias=16),
     GGMLType.Q5_1: dict(bits=5, G=32),
-    GGMLType.Q8_0: dict(bits=8, G=32, signed=True),
+    GGMLType.Q8_0: dict(bits=8, G=32, signed=True),  # bias folded by sign-extension
     GGMLType.MXFP4: dict(bits=4, G=32, lut=MXFP4_VALUES),
     GGMLType.IQ4_NL: dict(bits=4, G=32, lut=IQ4_NL_VALUES),
     GGMLType.Q4_K: dict(bits=4, G=32, SB=256),
     GGMLType.Q5_K: dict(bits=5, G=32, SB=256),
-    GGMLType.Q6_K: dict(bits=6, G=16, SB=256),
+    GGMLType.Q6_K: dict(bits=6, G=16, SB=256, bias=32),
     GGMLType.Q2_K: dict(bits=2, G=16, SB=256),
-    GGMLType.Q3_K: dict(bits=3, G=16, SB=256),
+    GGMLType.Q3_K: dict(bits=3, G=16, SB=256, bias=4),
     GGMLType.IQ4_XS: dict(bits=4, G=32, SB=256, lut=IQ4_NL_VALUES),
 }
 
@@ -317,8 +315,12 @@ def _expand_codes(planes: dict[str, jax.Array], gtype: GGMLType) -> jax.Array:
 
 
 def _mapped_values(codes: jax.Array, gtype: GGMLType) -> jax.Array:
-    """codes (int32) → f32 values through the type's code map."""
+    """codes (int32) → f32 values through the type's code map (bias for
+    symmetric types subtracted here, in int — ≡ ggml's (q − 8)·d form)."""
     meta = _SCHEMA[gtype]
+    bias = meta.get("bias")
+    if bias:
+        return (codes - bias).astype(jnp.float32)
     if meta.get("lut"):
         lut = meta["lut"]
         # branchless LUT via where-chain (16-entry gathers don't vectorize)
