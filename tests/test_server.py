@@ -202,3 +202,60 @@ def test_scheduler_grammar_constrained(engine):
             assert isinstance(obj["n"], int)
     finally:
         sched.stop()
+
+
+def test_prompt_prefix_reuse(engine):
+    """Second request sharing a prompt prefix reuses the slot's KV cache
+    (≡ server cache_prompt common-prefix reuse)."""
+    sched = Scheduler(engine)
+    sched.start()
+    try:
+        tok = engine.tokenizer
+        ids1 = tok.tokenize("the quick brown fox jumps over the lazy dog",
+                            add_special=True)
+        r1 = sched.submit(GenRequest(prompt_ids=ids1, max_tokens=4,
+                                     sampling=SamplerParams(temp=0.0)))
+        toks1, _, _ = _drain(r1)
+        assert sched.n_reused_tokens == 0
+
+        ids2 = ids1 + toks1 + tok.tokenize(" and then", add_special=False)
+        r2 = sched.submit(GenRequest(prompt_ids=ids2, max_tokens=4,
+                                     sampling=SamplerParams(temp=0.0)))
+        toks2, _, _ = _drain(r2)
+        assert sched.n_reused_tokens > 0
+
+        # correctness: reused-cache output equals fresh-engine output
+        eng2 = BatchEngine(engine.reader.path, n_slots=1, max_seq=128,
+                           mode="dense", prefill_chunk=32)
+        sched2 = Scheduler(eng2)
+        sched2.start()
+        try:
+            r3 = sched2.submit(GenRequest(prompt_ids=ids2, max_tokens=4,
+                                          sampling=SamplerParams(temp=0.0)))
+            toks3, _, _ = _drain(r3)
+            assert toks2 == toks3
+        finally:
+            sched2.stop()
+    finally:
+        sched.stop()
+
+
+def test_context_shift_long_generation(tmp_path):
+    """Generation past the context window survives via context shift
+    (≡ server context-shift, test_ctx_shift.py)."""
+    path = make_tiny_llama_gguf(tmp_path / "cs.gguf", n_embd=64, n_head=4,
+                                n_head_kv=2, n_ff=128, n_layer=2)
+    eng = BatchEngine(path, n_slots=1, max_seq=48, mode="dense",
+                      prefill_chunk=16)
+    sched = Scheduler(eng)
+    sched.start()
+    try:
+        ids = eng.tokenizer.tokenize("the quick brown", add_special=True)
+        req = sched.submit(GenRequest(prompt_ids=ids, max_tokens=100,
+                                      sampling=SamplerParams(temp=0.0)))
+        toks, reason, stats = _drain(req, timeout=120)
+        assert len(toks) == 100  # well past max_seq=48
+        assert reason == "length"
+        assert sched.n_context_shifts >= 1
+    finally:
+        sched.stop()

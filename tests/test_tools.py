@@ -95,3 +95,45 @@ def test_chat_template_jinja():
     )
     out = apply_chat_template(tpl, [{"role": "user", "content": "yo"}])
     assert out == "<user>yo</user><assistant>"
+
+
+def test_gguf_split_merge_roundtrip(tiny, tmp_path):
+    """Shard, transparently load shard-1, merge back (≡ tools/gguf-split)."""
+    import numpy as np
+
+    from tpullm.tools.gguf_split import merge_model, split_model
+
+    paths = split_model(str(tiny), str(tmp_path / "shard"), max_tensors=5,
+                        verbose=False)
+    assert len(paths) > 1
+    assert paths[0].endswith("-00001-of-%05d.gguf" % len(paths))
+
+    # reader absorbs all shards from shard 1
+    r_full = GGUFReader(tiny)
+    r_split = GGUFReader(paths[0])
+    assert set(r_split.tensors) == set(r_full.tensors)
+    np.testing.assert_array_equal(
+        r_split.tensors["token_embd.weight"].to_numpy(),
+        r_full.tensors["token_embd.weight"].to_numpy(),
+    )
+
+    # the engine can run straight off the sharded file
+    from tpullm.runtime import Engine
+
+    eng = Engine(paths[0], mode="dense", max_seq=64)
+    assert isinstance(eng.generate("the quick", max_new_tokens=2), str)
+
+    merged = tmp_path / "merged.gguf"
+    merge_model(paths[0], str(merged), verbose=False)
+    r_m = GGUFReader(merged)
+    assert set(r_m.tensors) == set(r_full.tensors)
+    assert "split.count" not in r_m.metadata
+
+
+def test_tokenize_cli(tiny, capsys):
+    from tpullm.tools.tokenize import main
+
+    assert main(["-m", str(tiny), "-p", "hello world", "--ids"]) == 0
+    out = capsys.readouterr().out
+    ids = eval(out.strip())
+    assert isinstance(ids, list) and len(ids) > 0

@@ -199,6 +199,27 @@ class GGUFReader:
             begin = data_start + info.offset
             info.data = raw[begin : begin + info.n_bytes]
 
+        # sharded models (≡ llama_split_path, llama.h:1479): shard 1 of N
+        # named <prefix>-00001-of-000NN.gguf absorbs its siblings' tensors
+        self._shards: list[GGUFReader] = []
+        n_split = int(self.metadata.get("split.count", 0) or 0)
+        if n_split > 1 and int(self.metadata.get("split.no", 0) or 0) == 0:
+            import re as _re
+
+            m = _re.match(r"^(.*)-(\d{5})-of-(\d{5})\.gguf$", str(self.path))
+            if m and int(m.group(2)) == 1:
+                prefix, _, total = m.groups()
+                for i in range(2, int(total) + 1):
+                    sib = Path(f"{prefix}-{i:05d}-of-{total}.gguf")
+                    if not sib.exists():
+                        raise GGUFFormatError(f"missing shard {sib}")
+                    shard = GGUFReader(sib)
+                    self._shards.append(shard)
+                    for name, info in shard.tensors.items():
+                        if name in self.tensors:
+                            raise GGUFFormatError(f"duplicate tensor {name} in {sib}")
+                        self.tensors[name] = info
+
     # -- convenience accessors ------------------------------------------------
 
     @property
@@ -215,6 +236,8 @@ class GGUFReader:
     def close(self):
         """Best-effort close: numpy tensor views may still point into the map,
         in which case the mapping is released when they are garbage-collected."""
+        for shard in getattr(self, "_shards", []):
+            shard.close()
         try:
             self._mmap.close()
         except BufferError:

@@ -143,6 +143,10 @@ class Server:
             f"tpullm_slots_busy {busy}",
             "# TYPE tpullm_slots_total gauge",
             f"tpullm_slots_total {eng.n_slots}",
+            "# TYPE tpullm_prompt_tokens_reused_total counter",
+            f"tpullm_prompt_tokens_reused_total {s.n_reused_tokens}",
+            "# TYPE tpullm_context_shifts_total counter",
+            f"tpullm_context_shifts_total {s.n_context_shifts}",
         ]
         return web.Response(text="\n".join(lines) + "\n",
                             content_type="text/plain")

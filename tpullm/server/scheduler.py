@@ -66,6 +66,9 @@ class Scheduler:
         self.n_requests = 0
         self.n_tokens_generated = 0
         self.n_prompt_tokens = 0
+        self.n_reused_tokens = 0
+        self.n_context_shifts = 0
+        self.n_keep = 4  # prompt tokens pinned across context shifts
 
     # -- public API ---------------------------------------------------------------
 
@@ -146,6 +149,15 @@ class Scheduler:
     def _free_slots(self):
         return [s for s in self.slots if s.state == SlotState.IDLE]
 
+    @staticmethod
+    def _common_prefix(a: list, b: list) -> int:
+        n = 0
+        for x, y in zip(a, b):
+            if x != y:
+                break
+            n += 1
+        return n
+
     def _iteration(self) -> bool:
         did = False
         # embedding jobs run in any idle slot, one per iteration
@@ -173,7 +185,13 @@ class Scheduler:
             except queue.Empty:
                 req = None
             if req is not None:
-                self._admit(free[0], req)
+                # best-match slot by common prompt prefix (≡ server's
+                # launch_slot_with_task similarity selection)
+                slot = max(
+                    free,
+                    key=lambda s: self._common_prefix(s.tokens, req.prompt_ids),
+                )
+                self._admit(slot, req)
                 did = True
 
         # one batched decode step over generating slots
@@ -211,11 +229,25 @@ class Scheduler:
             slot.sampler = Sampler(req.sampling)
         slot.n_generated = 0
         slot.text = ""
-        slot.tokens = list(req.prompt_ids)
         slot.t_start = time.perf_counter()
-        eng.free_slot(slot.index)
+        # prompt-cache reuse (≡ server cache_prompt / n_past common-prefix
+        # reuse, server-context.cpp:2206): keep the matching cache prefix and
+        # prefill only the new tail. At least one token must be re-fed so the
+        # last-position logits exist.
+        # cache holds KV only up to n_past (the final sampled token of a
+        # finished request was never decoded back in)
+        n_common = min(self._common_prefix(slot.tokens, req.prompt_ids), n - 1,
+                       int(eng.n_past[slot.index]))
+        if n_common > 0:
+            eng.n_past[slot.index] = n_common
+            tail = req.prompt_ids[n_common:]
+            self.n_reused_tokens += n_common
+        else:
+            eng.free_slot(slot.index)
+            tail = req.prompt_ids
+        slot.tokens = list(req.prompt_ids)
         self.n_prompt_tokens += n
-        logits = eng.prefill_slot(slot.index, req.prompt_ids)
+        logits = eng.prefill_slot(slot.index, tail)
         slot.state = SlotState.GENERATING
         self._advance(slot, logits, first=True)
 
@@ -246,9 +278,25 @@ class Scheduler:
             self._finish(slot, "length")
             return
         if int(self.engine.n_past[slot.index]) + 1 >= self.engine.max_seq:
-            self._finish(slot, "length")
-            return
+            self._context_shift(slot)
         slot.pending_token = token
+
+    def _context_shift(self, slot: _Slot):
+        """StreamingLLM-style shift (≡ server context-shift,
+        server-context.cpp:1963): keep n_keep head tokens + the recent half
+        of the window, re-prefill the compressed history. The reference
+        rotates cached RoPE phases in place; with absolute-slot caches the
+        equivalent is recomputing the kept suffix — one prefill per
+        half-window of generation."""
+        eng = self.engine
+        keep = self.n_keep
+        half = (eng.max_seq - keep) // 2
+        kept = slot.tokens[:keep] + slot.tokens[-half:]
+        eng.free_slot(slot.index)
+        eng.prefill_slot(slot.index, kept)
+        slot.tokens = list(kept)
+        self.n_context_shifts += 1
+        self._wake.set()
 
     def _finish(self, slot: _Slot, reason: str):
         req = slot.request
@@ -264,4 +312,5 @@ class Scheduler:
         slot.request = None
         slot.sampler = None
         slot.pending_token = None
+        # slot.tokens and the KV prefix stay for prompt-cache reuse
         self._wake.set()
