@@ -1,18 +1,26 @@
-"""Chat templating (≡ reference src/llama-chat.cpp builtin templates +
-common/jinja engine for GGUF-embedded Jinja templates).
+"""Chat templating + tool-call parsing.
 
-Uses jinja2 when the model embeds a template (tokenizer.chat_template);
-otherwise falls back to detected builtin formats.
+Reference: src/llama-chat.cpp (≈40 builtin non-Jinja templates with
+string-sniff detection) + common/jinja (own Jinja engine for GGUF-embedded
+templates) + common/chat-parser* (tool-call extraction from model output).
+
+GGUF-embedded Jinja templates render through tpullm.jinja (no external
+dependency); when a model has no template, the detected builtin renderer
+applies.
 """
 
 from __future__ import annotations
 
+import json
+import re
 from typing import Sequence
+
+from .jinja import Template, TemplateError
 
 Message = dict  # {"role": str, "content": str}
 
 
-def _render_chatml(messages: Sequence[Message], add_generation_prompt: bool) -> str:
+def _render_chatml(messages, add_generation_prompt):
     out = []
     for m in messages:
         out.append(f"<|im_start|>{m['role']}\n{m['content']}<|im_end|>\n")
@@ -21,7 +29,7 @@ def _render_chatml(messages: Sequence[Message], add_generation_prompt: bool) -> 
     return "".join(out)
 
 
-def _render_llama2(messages: Sequence[Message], add_generation_prompt: bool) -> str:
+def _render_llama2(messages, add_generation_prompt):
     out = []
     system = ""
     for m in messages:
@@ -38,7 +46,7 @@ def _render_llama2(messages: Sequence[Message], add_generation_prompt: bool) -> 
     return "".join(out)
 
 
-def _render_llama3(messages: Sequence[Message], add_generation_prompt: bool) -> str:
+def _render_llama3(messages, add_generation_prompt):
     out = ["<|begin_of_text|>"]
     for m in messages:
         out.append(
@@ -49,21 +57,127 @@ def _render_llama3(messages: Sequence[Message], add_generation_prompt: bool) -> 
     return "".join(out)
 
 
+def _render_gemma(messages, add_generation_prompt):
+    # system folds into the first user turn (≡ llama-chat.cpp gemma handling)
+    out = []
+    system = ""
+    for m in messages:
+        if m["role"] == "system":
+            system = m["content"]
+            continue
+        role = "model" if m["role"] == "assistant" else m["role"]
+        content = m["content"]
+        if system and role == "user":
+            content = system + "\n\n" + content
+            system = ""
+        out.append(f"<start_of_turn>{role}\n{content}<end_of_turn>\n")
+    if add_generation_prompt:
+        out.append("<start_of_turn>model\n")
+    return "".join(out)
+
+
+def _render_mistral_v7(messages, add_generation_prompt):
+    out = []
+    for m in messages:
+        if m["role"] == "system":
+            out.append(f"[SYSTEM_PROMPT] {m['content']}[/SYSTEM_PROMPT]")
+        elif m["role"] == "user":
+            out.append(f"[INST] {m['content']}[/INST]")
+        else:
+            out.append(f" {m['content']}</s>")
+    return "".join(out)
+
+
+def _render_phi3(messages, add_generation_prompt):
+    out = []
+    for m in messages:
+        out.append(f"<|{m['role']}|>\n{m['content']}<|end|>\n")
+    if add_generation_prompt:
+        out.append("<|assistant|>\n")
+    return "".join(out)
+
+
+def _render_zephyr(messages, add_generation_prompt):
+    out = []
+    for m in messages:
+        out.append(f"<|{m['role']}|>\n{m['content']}<|endoftext|>\n")
+    if add_generation_prompt:
+        out.append("<|assistant|>\n")
+    return "".join(out)
+
+
+def _render_vicuna(messages, add_generation_prompt):
+    out = []
+    for m in messages:
+        if m["role"] == "system":
+            out.append(f"{m['content']}\n\n")
+        elif m["role"] == "user":
+            out.append(f"USER: {m['content']}\n")
+        else:
+            out.append(f"ASSISTANT: {m['content']}</s>\n")
+    if add_generation_prompt:
+        out.append("ASSISTANT:")
+    return "".join(out)
+
+
+def _render_deepseek3(messages, add_generation_prompt):
+    out = []
+    for m in messages:
+        if m["role"] == "system":
+            out.append(m["content"])
+        elif m["role"] == "user":
+            out.append(f"<｜User｜>{m['content']}")
+        else:
+            out.append(f"<｜Assistant｜>{m['content']}<｜end▁of▁sentence｜>")
+    if add_generation_prompt:
+        out.append("<｜Assistant｜>")
+    return "".join(out)
+
+
+def _render_falcon3(messages, add_generation_prompt):
+    out = []
+    for m in messages:
+        out.append(f"<|{m['role']}|>\n{m['content']}\n")
+    if add_generation_prompt:
+        out.append("<|assistant|>\n")
+    return "".join(out)
+
+
 BUILTIN = {
     "chatml": _render_chatml,
     "llama2": _render_llama2,
     "llama3": _render_llama3,
+    "gemma": _render_gemma,
+    "mistral-v7": _render_mistral_v7,
+    "phi3": _render_phi3,
+    "zephyr": _render_zephyr,
+    "vicuna": _render_vicuna,
+    "deepseek3": _render_deepseek3,
+    "falcon3": _render_falcon3,
 }
 
 
 def detect_builtin(template: str | None) -> str:
-    """Template-string → builtin-name detection (≡ llm_chat_detect_template)."""
+    """Template-string → builtin-name detection (≡ llm_chat_detect_template,
+    src/llama-chat.cpp string sniffing)."""
     if not template:
         return "chatml"
     if "<|im_start|>" in template:
         return "chatml"
     if "<|start_header_id|>" in template:
         return "llama3"
+    if "<start_of_turn>" in template:
+        return "gemma"
+    if "[SYSTEM_PROMPT]" in template:
+        return "mistral-v7"
+    if "<|end|>" in template and "<|assistant|>" in template:
+        return "phi3"
+    if "<|endoftext|>" in template and "<|assistant|>" in template:
+        return "zephyr"
+    if "<｜User｜>" in template:
+        return "deepseek3"
+    if "USER:" in template and "ASSISTANT:" in template:
+        return "vicuna"
     if "[INST]" in template:
         return "llama2"
     return "chatml"
@@ -74,37 +188,81 @@ def apply_chat_template(
     messages: Sequence[Message],
     add_generation_prompt: bool = True,
     tools: list | None = None,
+    bos_token: str = "",
+    eos_token: str = "",
     **extra,
 ) -> str:
     """Render a conversation to the model's prompt format."""
     if template and ("{{" in template or "{%" in template):
         try:
-            import jinja2
-
-            env = jinja2.Environment(
-                trim_blocks=True, lstrip_blocks=True,
-                extensions=["jinja2.ext.loopcontrols"],
-            )
-            env.globals["raise_exception"] = _raise_exception
-            env.filters["tojson"] = _tojson
-            tpl = env.from_string(template)
-            return tpl.render(
-                messages=list(messages),
+            return Template(template).render(
+                messages=[dict(m) for m in messages],
                 add_generation_prompt=add_generation_prompt,
                 tools=tools,
-                bos_token="", eos_token="",
+                bos_token=bos_token, eos_token=eos_token,
                 **extra,
             )
-        except Exception:
+        except TemplateError:
             pass  # fall back to builtin detection
-    return BUILTIN[detect_builtin(template)](messages, add_generation_prompt)
+    return BUILTIN[detect_builtin(template)](list(messages), add_generation_prompt)
 
 
-def _raise_exception(msg):
-    raise ValueError(msg)
+# ---------------------------------------------------------------------------
+# tool-call extraction (≡ common/chat-parser.cpp streaming parsers, simplified
+# to whole-message parsing)
+# ---------------------------------------------------------------------------
+
+_HERMES_RE = re.compile(r"<tool_call>\s*(\{.*?\})\s*</tool_call>", re.DOTALL)
+_REASONING_RE = re.compile(r"<think>(.*?)</think>\s*", re.DOTALL)
 
 
-def _tojson(x, indent=None):
-    import json
+def extract_reasoning(text: str) -> tuple[str | None, str]:
+    """Split <think>…</think> reasoning from the visible content
+    (≡ reasoning extraction in common/chat.cpp)."""
+    m = _REASONING_RE.search(text)
+    if not m:
+        return None, text
+    return m.group(1).strip(), _REASONING_RE.sub("", text, count=1)
 
-    return json.dumps(x, indent=indent)
+
+def parse_tool_calls(text: str) -> tuple[str, list[dict]]:
+    """Extract tool calls from model output; returns (content, tool_calls)
+    in OpenAI shape. Understands hermes-style <tool_call>{json}</tool_call>
+    blocks and bare {"name": ..., "arguments": ...} JSON messages."""
+    calls: list[dict] = []
+
+    def add(obj):
+        name = obj.get("name")
+        args = obj.get("arguments", obj.get("parameters", {}))
+        if not name:
+            return False
+        calls.append({
+            "id": f"call_{len(calls)}",
+            "type": "function",
+            "function": {
+                "name": str(name),
+                "arguments": args if isinstance(args, str) else json.dumps(args, ensure_ascii=False),
+            },
+        })
+        return True
+
+    content = text
+    hits = _HERMES_RE.findall(text)
+    if hits:
+        for h in hits:
+            try:
+                add(json.loads(h))
+            except json.JSONDecodeError:
+                continue
+        content = _HERMES_RE.sub("", text).strip()
+        return content, calls
+
+    stripped = text.strip()
+    if stripped.startswith("{") and stripped.endswith("}"):
+        try:
+            obj = json.loads(stripped)
+        except json.JSONDecodeError:
+            return text, []
+        if isinstance(obj, dict) and add(obj):
+            return "", calls
+    return text, []

@@ -11,7 +11,7 @@ import uuid
 
 from aiohttp import web
 
-from ..chat import apply_chat_template
+from ..chat import apply_chat_template, extract_reasoning, parse_tool_calls
 from ..runtime.sampling import SamplerParams
 from .scheduler import GenRequest, Scheduler
 
@@ -301,12 +301,23 @@ class Server:
         if body.get("stream"):
             return await self._stream(request, req, rid, chat=True)
         text, reason, stats = await self._collect(req)
+        # tool-call + reasoning extraction (≡ common/chat-parser)
+        reasoning, text = extract_reasoning(text)
+        tool_calls = []
+        if body.get("tools"):
+            text, tool_calls = parse_tool_calls(text)
+        message = {"role": "assistant", "content": text or None}
+        if reasoning is not None:
+            message["reasoning_content"] = reasoning
+        if tool_calls:
+            message["tool_calls"] = tool_calls
+            reason = "tool_calls"
         return web.json_response({
             "id": rid, "object": "chat.completion", "created": int(time.time()),
             "model": self.model_name,
             "choices": [{
                 "index": 0,
-                "message": {"role": "assistant", "content": text},
+                "message": message,
                 "finish_reason": reason,
             }],
             "usage": {
