@@ -66,6 +66,11 @@ class HParams:
     # default pooling for embeddings (llama_pooling_type):
     # none | mean | cls | last | rank
     pooling: str = "none"
+    # SSM (mamba family): llama_hparams ssm_* (src/llama-hparams.h)
+    ssm_d_conv: int = 0
+    ssm_d_inner: int = 0
+    ssm_d_state: int = 0
+    ssm_dt_rank: int = 0
 
     def is_swa(self, il: int) -> bool:
         return self.sliding_window > 0 and (il + 1) % self.swa_pattern != 0
@@ -171,4 +176,8 @@ def hparams_from_gguf(r: GGUFReader) -> HParams:
                   1 if arch in ("bert", "nomic-bert", "jina-bert-v2") else 0)),
             "none",
         ),
+        ssm_d_conv=int(k("{arch}.ssm.conv_kernel", 0)),
+        ssm_d_inner=int(k("{arch}.ssm.inner_size", 0)),
+        ssm_d_state=int(k("{arch}.ssm.state_size", 0)),
+        ssm_dt_rank=int(k("{arch}.ssm.time_step_rank", 0)),
     )

@@ -19,13 +19,18 @@ class ArchSpec:
     name: str
     build_params: Callable
     forward: Callable
+    # recurrent-state models (SSM/linear attention): no KV cache, exact-length
+    # prefills (≡ llama_memory_recurrent vs llama_kv_cache)
+    recurrent: bool = False
+    make_cache: Callable | None = None  # (hp, batch, max_len, dtype) -> cache
 
 
 _REGISTRY: dict[str, ArchSpec] = {}
 
 
-def register_arch(name: str, build_params, forward, aliases: tuple[str, ...] = ()):
-    spec = ArchSpec(name, build_params, forward)
+def register_arch(name: str, build_params, forward, aliases: tuple[str, ...] = (),
+                  recurrent: bool = False, make_cache=None):
+    spec = ArchSpec(name, build_params, forward, recurrent, make_cache)
     _REGISTRY[name] = spec
     for a in aliases:
         _REGISTRY[a] = spec
@@ -81,6 +86,17 @@ def _ensure_builtin():
         aliases=("gemma2",),
     )
     register_arch("gpt2", gpt2.build_params, gpt2.forward)
+    from . import mamba
+    from ..runtime.recurrent import RecurrentCache
+
+    register_arch(
+        "mamba",
+        mamba.build_params,
+        mamba.forward,
+        aliases=("falcon-mamba",),
+        recurrent=True,
+        make_cache=lambda hp, batch, max_len, dtype: RecurrentCache.new(hp, batch),
+    )
     from . import bert
 
     register_arch(

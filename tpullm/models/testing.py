@@ -380,3 +380,64 @@ def make_tiny_moe_gguf(
     w.add_tensor("output.weight", rand((n_vocab, n_embd)))
     w.write()
     return str(path)
+
+
+def make_tiny_mamba_gguf(
+    path,
+    *,
+    n_layer: int = 2,
+    n_embd: int = 64,
+    d_inner: int = 128,
+    d_state: int = 16,
+    d_conv: int = 4,
+    dt_rank: int = 4,
+    n_ctx: int = 256,
+    seed: int = 0,
+) -> str:
+    """Tiny mamba-shaped GGUF (ssm_* tensor set, recurrent state family)."""
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = _byte_vocab(DEFAULT_WORDS)
+    n_vocab = len(tokens)
+
+    w = GGUFWriter(path, architecture="mamba")
+    w.add_kv("general.name", "tpullm-tiny-mamba")
+    w.add_kv("mamba.block_count", n_layer)
+    w.add_kv("mamba.context_length", n_ctx)
+    w.add_kv("mamba.embedding_length", n_embd)
+    w.add_kv("mamba.feed_forward_length", 0)
+    w.add_kv("mamba.attention.head_count", 0)
+    w.add_kv("mamba.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_kv("mamba.ssm.conv_kernel", d_conv)
+    w.add_kv("mamba.ssm.inner_size", d_inner)
+    w.add_kv("mamba.ssm.state_size", d_state)
+    w.add_kv("mamba.ssm.time_step_rank", dt_rank)
+    w.add_kv("tokenizer.ggml.model", "llama")
+    w.add_kv("tokenizer.ggml.tokens", tokens)
+    w.add_kv("tokenizer.ggml.scores", np.asarray(scores, dtype=np.float32))
+    w.add_kv("tokenizer.ggml.token_type", np.asarray(types, dtype=np.int32))
+    w.add_kv("tokenizer.ggml.bos_token_id", 1)
+    w.add_kv("tokenizer.ggml.eos_token_id", 2)
+    w.add_kv("tokenizer.ggml.unknown_token_id", 0)
+    w.add_kv("tokenizer.ggml.add_bos_token", True)
+
+    def rand(shape, scale=0.05):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    w.add_tensor("token_embd.weight", rand((n_vocab, n_embd)))
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        w.add_tensor(p + "attn_norm.weight", np.ones(n_embd, dtype=np.float32))
+        w.add_tensor(p + "ssm_in.weight", rand((2 * d_inner, n_embd)))
+        w.add_tensor(p + "ssm_conv1d.weight", rand((d_inner, d_conv), 0.2))
+        w.add_tensor(p + "ssm_conv1d.bias", rand((d_inner,)))
+        w.add_tensor(p + "ssm_x.weight", rand((dt_rank + 2 * d_state, d_inner)))
+        w.add_tensor(p + "ssm_dt.weight", rand((d_inner, dt_rank)))
+        w.add_tensor(p + "ssm_dt.bias", rand((d_inner,)) + 0.5)
+        # A_log > 0 so A = -exp(A_log) is stable
+        w.add_tensor(p + "ssm_a", np.abs(rand((d_inner, d_state), 1.0)) + 0.1)
+        w.add_tensor(p + "ssm_d", rand((d_inner,)) + 1.0)
+        w.add_tensor(p + "ssm_out.weight", rand((n_embd, d_inner)))
+    w.add_tensor("output_norm.weight", np.ones(n_embd, dtype=np.float32))
+    w.add_tensor("output.weight", rand((n_vocab, n_embd)))
+    w.write()
+    return str(path)

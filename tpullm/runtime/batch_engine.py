@@ -45,6 +45,10 @@ class BatchEngine:
         self.max_seq = max_seq
         self.prefill_chunk = min(prefill_chunk, max_seq)
         self.kv_dtype = kv_dtype
+        if self.arch.recurrent:
+            raise NotImplementedError(
+                "recurrent archs are single-stream for now (use Engine)"
+            )
         self.cache = make_cache(self.hp, n_slots, max_seq, kv_dtype)
         self.n_past = np.zeros(n_slots, dtype=np.int32)
         self.perf = PerfCounters(t_load_s=time.perf_counter() - t0)

@@ -128,7 +128,10 @@ class Engine:
         self.max_seq = max_seq
         self.batch = batch
         self.kv_dtype = kv_dtype
-        self.cache = make_cache(self.hp, batch, max_seq, kv_dtype)
+        if self.arch.make_cache is not None:
+            self.cache = self.arch.make_cache(self.hp, batch, max_seq, kv_dtype)
+        else:
+            self.cache = make_cache(self.hp, batch, max_seq, kv_dtype)
         self.n_past = 0
         self.perf = PerfCounters(t_load_s=time.perf_counter() - t0)
 
@@ -140,6 +143,10 @@ class Engine:
         self.n_past = 0
 
     def _bucket(self, n: int) -> int:
+        # recurrent models carry state: pad tokens would pollute it, so the
+        # prompt runs at exact length (one compile per prompt length)
+        if self.arch.recurrent:
+            return n
         for b in PREFILL_BUCKETS:
             if n <= b:
                 return min(b, self.max_seq)
