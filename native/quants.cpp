@@ -604,3 +604,187 @@ int tq_quantize(int gtype, const float* src, uint8_t* dst, int64_t n_blocks) {
 int tq_version(void) { return 1; }
 
 } // extern "C"
+
+// ---------------------------------------------------------------------------
+// repack: packed ggml blocks (row-major) -> TPU planes (K-major)
+// Layout contract mirrors tpullm/ops/qmatmul.py plane schema v2 exactly
+// (bit-exact against the numpy reference): half-split 4-bit code planes,
+// bit-plane high bits, premultiplied f32 scale/minus group planes.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// Q4_K: qs (K/2, N) half-split U=256; scale/minus (K/32, N)
+void rp_q4_k(const uint8_t* data, int64_t n_out, int64_t n_in,
+             uint8_t* qs_out, float* scale_out, float* minus_out) {
+    const int64_t nb = n_in / 256;     // blocks per row
+    const int64_t KB = n_in / 2;       // packed code rows
+    (void)KB;
+    for (int64_t n = 0; n < n_out; ++n) {
+        const uint8_t* row = data + n * nb * 144;
+        for (int64_t b = 0; b < nb; ++b) {
+            const uint8_t* blk = row + b * 144;
+            float d = f16_to_f32(load_u16(blk));
+            float dmin = f16_to_f32(load_u16(blk + 2));
+            uint8_t sc[8], mi[8];
+            get_scale_min_k4(blk + 4, sc, mi);
+            for (int g = 0; g < 8; ++g) {
+                scale_out[(b * 8 + g) * n_out + n] = d * (float)sc[g];
+                minus_out[(b * 8 + g) * n_out + n] = dmin * (float)mi[g];
+            }
+            const uint8_t* q = blk + 16;
+            // code[e]: chunk c=e/64, j=e%64: j<32 -> q[32c+j]&0xF else q[32c+j-32]>>4
+            for (int r = 0; r < 128; ++r) {
+                int e1 = r, e2 = r + 128;
+                int c1 = e1 >> 6, j1 = e1 & 63;
+                int c2 = e2 >> 6, j2 = e2 & 63;
+                uint8_t lo = j1 < 32 ? (q[32 * c1 + j1] & 0x0F)
+                                     : (q[32 * c1 + j1 - 32] >> 4);
+                uint8_t hi = j2 < 32 ? (q[32 * c2 + j2] & 0x0F)
+                                     : (q[32 * c2 + j2 - 32] >> 4);
+                qs_out[(b * 128 + r) * n_out + n] = lo | (hi << 4);
+            }
+        }
+    }
+}
+
+// Q5_K: qs (K/2, N) low nibbles half-split; qh (K/8, N) 1-bit plane U=256
+void rp_q5_k(const uint8_t* data, int64_t n_out, int64_t n_in,
+             uint8_t* qs_out, uint8_t* qh_out, float* scale_out, float* minus_out) {
+    const int64_t nb = n_in / 256;
+    for (int64_t n = 0; n < n_out; ++n) {
+        const uint8_t* row = data + n * nb * 176;
+        for (int64_t b = 0; b < nb; ++b) {
+            const uint8_t* blk = row + b * 176;
+            float d = f16_to_f32(load_u16(blk));
+            float dmin = f16_to_f32(load_u16(blk + 2));
+            uint8_t sc[8], mi[8];
+            get_scale_min_k4(blk + 4, sc, mi);
+            for (int g = 0; g < 8; ++g) {
+                scale_out[(b * 8 + g) * n_out + n] = d * (float)sc[g];
+                minus_out[(b * 8 + g) * n_out + n] = dmin * (float)mi[g];
+            }
+            const uint8_t* qh = blk + 16;
+            const uint8_t* ql = blk + 48;
+            uint8_t code[256];
+            for (int c = 0; c < 4; ++c) {
+                for (int j = 0; j < 32; ++j) {
+                    uint8_t byte = ql[32 * c + j];
+                    uint8_t h1 = (qh[j] >> (2 * c)) & 1;
+                    uint8_t h2 = (qh[j] >> (2 * c + 1)) & 1;
+                    code[64 * c + j] = (byte & 0x0F) | (h1 << 4);
+                    code[64 * c + 32 + j] = (byte >> 4) | (h2 << 4);
+                }
+            }
+            for (int r = 0; r < 128; ++r) {
+                qs_out[(b * 128 + r) * n_out + n] =
+                    (code[r] & 0x0F) | ((code[r + 128] & 0x0F) << 4);
+            }
+            // 1-bit plane: row r (0..31), field j (0..7) = highbit[j*32 + r]
+            for (int r = 0; r < 32; ++r) {
+                uint8_t acc = 0;
+                for (int j = 0; j < 8; ++j) {
+                    acc |= ((code[j * 32 + r] >> 4) & 1) << j;
+                }
+                qh_out[(b * 32 + r) * n_out + n] = acc;
+            }
+        }
+    }
+}
+
+// Q6_K: qs (K/2, N) low nibbles; qh (K/4, N) 2-bit plane; scale (K/16, N)
+void rp_q6_k(const uint8_t* data, int64_t n_out, int64_t n_in,
+             uint8_t* qs_out, uint8_t* qh_out, float* scale_out) {
+    const int64_t nb = n_in / 256;
+    for (int64_t n = 0; n < n_out; ++n) {
+        const uint8_t* row = data + n * nb * 210;
+        for (int64_t b = 0; b < nb; ++b) {
+            const uint8_t* blk = row + b * 210;
+            const uint8_t* ql = blk;
+            const uint8_t* qh = blk + 128;
+            const int8_t* sc = (const int8_t*)(blk + 192);
+            float d = f16_to_f32(load_u16(blk + 208));
+            for (int g = 0; g < 16; ++g) {
+                scale_out[(b * 16 + g) * n_out + n] = d * (float)sc[g];
+            }
+            uint8_t code[256];
+            for (int half = 0; half < 2; ++half) {
+                const uint8_t* qlh = ql + 64 * half;
+                const uint8_t* qhh = qh + 32 * half;
+                uint8_t* ch = code + 128 * half;
+                for (int j = 0; j < 32; ++j) {
+                    ch[j]      = (qlh[j] & 0x0F) | (((qhh[j] >> 0) & 3) << 4);
+                    ch[j + 32] = (qlh[j + 32] & 0x0F) | (((qhh[j] >> 2) & 3) << 4);
+                    ch[j + 64] = (qlh[j] >> 4) | (((qhh[j] >> 4) & 3) << 4);
+                    ch[j + 96] = (qlh[j + 32] >> 4) | (((qhh[j] >> 6) & 3) << 4);
+                }
+            }
+            for (int r = 0; r < 128; ++r) {
+                qs_out[(b * 128 + r) * n_out + n] =
+                    (code[r] & 0x0F) | ((code[r + 128] & 0x0F) << 4);
+            }
+            // 2-bit plane: row r (0..63), field j (0..3) = hi2[j*64 + r]
+            for (int r = 0; r < 64; ++r) {
+                uint8_t acc = 0;
+                for (int j = 0; j < 4; ++j) {
+                    acc |= ((code[j * 64 + r] >> 4) & 3) << (2 * j);
+                }
+                qh_out[(b * 64 + r) * n_out + n] = acc;
+            }
+        }
+    }
+}
+
+// Q8_0: qs (K, N) int8 codes; scale (K/32, N)
+void rp_q8_0(const uint8_t* data, int64_t n_out, int64_t n_in,
+             uint8_t* qs_out, float* scale_out) {
+    const int64_t nb = n_in / 32;
+    for (int64_t n = 0; n < n_out; ++n) {
+        const uint8_t* row = data + n * nb * 34;
+        for (int64_t b = 0; b < nb; ++b) {
+            const uint8_t* blk = row + b * 34;
+            scale_out[b * n_out + n] = f16_to_f32(load_u16(blk));
+            for (int j = 0; j < 32; ++j) {
+                qs_out[(b * 32 + j) * n_out + n] = blk[2 + j];
+            }
+        }
+    }
+}
+
+// Q4_0: qs (K/2, N) half-split U=32; scale (K/32, N)
+void rp_q4_0(const uint8_t* data, int64_t n_out, int64_t n_in,
+             uint8_t* qs_out, float* scale_out) {
+    const int64_t nb = n_in / 32;
+    for (int64_t n = 0; n < n_out; ++n) {
+        const uint8_t* row = data + n * nb * 18;
+        for (int64_t b = 0; b < nb; ++b) {
+            const uint8_t* blk = row + b * 18;
+            scale_out[b * n_out + n] = f16_to_f32(load_u16(blk));
+            const uint8_t* q = blk + 2;
+            // code[e]: e<16 -> q[e]&0xF else q[e-16]>>4; unit 32 half-split:
+            // packed[r] = code[r] | code[r+16]<<4 = (q[r]&0xF) | (q[r]>>4<<4) = q[r]
+            for (int r = 0; r < 16; ++r) {
+                qs_out[(b * 16 + r) * n_out + n] = q[r];
+            }
+        }
+    }
+}
+
+} // namespace
+
+extern "C" {
+
+// planes written into caller-allocated buffers; unused outputs may be null
+int tq_repack(int gtype, const uint8_t* data, int64_t n_out, int64_t n_in,
+              uint8_t* qs, uint8_t* qh, float* scale, float* minus) {
+    switch (gtype) {
+        case 2: rp_q4_0(data, n_out, n_in, qs, scale); return 0;
+        case 8: rp_q8_0(data, n_out, n_in, qs, scale); return 0;
+        case 12: rp_q4_k(data, n_out, n_in, qs, scale, minus); return 0;
+        case 13: rp_q5_k(data, n_out, n_in, qs, qh, scale, minus); return 0;
+        case 14: rp_q6_k(data, n_out, n_in, qs, qh, scale); return 0;
+        default: return -1;
+    }
+}
+
+} // extern "C"

@@ -95,3 +95,48 @@ def test_native_speedup_quantize(data):
     codecs._QUANT[GGMLType.Q4_K](big)
     t_np = time.perf_counter() - t0
     assert t_nat < t_np, f"native {t_nat:.3f}s not faster than numpy {t_np:.3f}s"
+
+
+@pytest.mark.parametrize("gtype", sorted(native.NATIVE_REPACK_TYPES))
+def test_native_repack_bitexact(gtype):
+    """Native blocks→planes repack must match the numpy repack bit-exactly."""
+    import os
+
+    from tpullm.ops import qmatmul
+
+    rng = np.random.default_rng(7)
+    n_out, n_in = 8, 512
+    x = (rng.standard_normal(n_out * n_in) * 0.2).astype(np.float32)
+    packed = codecs.quantize(x, gtype)
+
+    nat = native.repack(packed, gtype, n_out, n_in)
+    assert nat is not None
+    os.environ["TPULLM_NO_NATIVE"] = "1"
+    try:
+        import importlib
+
+        # numpy reference path (native.repack returns None under the env)
+        codes, scale, minus = qmatmul._decode_blocks(packed, gtype, n_out, n_in)
+        meta = qmatmul._SCHEMA[gtype]
+        U = qmatmul.split_unit(gtype)
+        ref = {}
+        if meta["bits"] == 4:
+            ref["qs"] = qmatmul._half_split_pack4(codes, U)
+        elif meta["bits"] == 5:
+            ref["qs"] = qmatmul._half_split_pack4(codes & 0x0F, U)
+            ref["qh"] = qmatmul._bitplane_pack(codes >> 4, 1, U)
+        elif meta["bits"] == 6:
+            ref["qs"] = qmatmul._half_split_pack4(codes & 0x0F, U)
+            ref["qh"] = qmatmul._bitplane_pack(codes >> 4, 2, U)
+        else:
+            ref["qs"] = codes
+        ref["scale"] = scale
+        if minus is not None:
+            ref["minus"] = minus
+    finally:
+        os.environ.pop("TPULLM_NO_NATIVE", None)
+
+    assert set(nat) == set(ref), (set(nat), set(ref))
+    for k in ref:
+        assert nat[k].shape == ref[k].shape, (k, nat[k].shape, ref[k].shape)
+        assert np.array_equal(nat[k], ref[k]), f"{gtype.name} plane {k} mismatch"

@@ -233,6 +233,11 @@ def split_unit(gtype: GGMLType) -> int:
 
 def repack(data: np.ndarray, gtype: GGMLType, n_out: int, n_in: int) -> dict[str, jax.Array]:
     """Repack ggml blocks (row-major packed bytes) into TPU planes (host→device)."""
+    from ..quant import native
+
+    nat = native.repack(data, gtype, n_out, n_in)
+    if nat is not None:
+        return {k: jnp.asarray(v) for k, v in nat.items()}
     codes, scale, minus = _decode_blocks(data, gtype, n_out, n_in)
     meta = _SCHEMA[gtype]
     bits = meta["bits"]

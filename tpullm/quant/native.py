@@ -34,6 +34,9 @@ NATIVE_DEQUANT_TYPES = {
 NATIVE_QUANT_TYPES = {
     GGMLType.Q4_0, GGMLType.Q8_0, GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K,
 }
+NATIVE_REPACK_TYPES = {
+    GGMLType.Q4_0, GGMLType.Q8_0, GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K,
+}
 
 
 def _build() -> bool:
@@ -74,6 +77,11 @@ def get_lib():
             ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
         ]
         lib.tq_quantize.restype = ctypes.c_int
+        lib.tq_repack.argtypes = [
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.tq_repack.restype = ctypes.c_int
         _lib = lib
     return _lib
 
@@ -101,6 +109,42 @@ def dequantize(data: np.ndarray, gtype: GGMLType, n_elements: int) -> np.ndarray
     if rc != 0:
         return None
     return out
+
+
+def repack(data: np.ndarray, gtype: GGMLType, n_out: int, n_in: int) -> dict | None:
+    """Native blocks→planes repack (≡ qmatmul plane schema v2); None when
+    the type/library is unsupported. Returns numpy plane arrays."""
+    if gtype not in NATIVE_REPACK_TYPES:
+        return None
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(data, dtype=np.uint8)
+    G = 256 if gtype in (GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K) else 32
+    planes: dict[str, np.ndarray] = {}
+    if gtype == GGMLType.Q8_0:
+        planes["qs"] = np.empty((n_in, n_out), np.uint8)
+    else:
+        planes["qs"] = np.empty((n_in // 2, n_out), np.uint8)
+    if gtype == GGMLType.Q5_K:
+        planes["qh"] = np.empty((n_in // 8, n_out), np.uint8)
+    elif gtype == GGMLType.Q6_K:
+        planes["qh"] = np.empty((n_in // 4, n_out), np.uint8)
+    sg = 16 if gtype == GGMLType.Q6_K else (8 if G == 256 else 1)
+    n_groups = (n_in // G) * sg
+    planes["scale"] = np.empty((n_groups, n_out), np.float32)
+    if gtype in (GGMLType.Q4_K, GGMLType.Q5_K):
+        planes["minus"] = np.empty((n_groups, n_out), np.float32)
+    rc = lib.tq_repack(
+        int(gtype), src.ctypes.data, n_out, n_in,
+        planes["qs"].ctypes.data,
+        planes["qh"].ctypes.data if "qh" in planes else None,
+        planes["scale"].ctypes.data,
+        planes["minus"].ctypes.data if "minus" in planes else None,
+    )
+    if rc != 0:
+        return None
+    return planes
 
 
 def quantize(values: np.ndarray, gtype: GGMLType) -> np.ndarray | None:
