@@ -194,3 +194,65 @@ def test_gpt2_generation_runs(tmp_path):
     eng = Engine(path, mode="dense", max_seq=64)
     out = eng.generate("hello", max_new_tokens=6)
     assert isinstance(out, str)
+
+
+def np_phi3_forward(reader, tokens):
+    """Independent numpy phi3 forward (fused qkv/gate_up split, neox rope)."""
+    md = reader.metadata
+    n_layer = md["phi3.block_count"]
+    n_head = md["phi3.attention.head_count"]
+    n_head_kv = md["phi3.attention.head_count_kv"]
+    n_embd = md["phi3.embedding_length"]
+    eps = md["phi3.attention.layer_norm_rms_epsilon"]
+    base = md["phi3.rope.freq_base"]
+    hd = n_embd // n_head
+    n_q, n_kv = n_head * hd, n_head_kv * hd
+
+    def t(name):
+        return reader.tensors[name].to_numpy().astype(np.float64)
+
+    T = len(tokens)
+    pos = np.arange(T)
+    x = t("token_embd.weight")[tokens]
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        h = _rms(x, t(p + "attn_norm.weight"), eps)
+        qkv = h @ t(p + "attn_qkv.weight").T
+        q = qkv[:, :n_q].reshape(T, n_head, hd)
+        k = qkv[:, n_q:n_q + n_kv].reshape(T, n_head_kv, hd)
+        v = qkv[:, n_q + n_kv:].reshape(T, n_head_kv, hd)
+        q, k = _rope_neox(q, pos, base), _rope_neox(k, pos, base)
+        out = _mha(q, k, v, n_head, n_head_kv, 1 / np.sqrt(hd))
+        x = x + out.reshape(T, n_embd) @ t(p + "attn_output.weight").T
+        h = _rms(x, t(p + "ffn_norm.weight"), eps)
+        gu = h @ t(p + "ffn_up.weight").T
+        n_ff = gu.shape[1] // 2
+        gate, up = gu[:, :n_ff], gu[:, n_ff:]
+        act = gate / (1 + np.exp(-gate)) * up
+        x = x + act @ t(p + "ffn_down.weight").T
+    x = _rms(x, t("output_norm.weight"), eps)
+    return x @ t("output.weight").T
+
+
+def test_phi3_forward_matches_numpy(tmp_path):
+    from tpullm.models.testing import make_tiny_phi3_gguf
+
+    path = make_tiny_phi3_gguf(tmp_path / "phi3.gguf")
+    eng = Engine(path, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    toks = eng.tokenizer.tokenize("the quick brown fox", add_special=True)
+    got = eng.prefill_all_logits(toks)
+    ref = np_phi3_forward(eng.reader, np.asarray(toks))
+    np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
+
+
+def test_phi3_quantized_runs(tmp_path):
+    """Fused-tensor row slicing works on packed quant payloads too."""
+    from tpullm.models.testing import make_tiny_phi3_gguf
+    from tpullm.tools.quantize import quantize_model
+
+    path = make_tiny_phi3_gguf(tmp_path / "phi3.gguf", n_embd=256, n_ff=256)
+    qpath = tmp_path / "phi3.q.gguf"
+    quantize_model(str(path), str(qpath), "Q8_0", verbose=False)
+    eng = Engine(str(qpath), mode="quant", max_seq=64)
+    assert isinstance(eng.generate("the quick", max_new_tokens=4), str)

@@ -86,6 +86,9 @@ def _ensure_builtin():
         aliases=("gemma2",),
     )
     register_arch("gpt2", gpt2.build_params, gpt2.forward)
+    from . import phi3
+
+    register_arch("phi3", phi3.build_params, llama.forward)
     from . import mamba
     from ..runtime.recurrent import RecurrentCache
 

@@ -441,3 +441,60 @@ def make_tiny_mamba_gguf(
     w.add_tensor("output.weight", rand((n_vocab, n_embd)))
     w.write()
     return str(path)
+
+
+def make_tiny_phi3_gguf(
+    path,
+    *,
+    n_layer: int = 2,
+    n_embd: int = 64,
+    n_head: int = 4,
+    n_head_kv: int = 2,
+    n_ff: int = 128,
+    n_ctx: int = 256,
+    seed: int = 0,
+) -> str:
+    """Tiny phi3-shaped GGUF: fused attn_qkv + fused gate/up ffn_up."""
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = _byte_vocab(DEFAULT_WORDS)
+    n_vocab = len(tokens)
+    head_dim = n_embd // n_head
+
+    w = GGUFWriter(path, architecture="phi3")
+    w.add_kv("general.name", "tpullm-tiny-phi3")
+    w.add_kv("phi3.block_count", n_layer)
+    w.add_kv("phi3.context_length", n_ctx)
+    w.add_kv("phi3.embedding_length", n_embd)
+    w.add_kv("phi3.feed_forward_length", n_ff)
+    w.add_kv("phi3.attention.head_count", n_head)
+    w.add_kv("phi3.attention.head_count_kv", n_head_kv)
+    w.add_kv("phi3.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_kv("phi3.rope.freq_base", 10000.0)
+    w.add_kv("phi3.rope.dimension_count", head_dim)
+    w.add_kv("tokenizer.ggml.model", "llama")
+    w.add_kv("tokenizer.ggml.tokens", tokens)
+    w.add_kv("tokenizer.ggml.scores", np.asarray(scores, dtype=np.float32))
+    w.add_kv("tokenizer.ggml.token_type", np.asarray(types, dtype=np.int32))
+    w.add_kv("tokenizer.ggml.bos_token_id", 1)
+    w.add_kv("tokenizer.ggml.eos_token_id", 2)
+    w.add_kv("tokenizer.ggml.unknown_token_id", 0)
+    w.add_kv("tokenizer.ggml.add_bos_token", True)
+
+    def rand(shape, scale=0.05):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    n_q = n_head * head_dim
+    n_kv = n_head_kv * head_dim
+    w.add_tensor("token_embd.weight", rand((n_vocab, n_embd)))
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        w.add_tensor(p + "attn_norm.weight", np.ones(n_embd, dtype=np.float32))
+        w.add_tensor(p + "attn_qkv.weight", rand((n_q + 2 * n_kv, n_embd)))
+        w.add_tensor(p + "attn_output.weight", rand((n_embd, n_q)))
+        w.add_tensor(p + "ffn_norm.weight", np.ones(n_embd, dtype=np.float32))
+        w.add_tensor(p + "ffn_up.weight", rand((2 * n_ff, n_embd)))
+        w.add_tensor(p + "ffn_down.weight", rand((n_embd, n_ff)))
+    w.add_tensor("output_norm.weight", np.ones(n_embd, dtype=np.float32))
+    w.add_tensor("output.weight", rand((n_vocab, n_embd)))
+    w.write()
+    return str(path)
