@@ -21,7 +21,7 @@ MODEL = os.path.join(CACHE, "bench-llama3-8b-q4km.gguf")
 
 N_WARMUP = 5
 N_STEPS = 512
-CHUNK = 256  # decode steps per device program call (amortizes dispatch)
+CHUNK = 512  # decode steps per device program call (amortizes dispatch)
 
 
 def log(*a):
@@ -48,7 +48,7 @@ def main():
     from tpullm.runtime import Engine
 
     t0 = time.time()
-    eng = Engine(ensure_model(), mode="quant", max_seq=1024)
+    eng = Engine(ensure_model(), mode="quant", max_seq=2048)
     log(f"load+repack: {time.time()-t0:.1f}s")
 
     prompt = list(range(3, 19))  # 16 tokens

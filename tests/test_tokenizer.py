@@ -87,3 +87,47 @@ def test_add_bos():
     t = tok.load(gguf_path)
     ids = t.tokenize("hello", add_special=True)
     assert ids[0] == t.vocab.special.bos
+
+
+def test_ugm_viterbi_segmentation():
+    """UGM picks the max-score segmentation (≡ llm_tokenizer_ugm Viterbi)."""
+    import numpy as np
+
+    from tpullm.gguf.constants import TokenType
+    from tpullm.tokenizer.ugm import UGMTokenizer
+    from tpullm.tokenizer.vocab import SpecialIds, Vocab
+
+    tokens = ["<unk>", "</s>", "▁", "▁he", "llo", "▁hello", "▁hell", "o",
+              "▁wor", "ld", "▁world", "h", "e", "l", "w", "r", "d"]
+    scores = np.array([-20, 0, -5, -4, -4, -3, -6, -3,
+                       -4, -3, -2.5, -8, -8, -8, -8, -8, -8], dtype=np.float32)
+    types = np.array([TokenType.UNKNOWN, TokenType.CONTROL] + [TokenType.NORMAL] * 15,
+                     dtype=np.int32)
+    vocab = Vocab(model="t5", pre="default", tokens=tokens, scores=scores,
+                  token_types=types,
+                  special=SpecialIds(unk=0, eos=1), add_eos=True,
+                  add_space_prefix=True)
+    tok = UGMTokenizer(vocab)
+    ids = tok.tokenize("hello world", add_special=True)
+    # best segmentation: ▁hello (-3) + ▁world (-2.5), then </s>
+    assert ids == [tokens.index("▁hello"), tokens.index("▁world"), 1]
+    assert tok.detokenize(ids, remove_special=True) == "hello world"
+
+
+def test_ugm_unknown_fallback():
+    import numpy as np
+
+    from tpullm.gguf.constants import TokenType
+    from tpullm.tokenizer.ugm import UGMTokenizer
+    from tpullm.tokenizer.vocab import SpecialIds, Vocab
+
+    tokens = ["<unk>", "▁", "a", "b"]
+    scores = np.array([-20, -1, -1, -1], dtype=np.float32)
+    types = np.array([TokenType.UNKNOWN] + [TokenType.NORMAL] * 3, dtype=np.int32)
+    vocab = Vocab(model="t5", pre="default", tokens=tokens, scores=scores,
+                  token_types=types, special=SpecialIds(unk=0),
+                  add_space_prefix=False)
+    tok = UGMTokenizer(vocab)
+    ids = tok.tokenize("aXYb", add_special=False)
+    # consecutive unknowns collapse into one UNK (reference behavior)
+    assert ids == [tokens.index("a"), 0, tokens.index("b")]

@@ -137,3 +137,18 @@ def test_tokenize_cli(tiny, capsys):
     out = capsys.readouterr().out
     ids = eval(out.strip())
     assert isinstance(ids, list) and len(ids) > 0
+
+
+def test_fit_params(tiny):
+    from tpullm.runtime.fit import fit_params
+
+    res = fit_params(tiny, want_seq=4096, want_slots=2, hbm_bytes=16 * 2**30)
+    assert res.fits
+    assert res.max_seq == 4096 and res.n_slots == 2
+    assert res.weight_bytes > 0 and res.kv_bytes_per_token > 0
+
+    # tiny HBM: sheds slots, then context
+    res2 = fit_params(tiny, want_seq=4096, want_slots=4,
+                      hbm_bytes=int(res.weight_bytes * 1.2)
+                      + 2 * res.kv_bytes_per_token * 4096)
+    assert res2.max_seq < 4096 or res2.n_slots < 4

@@ -29,8 +29,8 @@ from ...gguf.constants import GGMLType
 
 # default tile sizes; K tile must be a multiple of the type's split unit and
 # large enough that every plane's K-rows-per-tile is sublane-aligned (%8)
-TILE_K = 1024
-TILE_N = 512
+TILE_K = 2048
+TILE_N = 1024
 MAX_TILE_M = 256
 
 

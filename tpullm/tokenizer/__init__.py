@@ -8,9 +8,10 @@ from ..gguf.reader import GGUFReader
 from .bpe import BPETokenizer
 from .spm import SPMTokenizer
 from .vocab import SpecialIds, Vocab
+from .ugm import UGMTokenizer
 from .wpm import WPMTokenizer
 
-Tokenizer = SPMTokenizer | BPETokenizer | WPMTokenizer
+Tokenizer = SPMTokenizer | BPETokenizer | WPMTokenizer | UGMTokenizer
 
 
 def from_vocab(vocab: Vocab) -> Tokenizer:
@@ -20,6 +21,8 @@ def from_vocab(vocab: Vocab) -> Tokenizer:
         return BPETokenizer(vocab)
     if vocab.model in ("bert", "wpm"):
         return WPMTokenizer(vocab)
+    if vocab.model in ("t5", "ugm"):
+        return UGMTokenizer(vocab)
     raise NotImplementedError(f"tokenizer model {vocab.model!r} not supported yet")
 
 
@@ -37,6 +40,7 @@ __all__ = [
     "SPMTokenizer",
     "BPETokenizer",
     "WPMTokenizer",
+    "UGMTokenizer",
     "Tokenizer",
     "from_vocab",
     "from_gguf",
