@@ -259,3 +259,92 @@ def test_context_shift_long_generation(tmp_path):
         assert sched.n_context_shifts >= 1
     finally:
         sched.stop()
+
+
+def test_anthropic_messages_api(engine):
+    """/v1/messages + count_tokens (≡ reference test_compat_anthropic.py)."""
+    import asyncio
+
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from tpullm.server.api import Server
+
+    sched = Scheduler(engine)
+    sched.start()
+
+    async def run():
+        server = Server(sched, model_name="tiny")
+        client = TestClient(TestServer(server.app))
+        await client.start_server()
+        try:
+            r = await client.post("/v1/messages", json={
+                "model": "tiny", "max_tokens": 4,
+                "system": "be brief",
+                "messages": [{"role": "user", "content": "hi"}],
+                "temperature": 0,
+            })
+            assert r.status == 200
+            data = await r.json()
+            assert data["type"] == "message"
+            assert data["role"] == "assistant"
+            assert data["content"][0]["type"] == "text"
+            assert data["stop_reason"] in ("end_turn", "max_tokens")
+            assert data["usage"]["input_tokens"] > 0
+
+            # content-block input form
+            r = await client.post("/v1/messages/count_tokens", json={
+                "model": "tiny",
+                "messages": [{"role": "user",
+                              "content": [{"type": "text", "text": "hello"}]}],
+            })
+            assert (await r.json())["input_tokens"] > 0
+
+            # max_tokens required
+            r = await client.post("/v1/messages", json={
+                "model": "tiny", "messages": [{"role": "user", "content": "x"}],
+            })
+            assert r.status == 400
+        finally:
+            await client.close()
+
+    try:
+        asyncio.run(run())
+    finally:
+        sched.stop()
+
+
+def test_completions_logprobs(engine):
+    """OpenAI logprobs in /v1/completions (≡ server n_probs)."""
+    import asyncio
+    import math
+
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from tpullm.server.api import Server
+
+    sched = Scheduler(engine)
+    sched.start()
+
+    async def run():
+        server = Server(sched, model_name="tiny")
+        client = TestClient(TestServer(server.app))
+        await client.start_server()
+        try:
+            r = await client.post("/v1/completions", json={
+                "prompt": "the quick", "max_tokens": 3, "temperature": 0,
+                "logprobs": 3,
+            })
+            assert r.status == 200
+            lp = (await r.json())["choices"][0]["logprobs"]
+            assert len(lp["tokens"]) == len(lp["token_logprobs"])
+            # dict keys may collide when byte tokens render identically
+            assert 1 <= len(lp["top_logprobs"][0]) <= 3
+            assert all(v <= 0 or math.isclose(v, 0, abs_tol=1e-5)
+                       for v in lp["token_logprobs"])
+        finally:
+            await client.close()
+
+    try:
+        asyncio.run(run())
+    finally:
+        sched.stop()

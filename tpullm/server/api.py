@@ -105,6 +105,8 @@ class Server:
         r.add_post("/completion", self.completions)  # llama.cpp alias
         r.add_post("/v1/completions", self.completions)
         r.add_post("/v1/chat/completions", self.chat_completions)
+        r.add_post("/v1/messages", self.anthropic_messages)
+        r.add_post("/v1/messages/count_tokens", self.anthropic_count_tokens)
 
     # -- info endpoints ------------------------------------------------------------
 
@@ -255,22 +257,33 @@ class Server:
             prompt = prompt[0] if prompt else ""
         tok = self.sched.engine.tokenizer
         ids = tok.tokenize(prompt, add_special=True, parse_special=True)
+        n_probs = int(body.get("n_probs", 0) or body.get("logprobs") or 0)
         req = GenRequest(
             prompt_ids=ids,
             max_tokens=int(body.get("max_tokens", body.get("n_predict", 128))),
             sampling=_sampling_from_body(body),
             stop=body.get("stop") or [],
             grammar=_grammar_from_body(body),
+            n_probs=n_probs,
         )
         rid = f"cmpl-{uuid.uuid4().hex[:12]}"
         self.sched.submit(req)
         if body.get("stream"):
             return await self._stream(request, req, rid, chat=False)
-        text, reason, stats = await self._collect(req)
+        text, reason, stats, probs = await self._collect_probs(req)
+        choice = {"index": 0, "text": text, "finish_reason": reason}
+        if n_probs:
+            choice["logprobs"] = {
+                "tokens": [p["token"] for p in probs],
+                "token_logprobs": [p["logprob"] for p in probs],
+                "top_logprobs": [
+                    {t["token"]: t["logprob"] for t in p["top"]} for p in probs
+                ],
+            }
         return web.json_response({
             "id": rid, "object": "text_completion", "created": int(time.time()),
             "model": self.model_name,
-            "choices": [{"index": 0, "text": text, "finish_reason": reason}],
+            "choices": [choice],
             "usage": {
                 "prompt_tokens": stats.get("prompt_n", len(ids)),
                 "completion_tokens": stats.get("predicted_n", 0),
@@ -328,15 +341,86 @@ class Server:
             "timings": stats,
         })
 
+    # -- anthropic-compatible messages API (≡ server's /v1/messages route) ---------
+
+    def _anthropic_to_messages(self, body: dict) -> list[dict]:
+        messages = []
+        sys_prompt = body.get("system")
+        if sys_prompt:
+            if isinstance(sys_prompt, list):  # content-block form
+                sys_prompt = "".join(b.get("text", "") for b in sys_prompt)
+            messages.append({"role": "system", "content": sys_prompt})
+        for m in body.get("messages", []):
+            content = m.get("content", "")
+            if isinstance(content, list):
+                content = "".join(
+                    b.get("text", "") for b in content if b.get("type") == "text"
+                )
+            messages.append({"role": m["role"], "content": content})
+        return messages
+
+    async def anthropic_messages(self, request):
+        body = await request.json()
+        messages = self._anthropic_to_messages(body)
+        vocab = self.sched.engine.tokenizer.vocab
+        prompt = apply_chat_template(vocab.chat_template, messages,
+                                     add_generation_prompt=True)
+        tok = self.sched.engine.tokenizer
+        ids = tok.tokenize(prompt, add_special=True, parse_special=True)
+        sampling = _sampling_from_body(body)
+        if "max_tokens" not in body:
+            return web.json_response(
+                {"type": "error",
+                 "error": {"type": "invalid_request_error",
+                           "message": "max_tokens is required"}}, status=400)
+        req = GenRequest(
+            prompt_ids=ids,
+            max_tokens=int(body["max_tokens"]),
+            sampling=sampling,
+            stop=body.get("stop_sequences") or [],
+        )
+        self.sched.submit(req)
+        text, reason, stats = await self._collect(req)
+        stop_reason = {"stop": "end_turn", "length": "max_tokens"}.get(reason, reason)
+        if reason == "stop" and stats.get("stopping_word"):
+            stop_reason = "stop_sequence"
+        return web.json_response({
+            "id": f"msg_{uuid.uuid4().hex[:16]}",
+            "type": "message",
+            "role": "assistant",
+            "model": self.model_name,
+            "content": [{"type": "text", "text": text}],
+            "stop_reason": stop_reason,
+            "stop_sequence": None,
+            "usage": {"input_tokens": stats.get("prompt_n", len(ids)),
+                      "output_tokens": stats.get("predicted_n", 0)},
+        })
+
+    async def anthropic_count_tokens(self, request):
+        body = await request.json()
+        messages = self._anthropic_to_messages(body)
+        vocab = self.sched.engine.tokenizer.vocab
+        prompt = apply_chat_template(vocab.chat_template, messages,
+                                     add_generation_prompt=True)
+        ids = self.sched.engine.tokenizer.tokenize(prompt, add_special=True,
+                                                   parse_special=True)
+        return web.json_response({"input_tokens": len(ids)})
+
     async def _collect(self, req: GenRequest):
+        text, reason, stats, _ = await self._collect_probs(req)
+        return text, reason, stats
+
+    async def _collect_probs(self, req: GenRequest):
         loop = asyncio.get_event_loop()
-        pieces = []
+        pieces, probs = [], []
         while True:
             ev = await loop.run_in_executor(None, req.out.get)
             if ev[0] == "token":
                 pieces.append(ev[2])
+                if len(ev) > 3:
+                    probs.append({"token": ev[2], **ev[3]})
             else:
-                return "".join(pieces), ev[1], ev[2]
+                return "".join(pieces), ev[1], ev[2], probs
 
     async def _stream(self, request, req: GenRequest, rid: str, chat: bool):
         resp = web.StreamResponse(headers={

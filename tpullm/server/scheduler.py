@@ -34,6 +34,7 @@ class GenRequest:
     sampling: SamplerParams = field(default_factory=SamplerParams)
     stop: list[str] = field(default_factory=list)
     grammar: str | None = None  # GBNF text (set from grammar/json_schema params)
+    n_probs: int = 0  # top-N logprobs per token (OpenAI logprobs)
     id: int = field(default_factory=itertools.count().__next__)
     # events: ("token", token_id, text) | ("done", finish_reason, stats)
     out: queue.Queue = field(default_factory=queue.Queue)
@@ -268,7 +269,18 @@ class Scheduler:
         slot.tokens.append(token)
         slot.n_generated += 1
         self.n_tokens_generated += 1
-        req.out.put(("token", token, piece))
+        if req.n_probs > 0:
+            lp = logits - np.log(np.exp(logits - logits.max()).sum()) - logits.max()
+            top = np.argsort(-lp)[: req.n_probs]
+            probs = [
+                {"id": int(t), "logprob": float(lp[t]),
+                 "token": self.engine.tokenizer.detokenize([int(t)])}
+                for t in top
+            ]
+            req.out.put(("token", token, piece,
+                         {"logprob": float(lp[token]), "top": probs}))
+        else:
+            req.out.put(("token", token, piece))
 
         for stop in req.stop:
             if stop and stop in slot.text:
