@@ -152,3 +152,22 @@ def test_fit_params(tiny):
                       hbm_bytes=int(res.weight_bytes * 1.2)
                       + 2 * res.kv_bytes_per_token * 4096)
     assert res2.max_seq < 4096 or res2.n_slots < 4
+
+
+def test_cli_prompt_cache_roundtrip(tiny, tmp_path, capsys, monkeypatch):
+    """--prompt-cache restores a prefix on the second run (≡ completion
+    --prompt-cache session files)."""
+    from tpullm.tools.cli import main as cli_main
+
+    cache = str(tmp_path / "session.npz")
+    args = ["-m", str(tiny), "-p", "the quick brown", "-n", "4", "--temp", "0",
+            "--mode", "dense", "-c", "128", "--prompt-cache", cache,
+            "--no-display-prompt"]
+    assert cli_main(args) == 0
+    out1 = capsys.readouterr()
+    assert "saved" in out1.err
+
+    assert cli_main(args) == 0
+    out2 = capsys.readouterr()
+    assert "reused" in out2.err
+    assert out2.out == out1.out  # deterministic greedy continuation

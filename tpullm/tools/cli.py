@@ -37,6 +37,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="max draft tokens per round")
     ap.add_argument("--spec-ngram", action="store_true",
                     help="model-free n-gram speculation")
+    ap.add_argument("--prompt-cache", default=None,
+                    help="session file: restore matching prompt prefix, save after")
     ap.add_argument("--chat", action="store_true", help="interactive chat")
     ap.add_argument("--no-display-prompt", action="store_true")
     ap.add_argument("--verbose", "-v", action="store_true")
@@ -68,7 +70,38 @@ def run_completion(args) -> int:
         sys.stdout.write(prompt)
         sys.stdout.flush()
     ids = eng.tokenizer.tokenize(prompt, add_special=True, parse_special=True)
+
+    # session file (≡ completion --prompt-cache, GGSN session semantics):
+    # restore the cached state when it is a prefix of this prompt, feed only
+    # the tail, and re-save the extended state afterwards
+    cached_prefix = 0
+    if args.prompt_cache and os.path.exists(args.prompt_cache):
+        from ..runtime.state import load_state
+
+        try:
+            saved = load_state(eng, args.prompt_cache)
+            n = 0
+            for a, b in zip(saved, ids):
+                if a != b:
+                    break
+                n += 1
+            n = min(n, len(ids) - 1, eng.n_past)
+            if n > 0:
+                eng.n_past = n
+                cached_prefix = n
+                ids_tail = ids[n:]
+                print(f"[prompt cache: reused {n} tokens]", file=sys.stderr)
+            else:
+                eng.reset()
+                ids_tail = ids
+        except ValueError as e:
+            print(f"[prompt cache ignored: {e}]", file=sys.stderr)
+            eng.reset()
+            ids_tail = ids
+    else:
+        ids_tail = ids
     if args.model_draft or args.spec_ngram:
+        ids_tail = ids  # speculative path manages its own cache
         from ..runtime import Engine
         from ..runtime.speculative import (
             DraftModelSpeculator, NgramSpeculator, generate_speculative,
@@ -92,9 +125,16 @@ def run_completion(args) -> int:
                 file=sys.stderr,
             )
     else:
-        for tok in eng.generate_tokens(ids, max_new_tokens=args.n_predict, sampler=sampler):
+        out_toks = []
+        for tok in eng.generate_tokens(ids_tail, max_new_tokens=args.n_predict, sampler=sampler):
+            out_toks.append(tok)
             sys.stdout.write(eng.tokenizer.detokenize([tok]))
             sys.stdout.flush()
+        if args.prompt_cache:
+            from ..runtime.state import save_state
+
+            save_state(eng, args.prompt_cache, tokens=ids + out_toks[:-1])
+            print(f"[prompt cache: saved {eng.n_past} tokens]", file=sys.stderr)
     sys.stdout.write("\n")
     if args.verbose:
         print(eng.perf.report(), file=sys.stderr)
