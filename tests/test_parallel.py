@@ -211,3 +211,32 @@ def test_pipeline_train_step_learns(tmp_path):
             placed, loss = step(placed, jnp.asarray(tokens))
             losses.append(float(loss))
     assert losses[-1] < losses[0], losses
+
+
+def test_engine_tp_inference_matches_single_device(model8):
+    """Engine(mesh=...) runs sharded inference that matches unsharded logits
+    (the serving analog of LLAMA_SPLIT_MODE_ROW)."""
+    import jax
+
+    from tpullm.runtime import Engine
+
+    eng1 = Engine(model8, mode="dense", dtype=jnp.float32, max_seq=64,
+                  kv_dtype=jnp.float32)
+    ids = eng1.tokenizer.tokenize("the quick brown fox", add_special=True)
+    ref = eng1.prefill(ids)
+    eng1.reset()
+    ref_gen = list(eng1.generate_tokens(
+        eng1.tokenizer.tokenize("hello", add_special=True), 6,
+        stop_on_eog=False))
+
+    mesh = make_mesh(tp=4, dp=1, devices=jax.devices()[:4])
+    eng2 = Engine(model8, mode="dense", dtype=jnp.float32, max_seq=64,
+                  kv_dtype=jnp.float32, mesh=mesh)
+    got = eng2.prefill(ids)
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+    eng2.reset()
+    got_gen = list(eng2.generate_tokens(
+        eng2.tokenizer.tokenize("hello", add_special=True), 6,
+        stop_on_eog=False))
+    assert got_gen == ref_gen

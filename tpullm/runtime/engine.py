@@ -112,6 +112,7 @@ class Engine:
         batch: int = 1,
         kv_dtype=jnp.bfloat16,
         lora: list | None = None,  # [(path, scale), ...]
+        mesh=None,  # jax.sharding.Mesh: tensor-parallel inference over ICI
     ):
         t0 = time.perf_counter()
         self.reader = GGUFReader(model_path)
@@ -132,6 +133,15 @@ class Engine:
             self.cache = self.arch.make_cache(self.hp, batch, max_seq, kv_dtype)
         else:
             self.cache = make_cache(self.hp, batch, max_seq, kv_dtype)
+        self.mesh = mesh
+        if mesh is not None:
+            # tensor-parallel placement (≡ LLAMA_SPLIT_MODE_ROW over ICI):
+            # GSPMD inserts the collectives; the jitted step is unchanged
+            from ..parallel import shard_cache, shard_params
+
+            self.params = shard_params(self.params, mesh)
+            if hasattr(self.cache, "k"):
+                self.cache = shard_cache(self.cache, mesh)
         self.n_past = 0
         self.perf = PerfCounters(t_load_s=time.perf_counter() - t0)
 
