@@ -1,0 +1,180 @@
+"""DeepSeek-V2/V3 decoder (MLA + MoE).
+
+Reference graph: llm_build_deepseek2 (src/models/deepseek2.cpp). This is the
+non-absorbed MLA path (the reference's is_mla=false branch): the compressed
+KV latent is decompressed per token through wkv_b so attention runs as plain
+MHA over [k_nope | k_rope] keys — which drops straight onto the shared KV
+cache and attention op. The cache-the-latent absorption trick (MQA over
+kv_lora_rank+rope, the fork's DKQ=576/DV=512 FA case) is a memory
+optimization left for a later round.
+
+Covers: optional q LoRA compression (wq_a/wq_b + q_a_norm), kv compression
+(wkv_a_mqa + kv_a_norm), decoupled rope head (q_pe/k_pe, rope applies to the
+trailing n_rot dims only), leading dense layers then MoE with sigmoid-bias
+expert selection (exp_probs_b) and always-on shared experts.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..gguf.reader import GGUFReader
+from ..ops.attention import attention, causal_mask
+from ..ops.moe import moe_ffn, route
+from ..ops.norms import rms_norm
+from ..ops.rope import apply_rope
+from ..runtime.kvcache import KVCache
+from .hparams import HParams
+from .llama import Params, output_head
+from .qwen_moe import _experts
+from .weights import load_embedding, load_linear, load_vector
+
+
+def build_params(r: GGUFReader, hp: HParams, mode: str = "auto",
+                 dtype=jnp.bfloat16) -> Params:
+    t = r.tensors
+
+    def linear(name):
+        return load_linear(t[name], mode=mode, dtype=dtype)
+
+    def maybe_linear(name):
+        return linear(name) if name in t else None
+
+    def vec(name):
+        return load_vector(t[name])
+
+    def maybe_vec(name):
+        return vec(name) if name in t else None
+
+    layers = []
+    for i in range(hp.n_layer):
+        p = f"blk.{i}."
+        layer = {
+            "attn_norm": vec(p + "attn_norm.weight"),
+            # q: either direct (lite) or LoRA-compressed
+            "wq": maybe_linear(p + "attn_q.weight"),
+            "wq_a": maybe_linear(p + "attn_q_a.weight"),
+            "q_a_norm": maybe_vec(p + "attn_q_a_norm.weight"),
+            "wq_b": maybe_linear(p + "attn_q_b.weight"),
+            # kv compression
+            "wkv_a": linear(p + "attn_kv_a_mqa.weight"),
+            "kv_a_norm": vec(p + "attn_kv_a_norm.weight"),
+            "wkv_b": linear(p + "attn_kv_b.weight"),
+            "wo": linear(p + "attn_output.weight"),
+            "ffn_norm": vec(p + "ffn_norm.weight"),
+        }
+        if p + "ffn_gate.weight" in t:  # dense lead layer
+            layer["w_gate"] = linear(p + "ffn_gate.weight")
+            layer["w_up"] = linear(p + "ffn_up.weight")
+            layer["w_down"] = linear(p + "ffn_down.weight")
+        else:  # MoE layer
+            layer["router"] = linear(p + "ffn_gate_inp.weight")
+            layer["exp_probs_b"] = maybe_vec(p + "exp_probs_b.bias")
+            layer["w_gate_exps"] = _experts(t[p + "ffn_gate_exps.weight"], dtype)
+            layer["w_up_exps"] = _experts(t[p + "ffn_up_exps.weight"], dtype)
+            layer["w_down_exps"] = _experts(t[p + "ffn_down_exps.weight"], dtype)
+            layer["w_gate_shexp"] = linear(p + "ffn_gate_shexp.weight")
+            layer["w_up_shexp"] = linear(p + "ffn_up_shexp.weight")
+            layer["w_down_shexp"] = linear(p + "ffn_down_shexp.weight")
+        layers.append(layer)
+
+    return {
+        "tok_embd": load_embedding(t["token_embd.weight"], dtype=dtype),
+        "layers": layers,
+        "output_norm": vec("output_norm.weight"),
+        "output": linear("output.weight") if "output.weight" in t else None,
+    }
+
+
+def forward(
+    hp: HParams,
+    params: Params,
+    tokens: jax.Array,
+    positions: jax.Array,
+    cache: KVCache,
+    cache_offset,
+    return_hidden: bool = False,
+) -> tuple[jax.Array, KVCache]:
+    B, T = tokens.shape
+    H = hp.n_head
+    Dk = hp.head_dim          # qk_nope + qk_rope
+    Dv = hp.head_dim_v
+    n_rot = hp.rope.dims      # decoupled rope head width
+    n_nope = Dk - n_rot
+    kvr = hp.n_lora_kv
+    x = params["tok_embd"][tokens]
+    scale = hp.attn_scale if hp.attn_scale is not None else Dk ** -0.5
+
+    offsets = jnp.broadcast_to(
+        jnp.asarray(cache_offset).reshape(-1), (B,)
+    ).astype(jnp.int32)
+    kv_len = jnp.asarray(cache_offset) + T
+    mask = causal_mask(positions, cache.max_len, kv_len, 0)
+
+    for li, layer in enumerate(params["layers"]):
+        h = rms_norm(x, layer["attn_norm"], hp.rms_eps)
+
+        if layer["wq"] is not None:  # lite
+            q = layer["wq"](h)
+        else:
+            q = layer["wq_b"](
+                rms_norm(layer["wq_a"](h), layer["q_a_norm"], hp.rms_eps)
+            )
+        q = q.reshape(B, T, H, Dk)
+        q_nope, q_pe = q[..., :n_nope], q[..., n_nope:]
+        q_pe = apply_rope(q_pe, positions, hp.rope)
+
+        kv_pe = layer["wkv_a"](h)  # [B, T, kvr + n_rot]
+        kv_cmpr = rms_norm(kv_pe[..., :kvr], layer["kv_a_norm"], hp.rms_eps)
+        k_pe = kv_pe[..., kvr:].reshape(B, T, 1, n_rot)
+        k_pe = apply_rope(k_pe, positions, hp.rope)
+
+        kv = layer["wkv_b"](kv_cmpr).reshape(B, T, H, n_nope + Dv)
+        k_nope = kv[..., :n_nope]
+        v = kv[..., n_nope:]
+
+        qf = jnp.concatenate([q_nope, q_pe], axis=-1)  # [B,T,H,Dk]
+        kf = jnp.concatenate(
+            [k_nope, jnp.broadcast_to(k_pe, (B, T, H, n_rot))], axis=-1
+        )
+
+        cache = cache.update(
+            li, kf.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), cache_offset
+        )
+        k_all, v_all = cache.kv(li)
+        attn_out = attention(qf, k_all, v_all, mask, scale, offsets=offsets)
+        x = x + layer["wo"](attn_out.reshape(B, T, H * Dv))
+
+        h = rms_norm(x, layer["ffn_norm"], hp.rms_eps)
+        if "w_gate" in layer:  # dense lead
+            gate = layer["w_gate"](h)
+            up = layer["w_up"](h)
+            ffn = layer["w_down"](
+                jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
+            )
+            x = x + ffn
+        else:
+            hs = h.reshape(B * T, -1)
+            router_logits = layer["router"](hs).astype(jnp.float32)
+            weights, idx = route(
+                router_logits, hp.n_expert_used,
+                gating=hp.expert_gating_func,
+                norm_weights=hp.expert_weights_norm,
+                scale=hp.expert_weights_scale,
+                select_bias=layer["exp_probs_b"],
+            )
+            ffn = moe_ffn(
+                hs, weights, idx,
+                layer["w_gate_exps"], layer["w_up_exps"], layer["w_down_exps"],
+            )
+            gate = layer["w_gate_shexp"](hs)
+            up = layer["w_up_shexp"](hs)
+            sh = layer["w_down_shexp"](
+                jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
+            )
+            x = x + (ffn + sh.astype(ffn.dtype)).reshape(B, T, -1)
+
+    if return_hidden:
+        return rms_norm(x, params["output_norm"], hp.rms_eps).astype(jnp.float32), cache
+    return output_head(hp, params, x), cache

@@ -66,6 +66,11 @@ class HParams:
     # default pooling for embeddings (llama_pooling_type):
     # none | mean | cls | last | rank
     pooling: str = "none"
+    # deepseek2 / MLA family
+    n_lora_q: int = 0
+    n_lora_kv: int = 0
+    n_layer_dense_lead: int = 0
+    n_expert_shared: int = 0
     # SSM (mamba family): llama_hparams ssm_* (src/llama-hparams.h)
     ssm_d_conv: int = 0
     ssm_d_inner: int = 0
@@ -152,6 +157,9 @@ def hparams_from_gguf(r: GGUFReader) -> HParams:
         n_ff_exp=int(k(Keys.LLM.EXPERT_FEED_FORWARD_LENGTH, 0)),
         expert_weights_scale=float(k(Keys.LLM.EXPERT_WEIGHTS_SCALE, 1.0)),
         expert_weights_norm=bool(k(Keys.LLM.EXPERT_WEIGHTS_NORM, False)),
+        expert_gating_func={1: "softmax", 2: "sigmoid"}.get(
+            int(k("{arch}.expert_gating_func", 1) or 1), "softmax"
+        ),
         sliding_window=int(k(Keys.Attention.SLIDING_WINDOW, 0)),
         swa_pattern=int(k(
             Keys.Attention.SLIDING_WINDOW_PATTERN,
@@ -176,6 +184,10 @@ def hparams_from_gguf(r: GGUFReader) -> HParams:
                   1 if arch in ("bert", "nomic-bert", "jina-bert-v2") else 0)),
             "none",
         ),
+        n_lora_q=int(k("{arch}.attention.q_lora_rank", 0) or 0),
+        n_lora_kv=int(k("{arch}.attention.kv_lora_rank", 0) or 0),
+        n_layer_dense_lead=int(k("{arch}.leading_dense_block_count", 0)),
+        n_expert_shared=int(k("{arch}.expert_shared_count", 0)),
         ssm_d_conv=int(k("{arch}.ssm.conv_kernel", 0)),
         ssm_d_inner=int(k("{arch}.ssm.inner_size", 0)),
         ssm_d_state=int(k("{arch}.ssm.state_size", 0)),

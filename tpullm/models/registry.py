@@ -89,6 +89,9 @@ def _ensure_builtin():
     from . import phi3
 
     register_arch("phi3", phi3.build_params, llama.forward)
+    from . import deepseek2
+
+    register_arch("deepseek2", deepseek2.build_params, deepseek2.forward)
     from . import mamba
     from ..runtime.recurrent import RecurrentCache
 

@@ -498,3 +498,95 @@ def make_tiny_phi3_gguf(
     w.add_tensor("output.weight", rand((n_vocab, n_embd)))
     w.write()
     return str(path)
+
+
+def make_tiny_deepseek2_gguf(
+    path,
+    *,
+    n_layer: int = 3,
+    n_embd: int = 64,
+    n_head: int = 4,
+    qk_nope: int = 16,
+    qk_rope: int = 8,
+    v_dim: int = 16,
+    q_lora: int = 24,
+    kv_lora: int = 24,
+    n_dense_lead: int = 1,
+    n_expert: int = 4,
+    n_expert_used: int = 2,
+    n_ff: int = 96,
+    n_ff_exp: int = 48,
+    n_ff_shexp: int = 48,
+    n_ctx: int = 256,
+    seed: int = 0,
+) -> str:
+    """Tiny deepseek2-shaped GGUF: MLA q/kv compression + bias-gated MoE."""
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = _byte_vocab(DEFAULT_WORDS)
+    n_vocab = len(tokens)
+    dk = qk_nope + qk_rope
+
+    w = GGUFWriter(path, architecture="deepseek2")
+    w.add_kv("general.name", "tpullm-tiny-ds2")
+    w.add_kv("deepseek2.block_count", n_layer)
+    w.add_kv("deepseek2.context_length", n_ctx)
+    w.add_kv("deepseek2.embedding_length", n_embd)
+    w.add_kv("deepseek2.feed_forward_length", n_ff)
+    w.add_kv("deepseek2.attention.head_count", n_head)
+    w.add_kv("deepseek2.attention.head_count_kv", n_head)
+    w.add_kv("deepseek2.attention.key_length", dk)
+    w.add_kv("deepseek2.attention.value_length", v_dim)
+    w.add_kv("deepseek2.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_kv("deepseek2.attention.q_lora_rank", q_lora)
+    w.add_kv("deepseek2.attention.kv_lora_rank", kv_lora)
+    w.add_kv("deepseek2.rope.freq_base", 10000.0)
+    w.add_kv("deepseek2.rope.dimension_count", qk_rope)
+    w.add_kv("deepseek2.leading_dense_block_count", n_dense_lead)
+    w.add_kv("deepseek2.expert_count", n_expert)
+    w.add_kv("deepseek2.expert_used_count", n_expert_used)
+    w.add_kv("deepseek2.expert_feed_forward_length", n_ff_exp)
+    w.add_kv("deepseek2.expert_shared_count", 1)
+    w.add_kv("deepseek2.expert_weights_scale", 2.0)
+    w.add_kv("deepseek2.expert_weights_norm", True)
+    w.add_kv("deepseek2.expert_gating_func", 2)  # sigmoid
+    w.add_kv("tokenizer.ggml.model", "llama")
+    w.add_kv("tokenizer.ggml.tokens", tokens)
+    w.add_kv("tokenizer.ggml.scores", np.asarray(scores, dtype=np.float32))
+    w.add_kv("tokenizer.ggml.token_type", np.asarray(types, dtype=np.int32))
+    w.add_kv("tokenizer.ggml.bos_token_id", 1)
+    w.add_kv("tokenizer.ggml.eos_token_id", 2)
+    w.add_kv("tokenizer.ggml.unknown_token_id", 0)
+    w.add_kv("tokenizer.ggml.add_bos_token", True)
+
+    def rand(shape, scale=0.05):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    w.add_tensor("token_embd.weight", rand((n_vocab, n_embd)))
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        w.add_tensor(p + "attn_norm.weight", np.ones(n_embd, dtype=np.float32))
+        w.add_tensor(p + "attn_q_a.weight", rand((q_lora, n_embd)))
+        w.add_tensor(p + "attn_q_a_norm.weight", np.ones(q_lora, dtype=np.float32))
+        w.add_tensor(p + "attn_q_b.weight", rand((n_head * dk, q_lora)))
+        w.add_tensor(p + "attn_kv_a_mqa.weight", rand((kv_lora + qk_rope, n_embd)))
+        w.add_tensor(p + "attn_kv_a_norm.weight", np.ones(kv_lora, dtype=np.float32))
+        w.add_tensor(p + "attn_kv_b.weight", rand((n_head * (qk_nope + v_dim), kv_lora)))
+        w.add_tensor(p + "attn_output.weight", rand((n_embd, n_head * v_dim)))
+        w.add_tensor(p + "ffn_norm.weight", np.ones(n_embd, dtype=np.float32))
+        if i < n_dense_lead:
+            w.add_tensor(p + "ffn_gate.weight", rand((n_ff, n_embd)))
+            w.add_tensor(p + "ffn_up.weight", rand((n_ff, n_embd)))
+            w.add_tensor(p + "ffn_down.weight", rand((n_embd, n_ff)))
+        else:
+            w.add_tensor(p + "ffn_gate_inp.weight", rand((n_expert, n_embd)))
+            w.add_tensor(p + "exp_probs_b.bias", rand((n_expert,), 0.5))
+            w.add_tensor(p + "ffn_gate_exps.weight", rand((n_expert, n_ff_exp, n_embd)))
+            w.add_tensor(p + "ffn_up_exps.weight", rand((n_expert, n_ff_exp, n_embd)))
+            w.add_tensor(p + "ffn_down_exps.weight", rand((n_expert, n_embd, n_ff_exp)))
+            w.add_tensor(p + "ffn_gate_shexp.weight", rand((n_ff_shexp, n_embd)))
+            w.add_tensor(p + "ffn_up_shexp.weight", rand((n_ff_shexp, n_embd)))
+            w.add_tensor(p + "ffn_down_shexp.weight", rand((n_embd, n_ff_shexp)))
+    w.add_tensor("output_norm.weight", np.ones(n_embd, dtype=np.float32))
+    w.add_tensor("output.weight", rand((n_vocab, n_embd)))
+    w.write()
+    return str(path)

@@ -31,16 +31,23 @@ def route(
     gating: str = "softmax",  # softmax | sigmoid
     norm_weights: bool = False,
     scale: float = 1.0,
+    select_bias: jax.Array | None = None,  # [n_expert] added for SELECTION only
 ) -> tuple[jax.Array, jax.Array]:
     """Top-k expert routing (≡ fused topk-moe.cu: softmax → top-k → renorm).
 
+    select_bias (deepseek-v3 exp_probs_b): experts are RANKED by probs+bias
+    but weighted by the unbiased probs (llama-graph.cpp build_moe_ffn).
     Returns (weights [N, k] f32, idx [N, k] int32).
     """
     if gating == "sigmoid":
         probs = jax.nn.sigmoid(router_logits)
     else:
         probs = jax.nn.softmax(router_logits, axis=-1)
-    weights, idx = jax.lax.top_k(probs, n_expert_used)
+    if select_bias is not None:
+        _, idx = jax.lax.top_k(probs + select_bias[None, :], n_expert_used)
+        weights = jnp.take_along_axis(probs, idx, axis=-1)
+    else:
+        weights, idx = jax.lax.top_k(probs, n_expert_used)
     if norm_weights:
         weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
     if scale != 1.0:
