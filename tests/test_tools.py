@@ -171,3 +171,23 @@ def test_cli_prompt_cache_roundtrip(tiny, tmp_path, capsys, monkeypatch):
     out2 = capsys.readouterr()
     assert "reused" in out2.err
     assert out2.out == out1.out  # deterministic greedy continuation
+
+
+def test_override_kv_and_preset(tiny, tmp_path, capsys):
+    from tpullm.runtime import Engine
+    from tpullm.tools.cli import main as cli_main, parse_kv_overrides
+
+    ov = parse_kv_overrides(["llama.rope.freq_base=float:99.5",
+                             "x.flag=bool:true", "x.n=int:7", "x.s=str:hi"])
+    assert ov == {"llama.rope.freq_base": 99.5, "x.flag": True,
+                  "x.n": 7, "x.s": "hi"}
+
+    eng = Engine(tiny, mode="dense", max_seq=64,
+                 override_kv={"llama.rope.freq_base": 99.5})
+    assert eng.hp.rope.freq_base == 99.5
+
+    preset = tmp_path / "p.ini"
+    preset.write_text("n-predict = 3\ntemp = 0\nmode = dense\n")
+    rc = cli_main(["-m", str(tiny), "-p", "the quick", "--preset", str(preset),
+                   "--no-display-prompt"])
+    assert rc == 0

@@ -113,9 +113,12 @@ class Engine:
         kv_dtype=jnp.bfloat16,
         lora: list | None = None,  # [(path, scale), ...]
         mesh=None,  # jax.sharding.Mesh: tensor-parallel inference over ICI
+        override_kv: dict | None = None,  # metadata overrides (≡ --override-kv)
     ):
         t0 = time.perf_counter()
         self.reader = GGUFReader(model_path)
+        if override_kv:
+            self.reader.metadata.update(override_kv)
         self.hp = load_hparams(self.reader)
         self.arch = get_arch(self.hp.arch)
         self.tokenizer = tokenizer_mod.from_gguf(self.reader)

@@ -39,16 +39,62 @@ def build_parser() -> argparse.ArgumentParser:
                     help="model-free n-gram speculation")
     ap.add_argument("--prompt-cache", default=None,
                     help="session file: restore matching prompt prefix, save after")
+    ap.add_argument("--override-kv", action="append", default=[],
+                    metavar="KEY=TYPE:VALUE",
+                    help="override GGUF metadata, e.g. "
+                         "llama.rope.freq_base=float:1000000 (≡ llama.cpp)")
+    ap.add_argument("--preset", default=_env("preset"),
+                    help="ini-style preset file of flag defaults")
     ap.add_argument("--chat", action="store_true", help="interactive chat")
     ap.add_argument("--no-display-prompt", action="store_true")
     ap.add_argument("--verbose", "-v", action="store_true")
     return ap
 
 
+def parse_kv_overrides(specs: list[str]) -> dict:
+    """key=type:value → typed metadata dict (≡ common/arg.cpp --override-kv)."""
+    out = {}
+    for spec in specs:
+        key, _, rest = spec.partition("=")
+        typ, _, val = rest.partition(":")
+        if not val and typ:  # bare value defaults to str
+            typ, val = "str", typ
+        if typ == "int":
+            out[key] = int(val)
+        elif typ == "float":
+            out[key] = float(val)
+        elif typ == "bool":
+            out[key] = val.lower() in ("1", "true", "yes", "on")
+        elif typ == "str":
+            out[key] = val
+        else:
+            raise ValueError(f"bad --override-kv type {typ!r} (int|float|bool|str)")
+    return out
+
+
+def apply_preset(args, parser, argv):
+    """Load ini-style `key = value` defaults that CLI flags still override
+    (≡ common/preset.cpp)."""
+    import configparser
+
+    cp = configparser.ConfigParser()
+    with open(args.preset) as f:
+        cp.read_string("[preset]\n" + f.read())
+    defaults = dict(cp.items("preset"))
+    # re-parse: preset values become defaults, explicit CLI args win
+    mapped = {}
+    for key, val in defaults.items():
+        dest = key.replace("-", "_")
+        mapped[dest] = val
+    parser.set_defaults(**mapped)
+    return parser.parse_args(argv)
+
+
 def make_engine(args):
     from ..runtime import Engine
 
-    return Engine(args.model, mode=args.mode, max_seq=args.ctx_size)
+    return Engine(args.model, mode=args.mode, max_seq=int(args.ctx_size),
+                  override_kv=parse_kv_overrides(args.override_kv or []))
 
 
 def make_sampler(args):
@@ -176,7 +222,10 @@ def run_chat(args) -> int:
 
 
 def main(argv=None):
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.preset:
+        args = apply_preset(args, parser, argv)
     if args.chat:
         return run_chat(args)
     return run_completion(args)
