@@ -151,6 +151,7 @@ def forward(
     kv_len = jnp.asarray(cache_offset) + T
     mask = causal_mask(positions, cache.max_len, kv_len, hp.sliding_window)
 
+    cvec = params.get("cvec")  # [n_layer, E] steering vectors (llama-adapter)
     for li, layer in enumerate(params["layers"]):
         x, cache = attn_block(
             hp, layer, x, positions, cache, li, cache_offset, mask, offsets
@@ -159,6 +160,8 @@ def forward(
         gate = layer["w_gate"](h)
         up = layer["w_up"](h)
         x = x + layer["w_down"](jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up)
+        if cvec is not None:
+            x = x + cvec[li].astype(x.dtype)
 
     if return_hidden:
         return rms_norm(x, params["output_norm"], hp.rms_eps).astype(jnp.float32), cache

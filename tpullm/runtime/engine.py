@@ -114,6 +114,7 @@ class Engine:
         lora: list | None = None,  # [(path, scale), ...]
         mesh=None,  # jax.sharding.Mesh: tensor-parallel inference over ICI
         override_kv: dict | None = None,  # metadata overrides (≡ --override-kv)
+        control_vectors: list | None = None,  # [(path, strength), ...]
     ):
         t0 = time.perf_counter()
         self.reader = GGUFReader(model_path)
@@ -129,6 +130,16 @@ class Engine:
             self.params = apply_lora(
                 self.params, load_lora_gguf(lora_path), lora_scale, dtype=dtype
             )
+        if control_vectors:
+            import numpy as _np
+
+            from ..tools.cvector import load_control_vector
+
+            total = None
+            for cv_path, strength in control_vectors:
+                v = load_control_vector(cv_path, self.hp.n_layer, strength)
+                total = v if total is None else total + v
+            self.params["cvec"] = jnp.asarray(_np.asarray(total))
         self.max_seq = max_seq
         self.batch = batch
         self.kv_dtype = kv_dtype
