@@ -191,3 +191,23 @@ def test_override_kv_and_preset(tiny, tmp_path, capsys):
     rc = cli_main(["-m", str(tiny), "-p", "the quick", "--preset", str(preset),
                    "--no-display-prompt"])
     assert rc == 0
+
+
+def test_multiple_choice_scoring(tiny):
+    """Ending = the model's own greedy continuation must win the choice
+    (≡ perplexity.cpp hellaswag scoring mechanics)."""
+    from tpullm.runtime import Engine, Sampler, SamplerParams
+    from tpullm.tools.perplexity import multiple_choice_accuracy
+
+    eng = Engine(tiny, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    context = "the quick brown"
+    ids = eng.tokenizer.tokenize(context, add_special=True)
+    greedy = list(eng.generate_tokens(ids, 4, Sampler(SamplerParams(temp=0.0)),
+                                      stop_on_eog=False))
+    good = eng.tokenizer.detokenize(greedy)
+    tasks = [{"context": context,
+              "endings": [" zxqj vvk wqx", good, " lorem ipsum dolor"],
+              "label": 1}]
+    acc = multiple_choice_accuracy(eng, tasks)
+    assert acc == 1.0

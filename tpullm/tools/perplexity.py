@@ -58,6 +58,48 @@ def kl_divergence(logits_a: np.ndarray, logits_b: np.ndarray) -> float:
     return float(np.mean(np.sum(np.exp(la) * (la - lb), axis=-1)))
 
 
+def choice_logprob(engine, context_ids: list[int], ending_ids: list[int],
+                   normalize: bool = True) -> float:
+    """Sum (length-normalized) log P(ending | context) — the scoring unit of
+    the reference's HellaSwag/Winogrande/MMLU evaluators (perplexity.cpp)."""
+    from ..runtime.kvcache import KVCache
+
+    ids = context_ids + ending_ids
+    engine.reset()
+    if hasattr(engine.cache, "k"):
+        engine.cache = KVCache.new(engine.hp, engine.batch, engine.max_seq,
+                                   engine.kv_dtype)
+    logits = engine.prefill_all_logits(ids)
+    logp = logits - _logsumexp(logits)
+    total = 0.0
+    start = len(context_ids)
+    for t in range(start, len(ids)):
+        total += float(logp[t - 1, ids[t]])
+    return total / len(ending_ids) if normalize else total
+
+
+def multiple_choice_accuracy(engine, tasks: list[dict],
+                             progress=lambda *a: None) -> float:
+    """tasks: [{"context": str, "endings": [str...], "label": int}] → accuracy
+    (≡ perplexity.cpp hellaswag_score / multiple_choice_score)."""
+    tok = engine.tokenizer
+    correct = 0
+    for i, task in enumerate(tasks):
+        ctx_ids = tok.tokenize(task["context"], add_special=True)
+        scores = []
+        for ending in task["endings"]:
+            full = tok.tokenize(task["context"] + ending, add_special=True)
+            ending_ids = full[len(ctx_ids):]
+            if not ending_ids:  # ending merged into context tokens entirely
+                scores.append(float("-inf"))
+                continue
+            scores.append(choice_logprob(engine, full[: len(ctx_ids)], ending_ids))
+        if int(np.argmax(scores)) == int(task["label"]):
+            correct += 1
+        progress(i + 1, len(tasks), correct / (i + 1))
+    return correct / len(tasks)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description="Perplexity over a text file")
     ap.add_argument("-m", "--model", required=True)
@@ -66,11 +108,24 @@ def main(argv=None):
     ap.add_argument("--max-windows", type=int, default=None)
     ap.add_argument("--mode", default="auto")
     ap.add_argument("--json", action="store_true")
+    ap.add_argument("--multiple-choice", action="store_true",
+                    help="treat FILE as jsonl tasks "
+                         '{"context","endings","label"} (hellaswag-style)')
     args = ap.parse_args(argv)
 
     from ..runtime import Engine
 
     engine = Engine(args.model, mode=args.mode, max_seq=max(args.ctx, 512))
+    if args.multiple_choice:
+        tasks = [json.loads(l) for l in open(args.file) if l.strip()]
+        acc = multiple_choice_accuracy(
+            engine, tasks,
+            progress=lambda i, n, a: print(f"[{i}/{n}] acc={a:.3f}",
+                                           file=sys.stderr, flush=True),
+        )
+        print(json.dumps({"accuracy": acc, "n_tasks": len(tasks)})
+              if args.json else f"accuracy = {acc:.4f} over {len(tasks)} tasks")
+        return 0
     text = open(args.file, encoding="utf-8", errors="replace").read()
 
     def prog(i, n, ppl):
