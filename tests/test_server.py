@@ -348,3 +348,59 @@ def test_completions_logprobs(engine):
         asyncio.run(run())
     finally:
         sched.stop()
+
+
+def test_multi_model_router(tmp_path):
+    """Router switches models by request body, lazily loads, LRU-evicts
+    (≡ server-models.cpp /models switching)."""
+    import asyncio
+
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from tpullm.server.router import make_router_app
+
+    p1 = make_tiny_llama_gguf(tmp_path / "a.gguf", n_embd=64, n_head=4,
+                              n_head_kv=2, n_ff=128, n_layer=2, seed=1)
+    p2 = make_tiny_llama_gguf(tmp_path / "b.gguf", n_embd=64, n_head=4,
+                              n_head_kv=2, n_ff=128, n_layer=2, seed=2)
+    router = make_router_app({"alpha": str(p1), "beta": str(p2)},
+                             max_loaded=1, n_slots=1, max_seq=64,
+                             mode="dense", prefill_chunk=32)
+
+    async def run():
+        client = TestClient(TestServer(router.app))
+        await client.start_server()
+        try:
+            r = await client.get("/v1/models")
+            data = (await r.json())["data"]
+            assert {m["id"] for m in data} == {"alpha", "beta"}
+            assert not any(m["meta"]["loaded"] for m in data)
+
+            r = await client.post("/v1/completions", json={
+                "model": "alpha", "prompt": "the quick", "max_tokens": 2,
+                "temperature": 0})
+            assert r.status == 200
+
+            r = await client.post("/v1/completions", json={
+                "model": "beta", "prompt": "the quick", "max_tokens": 2,
+                "temperature": 0})
+            assert r.status == 200
+
+            # max_loaded=1 → alpha was evicted when beta loaded
+            r = await client.get("/models")
+            loaded = {m["id"]: m["meta"]["loaded"] for m in (await r.json())["data"]}
+            assert loaded == {"alpha": False, "beta": True}
+
+            r = await client.post("/models/alpha/load", json={})
+            assert (await r.json())["loaded"] is True
+            r = await client.post("/models/alpha/unload", json={})
+            assert (await r.json())["loaded"] is False
+            r = await client.post("/models/nope/load", json={})
+            assert r.status == 404
+        finally:
+            await client.close()
+
+    try:
+        asyncio.run(run())
+    finally:
+        router.shutdown()

@@ -8,7 +8,11 @@ import sys
 
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="tpullm-server")
-    ap.add_argument("-m", "--model", required=True)
+    ap.add_argument("-m", "--model", required=True, action="append",
+                    help="model path, or NAME=PATH (repeat for multi-model "
+                         "routing, ≡ server-models router)")
+    ap.add_argument("--max-loaded", type=int, default=1,
+                    help="resident models before LRU eviction (router mode)")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("-c", "--ctx-size", type=int, default=4096)
@@ -21,15 +25,33 @@ def main(argv=None):
 
     from aiohttp import web
 
+    engine_kw = dict(n_slots=args.parallel, max_seq=args.ctx_size,
+                     mode=args.mode, prefill_chunk=args.prefill_chunk)
+
+    if len(args.model) > 1 or "=" in args.model[0]:
+        from .router import make_router_app
+
+        models = {}
+        for spec in args.model:
+            name, _, path = spec.partition("=")
+            if not path:
+                name, path = spec, spec
+            models[name] = path
+        router = make_router_app(models, max_loaded=args.max_loaded, **engine_kw)
+        print(f"tpullm-server router on http://{args.host}:{args.port} "
+              f"({len(models)} models)", file=sys.stderr)
+        try:
+            web.run_app(router.app, host=args.host, port=args.port, print=None)
+        finally:
+            router.shutdown()
+        return 0
+
     from .api import make_app
 
     app, sched = make_app(
-        args.model,
+        args.model[0],
         slot_save_path=args.slot_save_path,
-        n_slots=args.parallel,
-        max_seq=args.ctx_size,
-        mode=args.mode,
-        prefill_chunk=args.prefill_chunk,
+        **engine_kw,
     )
     print(f"tpullm-server listening on http://{args.host}:{args.port} "
           f"({sched.engine.hp.arch}, {sched.engine.n_slots} slots, "
