@@ -1,0 +1,129 @@
+"""Multimodal: CLIP ViT encoder vs numpy reference + media-chunk pipeline
+(≡ reference tools/mtmd clip.cpp + mtmd.h, test_vision_api.py)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tpullm.models.testing import make_tiny_llama_gguf, make_tiny_mmproj_gguf
+from tpullm.mtmd import (
+    MEDIA_MARKER,
+    ClipVision,
+    build_multimodal_embeddings,
+    generate_mtmd,
+)
+from tpullm.runtime import Engine
+
+
+def np_clip_forward(reader, pixels):
+    """Sequential numpy ViT (second opinion on the encoder math)."""
+    md = reader.metadata
+    g = lambda k: md[f"clip.vision.{k}"]
+    P, E, L, H = g("patch_size"), g("embedding_length"), g("block_count"), g("attention.head_count")
+    eps = g("attention.layer_norm_epsilon")
+    side = g("image_size") // P
+
+    def t(name):
+        return reader.tensors[name].to_numpy().astype(np.float64)
+
+    def ln(x, w, b):
+        mu = x.mean(-1, keepdims=True)
+        var = ((x - mu) ** 2).mean(-1, keepdims=True)
+        return (x - mu) / np.sqrt(var + eps) * w + b
+
+    def gelu(x):
+        return 0.5 * x * (1 + np.tanh(np.sqrt(2 / np.pi) * (x + 0.044715 * x ** 3)))
+
+    # im2col patches
+    x = pixels.reshape(3, side, P, side, P).transpose(1, 3, 0, 2, 4).reshape(side * side, 3 * P * P)
+    x = x @ t("v.patch_embd.weight").T + t("v.patch_embd.bias")
+    x = np.concatenate([t("v.class_embd")[None], x], axis=0)
+    x = x + t("v.position_embd.weight")[: x.shape[0]]
+    x = ln(x, t("v.pre_ln.weight"), t("v.pre_ln.bias"))
+    hd = E // H
+    T = x.shape[0]
+    for i in range(L):
+        p = f"v.blk.{i}."
+        h = ln(x, t(p + "ln1.weight"), t(p + "ln1.bias"))
+        q = (h @ t(p + "attn_q.weight").T + t(p + "attn_q.bias")).reshape(T, H, hd)
+        k = (h @ t(p + "attn_k.weight").T + t(p + "attn_k.bias")).reshape(T, H, hd)
+        v = (h @ t(p + "attn_v.weight").T + t(p + "attn_v.bias")).reshape(T, H, hd)
+        out = np.zeros((T, H, hd))
+        for hh in range(H):
+            s = q[:, hh] @ k[:, hh].T / np.sqrt(hd)
+            e = np.exp(s - s.max(-1, keepdims=True))
+            out[:, hh] = (e / e.sum(-1, keepdims=True)) @ v[:, hh]
+        x = x + out.reshape(T, E) @ t(p + "attn_out.weight").T + t(p + "attn_out.bias")
+        h = ln(x, t(p + "ln2.weight"), t(p + "ln2.bias"))
+        up = h @ t(p + "ffn_up.weight").T + t(p + "ffn_up.bias")
+        x = x + gelu(up) @ t(p + "ffn_down.weight").T + t(p + "ffn_down.bias")
+    x = ln(x, t("v.post_ln.weight"), t("v.post_ln.bias"))
+    x = x[1:]  # drop class token
+    y = x @ t("mm.0.weight").T + t("mm.0.bias")
+    y = gelu(y) @ t("mm.2.weight").T + t("mm.2.bias")
+    return y
+
+
+@pytest.fixture(scope="module")
+def mmproj(tmp_path_factory):
+    return make_tiny_mmproj_gguf(tmp_path_factory.mktemp("mm") / "mmproj.gguf")
+
+
+@pytest.fixture(scope="module")
+def llm(tmp_path_factory):
+    return make_tiny_llama_gguf(
+        tmp_path_factory.mktemp("mm") / "llm.gguf",
+        n_embd=64, n_head=4, n_head_kv=2, n_ff=128, n_layer=2,
+    )
+
+
+def test_clip_encoder_matches_numpy(mmproj):
+    clip = ClipVision(mmproj)
+    rng = np.random.default_rng(0)
+    pixels = rng.standard_normal((3, 28, 28)).astype(np.float32) * 0.5
+    got = clip.encode(pixels[None])[0]
+    ref = np_clip_forward(clip.reader, pixels)
+    assert got.shape == (16, 64)  # (28/7)^2 patches, llm embd
+    np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
+
+
+def test_preprocess_image(mmproj):
+    clip = ClipVision(mmproj)
+    img = np.random.default_rng(1).integers(0, 255, (50, 40, 3), dtype=np.uint8)
+    px = clip.encode_image(img)
+    assert px.shape == (16, 64)
+
+
+def test_embedding_prefill_equals_token_prefill(llm):
+    """prefill_embeddings(tok_embd[ids]) ≡ prefill(ids) — the injection
+    mechanism is exact."""
+    eng1 = Engine(llm, mode="dense", dtype=jnp.float32, max_seq=64,
+                  kv_dtype=jnp.float32)
+    ids = eng1.tokenizer.tokenize("the quick brown", add_special=True)
+    ref = eng1.prefill(ids)
+
+    eng2 = Engine(llm, mode="dense", dtype=jnp.float32, max_seq=64,
+                  kv_dtype=jnp.float32)
+    embds = np.asarray(eng2.params["tok_embd"], np.float32)[np.asarray(ids)]
+    got = eng2.prefill_embeddings(embds)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_generate_mtmd_end_to_end(llm, mmproj):
+    eng = Engine(llm, mode="dense", max_seq=128)
+    clip = ClipVision(mmproj)
+    img = np.random.default_rng(2).integers(0, 255, (28, 28, 3), dtype=np.uint8)
+    out = generate_mtmd(
+        eng, clip, f"describe {MEDIA_MARKER} please", [img], max_new_tokens=6
+    )
+    assert isinstance(out, str)
+    # prompt consumed: text tokens + 16 patch embeddings
+    assert eng.n_past > 16
+
+
+def test_mtmd_marker_count_mismatch(llm, mmproj):
+    eng = Engine(llm, mode="dense", max_seq=64)
+    clip = ClipVision(mmproj)
+    with pytest.raises(ValueError, match="markers"):
+        build_multimodal_embeddings(eng, clip, "no marker here", [np.zeros((28, 28, 3))])

@@ -143,9 +143,16 @@ def forward(
 ) -> tuple[jax.Array, KVCache]:
     """Returns (logits [B, T, n_vocab] f32, updated cache); with
     return_hidden, (hidden [B, T, E] f32, cache) instead (embeddings path,
-    ≡ llama_get_embeddings)."""
-    B, T = tokens.shape
-    x = params["tok_embd"][tokens]  # [B, T, E]
+    ≡ llama_get_embeddings).
+
+    `tokens` may be float [B, T, E] — precomputed input embeddings (the
+    multimodal path, ≡ llama_batch.embd / mtmd media chunks)."""
+    if jnp.issubdtype(tokens.dtype, jnp.integer):
+        B, T = tokens.shape
+        x = params["tok_embd"][tokens]  # [B, T, E]
+    else:
+        B, T = tokens.shape[:2]
+        x = tokens.astype(params["tok_embd"].dtype)
 
     offsets = jnp.broadcast_to(jnp.asarray(cache_offset).reshape(-1), (B,)).astype(jnp.int32)
     kv_len = jnp.asarray(cache_offset) + T

@@ -590,3 +590,62 @@ def make_tiny_deepseek2_gguf(
     w.add_tensor("output.weight", rand((n_vocab, n_embd)))
     w.write()
     return str(path)
+
+
+def make_tiny_mmproj_gguf(
+    path,
+    *,
+    image_size: int = 28,
+    patch_size: int = 7,
+    n_embd: int = 32,
+    n_ff: int = 64,
+    n_layer: int = 2,
+    n_head: int = 4,
+    n_embd_llm: int = 64,
+    seed: int = 0,
+) -> str:
+    """Tiny CLIP ViT mmproj GGUF (llava projector), ≡ clip.cpp model files."""
+    rng = np.random.default_rng(seed)
+    w = GGUFWriter(path, architecture="clip")
+    w.add_kv("general.name", "tpullm-tiny-clip")
+    w.add_kv("clip.vision.image_size", image_size)
+    w.add_kv("clip.vision.patch_size", patch_size)
+    w.add_kv("clip.vision.embedding_length", n_embd)
+    w.add_kv("clip.vision.feed_forward_length", n_ff)
+    w.add_kv("clip.vision.block_count", n_layer)
+    w.add_kv("clip.vision.attention.head_count", n_head)
+    w.add_kv("clip.vision.attention.layer_norm_epsilon", 1e-5)
+    w.add_kv("clip.vision.image_mean", np.asarray([0.5, 0.5, 0.5], np.float32))
+    w.add_kv("clip.vision.image_std", np.asarray([0.5, 0.5, 0.5], np.float32))
+
+    def rand(shape, scale=0.05):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    n_patches = (image_size // patch_size) ** 2
+    w.add_tensor("v.patch_embd.weight", rand((n_embd, 3 * patch_size * patch_size)))
+    w.add_tensor("v.patch_embd.bias", rand((n_embd,)))
+    w.add_tensor("v.class_embd", rand((n_embd,)))
+    w.add_tensor("v.position_embd.weight", rand((n_patches + 1, n_embd)))
+    w.add_tensor("v.pre_ln.weight", np.ones(n_embd, np.float32))
+    w.add_tensor("v.pre_ln.bias", rand((n_embd,)))
+    for i in range(n_layer):
+        p = f"v.blk.{i}."
+        for nm in ("attn_q", "attn_k", "attn_v", "attn_out"):
+            w.add_tensor(p + nm + ".weight", rand((n_embd, n_embd)))
+            w.add_tensor(p + nm + ".bias", rand((n_embd,)))
+        w.add_tensor(p + "ln1.weight", np.ones(n_embd, np.float32))
+        w.add_tensor(p + "ln1.bias", rand((n_embd,)))
+        w.add_tensor(p + "ln2.weight", np.ones(n_embd, np.float32))
+        w.add_tensor(p + "ln2.bias", rand((n_embd,)))
+        w.add_tensor(p + "ffn_up.weight", rand((n_ff, n_embd)))
+        w.add_tensor(p + "ffn_up.bias", rand((n_ff,)))
+        w.add_tensor(p + "ffn_down.weight", rand((n_embd, n_ff)))
+        w.add_tensor(p + "ffn_down.bias", rand((n_embd,)))
+    w.add_tensor("v.post_ln.weight", np.ones(n_embd, np.float32))
+    w.add_tensor("v.post_ln.bias", rand((n_embd,)))
+    w.add_tensor("mm.0.weight", rand((n_embd_llm, n_embd)))
+    w.add_tensor("mm.0.bias", rand((n_embd_llm,)))
+    w.add_tensor("mm.2.weight", rand((n_embd_llm, n_embd_llm)))
+    w.add_tensor("mm.2.bias", rand((n_embd_llm,)))
+    w.write()
+    return str(path)

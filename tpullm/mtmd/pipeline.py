@@ -1,0 +1,60 @@
+"""Media-chunk pipeline: text with <__media__> markers + images → one
+embedding sequence fed through Engine.prefill_embeddings.
+
+Reference: tools/mtmd/mtmd.h (mtmd_tokenize splits the prompt on the media
+marker into text/image chunks; mtmd_helper_eval feeds them through
+llama_batch with embd entries for image chunks)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+MEDIA_MARKER = "<__media__>"
+
+
+def build_multimodal_embeddings(engine, clip, text: str, images: list) -> np.ndarray:
+    """[n, n_embd] input-embedding sequence: token embeddings for text
+    segments interleaved with projected image patch embeddings."""
+    segments = text.split(MEDIA_MARKER)
+    if len(segments) - 1 != len(images):
+        raise ValueError(
+            f"prompt has {len(segments) - 1} {MEDIA_MARKER} markers but "
+            f"{len(images)} images were given"
+        )
+    tok_embd = np.asarray(engine.params["tok_embd"], dtype=np.float32)
+    parts: list[np.ndarray] = []
+    for i, seg in enumerate(segments):
+        add_special = i == 0  # BOS only at the very start
+        if seg:
+            ids = engine.tokenizer.tokenize(seg, add_special=add_special,
+                                            parse_special=True)
+            parts.append(tok_embd[np.asarray(ids, np.int64)])
+        elif add_special and engine.tokenizer.vocab.add_bos:
+            parts.append(tok_embd[[engine.tokenizer.vocab.special.bos]])
+        if i < len(images):
+            parts.append(np.asarray(clip.encode_image(images[i]), np.float32))
+    return np.concatenate(parts, axis=0)
+
+
+def generate_mtmd(engine, clip, text: str, images: list,
+                  max_new_tokens: int = 128, sampler=None,
+                  stop_on_eog: bool = True) -> str:
+    """Prefill the multimodal sequence, then decode as usual
+    (≡ mtmd-cli.cpp flow)."""
+    from ..runtime.sampling import Sampler, SamplerParams
+
+    sampler = sampler or Sampler(SamplerParams(temp=0.0))
+    embds = build_multimodal_embeddings(engine, clip, text, images)
+    logits = engine.prefill_embeddings(embds)
+    vocab = engine.tokenizer.vocab
+    out: list[int] = []
+    for _ in range(max_new_tokens):
+        token = sampler.sample(logits)
+        sampler.accept(token)
+        if stop_on_eog and vocab.is_eog(token):
+            break
+        out.append(token)
+        if engine.n_past >= engine.max_seq:
+            break
+        logits = engine.decode_step(token)
+    return engine.tokenizer.detokenize(out)

@@ -214,6 +214,29 @@ class Engine:
         self.n_past += n
         return out
 
+    def prefill_embeddings(self, embds: np.ndarray) -> np.ndarray:
+        """Feed precomputed input embeddings [n, E] (multimodal path,
+        ≡ llama_batch.embd); returns last-position logits [n_vocab]."""
+        t0 = time.perf_counter()
+        n = embds.shape[0]
+        if self.n_past + n > self.max_seq:
+            raise ValueError(f"context overflow: {self.n_past}+{n}")
+        bucket = self._bucket(n)
+        E = embds.shape[1]
+        buf = np.zeros((self.batch, bucket, E), dtype=np.float32)
+        buf[0, :n] = embds
+        pos = np.arange(self.n_past, self.n_past + bucket, dtype=np.int32)
+        pos = np.broadcast_to(pos, (self.batch, bucket))
+        logits, self.cache = self._step(
+            self.params, jnp.asarray(buf), jnp.asarray(pos), self.cache,
+            jnp.int32(self.n_past),
+        )
+        out = np.asarray(logits[0, n - 1])
+        self.n_past += n
+        self.perf.t_prefill_s += time.perf_counter() - t0
+        self.perf.n_prefill += n
+        return out
+
     def decode_step(self, token: int) -> np.ndarray:
         """Feed one token; returns next-token logits [n_vocab]."""
         t0 = time.perf_counter()
