@@ -147,7 +147,9 @@ def run_completion(args) -> int:
     else:
         ids_tail = ids
     if args.model_draft or args.spec_ngram:
-        ids_tail = ids  # speculative path manages its own cache
+        # speculative path manages its own cache: discard any restored state
+        eng.reset()
+        ids_tail = ids
         from ..runtime import Engine
         from ..runtime.speculative import (
             DraftModelSpeculator, NgramSpeculator, generate_speculative,
