@@ -256,3 +256,124 @@ def test_phi3_quantized_runs(tmp_path):
     quantize_model(str(path), str(qpath), "Q8_0", verbose=False)
     eng = Engine(str(qpath), mode="quant", max_seq=64)
     assert isinstance(eng.generate("the quick", max_new_tokens=4), str)
+
+
+def _make_tiny_variant(tmp_path, arch, extra_kv=None, post_norms=False,
+                       qk_norm_full=False):
+    """Reuse the llama fixture skeleton with arch-specific extra tensors."""
+    from tpullm.gguf import GGUFReader, GGUFWriter
+    from tpullm.models.testing import make_tiny_llama_gguf
+
+    base = make_tiny_llama_gguf(tmp_path / f"{arch}_base.gguf", arch=arch,
+                                extra_kv=extra_kv or {})
+    if not post_norms and not qk_norm_full:
+        return base
+    # rewrite with extra norm tensors
+    r = GGUFReader(base)
+    out = tmp_path / f"{arch}.gguf"
+    w = GGUFWriter(out, architecture=arch)
+    for k, v in r.metadata.items():
+        if k != "general.architecture":
+            w.add_kv(k, v)
+    n_layer = r.metadata[f"{arch}.block_count"]
+    n_embd = r.metadata[f"{arch}.embedding_length"]
+    for name, t in r.tensors.items():
+        w.add_packed_tensor(name, t.shape, t.ggml_type, t.data.tobytes())
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        if post_norms:
+            w.add_tensor(p + "post_attention_norm.weight",
+                         np.ones(n_embd, dtype=np.float32))
+            w.add_tensor(p + "post_ffw_norm.weight",
+                         np.ones(n_embd, dtype=np.float32))
+        if qk_norm_full:
+            w.add_tensor(p + "attn_q_norm.weight", np.ones(n_embd, dtype=np.float32))
+            w.add_tensor(p + "attn_k_norm.weight",
+                         np.ones(n_embd // 2, dtype=np.float32))
+    w.write()
+    return str(out)
+
+
+def test_olmo2_forward_matches_numpy(tmp_path):
+    path = _make_tiny_variant(tmp_path, "olmo2", post_norms=True,
+                              qk_norm_full=True)
+    eng = Engine(path, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    toks = eng.tokenizer.tokenize("the quick brown", add_special=True)
+    got = eng.prefill_all_logits(toks)
+
+    # numpy reference (post-norm structure)
+    r = eng.reader
+    md = r.metadata
+    n_layer, n_head = md["olmo2.block_count"], md["olmo2.attention.head_count"]
+    n_head_kv = md["olmo2.attention.head_count_kv"]
+    n_embd = md["olmo2.embedding_length"]
+    eps = md["olmo2.attention.layer_norm_rms_epsilon"]
+    base = md["olmo2.rope.freq_base"]
+    hd = n_embd // n_head
+
+    def t(name):
+        return r.tensors[name].to_numpy().astype(np.float64)
+
+    T = len(toks)
+    pos = np.arange(T)
+    x = t("token_embd.weight")[np.asarray(toks)]
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        q = _rms(x @ t(p + "attn_q.weight").T, t(p + "attn_q_norm.weight"), eps)
+        k = _rms(x @ t(p + "attn_k.weight").T, t(p + "attn_k_norm.weight"), eps)
+        v = (x @ t(p + "attn_v.weight").T).reshape(T, n_head_kv, hd)
+        q = _rope_neox(q.reshape(T, n_head, hd), pos, base)
+        k = _rope_neox(k.reshape(T, n_head_kv, hd), pos, base)
+        out = _mha(q, k, v, n_head, n_head_kv, 1 / np.sqrt(hd))
+        attn = out.reshape(T, n_embd) @ t(p + "attn_output.weight").T
+        x = x + _rms(attn, t(p + "post_attention_norm.weight"), eps)
+        gate = x @ t(p + "ffn_gate.weight").T
+        up = x @ t(p + "ffn_up.weight").T
+        ffn = (gate / (1 + np.exp(-gate)) * up) @ t(p + "ffn_down.weight").T
+        x = x + _rms(ffn, t(p + "post_ffw_norm.weight"), eps)
+    x = _rms(x, t("output_norm.weight"), eps)
+    ref = x @ t("output.weight").T
+    np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
+
+
+def test_command_r_forward_matches_numpy(tmp_path):
+    path = _make_tiny_variant(tmp_path, "command-r",
+                              extra_kv={"command-r.logit_scale": 0.75,
+                                        "command-r.attention.layer_norm_epsilon": 1e-5})
+    eng = Engine(path, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    toks = eng.tokenizer.tokenize("the quick brown", add_special=True)
+    got = eng.prefill_all_logits(toks)
+
+    r = eng.reader
+    md = r.metadata
+    n_layer, n_head = md["command-r.block_count"], md["command-r.attention.head_count"]
+    n_head_kv = md["command-r.attention.head_count_kv"]
+    n_embd = md["command-r.embedding_length"]
+    eps = 1e-5
+    base = md["command-r.rope.freq_base"]
+    hd = n_embd // n_head
+
+    def t(name):
+        return r.tensors[name].to_numpy().astype(np.float64)
+
+    T = len(toks)
+    pos = np.arange(T)
+    x = t("token_embd.weight")[np.asarray(toks)]
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        h = _ln(x, t(p + "attn_norm.weight"), 0.0, eps)
+        q = (h @ t(p + "attn_q.weight").T).reshape(T, n_head, hd)
+        k = (h @ t(p + "attn_k.weight").T).reshape(T, n_head_kv, hd)
+        v = (h @ t(p + "attn_v.weight").T).reshape(T, n_head_kv, hd)
+        q, k = _rope_neox(q, pos, base), _rope_neox(k, pos, base)
+        out = _mha(q, k, v, n_head, n_head_kv, 1 / np.sqrt(hd))
+        attn = out.reshape(T, n_embd) @ t(p + "attn_output.weight").T
+        gate = h @ t(p + "ffn_gate.weight").T
+        up = h @ t(p + "ffn_up.weight").T
+        ffn = (gate / (1 + np.exp(-gate)) * up) @ t(p + "ffn_down.weight").T
+        x = x + attn + ffn
+    x = _ln(x, t("output_norm.weight"), 0.0, eps)
+    ref = (x @ t("output.weight").T) * 0.75
+    np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)

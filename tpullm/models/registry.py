@@ -92,6 +92,15 @@ def _ensure_builtin():
     from . import deepseek2
 
     register_arch("deepseek2", deepseek2.build_params, deepseek2.forward)
+    from . import command_r, olmo2
+
+    register_arch("olmo2", olmo2.build_params, olmo2.forward)
+    register_arch(
+        "command-r",
+        command_r.build_params,
+        command_r.forward,
+        aliases=("cohere2",),
+    )
     from . import mamba
     from ..runtime.recurrent import RecurrentCache
 
