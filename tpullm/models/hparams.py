@@ -71,7 +71,10 @@ class HParams:
     n_lora_kv: int = 0
     n_layer_dense_lead: int = 0
     n_expert_shared: int = 0
-    # SSM (mamba family): llama_hparams ssm_* (src/llama-hparams.h)
+    # rwkv family
+    rescale_every: int = 0  # halve activations every N layers
+    # SSM (mamba family): llama_hparams ssm_* (src/llama-hparams.h);
+    # ssm_d_state doubles as the RWKV wkv head size
     ssm_d_conv: int = 0
     ssm_d_inner: int = 0
     ssm_d_state: int = 0
@@ -190,6 +193,8 @@ def hparams_from_gguf(r: GGUFReader) -> HParams:
         n_expert_shared=int(k("{arch}.expert_shared_count", 0)),
         ssm_d_conv=int(k("{arch}.ssm.conv_kernel", 0)),
         ssm_d_inner=int(k("{arch}.ssm.inner_size", 0)),
-        ssm_d_state=int(k("{arch}.ssm.state_size", 0)),
+        ssm_d_state=int(k("{arch}.ssm.state_size",
+                          k("{arch}.wkv.head_size", 0))),
+        rescale_every=int(k("{arch}.rescale_every_n_layers", 0)),
         ssm_dt_rank=int(k("{arch}.ssm.time_step_rank", 0)),
     )

@@ -101,6 +101,15 @@ def _ensure_builtin():
         command_r.forward,
         aliases=("cohere2",),
     )
+    from . import rwkv6
+
+    register_arch(
+        "rwkv6",
+        rwkv6.build_params,
+        rwkv6.forward,
+        recurrent=True,
+        make_cache=lambda hp, batch, max_len, dtype: rwkv6.Rwkv6Cache.new(hp, batch),
+    )
     from . import mamba
     from ..runtime.recurrent import RecurrentCache
 

@@ -649,3 +649,79 @@ def make_tiny_mmproj_gguf(
     w.add_tensor("mm.2.bias", rand((n_embd_llm,)))
     w.write()
     return str(path)
+
+
+def make_tiny_rwkv6_gguf(
+    path,
+    *,
+    n_layer: int = 2,
+    n_embd: int = 32,
+    head_size: int = 8,
+    n_ff: int = 64,
+    lora_rank: int = 4,
+    decay_rank: int = 4,
+    n_ctx: int = 256,
+    rescale_every: int = 2,
+    seed: int = 0,
+) -> str:
+    """Tiny RWKV6-shaped GGUF (time-mix + channel-mix tensor set)."""
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = _byte_vocab(DEFAULT_WORDS)
+    n_vocab = len(tokens)
+
+    w = GGUFWriter(path, architecture="rwkv6")
+    w.add_kv("general.name", "tpullm-tiny-rwkv6")
+    w.add_kv("rwkv6.block_count", n_layer)
+    w.add_kv("rwkv6.context_length", n_ctx)
+    w.add_kv("rwkv6.embedding_length", n_embd)
+    w.add_kv("rwkv6.feed_forward_length", n_ff)
+    w.add_kv("rwkv6.attention.head_count", 0)
+    w.add_kv("rwkv6.attention.layer_norm_epsilon", 1e-5)
+    w.add_kv("rwkv6.wkv.head_size", head_size)
+    w.add_kv("rwkv6.rescale_every_n_layers", rescale_every)
+    w.add_kv("rwkv6.token_shift_count", 2)
+    w.add_kv("tokenizer.ggml.model", "llama")
+    w.add_kv("tokenizer.ggml.tokens", tokens)
+    w.add_kv("tokenizer.ggml.scores", np.asarray(scores, dtype=np.float32))
+    w.add_kv("tokenizer.ggml.token_type", np.asarray(types, dtype=np.int32))
+    w.add_kv("tokenizer.ggml.bos_token_id", 1)
+    w.add_kv("tokenizer.ggml.eos_token_id", 2)
+    w.add_kv("tokenizer.ggml.unknown_token_id", 0)
+    w.add_kv("tokenizer.ggml.add_bos_token", True)
+
+    def rand(shape, scale=0.1):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    H = n_embd // head_size
+    w.add_tensor("token_embd.weight", rand((n_vocab, n_embd)))
+    w.add_tensor("token_embd_norm.weight", np.ones(n_embd, np.float32))
+    w.add_tensor("token_embd_norm.bias", rand((n_embd,)))
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        w.add_tensor(p + "attn_norm.weight", np.ones(n_embd, np.float32))
+        w.add_tensor(p + "attn_norm.bias", rand((n_embd,)))
+        w.add_tensor(p + "attn_norm_2.weight", np.ones(n_embd, np.float32))
+        w.add_tensor(p + "attn_norm_2.bias", rand((n_embd,)))
+        w.add_tensor(p + "time_mix_lerp_x.weight", rand((n_embd,)))
+        w.add_tensor(p + "time_mix_lerp_fused.weight", rand((5, 1, n_embd)))
+        w.add_tensor(p + "time_mix_w1.weight", rand((5 * lora_rank, n_embd)))
+        w.add_tensor(p + "time_mix_w2.weight", rand((5, n_embd, lora_rank)))
+        w.add_tensor(p + "time_mix_first.weight", rand((H, head_size)))
+        w.add_tensor(p + "time_mix_decay.weight", rand((n_embd,)) - 4.0)
+        w.add_tensor(p + "time_mix_decay_w1.weight", rand((decay_rank, n_embd)))
+        w.add_tensor(p + "time_mix_decay_w2.weight", rand((n_embd, decay_rank)))
+        for nm in ("time_mix_key", "time_mix_value", "time_mix_receptance",
+                   "time_mix_gate", "time_mix_output"):
+            w.add_tensor(p + nm + ".weight", rand((n_embd, n_embd)))
+        w.add_tensor(p + "time_mix_ln.weight", np.ones(n_embd, np.float32))
+        w.add_tensor(p + "time_mix_ln.bias", rand((n_embd,)))
+        w.add_tensor(p + "channel_mix_lerp_k.weight", rand((n_embd,)))
+        w.add_tensor(p + "channel_mix_lerp_r.weight", rand((n_embd,)))
+        w.add_tensor(p + "channel_mix_key.weight", rand((n_ff, n_embd)))
+        w.add_tensor(p + "channel_mix_receptance.weight", rand((n_embd, n_embd)))
+        w.add_tensor(p + "channel_mix_value.weight", rand((n_embd, n_ff)))
+    w.add_tensor("output_norm.weight", np.ones(n_embd, np.float32))
+    w.add_tensor("output_norm.bias", rand((n_embd,)))
+    w.add_tensor("output.weight", rand((n_vocab, n_embd)))
+    w.write()
+    return str(path)
