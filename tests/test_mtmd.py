@@ -127,3 +127,61 @@ def test_mtmd_marker_count_mismatch(llm, mmproj):
     clip = ClipVision(mmproj)
     with pytest.raises(ValueError, match="markers"):
         build_multimodal_embeddings(eng, clip, "no marker here", [np.zeros((28, 28, 3))])
+
+
+def test_server_vision_chat(llm, mmproj, tmp_path):
+    """OpenAI vision content blocks through /v1/chat/completions
+    (≡ reference tools/server/tests unit/test_vision_api.py)."""
+    import asyncio
+    import base64
+    import io
+
+    from aiohttp.test_utils import TestClient, TestServer
+    from PIL import Image
+
+    from tpullm.runtime.batch_engine import BatchEngine
+    from tpullm.server.api import Server
+    from tpullm.server.scheduler import Scheduler
+
+    engine = BatchEngine(llm, n_slots=2, max_seq=128, mode="dense",
+                         prefill_chunk=32)
+    sched = Scheduler(engine)
+    sched.start()
+
+    buf = io.BytesIO()
+    Image.fromarray(
+        np.random.default_rng(3).integers(0, 255, (28, 28, 3), dtype=np.uint8)
+    ).save(buf, format="PNG")
+    data_uri = "data:image/png;base64," + base64.b64encode(buf.getvalue()).decode()
+
+    async def run():
+        server = Server(sched, model_name="tiny", mmproj_path=mmproj)
+        client = TestClient(TestServer(server.app))
+        await client.start_server()
+        try:
+            r = await client.post("/v1/chat/completions", json={
+                "max_tokens": 4, "temperature": 0,
+                "messages": [{"role": "user", "content": [
+                    {"type": "text", "text": "what is this?"},
+                    {"type": "image_url", "image_url": {"url": data_uri}},
+                ]}],
+            })
+            assert r.status == 200
+            data = await r.json()
+            assert data["choices"][0]["message"]["role"] == "assistant"
+            # image patches consumed: prompt_tokens includes 16 patch embeds
+            assert data["usage"]["prompt_tokens"] > 0
+
+            # plain text requests still work on the same server
+            r = await client.post("/v1/chat/completions", json={
+                "max_tokens": 2, "temperature": 0,
+                "messages": [{"role": "user", "content": "hi"}],
+            })
+            assert r.status == 200
+        finally:
+            await client.close()
+
+    try:
+        asyncio.run(run())
+    finally:
+        sched.stop()

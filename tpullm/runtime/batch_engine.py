@@ -87,6 +87,31 @@ class BatchEngine:
                 return min(b, self.max_seq)
         raise ValueError(n)
 
+    def prefill_slot_embeddings(self, slot: int, embds: np.ndarray) -> np.ndarray:
+        """Feed precomputed input embeddings [n, E] into one slot
+        (multimodal chunks, ≡ llama_batch.embd); returns last logits."""
+        t0 = time.perf_counter()
+        n = embds.shape[0]
+        start = int(self.n_past[slot])
+        if start + n > self.max_seq:
+            raise ValueError(f"slot {slot} context overflow: {start}+{n}")
+        bucket = self._bucket(n)
+        E = embds.shape[1]
+        buf = np.zeros((self.n_slots, bucket, E), dtype=np.float32)
+        buf[slot, :n] = embds
+        pos = np.zeros((self.n_slots, bucket), dtype=np.int32)
+        pos[slot] = np.arange(start, start + bucket)
+        offsets = np.full(self.n_slots, -1, dtype=np.int32)
+        offsets[slot] = start
+        logits, self.cache = self._step(
+            self.params, jnp.asarray(buf), jnp.asarray(pos), self.cache,
+            jnp.asarray(offsets),
+        )
+        self.n_past[slot] = start + n
+        self.perf.t_prefill_s += time.perf_counter() - t0
+        self.perf.n_prefill += n
+        return np.asarray(logits[slot, n - 1])
+
     def _prefill_chunk(self, slot: int, chunk: list[int]) -> np.ndarray:
         n = len(chunk)
         start = int(self.n_past[slot])

@@ -19,6 +19,8 @@ def main(argv=None):
     ap.add_argument("-np", "--parallel", type=int, default=4, help="number of slots")
     ap.add_argument("--mode", choices=["auto", "quant", "dense"], default="auto")
     ap.add_argument("--prefill-chunk", type=int, default=512)
+    ap.add_argument("--mmproj", default=None,
+                    help="CLIP mmproj GGUF for vision requests")
     ap.add_argument("--slot-save-path", default=None,
                     help="directory for /slots/:id?action=save|restore files")
     args = ap.parse_args(argv)
@@ -51,6 +53,7 @@ def main(argv=None):
     app, sched = make_app(
         args.model[0],
         slot_save_path=args.slot_save_path,
+        mmproj_path=args.mmproj,
         **engine_kw,
     )
     print(f"tpullm-server listening on http://{args.host}:{args.port} "

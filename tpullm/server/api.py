@@ -83,11 +83,17 @@ async def _json_errors(request, handler):
 
 class Server:
     def __init__(self, scheduler: Scheduler, model_name: str = "tpullm",
-                 slot_save_path: str | None = None):
+                 slot_save_path: str | None = None,
+                 mmproj_path: str | None = None):
         self.sched = scheduler
         self.model_name = model_name
         self.slot_save_path = slot_save_path
         self.t_start = time.time()
+        self.clip = None
+        if mmproj_path:
+            from ..mtmd import ClipVision
+
+            self.clip = ClipVision(mmproj_path)
         self.app = web.Application(middlewares=[_json_errors])
         r = self.app.router
         r.add_get("/health", self.health)
@@ -292,22 +298,68 @@ class Server:
             "timings": stats,
         })
 
+    def _extract_images(self, messages: list) -> tuple[list, list]:
+        """OpenAI vision content blocks → (text-only messages with
+        <__media__> markers, decoded images). ≡ server's mtmd media chunks."""
+        import base64
+        import io
+
+        from ..mtmd import MEDIA_MARKER
+
+        images = []
+        out = []
+        for m in messages:
+            content = m.get("content", "")
+            if not isinstance(content, list):
+                out.append(m)
+                continue
+            parts = []
+            for block in content:
+                btype = block.get("type")
+                if btype == "text":
+                    parts.append(block.get("text", ""))
+                elif btype == "image_url":
+                    url = block.get("image_url", {}).get("url", "")
+                    if not url.startswith("data:"):
+                        raise ValueError("only data: image URLs are supported")
+                    b64 = url.split(",", 1)[1]
+                    from PIL import Image
+
+                    images.append(Image.open(io.BytesIO(base64.b64decode(b64))))
+                    parts.append(MEDIA_MARKER)
+            out.append({**m, "content": "".join(parts)})
+        return out, images
+
     async def chat_completions(self, request):
         body = await request.json()
         messages = body.get("messages", [])
         vocab = self.sched.engine.tokenizer.vocab
+        messages, images = self._extract_images(messages)
+        if images and self.clip is None:
+            return web.json_response(
+                {"error": {"message": "server started without --mmproj"}},
+                status=400,
+            )
         prompt = apply_chat_template(
             vocab.chat_template, messages, add_generation_prompt=True,
             tools=body.get("tools"),
         )
         tok = self.sched.engine.tokenizer
         ids = tok.tokenize(prompt, add_special=True, parse_special=True)
+        prompt_embds = None
+        if images:
+            from ..mtmd import build_multimodal_embeddings
+
+            prompt_embds = build_multimodal_embeddings(
+                self.sched.engine, self.clip, prompt, images
+            )
         req = GenRequest(
             prompt_ids=ids,
             max_tokens=int(body.get("max_tokens", 128)),
             sampling=_sampling_from_body(body),
             stop=body.get("stop") or [],
             grammar=_grammar_from_body(body),
+            prompt_embds=prompt_embds,
         )
         rid = f"chatcmpl-{uuid.uuid4().hex[:12]}"
         self.sched.submit(req)
@@ -454,11 +506,13 @@ class Server:
 
 
 def make_app(model_path, slot_save_path: str | None = None,
+             mmproj_path: str | None = None,
              **engine_kw) -> tuple[web.Application, Scheduler]:
     from ..runtime.batch_engine import BatchEngine
 
     engine = BatchEngine(model_path, **engine_kw)
     sched = Scheduler(engine)
     sched.start()
-    server = Server(sched, slot_save_path=slot_save_path)
+    server = Server(sched, slot_save_path=slot_save_path,
+                    mmproj_path=mmproj_path)
     return server.app, sched

@@ -35,6 +35,9 @@ class GenRequest:
     stop: list[str] = field(default_factory=list)
     grammar: str | None = None  # GBNF text (set from grammar/json_schema params)
     n_probs: int = 0  # top-N logprobs per token (OpenAI logprobs)
+    # multimodal: precomputed input embeddings [n, E]; replaces prompt_ids
+    # for the prefill (ids still carry the text part for bookkeeping)
+    prompt_embds: object = None
     id: int = field(default_factory=itertools.count().__next__)
     # events: ("token", token_id, text) | ("done", finish_reason, stats)
     out: queue.Queue = field(default_factory=queue.Queue)
@@ -210,7 +213,7 @@ class Scheduler:
 
     def _admit(self, slot: _Slot, req: GenRequest):
         eng = self.engine
-        n = len(req.prompt_ids)
+        n = len(req.prompt_ids) if req.prompt_embds is None else len(req.prompt_embds)
         if n >= eng.max_seq:
             req.out.put(("done", "context_overflow", {}))
             return
@@ -248,7 +251,12 @@ class Scheduler:
             tail = req.prompt_ids
         slot.tokens = list(req.prompt_ids)
         self.n_prompt_tokens += n
-        logits = eng.prefill_slot(slot.index, tail)
+        if req.prompt_embds is not None:
+            eng.free_slot(slot.index)
+            slot.tokens = []  # mixed-media prefix is not reusable by ids
+            logits = eng.prefill_slot_embeddings(slot.index, req.prompt_embds)
+        else:
+            logits = eng.prefill_slot(slot.index, tail)
         slot.state = SlotState.GENERATING
         self._advance(slot, logits, first=True)
 
