@@ -404,3 +404,56 @@ def test_multi_model_router(tmp_path):
         asyncio.run(run())
     finally:
         router.shutdown()
+
+
+def test_thread_safety_stress(engine):
+    """Concurrent submits from many threads + interleaved embedding jobs
+    (≡ reference test-thread-safety.cpp: parallel sequences on one context)."""
+    import threading
+
+    sched = Scheduler(engine)
+    sched.start()
+    errors = []
+    results = {}
+
+    def worker(i):
+        try:
+            ids = engine.tokenizer.tokenize(f"the quick brown number {i}",
+                                            add_special=True)
+            req = sched.submit(GenRequest(prompt_ids=ids, max_tokens=4,
+                                          sampling=SamplerParams(temp=0.0)))
+            toks, reason, stats = _drain(req, timeout=120)
+            assert reason in ("stop", "length"), reason
+            results[i] = toks
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    def embed_worker():
+        try:
+            ids = engine.tokenizer.tokenize("embedding probe", add_special=True)
+            v = sched.embed(ids)
+            assert v.shape[-1] == engine.hp.n_embd
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    try:
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+        threads += [threading.Thread(target=embed_worker) for _ in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=180)
+        assert not errors, errors
+        assert len(results) == 8
+        # determinism: same prompt index → same output across repeat run
+        rerun = {}
+        for i in (0, 3):
+            ids = engine.tokenizer.tokenize(f"the quick brown number {i}",
+                                            add_special=True)
+            req = sched.submit(GenRequest(prompt_ids=ids, max_tokens=4,
+                                          sampling=SamplerParams(temp=0.0)))
+            toks, _, _ = _drain(req, timeout=120)
+            rerun[i] = toks
+        assert rerun[0] == results[0] and rerun[3] == results[3]
+    finally:
+        sched.stop()
