@@ -96,6 +96,15 @@ ORACLE_TYPES = [
     GGMLType.MXFP4,
     GGMLType.IQ4_NL,
     GGMLType.IQ4_XS,
+    GGMLType.IQ2_XXS,
+    GGMLType.IQ2_XS,
+    GGMLType.IQ2_S,
+    GGMLType.IQ3_XXS,
+    GGMLType.IQ3_S,
+    GGMLType.IQ1_S,
+    GGMLType.IQ1_M,
+    GGMLType.TQ1_0,
+    GGMLType.TQ2_0,
 ]
 
 
@@ -112,9 +121,22 @@ def _synth_packed(gtype: GGMLType, n_blocks: int, rng: np.random.Generator) -> n
         GGMLType.Q2_K: [80, 82], GGMLType.Q3_K: [108],
         GGMLType.Q4_K: [0, 2], GGMLType.Q5_K: [0, 2], GGMLType.Q6_K: [208],
         GGMLType.IQ4_NL: [0], GGMLType.IQ4_XS: [0],
+        GGMLType.IQ2_XXS: [0], GGMLType.IQ2_XS: [0], GGMLType.IQ2_S: [0],
+        GGMLType.IQ3_XXS: [0], GGMLType.IQ3_S: [0], GGMLType.IQ1_S: [0],
+        GGMLType.TQ1_0: [52], GGMLType.TQ2_0: [64],
     }
     if gtype == GGMLType.MXFP4:
         raw[:, 0] = rng.integers(110, 140, size=n_blocks, dtype=np.uint8)
+    elif gtype == GGMLType.IQ1_M:
+        # the block f16 scale lives in the top nibble of each of the 4 scale
+        # words (bytes 48..56); plant a sane value nibble by nibble
+        dbits = scale.view(np.uint16)
+        words = raw[:, 48:56].copy().view("<u2").reshape(n_blocks, 4)
+        for k in range(4):
+            words[:, k] = (words[:, k] & 0x0FFF) | (
+                ((dbits >> (4 * k)) & 0xF).astype(np.uint16) << 12
+            )
+        raw[:, 48:56] = words.view(np.uint8).reshape(n_blocks, 8)
     else:
         for off in offsets[gtype]:
             raw[:, off : off + 2] = sb
@@ -170,3 +192,35 @@ def test_kquant_encode_quality_vs_reference_decode(gtype, reference_gguf):
     np.testing.assert_array_equal(ours, theirs)  # same bytes, same decode
     err = rmse(x, theirs) / rmse(x, np.zeros_like(x))
     assert err < 6 * RMSE_BOUNDS[gtype]
+
+
+@pytest.mark.parametrize(
+    "gtype",
+    [GGMLType.IQ2_XXS, GGMLType.IQ3_S, GGMLType.IQ1_S, GGMLType.TQ2_0],
+    ids=lambda t: t.name,
+)
+def test_iq_tensor_roundtrip_through_gguf(gtype, tmp_path, reference_gguf):
+    """Raw-packed i-quant tensor written to a GGUF reads back (via the
+    container's to_numpy dequant path) matching the gguf-py oracle."""
+    import gguf.quants as refq
+
+    from tpullm.gguf import GGUFReader
+    from tpullm.gguf.writer import GGUFWriter
+
+    rng = np.random.default_rng(int(gtype))
+    rows, cols = 4, 512
+    tt = TYPE_TRAITS[gtype]
+    packed = _synth_packed(gtype, rows * cols // tt.block_size, rng)
+
+    path = tmp_path / "iq.gguf"
+    w = GGUFWriter(path, architecture="llama")
+    w.add_packed_tensor("w.weight", (cols, rows), gtype, packed.tobytes())
+    w.write()
+
+    r = GGUFReader(path)
+    got = r.tensors["w.weight"].to_numpy()
+    assert got.shape == (rows, cols)
+    ref = refq.dequantize(
+        packed.copy(), reference_gguf.GGMLQuantizationType(int(gtype))
+    ).reshape(rows, cols)
+    np.testing.assert_array_equal(got, ref.astype(np.float32))

@@ -781,6 +781,10 @@ _DEQUANT = {
     GGMLType.IQ4_XS: dequant_iq4_xs,
 }
 
+from .iq_codecs import IQ_DEQUANT  # noqa: E402  (grid-codebook formats)
+
+_DEQUANT.update(IQ_DEQUANT)
+
 _QUANT = {
     GGMLType.Q4_0: quant_q4_0,
     GGMLType.Q4_1: quant_q4_1,
