@@ -225,3 +225,64 @@ def test_extract_reasoning():
     assert c == "The answer is 4."
     r2, c2 = extract_reasoning("no reasoning")
     assert r2 is None and c2 == "no reasoning"
+
+
+def test_new_builtin_markers():
+    """Spot-check distinctive turn markers of the round-1 builtin additions
+    (format strings per src/llama-chat.cpp render switch)."""
+    from tpullm.chat import BUILTIN
+
+    msgs = [
+        {"role": "system", "content": "be brief"},
+        {"role": "user", "content": "Hi"},
+        {"role": "assistant", "content": "Hello"},
+        {"role": "user", "content": "Bye"},
+    ]
+    expect = {
+        "monarch": ["user\nHi</s>\n", "<s>assistant\n"],
+        "orion": ["Human: be brief\n\nHi\n\nAssistant: </s>Hello</s>"],
+        "openchat": ["GPT4 Correct User: Hi<|end_of_turn|>",
+                     "GPT4 Correct Assistant:"],
+        "vicuna-orca": ["SYSTEM: be brief\n", "ASSISTANT: Hello</s>\n"],
+        "deepseek": ["### Instruction:\nHi\n", "### Response:\nHello\n<|EOT|>\n"],
+        "deepseek2": ["User: Hi\n\n", "Assistant: Hello<｜end▁of▁sentence｜>"],
+        "command-r": ["<|START_OF_TURN_TOKEN|><|USER_TOKEN|>Hi<|END_OF_TURN_TOKEN|>",
+                      "<|START_OF_TURN_TOKEN|><|CHATBOT_TOKEN|>"],
+        "chatglm4": ["[gMASK]<sop>", "<|user|>\nHi", "<|assistant|>\n"],
+        "glmedge": ["<|user|>\nHi", "<|assistant|>"],
+        "minicpm": ["<用户>Hi<AI>Hello"],
+        "exaone3": ["[|system|]be brief[|endofturn|]\n", "[|user|]Hi\n",
+                    "[|assistant|]Hello[|endofturn|]\n"],
+        "rwkv-world": ["User: Hi\n\nAssistant: Hello\n\n",
+                       "User: Bye\n\nAssistant:"],
+        "granite": ["<|start_of_role|>user<|end_of_role|>Hi<|end_of_text|>\n",
+                    "<|start_of_role|>assistant<|end_of_role|>"],
+        "phi4": ["<|im_start|>user<|im_sep|>Hi<|im_end|>",
+                 "<|im_start|>assistant<|im_sep|>"],
+        "llama4": ["<|header_start|>user<|header_end|>\n\nHi<|eot|>",
+                   "<|header_start|>assistant<|header_end|>\n\n"],
+        "kimi-k2": ["<|im_user|>user<|im_middle|>Hi<|im_end|>",
+                    "<|im_assistant|>assistant<|im_middle|>"],
+    }
+    for name, needles in expect.items():
+        out = BUILTIN[name](msgs, True)
+        for needle in needles:
+            assert needle in out, (name, needle, out)
+
+
+def test_new_builtin_detection():
+    assert detect_builtin("x <|im_sep|> y") == "phi4"
+    assert detect_builtin("x <|im_middle|> y") == "kimi-k2"
+    assert detect_builtin("x <|header_start|> y") == "llama4"
+    assert detect_builtin("GPT4 Correct User:") == "openchat"
+    assert detect_builtin("Human: ... Assistant: </s>") == "orion"
+    assert detect_builtin("### Instruction: ... <|EOT|>") == "deepseek"
+    assert detect_builtin("SYSTEM: x USER: y ASSISTANT") == "vicuna-orca"
+    assert detect_builtin("<|START_OF_TURN_TOKEN|>") == "command-r"
+    assert detect_builtin("[gMASK]<sop>") == "chatglm4"
+    assert detect_builtin("<用户>") == "minicpm"
+    assert detect_builtin("[|system|] [|assistant|]") == "exaone3"
+    assert detect_builtin("<|start_of_role|>") == "granite"
+    # regressions: old detections still win where they should
+    assert detect_builtin("<|im_start|> stuff") == "chatml"
+    assert detect_builtin("USER: ASSISTANT:") == "vicuna"

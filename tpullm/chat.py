@@ -143,6 +143,202 @@ def _render_falcon3(messages, add_generation_prompt):
     return "".join(out)
 
 
+def _render_monarch(messages, add_generation_prompt):
+    # mlabonne/AlphaMonarch-7B: <s> before every turn but the first
+    out = []
+    for i, m in enumerate(messages):
+        bos = "" if i == 0 else "<s>"
+        out.append(f"{bos}{m['role']}\n{m['content']}</s>\n")
+    if add_generation_prompt:
+        out.append("<s>assistant\n")
+    return "".join(out)
+
+
+def _render_orion(messages, add_generation_prompt):
+    # OrionStarAI/Orion-14B-Chat: system merges into the next user turn
+    out = []
+    system = ""
+    for m in messages:
+        if m["role"] == "system":
+            system += m["content"]
+        elif m["role"] == "user":
+            pre = f"{system}\n\n" if system else ""
+            system = ""
+            out.append(f"Human: {pre}{m['content']}\n\nAssistant: </s>")
+        else:
+            out.append(f"{m['content']}</s>")
+    return "".join(out)
+
+
+def _render_openchat(messages, add_generation_prompt):
+    out = []
+    for m in messages:
+        if m["role"] == "system":
+            out.append(f"{m['content']}<|end_of_turn|>")
+        else:
+            role = m["role"].capitalize()
+            out.append(f"GPT4 Correct {role}: {m['content']}<|end_of_turn|>")
+    if add_generation_prompt:
+        out.append("GPT4 Correct Assistant:")
+    return "".join(out)
+
+
+def _render_vicuna_orca(messages, add_generation_prompt):
+    out = []
+    for m in messages:
+        if m["role"] == "system":
+            out.append(f"SYSTEM: {m['content']}\n")
+        elif m["role"] == "user":
+            out.append(f"USER: {m['content']}\n")
+        else:
+            out.append(f"ASSISTANT: {m['content']}</s>\n")
+    if add_generation_prompt:
+        out.append("ASSISTANT:")
+    return "".join(out)
+
+
+def _render_deepseek(messages, add_generation_prompt):
+    # deepseek-coder instruct
+    out = []
+    for m in messages:
+        if m["role"] == "system":
+            out.append(m["content"])
+        elif m["role"] == "user":
+            out.append(f"### Instruction:\n{m['content']}\n")
+        else:
+            out.append(f"### Response:\n{m['content']}\n<|EOT|>\n")
+    if add_generation_prompt:
+        out.append("### Response:\n")
+    return "".join(out)
+
+
+def _render_deepseek2(messages, add_generation_prompt):
+    out = []
+    for m in messages:
+        if m["role"] == "system":
+            out.append(f"{m['content']}\n\n")
+        elif m["role"] == "user":
+            out.append(f"User: {m['content']}\n\n")
+        else:
+            out.append(f"Assistant: {m['content']}<｜end▁of▁sentence｜>")
+    if add_generation_prompt:
+        out.append("Assistant:")
+    return "".join(out)
+
+
+def _render_command_r(messages, add_generation_prompt):
+    role_tok = {"system": "SYSTEM_TOKEN", "user": "USER_TOKEN",
+                "assistant": "CHATBOT_TOKEN"}
+    out = []
+    for m in messages:
+        tok = role_tok.get(m["role"], "USER_TOKEN")
+        out.append(
+            f"<|START_OF_TURN_TOKEN|><|{tok}|>{m['content'].strip()}"
+            "<|END_OF_TURN_TOKEN|>"
+        )
+    if add_generation_prompt:
+        out.append("<|START_OF_TURN_TOKEN|><|CHATBOT_TOKEN|>")
+    return "".join(out)
+
+
+def _render_chatglm4(messages, add_generation_prompt):
+    out = ["[gMASK]<sop>"]
+    for m in messages:
+        out.append(f"<|{m['role']}|>\n{m['content']}")
+    if add_generation_prompt:
+        out.append("<|assistant|>\n")
+    return "".join(out)
+
+
+def _render_glmedge(messages, add_generation_prompt):
+    out = []
+    for m in messages:
+        out.append(f"<|{m['role']}|>\n{m['content']}")
+    if add_generation_prompt:
+        out.append("<|assistant|>")
+    return "".join(out)
+
+
+def _render_minicpm(messages, add_generation_prompt):
+    out = []
+    for m in messages:
+        if m["role"] == "user":
+            out.append(f"<用户>{m['content'].strip()}<AI>")
+        else:
+            out.append(m["content"].strip())
+    return "".join(out)
+
+
+def _render_exaone3(messages, add_generation_prompt):
+    out = []
+    for m in messages:
+        if m["role"] == "system":
+            out.append(f"[|system|]{m['content'].strip()}[|endofturn|]\n")
+        elif m["role"] == "user":
+            out.append(f"[|user|]{m['content'].strip()}\n")
+        else:
+            out.append(f"[|assistant|]{m['content'].strip()}[|endofturn|]\n")
+    if add_generation_prompt:
+        out.append("[|assistant|]")
+    return "".join(out)
+
+
+def _render_rwkv_world(messages, add_generation_prompt):
+    # requires "\n\n" as the EOT; Assistant: appended right after the last user
+    out = []
+    for i, m in enumerate(messages):
+        role = {"system": "System", "user": "User",
+                "assistant": "Assistant"}.get(m["role"], "User")
+        out.append(f"{role}: {m['content'].strip()}\n\n")
+        if m["role"] == "user" and i == len(messages) - 1:
+            out.append("Assistant:")
+    return "".join(out)
+
+
+def _render_granite(messages, add_generation_prompt):
+    out = []
+    for m in messages:
+        role = m["role"]
+        call = "<|tool_call|>" if role == "assistant_tool_call" else ""
+        out.append(f"<|start_of_role|>{role}<|end_of_role|>{call}"
+                   f"{m['content']}<|end_of_text|>\n")
+    if add_generation_prompt:
+        out.append("<|start_of_role|>assistant<|end_of_role|>")
+    return "".join(out)
+
+
+def _render_phi4(messages, add_generation_prompt):
+    out = []
+    for m in messages:
+        out.append(f"<|im_start|>{m['role']}<|im_sep|>{m['content']}<|im_end|>")
+    if add_generation_prompt:
+        out.append("<|im_start|>assistant<|im_sep|>")
+    return "".join(out)
+
+
+def _render_llama4(messages, add_generation_prompt):
+    out = []
+    for m in messages:
+        out.append(f"<|header_start|>{m['role']}<|header_end|>\n\n"
+                   f"{m['content'].strip()}<|eot|>")
+    if add_generation_prompt:
+        out.append("<|header_start|>assistant<|header_end|>\n\n")
+    return "".join(out)
+
+
+def _render_kimi_k2(messages, add_generation_prompt):
+    pre = {"system": "<|im_system|>system", "user": "<|im_user|>user",
+           "assistant": "<|im_assistant|>assistant",
+           "tool": "<|im_system|>tool"}
+    out = []
+    for m in messages:
+        out.append(f"{pre.get(m['role'], '<|im_user|>user')}<|im_middle|>"
+                   f"{m['content']}<|im_end|>")
+    if add_generation_prompt:
+        out.append("<|im_assistant|>assistant<|im_middle|>")
+    return "".join(out)
+
+
 BUILTIN = {
     "chatml": _render_chatml,
     "llama2": _render_llama2,
@@ -154,6 +350,22 @@ BUILTIN = {
     "vicuna": _render_vicuna,
     "deepseek3": _render_deepseek3,
     "falcon3": _render_falcon3,
+    "monarch": _render_monarch,
+    "orion": _render_orion,
+    "openchat": _render_openchat,
+    "vicuna-orca": _render_vicuna_orca,
+    "deepseek": _render_deepseek,
+    "deepseek2": _render_deepseek2,
+    "command-r": _render_command_r,
+    "chatglm4": _render_chatglm4,
+    "glmedge": _render_glmedge,
+    "minicpm": _render_minicpm,
+    "exaone3": _render_exaone3,
+    "rwkv-world": _render_rwkv_world,
+    "granite": _render_granite,
+    "phi4": _render_phi4,
+    "llama4": _render_llama4,
+    "kimi-k2": _render_kimi_k2,
 }
 
 
@@ -162,10 +374,16 @@ def detect_builtin(template: str | None) -> str:
     src/llama-chat.cpp string sniffing)."""
     if not template:
         return "chatml"
+    if "<|im_sep|>" in template:
+        return "phi4"
+    if "<|im_middle|>" in template:
+        return "kimi-k2"
     if "<|im_start|>" in template:
         return "chatml"
     if "<|start_header_id|>" in template:
         return "llama3"
+    if "<|header_start|>" in template:
+        return "llama4"
     if "<start_of_turn>" in template:
         return "gemma"
     if "[SYSTEM_PROMPT]" in template:
@@ -174,10 +392,36 @@ def detect_builtin(template: str | None) -> str:
         return "phi3"
     if "<|endoftext|>" in template and "<|assistant|>" in template:
         return "zephyr"
+    if "bos_token + message['role']" in template:
+        return "monarch"
+    if "GPT4 Correct " in template:
+        return "openchat"
+    if "Human: " in template and "Assistant: </s>" in template:
+        return "orion"
     if "<｜User｜>" in template:
         return "deepseek3"
+    if "'User: ' + message['content'] +" in template or (
+        "User: " in template and "<｜end▁of▁sentence｜>" in template
+    ):
+        return "deepseek2"
+    if "### Instruction:" in template and "<|EOT|>" in template:
+        return "deepseek"
+    if "SYSTEM: " in template and "USER: " in template:
+        return "vicuna-orca"
     if "USER:" in template and "ASSISTANT:" in template:
         return "vicuna"
+    if "<|START_OF_TURN_TOKEN|>" in template:
+        return "command-r"
+    if "[gMASK]<sop>" in template:
+        return "chatglm4"
+    if "<用户>" in template:
+        return "minicpm"
+    if "[|system|]" in template and "[|assistant|]" in template:
+        return "exaone3"
+    if "rwkv-world" in template or "'User: ' + content + '\\n\\nAssistant:'" in template:
+        return "rwkv-world"
+    if "<|start_of_role|>" in template:
+        return "granite"
     if "[INST]" in template:
         return "llama2"
     return "chatml"
