@@ -21,7 +21,7 @@ from ..gguf.reader import GGUFReader
 from ..ops.attention import attention, causal_mask
 from ..ops.norms import rms_norm
 from ..ops.rope import apply_rope
-from ..runtime.kvcache import KVCache
+from ..runtime.kvcache import KVCache, SWACache
 from .hparams import HParams
 from .llama import Params
 from .weights import load_embedding, load_linear, load_vector
@@ -82,7 +82,14 @@ def forward(
     ).astype(jnp.int32)
     kv_len = jnp.asarray(cache_offset) + T
     mask_full = causal_mask(positions, cache.max_len, kv_len, 0)
-    mask_swa = causal_mask(positions, cache.max_len, kv_len, hp.sliding_window)
+    ring = isinstance(cache, SWACache)
+    if ring:
+        # iSWA dual cache: SWA layers live in a ring; the mask comes from the
+        # per-slot absolute positions, not the slot index
+        cache = cache.advance(positions, cache_offset)
+        mask_swa = cache.ring_mask(positions)
+    else:
+        mask_swa = causal_mask(positions, cache.max_len, kv_len, hp.sliding_window)
 
     rope_global = hp.rope
     rope_swa = (
@@ -112,8 +119,9 @@ def forward(
         k_all, v_all = cache.kv(li)
         attn_out = attention(
             q, k_all, v_all, mask, scale,
-            softcap=hp.softcap_attn, offsets=offsets,
-            sliding_window=hp.sliding_window if swa else 0,
+            softcap=hp.softcap_attn,
+            offsets=None if (ring and swa) else offsets,
+            sliding_window=hp.sliding_window if swa and not ring else 0,
         )
         attn_out = layer["wo"](attn_out.reshape(B, T, hp.n_head * hp.head_dim_v))
         if layer["attn_post_norm"] is not None:

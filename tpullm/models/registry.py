@@ -23,14 +23,16 @@ class ArchSpec:
     # prefills (≡ llama_memory_recurrent vs llama_kv_cache)
     recurrent: bool = False
     make_cache: Callable | None = None  # (hp, batch, max_len, dtype) -> cache
+    # interleaved-SWA models whose forward understands the dual ring cache
+    iswa: bool = False
 
 
 _REGISTRY: dict[str, ArchSpec] = {}
 
 
 def register_arch(name: str, build_params, forward, aliases: tuple[str, ...] = (),
-                  recurrent: bool = False, make_cache=None):
-    spec = ArchSpec(name, build_params, forward, recurrent, make_cache)
+                  recurrent: bool = False, make_cache=None, iswa: bool = False):
+    spec = ArchSpec(name, build_params, forward, recurrent, make_cache, iswa)
     _REGISTRY[name] = spec
     for a in aliases:
         _REGISTRY[a] = spec
@@ -84,6 +86,7 @@ def _ensure_builtin():
         gemma.build_params,
         gemma.forward,
         aliases=("gemma2",),
+        iswa=True,
     )
     register_arch("gpt2", gpt2.build_params, gpt2.forward)
     from . import phi3

@@ -20,7 +20,7 @@ import numpy as np
 
 from ..gguf.reader import GGUFReader
 from ..models.registry import get_arch, load_hparams
-from ..runtime.kvcache import KVCache, make_cache
+from ..runtime.kvcache import KVCache, SWACache, make_cache
 from ..runtime.sampling import Sampler, SamplerParams
 from .. import tokenizer as tokenizer_mod
 
@@ -115,6 +115,7 @@ class Engine:
         mesh=None,  # jax.sharding.Mesh: tensor-parallel inference over ICI
         override_kv: dict | None = None,  # metadata overrides (≡ --override-kv)
         control_vectors: list | None = None,  # [(path, strength), ...]
+        swa_full: bool = False,  # force full-size SWA-layer cache (≡ --swa-full)
     ):
         t0 = time.perf_counter()
         self.reader = GGUFReader(model_path)
@@ -143,8 +144,22 @@ class Engine:
         self.max_seq = max_seq
         self.batch = batch
         self.kv_dtype = kv_dtype
+        self.prefill_cap = max_seq
         if self.arch.make_cache is not None:
             self.cache = self.arch.make_cache(self.hp, batch, max_seq, kv_dtype)
+        elif (
+            self.arch.iswa
+            and not swa_full
+            and self.hp.sliding_window > 0
+            and not isinstance(kv_dtype, str)
+            and max_seq > self.hp.sliding_window
+        ):
+            # iSWA dual cache: SWA layers get a ring of window+chunk slots
+            # (≡ llama_kv_cache_unified_iswa; --swa-full disables)
+            self.prefill_cap = min(1024, max_seq)
+            self.cache = SWACache.new(
+                self.hp, batch, max_seq, kv_dtype, max_chunk=self.prefill_cap
+            )
         else:
             self.cache = make_cache(self.hp, batch, max_seq, kv_dtype)
         self.mesh = mesh
@@ -165,6 +180,15 @@ class Engine:
 
     def reset(self):
         self.n_past = 0
+        if isinstance(self.cache, SWACache):
+            # stale ring entries from the previous conversation carry positions
+            # a fresh query would wrongly attend to; mark every slot empty
+            self.cache = SWACache(
+                self.cache.full_k, self.cache.full_v,
+                self.cache.swa_k, self.cache.swa_v,
+                jnp.full_like(self.cache.slot_pos, -1),
+                self.cache.layer_map, self.cache.window,
+            )
 
     def _bucket(self, n: int) -> int:
         # recurrent models carry state: pad tokens would pollute it, so the
@@ -182,6 +206,10 @@ class Engine:
         n = len(tokens)
         if self.n_past + n > self.max_seq:
             raise ValueError(f"context overflow: {self.n_past}+{n} > {self.max_seq}")
+        while n > self.prefill_cap:  # ring-cache models chunk long prompts
+            self.prefill(tokens[: self.prefill_cap])
+            tokens = tokens[self.prefill_cap :]
+            n = len(tokens)
         bucket = self._bucket(n)
         toks = np.zeros((self.batch, bucket), dtype=np.int32)
         toks[0, :n] = tokens
@@ -201,6 +229,12 @@ class Engine:
         """Like prefill, but returns logits for every position [T, n_vocab]
         (perplexity / imatrix path)."""
         n = len(tokens)
+        if n > self.prefill_cap:
+            parts = [
+                self.prefill_all_logits(tokens[i : i + self.prefill_cap])
+                for i in range(0, n, self.prefill_cap)
+            ]
+            return np.concatenate(parts, axis=0)
         bucket = self._bucket(n)
         toks = np.zeros((self.batch, bucket), dtype=np.int32)
         toks[0, :n] = tokens
@@ -221,6 +255,10 @@ class Engine:
         n = embds.shape[0]
         if self.n_past + n > self.max_seq:
             raise ValueError(f"context overflow: {self.n_past}+{n}")
+        while n > self.prefill_cap:
+            self.prefill_embeddings(embds[: self.prefill_cap])
+            embds = embds[self.prefill_cap :]
+            n = embds.shape[0]
         bucket = self._bucket(n)
         E = embds.shape[1]
         buf = np.zeros((self.batch, bucket, E), dtype=np.float32)
@@ -300,6 +338,9 @@ class Engine:
         rng = jax.random.PRNGKey(seed)
         vocab = self.tokenizer.vocab
 
+        while len(prompt_tokens) > self.prefill_cap:  # ring-cache chunking
+            self.prefill(prompt_tokens[: self.prefill_cap])
+            prompt_tokens = prompt_tokens[self.prefill_cap :]
         n = len(prompt_tokens)
         bucket = self._bucket(n)
         toks = np.zeros((self.batch, bucket), dtype=np.int32)

@@ -169,6 +169,167 @@ class QuantKVCache:
         return QuantKVCache(kq, vq, ks, vs)
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class SWACache:
+    """Dual KV store for interleaved sliding-window attention
+    (≡ llama_kv_cache_unified_iswa, src/llama-kv-cache-iswa.*).
+
+    Full-attention layers keep the usual [n_full, B, Hkv, max_len, D] arrays;
+    SWA layers share a ring of `ring_len` slots — enough for one prefill
+    chunk plus the window — written at slot (pos % ring_len). `slot_pos`
+    records the absolute position held by each ring slot (-1 = empty), so the
+    SWA mask is computed from data rather than slot index:
+    attend(q@p, slot s) ⇔ 0 ≤ pos_s ≤ p and p − pos_s < window.
+
+    TPU notes: ring writes are one scatter per layer on static index vectors
+    ((offset + iota) mod R); everything stays fixed-shape so the decode step
+    jit-compiles once. Memory for a gemma3-style 5:1 swa:full pattern drops
+    by ~ (1 − 1/6)·(1 − R/max_len) of the cache.
+    """
+
+    full_k: jax.Array  # [n_full, B, Hkv, Smax, Dk]
+    full_v: jax.Array  # [n_full, B, Hkv, Smax, Dv]
+    swa_k: jax.Array  # [n_swa, B, Hkv, R, Dk]
+    swa_v: jax.Array  # [n_swa, B, Hkv, R, Dv]
+    slot_pos: jax.Array  # [B, R] int32 absolute position per ring slot, -1 empty
+    layer_map: tuple  # li -> (is_swa, local_idx); static
+    window: int  # static
+
+    def tree_flatten(self):
+        return (
+            (self.full_k, self.full_v, self.swa_k, self.swa_v, self.slot_pos),
+            (self.layer_map, self.window),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @property
+    def max_len(self) -> int:
+        return self.full_k.shape[3]
+
+    @property
+    def ring_len(self) -> int:
+        return self.swa_k.shape[3]
+
+    @property
+    def batch(self) -> int:
+        return self.full_k.shape[1]
+
+    @classmethod
+    def new(cls, hp: HParams, batch: int, max_len: int, dtype=jnp.bfloat16,
+            max_chunk: int = 1024) -> "SWACache":
+        layer_map = []
+        n_full = n_swa = 0
+        for li in range(hp.n_layer):
+            if hp.is_swa(li):
+                layer_map.append((True, n_swa))
+                n_swa += 1
+            else:
+                layer_map.append((False, n_full))
+                n_full += 1
+        # a prefill chunk of C tokens needs window-1 past keys + C new ones
+        r = hp.sliding_window - 1 + min(max_chunk, max_len)
+        ring = min(max_len, -(-r // 128) * 128)
+        return cls(
+            jnp.zeros((n_full, batch, hp.n_head_kv, max_len, hp.head_dim), dtype),
+            jnp.zeros((n_full, batch, hp.n_head_kv, max_len, hp.head_dim_v), dtype),
+            jnp.zeros((n_swa, batch, hp.n_head_kv, ring, hp.head_dim), dtype),
+            jnp.zeros((n_swa, batch, hp.n_head_kv, ring, hp.head_dim_v), dtype),
+            jnp.full((batch, ring), -1, jnp.int32),
+            tuple(layer_map),
+            hp.sliding_window,
+        )
+
+    # -- ring bookkeeping -------------------------------------------------------
+
+    def _clip_to_ring(self, arrs, offset):
+        """Oversized writes keep only the last ring_len entries (older ones
+        would be overwritten within this same call anyway)."""
+        t = arrs[0].shape[-2] if arrs[0].ndim >= 3 else arrs[0].shape[-1]
+        r = self.ring_len
+        if t <= r:
+            return arrs, offset, t
+        sl = [a[..., -r:, :] if a.ndim >= 3 else a[..., -r:] for a in arrs]
+        return sl, offset + (t - r), r
+
+    def slot_positions_after(self, positions: jax.Array, offset) -> jax.Array:
+        """The slot_pos array as it will look after this step's writes.
+        Models call this (via advance) before the layer loop so the SWA mask
+        covers the tokens being written."""
+        (pos,), off, t = self._clip_to_ring((positions,), jnp.asarray(offset))
+        r = self.ring_len
+        if off.ndim == 0:
+            idx = (off + jnp.arange(t)) % r
+            return self.slot_pos.at[:, idx].set(pos)
+
+        def row(sp, p, o):
+            idx = (jnp.maximum(o, 0) + jnp.arange(t)) % r
+            src = jnp.where(o >= 0, p, sp[idx])
+            return sp.at[idx].set(src)
+
+        return jax.vmap(row)(self.slot_pos, pos, off)
+
+    def advance(self, positions: jax.Array, offset) -> "SWACache":
+        """Commit this step's slot positions (call once per forward)."""
+        return SWACache(
+            self.full_k, self.full_v, self.swa_k, self.swa_v,
+            self.slot_positions_after(positions, offset),
+            self.layer_map, self.window,
+        )
+
+    def ring_mask(self, positions: jax.Array) -> jax.Array:
+        """[B, T, R] boolean SWA mask from post-advance slot positions."""
+        sp = self.slot_pos[:, None, :]  # [B, 1, R]
+        qp = positions[:, :, None]  # [B, T, 1]
+        return (sp >= 0) & (sp <= qp) & (sp > qp - self.window)
+
+    # -- KVCache interface ------------------------------------------------------
+
+    def kv(self, layer: int) -> tuple[jax.Array, jax.Array]:
+        swa, loc = self.layer_map[layer]
+        if swa:
+            return self.swa_k[loc], self.swa_v[loc]
+        return self.full_k[loc], self.full_v[loc]
+
+    def update(self, layer: int, k_new, v_new, offset) -> "SWACache":
+        swa, loc = self.layer_map[layer]
+        offset = jnp.asarray(offset)
+        if not swa:
+            proxy = KVCache(self.full_k, self.full_v).update(
+                loc, k_new, v_new, offset
+            )
+            return SWACache(proxy.k, proxy.v, self.swa_k, self.swa_v,
+                            self.slot_pos, self.layer_map, self.window)
+
+        (k_new, v_new), off, t = self._clip_to_ring((k_new, v_new), offset)
+        r = self.ring_len
+        if off.ndim == 0:
+            idx = (off + jnp.arange(t)) % r
+            # an advanced index between slices moves its axis to the front:
+            # value shape for at[loc, :, :, idx, :] is [T, B, Hkv, D]
+            sk = self.swa_k.at[loc, :, :, idx, :].set(
+                jnp.moveaxis(k_new, 2, 0).astype(self.swa_k.dtype)
+            )
+            sv = self.swa_v.at[loc, :, :, idx, :].set(
+                jnp.moveaxis(v_new, 2, 0).astype(self.swa_v.dtype)
+            )
+        else:
+
+            def row(ring, new, o):
+                idx = (jnp.maximum(o, 0) + jnp.arange(t)) % r
+                new_t = jnp.moveaxis(new, 1, 0).astype(ring.dtype)  # [T,Hkv,D]
+                src = jnp.where(o >= 0, new_t, ring[:, idx, :])
+                return ring.at[:, idx, :].set(src)
+
+            sk = self.swa_k.at[loc].set(jax.vmap(row)(self.swa_k[loc], k_new, off))
+            sv = self.swa_v.at[loc].set(jax.vmap(row)(self.swa_v[loc], v_new, off))
+        return SWACache(self.full_k, self.full_v, sk, sv, self.slot_pos,
+                        self.layer_map, self.window)
+
+
 def make_cache(hp: HParams, batch: int, max_len: int, kv_dtype):
     """kv_dtype: jnp dtype for dense storage, or the string 'q8_0'
     (≡ --cache-type-k/v q8_0)."""
