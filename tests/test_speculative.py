@@ -83,3 +83,75 @@ def test_speculative_with_sampling_seeded(model_path):
     )
     assert 0 < len(out) <= 12
     assert all(0 <= t < target.hp.n_vocab for t in out)
+
+
+# -- persistent n-gram caches (≡ common/ngram-cache.cpp + tools/lookup) -------
+
+
+def test_ngram_cache_update_and_vote():
+    from tpullm.runtime.ngram_cache import NgramCache, draft_token
+
+    cache = NgramCache()
+    seq = [1, 2, 3, 4] * 10  # strongly periodic
+    cache.update(seq)
+    # after [3, 4] the corpus always continues with 1
+    assert draft_token(cache, [3, 4]) == 1
+    assert draft_token(cache, [2, 3, 4]) == 1
+    # unseen history → no draft
+    assert draft_token(cache, [99, 98]) is None
+
+
+def test_ngram_cache_threshold_rejects_noise():
+    from tpullm.runtime.ngram_cache import NgramCache, draft_token
+
+    cache = NgramCache()
+    # after (5,) the next token is an even split 6/7 → below min_percent
+    cache.update([5, 6, 5, 7, 5, 6, 5, 7])
+    assert draft_token(cache, [5]) is None
+
+
+def test_ngram_cache_save_load_merge(tmp_path):
+    from tpullm.runtime.ngram_cache import NgramCache
+
+    a = NgramCache()
+    a.update([1, 2, 3, 1, 2, 3])
+    b = NgramCache()
+    b.update([1, 2, 4])
+    pa, pb = str(tmp_path / "a.npz"), str(tmp_path / "b.npz")
+    a.save(pa)
+    b.save(pb)
+    a2 = NgramCache.load(pa)
+    assert a2.grams == a.grams
+    a2.merge(NgramCache.load(pb))
+    # counts add up: (1,2)→3 twice in a, →4 once in b
+    assert a2.grams[(1, 2)] == {3: 2, 4: 1}
+
+
+def test_ngram_cache_speculator_matches_greedy(model_path):
+    from tpullm.runtime.ngram_cache import NgramCacheSpeculator
+
+    eng = Engine(model_path, mode="dense", max_seq=256)
+    ids = eng.tokenizer.tokenize("the quick brown fox", add_special=True)
+    base = list(eng.generate_tokens(list(ids), max_new_tokens=16))
+
+    eng.reset()
+    spec = NgramCacheSpeculator(n_draft=4)
+    out, stats = generate_speculative(eng, spec, list(ids), max_new_tokens=16)
+    assert out == base
+    assert stats.n_accepted <= stats.n_drafted
+
+
+def test_lookup_cli_create_merge_stats(model_path, tmp_path, capsys):
+    from tpullm.tools.lookup import main as lookup_main
+
+    corpus = tmp_path / "c.txt"
+    corpus.write_text("the quick brown fox jumps over the lazy dog " * 5)
+    c1 = str(tmp_path / "c1.npz")
+    c2 = str(tmp_path / "c2.npz")
+    merged = str(tmp_path / "m.npz")
+    assert lookup_main(["create", "-m", model_path, "-f", str(corpus), "-o", c1]) == 0
+    assert lookup_main(["create", "-m", model_path, "-f", str(corpus), "-o", c2]) == 0
+    assert lookup_main(["merge", c1, c2, "-o", merged]) == 0
+    assert lookup_main(["stats", merged]) == 0
+    out = capsys.readouterr().out
+    assert "n-grams:" in out
