@@ -23,15 +23,25 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.weights import DenseLinear, QuantLinear
 from ..runtime.kvcache import KVCache
-from .mesh import MODEL_AXIS
+from .mesh import EXPERT_AXIS, MODEL_AXIS
 
 # tensor-name patterns → (dense spec over [n_in, n_out], quant plane row/col)
 COL_PARALLEL = re.compile(r"(wq|wk|wv|w_gate|w_up|output)$")
 ROW_PARALLEL = re.compile(r"(wo|w_down)$")
+# stacked MoE expert tensors [E, ...] → sharded over the expert axis when
+# the mesh has one: each device holds E/ep experts; the all-experts combine
+# (ops/moe._moe_dense final contraction over E) becomes a psum over "expert"
+EXPERT_STACKED = re.compile(r"_exps$")
 
 
 def _axis_size(mesh: Mesh) -> int:
     return mesh.shape[MODEL_AXIS]
+
+
+def _ep_size(mesh: Mesh) -> int:
+    return mesh.shape.get(EXPERT_AXIS, 1) if hasattr(mesh.shape, "get") else (
+        mesh.shape[EXPERT_AXIS] if EXPERT_AXIS in mesh.axis_names else 1
+    )
 
 
 def _put(x, mesh, spec):
@@ -80,11 +90,19 @@ def shard_params(params: dict, mesh: Mesh) -> dict:
         else None,
         "layers": [],
     }
+    ep = _ep_size(mesh)
     for layer in params["layers"]:
         new = {}
         for name, val in layer.items():
             if val is None:
                 new[name] = None
+            elif (
+                EXPERT_STACKED.search(name)
+                and isinstance(val, jax.Array)
+                and ep > 1
+                and val.shape[0] % ep == 0
+            ):
+                new[name] = _put(val, mesh, P(EXPERT_AXIS))
             elif COL_PARALLEL.search(name):
                 new[name] = _shard_linear(val, mesh, "col")
             elif ROW_PARALLEL.search(name):
