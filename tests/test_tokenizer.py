@@ -131,3 +131,67 @@ def test_ugm_unknown_fallback():
     ids = tok.tokenize("aXYb", add_special=False)
     # consecutive unknowns collapse into one UNK (reference behavior)
     assert ids == [tokens.index("a"), 0, tokens.index("b")]
+
+
+# -- RWKV trie tokenizer (≡ llm_tokenizer_rwkv, src/llama-vocab.cpp) ----------
+
+
+def _rwkv_vocab():
+    from tpullm.tokenizer.vocab import SpecialIds, Vocab
+
+    # escaped byte strings, as stored in RWKV world GGUFs
+    tokens = [
+        "<unk>",      # 0 (unk)
+        "a", "b", "c",
+        "ab", "abc",
+        "\\n", "\\t",
+        "\\x41\\x42",  # "AB"
+        " ", "the", " the",
+    ]
+    return Vocab(model="rwkv", pre="", tokens=tokens, scores=None,
+                 token_types=None,
+                 special=SpecialIds(unk=0), add_bos=False, add_eos=False)
+
+
+def test_rwkv_unescape():
+    from tpullm.tokenizer.rwkv import unescape_rwkv_token
+
+    assert unescape_rwkv_token("abc") == b"abc"
+    assert unescape_rwkv_token("\\n\\t\\r") == b"\n\t\r"
+    assert unescape_rwkv_token("\\x41\\xff") == b"A\xff"
+    assert unescape_rwkv_token("\\\\") == b"\\"
+
+
+def test_rwkv_greedy_longest_match():
+    from tpullm.tokenizer import from_vocab
+
+    tok = from_vocab(_rwkv_vocab())
+    v = _rwkv_vocab().tokens
+    # "abc" matches the 3-byte token, not a+b+c
+    assert tok.tokenize("abc", add_special=False) == [v.index("abc")]
+    # "abab" -> ab + ab (no "abab" entry)
+    assert tok.tokenize("abab", add_special=False) == [v.index("ab")] * 2
+    # longest match wins mid-string: "ab" then "c" not in "abc..." context
+    assert tok.tokenize("abca", add_special=False) == [
+        v.index("abc"), v.index("a")]
+    # escaped-byte token "AB"
+    assert tok.tokenize("AB", add_special=False) == [v.index("\\x41\\x42")]
+    # space-prefixed word beats space + word
+    assert tok.tokenize(" the", add_special=False) == [v.index(" the")]
+
+
+def test_rwkv_unknown_bytes():
+    from tpullm.tokenizer import from_vocab
+
+    tok = from_vocab(_rwkv_vocab())
+    ids = tok.tokenize("a?b", add_special=False)
+    assert ids == [1, 0, 2]  # '?' has no entry -> unk
+
+
+def test_rwkv_detokenize_roundtrip():
+    from tpullm.tokenizer import from_vocab
+
+    tok = from_vocab(_rwkv_vocab())
+    text = "abc ab the\n\tab"
+    ids = tok.tokenize(text, add_special=False)
+    assert tok.detokenize(ids) == text

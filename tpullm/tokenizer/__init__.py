@@ -23,6 +23,10 @@ def from_vocab(vocab: Vocab) -> Tokenizer:
         return WPMTokenizer(vocab)
     if vocab.model in ("t5", "ugm"):
         return UGMTokenizer(vocab)
+    if vocab.model == "rwkv":
+        from .rwkv import RWKVTokenizer
+
+        return RWKVTokenizer(vocab)
     raise NotImplementedError(f"tokenizer model {vocab.model!r} not supported yet")
 
 
