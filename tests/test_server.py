@@ -457,3 +457,60 @@ def test_thread_safety_stress(engine):
         assert rerun[0] == results[0] and rerun[3] == results[3]
     finally:
         sched.stop()
+
+
+def test_chat_tool_choice_required_forces_tool_call(engine):
+    """tool_choice=required constrains decoding to a grammatical hermes
+    tool call; the response parses into tool_calls (≡ common/chat.cpp
+    grammar-forced tool calling)."""
+    import asyncio
+
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from tpullm.server.api import Server
+
+    sched = Scheduler(engine)
+    sched.start()
+
+    async def run():
+        server = Server(sched, model_name="tiny")
+        client = TestClient(TestServer(server.app))
+        await client.start_server()
+        try:
+            body = {
+                "messages": [{"role": "user", "content": "weather in Paris?"}],
+                "tools": [{
+                    "type": "function",
+                    "function": {
+                        "name": "get_weather",
+                        "parameters": {
+                            "type": "object",
+                            "properties": {"city": {"enum": ["Paris", "Tokyo"]}},
+                            "required": ["city"],
+                        },
+                    },
+                }],
+                "tool_choice": "required",
+                "max_tokens": 160,
+                "temperature": 0.8,
+                "seed": 7,
+            }
+            r = await client.post("/v1/chat/completions", json=body)
+            assert r.status == 200
+            data = await r.json()
+            msg = data["choices"][0]["message"]
+            calls = msg.get("tool_calls") or []
+            assert calls, data
+            assert calls[0]["function"]["name"] == "get_weather"
+            import json as _json
+
+            args = _json.loads(calls[0]["function"]["arguments"])
+            assert set(args) == {"city"} and args["city"] in ("Paris", "Tokyo")
+            assert data["choices"][0]["finish_reason"] == "tool_calls"
+        finally:
+            await client.close()
+
+    try:
+        asyncio.run(run())
+    finally:
+        sched.stop()

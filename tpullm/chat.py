@@ -510,3 +510,43 @@ def parse_tool_calls(text: str) -> tuple[str, list[dict]]:
         if isinstance(obj, dict) and add(obj):
             return "", calls
     return text, []
+
+
+def tool_call_grammar(tools: list[dict], tool_choice=None) -> str:
+    """GBNF grammar forcing a valid hermes-style tool call
+    (≡ common/chat.cpp per-format grammar construction for
+    tool_choice=required). The model must emit
+    <tool_call>{"name": <one of the tools>, "arguments": <its schema>}</tool_call>.
+
+    tool_choice: None/"required" allows any tool; {"function": {"name": ...}}
+    restricts to that tool.
+    """
+    from .grammar.json_schema import json_schema_to_gbnf
+
+    forced = None
+    if isinstance(tool_choice, dict):
+        forced = (tool_choice.get("function") or {}).get("name")
+
+    options = []
+    for t in tools or []:
+        fn = t.get("function", t)
+        name = fn.get("name", "")
+        if forced and name != forced:
+            continue
+        options.append({
+            "type": "object",
+            "properties": {
+                "name": {"const": name},
+                "arguments": fn.get("parameters") or {"type": "object"},
+            },
+            "required": ["name", "arguments"],
+        })
+    if not options:
+        raise ValueError("no tools match tool_choice")
+    schema = options[0] if len(options) == 1 else {"oneOf": options}
+    inner = json_schema_to_gbnf(schema)
+    # re-root: the schema grammar's root becomes the payload rule
+    inner = inner.replace("root ::=", "tool-json ::=", 1)
+    return (
+        'root ::= "<tool_call>" space tool-json "</tool_call>" space\n' + inner
+    )

@@ -353,12 +353,24 @@ class Server:
             prompt_embds = build_multimodal_embeddings(
                 self.sched.engine, self.clip, prompt, images
             )
+        grammar = _grammar_from_body(body)
+        tool_choice = body.get("tool_choice")
+        if (
+            grammar is None
+            and body.get("tools")
+            and (tool_choice == "required" or isinstance(tool_choice, dict))
+        ):
+            # constrain decoding to a valid tool call (≡ common/chat.cpp
+            # grammar construction for tool_choice=required)
+            from ..chat import tool_call_grammar
+
+            grammar = tool_call_grammar(body["tools"], tool_choice)
         req = GenRequest(
             prompt_ids=ids,
             max_tokens=int(body.get("max_tokens", 128)),
             sampling=_sampling_from_body(body),
             stop=body.get("stop") or [],
-            grammar=_grammar_from_body(body),
+            grammar=grammar,
             prompt_embds=prompt_embds,
         )
         rid = f"chatcmpl-{uuid.uuid4().hex[:12]}"
