@@ -110,3 +110,26 @@ def test_ring_memory_smaller():
         # 5 swa layers at ring_len ≪ 1 full layer at 8192
         assert c.ring_len < 8192 / 4
         assert swa_bytes < full_bytes * 2
+
+
+def test_ring_state_save_load(gemma_model, tmp_path):
+    """Prompt-cache roundtrip for iSWA engines: ring + slot positions
+    persist, so a restored engine continues identically."""
+    from tpullm.runtime.state import load_state, save_state
+
+    ring, _ = _engines(gemma_model)
+    toks = list(np.random.default_rng(3).integers(5, 250, size=30))
+    ring.prefill(toks)
+    expect = [ring.decode_step(7), ring.decode_step(8)]
+
+    ring2, _ = _engines(gemma_model)
+    ring2.prefill(toks)
+    p = str(tmp_path / "state.npz")
+    save_state(ring2, p, tokens=toks)
+
+    ring3, _ = _engines(gemma_model)
+    restored = load_state(ring3, p)
+    assert restored == toks
+    got = [ring3.decode_step(7), ring3.decode_step(8)]
+    np.testing.assert_allclose(got[0], expect[0], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(got[1], expect[1], rtol=1e-5, atol=1e-5)

@@ -28,26 +28,66 @@ def _meta(hp) -> dict:
 def save_state(engine, path, tokens: list[int] | None = None):
     """Save the engine's sequence state (single-stream Engine, batch row 0).
 
-    KV payload stored as f32 (lossless from bf16; npz has no bf16 dtype)."""
+    KV payload stored as f32 (lossless from bf16; npz has no bf16 dtype).
+    iSWA engines additionally store the SWA ring + slot positions."""
+    from .kvcache import SWACache
+
     n = int(engine.n_past)
-    k = np.asarray(engine.cache.k[:, 0, :, :n], dtype=np.float32)  # [L, Hkv, n, Dk]
-    v = np.asarray(engine.cache.v[:, 0, :, :n], dtype=np.float32)
+    extra = {}
+    cache = engine.cache
+    if isinstance(cache, SWACache):
+        k = np.asarray(cache.full_k[:, 0, :, :n], dtype=np.float32)
+        v = np.asarray(cache.full_v[:, 0, :, :n], dtype=np.float32)
+        extra = {
+            "swa_k": np.asarray(cache.swa_k[:, 0], dtype=np.float32),
+            "swa_v": np.asarray(cache.swa_v[:, 0], dtype=np.float32),
+            "slot_pos": np.asarray(cache.slot_pos[0]),
+            "swa_window": cache.window,
+        }
+    else:
+        k = np.asarray(cache.k[:, 0, :, :n], dtype=np.float32)  # [L, Hkv, n, Dk]
+        v = np.asarray(cache.v[:, 0, :, :n], dtype=np.float32)
     np.savez_compressed(
         path, magic=MAGIC, n_past=n, k=k, v=v,
         tokens=np.asarray(tokens if tokens is not None else [], dtype=np.int64),
         **{f"meta_{key}": val for key, val in _meta(engine.hp).items()},
+        **extra,
     )
     return path
 
 
 def load_state(engine, path) -> list[int]:
     """Restore a saved sequence into the engine; returns the token prefix."""
+    import jax.numpy as jnp
+
+    from .kvcache import SWACache
+
     z = np.load(path, allow_pickle=False)
     _check(engine.hp, z)
     n = int(z["n_past"])
     if n > engine.max_seq:
         raise ValueError(f"saved state ({n} tokens) exceeds max_seq {engine.max_seq}")
-    _write_rows(engine, 0, z["k"], z["v"], n)
+    if "swa_k" in z.files:
+        cache = engine.cache
+        if not isinstance(cache, SWACache):
+            raise ValueError("iSWA state file needs an iSWA engine")
+        if int(z["swa_window"]) != cache.window or (
+            z["swa_k"].shape[2] != cache.ring_len
+        ):
+            raise ValueError("iSWA state geometry mismatch (window/ring)")
+        fk, fv = cache.full_k, cache.full_v
+        if n:
+            fk = fk.at[:, 0, :, :n].set(jnp.asarray(z["k"], fk.dtype))
+            fv = fv.at[:, 0, :, :n].set(jnp.asarray(z["v"], fv.dtype))
+        engine.cache = SWACache(
+            fk, fv,
+            cache.swa_k.at[:, 0].set(jnp.asarray(z["swa_k"], cache.swa_k.dtype)),
+            cache.swa_v.at[:, 0].set(jnp.asarray(z["swa_v"], cache.swa_v.dtype)),
+            cache.slot_pos.at[0].set(jnp.asarray(z["slot_pos"], jnp.int32)),
+            cache.layer_map, cache.window,
+        )
+    else:
+        _write_rows(engine, 0, z["k"], z["v"], n)
     engine.n_past = n
     return [int(t) for t in z["tokens"]]
 
