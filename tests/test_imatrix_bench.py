@@ -103,3 +103,32 @@ def test_batched_bench_tool_runs(model, capsys):
     rows = json.loads(capsys.readouterr().out)
     assert len(rows) == 2
     assert all(r["tg_ts"] > 0 for r in rows)
+
+
+def test_kl_divergence_base_and_compare(tmp_path):
+    """--kl-divergence-base then --kl-divergence: same model → KLD ~0,
+    quantized model → small positive KLD (≡ reference perplexity KLD mode)."""
+    from tpullm.models.testing import make_tiny_llama_gguf
+    from tpullm.tools.perplexity import main as ppl_main
+
+    model = make_tiny_llama_gguf(tmp_path / "m.gguf")
+    corpus = tmp_path / "c.txt"
+    corpus.write_text("the quick brown fox jumps over the lazy dog " * 40)
+    base = str(tmp_path / "base.npz")
+    rc = ppl_main(["-m", model, "-f", str(corpus), "-c", "32",
+                   "--max-windows", "2", "--kl-divergence-base", base])
+    assert rc == 0
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = ppl_main(["-m", model, "-f", str(corpus), "-c", "32",
+                       "--max-windows", "2", "--kl-divergence", base,
+                       "--json"])
+    assert rc == 0
+    import json as _json
+
+    res = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert res["kld"] < 1e-3  # same model, f16-rounded logits
+    assert res["same_top_p"] > 0.99

@@ -58,6 +58,54 @@ def kl_divergence(logits_a: np.ndarray, logits_b: np.ndarray) -> float:
     return float(np.mean(np.sum(np.exp(la) * (la - lb), axis=-1)))
 
 
+def _window_logits(engine, text: str, n_ctx: int, max_windows: int | None):
+    """All-position logits per perplexity window, as f16 [n_win, n_ctx, V]."""
+    from ..runtime.kvcache import KVCache
+
+    ids = engine.tokenizer.tokenize(text, add_special=True)
+    n_win = len(ids) // n_ctx
+    if max_windows:
+        n_win = min(n_win, max_windows)
+    out = []
+    for wi in range(n_win):
+        window = ids[wi * n_ctx : (wi + 1) * n_ctx]
+        engine.reset()
+        engine.cache = KVCache.new(engine.hp, engine.batch, engine.max_seq,
+                                   engine.kv_dtype)
+        out.append(engine.prefill_all_logits(window).astype(np.float16))
+    return np.stack(out), ids[: n_win * n_ctx]
+
+
+def save_logits_base(engine, text: str, path: str, n_ctx: int = 512,
+                     max_windows: int | None = None):
+    """Record a run's logits for later KLD comparison
+    (≡ perplexity --kl-divergence-base output)."""
+    logits, ids = _window_logits(engine, text, n_ctx, max_windows)
+    np.savez_compressed(path, logits=logits, ids=np.asarray(ids, np.int64),
+                        n_ctx=n_ctx)
+    return path
+
+
+def kld_vs_base(engine, text: str, base_path: str,
+                max_windows: int | None = None) -> dict:
+    """KL divergence of this model's token distributions against a recorded
+    base run (≡ perplexity --kl-divergence): quantifies quantization loss
+    without needing the base model loaded."""
+    z = np.load(base_path)
+    n_ctx = int(z["n_ctx"])
+    logits, ids = _window_logits(engine, text, n_ctx,
+                                 max_windows or z["logits"].shape[0])
+    base = z["logits"][: logits.shape[0]]
+    if list(z["ids"][: len(ids)]) != list(ids):
+        raise ValueError("base run tokenization differs (different model vocab?)")
+    base2 = base.reshape(-1, base.shape[-1]).astype(np.float32)
+    ours2 = logits.reshape(-1, logits.shape[-1]).astype(np.float32)
+    kld = kl_divergence(base2, ours2)
+    same_top = float(np.mean(base2.argmax(-1) == ours2.argmax(-1)))
+    return {"kld": kld, "same_top_p": same_top,
+            "n_tokens": int(ours2.shape[0])}
+
+
 def choice_logprob(engine, context_ids: list[int], ending_ids: list[int],
                    normalize: bool = True) -> float:
     """Sum (length-normalized) log P(ending | context) — the scoring unit of
@@ -111,11 +159,29 @@ def main(argv=None):
     ap.add_argument("--multiple-choice", action="store_true",
                     help="treat FILE as jsonl tasks "
                          '{"context","endings","label"} (hellaswag-style)')
+    ap.add_argument("--kl-divergence-base", metavar="NPZ",
+                    help="record this run's logits to NPZ for later KLD runs")
+    ap.add_argument("--kl-divergence", metavar="NPZ",
+                    help="compare this run's logits against a recorded base")
     args = ap.parse_args(argv)
 
     from ..runtime import Engine
 
     engine = Engine(args.model, mode=args.mode, max_seq=max(args.ctx, 512))
+    if args.kl_divergence_base:
+        text = open(args.file, encoding="utf-8", errors="replace").read()
+        save_logits_base(engine, text, args.kl_divergence_base,
+                         n_ctx=args.ctx, max_windows=args.max_windows)
+        print(f"logits base saved to {args.kl_divergence_base}")
+        return 0
+    if args.kl_divergence:
+        text = open(args.file, encoding="utf-8", errors="replace").read()
+        res = kld_vs_base(engine, text, args.kl_divergence,
+                          max_windows=args.max_windows)
+        print(json.dumps(res) if args.json else
+              f"KLD = {res['kld']:.6f}  same-top = {res['same_top_p']:.4f} "
+              f"over {res['n_tokens']} tokens")
+        return 0
     if args.multiple_choice:
         tasks = [json.loads(l) for l in open(args.file) if l.strip()]
         acc = multiple_choice_accuracy(
