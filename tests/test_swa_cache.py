@@ -133,3 +133,17 @@ def test_ring_state_save_load(gemma_model, tmp_path):
     got = [ring3.decode_step(7), ring3.decode_step(8)]
     np.testing.assert_allclose(got[0], expect[0], rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(got[1], expect[1], rtol=1e-5, atol=1e-5)
+
+
+def test_ring_device_generation_chunked(gemma_model):
+    """generate_tokens_device with a prompt longer than prefill_cap: host
+    chunks the prefill, decode stays on-device; greedy output matches the
+    full-cache engine."""
+    ring, full = _engines(gemma_model)
+    ring.prefill_cap = 16
+    prompt = list(np.random.default_rng(4).integers(5, 250, size=40))
+    got = ring.generate_tokens_device(prompt, max_new_tokens=6, temp=0.0,
+                                      stop_on_eog=False)
+    want = full.generate_tokens_device(prompt, max_new_tokens=6, temp=0.0,
+                                       stop_on_eog=False)
+    assert got == want
