@@ -122,3 +122,32 @@ def test_spm_proto_parser(tmp_path):
     f.write_bytes(blob)
     pieces = _parse_spm(str(f))
     assert pieces == [("<unk>", 0.0, 2), ("▁the", -1.5, 1), ("<0x0A>", 0.0, 6)]
+
+
+def test_convert_phi3_logit_parity(tmp_path):
+    """Phi-3 conversion: fused qkv_proj/gate_up_proj tensors stay fused in
+    the GGUF (blk.N.attn_qkv / ffn_up) and the loader splits them."""
+    from transformers import Phi3Config, Phi3ForCausalLM
+
+    torch.manual_seed(1)
+    model = Phi3ForCausalLM(Phi3Config(
+        vocab_size=96, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rope_theta=10000.0,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+    ))
+    model.eval()
+    d = tmp_path / "hf_phi3"
+    model.save_pretrained(d, safe_serialization=True)
+
+    out = str(tmp_path / "phi3.gguf")
+    stats = convert_hf_to_gguf(str(d), out, outtype="f32", verbose=False)
+    assert stats["arch"] == "phi3"
+
+    ids = [3, 17, 42, 7, 19, 55]
+    with torch.no_grad():
+        ref = model(torch.tensor([ids])).logits[0].numpy()
+    eng = Engine(out, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    got = eng.prefill_all_logits(ids)
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)

@@ -32,6 +32,7 @@ ARCH_MAP = {
     "gemma3": "gemma3",
     "gemma3_text": "gemma3",
     "gpt2": "gpt2",
+    "phi3": "phi3",
 }
 
 # rope "norm" (interleaved) archs need HF→GGUF QK permutation
@@ -73,6 +74,9 @@ def _load_tensors(src_dir: str):
 
 # HF suffix → GGUF suffix for per-layer tensors (llama/qwen/gemma families)
 _LAYER_MAP = {
+    # phi3 fused projections stay fused (the loader splits at build time)
+    "self_attn.qkv_proj.weight": "attn_qkv.weight",
+    "mlp.gate_up_proj.weight": "ffn_up.weight",
     "self_attn.q_proj.weight": "attn_q.weight",
     "self_attn.q_proj.bias": "attn_q.bias",
     "self_attn.k_proj.weight": "attn_k.weight",
