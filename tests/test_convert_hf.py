@@ -151,3 +151,61 @@ def test_convert_phi3_logit_parity(tmp_path):
                  kv_dtype=jnp.float32)
     got = eng.prefill_all_logits(ids)
     np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_convert_olmo2_logit_parity(tmp_path):
+    """OLMo-2 conversion: post-norm placement + full-width q/k norms."""
+    from transformers import Olmo2Config, Olmo2ForCausalLM
+
+    torch.manual_seed(2)
+    model = Olmo2ForCausalLM(Olmo2Config(
+        vocab_size=96, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rope_theta=10000.0,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+    ))
+    model.eval()
+    d = tmp_path / "hf_olmo2"
+    model.save_pretrained(d, safe_serialization=True)
+
+    out = str(tmp_path / "olmo2.gguf")
+    stats = convert_hf_to_gguf(str(d), out, outtype="f32", verbose=False)
+    assert stats["arch"] == "olmo2"
+
+    ids = [3, 17, 42, 7, 19, 55]
+    with torch.no_grad():
+        ref = model(torch.tensor([ids])).logits[0].numpy()
+    eng = Engine(out, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    got = eng.prefill_all_logits(ids)
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_convert_cohere_logit_parity(tmp_path):
+    """Command-R conversion: parallel attn+FFN block, LayerNorm, tied head
+    with logit_scale."""
+    from transformers import CohereConfig, CohereForCausalLM
+
+    torch.manual_seed(3)
+    model = CohereForCausalLM(CohereConfig(
+        vocab_size=96, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rope_theta=10000.0, logit_scale=0.25,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+        use_qk_norm=False,
+    ))
+    model.eval()
+    d = tmp_path / "hf_cohere"
+    model.save_pretrained(d, safe_serialization=True)
+
+    out = str(tmp_path / "commandr.gguf")
+    stats = convert_hf_to_gguf(str(d), out, outtype="f32", verbose=False)
+    assert stats["arch"] == "command-r"
+
+    ids = [3, 17, 42, 7, 19, 55]
+    with torch.no_grad():
+        ref = model(torch.tensor([ids])).logits[0].numpy()
+    eng = Engine(out, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    got = eng.prefill_all_logits(ids)
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)

@@ -33,6 +33,8 @@ ARCH_MAP = {
     "gemma3_text": "gemma3",
     "gpt2": "gpt2",
     "phi3": "phi3",
+    "olmo2": "olmo2",
+    "cohere": "command-r",
 }
 
 # rope "norm" (interleaved) archs need HF→GGUF QK permutation
@@ -120,6 +122,11 @@ def map_tensor_name(name: str, arch: str) -> str | None:
         # norm is pre_feedforward_layernorm
         if arch.startswith("gemma") and rest == "post_attention_layernorm.weight":
             return f"blk.{bid}.post_attention_norm.weight"
+        # olmo2 is post-norm only: both "post" layernorms are real post-norms
+        if arch == "olmo2" and rest == "post_attention_layernorm.weight":
+            return f"blk.{bid}.post_attention_norm.weight"
+        if arch == "olmo2" and rest == "post_feedforward_layernorm.weight":
+            return f"blk.{bid}.post_ffw_norm.weight"
         mapped = _LAYER_MAP.get(rest)
         if mapped:
             return f"blk.{bid}.{mapped}"
@@ -272,6 +279,8 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
         w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon", float(eps))
         w.add_kv(f"{arch}.rope.freq_base", float(cfg.get("rope_theta", 10000.0)))
         w.add_kv(f"{arch}.rope.dimension_count", head_dim)
+    if cfg.get("logit_scale"):
+        w.add_kv(f"{arch}.logit_scale", float(cfg["logit_scale"]))
     if cfg.get("sliding_window"):
         w.add_kv(f"{arch}.attention.sliding_window", int(cfg["sliding_window"]))
     if cfg.get("attn_logit_softcapping"):
