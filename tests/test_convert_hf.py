@@ -209,3 +209,35 @@ def test_convert_cohere_logit_parity(tmp_path):
                  kv_dtype=jnp.float32)
     got = eng.prefill_all_logits(ids)
     np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_convert_granite_logit_parity(tmp_path):
+    """Granite conversion: llama graph + embedding/residual/attention/logit
+    multipliers (≡ llm_build_granite)."""
+    from transformers import GraniteConfig, GraniteForCausalLM
+
+    torch.manual_seed(4)
+    model = GraniteForCausalLM(GraniteConfig(
+        vocab_size=96, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rope_theta=10000.0,
+        embedding_multiplier=12.0, residual_multiplier=0.22,
+        attention_multiplier=0.015625, logits_scaling=8.0,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+    ))
+    model.eval()
+    d = tmp_path / "hf_granite"
+    model.save_pretrained(d, safe_serialization=True)
+
+    out = str(tmp_path / "granite.gguf")
+    stats = convert_hf_to_gguf(str(d), out, outtype="f32", verbose=False)
+    assert stats["arch"] == "granite"
+
+    ids = [3, 17, 42, 7, 19, 55]
+    with torch.no_grad():
+        ref = model(torch.tensor([ids])).logits[0].numpy()
+    eng = Engine(out, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    assert abs(eng.hp.residual_scale - 0.22) < 1e-6
+    got = eng.prefill_all_logits(ids)
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)

@@ -63,6 +63,10 @@ class HParams:
     softcap_final: float = 0.0
     rope_freq_base_swa: float = 0.0  # per-layer rope base for SWA layers
     embd_scale: float = 1.0  # token-embedding multiplier (gemma: sqrt(n_embd))
+    # granite-family multipliers (llm_build_granite: f_residual_scale,
+    # f_logit_scale; attention scale rides attn_scale)
+    residual_scale: float = 1.0
+    logit_scale: float = 1.0
     # default pooling for embeddings (llama_pooling_type):
     # none | mean | cls | last | rank
     pooling: str = "none"
@@ -179,9 +183,12 @@ def hparams_from_gguf(r: GGUFReader) -> HParams:
             Keys.Rope.FREQ_BASE_SWA,
             10000.0 if arch in ("gemma3", "gemma3n") else 0.0,
         )),
-        embd_scale=(
-            float(np.sqrt(n_embd)) if arch.startswith("gemma") else 1.0
-        ),
+        embd_scale=float(k(
+            "{arch}.embedding_scale",
+            float(np.sqrt(n_embd)) if arch.startswith("gemma") else 1.0,
+        )),
+        residual_scale=float(k("{arch}.residual_scale", 1.0)),
+        logit_scale=float(k("{arch}.logit_scale", 1.0)),
         pooling={0: "none", 1: "mean", 2: "cls", 3: "last", 4: "rank"}.get(
             int(k("{arch}.pooling_type",
                   1 if arch in ("bert", "nomic-bert", "jina-bert-v2") else 0)),

@@ -119,7 +119,10 @@ def attn_block(
         q, k_all, v_all, mask, scale,
         offsets=offsets, sliding_window=hp.sliding_window,
     )
-    x = x + layer["wo"](attn_out.reshape(B, T, hp.n_head * hp.head_dim_v))
+    attn_out = layer["wo"](attn_out.reshape(B, T, hp.n_head * hp.head_dim_v))
+    if hp.residual_scale != 1.0:  # granite
+        attn_out = attn_out * jnp.asarray(hp.residual_scale, attn_out.dtype)
+    x = x + attn_out
     return x, cache
 
 
@@ -129,7 +132,10 @@ def output_head(hp: HParams, params: Params, x: jax.Array) -> jax.Array:
         logits = params["output"](x)
     else:
         logits = jnp.dot(x, params["tok_embd"].T.astype(x.dtype))
-    return logits.astype(jnp.float32)
+    logits = logits.astype(jnp.float32)
+    if hp.logit_scale != 1.0:  # granite: logits / f_logit_scale
+        logits = logits / hp.logit_scale
+    return logits
 
 
 def forward(
@@ -150,6 +156,8 @@ def forward(
     if jnp.issubdtype(tokens.dtype, jnp.integer):
         B, T = tokens.shape
         x = params["tok_embd"][tokens]  # [B, T, E]
+        if hp.embd_scale != 1.0:  # granite embedding multiplier
+            x = x * jnp.asarray(hp.embd_scale, x.dtype)
     else:
         B, T = tokens.shape[:2]
         x = tokens.astype(params["tok_embd"].dtype)
@@ -166,7 +174,10 @@ def forward(
         h = rms_norm(x, layer["ffn_norm"], hp.rms_eps)
         gate = layer["w_gate"](h)
         up = layer["w_up"](h)
-        x = x + layer["w_down"](jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up)
+        ffn = layer["w_down"](jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up)
+        if hp.residual_scale != 1.0:  # granite
+            ffn = ffn * jnp.asarray(hp.residual_scale, ffn.dtype)
+        x = x + ffn
         if cvec is not None:
             x = x + cvec[li].astype(x.dtype)
 

@@ -70,8 +70,10 @@ def _ensure_builtin():
         "llama",
         llama.build_params,
         llama.forward,
-        # same graph family: biases/qk-norm handled by optional tensors
-        aliases=("mistral", "qwen2", "qwen3"),
+        # same graph family: biases/qk-norm handled by optional tensors;
+        # granite = llama graph + embedding/residual/attention/logit
+        # multipliers (llm_build_granite), loaded via hparams
+        aliases=("mistral", "qwen2", "qwen3", "granite"),
     )
     register_arch(
         "qwen3moe",

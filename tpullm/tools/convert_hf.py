@@ -35,6 +35,7 @@ ARCH_MAP = {
     "phi3": "phi3",
     "olmo2": "olmo2",
     "cohere": "command-r",
+    "granite": "granite",
 }
 
 # rope "norm" (interleaved) archs need HF→GGUF QK permutation
@@ -281,6 +282,15 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
         w.add_kv(f"{arch}.rope.dimension_count", head_dim)
     if cfg.get("logit_scale"):
         w.add_kv(f"{arch}.logit_scale", float(cfg["logit_scale"]))
+    # granite multipliers (≡ GraniteModel in convert_hf_to_gguf.py)
+    if cfg.get("logits_scaling"):
+        w.add_kv(f"{arch}.logit_scale", float(cfg["logits_scaling"]))
+    if cfg.get("residual_multiplier"):
+        w.add_kv(f"{arch}.residual_scale", float(cfg["residual_multiplier"]))
+    if cfg.get("embedding_multiplier"):
+        w.add_kv(f"{arch}.embedding_scale", float(cfg["embedding_multiplier"]))
+    if cfg.get("attention_multiplier"):
+        w.add_kv(f"{arch}.attention.scale", float(cfg["attention_multiplier"]))
     if cfg.get("sliding_window"):
         w.add_kv(f"{arch}.attention.sliding_window", int(cfg["sliding_window"]))
     if cfg.get("attn_logit_softcapping"):
