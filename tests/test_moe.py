@@ -112,10 +112,16 @@ def np_moe_forward(reader: GGUFReader, tokens: np.ndarray) -> np.ndarray:
     for i in range(n_layer):
         p = f"blk.{i}."
         h = rms(x, t(p + "attn_norm.weight"))
-        q = (h @ t(p + "attn_q.weight").T).reshape(T, n_head, hd)
-        k = (h @ t(p + "attn_k.weight").T).reshape(T, n_head_kv, hd)
+        qf = h @ t(p + "attn_q.weight").T
+        kf = h @ t(p + "attn_k.weight").T
+        if arch == "olmoe" and has(p + "attn_q_norm.weight"):
+            # olmoe: full-projection q/k norm before the head split
+            qf = rms(qf, t(p + "attn_q_norm.weight"))
+            kf = rms(kf, t(p + "attn_k_norm.weight"))
+        q = qf.reshape(T, n_head, hd)
+        k = kf.reshape(T, n_head_kv, hd)
         v = (h @ t(p + "attn_v.weight").T).reshape(T, n_head_kv, hd)
-        if has(p + "attn_q_norm.weight"):
+        if arch != "olmoe" and has(p + "attn_q_norm.weight"):
             q = rms(q, t(p + "attn_q_norm.weight"))
             k = rms(k, t(p + "attn_k_norm.weight"))
         q, k = rope_neox(q, pos), rope_neox(k, pos)
@@ -150,7 +156,8 @@ def np_moe_forward(reader: GGUFReader, tokens: np.ndarray) -> np.ndarray:
     return x @ t("output.weight").T
 
 
-@pytest.mark.parametrize("arch,shexp", [("qwen3moe", 0), ("qwen2moe", 48)])
+@pytest.mark.parametrize("arch,shexp",
+                         [("qwen3moe", 0), ("qwen2moe", 48), ("olmoe", 0)])
 def test_moe_forward_matches_numpy(tmp_path, arch, shexp):
     path = make_tiny_moe_gguf(tmp_path / f"{arch}.gguf", arch=arch,
                               n_ff_shexp=shexp)

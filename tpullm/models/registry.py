@@ -100,6 +100,9 @@ def _ensure_builtin():
     from . import command_r, olmo2
 
     register_arch("olmo2", olmo2.build_params, olmo2.forward)
+    from . import olmoe
+
+    register_arch("olmoe", olmoe.build_params, olmoe.forward)
     register_arch(
         "command-r",
         command_r.build_params,

@@ -366,6 +366,11 @@ def make_tiny_moe_gguf(
         if arch == "qwen3moe":
             w.add_tensor(p + "attn_q_norm.weight", np.ones(head_dim, dtype=np.float32))
             w.add_tensor(p + "attn_k_norm.weight", np.ones(head_dim, dtype=np.float32))
+        elif arch == "olmoe":  # full-projection q/k norms (pre-head-split)
+            w.add_tensor(p + "attn_q_norm.weight",
+                         rand((n_head * head_dim,), 1.0) * 0.1 + 1.0)
+            w.add_tensor(p + "attn_k_norm.weight",
+                         rand((n_head_kv * head_dim,), 1.0) * 0.1 + 1.0)
         w.add_tensor(p + "ffn_norm.weight", np.ones(n_embd, dtype=np.float32))
         w.add_tensor(p + "ffn_gate_inp.weight", rand((n_expert, n_embd)))
         w.add_tensor(p + "ffn_gate_exps.weight", rand((n_expert, n_ff_exp, n_embd)))
