@@ -377,3 +377,82 @@ def test_command_r_forward_matches_numpy(tmp_path):
     x = _ln(x, t("output_norm.weight"), 0.0, eps)
     ref = (x @ t("output.weight").T) * 0.75
     np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
+
+
+# -- starcoder2 / nemotron (LN+bias, biased attn, sequential no-gate FFN) -----
+
+
+def np_starcoder2_forward(reader: GGUFReader, tokens):
+    md = reader.metadata
+    arch = md["general.architecture"]
+    n_layer = md[f"{arch}.block_count"]
+    n_head = md[f"{arch}.attention.head_count"]
+    n_head_kv = md[f"{arch}.attention.head_count_kv"]
+    n_embd = md[f"{arch}.embedding_length"]
+    eps = md[f"{arch}.attention.layer_norm_epsilon"]
+    base = md[f"{arch}.rope.freq_base"]
+    hd = n_embd // n_head
+
+    def t(name):
+        return reader.tensors[name].to_numpy().astype(np.float64)
+
+    def ln(x, w, b):
+        mu = x.mean(-1, keepdims=True)
+        var = ((x - mu) ** 2).mean(-1, keepdims=True)
+        return (x - mu) / np.sqrt(var + eps) * w + b
+
+    def rope_neox(x, pos):
+        T, H, D = x.shape
+        half = D // 2
+        inv = base ** (-np.arange(half) * 2.0 / D)
+        theta = pos[:, None] * inv
+        c, s = np.cos(theta), np.sin(theta)
+        x0, x1 = x[..., :half], x[..., half:]
+        out = x.copy()
+        out[..., :half] = x0 * c[:, None, :] - x1 * s[:, None, :]
+        out[..., half:] = x0 * s[:, None, :] + x1 * c[:, None, :]
+        return out
+
+    T = len(tokens)
+    pos = np.arange(T)
+    x = t("token_embd.weight")[tokens]
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        h = ln(x, t(p + "attn_norm.weight"), t(p + "attn_norm.bias"))
+        q = (h @ t(p + "attn_q.weight").T + t(p + "attn_q.bias")).reshape(T, n_head, hd)
+        k = (h @ t(p + "attn_k.weight").T + t(p + "attn_k.bias")).reshape(T, n_head_kv, hd)
+        v = (h @ t(p + "attn_v.weight").T + t(p + "attn_v.bias")).reshape(T, n_head_kv, hd)
+        q, k = rope_neox(q, pos), rope_neox(k, pos)
+        g = n_head // n_head_kv
+        out = np.zeros((T, n_head, hd))
+        for hh in range(n_head):
+            kk, vv = k[:, hh // g], v[:, hh // g]
+            scores = q[:, hh] @ kk.T / np.sqrt(hd)
+            scores += np.triu(np.full((T, T), -np.inf), k=1)
+            e = np.exp(scores - scores.max(-1, keepdims=True))
+            out[:, hh] = (e / e.sum(-1, keepdims=True)) @ vv
+        x = x + out.reshape(T, n_embd) @ t(p + "attn_output.weight").T \
+              + t(p + "attn_output.bias")
+        h = ln(x, t(p + "ffn_norm.weight"), t(p + "ffn_norm.bias"))
+        up = h @ t(p + "ffn_up.weight").T + t(p + "ffn_up.bias")
+        if arch == "nemotron":
+            act = np.square(np.maximum(up, 0.0))
+        else:
+            from scipy.special import erf  # noqa — fallback below if absent
+            act = 0.5 * up * (1 + erf(up / np.sqrt(2)))
+        x = x + act @ t(p + "ffn_down.weight").T + t(p + "ffn_down.bias")
+    x = ln(x, t("output_norm.weight"), t("output_norm.bias"))
+    return x @ t("output.weight").T
+
+
+@pytest.mark.parametrize("arch", ["starcoder2", "nemotron"])
+def test_starcoder2_family_matches_numpy(tmp_path, arch):
+    from tpullm.models.testing import make_tiny_starcoder2_gguf
+
+    path = make_tiny_starcoder2_gguf(tmp_path / f"{arch}.gguf", arch=arch)
+    eng = Engine(path, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    toks = eng.tokenizer.tokenize("the quick brown fox", add_special=True)
+    got = eng.prefill_all_logits(toks)
+    ref = np_starcoder2_forward(eng.reader, np.asarray(toks))
+    np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)

@@ -103,6 +103,15 @@ def _ensure_builtin():
     from . import olmoe
 
     register_arch("olmoe", olmoe.build_params, olmoe.forward)
+    from . import starcoder2
+
+    register_arch(
+        "starcoder2",
+        starcoder2.build_params,
+        starcoder2.forward,
+        # same LN+bias / no-gate-FFN skeleton; nemotron swaps GELU→ReLU²
+        aliases=("nemotron",),
+    )
     register_arch(
         "command-r",
         command_r.build_params,
