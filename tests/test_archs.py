@@ -456,3 +456,24 @@ def test_starcoder2_family_matches_numpy(tmp_path, arch):
     got = eng.prefill_all_logits(toks)
     ref = np_starcoder2_forward(eng.reader, np.asarray(toks))
     np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
+
+
+@pytest.mark.parametrize("arch", ["internlm2", "exaone", "granite"])
+def test_llama_alias_archs_load_and_generate(tmp_path, arch):
+    """Aliased llama-graph archs load through the registry and run
+    (llm_build_internlm2 / llm_build_exaone are byte-identical llama
+    graphs; granite adds the scale multipliers)."""
+    from tpullm.models.testing import make_tiny_llama_gguf
+
+    extra = {}
+    if arch == "granite":
+        extra = {f"{arch}.residual_scale": 0.5,
+                 f"{arch}.embedding_scale": 4.0,
+                 f"{arch}.logit_scale": 2.0}
+    path = make_tiny_llama_gguf(tmp_path / f"{arch}.gguf", arch=arch,
+                                extra_kv=extra)
+    eng = Engine(path, mode="dense", max_seq=64)
+    out = eng.generate("the quick", max_new_tokens=4)
+    assert isinstance(out, str)
+    if arch == "granite":
+        assert eng.hp.residual_scale == 0.5

@@ -72,8 +72,11 @@ def _ensure_builtin():
         llama.forward,
         # same graph family: biases/qk-norm handled by optional tensors;
         # granite = llama graph + embedding/residual/attention/logit
-        # multipliers (llm_build_granite), loaded via hparams
-        aliases=("mistral", "qwen2", "qwen3", "granite"),
+        # multipliers (llm_build_granite), loaded via hparams;
+        # internlm2/exaone are byte-identical llama graphs
+        # (src/models/{internlm2,exaone}.cpp)
+        aliases=("mistral", "qwen2", "qwen3", "granite", "internlm2",
+                 "exaone"),
     )
     register_arch(
         "qwen3moe",
