@@ -477,3 +477,78 @@ def test_llama_alias_archs_load_and_generate(tmp_path, arch):
     assert isinstance(out, str)
     if arch == "granite":
         assert eng.hp.residual_scale == 0.5
+
+
+def np_phi2_forward(reader: GGUFReader, tokens):
+    md = reader.metadata
+    n_layer = md["phi2.block_count"]
+    n_head = md["phi2.attention.head_count"]
+    n_head_kv = md["phi2.attention.head_count_kv"]
+    n_embd = md["phi2.embedding_length"]
+    eps = md["phi2.attention.layer_norm_epsilon"]
+    base = md["phi2.rope.freq_base"]
+    n_rot = md["phi2.rope.dimension_count"]
+    hd = n_embd // n_head
+
+    def t(name):
+        return reader.tensors[name].to_numpy().astype(np.float64)
+
+    def ln(x, w, b):
+        mu = x.mean(-1, keepdims=True)
+        var = ((x - mu) ** 2).mean(-1, keepdims=True)
+        return (x - mu) / np.sqrt(var + eps) * w + b
+
+    def rope_partial_neox(x, pos):
+        T, H, D = x.shape
+        half = n_rot // 2
+        inv = base ** (-np.arange(half) * 2.0 / n_rot)
+        theta = pos[:, None] * inv
+        c, s = np.cos(theta), np.sin(theta)
+        out = x.copy()
+        x0, x1 = x[..., :half], x[..., half:n_rot]
+        out[..., :half] = x0 * c[:, None, :] - x1 * s[:, None, :]
+        out[..., half:n_rot] = x0 * s[:, None, :] + x1 * c[:, None, :]
+        return out
+
+    T = len(tokens)
+    pos = np.arange(T)
+    x = t("token_embd.weight")[tokens]
+    n_q = n_head * hd
+    n_kv = n_head_kv * hd
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        h = ln(x, t(p + "attn_norm.weight"), t(p + "attn_norm.bias"))
+        qkv = h @ t(p + "attn_qkv.weight").T + t(p + "attn_qkv.bias")
+        q = qkv[:, :n_q].reshape(T, n_head, hd)
+        k = qkv[:, n_q:n_q + n_kv].reshape(T, n_head_kv, hd)
+        v = qkv[:, n_q + n_kv:].reshape(T, n_head_kv, hd)
+        q, k = rope_partial_neox(q, pos), rope_partial_neox(k, pos)
+        g = n_head // n_head_kv
+        out = np.zeros((T, n_head, hd))
+        for hh in range(n_head):
+            kk, vv = k[:, hh // g], v[:, hh // g]
+            scores = q[:, hh] @ kk.T / np.sqrt(hd)
+            scores += np.triu(np.full((T, T), -np.inf), k=1)
+            e = np.exp(scores - scores.max(-1, keepdims=True))
+            out[:, hh] = (e / e.sum(-1, keepdims=True)) @ vv
+        attn = out.reshape(T, n_embd) @ t(p + "attn_output.weight").T \
+             + t(p + "attn_output.bias")
+        up = h @ t(p + "ffn_up.weight").T + t(p + "ffn_up.bias")
+        from scipy.special import erf
+        act = 0.5 * up * (1 + erf(up / np.sqrt(2)))
+        ffn = act @ t(p + "ffn_down.weight").T + t(p + "ffn_down.bias")
+        x = x + attn + ffn  # parallel block
+    x = ln(x, t("output_norm.weight"), t("output_norm.bias"))
+    return x @ t("output.weight").T + t("output.bias")
+
+
+def test_phi2_forward_matches_numpy(tmp_path):
+    from tpullm.models.testing import make_tiny_phi2_gguf
+
+    path = make_tiny_phi2_gguf(tmp_path / "phi2.gguf")
+    eng = Engine(path, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    toks = eng.tokenizer.tokenize("the quick brown fox", add_special=True)
+    got = eng.prefill_all_logits(toks)
+    ref = np_phi2_forward(eng.reader, np.asarray(toks))
+    np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)

@@ -97,6 +97,9 @@ def _ensure_builtin():
     from . import phi3
 
     register_arch("phi3", phi3.build_params, llama.forward)
+    from . import phi2
+
+    register_arch("phi2", phi2.build_params, phi2.forward)
     from . import deepseek2
 
     register_arch("deepseek2", deepseek2.build_params, deepseek2.forward)

@@ -801,3 +801,68 @@ def make_tiny_starcoder2_gguf(
     w.add_tensor("output.weight", rand((n_vocab, n_embd)))
     w.write()
     return str(path)
+
+
+def make_tiny_phi2_gguf(
+    path,
+    *,
+    n_layer: int = 2,
+    n_embd: int = 64,
+    n_head: int = 4,
+    n_head_kv: int = 4,
+    n_ff: int = 128,
+    n_ctx: int = 256,
+    n_rot: int = 8,  # partial rope: first n_rot of head_dim dims
+    seed: int = 0,
+) -> str:
+    """Tiny phi2-shaped GGUF: fused qkv+bias, LN+bias, parallel block,
+    partial neox rope, biased output head."""
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = _byte_vocab(DEFAULT_WORDS)
+    n_vocab = len(tokens)
+    head_dim = n_embd // n_head
+
+    w = GGUFWriter(path, architecture="phi2")
+    w.add_kv("general.name", "tpullm-tiny-phi2")
+    w.add_kv("phi2.block_count", n_layer)
+    w.add_kv("phi2.context_length", n_ctx)
+    w.add_kv("phi2.embedding_length", n_embd)
+    w.add_kv("phi2.feed_forward_length", n_ff)
+    w.add_kv("phi2.attention.head_count", n_head)
+    w.add_kv("phi2.attention.head_count_kv", n_head_kv)
+    w.add_kv("phi2.attention.layer_norm_epsilon", 1e-5)
+    w.add_kv("phi2.rope.freq_base", 10000.0)
+    w.add_kv("phi2.rope.dimension_count", n_rot)
+    w.add_kv("tokenizer.ggml.model", "llama")
+    w.add_kv("tokenizer.ggml.tokens", tokens)
+    w.add_kv("tokenizer.ggml.scores", np.asarray(scores, dtype=np.float32))
+    w.add_kv("tokenizer.ggml.token_type", np.asarray(types, dtype=np.int32))
+    w.add_kv("tokenizer.ggml.bos_token_id", 1)
+    w.add_kv("tokenizer.ggml.eos_token_id", 2)
+    w.add_kv("tokenizer.ggml.unknown_token_id", 0)
+    w.add_kv("tokenizer.ggml.add_bos_token", True)
+
+    def rand(shape, scale=0.05):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    n_q = n_head * head_dim
+    n_kv = n_head_kv * head_dim
+    w.add_tensor("token_embd.weight", rand((n_vocab, n_embd)))
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        w.add_tensor(p + "attn_norm.weight", 1.0 + rand((n_embd,)))
+        w.add_tensor(p + "attn_norm.bias", rand((n_embd,)))
+        w.add_tensor(p + "attn_qkv.weight", rand((n_q + 2 * n_kv, n_embd)))
+        w.add_tensor(p + "attn_qkv.bias", rand((n_q + 2 * n_kv,)))
+        w.add_tensor(p + "attn_output.weight", rand((n_embd, n_q)))
+        w.add_tensor(p + "attn_output.bias", rand((n_embd,)))
+        w.add_tensor(p + "ffn_up.weight", rand((n_ff, n_embd)))
+        w.add_tensor(p + "ffn_up.bias", rand((n_ff,)))
+        w.add_tensor(p + "ffn_down.weight", rand((n_embd, n_ff)))
+        w.add_tensor(p + "ffn_down.bias", rand((n_embd,)))
+    w.add_tensor("output_norm.weight", 1.0 + rand((n_embd,)))
+    w.add_tensor("output_norm.bias", rand((n_embd,)))
+    w.add_tensor("output.weight", rand((n_vocab, n_embd)))
+    w.add_tensor("output.bias", rand((n_vocab,)))
+    w.write()
+    return str(path)
