@@ -552,3 +552,80 @@ def test_phi2_forward_matches_numpy(tmp_path):
     got = eng.prefill_all_logits(toks)
     ref = np_phi2_forward(eng.reader, np.asarray(toks))
     np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
+
+
+def np_olmo_forward(reader: GGUFReader, tokens):
+    md = reader.metadata
+    n_layer = md["olmo.block_count"]
+    n_head = md["olmo.attention.head_count"]
+    n_head_kv = md["olmo.attention.head_count_kv"]
+    n_embd = md["olmo.embedding_length"]
+    eps = md["olmo.attention.layer_norm_rms_epsilon"]
+    base = md["olmo.rope.freq_base"]
+    clamp = md.get("olmo.attention.clamp_kqv", 0.0)
+    hd = n_embd // n_head
+
+    def t(name):
+        return reader.tensors[name].to_numpy().astype(np.float64)
+
+    def ln(x):  # non-parametric LayerNorm
+        mu = x.mean(-1, keepdims=True)
+        var = ((x - mu) ** 2).mean(-1, keepdims=True)
+        return (x - mu) / np.sqrt(var + eps)
+
+    def rope_neox(x, pos):
+        T, H, D = x.shape
+        half = D // 2
+        inv = base ** (-np.arange(half) * 2.0 / D)
+        theta = pos[:, None] * inv
+        c, s = np.cos(theta), np.sin(theta)
+        x0, x1 = x[..., :half], x[..., half:]
+        out = x.copy()
+        out[..., :half] = x0 * c[:, None, :] - x1 * s[:, None, :]
+        out[..., half:] = x0 * s[:, None, :] + x1 * c[:, None, :]
+        return out
+
+    T = len(tokens)
+    pos = np.arange(T)
+    x = t("token_embd.weight")[tokens]
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        h = ln(x)
+        q = h @ t(p + "attn_q.weight").T
+        k = h @ t(p + "attn_k.weight").T
+        v = h @ t(p + "attn_v.weight").T
+        if clamp:
+            q, k, v = (np.clip(a, -clamp, clamp) for a in (q, k, v))
+        q = rope_neox(q.reshape(T, n_head, hd), pos)
+        k = rope_neox(k.reshape(T, n_head_kv, hd), pos)
+        v = v.reshape(T, n_head_kv, hd)
+        g = n_head // n_head_kv
+        out = np.zeros((T, n_head, hd))
+        for hh in range(n_head):
+            kk, vv = k[:, hh // g], v[:, hh // g]
+            scores = q[:, hh] @ kk.T / np.sqrt(hd)
+            scores += np.triu(np.full((T, T), -np.inf), k=1)
+            e = np.exp(scores - scores.max(-1, keepdims=True))
+            out[:, hh] = (e / e.sum(-1, keepdims=True)) @ vv
+        x = x + out.reshape(T, n_embd) @ t(p + "attn_output.weight").T
+        h = ln(x)
+        gate = h @ t(p + "ffn_gate.weight").T
+        up = h @ t(p + "ffn_up.weight").T
+        x = x + (gate / (1 + np.exp(-gate)) * up) @ t(p + "ffn_down.weight").T
+    return ln(x) @ t("output.weight").T
+
+
+def test_olmo_forward_matches_numpy(tmp_path):
+    """OLMo v1: non-parametric LN + clamped qkv (norm tensors absent)."""
+    from tpullm.models.testing import make_tiny_llama_gguf
+
+    path = make_tiny_llama_gguf(
+        tmp_path / "olmo.gguf", arch="olmo",
+        extra_kv={"olmo.attention.clamp_kqv": 0.08},
+    )
+    eng = Engine(path, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    toks = eng.tokenizer.tokenize("the quick brown fox", add_special=True)
+    got = eng.prefill_all_logits(toks)
+    ref = np_olmo_forward(eng.reader, np.asarray(toks))
+    np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)

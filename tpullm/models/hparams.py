@@ -67,6 +67,7 @@ class HParams:
     # f_logit_scale; attention scale rides attn_scale)
     residual_scale: float = 1.0
     logit_scale: float = 1.0
+    clamp_kqv: float = 0.0  # olmo/mpt qkv clamping
     # default pooling for embeddings (llama_pooling_type):
     # none | mean | cls | last | rank
     pooling: str = "none"
@@ -189,6 +190,7 @@ def hparams_from_gguf(r: GGUFReader) -> HParams:
         )),
         residual_scale=float(k("{arch}.residual_scale", 1.0)),
         logit_scale=float(k("{arch}.logit_scale", 1.0)),
+        clamp_kqv=float(k("{arch}.attention.clamp_kqv", 0.0) or 0.0),
         pooling={0: "none", 1: "mean", 2: "cls", 3: "last", 4: "rank"}.get(
             int(k("{arch}.pooling_type",
                   1 if arch in ("bert", "nomic-bert", "jina-bert-v2") else 0)),

@@ -1,0 +1,111 @@
+"""OLMo (v1) decoder (reference graph: llm_build_olmo, src/models/olmo.cpp).
+
+Distinctives: NON-PARAMETRIC LayerNorm (no scale/bias tensors, just
+normalization), optional q/k/v clamping (`{arch}.attention.clamp_kqv`),
+gated SiLU FFN, neox rope, tied or separate output head.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..gguf.reader import GGUFReader
+from ..ops.attention import attention, causal_mask
+from ..ops.rope import apply_rope
+from ..runtime.kvcache import KVCache
+from .hparams import HParams
+from .llama import Params
+from .weights import load_embedding, load_linear
+
+
+def _ln(x: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    return ((xf - mu) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+
+
+def build_params(r: GGUFReader, hp: HParams, mode: str = "auto",
+                 dtype=jnp.bfloat16) -> Params:
+    t = r.tensors
+
+    def linear(name):
+        return load_linear(t[name], mode=mode, dtype=dtype)
+
+    layers = []
+    for i in range(hp.n_layer):
+        p = f"blk.{i}."
+        layers.append({
+            "wq": linear(p + "attn_q.weight"),
+            "wk": linear(p + "attn_k.weight"),
+            "wv": linear(p + "attn_v.weight"),
+            "wo": linear(p + "attn_output.weight"),
+            "w_gate": linear(p + "ffn_gate.weight"),
+            "w_up": linear(p + "ffn_up.weight"),
+            "w_down": linear(p + "ffn_down.weight"),
+        })
+
+    return {
+        "tok_embd": load_embedding(t["token_embd.weight"], dtype=dtype),
+        "layers": layers,
+        "output": linear("output.weight") if "output.weight" in t else None,
+    }
+
+
+def forward(
+    hp: HParams,
+    params: Params,
+    tokens: jax.Array,
+    positions: jax.Array,
+    cache: KVCache,
+    cache_offset,
+    return_hidden: bool = False,
+) -> tuple[jax.Array, KVCache]:
+    B, T = tokens.shape
+    x = params["tok_embd"][tokens]
+    scale = hp.head_dim ** -0.5
+    clamp = hp.clamp_kqv  # static: baked into the jitted program
+
+    offsets = jnp.broadcast_to(
+        jnp.asarray(cache_offset).reshape(-1), (B,)
+    ).astype(jnp.int32)
+    kv_len = jnp.asarray(cache_offset) + T
+    mask = causal_mask(positions, cache.max_len, kv_len, 0)
+
+    for li, layer in enumerate(params["layers"]):
+        h = _ln(x, hp.rms_eps)
+        q = layer["wq"](h)
+        k = layer["wk"](h)
+        v = layer["wv"](h)
+        if clamp > 0:
+            q = jnp.clip(q, -clamp, clamp)
+            k = jnp.clip(k, -clamp, clamp)
+            v = jnp.clip(v, -clamp, clamp)
+        q = q.reshape(B, T, hp.n_head, hp.head_dim)
+        k = k.reshape(B, T, hp.n_head_kv, hp.head_dim)
+        v = v.reshape(B, T, hp.n_head_kv, hp.head_dim_v)
+        q = apply_rope(q, positions, hp.rope)
+        k = apply_rope(k, positions, hp.rope)
+        cache = cache.update(
+            li, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), cache_offset
+        )
+        k_all, v_all = cache.kv(li)
+        attn_out = attention(q, k_all, v_all, mask, scale, offsets=offsets)
+        x = x + layer["wo"](attn_out.reshape(B, T, hp.n_head * hp.head_dim_v))
+
+        h = _ln(x, hp.rms_eps)
+        gate = layer["w_gate"](h)
+        up = layer["w_up"](h)
+        x = x + layer["w_down"](
+            jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
+        )
+
+    x = _ln(x, hp.rms_eps)
+    if return_hidden:
+        return x.astype(jnp.float32), cache
+    if params["output"] is not None:
+        logits = params["output"](x)
+    else:
+        logits = jnp.dot(x, params["tok_embd"].T.astype(x.dtype))
+    return logits.astype(jnp.float32), cache

@@ -109,6 +109,9 @@ def _ensure_builtin():
     from . import olmoe
 
     register_arch("olmoe", olmoe.build_params, olmoe.forward)
+    from . import olmo
+
+    register_arch("olmo", olmo.build_params, olmo.forward)
     from . import starcoder2
 
     register_arch(
