@@ -45,6 +45,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "llama.rope.freq_base=float:1000000 (≡ llama.cpp)")
     ap.add_argument("--preset", default=_env("preset"),
                     help="ini-style preset file of flag defaults")
+    ap.add_argument("--swa-full", action="store_true",
+                    help="full-size KV cache for SWA layers (disable the "
+                         "iSWA ring; ≡ llama.cpp --swa-full)")
+    ap.add_argument("--cache-type-kv", default=None, choices=["f16", "bf16", "f32", "q8_0"],
+                    help="KV cache storage type (≡ --cache-type-k/v)")
     ap.add_argument("--chat", action="store_true", help="interactive chat")
     ap.add_argument("--no-display-prompt", action="store_true")
     ap.add_argument("--verbose", "-v", action="store_true")
@@ -93,8 +98,13 @@ def apply_preset(args, parser, argv):
 def make_engine(args):
     from ..runtime import Engine
 
+    kw = {}
+    if getattr(args, "swa_full", False):
+        kw["swa_full"] = True
+    if getattr(args, "cache_type_kv", None):
+        kw["kv_dtype"] = args.cache_type_kv
     return Engine(args.model, mode=args.mode, max_seq=int(args.ctx_size),
-                  override_kv=parse_kv_overrides(args.override_kv or []))
+                  override_kv=parse_kv_overrides(args.override_kv or []), **kw)
 
 
 def make_sampler(args):
