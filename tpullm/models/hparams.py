@@ -68,6 +68,8 @@ class HParams:
     residual_scale: float = 1.0
     logit_scale: float = 1.0
     clamp_kqv: float = 0.0  # olmo/mpt qkv clamping
+    # NoPE interleave (smollm3/llama4: every Nth layer skips rope; 0 = never)
+    no_rope_step: int = 0
     # default pooling for embeddings (llama_pooling_type):
     # none | mean | cls | last | rank
     pooling: str = "none"
@@ -191,6 +193,7 @@ def hparams_from_gguf(r: GGUFReader) -> HParams:
         residual_scale=float(k("{arch}.residual_scale", 1.0)),
         logit_scale=float(k("{arch}.logit_scale", 1.0)),
         clamp_kqv=float(k("{arch}.attention.clamp_kqv", 0.0) or 0.0),
+        no_rope_step=4 if arch == "smollm3" else 0,
         pooling={0: "none", 1: "mean", 2: "cls", 3: "last", 4: "rank"}.get(
             int(k("{arch}.pooling_type",
                   1 if arch in ("bert", "nomic-bert", "jina-bert-v2") else 0)),

@@ -52,7 +52,8 @@ def build_params(r: GGUFReader, hp: HParams, mode: str = "auto",
             "wv": linear(p + "attn_v.weight"),
             "wo": linear(p + "attn_output.weight"),
             "ffn_norm": load_vector(t[p + "ffn_norm.weight"]),
-            "w_gate": linear(p + "ffn_gate.weight"),
+            # gateless variants (arcee) have no ffn_gate tensor
+            "w_gate": linear(p + "ffn_gate.weight") if p + "ffn_gate.weight" in t else None,
             "w_up": linear(p + "ffn_up.weight"),
             "w_down": linear(p + "ffn_down.weight"),
             # optional extras: qwen2 attn biases, qwen3/olmo2 qk-norm
@@ -104,12 +105,14 @@ def attn_block(
     q = q.reshape(B, T, hp.n_head, hp.head_dim)
     k = k.reshape(B, T, hp.n_head_kv, hp.head_dim)
     v = v.reshape(B, T, hp.n_head_kv, hp.head_dim_v)
+    use_rope = hp.no_rope_step == 0 or (li + 1) % hp.no_rope_step != 0
     if layer["q_norm"] is not None:
         q = rms_norm(q, layer["q_norm"], hp.rms_eps)
     if layer["k_norm"] is not None:
         k = rms_norm(k, layer["k_norm"], hp.rms_eps)
-    q = apply_rope(q, positions, hp.rope)
-    k = apply_rope(k, positions, hp.rope)
+    if use_rope:
+        q = apply_rope(q, positions, hp.rope)
+        k = apply_rope(k, positions, hp.rope)
 
     cache = cache.update(
         li, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), cache_offset
@@ -172,9 +175,13 @@ def forward(
             hp, layer, x, positions, cache, li, cache_offset, mask, offsets
         )
         h = rms_norm(x, layer["ffn_norm"], hp.rms_eps)
-        gate = layer["w_gate"](h)
         up = layer["w_up"](h)
-        ffn = layer["w_down"](jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up)
+        if layer["w_gate"] is not None:
+            gate = layer["w_gate"](h)
+            act = jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
+        else:  # gateless ReLU² FFN (arcee, llm_build_arcee LLM_FFN_RELU_SQR)
+            act = jnp.square(jax.nn.relu(up.astype(jnp.float32))).astype(up.dtype)
+        ffn = layer["w_down"](act)
         if hp.residual_scale != 1.0:  # granite
             ffn = ffn * jnp.asarray(hp.residual_scale, ffn.dtype)
         x = x + ffn

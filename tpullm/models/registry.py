@@ -75,8 +75,10 @@ def _ensure_builtin():
         # multipliers (llm_build_granite), loaded via hparams;
         # internlm2/exaone are byte-identical llama graphs
         # (src/models/{internlm2,exaone}.cpp)
+        # smollm3 = llama + NoPE every 4th layer; arcee = llama with a
+        # gateless ReLU² FFN — both ride hparams/optional-tensor switches
         aliases=("mistral", "qwen2", "qwen3", "granite", "internlm2",
-                 "exaone"),
+                 "exaone", "smollm3", "arcee"),
     )
     register_arch(
         "qwen3moe",
