@@ -680,3 +680,86 @@ def test_arcee_gateless_relu2_ffn(tmp_path):
     logits = eng.prefill(toks)
     assert np.isfinite(logits).all()
     assert isinstance(eng.generate("hello", max_new_tokens=4), str)
+
+
+def np_stablelm_forward(reader: GGUFReader, tokens):
+    md = reader.metadata
+    n_layer = md["stablelm.block_count"]
+    n_head = md["stablelm.attention.head_count"]
+    n_head_kv = md["stablelm.attention.head_count_kv"]
+    n_embd = md["stablelm.embedding_length"]
+    eps = md["stablelm.attention.layer_norm_epsilon"]
+    base = md["stablelm.rope.freq_base"]
+    n_rot = md["stablelm.rope.dimension_count"]
+    hd = n_embd // n_head
+
+    def t(name):
+        return reader.tensors[name].to_numpy().astype(np.float64)
+
+    def has(name):
+        return name in reader.tensors
+
+    def ln(x, w, b=None):
+        mu = x.mean(-1, keepdims=True)
+        var = ((x - mu) ** 2).mean(-1, keepdims=True)
+        out = (x - mu) / np.sqrt(var + eps) * w
+        return out + b if b is not None else out
+
+    def rope_partial(x, pos):
+        T, H, D = x.shape
+        half = n_rot // 2
+        inv = base ** (-np.arange(half) * 2.0 / n_rot)
+        theta = pos[:, None] * inv
+        c, s = np.cos(theta), np.sin(theta)
+        out = x.copy()
+        x0, x1 = x[..., :half], x[..., half:n_rot]
+        out[..., :half] = x0 * c[:, None, :] - x1 * s[:, None, :]
+        out[..., half:n_rot] = x0 * s[:, None, :] + x1 * c[:, None, :]
+        return out
+
+    T = len(tokens)
+    pos = np.arange(T)
+    x = t("token_embd.weight")[tokens]
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        h = ln(x, t(p + "attn_norm.weight"), t(p + "attn_norm.bias"))
+        q = (h @ t(p + "attn_q.weight").T).reshape(T, n_head, hd)
+        k = (h @ t(p + "attn_k.weight").T).reshape(T, n_head_kv, hd)
+        v = (h @ t(p + "attn_v.weight").T).reshape(T, n_head_kv, hd)
+        if has(p + "attn_q_norm.weight"):
+            q = ln(q, t(p + "attn_q_norm.weight").reshape(n_head, hd))
+            k = ln(k, t(p + "attn_k_norm.weight").reshape(n_head_kv, hd))
+        q, k = rope_partial(q, pos), rope_partial(k, pos)
+        g = n_head // n_head_kv
+        out = np.zeros((T, n_head, hd))
+        for hh in range(n_head):
+            kk, vv = k[:, hh // g], v[:, hh // g]
+            scores = q[:, hh] @ kk.T / np.sqrt(hd)
+            scores += np.triu(np.full((T, T), -np.inf), k=1)
+            e = np.exp(scores - scores.max(-1, keepdims=True))
+            out[:, hh] = (e / e.sum(-1, keepdims=True)) @ vv
+        ffn_inp = x + out.reshape(T, n_embd) @ t(p + "attn_output.weight").T
+        if has(p + "ffn_norm.weight"):
+            hf = ln(ffn_inp, t(p + "ffn_norm.weight"), t(p + "ffn_norm.bias"))
+        else:
+            hf = h  # parallel residual
+        gate = hf @ t(p + "ffn_gate.weight").T
+        up = hf @ t(p + "ffn_up.weight").T
+        x = ffn_inp + (gate / (1 + np.exp(-gate)) * up) @ t(p + "ffn_down.weight").T
+    x = ln(x, t("output_norm.weight"), t("output_norm.bias"))
+    return x @ t("output.weight").T
+
+
+@pytest.mark.parametrize("parallel", [False, True])
+def test_stablelm_forward_matches_numpy(tmp_path, parallel):
+    """stablelm: LN+bias, per-head q/k LN, partial rope; `parallel` drops
+    ffn_norm to exercise the parallel-residual variant."""
+    from tpullm.models.testing import make_tiny_stablelm_gguf
+
+    path = make_tiny_stablelm_gguf(tmp_path / "st.gguf", parallel=parallel)
+    eng = Engine(path, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    toks = eng.tokenizer.tokenize("the quick brown fox", add_special=True)
+    got = eng.prefill_all_logits(toks)
+    ref = np_stablelm_forward(eng.reader, np.asarray(toks))
+    np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)

@@ -114,6 +114,9 @@ def _ensure_builtin():
     from . import olmo
 
     register_arch("olmo", olmo.build_params, olmo.forward)
+    from . import stablelm
+
+    register_arch("stablelm", stablelm.build_params, stablelm.forward)
     from . import starcoder2
 
     register_arch(

@@ -866,3 +866,69 @@ def make_tiny_phi2_gguf(
     w.add_tensor("output.bias", rand((n_vocab,)))
     w.write()
     return str(path)
+
+
+def make_tiny_stablelm_gguf(
+    path,
+    *,
+    n_layer: int = 2,
+    n_embd: int = 64,
+    n_head: int = 4,
+    n_head_kv: int = 2,
+    n_ff: int = 128,
+    n_ctx: int = 256,
+    n_rot: int = 8,
+    parallel: bool = False,  # drop ffn_norm → parallel-residual variant
+    seed: int = 0,
+) -> str:
+    """Tiny stablelm-shaped GGUF: LN+bias, per-head q/k LN, partial rope."""
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = _byte_vocab(DEFAULT_WORDS)
+    n_vocab = len(tokens)
+    head_dim = n_embd // n_head
+
+    w = GGUFWriter(path, architecture="stablelm")
+    w.add_kv("general.name", "tpullm-tiny-stablelm")
+    w.add_kv("stablelm.block_count", n_layer)
+    w.add_kv("stablelm.context_length", n_ctx)
+    w.add_kv("stablelm.embedding_length", n_embd)
+    w.add_kv("stablelm.feed_forward_length", n_ff)
+    w.add_kv("stablelm.attention.head_count", n_head)
+    w.add_kv("stablelm.attention.head_count_kv", n_head_kv)
+    w.add_kv("stablelm.attention.layer_norm_epsilon", 1e-5)
+    w.add_kv("stablelm.rope.freq_base", 10000.0)
+    w.add_kv("stablelm.rope.dimension_count", n_rot)
+    w.add_kv("tokenizer.ggml.model", "llama")
+    w.add_kv("tokenizer.ggml.tokens", tokens)
+    w.add_kv("tokenizer.ggml.scores", np.asarray(scores, dtype=np.float32))
+    w.add_kv("tokenizer.ggml.token_type", np.asarray(types, dtype=np.int32))
+    w.add_kv("tokenizer.ggml.bos_token_id", 1)
+    w.add_kv("tokenizer.ggml.eos_token_id", 2)
+    w.add_kv("tokenizer.ggml.unknown_token_id", 0)
+    w.add_kv("tokenizer.ggml.add_bos_token", True)
+
+    def rand(shape, scale=0.05):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    w.add_tensor("token_embd.weight", rand((n_vocab, n_embd)))
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        w.add_tensor(p + "attn_norm.weight", 1.0 + rand((n_embd,)))
+        w.add_tensor(p + "attn_norm.bias", rand((n_embd,)))
+        w.add_tensor(p + "attn_q.weight", rand((n_head * head_dim, n_embd)))
+        w.add_tensor(p + "attn_k.weight", rand((n_head_kv * head_dim, n_embd)))
+        w.add_tensor(p + "attn_v.weight", rand((n_head_kv * head_dim, n_embd)))
+        w.add_tensor(p + "attn_output.weight", rand((n_embd, n_head * head_dim)))
+        w.add_tensor(p + "attn_q_norm.weight", 1.0 + rand((n_head * head_dim,)))
+        w.add_tensor(p + "attn_k_norm.weight", 1.0 + rand((n_head_kv * head_dim,)))
+        if not parallel:
+            w.add_tensor(p + "ffn_norm.weight", 1.0 + rand((n_embd,)))
+            w.add_tensor(p + "ffn_norm.bias", rand((n_embd,)))
+        w.add_tensor(p + "ffn_gate.weight", rand((n_ff, n_embd)))
+        w.add_tensor(p + "ffn_up.weight", rand((n_ff, n_embd)))
+        w.add_tensor(p + "ffn_down.weight", rand((n_embd, n_ff)))
+    w.add_tensor("output_norm.weight", 1.0 + rand((n_embd,)))
+    w.add_tensor("output_norm.bias", rand((n_embd,)))
+    w.add_tensor("output.weight", rand((n_vocab, n_embd)))
+    w.write()
+    return str(path)
