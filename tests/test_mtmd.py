@@ -185,3 +185,129 @@ def test_server_vision_chat(llm, mmproj, tmp_path):
         asyncio.run(run())
     finally:
         sched.stop()
+
+
+# -- audio (whisper encoder, ≡ mtmd-audio.cpp + models/whisper-enc.cpp) -------
+
+
+def test_log_mel_spectrogram_properties():
+    from tpullm.mtmd import log_mel_spectrogram
+
+    sr = 16000
+    t = np.arange(sr, dtype=np.float32) / sr
+    tone = np.sin(2 * np.pi * 1000.0 * t).astype(np.float32)  # 1 kHz, 1 s
+    mel = log_mel_spectrogram(tone, n_mel=32)
+    assert mel.shape[0] == 32 and mel.shape[1] >= 3000
+    assert np.isfinite(mel).all()
+    # normalized range: (clamped_log + 4) / 4 stays within sane bounds
+    assert mel.min() >= -3 and mel.max() <= 4
+    # energy concentrated where the tone lives during the first second,
+    # silence afterwards is at the clamp floor
+    active = mel[:, :90]
+    silent = mel[:, 1500:2900]
+    assert active.max() > silent.max() + 0.5
+    row_energy = active.mean(axis=1)
+    assert 4 <= int(np.argmax(row_energy)) <= 28  # mid-band, not edges
+
+
+def np_whisper_encoder(reader, mel):
+    """Independent numpy whisper-encoder forward (qwen2a projector)."""
+    md = reader.metadata
+    n_embd = md["clip.audio.embedding_length"]
+    n_head = md["clip.audio.attention.head_count"]
+    n_layer = md["clip.audio.block_count"]
+    eps = md["clip.audio.attention.layer_norm_epsilon"]
+    hd = n_embd // n_head
+
+    def t(name):
+        return reader.tensors[name].to_numpy().astype(np.float64)
+
+    def ln(x, w, b):
+        mu = x.mean(-1, keepdims=True)
+        var = ((x - mu) ** 2).mean(-1, keepdims=True)
+        return (x - mu) / np.sqrt(var + eps) * w + b
+
+    from scipy.special import erf
+
+    def gelu(x):
+        return 0.5 * x * (1 + erf(x / np.sqrt(2)))
+
+    def conv1d(x, w, b, stride):  # x [C,T], w [O,C,3], pad 1
+        xp = np.pad(x, ((0, 0), (1, 1)))
+        T = x.shape[1]
+        outs = []
+        for s in range(0, T, stride):
+            outs.append(np.einsum("ock,ck->o", w, xp[:, s:s + 3]))
+        return np.stack(outs, axis=1) + b[:, None]
+
+    x = gelu(conv1d(mel.astype(np.float64), t("a.conv1d.1.weight"),
+                    t("a.conv1d.1.bias"), 1))
+    x = gelu(conv1d(x, t("a.conv1d.2.weight"), t("a.conv1d.2.bias"), 2))
+    x = x.T
+    n_pos = x.shape[0]
+    x = x + t("a.position_embd.weight")[:n_pos]
+    for i in range(n_layer):
+        p = f"a.blk.{i}."
+        h = ln(x, t(p + "ln1.weight"), t(p + "ln1.bias"))
+        q = (h @ t(p + "attn_q.weight").T + t(p + "attn_q.bias")).reshape(n_pos, n_head, hd)
+        k = (h @ t(p + "attn_k.weight").T).reshape(n_pos, n_head, hd)
+        v = (h @ t(p + "attn_v.weight").T + t(p + "attn_v.bias")).reshape(n_pos, n_head, hd)
+        out = np.zeros((n_pos, n_head, hd))
+        for hh in range(n_head):
+            scores = q[:, hh] @ k[:, hh].T / np.sqrt(hd)
+            e = np.exp(scores - scores.max(-1, keepdims=True))
+            out[:, hh] = (e / e.sum(-1, keepdims=True)) @ v[:, hh]
+        x = x + out.reshape(n_pos, n_embd) @ t(p + "attn_out.weight").T \
+              + t(p + "attn_out.bias")
+        h = ln(x, t(p + "ln2.weight"), t(p + "ln2.bias"))
+        up = gelu(h @ t(p + "ffn_up.weight").T + t(p + "ffn_up.bias"))
+        x = x + up @ t(p + "ffn_down.weight").T + t(p + "ffn_down.bias")
+    x = ln(x, t("a.post_ln.weight"), t("a.post_ln.bias"))
+    return x @ t("mm.a.fc.weight").T + t("mm.a.fc.bias")
+
+
+def test_whisper_encoder_matches_numpy(tmp_path):
+    from tpullm.models.testing import make_tiny_audio_mmproj_gguf
+    from tpullm.mtmd import WhisperAudioEncoder
+
+    path = make_tiny_audio_mmproj_gguf(tmp_path / "a.gguf", n_mel=16)
+    enc = WhisperAudioEncoder(path)
+    rng = np.random.default_rng(0)
+    mel = rng.standard_normal((16, 100)).astype(np.float32)
+    got = enc.encode_mel(mel)
+    ref = np_whisper_encoder(enc.reader, mel)
+    assert got.shape == (50, 64)  # stride-2 conv halves frames
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_ultravox_projector_shapes(tmp_path):
+    from tpullm.models.testing import make_tiny_audio_mmproj_gguf
+    from tpullm.mtmd import WhisperAudioEncoder
+
+    path = make_tiny_audio_mmproj_gguf(tmp_path / "uv.gguf", n_mel=16,
+                                       projector="ultravox", stack_factor=4)
+    enc = WhisperAudioEncoder(path)
+    mel = np.random.default_rng(1).standard_normal((16, 96)).astype(np.float32)
+    out = enc.encode_mel(mel)
+    # 96 frames → 48 positions → stacked by 4 → 12 tokens
+    assert out.shape == (12, 64)
+    assert np.isfinite(out).all()
+
+
+def test_generate_with_audio(tmp_path):
+    """End-to-end: <__media__> audio chunk + text through a tiny llama
+    (≡ mtmd-cli with an mp3)."""
+    from tpullm.models.testing import (
+        make_tiny_audio_mmproj_gguf, make_tiny_llama_gguf,
+    )
+    from tpullm.mtmd import MEDIA_MARKER, WhisperAudioEncoder, generate_mtmd
+    from tpullm.runtime import Engine
+
+    model = make_tiny_llama_gguf(tmp_path / "m.gguf")
+    enc = WhisperAudioEncoder(
+        make_tiny_audio_mmproj_gguf(tmp_path / "a.gguf", n_embd_llm=64))
+    eng = Engine(model, mode="dense", max_seq=2048)
+    samples = np.random.default_rng(2).standard_normal(16000).astype(np.float32)
+    out = generate_mtmd(eng, None, f"describe {MEDIA_MARKER} sound",
+                        [samples], max_new_tokens=4, audio=enc)
+    assert isinstance(out, str)

@@ -932,3 +932,72 @@ def make_tiny_stablelm_gguf(
     w.add_tensor("output.weight", rand((n_vocab, n_embd)))
     w.write()
     return str(path)
+
+
+def make_tiny_audio_mmproj_gguf(
+    path,
+    *,
+    n_mel: int = 16,
+    n_embd: int = 32,
+    n_ff: int = 64,
+    n_layer: int = 2,
+    n_head: int = 4,
+    n_embd_llm: int = 64,
+    n_pos: int = 1500,
+    projector: str = "qwen2a",  # qwen2a | ultravox
+    stack_factor: int = 4,
+    seed: int = 0,
+) -> str:
+    """Tiny whisper-encoder mmproj GGUF (≡ clip.cpp audio model files)."""
+    rng = np.random.default_rng(seed)
+    w = GGUFWriter(path, architecture="clip")
+    w.add_kv("general.name", "tpullm-tiny-whisper")
+    w.add_kv("clip.has_audio_encoder", True)
+    w.add_kv("clip.projector_type", projector)
+    w.add_kv("clip.audio.num_mel_bins", n_mel)
+    w.add_kv("clip.audio.embedding_length", n_embd)
+    w.add_kv("clip.audio.feed_forward_length", n_ff)
+    w.add_kv("clip.audio.block_count", n_layer)
+    w.add_kv("clip.audio.attention.head_count", n_head)
+    w.add_kv("clip.audio.attention.layer_norm_epsilon", 1e-5)
+    if projector == "ultravox":
+        w.add_kv("clip.audio.projector.stack_factor", stack_factor)
+
+    def rand(shape, scale=0.05):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    w.add_tensor("a.conv1d.1.weight", rand((n_embd, n_mel, 3)))
+    w.add_tensor("a.conv1d.1.bias", rand((n_embd,)))
+    w.add_tensor("a.conv1d.2.weight", rand((n_embd, n_embd, 3)))
+    w.add_tensor("a.conv1d.2.bias", rand((n_embd,)))
+    w.add_tensor("a.position_embd.weight", rand((n_pos, n_embd)))
+    for i in range(n_layer):
+        p = f"a.blk.{i}."
+        for nm in ("attn_q", "attn_v"):
+            w.add_tensor(p + nm + ".weight", rand((n_embd, n_embd)))
+            w.add_tensor(p + nm + ".bias", rand((n_embd,)))
+        w.add_tensor(p + "attn_k.weight", rand((n_embd, n_embd)))  # no bias
+        w.add_tensor(p + "attn_out.weight", rand((n_embd, n_embd)))
+        w.add_tensor(p + "attn_out.bias", rand((n_embd,)))
+        w.add_tensor(p + "ln1.weight", np.ones(n_embd, np.float32))
+        w.add_tensor(p + "ln1.bias", rand((n_embd,)))
+        w.add_tensor(p + "ln2.weight", np.ones(n_embd, np.float32))
+        w.add_tensor(p + "ln2.bias", rand((n_embd,)))
+        w.add_tensor(p + "ffn_up.weight", rand((n_ff, n_embd)))
+        w.add_tensor(p + "ffn_up.bias", rand((n_ff,)))
+        w.add_tensor(p + "ffn_down.weight", rand((n_embd, n_ff)))
+        w.add_tensor(p + "ffn_down.bias", rand((n_embd,)))
+    w.add_tensor("a.post_ln.weight", np.ones(n_embd, np.float32))
+    w.add_tensor("a.post_ln.bias", rand((n_embd,)))
+    if projector == "ultravox":
+        hidden = 2 * n_embd
+        w.add_tensor("mm.a.norm_pre.weight",
+                     np.ones(stack_factor * n_embd, np.float32))
+        w.add_tensor("mm.a.mlp.1.weight", rand((2 * hidden, stack_factor * n_embd)))
+        w.add_tensor("mm.a.norm_mid.weight", np.ones(hidden, np.float32))
+        w.add_tensor("mm.a.mlp.2.weight", rand((n_embd_llm, hidden)))
+    else:
+        w.add_tensor("mm.a.fc.weight", rand((n_embd_llm, n_embd)))
+        w.add_tensor("mm.a.fc.bias", rand((n_embd_llm,)))
+    w.write()
+    return str(path)

@@ -1,0 +1,261 @@
+"""Whisper-style audio encoder + mel preprocessing (mtmd audio modality).
+
+Reference: tools/mtmd/mtmd-audio.cpp (log-mel spectrogram: 400-pt FFT,
+hop 160, slaney mel filterbank, log10 → clamp(max−8) → (x+4)/4) and
+tools/mtmd/models/whisper-enc.cpp (conv1d ×2 + gelu_erf → pos embd →
+pre-norm transformer → qwen2a fc / ultravox stacked-swiglu projector).
+mmproj tensor names: a.conv1d.{1,2}.*, a.position_embd.weight, a.blk.N.*,
+a.post_ln.*, mm.a.fc.* / mm.a.mlp.{1,2}.weight + mm.a.norm_{pre,mid}.weight.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..gguf.reader import GGUFReader
+from ..ops.norms import layer_norm, rms_norm
+
+SAMPLE_RATE = 16000
+N_FFT = 400
+HOP = 160
+CHUNK_FRAMES = 3000  # encoder accepts at most 30 s of mel frames per call
+
+
+def mel_filterbank(n_mel: int, n_fft: int = N_FFT,
+                   sample_rate: int = SAMPLE_RATE) -> np.ndarray:
+    """Slaney-scale triangular filters [n_mel, n_fft//2+1]
+    (≡ fill_mel_filterbank_matrix; matches librosa defaults)."""
+    fmin, fmax = 0.0, 0.5 * sample_rate
+    min_log_hz = 1000.0
+    lin_slope = 3 / 200.0
+    min_log_mel = min_log_hz * lin_slope
+    log_step = np.log(6.4) / 27.0
+
+    def hz_to_mel(f):
+        f = np.asarray(f, dtype=np.float64)
+        return np.where(f < min_log_hz, f * lin_slope,
+                        min_log_mel + np.log(np.maximum(f, 1e-10) / min_log_hz)
+                        / log_step)
+
+    def mel_to_hz(m):
+        m = np.asarray(m, dtype=np.float64)
+        return np.where(m < min_log_mel, m / lin_slope,
+                        min_log_hz * np.exp((m - min_log_mel) * log_step))
+
+    mel_pts = np.linspace(hz_to_mel(fmin), hz_to_mel(fmax), n_mel + 2)
+    hz = mel_to_hz(mel_pts)
+    n_bins = n_fft // 2 + 1
+    f = np.arange(n_bins) * (sample_rate / n_fft)
+
+    left, center, right = hz[:-2, None], hz[1:-1, None], hz[2:, None]
+    up = (f - left) / np.maximum(center - left, 1e-30)
+    down = (right - f) / np.maximum(right - center, 1e-30)
+    w = np.maximum(0.0, np.minimum(up, down))
+    return w.astype(np.float32)  # slaney_area_norm off, scale 1 (whisper)
+
+
+def log_mel_spectrogram(samples: np.ndarray, n_mel: int,
+                        chunk_len_s: int = 30) -> np.ndarray:
+    """f32 mono 16 kHz samples → whisper log-mel [n_mel, n_frames]
+    (≡ mtmd_audio_preprocessor_whisper::preprocess, single chunk set)."""
+    samples = np.asarray(samples, dtype=np.float32).reshape(-1)
+    min_samples = SAMPLE_RATE * (chunk_len_s + 1)  # +1 s silence margin
+    if samples.size < min_samples:
+        samples = np.pad(samples, (0, min_samples - samples.size))
+    n_samples = samples.size
+
+    # periodic hann window (length 400, denominator N)
+    n = np.arange(N_FFT)
+    hann = 0.5 * (1.0 - np.cos(2.0 * np.pi * n / N_FFT))
+
+    n_len = n_samples // HOP
+    n_computed = min(n_samples // HOP + 1, n_len)
+    # frame the signal: rows of 400 samples at hop 160 (zero-padded tail)
+    padded = np.pad(samples, (0, N_FFT))
+    idx = np.arange(n_computed)[:, None] * HOP + np.arange(N_FFT)[None, :]
+    frames = padded[idx] * hann  # [n_computed, 400]
+    spec = np.fft.rfft(frames, n=N_FFT, axis=1)
+    power = (spec.real ** 2 + spec.imag ** 2)  # [n_computed, 201]
+
+    filters = mel_filterbank(n_mel)
+    mel = power @ filters.T  # [n_computed, n_mel]
+    out = np.full((n_len, n_mel), np.log10(1e-10))
+    out[:n_computed] = np.log10(np.maximum(mel, 1e-10))
+
+    # clamp to global max − 8 and normalize (whisper convention)
+    mmax = out.max() - 8.0
+    out = (np.maximum(out, mmax) + 4.0) / 4.0
+    return out.T.astype(np.float32)  # [n_mel, n_len]
+
+
+def chunk_mel(mel: np.ndarray) -> list[np.ndarray]:
+    """Split [n_mel, n_len] into ≤3000-frame chunks (clip.cpp graph limit)."""
+    return [mel[:, off:off + CHUNK_FRAMES]
+            for off in range(0, mel.shape[1], CHUNK_FRAMES)]
+
+
+class WhisperAudioEncoder:
+    """Audio tower of an mmproj GGUF (clip.has_audio_encoder)."""
+
+    def __init__(self, path_or_reader, dtype=jnp.float32):
+        r = (path_or_reader if isinstance(path_or_reader, GGUFReader)
+             else GGUFReader(path_or_reader))
+        self.reader = r
+        md = r.metadata
+        g = lambda k, d=None: md.get(f"clip.audio.{k}", d)
+        self.n_mel = int(g("num_mel_bins", 128))
+        self.n_embd = int(g("embedding_length", 768))
+        self.n_ff = int(g("feed_forward_length", 3072))
+        self.n_layer = int(g("block_count", 4))
+        self.n_head = int(g("attention.head_count", 8))
+        self.eps = float(g("attention.layer_norm_epsilon", 1e-5))
+        self.proj_type = str(md.get("clip.projector_type", "qwen2a"))
+        self.stack_factor = int(g("projector.stack_factor", 8))
+
+        t = r.tensors
+
+        def arr(name, d=dtype):
+            return jnp.asarray(t[name].to_numpy(), dtype=d)
+
+        def maybe(name, d=dtype):
+            return arr(name, d) if name in t else None
+
+        self.params = {
+            # conv1d kernels logical [out, in, k]
+            "conv1_w": arr("a.conv1d.1.weight"),
+            "conv1_b": arr("a.conv1d.1.bias"),
+            "conv2_w": arr("a.conv1d.2.weight"),
+            "conv2_b": arr("a.conv1d.2.bias"),
+            "pos_embd": arr("a.position_embd.weight"),
+            "post_ln_w": maybe("a.post_ln.weight"),
+            "post_ln_b": maybe("a.post_ln.bias"),
+            "layers": [],
+            # qwen2a projector
+            "fc_w": maybe("mm.a.fc.weight"),
+            "fc_b": maybe("mm.a.fc.bias"),
+            # ultravox projector
+            "mlp1_w": maybe("mm.a.mlp.1.weight"),
+            "mlp2_w": maybe("mm.a.mlp.2.weight"),
+            "norm_pre_w": maybe("mm.a.norm_pre.weight"),
+            "norm_mid_w": maybe("mm.a.norm_mid.weight"),
+        }
+        for i in range(self.n_layer):
+            p = f"a.blk.{i}."
+            self.params["layers"].append({
+                "ln1_w": arr(p + "ln1.weight"), "ln1_b": arr(p + "ln1.bias"),
+                "wq": arr(p + "attn_q.weight"), "bq": arr(p + "attn_q.bias"),
+                "wk": arr(p + "attn_k.weight"),  # whisper: no k bias
+                "wv": arr(p + "attn_v.weight"), "bv": arr(p + "attn_v.bias"),
+                "wo": arr(p + "attn_out.weight"), "bo": maybe(p + "attn_out.bias"),
+                "ln2_w": arr(p + "ln2.weight"), "ln2_b": arr(p + "ln2.bias"),
+                "up_w": arr(p + "ffn_up.weight"), "up_b": maybe(p + "ffn_up.bias"),
+                "down_w": arr(p + "ffn_down.weight"),
+                "down_b": maybe(p + "ffn_down.bias"),
+            })
+        self._encode = jax.jit(self._forward)
+
+    # -- graph ------------------------------------------------------------------
+
+    def _conv1d(self, x, w, b, stride):
+        """x [C_in, T], w [C_out, C_in, 3], pad 1 → [C_out, T'/stride]."""
+        out = jax.lax.conv_general_dilated(
+            x[None], w, window_strides=(stride,), padding=[(1, 1)],
+            dimension_numbers=("NCH", "OIH", "NCH"),
+        )[0]
+        return out + b[:, None]
+
+    def _forward(self, mel: jax.Array) -> jax.Array:
+        """mel [n_mel, n_frames] → projected audio embeddings [n_tok, E_llm]."""
+        p = self.params
+        x = self._conv1d(mel, p["conv1_w"], p["conv1_b"], 1)
+        x = jax.nn.gelu(x, approximate=False)
+        x = self._conv1d(x, p["conv2_w"], p["conv2_b"], 2)
+        x = jax.nn.gelu(x, approximate=False)
+        x = x.T  # [n_pos, E]
+        n_pos = x.shape[0]
+        x = x + p["pos_embd"][:n_pos]
+
+        hd = self.n_embd // self.n_head
+        for lyr in p["layers"]:
+            h = layer_norm(x, lyr["ln1_w"], lyr["ln1_b"], self.eps)
+            q = (h @ lyr["wq"].T + lyr["bq"]).reshape(n_pos, self.n_head, hd)
+            k = (h @ lyr["wk"].T).reshape(n_pos, self.n_head, hd)
+            v = (h @ lyr["wv"].T + lyr["bv"]).reshape(n_pos, self.n_head, hd)
+            scores = jnp.einsum("thd,shd->hts", q, k) * (hd ** -0.5)
+            probs = jax.nn.softmax(scores, axis=-1)  # bidirectional
+            attn = jnp.einsum("hts,shd->thd", probs, v).reshape(n_pos, self.n_embd)
+            attn = attn @ lyr["wo"].T
+            if lyr["bo"] is not None:
+                attn = attn + lyr["bo"]
+            x = x + attn
+
+            h = layer_norm(x, lyr["ln2_w"], lyr["ln2_b"], self.eps)
+            up = h @ lyr["up_w"].T
+            if lyr["up_b"] is not None:
+                up = up + lyr["up_b"]
+            act = jax.nn.gelu(up, approximate=False)  # whisper: gelu_erf
+            down = act @ lyr["down_w"].T
+            if lyr["down_b"] is not None:
+                down = down + lyr["down_b"]
+            x = x + down
+
+        if p["post_ln_w"] is not None:
+            x = layer_norm(x, p["post_ln_w"], p["post_ln_b"], self.eps)
+
+        if self.proj_type == "ultravox":
+            # StackAudioFrames: concat stack_factor consecutive frames
+            sf = self.stack_factor
+            pad = (-x.shape[0]) % sf
+            x = jnp.pad(x, ((0, pad), (0, 0)))
+            x = x.reshape(x.shape[0] // sf, sf * self.n_embd)
+            x = rms_norm(x, p["norm_pre_w"], 1e-6)
+            y = x @ p["mlp1_w"].T
+            # swiglu with swapped halves: silu(second half) * first half
+            a, b = jnp.split(y, 2, axis=-1)
+            y = a * jax.nn.silu(b)
+            y = rms_norm(y, p["norm_mid_w"], 1e-6)
+            return y @ p["mlp2_w"].T
+        # qwen2a: single fc
+        y = x @ p["fc_w"].T
+        if p["fc_b"] is not None:
+            y = y + p["fc_b"]
+        return y
+
+    # -- API --------------------------------------------------------------------
+
+    def encode_mel(self, mel: np.ndarray) -> np.ndarray:
+        return np.asarray(self._encode(jnp.asarray(mel, jnp.float32)))
+
+    def encode_audio(self, samples: np.ndarray) -> np.ndarray:
+        """16 kHz mono f32 samples → [n_tok, E_llm] across all 30 s chunks."""
+        mel = log_mel_spectrogram(samples, self.n_mel)
+        return np.concatenate([self.encode_mel(c) for c in chunk_mel(mel)])
+
+
+def load_wav(path: str) -> np.ndarray:
+    """PCM wav → mono f32 samples at 16 kHz (linear resample if needed)."""
+    import wave
+
+    with wave.open(path, "rb") as f:
+        n_ch = f.getnchannels()
+        width = f.getsampwidth()
+        rate = f.getframerate()
+        raw = f.readframes(f.getnframes())
+    if width == 2:
+        x = np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
+    elif width == 4:
+        x = np.frombuffer(raw, np.int32).astype(np.float32) / 2147483648.0
+    elif width == 1:
+        x = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported wav sample width {width}")
+    if n_ch > 1:
+        x = x.reshape(-1, n_ch).mean(axis=1)
+    if rate != SAMPLE_RATE:
+        n_out = int(round(x.size * SAMPLE_RATE / rate))
+        x = np.interp(
+            np.linspace(0.0, x.size - 1, n_out), np.arange(x.size), x
+        ).astype(np.float32)
+    return x

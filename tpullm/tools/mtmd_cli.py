@@ -10,7 +10,9 @@ def main(argv=None):
     ap = argparse.ArgumentParser(prog="tpullm-mtmd")
     ap.add_argument("-m", "--model", required=True)
     ap.add_argument("--mmproj", required=True, help="CLIP mmproj GGUF")
-    ap.add_argument("--image", action="append", default=[], required=True)
+    ap.add_argument("--image", action="append", default=[])
+    ap.add_argument("--audio", action="append", default=[],
+                    help="16 kHz wav file(s), each consuming one media marker")
     ap.add_argument("-p", "--prompt", required=True,
                     help="prompt; use <__media__> per image (appended if absent)")
     ap.add_argument("-n", "--n-predict", type=int, default=128)
@@ -22,19 +24,38 @@ def main(argv=None):
     from ..mtmd import MEDIA_MARKER, ClipVision, generate_mtmd
     from ..runtime import Engine, Sampler, SamplerParams
 
+    if not args.image and not args.audio:
+        ap.error("need at least one --image or --audio")
+
+    media = []
+    if args.image:
+        from PIL import Image
+
+        media += [Image.open(p) for p in args.image]
+    if args.audio:
+        from ..mtmd.audio import load_wav
+
+        media += [load_wav(p) for p in args.audio]
+
     prompt = args.prompt
-    missing = len(args.image) - prompt.count(MEDIA_MARKER)
+    missing = len(media) - prompt.count(MEDIA_MARKER)
     if missing > 0:
         prompt = MEDIA_MARKER * missing + prompt
 
-    from PIL import Image
-
-    images = [Image.open(p) for p in args.image]
     engine = Engine(args.model, mode=args.mode, max_seq=args.ctx_size)
-    clip = ClipVision(args.mmproj)
+    reader_keys = __import__("tpullm.gguf", fromlist=["GGUFReader"]).GGUFReader(
+        args.mmproj).metadata
+    clip = audio_enc = None
+    if reader_keys.get("clip.has_audio_encoder"):
+        from ..mtmd import WhisperAudioEncoder
+
+        audio_enc = WhisperAudioEncoder(args.mmproj)
+    if reader_keys.get("clip.has_vision_encoder") or not audio_enc:
+        clip = ClipVision(args.mmproj)
     sampler = Sampler(SamplerParams(temp=args.temp))
-    out = generate_mtmd(engine, clip, prompt, images,
-                        max_new_tokens=args.n_predict, sampler=sampler)
+    out = generate_mtmd(engine, clip, prompt, media,
+                        max_new_tokens=args.n_predict, sampler=sampler,
+                        audio=audio_enc)
     print(out)
     return 0
 
