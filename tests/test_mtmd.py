@@ -311,3 +311,63 @@ def test_generate_with_audio(tmp_path):
     out = generate_mtmd(eng, None, f"describe {MEDIA_MARKER} sound",
                         [samples], max_new_tokens=4, audio=enc)
     assert isinstance(out, str)
+
+
+def test_server_audio_chat(tmp_path):
+    """OpenAI input_audio content block through /v1/chat/completions
+    (≡ server mtmd audio)."""
+    import asyncio
+    import base64
+    import io
+    import wave
+
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from tpullm.models.testing import (
+        make_tiny_audio_mmproj_gguf, make_tiny_llama_gguf,
+    )
+    from tpullm.runtime.batch_engine import BatchEngine
+    from tpullm.server.api import Server
+    from tpullm.server.scheduler import Scheduler
+
+    model = make_tiny_llama_gguf(tmp_path / "m.gguf")
+    mmproj = make_tiny_audio_mmproj_gguf(tmp_path / "a.gguf", n_embd_llm=64)
+    eng = BatchEngine(model, mode="dense", n_slots=2, max_seq=2048)
+    sched = Scheduler(eng)
+    sched.start()
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(16000)
+        samples = (np.sin(np.arange(4000) * 0.2) * 16000).astype(np.int16)
+        f.writeframes(samples.tobytes())
+    b64 = base64.b64encode(buf.getvalue()).decode()
+
+    async def run():
+        server = Server(sched, model_name="tiny", mmproj_path=mmproj)
+        assert server.audio_enc is not None
+        client = TestClient(TestServer(server.app))
+        await client.start_server()
+        try:
+            body = {
+                "messages": [{"role": "user", "content": [
+                    {"type": "text", "text": "transcribe:"},
+                    {"type": "input_audio",
+                     "input_audio": {"data": b64, "format": "wav"}},
+                ]}],
+                "max_tokens": 4,
+                "temperature": 0,
+            }
+            r = await client.post("/v1/chat/completions", json=body)
+            assert r.status == 200, await r.text()
+            data = await r.json()
+            assert data["choices"][0]["message"]["content"] is not None
+        finally:
+            await client.close()
+
+    try:
+        asyncio.run(run())
+    finally:
+        sched.stop()

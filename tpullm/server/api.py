@@ -90,10 +90,19 @@ class Server:
         self.slot_save_path = slot_save_path
         self.t_start = time.time()
         self.clip = None
+        self.audio_enc = None
         if mmproj_path:
-            from ..mtmd import ClipVision
+            from ..gguf import GGUFReader
 
-            self.clip = ClipVision(mmproj_path)
+            md = GGUFReader(mmproj_path).metadata
+            if md.get("clip.has_audio_encoder"):
+                from ..mtmd import WhisperAudioEncoder
+
+                self.audio_enc = WhisperAudioEncoder(mmproj_path)
+            if md.get("clip.has_vision_encoder") or not self.audio_enc:
+                from ..mtmd import ClipVision
+
+                self.clip = ClipVision(mmproj_path)
         self.app = web.Application(middlewares=[_json_errors])
         r = self.app.router
         r.add_get("/health", self.health)
@@ -327,6 +336,21 @@ class Server:
 
                     images.append(Image.open(io.BytesIO(base64.b64decode(b64))))
                     parts.append(MEDIA_MARKER)
+                elif btype == "input_audio":
+                    # OpenAI audio block: {"input_audio": {"data": b64 wav,
+                    # "format": "wav"}}
+                    import tempfile
+
+                    blk = block.get("input_audio", {})
+                    if blk.get("format", "wav") != "wav":
+                        raise ValueError("only wav input_audio is supported")
+                    from ..mtmd.audio import load_wav
+
+                    with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+                        f.write(base64.b64decode(blk.get("data", "")))
+                        f.flush()
+                        images.append(load_wav(f.name))
+                    parts.append(MEDIA_MARKER)
             out.append({**m, "content": "".join(parts)})
         return out, images
 
@@ -335,7 +359,7 @@ class Server:
         messages = body.get("messages", [])
         vocab = self.sched.engine.tokenizer.vocab
         messages, images = self._extract_images(messages)
-        if images and self.clip is None:
+        if images and self.clip is None and self.audio_enc is None:
             return web.json_response(
                 {"error": {"message": "server started without --mmproj"}},
                 status=400,
@@ -351,7 +375,8 @@ class Server:
             from ..mtmd import build_multimodal_embeddings
 
             prompt_embds = build_multimodal_embeddings(
-                self.sched.engine, self.clip, prompt, images
+                self.sched.engine, self.clip, prompt, images,
+                audio=self.audio_enc,
             )
         grammar = _grammar_from_body(body)
         tool_choice = body.get("tool_choice")
