@@ -18,6 +18,8 @@ RMSE_BOUNDS = {
     GGMLType.Q5_1: 0.029,
     GGMLType.Q8_0: 0.0039,
     GGMLType.Q8_1: 0.0039,
+    GGMLType.Q2_K: 0.245,
+    GGMLType.Q3_K: 0.131,
     GGMLType.Q4_K: 0.051,
     GGMLType.Q5_K: 0.028,
     GGMLType.Q6_K: 0.0135,
@@ -175,7 +177,9 @@ def test_quantize_bitexact_vs_reference(gtype, reference_gguf):
 
 
 @pytest.mark.parametrize(
-    "gtype", [GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K], ids=lambda t: t.name
+    "gtype",
+    [GGMLType.Q2_K, GGMLType.Q3_K, GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K],
+    ids=lambda t: t.name,
 )
 def test_kquant_encode_quality_vs_reference_decode(gtype, reference_gguf):
     """Our K-quant encoder output must decode (by the reference) to data with
@@ -224,3 +228,21 @@ def test_iq_tensor_roundtrip_through_gguf(gtype, tmp_path, reference_gguf):
         packed.copy(), reference_gguf.GGMLQuantizationType(int(gtype))
     ).reshape(rows, cols)
     np.testing.assert_array_equal(got, ref.astype(np.float32))
+
+
+@pytest.mark.parametrize(
+    "gtype,bound",
+    [(GGMLType.Q2_K, 0.0075), (GGMLType.Q3_K, 0.0040), (GGMLType.Q4_K, 0.002),
+     (GGMLType.Q5_K, 0.002), (GGMLType.Q6_K, 0.002)],
+    ids=lambda v: v.name if isinstance(v, GGMLType) else str(v),
+)
+def test_kquant_encoders_meet_ggml_error_bounds(gtype, bound):
+    """Our encoders must clear the reference's own acceptance thresholds
+    (tests/test-quantize-fns.cpp MAX_QUANTIZATION_TOTAL_ERROR*, exact
+    sqrt(Σdiff²)/n metric on its synthetic signal)."""
+    n = 1024 * 32
+    i = np.arange(n, dtype=np.float32)
+    x = (0.1 + 2.0 * np.cos(i)).astype(np.float32)
+    y = codecs.dequantize(codecs.quantize(x, gtype), gtype, n)
+    err = np.sqrt(np.sum((x.astype(np.float64) - y) ** 2)) / n
+    assert err < bound, f"{gtype.name}: {err} >= {bound}"

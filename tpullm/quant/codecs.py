@@ -509,10 +509,12 @@ def _make_qx_quants(x: np.ndarray, nmax: int, qw: np.ndarray | None = None):
 
 
 def _make_qkx2_quants(x: np.ndarray, weights: np.ndarray, nmax: int,
-                      rmin: float = -1.0, rdelta: float = 0.1, nstep: int = 20):
+                      rmin: float = -1.0, rdelta: float = 0.1, nstep: int = 20,
+                      use_mad: bool = False):
     """Vectorized ggml make_qkx2_quants: joint (scale, min) weighted LS search.
 
     x, weights: (G, n). Returns (scale (G,), neg_min (G,), L (G,n) uint8).
+    use_mad switches the candidate-selection metric to weighted |err| (Q2_K).
     """
     G, n = x.shape
     mn = x.min(axis=1)
@@ -538,7 +540,8 @@ def _make_qkx2_quants(x: np.ndarray, weights: np.ndarray, nmax: int,
             alt_scale = np.where(sum_l2 > 0, sum_xl / sum_l2, 0.0)
         this_scale = np.where(pos_min, alt_scale, this_scale)
         this_min = np.where(pos_min, 0.0, this_min)
-        err = (weights * (this_scale[:, None] * l + this_min[:, None] - x) ** 2).sum(axis=1)
+        diff = this_scale[:, None] * l + this_min[:, None] - x
+        err = (weights * (np.abs(diff) if use_mad else diff ** 2)).sum(axis=1)
         return l, this_scale, this_min, err
 
     iscale0 = nmax / span
@@ -547,7 +550,8 @@ def _make_qkx2_quants(x: np.ndarray, weights: np.ndarray, nmax: int,
     # rounding error; then iterates. We fold that into the same search loop.
     init_l = np.clip(_nearest_int(iscale0[:, None] * (x - mn[:, None])), 0, nmax)
     init_scale = span / nmax
-    init_err = (weights * (init_scale[:, None] * init_l + mn[:, None] - x) ** 2).sum(axis=1)
+    init_diff = init_scale[:, None] * init_l + mn[:, None] - x
+    init_err = (weights * (np.abs(init_diff) if use_mad else init_diff ** 2)).sum(axis=1)
     use_init = init_err < best_err
     L = np.where(use_init[:, None], init_l, L)
     scale = np.where(use_init, init_scale, scale)
@@ -759,6 +763,170 @@ def quant_q8_k(x: np.ndarray) -> np.ndarray:
     return out.reshape(-1)
 
 
+def quant_q2_k(x: np.ndarray) -> np.ndarray:
+    """Vectorized quantize_row_q2_K_ref: 16 groups of 16 with a joint
+    (scale, min) search (MAD metric), 4-bit super-scales, 2-bit codes."""
+    x = x.reshape(-1, QK_K).astype(F32)
+    n = x.shape[0]
+    g = x.reshape(n * 16, 16)  # groups of 16
+    weights = np.abs(g)
+    scales, neg_min, L = _make_qkx2_quants(
+        g, weights, nmax=3, rmin=-0.5, rdelta=0.1, nstep=15, use_mad=True
+    )
+    scales = scales.reshape(n, 16)
+    mins = neg_min.reshape(n, 16)
+    L = L.reshape(n, 16, 16)
+
+    q4 = F32(15.0)
+    max_scale = scales.max(axis=1)
+    max_min = mins.max(axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ls = np.where(max_scale[:, None] > 0,
+                      _nearest_int(q4 / np.where(max_scale > 0, max_scale, 1)[:, None]
+                                   * scales), 0).astype(np.uint8)
+        lm = np.where(max_min[:, None] > 0,
+                      _nearest_int(q4 / np.where(max_min > 0, max_min, 1)[:, None]
+                                   * mins), 0).astype(np.uint8)
+    d16 = np.where(max_scale > 0, max_scale / q4, 0.0).astype("<f2")
+    dmin16 = np.where(max_min > 0, max_min / q4, 0.0).astype("<f2")
+    d = d16.astype(F32)
+    dmin = dmin16.astype(F32)
+    scale_bytes = (ls | (lm << 4)).astype(np.uint8)  # (n, 16)
+
+    # requantize with the final fp16 super-scales
+    dj = d[:, None] * (scale_bytes & 0xF).astype(F32)  # (n, 16)
+    mj = dmin[:, None] * (scale_bytes >> 4).astype(F32)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        lnew = _nearest_int((g.reshape(n, 16, 16) + mj[:, :, None])
+                            / np.where(dj == 0, 1, dj)[:, :, None])
+    lnew = np.clip(lnew, 0, 3).astype(np.uint8)
+    L = np.where((dj != 0)[:, :, None], lnew, L).reshape(n, QK_K)
+
+    # pack 2-bit codes: stride-128 layout (elem j, j+32, j+64, j+96 per byte)
+    qs = np.zeros((n, 64), dtype=np.uint8)
+    for half in range(2):  # j = 0 and j = 128
+        blk = L[:, 128 * half : 128 * (half + 1)].reshape(n, 4, 32)
+        qs[:, 32 * half : 32 * (half + 1)] = (
+            blk[:, 0] | (blk[:, 1] << 2) | (blk[:, 2] << 4) | (blk[:, 3] << 6)
+        )
+    out = np.empty((n, 84), dtype=np.uint8)
+    out[:, :16] = scale_bytes
+    out[:, 16:80] = qs
+    out[:, 80:82] = d16.view(np.uint8).reshape(n, 2)
+    out[:, 82:84] = dmin16.view(np.uint8).reshape(n, 2)
+    return out.reshape(-1)
+
+
+def _make_q3_quants_rmse(g: np.ndarray, nmax: int = 4) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized-over-groups make_q3_quants(do_rmse=True): x²-weighted LS
+    scale with per-element coordinate-descent refinement.
+
+    g: (G, 16) → (scale (G,), L (G, 16) int offset-free [-nmax, nmax-1])."""
+    G, nn = g.shape
+    amax_idx = np.argmax(np.abs(g), axis=1)
+    mx = g[np.arange(G), amax_idx]
+    dead = np.abs(mx) < 1e-15
+    with np.errstate(divide="ignore", invalid="ignore"):
+        iscale = np.where(dead, 0.0, -nmax / np.where(dead, 1, mx))
+    L = np.clip(_nearest_int(iscale[:, None] * g), -nmax, nmax - 1)
+    w = g * g
+    sumlx = (w * g * L).sum(axis=1)
+    suml2 = (w * L * L).sum(axis=1)
+    for _ in range(5):
+        changed = False
+        for i in range(nn):
+            wi = w[:, i]
+            slx = sumlx - wi * g[:, i] * L[:, i]
+            sl2 = suml2 - wi * L[:, i] * L[:, i]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                new_l = np.clip(
+                    _nearest_int(g[:, i] * sl2 / np.where(slx == 0, 1, slx)),
+                    -nmax, nmax - 1,
+                )
+            slx2 = slx + wi * g[:, i] * new_l
+            sl22 = sl2 + wi * new_l * new_l
+            take = (slx > 0) & (new_l != L[:, i]) & (sl22 > 0) & (
+                slx2 * slx2 * suml2 > sumlx * sumlx * sl22
+            )
+            if take.any():
+                changed = True
+                L[:, i] = np.where(take, new_l, L[:, i])
+                sumlx = np.where(take, slx2, sumlx)
+                suml2 = np.where(take, sl22, suml2)
+        if not changed:
+            break
+    with np.errstate(divide="ignore", invalid="ignore"):
+        scale = np.where(suml2 > 0, sumlx / np.where(suml2 > 0, suml2, 1), 0.0)
+    scale = np.where(dead, 0.0, scale)
+    return scale.astype(F32), L
+
+
+def _pack_q3_scales(lq: np.ndarray) -> np.ndarray:
+    """Inverse of _q3_k_scales: 16 6-bit values (offset by 32) → 12 bytes."""
+    n = lq.shape[0]
+    out = np.zeros((n, 12), dtype=np.uint8)
+    for j in range(16):
+        lo = lq[:, j] & 0xF
+        hi = lq[:, j] >> 4
+        if j < 8:
+            out[:, j] |= lo
+        else:
+            out[:, j - 8] |= lo << 4
+        out[:, 8 + j % 4] |= hi << (2 * (j // 4))
+    return out
+
+
+def quant_q3_k(x: np.ndarray) -> np.ndarray:
+    """Vectorized quantize_row_q3_K_ref: signed 3-bit codes with 6-bit
+    per-group scales and a separate high-bit mask."""
+    x = x.reshape(-1, QK_K).astype(F32)
+    n = x.shape[0]
+    g = x.reshape(n * 16, 16)
+    scales, _ = _make_q3_quants_rmse(g)
+    scales = scales.reshape(n, 16)
+
+    amax_idx = np.argmax(np.abs(scales), axis=1)
+    max_scale = scales[np.arange(n), amax_idx]
+    dead = max_scale == 0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        iscale = np.where(dead, 0.0, -32.0 / np.where(dead, 1, max_scale))
+    lq = np.clip(_nearest_int(iscale[:, None] * scales), -32, 31) + 32
+    lq = np.where(dead[:, None], 32, lq).astype(np.uint8)  # 32 ↔ sc 0
+    scales12 = np.where(dead[:, None], 0,
+                        _pack_q3_scales(lq)).astype(np.uint8)
+    d16 = np.where(dead, 0.0, 1.0 / np.where(dead, 1, iscale)).astype("<f2")
+    d = d16.astype(F32)
+
+    sc = _q3_k_scales(scales12)  # decoded int scales (n, 16)
+    dj = d[:, None] * sc.astype(F32)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        lnew = _nearest_int(x.reshape(n, 16, 16)
+                            / np.where(dj == 0, 1, dj)[:, :, None])
+    L = np.where((dj != 0)[:, :, None], np.clip(lnew, -4, 3), -4) + 4
+    # dj == 0 groups keep code 0 (reference `continue` leaves L untouched at 0)
+    L = np.where((dj != 0)[:, :, None], L, 4 * 0)
+    L = L.reshape(n, QK_K).astype(np.uint8)
+
+    hmask = np.zeros((n, 32), dtype=np.uint8)
+    hbit = (L > 3).astype(np.uint8)
+    for j in range(QK_K):
+        hmask[:, j % 32] |= hbit[:, j] << (j // 32)
+    L = np.where(L > 3, L - 4, L)
+
+    qs = np.zeros((n, 64), dtype=np.uint8)
+    for half in range(2):
+        blk = L[:, 128 * half : 128 * (half + 1)].reshape(n, 4, 32)
+        qs[:, 32 * half : 32 * (half + 1)] = (
+            blk[:, 0] | (blk[:, 1] << 2) | (blk[:, 2] << 4) | (blk[:, 3] << 6)
+        )
+    out = np.empty((n, 110), dtype=np.uint8)
+    out[:, :32] = hmask
+    out[:, 32:96] = qs
+    out[:, 96:108] = scales12
+    out[:, 108:110] = d16.view(np.uint8).reshape(n, 2)
+    return out.reshape(-1)
+
+
 # ---------------------------------------------------------------------------
 # dispatch
 # ---------------------------------------------------------------------------
@@ -793,6 +961,8 @@ _QUANT = {
     GGMLType.Q8_0: quant_q8_0,
     GGMLType.Q8_1: quant_q8_1,
     GGMLType.MXFP4: quant_mxfp4,
+    GGMLType.Q2_K: quant_q2_k,
+    GGMLType.Q3_K: quant_q3_k,
     GGMLType.Q4_K: quant_q4_k,
     GGMLType.Q5_K: quant_q5_k,
     GGMLType.Q6_K: quant_q6_k,

@@ -25,6 +25,10 @@ FTYPES = {
     "Q5_0": (GGMLType.Q5_0, FileType.MOSTLY_Q5_0),
     "Q5_1": (GGMLType.Q5_1, FileType.MOSTLY_Q5_1),
     "Q8_0": (GGMLType.Q8_0, FileType.MOSTLY_Q8_0),
+    "Q2_K": (GGMLType.Q2_K, FileType.MOSTLY_Q2_K),
+    "Q3_K": (GGMLType.Q3_K, FileType.MOSTLY_Q3_K_S),
+    "Q3_K_S": (GGMLType.Q3_K, FileType.MOSTLY_Q3_K_S),
+    "Q3_K_M": (GGMLType.Q3_K, FileType.MOSTLY_Q3_K_M),
     "Q4_K": (GGMLType.Q4_K, FileType.MOSTLY_Q4_K_S),
     "Q4_K_S": (GGMLType.Q4_K, FileType.MOSTLY_Q4_K_S),
     "Q4_K_M": (GGMLType.Q4_K, FileType.MOSTLY_Q4_K_M),
