@@ -233,7 +233,8 @@ def test_iq_tensor_roundtrip_through_gguf(gtype, tmp_path, reference_gguf):
 @pytest.mark.parametrize(
     "gtype,bound",
     [(GGMLType.Q2_K, 0.0075), (GGMLType.Q3_K, 0.0040), (GGMLType.Q4_K, 0.002),
-     (GGMLType.Q5_K, 0.002), (GGMLType.Q6_K, 0.002)],
+     (GGMLType.Q5_K, 0.002), (GGMLType.Q6_K, 0.002),
+     (GGMLType.IQ4_NL, 0.002), (GGMLType.IQ4_XS, 0.002)],
     ids=lambda v: v.name if isinstance(v, GGMLType) else str(v),
 )
 def test_kquant_encoders_meet_ggml_error_bounds(gtype, bound):
@@ -246,3 +247,22 @@ def test_kquant_encoders_meet_ggml_error_bounds(gtype, bound):
     y = codecs.dequantize(codecs.quantize(x, gtype), gtype, n)
     err = np.sqrt(np.sum((x.astype(np.float64) - y) ** 2)) / n
     assert err < bound, f"{gtype.name}: {err} >= {bound}"
+
+
+@pytest.mark.parametrize("gtype", [GGMLType.IQ4_NL, GGMLType.IQ4_XS],
+                         ids=lambda t: t.name)
+def test_iq4_encode_decodes_by_reference(gtype, reference_gguf):
+    """Layout check: gguf-py must decode our IQ4 packings to the same values
+    our own decoder sees, with sane error vs the source."""
+    import gguf.quants as refq
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=4 * QK_K).astype(np.float32)
+    packed = codecs.quantize(x, gtype)
+    theirs = refq.dequantize(
+        packed, reference_gguf.GGMLQuantizationType(int(gtype))
+    ).reshape(-1).astype(np.float32)
+    ours = codecs.dequantize(packed, gtype, x.size)
+    np.testing.assert_array_equal(ours, theirs)
+    err = rmse(x, theirs) / rmse(x, np.zeros_like(x))
+    assert err < 0.15  # 4-bit non-linear on gaussian data

@@ -927,6 +927,109 @@ def quant_q3_k(x: np.ndarray) -> np.ndarray:
     return out.reshape(-1)
 
 
+
+def _best_iq4_index(vals: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Nearest entry of the sorted non-linear IQ4 codebook per element
+    (≡ best_index_int8)."""
+    hi = np.searchsorted(vals, x)  # first idx with vals[idx] >= x... (left)
+    hi = np.clip(hi, 1, len(vals) - 1)
+    lo = hi - 1
+    pick_lo = (x - vals[lo]) < (vals[hi] - x)
+    idx = np.where(pick_lo, lo, hi)
+    idx = np.where(x <= vals[0], 0, idx)
+    idx = np.where(x >= vals[-1], len(vals) - 1, idx)
+    return idx.astype(np.uint8)
+
+
+def quant_iq4_nl(x: np.ndarray) -> np.ndarray:
+    """Vectorized quantize_row_iq4_nl_ref: per-32 scale fit onto the
+    non-linear 16-value codebook (single weighted-LS refinement)."""
+    x = x.reshape(-1, 32).astype(F32)
+    n = x.shape[0]
+    vals = _IQ4_NL_LUT  # sorted ascending
+    w = x * x
+    amax_idx = np.argmax(np.abs(x), axis=1)
+    mx = x[np.arange(n), amax_idx]
+    dead = np.abs(mx) < 1e-15
+    d0 = np.where(dead, 0.0, mx / vals[0])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        idv = np.where(d0 != 0, 1.0 / np.where(d0 == 0, 1, d0), 0.0)
+    L = _best_iq4_index(vals, idv[:, None] * x)
+    q = vals[L]
+    sumqx = (w * q * x).sum(axis=1)
+    sumq2 = (w * q * q).sum(axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        d = np.where(sumq2 > 0, sumqx / np.where(sumq2 > 0, sumq2, 1), 0.0)
+    d16 = np.where(dead, 0.0, d).astype("<f2")
+    qs = (L[:, :16] | (L[:, 16:] << 4)).astype(np.uint8)
+    out = np.empty((n, 18), dtype=np.uint8)
+    out[:, :2] = d16.view(np.uint8).reshape(n, 2)
+    out[:, 2:] = qs
+    return out.reshape(-1)
+
+
+def quant_iq4_xs(x: np.ndarray) -> np.ndarray:
+    """Vectorized quantize_iq4_xs: per-32 scale search (15 candidates) onto
+    the IQ4 codebook, 6-bit super-scales, f16 super-d."""
+    x = x.reshape(-1, QK_K).astype(F32)
+    n = x.shape[0]
+    vals = _IQ4_NL_LUT
+    g = x.reshape(n * 8, 32)
+    w = g * g
+    amax_idx = np.argmax(np.abs(g), axis=1)
+    mx = g[np.arange(n * 8), amax_idx]
+    dead = np.abs(mx) < 1e-15
+    safe_mx = np.where(dead, 1.0, mx)
+
+    def score(idv):
+        L = _best_iq4_index(vals, idv[:, None] * g)
+        q = vals[L]
+        sumqx = (w * q * g).sum(axis=1)
+        sumq2 = (w * q * q).sum(axis=1)
+        return sumqx, sumq2
+
+    # initial: d = -max/values[0]
+    d0 = -mx / vals[0]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sumqx, sumq2 = score(np.where(d0 != 0, 1.0 / np.where(d0 == 0, 1, d0), 0.0))
+        d = np.where(sumq2 > 0, sumqx / np.where(sumq2 > 0, sumq2, 1), 0.0)
+    best = d * sumqx
+    for itry in range(-7, 8):
+        idv = (itry + vals[0]) / safe_mx
+        sumqx, sumq2 = score(idv)
+        better = (sumq2 > 0) & (sumqx * sumqx > best * sumq2)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            d = np.where(better, sumqx / np.where(sumq2 > 0, sumq2, 1), d)
+        best = np.where(better, d * sumqx, best)
+    scales = np.where(dead, 0.0, d).reshape(n, 8)
+
+    amax_s = np.argmax(np.abs(scales), axis=1)
+    max_scale = scales[np.arange(n), amax_s]
+    d_super16 = (-max_scale / 32).astype("<f2")
+    d_super = d_super16.astype(F32)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        id_super = np.where(d_super != 0,
+                            1.0 / np.where(d_super == 0, 1, d_super), 0.0)
+    ls = np.clip(_nearest_int(id_super[:, None] * scales), -32, 31)  # (n, 8)
+    dl = d_super[:, None] * ls.astype(F32)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        idl = np.where(dl != 0, 1.0 / np.where(dl == 0, 1, dl), 0.0)
+    L = _best_iq4_index(vals, idl.reshape(n * 8, 1) * g).reshape(n, 8, 32)
+
+    lsu = (ls + 32).astype(np.uint8)
+    scales_l = ((lsu[:, 0::2] & 0xF) | ((lsu[:, 1::2] & 0xF) << 4)).astype(np.uint8)
+    sh = np.zeros(n, dtype=np.uint16)
+    for ib in range(8):
+        sh |= ((lsu[:, ib].astype(np.uint16) >> 4) << (2 * ib))
+    qs = (L[:, :, :16] | (L[:, :, 16:] << 4)).reshape(n, 128).astype(np.uint8)
+    out = np.empty((n, 136), dtype=np.uint8)
+    out[:, 0:2] = d_super16.view(np.uint8).reshape(n, 2)
+    out[:, 2:4] = sh.astype("<u2").view(np.uint8).reshape(n, 2)
+    out[:, 4:8] = scales_l
+    out[:, 8:] = qs
+    return out.reshape(-1)
+
+
 # ---------------------------------------------------------------------------
 # dispatch
 # ---------------------------------------------------------------------------
@@ -967,6 +1070,8 @@ _QUANT = {
     GGMLType.Q5_K: quant_q5_k,
     GGMLType.Q6_K: quant_q6_k,
     GGMLType.Q8_K: quant_q8_k,
+    GGMLType.IQ4_NL: quant_iq4_nl,
+    GGMLType.IQ4_XS: quant_iq4_xs,
 }
 
 
