@@ -286,3 +286,15 @@ def test_new_builtin_detection():
     # regressions: old detections still win where they should
     assert detect_builtin("<|im_start|> stuff") == "chatml"
     assert detect_builtin("USER: ASSISTANT:") == "vicuna"
+
+
+def test_round1_late_builtins():
+    from tpullm.chat import BUILTIN, detect_builtin
+
+    msgs = [{"role": "user", "content": "Hi"},
+            {"role": "assistant", "content": "Yo"}]
+    assert "<|role_start|>user<|role_end|>Hi<|turn_end|>" in BUILTIN["megrez"](msgs, True)
+    assert "<|start|>assistant<|message|>Yo<|return|>" in BUILTIN["gpt-oss"](msgs, True)
+    assert "<|startoftext|>Hi<|extra_0|>Yo<|eos|>" in BUILTIN["hunyuan-moe"](msgs, False)
+    assert BUILTIN["seed-oss"](msgs, True).endswith("<seed:bos>assistant\n")
+    assert detect_builtin("uses <|message_sep|> and <|role_sep|>") == "gigachat"

@@ -339,6 +339,67 @@ def _render_kimi_k2(messages, add_generation_prompt):
     return "".join(out)
 
 
+def _render_gigachat(messages, add_generation_prompt):
+    out = []
+    i = 0
+    if messages and messages[0]["role"] == "system":
+        out.append(f"<s>{messages[0]['content']}<|message_sep|>")
+        i = 1
+    else:
+        out.append("<s>")
+    for m in messages[i:]:
+        if m["role"] == "user":
+            out.append(f"user<|role_sep|>{m['content']}<|message_sep|>"
+                       "available functions<|role_sep|>[]<|message_sep|>")
+        elif m["role"] == "assistant":
+            out.append(f"assistant<|role_sep|>{m['content']}<|message_sep|>")
+    if add_generation_prompt:
+        out.append("assistant<|role_sep|>")
+    return "".join(out)
+
+
+def _render_megrez(messages, add_generation_prompt):
+    out = []
+    for m in messages:
+        out.append(f"<|role_start|>{m['role']}<|role_end|>{m['content']}<|turn_end|>")
+    if add_generation_prompt:
+        out.append("<|role_start|>assistant<|role_end|>")
+    return "".join(out)
+
+
+def _render_openai_moe(messages, add_generation_prompt):
+    # Harmony-style (gpt-oss)
+    out = []
+    for m in messages:
+        end = "<|return|>" if m["role"] == "assistant" else "<|end|>"
+        out.append(f"<|start|>{m['role']}<|message|>{m['content']}{end}")
+    if add_generation_prompt:
+        out.append("<|start|>assistant")
+    return "".join(out)
+
+
+def _render_hunyuan_moe(messages, add_generation_prompt):
+    out = []
+    for m in messages:
+        if m["role"] == "system":
+            out.append(f"<|startoftext|>{m['content']}<|extra_4|>")
+        elif m["role"] == "assistant":
+            out.append(f"{m['content']}<|eos|>")
+        else:
+            out.append(f"<|startoftext|>{m['content']}<|extra_0|>")
+    return "".join(out)
+
+
+def _render_seed_oss(messages, add_generation_prompt):
+    out = []
+    for m in messages:
+        content = m["content"].strip() if m["role"] == "assistant" else m["content"]
+        out.append(f"<seed:bos>{m['role']}\n{content}<seed:eos>")
+    if add_generation_prompt:
+        out.append("<seed:bos>assistant\n")
+    return "".join(out)
+
+
 BUILTIN = {
     "chatml": _render_chatml,
     "llama2": _render_llama2,
@@ -366,6 +427,11 @@ BUILTIN = {
     "phi4": _render_phi4,
     "llama4": _render_llama4,
     "kimi-k2": _render_kimi_k2,
+    "gigachat": _render_gigachat,
+    "megrez": _render_megrez,
+    "gpt-oss": _render_openai_moe,
+    "hunyuan-moe": _render_hunyuan_moe,
+    "seed-oss": _render_seed_oss,
 }
 
 
@@ -422,6 +488,16 @@ def detect_builtin(template: str | None) -> str:
         return "rwkv-world"
     if "<|start_of_role|>" in template:
         return "granite"
+    if "<|role_sep|>" in template:
+        return "gigachat"
+    if "<|role_start|>" in template:
+        return "megrez"
+    if "<|start|>" in template and "<|message|>" in template:
+        return "gpt-oss"
+    if "<|extra_0|>" in template and "<|extra_4|>" in template:
+        return "hunyuan-moe"
+    if "<seed:bos>" in template:
+        return "seed-oss"
     if "[INST]" in template:
         return "llama2"
     return "chatml"
