@@ -162,7 +162,8 @@ def test_dequant_bitexact_vs_reference(gtype, reference_gguf):
 
 @pytest.mark.parametrize(
     "gtype",
-    [GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0, GGMLType.Q5_1, GGMLType.Q8_0],
+    [GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0, GGMLType.Q5_1, GGMLType.Q8_0,
+     GGMLType.TQ1_0, GGMLType.TQ2_0],
     ids=lambda t: t.name,
 )
 def test_quantize_bitexact_vs_reference(gtype, reference_gguf):
@@ -234,7 +235,8 @@ def test_iq_tensor_roundtrip_through_gguf(gtype, tmp_path, reference_gguf):
     "gtype,bound",
     [(GGMLType.Q2_K, 0.0075), (GGMLType.Q3_K, 0.0040), (GGMLType.Q4_K, 0.002),
      (GGMLType.Q5_K, 0.002), (GGMLType.Q6_K, 0.002),
-     (GGMLType.IQ4_NL, 0.002), (GGMLType.IQ4_XS, 0.002)],
+     (GGMLType.IQ4_NL, 0.002), (GGMLType.IQ4_XS, 0.002),
+     (GGMLType.TQ1_0, 0.01), (GGMLType.TQ2_0, 0.01)],
     ids=lambda v: v.name if isinstance(v, GGMLType) else str(v),
 )
 def test_kquant_encoders_meet_ggml_error_bounds(gtype, bound):

@@ -273,4 +273,6 @@ class FileType(enum.IntEnum):
     MOSTLY_IQ4_NL = 25
     MOSTLY_IQ4_XS = 30
     MOSTLY_BF16 = 32
+    MOSTLY_TQ1_0 = 36
+    MOSTLY_TQ2_0 = 37
     MOSTLY_MXFP4_MOE = 38

@@ -1030,6 +1030,65 @@ def quant_iq4_xs(x: np.ndarray) -> np.ndarray:
     return out.reshape(-1)
 
 
+
+def _ternary_digits(x: np.ndarray) -> np.ndarray:
+    """round(x)+1 with C lroundf (half away from zero) → {0,1,2}."""
+    xi = np.sign(x) * np.floor(np.abs(x) + 0.5)
+    return np.clip(xi + 1, 0, 2).astype(np.uint16)
+
+
+def quant_tq1_0(x: np.ndarray) -> np.ndarray:
+    """Vectorized quantize_row_tq1_0_ref: ternary, 5 base-3 digits per byte
+    (+ a 4-digit tail), one f16 amax scale per 256."""
+    x = x.reshape(-1, QK_K).astype(F32)
+    n = x.shape[0]
+    d = np.abs(x).max(axis=1)
+    d16 = d.astype("<f2")
+    with np.errstate(divide="ignore", invalid="ignore"):
+        idv = np.where(d > 0, 1.0 / np.where(d > 0, d, 1), 0.0)[:, None]
+    t = _ternary_digits(x * idv)  # (n, 256) of {0,1,2}
+
+    def pack5(block, width):  # block (n, 5*width) → (n, width) bytes
+        digs = block.reshape(n, 5, width)
+        q = np.zeros((n, width), dtype=np.uint16)
+        for k in range(5):
+            q = q * 3 + digs[:, k]
+        return ((q * 256 + 242) // 243).astype(np.uint8)
+
+    qs = np.empty((n, 48), dtype=np.uint8)
+    qs[:, :32] = pack5(t[:, :160], 32)
+    qs[:, 32:48] = pack5(t[:, 160:240], 16)
+    tail = t[:, 240:].reshape(n, 4, 4)
+    qh = np.zeros((n, 4), dtype=np.uint16)
+    for k in range(4):
+        qh = qh * 3 + tail[:, k]
+    qh = qh * 3  # shift the 4 trits up to the most-significant positions
+    qh = ((qh * 256 + 242) // 243).astype(np.uint8)
+
+    out = np.empty((n, 54), dtype=np.uint8)
+    out[:, :48] = qs
+    out[:, 48:52] = qh
+    out[:, 52:54] = d16.view(np.uint8).reshape(n, 2)
+    return out.reshape(-1)
+
+
+def quant_tq2_0(x: np.ndarray) -> np.ndarray:
+    """Vectorized quantize_row_tq2_0_ref: ternary in plain 2-bit fields."""
+    x = x.reshape(-1, QK_K).astype(F32)
+    n = x.shape[0]
+    d = np.abs(x).max(axis=1)
+    d16 = d.astype("<f2")
+    with np.errstate(divide="ignore", invalid="ignore"):
+        idv = np.where(d > 0, 1.0 / np.where(d > 0, d, 1), 0.0)[:, None]
+    t = _ternary_digits(x * idv).astype(np.uint8).reshape(n, 2, 4, 32)
+    qs = (t[:, :, 0] | (t[:, :, 1] << 2) | (t[:, :, 2] << 4)
+          | (t[:, :, 3] << 6)).reshape(n, 64)
+    out = np.empty((n, 66), dtype=np.uint8)
+    out[:, :64] = qs
+    out[:, 64:66] = d16.view(np.uint8).reshape(n, 2)
+    return out.reshape(-1)
+
+
 # ---------------------------------------------------------------------------
 # dispatch
 # ---------------------------------------------------------------------------
@@ -1072,6 +1131,8 @@ _QUANT = {
     GGMLType.Q8_K: quant_q8_k,
     GGMLType.IQ4_NL: quant_iq4_nl,
     GGMLType.IQ4_XS: quant_iq4_xs,
+    GGMLType.TQ1_0: quant_tq1_0,
+    GGMLType.TQ2_0: quant_tq2_0,
 }
 
 

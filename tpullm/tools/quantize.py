@@ -36,6 +36,8 @@ FTYPES = {
     "Q5_K_S": (GGMLType.Q5_K, FileType.MOSTLY_Q5_K_S),
     "Q5_K_M": (GGMLType.Q5_K, FileType.MOSTLY_Q5_K_M),
     "Q6_K": (GGMLType.Q6_K, FileType.MOSTLY_Q6_K),
+    "TQ1_0": (GGMLType.TQ1_0, FileType.MOSTLY_TQ1_0),
+    "TQ2_0": (GGMLType.TQ2_0, FileType.MOSTLY_TQ2_0),
     "IQ4_NL": (GGMLType.IQ4_NL, FileType.MOSTLY_IQ4_NL),
     "IQ4_XS": (GGMLType.IQ4_XS, FileType.MOSTLY_IQ4_XS),
     "F16": (GGMLType.F16, FileType.MOSTLY_F16),
