@@ -189,3 +189,120 @@ def test_moe_decode_matches_prefill(tmp_path):
     eng2.prefill(toks[:-1])
     last = eng2.decode_step(toks[-1])
     np.testing.assert_allclose(last, all_logits[-1], rtol=2e-3, atol=2e-3)
+
+
+# -- gpt-oss (openai-moe): sinks + alternating SWA + biased swiglu_oai MoE ----
+
+
+def np_gpt_oss_forward(reader: GGUFReader, tokens: np.ndarray) -> np.ndarray:
+    md = reader.metadata
+    arch = "gpt-oss"
+    n_layer = md[f"{arch}.block_count"]
+    n_head = md[f"{arch}.attention.head_count"]
+    n_head_kv = md[f"{arch}.attention.head_count_kv"]
+    n_embd = md[f"{arch}.embedding_length"]
+    eps = md[f"{arch}.attention.layer_norm_rms_epsilon"]
+    base = md[f"{arch}.rope.freq_base"]
+    n_used = md[f"{arch}.expert_used_count"]
+    window = md[f"{arch}.attention.sliding_window"]
+    hd = n_embd // n_head
+
+    def t(name):
+        return reader.tensors[name].to_numpy().astype(np.float64)
+
+    def rms(x, w):
+        return x / np.sqrt((x * x).mean(-1, keepdims=True) + eps) * w
+
+    def rope_neox(x, pos):
+        T, H, D = x.shape
+        half = D // 2
+        inv = base ** (-np.arange(half) * 2.0 / D)
+        theta = pos[:, None] * inv
+        c, s = np.cos(theta), np.sin(theta)
+        x0, x1 = x[..., :half], x[..., half:]
+        out = x.copy()
+        out[..., :half] = x0 * c[:, None, :] - x1 * s[:, None, :]
+        out[..., half:] = x0 * s[:, None, :] + x1 * c[:, None, :]
+        return out
+
+    T = len(tokens)
+    pos = np.arange(T)
+    x = t("token_embd.weight")[tokens]
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        swa = (i + 1) % 2 != 0
+        h = rms(x, t(p + "attn_norm.weight"))
+        q = (h @ t(p + "attn_q.weight").T + t(p + "attn_q.bias")).reshape(T, n_head, hd)
+        k = (h @ t(p + "attn_k.weight").T + t(p + "attn_k.bias")).reshape(T, n_head_kv, hd)
+        v = (h @ t(p + "attn_v.weight").T + t(p + "attn_v.bias")).reshape(T, n_head_kv, hd)
+        q, k = rope_neox(q, pos), rope_neox(k, pos)
+        sinks = t(p + "attn_sinks.weight")
+        g = n_head // n_head_kv
+        out = np.zeros((T, n_head, hd))
+        for hh in range(n_head):
+            kk, vv = k[:, hh // g], v[:, hh // g]
+            scores = q[:, hh] @ kk.T / np.sqrt(hd)
+            scores += np.triu(np.full((T, T), -np.inf), k=1)
+            if swa and window:
+                scores += np.tril(np.full((T, T), -np.inf), k=-window)
+            m = np.maximum(scores.max(-1), sinks[hh])
+            e = np.exp(scores - m[:, None])
+            denom = e.sum(-1) + np.exp(sinks[hh] - m)
+            out[:, hh] = (e / denom[:, None]) @ vv
+        x = x + out.reshape(T, n_embd) @ t(p + "attn_output.weight").T \
+              + t(p + "attn_output.bias")
+
+        h = rms(x, t(p + "post_attention_norm.weight"))
+        logits = h @ t(p + "ffn_gate_inp.weight").T + t(p + "ffn_gate_inp.bias")
+        # top-k by raw logits, softmax over selected
+        idx = np.argsort(-logits, axis=1)[:, :n_used]
+        sel = np.take_along_axis(logits, idx, axis=1)
+        wts = np.exp(sel - sel.max(1, keepdims=True))
+        wts /= wts.sum(1, keepdims=True)
+        gate_w = t(p + "ffn_gate_exps.weight")
+        gate_b = t(p + "ffn_gate_exps.bias")
+        up_w = t(p + "ffn_up_exps.weight")
+        up_b = t(p + "ffn_up_exps.bias")
+        down_w = t(p + "ffn_down_exps.weight")
+        down_b = t(p + "ffn_down_exps.bias")
+        moe = np.zeros((T, n_embd))
+        for ti in range(T):
+            for kk_ in range(n_used):
+                e_ = idx[ti, kk_]
+                gate = gate_w[e_] @ h[ti] + gate_b[e_]
+                up = up_w[e_] @ h[ti] + up_b[e_]
+                gmin = np.minimum(gate, 7.0)
+                uclip = np.clip(up, -7.0, 7.0)
+                act = gmin / (1 + np.exp(-1.702 * gmin)) * (uclip + 1.0)
+                moe[ti] += wts[ti, kk_] * (down_w[e_] @ act + down_b[e_])
+        x = x + moe
+    x = rms(x, t("output_norm.weight"))
+    return x @ t("output.weight").T
+
+
+def test_gpt_oss_forward_matches_numpy(tmp_path):
+    from tpullm.models.testing import make_tiny_gpt_oss_gguf
+
+    path = make_tiny_gpt_oss_gguf(tmp_path / "oss.gguf")
+    eng = Engine(path, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    toks = eng.tokenizer.tokenize("the quick brown fox jumps over", add_special=True)
+    got = eng.prefill_all_logits(toks)
+    ref = np_gpt_oss_forward(eng.reader, np.asarray(toks))
+    np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
+
+
+def test_gpt_oss_decode_matches_prefill(tmp_path):
+    from tpullm.models.testing import make_tiny_gpt_oss_gguf
+
+    path = make_tiny_gpt_oss_gguf(tmp_path / "oss2.gguf")
+    eng = Engine(path, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    toks = eng.tokenizer.tokenize("the quick brown", add_special=True)
+    all_logits = eng.prefill_all_logits(toks)
+    eng2 = Engine(path, mode="dense", dtype=jnp.float32, max_seq=64,
+                  kv_dtype=jnp.float32)
+    logits = None
+    for tk in toks:
+        logits = eng2.decode_step(tk)
+    np.testing.assert_allclose(logits, all_logits[-1], rtol=2e-3, atol=2e-3)

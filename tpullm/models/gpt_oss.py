@@ -1,0 +1,179 @@
+"""gpt-oss (openai-moe) decoder.
+
+Reference graph: llm_build_openai_moe_iswa (src/models/openai-moe-iswa.cpp).
+Distinctives: attention SINKS (per-head scalar folded into the softmax
+denominator, blk.N.attn_sinks.weight), alternating SWA (pattern 2), biased
+q/k/v/o projections, MoE with biased router + biased expert tensors,
+softmax-over-selected-logits routing (SOFTMAX_WEIGHT) and the clamped
+swiglu_oai activation (α=1.702, limit=7; ggml_swiglu_oai).
+
+TPU notes: the MoE runs in the all-experts regime (every expert computes
+every token; the top-k one-hot mixes) — one big MXU batch instead of gathers.
+The sink correction is one extra column in the softmax normalizer, fused by
+XLA into the attention epilogue.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..gguf.reader import GGUFReader
+from ..ops.attention import causal_mask
+from ..ops.norms import rms_norm
+from ..ops.rope import apply_rope
+from ..runtime.kvcache import KVCache
+from .hparams import HParams
+from .llama import Params, output_head
+from .weights import load_embedding, load_linear, load_vector
+
+SWIGLU_ALPHA = 1.702
+SWIGLU_LIMIT = 7.0
+
+
+def build_params(r: GGUFReader, hp: HParams, mode: str = "auto",
+                 dtype=jnp.bfloat16) -> Params:
+    t = r.tensors
+
+    def linear(name):
+        return load_linear(t[name], mode=mode, dtype=dtype)
+
+    def vec(name):
+        return load_vector(t[name])
+
+    def maybe(name):
+        return vec(name) if name in t else None
+
+    def exps(name):
+        return jnp.asarray(t[name].to_numpy(), dtype=dtype)
+
+    layers = []
+    for i in range(hp.n_layer):
+        p = f"blk.{i}."
+        layers.append({
+            "attn_norm": vec(p + "attn_norm.weight"),
+            "wq": linear(p + "attn_q.weight"), "bq": maybe(p + "attn_q.bias"),
+            "wk": linear(p + "attn_k.weight"), "bk": maybe(p + "attn_k.bias"),
+            "wv": linear(p + "attn_v.weight"), "bv": maybe(p + "attn_v.bias"),
+            "wo": linear(p + "attn_output.weight"),
+            "bo": maybe(p + "attn_output.bias"),
+            "sinks": vec(p + "attn_sinks.weight"),  # [n_head]
+            "post_norm": vec(p + "post_attention_norm.weight"),
+            "router": linear(p + "ffn_gate_inp.weight"),
+            "router_b": maybe(p + "ffn_gate_inp.bias"),
+            "w_gate_exps": exps(p + "ffn_gate_exps.weight"),  # [E, F, D]→ld
+            "b_gate_exps": exps(p + "ffn_gate_exps.bias"),  # [E, F]
+            "w_up_exps": exps(p + "ffn_up_exps.weight"),
+            "b_up_exps": exps(p + "ffn_up_exps.bias"),
+            "w_down_exps": exps(p + "ffn_down_exps.weight"),
+            "b_down_exps": exps(p + "ffn_down_exps.bias"),
+        })
+
+    return {
+        "tok_embd": load_embedding(t["token_embd.weight"], dtype=dtype),
+        "layers": layers,
+        "output_norm": vec("output_norm.weight"),
+        "output": linear("output.weight") if "output.weight" in t else None,
+    }
+
+
+def _attention_with_sinks(q, k, v, mask, scale, sinks):
+    """Attention where each head carries a learnable sink logit that joins
+    the softmax normalization (≡ ggml_soft_max_add_sinks)."""
+    B, T, H, D = q.shape
+    Hkv = k.shape[1]
+    G = H // Hkv
+    qf = q.reshape(B, T, Hkv, G, D).astype(jnp.float32)
+    scores = jnp.einsum("bthgd,bhsd->bhgts", qf, k.astype(jnp.float32)) * scale
+    scores = jnp.where(mask[:, None, None, :, :], scores, -jnp.inf)
+    sk = sinks.astype(jnp.float32).reshape(Hkv, G)[None, :, :, None]  # [1,Hkv,G,1]
+    m = jnp.maximum(jnp.max(scores, axis=-1), sk)  # [B,Hkv,G,T]
+    e = jnp.exp(scores - m[..., None])
+    denom = e.sum(axis=-1) + jnp.exp(sk - m)
+    probs = e / denom[..., None]
+    out = jnp.einsum("bhgts,bhsd->bthgd", probs, v.astype(jnp.float32))
+    return out.reshape(B, T, H, v.shape[-1]).astype(q.dtype)
+
+
+def _swiglu_oai(gate: jax.Array, up: jax.Array) -> jax.Array:
+    g = jnp.minimum(gate.astype(jnp.float32), SWIGLU_LIMIT)
+    u = jnp.clip(up.astype(jnp.float32), -SWIGLU_LIMIT, SWIGLU_LIMIT)
+    return (g * jax.nn.sigmoid(SWIGLU_ALPHA * g)) * (u + 1.0)
+
+
+def _moe_oai(hs, layer, n_expert_used):
+    """All-experts MoE with SOFTMAX_WEIGHT gating: top-k by raw router
+    logits (+bias), weights = softmax over the selected logits."""
+    logits = layer["router"](hs).astype(jnp.float32)
+    if layer["router_b"] is not None:
+        logits = logits + layer["router_b"]
+    top_logits, idx = jax.lax.top_k(logits, n_expert_used)  # [N,k]
+    weights = jax.nn.softmax(top_logits, axis=-1)
+
+    E = layer["w_gate_exps"].shape[0]
+    x32 = hs
+    gate = jnp.einsum("ne,xfe->xnf", x32, layer["w_gate_exps"]) \
+        + layer["b_gate_exps"][:, None, :]
+    up = jnp.einsum("ne,xfe->xnf", x32, layer["w_up_exps"]) \
+        + layer["b_up_exps"][:, None, :]
+    act = _swiglu_oai(gate, up).astype(hs.dtype)
+    out = jnp.einsum("xnf,xef->xne", act, layer["w_down_exps"]) \
+        + layer["b_down_exps"][:, None, :]  # [E, N, D]
+    onehot = jax.nn.one_hot(idx, E, dtype=jnp.float32)  # [N, k, E]
+    mix = jnp.einsum("nkx,nk->nx", onehot, weights)
+    return jnp.einsum("xne,nx->ne", out.astype(jnp.float32), mix)
+
+
+def forward(
+    hp: HParams,
+    params: Params,
+    tokens: jax.Array,
+    positions: jax.Array,
+    cache: KVCache,
+    cache_offset,
+    return_hidden: bool = False,
+) -> tuple[jax.Array, KVCache]:
+    B, T = tokens.shape
+    x = params["tok_embd"][tokens]
+    scale = hp.head_dim ** -0.5
+
+    kv_len = jnp.asarray(cache_offset) + T
+    mask_full = causal_mask(positions, cache.max_len, kv_len, 0)
+    mask_swa = causal_mask(positions, cache.max_len, kv_len, hp.sliding_window)
+
+    for li, layer in enumerate(params["layers"]):
+        mask = mask_swa if hp.is_swa(li) else mask_full
+        h = rms_norm(x, layer["attn_norm"], hp.rms_eps)
+        q = layer["wq"](h)
+        k = layer["wk"](h)
+        v = layer["wv"](h)
+        if layer["bq"] is not None:
+            q = q + layer["bq"].astype(q.dtype)
+        if layer["bk"] is not None:
+            k = k + layer["bk"].astype(k.dtype)
+        if layer["bv"] is not None:
+            v = v + layer["bv"].astype(v.dtype)
+        q = q.reshape(B, T, hp.n_head, hp.head_dim)
+        k = k.reshape(B, T, hp.n_head_kv, hp.head_dim)
+        v = v.reshape(B, T, hp.n_head_kv, hp.head_dim_v)
+        q = apply_rope(q, positions, hp.rope)
+        k = apply_rope(k, positions, hp.rope)
+        cache = cache.update(
+            li, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), cache_offset
+        )
+        k_all, v_all = cache.kv(li)
+        attn_out = _attention_with_sinks(q, k_all, v_all, mask, scale,
+                                         layer["sinks"])
+        attn_out = layer["wo"](attn_out.reshape(B, T, hp.n_head * hp.head_dim_v))
+        if layer["bo"] is not None:
+            attn_out = attn_out + layer["bo"].astype(attn_out.dtype)
+        x = x + attn_out
+
+        h = rms_norm(x, layer["post_norm"], hp.rms_eps)
+        hs = h.reshape(B * T, -1)
+        ffn = _moe_oai(hs, layer, hp.n_expert_used)
+        x = x + ffn.reshape(B, T, -1).astype(x.dtype)
+
+    if return_hidden:
+        return rms_norm(x, params["output_norm"], hp.rms_eps).astype(jnp.float32), cache
+    return output_head(hp, params, x), cache

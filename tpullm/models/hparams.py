@@ -173,7 +173,7 @@ def hparams_from_gguf(r: GGUFReader) -> HParams:
         sliding_window=int(k(Keys.Attention.SLIDING_WINDOW, 0)),
         swa_pattern=int(k(
             Keys.Attention.SLIDING_WINDOW_PATTERN,
-            {"gemma2": 2, "gemma3": 6}.get(arch, 1),
+            {"gemma2": 2, "gemma3": 6, "gpt-oss": 2}.get(arch, 1),
         )),
         attn_scale=(float(k(Keys.Attention.SCALE)) if k(Keys.Attention.SCALE) is not None else None),
         causal=bool(k(

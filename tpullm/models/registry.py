@@ -117,6 +117,9 @@ def _ensure_builtin():
     from . import stablelm
 
     register_arch("stablelm", stablelm.build_params, stablelm.forward)
+    from . import gpt_oss
+
+    register_arch("gpt-oss", gpt_oss.build_params, gpt_oss.forward)
     from . import starcoder2
 
     register_arch(

@@ -1001,3 +1001,81 @@ def make_tiny_audio_mmproj_gguf(
         w.add_tensor("mm.a.fc.bias", rand((n_embd_llm,)))
     w.write()
     return str(path)
+
+
+def make_tiny_gpt_oss_gguf(
+    path,
+    *,
+    n_layer: int = 2,
+    n_embd: int = 64,
+    n_head: int = 4,
+    n_head_kv: int = 2,
+    n_expert: int = 4,
+    n_expert_used: int = 2,
+    n_ff_exp: int = 96,
+    n_ctx: int = 256,
+    sliding_window: int = 16,
+    seed: int = 0,
+) -> str:
+    """Tiny gpt-oss-shaped GGUF: attention sinks, alternating SWA, biased
+    MoE with swiglu_oai."""
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = _byte_vocab(DEFAULT_WORDS)
+    n_vocab = len(tokens)
+    head_dim = n_embd // n_head
+    arch = "gpt-oss"
+
+    w = GGUFWriter(path, architecture=arch)
+    w.add_kv("general.name", "tpullm-tiny-gptoss")
+    w.add_kv(f"{arch}.block_count", n_layer)
+    w.add_kv(f"{arch}.context_length", n_ctx)
+    w.add_kv(f"{arch}.embedding_length", n_embd)
+    w.add_kv(f"{arch}.feed_forward_length", n_ff_exp)
+    w.add_kv(f"{arch}.attention.head_count", n_head)
+    w.add_kv(f"{arch}.attention.head_count_kv", n_head_kv)
+    w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_kv(f"{arch}.attention.sliding_window", sliding_window)
+    w.add_kv(f"{arch}.rope.freq_base", 10000.0)
+    w.add_kv(f"{arch}.rope.dimension_count", head_dim)
+    w.add_kv(f"{arch}.expert_count", n_expert)
+    w.add_kv(f"{arch}.expert_used_count", n_expert_used)
+    w.add_kv(f"{arch}.expert_feed_forward_length", n_ff_exp)
+    w.add_kv("tokenizer.ggml.model", "llama")
+    w.add_kv("tokenizer.ggml.tokens", tokens)
+    w.add_kv("tokenizer.ggml.scores", np.asarray(scores, dtype=np.float32))
+    w.add_kv("tokenizer.ggml.token_type", np.asarray(types, dtype=np.int32))
+    w.add_kv("tokenizer.ggml.bos_token_id", 1)
+    w.add_kv("tokenizer.ggml.eos_token_id", 2)
+    w.add_kv("tokenizer.ggml.unknown_token_id", 0)
+    w.add_kv("tokenizer.ggml.add_bos_token", True)
+
+    def rand(shape, scale=0.05):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    w.add_tensor("token_embd.weight", rand((n_vocab, n_embd)))
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        w.add_tensor(p + "attn_norm.weight", np.ones(n_embd, dtype=np.float32))
+        w.add_tensor(p + "attn_q.weight", rand((n_head * head_dim, n_embd)))
+        w.add_tensor(p + "attn_q.bias", rand((n_head * head_dim,)))
+        w.add_tensor(p + "attn_k.weight", rand((n_head_kv * head_dim, n_embd)))
+        w.add_tensor(p + "attn_k.bias", rand((n_head_kv * head_dim,)))
+        w.add_tensor(p + "attn_v.weight", rand((n_head_kv * head_dim, n_embd)))
+        w.add_tensor(p + "attn_v.bias", rand((n_head_kv * head_dim,)))
+        w.add_tensor(p + "attn_output.weight", rand((n_embd, n_head * head_dim)))
+        w.add_tensor(p + "attn_output.bias", rand((n_embd,)))
+        w.add_tensor(p + "attn_sinks.weight", rand((n_head,), 1.0))
+        w.add_tensor(p + "post_attention_norm.weight",
+                     np.ones(n_embd, dtype=np.float32))
+        w.add_tensor(p + "ffn_gate_inp.weight", rand((n_expert, n_embd)))
+        w.add_tensor(p + "ffn_gate_inp.bias", rand((n_expert,)))
+        w.add_tensor(p + "ffn_gate_exps.weight", rand((n_expert, n_ff_exp, n_embd)))
+        w.add_tensor(p + "ffn_gate_exps.bias", rand((n_expert, n_ff_exp)))
+        w.add_tensor(p + "ffn_up_exps.weight", rand((n_expert, n_ff_exp, n_embd)))
+        w.add_tensor(p + "ffn_up_exps.bias", rand((n_expert, n_ff_exp)))
+        w.add_tensor(p + "ffn_down_exps.weight", rand((n_expert, n_embd, n_ff_exp)))
+        w.add_tensor(p + "ffn_down_exps.bias", rand((n_expert, n_embd)))
+    w.add_tensor("output_norm.weight", np.ones(n_embd, dtype=np.float32))
+    w.add_tensor("output.weight", rand((n_vocab, n_embd)))
+    w.write()
+    return str(path)
