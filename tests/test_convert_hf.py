@@ -241,3 +241,34 @@ def test_convert_granite_logit_parity(tmp_path):
     assert abs(eng.hp.residual_scale - 0.22) < 1e-6
     got = eng.prefill_all_logits(ids)
     np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_convert_gpt_oss_logit_parity(tmp_path):
+    """gpt-oss conversion: interleaved gate_up split, sinks, alternating
+    SWA, softmax-weight routing."""
+    from transformers import GptOssConfig, GptOssForCausalLM
+
+    torch.manual_seed(5)
+    model = GptOssForCausalLM(GptOssConfig(
+        vocab_size=96, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, num_local_experts=4, num_experts_per_tok=2,
+        max_position_embeddings=128, sliding_window=16, rope_theta=10000.0,
+        rope_scaling=None,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+    ))
+    model.eval()
+    d = tmp_path / "hf_gptoss"
+    model.save_pretrained(d, safe_serialization=True)
+
+    out = str(tmp_path / "oss.gguf")
+    stats = convert_hf_to_gguf(str(d), out, outtype="f32", verbose=False)
+    assert stats["arch"] == "gpt-oss"
+
+    ids = [3, 17, 42, 7, 19, 55]
+    with torch.no_grad():
+        ref = model(torch.tensor([ids])).logits[0].numpy()
+    eng = Engine(out, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    got = eng.prefill_all_logits(ids)
+    np.testing.assert_allclose(got, ref, rtol=3e-3, atol=3e-3)

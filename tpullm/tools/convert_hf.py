@@ -36,6 +36,7 @@ ARCH_MAP = {
     "olmo2": "olmo2",
     "cohere": "command-r",
     "granite": "granite",
+    "gpt_oss": "gpt-oss",
 }
 
 # rope "norm" (interleaved) archs need HF→GGUF QK permutation
@@ -87,6 +88,10 @@ _LAYER_MAP = {
     "self_attn.v_proj.weight": "attn_v.weight",
     "self_attn.v_proj.bias": "attn_v.bias",
     "self_attn.o_proj.weight": "attn_output.weight",
+    "self_attn.o_proj.bias": "attn_output.bias",
+    "self_attn.sinks": "attn_sinks.weight",
+    "mlp.router.weight": "ffn_gate_inp.weight",
+    "mlp.router.bias": "ffn_gate_inp.bias",
     "self_attn.q_norm.weight": "attn_q_norm.weight",
     "self_attn.k_norm.weight": "attn_k_norm.weight",
     "mlp.gate_proj.weight": "ffn_gate.weight",
@@ -125,6 +130,9 @@ def map_tensor_name(name: str, arch: str) -> str | None:
             return f"blk.{bid}.post_attention_norm.weight"
         # olmo2 is post-norm only: both "post" layernorms are real post-norms
         if arch == "olmo2" and rest == "post_attention_layernorm.weight":
+            return f"blk.{bid}.post_attention_norm.weight"
+        # gpt-oss: the pre-MoE norm is stored as post_attention_norm
+        if arch == "gpt-oss" and rest == "post_attention_layernorm.weight":
             return f"blk.{bid}.post_attention_norm.weight"
         if arch == "olmo2" and rest == "post_feedforward_layernorm.weight":
             return f"blk.{bid}.post_ffw_norm.weight"
@@ -338,6 +346,32 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
     # stack MoE experts: collect experts.N.* into 3D tensors
     expert_acc: dict[str, dict[int, np.ndarray]] = {}
     for name, arr in _load_tensors(src_dir):
+        if ".mlp.experts." in name and name.split(".")[5] in (
+            "gate_up_proj", "gate_up_proj_bias", "down_proj", "down_proj_bias"
+        ):
+            # gpt-oss pre-stacked expert tensors (interleaved gate/up)
+            li = name.split(".")[2]
+            kind = name.split(".")[5]
+            a = np.asarray(arr, dtype=np.float32)
+            pfx = f"blk.{li}."
+            if kind == "gate_up_proj":  # [E, h, 2F] interleaved
+                gate = np.ascontiguousarray(a[:, :, 0::2].transpose(0, 2, 1))
+                up = np.ascontiguousarray(a[:, :, 1::2].transpose(0, 2, 1))
+                w.add_tensor(pfx + "ffn_gate_exps.weight", gate, gtype)
+                w.add_tensor(pfx + "ffn_up_exps.weight", up, gtype)
+                n_tensors += 2
+            elif kind == "gate_up_proj_bias":  # [E, 2F]
+                w.add_tensor(pfx + "ffn_gate_exps.bias", np.ascontiguousarray(a[:, 0::2]))
+                w.add_tensor(pfx + "ffn_up_exps.bias", np.ascontiguousarray(a[:, 1::2]))
+                n_tensors += 2
+            elif kind == "down_proj":  # [E, F, h]
+                w.add_tensor(pfx + "ffn_down_exps.weight",
+                             np.ascontiguousarray(a.transpose(0, 2, 1)), gtype)
+                n_tensors += 1
+            else:  # down_proj_bias [E, h]
+                w.add_tensor(pfx + "ffn_down_exps.bias", a)
+                n_tensors += 1
+            continue
         if ".mlp.experts." in name:
             # model.layers.L.mlp.experts.E.{gate,up,down}_proj.weight
             parts = name.split(".")
