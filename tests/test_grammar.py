@@ -239,3 +239,38 @@ def test_schema_string_length():
 
 def test_schema_freeform_value():
     assert _valid({}, {"deep": [1, {"k": None}, "s", true_ := True]})
+
+
+# -- partial-JSON healing (≡ common/json-partial.cpp) -------------------------
+
+
+def test_parse_partial_json_complete():
+    from tpullm.grammar.json_partial import parse_partial_json
+
+    v, suffix = parse_partial_json('{"a": 1}')
+    assert v == {"a": 1} and suffix == ""
+
+
+@pytest.mark.parametrize("frag,expect", [
+    ('{"name": "get_w', {"name": "get_w"}),
+    ('{"name": "f", "arguments": {"city": "Par', {"name": "f", "arguments": {"city": "Par"}}),
+    ('{"a": [1, 2', {"a": [1, 2]}),
+    ('{"a": ', {"a": None}),
+    ('{"a": tru', {"a": None}),
+    ('{"a": 12.', {"a": None}),
+    ('[{"x": 1}, {"y"', [{"x": 1}, {}]),
+    ('{', {}),
+    ('{"a": 1,', {"a": 1}),
+])
+def test_parse_partial_json_fragments(frag, expect):
+    from tpullm.grammar.json_partial import parse_partial_json
+
+    v, _suffix = parse_partial_json(frag)
+    assert v == expect, (frag, v)
+
+
+def test_parse_partial_json_garbage():
+    from tpullm.grammar.json_partial import parse_partial_json
+
+    assert parse_partial_json("not json at all )") == (None, "")
+    assert parse_partial_json("") == (None, "")

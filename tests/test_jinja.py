@@ -298,3 +298,15 @@ def test_round1_late_builtins():
     assert "<|startoftext|>Hi<|extra_0|>Yo<|eos|>" in BUILTIN["hunyuan-moe"](msgs, False)
     assert BUILTIN["seed-oss"](msgs, True).endswith("<seed:bos>assistant\n")
     assert detect_builtin("uses <|message_sep|> and <|role_sep|>") == "gigachat"
+
+
+def test_parse_truncated_tool_call_healed():
+    """A tool call cut off by the token limit still parses via partial-JSON
+    healing (≡ json-partial.cpp)."""
+    from tpullm.chat import parse_tool_calls
+
+    text = 'Checking.\n<tool_call>{"name": "get_weather", "arguments": {"city": "Par'
+    content, calls = parse_tool_calls(text)
+    assert content == "Checking."
+    assert calls and calls[0]["function"]["name"] == "get_weather"
+    assert "Par" in calls[0]["function"]["arguments"]

@@ -577,6 +577,16 @@ def parse_tool_calls(text: str) -> tuple[str, list[dict]]:
         content = _HERMES_RE.sub("", text).strip()
         return content, calls
 
+    open_idx = text.rfind("<tool_call>")
+    if open_idx >= 0 and "</tool_call>" not in text[open_idx:]:
+        # generation was cut mid-call: heal the partial JSON
+        # (≡ common/json-partial.cpp streaming tool-call healing)
+        from .grammar.json_partial import parse_partial_json
+
+        obj, _ = parse_partial_json(text[open_idx + len("<tool_call>"):])
+        if isinstance(obj, dict) and add(obj):
+            return text[:open_idx].strip(), calls
+
     stripped = text.strip()
     if stripped.startswith("{") and stripped.endswith("}"):
         try:
