@@ -514,3 +514,75 @@ def test_chat_tool_choice_required_forces_tool_call(engine):
         asyncio.run(run())
     finally:
         sched.stop()
+
+
+def test_infill_endpoint(tmp_path):
+    """/infill builds <fim_pre>prefix<fim_suf>suffix<fim_mid> from the
+    model's FIM specials (≡ server /infill)."""
+    import asyncio
+
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from tpullm.models.testing import make_tiny_llama_gguf
+    from tpullm.runtime.batch_engine import BatchEngine
+    from tpullm.server.api import Server
+
+    # byte vocab starts at id 3; reuse three byte tokens as FIM specials
+    path = make_tiny_llama_gguf(
+        tmp_path / "fim.gguf",
+        extra_kv={
+            "tokenizer.ggml.fim_pre_token_id": 3,
+            "tokenizer.ggml.fim_suf_token_id": 4,
+            "tokenizer.ggml.fim_mid_token_id": 5,
+        },
+    )
+    eng = BatchEngine(path, mode="dense", n_slots=2, max_seq=256)
+    sched = Scheduler(eng)
+    sched.start()
+
+    async def run():
+        server = Server(sched, model_name="tiny")
+        client = TestClient(TestServer(server.app))
+        await client.start_server()
+        try:
+            r = await client.post("/infill", json={
+                "input_prefix": "def add(a, b):\n    ",
+                "input_suffix": "\n    return out",
+                "max_tokens": 4, "temperature": 0,
+            })
+            assert r.status == 200, await r.text()
+            data = await r.json()
+            assert isinstance(data["choices"][0]["text"], str)
+        finally:
+            await client.close()
+
+    try:
+        asyncio.run(run())
+    finally:
+        sched.stop()
+
+
+def test_infill_requires_fim_tokens(engine):
+    import asyncio
+
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from tpullm.server.api import Server
+
+    sched = Scheduler(engine)
+    sched.start()
+
+    async def run():
+        server = Server(sched, model_name="tiny")
+        client = TestClient(TestServer(server.app))
+        await client.start_server()
+        try:
+            r = await client.post("/infill", json={"input_prefix": "x"})
+            assert r.status == 400
+        finally:
+            await client.close()
+
+    try:
+        asyncio.run(run())
+    finally:
+        sched.stop()

@@ -117,6 +117,7 @@ class Server:
         r.add_post("/v1/embeddings", self.embeddings)
         r.add_post("/rerank", self.rerank)  # llama.cpp alias
         r.add_post("/v1/rerank", self.rerank)
+        r.add_post("/infill", self.infill)
         r.add_post("/completion", self.completions)  # llama.cpp alias
         r.add_post("/v1/completions", self.completions)
         r.add_post("/v1/chat/completions", self.chat_completions)
@@ -264,6 +265,42 @@ class Server:
         })
 
     # -- generation ------------------------------------------------------------------
+
+    async def infill(self, request):
+        """Fill-in-the-middle completion (≡ server /infill): builds
+        <fim_pre>prefix<fim_suf>suffix<fim_mid> from the model's FIM
+        special tokens."""
+        body = await request.json()
+        tok = self.sched.engine.tokenizer
+        sp = tok.vocab.special
+        if sp.fim_pre < 0 or sp.fim_suf < 0 or sp.fim_mid < 0:
+            return web.json_response(
+                {"error": {"message": "model has no FIM tokens"}}, status=400)
+        prefix = str(body.get("input_prefix", ""))
+        suffix = str(body.get("input_suffix", ""))
+        extra = str(body.get("prompt", ""))
+        ids = [sp.fim_pre]
+        ids += tok.tokenize(prefix + extra, add_special=False)
+        ids += [sp.fim_suf]
+        ids += tok.tokenize(suffix, add_special=False)
+        ids += [sp.fim_mid]
+        req = GenRequest(
+            prompt_ids=ids,
+            max_tokens=int(body.get("max_tokens", body.get("n_predict", 128))),
+            sampling=_sampling_from_body(body),
+            stop=body.get("stop") or [],
+        )
+        rid = f"infill-{uuid.uuid4().hex[:12]}"
+        self.sched.submit(req)
+        if body.get("stream"):
+            return await self._stream(request, req, rid, chat=False)
+        text, reason, stats = await self._collect(req)
+        return web.json_response({
+            "id": rid, "object": "text_completion", "created": int(time.time()),
+            "model": self.model_name,
+            "choices": [{"index": 0, "text": text, "finish_reason": reason}],
+            "timings": stats,
+        })
 
     async def completions(self, request):
         body = await request.json()
