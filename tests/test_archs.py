@@ -763,3 +763,17 @@ def test_stablelm_forward_matches_numpy(tmp_path, parallel):
     got = eng.prefill_all_logits(toks)
     ref = np_stablelm_forward(eng.reader, np.asarray(toks))
     np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
+
+
+def test_minicpm_defaults_and_generation(tmp_path):
+    """minicpm rides the granite-scaled llama graph with legacy default
+    multipliers (embd 12, residual 1.4/sqrt(L), logits 256/n_embd)."""
+    from tpullm.models.testing import make_tiny_llama_gguf
+
+    path = make_tiny_llama_gguf(tmp_path / "mc.gguf", arch="minicpm", n_layer=2)
+    eng = Engine(path, mode="dense", max_seq=64)
+    hp = eng.hp
+    assert hp.embd_scale == 12.0
+    assert abs(hp.residual_scale - 1.4 / np.sqrt(2)) < 1e-6
+    assert abs(hp.logit_scale - 256.0 / 64) < 1e-6
+    assert isinstance(eng.generate("the quick", max_new_tokens=4), str)

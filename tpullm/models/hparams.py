@@ -186,12 +186,22 @@ def hparams_from_gguf(r: GGUFReader) -> HParams:
             Keys.Rope.FREQ_BASE_SWA,
             10000.0 if arch in ("gemma3", "gemma3n") else 0.0,
         )),
+        # minicpm ships granite-style multipliers with legacy defaults
+        # (llama-model.cpp LLM_ARCH_MINICPM hparams block)
         embd_scale=float(k(
             "{arch}.embedding_scale",
-            float(np.sqrt(n_embd)) if arch.startswith("gemma") else 1.0,
+            12.0 if arch == "minicpm"
+            else float(np.sqrt(n_embd)) if arch.startswith("gemma") else 1.0,
         )),
-        residual_scale=float(k("{arch}.residual_scale", 1.0)),
-        logit_scale=float(k("{arch}.logit_scale", 1.0)),
+        residual_scale=float(k(
+            "{arch}.residual_scale",
+            1.4 / float(np.sqrt(int(k(Keys.LLM.BLOCK_COUNT))))
+            if arch == "minicpm" else 1.0,
+        )),
+        logit_scale=float(k(
+            "{arch}.logit_scale",
+            (256.0 / n_embd) if arch == "minicpm" and n_embd else 1.0,
+        )),
         clamp_kqv=float(k("{arch}.attention.clamp_kqv", 0.0) or 0.0),
         no_rope_step=4 if arch == "smollm3" else 0,
         pooling={0: "none", 1: "mean", 2: "cls", 3: "last", 4: "rank"}.get(

@@ -78,7 +78,7 @@ def _ensure_builtin():
         # smollm3 = llama + NoPE every 4th layer; arcee = llama with a
         # gateless ReLU² FFN — both ride hparams/optional-tensor switches
         aliases=("mistral", "qwen2", "qwen3", "granite", "internlm2",
-                 "exaone", "smollm3", "arcee"),
+                 "exaone", "smollm3", "arcee", "minicpm"),
     )
     register_arch(
         "qwen3moe",
