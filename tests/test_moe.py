@@ -306,3 +306,79 @@ def test_gpt_oss_decode_matches_prefill(tmp_path):
     for tk in toks:
         logits = eng2.decode_step(tk)
     np.testing.assert_allclose(logits, all_logits[-1], rtol=2e-3, atol=2e-3)
+
+
+def np_dbrx_forward(reader: GGUFReader, tokens: np.ndarray) -> np.ndarray:
+    md = reader.metadata
+    n_layer = md["dbrx.block_count"]
+    n_head = md["dbrx.attention.head_count"]
+    n_head_kv = md["dbrx.attention.head_count_kv"]
+    n_embd = md["dbrx.embedding_length"]
+    eps = md["dbrx.attention.layer_norm_epsilon"]
+    base = md["dbrx.rope.freq_base"]
+    n_used = md["dbrx.expert_used_count"]
+    clamp = md["dbrx.attention.clamp_kqv"]
+    hd = n_embd // n_head
+
+    def t(name):
+        return reader.tensors[name].to_numpy().astype(np.float64)
+
+    def ln(x, w):
+        mu = x.mean(-1, keepdims=True)
+        var = ((x - mu) ** 2).mean(-1, keepdims=True)
+        return (x - mu) / np.sqrt(var + eps) * w
+
+    def rope_neox(x, pos):
+        T, H, D = x.shape
+        half = D // 2
+        inv = base ** (-np.arange(half) * 2.0 / D)
+        theta = pos[:, None] * inv
+        c, s = np.cos(theta), np.sin(theta)
+        x0, x1 = x[..., :half], x[..., half:]
+        out = x.copy()
+        out[..., :half] = x0 * c[:, None, :] - x1 * s[:, None, :]
+        out[..., half:] = x0 * s[:, None, :] + x1 * c[:, None, :]
+        return out
+
+    T = len(tokens)
+    pos = np.arange(T)
+    n_q = n_head * hd
+    n_kv = n_head_kv * hd
+    x = t("token_embd.weight")[tokens]
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        h = ln(x, t(p + "attn_norm.weight"))
+        qkv = np.clip(h @ t(p + "attn_qkv.weight").T, -clamp, clamp)
+        q = rope_neox(qkv[:, :n_q].reshape(T, n_head, hd), pos)
+        k = rope_neox(qkv[:, n_q:n_q + n_kv].reshape(T, n_head_kv, hd), pos)
+        v = qkv[:, n_q + n_kv:].reshape(T, n_head_kv, hd)
+        g = n_head // n_head_kv
+        out = np.zeros((T, n_head, hd))
+        for hh in range(n_head):
+            kk, vv = k[:, hh // g], v[:, hh // g]
+            scores = q[:, hh] @ kk.T / np.sqrt(hd)
+            scores += np.triu(np.full((T, T), -np.inf), k=1)
+            e = np.exp(scores - scores.max(-1, keepdims=True))
+            out[:, hh] = (e / e.sum(-1, keepdims=True)) @ vv
+        x = x + out.reshape(T, n_embd) @ t(p + "attn_output.weight").T
+        h = ln(x, t(p + "attn_output_norm.weight"))
+        moe = np_moe(
+            h, t(p + "ffn_gate_inp.weight"), t(p + "ffn_gate_exps.weight"),
+            t(p + "ffn_up_exps.weight"), t(p + "ffn_down_exps.weight"),
+            n_used, norm_w=True,
+        )
+        x = x + moe
+    x = ln(x, t("output_norm.weight"))
+    return x @ t("output.weight").T
+
+
+def test_dbrx_forward_matches_numpy(tmp_path):
+    from tpullm.models.testing import make_tiny_dbrx_gguf
+
+    path = make_tiny_dbrx_gguf(tmp_path / "dbrx.gguf")
+    eng = Engine(path, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    toks = eng.tokenizer.tokenize("the quick brown fox jumps over", add_special=True)
+    got = eng.prefill_all_logits(toks)
+    ref = np_dbrx_forward(eng.reader, np.asarray(toks))
+    np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)

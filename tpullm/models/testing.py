@@ -1079,3 +1079,68 @@ def make_tiny_gpt_oss_gguf(
     w.add_tensor("output.weight", rand((n_vocab, n_embd)))
     w.write()
     return str(path)
+
+
+def make_tiny_dbrx_gguf(
+    path,
+    *,
+    n_layer: int = 2,
+    n_embd: int = 64,
+    n_head: int = 4,
+    n_head_kv: int = 2,
+    n_expert: int = 4,
+    n_expert_used: int = 2,
+    n_ff_exp: int = 96,
+    n_ctx: int = 256,
+    clamp_kqv: float = 8.0,
+    seed: int = 0,
+) -> str:
+    """Tiny dbrx-shaped GGUF: fused clamped qkv, LN norms, MoE."""
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = _byte_vocab(DEFAULT_WORDS)
+    n_vocab = len(tokens)
+    head_dim = n_embd // n_head
+
+    w = GGUFWriter(path, architecture="dbrx")
+    w.add_kv("general.name", "tpullm-tiny-dbrx")
+    w.add_kv("dbrx.block_count", n_layer)
+    w.add_kv("dbrx.context_length", n_ctx)
+    w.add_kv("dbrx.embedding_length", n_embd)
+    w.add_kv("dbrx.feed_forward_length", n_ff_exp)
+    w.add_kv("dbrx.attention.head_count", n_head)
+    w.add_kv("dbrx.attention.head_count_kv", n_head_kv)
+    w.add_kv("dbrx.attention.layer_norm_epsilon", 1e-5)
+    w.add_kv("dbrx.attention.clamp_kqv", clamp_kqv)
+    w.add_kv("dbrx.rope.freq_base", 10000.0)
+    w.add_kv("dbrx.rope.dimension_count", head_dim)
+    w.add_kv("dbrx.expert_count", n_expert)
+    w.add_kv("dbrx.expert_used_count", n_expert_used)
+    w.add_kv("tokenizer.ggml.model", "llama")
+    w.add_kv("tokenizer.ggml.tokens", tokens)
+    w.add_kv("tokenizer.ggml.scores", np.asarray(scores, dtype=np.float32))
+    w.add_kv("tokenizer.ggml.token_type", np.asarray(types, dtype=np.int32))
+    w.add_kv("tokenizer.ggml.bos_token_id", 1)
+    w.add_kv("tokenizer.ggml.eos_token_id", 2)
+    w.add_kv("tokenizer.ggml.unknown_token_id", 0)
+    w.add_kv("tokenizer.ggml.add_bos_token", True)
+
+    def rand(shape, scale=0.05):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    n_q = n_head * head_dim
+    n_kv = n_head_kv * head_dim
+    w.add_tensor("token_embd.weight", rand((n_vocab, n_embd)))
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        w.add_tensor(p + "attn_norm.weight", 1.0 + rand((n_embd,)))
+        w.add_tensor(p + "attn_qkv.weight", rand((n_q + 2 * n_kv, n_embd)))
+        w.add_tensor(p + "attn_output.weight", rand((n_embd, n_q)))
+        w.add_tensor(p + "attn_output_norm.weight", 1.0 + rand((n_embd,)))
+        w.add_tensor(p + "ffn_gate_inp.weight", rand((n_expert, n_embd)))
+        w.add_tensor(p + "ffn_gate_exps.weight", rand((n_expert, n_ff_exp, n_embd)))
+        w.add_tensor(p + "ffn_up_exps.weight", rand((n_expert, n_ff_exp, n_embd)))
+        w.add_tensor(p + "ffn_down_exps.weight", rand((n_expert, n_embd, n_ff_exp)))
+    w.add_tensor("output_norm.weight", 1.0 + rand((n_embd,)))
+    w.add_tensor("output.weight", rand((n_vocab, n_embd)))
+    w.write()
+    return str(path)
