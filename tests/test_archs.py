@@ -396,10 +396,13 @@ def np_starcoder2_forward(reader: GGUFReader, tokens):
     def t(name):
         return reader.tensors[name].to_numpy().astype(np.float64)
 
-    def ln(x, w, b):
+    def b(name):  # orion ships no biases
+        return t(name) if name in reader.tensors else 0.0
+
+    def ln(x, w, bias):
         mu = x.mean(-1, keepdims=True)
         var = ((x - mu) ** 2).mean(-1, keepdims=True)
-        return (x - mu) / np.sqrt(var + eps) * w + b
+        return (x - mu) / np.sqrt(var + eps) * w + bias
 
     def rope_neox(x, pos):
         T, H, D = x.shape
@@ -418,10 +421,10 @@ def np_starcoder2_forward(reader: GGUFReader, tokens):
     x = t("token_embd.weight")[tokens]
     for i in range(n_layer):
         p = f"blk.{i}."
-        h = ln(x, t(p + "attn_norm.weight"), t(p + "attn_norm.bias"))
-        q = (h @ t(p + "attn_q.weight").T + t(p + "attn_q.bias")).reshape(T, n_head, hd)
-        k = (h @ t(p + "attn_k.weight").T + t(p + "attn_k.bias")).reshape(T, n_head_kv, hd)
-        v = (h @ t(p + "attn_v.weight").T + t(p + "attn_v.bias")).reshape(T, n_head_kv, hd)
+        h = ln(x, t(p + "attn_norm.weight"), b(p + "attn_norm.bias"))
+        q = (h @ t(p + "attn_q.weight").T + b(p + "attn_q.bias")).reshape(T, n_head, hd)
+        k = (h @ t(p + "attn_k.weight").T + b(p + "attn_k.bias")).reshape(T, n_head_kv, hd)
+        v = (h @ t(p + "attn_v.weight").T + b(p + "attn_v.bias")).reshape(T, n_head_kv, hd)
         q, k = rope_neox(q, pos), rope_neox(k, pos)
         g = n_head // n_head_kv
         out = np.zeros((T, n_head, hd))
@@ -432,16 +435,19 @@ def np_starcoder2_forward(reader: GGUFReader, tokens):
             e = np.exp(scores - scores.max(-1, keepdims=True))
             out[:, hh] = (e / e.sum(-1, keepdims=True)) @ vv
         x = x + out.reshape(T, n_embd) @ t(p + "attn_output.weight").T \
-              + t(p + "attn_output.bias")
-        h = ln(x, t(p + "ffn_norm.weight"), t(p + "ffn_norm.bias"))
-        up = h @ t(p + "ffn_up.weight").T + t(p + "ffn_up.bias")
-        if arch == "nemotron":
+              + b(p + "attn_output.bias")
+        h = ln(x, t(p + "ffn_norm.weight"), b(p + "ffn_norm.bias"))
+        up = h @ t(p + "ffn_up.weight").T + b(p + "ffn_up.bias")
+        if p + "ffn_gate.weight" in reader.tensors:  # orion swiglu
+            gate = h @ t(p + "ffn_gate.weight").T
+            act = gate / (1 + np.exp(-gate)) * up
+        elif arch == "nemotron":
             act = np.square(np.maximum(up, 0.0))
         else:
             from scipy.special import erf  # noqa — fallback below if absent
             act = 0.5 * up * (1 + erf(up / np.sqrt(2)))
-        x = x + act @ t(p + "ffn_down.weight").T + t(p + "ffn_down.bias")
-    x = ln(x, t("output_norm.weight"), t("output_norm.bias"))
+        x = x + act @ t(p + "ffn_down.weight").T + b(p + "ffn_down.bias")
+    x = ln(x, t("output_norm.weight"), b("output_norm.bias"))
     return x @ t("output.weight").T
 
 
@@ -458,11 +464,13 @@ def test_starcoder2_family_matches_numpy(tmp_path, arch):
     np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
 
 
-@pytest.mark.parametrize("arch", ["internlm2", "exaone", "granite"])
+@pytest.mark.parametrize("arch", ["internlm2", "exaone", "granite", "xverse",
+                                  "ernie4_5", "refact"])
 def test_llama_alias_archs_load_and_generate(tmp_path, arch):
     """Aliased llama-graph archs load through the registry and run
-    (llm_build_internlm2 / llm_build_exaone are byte-identical llama
-    graphs; granite adds the scale multipliers)."""
+    (llm_build_internlm2 / llm_build_exaone / llm_build_xverse /
+    llm_build_ernie4_5 are byte-identical llama graphs; granite adds the
+    scale multipliers; refact swaps rope for ALiBi)."""
     from tpullm.models.testing import make_tiny_llama_gguf
 
     extra = {}
@@ -777,3 +785,105 @@ def test_minicpm_defaults_and_generation(tmp_path):
     assert abs(hp.residual_scale - 1.4 / np.sqrt(2)) < 1e-6
     assert abs(hp.logit_scale - 256.0 / 64) < 1e-6
     assert isinstance(eng.generate("the quick", max_new_tokens=4), str)
+
+
+# -- orion (LN+bias norms, unbiased attn, swiglu FFN) --------------------------
+
+
+def test_orion_forward_matches_numpy(tmp_path):
+    from tpullm.models.testing import make_tiny_starcoder2_gguf
+
+    path = make_tiny_starcoder2_gguf(tmp_path / "orion.gguf", arch="orion",
+                                     with_bias=False, gated=True)
+    eng = Engine(path, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    toks = eng.tokenizer.tokenize("the quick brown fox", add_special=True)
+    got = eng.prefill_all_logits(toks)
+    ref = np_starcoder2_forward(eng.reader, np.asarray(toks))
+    np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
+
+
+# -- qwen v1 (fused attn_qkv over the llama graph) -----------------------------
+
+
+def test_qwen_fused_qkv_matches_split(tmp_path):
+    """llm_build_qwen's fused attn_qkv views must equal a split-tensor qwen2
+    model built from the same arrays (row-split at load is exact)."""
+    from tpullm.models.testing import make_tiny_qwen_gguf
+
+    fused = tmp_path / "qwen.gguf"
+    split = tmp_path / "qwen2.gguf"
+    make_tiny_qwen_gguf(fused, split_path=split)
+    e1 = Engine(str(fused), mode="dense", dtype=jnp.float32, max_seq=64,
+                kv_dtype=jnp.float32)
+    e2 = Engine(str(split), mode="dense", dtype=jnp.float32, max_seq=64,
+                kv_dtype=jnp.float32)
+    toks = e1.tokenizer.tokenize("hello world", add_special=True)
+    np.testing.assert_allclose(
+        e1.prefill_all_logits(toks), e2.prefill_all_logits(toks),
+        rtol=1e-6, atol=1e-6,
+    )
+
+
+# -- refact (llama graph + ALiBi instead of rope) ------------------------------
+
+
+def np_alibi_llama_forward(reader: GGUFReader, tokens, max_bias=8.0):
+    """llama graph, no rope, ALiBi bias (llm_build_refact; ggml soft_max_ext
+    slope ladder)."""
+    md = reader.metadata
+    arch = md["general.architecture"]
+    n_layer = md[f"{arch}.block_count"]
+    n_head = md[f"{arch}.attention.head_count"]
+    n_head_kv = md[f"{arch}.attention.head_count_kv"]
+    n_embd = md[f"{arch}.embedding_length"]
+    eps = md[f"{arch}.attention.layer_norm_rms_epsilon"]
+    hd = n_embd // n_head
+
+    def t(name):
+        return reader.tensors[name].to_numpy().astype(np.float64)
+
+    n_log2 = 1 << int(np.floor(np.log2(n_head)))
+    m0 = 2.0 ** (-max_bias / n_log2)
+    m1 = 2.0 ** (-max_bias / 2.0 / n_log2)
+    slopes = [m0 ** (h + 1) if h < n_log2 else m1 ** (2 * (h - n_log2) + 1)
+              for h in range(n_head)]
+
+    T = len(tokens)
+    x = t("token_embd.weight")[tokens]
+    dist = -np.abs(np.arange(T)[:, None] - np.arange(T)[None, :])
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        h = _rms(x, t(p + "attn_norm.weight"), eps)
+        q = (h @ t(p + "attn_q.weight").T).reshape(T, n_head, hd)
+        k = (h @ t(p + "attn_k.weight").T).reshape(T, n_head_kv, hd)
+        v = (h @ t(p + "attn_v.weight").T).reshape(T, n_head_kv, hd)
+        g = n_head // n_head_kv
+        out = np.zeros((T, n_head, hd))
+        for hh in range(n_head):
+            kk, vv = k[:, hh // g], v[:, hh // g]
+            scores = q[:, hh] @ kk.T / np.sqrt(hd) + slopes[hh] * dist
+            scores += np.triu(np.full((T, T), -np.inf), k=1)
+            e = np.exp(scores - scores.max(-1, keepdims=True))
+            out[:, hh] = (e / e.sum(-1, keepdims=True)) @ vv
+        x = x + out.reshape(T, n_embd) @ t(p + "attn_output.weight").T
+        h = _rms(x, t(p + "ffn_norm.weight"), eps)
+        gate = h @ t(p + "ffn_gate.weight").T
+        up = h @ t(p + "ffn_up.weight").T
+        act = gate / (1 + np.exp(-gate)) * up
+        x = x + act @ t(p + "ffn_down.weight").T
+    x = _rms(x, t("output_norm.weight"), eps)
+    return x @ t("output.weight").T
+
+
+def test_refact_alibi_matches_numpy(tmp_path):
+    from tpullm.models.testing import make_tiny_llama_gguf
+
+    path = make_tiny_llama_gguf(tmp_path / "refact.gguf", arch="refact")
+    eng = Engine(path, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    assert eng.hp.max_alibi_bias == 8.0
+    toks = eng.tokenizer.tokenize("the quick brown fox", add_special=True)
+    got = eng.prefill_all_logits(toks)
+    ref = np_alibi_llama_forward(eng.reader, np.asarray(toks))
+    np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)

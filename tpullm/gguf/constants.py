@@ -184,6 +184,7 @@ class Keys:
         VALUE_LENGTH = "{arch}.attention.value_length"
         LAYERNORM_RMS_EPS = "{arch}.attention.layer_norm_rms_epsilon"
         LAYERNORM_EPS = "{arch}.attention.layer_norm_epsilon"
+        MAX_ALIBI_BIAS = "{arch}.attention.max_alibi_bias"
         SLIDING_WINDOW = "{arch}.attention.sliding_window"
         SLIDING_WINDOW_PATTERN = "{arch}.attention.sliding_window_pattern"
         SCALE = "{arch}.attention.scale"

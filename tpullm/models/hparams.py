@@ -52,6 +52,9 @@ class HParams:
     expert_weights_norm: bool = False
     expert_gating_func: str = "softmax"  # softmax | sigmoid
     # attention extras
+    # ALiBi: >0 replaces rope with per-head linear position bias
+    # (hparams.f_max_alibi_bias; bloom/refact/baichuan-13B = 8.0)
+    max_alibi_bias: float = 0.0
     sliding_window: int = 0
     # SWA layer interleave: is_swa(il) = (il + 1) % swa_pattern != 0
     # (1 = every layer when sliding_window > 0; gemma2 = 2; gemma3 = 6)
@@ -110,6 +113,7 @@ NEOX_ROPE_ARCHS = {
     "gemma2", "gemma3", "gemma3n", "starcoder2", "openelm", "dbrx", "bert",
     "nomic-bert", "minicpm3", "command-r", "cohere2", "internlm2", "exaone",
     "exaone4", "smollm3", "gpt-oss", "deci", "nemotron", "granite-hybrid",
+    "orion", "codeshell",
 }
 
 
@@ -170,6 +174,14 @@ def hparams_from_gguf(r: GGUFReader) -> HParams:
         expert_gating_func={1: "softmax", 2: "sigmoid"}.get(
             int(k("{arch}.expert_gating_func", 1) or 1), "softmax"
         ),
+        # bloom/refact hardcode 8.0; baichuan only for the 40-layer 13B;
+        # mpt/jais read the GGUF key (llama-model.cpp load_hparams cases)
+        max_alibi_bias=float(k(
+            Keys.Attention.MAX_ALIBI_BIAS,
+            8.0 if arch in ("bloom", "refact")
+            or (arch == "baichuan" and int(k(Keys.LLM.BLOCK_COUNT)) == 40)
+            else 0.0,
+        )),
         sliding_window=int(k(Keys.Attention.SLIDING_WINDOW, 0)),
         swa_pattern=int(k(
             Keys.Attention.SLIDING_WINDOW_PATTERN,

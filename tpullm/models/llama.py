@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ..gguf.reader import GGUFReader
-from ..ops.attention import attention, causal_mask
+from ..ops.attention import alibi_distances, alibi_slopes, attention, causal_mask
 from ..ops.norms import rms_norm
 from ..ops.rope import apply_rope
 from ..runtime.kvcache import KVCache
@@ -87,6 +87,7 @@ def attn_block(
     cache_offset,
     mask: jax.Array,
     offsets: jax.Array,
+    alibi: tuple[jax.Array, jax.Array] | None = None,
 ) -> tuple[jax.Array, KVCache]:
     """One pre-norm GQA attention block with residual (shared by the llama
     family and its MoE variants)."""
@@ -105,7 +106,9 @@ def attn_block(
     q = q.reshape(B, T, hp.n_head, hp.head_dim)
     k = k.reshape(B, T, hp.n_head_kv, hp.head_dim)
     v = v.reshape(B, T, hp.n_head_kv, hp.head_dim_v)
-    use_rope = hp.no_rope_step == 0 or (li + 1) % hp.no_rope_step != 0
+    use_rope = hp.max_alibi_bias <= 0.0 and (
+        hp.no_rope_step == 0 or (li + 1) % hp.no_rope_step != 0
+    )
     if layer["q_norm"] is not None:
         q = rms_norm(q, layer["q_norm"], hp.rms_eps)
     if layer["k_norm"] is not None:
@@ -120,7 +123,7 @@ def attn_block(
     k_all, v_all = cache.kv(li)
     attn_out = attention(
         q, k_all, v_all, mask, scale,
-        offsets=offsets, sliding_window=hp.sliding_window,
+        offsets=offsets, sliding_window=hp.sliding_window, alibi=alibi,
     )
     attn_out = layer["wo"](attn_out.reshape(B, T, hp.n_head * hp.head_dim_v))
     if hp.residual_scale != 1.0:  # granite
@@ -168,11 +171,18 @@ def forward(
     offsets = jnp.broadcast_to(jnp.asarray(cache_offset).reshape(-1), (B,)).astype(jnp.int32)
     kv_len = jnp.asarray(cache_offset) + T
     mask = causal_mask(positions, cache.max_len, kv_len, hp.sliding_window)
+    alibi = None
+    if hp.max_alibi_bias > 0.0:  # refact / baichuan-13B ride the llama graph
+        alibi = (
+            alibi_slopes(hp.n_head, hp.max_alibi_bias),
+            alibi_distances(positions, cache.max_len),
+        )
 
     cvec = params.get("cvec")  # [n_layer, E] steering vectors (llama-adapter)
     for li, layer in enumerate(params["layers"]):
         x, cache = attn_block(
-            hp, layer, x, positions, cache, li, cache_offset, mask, offsets
+            hp, layer, x, positions, cache, li, cache_offset, mask, offsets,
+            alibi=alibi,
         )
         h = rms_norm(x, layer["ffn_norm"], hp.rms_eps)
         up = layer["w_up"](h)

@@ -77,9 +77,21 @@ def _ensure_builtin():
         # (src/models/{internlm2,exaone}.cpp)
         # smollm3 = llama + NoPE every 4th layer; arcee = llama with a
         # gateless ReLU² FFN — both ride hparams/optional-tensor switches
+        # xverse/ernie4_5 are byte-identical llama graphs
+        # (src/models/{xverse,ernie4-5}.cpp); refact = llama graph minus rope
+        # plus ALiBi (llm_build_refact, f_max_alibi_bias=8); baichuan = llama
+        # graph with the 13B variant swapping rope for ALiBi
+        # (llm_build_baichuan LLM_TYPE_13B branch) — both ride the
+        # hp.max_alibi_bias switch in llama.forward
         aliases=("mistral", "qwen2", "qwen3", "granite", "internlm2",
-                 "exaone", "smollm3", "arcee", "minicpm"),
+                 "exaone", "smollm3", "arcee", "minicpm", "xverse",
+                 "ernie4_5", "refact", "baichuan"),
     )
+    from . import qwen
+
+    # qwen v1 = llama graph with fused attn_qkv (llm_build_qwen); the fused
+    # tensor is row-split at load and the llama forward is reused
+    register_arch("qwen", qwen.build_params, llama.forward)
     register_arch(
         "qwen3moe",
         qwen_moe.build_params,
@@ -129,8 +141,9 @@ def _ensure_builtin():
         "starcoder2",
         starcoder2.build_params,
         starcoder2.forward,
-        # same LN+bias / no-gate-FFN skeleton; nemotron swaps GELU→ReLU²
-        aliases=("nemotron",),
+        # same LN+bias skeleton; nemotron swaps GELU→ReLU²; orion swaps the
+        # sequential FFN for SiLU-gated swiglu (llm_build_orion)
+        aliases=("nemotron", "orion"),
     )
     register_arch(
         "command-r",

@@ -1,9 +1,11 @@
-"""StarCoder2 / Nemotron decoders.
+"""StarCoder2 / Nemotron / Orion decoders.
 
-Reference graphs: llm_build_starcoder2 (src/models/starcoder2.cpp) and
-llm_build_nemotron (src/models/nemotron.cpp) — the same skeleton: LayerNorm
-(with bias) pre-norms, biased attention projections, SEQUENTIAL no-gate FFN
-(up → act → down); they differ only in the activation (GELU vs ReLU²).
+Reference graphs: llm_build_starcoder2 (src/models/starcoder2.cpp),
+llm_build_nemotron (src/models/nemotron.cpp), and llm_build_orion
+(src/models/orion.cpp) — the same skeleton: LayerNorm(with bias) pre-norms,
+optionally-biased attention projections, then either a SEQUENTIAL no-gate FFN
+(starcoder2 GELU, nemotron ReLU²) or orion's SiLU-gated parallel FFN (the
+ffn_gate tensor's presence selects the variant).
 """
 
 from __future__ import annotations
@@ -47,6 +49,7 @@ def build_params(r: GGUFReader, hp: HParams, mode: str = "auto",
             "bo": maybe(p + "attn_output.bias"),
             "ffn_norm": load_vector(t[p + "ffn_norm.weight"]),
             "ffn_norm_b": maybe(p + "ffn_norm.bias"),
+            "w_gate": linear(p + "ffn_gate.weight") if p + "ffn_gate.weight" in t else None,
             "w_up": linear(p + "ffn_up.weight"),
             "b_up": maybe(p + "ffn_up.bias"),
             "w_down": linear(p + "ffn_down.weight"),
@@ -120,7 +123,12 @@ def forward(
         up = layer["w_up"](h)
         if layer["b_up"] is not None:
             up = up + layer["b_up"].astype(up.dtype)
-        ffn = layer["w_down"](_act(up, act).astype(up.dtype))
+        if layer["w_gate"] is not None:  # orion: SiLU-gated parallel FFN
+            gate = layer["w_gate"](h)
+            mid = jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
+        else:
+            mid = _act(up, act).astype(up.dtype)
+        ffn = layer["w_down"](mid)
         if layer["b_down"] is not None:
             ffn = ffn + layer["b_down"].astype(ffn.dtype)
         x = x + ffn

@@ -743,10 +743,11 @@ def make_tiny_starcoder2_gguf(
     n_ff: int = 128,
     n_ctx: int = 256,
     with_bias: bool = True,
+    gated: bool = False,  # orion: SiLU-gated FFN instead of sequential
     seed: int = 0,
 ) -> str:
     """Tiny starcoder2/nemotron-shaped GGUF: LayerNorm+bias, biased attn,
-    sequential no-gate FFN."""
+    sequential no-gate FFN (or orion's gated swiglu with gated=True)."""
     rng = np.random.default_rng(seed)
     tokens, scores, types = _byte_vocab(DEFAULT_WORDS)
     n_vocab = len(tokens)
@@ -791,6 +792,8 @@ def make_tiny_starcoder2_gguf(
             w.add_tensor(p + "attn_output.bias", rand((n_embd,)))
         w.add_tensor(p + "ffn_norm.weight", 1.0 + rand((n_embd,)))
         w.add_tensor(p + "ffn_norm.bias", rand((n_embd,)))
+        if gated:
+            w.add_tensor(p + "ffn_gate.weight", rand((n_ff, n_embd)))
         w.add_tensor(p + "ffn_up.weight", rand((n_ff, n_embd)))
         w.add_tensor(p + "ffn_down.weight", rand((n_embd, n_ff)))
         if with_bias:
@@ -1143,4 +1146,85 @@ def make_tiny_dbrx_gguf(
     w.add_tensor("output_norm.weight", 1.0 + rand((n_embd,)))
     w.add_tensor("output.weight", rand((n_vocab, n_embd)))
     w.write()
+    return str(path)
+
+
+def make_tiny_qwen_gguf(
+    path,
+    *,
+    split_path=None,
+    n_layer: int = 2,
+    n_embd: int = 64,
+    n_head: int = 4,
+    n_ff: int = 128,
+    n_ctx: int = 256,
+    seed: int = 0,
+) -> str:
+    """Tiny Qwen-v1-shaped GGUF: fused attn_qkv(+bias) over the llama graph
+    (llm_build_qwen, src/models/qwen.cpp; MHA so q/k/v spans are equal).
+
+    With split_path, also writes a byte-equivalent qwen2-arch file whose
+    q/k/v are the row-slices of the fused tensor — the two models must
+    produce identical logits (fused-split correctness check).
+    """
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = _byte_vocab(DEFAULT_WORDS)
+    n_vocab = len(tokens)
+    head_dim = n_embd // n_head
+
+    def rand(shape, scale=0.05):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    tensors: dict[str, np.ndarray] = {"token_embd.weight": rand((n_vocab, n_embd))}
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        tensors[p + "attn_norm.weight"] = 1.0 + rand((n_embd,))
+        tensors[p + "attn_qkv.weight"] = rand((3 * n_embd, n_embd))
+        tensors[p + "attn_qkv.bias"] = rand((3 * n_embd,))
+        tensors[p + "attn_output.weight"] = rand((n_embd, n_embd))
+        tensors[p + "ffn_norm.weight"] = 1.0 + rand((n_embd,))
+        tensors[p + "ffn_gate.weight"] = rand((n_ff, n_embd))
+        tensors[p + "ffn_up.weight"] = rand((n_ff, n_embd))
+        tensors[p + "ffn_down.weight"] = rand((n_embd, n_ff))
+    tensors["output_norm.weight"] = 1.0 + rand((n_embd,))
+    tensors["output.weight"] = rand((n_vocab, n_embd))
+
+    def write(out_path, arch, split_qkv):
+        w = GGUFWriter(out_path, architecture=arch)
+        w.add_kv("general.name", f"tpullm-tiny-{arch}")
+        w.add_kv(f"{arch}.block_count", n_layer)
+        w.add_kv(f"{arch}.context_length", n_ctx)
+        w.add_kv(f"{arch}.embedding_length", n_embd)
+        w.add_kv(f"{arch}.feed_forward_length", n_ff)
+        w.add_kv(f"{arch}.attention.head_count", n_head)
+        w.add_kv(f"{arch}.attention.head_count_kv", n_head)
+        w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+        w.add_kv(f"{arch}.rope.freq_base", 10000.0)
+        w.add_kv(f"{arch}.rope.dimension_count", head_dim)
+        w.add_kv("tokenizer.ggml.model", "llama")
+        w.add_kv("tokenizer.ggml.tokens", tokens)
+        w.add_kv("tokenizer.ggml.scores", np.asarray(scores, dtype=np.float32))
+        w.add_kv("tokenizer.ggml.token_type", np.asarray(types, dtype=np.int32))
+        w.add_kv("tokenizer.ggml.bos_token_id", 1)
+        w.add_kv("tokenizer.ggml.eos_token_id", 2)
+        w.add_kv("tokenizer.ggml.unknown_token_id", 0)
+        w.add_kv("tokenizer.ggml.add_bos_token", True)
+        for name, arr in tensors.items():
+            if split_qkv and name.endswith("attn_qkv.weight"):
+                p = name[: -len("attn_qkv.weight")]
+                w.add_tensor(p + "attn_q.weight", arr[:n_embd])
+                w.add_tensor(p + "attn_k.weight", arr[n_embd:2 * n_embd])
+                w.add_tensor(p + "attn_v.weight", arr[2 * n_embd:])
+            elif split_qkv and name.endswith("attn_qkv.bias"):
+                p = name[: -len("attn_qkv.bias")]
+                w.add_tensor(p + "attn_q.bias", arr[:n_embd])
+                w.add_tensor(p + "attn_k.bias", arr[n_embd:2 * n_embd])
+                w.add_tensor(p + "attn_v.bias", arr[2 * n_embd:])
+            else:
+                w.add_tensor(name, arr)
+        w.write()
+
+    write(path, "qwen", split_qkv=False)
+    if split_path is not None:
+        write(split_path, "qwen2", split_qkv=True)
     return str(path)

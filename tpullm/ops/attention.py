@@ -4,8 +4,31 @@ reference llama-graph.cpp build_attn_mha); the Pallas flash-attention kernel
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
+
+
+def alibi_slopes(n_head: int, max_bias: float) -> jax.Array:
+    """Per-head ALiBi slopes, matching ggml's soft_max_ext formula
+    (reference ggml/src/ggml-cuda/softmax.cu / ggml-cpu ops: n_head_log2
+    power ladder with an m1 ladder for the non-power-of-two tail)."""
+    n_log2 = 1 << int(math.floor(math.log2(n_head)))
+    m0 = 2.0 ** (-max_bias / n_log2)
+    m1 = 2.0 ** (-max_bias / 2.0 / n_log2)
+    return jnp.asarray(
+        [m0 ** (h + 1) if h < n_log2 else m1 ** (2 * (h - n_log2) + 1)
+         for h in range(n_head)],
+        jnp.float32,
+    )
+
+
+def alibi_distances(positions: jax.Array, n_keys: int) -> jax.Array:
+    """[B, T, S] = -|query_pos - key_slot| (reference llama-graph.cpp:353
+    kq-mask fill when hparams.use_alibi)."""
+    key_pos = jnp.arange(n_keys)[None, None, :]
+    return -jnp.abs(positions[:, :, None] - key_pos).astype(jnp.float32)
 
 
 def attention_reference(
@@ -15,6 +38,7 @@ def attention_reference(
     mask: jax.Array,  # [B, T, S] bool (True = attend)
     scale: float,
     softcap: float = 0.0,
+    alibi: tuple[jax.Array, jax.Array] | None = None,  # (slopes [H], dist [B,T,S])
 ) -> jax.Array:
     B, T, H, D = q.shape
     Hkv = k.shape[1]
@@ -24,6 +48,12 @@ def attention_reference(
     scores = jnp.einsum("bthgd,bhsd->bhgts", qf, kf) * scale  # [B,Hkv,G,T,S]
     if softcap:
         scores = jnp.tanh(scores / softcap) * softcap
+    if alibi is not None:
+        slopes, dist = alibi
+        scores = scores + (
+            slopes.reshape(Hkv, G)[None, :, :, None, None]
+            * dist[:, None, None, :, :]
+        )
     scores = jnp.where(mask[:, None, None, :, :], scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1)
     # rows with no valid key (fully masked) produce NaN; zero them
@@ -54,12 +84,15 @@ def causal_mask(
 def attention(
     q, k, v, mask, scale, softcap: float = 0.0,
     offsets: jax.Array | None = None, sliding_window: int = 0,
+    alibi: tuple[jax.Array, jax.Array] | None = None,
 ) -> jax.Array:
     """Dispatch: Pallas flash kernel when the shape qualifies (prefill-sized
     T, aligned S) and per-batch offsets are provided; jnp reference otherwise
     (decode steps — weight streaming dominates there)."""
     from .pallas import flash
 
+    if alibi is not None:  # ALiBi bias rides the jnp path only
+        return attention_reference(q, k, v, mask, scale, softcap, alibi)
     if (
         offsets is not None
         and flash.available()
