@@ -887,3 +887,101 @@ def test_refact_alibi_matches_numpy(tmp_path):
     got = eng.prefill_all_logits(toks)
     ref = np_alibi_llama_forward(eng.reader, np.asarray(toks))
     np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
+
+
+# -- falcon / gptneox (LN+bias, fused qkv, neox rope, sequential GELU FFN) -----
+
+
+def np_falcon_neox_forward(reader: GGUFReader, tokens):
+    md = reader.metadata
+    arch = md["general.architecture"]
+    n_layer = md[f"{arch}.block_count"]
+    n_head = md[f"{arch}.attention.head_count"]
+    n_head_kv = md[f"{arch}.attention.head_count_kv"]
+    n_embd = md[f"{arch}.embedding_length"]
+    eps = md[f"{arch}.attention.layer_norm_epsilon"]
+    base = md[f"{arch}.rope.freq_base"]
+    n_rot = md[f"{arch}.rope.dimension_count"]
+    par_res = bool(md.get(f"{arch}.use_parallel_residual", False))
+    hd = n_embd // n_head
+    n_q, n_kv = n_head * hd, n_head_kv * hd
+
+    def t(name):
+        return reader.tensors[name].to_numpy().astype(np.float64)
+
+    def b(name):
+        return t(name) if name in reader.tensors else 0.0
+
+    def ln(x, w, bias):
+        mu = x.mean(-1, keepdims=True)
+        var = ((x - mu) ** 2).mean(-1, keepdims=True)
+        return (x - mu) / np.sqrt(var + eps) * w + bias
+
+    def rope_partial_neox(x, pos):
+        T, H, D = x.shape
+        half = n_rot // 2
+        inv = base ** (-np.arange(half) * 2.0 / n_rot)
+        theta = pos[:, None] * inv
+        c, s = np.cos(theta), np.sin(theta)
+        out = x.copy()
+        x0, x1 = x[..., :half], x[..., half:n_rot]
+        out[..., :half] = x0 * c[:, None, :] - x1 * s[:, None, :]
+        out[..., half:n_rot] = x0 * s[:, None, :] + x1 * c[:, None, :]
+        return out
+
+    def gelu(z):
+        from scipy.special import erf
+        return 0.5 * z * (1 + erf(z / np.sqrt(2)))
+
+    T = len(tokens)
+    pos = np.arange(T)
+    x = t("token_embd.weight")[tokens]
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        a_norm = ln(x, t(p + "attn_norm.weight"), t(p + "attn_norm.bias"))
+        if p + "attn_norm_2.weight" in reader.tensors:
+            h = ln(x, t(p + "attn_norm_2.weight"), t(p + "attn_norm_2.bias"))
+        else:
+            h = a_norm
+        qkv = h @ t(p + "attn_qkv.weight").T + b(p + "attn_qkv.bias")
+        q = qkv[:, :n_q].reshape(T, n_head, hd)
+        k = qkv[:, n_q:n_q + n_kv].reshape(T, n_head_kv, hd)
+        v = qkv[:, n_q + n_kv:].reshape(T, n_head_kv, hd)
+        q, k = rope_partial_neox(q, pos), rope_partial_neox(k, pos)
+        out = _mha(q, k, v, n_head, n_head_kv, 1.0 / np.sqrt(hd))
+        attn = out.reshape(T, n_q) @ t(p + "attn_output.weight").T \
+             + b(p + "attn_output.bias")
+
+        def ffn(z):
+            up = z @ t(p + "ffn_up.weight").T + b(p + "ffn_up.bias")
+            return gelu(up) @ t(p + "ffn_down.weight").T + b(p + "ffn_down.bias")
+
+        if arch == "falcon":
+            x = x + attn + ffn(a_norm)
+        elif par_res:
+            f_norm = ln(x, t(p + "ffn_norm.weight"), t(p + "ffn_norm.bias"))
+            x = x + attn + ffn(f_norm)
+        else:
+            x = x + attn
+            f_norm = ln(x, t(p + "ffn_norm.weight"), t(p + "ffn_norm.bias"))
+            x = x + ffn(f_norm)
+    x = ln(x, t("output_norm.weight"), t("output_norm.bias"))
+    return x @ t("output.weight").T
+
+
+@pytest.mark.parametrize("arch,kw", [
+    ("falcon", {}),
+    ("falcon", {"norm2": True}),  # falcon-40B dual-norm layout
+    ("gptneox", {"rot_frac": 0.5}),  # sequential residual, partial rope
+    ("gptneox", {"rot_frac": 0.5, "par_residual": True}),
+])
+def test_falcon_neox_matches_numpy(tmp_path, arch, kw):
+    from tpullm.models.testing import make_tiny_falcon_gguf
+
+    path = make_tiny_falcon_gguf(tmp_path / f"{arch}.gguf", arch=arch, **kw)
+    eng = Engine(path, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    toks = eng.tokenizer.tokenize("the quick brown fox", add_special=True)
+    got = eng.prefill_all_logits(toks)
+    ref = np_falcon_neox_forward(eng.reader, np.asarray(toks))
+    np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)

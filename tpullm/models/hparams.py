@@ -71,6 +71,8 @@ class HParams:
     residual_scale: float = 1.0
     logit_scale: float = 1.0
     clamp_kqv: float = 0.0  # olmo/mpt qkv clamping
+    # gptneox hparams.use_par_res: x + attn(ln1(x)) + ffn(ln2(x))
+    par_residual: bool = False
     # NoPE interleave (smollm3/llama4: every Nth layer skips rope; 0 = never)
     no_rope_step: int = 0
     # default pooling for embeddings (llama_pooling_type):
@@ -215,6 +217,7 @@ def hparams_from_gguf(r: GGUFReader) -> HParams:
             (256.0 / n_embd) if arch == "minicpm" and n_embd else 1.0,
         )),
         clamp_kqv=float(k("{arch}.attention.clamp_kqv", 0.0) or 0.0),
+        par_residual=bool(k(Keys.LLM.USE_PARALLEL_RESIDUAL, False)),
         no_rope_step=4 if arch == "smollm3" else 0,
         pooling={0: "none", 1: "mean", 2: "cls", 3: "last", 4: "rank"}.get(
             int(k("{arch}.pooling_type",

@@ -87,6 +87,10 @@ def _ensure_builtin():
                  "exaone", "smollm3", "arcee", "minicpm", "xverse",
                  "ernie4_5", "refact", "baichuan"),
     )
+    from . import falcon
+
+    register_arch("falcon", falcon.build_params, falcon.forward,
+                  aliases=("gptneox",))
     from . import qwen
 
     # qwen v1 = llama graph with fused attn_qkv (llm_build_qwen); the fused

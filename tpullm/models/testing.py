@@ -1228,3 +1228,81 @@ def make_tiny_qwen_gguf(
     if split_path is not None:
         write(split_path, "qwen2", split_qkv=True)
     return str(path)
+
+
+def make_tiny_falcon_gguf(
+    path,
+    *,
+    arch: str = "falcon",
+    n_layer: int = 2,
+    n_embd: int = 64,
+    n_head: int = 4,
+    n_head_kv: int = 2,
+    n_ff: int = 128,
+    n_ctx: int = 256,
+    norm2: bool = False,  # falcon-40B dual attention norms
+    par_residual: bool = False,  # gptneox use_parallel_residual
+    rot_frac: float = 1.0,  # gptneox partial rotary fraction
+    seed: int = 0,
+) -> str:
+    """Tiny falcon/gptneox-shaped GGUF: LN+bias, fused attn_qkv, neox rope,
+    sequential GELU FFN (llm_build_falcon / llm_build_gptneox shapes)."""
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = _byte_vocab(DEFAULT_WORDS)
+    n_vocab = len(tokens)
+    head_dim = n_embd // n_head
+    neox = arch == "gptneox"
+
+    w = GGUFWriter(path, architecture=arch)
+    w.add_kv("general.name", f"tpullm-tiny-{arch}")
+    w.add_kv(f"{arch}.block_count", n_layer)
+    w.add_kv(f"{arch}.context_length", n_ctx)
+    w.add_kv(f"{arch}.embedding_length", n_embd)
+    w.add_kv(f"{arch}.feed_forward_length", n_ff)
+    w.add_kv(f"{arch}.attention.head_count", n_head)
+    w.add_kv(f"{arch}.attention.head_count_kv", n_head_kv)
+    w.add_kv(f"{arch}.attention.layer_norm_epsilon", 1e-5)
+    w.add_kv(f"{arch}.rope.freq_base", 10000.0)
+    w.add_kv(f"{arch}.rope.dimension_count", int(head_dim * rot_frac))
+    if neox:
+        w.add_kv(f"{arch}.use_parallel_residual", par_residual)
+    w.add_kv("tokenizer.ggml.model", "llama")
+    w.add_kv("tokenizer.ggml.tokens", tokens)
+    w.add_kv("tokenizer.ggml.scores", np.asarray(scores, dtype=np.float32))
+    w.add_kv("tokenizer.ggml.token_type", np.asarray(types, dtype=np.int32))
+    w.add_kv("tokenizer.ggml.bos_token_id", 1)
+    w.add_kv("tokenizer.ggml.eos_token_id", 2)
+    w.add_kv("tokenizer.ggml.unknown_token_id", 0)
+    w.add_kv("tokenizer.ggml.add_bos_token", True)
+
+    def rand(shape, scale=0.05):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    n_q = n_head * head_dim
+    n_kv = n_head_kv * head_dim
+    w.add_tensor("token_embd.weight", rand((n_vocab, n_embd)))
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        w.add_tensor(p + "attn_norm.weight", 1.0 + rand((n_embd,)))
+        w.add_tensor(p + "attn_norm.bias", rand((n_embd,)))
+        if norm2:
+            w.add_tensor(p + "attn_norm_2.weight", 1.0 + rand((n_embd,)))
+            w.add_tensor(p + "attn_norm_2.bias", rand((n_embd,)))
+        w.add_tensor(p + "attn_qkv.weight", rand((n_q + 2 * n_kv, n_embd)))
+        if neox:
+            w.add_tensor(p + "attn_qkv.bias", rand((n_q + 2 * n_kv,)))
+        w.add_tensor(p + "attn_output.weight", rand((n_embd, n_q)))
+        if neox:
+            w.add_tensor(p + "attn_output.bias", rand((n_embd,)))
+            w.add_tensor(p + "ffn_norm.weight", 1.0 + rand((n_embd,)))
+            w.add_tensor(p + "ffn_norm.bias", rand((n_embd,)))
+        w.add_tensor(p + "ffn_up.weight", rand((n_ff, n_embd)))
+        w.add_tensor(p + "ffn_down.weight", rand((n_embd, n_ff)))
+        if neox:
+            w.add_tensor(p + "ffn_up.bias", rand((n_ff,)))
+            w.add_tensor(p + "ffn_down.bias", rand((n_embd,)))
+    w.add_tensor("output_norm.weight", 1.0 + rand((n_embd,)))
+    w.add_tensor("output_norm.bias", rand((n_embd,)))
+    w.add_tensor("output.weight", rand((n_vocab, n_embd)))
+    w.write()
+    return str(path)
