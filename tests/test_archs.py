@@ -985,3 +985,94 @@ def test_falcon_neox_matches_numpy(tmp_path, arch, kw):
     got = eng.prefill_all_logits(toks)
     ref = np_falcon_neox_forward(eng.reader, np.asarray(toks))
     np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
+
+
+# -- bloom / mpt / jais (ALiBi fused-qkv family) -------------------------------
+
+
+def np_bloom_family_forward(reader: GGUFReader, tokens):
+    md = reader.metadata
+    arch = md["general.architecture"]
+    n_layer = md[f"{arch}.block_count"]
+    n_head = md[f"{arch}.attention.head_count"]
+    n_embd = md[f"{arch}.embedding_length"]
+    eps = md[f"{arch}.attention.layer_norm_epsilon"]
+    max_bias = md.get(f"{arch}.attention.max_alibi_bias", 8.0)
+    clamp = md.get(f"{arch}.attention.clamp_kqv", 0.0)
+    hd = n_embd // n_head
+
+    def t(name):
+        return reader.tensors[name].to_numpy().astype(np.float64)
+
+    def b(name):
+        return t(name) if name in reader.tensors else 0.0
+
+    def ln(x, w, bias):
+        mu = x.mean(-1, keepdims=True)
+        var = ((x - mu) ** 2).mean(-1, keepdims=True)
+        return (x - mu) / np.sqrt(var + eps) * w + bias
+
+    n_log2 = 1 << int(np.floor(np.log2(n_head)))
+    m0 = 2.0 ** (-max_bias / n_log2)
+    m1 = 2.0 ** (-max_bias / 2.0 / n_log2)
+    slopes = [m0 ** (h + 1) if h < n_log2 else m1 ** (2 * (h - n_log2) + 1)
+              for h in range(n_head)]
+
+    T = len(tokens)
+    x = t("token_embd.weight")[tokens]
+    if "token_embd_norm.weight" in reader.tensors:
+        x = ln(x, t("token_embd_norm.weight"), b("token_embd_norm.bias"))
+    if "position_embd.weight" in reader.tensors:
+        x = x + t("position_embd.weight")[np.arange(T)]
+    dist = -np.abs(np.arange(T)[:, None] - np.arange(T)[None, :])
+    scale = (1.0 / hd) if arch == "jais" else 1.0 / np.sqrt(hd)
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        h = ln(x, t(p + "attn_norm.weight"), b(p + "attn_norm.bias"))
+        qkv = h @ t(p + "attn_qkv.weight").T + b(p + "attn_qkv.bias")
+        if clamp:
+            qkv = np.clip(qkv, -clamp, clamp)
+        q, k, v = qkv[:, :n_embd], qkv[:, n_embd:2 * n_embd], qkv[:, 2 * n_embd:]
+        if p + "attn_q_norm.weight" in reader.tensors:
+            q = ln(q, t(p + "attn_q_norm.weight"), b(p + "attn_q_norm.bias"))
+            k = ln(k, t(p + "attn_k_norm.weight"), b(p + "attn_k_norm.bias"))
+        q = q.reshape(T, n_head, hd)
+        k = k.reshape(T, n_head, hd)
+        v = v.reshape(T, n_head, hd)
+        out = np.zeros((T, n_head, hd))
+        for hh in range(n_head):
+            scores = q[:, hh] @ k[:, hh].T * scale + slopes[hh] * dist
+            scores += np.triu(np.full((T, T), -np.inf), k=1)
+            e = np.exp(scores - scores.max(-1, keepdims=True))
+            out[:, hh] = (e / e.sum(-1, keepdims=True)) @ v[:, hh]
+        x = x + out.reshape(T, n_embd) @ t(p + "attn_output.weight").T \
+              + b(p + "attn_output.bias")
+        h = ln(x, t(p + "ffn_norm.weight"), b(p + "ffn_norm.bias"))
+        up = h @ t(p + "ffn_up.weight").T + b(p + "ffn_up.bias")
+        if p + "ffn_gate.weight" in reader.tensors:  # jais swiglu
+            gate = h @ t(p + "ffn_gate.weight").T + b(p + "ffn_gate.bias")
+            act = gate / (1 + np.exp(-gate)) * up
+        else:
+            from scipy.special import erf
+            act = 0.5 * up * (1 + erf(up / np.sqrt(2)))
+        x = x + act @ t(p + "ffn_down.weight").T + b(p + "ffn_down.bias")
+    x = ln(x, t("output_norm.weight"), b("output_norm.bias"))
+    if "output.weight" in reader.tensors:
+        return x @ t("output.weight").T
+    return x @ t("token_embd.weight").T
+
+
+@pytest.mark.parametrize("arch", ["bloom", "mpt", "jais"])
+def test_bloom_family_matches_numpy(tmp_path, arch):
+    from tpullm.models.testing import make_tiny_bloom_gguf
+
+    path = make_tiny_bloom_gguf(tmp_path / f"{arch}.gguf", arch=arch)
+    eng = Engine(path, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    assert eng.hp.max_alibi_bias == 8.0
+    if arch == "mpt":
+        assert eng.hp.clamp_kqv == 2.0
+    toks = eng.tokenizer.tokenize("the quick brown fox", add_special=True)
+    got = eng.prefill_all_logits(toks)
+    ref = np_bloom_family_forward(eng.reader, np.asarray(toks))
+    np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)

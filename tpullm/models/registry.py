@@ -91,6 +91,11 @@ def _ensure_builtin():
 
     register_arch("falcon", falcon.build_params, falcon.forward,
                   aliases=("gptneox",))
+    from . import bloom
+
+    # the ALiBi fused-qkv family (llm_build_{bloom,mpt,jais})
+    register_arch("bloom", bloom.build_params, bloom.forward,
+                  aliases=("mpt", "jais"))
     from . import qwen
 
     # qwen v1 = llama graph with fused attn_qkv (llm_build_qwen); the fused

@@ -1306,3 +1306,92 @@ def make_tiny_falcon_gguf(
     w.add_tensor("output.weight", rand((n_vocab, n_embd)))
     w.write()
     return str(path)
+
+
+def make_tiny_bloom_gguf(
+    path,
+    *,
+    arch: str = "bloom",
+    n_layer: int = 2,
+    n_embd: int = 64,
+    n_head: int = 4,
+    n_ff: int = 128,
+    n_ctx: int = 256,
+    max_alibi_bias: float = 8.0,
+    seed: int = 0,
+) -> str:
+    """Tiny bloom/mpt/jais-shaped GGUF (ALiBi fused-qkv family).
+
+    bloom: token_embd_norm + biases everywhere; mpt: bias-free with
+    full-width qk LayerNorm, clamp_kqv and a learned pos_embd; jais:
+    biased + SiLU-gated FFN.
+    """
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = _byte_vocab(DEFAULT_WORDS)
+    n_vocab = len(tokens)
+    head_dim = n_embd // n_head
+    biased = arch in ("bloom", "jais")
+
+    w = GGUFWriter(path, architecture=arch)
+    w.add_kv("general.name", f"tpullm-tiny-{arch}")
+    w.add_kv(f"{arch}.block_count", n_layer)
+    w.add_kv(f"{arch}.context_length", n_ctx)
+    w.add_kv(f"{arch}.embedding_length", n_embd)
+    w.add_kv(f"{arch}.feed_forward_length", n_ff)
+    w.add_kv(f"{arch}.attention.head_count", n_head)
+    w.add_kv(f"{arch}.attention.head_count_kv", n_head)
+    w.add_kv(f"{arch}.attention.layer_norm_epsilon", 1e-5)
+    if arch in ("mpt", "jais"):
+        w.add_kv(f"{arch}.attention.max_alibi_bias", max_alibi_bias)
+    if arch == "mpt":
+        w.add_kv(f"{arch}.attention.clamp_kqv", 2.0)
+    w.add_kv("tokenizer.ggml.model", "llama")
+    w.add_kv("tokenizer.ggml.tokens", tokens)
+    w.add_kv("tokenizer.ggml.scores", np.asarray(scores, dtype=np.float32))
+    w.add_kv("tokenizer.ggml.token_type", np.asarray(types, dtype=np.int32))
+    w.add_kv("tokenizer.ggml.bos_token_id", 1)
+    w.add_kv("tokenizer.ggml.eos_token_id", 2)
+    w.add_kv("tokenizer.ggml.unknown_token_id", 0)
+    w.add_kv("tokenizer.ggml.add_bos_token", True)
+
+    def rand(shape, scale=0.05):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    w.add_tensor("token_embd.weight", rand((n_vocab, n_embd)))
+    if arch == "bloom":
+        w.add_tensor("token_embd_norm.weight", 1.0 + rand((n_embd,)))
+        w.add_tensor("token_embd_norm.bias", rand((n_embd,)))
+    if arch == "mpt":
+        w.add_tensor("position_embd.weight", rand((n_ctx, n_embd)))
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        w.add_tensor(p + "attn_norm.weight", 1.0 + rand((n_embd,)))
+        if biased:
+            w.add_tensor(p + "attn_norm.bias", rand((n_embd,)))
+        w.add_tensor(p + "attn_qkv.weight", rand((3 * n_embd, n_embd)))
+        if biased:
+            w.add_tensor(p + "attn_qkv.bias", rand((3 * n_embd,)))
+        if arch == "mpt":
+            w.add_tensor(p + "attn_q_norm.weight", 1.0 + rand((n_embd,)))
+            w.add_tensor(p + "attn_k_norm.weight", 1.0 + rand((n_embd,)))
+        w.add_tensor(p + "attn_output.weight", rand((n_embd, n_embd)))
+        if biased:
+            w.add_tensor(p + "attn_output.bias", rand((n_embd,)))
+        w.add_tensor(p + "ffn_norm.weight", 1.0 + rand((n_embd,)))
+        if biased:
+            w.add_tensor(p + "ffn_norm.bias", rand((n_embd,)))
+        if arch == "jais":
+            w.add_tensor(p + "ffn_gate.weight", rand((n_ff, n_embd)))
+            w.add_tensor(p + "ffn_gate.bias", rand((n_ff,)))
+        w.add_tensor(p + "ffn_up.weight", rand((n_ff, n_embd)))
+        w.add_tensor(p + "ffn_down.weight", rand((n_embd, n_ff)))
+        if biased:
+            w.add_tensor(p + "ffn_up.bias", rand((n_ff,)))
+            w.add_tensor(p + "ffn_down.bias", rand((n_embd,)))
+    w.add_tensor("output_norm.weight", 1.0 + rand((n_embd,)))
+    if biased:
+        w.add_tensor("output_norm.bias", rand((n_embd,)))
+    if arch != "mpt":  # mpt ties the output head to the embedding
+        w.add_tensor("output.weight", rand((n_vocab, n_embd)))
+    w.write()
+    return str(path)
