@@ -1076,3 +1076,107 @@ def test_bloom_family_matches_numpy(tmp_path, arch):
     got = eng.prefill_all_logits(toks)
     ref = np_bloom_family_forward(eng.reader, np.asarray(toks))
     np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
+
+
+# -- chatglm / glm4 (partial NORM rope, fused gate_up swiglu, glm4 post-norms) -
+
+
+def np_chatglm_forward(reader: GGUFReader, tokens):
+    md = reader.metadata
+    arch = md["general.architecture"]
+    n_layer = md[f"{arch}.block_count"]
+    n_head = md[f"{arch}.attention.head_count"]
+    n_head_kv = md[f"{arch}.attention.head_count_kv"]
+    n_embd = md[f"{arch}.embedding_length"]
+    eps = md[f"{arch}.attention.layer_norm_rms_epsilon"]
+    base = md[f"{arch}.rope.freq_base"]
+    n_rot = md[f"{arch}.rope.dimension_count"]
+    hd = n_embd // n_head
+    n_q, n_kv = n_head * hd, n_head_kv * hd
+
+    def t(name):
+        return reader.tensors[name].to_numpy().astype(np.float64)
+
+    def rope_partial_norm(x, pos):
+        # interleaved pairs over the first n_rot dims (ggml NORM style)
+        T, H, D = x.shape
+        half = n_rot // 2
+        inv = base ** (-np.arange(half) * 2.0 / n_rot)
+        theta = pos[:, None] * inv
+        c, s = np.cos(theta), np.sin(theta)
+        out = x.copy()
+        x0 = x[..., 0:n_rot:2]
+        x1 = x[..., 1:n_rot:2]
+        out[..., 0:n_rot:2] = x0 * c[:, None, :] - x1 * s[:, None, :]
+        out[..., 1:n_rot:2] = x0 * s[:, None, :] + x1 * c[:, None, :]
+        return out
+
+    T = len(tokens)
+    pos = np.arange(T)
+    x = t("token_embd.weight")[tokens]
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        h = _rms(x, t(p + "attn_norm.weight"), eps)
+        if p + "attn_qkv.weight" in reader.tensors:
+            qkv = h @ t(p + "attn_qkv.weight").T + t(p + "attn_qkv.bias")
+            q, k, v = qkv[:, :n_q], qkv[:, n_q:n_q + n_kv], qkv[:, n_q + n_kv:]
+        else:
+            q = h @ t(p + "attn_q.weight").T
+            k = h @ t(p + "attn_k.weight").T
+            v = h @ t(p + "attn_v.weight").T
+        q = rope_partial_norm(q.reshape(T, n_head, hd), pos)
+        k = rope_partial_norm(k.reshape(T, n_head_kv, hd), pos)
+        v = v.reshape(T, n_head_kv, hd)
+        out = _mha(q, k, v, n_head, n_head_kv, 1.0 / np.sqrt(hd))
+        attn = out.reshape(T, n_q) @ t(p + "attn_output.weight").T
+        if p + "post_attention_norm.weight" in reader.tensors:
+            attn = _rms(attn, t(p + "post_attention_norm.weight"), eps)
+        x = x + attn
+        h = _rms(x, t(p + "ffn_norm.weight"), eps)
+        gate_up = h @ t(p + "ffn_up.weight").T
+        n_ff = gate_up.shape[1] // 2
+        gate, up = gate_up[:, :n_ff], gate_up[:, n_ff:]
+        ffn = (gate / (1 + np.exp(-gate)) * up) @ t(p + "ffn_down.weight").T
+        if p + "post_ffw_norm.weight" in reader.tensors:
+            ffn = _rms(ffn, t(p + "post_ffw_norm.weight"), eps)
+        x = x + ffn
+    x = _rms(x, t("output_norm.weight"), eps)
+    return x @ t("output.weight").T
+
+
+@pytest.mark.parametrize("arch", ["chatglm", "glm4"])
+def test_chatglm_family_matches_numpy(tmp_path, arch):
+    from tpullm.models.testing import make_tiny_chatglm_gguf
+
+    path = make_tiny_chatglm_gguf(tmp_path / f"{arch}.gguf", arch=arch)
+    eng = Engine(path, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    toks = eng.tokenizer.tokenize("the quick brown fox", add_special=True)
+    got = eng.prefill_all_logits(toks)
+    ref = np_chatglm_forward(eng.reader, np.asarray(toks))
+    np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
+
+
+def test_codeshell_matches_numpy(tmp_path):
+    """codeshell rides the gptneox sequential graph (llm_build_codeshell)."""
+    from tpullm.models.testing import make_tiny_falcon_gguf
+
+    path = make_tiny_falcon_gguf(tmp_path / "codeshell.gguf", arch="codeshell",
+                                 rot_frac=0.5)
+    eng = Engine(path, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    toks = eng.tokenizer.tokenize("the quick brown fox", add_special=True)
+    got = eng.prefill_all_logits(toks)
+    ref = np_falcon_neox_forward(eng.reader, np.asarray(toks))
+    np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
+
+
+def test_starcoder_v1_loads_and_generates(tmp_path):
+    """starcoder (v1) rides the gpt2 wpe + fused-qkv graph
+    (llm_build_starcoder)."""
+    from tpullm.models.testing import make_tiny_gpt2_gguf
+
+    path = make_tiny_gpt2_gguf(tmp_path / "starcoder.gguf", arch="starcoder")
+    eng = Engine(path, mode="dense", max_seq=64)
+    out = eng.generate("the quick", max_new_tokens=4)
+    assert isinstance(out, str)

@@ -89,13 +89,19 @@ def _ensure_builtin():
     )
     from . import falcon
 
+    # codeshell = the gptneox sequential layout with neox partial rope
+    # (llm_build_codeshell)
     register_arch("falcon", falcon.build_params, falcon.forward,
-                  aliases=("gptneox",))
+                  aliases=("gptneox", "codeshell"))
     from . import bloom
 
     # the ALiBi fused-qkv family (llm_build_{bloom,mpt,jais})
     register_arch("bloom", bloom.build_params, bloom.forward,
                   aliases=("mpt", "jais"))
+    from . import chatglm
+
+    register_arch("chatglm", chatglm.build_params, chatglm.forward,
+                  aliases=("glm4",))
     from . import qwen
 
     # qwen v1 = llama graph with fused attn_qkv (llm_build_qwen); the fused
@@ -116,7 +122,10 @@ def _ensure_builtin():
         aliases=("gemma2",),
         iswa=True,
     )
-    register_arch("gpt2", gpt2.build_params, gpt2.forward)
+    # starcoder (v1) is the same wpe + fused-qkv + LN + seq-GELU graph
+    # (llm_build_starcoder ≡ llm_build_gpt2 modulo tensor presence)
+    register_arch("gpt2", gpt2.build_params, gpt2.forward,
+                  aliases=("starcoder",))
     from . import phi3
 
     register_arch("phi3", phi3.build_params, llama.forward)

@@ -253,6 +253,7 @@ def make_tiny_gemma_gguf(
 def make_tiny_gpt2_gguf(
     path,
     *,
+    arch: str = "gpt2",
     n_layer: int = 2,
     n_embd: int = 64,
     n_head: int = 4,
@@ -266,14 +267,14 @@ def make_tiny_gpt2_gguf(
     n_vocab = len(tokens)
     head_dim = n_embd // n_head
 
-    w = GGUFWriter(path, architecture="gpt2")
+    w = GGUFWriter(path, architecture=arch)
     w.add_kv("general.name", "tpullm-tiny-gpt2")
-    w.add_kv("gpt2.block_count", n_layer)
-    w.add_kv("gpt2.context_length", n_ctx)
-    w.add_kv("gpt2.embedding_length", n_embd)
-    w.add_kv("gpt2.feed_forward_length", n_ff)
-    w.add_kv("gpt2.attention.head_count", n_head)
-    w.add_kv("gpt2.attention.layer_norm_epsilon", 1e-5)
+    w.add_kv(f"{arch}.block_count", n_layer)
+    w.add_kv(f"{arch}.context_length", n_ctx)
+    w.add_kv(f"{arch}.embedding_length", n_embd)
+    w.add_kv(f"{arch}.feed_forward_length", n_ff)
+    w.add_kv(f"{arch}.attention.head_count", n_head)
+    w.add_kv(f"{arch}.attention.layer_norm_epsilon", 1e-5)
     w.add_kv("tokenizer.ggml.model", "llama")
     w.add_kv("tokenizer.ggml.tokens", tokens)
     w.add_kv("tokenizer.ggml.scores", np.asarray(scores, dtype=np.float32))
@@ -1251,7 +1252,7 @@ def make_tiny_falcon_gguf(
     tokens, scores, types = _byte_vocab(DEFAULT_WORDS)
     n_vocab = len(tokens)
     head_dim = n_embd // n_head
-    neox = arch == "gptneox"
+    neox = arch in ("gptneox", "codeshell")
 
     w = GGUFWriter(path, architecture=arch)
     w.add_kv("general.name", f"tpullm-tiny-{arch}")
@@ -1264,7 +1265,7 @@ def make_tiny_falcon_gguf(
     w.add_kv(f"{arch}.attention.layer_norm_epsilon", 1e-5)
     w.add_kv(f"{arch}.rope.freq_base", 10000.0)
     w.add_kv(f"{arch}.rope.dimension_count", int(head_dim * rot_frac))
-    if neox:
+    if arch == "gptneox":
         w.add_kv(f"{arch}.use_parallel_residual", par_residual)
     w.add_kv("tokenizer.ggml.model", "llama")
     w.add_kv("tokenizer.ggml.tokens", tokens)
@@ -1393,5 +1394,73 @@ def make_tiny_bloom_gguf(
         w.add_tensor("output_norm.bias", rand((n_embd,)))
     if arch != "mpt":  # mpt ties the output head to the embedding
         w.add_tensor("output.weight", rand((n_vocab, n_embd)))
+    w.write()
+    return str(path)
+
+
+def make_tiny_chatglm_gguf(
+    path,
+    *,
+    arch: str = "chatglm",
+    n_layer: int = 2,
+    n_embd: int = 64,
+    n_head: int = 4,
+    n_head_kv: int = 2,
+    n_ff: int = 128,
+    n_ctx: int = 256,
+    seed: int = 0,
+) -> str:
+    """Tiny chatglm/glm4-shaped GGUF: RMS norms, partial NORM rope, fused
+    gate_up swiglu. chatglm = fused biased qkv; glm4 = split qkv + post-norms."""
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = _byte_vocab(DEFAULT_WORDS)
+    n_vocab = len(tokens)
+    head_dim = n_embd // n_head
+    glm4 = arch == "glm4"
+
+    w = GGUFWriter(path, architecture=arch)
+    w.add_kv("general.name", f"tpullm-tiny-{arch}")
+    w.add_kv(f"{arch}.block_count", n_layer)
+    w.add_kv(f"{arch}.context_length", n_ctx)
+    w.add_kv(f"{arch}.embedding_length", n_embd)
+    w.add_kv(f"{arch}.feed_forward_length", n_ff)
+    w.add_kv(f"{arch}.attention.head_count", n_head)
+    w.add_kv(f"{arch}.attention.head_count_kv", n_head_kv)
+    w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_kv(f"{arch}.rope.freq_base", 10000.0)
+    w.add_kv(f"{arch}.rope.dimension_count", head_dim // 2)
+    w.add_kv("tokenizer.ggml.model", "llama")
+    w.add_kv("tokenizer.ggml.tokens", tokens)
+    w.add_kv("tokenizer.ggml.scores", np.asarray(scores, dtype=np.float32))
+    w.add_kv("tokenizer.ggml.token_type", np.asarray(types, dtype=np.int32))
+    w.add_kv("tokenizer.ggml.bos_token_id", 1)
+    w.add_kv("tokenizer.ggml.eos_token_id", 2)
+    w.add_kv("tokenizer.ggml.unknown_token_id", 0)
+    w.add_kv("tokenizer.ggml.add_bos_token", True)
+
+    def rand(shape, scale=0.05):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    n_q = n_head * head_dim
+    n_kv = n_head_kv * head_dim
+    w.add_tensor("token_embd.weight", rand((n_vocab, n_embd)))
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        w.add_tensor(p + "attn_norm.weight", 1.0 + rand((n_embd,)))
+        if glm4:
+            w.add_tensor(p + "attn_q.weight", rand((n_q, n_embd)))
+            w.add_tensor(p + "attn_k.weight", rand((n_kv, n_embd)))
+            w.add_tensor(p + "attn_v.weight", rand((n_kv, n_embd)))
+            w.add_tensor(p + "post_attention_norm.weight", 1.0 + rand((n_embd,)))
+            w.add_tensor(p + "post_ffw_norm.weight", 1.0 + rand((n_embd,)))
+        else:
+            w.add_tensor(p + "attn_qkv.weight", rand((n_q + 2 * n_kv, n_embd)))
+            w.add_tensor(p + "attn_qkv.bias", rand((n_q + 2 * n_kv,)))
+        w.add_tensor(p + "attn_output.weight", rand((n_embd, n_q)))
+        w.add_tensor(p + "ffn_norm.weight", 1.0 + rand((n_embd,)))
+        w.add_tensor(p + "ffn_up.weight", rand((2 * n_ff, n_embd)))
+        w.add_tensor(p + "ffn_down.weight", rand((n_embd, n_ff)))
+    w.add_tensor("output_norm.weight", 1.0 + rand((n_embd,)))
+    w.add_tensor("output.weight", rand((n_vocab, n_embd)))
     w.write()
     return str(path)
