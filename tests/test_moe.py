@@ -15,7 +15,7 @@ from tpullm.runtime import Engine
 # -- op-level: route + moe_ffn vs numpy ------------------------------------------
 
 
-def np_moe(x, router_w, gate, up, down, k, norm_w):
+def np_moe(x, router_w, gate, up, down, k, norm_w, scale=1.0):
     """x [N,E], router_w [n_exp, n_embd], experts (E, F, embd)/(E, embd, F)."""
     logits = x @ router_w.T
     p = np.exp(logits - logits.max(-1, keepdims=True))
@@ -30,7 +30,7 @@ def np_moe(x, router_w, gate, up, down, k, norm_w):
             g = x[n] @ gate[e].T
             u = x[n] @ up[e].T
             act = g / (1 + np.exp(-g)) * u
-            out[n] += ws[j] * (act @ down[e].T)
+            out[n] += scale * ws[j] * (act @ down[e].T)
     return out
 
 
@@ -83,6 +83,7 @@ def np_moe_forward(reader: GGUFReader, tokens: np.ndarray) -> np.ndarray:
     eps = md[f"{arch}.attention.layer_norm_rms_epsilon"]
     base = md[f"{arch}.rope.freq_base"]
     n_used = md[f"{arch}.expert_used_count"]
+    scale = md.get(f"{arch}.expert_weights_scale", 1.0) or 1.0
     hd = n_embd // n_head
 
     def t(name):
@@ -94,16 +95,23 @@ def np_moe_forward(reader: GGUFReader, tokens: np.ndarray) -> np.ndarray:
     def rms(x, w):
         return x / np.sqrt((x * x).mean(-1, keepdims=True) + eps) * w
 
-    def rope_neox(x, pos):  # halves rotation (qwen is a neox-rope arch)
+    def rope_neox(x, pos):
+        # halves rotation (qwen family); deepseek v1 is a NORM-rope arch
+        # (interleaved pairs)
         T, H, D = x.shape
         half = D // 2
         inv = base ** (-np.arange(half) * 2.0 / D)
         theta = pos[:, None] * inv
         c, s = np.cos(theta), np.sin(theta)
-        x0, x1 = x[..., :half], x[..., half:]
         out = x.copy()
-        out[..., :half] = x0 * c[:, None, :] - x1 * s[:, None, :]
-        out[..., half:] = x0 * s[:, None, :] + x1 * c[:, None, :]
+        if arch in ("deepseek", "granitemoe"):  # NORM-rope archs
+            x0, x1 = x[..., 0::2], x[..., 1::2]
+            out[..., 0::2] = x0 * c[:, None, :] - x1 * s[:, None, :]
+            out[..., 1::2] = x0 * s[:, None, :] + x1 * c[:, None, :]
+        else:
+            x0, x1 = x[..., :half], x[..., half:]
+            out[..., :half] = x0 * c[:, None, :] - x1 * s[:, None, :]
+            out[..., half:] = x0 * s[:, None, :] + x1 * c[:, None, :]
         return out
 
     T = len(tokens)
@@ -135,32 +143,49 @@ def np_moe_forward(reader: GGUFReader, tokens: np.ndarray) -> np.ndarray:
             out[:, hh] = (e / e.sum(-1, keepdims=True)) @ vv
         x = x + out.reshape(T, n_embd) @ t(p + "attn_output.weight").T
         h = rms(x, t(p + "ffn_norm.weight"))
-        moe = np_moe(
-            h,
-            t(p + "ffn_gate_inp.weight"),
-            t(p + "ffn_gate_exps.weight"),
-            t(p + "ffn_up_exps.weight"),
-            t(p + "ffn_down_exps.weight"),
-            n_used,
-            norm_w=arch == "qwen3moe",
-        )
+        if has(p + "ffn_gate.weight"):  # deepseek dense lead layer
+            gd = h @ t(p + "ffn_gate.weight").T
+            ud = h @ t(p + "ffn_up.weight").T
+            moe = (gd / (1 + np.exp(-gd)) * ud) @ t(p + "ffn_down.weight").T
+        else:
+            moe = np_moe(
+                h,
+                t(p + "ffn_gate_inp.weight"),
+                t(p + "ffn_gate_exps.weight"),
+                t(p + "ffn_up_exps.weight"),
+                t(p + "ffn_down_exps.weight"),
+                n_used,
+                norm_w=arch in ("qwen3moe", "granitemoe"),
+                scale=scale,
+            )
         if has(p + "ffn_gate_shexp.weight"):
             gsh = h @ t(p + "ffn_gate_shexp.weight").T
             ush = h @ t(p + "ffn_up_shexp.weight").T
             act = gsh / (1 + np.exp(-gsh)) * ush
             sh = act @ t(p + "ffn_down_shexp.weight").T
-            gate_in = 1 / (1 + np.exp(-(h @ t(p + "ffn_gate_inp_shexp.weight"))))
-            moe = moe + sh * gate_in[:, None]
+            if has(p + "ffn_gate_inp_shexp.weight"):
+                gate_in = 1 / (1 + np.exp(-(h @ t(p + "ffn_gate_inp_shexp.weight"))))
+                sh = sh * gate_in[:, None]
+            moe = moe + sh
         x = x + moe
     x = rms(x, t("output_norm.weight"))
     return x @ t("output.weight").T
 
 
-@pytest.mark.parametrize("arch,shexp",
-                         [("qwen3moe", 0), ("qwen2moe", 48), ("olmoe", 0)])
-def test_moe_forward_matches_numpy(tmp_path, arch, shexp):
+@pytest.mark.parametrize("arch,shexp,kw", [
+    ("qwen3moe", 0, {}),
+    ("qwen2moe", 48, {}),
+    ("olmoe", 0, {}),
+    # deepseek v1: dense lead layer + ungated shared expert + routed-weight
+    # scale, NORM-style rope (llm_build_deepseek)
+    ("deepseek", 48, {"gated_shexp": False, "n_dense_lead": 1,
+                      "expert_weights_scale": 2.0}),
+    # granitemoe: renormalized routing + optional ungated shared expert
+    ("granitemoe", 48, {"gated_shexp": False}),
+])
+def test_moe_forward_matches_numpy(tmp_path, arch, shexp, kw):
     path = make_tiny_moe_gguf(tmp_path / f"{arch}.gguf", arch=arch,
-                              n_ff_shexp=shexp)
+                              n_ff_shexp=shexp, **kw)
     eng = Engine(path, mode="dense", dtype=jnp.float32, max_seq=64,
                  kv_dtype=jnp.float32)
     toks = eng.tokenizer.tokenize("the quick brown fox", add_special=True)

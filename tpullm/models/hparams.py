@@ -114,7 +114,7 @@ NEOX_ROPE_ARCHS = {
     "qwen3moe", "olmo", "olmo2", "olmoe", "phi2", "phi3", "phimoe", "gemma",
     "gemma2", "gemma3", "gemma3n", "starcoder2", "openelm", "dbrx", "bert",
     "nomic-bert", "minicpm3", "command-r", "cohere2", "internlm2", "exaone",
-    "exaone4", "smollm3", "gpt-oss", "deci", "nemotron", "granite-hybrid",
+    "exaone4", "smollm3", "gpt-oss", "deci", "nemotron",
     "orion", "codeshell",
 }
 

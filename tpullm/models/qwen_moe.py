@@ -1,10 +1,20 @@
-"""Qwen2-MoE / Qwen3-MoE decoders.
+"""Qwen2-MoE / Qwen3-MoE / DeepSeek-v1 / Granite-MoE decoders.
 
 Reference graphs: llm_build_qwen2moe / llm_build_qwen3moe
-(src/models/qwen2moe.cpp, qwen3moe.cpp). Same GQA attention as the llama
-family (qwen2moe adds attn biases, qwen3moe adds qk-norm — both handled by
-the shared attn_block); the FFN is a routed expert mixture
-(ops/moe.py), plus — qwen2moe only — a sigmoid-gated shared expert.
+(src/models/qwen2moe.cpp, qwen3moe.cpp), llm_build_deepseek
+(src/models/deepseek.cpp), and llm_build_granite's MoE branch
+(src/models/granite.cpp:164-197). Same GQA attention as the llama family
+(qwen2moe adds attn biases, qwen3moe adds qk-norm — both handled by the
+shared attn_block); the FFN is a routed expert mixture (ops/moe.py).
+
+Variants ride optional tensors and hparams:
+- deepseek: n_layer_dense_lead leading layers use a plain swiglu FFN
+  (per-layer dense tensors), the rest MoE + an UNGATED shared expert and
+  expert_weights_scale, un-renormalized softmax routing.
+- qwen2moe: sigmoid-GATED shared expert (ffn_gate_inp_shexp), no renorm.
+- qwen3moe / granite-moe: renormalized top-k routing; granite-moe adds the
+  granite residual/embedding/logit multipliers (from GGUF keys) and an
+  optional ungated shared expert.
 
 Expert weights are stored stacked: blk.N.ffn_{gate,up,down}_exps.weight with
 logical shape (n_expert, n_ff_exp, n_embd) / (n_expert, n_embd, n_ff_exp).
@@ -58,15 +68,23 @@ def build_params(r: GGUFReader, hp: HParams, mode: str = "auto",
             "bv": maybe_vector(p + "attn_v.bias"),
             "q_norm": maybe_vector(p + "attn_q_norm.weight"),
             "k_norm": maybe_vector(p + "attn_k_norm.weight"),
-            # MoE: router + stacked experts
-            "router": linear(p + "ffn_gate_inp.weight"),
-            "w_gate_exps": _experts(t[p + "ffn_gate_exps.weight"], dtype),
-            "w_up_exps": _experts(t[p + "ffn_up_exps.weight"], dtype),
-            "w_down_exps": _experts(t[p + "ffn_down_exps.weight"], dtype),
         }
-        # qwen2moe shared expert (sigmoid-gated, always active)
+        if p + "ffn_gate_exps.weight" in t:
+            # MoE: router + stacked experts
+            layer["router"] = linear(p + "ffn_gate_inp.weight")
+            layer["w_gate_exps"] = _experts(t[p + "ffn_gate_exps.weight"], dtype)
+            layer["w_up_exps"] = _experts(t[p + "ffn_up_exps.weight"], dtype)
+            layer["w_down_exps"] = _experts(t[p + "ffn_down_exps.weight"], dtype)
+        else:
+            # deepseek dense lead layer (hparams.n_layer_dense_lead)
+            layer["w_gate"] = linear(p + "ffn_gate.weight")
+            layer["w_up"] = linear(p + "ffn_up.weight")
+            layer["w_down"] = linear(p + "ffn_down.weight")
+        # shared expert; sigmoid-gated when ffn_gate_inp_shexp exists
+        # (qwen2moe), otherwise plainly added (deepseek/granite-moe)
         if p + "ffn_gate_shexp.weight" in t:
-            layer["shexp_gate_inp"] = load_vector(t[p + "ffn_gate_inp_shexp.weight"])
+            if p + "ffn_gate_inp_shexp.weight" in t:
+                layer["shexp_gate_inp"] = load_vector(t[p + "ffn_gate_inp_shexp.weight"])
             layer["w_gate_shexp"] = linear(p + "ffn_gate_shexp.weight")
             layer["w_up_shexp"] = linear(p + "ffn_up_shexp.weight")
             layer["w_down_shexp"] = linear(p + "ffn_down_shexp.weight")
@@ -92,6 +110,8 @@ def forward(
 ) -> tuple[jax.Array, KVCache]:
     B, T = tokens.shape
     x = params["tok_embd"][tokens]
+    if hp.embd_scale != 1.0:  # granite-moe embedding multiplier
+        x = x * jnp.asarray(hp.embd_scale, x.dtype)
 
     offsets = jnp.broadcast_to(
         jnp.asarray(cache_offset).reshape(-1), (B,)
@@ -99,10 +119,9 @@ def forward(
     kv_len = jnp.asarray(cache_offset) + T
     mask = causal_mask(positions, cache.max_len, kv_len, hp.sliding_window)
 
-    # qwen3moe renormalizes top-k weights; qwen2moe does not
-    # (reference: qwen3moe.cpp build_moe_ffn(..., norm_w=true),
-    #  qwen2moe.cpp norm_w=false)
-    norm_w = hp.expert_weights_norm or hp.arch == "qwen3moe"
+    # qwen3moe/granite-moe renormalize top-k weights; qwen2moe/deepseek do
+    # not (reference: build_moe_ffn norm_w argument per graph)
+    norm_w = hp.expert_weights_norm or hp.arch in ("qwen3moe", "granitemoe")
 
     for li, layer in enumerate(params["layers"]):
         x, cache = attn_block(
@@ -110,27 +129,37 @@ def forward(
         )
         h = rms_norm(x, layer["ffn_norm"], hp.rms_eps)
         hs = h.reshape(B * T, -1)
-        router_logits = layer["router"](hs).astype(jnp.float32)
-        weights, idx = route(
-            router_logits, hp.n_expert_used,
-            gating=hp.expert_gating_func, norm_weights=norm_w,
-            scale=hp.expert_weights_scale,
-        )
-        ffn = moe_ffn(
-            hs, weights, idx,
-            layer["w_gate_exps"], layer["w_up_exps"], layer["w_down_exps"],
-        )
+        if "router" not in layer:  # deepseek dense lead layer
+            gate = layer["w_gate"](hs)
+            up = layer["w_up"](hs)
+            ffn = layer["w_down"](
+                jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
+            )
+        else:
+            router_logits = layer["router"](hs).astype(jnp.float32)
+            weights, idx = route(
+                router_logits, hp.n_expert_used,
+                gating=hp.expert_gating_func, norm_weights=norm_w,
+                scale=hp.expert_weights_scale,
+            )
+            ffn = moe_ffn(
+                hs, weights, idx,
+                layer["w_gate_exps"], layer["w_up_exps"], layer["w_down_exps"],
+            )
         if "w_gate_shexp" in layer:
             gate = layer["w_gate_shexp"](hs)
             up = layer["w_up_shexp"](hs)
             sh = layer["w_down_shexp"](
                 jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
             )
-            # sigmoid gate over the shared expert's contribution
-            g = jax.nn.sigmoid(
-                (hs.astype(jnp.float32) @ layer["shexp_gate_inp"].astype(jnp.float32))
-            )[:, None]
-            ffn = ffn + (sh.astype(jnp.float32) * g).astype(ffn.dtype)
+            if "shexp_gate_inp" in layer:  # qwen2moe sigmoid gate
+                g = jax.nn.sigmoid(
+                    (hs.astype(jnp.float32) @ layer["shexp_gate_inp"].astype(jnp.float32))
+                )[:, None]
+                sh = (sh.astype(jnp.float32) * g).astype(sh.dtype)
+            ffn = ffn + sh.astype(ffn.dtype)
+        if hp.residual_scale != 1.0:  # granite-moe
+            ffn = ffn * jnp.asarray(hp.residual_scale, ffn.dtype)
         x = x + ffn.reshape(B, T, -1)
 
     if return_hidden:

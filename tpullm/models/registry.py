@@ -111,7 +111,10 @@ def _ensure_builtin():
         "qwen3moe",
         qwen_moe.build_params,
         qwen_moe.forward,
-        aliases=("qwen2moe",),
+        # deepseek v1 = same graph + dense-lead layers + ungated shared
+        # expert (llm_build_deepseek); granite-moe = renormalized routing +
+        # granite multipliers (llm_build_granite MoE branch)
+        aliases=("qwen2moe", "deepseek", "granitemoe"),
     )
     from . import gemma, gpt2
 

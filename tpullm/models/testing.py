@@ -321,10 +321,14 @@ def make_tiny_moe_gguf(
     n_expert_used: int = 2,
     n_ff_exp: int = 96,
     n_ff_shexp: int = 0,  # >0 adds a qwen2moe-style shared expert
+    gated_shexp: bool = True,  # False: deepseek/granitemoe ungated shexp
+    n_dense_lead: int = 0,  # deepseek leading dense layers
+    expert_weights_scale: float = 0.0,  # >0 writes the deepseek scale key
     n_ctx: int = 256,
     seed: int = 0,
 ) -> str:
-    """Tiny qwen2moe/qwen3moe-shaped GGUF with stacked expert tensors."""
+    """Tiny qwen2moe/qwen3moe/deepseek/granitemoe-shaped GGUF with stacked
+    expert tensors."""
     rng = np.random.default_rng(seed)
     tokens, scores, types = _byte_vocab(DEFAULT_WORDS)
     n_vocab = len(tokens)
@@ -344,6 +348,10 @@ def make_tiny_moe_gguf(
     w.add_kv(f"{arch}.expert_count", n_expert)
     w.add_kv(f"{arch}.expert_used_count", n_expert_used)
     w.add_kv(f"{arch}.expert_feed_forward_length", n_ff_exp)
+    if n_dense_lead:
+        w.add_kv(f"{arch}.leading_dense_block_count", n_dense_lead)
+    if expert_weights_scale:
+        w.add_kv(f"{arch}.expert_weights_scale", expert_weights_scale)
     w.add_kv("tokenizer.ggml.model", "llama")
     w.add_kv("tokenizer.ggml.tokens", tokens)
     w.add_kv("tokenizer.ggml.scores", np.asarray(scores, dtype=np.float32))
@@ -373,12 +381,18 @@ def make_tiny_moe_gguf(
             w.add_tensor(p + "attn_k_norm.weight",
                          rand((n_head_kv * head_dim,), 1.0) * 0.1 + 1.0)
         w.add_tensor(p + "ffn_norm.weight", np.ones(n_embd, dtype=np.float32))
+        if i < n_dense_lead:  # deepseek dense lead layer
+            w.add_tensor(p + "ffn_gate.weight", rand((n_ff_exp, n_embd)))
+            w.add_tensor(p + "ffn_up.weight", rand((n_ff_exp, n_embd)))
+            w.add_tensor(p + "ffn_down.weight", rand((n_embd, n_ff_exp)))
+            continue
         w.add_tensor(p + "ffn_gate_inp.weight", rand((n_expert, n_embd)))
         w.add_tensor(p + "ffn_gate_exps.weight", rand((n_expert, n_ff_exp, n_embd)))
         w.add_tensor(p + "ffn_up_exps.weight", rand((n_expert, n_ff_exp, n_embd)))
         w.add_tensor(p + "ffn_down_exps.weight", rand((n_expert, n_embd, n_ff_exp)))
         if n_ff_shexp:
-            w.add_tensor(p + "ffn_gate_inp_shexp.weight", rand((n_embd,)))
+            if gated_shexp:
+                w.add_tensor(p + "ffn_gate_inp_shexp.weight", rand((n_embd,)))
             w.add_tensor(p + "ffn_gate_shexp.weight", rand((n_ff_shexp, n_embd)))
             w.add_tensor(p + "ffn_up_shexp.weight", rand((n_ff_shexp, n_embd)))
             w.add_tensor(p + "ffn_down_shexp.weight", rand((n_embd, n_ff_shexp)))
