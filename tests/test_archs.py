@@ -1180,3 +1180,64 @@ def test_starcoder_v1_loads_and_generates(tmp_path):
     eng = Engine(path, mode="dense", max_seq=64)
     out = eng.generate("the quick", max_new_tokens=4)
     assert isinstance(out, str)
+
+
+# -- deci (NAS per-layer shapes: variable GQA, dummy/linear-attn layers) -------
+
+
+def np_deci_forward(reader: GGUFReader, tokens):
+    md = reader.metadata
+    arch = "deci"
+    heads = list(md[f"{arch}.attention.head_count"])
+    kv_heads = list(md[f"{arch}.attention.head_count_kv"])
+    ffs = list(md[f"{arch}.feed_forward_length"])
+    n_embd = md[f"{arch}.embedding_length"]
+    eps = md[f"{arch}.attention.layer_norm_rms_epsilon"]
+    base = md[f"{arch}.rope.freq_base"]
+    hd = md[f"{arch}.attention.key_length"]
+
+    def t(name):
+        return reader.tensors[name].to_numpy().astype(np.float64)
+
+    T = len(tokens)
+    pos = np.arange(T)
+    x = t("token_embd.weight")[tokens]
+    for i, (nh, nkv, nf) in enumerate(zip(heads, kv_heads, ffs)):
+        p = f"blk.{i}."
+        if nh == 0:
+            attn = None
+            cur = x
+        else:
+            h = _rms(x, t(p + "attn_norm.weight"), eps)
+            if nkv == 0:
+                attn = h @ t(p + "attn_output.weight").T
+            else:
+                q = _rope_neox((h @ t(p + "attn_q.weight").T).reshape(T, nh, hd), pos, base)
+                k = _rope_neox((h @ t(p + "attn_k.weight").T).reshape(T, nkv, hd), pos, base)
+                v = (h @ t(p + "attn_v.weight").T).reshape(T, nkv, hd)
+                out = _mha(q, k, v, nh, nkv, 1.0 / np.sqrt(hd))
+                attn = out.reshape(T, nh * hd) @ t(p + "attn_output.weight").T
+            cur = attn
+        if nf == 0:
+            continue  # layer output discarded (llm_build_deci n_ff==0)
+        ffn_inp = cur + x if nh > 0 else cur
+        h2 = _rms(ffn_inp, t(p + "ffn_norm.weight"), eps)
+        gate = h2 @ t(p + "ffn_gate.weight").T
+        up = h2 @ t(p + "ffn_up.weight").T
+        ffn = (gate / (1 + np.exp(-gate)) * up) @ t(p + "ffn_down.weight").T
+        x = ffn + ffn_inp
+    x = _rms(x, t("output_norm.weight"), eps)
+    return x @ t("output.weight").T
+
+
+def test_deci_forward_matches_numpy(tmp_path):
+    from tpullm.models.testing import make_tiny_deci_gguf
+
+    path = make_tiny_deci_gguf(tmp_path / "deci.gguf")
+    eng = Engine(path, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    assert eng.hp.n_head_kv_arr == (2, 1, 0, 0, 0)
+    toks = eng.tokenizer.tokenize("the quick brown fox", add_special=True)
+    got = eng.prefill_all_logits(toks)
+    ref = np_deci_forward(eng.reader, np.asarray(toks))
+    np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)

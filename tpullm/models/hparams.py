@@ -85,6 +85,12 @@ class HParams:
     n_expert_shared: int = 0
     # rwkv family
     rescale_every: int = 0  # halve activations every N layers
+    # per-layer shape arrays (deci/openelm NAS models: llama_hparams
+    # n_head_arr/n_head_kv_arr/n_ff_arr); None = uniform layers. The scalar
+    # n_head/n_head_kv/n_ff fields hold the per-layer maxima (cache sizing)
+    n_head_arr: tuple[int, ...] | None = None
+    n_head_kv_arr: tuple[int, ...] | None = None
+    n_ff_arr: tuple[int, ...] | None = None
     # SSM (mamba family): llama_hparams ssm_* (src/llama-hparams.h);
     # ssm_d_state doubles as the RWKV wkv head size
     ssm_d_conv: int = 0
@@ -94,6 +100,16 @@ class HParams:
 
     def is_swa(self, il: int) -> bool:
         return self.sliding_window > 0 and (il + 1) % self.swa_pattern != 0
+
+    # per-layer accessors (≡ llama_hparams::n_head(il) etc.)
+    def n_head_l(self, il: int) -> int:
+        return self.n_head_arr[il] if self.n_head_arr else self.n_head
+
+    def n_head_kv_l(self, il: int) -> int:
+        return self.n_head_kv_arr[il] if self.n_head_kv_arr else self.n_head_kv
+
+    def n_ff_l(self, il: int) -> int:
+        return self.n_ff_arr[il] if self.n_ff_arr else self.n_ff
 
     @property
     def n_gqa(self) -> int:
@@ -127,8 +143,20 @@ def hparams_from_gguf(r: GGUFReader) -> HParams:
         return default if v is None else v
 
     n_embd = int(k(Keys.LLM.EMBEDDING_LENGTH))
-    n_head = int(k(Keys.Attention.HEAD_COUNT))
-    n_head_kv = int(k(Keys.Attention.HEAD_COUNT_KV, n_head))
+
+    def scalar_or_arr(raw, default=None):
+        """GGUF stores per-layer shapes as int arrays for NAS archs (deci);
+        returns (max_scalar, tuple_or_None)."""
+        if raw is None:
+            return default, None
+        if isinstance(raw, (list, tuple, np.ndarray)):
+            arr = tuple(int(v) for v in raw)
+            return max(arr), arr
+        return int(raw), None
+
+    n_head, n_head_arr = scalar_or_arr(k(Keys.Attention.HEAD_COUNT))
+    n_head_kv, n_head_kv_arr = scalar_or_arr(k(Keys.Attention.HEAD_COUNT_KV), n_head)
+    n_ff, n_ff_arr = scalar_or_arr(k(Keys.LLM.FEED_FORWARD_LENGTH), 0)
     head_dim = int(k(Keys.Attention.KEY_LENGTH, n_embd // max(n_head, 1)))
     head_dim_v = int(k(Keys.Attention.VALUE_LENGTH, head_dim))
 
@@ -160,7 +188,10 @@ def hparams_from_gguf(r: GGUFReader) -> HParams:
         n_layer=int(k(Keys.LLM.BLOCK_COUNT)),
         n_head=n_head,
         n_head_kv=n_head_kv,
-        n_ff=int(k(Keys.LLM.FEED_FORWARD_LENGTH, 0)),
+        n_ff=n_ff,
+        n_head_arr=n_head_arr,
+        n_head_kv_arr=n_head_kv_arr,
+        n_ff_arr=n_ff_arr,
         head_dim=head_dim,
         head_dim_v=head_dim_v,
         rms_eps=float(k(

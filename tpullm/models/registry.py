@@ -102,6 +102,9 @@ def _ensure_builtin():
 
     register_arch("chatglm", chatglm.build_params, chatglm.forward,
                   aliases=("glm4",))
+    from . import deci
+
+    register_arch("deci", deci.build_params, deci.forward)
     from . import qwen
 
     # qwen v1 = llama graph with fused attn_qkv (llm_build_qwen); the fused

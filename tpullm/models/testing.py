@@ -1478,3 +1478,71 @@ def make_tiny_chatglm_gguf(
     w.add_tensor("output.weight", rand((n_vocab, n_embd)))
     w.write()
     return str(path)
+
+
+def make_tiny_deci_gguf(
+    path,
+    *,
+    n_embd: int = 64,
+    n_ctx: int = 256,
+    seed: int = 0,
+) -> str:
+    """Tiny deci-shaped GGUF with NAS'd per-layer shapes (llm_build_deci):
+    layer 0 = GQA 4/2, layer 1 = GQA 4/1, layer 2 = attention-free,
+    layer 3 = linear-attention (wo only), layer 4 = dummy (no attn, no ffn).
+    """
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = _byte_vocab(DEFAULT_WORDS)
+    n_vocab = len(tokens)
+    heads = [4, 4, 0, 4, 0]
+    kv_heads = [2, 1, 0, 0, 0]
+    ffs = [128, 128, 128, 128, 0]
+    n_layer = len(heads)
+    head_dim = n_embd // 4
+
+    arch = "deci"
+    w = GGUFWriter(path, architecture=arch)
+    w.add_kv("general.name", "tpullm-tiny-deci")
+    w.add_kv(f"{arch}.block_count", n_layer)
+    w.add_kv(f"{arch}.context_length", n_ctx)
+    w.add_kv(f"{arch}.embedding_length", n_embd)
+    w.add_kv(f"{arch}.feed_forward_length", np.asarray(ffs, dtype=np.int32))
+    w.add_kv(f"{arch}.attention.head_count", np.asarray(heads, dtype=np.int32))
+    w.add_kv(f"{arch}.attention.head_count_kv", np.asarray(kv_heads, dtype=np.int32))
+    w.add_kv(f"{arch}.attention.key_length", head_dim)
+    w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_kv(f"{arch}.rope.freq_base", 10000.0)
+    w.add_kv(f"{arch}.rope.dimension_count", head_dim)
+    w.add_kv("tokenizer.ggml.model", "llama")
+    w.add_kv("tokenizer.ggml.tokens", tokens)
+    w.add_kv("tokenizer.ggml.scores", np.asarray(scores, dtype=np.float32))
+    w.add_kv("tokenizer.ggml.token_type", np.asarray(types, dtype=np.int32))
+    w.add_kv("tokenizer.ggml.bos_token_id", 1)
+    w.add_kv("tokenizer.ggml.eos_token_id", 2)
+    w.add_kv("tokenizer.ggml.unknown_token_id", 0)
+    w.add_kv("tokenizer.ggml.add_bos_token", True)
+
+    def rand(shape, scale=0.05):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    w.add_tensor("token_embd.weight", rand((n_vocab, n_embd)))
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        nh, nkv, nf = heads[i], kv_heads[i], ffs[i]
+        if nh > 0:
+            w.add_tensor(p + "attn_norm.weight", 1.0 + rand((n_embd,)))
+            w.add_tensor(p + "attn_output.weight",
+                         rand((n_embd, nh * head_dim if nkv else n_embd)))
+            if nkv > 0:
+                w.add_tensor(p + "attn_q.weight", rand((nh * head_dim, n_embd)))
+                w.add_tensor(p + "attn_k.weight", rand((nkv * head_dim, n_embd)))
+                w.add_tensor(p + "attn_v.weight", rand((nkv * head_dim, n_embd)))
+        if nf > 0:
+            w.add_tensor(p + "ffn_norm.weight", 1.0 + rand((n_embd,)))
+            w.add_tensor(p + "ffn_gate.weight", rand((nf, n_embd)))
+            w.add_tensor(p + "ffn_up.weight", rand((nf, n_embd)))
+            w.add_tensor(p + "ffn_down.weight", rand((n_embd, nf)))
+    w.add_tensor("output_norm.weight", 1.0 + rand((n_embd,)))
+    w.add_tensor("output.weight", rand((n_vocab, n_embd)))
+    w.write()
+    return str(path)
