@@ -1241,3 +1241,55 @@ def test_deci_forward_matches_numpy(tmp_path):
     got = eng.prefill_all_logits(toks)
     ref = np_deci_forward(eng.reader, np.asarray(toks))
     np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
+
+
+# -- openelm (per-layer heads, fused qkv, per-head qk norms, tied head) --------
+
+
+def np_openelm_forward(reader: GGUFReader, tokens):
+    md = reader.metadata
+    arch = "openelm"
+    heads = list(md[f"{arch}.attention.head_count"])
+    kv_heads = list(md[f"{arch}.attention.head_count_kv"])
+    eps = md[f"{arch}.attention.layer_norm_rms_epsilon"]
+    base = md[f"{arch}.rope.freq_base"]
+    hd = md[f"{arch}.attention.key_length"]
+
+    def t(name):
+        return reader.tensors[name].to_numpy().astype(np.float64)
+
+    T = len(tokens)
+    pos = np.arange(T)
+    emb = t("token_embd.weight")
+    x = emb[tokens]
+    for i, (nh, nkv) in enumerate(zip(heads, kv_heads)):
+        p = f"blk.{i}."
+        h = _rms(x, t(p + "attn_norm.weight"), eps)
+        qkv = h @ t(p + "attn_qkv.weight").T
+        q = qkv[:, :nh * hd].reshape(T, nh, hd)
+        k = qkv[:, nh * hd:(nh + nkv) * hd].reshape(T, nkv, hd)
+        v = qkv[:, (nh + nkv) * hd:].reshape(T, nkv, hd)
+        q = _rms(q, t(p + "attn_q_norm.weight"), eps)
+        k = _rms(k, t(p + "attn_k_norm.weight"), eps)
+        q, k = _rope_neox(q, pos, base), _rope_neox(k, pos, base)
+        out = _mha(q, k, v, nh, nkv, 1.0 / np.sqrt(hd))
+        x = x + out.reshape(T, nh * hd) @ t(p + "attn_output.weight").T
+        h = _rms(x, t(p + "ffn_norm.weight"), eps)
+        gate = h @ t(p + "ffn_gate.weight").T
+        up = h @ t(p + "ffn_up.weight").T
+        x = x + (gate / (1 + np.exp(-gate)) * up) @ t(p + "ffn_down.weight").T
+    x = _rms(x, t("output_norm.weight"), eps)
+    return x @ emb.T
+
+
+def test_openelm_forward_matches_numpy(tmp_path):
+    from tpullm.models.testing import make_tiny_openelm_gguf
+
+    path = make_tiny_openelm_gguf(tmp_path / "openelm.gguf")
+    eng = Engine(path, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    assert eng.hp.n_head_arr == (2, 4)
+    toks = eng.tokenizer.tokenize("the quick brown fox", add_special=True)
+    got = eng.prefill_all_logits(toks)
+    ref = np_openelm_forward(eng.reader, np.asarray(toks))
+    np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)

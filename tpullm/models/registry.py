@@ -105,6 +105,9 @@ def _ensure_builtin():
     from . import deci
 
     register_arch("deci", deci.build_params, deci.forward)
+    from . import openelm
+
+    register_arch("openelm", openelm.build_params, openelm.forward)
     from . import qwen
 
     # qwen v1 = llama graph with fused attn_qkv (llm_build_qwen); the fused

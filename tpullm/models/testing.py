@@ -1546,3 +1546,64 @@ def make_tiny_deci_gguf(
     w.add_tensor("output.weight", rand((n_vocab, n_embd)))
     w.write()
     return str(path)
+
+
+def make_tiny_openelm_gguf(
+    path,
+    *,
+    n_embd: int = 64,
+    n_ctx: int = 256,
+    seed: int = 0,
+) -> str:
+    """Tiny openelm-shaped GGUF: per-layer head counts, fused qkv, per-head
+    q/k RMS norms, swiglu FFN, tied head (llm_build_openelm shapes)."""
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = _byte_vocab(DEFAULT_WORDS)
+    n_vocab = len(tokens)
+    heads = [2, 4]
+    kv_heads = [1, 2]
+    ffs = [96, 128]
+    n_layer = len(heads)
+    head_dim = 16
+
+    arch = "openelm"
+    w = GGUFWriter(path, architecture=arch)
+    w.add_kv("general.name", "tpullm-tiny-openelm")
+    w.add_kv(f"{arch}.block_count", n_layer)
+    w.add_kv(f"{arch}.context_length", n_ctx)
+    w.add_kv(f"{arch}.embedding_length", n_embd)
+    w.add_kv(f"{arch}.feed_forward_length", np.asarray(ffs, dtype=np.int32))
+    w.add_kv(f"{arch}.attention.head_count", np.asarray(heads, dtype=np.int32))
+    w.add_kv(f"{arch}.attention.head_count_kv", np.asarray(kv_heads, dtype=np.int32))
+    w.add_kv(f"{arch}.attention.key_length", head_dim)
+    w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_kv(f"{arch}.rope.freq_base", 10000.0)
+    w.add_kv(f"{arch}.rope.dimension_count", head_dim)
+    w.add_kv("tokenizer.ggml.model", "llama")
+    w.add_kv("tokenizer.ggml.tokens", tokens)
+    w.add_kv("tokenizer.ggml.scores", np.asarray(scores, dtype=np.float32))
+    w.add_kv("tokenizer.ggml.token_type", np.asarray(types, dtype=np.int32))
+    w.add_kv("tokenizer.ggml.bos_token_id", 1)
+    w.add_kv("tokenizer.ggml.eos_token_id", 2)
+    w.add_kv("tokenizer.ggml.unknown_token_id", 0)
+    w.add_kv("tokenizer.ggml.add_bos_token", True)
+
+    def rand(shape, scale=0.05):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    w.add_tensor("token_embd.weight", rand((n_vocab, n_embd)))
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        nh, nkv, nf = heads[i], kv_heads[i], ffs[i]
+        w.add_tensor(p + "attn_norm.weight", 1.0 + rand((n_embd,)))
+        w.add_tensor(p + "attn_qkv.weight", rand(((nh + 2 * nkv) * head_dim, n_embd)))
+        w.add_tensor(p + "attn_q_norm.weight", 1.0 + rand((head_dim,)))
+        w.add_tensor(p + "attn_k_norm.weight", 1.0 + rand((head_dim,)))
+        w.add_tensor(p + "attn_output.weight", rand((n_embd, nh * head_dim)))
+        w.add_tensor(p + "ffn_norm.weight", 1.0 + rand((n_embd,)))
+        w.add_tensor(p + "ffn_gate.weight", rand((nf, n_embd)))
+        w.add_tensor(p + "ffn_up.weight", rand((nf, n_embd)))
+        w.add_tensor(p + "ffn_down.weight", rand((n_embd, nf)))
+    w.add_tensor("output_norm.weight", 1.0 + rand((n_embd,)))
+    w.write()
+    return str(path)
