@@ -1293,3 +1293,82 @@ def test_openelm_forward_matches_numpy(tmp_path):
     got = eng.prefill_all_logits(toks)
     ref = np_openelm_forward(eng.reader, np.asarray(toks))
     np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
+
+
+# -- llama-alias long tail ----------------------------------------------------
+
+
+@pytest.mark.parametrize("arch,kw", [
+    ("mistral3", {}),
+    ("seed_oss", {"ffn_norm_tensor": "post_attention_norm"}),
+    ("pangu-embedded", {"with_bo": True}),
+    ("hunyuan-dense", {"with_qk_norm": True, "with_bo": True}),
+])
+def test_llama_alias_tail_loads_and_generates(tmp_path, arch, kw):
+    from tpullm.models.testing import make_tiny_llama_gguf
+
+    path = make_tiny_llama_gguf(tmp_path / "m.gguf", arch=arch, **kw)
+    eng = Engine(path, mode="dense", max_seq=64)
+    out = eng.generate("the quick", max_new_tokens=4)
+    assert isinstance(out, str)
+
+
+def test_maincoder_post_rope_qk_norm_matches_numpy(tmp_path):
+    """maincoder: NORM rope applied BEFORE the per-head qk RMS norms, plus
+    an attn output bias (llm_build_maincoder ordering)."""
+    from tpullm.models.testing import make_tiny_llama_gguf
+
+    path = make_tiny_llama_gguf(tmp_path / "mc.gguf", arch="maincoder",
+                                with_qk_norm=True, with_bo=True)
+    eng = Engine(path, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    assert eng.hp.qk_norm_post_rope
+    r = eng.reader
+    md = r.metadata
+    n_layer = md["maincoder.block_count"]
+    n_head = md["maincoder.attention.head_count"]
+    n_head_kv = md["maincoder.attention.head_count_kv"]
+    n_embd = md["maincoder.embedding_length"]
+    eps = md["maincoder.attention.layer_norm_rms_epsilon"]
+    base = md["maincoder.rope.freq_base"]
+    hd = n_embd // n_head
+
+    def t(name):
+        return r.tensors[name].to_numpy().astype(np.float64)
+
+    def rope_norm(x, pos):  # interleaved pairs, full head dim
+        T, H, D = x.shape
+        half = D // 2
+        inv = base ** (-np.arange(half) * 2.0 / D)
+        theta = pos[:, None] * inv
+        c, s = np.cos(theta), np.sin(theta)
+        out = x.copy()
+        x0, x1 = x[..., 0::2], x[..., 1::2]
+        out[..., 0::2] = x0 * c[:, None, :] - x1 * s[:, None, :]
+        out[..., 1::2] = x0 * s[:, None, :] + x1 * c[:, None, :]
+        return out
+
+    toks = eng.tokenizer.tokenize("the quick brown fox", add_special=True)
+    tokens = np.asarray(toks)
+    T = len(tokens)
+    pos = np.arange(T)
+    x = t("token_embd.weight")[tokens]
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        h = _rms(x, t(p + "attn_norm.weight"), eps)
+        q = (h @ t(p + "attn_q.weight").T).reshape(T, n_head, hd)
+        k = (h @ t(p + "attn_k.weight").T).reshape(T, n_head_kv, hd)
+        v = (h @ t(p + "attn_v.weight").T).reshape(T, n_head_kv, hd)
+        q = _rms(rope_norm(q, pos), t(p + "attn_q_norm.weight"), eps)
+        k = _rms(rope_norm(k, pos), t(p + "attn_k_norm.weight"), eps)
+        out = _mha(q, k, v, n_head, n_head_kv, 1.0 / np.sqrt(hd))
+        x = x + out.reshape(T, n_embd) @ t(p + "attn_output.weight").T \
+              + t(p + "attn_output.bias")
+        h = _rms(x, t(p + "ffn_norm.weight"), eps)
+        gate = h @ t(p + "ffn_gate.weight").T
+        up = h @ t(p + "ffn_up.weight").T
+        x = x + (gate / (1 + np.exp(-gate)) * up) @ t(p + "ffn_down.weight").T
+    x = _rms(x, t("output_norm.weight"), eps)
+    ref = x @ t("output.weight").T
+    got = eng.prefill_all_logits(toks)
+    np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)

@@ -73,6 +73,9 @@ class HParams:
     clamp_kqv: float = 0.0  # olmo/mpt qkv clamping
     # gptneox hparams.use_par_res: x + attn(ln1(x)) + ffn(ln2(x))
     par_residual: bool = False
+    # maincoder/hunyuan-dense apply the per-head qk RMS norms AFTER rope
+    # (llm_build_maincoder / llm_build_hunyuan_dense ordering)
+    qk_norm_post_rope: bool = False
     # NoPE interleave (smollm3/llama4: every Nth layer skips rope; 0 = never)
     no_rope_step: int = 0
     # default pooling for embeddings (llama_pooling_type):
@@ -131,7 +134,7 @@ NEOX_ROPE_ARCHS = {
     "gemma2", "gemma3", "gemma3n", "starcoder2", "openelm", "dbrx", "bert",
     "nomic-bert", "minicpm3", "command-r", "cohere2", "internlm2", "exaone",
     "exaone4", "smollm3", "gpt-oss", "deci", "nemotron",
-    "orion", "codeshell",
+    "orion", "codeshell", "seed_oss", "pangu-embedded", "hunyuan-dense",
 }
 
 
@@ -249,6 +252,7 @@ def hparams_from_gguf(r: GGUFReader) -> HParams:
         )),
         clamp_kqv=float(k("{arch}.attention.clamp_kqv", 0.0) or 0.0),
         par_residual=bool(k(Keys.LLM.USE_PARALLEL_RESIDUAL, False)),
+        qk_norm_post_rope=arch in ("maincoder", "hunyuan-dense"),
         no_rope_step=4 if arch == "smollm3" else 0,
         pooling={0: "none", 1: "mean", 2: "cls", 3: "last", 4: "rank"}.get(
             int(k("{arch}.pooling_type",

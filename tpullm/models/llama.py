@@ -51,7 +51,12 @@ def build_params(r: GGUFReader, hp: HParams, mode: str = "auto",
             "wk": linear(p + "attn_k.weight"),
             "wv": linear(p + "attn_v.weight"),
             "wo": linear(p + "attn_output.weight"),
-            "ffn_norm": load_vector(t[p + "ffn_norm.weight"]),
+            # seed_oss names its FFN pre-norm post_attention_norm
+            # (llm_build_seed_oss uses attn_post_norm in the ffn slot)
+            "ffn_norm": load_vector(
+                t[p + "ffn_norm.weight"] if p + "ffn_norm.weight" in t
+                else t[p + "post_attention_norm.weight"]
+            ),
             # gateless variants (arcee) have no ffn_gate tensor
             "w_gate": linear(p + "ffn_gate.weight") if p + "ffn_gate.weight" in t else None,
             "w_up": linear(p + "ffn_up.weight"),
@@ -60,6 +65,7 @@ def build_params(r: GGUFReader, hp: HParams, mode: str = "auto",
             "bq": maybe_vector(p + "attn_q.bias"),
             "bk": maybe_vector(p + "attn_k.bias"),
             "bv": maybe_vector(p + "attn_v.bias"),
+            "bo": maybe_vector(p + "attn_output.bias"),
             "q_norm": maybe_vector(p + "attn_q_norm.weight"),
             "k_norm": maybe_vector(p + "attn_k_norm.weight"),
         }
@@ -109,13 +115,19 @@ def attn_block(
     use_rope = hp.max_alibi_bias <= 0.0 and (
         hp.no_rope_step == 0 or (li + 1) % hp.no_rope_step != 0
     )
-    if layer["q_norm"] is not None:
-        q = rms_norm(q, layer["q_norm"], hp.rms_eps)
-    if layer["k_norm"] is not None:
-        k = rms_norm(k, layer["k_norm"], hp.rms_eps)
+    if not hp.qk_norm_post_rope:
+        if layer["q_norm"] is not None:
+            q = rms_norm(q, layer["q_norm"], hp.rms_eps)
+        if layer["k_norm"] is not None:
+            k = rms_norm(k, layer["k_norm"], hp.rms_eps)
     if use_rope:
         q = apply_rope(q, positions, hp.rope)
         k = apply_rope(k, positions, hp.rope)
+    if hp.qk_norm_post_rope:  # maincoder / hunyuan-dense ordering
+        if layer["q_norm"] is not None:
+            q = rms_norm(q, layer["q_norm"], hp.rms_eps)
+        if layer["k_norm"] is not None:
+            k = rms_norm(k, layer["k_norm"], hp.rms_eps)
 
     cache = cache.update(
         li, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), cache_offset
@@ -126,6 +138,8 @@ def attn_block(
         offsets=offsets, sliding_window=hp.sliding_window, alibi=alibi,
     )
     attn_out = layer["wo"](attn_out.reshape(B, T, hp.n_head * hp.head_dim_v))
+    if layer.get("bo") is not None:
+        attn_out = attn_out + layer["bo"].astype(attn_out.dtype)
     if hp.residual_scale != 1.0:  # granite
         attn_out = attn_out * jnp.asarray(hp.residual_scale, attn_out.dtype)
     x = x + attn_out

@@ -83,9 +83,14 @@ def _ensure_builtin():
         # graph with the 13B variant swapping rope for ALiBi
         # (llm_build_baichuan LLM_TYPE_13B branch) — both ride the
         # hp.max_alibi_bias switch in llama.forward
+        # mistral3/pangu-embedded = llama graphs (± biases); seed_oss =
+        # llama with post_attention_norm in the ffn-norm slot; maincoder/
+        # hunyuan-dense = llama + post-rope qk norms + output bias
+        # (hp.qk_norm_post_rope)
         aliases=("mistral", "qwen2", "qwen3", "granite", "internlm2",
                  "exaone", "smollm3", "arcee", "minicpm", "xverse",
-                 "ernie4_5", "refact", "baichuan"),
+                 "ernie4_5", "refact", "baichuan", "mistral3", "seed_oss",
+                 "pangu-embedded", "maincoder", "hunyuan-dense"),
     )
     from . import falcon
 

@@ -50,6 +50,9 @@ def make_tiny_llama_gguf(
     seed: int = 0,
     arch: str = "llama",
     extra_kv: dict | None = None,
+    with_qk_norm: bool = False,  # per-head q/k RMS norms
+    with_bo: bool = False,  # attn output bias (pangu/maincoder)
+    ffn_norm_tensor: str = "ffn_norm",  # seed_oss: post_attention_norm
 ) -> str:
     rng = np.random.default_rng(seed)
     tokens, scores, types = _byte_vocab(DEFAULT_WORDS)
@@ -97,7 +100,14 @@ def make_tiny_llama_gguf(
         add_w(p + "attn_k.weight", rand((n_head_kv * head_dim, n_embd)))
         add_w(p + "attn_v.weight", rand((n_head_kv * head_dim, n_embd)))
         add_w(p + "attn_output.weight", rand((n_embd, n_head * head_dim)))
-        add_w(p + "ffn_norm.weight", np.ones(n_embd, dtype=np.float32), GGMLType.F32)
+        if with_qk_norm:
+            add_w(p + "attn_q_norm.weight",
+                  (1.0 + rand((head_dim,))).astype(np.float32), GGMLType.F32)
+            add_w(p + "attn_k_norm.weight",
+                  (1.0 + rand((head_dim,))).astype(np.float32), GGMLType.F32)
+        if with_bo:
+            add_w(p + "attn_output.bias", rand((n_embd,)), GGMLType.F32)
+        add_w(p + ffn_norm_tensor + ".weight", np.ones(n_embd, dtype=np.float32), GGMLType.F32)
         add_w(p + "ffn_gate.weight", rand((n_ff, n_embd)))
         add_w(p + "ffn_up.weight", rand((n_ff, n_embd)))
         add_w(p + "ffn_down.weight", rand((n_embd, n_ff)))
