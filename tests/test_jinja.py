@@ -310,3 +310,75 @@ def test_parse_truncated_tool_call_healed():
     assert content == "Checking."
     assert calls and calls[0]["function"]["name"] == "get_weather"
     assert "Par" in calls[0]["function"]["arguments"]
+
+
+def test_builtin_templates_long_tail():
+    """Round-trip the newly added builtins against reference-exact strings
+    (llama-chat.cpp test vectors, spot-checked)."""
+    from tpullm.chat import BUILTIN
+
+    msgs = [
+        {"role": "system", "content": "sys"},
+        {"role": "user", "content": "hi"},
+        {"role": "assistant", "content": "yo"},
+        {"role": "user", "content": "again"},
+    ]
+    # mistral v1: leading+trailing spaces, system folded into the turn
+    assert BUILTIN["mistral-v1"](msgs, True) == (
+        " [INST] sys\n\nhi [/INST] yo</s> [INST] again [/INST]"
+    )
+    # v3: no leading space, assistant trimmed
+    assert BUILTIN["mistral-v3"](msgs, True) == (
+        "[INST] sys\n\nhi[/INST] yo</s>[INST] again[/INST]"
+    )
+    # v3-tekken: no spaces at all
+    assert BUILTIN["mistral-v3-tekken"](msgs, True) == (
+        "[INST]sys\n\nhi[/INST]yo</s>[INST]again[/INST]"
+    )
+    # llama2-sys keeps <<SYS>>; -bos adds <s> between turns
+    assert BUILTIN["llama2-sys"](msgs, True) == (
+        "[INST] <<SYS>>\nsys\n<</SYS>>\n\nhi [/INST]yo</s>[INST] again [/INST]"
+    )
+    assert "<s>[INST]" in BUILTIN["llama2-sys-bos"](msgs, True)
+    # chatglm3 prefix
+    assert BUILTIN["chatglm3"](msgs, True).startswith("[gMASK]sop<|system|>")
+    # bailing role upper-casing
+    out = BUILTIN["bailing"](msgs, True)
+    assert "<role>HUMAN</role>hi" in out and out.endswith("<role>ASSISTANT</role>")
+    assert BUILTIN["bailing-think"](msgs, True).endswith("<think>")
+    b2 = BUILTIN["bailing2"]([{"role": "user", "content": "q"}], True)
+    assert b2.startswith("<role>SYSTEM</role>detailed thinking off<|role_end|>")
+    # dots1 / exaone4 / solar-open shapes
+    assert BUILTIN["dots1"](msgs, True).endswith("<|response|>")
+    assert BUILTIN["exaone4"](msgs, True).endswith("[|assistant|]")
+    assert BUILTIN["solar-open"](msgs, True).endswith("<|begin|>assistant")
+    assert BUILTIN["pangu-embedded"]([{"role": "user", "content": "q"}], True) == (
+        "[unused9]系统：[unused10][unused9]用户：q[unused10][unused9]助手："
+    )
+    assert BUILTIN["grok-2"](msgs, True).endswith("Assistant:")
+    assert "<end_of_utterance>" in BUILTIN["smolvlm"](msgs, True)
+    assert "<｜hy_User｜>" in BUILTIN["hunyuan-dense"](msgs, False)
+    assert " Пользователь: hi" in BUILTIN["yandex"](msgs, True)
+
+
+def test_detect_builtin_long_tail():
+    from tpullm.chat import detect_builtin
+
+    assert detect_builtin("...' [INST] ' + system_message...[AVAILABLE_TOOLS] [INST]") == "mistral-v1"
+    assert detect_builtin('..."[INST]"...[AVAILABLE_TOOLS]...') == "mistral-v3-tekken"
+    assert detect_builtin("...[AVAILABLE_TOOLS]...[INST]...") == "mistral-v3"
+    assert detect_builtin("[INST] <<SYS>> ...") == "llama2-sys"
+    assert detect_builtin("[INST] {{ content.strip() }} <<SYS>>") == "llama2-sys-strip"
+    assert detect_builtin("[INST] plain") == "llama2"
+    assert detect_builtin("...[gMASK]sop...") == "chatglm3"
+    assert detect_builtin("... Ассистент: ...") == "yandex"
+    assert detect_builtin("<role>ASSISTANT</role> 'HUMAN'") == "bailing"
+    assert detect_builtin('<role>ASSISTANT</role> "HUMAN" <think>') == "bailing-think"
+    assert detect_builtin("<role>ASSISTANT</role><role>HUMAN</role><|role_end|>") == "bailing2"
+    assert detect_builtin("x<|userprompt|>y<|endofuserprompt|>") == "dots1"
+    assert detect_builtin("[|system|][|assistant|][|endofturn|][|tool|]") == "exaone4"
+    assert detect_builtin("[|system|][|assistant|][|endofturn|]") == "exaone3"
+    assert detect_builtin("<｜hy_Assistant｜><｜hy_place▁holder▁no▁3｜>") == "hunyuan-dense"
+    assert detect_builtin("[unused9]系统：[unused10]") == "pangu-embedded"
+    assert detect_builtin("<|begin|><|content|><|end|>") == "solar-open"
+    assert detect_builtin("<|im_start|>...<end_of_utterance>") == "smolvlm"

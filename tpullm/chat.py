@@ -29,20 +29,58 @@ def _render_chatml(messages, add_generation_prompt):
     return "".join(out)
 
 
-def _render_llama2(messages, add_generation_prompt):
-    out = []
-    system = ""
+def _render_llama2_family(messages, add_generation_prompt, *,
+                          support_system=True, bos_inside_history=False,
+                          strip=False):
+    """llama2 template + sys/sys-bos/sys-strip variants
+    (llama-chat.cpp LLM_CHAT_TEMPLATE_LLAMA_2*)."""
+    out = ["[INST] "]
+    inside = True
     for m in messages:
-        if m["role"] == "system":
-            system = m["content"]
-        elif m["role"] == "user":
-            content = m["content"]
-            if system:
-                content = f"<<SYS>>\n{system}\n<</SYS>>\n\n" + content
-                system = ""
-            out.append(f"[INST] {content} [/INST]")
+        content = m["content"].strip() if strip else m["content"]
+        role = m["role"]
+        if not inside:
+            inside = True
+            out.append("<s>[INST] " if bos_inside_history else "[INST] ")
+        if role == "system":
+            if support_system:
+                out.append(f"<<SYS>>\n{content}\n<</SYS>>\n\n")
+            else:
+                out.append(content + "\n")
+        elif role == "user":
+            out.append(content + " [/INST]")
         else:
-            out.append(m["content"])
+            out.append(content + "</s>")
+            inside = False
+    return "".join(out)
+
+
+def _render_llama2(messages, add_generation_prompt):
+    return _render_llama2_family(messages, add_generation_prompt,
+                                 support_system=False)
+
+
+def _render_mistral_family(messages, add_generation_prompt, *,
+                           leading_space=False, trailing_space=True,
+                           trim_assistant=False):
+    """Official mistral v1/v3/v3-tekken templates
+    (llama-chat.cpp LLM_CHAT_TEMPLATE_MISTRAL_V1/V3/V3_TEKKEN)."""
+    lead = " " if leading_space else ""
+    trail = " " if trailing_space else ""
+    out = []
+    inside = False
+    for m in messages:
+        if not inside:
+            out.append(f"{lead}[INST]{trail}")
+            inside = True
+        role, content = m["role"], m["content"]
+        if role == "system":
+            out.append(content + "\n\n")
+        elif role == "user":
+            out.append(content + lead + "[/INST]")
+        else:
+            out.append(trail + (content.strip() if trim_assistant else content) + "</s>")
+            inside = False
     return "".join(out)
 
 
@@ -400,6 +438,168 @@ def _render_seed_oss(messages, add_generation_prompt):
     return "".join(out)
 
 
+def _render_chatglm3(messages, add_generation_prompt):
+    out = ["[gMASK]sop"]
+    for m in messages:
+        out.append(f"<|{m['role']}|>\n {m['content']}")
+    if add_generation_prompt:
+        out.append("<|assistant|>")
+    return "".join(out)
+
+
+def _render_yandex(messages, add_generation_prompt):
+    out = []
+    for m in messages:
+        if m["role"] == "user":
+            out.append(f" Пользователь: {m['content']}\n\n")
+        elif m["role"] == "assistant":
+            out.append(f" Ассистент: {m['content']}\n\n")
+    if add_generation_prompt:
+        out.append(" Ассистент:[SEP]")
+    return "".join(out)
+
+
+def _render_bailing(messages, add_generation_prompt, think=False):
+    out = []
+    for m in messages:
+        role = "HUMAN" if m["role"] == "user" else m["role"].upper()
+        out.append(f"<role>{role}</role>{m['content']}")
+    if add_generation_prompt:
+        out.append("<role>ASSISTANT</role>")
+        if think:
+            out.append("<think>")
+    return "".join(out)
+
+
+def _render_bailing2(messages, add_generation_prompt):
+    out = []
+    if not messages or messages[0]["role"] != "system":
+        out.append("<role>SYSTEM</role>detailed thinking off<|role_end|>")
+    for m in messages:
+        role = "HUMAN" if m["role"] == "user" else m["role"].upper()
+        out.append(f"<role>{role}</role>{m['content']}<|role_end|>")
+    if add_generation_prompt:
+        out.append("<role>ASSISTANT</role>")
+    return "".join(out)
+
+
+def _render_dots1(messages, add_generation_prompt):
+    out = []
+    for m in messages:
+        if m["role"] == "system":
+            out.append(f"<|system|>{m['content']}<|endofsystem|>")
+        elif m["role"] == "user":
+            out.append(f"<|userprompt|>{m['content']}<|endofuserprompt|>")
+        else:
+            out.append(f"<|response|>{m['content']}<|endofresponse|>")
+    if add_generation_prompt:
+        out.append("<|response|>")
+    return "".join(out)
+
+
+def _render_exaone4(messages, add_generation_prompt):
+    out = []
+    for m in messages:
+        c = m["content"].strip()
+        if m["role"] == "system":
+            out.append(f"[|system|]{c}[|endofturn|]\n")
+        elif m["role"] == "user":
+            out.append(f"[|user|]{c}\n")
+        elif m["role"] == "assistant":
+            out.append(f"[|assistant|]{c}[|endofturn|]\n")
+        elif m["role"] == "tool":
+            out.append(f"[|tool|]{c}[|endofturn|]\n")
+    if add_generation_prompt:
+        out.append("[|assistant|]")
+    return "".join(out)
+
+
+def _render_grok2(messages, add_generation_prompt):
+    out = []
+    for m in messages:
+        if m["role"] == "system":
+            out.append(f"System: {m['content'].strip()}<|separator|>\n\n")
+        elif m["role"] == "user":
+            out.append(f"Human: {m['content'].strip()}<|separator|>\n\n")
+        elif m["role"] == "assistant":
+            out.append(f"Assistant: {m['content']}<|separator|>\n\n")
+    if add_generation_prompt:
+        out.append("Assistant:")
+    return "".join(out)
+
+
+def _render_hunyuan_dense(messages, add_generation_prompt):
+    out = []
+    for i, m in enumerate(messages):
+        role = m["role"]
+        if i == 0 and role == "system":
+            out.append(m["content"] + "<｜hy_place▁holder▁no▁3｜>")
+        if role == "assistant":
+            out.append("<｜hy_Assistant｜>" + m["content"] + "<｜hy_place▁holder▁no▁2｜>")
+        elif role == "user":
+            out.append("<｜hy_User｜>" + m["content"] + "<｜hy_Assistant｜>")
+    return "".join(out)
+
+
+def _render_pangu(messages, add_generation_prompt):
+    out = []
+    for i, m in enumerate(messages):
+        role, content = m["role"], m["content"]
+        if i == 0 and role != "system":
+            out.append("[unused9]系统：[unused10]")
+        if role == "system":
+            out.append(f"[unused9]系统：{content}[unused10]")
+        elif role == "user":
+            out.append(f"[unused9]用户：{content}[unused10]")
+        elif role == "assistant":
+            out.append(f"[unused9]助手：{content}[unused10]")
+        elif role == "tool":
+            out.append(f"[unused9]工具：{content}[unused10]")
+        elif role == "function":
+            out.append(f"[unused9]方法：{content}[unused10]")
+    if add_generation_prompt:
+        out.append("[unused9]助手：")
+    return "".join(out)
+
+
+def _render_solar_open(messages, add_generation_prompt):
+    out = []
+    for m in messages:
+        out.append(f"<|begin|>{m['role']}<|content|>{m['content']}<|end|>")
+    if add_generation_prompt:
+        out.append("<|begin|>assistant")
+    return "".join(out)
+
+
+def _render_smolvlm(messages, add_generation_prompt):
+    out = ["<|im_start|>"]
+    for m in messages:
+        if m["role"] == "system":
+            out.append(m["content"] + "\n\n")
+        elif m["role"] == "user":
+            out.append(f"User: {m['content']}<end_of_utterance>\n")
+        else:
+            out.append(f"Assistant: {m['content']}<end_of_utterance>\n")
+    if add_generation_prompt:
+        out.append("Assistant:")
+    return "".join(out)
+
+
+def _render_exaone_moe(messages, add_generation_prompt):
+    out = []
+    for m in messages:
+        c = m["content"].strip()
+        if m["role"] == "system":
+            out.append(f"<|system|>\n{c}<|endofturn|>\n")
+        elif m["role"] == "user":
+            out.append(f"<|user|>\n{c}<|endofturn|>\n")
+        else:
+            out.append(f"<|assistant|>\n{c}<|endofturn|>\n")
+    if add_generation_prompt:
+        out.append("<|assistant|>\n")
+    return "".join(out)
+
+
 BUILTIN = {
     "chatml": _render_chatml,
     "llama2": _render_llama2,
@@ -432,6 +632,25 @@ BUILTIN = {
     "gpt-oss": _render_openai_moe,
     "hunyuan-moe": _render_hunyuan_moe,
     "seed-oss": _render_seed_oss,
+    "llama2-sys": lambda m, g: _render_llama2_family(m, g),
+    "llama2-sys-bos": lambda m, g: _render_llama2_family(m, g, bos_inside_history=True),
+    "llama2-sys-strip": lambda m, g: _render_llama2_family(m, g, strip=True),
+    "mistral-v1": lambda m, g: _render_mistral_family(m, g, leading_space=True),
+    "mistral-v3": lambda m, g: _render_mistral_family(m, g, trim_assistant=True),
+    "mistral-v3-tekken": lambda m, g: _render_mistral_family(m, g, trailing_space=False),
+    "chatglm3": _render_chatglm3,
+    "yandex": _render_yandex,
+    "bailing": _render_bailing,
+    "bailing-think": lambda m, g: _render_bailing(m, g, think=True),
+    "bailing2": _render_bailing2,
+    "dots1": _render_dots1,
+    "exaone4": _render_exaone4,
+    "exaone-moe": _render_exaone_moe,
+    "grok-2": _render_grok2,
+    "hunyuan-dense": _render_hunyuan_dense,
+    "pangu-embedded": _render_pangu,
+    "solar-open": _render_solar_open,
+    "smolvlm": _render_smolvlm,
 }
 
 
@@ -445,7 +664,7 @@ def detect_builtin(template: str | None) -> str:
     if "<|im_middle|>" in template:
         return "kimi-k2"
     if "<|im_start|>" in template:
-        return "chatml"
+        return "smolvlm" if "<end_of_utterance>" in template else "chatml"
     if "<|start_header_id|>" in template:
         return "llama3"
     if "<|header_start|>" in template:
@@ -483,7 +702,8 @@ def detect_builtin(template: str | None) -> str:
     if "<用户>" in template:
         return "minicpm"
     if "[|system|]" in template and "[|assistant|]" in template:
-        return "exaone3"
+        # [|tool|] marks the EXAONE-4 variant (llm_chat_detect_template)
+        return "exaone4" if "[|tool|]" in template else "exaone3"
     if "rwkv-world" in template or "'User: ' + content + '\\n\\nAssistant:'" in template:
         return "rwkv-world"
     if "<|start_of_role|>" in template:
@@ -499,7 +719,43 @@ def detect_builtin(template: str | None) -> str:
     if "<seed:bos>" in template:
         return "seed-oss"
     if "[INST]" in template:
+        # official mistral v1/v3/v3-tekken vs llama2-family variants
+        # (llm_chat_detect_template [INST] branch)
+        if "' [INST] ' + system_message" in template or "[AVAILABLE_TOOLS]" in template:
+            if " [INST]" in template:
+                return "mistral-v1"
+            if '"[INST]"' in template:
+                return "mistral-v3-tekken"
+            return "mistral-v3"
+        if "content.strip()" in template:
+            return "llama2-sys-strip"
+        if "bos_token + '[INST]" in template:
+            return "llama2-sys-bos"
+        if "<<SYS>>" in template:
+            return "llama2-sys"
         return "llama2"
+    if "[gMASK]sop" in template:
+        return "chatglm3"
+    if " Ассистент:" in template:
+        return "yandex"
+    if "<role>ASSISTANT</role>" in template:
+        if "<|role_end|>" in template:
+            return "bailing2"
+        if '"HUMAN"' in template and "<think>" in template:
+            return "bailing-think"
+        return "bailing"
+    if "<|endofuserprompt|>" in template:
+        return "dots1"
+    if "[|tool|]" in template and "[|endofturn|]" in template:
+        return "exaone4"
+    if "<｜hy_Assistant｜>" in template:
+        return "hunyuan-dense"
+    if "'Assistant: '  + message['content'] + '<|separator|>" in template or "<|separator|>" in template:
+        return "grok-2"
+    if "[unused9]系统：[unused10]" in template:
+        return "pangu-embedded"
+    if "<|begin|>" in template and "<|content|>" in template:
+        return "solar-open"
     return "chatml"
 
 
