@@ -99,7 +99,8 @@ class HParams:
     ssm_d_conv: int = 0
     ssm_d_inner: int = 0
     ssm_d_state: int = 0
-    ssm_dt_rank: int = 0
+    ssm_dt_rank: int = 0  # mamba2: the SSD head count
+    ssm_n_group: int = 0  # mamba2 B/C group count (ssm.group_count)
 
     def is_swa(self, il: int) -> bool:
         return self.sliding_window > 0 and (il + 1) % self.swa_pattern != 0
@@ -269,4 +270,5 @@ def hparams_from_gguf(r: GGUFReader) -> HParams:
                           k("{arch}.wkv.head_size", 0))),
         rescale_every=int(k("{arch}.rescale_every_n_layers", 0)),
         ssm_dt_rank=int(k("{arch}.ssm.time_step_rank", 0)),
+        ssm_n_group=int(k("{arch}.ssm.group_count", 0)),
     )

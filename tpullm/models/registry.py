@@ -203,6 +203,13 @@ def _ensure_builtin():
         recurrent=True,
         make_cache=lambda hp, batch, max_len, dtype: RecurrentCache.new(hp, batch),
     )
+    register_arch(
+        "mamba2",
+        mamba.build_params2,
+        mamba.forward2,
+        recurrent=True,
+        make_cache=lambda hp, batch, max_len, dtype: RecurrentCache.new(hp, batch),
+    )
     from . import bert
 
     register_arch(

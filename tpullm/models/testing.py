@@ -1617,3 +1617,67 @@ def make_tiny_openelm_gguf(
     w.add_tensor("output_norm.weight", 1.0 + rand((n_embd,)))
     w.write()
     return str(path)
+
+
+def make_tiny_mamba2_gguf(
+    path,
+    *,
+    n_layer: int = 2,
+    n_embd: int = 64,
+    d_inner: int = 128,
+    d_state: int = 16,
+    d_conv: int = 4,
+    n_head: int = 4,
+    n_group: int = 2,
+    n_ctx: int = 256,
+    seed: int = 0,
+) -> str:
+    """Tiny mamba2-shaped GGUF: fused [z|xBC|dt] ssm_in, grouped B/C,
+    per-head scalar A/D, grouped ssm_norm (build_mamba2_layer shapes)."""
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = _byte_vocab(DEFAULT_WORDS)
+    n_vocab = len(tokens)
+    conv_w = d_inner + 2 * n_group * d_state
+
+    w = GGUFWriter(path, architecture="mamba2")
+    w.add_kv("general.name", "tpullm-tiny-mamba2")
+    w.add_kv("mamba2.block_count", n_layer)
+    w.add_kv("mamba2.context_length", n_ctx)
+    w.add_kv("mamba2.embedding_length", n_embd)
+    w.add_kv("mamba2.feed_forward_length", 0)
+    w.add_kv("mamba2.attention.head_count", 0)
+    w.add_kv("mamba2.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_kv("mamba2.ssm.conv_kernel", d_conv)
+    w.add_kv("mamba2.ssm.inner_size", d_inner)
+    w.add_kv("mamba2.ssm.state_size", d_state)
+    w.add_kv("mamba2.ssm.time_step_rank", n_head)
+    w.add_kv("mamba2.ssm.group_count", n_group)
+    w.add_kv("tokenizer.ggml.model", "llama")
+    w.add_kv("tokenizer.ggml.tokens", tokens)
+    w.add_kv("tokenizer.ggml.scores", np.asarray(scores, dtype=np.float32))
+    w.add_kv("tokenizer.ggml.token_type", np.asarray(types, dtype=np.int32))
+    w.add_kv("tokenizer.ggml.bos_token_id", 1)
+    w.add_kv("tokenizer.ggml.eos_token_id", 2)
+    w.add_kv("tokenizer.ggml.unknown_token_id", 0)
+    w.add_kv("tokenizer.ggml.add_bos_token", True)
+
+    def rand(shape, scale=0.05):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    w.add_tensor("token_embd.weight", rand((n_vocab, n_embd)))
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        w.add_tensor(p + "attn_norm.weight", 1.0 + rand((n_embd,)))
+        w.add_tensor(p + "ssm_in.weight",
+                     rand((2 * d_inner + 2 * n_group * d_state + n_head, n_embd)))
+        w.add_tensor(p + "ssm_conv1d.weight", rand((conv_w, d_conv)))
+        w.add_tensor(p + "ssm_conv1d.bias", rand((conv_w,)))
+        w.add_tensor(p + "ssm_dt.bias", rand((n_head,)))
+        w.add_tensor(p + "ssm_a", rand((n_head,)))
+        w.add_tensor(p + "ssm_d", rand((n_head,)))
+        w.add_tensor(p + "ssm_norm.weight", 1.0 + rand((d_inner,)))
+        w.add_tensor(p + "ssm_out.weight", rand((n_embd, d_inner)))
+    w.add_tensor("output_norm.weight", 1.0 + rand((n_embd,)))
+    w.add_tensor("output.weight", rand((n_vocab, n_embd)))
+    w.write()
+    return str(path)

@@ -39,8 +39,13 @@ class RecurrentCache:
 
     @classmethod
     def new(cls, hp: HParams, batch: int, max_len: int = 0, dtype=jnp.float32):
+        # mamba2 convolves the concatenated xBC stream (build_mamba2_layer:
+        # conv width d_inner + 2·n_group·d_state); mamba1 convolves x alone
+        d_conv_w = hp.ssm_d_inner + 2 * hp.ssm_n_group * hp.ssm_d_state
+        if hp.ssm_n_group == 0:
+            d_conv_w = hp.ssm_d_inner
         return cls(
-            jnp.zeros((hp.n_layer, batch, hp.ssm_d_inner, hp.ssm_d_conv - 1),
+            jnp.zeros((hp.n_layer, batch, d_conv_w, hp.ssm_d_conv - 1),
                       jnp.float32),
             jnp.zeros((hp.n_layer, batch, hp.ssm_d_inner, hp.ssm_d_state),
                       jnp.float32),
