@@ -1372,3 +1372,59 @@ def test_maincoder_post_rope_qk_norm_matches_numpy(tmp_path):
     ref = x @ t("output.weight").T
     got = eng.prefill_all_logits(toks)
     np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
+
+
+# -- bitnet (ternary llama: per-projection scales + sub-norms, tied head) ------
+
+
+def np_bitnet_forward(reader: GGUFReader, tokens):
+    md = reader.metadata
+    arch = "bitnet"
+    n_layer = md[f"{arch}.block_count"]
+    n_head = md[f"{arch}.attention.head_count"]
+    n_head_kv = md[f"{arch}.attention.head_count_kv"]
+    n_embd = md[f"{arch}.embedding_length"]
+    eps = md[f"{arch}.attention.layer_norm_rms_epsilon"]
+    base = md[f"{arch}.rope.freq_base"]
+    hd = n_embd // n_head
+
+    def t(name):
+        return reader.tensors[name].to_numpy().astype(np.float64)
+
+    def s(name):
+        return float(t(name).reshape(-1)[0])
+
+    T = len(tokens)
+    pos = np.arange(T)
+    emb = t("token_embd.weight")
+    x = emb[tokens]
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        h = _rms(x, t(p + "attn_norm.weight"), eps)
+        q = (h @ t(p + "attn_q.weight").T * s(p + "attn_q.scale")).reshape(T, n_head, hd)
+        k = (h @ t(p + "attn_k.weight").T * s(p + "attn_k.scale")).reshape(T, n_head_kv, hd)
+        v = (h @ t(p + "attn_v.weight").T * s(p + "attn_v.scale")).reshape(T, n_head_kv, hd)
+        q, k = _rope_neox(q, pos, base), _rope_neox(k, pos, base)
+        out = _mha(q, k, v, n_head, n_head_kv, 1.0 / np.sqrt(hd)).reshape(T, n_embd)
+        out = _rms(out, t(p + "attn_sub_norm.weight"), eps)
+        x = x + out @ t(p + "attn_output.weight").T * s(p + "attn_output.scale")
+        h = _rms(x, t(p + "ffn_norm.weight"), eps)
+        gate = h @ t(p + "ffn_gate.weight").T * s(p + "ffn_gate.scale")
+        up = h @ t(p + "ffn_up.weight").T * s(p + "ffn_up.scale")
+        act = gate / (1 + np.exp(-gate)) * up
+        act = _rms(act, t(p + "ffn_sub_norm.weight"), eps)
+        x = x + act @ t(p + "ffn_down.weight").T * s(p + "ffn_down.scale")
+    x = _rms(x, t("output_norm.weight"), eps)
+    return x @ emb.T
+
+
+def test_bitnet_forward_matches_numpy(tmp_path):
+    from tpullm.models.testing import make_tiny_bitnet_gguf
+
+    path = make_tiny_bitnet_gguf(tmp_path / "bitnet.gguf")
+    eng = Engine(path, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    toks = eng.tokenizer.tokenize("the quick brown fox", add_special=True)
+    got = eng.prefill_all_logits(toks)
+    ref = np_bitnet_forward(eng.reader, np.asarray(toks))
+    np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)

@@ -136,6 +136,7 @@ NEOX_ROPE_ARCHS = {
     "nomic-bert", "minicpm3", "command-r", "cohere2", "internlm2", "exaone",
     "exaone4", "smollm3", "gpt-oss", "deci", "nemotron",
     "orion", "codeshell", "seed_oss", "pangu-embedded", "hunyuan-dense",
+    "bitnet",
 }
 
 

@@ -113,6 +113,9 @@ def _ensure_builtin():
     from . import openelm
 
     register_arch("openelm", openelm.build_params, openelm.forward)
+    from . import bitnet
+
+    register_arch("bitnet", bitnet.build_params, bitnet.forward)
     from . import qwen
 
     # qwen v1 = llama graph with fused attn_qkv (llm_build_qwen); the fused
