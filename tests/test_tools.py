@@ -211,3 +211,50 @@ def test_multiple_choice_scoring(tiny):
               "label": 1}]
     acc = multiple_choice_accuracy(eng, tasks)
     assert acc == 1.0
+
+
+def test_streaming_tool_call_parser():
+    """Token-by-token feed splits content from incremental tool-call
+    argument deltas (≡ chat-parser streaming)."""
+    from tpullm.chat import StreamingToolCallParser
+
+    text = ('I will check. <tool_call>{"name": "get_weather", '
+            '"arguments": {"city": "Paris", "unit": "C"}}</tool_call> done')
+    p = StreamingToolCallParser()
+    events = []
+    for i in range(0, len(text), 3):  # jagged 3-char pieces
+        events.extend(p.feed(text[i:i + 3]))
+    events.extend(p.flush())
+
+    content = "".join(e[1] for e in events if e[0] == "content")
+    assert content == "I will check.  done"
+    starts = [e for e in events if e[0] == "tool_start"]
+    assert starts == [("tool_start", 0, "get_weather")]
+    args = "".join(e[2] for e in events if e[0] == "tool_args")
+    import json as _json
+    assert _json.loads(args) == {"city": "Paris", "unit": "C"}
+    assert p.saw_tool_call
+
+
+def test_streaming_tool_call_parser_truncated():
+    """A call cut off mid-arguments still finalizes via partial-JSON
+    healing on flush."""
+    from tpullm.chat import StreamingToolCallParser
+
+    p = StreamingToolCallParser()
+    events = list(p.feed('<tool_call>{"name": "f", "arguments": {"x": 1'))
+    events += p.flush()
+    assert ("tool_start", 0, "f") in events
+    args = "".join(e[2] for e in events if e[0] == "tool_args")
+    import json as _json
+    assert _json.loads(args) == {"x": 1}
+
+
+def test_streaming_tool_call_parser_plain_content():
+    from tpullm.chat import StreamingToolCallParser
+
+    p = StreamingToolCallParser()
+    events = list(p.feed("hello <tool")) + list(p.feed("ish> world"))
+    events += p.flush()
+    assert "".join(e[1] for e in events if e[0] == "content") == "hello <toolish> world"
+    assert not p.saw_tool_call

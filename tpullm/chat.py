@@ -892,3 +892,164 @@ def tool_call_grammar(tools: list[dict], tool_choice=None) -> str:
     return (
         'root ::= "<tool_call>" space tool-json "</tool_call>" space\n' + inner
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming tool-call diffs (≡ common/chat-parser.cpp incremental parsing:
+# the server streams OpenAI `delta.tool_calls[*].function.arguments` chunks
+# while the model is still emitting the call)
+# ---------------------------------------------------------------------------
+
+
+class StreamingToolCallParser:
+    """Incremental splitter of generated text into content deltas and
+    tool-call deltas.
+
+    feed(piece) returns a list of events:
+      ("content", text)                      — plain content delta
+      ("tool_start", index, name)           — a call's name became known
+      ("tool_args", index, args_delta)      — incremental arguments JSON
+    Holds back partially-formed ``<tool_call>`` tags so tag fragments never
+    leak into content. flush() releases any trailing held text.
+    """
+
+    OPEN = "<tool_call>"
+    CLOSE = "</tool_call>"
+
+    def __init__(self):
+        self.buf = ""  # held-back text (possible tag prefix / call body)
+        self.in_call = False
+        self.index = -1
+        self.name_sent = False
+        self.args_sent = ""
+
+    _NAME_RE = re.compile(r'"name"\s*:\s*"((?:[^"\\]|\\.)*)"')
+    _ARGS_RE = re.compile(r'"arguments"\s*:\s*')
+
+    @staticmethod
+    def _value_end(s: str) -> int:
+        """Index one past the balanced JSON value at s[0], or -1 if the
+        value is still incomplete."""
+        if not s:
+            return -1
+        if s[0] in "{[":
+            depth = 0
+            in_str = False
+            esc = False
+            for i, c in enumerate(s):
+                if in_str:
+                    if esc:
+                        esc = False
+                    elif c == "\\":
+                        esc = True
+                    elif c == '"':
+                        in_str = False
+                elif c == '"':
+                    in_str = True
+                elif c in "{[":
+                    depth += 1
+                elif c in "}]":
+                    depth -= 1
+                    if depth == 0:
+                        return i + 1
+            return -1
+        if s[0] == '"':
+            esc = False
+            for i, c in enumerate(s[1:], 1):
+                if esc:
+                    esc = False
+                elif c == "\\":
+                    esc = True
+                elif c == '"':
+                    return i + 1
+            return -1
+        return -1  # bare literal: wait for the final pass
+
+    def _arg_events(self, body: str, final: bool = False):
+        events = []
+        m = self._ARGS_RE.search(body)
+        if not self.name_sent:
+            nm = self._NAME_RE.search(body)
+            if nm:
+                self.index += 1
+                self.name_sent = True
+                events.append(("tool_start", self.index, nm.group(1)))
+        if not (self.name_sent and m):
+            return events
+        raw = body[m.end():]
+        end = self._value_end(raw)
+        if end >= 0:
+            args = raw[:end]
+        elif final:
+            # truncated mid-arguments: heal to a valid JSON string
+            from .grammar.json_partial import parse_partial_json
+
+            obj, _ = parse_partial_json(body)
+            if isinstance(obj, dict) and "arguments" in obj:
+                a = obj["arguments"]
+                args = a if isinstance(a, str) else json.dumps(a)
+            else:
+                args = raw
+        else:
+            # stream the raw text, holding back a possible outer closer
+            args = raw.rstrip()
+            if args.endswith("}"):
+                args = args[:-1]
+        if len(args) > len(self.args_sent) or (final and args != self.args_sent):
+            if args.startswith(self.args_sent):
+                delta = args[len(self.args_sent):]
+            else:
+                delta = args  # healing changed the text (rare): resend
+            if delta:
+                events.append(("tool_args", self.index, delta))
+            self.args_sent = args
+        return events
+
+    def feed(self, piece: str):
+        self.buf += piece
+        events = []
+        while True:
+            if self.in_call:
+                end = self.buf.find(self.CLOSE)
+                if end >= 0:
+                    body = self.buf[:end]
+                    events.extend(self._arg_events(body, final=True))
+                    self.buf = self.buf[end + len(self.CLOSE):]
+                    self.in_call = False
+                    self.name_sent = False
+                    self.args_sent = ""
+                    continue
+                events.extend(self._arg_events(self.buf))
+                return events
+            start = self.buf.find(self.OPEN)
+            if start >= 0:
+                if start:
+                    events.append(("content", self.buf[:start]))
+                self.buf = self.buf[start + len(self.OPEN):]
+                self.in_call = True
+                continue
+            # hold back a possible tag prefix at the tail
+            keep = 0
+            for k in range(min(len(self.OPEN) - 1, len(self.buf)), 0, -1):
+                if self.OPEN.startswith(self.buf[-k:]):
+                    keep = k
+                    break
+            emit = self.buf[: len(self.buf) - keep]
+            if emit:
+                events.append(("content", emit))
+            self.buf = self.buf[len(self.buf) - keep:]
+            return events
+
+    def flush(self):
+        events = []
+        if self.in_call:  # truncated call: finalize from healed JSON
+            events.extend(self._arg_events(self.buf, final=True))
+        elif self.buf:
+            events.append(("content", self.buf))
+        self.buf = ""
+        self.in_call = False
+        return events
+
+    @property
+    def saw_tool_call(self) -> bool:
+        return self.index >= 0

@@ -438,7 +438,8 @@ class Server:
         rid = f"chatcmpl-{uuid.uuid4().hex[:12]}"
         self.sched.submit(req)
         if body.get("stream"):
-            return await self._stream(request, req, rid, chat=True)
+            return await self._stream(request, req, rid, chat=True,
+                                      tools=bool(body.get("tools")))
         text, reason, stats = await self._collect(req)
         # tool-call + reasoning extraction (≡ common/chat-parser)
         reasoning, text = extract_reasoning(text)
@@ -548,7 +549,8 @@ class Server:
             else:
                 return "".join(pieces), ev[1], ev[2], probs
 
-    async def _stream(self, request, req: GenRequest, rid: str, chat: bool):
+    async def _stream(self, request, req: GenRequest, rid: str, chat: bool,
+                      tools: bool = False):
         resp = web.StreamResponse(headers={
             "Content-Type": "text/event-stream",
             "Cache-Control": "no-cache",
@@ -556,20 +558,55 @@ class Server:
         await resp.prepare(request)
         loop = asyncio.get_event_loop()
         obj = "chat.completion.chunk" if chat else "text_completion"
+        # tool-call argument streaming (≡ common/chat-parser incremental
+        # parsing): content vs tool_calls deltas split as tokens arrive
+        parser = None
+        if chat and tools:
+            from ..chat import StreamingToolCallParser
+
+            parser = StreamingToolCallParser()
+
+        async def emit(delta_obj):
+            delta_obj.update({"id": rid, "object": obj, "model": self.model_name})
+            await resp.write(f"data: {json.dumps(delta_obj)}\n\n".encode())
+
+        async def emit_events(events):
+            for kind, *rest in events:
+                if kind == "content":
+                    d = {"content": rest[0]}
+                elif kind == "tool_start":
+                    idx, name = rest
+                    d = {"tool_calls": [{"index": idx, "id": f"call_{idx}",
+                                         "type": "function",
+                                         "function": {"name": name,
+                                                      "arguments": ""}}]}
+                else:  # tool_args
+                    idx, args_delta = rest
+                    d = {"tool_calls": [{"index": idx,
+                                         "function": {"arguments": args_delta}}]}
+                await emit({"choices": [{"index": 0, "delta": d,
+                                         "finish_reason": None}]})
+
         while True:
             ev = await loop.run_in_executor(None, req.out.get)
             if ev[0] == "token":
-                if chat:
-                    delta = {"choices": [{"index": 0, "delta": {"content": ev[2]},
-                                          "finish_reason": None}]}
+                if parser is not None:
+                    await emit_events(parser.feed(ev[2]))
+                elif chat:
+                    await emit({"choices": [{"index": 0,
+                                             "delta": {"content": ev[2]},
+                                             "finish_reason": None}]})
                 else:
-                    delta = {"choices": [{"index": 0, "text": ev[2],
-                                          "finish_reason": None}]}
-                delta.update({"id": rid, "object": obj, "model": self.model_name})
-                await resp.write(f"data: {json.dumps(delta)}\n\n".encode())
+                    await emit({"choices": [{"index": 0, "text": ev[2],
+                                             "finish_reason": None}]})
             else:
+                reason = ev[1]
+                if parser is not None:
+                    await emit_events(parser.flush())
+                    if parser.saw_tool_call:
+                        reason = "tool_calls"
                 final = {"id": rid, "object": obj, "model": self.model_name,
-                         "choices": [{"index": 0, "finish_reason": ev[1],
+                         "choices": [{"index": 0, "finish_reason": reason,
                                       **({"delta": {}} if chat else {"text": ""})}],
                          "timings": ev[2]}
                 await resp.write(f"data: {json.dumps(final)}\n\n".encode())
