@@ -86,6 +86,10 @@ class HParams:
     n_lora_kv: int = 0
     n_layer_dense_lead: int = 0
     n_expert_shared: int = 0
+    # T5 family (relative-position buckets, separate decoder stack)
+    n_rel_buckets: int = 0
+    dec_n_layer: int = 0
+    dec_start_token: int = -1
     # rwkv family
     rescale_every: int = 0  # halve activations every N layers
     # per-layer shape arrays (deci/openelm NAS models: llama_hparams
@@ -272,4 +276,7 @@ def hparams_from_gguf(r: GGUFReader) -> HParams:
         rescale_every=int(k("{arch}.rescale_every_n_layers", 0)),
         ssm_dt_rank=int(k("{arch}.ssm.time_step_rank", 0)),
         ssm_n_group=int(k("{arch}.ssm.group_count", 0)),
+        n_rel_buckets=int(k("{arch}.attention.relative_buckets_count", 0)),
+        dec_n_layer=int(k("{arch}.decoder_block_count", 0)),
+        dec_start_token=int(k("{arch}.decoder_start_token_id", -1)),
     )

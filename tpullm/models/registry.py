@@ -25,14 +25,20 @@ class ArchSpec:
     make_cache: Callable | None = None  # (hp, batch, max_len, dtype) -> cache
     # interleaved-SWA models whose forward understands the dual ring cache
     iswa: bool = False
+    # encoder-decoder models (T5): `encode` fills the cache's cross K/V from
+    # the prompt; the decoder then runs through the standard forward
+    enc_dec: bool = False
+    encode: Callable | None = None  # (hp, params, tokens, enc_len, cache) -> cache
 
 
 _REGISTRY: dict[str, ArchSpec] = {}
 
 
 def register_arch(name: str, build_params, forward, aliases: tuple[str, ...] = (),
-                  recurrent: bool = False, make_cache=None, iswa: bool = False):
-    spec = ArchSpec(name, build_params, forward, recurrent, make_cache, iswa)
+                  recurrent: bool = False, make_cache=None, iswa: bool = False,
+                  enc_dec: bool = False, encode=None):
+    spec = ArchSpec(name, build_params, forward, recurrent, make_cache, iswa,
+                    enc_dec, encode)
     _REGISTRY[name] = spec
     for a in aliases:
         _REGISTRY[a] = spec
@@ -213,6 +219,21 @@ def _ensure_builtin():
         recurrent=True,
         make_cache=lambda hp, batch, max_len, dtype: RecurrentCache.new(hp, batch),
     )
+    from . import t5
+
+    register_arch(
+        "t5",
+        t5.build_params,
+        t5.forward,
+        enc_dec=True,
+        encode=t5.encode_with_cross,
+        make_cache=lambda hp, batch, max_len, dtype: t5.T5Cache.new(
+            hp, batch, max_len, dtype
+        ),
+    )
+    register_arch("t5encoder", t5.build_params, t5.encoder_forward,
+                  make_cache=lambda hp, batch, max_len, dtype: t5.T5Cache.new(
+                      hp, batch, max_len, dtype))
     from . import bert
 
     register_arch(

@@ -1752,3 +1752,82 @@ def make_tiny_bitnet_gguf(
     w.add_tensor("output_norm.weight", 1.0 + rand((n_embd,)))
     w.write()
     return str(path)
+
+
+def make_tiny_t5_gguf(
+    path,
+    *,
+    arch: str = "t5",
+    n_layer: int = 2,
+    n_embd: int = 64,
+    n_head: int = 4,
+    n_ff: int = 128,
+    n_rel_buckets: int = 32,
+    n_ctx: int = 256,
+    gated: bool = True,
+    seed: int = 0,
+) -> str:
+    """Tiny t5/t5encoder-shaped GGUF: enc./dec. tensor stacks, layer-0
+    relative-position bias tables, gated-gelu (v1.1) or relu FFN."""
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = _byte_vocab(DEFAULT_WORDS)
+    n_vocab = len(tokens)
+    head_dim = n_embd // n_head
+
+    w = GGUFWriter(path, architecture=arch)
+    w.add_kv("general.name", f"tpullm-tiny-{arch}")
+    w.add_kv(f"{arch}.block_count", n_layer)
+    w.add_kv(f"{arch}.context_length", n_ctx)
+    w.add_kv(f"{arch}.embedding_length", n_embd)
+    w.add_kv(f"{arch}.feed_forward_length", n_ff)
+    w.add_kv(f"{arch}.attention.head_count", n_head)
+    w.add_kv(f"{arch}.attention.head_count_kv", n_head)
+    w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_kv(f"{arch}.attention.relative_buckets_count", n_rel_buckets)
+    if arch == "t5":
+        w.add_kv(f"{arch}.decoder_block_count", n_layer)
+        w.add_kv(f"{arch}.decoder_start_token_id", 1)
+    w.add_kv("tokenizer.ggml.model", "llama")
+    w.add_kv("tokenizer.ggml.tokens", tokens)
+    w.add_kv("tokenizer.ggml.scores", np.asarray(scores, dtype=np.float32))
+    w.add_kv("tokenizer.ggml.token_type", np.asarray(types, dtype=np.int32))
+    w.add_kv("tokenizer.ggml.bos_token_id", 1)
+    w.add_kv("tokenizer.ggml.eos_token_id", 2)
+    w.add_kv("tokenizer.ggml.unknown_token_id", 0)
+    w.add_kv("tokenizer.ggml.add_bos_token", False)
+
+    def rand(shape, scale=0.05):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    def stack(prefix, cross=False, rel=False):
+        w.add_tensor(prefix + "attn_norm.weight", 1.0 + rand((n_embd,)))
+        w.add_tensor(prefix + "attn_q.weight", rand((n_embd, n_embd)))
+        w.add_tensor(prefix + "attn_k.weight", rand((n_embd, n_embd)))
+        w.add_tensor(prefix + "attn_v.weight", rand((n_embd, n_embd)))
+        w.add_tensor(prefix + "attn_o.weight", rand((n_embd, n_embd)))
+        if rel:
+            w.add_tensor(prefix + "attn_rel_b.weight",
+                         rand((n_rel_buckets, n_head), 0.3))
+        if cross:
+            w.add_tensor(prefix + "cross_attn_norm.weight", 1.0 + rand((n_embd,)))
+            w.add_tensor(prefix + "cross_attn_q.weight", rand((n_embd, n_embd)))
+            w.add_tensor(prefix + "cross_attn_k.weight", rand((n_embd, n_embd)))
+            w.add_tensor(prefix + "cross_attn_v.weight", rand((n_embd, n_embd)))
+            w.add_tensor(prefix + "cross_attn_o.weight", rand((n_embd, n_embd)))
+        w.add_tensor(prefix + "ffn_norm.weight", 1.0 + rand((n_embd,)))
+        if gated:
+            w.add_tensor(prefix + "ffn_gate.weight", rand((n_ff, n_embd)))
+        w.add_tensor(prefix + "ffn_up.weight", rand((n_ff, n_embd)))
+        w.add_tensor(prefix + "ffn_down.weight", rand((n_embd, n_ff)))
+
+    w.add_tensor("token_embd.weight", rand((n_vocab, n_embd)))
+    for i in range(n_layer):
+        stack(f"enc.blk.{i}.", rel=(i == 0))
+    w.add_tensor("enc.output_norm.weight", 1.0 + rand((n_embd,)))
+    if arch == "t5":
+        for i in range(n_layer):
+            stack(f"dec.blk.{i}.", cross=True, rel=(i == 0))
+        w.add_tensor("dec.output_norm.weight", 1.0 + rand((n_embd,)))
+        w.add_tensor("output.weight", rand((n_vocab, n_embd)))
+    w.write()
+    return str(path)

@@ -175,6 +175,15 @@ class Engine:
         self.perf = PerfCounters(t_load_s=time.perf_counter() - t0)
 
         self._step = _get_step(self.arch.forward, self.hp)
+        if self.arch.enc_dec:  # T5: jitted encoder filling the cross cache
+            enc = self.arch.encode
+            hp = self.hp
+
+            @functools.partial(jax.jit, donate_argnames=("cache",))
+            def _encode(params, toks, enc_len, cache):
+                return enc(hp, params, toks, enc_len, cache)
+
+            self._encode = _encode
 
     # -- core ops ---------------------------------------------------------------
 
@@ -202,6 +211,8 @@ class Engine:
 
     def prefill(self, tokens: list[int]) -> np.ndarray:
         """Feed prompt tokens; returns logits of the last token [n_vocab]."""
+        if self.arch.enc_dec:
+            return self._prefill_enc_dec(tokens)
         t0 = time.perf_counter()
         n = len(tokens)
         if self.n_past + n > self.max_seq:
@@ -224,6 +235,30 @@ class Engine:
         self.perf.t_prefill_s += time.perf_counter() - t0
         self.perf.n_prefill += n
         return out
+
+    def _prefill_enc_dec(self, tokens: list[int]) -> np.ndarray:
+        """T5 path: run the encoder over the prompt (filling cross K/V),
+        then one decoder step on the decoder-start token (≡ llama_encode
+        followed by llama_decode of decoder_start_token_id)."""
+        t0 = time.perf_counter()
+        n = len(tokens)
+        bucket = self._bucket(n)
+        toks = np.zeros((self.batch, bucket), dtype=np.int32)
+        toks[0, :n] = tokens
+        enc_len = np.zeros((self.batch,), dtype=np.int32)
+        enc_len[0] = n
+        self.cache = self._encode(
+            self.params, jnp.asarray(toks), jnp.asarray(enc_len), self.cache
+        )
+        self.n_past = 0
+        start = self.hp.dec_start_token
+        if start < 0:
+            start = getattr(self.tokenizer.vocab, "pad_id", -1)
+            if start is None or start < 0:
+                start = 0
+        self.perf.t_prefill_s += time.perf_counter() - t0
+        self.perf.n_prefill += n
+        return self.decode_step(start)
 
     def prefill_all_logits(self, tokens: list[int]) -> np.ndarray:
         """Like prefill, but returns logits for every position [T, n_vocab]
