@@ -201,6 +201,15 @@ def _ensure_builtin():
         recurrent=True,
         make_cache=lambda hp, batch, max_len, dtype: rwkv6.Rwkv6Cache.new(hp, batch),
     )
+    from . import rwkv7
+
+    register_arch(
+        "rwkv7",
+        rwkv7.build_params,
+        rwkv7.forward,
+        recurrent=True,
+        make_cache=lambda hp, batch, max_len, dtype: rwkv6.Rwkv6Cache.new(hp, batch),
+    )
     from . import mamba
     from ..runtime.recurrent import RecurrentCache
 
