@@ -201,6 +201,17 @@ def _ensure_builtin():
         recurrent=True,
         make_cache=lambda hp, batch, max_len, dtype: rwkv6.Rwkv6Cache.new(hp, batch),
     )
+    from . import jamba
+
+    register_arch(
+        "jamba",
+        jamba.build_params,
+        jamba.forward,
+        recurrent=True,  # exact-length prefills protect the carried state
+        make_cache=lambda hp, batch, max_len, dtype: jamba.HybridCache.new(
+            hp, batch, max_len, dtype
+        ),
+    )
     from . import rwkv7
 
     register_arch(

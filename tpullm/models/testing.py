@@ -1914,3 +1914,96 @@ def make_tiny_rwkv7_gguf(
     w.add_tensor("output.weight", rand((n_vocab, n_embd)))
     w.write()
     return str(path)
+
+
+def make_tiny_jamba_gguf(
+    path,
+    *,
+    n_embd: int = 64,
+    n_head: int = 4,
+    n_head_kv: int = 2,
+    d_inner: int = 128,
+    d_state: int = 16,
+    d_conv: int = 4,
+    dt_rank: int = 4,
+    n_ff: int = 96,
+    n_expert: int = 4,
+    n_expert_used: int = 2,
+    n_ctx: int = 256,
+    seed: int = 0,
+) -> str:
+    """Tiny jamba-shaped GGUF: 4 layers = [mamba+dense, attn+dense,
+    mamba+moe, attn+moe] (llm_build_jamba hybrid dispatch)."""
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = _byte_vocab(DEFAULT_WORDS)
+    n_vocab = len(tokens)
+    head_dim = n_embd // n_head
+    kinds = ["mamba", "attn", "mamba", "attn"]
+    moe = [False, False, True, True]
+    kv_arr = [0 if k == "mamba" else n_head_kv for k in kinds]
+    n_layer = len(kinds)
+
+    arch = "jamba"
+    w = GGUFWriter(path, architecture=arch)
+    w.add_kv("general.name", "tpullm-tiny-jamba")
+    w.add_kv(f"{arch}.block_count", n_layer)
+    w.add_kv(f"{arch}.context_length", n_ctx)
+    w.add_kv(f"{arch}.embedding_length", n_embd)
+    w.add_kv(f"{arch}.feed_forward_length", n_ff)
+    w.add_kv(f"{arch}.attention.head_count", n_head)
+    w.add_kv(f"{arch}.attention.head_count_kv", np.asarray(kv_arr, dtype=np.int32))
+    w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_kv(f"{arch}.ssm.conv_kernel", d_conv)
+    w.add_kv(f"{arch}.ssm.inner_size", d_inner)
+    w.add_kv(f"{arch}.ssm.state_size", d_state)
+    w.add_kv(f"{arch}.ssm.time_step_rank", dt_rank)
+    w.add_kv(f"{arch}.expert_count", n_expert)
+    w.add_kv(f"{arch}.expert_used_count", n_expert_used)
+    w.add_kv("tokenizer.ggml.model", "llama")
+    w.add_kv("tokenizer.ggml.tokens", tokens)
+    w.add_kv("tokenizer.ggml.scores", np.asarray(scores, dtype=np.float32))
+    w.add_kv("tokenizer.ggml.token_type", np.asarray(types, dtype=np.int32))
+    w.add_kv("tokenizer.ggml.bos_token_id", 1)
+    w.add_kv("tokenizer.ggml.eos_token_id", 2)
+    w.add_kv("tokenizer.ggml.unknown_token_id", 0)
+    w.add_kv("tokenizer.ggml.add_bos_token", True)
+
+    def rand(shape, scale=0.05):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    w.add_tensor("token_embd.weight", rand((n_vocab, n_embd)))
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        w.add_tensor(p + "attn_norm.weight", 1.0 + rand((n_embd,)))
+        if kinds[i] == "mamba":
+            w.add_tensor(p + "ssm_in.weight", rand((2 * d_inner, n_embd)))
+            w.add_tensor(p + "ssm_conv1d.weight", rand((d_inner, d_conv)))
+            w.add_tensor(p + "ssm_conv1d.bias", rand((d_inner,)))
+            w.add_tensor(p + "ssm_x.weight", rand((dt_rank + 2 * d_state, d_inner)))
+            w.add_tensor(p + "ssm_dt.weight", rand((d_inner, dt_rank)))
+            w.add_tensor(p + "ssm_dt.bias", rand((d_inner,)))
+            w.add_tensor(p + "ssm_dt_norm.weight", 1.0 + rand((dt_rank,)))
+            w.add_tensor(p + "ssm_b_norm.weight", 1.0 + rand((d_state,)))
+            w.add_tensor(p + "ssm_c_norm.weight", 1.0 + rand((d_state,)))
+            w.add_tensor(p + "ssm_a", rand((d_inner, d_state)) - 1.0)
+            w.add_tensor(p + "ssm_d", 1.0 + rand((d_inner,)))
+            w.add_tensor(p + "ssm_out.weight", rand((n_embd, d_inner)))
+        else:
+            w.add_tensor(p + "attn_q.weight", rand((n_head * head_dim, n_embd)))
+            w.add_tensor(p + "attn_k.weight", rand((n_head_kv * head_dim, n_embd)))
+            w.add_tensor(p + "attn_v.weight", rand((n_head_kv * head_dim, n_embd)))
+            w.add_tensor(p + "attn_output.weight", rand((n_embd, n_head * head_dim)))
+        w.add_tensor(p + "ffn_norm.weight", 1.0 + rand((n_embd,)))
+        if moe[i]:
+            w.add_tensor(p + "ffn_gate_inp.weight", rand((n_expert, n_embd)))
+            w.add_tensor(p + "ffn_gate_exps.weight", rand((n_expert, n_ff, n_embd)))
+            w.add_tensor(p + "ffn_up_exps.weight", rand((n_expert, n_ff, n_embd)))
+            w.add_tensor(p + "ffn_down_exps.weight", rand((n_expert, n_embd, n_ff)))
+        else:
+            w.add_tensor(p + "ffn_gate.weight", rand((n_ff, n_embd)))
+            w.add_tensor(p + "ffn_up.weight", rand((n_ff, n_embd)))
+            w.add_tensor(p + "ffn_down.weight", rand((n_embd, n_ff)))
+    w.add_tensor("output_norm.weight", 1.0 + rand((n_embd,)))
+    w.add_tensor("output.weight", rand((n_vocab, n_embd)))
+    w.write()
+    return str(path)
