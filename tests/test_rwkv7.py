@@ -140,3 +140,19 @@ def test_rwkv7_decode_matches_prefill(tmp_path):
     eng.prefill(toks[:-1])
     last = eng.decode_step(toks[-1])
     np.testing.assert_allclose(last, full[-1], rtol=2e-3, atol=2e-3)
+
+
+def test_arwkv7_generates_and_decode_matches_prefill(tmp_path):
+    """arwkv7 = rwkv7 time-mix on a llama body (llm_build_arwkv7)."""
+    from tpullm.models.testing import make_tiny_arwkv7_gguf
+
+    path = make_tiny_arwkv7_gguf(tmp_path / "ar7.gguf")
+    eng = Engine(path, mode="dense", dtype=jnp.float32, max_seq=64)
+    toks = eng.tokenizer.tokenize("the quick brown", add_special=True)
+    full = eng.prefill_all_logits(toks)
+    assert np.isfinite(full).all()
+    eng.reset()
+    eng.cache = type(eng.cache).new(eng.hp, eng.batch)
+    eng.prefill(toks[:-1])
+    last = eng.decode_step(toks[-1])
+    np.testing.assert_allclose(last, full[-1], rtol=2e-3, atol=2e-3)

@@ -221,6 +221,14 @@ def _ensure_builtin():
         recurrent=True,
         make_cache=lambda hp, batch, max_len, dtype: rwkv6.Rwkv6Cache.new(hp, batch),
     )
+    # arwkv7 = rwkv7 time-mix on a llama-style body (llm_build_arwkv7)
+    register_arch(
+        "arwkv7",
+        rwkv7.build_params_arwkv,
+        rwkv7.forward_arwkv,
+        recurrent=True,
+        make_cache=lambda hp, batch, max_len, dtype: rwkv6.Rwkv6Cache.new(hp, batch),
+    )
     from . import mamba
     from ..runtime.recurrent import RecurrentCache
 

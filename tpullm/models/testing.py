@@ -2007,3 +2007,79 @@ def make_tiny_jamba_gguf(
     w.add_tensor("output.weight", rand((n_vocab, n_embd)))
     w.write()
     return str(path)
+
+
+def make_tiny_arwkv7_gguf(
+    path,
+    *,
+    n_layer: int = 2,
+    n_embd: int = 32,
+    head_size: int = 8,
+    n_ff: int = 64,
+    rank: int = 4,
+    n_ctx: int = 256,
+    seed: int = 0,
+) -> str:
+    """Tiny arwkv7-shaped GGUF: rwkv7 time-mix + RMS norms + swiglu FFN."""
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = _byte_vocab(DEFAULT_WORDS)
+    n_vocab = len(tokens)
+
+    arch = "arwkv7"
+    w = GGUFWriter(path, architecture=arch)
+    w.add_kv("general.name", "tpullm-tiny-arwkv7")
+    w.add_kv(f"{arch}.block_count", n_layer)
+    w.add_kv(f"{arch}.context_length", n_ctx)
+    w.add_kv(f"{arch}.embedding_length", n_embd)
+    w.add_kv(f"{arch}.feed_forward_length", n_ff)
+    w.add_kv(f"{arch}.attention.head_count", 0)
+    w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_kv(f"{arch}.wkv.head_size", head_size)
+    w.add_kv(f"{arch}.token_shift_count", 1)
+    w.add_kv("tokenizer.ggml.model", "llama")
+    w.add_kv("tokenizer.ggml.tokens", tokens)
+    w.add_kv("tokenizer.ggml.scores", np.asarray(scores, dtype=np.float32))
+    w.add_kv("tokenizer.ggml.token_type", np.asarray(types, dtype=np.int32))
+    w.add_kv("tokenizer.ggml.bos_token_id", 1)
+    w.add_kv("tokenizer.ggml.eos_token_id", 2)
+    w.add_kv("tokenizer.ggml.unknown_token_id", 0)
+    w.add_kv("tokenizer.ggml.add_bos_token", True)
+
+    def rand(shape, scale=0.1):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    H = n_embd // head_size
+    w.add_tensor("token_embd.weight", rand((n_vocab, n_embd)))
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        w.add_tensor(p + "attn_norm.weight", np.ones(n_embd, np.float32))
+        w.add_tensor(p + "time_mix_lerp_fused.weight", rand((6, 1, n_embd)))
+        w.add_tensor(p + "time_mix_w0.weight", rand((n_embd,)))
+        w.add_tensor(p + "time_mix_w1.weight", rand((rank, n_embd)))
+        w.add_tensor(p + "time_mix_w2.weight", rand((n_embd, rank)))
+        w.add_tensor(p + "time_mix_a0.weight", rand((n_embd,)))
+        w.add_tensor(p + "time_mix_a1.weight", rand((rank, n_embd)))
+        w.add_tensor(p + "time_mix_a2.weight", rand((n_embd, rank)))
+        if i > 0:
+            w.add_tensor(p + "time_mix_v0.weight", rand((n_embd,)))
+            w.add_tensor(p + "time_mix_v1.weight", rand((rank, n_embd)))
+            w.add_tensor(p + "time_mix_v2.weight", rand((n_embd, rank)))
+        w.add_tensor(p + "time_mix_g1.weight", rand((rank, n_embd)))
+        w.add_tensor(p + "time_mix_g2.weight", rand((n_embd, rank)))
+        w.add_tensor(p + "time_mix_k_k.weight", 1.0 + rand((n_embd,)))
+        w.add_tensor(p + "time_mix_k_a.weight", rand((n_embd,)))
+        w.add_tensor(p + "time_mix_r_k.weight", rand((H, head_size)))
+        w.add_tensor(p + "time_mix_receptance.weight", rand((n_embd, n_embd)))
+        w.add_tensor(p + "time_mix_key.weight", rand((n_embd, n_embd)))
+        w.add_tensor(p + "time_mix_value.weight", rand((n_embd, n_embd)))
+        w.add_tensor(p + "time_mix_ln.weight", np.ones(n_embd, np.float32))
+        w.add_tensor(p + "time_mix_ln.bias", rand((n_embd,)))
+        w.add_tensor(p + "time_mix_output.weight", rand((n_embd, n_embd)))
+        w.add_tensor(p + "ffn_norm.weight", np.ones(n_embd, np.float32))
+        w.add_tensor(p + "ffn_gate.weight", rand((n_ff, n_embd)))
+        w.add_tensor(p + "ffn_up.weight", rand((n_ff, n_embd)))
+        w.add_tensor(p + "ffn_down.weight", rand((n_embd, n_ff)))
+    w.add_tensor("output_norm.weight", np.ones(n_embd, np.float32))
+    w.add_tensor("output.weight", rand((n_vocab, n_embd)))
+    w.write()
+    return str(path)
