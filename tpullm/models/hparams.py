@@ -86,6 +86,9 @@ class HParams:
     n_lora_kv: int = 0
     n_layer_dense_lead: int = 0
     n_expert_shared: int = 0
+    # wavtokenizer group-norm params (LLM_KV_ATTENTION_GROUPNORM_*)
+    n_norm_groups: int = 0
+    norm_group_eps: float = 1e-6
     # T5 family (relative-position buckets, separate decoder stack)
     n_rel_buckets: int = 0
     dec_n_layer: int = 0
@@ -276,6 +279,8 @@ def hparams_from_gguf(r: GGUFReader) -> HParams:
         rescale_every=int(k("{arch}.rescale_every_n_layers", 0)),
         ssm_dt_rank=int(k("{arch}.ssm.time_step_rank", 0)),
         ssm_n_group=int(k("{arch}.ssm.group_count", 0)),
+        n_norm_groups=int(k("{arch}.attention.group_norm_groups", 0)),
+        norm_group_eps=float(k("{arch}.attention.group_norm_epsilon", 1e-6)),
         n_rel_buckets=int(k("{arch}.attention.relative_buckets_count", 0)),
         dec_n_layer=int(k("{arch}.decoder_block_count", 0)),
         dec_start_token=int(k("{arch}.decoder_start_token_id", -1)),

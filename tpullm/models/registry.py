@@ -201,6 +201,17 @@ def _ensure_builtin():
         recurrent=True,
         make_cache=lambda hp, batch, max_len, dtype: rwkv6.Rwkv6Cache.new(hp, batch),
     )
+    from . import wavtokenizer
+
+    import jax.numpy as _jnp
+
+    register_arch(
+        "wavtokenizer-dec",
+        wavtokenizer.build_params,
+        wavtokenizer.forward,
+        recurrent=True,  # convolutional: exact-length inputs, no KV cache
+        make_cache=lambda hp, batch, max_len, dtype: _jnp.zeros(()),
+    )
     from . import jamba
 
     register_arch(

@@ -2083,3 +2083,87 @@ def make_tiny_arwkv7_gguf(
     w.add_tensor("output.weight", rand((n_vocab, n_embd)))
     w.write()
     return str(path)
+
+
+def make_tiny_wavtokenizer_gguf(
+    path,
+    *,
+    n_vocab_codes: int = 64,
+    n_feat: int = 16,
+    n_posnet_embd: int = 16,
+    n_convnext_embd: int = 16,
+    n_out: int = 34,  # spectral head width (2 * (n_fft/2+1) scaled down)
+    n_groups: int = 4,
+    n_ctx: int = 256,
+    seed: int = 0,
+) -> str:
+    """Tiny wavtokenizer-dec-shaped GGUF (posnet + convnext vocoder)."""
+    rng = np.random.default_rng(seed)
+
+    arch = "wavtokenizer-dec"
+    w = GGUFWriter(path, architecture=arch)
+    w.add_kv("general.name", "tpullm-tiny-wavtok")
+    w.add_kv(f"{arch}.block_count", 1)
+    w.add_kv(f"{arch}.context_length", n_ctx)
+    w.add_kv(f"{arch}.embedding_length", n_feat)
+    w.add_kv(f"{arch}.feed_forward_length", 0)
+    w.add_kv(f"{arch}.vocab_size", n_vocab_codes)
+    w.add_kv(f"{arch}.attention.head_count", 1)
+    w.add_kv(f"{arch}.attention.layer_norm_epsilon", 1e-5)
+    w.add_kv(f"{arch}.attention.group_norm_epsilon", 1e-6)
+    w.add_kv(f"{arch}.attention.group_norm_groups", n_groups)
+    w.add_kv(f"{arch}.attention.causal", False)
+    w.add_kv(f"{arch}.features_length", n_feat)
+    w.add_kv(f"{arch}.posnet.embedding_length", n_posnet_embd)
+    w.add_kv(f"{arch}.posnet.block_count", 6)
+    w.add_kv(f"{arch}.convnext.embedding_length", n_convnext_embd)
+    w.add_kv(f"{arch}.convnext.block_count", 2)
+    w.add_kv("tokenizer.ggml.model", "none")
+
+    def rand(shape, scale=0.1):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    C = n_posnet_embd
+    w.add_tensor("token_embd.weight", rand((n_vocab_codes, n_feat)))
+    w.add_tensor("conv1d.weight", rand((C, n_feat, 7)))
+    w.add_tensor("conv1d.bias", rand((C,)))
+    for i in range(6):
+        p = f"posnet.{i}."
+        if i == 2:  # attention block
+            w.add_tensor(p + "attn_norm.weight", 1.0 + rand((C,)))
+            w.add_tensor(p + "attn_norm.bias", rand((C,)))
+            for nm in ("attn_q", "attn_k", "attn_v", "attn_output"):
+                w.add_tensor(p + nm + ".weight", rand((C, C, 1)))
+                w.add_tensor(p + nm + ".bias", rand((C,)))
+        elif i == 5:  # trailing group norm
+            w.add_tensor(p + "norm.weight", 1.0 + rand((C,)))
+            w.add_tensor(p + "norm.bias", rand((C,)))
+        else:  # resnet block
+            w.add_tensor(p + "norm1.weight", 1.0 + rand((C,)))
+            w.add_tensor(p + "norm1.bias", rand((C,)))
+            w.add_tensor(p + "conv1.weight", rand((C, C, 3)))
+            w.add_tensor(p + "conv1.bias", rand((C,)))
+            w.add_tensor(p + "norm2.weight", 1.0 + rand((C,)))
+            w.add_tensor(p + "norm2.bias", rand((C,)))
+            w.add_tensor(p + "conv2.weight", rand((C, C, 3)))
+            w.add_tensor(p + "conv2.bias", rand((C,)))
+    w.add_tensor("token_embd_norm.weight", 1.0 + rand((C,)))
+    w.add_tensor("token_embd_norm.bias", rand((C,)))
+    D = n_convnext_embd
+    for i in range(2):
+        p = f"convnext.{i}."
+        w.add_tensor(p + "dw.weight", rand((D, 1, 7)))
+        w.add_tensor(p + "dw.bias", rand((D,)))
+        w.add_tensor(p + "norm.weight", 1.0 + rand((D,)))
+        w.add_tensor(p + "norm.bias", rand((D,)))
+        w.add_tensor(p + "pw1.weight", rand((3 * D, D)))
+        w.add_tensor(p + "pw1.bias", rand((3 * D,)))
+        w.add_tensor(p + "pw2.weight", rand((D, 3 * D)))
+        w.add_tensor(p + "pw2.bias", rand((D,)))
+        w.add_tensor(p + "gamma.weight", 1.0 + rand((D,)))
+    w.add_tensor("output_norm.weight", 1.0 + rand((D,)))
+    w.add_tensor("output_norm.bias", rand((D,)))
+    w.add_tensor("output.weight", rand((n_out, D)))
+    w.add_tensor("output.bias", rand((n_out,)))
+    w.write()
+    return str(path)
