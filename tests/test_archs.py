@@ -1428,3 +1428,82 @@ def test_bitnet_forward_matches_numpy(tmp_path):
     got = eng.prefill_all_logits(toks)
     ref = np_bitnet_forward(eng.reader, np.asarray(toks))
     np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
+
+
+# -- dream / llada (bidirectional diffusion denoisers) -------------------------
+
+
+def test_dream_bidirectional_matches_numpy(tmp_path):
+    """Dream: qwen2-style biased qkv, neox rope, NON-causal full attention
+    (llm_build_dream over build_attn_inp_no_cache)."""
+    from tpullm.models.registry import get_arch, load_hparams
+    from tpullm.models.testing import make_tiny_llama_gguf
+    import jax
+
+    path = make_tiny_llama_gguf(
+        tmp_path / "dream.gguf", arch="dream", with_qkv_bias=True,
+        extra_kv={"tokenizer.ggml.mask_token_id": 0},
+    )
+    r = GGUFReader(path)
+    hp = load_hparams(r)
+    spec = get_arch(hp.arch)
+    params = spec.build_params(r, hp, mode="dense", dtype=jnp.float32)
+    toks = np.asarray([5, 9, 3, 7, 11, 2], np.int32)
+    pos = jnp.asarray(np.arange(len(toks))[None])
+    logits, _ = jax.jit(
+        lambda p, t_: spec.forward(hp, p, t_, pos, jnp.zeros(()), 0)
+    )(params, jnp.asarray(toks[None]))
+    got = np.asarray(logits[0])
+
+    md = r.metadata
+    n_layer = md["dream.block_count"]
+    n_head = md["dream.attention.head_count"]
+    n_head_kv = md["dream.attention.head_count_kv"]
+    n_embd = md["dream.embedding_length"]
+    eps = md["dream.attention.layer_norm_rms_epsilon"]
+    base = md["dream.rope.freq_base"]
+    hd = n_embd // n_head
+
+    def t(name):
+        return r.tensors[name].to_numpy().astype(np.float64)
+
+    T = len(toks)
+    posn = np.arange(T)
+    x = t("token_embd.weight")[toks]
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        h = _rms(x, t(p + "attn_norm.weight"), eps)
+        q = (h @ t(p + "attn_q.weight").T + t(p + "attn_q.bias")).reshape(T, n_head, hd)
+        k = (h @ t(p + "attn_k.weight").T + t(p + "attn_k.bias")).reshape(T, n_head_kv, hd)
+        v = (h @ t(p + "attn_v.weight").T + t(p + "attn_v.bias")).reshape(T, n_head_kv, hd)
+        q, k = _rope_neox(q, posn, base), _rope_neox(k, posn, base)
+        g = n_head // n_head_kv
+        out = np.zeros((T, n_head, hd))
+        for hh in range(n_head):
+            kk, vv = k[:, hh // g], v[:, hh // g]
+            scores = q[:, hh] @ kk.T / np.sqrt(hd)  # NO causal mask
+            e = np.exp(scores - scores.max(-1, keepdims=True))
+            out[:, hh] = (e / e.sum(-1, keepdims=True)) @ vv
+        x = x + out.reshape(T, n_embd) @ t(p + "attn_output.weight").T
+        h = _rms(x, t(p + "ffn_norm.weight"), eps)
+        gate = h @ t(p + "ffn_gate.weight").T
+        up = h @ t(p + "ffn_up.weight").T
+        x = x + (gate / (1 + np.exp(-gate)) * up) @ t(p + "ffn_down.weight").T
+    x = _rms(x, t("output_norm.weight"), eps)
+    ref = x @ t("output.weight").T
+    np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
+
+
+def test_diffusion_generate_fills_canvas(tmp_path):
+    from tpullm.models.testing import make_tiny_llama_gguf
+    from tpullm.tools.diffusion import diffusion_generate
+
+    path = make_tiny_llama_gguf(
+        tmp_path / "llada.gguf", arch="llada",
+        extra_kv={"tokenizer.ggml.mask_token_id": 0},
+    )
+    eng = Engine(path, mode="dense", max_seq=64)
+    ids = eng.tokenizer.tokenize("the quick", add_special=True)
+    out = diffusion_generate(eng, ids, max_length=len(ids) + 8, steps=4)
+    assert len(out) == 8
+    assert all(t != 0 for t in out)  # every mask slot committed

@@ -143,7 +143,7 @@ NEOX_ROPE_ARCHS = {
     "nomic-bert", "minicpm3", "command-r", "cohere2", "internlm2", "exaone",
     "exaone4", "smollm3", "gpt-oss", "deci", "nemotron",
     "orion", "codeshell", "seed_oss", "pangu-embedded", "hunyuan-dense",
-    "bitnet",
+    "bitnet", "dream",
 }
 
 

@@ -201,6 +201,20 @@ def _ensure_builtin():
         recurrent=True,
         make_cache=lambda hp, batch, max_len, dtype: rwkv6.Rwkv6Cache.new(hp, batch),
     )
+    from . import diffusion_lm
+
+    import jax.numpy as _jnp2
+
+    # diffusion denoisers: full-canvas bidirectional forwards, no KV cache
+    # (llm_build_dream / llm_build_llada + examples/diffusion loop)
+    register_arch(
+        "dream",
+        diffusion_lm.build_params,
+        diffusion_lm.forward,
+        aliases=("llada",),
+        recurrent=True,  # exact-length canvases, no incremental state
+        make_cache=lambda hp, batch, max_len, dtype: _jnp2.zeros(()),
+    )
     from . import wavtokenizer
 
     import jax.numpy as _jnp

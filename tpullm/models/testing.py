@@ -51,6 +51,7 @@ def make_tiny_llama_gguf(
     arch: str = "llama",
     extra_kv: dict | None = None,
     with_qk_norm: bool = False,  # per-head q/k RMS norms
+    with_qkv_bias: bool = False,  # qwen2/dream-style attn biases
     with_bo: bool = False,  # attn output bias (pangu/maincoder)
     ffn_norm_tensor: str = "ffn_norm",  # seed_oss: post_attention_norm
 ) -> str:
@@ -100,6 +101,10 @@ def make_tiny_llama_gguf(
         add_w(p + "attn_k.weight", rand((n_head_kv * head_dim, n_embd)))
         add_w(p + "attn_v.weight", rand((n_head_kv * head_dim, n_embd)))
         add_w(p + "attn_output.weight", rand((n_embd, n_head * head_dim)))
+        if with_qkv_bias:
+            add_w(p + "attn_q.bias", rand((n_head * head_dim,)), GGMLType.F32)
+            add_w(p + "attn_k.bias", rand((n_head_kv * head_dim,)), GGMLType.F32)
+            add_w(p + "attn_v.bias", rand((n_head_kv * head_dim,)), GGMLType.F32)
         if with_qk_norm:
             add_w(p + "attn_q_norm.weight",
                   (1.0 + rand((head_dim,))).astype(np.float32), GGMLType.F32)
