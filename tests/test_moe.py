@@ -15,12 +15,13 @@ from tpullm.runtime import Engine
 # -- op-level: route + moe_ffn vs numpy ------------------------------------------
 
 
-def np_moe(x, router_w, gate, up, down, k, norm_w, scale=1.0):
+def np_moe(x, router_w, gate, up, down, k, norm_w, scale=1.0, sel_bias=None):
     """x [N,E], router_w [n_exp, n_embd], experts (E, F, embd)/(E, embd, F)."""
     logits = x @ router_w.T
     p = np.exp(logits - logits.max(-1, keepdims=True))
     p /= p.sum(-1, keepdims=True)
-    order = np.argsort(-p, axis=-1, kind="stable")[:, :k]
+    ranked = p + sel_bias if sel_bias is not None else p
+    order = np.argsort(-ranked, axis=-1, kind="stable")[:, :k]
     out = np.zeros_like(x)
     for n in range(x.shape[0]):
         ws = p[n, order[n]]
@@ -104,7 +105,7 @@ def np_moe_forward(reader: GGUFReader, tokens: np.ndarray) -> np.ndarray:
         theta = pos[:, None] * inv
         c, s = np.cos(theta), np.sin(theta)
         out = x.copy()
-        if arch in ("deepseek", "granitemoe"):  # NORM-rope archs
+        if arch in ("deepseek", "granitemoe", "ernie4_5-moe"):  # NORM-rope
             x0, x1 = x[..., 0::2], x[..., 1::2]
             out[..., 0::2] = x0 * c[:, None, :] - x1 * s[:, None, :]
             out[..., 1::2] = x0 * s[:, None, :] + x1 * c[:, None, :]
@@ -155,8 +156,10 @@ def np_moe_forward(reader: GGUFReader, tokens: np.ndarray) -> np.ndarray:
                 t(p + "ffn_up_exps.weight"),
                 t(p + "ffn_down_exps.weight"),
                 n_used,
-                norm_w=arch in ("qwen3moe", "granitemoe"),
+                norm_w=arch in ("qwen3moe", "granitemoe", "ernie4_5-moe"),
                 scale=scale,
+                sel_bias=(t(p + "exp_probs_b.bias")
+                          if has(p + "exp_probs_b.bias") else None),
             )
         if has(p + "ffn_gate_shexp.weight"):
             gsh = h @ t(p + "ffn_gate_shexp.weight").T
@@ -182,6 +185,10 @@ def np_moe_forward(reader: GGUFReader, tokens: np.ndarray) -> np.ndarray:
                       "expert_weights_scale": 2.0}),
     # granitemoe: renormalized routing + optional ungated shared expert
     ("granitemoe", 48, {"gated_shexp": False}),
+    # ernie4_5-moe: dense lead + selection-biased renormalized routing +
+    # ungated shared expert, NORM rope (llm_build_ernie4_5_moe)
+    ("ernie4_5-moe", 48, {"gated_shexp": False, "n_dense_lead": 1,
+                          "with_probs_bias": True}),
 ])
 def test_moe_forward_matches_numpy(tmp_path, arch, shexp, kw):
     path = make_tiny_moe_gguf(tmp_path / f"{arch}.gguf", arch=arch,

@@ -80,6 +80,8 @@ def build_params(r: GGUFReader, hp: HParams, mode: str = "auto",
             layer["w_gate"] = linear(p + "ffn_gate.weight")
             layer["w_up"] = linear(p + "ffn_up.weight")
             layer["w_down"] = linear(p + "ffn_down.weight")
+        if p + "exp_probs_b.bias" in t:  # ernie4_5-moe selection bias
+            layer["exp_probs_b"] = load_vector(t[p + "exp_probs_b.bias"])
         # shared expert; sigmoid-gated when ffn_gate_inp_shexp exists
         # (qwen2moe), otherwise plainly added (deepseek/granite-moe)
         if p + "ffn_gate_shexp.weight" in t:
@@ -121,7 +123,8 @@ def forward(
 
     # qwen3moe/granite-moe renormalize top-k weights; qwen2moe/deepseek do
     # not (reference: build_moe_ffn norm_w argument per graph)
-    norm_w = hp.expert_weights_norm or hp.arch in ("qwen3moe", "granitemoe")
+    norm_w = hp.expert_weights_norm or hp.arch in (
+        "qwen3moe", "granitemoe", "ernie4_5-moe")
 
     for li, layer in enumerate(params["layers"]):
         x, cache = attn_block(
@@ -141,6 +144,7 @@ def forward(
                 router_logits, hp.n_expert_used,
                 gating=hp.expert_gating_func, norm_weights=norm_w,
                 scale=hp.expert_weights_scale,
+                select_bias=layer.get("exp_probs_b"),
             )
             ffn = moe_ffn(
                 hs, weights, idx,

@@ -134,7 +134,10 @@ def _ensure_builtin():
         # deepseek v1 = same graph + dense-lead layers + ungated shared
         # expert (llm_build_deepseek); granite-moe = renormalized routing +
         # granite multipliers (llm_build_granite MoE branch)
-        aliases=("qwen2moe", "deepseek", "granitemoe"),
+        # ernie4_5-moe: dense-lead + every-Nth MoE layers (tensor-presence
+        # driven), exp_probs_b selection bias, renormalized routing, ungated
+        # shared expert (llm_build_ernie4_5_moe)
+        aliases=("qwen2moe", "deepseek", "granitemoe", "ernie4_5-moe"),
     )
     from . import gemma, gpt2
 

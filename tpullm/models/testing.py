@@ -337,6 +337,7 @@ def make_tiny_moe_gguf(
     n_ff_exp: int = 96,
     n_ff_shexp: int = 0,  # >0 adds a qwen2moe-style shared expert
     gated_shexp: bool = True,  # False: deepseek/granitemoe ungated shexp
+    with_probs_bias: bool = False,  # ernie4_5-moe exp_probs_b selection bias
     n_dense_lead: int = 0,  # deepseek leading dense layers
     expert_weights_scale: float = 0.0,  # >0 writes the deepseek scale key
     n_ctx: int = 256,
@@ -402,6 +403,8 @@ def make_tiny_moe_gguf(
             w.add_tensor(p + "ffn_down.weight", rand((n_embd, n_ff_exp)))
             continue
         w.add_tensor(p + "ffn_gate_inp.weight", rand((n_expert, n_embd)))
+        if with_probs_bias:
+            w.add_tensor(p + "exp_probs_b.bias", rand((n_expert,), 1.0))
         w.add_tensor(p + "ffn_gate_exps.weight", rand((n_expert, n_ff_exp, n_embd)))
         w.add_tensor(p + "ffn_up_exps.weight", rand((n_expert, n_ff_exp, n_embd)))
         w.add_tensor(p + "ffn_down_exps.weight", rand((n_expert, n_embd, n_ff_exp)))
