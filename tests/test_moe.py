@@ -105,7 +105,7 @@ def np_moe_forward(reader: GGUFReader, tokens: np.ndarray) -> np.ndarray:
         theta = pos[:, None] * inv
         c, s = np.cos(theta), np.sin(theta)
         out = x.copy()
-        if arch in ("deepseek", "granitemoe", "ernie4_5-moe"):  # NORM-rope
+        if arch in ("deepseek", "granitemoe", "ernie4_5-moe"):  # NORM-rope archs
             x0, x1 = x[..., 0::2], x[..., 1::2]
             out[..., 0::2] = x0 * c[:, None, :] - x1 * s[:, None, :]
             out[..., 1::2] = x0 * s[:, None, :] + x1 * c[:, None, :]
@@ -156,7 +156,8 @@ def np_moe_forward(reader: GGUFReader, tokens: np.ndarray) -> np.ndarray:
                 t(p + "ffn_up_exps.weight"),
                 t(p + "ffn_down_exps.weight"),
                 n_used,
-                norm_w=arch in ("qwen3moe", "granitemoe", "ernie4_5-moe"),
+                norm_w=arch in ("qwen3moe", "granitemoe", "ernie4_5-moe",
+                                "hunyuan-moe", "minimax-m2", "dots1"),
                 scale=scale,
                 sel_bias=(t(p + "exp_probs_b.bias")
                           if has(p + "exp_probs_b.bias") else None),
@@ -189,6 +190,12 @@ def np_moe_forward(reader: GGUFReader, tokens: np.ndarray) -> np.ndarray:
     # ungated shared expert, NORM rope (llm_build_ernie4_5_moe)
     ("ernie4_5-moe", 48, {"gated_shexp": False, "n_dense_lead": 1,
                           "with_probs_bias": True}),
+    # hunyuan-moe: ungated shexp + renormalized softmax; minimax-m2:
+    # exp_probs_b, no shexp; dots1: dense lead + bias + shexp
+    ("hunyuan-moe", 48, {"gated_shexp": False}),
+    ("minimax-m2", 0, {"with_probs_bias": True}),
+    ("dots1", 48, {"gated_shexp": False, "n_dense_lead": 1,
+                   "with_probs_bias": True}),
 ])
 def test_moe_forward_matches_numpy(tmp_path, arch, shexp, kw):
     path = make_tiny_moe_gguf(tmp_path / f"{arch}.gguf", arch=arch,

@@ -143,7 +143,7 @@ NEOX_ROPE_ARCHS = {
     "nomic-bert", "minicpm3", "command-r", "cohere2", "internlm2", "exaone",
     "exaone4", "smollm3", "gpt-oss", "deci", "nemotron",
     "orion", "codeshell", "seed_oss", "pangu-embedded", "hunyuan-dense",
-    "bitnet", "dream",
+    "bitnet", "dream", "dots1", "hunyuan-moe", "minimax-m2",
 }
 
 
@@ -261,7 +261,7 @@ def hparams_from_gguf(r: GGUFReader) -> HParams:
         )),
         clamp_kqv=float(k("{arch}.attention.clamp_kqv", 0.0) or 0.0),
         par_residual=bool(k(Keys.LLM.USE_PARALLEL_RESIDUAL, False)),
-        qk_norm_post_rope=arch in ("maincoder", "hunyuan-dense"),
+        qk_norm_post_rope=arch in ("maincoder", "hunyuan-dense", "hunyuan-moe"),
         no_rope_step=4 if arch == "smollm3" else 0,
         pooling={0: "none", 1: "mean", 2: "cls", 3: "last", 4: "rank"}.get(
             int(k("{arch}.pooling_type",

@@ -109,13 +109,23 @@ def attn_block(
         k = k + layer["bk"].astype(k.dtype)
     if layer["bv"] is not None:
         v = v + layer["bv"].astype(v.dtype)
+    # full-projection qk norms apply BEFORE the head split (minimax-m2,
+    # olmoe-style: weight spans n_head·head_dim, llm_build_minimax_m2)
+    full_qk_norm = (
+        layer["q_norm"] is not None
+        and layer["q_norm"].shape[-1] == hp.n_head * hp.head_dim
+        and hp.head_dim != hp.n_head * hp.head_dim
+    )
+    if full_qk_norm:
+        q = rms_norm(q, layer["q_norm"], hp.rms_eps)
+        k = rms_norm(k, layer["k_norm"], hp.rms_eps)
     q = q.reshape(B, T, hp.n_head, hp.head_dim)
     k = k.reshape(B, T, hp.n_head_kv, hp.head_dim)
     v = v.reshape(B, T, hp.n_head_kv, hp.head_dim_v)
     use_rope = hp.max_alibi_bias <= 0.0 and (
         hp.no_rope_step == 0 or (li + 1) % hp.no_rope_step != 0
     )
-    if not hp.qk_norm_post_rope:
+    if not hp.qk_norm_post_rope and not full_qk_norm:
         if layer["q_norm"] is not None:
             q = rms_norm(q, layer["q_norm"], hp.rms_eps)
         if layer["k_norm"] is not None:

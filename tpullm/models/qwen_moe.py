@@ -124,7 +124,8 @@ def forward(
     # qwen3moe/granite-moe renormalize top-k weights; qwen2moe/deepseek do
     # not (reference: build_moe_ffn norm_w argument per graph)
     norm_w = hp.expert_weights_norm or hp.arch in (
-        "qwen3moe", "granitemoe", "ernie4_5-moe")
+        "qwen3moe", "granitemoe", "ernie4_5-moe", "hunyuan-moe",
+        "minimax-m2", "dots1")
 
     for li, layer in enumerate(params["layers"]):
         x, cache = attn_block(

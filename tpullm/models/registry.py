@@ -137,7 +137,11 @@ def _ensure_builtin():
         # ernie4_5-moe: dense-lead + every-Nth MoE layers (tensor-presence
         # driven), exp_probs_b selection bias, renormalized routing, ungated
         # shared expert (llm_build_ernie4_5_moe)
-        aliases=("qwen2moe", "deepseek", "granitemoe", "ernie4_5-moe"),
+        # dots1 (dense-lead + exp_probs_b + gguf gating), hunyuan-moe
+        # (post-rope qk norms + ungated shexp), minimax-m2 (full-width qk
+        # norms + exp_probs_b) all ride the same graph
+        aliases=("qwen2moe", "deepseek", "granitemoe", "ernie4_5-moe",
+                 "dots1", "hunyuan-moe", "minimax-m2"),
     )
     from . import gemma, gpt2
 
