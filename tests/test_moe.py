@@ -105,7 +105,7 @@ def np_moe_forward(reader: GGUFReader, tokens: np.ndarray) -> np.ndarray:
         theta = pos[:, None] * inv
         c, s = np.cos(theta), np.sin(theta)
         out = x.copy()
-        if arch in ("deepseek", "granitemoe", "ernie4_5-moe"):  # NORM-rope archs
+        if arch in ("deepseek", "granitemoe", "ernie4_5-moe", "bailingmoe"):  # NORM-rope archs
             x0, x1 = x[..., 0::2], x[..., 1::2]
             out[..., 0::2] = x0 * c[:, None, :] - x1 * s[:, None, :]
             out[..., 1::2] = x0 * s[:, None, :] + x1 * c[:, None, :]
@@ -196,6 +196,7 @@ def np_moe_forward(reader: GGUFReader, tokens: np.ndarray) -> np.ndarray:
     ("minimax-m2", 0, {"with_probs_bias": True}),
     ("dots1", 48, {"gated_shexp": False, "n_dense_lead": 1,
                    "with_probs_bias": True}),
+    ("bailingmoe", 48, {"gated_shexp": False}),
 ])
 def test_moe_forward_matches_numpy(tmp_path, arch, shexp, kw):
     path = make_tiny_moe_gguf(tmp_path / f"{arch}.gguf", arch=arch,

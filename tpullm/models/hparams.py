@@ -86,6 +86,9 @@ class HParams:
     n_lora_kv: int = 0
     n_layer_dense_lead: int = 0
     n_expert_shared: int = 0
+    # bailingmoe2/glm4-moe trailing NextN/MTP layers excluded from the
+    # main forward pass (hparams.nextn_predict_layers)
+    nextn_layers: int = 0
     # wavtokenizer group-norm params (LLM_KV_ATTENTION_GROUPNORM_*)
     n_norm_groups: int = 0
     norm_group_eps: float = 1e-6
@@ -143,7 +146,7 @@ NEOX_ROPE_ARCHS = {
     "nomic-bert", "minicpm3", "command-r", "cohere2", "internlm2", "exaone",
     "exaone4", "smollm3", "gpt-oss", "deci", "nemotron",
     "orion", "codeshell", "seed_oss", "pangu-embedded", "hunyuan-dense",
-    "bitnet", "dream", "dots1", "hunyuan-moe", "minimax-m2",
+    "bitnet", "dream", "dots1", "hunyuan-moe", "minimax-m2", "bailingmoe2",
 }
 
 
@@ -279,6 +282,7 @@ def hparams_from_gguf(r: GGUFReader) -> HParams:
         rescale_every=int(k("{arch}.rescale_every_n_layers", 0)),
         ssm_dt_rank=int(k("{arch}.ssm.time_step_rank", 0)),
         ssm_n_group=int(k("{arch}.ssm.group_count", 0)),
+        nextn_layers=int(k("{arch}.nextn_predict_layers", 0)),
         n_norm_groups=int(k("{arch}.attention.group_norm_groups", 0)),
         norm_group_eps=float(k("{arch}.attention.group_norm_epsilon", 1e-6)),
         n_rel_buckets=int(k("{arch}.attention.relative_buckets_count", 0)),

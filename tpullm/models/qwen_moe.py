@@ -54,7 +54,9 @@ def build_params(r: GGUFReader, hp: HParams, mode: str = "auto",
         return load_vector(t[name]) if name in t else None
 
     layers = []
-    for i in range(hp.n_layer):
+    # bailingmoe2/glm4-moe keep trailing NextN/MTP predictor layers out of
+    # the autoregressive pass (n_transformer_layers = n_layer - nextn)
+    for i in range(hp.n_layer - hp.nextn_layers):
         p = f"blk.{i}."
         layer = {
             "attn_norm": load_vector(t[p + "attn_norm.weight"]),
@@ -125,7 +127,7 @@ def forward(
     # not (reference: build_moe_ffn norm_w argument per graph)
     norm_w = hp.expert_weights_norm or hp.arch in (
         "qwen3moe", "granitemoe", "ernie4_5-moe", "hunyuan-moe",
-        "minimax-m2", "dots1")
+        "minimax-m2", "dots1", "bailingmoe2")
 
     for li, layer in enumerate(params["layers"]):
         x, cache = attn_block(

@@ -140,8 +140,12 @@ def _ensure_builtin():
         # dots1 (dense-lead + exp_probs_b + gguf gating), hunyuan-moe
         # (post-rope qk norms + ungated shexp), minimax-m2 (full-width qk
         # norms + exp_probs_b) all ride the same graph
+        # bailingmoe = gguf-driven norm/scale + ungated shexp (NORM rope);
+        # bailingmoe2 adds full-width qk norms, dense lead, exp_probs_b and
+        # trailing NextN layers (hp.nextn_layers)
         aliases=("qwen2moe", "deepseek", "granitemoe", "ernie4_5-moe",
-                 "dots1", "hunyuan-moe", "minimax-m2"),
+                 "dots1", "hunyuan-moe", "minimax-m2", "bailingmoe",
+                 "bailingmoe2"),
     )
     from . import gemma, gpt2
 
