@@ -105,7 +105,8 @@ def np_moe_forward(reader: GGUFReader, tokens: np.ndarray) -> np.ndarray:
         theta = pos[:, None] * inv
         c, s = np.cos(theta), np.sin(theta)
         out = x.copy()
-        if arch in ("deepseek", "granitemoe", "ernie4_5-moe", "bailingmoe"):  # NORM-rope archs
+        if arch in ("deepseek", "granitemoe", "ernie4_5-moe", "bailingmoe",
+                    "glm4-moe"):  # NORM-rope archs
             x0, x1 = x[..., 0::2], x[..., 1::2]
             out[..., 0::2] = x0 * c[:, None, :] - x1 * s[:, None, :]
             out[..., 1::2] = x0 * s[:, None, :] + x1 * c[:, None, :]
@@ -143,7 +144,8 @@ def np_moe_forward(reader: GGUFReader, tokens: np.ndarray) -> np.ndarray:
             e = np.exp(scores - scores.max(-1, keepdims=True))
             out[:, hh] = (e / e.sum(-1, keepdims=True)) @ vv
         x = x + out.reshape(T, n_embd) @ t(p + "attn_output.weight").T
-        h = rms(x, t(p + "ffn_norm.weight"))
+        h = rms(x, t(p + "ffn_norm.weight") if has(p + "ffn_norm.weight")
+                else t(p + "post_attention_norm.weight"))
         if has(p + "ffn_gate.weight"):  # deepseek dense lead layer
             gd = h @ t(p + "ffn_gate.weight").T
             ud = h @ t(p + "ffn_up.weight").T
@@ -157,7 +159,8 @@ def np_moe_forward(reader: GGUFReader, tokens: np.ndarray) -> np.ndarray:
                 t(p + "ffn_down_exps.weight"),
                 n_used,
                 norm_w=arch in ("qwen3moe", "granitemoe", "ernie4_5-moe",
-                                "hunyuan-moe", "minimax-m2", "dots1"),
+                                "hunyuan-moe", "minimax-m2", "dots1")
+                or bool(md.get(f"{arch}.expert_weights_norm", False)),
                 scale=scale,
                 sel_bias=(t(p + "exp_probs_b.bias")
                           if has(p + "exp_probs_b.bias") else None),
@@ -197,6 +200,8 @@ def np_moe_forward(reader: GGUFReader, tokens: np.ndarray) -> np.ndarray:
     ("dots1", 48, {"gated_shexp": False, "n_dense_lead": 1,
                    "with_probs_bias": True}),
     ("bailingmoe", 48, {"gated_shexp": False}),
+    ("glm4-moe", 48, {"gated_shexp": False, "n_dense_lead": 1,
+                      "with_probs_bias": True, "ffn_norm_name": "post_attention_norm"}),
 ])
 def test_moe_forward_matches_numpy(tmp_path, arch, shexp, kw):
     path = make_tiny_moe_gguf(tmp_path / f"{arch}.gguf", arch=arch,

@@ -64,7 +64,12 @@ def build_params(r: GGUFReader, hp: HParams, mode: str = "auto",
             "wk": linear(p + "attn_k.weight"),
             "wv": linear(p + "attn_v.weight"),
             "wo": linear(p + "attn_output.weight"),
-            "ffn_norm": load_vector(t[p + "ffn_norm.weight"]),
+            # glm4-moe names its FFN pre-norm post_attention_norm
+            # (llm_build_glm4_moe)
+            "ffn_norm": load_vector(
+                t[p + "ffn_norm.weight"] if p + "ffn_norm.weight" in t
+                else t[p + "post_attention_norm.weight"]
+            ),
             "bq": maybe_vector(p + "attn_q.bias"),
             "bk": maybe_vector(p + "attn_k.bias"),
             "bv": maybe_vector(p + "attn_v.bias"),

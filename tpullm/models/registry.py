@@ -143,9 +143,11 @@ def _ensure_builtin():
         # bailingmoe = gguf-driven norm/scale + ungated shexp (NORM rope);
         # bailingmoe2 adds full-width qk norms, dense lead, exp_probs_b and
         # trailing NextN layers (hp.nextn_layers)
+        # glm4-moe: post_attention_norm ffn-norm slot, dense lead,
+        # exp_probs_b, gguf-driven norm/scale/gating, NextN layers
         aliases=("qwen2moe", "deepseek", "granitemoe", "ernie4_5-moe",
                  "dots1", "hunyuan-moe", "minimax-m2", "bailingmoe",
-                 "bailingmoe2"),
+                 "bailingmoe2", "glm4-moe"),
     )
     from . import gemma, gpt2
 

@@ -338,6 +338,7 @@ def make_tiny_moe_gguf(
     n_ff_shexp: int = 0,  # >0 adds a qwen2moe-style shared expert
     gated_shexp: bool = True,  # False: deepseek/granitemoe ungated shexp
     with_probs_bias: bool = False,  # ernie4_5-moe exp_probs_b selection bias
+    ffn_norm_name: str = "ffn_norm",  # glm4-moe: post_attention_norm
     n_dense_lead: int = 0,  # deepseek leading dense layers
     expert_weights_scale: float = 0.0,  # >0 writes the deepseek scale key
     n_ctx: int = 256,
@@ -366,6 +367,8 @@ def make_tiny_moe_gguf(
     w.add_kv(f"{arch}.expert_feed_forward_length", n_ff_exp)
     if n_dense_lead:
         w.add_kv(f"{arch}.leading_dense_block_count", n_dense_lead)
+    if arch == "glm4-moe":
+        w.add_kv(f"{arch}.expert_weights_norm", True)
     if expert_weights_scale:
         w.add_kv(f"{arch}.expert_weights_scale", expert_weights_scale)
     w.add_kv("tokenizer.ggml.model", "llama")
@@ -396,7 +399,7 @@ def make_tiny_moe_gguf(
                          rand((n_head * head_dim,), 1.0) * 0.1 + 1.0)
             w.add_tensor(p + "attn_k_norm.weight",
                          rand((n_head_kv * head_dim,), 1.0) * 0.1 + 1.0)
-        w.add_tensor(p + "ffn_norm.weight", np.ones(n_embd, dtype=np.float32))
+        w.add_tensor(p + ffn_norm_name + ".weight", np.ones(n_embd, dtype=np.float32))
         if i < n_dense_lead:  # deepseek dense lead layer
             w.add_tensor(p + "ffn_gate.weight", rand((n_ff_exp, n_embd)))
             w.add_tensor(p + "ffn_up.weight", rand((n_ff_exp, n_embd)))
