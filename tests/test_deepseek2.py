@@ -133,3 +133,17 @@ def test_deepseek2_decode_matches_prefill(ds2_model):
 def test_deepseek2_generation_runs(ds2_model):
     eng = Engine(ds2_model, mode="dense", max_seq=64)
     assert isinstance(eng.generate("the quick", max_new_tokens=6), str)
+
+
+def test_minicpm3_rides_mla_graph(tmp_path):
+    """minicpm3 = deepseek2's MLA graph + minicpm multipliers
+    (llm_build_minicpm3: scale_embd=12, scale_depth residuals, scaled head)."""
+    from tpullm.models.testing import make_tiny_deepseek2_gguf
+
+    path = make_tiny_deepseek2_gguf(tmp_path / "m3.gguf", arch="minicpm3",
+                                    n_dense_lead=10**6)  # all layers dense
+    eng = Engine(path, mode="dense", max_seq=64)
+    assert eng.hp.embd_scale == 12.0
+    assert abs(eng.hp.logit_scale - 256.0 / eng.hp.n_embd) < 1e-9
+    out = eng.generate("the quick", max_new_tokens=4)
+    assert isinstance(out, str)

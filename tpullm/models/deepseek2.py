@@ -104,7 +104,10 @@ def forward(
     n_nope = Dk - n_rot
     kvr = hp.n_lora_kv
     x = params["tok_embd"][tokens]
+    if hp.embd_scale != 1.0:  # minicpm3 scale_embd
+        x = x * jnp.asarray(hp.embd_scale, x.dtype)
     scale = hp.attn_scale if hp.attn_scale is not None else Dk ** -0.5
+    res_scale = hp.residual_scale  # minicpm3 scale_depth/sqrt(n_layer)
 
     offsets = jnp.broadcast_to(
         jnp.asarray(cache_offset).reshape(-1), (B,)
@@ -144,7 +147,10 @@ def forward(
         )
         k_all, v_all = cache.kv(li)
         attn_out = attention(qf, k_all, v_all, mask, scale, offsets=offsets)
-        x = x + layer["wo"](attn_out.reshape(B, T, H * Dv))
+        attn_out = layer["wo"](attn_out.reshape(B, T, H * Dv))
+        if res_scale != 1.0:
+            attn_out = attn_out * jnp.asarray(res_scale, attn_out.dtype)
+        x = x + attn_out
 
         h = rms_norm(x, layer["ffn_norm"], hp.rms_eps)
         if "w_gate" in layer:  # dense lead
@@ -153,6 +159,8 @@ def forward(
             ffn = layer["w_down"](
                 jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
             )
+            if res_scale != 1.0:
+                ffn = ffn * jnp.asarray(res_scale, ffn.dtype)
             x = x + ffn
         else:
             hs = h.reshape(B * T, -1)
@@ -173,7 +181,10 @@ def forward(
             sh = layer["w_down_shexp"](
                 jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
             )
-            x = x + (ffn + sh.astype(ffn.dtype)).reshape(B, T, -1)
+            out = (ffn + sh.astype(ffn.dtype)).reshape(B, T, -1)
+            if res_scale != 1.0:
+                out = out * jnp.asarray(res_scale, out.dtype)
+            x = x + out
 
     if return_hidden:
         return rms_norm(x, params["output_norm"], hp.rms_eps).astype(jnp.float32), cache

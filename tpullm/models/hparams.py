@@ -250,17 +250,17 @@ def hparams_from_gguf(r: GGUFReader) -> HParams:
         # (llama-model.cpp LLM_ARCH_MINICPM hparams block)
         embd_scale=float(k(
             "{arch}.embedding_scale",
-            12.0 if arch == "minicpm"
+            12.0 if arch in ("minicpm", "minicpm3")
             else float(np.sqrt(n_embd)) if arch.startswith("gemma") else 1.0,
         )),
         residual_scale=float(k(
             "{arch}.residual_scale",
             1.4 / float(np.sqrt(int(k(Keys.LLM.BLOCK_COUNT))))
-            if arch == "minicpm" else 1.0,
+            if arch in ("minicpm", "minicpm3") else 1.0,
         )),
         logit_scale=float(k(
             "{arch}.logit_scale",
-            (256.0 / n_embd) if arch == "minicpm" and n_embd else 1.0,
+            (256.0 / n_embd) if arch in ("minicpm", "minicpm3") and n_embd else 1.0,
         )),
         clamp_kqv=float(k("{arch}.attention.clamp_kqv", 0.0) or 0.0),
         par_residual=bool(k(Keys.LLM.USE_PARALLEL_RESIDUAL, False)),

@@ -170,7 +170,9 @@ def _ensure_builtin():
     register_arch("phi2", phi2.build_params, phi2.forward)
     from . import deepseek2
 
-    register_arch("deepseek2", deepseek2.build_params, deepseek2.forward)
+    # minicpm3 = the MLA graph + minicpm multipliers (llm_build_minicpm3)
+    register_arch("deepseek2", deepseek2.build_params, deepseek2.forward,
+                  aliases=("minicpm3",))
     from . import command_r, olmo2
 
     register_arch("olmo2", olmo2.build_params, olmo2.forward)

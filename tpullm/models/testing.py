@@ -544,6 +544,7 @@ def make_tiny_phi3_gguf(
 def make_tiny_deepseek2_gguf(
     path,
     *,
+    arch: str = "deepseek2",
     n_layer: int = 3,
     n_embd: int = 64,
     n_head: int = 4,
@@ -567,29 +568,29 @@ def make_tiny_deepseek2_gguf(
     n_vocab = len(tokens)
     dk = qk_nope + qk_rope
 
-    w = GGUFWriter(path, architecture="deepseek2")
+    w = GGUFWriter(path, architecture=arch)
     w.add_kv("general.name", "tpullm-tiny-ds2")
-    w.add_kv("deepseek2.block_count", n_layer)
-    w.add_kv("deepseek2.context_length", n_ctx)
-    w.add_kv("deepseek2.embedding_length", n_embd)
-    w.add_kv("deepseek2.feed_forward_length", n_ff)
-    w.add_kv("deepseek2.attention.head_count", n_head)
-    w.add_kv("deepseek2.attention.head_count_kv", n_head)
-    w.add_kv("deepseek2.attention.key_length", dk)
-    w.add_kv("deepseek2.attention.value_length", v_dim)
-    w.add_kv("deepseek2.attention.layer_norm_rms_epsilon", 1e-5)
-    w.add_kv("deepseek2.attention.q_lora_rank", q_lora)
-    w.add_kv("deepseek2.attention.kv_lora_rank", kv_lora)
-    w.add_kv("deepseek2.rope.freq_base", 10000.0)
-    w.add_kv("deepseek2.rope.dimension_count", qk_rope)
-    w.add_kv("deepseek2.leading_dense_block_count", n_dense_lead)
-    w.add_kv("deepseek2.expert_count", n_expert)
-    w.add_kv("deepseek2.expert_used_count", n_expert_used)
-    w.add_kv("deepseek2.expert_feed_forward_length", n_ff_exp)
-    w.add_kv("deepseek2.expert_shared_count", 1)
-    w.add_kv("deepseek2.expert_weights_scale", 2.0)
-    w.add_kv("deepseek2.expert_weights_norm", True)
-    w.add_kv("deepseek2.expert_gating_func", 2)  # sigmoid
+    w.add_kv(f"{arch}.block_count", n_layer)
+    w.add_kv(f"{arch}.context_length", n_ctx)
+    w.add_kv(f"{arch}.embedding_length", n_embd)
+    w.add_kv(f"{arch}.feed_forward_length", n_ff)
+    w.add_kv(f"{arch}.attention.head_count", n_head)
+    w.add_kv(f"{arch}.attention.head_count_kv", n_head)
+    w.add_kv(f"{arch}.attention.key_length", dk)
+    w.add_kv(f"{arch}.attention.value_length", v_dim)
+    w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_kv(f"{arch}.attention.q_lora_rank", q_lora)
+    w.add_kv(f"{arch}.attention.kv_lora_rank", kv_lora)
+    w.add_kv(f"{arch}.rope.freq_base", 10000.0)
+    w.add_kv(f"{arch}.rope.dimension_count", qk_rope)
+    w.add_kv(f"{arch}.leading_dense_block_count", n_dense_lead)
+    w.add_kv(f"{arch}.expert_count", n_expert)
+    w.add_kv(f"{arch}.expert_used_count", n_expert_used)
+    w.add_kv(f"{arch}.expert_feed_forward_length", n_ff_exp)
+    w.add_kv(f"{arch}.expert_shared_count", 1)
+    w.add_kv(f"{arch}.expert_weights_scale", 2.0)
+    w.add_kv(f"{arch}.expert_weights_norm", True)
+    w.add_kv(f"{arch}.expert_gating_func", 2)  # sigmoid
     w.add_kv("tokenizer.ggml.model", "llama")
     w.add_kv("tokenizer.ggml.tokens", tokens)
     w.add_kv("tokenizer.ggml.scores", np.asarray(scores, dtype=np.float32))
