@@ -259,14 +259,14 @@ def test_phi3_quantized_runs(tmp_path):
 
 
 def _make_tiny_variant(tmp_path, arch, extra_kv=None, post_norms=False,
-                       qk_norm_full=False):
+                       qk_norm_full=False, qk_norm_head=False):
     """Reuse the llama fixture skeleton with arch-specific extra tensors."""
     from tpullm.gguf import GGUFReader, GGUFWriter
     from tpullm.models.testing import make_tiny_llama_gguf
 
     base = make_tiny_llama_gguf(tmp_path / f"{arch}_base.gguf", arch=arch,
                                 extra_kv=extra_kv or {})
-    if not post_norms and not qk_norm_full:
+    if not post_norms and not qk_norm_full and not qk_norm_head:
         return base
     # rewrite with extra norm tensors
     r = GGUFReader(base)
@@ -290,6 +290,10 @@ def _make_tiny_variant(tmp_path, arch, extra_kv=None, post_norms=False,
             w.add_tensor(p + "attn_q_norm.weight", np.ones(n_embd, dtype=np.float32))
             w.add_tensor(p + "attn_k_norm.weight",
                          np.ones(n_embd // 2, dtype=np.float32))
+        if qk_norm_head:  # per-head norms (exaone4)
+            hd = n_embd // r.metadata[f"{arch}.attention.head_count"]
+            w.add_tensor(p + "attn_q_norm.weight", np.ones(hd, dtype=np.float32))
+            w.add_tensor(p + "attn_k_norm.weight", np.ones(hd, dtype=np.float32))
     w.write()
     return str(out)
 
@@ -1507,3 +1511,18 @@ def test_diffusion_generate_fills_canvas(tmp_path):
     out = diffusion_generate(eng, ids, max_length=len(ids) + 8, steps=4)
     assert len(out) == 8
     assert all(t != 0 for t in out)  # every mask slot committed
+
+
+def test_exaone4_iswa_loads_and_generates(tmp_path):
+    """exaone4 = olmo2's post-norm skeleton + per-head qk norms + iSWA with
+    rope only on sliding-window layers (llm_build_exaone4)."""
+    path = _make_tiny_variant(
+        tmp_path, "exaone4", post_norms=True, qk_norm_head=True,
+        extra_kv={"exaone4.attention.sliding_window": 8,
+                  "exaone4.attention.sliding_window_pattern": 4},
+    )
+    eng = Engine(path, mode="dense", max_seq=64)
+    assert eng.hp.sliding_window == 8 and eng.hp.swa_pattern == 4
+    assert eng.hp.is_swa(0) and not eng.hp.is_swa(3)
+    out = eng.generate("the quick brown fox jumps over", max_new_tokens=6)
+    assert isinstance(out, str)

@@ -70,22 +70,45 @@ def forward(
     ).astype(jnp.int32)
     kv_len = jnp.asarray(cache_offset) + T
     mask = causal_mask(positions, cache.max_len, kv_len, 0)
+    # exaone4 iSWA: most layers are sliding-window + rope, every
+    # swa_pattern-th layer is full-attention WITHOUT rope
+    # (llm_build_exaone4 use_rope = is_swa(il))
+    use_swa_layers = hp.arch == "exaone4" and hp.sliding_window > 0
+    mask_swa = (
+        causal_mask(positions, cache.max_len, kv_len, hp.sliding_window)
+        if use_swa_layers else None
+    )
 
     for li, layer in enumerate(params["layers"]):
-        # attention on the RAW residual stream (no pre-norm)
-        q = rms_norm(layer["wq"](x), layer["q_norm"], hp.rms_eps)
-        k = rms_norm(layer["wk"](x), layer["k_norm"], hp.rms_eps)
+        is_swa = hp.is_swa(li) if use_swa_layers else False
+        use_rope = (not use_swa_layers) or is_swa
+        mask_l = mask_swa if is_swa else mask
+        window_l = hp.sliding_window if is_swa else 0
+        # attention on the RAW residual stream (no pre-norm); olmo2 norms
+        # the FULL projection, exaone4 norms per head (weight = head_dim)
+        qf = layer["wq"](x)
+        kf = layer["wk"](x)
         v = layer["wv"](x)
-        q = q.reshape(B, T, hp.n_head, hp.head_dim)
-        k = k.reshape(B, T, hp.n_head_kv, hp.head_dim)
+        if layer["q_norm"].shape[-1] == qf.shape[-1]:
+            q = rms_norm(qf, layer["q_norm"], hp.rms_eps).reshape(
+                B, T, hp.n_head, hp.head_dim)
+            k = rms_norm(kf, layer["k_norm"], hp.rms_eps).reshape(
+                B, T, hp.n_head_kv, hp.head_dim)
+        else:
+            q = rms_norm(qf.reshape(B, T, hp.n_head, hp.head_dim),
+                         layer["q_norm"], hp.rms_eps)
+            k = rms_norm(kf.reshape(B, T, hp.n_head_kv, hp.head_dim),
+                         layer["k_norm"], hp.rms_eps)
         v = v.reshape(B, T, hp.n_head_kv, hp.head_dim_v)
-        q = apply_rope(q, positions, hp.rope)
-        k = apply_rope(k, positions, hp.rope)
+        if use_rope:
+            q = apply_rope(q, positions, hp.rope)
+            k = apply_rope(k, positions, hp.rope)
         cache = cache.update(
             li, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), cache_offset
         )
         k_all, v_all = cache.kv(li)
-        attn_out = attention(q, k_all, v_all, mask, scale, offsets=offsets)
+        attn_out = attention(q, k_all, v_all, mask_l, scale, offsets=offsets,
+                             sliding_window=window_l)
         attn_out = layer["wo"](attn_out.reshape(B, T, hp.n_head * hp.head_dim_v))
         x = x + rms_norm(attn_out, layer["attn_post_norm"], hp.rms_eps)
 

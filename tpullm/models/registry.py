@@ -175,7 +175,10 @@ def _ensure_builtin():
                   aliases=("minicpm3",))
     from . import command_r, olmo2
 
-    register_arch("olmo2", olmo2.build_params, olmo2.forward)
+    # exaone4 = the same post-norm skeleton with per-head qk norms and
+    # iSWA rope-skip (llm_build_exaone4)
+    register_arch("olmo2", olmo2.build_params, olmo2.forward,
+                  aliases=("exaone4",))
     from . import olmoe
 
     register_arch("olmoe", olmoe.build_params, olmoe.forward)
