@@ -125,3 +125,37 @@ def test_jamba_decode_matches_prefill(tmp_path):
     eng.prefill(toks[:-1])
     last = eng.decode_step(toks[-1])
     np.testing.assert_allclose(last, full[-1], rtol=2e-3, atol=2e-3)
+
+
+def test_nemotron_h_generates_and_decode_matches_prefill(tmp_path):
+    """nemotron_h: one block per layer (mamba2 | attention | ReLU² FFN)."""
+    from tpullm.models.testing import make_tiny_hybrid2_gguf
+
+    path = make_tiny_hybrid2_gguf(tmp_path / "nh.gguf", arch="nemotron_h")
+    eng = Engine(path, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    toks = eng.tokenizer.tokenize("the quick brown", add_special=True)
+    full = eng.prefill_all_logits(toks)
+    assert np.isfinite(full).all()
+    eng.reset()
+    eng.cache = type(eng.cache).new(eng.hp, eng.batch, eng.max_seq, jnp.float32)
+    eng.prefill(toks[:-1])
+    last = eng.decode_step(toks[-1])
+    np.testing.assert_allclose(last, full[-1], rtol=2e-3, atol=2e-3)
+
+
+def test_granitehybrid_multipliers_and_decode(tmp_path):
+    from tpullm.models.testing import make_tiny_hybrid2_gguf
+
+    path = make_tiny_hybrid2_gguf(tmp_path / "gh.gguf", arch="granitehybrid")
+    eng = Engine(path, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    assert eng.hp.residual_scale == 0.5 and eng.hp.logit_scale == 4.0
+    toks = eng.tokenizer.tokenize("the quick brown", add_special=True)
+    full = eng.prefill_all_logits(toks)
+    assert np.isfinite(full).all()
+    eng.reset()
+    eng.cache = type(eng.cache).new(eng.hp, eng.batch, eng.max_seq, jnp.float32)
+    eng.prefill(toks[:-1])
+    last = eng.decode_step(toks[-1])
+    np.testing.assert_allclose(last, full[-1], rtol=2e-3, atol=2e-3)

@@ -86,6 +86,8 @@ class HParams:
     n_lora_kv: int = 0
     n_layer_dense_lead: int = 0
     n_expert_shared: int = 0
+    # granite-hybrid: rope only when rope.scaling.finetuned is set
+    rope_finetuned: bool = False
     # bailingmoe2/glm4-moe trailing NextN/MTP layers excluded from the
     # main forward pass (hparams.nextn_predict_layers)
     nextn_layers: int = 0
@@ -282,6 +284,7 @@ def hparams_from_gguf(r: GGUFReader) -> HParams:
         rescale_every=int(k("{arch}.rescale_every_n_layers", 0)),
         ssm_dt_rank=int(k("{arch}.ssm.time_step_rank", 0)),
         ssm_n_group=int(k("{arch}.ssm.group_count", 0)),
+        rope_finetuned=bool(k("{arch}.rope.scaling.finetuned", False)),
         nextn_layers=int(k("{arch}.nextn_predict_layers", 0)),
         n_norm_groups=int(k("{arch}.attention.group_norm_groups", 0)),
         norm_group_eps=float(k("{arch}.attention.group_norm_epsilon", 1e-6)),

@@ -1,11 +1,17 @@
-"""Jamba hybrid decoder (interleaved attention + Mamba layers, optional MoE).
+"""Hybrid attention+SSM decoders: Jamba, Nemotron-H, Granite-Hybrid.
 
-Reference graph: llm_build_jamba (src/models/jamba.cpp) over the hybrid
-memory (llama-memory-hybrid: KV cache for attention layers + recurrent
-state for Mamba layers). Per-layer dispatch: hparams.n_head_kv(il) == 0
-marks a Mamba layer; attention layers use GQA with NO positional encoding
-(Jamba has no rope); FFN is dense swiglu or softmax-routed MoE per layer.
-Jamba's Mamba layers add RMS norms on dt/B/C (ssm_dt_norm/b_norm/c_norm).
+Reference graphs: llm_build_jamba (src/models/jamba.cpp),
+llm_build_nemotron_h (nemotron-h.cpp), llm_build_granite_hybrid
+(granite-hybrid.cpp) over llama-memory-hybrid (KV cache for attention
+layers + recurrent state for Mamba layers).
+
+Per-layer dispatch is tensor-presence driven: ssm_in marks a Mamba layer
+(Mamba-1 selective scan for jamba incl. its dt/B/C RMS norms; Mamba-2 SSD
+when ssm.group_count > 0), attn_q marks attention (GQA, rope-free except
+granite-hybrid's rope_finetuned), neither marks nemotron-h's FFN-only
+sandwich layers. The FFN slot per layer is swiglu / ReLU² sequential
+(nemotron-h) / softmax MoE (+ungated shared expert); granite-hybrid applies
+the granite residual/embedding/logit multipliers.
 
 The HybridCache carries both stores full-depth (unused slices stay zero) —
 the TPU analog of llama_memory_hybrid's split layer lists.
@@ -25,7 +31,7 @@ from ..ops.attention import attention, causal_mask
 from ..ops.moe import moe_ffn, route
 from ..ops.norms import rms_norm
 from .llama import Params
-from .mamba import _causal_conv, _selective_scan
+from .mamba import _causal_conv, _selective_scan, _ssd_scan
 from .weights import load_embedding, load_linear, load_vector
 
 
@@ -58,10 +64,13 @@ class HybridCache:
     def new(cls, hp: HParams, batch: int, max_len: int = 2048, dtype=jnp.bfloat16):
         if isinstance(dtype, str):
             dtype = jnp.bfloat16
+        # mamba2 hybrids convolve the concatenated xBC stream
+        conv_w = hp.ssm_d_inner + 2 * hp.ssm_n_group * hp.ssm_d_state \
+            if hp.ssm_n_group else hp.ssm_d_inner
         return cls(
             jnp.zeros((hp.n_layer, batch, hp.n_head_kv, max_len, hp.head_dim), dtype),
             jnp.zeros((hp.n_layer, batch, hp.n_head_kv, max_len, hp.head_dim_v), dtype),
-            jnp.zeros((hp.n_layer, batch, hp.ssm_d_inner, hp.ssm_d_conv - 1), jnp.float32),
+            jnp.zeros((hp.n_layer, batch, conv_w, hp.ssm_d_conv - 1), jnp.float32),
             jnp.zeros((hp.n_layer, batch, hp.ssm_d_inner, hp.ssm_d_state), jnp.float32),
         )
 
@@ -87,8 +96,24 @@ def build_params(r: GGUFReader, hp: HParams, mode: str = "auto",
     for i in range(hp.n_layer):
         p = f"blk.{i}."
         layer = {"attn_norm": vec(p + "attn_norm.weight"),
-                 "ffn_norm": vec(p + "ffn_norm.weight")}
-        if p + "ssm_in.weight" in t:  # mamba layer
+                 "ffn_norm": maybe(p + "ffn_norm.weight")}
+        if p + "ssm_in.weight" in t and hp.ssm_n_group:  # mamba2 (SSD)
+            conv_w = hp.ssm_d_inner + 2 * hp.ssm_n_group * hp.ssm_d_state
+            layer.update({
+                "ssm_in": linear(p + "ssm_in.weight"),
+                "conv_w": jnp.asarray(
+                    t[p + "ssm_conv1d.weight"].to_numpy(), jnp.float32
+                ).reshape(conv_w, hp.ssm_d_conv),
+                "conv_b": vec(p + "ssm_conv1d.bias"),
+                "dt_bias": vec(p + "ssm_dt.bias"),
+                "A_log": vec(p + "ssm_a" if p + "ssm_a" in t
+                             else p + "ssm_a.weight"),
+                "D": vec(p + "ssm_d" if p + "ssm_d" in t
+                         else p + "ssm_d.weight"),
+                "ssm_norm": maybe(p + "ssm_norm.weight"),
+                "ssm_out": linear(p + "ssm_out.weight"),
+            })
+        elif p + "ssm_in.weight" in t:  # mamba1 layer (jamba)
             layer.update({
                 "ssm_in": linear(p + "ssm_in.weight"),
                 "conv_w": jnp.asarray(
@@ -107,22 +132,32 @@ def build_params(r: GGUFReader, hp: HParams, mode: str = "auto",
                 "D": vec(p + "ssm_d" if p + "ssm_d" in t else p + "ssm_d.weight"),
                 "ssm_out": linear(p + "ssm_out.weight"),
             })
-        else:
+        elif p + "attn_q.weight" in t:
             layer.update({
                 "wq": linear(p + "attn_q.weight"),
                 "wk": linear(p + "attn_k.weight"),
                 "wv": linear(p + "attn_v.weight"),
                 "wo": linear(p + "attn_output.weight"),
             })
+        # else: nemotron-h FFN-only sandwich layer
         if p + "ffn_gate_inp.weight" in t:  # MoE layer
             layer["router"] = linear(p + "ffn_gate_inp.weight")
             layer["w_gate_exps"] = experts(p + "ffn_gate_exps.weight")
             layer["w_up_exps"] = experts(p + "ffn_up_exps.weight")
             layer["w_down_exps"] = experts(p + "ffn_down_exps.weight")
-        else:
-            layer["w_gate"] = linear(p + "ffn_gate.weight")
+            if p + "ffn_gate_shexp.weight" in t:  # granite-hybrid shared
+                layer["w_gate_shexp"] = linear(p + "ffn_gate_shexp.weight")
+                layer["w_up_shexp"] = linear(p + "ffn_up_shexp.weight")
+                layer["w_down_shexp"] = linear(p + "ffn_down_shexp.weight")
+        elif p + "ffn_up.weight" in t:
+            if p + "ffn_gate.weight" in t:
+                layer["w_gate"] = linear(p + "ffn_gate.weight")
             layer["w_up"] = linear(p + "ffn_up.weight")
+            layer["b_up"] = maybe(p + "ffn_up.bias")
             layer["w_down"] = linear(p + "ffn_down.weight")
+            layer["b_down"] = maybe(p + "ffn_down.bias")
+        # else: jamba-style mixer-only layer never happens, but nemotron-h
+        # mixer layers carry no FFN of their own
         layers.append(layer)
 
     return {
@@ -131,6 +166,39 @@ def build_params(r: GGUFReader, hp: HParams, mode: str = "auto",
         "output_norm": vec("output_norm.weight"),
         "output": linear("output.weight") if "output.weight" in t else None,
     }
+
+
+def _ffn_block(hp, layer, h):
+    """Per-layer FFN slot: MoE (+ungated shexp) / swiglu / nemotron-h ReLU²
+    sequential with biases."""
+    B, T = h.shape[:2]
+    if "router" in layer:
+        hs = h.reshape(B * T, -1)
+        logits = layer["router"](hs).astype(jnp.float32)
+        weights, idx = route(logits, hp.n_expert_used, gating="softmax",
+                             norm_weights=hp.expert_weights_norm)
+        ffn = moe_ffn(hs, weights, idx, layer["w_gate_exps"],
+                      layer["w_up_exps"], layer["w_down_exps"])
+        if "w_gate_shexp" in layer:
+            gate = layer["w_gate_shexp"](hs)
+            up = layer["w_up_shexp"](hs)
+            sh = layer["w_down_shexp"](
+                jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
+            )
+            ffn = ffn + sh.astype(ffn.dtype)
+        return ffn.reshape(B, T, -1)
+    up = layer["w_up"](h)
+    if layer.get("b_up") is not None:
+        up = up + layer["b_up"].astype(up.dtype)
+    if "w_gate" in layer:
+        gate = layer["w_gate"](h)
+        mid = jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
+    else:  # nemotron-h ReLU²
+        mid = jnp.square(jax.nn.relu(up.astype(jnp.float32))).astype(up.dtype)
+    down = layer["w_down"](mid)
+    if layer.get("b_down") is not None:
+        down = down + layer["b_down"].astype(down.dtype)
+    return down
 
 
 def forward(
@@ -142,12 +210,18 @@ def forward(
     cache_offset,
     return_hidden: bool = False,
 ) -> tuple[jax.Array, HybridCache]:
+    from .mamba import _ssd_scan
+
     B, T = tokens.shape
     D = hp.ssm_d_inner
     R = hp.ssm_dt_rank
     S = hp.ssm_d_state
-    scale = hp.head_dim ** -0.5
+    G = hp.ssm_n_group
+    scale = hp.attn_scale if hp.attn_scale is not None else hp.head_dim ** -0.5
+    res_scale = hp.residual_scale  # granite-hybrid multiplier
     x = params["tok_embd"][tokens]
+    if hp.embd_scale != 1.0:
+        x = x * jnp.asarray(hp.embd_scale, x.dtype)
 
     offsets = jnp.broadcast_to(
         jnp.asarray(cache_offset).reshape(-1), (B,)
@@ -158,11 +232,11 @@ def forward(
     k_cache, v_cache = cache.k, cache.v
     conv_cache, ssm_cache = cache.conv, cache.ssm
     for li, layer in enumerate(params["layers"]):
-        n_kv = hp.n_head_kv_l(li)
         h = rms_norm(x, layer["attn_norm"], hp.rms_eps)
-        if n_kv == 0:  # mamba layer (build_mamba_layer, jamba dt/B/C norms)
-            hf = h
-            xz = layer["ssm_in"](hf).astype(jnp.float32)
+        has_mixer = "ssm_in" in layer or "wq" in layer
+        if "ssm_in" in layer and "ssm_x" in layer:
+            # mamba1 (jamba) with optional dt/B/C norms
+            xz = layer["ssm_in"](h).astype(jnp.float32)
             xin, z = xz[..., :D], xz[..., D:]
             conv_out, conv_state = _causal_conv(
                 xin, conv_cache[li], layer["conv_w"], layer["conv_b"]
@@ -187,10 +261,47 @@ def forward(
             conv_cache = conv_cache.at[li].set(conv_state)
             ssm_cache = ssm_cache.at[li].set(ssm_state)
             out = layer["ssm_out"](y.astype(x.dtype))
-        else:  # attention layer — no rope (jamba)
+        elif "ssm_in" in layer:
+            # mamba2 SSD (nemotron-h / granite-hybrid): fused z|xBC|dt
+            H = R  # ssm_dt_rank holds the SSD head count
+            hd = D // H
+            zxBCdt = layer["ssm_in"](h).astype(jnp.float32)
+            z = zxBCdt[..., :D]
+            xBC = zxBCdt[..., D: 2 * D + 2 * G * S]
+            dt_raw = zxBCdt[..., 2 * D + 2 * G * S:]
+            conv_out, conv_state = _causal_conv(
+                xBC, conv_cache[li], layer["conv_w"], layer["conv_b"]
+            )
+            xBC = jax.nn.silu(conv_out)
+            xin = xBC[..., :D].reshape(B, T, H, hd)
+            Bm = xBC[..., D: D + G * S].reshape(B, T, G, S)
+            Cm = xBC[..., D + G * S:].reshape(B, T, G, S)
+            dt = jax.nn.softplus(dt_raw + layer["dt_bias"][None, None])
+            A = -jnp.exp(layer["A_log"])
+            h0 = ssm_cache[li].reshape(B, H, hd, S)
+            y, ssm_state = _ssd_scan(xin, dt, A, Bm, Cm, h0, G)
+            y = y + xin * layer["D"][None, None, :, None]
+            y = y.reshape(B, T, D) * jax.nn.silu(z)
+            if layer["ssm_norm"] is not None:
+                yg = y.reshape(B, T, G, D // G)
+                wg = layer["ssm_norm"].reshape(G, D // G)
+                yg = yg / jnp.sqrt(
+                    (yg * yg).mean(-1, keepdims=True) + hp.rms_eps
+                ) * wg[None, None]
+                y = yg.reshape(B, T, D)
+            conv_cache = conv_cache.at[li].set(conv_state)
+            ssm_cache = ssm_cache.at[li].set(ssm_state.reshape(B, D, S))
+            out = layer["ssm_out"](y.astype(x.dtype))
+        elif "wq" in layer:
+            n_kv = hp.n_head_kv_l(li) or hp.n_head_kv
             q = layer["wq"](h).reshape(B, T, hp.n_head, hp.head_dim)
             k = layer["wk"](h).reshape(B, T, n_kv, hp.head_dim)
             v = layer["wv"](h).reshape(B, T, n_kv, hp.head_dim_v)
+            if hp.rope_finetuned:  # granite-hybrid optional rope
+                from ..ops.rope import apply_rope
+
+                q = apply_rope(q, positions, hp.rope)
+                k = apply_rope(k, positions, hp.rope)
             kt = k.transpose(0, 2, 1, 3)
             vt = v.transpose(0, 2, 1, 3)
             if n_kv < hp.n_head_kv:
@@ -210,24 +321,20 @@ def forward(
                 offsets=offsets,
             )
             out = layer["wo"](attn_out.reshape(B, T, hp.n_head * hp.head_dim_v))
+        else:  # nemotron-h FFN-only sandwich layer
+            out = _ffn_block(hp, layer, h)
+
+        if res_scale != 1.0:
+            out = out * jnp.asarray(res_scale, out.dtype)
         x = x + out
 
-        h = rms_norm(x, layer["ffn_norm"], hp.rms_eps)
-        if "router" in layer:  # MoE (softmax, un-renormalized)
-            hs = h.reshape(B * T, -1)
-            logits = layer["router"](hs).astype(jnp.float32)
-            weights, idx = route(logits, hp.n_expert_used, gating="softmax",
-                                 norm_weights=False)
-            ffn = moe_ffn(hs, weights, idx, layer["w_gate_exps"],
-                          layer["w_up_exps"], layer["w_down_exps"])
-            ffn = ffn.reshape(B, T, -1)
-        else:
-            gate = layer["w_gate"](h)
-            up = layer["w_up"](h)
-            ffn = layer["w_down"](
-                jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
-            )
-        x = x + ffn
+        # jamba / granite-hybrid pair the mixer with a second FFN sub-block
+        if has_mixer and ("w_up" in layer or "router" in layer):
+            h2 = rms_norm(x, layer["ffn_norm"], hp.rms_eps)
+            out2 = _ffn_block(hp, layer, h2)
+            if res_scale != 1.0:
+                out2 = out2 * jnp.asarray(res_scale, out2.dtype)
+            x = x + out2
 
     cache = HybridCache(k_cache, v_cache, conv_cache, ssm_cache)
     x = rms_norm(x, params["output_norm"], hp.rms_eps)
@@ -237,4 +344,7 @@ def forward(
         logits = params["output"](x)
     else:
         logits = jnp.dot(x, params["tok_embd"].T.astype(x.dtype))
-    return logits.astype(jnp.float32), cache
+    logits = logits.astype(jnp.float32)
+    if hp.logit_scale != 1.0:  # granite-hybrid
+        logits = logits / hp.logit_scale
+    return logits, cache

@@ -250,6 +250,9 @@ def _ensure_builtin():
         "jamba",
         jamba.build_params,
         jamba.forward,
+        # nemotron-h = one block per layer (mamba2 | attn | relu² ffn);
+        # granitehybrid = mamba2/attn mixers + granite multipliers
+        aliases=("nemotron_h", "granitehybrid"),
         recurrent=True,  # exact-length prefills protect the carried state
         make_cache=lambda hp, batch, max_len, dtype: jamba.HybridCache.new(
             hp, batch, max_len, dtype

@@ -2179,3 +2179,99 @@ def make_tiny_wavtokenizer_gguf(
     w.add_tensor("output.bias", rand((n_out,)))
     w.write()
     return str(path)
+
+
+def make_tiny_hybrid2_gguf(
+    path,
+    *,
+    arch: str = "nemotron_h",
+    n_embd: int = 64,
+    n_head: int = 4,
+    n_head_kv: int = 2,
+    d_inner: int = 64,
+    d_state: int = 16,
+    d_conv: int = 4,
+    n_ssm_head: int = 4,
+    n_group: int = 2,
+    n_ff: int = 96,
+    n_ctx: int = 256,
+    seed: int = 0,
+) -> str:
+    """Tiny mamba2-hybrid GGUF. nemotron_h: one block per layer
+    [mamba2, attn, relu²-ffn]; granitehybrid: mixer+swiglu per layer."""
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = _byte_vocab(DEFAULT_WORDS)
+    n_vocab = len(tokens)
+    head_dim = n_embd // n_head
+    conv_w = d_inner + 2 * n_group * d_state
+    if arch == "nemotron_h":
+        kinds = ["mamba2", "attn", "ffn"]
+    else:
+        kinds = ["mamba2", "attn"]
+    kv_arr = [n_head_kv if k == "attn" else 0 for k in kinds]
+    n_layer = len(kinds)
+
+    w = GGUFWriter(path, architecture=arch)
+    w.add_kv("general.name", f"tpullm-tiny-{arch}")
+    w.add_kv(f"{arch}.block_count", n_layer)
+    w.add_kv(f"{arch}.context_length", n_ctx)
+    w.add_kv(f"{arch}.embedding_length", n_embd)
+    w.add_kv(f"{arch}.feed_forward_length", n_ff)
+    w.add_kv(f"{arch}.attention.head_count", n_head)
+    w.add_kv(f"{arch}.attention.head_count_kv", np.asarray(kv_arr, dtype=np.int32))
+    w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_kv(f"{arch}.ssm.conv_kernel", d_conv)
+    w.add_kv(f"{arch}.ssm.inner_size", d_inner)
+    w.add_kv(f"{arch}.ssm.state_size", d_state)
+    w.add_kv(f"{arch}.ssm.time_step_rank", n_ssm_head)
+    w.add_kv(f"{arch}.ssm.group_count", n_group)
+    if arch == "granitehybrid":
+        w.add_kv(f"{arch}.residual_scale", 0.5)
+        w.add_kv(f"{arch}.embedding_scale", 2.0)
+        w.add_kv(f"{arch}.logit_scale", 4.0)
+    w.add_kv("tokenizer.ggml.model", "llama")
+    w.add_kv("tokenizer.ggml.tokens", tokens)
+    w.add_kv("tokenizer.ggml.scores", np.asarray(scores, dtype=np.float32))
+    w.add_kv("tokenizer.ggml.token_type", np.asarray(types, dtype=np.int32))
+    w.add_kv("tokenizer.ggml.bos_token_id", 1)
+    w.add_kv("tokenizer.ggml.eos_token_id", 2)
+    w.add_kv("tokenizer.ggml.unknown_token_id", 0)
+    w.add_kv("tokenizer.ggml.add_bos_token", True)
+
+    def rand(shape, scale=0.05):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    w.add_tensor("token_embd.weight", rand((n_vocab, n_embd)))
+    for i, kind in enumerate(kinds):
+        p = f"blk.{i}."
+        w.add_tensor(p + "attn_norm.weight", 1.0 + rand((n_embd,)))
+        if kind == "mamba2":
+            w.add_tensor(p + "ssm_in.weight",
+                         rand((2 * d_inner + 2 * n_group * d_state + n_ssm_head, n_embd)))
+            w.add_tensor(p + "ssm_conv1d.weight", rand((conv_w, d_conv)))
+            w.add_tensor(p + "ssm_conv1d.bias", rand((conv_w,)))
+            w.add_tensor(p + "ssm_dt.bias", rand((n_ssm_head,)))
+            w.add_tensor(p + "ssm_a", rand((n_ssm_head,)))
+            w.add_tensor(p + "ssm_d", rand((n_ssm_head,)))
+            w.add_tensor(p + "ssm_norm.weight", 1.0 + rand((d_inner,)))
+            w.add_tensor(p + "ssm_out.weight", rand((n_embd, d_inner)))
+        elif kind == "attn":
+            w.add_tensor(p + "attn_q.weight", rand((n_head * head_dim, n_embd)))
+            w.add_tensor(p + "attn_k.weight", rand((n_head_kv * head_dim, n_embd)))
+            w.add_tensor(p + "attn_v.weight", rand((n_head_kv * head_dim, n_embd)))
+            w.add_tensor(p + "attn_output.weight", rand((n_embd, n_head * head_dim)))
+        if arch == "nemotron_h":
+            if kind == "ffn":  # relu² sequential with biases
+                w.add_tensor(p + "ffn_up.weight", rand((n_ff, n_embd)))
+                w.add_tensor(p + "ffn_up.bias", rand((n_ff,)))
+                w.add_tensor(p + "ffn_down.weight", rand((n_embd, n_ff)))
+                w.add_tensor(p + "ffn_down.bias", rand((n_embd,)))
+        else:  # granitehybrid: swiglu FFN paired with every mixer
+            w.add_tensor(p + "ffn_norm.weight", 1.0 + rand((n_embd,)))
+            w.add_tensor(p + "ffn_gate.weight", rand((n_ff, n_embd)))
+            w.add_tensor(p + "ffn_up.weight", rand((n_ff, n_embd)))
+            w.add_tensor(p + "ffn_down.weight", rand((n_embd, n_ff)))
+    w.add_tensor("output_norm.weight", 1.0 + rand((n_embd,)))
+    w.add_tensor("output.weight", rand((n_vocab, n_embd)))
+    w.write()
+    return str(path)
