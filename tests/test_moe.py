@@ -427,3 +427,34 @@ def test_dbrx_forward_matches_numpy(tmp_path):
     got = eng.prefill_all_logits(toks)
     ref = np_dbrx_forward(eng.reader, np.asarray(toks))
     np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
+
+
+def test_grok_generates(tmp_path):
+    """grok: GELU experts, attn-output/ffn post-norms, multiplied logit
+    scale + final softcap (llm_build_grok)."""
+    from tpullm.gguf import GGUFReader, GGUFWriter
+    from tpullm.models.testing import make_tiny_moe_gguf
+
+    base = make_tiny_moe_gguf(tmp_path / "g_base.gguf", arch="grok")
+    r = GGUFReader(base)
+    out = tmp_path / "grok.gguf"
+    w = GGUFWriter(out, architecture="grok")
+    for k, v in r.metadata.items():
+        if k != "general.architecture":
+            w.add_kv(k, v)
+    w.add_kv("grok.logit_scale", 0.5773)
+    w.add_kv("grok.final_logit_softcapping", 30.0)
+    n_layer = r.metadata["grok.block_count"]
+    n_embd = r.metadata["grok.embedding_length"]
+    for name, t_ in r.tensors.items():
+        w.add_packed_tensor(name, t_.shape, t_.ggml_type, t_.data.tobytes())
+    for i in range(n_layer):
+        w.add_tensor(f"blk.{i}.attn_output_norm.weight",
+                     np.ones(n_embd, dtype=np.float32))
+        w.add_tensor(f"blk.{i}.layer_output_norm.weight",
+                     np.ones(n_embd, dtype=np.float32))
+    w.write()
+    eng = Engine(str(out), mode="dense", max_seq=64)
+    assert eng.hp.softcap_final == 30.0
+    text = eng.generate("the quick", max_new_tokens=4)
+    assert isinstance(text, str)

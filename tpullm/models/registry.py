@@ -191,6 +191,9 @@ def _ensure_builtin():
     from . import gpt_oss
 
     register_arch("gpt-oss", gpt_oss.build_params, gpt_oss.forward)
+    from . import grok
+
+    register_arch("grok", grok.build_params, grok.forward)
     from . import dbrx
 
     register_arch("dbrx", dbrx.build_params, dbrx.forward)

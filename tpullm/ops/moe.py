@@ -62,19 +62,26 @@ def moe_ffn(
     w_gate: jax.Array,  # [E, n_embd, n_ff]
     w_up: jax.Array,  # [E, n_embd, n_ff]
     w_down: jax.Array,  # [E, n_ff, n_embd]
+    act: str = "silu",  # silu | gelu (grok)
 ) -> jax.Array:
-    """SwiGLU expert FFN, combining the k routed experts per token."""
+    """Gated expert FFN, combining the k routed experts per token."""
     n_tokens = x.shape[0]
     if n_tokens <= _GATHER_MAX_TOKENS:
-        return _moe_gather(x, weights, idx, w_gate, w_up, w_down)
-    return _moe_dense(x, weights, idx, w_gate, w_up, w_down)
+        return _moe_gather(x, weights, idx, w_gate, w_up, w_down, act)
+    return _moe_dense(x, weights, idx, w_gate, w_up, w_down, act)
+
+
+def _glu(gate: jax.Array, up: jax.Array, act: str) -> jax.Array:
+    gf = gate.astype(jnp.float32)
+    a = jax.nn.gelu(gf, approximate=False) if act == "gelu" else jax.nn.silu(gf)
+    return a.astype(up.dtype) * up
 
 
 def _swiglu(gate: jax.Array, up: jax.Array) -> jax.Array:
-    return (jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype)) * up
+    return _glu(gate, up, "silu")
 
 
-def _moe_gather(x, weights, idx, w_gate, w_up, w_down):
+def _moe_gather(x, weights, idx, w_gate, w_up, w_down, act="silu"):
     """Decode regime: gather k experts' weights per token."""
     # [N, k, n_embd, n_ff] weight gathers ride XLA's dynamic-gather; with
     # N*k small this is k expert-reads from HBM
@@ -83,20 +90,20 @@ def _moe_gather(x, weights, idx, w_gate, w_up, w_down):
     wd = w_down[idx]  # [N, k, F, E_in]
     gate = jnp.einsum("ne,nkef->nkf", x, wg)
     up = jnp.einsum("ne,nkef->nkf", x, wu)
-    act = _swiglu(gate, up)
-    out = jnp.einsum("nkf,nkfe->nke", act, wd)
+    mid = _glu(gate, up, act)
+    out = jnp.einsum("nkf,nkfe->nke", mid, wd)
     return jnp.einsum("nke,nk->ne", out.astype(jnp.float32),
                       weights.astype(jnp.float32)).astype(x.dtype)
 
 
-def _moe_dense(x, weights, idx, w_gate, w_up, w_down):
+def _moe_dense(x, weights, idx, w_gate, w_up, w_down, act="silu"):
     """Prefill regime: every expert computes every token on the MXU, then the
     routing weights (zero for unselected experts) combine them."""
     E = w_gate.shape[0]
     gate = jnp.einsum("ne,xef->xnf", x, w_gate)  # [E, N, F]
     up = jnp.einsum("ne,xef->xnf", x, w_up)
-    act = _swiglu(gate, up)
-    out = jnp.einsum("xnf,xfe->xne", act, w_down)  # [E, N, n_embd]
+    mid = _glu(gate, up, act)
+    out = jnp.einsum("xnf,xfe->xne", mid, w_down)  # [E, N, n_embd]
     # dense per-(token, expert) weight matrix from the top-k selection
     onehot = jax.nn.one_hot(idx, E, dtype=jnp.float32)  # [N, k, E]
     dense_w = jnp.einsum("nkx,nk->nx", onehot, weights.astype(jnp.float32))
