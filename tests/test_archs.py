@@ -1526,3 +1526,20 @@ def test_exaone4_iswa_loads_and_generates(tmp_path):
     assert eng.hp.is_swa(0) and not eng.hp.is_swa(3)
     out = eng.generate("the quick brown fox jumps over", max_new_tokens=6)
     assert isinstance(out, str)
+
+
+def test_llada_moe_diffusion(tmp_path):
+    """llada-moe: bidirectional denoiser over the qwen-moe tensor set."""
+    from tpullm.models.testing import make_tiny_moe_gguf
+    from tpullm.tools.diffusion import diffusion_generate
+
+    path = make_tiny_moe_gguf(
+        tmp_path / "lm.gguf", arch="llada-moe",
+    )
+    # inject the mask token id
+    from tpullm.gguf import GGUFReader
+    eng = Engine(path, mode="dense", max_seq=64)
+    ids = eng.tokenizer.tokenize("the quick", add_special=True)
+    out = diffusion_generate(eng, ids, max_length=len(ids) + 6, steps=3,
+                             mask_token_id=0)
+    assert len(out) == 6 and all(t != 0 for t in out)

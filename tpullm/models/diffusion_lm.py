@@ -19,6 +19,7 @@ from ..ops.norms import rms_norm
 from ..ops.rope import apply_rope
 from .llama import Params
 from .llama import build_params as build_params  # same tensor set (± biases)
+from .qwen_moe import build_params as build_params_moe  # llada-moe tensor set
 
 
 def forward(
@@ -61,11 +62,22 @@ def forward(
         x = x + layer["wo"](attn_out.reshape(B, T, hp.n_head * hp.head_dim_v))
 
         h = rms_norm(x, layer["ffn_norm"], hp.rms_eps)
-        gate = layer["w_gate"](h)
-        up = layer["w_up"](h)
-        x = x + layer["w_down"](
-            jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
-        )
+        if "router" in layer:  # llada-moe (softmax, un-renormalized)
+            from ..ops.moe import moe_ffn, route
+
+            hs = h.reshape(B * T, -1)
+            logits = layer["router"](hs).astype(jnp.float32)
+            weights, idx = route(logits, hp.n_expert_used, gating="softmax",
+                                 norm_weights=hp.expert_weights_norm)
+            ffn = moe_ffn(hs, weights, idx, layer["w_gate_exps"],
+                          layer["w_up_exps"], layer["w_down_exps"])
+            x = x + ffn.reshape(B, T, -1)
+        else:
+            gate = layer["w_gate"](h)
+            up = layer["w_up"](h)
+            x = x + layer["w_down"](
+                jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
+            )
 
     x = rms_norm(x, params["output_norm"], hp.rms_eps)
     if return_hidden:

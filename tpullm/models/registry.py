@@ -236,6 +236,15 @@ def _ensure_builtin():
         recurrent=True,  # exact-length canvases, no incremental state
         make_cache=lambda hp, batch, max_len, dtype: _jnp2.zeros(()),
     )
+    # llada-moe = the same bidirectional denoiser over the qwen-moe tensor
+    # set (llm_build_llada_moe)
+    register_arch(
+        "llada-moe",
+        diffusion_lm.build_params_moe,
+        diffusion_lm.forward,
+        recurrent=True,
+        make_cache=lambda hp, batch, max_len, dtype: _jnp2.zeros(()),
+    )
     from . import wavtokenizer
 
     import jax.numpy as _jnp
