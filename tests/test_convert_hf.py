@@ -272,3 +272,106 @@ def test_convert_gpt_oss_logit_parity(tmp_path):
                  kv_dtype=jnp.float32)
     got = eng.prefill_all_logits(ids)
     np.testing.assert_allclose(got, ref, rtol=3e-3, atol=3e-3)
+
+
+def test_convert_starcoder2_logit_parity(tmp_path):
+    from transformers import Starcoder2Config, Starcoder2ForCausalLM
+
+    torch.manual_seed(4)
+    model = Starcoder2ForCausalLM(Starcoder2Config(
+        vocab_size=96, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rope_theta=10000.0, use_bias=True,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+    ))
+    model.eval()
+    d = tmp_path / "hf_sc2"
+    model.save_pretrained(d, safe_serialization=True)
+    out = str(tmp_path / "sc2.gguf")
+    stats = convert_hf_to_gguf(str(d), out, outtype="f32", verbose=False)
+    assert stats["arch"] == "starcoder2"
+    ids = [3, 17, 42, 7, 19]
+    with torch.no_grad():
+        ref = model(torch.tensor([ids])).logits[0].numpy()
+    eng = Engine(out, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    got = eng.prefill_all_logits(ids)
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_convert_stablelm_logit_parity(tmp_path):
+    from transformers import StableLmConfig, StableLmForCausalLM
+
+    torch.manual_seed(5)
+    model = StableLmForCausalLM(StableLmConfig(
+        vocab_size=96, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rope_theta=10000.0,
+        partial_rotary_factor=0.5, use_parallel_residual=False,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+    ))
+    model.eval()
+    d = tmp_path / "hf_slm"
+    model.save_pretrained(d, safe_serialization=True)
+    out = str(tmp_path / "slm.gguf")
+    stats = convert_hf_to_gguf(str(d), out, outtype="f32", verbose=False)
+    assert stats["arch"] == "stablelm"
+    ids = [3, 17, 42, 7, 19]
+    with torch.no_grad():
+        ref = model(torch.tensor([ids])).logits[0].numpy()
+    eng = Engine(out, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    got = eng.prefill_all_logits(ids)
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_convert_olmoe_logit_parity(tmp_path):
+    from transformers import OlmoeConfig, OlmoeForCausalLM
+
+    torch.manual_seed(6)
+    model = OlmoeForCausalLM(OlmoeConfig(
+        vocab_size=96, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_experts=4, num_experts_per_tok=2, norm_topk_prob=False,
+        max_position_embeddings=128, rope_theta=10000.0,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+    ))
+    model.eval()
+    d = tmp_path / "hf_olmoe"
+    model.save_pretrained(d, safe_serialization=True)
+    out = str(tmp_path / "olmoe.gguf")
+    stats = convert_hf_to_gguf(str(d), out, outtype="f32", verbose=False)
+    assert stats["arch"] == "olmoe"
+    ids = [3, 17, 42, 7, 19]
+    with torch.no_grad():
+        ref = model(torch.tensor([ids])).logits[0].numpy()
+    eng = Engine(out, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    got = eng.prefill_all_logits(ids)
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_convert_gptneox_logit_parity(tmp_path):
+    from transformers import GPTNeoXConfig, GPTNeoXForCausalLM
+
+    torch.manual_seed(7)
+    model = GPTNeoXForCausalLM(GPTNeoXConfig(
+        vocab_size=96, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4,
+        max_position_embeddings=128, rotary_pct=0.5,
+        use_parallel_residual=True, rotary_emb_base=10000,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+    ))
+    model.eval()
+    d = tmp_path / "hf_neox"
+    model.save_pretrained(d, safe_serialization=True)
+    out = str(tmp_path / "neox.gguf")
+    stats = convert_hf_to_gguf(str(d), out, outtype="f32", verbose=False)
+    assert stats["arch"] == "gptneox"
+    ids = [3, 17, 42, 7, 19]
+    with torch.no_grad():
+        ref = model(torch.tensor([ids])).logits[0].numpy()
+    eng = Engine(out, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    got = eng.prefill_all_logits(ids)
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)

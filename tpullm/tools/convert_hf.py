@@ -37,7 +37,19 @@ ARCH_MAP = {
     "cohere": "command-r",
     "granite": "granite",
     "gpt_oss": "gpt-oss",
+    "starcoder2": "starcoder2",
+    "stablelm": "stablelm",
+    "olmoe": "olmoe",
+    "gpt_neox": "gptneox",
+    "smollm3": "smollm3",
+    "minicpm": "minicpm",
+    "arcee": "arcee",
+    "dream": "dream",
+    "llada": "llada",
 }
+
+# archs whose norms are LayerNorm (write layer_norm_epsilon, not RMS)
+LN_ARCHS = {"gpt2", "stablelm", "starcoder2", "gptneox"}
 
 # rope "norm" (interleaved) archs need HF→GGUF QK permutation
 PERMUTE_QK_ARCHS = {"llama"}
@@ -98,7 +110,14 @@ _LAYER_MAP = {
     "mlp.up_proj.weight": "ffn_up.weight",
     "mlp.down_proj.weight": "ffn_down.weight",
     "input_layernorm.weight": "attn_norm.weight",
+    "input_layernorm.bias": "attn_norm.bias",
     "post_attention_layernorm.weight": "ffn_norm.weight",
+    "post_attention_layernorm.bias": "ffn_norm.bias",
+    # starcoder2 sequential FFN
+    "mlp.c_fc.weight": "ffn_up.weight",
+    "mlp.c_fc.bias": "ffn_up.bias",
+    "mlp.c_proj.weight": "ffn_down.weight",
+    "mlp.c_proj.bias": "ffn_down.bias",
     # gemma2/3 extra norms
     "pre_feedforward_layernorm.weight": "ffn_norm.weight",
     "post_feedforward_layernorm.weight": "post_ffw_norm.weight",
@@ -115,11 +134,15 @@ def map_tensor_name(name: str, arch: str) -> str | None:
     """HF tensor name → GGUF name; None = skip (≡ gguf-py tensor_mapping)."""
     if name.startswith("model."):
         name = name[len("model."):]
-    if name in ("embed_tokens.weight",):
+    if name.startswith("gpt_neox."):
+        name = name[len("gpt_neox."):]
+    if name in ("embed_tokens.weight", "embed_in.weight"):
         return "token_embd.weight"
-    if name == "norm.weight":
+    if name in ("norm.weight", "final_layer_norm.weight"):
         return "output_norm.weight"
-    if name == "lm_head.weight":
+    if name in ("norm.bias", "final_layer_norm.bias"):
+        return "output_norm.bias"
+    if name in ("lm_head.weight", "embed_out.weight"):
         return "output.weight"
     if name.startswith("layers."):
         parts = name.split(".", 2)
@@ -136,9 +159,21 @@ def map_tensor_name(name: str, arch: str) -> str | None:
             return f"blk.{bid}.post_attention_norm.weight"
         if arch == "olmo2" and rest == "post_feedforward_layernorm.weight":
             return f"blk.{bid}.post_ffw_norm.weight"
-        mapped = _LAYER_MAP.get(rest)
+        neox = {
+            "attention.query_key_value.weight": "attn_qkv.weight",
+            "attention.query_key_value.bias": "attn_qkv.bias",
+            "attention.dense.weight": "attn_output.weight",
+            "attention.dense.bias": "attn_output.bias",
+            "mlp.dense_h_to_4h.weight": "ffn_up.weight",
+            "mlp.dense_h_to_4h.bias": "ffn_up.bias",
+            "mlp.dense_4h_to_h.weight": "ffn_down.weight",
+            "mlp.dense_4h_to_h.bias": "ffn_down.bias",
+        }
+        mapped = _LAYER_MAP.get(rest) or neox.get(rest)
         if mapped:
             return f"blk.{bid}.{mapped}"
+        if rest in ("attention.bias", "attention.masked_bias"):
+            return None
     if name == "rotary_emb.inv_freq" or name.endswith(".rotary_emb.inv_freq"):
         return None
     return None
@@ -281,13 +316,22 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
     w.add_kv(f"{arch}.attention.head_count_kv", n_kv)
     w.add_kv(f"{arch}.attention.key_length", head_dim)
     w.add_kv(f"{arch}.attention.value_length", head_dim)
-    eps = cfg.get("rms_norm_eps", cfg.get("layer_norm_epsilon", 1e-5))
-    if arch == "gpt2":
+    eps = cfg.get("rms_norm_eps",
+                  cfg.get("layer_norm_epsilon", cfg.get("layer_norm_eps", 1e-5)))
+    if arch in LN_ARCHS:
         w.add_kv(f"{arch}.attention.layer_norm_epsilon", float(eps))
     else:
         w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon", float(eps))
+    if arch != "gpt2":
         w.add_kv(f"{arch}.rope.freq_base", float(cfg.get("rope_theta", 10000.0)))
-        w.add_kv(f"{arch}.rope.dimension_count", head_dim)
+        # stablelm/gptneox partial rotary (partial_rotary_factor/rotary_pct)
+        rot_pct = cfg.get("partial_rotary_factor", cfg.get("rotary_pct", 1.0))
+        w.add_kv(f"{arch}.rope.dimension_count", int(head_dim * float(rot_pct)))
+    if cfg.get("use_parallel_residual") is not None:
+        w.add_kv(f"{arch}.use_parallel_residual",
+                 bool(cfg["use_parallel_residual"]))
+    if cfg.get("norm_topk_prob") is not None:
+        w.add_kv(f"{arch}.expert_weights_norm", bool(cfg["norm_topk_prob"]))
     if cfg.get("logit_scale"):
         w.add_kv(f"{arch}.logit_scale", float(cfg["logit_scale"]))
     # granite multipliers (≡ GraniteModel in convert_hf_to_gguf.py)
@@ -383,6 +427,16 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
                 expert_acc.setdefault(key, {})[ei] = np.asarray(arr, dtype=np.float32)
             continue
         gname = map_tensor_name(name, arch)
+        if gname is not None and arch == "gptneox" and "attn_qkv" in gname:
+            # HF GPTNeoX fuses qkv per head [(q,k,v)×head_dim]·n_head; GGUF
+            # expects [Q|K|V] blocks (convert_hf_to_gguf GPTNeoXModel)
+            a = np.asarray(arr, dtype=np.float32)
+            hd = n_embd // n_head
+            qkv = a.reshape((n_head, 3, hd) + a.shape[1:])
+            arr = np.concatenate(
+                [qkv[:, 0].reshape((n_embd,) + a.shape[1:]),
+                 qkv[:, 1].reshape((n_embd,) + a.shape[1:]),
+                 qkv[:, 2].reshape((n_embd,) + a.shape[1:])], axis=0)
         if gname is None:
             if verbose and "inv_freq" not in name:
                 print(f"skip {name}", file=sys.stderr)
