@@ -375,3 +375,57 @@ def test_convert_gptneox_logit_parity(tmp_path):
                  kv_dtype=jnp.float32)
     got = eng.prefill_all_logits(ids)
     np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_convert_t5_logit_parity(tmp_path):
+    from transformers import T5Config, T5ForConditionalGeneration
+
+    torch.manual_seed(8)
+    model = T5ForConditionalGeneration(T5Config(
+        vocab_size=96, d_model=64, d_kv=16, d_ff=128, num_layers=2,
+        num_decoder_layers=2, num_heads=4, relative_attention_num_buckets=16,
+        dense_act_fn="relu", is_gated_act=False, tie_word_embeddings=False,
+        decoder_start_token_id=0, pad_token_id=0, eos_token_id=1,
+    ))
+    model.eval()
+    d = tmp_path / "hf_t5"
+    model.save_pretrained(d, safe_serialization=True)
+    out = str(tmp_path / "t5.gguf")
+    stats = convert_hf_to_gguf(str(d), out, outtype="f32", verbose=False)
+    assert stats["arch"] == "t5"
+
+    enc_ids = [3, 17, 42, 7]
+    dec_ids = [0, 5, 9]
+    with torch.no_grad():
+        ref = model(input_ids=torch.tensor([enc_ids]),
+                    decoder_input_ids=torch.tensor([dec_ids])).logits[0].numpy()
+    eng = Engine(out, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    logits = [eng.prefill(enc_ids)]  # decoder step on start token (=0)
+    logits.append(eng.decode_step(dec_ids[1]))
+    logits.append(eng.decode_step(dec_ids[2]))
+    got = np.stack(logits)
+    np.testing.assert_allclose(got, ref, rtol=3e-3, atol=3e-3)
+
+
+def test_convert_mamba_logit_parity(tmp_path):
+    from transformers import MambaConfig, MambaForCausalLM
+
+    torch.manual_seed(9)
+    model = MambaForCausalLM(MambaConfig(
+        vocab_size=96, hidden_size=64, state_size=8, num_hidden_layers=2,
+        conv_kernel=4, expand=2, time_step_rank=4, use_bias=False,
+        use_conv_bias=True, pad_token_id=0, bos_token_id=1, eos_token_id=2,
+    ))
+    model.eval()
+    d = tmp_path / "hf_mamba"
+    model.save_pretrained(d, safe_serialization=True)
+    out = str(tmp_path / "mamba.gguf")
+    stats = convert_hf_to_gguf(str(d), out, outtype="f32", verbose=False)
+    assert stats["arch"] == "mamba"
+    ids = [3, 17, 42, 7, 19]
+    with torch.no_grad():
+        ref = model(torch.tensor([ids])).logits[0].numpy()
+    eng = Engine(out, mode="dense", dtype=jnp.float32, max_seq=64)
+    got = eng.prefill_all_logits(ids)
+    np.testing.assert_allclose(got, ref, rtol=3e-3, atol=3e-3)

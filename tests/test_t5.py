@@ -63,10 +63,11 @@ def np_t5(reader: GGUFReader, enc_tokens, dec_tokens):
         return out.reshape(T, n_embd)
 
     def bias_table(rel_b, qpos, kpos, bidir):
+        # HF convention: bucket(memory_pos - context_pos) = bucket(k - q)
         b = np.zeros((n_head, len(qpos), len(kpos)))
         for i, qp in enumerate(qpos):
             for j, kp in enumerate(kpos):
-                b[:, i, j] = rel_b[_rel_bucket(qp - kp, nb, bidir)]
+                b[:, i, j] = rel_b[_rel_bucket(kp - qp, nb, bidir)]
         return b
 
     def ffn(prefix, x):

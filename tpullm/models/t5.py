@@ -185,9 +185,11 @@ def _ffn(hp, layer, x):
 
 
 def _pos_bias(rel_b, qpos, kpos, n_buckets, bidirectional):
-    """rel_b [n_buckets, n_head] -> [1, H, T, S]."""
+    """rel_b [n_buckets, n_head] -> [1, H, T, S]. The bucket argument is
+    memory_pos − context_pos (key − query), matching HF T5 and the
+    reference's kq-bias orientation."""
     buckets = relative_buckets(
-        qpos[:, None].astype(jnp.int32) - kpos[None, :].astype(jnp.int32),
+        kpos[None, :].astype(jnp.int32) - qpos[:, None].astype(jnp.int32),
         n_buckets, bidirectional,
     )  # [T, S]
     return rel_b[buckets].transpose(2, 0, 1)[None]  # [1,H,T,S]

@@ -46,6 +46,8 @@ ARCH_MAP = {
     "arcee": "arcee",
     "dream": "dream",
     "llada": "llada",
+    "t5": "t5",
+    "mamba": "mamba",
 }
 
 # archs whose norms are LayerNorm (write layer_norm_epsilon, not RMS)
@@ -130,8 +132,88 @@ _LAYER_MAP = {
 }
 
 
+def _map_t5_name(name: str) -> str | None:
+    """HF T5 names → GGUF enc./dec. names (convert_hf_to_gguf T5Model)."""
+    if name in ("shared.weight", "encoder.embed_tokens.weight"):
+        return "token_embd.weight" if name == "shared.weight" else None
+    if name == "lm_head.weight":
+        return "output.weight"
+    if name == "encoder.final_layer_norm.weight":
+        return "enc.output_norm.weight"
+    if name == "decoder.final_layer_norm.weight":
+        return "dec.output_norm.weight"
+    for side, pfx in (("encoder", "enc"), ("decoder", "dec")):
+        if not name.startswith(side + ".block."):
+            continue
+        parts = name.split(".")
+        bid, sub = parts[2], ".".join(parts[3:])
+        base = f"{pfx}.blk.{bid}."
+        attn = {
+            "layer.0.SelfAttention.q.weight": "attn_q.weight",
+            "layer.0.SelfAttention.k.weight": "attn_k.weight",
+            "layer.0.SelfAttention.v.weight": "attn_v.weight",
+            "layer.0.SelfAttention.o.weight": "attn_o.weight",
+            "layer.0.SelfAttention.relative_attention_bias.weight": "attn_rel_b.weight",
+            "layer.0.layer_norm.weight": "attn_norm.weight",
+        }
+        cross = {
+            "layer.1.EncDecAttention.q.weight": "cross_attn_q.weight",
+            "layer.1.EncDecAttention.k.weight": "cross_attn_k.weight",
+            "layer.1.EncDecAttention.v.weight": "cross_attn_v.weight",
+            "layer.1.EncDecAttention.o.weight": "cross_attn_o.weight",
+            "layer.1.layer_norm.weight": "cross_attn_norm.weight",
+        }
+        ffn_idx = "2" if side == "decoder" else "1"
+        ffn = {
+            f"layer.{ffn_idx}.DenseReluDense.wi.weight": "ffn_up.weight",
+            f"layer.{ffn_idx}.DenseReluDense.wi_0.weight": "ffn_gate.weight",
+            f"layer.{ffn_idx}.DenseReluDense.wi_1.weight": "ffn_up.weight",
+            f"layer.{ffn_idx}.DenseReluDense.wo.weight": "ffn_down.weight",
+            f"layer.{ffn_idx}.layer_norm.weight": "ffn_norm.weight",
+        }
+        if sub in attn:
+            return base + attn[sub]
+        if side == "decoder" and sub in cross:
+            return base + cross[sub]
+        if sub in ffn:
+            return base + ffn[sub]
+    return None
+
+
+def _map_mamba_name(name: str) -> str | None:
+    """HF Mamba names → GGUF ssm_* names (convert_hf_to_gguf MambaModel)."""
+    if name == "backbone.embeddings.weight":
+        return "token_embd.weight"
+    if name == "backbone.norm_f.weight":
+        return "output_norm.weight"
+    if name == "lm_head.weight":
+        return "output.weight"
+    if name.startswith("backbone.layers."):
+        parts = name.split(".")
+        bid, sub = parts[2], ".".join(parts[3:])
+        m = {
+            "norm.weight": "attn_norm.weight",
+            "mixer.in_proj.weight": "ssm_in.weight",
+            "mixer.conv1d.weight": "ssm_conv1d.weight",
+            "mixer.conv1d.bias": "ssm_conv1d.bias",
+            "mixer.x_proj.weight": "ssm_x.weight",
+            "mixer.dt_proj.weight": "ssm_dt.weight",
+            "mixer.dt_proj.bias": "ssm_dt.bias",
+            "mixer.A_log": "ssm_a",
+            "mixer.D": "ssm_d",
+            "mixer.out_proj.weight": "ssm_out.weight",
+        }.get(sub)
+        if m:
+            return f"blk.{bid}.{m}"
+    return None
+
+
 def map_tensor_name(name: str, arch: str) -> str | None:
     """HF tensor name → GGUF name; None = skip (≡ gguf-py tensor_mapping)."""
+    if arch == "t5":
+        return _map_t5_name(name)
+    if arch == "mamba":
+        return _map_mamba_name(name)
     if name.startswith("model."):
         name = name[len("model."):]
     if name.startswith("gpt_neox."):
@@ -300,11 +382,15 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
     if arch is None:
         raise NotImplementedError(f"model_type {model_type!r} not supported yet "
                                   f"(have: {sorted(ARCH_MAP)})")
-    n_head = int(cfg.get("num_attention_heads", cfg.get("n_head")))
+    n_head = int(cfg.get("num_attention_heads",
+                         cfg.get("n_head", cfg.get("num_heads", 1)) or 1))
     n_kv = int(cfg.get("num_key_value_heads", n_head))
-    n_embd = int(cfg.get("hidden_size", cfg.get("n_embd")))
-    n_layer = int(cfg.get("num_hidden_layers", cfg.get("n_layer")))
-    head_dim = int(cfg.get("head_dim", n_embd // n_head))
+    n_embd = int(cfg.get("hidden_size", cfg.get("n_embd", cfg.get("d_model", 0))))
+    n_layer = int(cfg.get("num_hidden_layers",
+                          cfg.get("n_layer", cfg.get("num_layers", 0)) or 0)
+                  )
+    head_dim = int(cfg.get("head_dim",
+                           cfg.get("d_kv", n_embd // max(n_head, 1))))
 
     w = GGUFWriter(dst, architecture=arch)
     w.add_kv("general.name", os.path.basename(os.path.abspath(src_dir)))
@@ -385,6 +471,25 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
         if v is not None:
             w.add_kv(kv, int(v))
 
+    if arch == "t5":
+        w.add_kv("t5.attention.relative_buckets_count",
+                 int(cfg.get("relative_attention_num_buckets", 32)))
+        w.add_kv("t5.decoder_block_count", int(cfg.get("num_decoder_layers", n_layer)))
+        w.add_kv("t5.decoder_start_token_id",
+                 int(cfg.get("decoder_start_token_id", cfg.get("pad_token_id", 0))))
+        w.add_kv("t5.feed_forward_length", int(cfg.get("d_ff", 4 * n_embd)))
+    if arch == "mamba":
+        d_inner = int(cfg.get("intermediate_size",
+                              int(cfg.get("expand", 2)) * n_embd))
+        w.add_kv("mamba.ssm.conv_kernel", int(cfg.get("conv_kernel", cfg.get("d_conv", 4))))
+        w.add_kv("mamba.ssm.inner_size", d_inner)
+        w.add_kv("mamba.ssm.state_size", int(cfg.get("state_size", cfg.get("d_state", 16))))
+        tsr = cfg.get("time_step_rank", "auto")
+        if tsr == "auto" or tsr is None:
+            import math as _math
+
+            tsr = _math.ceil(n_embd / 16)
+        w.add_kv("mamba.ssm.time_step_rank", int(tsr))
     gtype = {"f32": GGMLType.F32, "f16": GGMLType.F16, "bf16": GGMLType.BF16}[outtype]
     n_tensors = 0
     # stack MoE experts: collect experts.N.* into 3D tensors
@@ -442,6 +547,8 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
                 print(f"skip {name}", file=sys.stderr)
             continue
         arr = np.asarray(arr, dtype=np.float32)
+        if arch == "mamba" and gname.endswith("ssm_conv1d.weight"):
+            arr = arr.reshape(arr.shape[0], arr.shape[-1])
         if arch in PERMUTE_QK_ARCHS and gname.endswith("attn_q.weight"):
             arr = _permute_qk(arr, n_head)
         elif arch in PERMUTE_QK_ARCHS and gname.endswith("attn_k.weight"):
