@@ -221,3 +221,38 @@ def test_q8_kv_batch_engine(tiny_model):
     np.testing.assert_allclose(l0, l1, rtol=2e-2, atol=2e-2)
     out = eng.decode_batch({0: 7, 1: 7})
     np.testing.assert_allclose(out[0], out[1], rtol=2e-2, atol=2e-2)
+
+
+def test_self_extend_group_attention(tmp_path):
+    """Self-extend (≡ passkey --grp-attn-n): rope positions compress to
+    slot//G while cache slots and the causal mask stay dense, so logits
+    with G=2 equal a manual forward at positions//2."""
+    import jax.numpy as jnp
+    from tpullm.models.testing import make_tiny_llama_gguf
+    from tpullm.runtime import Engine
+
+    path = make_tiny_llama_gguf(tmp_path / "m.gguf")
+    toks = list(range(3, 19))
+
+    eng = Engine(path, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32, grp_attn_n=2)
+    got = eng.prefill_all_logits(toks)
+
+    # manual reference: same forward with explicitly halved positions
+    ref_eng = Engine(path, mode="dense", dtype=jnp.float32, max_seq=64,
+                     kv_dtype=jnp.float32)
+    n = len(toks)
+    bucket = ref_eng._bucket(n)
+    toks_a = np.zeros((1, bucket), dtype=np.int32)
+    toks_a[0, :n] = toks
+    pos = (np.arange(bucket, dtype=np.int32) // 2)[None]
+    logits, _ = ref_eng._step(
+        ref_eng.params, jnp.asarray(toks_a), jnp.asarray(pos), ref_eng.cache,
+        jnp.int32(0),
+    )
+    ref = np.asarray(logits[0, :n])
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+    # decode continues the compressed position stream
+    last = eng.decode_step(5)
+    assert np.isfinite(last).all()

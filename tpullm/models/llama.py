@@ -194,7 +194,11 @@ def forward(
 
     offsets = jnp.broadcast_to(jnp.asarray(cache_offset).reshape(-1), (B,)).astype(jnp.int32)
     kv_len = jnp.asarray(cache_offset) + T
-    mask = causal_mask(positions, cache.max_len, kv_len, hp.sliding_window)
+    # causality is a property of cache SLOTS, not of rope positions — with
+    # self-extend (grp-attn) the rope positions are compressed (pos = i//G)
+    # while slot ordering stays dense (≡ llama_memory_seq_div semantics)
+    slot_pos = offsets[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+    mask = causal_mask(slot_pos, cache.max_len, kv_len, hp.sliding_window)
     alibi = None
     if hp.max_alibi_bias > 0.0:  # refact / baichuan-13B ride the llama graph
         alibi = (

@@ -116,6 +116,7 @@ class Engine:
         override_kv: dict | None = None,  # metadata overrides (≡ --override-kv)
         control_vectors: list | None = None,  # [(path, strength), ...]
         swa_full: bool = False,  # force full-size SWA-layer cache (≡ --swa-full)
+        grp_attn_n: int = 1,  # self-extend group size (≡ passkey --grp-attn-n)
     ):
         t0 = time.perf_counter()
         self.reader = GGUFReader(model_path)
@@ -172,6 +173,12 @@ class Engine:
             if hasattr(self.cache, "k"):
                 self.cache = shard_cache(self.cache, mesh)
         self.n_past = 0
+        # self-extend / group attention (SURVEY §5.7): rope positions are
+        # compressed to slot//G so a context G× the trained window stays
+        # within trained rope range; cache slots (and the causal mask)
+        # remain dense. Reference: examples/passkey --grp-attn-n via
+        # llama_memory_seq_div.
+        self.grp_attn_n = max(1, int(grp_attn_n))
         self.perf = PerfCounters(t_load_s=time.perf_counter() - t0)
 
         self._step = _get_step(self.arch.forward, self.hp)
@@ -224,8 +231,7 @@ class Engine:
         bucket = self._bucket(n)
         toks = np.zeros((self.batch, bucket), dtype=np.int32)
         toks[0, :n] = tokens
-        pos = np.arange(self.n_past, self.n_past + bucket, dtype=np.int32)
-        pos = np.broadcast_to(pos, (self.batch, bucket))
+        pos = self._positions(bucket)
         logits, self.cache = self._step(
             self.params, jnp.asarray(toks), jnp.asarray(pos), self.cache,
             jnp.int32(self.n_past),
@@ -235,6 +241,14 @@ class Engine:
         self.perf.t_prefill_s += time.perf_counter() - t0
         self.perf.n_prefill += n
         return out
+
+    def _positions(self, count: int) -> np.ndarray:
+        """[batch, count] rope positions for the next `count` slots; with
+        self-extend active they compress to slot//G."""
+        pos = np.arange(self.n_past, self.n_past + count, dtype=np.int32)
+        if self.grp_attn_n > 1:
+            pos = pos // self.grp_attn_n
+        return np.broadcast_to(pos, (self.batch, count))
 
     def _prefill_enc_dec(self, tokens: list[int]) -> np.ndarray:
         """T5 path: run the encoder over the prompt (filling cross K/V),
@@ -273,8 +287,7 @@ class Engine:
         bucket = self._bucket(n)
         toks = np.zeros((self.batch, bucket), dtype=np.int32)
         toks[0, :n] = tokens
-        pos = np.arange(self.n_past, self.n_past + bucket, dtype=np.int32)
-        pos = np.broadcast_to(pos, (self.batch, bucket))
+        pos = self._positions(bucket)
         logits, self.cache = self._step(
             self.params, jnp.asarray(toks), jnp.asarray(pos), self.cache,
             jnp.int32(self.n_past),
@@ -314,7 +327,7 @@ class Engine:
         """Feed one token; returns next-token logits [n_vocab]."""
         t0 = time.perf_counter()
         toks = jnp.full((self.batch, 1), token, dtype=jnp.int32)
-        pos = jnp.full((self.batch, 1), self.n_past, dtype=jnp.int32)
+        pos = jnp.asarray(self._positions(1))
         logits, self.cache = self._step(
             self.params, toks, pos, self.cache, jnp.int32(self.n_past)
         )

@@ -45,6 +45,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "llama.rope.freq_base=float:1000000 (≡ llama.cpp)")
     ap.add_argument("--preset", default=_env("preset"),
                     help="ini-style preset file of flag defaults")
+    ap.add_argument("--grp-attn-n", type=int, default=1,
+                    help="self-extend group size: rope positions compress to "
+                         "slot//N (= passkey --grp-attn-n)")
     ap.add_argument("--swa-full", action="store_true",
                     help="full-size KV cache for SWA layers (disable the "
                          "iSWA ring; ≡ llama.cpp --swa-full)")
@@ -101,6 +104,8 @@ def make_engine(args):
     kw = {}
     if getattr(args, "swa_full", False):
         kw["swa_full"] = True
+    if getattr(args, "grp_attn_n", 1) > 1:
+        kw["grp_attn_n"] = args.grp_attn_n
     if getattr(args, "cache_type_kv", None):
         kw["kv_dtype"] = args.cache_type_kv
     return Engine(args.model, mode=args.mode, max_seq=int(args.ctx_size),
