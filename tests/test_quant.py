@@ -268,3 +268,80 @@ def test_iq4_encode_decodes_by_reference(gtype, reference_gguf):
     np.testing.assert_array_equal(ours, theirs)
     err = rmse(x, theirs) / rmse(x, np.zeros_like(x))
     assert err < 0.15  # 4-bit non-linear on gaussian data
+
+
+# -- i-quant encoders (grid search; test-quantize-fns-style error bounds) -----
+
+
+@pytest.mark.parametrize("gtype,bound", [
+    (GGMLType.IQ2_XXS, 0.37),
+    (GGMLType.IQ2_XS, 0.33),
+    (GGMLType.IQ2_S, 0.28),
+    (GGMLType.IQ3_XXS, 0.23),
+    (GGMLType.IQ3_S, 0.17),
+    (GGMLType.IQ1_S, 0.50),
+    (GGMLType.IQ1_M, 0.47),
+])
+def test_iq_encoder_roundtrip_error_bound(gtype, bound):
+    """Encode→decode relative RMSE stays within each format's bit budget
+    (≡ test-quantize-fns total-error thresholds, scaled for gaussian data)."""
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal(256 * 64) * 0.7).astype(np.float32)
+    packed = codecs.quantize(x, gtype)
+    tt = TYPE_TRAITS[gtype]
+    assert packed.size == x.size // tt.block_size * tt.type_size
+    back = codecs.dequantize(packed, gtype, x.size)
+    rmse = float(np.sqrt(((x - back) ** 2).sum() / (x * x).sum()))
+    assert rmse < bound, f"{gtype.name}: {rmse:.3f} >= {bound}"
+
+
+def test_iq_encoder_exact_codewords_roundtrip():
+    """Vectors lying on the lattice (grid rows × representable scales ×
+    valid signs) survive encode→decode almost exactly (scale-field rounding
+    only)."""
+    from tpullm.quant.iq_codecs import GRID_IQ3XXS, KSIGNS
+
+    rng = np.random.default_rng(3)
+    rows = rng.integers(0, 256, size=(8, 8))
+    vals = GRID_IQ3XXS[rows].reshape(8, 32)
+    signs = KSIGNS[rng.integers(0, 128, size=(8, 4))].reshape(8, 32)
+    db = rng.uniform(0.5, 2.0, size=(8, 1)).astype(np.float32)
+    x = (vals * signs * db).reshape(-1).astype(np.float32)
+    packed = codecs.quantize(x, GGMLType.IQ3_XXS)
+    back = codecs.dequantize(packed, GGMLType.IQ3_XXS, x.size)
+    rmse = float(np.sqrt(((x - back) ** 2).sum() / (x * x).sum()))
+    assert rmse < 0.07  # scale-grid rounding only
+
+
+def test_iq_encoder_bitrate_ladder():
+    """More bits → lower error across the i-quant ladder."""
+    rng = np.random.default_rng(1)
+    x = (rng.standard_normal(256 * 32)).astype(np.float32)
+
+    def rmse(t):
+        back = codecs.dequantize(codecs.quantize(x, t), t, x.size)
+        return float(np.sqrt(((x - back) ** 2).sum() / (x * x).sum()))
+
+    e1 = rmse(GGMLType.IQ1_S)
+    e2 = rmse(GGMLType.IQ2_XXS)
+    e3 = rmse(GGMLType.IQ3_XXS)
+    assert e3 < e2 < e1
+
+
+@pytest.mark.parametrize("gtype", [
+    GGMLType.IQ2_XXS, GGMLType.IQ2_XS, GGMLType.IQ2_S,
+    GGMLType.IQ3_XXS, GGMLType.IQ3_S, GGMLType.IQ1_S, GGMLType.IQ1_M,
+], ids=lambda t: t.name)
+def test_iq_encoder_interop_with_reference_decoder(gtype, reference_gguf):
+    """Our i-quant encodings decode bit-identically through the reference
+    gguf-py decoder (the strongest cross-implementation check)."""
+    import gguf.quants as refq
+
+    rng = np.random.default_rng(int(gtype))
+    x = (rng.standard_normal(256 * 8) * 0.7).astype(np.float32)
+    packed = codecs.quantize(x, gtype)
+    mine = codecs.dequantize(packed, gtype, x.size)
+    theirs = refq.dequantize(
+        packed.copy(), reference_gguf.GGMLQuantizationType(int(gtype))
+    ).reshape(-1)
+    np.testing.assert_array_equal(mine, theirs.astype(np.float32))

@@ -271,7 +271,11 @@ class FileType(enum.IntEnum):
     MOSTLY_IQ2_XXS = 19
     MOSTLY_IQ2_XS = 20
     MOSTLY_IQ3_XXS = 23
+    MOSTLY_IQ1_S = 24
     MOSTLY_IQ4_NL = 25
+    MOSTLY_IQ3_S = 26
+    MOSTLY_IQ2_S = 28
+    MOSTLY_IQ1_M = 31
     MOSTLY_IQ4_XS = 30
     MOSTLY_BF16 = 32
     MOSTLY_TQ1_0 = 36

@@ -1135,6 +1135,10 @@ _QUANT = {
     GGMLType.TQ2_0: quant_tq2_0,
 }
 
+from .iq_encoders import IQ_QUANT  # noqa: E402  (grid-search i-quantizers)
+
+_QUANT.update(IQ_QUANT)
+
 
 def supported_dequant_types() -> list[GGMLType]:
     return sorted(_DEQUANT.keys())

@@ -40,6 +40,13 @@ FTYPES = {
     "TQ2_0": (GGMLType.TQ2_0, FileType.MOSTLY_TQ2_0),
     "IQ4_NL": (GGMLType.IQ4_NL, FileType.MOSTLY_IQ4_NL),
     "IQ4_XS": (GGMLType.IQ4_XS, FileType.MOSTLY_IQ4_XS),
+    "IQ1_S": (GGMLType.IQ1_S, FileType.MOSTLY_IQ1_S),
+    "IQ1_M": (GGMLType.IQ1_M, FileType.MOSTLY_IQ1_M),
+    "IQ2_XXS": (GGMLType.IQ2_XXS, FileType.MOSTLY_IQ2_XXS),
+    "IQ2_XS": (GGMLType.IQ2_XS, FileType.MOSTLY_IQ2_XS),
+    "IQ2_S": (GGMLType.IQ2_S, FileType.MOSTLY_IQ2_S),
+    "IQ3_XXS": (GGMLType.IQ3_XXS, FileType.MOSTLY_IQ3_XXS),
+    "IQ3_S": (GGMLType.IQ3_S, FileType.MOSTLY_IQ3_S),
     "F16": (GGMLType.F16, FileType.MOSTLY_F16),
     "BF16": (GGMLType.BF16, FileType.MOSTLY_BF16),
 }
