@@ -74,3 +74,47 @@ def test_per_batch_offsets():
         np.testing.assert_allclose(
             np.asarray(got[b]), np.asarray(ref[0]), rtol=2e-3, atol=2e-3
         )
+
+
+def test_flash_q8_matches_dequant_reference():
+    """The int8-KV flash kernel matches attention over the dequantized
+    cache (≡ fork flash_attn_tile_q8 vs the f32 fattn path)."""
+    from tpullm.ops.attention import attention_reference, causal_mask
+    from tpullm.ops.pallas import flash
+
+    rng = np.random.default_rng(0)
+    B, T, H, Hkv, S, D = 1, 32, 4, 2, 256, 64
+    q = jnp.asarray(rng.standard_normal((B, T, H, D)).astype(np.float32) * 0.3)
+    k_q = jnp.asarray(rng.integers(-127, 127, size=(B, Hkv, S, D), dtype=np.int8))
+    v_q = jnp.asarray(rng.integers(-127, 127, size=(B, Hkv, S, D), dtype=np.int8))
+    k_s = jnp.asarray(rng.uniform(0.001, 0.01, size=(B, Hkv, S)).astype(np.float32))
+    v_s = jnp.asarray(rng.uniform(0.001, 0.01, size=(B, Hkv, S)).astype(np.float32))
+    offsets = jnp.asarray([96], jnp.int32)  # 96 past + 32 new = 128 valid
+
+    got = flash.flash_attention_q8(q, k_q, k_s, v_q, v_s, offsets, 0.125)
+
+    k = k_q.astype(jnp.float32) * k_s[..., None]
+    v = v_q.astype(jnp.float32) * v_s[..., None]
+    positions = offsets[:, None] + jnp.arange(T)[None, :]
+    mask = causal_mask(positions, S, offsets + T)
+    ref = attention_reference(q, k, v, mask, 0.125)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_quant_kv_cache_engine_uses_q8_flash(tmp_path):
+    """q8_0 KV engine prefill runs through the packed-plane flash path and
+    matches the bf16-cache engine closely."""
+    from tpullm.models.testing import make_tiny_llama_gguf
+    from tpullm.runtime import Engine
+
+    path = make_tiny_llama_gguf(tmp_path / "m.gguf", n_embd=128, n_head=4,
+                                n_head_kv=2)
+    toks = list(range(3, 35))
+    e_q8 = Engine(path, mode="dense", dtype=jnp.float32, max_seq=256,
+                  kv_dtype="q8_0")
+    got = e_q8.prefill_all_logits(toks)
+    e_bf = Engine(path, mode="dense", dtype=jnp.float32, max_seq=256,
+                  kv_dtype=jnp.float32)
+    ref = e_bf.prefill_all_logits(toks)
+    np.testing.assert_allclose(got, ref, rtol=0.1, atol=0.1)  # q8 rounding

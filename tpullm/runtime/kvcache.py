@@ -139,6 +139,12 @@ class QuantKVCache:
         v = self.v_q[layer].astype(jnp.bfloat16) * self.v_s[layer][..., None].astype(jnp.bfloat16)
         return k, v
 
+    def kv_packed(self, layer: int):
+        """(k_q, k_s, v_q, v_s) planes for the q8 flash kernel — the cache
+        streams as int8 + per-vector scales, never widening in HBM."""
+        return (self.k_q[layer], self.k_s[layer],
+                self.v_q[layer], self.v_s[layer])
+
     def update(self, layer: int, k_new: jax.Array, v_new: jax.Array, offset) -> "QuantKVCache":
         k_q, k_s = self._quantize(k_new)  # [B, Hkv, T, D], [B, Hkv, T]
         v_q, v_s = self._quantize(v_new)
