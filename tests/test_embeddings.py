@@ -153,3 +153,18 @@ def test_server_embeddings_and_rerank(bert_model):
         asyncio.run(run())
     finally:
         sched.stop()
+
+
+def test_llama_embed_bidirectional(tmp_path):
+    """llama-embed: non-causal llama used as an embedding model
+    (LLM_ARCH_LLAMA_EMBED, mean pooling default)."""
+    import jax.numpy as jnp
+    from tpullm.models.testing import make_tiny_llama_gguf
+    from tpullm.runtime import Engine
+
+    path = make_tiny_llama_gguf(tmp_path / "le.gguf", arch="llama-embed")
+    eng = Engine(path, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    assert not eng.hp.causal and eng.hp.pooling == "mean"
+    emb = eng.embed("hello world")
+    assert emb.shape == (eng.hp.n_embd,) and np.isfinite(emb).all()

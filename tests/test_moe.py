@@ -458,3 +458,100 @@ def test_grok_generates(tmp_path):
     assert eng.hp.softcap_final == 30.0
     text = eng.generate("the quick", max_new_tokens=4)
     assert isinstance(text, str)
+
+
+def test_arctic_forward_matches_numpy(tmp_path):
+    """arctic: dense residual-FFN + parallel MoE over the pre-attention
+    stream with its own norm (llm_build_arctic)."""
+    from tpullm.gguf import GGUFReader, GGUFWriter
+    from tpullm.models.testing import make_tiny_moe_gguf
+
+    base = make_tiny_moe_gguf(tmp_path / "a_base.gguf", arch="arctic")
+    r = GGUFReader(base)
+    out = tmp_path / "arctic.gguf"
+    w = GGUFWriter(out, architecture="arctic")
+    for k, v in r.metadata.items():
+        if k != "general.architecture":
+            w.add_kv(k, v)
+    n_layer = r.metadata["arctic.block_count"]
+    n_embd = r.metadata["arctic.embedding_length"]
+    rng = np.random.default_rng(11)
+    for name, t_ in r.tensors.items():
+        w.add_packed_tensor(name, t_.shape, t_.ggml_type, t_.data.tobytes())
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        w.add_tensor(p + "ffn_gate.weight",
+                     (rng.standard_normal((32, n_embd)) * 0.05).astype(np.float32))
+        w.add_tensor(p + "ffn_up.weight",
+                     (rng.standard_normal((32, n_embd)) * 0.05).astype(np.float32))
+        w.add_tensor(p + "ffn_down.weight",
+                     (rng.standard_normal((n_embd, 32)) * 0.05).astype(np.float32))
+        w.add_tensor(p + "ffn_norm_exps.weight",
+                     np.ones(n_embd, dtype=np.float32))
+    w.write()
+    eng = Engine(str(out), mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    toks = eng.tokenizer.tokenize("the quick brown", add_special=True)
+    got = eng.prefill_all_logits(toks)
+
+    md = eng.reader.metadata
+    r2 = eng.reader
+    n_head = md["arctic.attention.head_count"]
+    n_head_kv = md["arctic.attention.head_count_kv"]
+    eps = md["arctic.attention.layer_norm_rms_epsilon"]
+    base_f = md["arctic.rope.freq_base"]
+    n_used = md["arctic.expert_used_count"]
+    hd = n_embd // n_head
+
+    def t(name):
+        return r2.tensors[name].to_numpy().astype(np.float64)
+
+    def rms(x, wt):
+        return x / np.sqrt((x * x).mean(-1, keepdims=True) + eps) * wt
+
+    def silu(z):
+        return z / (1 + np.exp(-z))
+
+    def rope_norm(x, pos):
+        T_, H, D = x.shape
+        half = D // 2
+        inv = base_f ** (-np.arange(half) * 2.0 / D)
+        th = pos[:, None] * inv
+        c, s = np.cos(th), np.sin(th)
+        out2 = x.copy()
+        x0, x1 = x[..., 0::2], x[..., 1::2]
+        out2[..., 0::2] = x0 * c[:, None, :] - x1 * s[:, None, :]
+        out2[..., 1::2] = x0 * s[:, None, :] + x1 * c[:, None, :]
+        return out2
+
+    tokens = np.asarray(toks)
+    T_ = len(tokens)
+    pos = np.arange(T_)
+    x = t("token_embd.weight")[tokens]
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        inp_sa = x
+        h = rms(x, t(p + "attn_norm.weight"))
+        q = rope_norm((h @ t(p + "attn_q.weight").T).reshape(T_, n_head, hd), pos)
+        kk = rope_norm((h @ t(p + "attn_k.weight").T).reshape(T_, n_head_kv, hd), pos)
+        vv = (h @ t(p + "attn_v.weight").T).reshape(T_, n_head_kv, hd)
+        g = n_head // n_head_kv
+        o = np.zeros((T_, n_head, hd))
+        for hh in range(n_head):
+            sc = q[:, hh] @ kk[:, hh // g].T / np.sqrt(hd)
+            sc += np.triu(np.full((T_, T_), -np.inf), k=1)
+            e = np.exp(sc - sc.max(-1, keepdims=True))
+            o[:, hh] = (e / e.sum(-1, keepdims=True)) @ vv[:, hh // g]
+        ffn_inp = inp_sa + o.reshape(T_, n_embd) @ t(p + "attn_output.weight").T
+        h2 = rms(ffn_inp, t(p + "ffn_norm.weight"))
+        dense = (silu(h2 @ t(p + "ffn_gate.weight").T)
+                 * (h2 @ t(p + "ffn_up.weight").T)) @ t(p + "ffn_down.weight").T
+        ffn_out = ffn_inp + dense
+        h3 = rms(inp_sa, t(p + "ffn_norm_exps.weight"))
+        moe = np_moe(h3, t(p + "ffn_gate_inp.weight"),
+                     t(p + "ffn_gate_exps.weight"), t(p + "ffn_up_exps.weight"),
+                     t(p + "ffn_down_exps.weight"), n_used, norm_w=True)
+        x = moe + ffn_out
+    x = rms(x, t("output_norm.weight"))
+    ref = x @ t("output.weight").T
+    np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)

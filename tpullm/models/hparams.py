@@ -149,7 +149,7 @@ NEOX_ROPE_ARCHS = {
     "exaone4", "smollm3", "gpt-oss", "deci", "nemotron",
     "orion", "codeshell", "seed_oss", "pangu-embedded", "hunyuan-dense",
     "bitnet", "dream", "dots1", "hunyuan-moe", "minimax-m2", "bailingmoe2",
-    "grok", "llada-moe",
+    "grok", "llada-moe", "exaone-moe",
 }
 
 
@@ -241,7 +241,7 @@ def hparams_from_gguf(r: GGUFReader) -> HParams:
         attn_scale=(float(k(Keys.Attention.SCALE)) if k(Keys.Attention.SCALE) is not None else None),
         causal=bool(k(
             Keys.Attention.CAUSAL,
-            arch not in ("bert", "nomic-bert", "jina-bert-v2"),
+            arch not in ("bert", "nomic-bert", "jina-bert-v2", "llama-embed"),
         )),
         softcap_attn=float(k(Keys.LLM.ATTN_LOGIT_SOFTCAPPING, 0.0)),
         softcap_final=float(k(Keys.LLM.FINAL_LOGIT_SOFTCAPPING, 0.0)),
@@ -271,7 +271,8 @@ def hparams_from_gguf(r: GGUFReader) -> HParams:
         no_rope_step=4 if arch == "smollm3" else 0,
         pooling={0: "none", 1: "mean", 2: "cls", 3: "last", 4: "rank"}.get(
             int(k("{arch}.pooling_type",
-                  1 if arch in ("bert", "nomic-bert", "jina-bert-v2") else 0)),
+                  1 if arch in ("bert", "nomic-bert", "jina-bert-v2",
+                                "llama-embed") else 0)),
             "none",
         ),
         n_lora_q=int(k("{arch}.attention.q_lora_rank", 0) or 0),

@@ -218,6 +218,9 @@ def forward(
     # while slot ordering stays dense (≡ llama_memory_seq_div semantics)
     slot_pos = offsets[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
     mask = causal_mask(slot_pos, cache.max_len, kv_len, hp.sliding_window)
+    if not hp.causal:  # llama-embed: bidirectional over the valid prefix
+        key_pos = jnp.arange(cache.max_len)[None, None, :]
+        mask = key_pos < jnp.asarray(kv_len).reshape(-1, 1, 1)
     alibi = None
     if hp.max_alibi_bias > 0.0:  # refact / baichuan-13B ride the llama graph
         alibi = (

@@ -96,7 +96,8 @@ def _ensure_builtin():
         aliases=("mistral", "qwen2", "qwen3", "granite", "internlm2",
                  "exaone", "smollm3", "arcee", "minicpm", "xverse",
                  "ernie4_5", "refact", "baichuan", "mistral3", "seed_oss",
-                 "pangu-embedded", "maincoder", "hunyuan-dense"),
+                 "pangu-embedded", "maincoder", "hunyuan-dense",
+                 "llama-embed"),
     )
     from . import falcon
 
@@ -145,9 +146,11 @@ def _ensure_builtin():
         # trailing NextN layers (hp.nextn_layers)
         # glm4-moe: post_attention_norm ffn-norm slot, dense lead,
         # exp_probs_b, gguf-driven norm/scale/gating, NextN layers
+        # exaone-moe: per-head qk norms + dense lead + exp_probs_b +
+        # ungated shexp (llm_build_exaone_moe)
         aliases=("qwen2moe", "deepseek", "granitemoe", "ernie4_5-moe",
                  "dots1", "hunyuan-moe", "minimax-m2", "bailingmoe",
-                 "bailingmoe2", "glm4-moe"),
+                 "bailingmoe2", "glm4-moe", "exaone-moe"),
     )
     from . import gemma, gpt2
 
@@ -194,6 +197,9 @@ def _ensure_builtin():
     from . import grok
 
     register_arch("grok", grok.build_params, grok.forward)
+    from . import arctic
+
+    register_arch("arctic", arctic.build_params, arctic.forward)
     from . import dbrx
 
     register_arch("dbrx", dbrx.build_params, dbrx.forward)
