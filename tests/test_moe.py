@@ -555,3 +555,20 @@ def test_arctic_forward_matches_numpy(tmp_path):
     x = rms(x, t("output_norm.weight"))
     ref = x @ t("output.weight").T
     np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
+
+
+def test_llama4_chunked_iswa_moe(tmp_path):
+    """llama4: chunked-SWA + NoPE-every-4th layers, sigmoid MoE + ungated
+    shexp (llm_build_llama_iswa)."""
+    from tpullm.models.testing import make_tiny_moe_gguf
+
+    path = make_tiny_moe_gguf(tmp_path / "l4.gguf", arch="llama4",
+                              n_ff_shexp=48, gated_shexp=False)
+    # add chunk size via override
+    eng = Engine(path, mode="dense", max_seq=64,
+                 override_kv={"llama4.attention.sliding_window": 16})
+    assert eng.hp.swa_pattern == 4
+    assert eng.hp.is_swa(0) and not eng.hp.is_swa(3)
+    out = eng.generate("the quick brown fox jumps over the lazy dog",
+                       max_new_tokens=6)
+    assert isinstance(out, str)

@@ -149,7 +149,7 @@ NEOX_ROPE_ARCHS = {
     "exaone4", "smollm3", "gpt-oss", "deci", "nemotron",
     "orion", "codeshell", "seed_oss", "pangu-embedded", "hunyuan-dense",
     "bitnet", "dream", "dots1", "hunyuan-moe", "minimax-m2", "bailingmoe2",
-    "grok", "llada-moe", "exaone-moe",
+    "grok", "llada-moe", "exaone-moe", "llama4",
 }
 
 
@@ -236,7 +236,7 @@ def hparams_from_gguf(r: GGUFReader) -> HParams:
         sliding_window=int(k(Keys.Attention.SLIDING_WINDOW, 0)),
         swa_pattern=int(k(
             Keys.Attention.SLIDING_WINDOW_PATTERN,
-            {"gemma2": 2, "gemma3": 6, "gpt-oss": 2}.get(arch, 1),
+            {"gemma2": 2, "gemma3": 6, "gpt-oss": 2, "llama4": 4}.get(arch, 1),
         )),
         attn_scale=(float(k(Keys.Attention.SCALE)) if k(Keys.Attention.SCALE) is not None else None),
         causal=bool(k(

@@ -200,6 +200,9 @@ def _ensure_builtin():
     from . import arctic
 
     register_arch("arctic", arctic.build_params, arctic.forward)
+    from . import llama4
+
+    register_arch("llama4", llama4.build_params, llama4.forward)
     from . import dbrx
 
     register_arch("dbrx", dbrx.build_params, dbrx.forward)
