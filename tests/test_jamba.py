@@ -159,3 +159,20 @@ def test_granitehybrid_multipliers_and_decode(tmp_path):
     eng.prefill(toks[:-1])
     last = eng.decode_step(toks[-1])
     np.testing.assert_allclose(last, full[-1], rtol=2e-3, atol=2e-3)
+
+
+def test_lfm2_generates_and_decode_matches_prefill(tmp_path):
+    """lfm2: gated shortconv + attention hybrid (llm_build_lfm2)."""
+    from tpullm.models.testing import make_tiny_lfm2_gguf
+
+    path = make_tiny_lfm2_gguf(tmp_path / "lfm2.gguf")
+    eng = Engine(path, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    toks = eng.tokenizer.tokenize("the quick brown", add_special=True)
+    full = eng.prefill_all_logits(toks)
+    assert np.isfinite(full).all()
+    eng.reset()
+    eng.cache = type(eng.cache).new(eng.hp, eng.batch, eng.max_seq, jnp.float32)
+    eng.prefill(toks[:-1])
+    last = eng.decode_step(toks[-1])
+    np.testing.assert_allclose(last, full[-1], rtol=2e-3, atol=2e-3)

@@ -149,7 +149,7 @@ NEOX_ROPE_ARCHS = {
     "exaone4", "smollm3", "gpt-oss", "deci", "nemotron",
     "orion", "codeshell", "seed_oss", "pangu-embedded", "hunyuan-dense",
     "bitnet", "dream", "dots1", "hunyuan-moe", "minimax-m2", "bailingmoe2",
-    "grok", "llada-moe", "exaone-moe", "llama4",
+    "grok", "llada-moe", "exaone-moe", "llama4", "lfm2",
 }
 
 
@@ -279,8 +279,12 @@ def hparams_from_gguf(r: GGUFReader) -> HParams:
         n_lora_kv=int(k("{arch}.attention.kv_lora_rank", 0) or 0),
         n_layer_dense_lead=int(k("{arch}.leading_dense_block_count", 0)),
         n_expert_shared=int(k("{arch}.expert_shared_count", 0)),
-        ssm_d_conv=int(k("{arch}.ssm.conv_kernel", 0)),
-        ssm_d_inner=int(k("{arch}.ssm.inner_size", 0)),
+        # lfm2's shortconv state rides the ssm fields: conv width l_cache
+        # over an n_embd-wide plane (LLM_KV_SHORTCONV_L_CACHE)
+        ssm_d_conv=int(k("{arch}.ssm.conv_kernel",
+                         k("{arch}.shortconv.l_cache", 0))),
+        ssm_d_inner=int(k("{arch}.ssm.inner_size",
+                          n_embd if k("{arch}.shortconv.l_cache") else 0)),
         ssm_d_state=int(k("{arch}.ssm.state_size",
                           k("{arch}.wkv.head_size", 0))),
         rescale_every=int(k("{arch}.rescale_every_n_layers", 0)),

@@ -203,6 +203,17 @@ def _ensure_builtin():
     from . import llama4
 
     register_arch("llama4", llama4.build_params, llama4.forward)
+    from . import lfm2
+
+    register_arch(
+        "lfm2",
+        lfm2.build_params,
+        lfm2.forward,
+        recurrent=True,  # shortconv tails carry state
+        make_cache=lambda hp, batch, max_len, dtype: jamba.HybridCache.new(
+            hp, batch, max_len, dtype
+        ),
+    )
     from . import dbrx
 
     register_arch("dbrx", dbrx.build_params, dbrx.forward)

@@ -2275,3 +2275,74 @@ def make_tiny_hybrid2_gguf(
     w.add_tensor("output.weight", rand((n_vocab, n_embd)))
     w.write()
     return str(path)
+
+
+def make_tiny_lfm2_gguf(
+    path,
+    *,
+    n_embd: int = 64,
+    n_head: int = 4,
+    n_head_kv: int = 2,
+    n_ff: int = 96,
+    l_cache: int = 3,
+    n_ctx: int = 256,
+    seed: int = 0,
+) -> str:
+    """Tiny lfm2-shaped GGUF: [shortconv, attn, shortconv] layers + swiglu
+    FFN each (llm_build_lfm2 shapes)."""
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = _byte_vocab(DEFAULT_WORDS)
+    n_vocab = len(tokens)
+    head_dim = n_embd // n_head
+    kinds = ["conv", "attn", "conv"]
+    kv_arr = [n_head_kv if k == "attn" else 0 for k in kinds]
+    n_layer = len(kinds)
+
+    arch = "lfm2"
+    w = GGUFWriter(path, architecture=arch)
+    w.add_kv("general.name", "tpullm-tiny-lfm2")
+    w.add_kv(f"{arch}.block_count", n_layer)
+    w.add_kv(f"{arch}.context_length", n_ctx)
+    w.add_kv(f"{arch}.embedding_length", n_embd)
+    w.add_kv(f"{arch}.feed_forward_length", n_ff)
+    w.add_kv(f"{arch}.attention.head_count", n_head)
+    w.add_kv(f"{arch}.attention.head_count_kv", np.asarray(kv_arr, dtype=np.int32))
+    w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_kv(f"{arch}.rope.freq_base", 10000.0)
+    w.add_kv(f"{arch}.rope.dimension_count", head_dim)
+    w.add_kv(f"{arch}.shortconv.l_cache", l_cache)
+    w.add_kv("tokenizer.ggml.model", "llama")
+    w.add_kv("tokenizer.ggml.tokens", tokens)
+    w.add_kv("tokenizer.ggml.scores", np.asarray(scores, dtype=np.float32))
+    w.add_kv("tokenizer.ggml.token_type", np.asarray(types, dtype=np.int32))
+    w.add_kv("tokenizer.ggml.bos_token_id", 1)
+    w.add_kv("tokenizer.ggml.eos_token_id", 2)
+    w.add_kv("tokenizer.ggml.unknown_token_id", 0)
+    w.add_kv("tokenizer.ggml.add_bos_token", True)
+
+    def rand(shape, scale=0.05):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    w.add_tensor("token_embd.weight", rand((n_vocab, n_embd)))
+    w.add_tensor("token_embd_norm.weight", 1.0 + rand((n_embd,)))
+    for i, kind in enumerate(kinds):
+        p = f"blk.{i}."
+        w.add_tensor(p + "attn_norm.weight", 1.0 + rand((n_embd,)))
+        if kind == "conv":
+            w.add_tensor(p + "shortconv.in_proj.weight", rand((3 * n_embd, n_embd)))
+            w.add_tensor(p + "shortconv.conv.weight", rand((n_embd, l_cache)))
+            w.add_tensor(p + "shortconv.out_proj.weight", rand((n_embd, n_embd)))
+        else:
+            w.add_tensor(p + "attn_q.weight", rand((n_head * head_dim, n_embd)))
+            w.add_tensor(p + "attn_k.weight", rand((n_head_kv * head_dim, n_embd)))
+            w.add_tensor(p + "attn_v.weight", rand((n_head_kv * head_dim, n_embd)))
+            w.add_tensor(p + "attn_q_norm.weight", 1.0 + rand((head_dim,)))
+            w.add_tensor(p + "attn_k_norm.weight", 1.0 + rand((head_dim,)))
+            w.add_tensor(p + "attn_output.weight", rand((n_embd, n_head * head_dim)))
+        w.add_tensor(p + "ffn_norm.weight", 1.0 + rand((n_embd,)))
+        w.add_tensor(p + "ffn_gate.weight", rand((n_ff, n_embd)))
+        w.add_tensor(p + "ffn_up.weight", rand((n_ff, n_embd)))
+        w.add_tensor(p + "ffn_down.weight", rand((n_embd, n_ff)))
+    w.add_tensor("output.weight", rand((n_vocab, n_embd)))
+    w.write()
+    return str(path)
