@@ -1543,3 +1543,16 @@ def test_llada_moe_diffusion(tmp_path):
     out = diffusion_generate(eng, ids, max_length=len(ids) + 6, steps=3,
                              mask_token_id=0)
     assert len(out) == 6 and all(t != 0 for t in out)
+
+
+def test_qwen_vl_text_aliases(tmp_path):
+    """qwen2vl/qwen3vl text stacks ride the qwen2/qwen3 graphs (m-rope with
+    equal text-position streams ≡ standard neox rope)."""
+    from tpullm.models.testing import make_tiny_llama_gguf
+
+    for arch in ("qwen2vl", "qwen3vl"):
+        path = make_tiny_llama_gguf(tmp_path / f"{arch}.gguf", arch=arch)
+        eng = Engine(path, mode="dense", max_seq=64)
+        assert eng.hp.rope.style == "neox"
+        out = eng.generate("the quick", max_new_tokens=3)
+        assert isinstance(out, str)

@@ -149,7 +149,8 @@ NEOX_ROPE_ARCHS = {
     "exaone4", "smollm3", "gpt-oss", "deci", "nemotron",
     "orion", "codeshell", "seed_oss", "pangu-embedded", "hunyuan-dense",
     "bitnet", "dream", "dots1", "hunyuan-moe", "minimax-m2", "bailingmoe2",
-    "grok", "llada-moe", "exaone-moe", "llama4", "lfm2",
+    "grok", "llada-moe", "exaone-moe", "llama4", "lfm2", "lfm2moe",
+    "qwen2vl", "qwen3vl", "qwen3vlmoe",
 }
 
 

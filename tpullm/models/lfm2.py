@@ -38,10 +38,25 @@ def build_params(r: GGUFReader, hp: HParams, mode: str = "auto",
         layer = {
             "attn_norm": load_vector(t[p + "attn_norm.weight"]),
             "ffn_norm": load_vector(t[p + "ffn_norm.weight"]),
-            "w_gate": linear(p + "ffn_gate.weight"),
-            "w_up": linear(p + "ffn_up.weight"),
-            "w_down": linear(p + "ffn_down.weight"),
         }
+        if p + "ffn_gate_inp.weight" in t:  # lfm2moe layer
+            import numpy as np
+
+            def experts(name):
+                w_ = t[name].to_numpy()
+                return jnp.asarray(
+                    np.ascontiguousarray(w_.transpose(0, 2, 1)), dtype=dtype)
+
+            layer["router"] = linear(p + "ffn_gate_inp.weight")
+            if p + "exp_probs_b.bias" in t:
+                layer["exp_probs_b"] = load_vector(t[p + "exp_probs_b.bias"])
+            layer["w_gate_exps"] = experts(p + "ffn_gate_exps.weight")
+            layer["w_up_exps"] = experts(p + "ffn_up_exps.weight")
+            layer["w_down_exps"] = experts(p + "ffn_down_exps.weight")
+        else:
+            layer["w_gate"] = linear(p + "ffn_gate.weight")
+            layer["w_up"] = linear(p + "ffn_up.weight")
+            layer["w_down"] = linear(p + "ffn_down.weight")
         if p + "shortconv.in_proj.weight" in t:
             layer.update({
                 "conv_in": linear(p + "shortconv.in_proj.weight"),
@@ -130,11 +145,24 @@ def forward(
         x = x + out
 
         h = rms_norm(x, layer["ffn_norm"], hp.rms_eps)
-        gate = layer["w_gate"](h)
-        up = layer["w_up"](h)
-        x = x + layer["w_down"](
-            jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
-        )
+        if "router" in layer:  # lfm2moe: renormalized, gguf gating func
+            from ..ops.moe import moe_ffn, route
+
+            hs = h.reshape(B * T, -1)
+            logits = layer["router"](hs).astype(jnp.float32)
+            weights, idx = route(
+                logits, hp.n_expert_used, gating=hp.expert_gating_func,
+                norm_weights=True, select_bias=layer.get("exp_probs_b"),
+            )
+            ffn = moe_ffn(hs, weights, idx, layer["w_gate_exps"],
+                          layer["w_up_exps"], layer["w_down_exps"])
+            x = x + ffn.reshape(B, T, -1)
+        else:
+            gate = layer["w_gate"](h)
+            up = layer["w_up"](h)
+            x = x + layer["w_down"](
+                jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
+            )
 
     x = rms_norm(x, params["output_norm"], hp.rms_eps)
     if return_hidden:

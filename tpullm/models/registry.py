@@ -97,7 +97,11 @@ def _ensure_builtin():
                  "exaone", "smollm3", "arcee", "minicpm", "xverse",
                  "ernie4_5", "refact", "baichuan", "mistral3", "seed_oss",
                  "pangu-embedded", "maincoder", "hunyuan-dense",
-                 "llama-embed"),
+                 # qwen-VL text stacks: for text-only positions the
+                 # m-rope/interleaved-m-rope streams are all equal, so the
+                 # rotation degenerates to standard neox rope (vision
+                 # encoding rides mtmd separately)
+                 "llama-embed", "qwen2vl", "qwen3vl"),
     )
     from . import falcon
 
@@ -150,7 +154,7 @@ def _ensure_builtin():
         # ungated shexp (llm_build_exaone_moe)
         aliases=("qwen2moe", "deepseek", "granitemoe", "ernie4_5-moe",
                  "dots1", "hunyuan-moe", "minimax-m2", "bailingmoe",
-                 "bailingmoe2", "glm4-moe", "exaone-moe"),
+                 "bailingmoe2", "glm4-moe", "exaone-moe", "qwen3vlmoe"),
     )
     from . import gemma, gpt2
 
@@ -209,6 +213,7 @@ def _ensure_builtin():
         "lfm2",
         lfm2.build_params,
         lfm2.forward,
+        aliases=("lfm2moe",),
         recurrent=True,  # shortconv tails carry state
         make_cache=lambda hp, batch, max_len, dtype: jamba.HybridCache.new(
             hp, batch, max_len, dtype
