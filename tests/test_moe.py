@@ -572,3 +572,16 @@ def test_llama4_chunked_iswa_moe(tmp_path):
     out = eng.generate("the quick brown fox jumps over the lazy dog",
                        max_new_tokens=6)
     assert isinstance(out, str)
+
+
+def test_smallthinker_generates(tmp_path):
+    """smallthinker: raw-stream router, ReLU-gated experts, NoPE steps
+    (llm_build_smallthinker)."""
+    from tpullm.models.testing import make_tiny_moe_gguf
+
+    path = make_tiny_moe_gguf(tmp_path / "st.gguf", arch="smallthinker")
+    eng = Engine(path, mode="dense", max_seq=64,
+                 override_kv={"smallthinker.attention.no_rope_layer_step": 2})
+    assert eng.hp.no_rope_step == 2
+    out = eng.generate("the quick", max_new_tokens=4)
+    assert isinstance(out, str)

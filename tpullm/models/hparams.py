@@ -150,7 +150,7 @@ NEOX_ROPE_ARCHS = {
     "orion", "codeshell", "seed_oss", "pangu-embedded", "hunyuan-dense",
     "bitnet", "dream", "dots1", "hunyuan-moe", "minimax-m2", "bailingmoe2",
     "grok", "llada-moe", "exaone-moe", "llama4", "lfm2", "lfm2moe",
-    "qwen2vl", "qwen3vl", "qwen3vlmoe",
+    "qwen2vl", "qwen3vl", "qwen3vlmoe", "smallthinker",
 }
 
 
@@ -269,7 +269,10 @@ def hparams_from_gguf(r: GGUFReader) -> HParams:
         clamp_kqv=float(k("{arch}.attention.clamp_kqv", 0.0) or 0.0),
         par_residual=bool(k(Keys.LLM.USE_PARALLEL_RESIDUAL, False)),
         qk_norm_post_rope=arch in ("maincoder", "hunyuan-dense", "hunyuan-moe"),
-        no_rope_step=4 if arch == "smollm3" else 0,
+        no_rope_step=int(k(
+            "{arch}.attention.no_rope_layer_step",
+            4 if arch == "smollm3" else 0,
+        )),
         pooling={0: "none", 1: "mean", 2: "cls", 3: "last", 4: "rank"}.get(
             int(k("{arch}.pooling_type",
                   1 if arch in ("bert", "nomic-bert", "jina-bert-v2",

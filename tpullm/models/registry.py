@@ -204,6 +204,9 @@ def _ensure_builtin():
     from . import arctic
 
     register_arch("arctic", arctic.build_params, arctic.forward)
+    from . import smallthinker
+
+    register_arch("smallthinker", smallthinker.build_params, smallthinker.forward)
     from . import llama4
 
     register_arch("llama4", llama4.build_params, llama4.forward)

@@ -62,7 +62,7 @@ def moe_ffn(
     w_gate: jax.Array,  # [E, n_embd, n_ff]
     w_up: jax.Array,  # [E, n_embd, n_ff]
     w_down: jax.Array,  # [E, n_ff, n_embd]
-    act: str = "silu",  # silu | gelu (grok)
+    act: str = "silu",  # silu | gelu (grok) | relu (smallthinker)
 ) -> jax.Array:
     """Gated expert FFN, combining the k routed experts per token."""
     n_tokens = x.shape[0]
@@ -73,7 +73,12 @@ def moe_ffn(
 
 def _glu(gate: jax.Array, up: jax.Array, act: str) -> jax.Array:
     gf = gate.astype(jnp.float32)
-    a = jax.nn.gelu(gf, approximate=False) if act == "gelu" else jax.nn.silu(gf)
+    if act == "gelu":
+        a = jax.nn.gelu(gf, approximate=False)
+    elif act == "relu":  # smallthinker
+        a = jax.nn.relu(gf)
+    else:
+        a = jax.nn.silu(gf)
     return a.astype(up.dtype) * up
 
 
