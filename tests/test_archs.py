@@ -1556,3 +1556,124 @@ def test_qwen_vl_text_aliases(tmp_path):
         assert eng.hp.rope.style == "neox"
         out = eng.generate("the quick", max_new_tokens=3)
         assert isinstance(out, str)
+
+
+# -- chameleon / plm / rnd1 ----------------------------------------------------
+
+
+def test_chameleon_matches_numpy(tmp_path):
+    """Chameleon pre-norm path with per-head LayerNorm qk norms (pre-rope)."""
+    from tpullm.models.testing import make_tiny_chameleon_gguf
+
+    path = make_tiny_chameleon_gguf(tmp_path / "cham.gguf")
+    eng = Engine(path, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    toks = eng.tokenizer.tokenize("the quick brown", add_special=True)
+    got = eng.prefill_all_logits(toks)
+
+    r = eng.reader
+    md = r.metadata
+    n_head = md["chameleon.attention.head_count"]
+    n_kv = md["chameleon.attention.head_count_kv"]
+    n_embd = md["chameleon.embedding_length"]
+    eps = md["chameleon.attention.layer_norm_rms_epsilon"]
+    hd = n_embd // n_head
+
+    def t(name):
+        return r.tensors[name].to_numpy().astype(np.float64)
+
+    def rms(x, w):
+        return x / np.sqrt((x * x).mean(-1, keepdims=True) + eps) * w
+
+    def ln(x, w, b):
+        mu = x.mean(-1, keepdims=True)
+        var = ((x - mu) ** 2).mean(-1, keepdims=True)
+        return (x - mu) / np.sqrt(var + eps) * w + b
+
+    def silu(z):
+        return z / (1 + np.exp(-z))
+
+    def rope_norm(x, pos):  # interleaved-pair NORM rope
+        out = x.copy()
+        half = hd // 2
+        inv = 10000.0 ** (-np.arange(half) * 2.0 / hd)
+        ang = pos[:, None] * inv[None, :]
+        cos, sin = np.cos(ang), np.sin(ang)
+        a, b = x[..., 0::2], x[..., 1::2]
+        out[..., 0::2] = a * cos[:, None, :] - b * sin[:, None, :]
+        out[..., 1::2] = a * sin[:, None, :] + b * cos[:, None, :]
+        return out
+
+    T = len(toks)
+    pos = np.arange(T, dtype=np.float64)
+    x = t("token_embd.weight")[np.asarray(toks)]
+    for i in range(md["chameleon.block_count"]):
+        p = f"blk.{i}."
+        h = rms(x, t(p + "attn_norm.weight"))
+        q = (h @ t(p + "attn_q.weight").T).reshape(T, n_head, hd)
+        k = (h @ t(p + "attn_k.weight").T).reshape(T, n_kv, hd)
+        v = (h @ t(p + "attn_v.weight").T).reshape(T, n_kv, hd)
+        q = ln(q, t(p + "attn_q_norm.weight"), t(p + "attn_q_norm.bias"))
+        k = ln(k, t(p + "attn_k_norm.weight"), t(p + "attn_k_norm.bias"))
+        q = rope_norm(q, pos)
+        k = rope_norm(k, pos)
+        g = n_head // n_kv
+        o = np.zeros((T, n_head, hd))
+        for hh in range(n_head):
+            kk, vv = k[:, hh // g], v[:, hh // g]
+            scores = q[:, hh] @ kk.T / np.sqrt(hd)
+            scores += np.triu(np.full((T, T), -np.inf), k=1)
+            e = np.exp(scores - scores.max(-1, keepdims=True))
+            o[:, hh] = (e / e.sum(-1, keepdims=True)) @ vv
+        x = x + o.reshape(T, n_embd) @ t(p + "attn_output.weight").T
+        h = rms(x, t(p + "ffn_norm.weight"))
+        gate = h @ t(p + "ffn_gate.weight").T
+        up = h @ t(p + "ffn_up.weight").T
+        x = x + (silu(gate) * up) @ t(p + "ffn_down.weight").T
+    ref = rms(x, t("output_norm.weight")) @ t("output.weight").T
+    np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
+
+
+def test_chameleon_swin_norm_generates(tmp_path):
+    """swin_norm=true: norms move AFTER the attention/FFN sub-blocks."""
+    from tpullm.models.testing import make_tiny_chameleon_gguf
+
+    path = make_tiny_chameleon_gguf(tmp_path / "chams.gguf", swin_norm=True)
+    eng = Engine(path, mode="dense", max_seq=64)
+    assert eng.hp.swin_norm
+    full = eng.prefill_all_logits(
+        eng.tokenizer.tokenize("the quick brown", add_special=True))
+    assert np.isfinite(full).all()
+    out = eng.generate("the quick brown", max_new_tokens=4)
+    assert isinstance(out, str)
+
+
+def test_plm_mla_dense_relu2(tmp_path):
+    """plm: deepseek2 MLA attention + gateless ReLU² dense FFN."""
+    from tpullm.models.testing import make_tiny_plm_gguf
+
+    path = make_tiny_plm_gguf(tmp_path / "plm.gguf")
+    eng = Engine(path, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    toks = eng.tokenizer.tokenize("the quick brown", add_special=True)
+    full = eng.prefill_all_logits(toks)
+    assert np.isfinite(full).all()
+    eng.reset()
+    eng.prefill(toks[:-1])
+    last = eng.decode_step(toks[-1])
+    np.testing.assert_allclose(last, full[-1], rtol=2e-3, atol=2e-3)
+
+
+def test_rnd1_diffusion(tmp_path):
+    """rnd1: qwen3moe converted to a bidirectional diffusion denoiser with
+    renormalized softmax routing hardcoded in the graph (llm_build_rnd1)."""
+    from tpullm.models.testing import make_tiny_moe_gguf
+    from tpullm.tools.diffusion import diffusion_generate
+
+    path = make_tiny_moe_gguf(tmp_path / "rnd1.gguf", arch="rnd1")
+    eng = Engine(path, mode="dense", max_seq=64)
+    assert eng.hp.expert_weights_norm  # no GGUF key: graph default
+    ids = eng.tokenizer.tokenize("the quick", add_special=True)
+    out = diffusion_generate(eng, ids, max_length=len(ids) + 6, steps=3,
+                             mask_token_id=0)
+    assert len(out) == 6 and all(t != 0 for t in out)

@@ -429,3 +429,37 @@ def test_convert_mamba_logit_parity(tmp_path):
     eng = Engine(out, mode="dense", dtype=jnp.float32, max_seq=64)
     got = eng.prefill_all_logits(ids)
     np.testing.assert_allclose(got, ref, rtol=3e-3, atol=3e-3)
+
+
+def test_convert_qwen3next_logit_parity(tmp_path):
+    """Gold standard for the gated DeltaNet hybrid: tiny random HF
+    Qwen3NextForCausalLM → GGUF → engine logits must match transformers."""
+    from transformers import Qwen3NextConfig, Qwen3NextForCausalLM
+
+    torch.manual_seed(11)
+    model = Qwen3NextForCausalLM(Qwen3NextConfig(
+        vocab_size=96, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16,
+        linear_conv_kernel_dim=4, linear_key_head_dim=16,
+        linear_value_head_dim=16, linear_num_key_heads=2,
+        linear_num_value_heads=4,
+        num_experts=4, num_experts_per_tok=2, norm_topk_prob=True,
+        moe_intermediate_size=32, shared_expert_intermediate_size=48,
+        decoder_sparse_step=1, mlp_only_layers=[],
+        max_position_embeddings=128, rope_theta=10000.0,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+    ))
+    model.eval()
+    d = tmp_path / "hf_q3n"
+    model.save_pretrained(d, safe_serialization=True)
+    out = str(tmp_path / "q3n.gguf")
+    stats = convert_hf_to_gguf(str(d), out, outtype="f32", verbose=False)
+    assert stats["arch"] == "qwen3next"
+    ids = [3, 17, 42, 7, 19]
+    with torch.no_grad():
+        ref = model(torch.tensor([ids])).logits[0].numpy()
+    eng = Engine(out, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    got = eng.prefill_all_logits(ids)
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)

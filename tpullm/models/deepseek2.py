@@ -64,8 +64,10 @@ def build_params(r: GGUFReader, hp: HParams, mode: str = "auto",
             "wo": linear(p + "attn_output.weight"),
             "ffn_norm": vec(p + "ffn_norm.weight"),
         }
-        if p + "ffn_gate.weight" in t:  # dense lead layer
-            layer["w_gate"] = linear(p + "ffn_gate.weight")
+        if p + "ffn_gate_inp.weight" not in t:
+            # dense lead layer; plm is all-dense with a gateless ReLU²
+            # sequential FFN (llm_build_plm LLM_FFN_RELU_SQR)
+            layer["w_gate"] = maybe_linear(p + "ffn_gate.weight")
             layer["w_up"] = linear(p + "ffn_up.weight")
             layer["w_down"] = linear(p + "ffn_down.weight")
         else:  # MoE layer
@@ -154,11 +156,15 @@ def forward(
 
         h = rms_norm(x, layer["ffn_norm"], hp.rms_eps)
         if "w_gate" in layer:  # dense lead
-            gate = layer["w_gate"](h)
             up = layer["w_up"](h)
-            ffn = layer["w_down"](
-                jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
-            )
+            if layer["w_gate"] is not None:
+                gate = layer["w_gate"](h)
+                act = jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
+            else:  # plm: gateless ReLU² (LLM_FFN_RELU_SQR)
+                act = jnp.square(
+                    jax.nn.relu(up.astype(jnp.float32))
+                ).astype(up.dtype)
+            ffn = layer["w_down"](act)
             if res_scale != 1.0:
                 ffn = ffn * jnp.asarray(res_scale, ffn.dtype)
             x = x + ffn

@@ -61,6 +61,7 @@ class HParams:
     swa_pattern: int = 1
     attn_scale: float | None = None
     causal: bool = True
+    swin_norm: bool = False  # chameleon: norms after attn/ffn (%s.swin_norm)
     # gemma-family extras
     softcap_attn: float = 0.0
     softcap_final: float = 0.0
@@ -149,8 +150,8 @@ NEOX_ROPE_ARCHS = {
     "exaone4", "smollm3", "gpt-oss", "deci", "nemotron",
     "orion", "codeshell", "seed_oss", "pangu-embedded", "hunyuan-dense",
     "bitnet", "dream", "dots1", "hunyuan-moe", "minimax-m2", "bailingmoe2",
-    "grok", "llada-moe", "exaone-moe", "llama4", "lfm2", "lfm2moe",
-    "qwen2vl", "qwen3vl", "qwen3vlmoe", "smallthinker",
+    "grok", "llada-moe", "rnd1", "exaone-moe", "llama4", "lfm2", "lfm2moe",
+    "qwen2vl", "qwen3vl", "qwen3vlmoe", "smallthinker", "qwen3next",
 }
 
 
@@ -222,7 +223,10 @@ def hparams_from_gguf(r: GGUFReader) -> HParams:
         n_expert_used=int(k(Keys.LLM.EXPERT_USED_COUNT, 0)),
         n_ff_exp=int(k(Keys.LLM.EXPERT_FEED_FORWARD_LENGTH, 0)),
         expert_weights_scale=float(k(Keys.LLM.EXPERT_WEIGHTS_SCALE, 1.0)),
-        expert_weights_norm=bool(k(Keys.LLM.EXPERT_WEIGHTS_NORM, False)),
+        # rnd1's graph hardcodes renormalized top-k (llm_build_rnd1
+        # build_moe_ffn norm_w=true) with no GGUF key written
+        expert_weights_norm=bool(k(Keys.LLM.EXPERT_WEIGHTS_NORM,
+                                   arch == "rnd1")),
         expert_gating_func={1: "softmax", 2: "sigmoid"}.get(
             int(k("{arch}.expert_gating_func", 1) or 1), "softmax"
         ),
@@ -268,6 +272,7 @@ def hparams_from_gguf(r: GGUFReader) -> HParams:
         )),
         clamp_kqv=float(k("{arch}.attention.clamp_kqv", 0.0) or 0.0),
         par_residual=bool(k(Keys.LLM.USE_PARALLEL_RESIDUAL, False)),
+        swin_norm=bool(k("{arch}.swin_norm", False)),
         qk_norm_post_rope=arch in ("maincoder", "hunyuan-dense", "hunyuan-moe"),
         no_rope_step=int(k(
             "{arch}.attention.no_rope_layer_step",

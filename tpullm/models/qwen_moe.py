@@ -93,7 +93,7 @@ def build_params(r: GGUFReader, hp: HParams, mode: str = "auto",
         # (qwen2moe), otherwise plainly added (deepseek/granite-moe)
         if p + "ffn_gate_shexp.weight" in t:
             if p + "ffn_gate_inp_shexp.weight" in t:
-                layer["shexp_gate_inp"] = load_vector(t[p + "ffn_gate_inp_shexp.weight"])
+                layer["shexp_gate_inp"] = load_vector(t[p + "ffn_gate_inp_shexp.weight"]).reshape(-1)
             layer["w_gate_shexp"] = linear(p + "ffn_gate_shexp.weight")
             layer["w_up_shexp"] = linear(p + "ffn_up_shexp.weight")
             layer["w_down_shexp"] = linear(p + "ffn_down_shexp.weight")

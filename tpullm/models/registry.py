@@ -177,9 +177,13 @@ def _ensure_builtin():
     register_arch("phi2", phi2.build_params, phi2.forward)
     from . import deepseek2
 
-    # minicpm3 = the MLA graph + minicpm multipliers (llm_build_minicpm3)
+    # minicpm3 = the MLA graph + minicpm multipliers (llm_build_minicpm3);
+    # plm = all-dense MLA with gateless ReLU² FFN (llm_build_plm)
     register_arch("deepseek2", deepseek2.build_params, deepseek2.forward,
-                  aliases=("minicpm3",))
+                  aliases=("minicpm3", "plm"))
+    from . import chameleon
+
+    register_arch("chameleon", chameleon.build_params, chameleon.forward)
     from . import command_r, olmo2
 
     # exaone4 = the same post-norm skeleton with per-head qk norms and
@@ -270,6 +274,9 @@ def _ensure_builtin():
         "llada-moe",
         diffusion_lm.build_params_moe,
         diffusion_lm.forward,
+        # rnd1 = qwen3moe converted to a diffusion model (llm_build_rnd1:
+        # same bidirectional graph, renormalized softmax routing)
+        aliases=("rnd1",),
         recurrent=True,
         make_cache=lambda hp, batch, max_len, dtype: _jnp2.zeros(()),
     )
@@ -294,6 +301,17 @@ def _ensure_builtin():
         # granitehybrid = mamba2/attn mixers + granite multipliers
         aliases=("nemotron_h", "granitehybrid"),
         recurrent=True,  # exact-length prefills protect the carried state
+        make_cache=lambda hp, batch, max_len, dtype: jamba.HybridCache.new(
+            hp, batch, max_len, dtype
+        ),
+    )
+    from . import qwen3next
+
+    register_arch(
+        "qwen3next",
+        qwen3next.build_params,
+        qwen3next.forward,
+        recurrent=True,  # gated DeltaNet layers carry state across steps
         make_cache=lambda hp, batch, max_len, dtype: jamba.HybridCache.new(
             hp, batch, max_len, dtype
         ),

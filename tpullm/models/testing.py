@@ -2346,3 +2346,238 @@ def make_tiny_lfm2_gguf(
     w.add_tensor("output.weight", rand((n_vocab, n_embd)))
     w.write()
     return str(path)
+
+
+def make_tiny_qwen3next_gguf(
+    path,
+    *,
+    n_embd: int = 64,
+    n_head: int = 4,
+    n_head_kv: int = 2,
+    head_dim: int = 16,
+    lin_k_heads: int = 2,   # ssm.group_count (linear key heads)
+    lin_v_heads: int = 4,   # ssm.time_step_rank (linear value heads)
+    lin_k_dim: int = 16,    # ssm.state_size
+    lin_v_dim: int = 16,
+    d_conv: int = 4,
+    n_ff_exp: int = 32,
+    n_ff_shexp: int = 48,
+    n_expert: int = 4,
+    n_expert_used: int = 2,
+    n_ctx: int = 256,
+    seed: int = 0,
+) -> str:
+    """Tiny qwen3next-shaped GGUF: 3 gated-DeltaNet layers + 1 full-attention
+    layer (fused per-head query gate), MoE + sigmoid-gated shared expert on
+    every layer. Tensor layout matches the reference converter's restructure
+    (attn_qkv = flat [Q|K|V], attn_gate = z, ssm_a = -exp(A_log))."""
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = _byte_vocab(DEFAULT_WORDS)
+    n_vocab = len(tokens)
+    d_inner = lin_v_heads * lin_v_dim
+    conv_ch = d_inner + 2 * lin_k_heads * lin_k_dim
+    r = lin_v_heads // lin_k_heads
+    kinds = ["lin", "lin", "lin", "attn"]
+    kv_arr = [0 if k == "lin" else n_head_kv for k in kinds]
+    n_layer = len(kinds)
+
+    arch = "qwen3next"
+    w = GGUFWriter(path, architecture=arch)
+    w.add_kv("general.name", "tpullm-tiny-qwen3next")
+    w.add_kv(f"{arch}.block_count", n_layer)
+    w.add_kv(f"{arch}.context_length", n_ctx)
+    w.add_kv(f"{arch}.embedding_length", n_embd)
+    w.add_kv(f"{arch}.feed_forward_length", n_ff_exp)
+    w.add_kv(f"{arch}.attention.head_count", n_head)
+    w.add_kv(f"{arch}.attention.head_count_kv", np.asarray(kv_arr, dtype=np.int32))
+    w.add_kv(f"{arch}.attention.key_length", head_dim)
+    w.add_kv(f"{arch}.attention.value_length", head_dim)
+    w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon", 1e-6)
+    w.add_kv(f"{arch}.rope.freq_base", 10000.0)
+    w.add_kv(f"{arch}.rope.dimension_count", head_dim // 4)
+    w.add_kv(f"{arch}.ssm.conv_kernel", d_conv)
+    w.add_kv(f"{arch}.ssm.state_size", lin_k_dim)
+    w.add_kv(f"{arch}.ssm.group_count", lin_k_heads)
+    w.add_kv(f"{arch}.ssm.time_step_rank", lin_v_heads)
+    w.add_kv(f"{arch}.ssm.inner_size", d_inner)
+    w.add_kv(f"{arch}.expert_count", n_expert)
+    w.add_kv(f"{arch}.expert_used_count", n_expert_used)
+    w.add_kv(f"{arch}.expert_feed_forward_length", n_ff_exp)
+    w.add_kv(f"{arch}.expert_shared_feed_forward_length", n_ff_shexp)
+    w.add_kv("tokenizer.ggml.model", "llama")
+    w.add_kv("tokenizer.ggml.tokens", tokens)
+    w.add_kv("tokenizer.ggml.scores", np.asarray(scores, dtype=np.float32))
+    w.add_kv("tokenizer.ggml.token_type", np.asarray(types, dtype=np.int32))
+    w.add_kv("tokenizer.ggml.bos_token_id", 1)
+    w.add_kv("tokenizer.ggml.eos_token_id", 2)
+    w.add_kv("tokenizer.ggml.unknown_token_id", 0)
+    w.add_kv("tokenizer.ggml.add_bos_token", True)
+
+    def rand(shape, scale=0.05):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    w.add_tensor("token_embd.weight", rand((n_vocab, n_embd)))
+    for i, kind in enumerate(kinds):
+        p = f"blk.{i}."
+        w.add_tensor(p + "attn_norm.weight", 1.0 + rand((n_embd,)))
+        w.add_tensor(p + "post_attention_norm.weight", 1.0 + rand((n_embd,)))
+        if kind == "lin":
+            w.add_tensor(p + "attn_qkv.weight", rand((conv_ch, n_embd)))
+            w.add_tensor(p + "attn_gate.weight", rand((d_inner, n_embd)))
+            w.add_tensor(p + "ssm_ba.weight", rand((lin_k_heads * 2 * r, n_embd)))
+            w.add_tensor(p + "ssm_conv1d.weight", rand((conv_ch, d_conv)))
+            w.add_tensor(p + "ssm_dt.bias", rand((lin_v_heads,)))
+            w.add_tensor(p + "ssm_a", -np.exp(rand((lin_v_heads,))))
+            w.add_tensor(p + "ssm_norm.weight", 1.0 + rand((lin_v_dim,)))
+            w.add_tensor(p + "ssm_out.weight", rand((n_embd, d_inner)))
+        else:
+            w.add_tensor(p + "attn_q.weight", rand((n_head * head_dim * 2, n_embd)))
+            w.add_tensor(p + "attn_k.weight", rand((n_head_kv * head_dim, n_embd)))
+            w.add_tensor(p + "attn_v.weight", rand((n_head_kv * head_dim, n_embd)))
+            w.add_tensor(p + "attn_q_norm.weight", 1.0 + rand((head_dim,)))
+            w.add_tensor(p + "attn_k_norm.weight", 1.0 + rand((head_dim,)))
+            w.add_tensor(p + "attn_output.weight", rand((n_embd, n_head * head_dim)))
+        w.add_tensor(p + "ffn_gate_inp.weight", rand((n_expert, n_embd)))
+        w.add_tensor(p + "ffn_gate_exps.weight", rand((n_expert, n_ff_exp, n_embd)))
+        w.add_tensor(p + "ffn_up_exps.weight", rand((n_expert, n_ff_exp, n_embd)))
+        w.add_tensor(p + "ffn_down_exps.weight", rand((n_expert, n_embd, n_ff_exp)))
+        w.add_tensor(p + "ffn_gate_inp_shexp.weight", rand((n_embd,)))
+        w.add_tensor(p + "ffn_gate_shexp.weight", rand((n_ff_shexp, n_embd)))
+        w.add_tensor(p + "ffn_up_shexp.weight", rand((n_ff_shexp, n_embd)))
+        w.add_tensor(p + "ffn_down_shexp.weight", rand((n_embd, n_ff_shexp)))
+    w.add_tensor("output_norm.weight", 1.0 + rand((n_embd,)))
+    w.add_tensor("output.weight", rand((n_vocab, n_embd)))
+    w.write()
+    return str(path)
+
+
+def make_tiny_chameleon_gguf(
+    path,
+    *,
+    n_layer: int = 2,
+    n_embd: int = 64,
+    n_head: int = 4,
+    n_head_kv: int = 2,
+    n_ff: int = 96,
+    swin_norm: bool = False,
+    n_ctx: int = 256,
+    seed: int = 0,
+) -> str:
+    """Tiny chameleon-shaped GGUF: llama body + per-head LayerNorm qk norms
+    (weight+bias) and the optional swin_norm post-norm ordering."""
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = _byte_vocab(DEFAULT_WORDS)
+    n_vocab = len(tokens)
+    head_dim = n_embd // n_head
+
+    arch = "chameleon"
+    w = GGUFWriter(path, architecture=arch)
+    w.add_kv("general.name", "tpullm-tiny-chameleon")
+    w.add_kv(f"{arch}.block_count", n_layer)
+    w.add_kv(f"{arch}.context_length", n_ctx)
+    w.add_kv(f"{arch}.embedding_length", n_embd)
+    w.add_kv(f"{arch}.feed_forward_length", n_ff)
+    w.add_kv(f"{arch}.attention.head_count", n_head)
+    w.add_kv(f"{arch}.attention.head_count_kv", n_head_kv)
+    w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_kv(f"{arch}.rope.freq_base", 10000.0)
+    w.add_kv(f"{arch}.rope.dimension_count", head_dim)
+    w.add_kv(f"{arch}.swin_norm", swin_norm)
+    w.add_kv("tokenizer.ggml.model", "llama")
+    w.add_kv("tokenizer.ggml.tokens", tokens)
+    w.add_kv("tokenizer.ggml.scores", np.asarray(scores, dtype=np.float32))
+    w.add_kv("tokenizer.ggml.token_type", np.asarray(types, dtype=np.int32))
+    w.add_kv("tokenizer.ggml.bos_token_id", 1)
+    w.add_kv("tokenizer.ggml.eos_token_id", 2)
+    w.add_kv("tokenizer.ggml.unknown_token_id", 0)
+    w.add_kv("tokenizer.ggml.add_bos_token", True)
+
+    def rand(shape, scale=0.05):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    w.add_tensor("token_embd.weight", rand((n_vocab, n_embd)))
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        w.add_tensor(p + "attn_norm.weight", 1.0 + rand((n_embd,)))
+        w.add_tensor(p + "attn_q.weight", rand((n_head * head_dim, n_embd)))
+        w.add_tensor(p + "attn_k.weight", rand((n_head_kv * head_dim, n_embd)))
+        w.add_tensor(p + "attn_v.weight", rand((n_head_kv * head_dim, n_embd)))
+        w.add_tensor(p + "attn_q_norm.weight", 1.0 + rand((head_dim,)))
+        w.add_tensor(p + "attn_q_norm.bias", rand((head_dim,)))
+        w.add_tensor(p + "attn_k_norm.weight", 1.0 + rand((head_dim,)))
+        w.add_tensor(p + "attn_k_norm.bias", rand((head_dim,)))
+        w.add_tensor(p + "attn_output.weight", rand((n_embd, n_head * head_dim)))
+        w.add_tensor(p + "ffn_norm.weight", 1.0 + rand((n_embd,)))
+        w.add_tensor(p + "ffn_gate.weight", rand((n_ff, n_embd)))
+        w.add_tensor(p + "ffn_up.weight", rand((n_ff, n_embd)))
+        w.add_tensor(p + "ffn_down.weight", rand((n_embd, n_ff)))
+    w.add_tensor("output_norm.weight", 1.0 + rand((n_embd,)))
+    w.add_tensor("output.weight", rand((n_vocab, n_embd)))
+    w.write()
+    return str(path)
+
+
+def make_tiny_plm_gguf(
+    path,
+    *,
+    n_layer: int = 2,
+    n_embd: int = 64,
+    n_head: int = 4,
+    qk_nope: int = 16,
+    qk_rope: int = 8,
+    v_dim: int = 16,
+    kv_lora: int = 24,
+    n_ff: int = 96,
+    n_ctx: int = 256,
+    seed: int = 0,
+) -> str:
+    """Tiny plm-shaped GGUF: MLA attention (direct wq, kv compression) with
+    an all-dense gateless ReLU² FFN (llm_build_plm)."""
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = _byte_vocab(DEFAULT_WORDS)
+    n_vocab = len(tokens)
+    dk = qk_nope + qk_rope
+
+    arch = "plm"
+    w = GGUFWriter(path, architecture=arch)
+    w.add_kv("general.name", "tpullm-tiny-plm")
+    w.add_kv(f"{arch}.block_count", n_layer)
+    w.add_kv(f"{arch}.context_length", n_ctx)
+    w.add_kv(f"{arch}.embedding_length", n_embd)
+    w.add_kv(f"{arch}.feed_forward_length", n_ff)
+    w.add_kv(f"{arch}.attention.head_count", n_head)
+    w.add_kv(f"{arch}.attention.head_count_kv", n_head)
+    w.add_kv(f"{arch}.attention.key_length", dk)
+    w.add_kv(f"{arch}.attention.value_length", v_dim)
+    w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_kv(f"{arch}.attention.kv_lora_rank", kv_lora)
+    w.add_kv(f"{arch}.rope.freq_base", 10000.0)
+    w.add_kv(f"{arch}.rope.dimension_count", qk_rope)
+    w.add_kv("tokenizer.ggml.model", "llama")
+    w.add_kv("tokenizer.ggml.tokens", tokens)
+    w.add_kv("tokenizer.ggml.scores", np.asarray(scores, dtype=np.float32))
+    w.add_kv("tokenizer.ggml.token_type", np.asarray(types, dtype=np.int32))
+    w.add_kv("tokenizer.ggml.bos_token_id", 1)
+    w.add_kv("tokenizer.ggml.eos_token_id", 2)
+    w.add_kv("tokenizer.ggml.unknown_token_id", 0)
+    w.add_kv("tokenizer.ggml.add_bos_token", True)
+
+    def rand(shape, scale=0.05):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    w.add_tensor("token_embd.weight", rand((n_vocab, n_embd)))
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        w.add_tensor(p + "attn_norm.weight", np.ones(n_embd, dtype=np.float32))
+        w.add_tensor(p + "attn_q.weight", rand((n_head * dk, n_embd)))
+        w.add_tensor(p + "attn_kv_a_mqa.weight", rand((kv_lora + qk_rope, n_embd)))
+        w.add_tensor(p + "attn_kv_a_norm.weight", np.ones(kv_lora, dtype=np.float32))
+        w.add_tensor(p + "attn_kv_b.weight", rand((n_head * (qk_nope + v_dim), kv_lora)))
+        w.add_tensor(p + "attn_output.weight", rand((n_embd, n_head * v_dim)))
+        w.add_tensor(p + "ffn_norm.weight", np.ones(n_embd, dtype=np.float32))
+        w.add_tensor(p + "ffn_up.weight", rand((n_ff, n_embd)))
+        w.add_tensor(p + "ffn_down.weight", rand((n_embd, n_ff)))
+    w.add_tensor("output_norm.weight", np.ones(n_embd, dtype=np.float32))
+    w.add_tensor("output.weight", rand((n_vocab, n_embd)))
+    w.write()
+    return str(path)

@@ -48,6 +48,7 @@ ARCH_MAP = {
     "llada": "llada",
     "t5": "t5",
     "mamba": "mamba",
+    "qwen3_next": "qwen3next",
 }
 
 # archs whose norms are LayerNorm (write layer_norm_epsilon, not RMS)
@@ -206,6 +207,77 @@ def _map_mamba_name(name: str) -> str | None:
         if m:
             return f"blk.{bid}.{m}"
     return None
+
+
+def _qwen3next_tensors(name: str, arr: np.ndarray, cfg: dict):
+    """HF Qwen3Next → GGUF tensor(s) (≡ convert_hf_to_gguf.py
+    Qwen3NextModel.modify_tensors): A_log sign-folded into ssm_a,
+    zero-centered RMSNorm weights stored +1 (all norms except the gated
+    linear_attn.norm), conv kernel squeezed, and in_proj_qkvz — whose rows
+    are grouped per k-head as [q|k|v|z] — reordered into a flat [Q|K|V]
+    attn_qkv plus a separate attn_gate (z)."""
+    if name.startswith("mtp"):
+        return []
+    if name == "model.embed_tokens.weight":
+        return [("token_embd.weight", arr)]
+    if name == "model.norm.weight":
+        return [("output_norm.weight", arr + 1.0)]
+    if name == "lm_head.weight":
+        return [("output.weight", arr)]
+    if not name.startswith("model.layers."):
+        return []
+    parts = name.split(".")
+    bid = parts[2]
+    sub = ".".join(parts[3:])
+    p = f"blk.{bid}."
+    if sub == "linear_attn.in_proj_qkvz.weight":
+        hk = int(cfg["linear_key_head_dim"])
+        hv = int(cfg["linear_value_head_dim"])
+        Hk = int(cfg["linear_num_key_heads"])
+        Hv = int(cfg["linear_num_value_heads"])
+        r = Hv // Hk
+        n_embd = arr.shape[1]
+        g = arr.reshape(Hk, 2 * hk + 2 * r * hv, n_embd)
+        q = g[:, :hk].reshape(-1, n_embd)
+        k = g[:, hk:2 * hk].reshape(-1, n_embd)
+        v = g[:, 2 * hk:2 * hk + r * hv].reshape(-1, n_embd)
+        z = g[:, 2 * hk + r * hv:].reshape(-1, n_embd)
+        return [
+            (p + "attn_qkv.weight",
+             np.ascontiguousarray(np.concatenate([q, k, v], axis=0))),
+            (p + "attn_gate.weight", np.ascontiguousarray(z)),
+        ]
+    m = {
+        "linear_attn.in_proj_ba.weight": ("ssm_ba.weight", None),
+        "linear_attn.conv1d.weight": ("ssm_conv1d.weight", "squeeze"),
+        "linear_attn.dt_bias": ("ssm_dt.bias", None),
+        "linear_attn.A_log": ("ssm_a", "neg_exp"),
+        "linear_attn.norm.weight": ("ssm_norm.weight", None),
+        "linear_attn.out_proj.weight": ("ssm_out.weight", None),
+        "input_layernorm.weight": ("attn_norm.weight", "plus1"),
+        "post_attention_layernorm.weight": ("post_attention_norm.weight", "plus1"),
+        "self_attn.q_proj.weight": ("attn_q.weight", None),
+        "self_attn.k_proj.weight": ("attn_k.weight", None),
+        "self_attn.v_proj.weight": ("attn_v.weight", None),
+        "self_attn.o_proj.weight": ("attn_output.weight", None),
+        "self_attn.q_norm.weight": ("attn_q_norm.weight", "plus1"),
+        "self_attn.k_norm.weight": ("attn_k_norm.weight", "plus1"),
+        "mlp.gate.weight": ("ffn_gate_inp.weight", None),
+        "mlp.shared_expert_gate.weight": ("ffn_gate_inp_shexp.weight", None),
+        "mlp.shared_expert.gate_proj.weight": ("ffn_gate_shexp.weight", None),
+        "mlp.shared_expert.up_proj.weight": ("ffn_up_shexp.weight", None),
+        "mlp.shared_expert.down_proj.weight": ("ffn_down_shexp.weight", None),
+    }.get(sub)
+    if m is None:
+        return []
+    gname, op = m
+    if op == "squeeze":
+        arr = arr.reshape(arr.shape[0], arr.shape[-1])
+    elif op == "neg_exp":
+        arr = -np.exp(arr)
+    elif op == "plus1":
+        arr = arr + 1.0
+    return [(p + gname, arr)]
 
 
 def map_tensor_name(name: str, arch: str) -> str | None:
@@ -449,6 +521,9 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
         if cfg.get("moe_intermediate_size"):
             w.add_kv(f"{arch}.expert_feed_forward_length",
                      int(cfg["moe_intermediate_size"]))
+        if cfg.get("shared_expert_intermediate_size"):
+            w.add_kv(f"{arch}.expert_shared_feed_forward_length",
+                     int(cfg["shared_expert_intermediate_size"]))
 
     # vocab
     n_vocab = int(cfg.get("vocab_size", 0))
@@ -490,6 +565,16 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
 
             tsr = _math.ceil(n_embd / 16)
         w.add_kv("mamba.ssm.time_step_rank", int(tsr))
+    if arch == "qwen3next":
+        # ≡ Qwen3NextModel.set_gguf_parameters: ssm.* keys carry the gated
+        # DeltaNet geometry (group_count = key heads, time_step_rank = value
+        # heads, state_size = key head dim)
+        w.add_kv(f"{arch}.ssm.conv_kernel", int(cfg["linear_conv_kernel_dim"]))
+        w.add_kv(f"{arch}.ssm.state_size", int(cfg["linear_key_head_dim"]))
+        w.add_kv(f"{arch}.ssm.group_count", int(cfg["linear_num_key_heads"]))
+        w.add_kv(f"{arch}.ssm.time_step_rank", int(cfg["linear_num_value_heads"]))
+        w.add_kv(f"{arch}.ssm.inner_size",
+                 int(cfg["linear_value_head_dim"]) * int(cfg["linear_num_value_heads"]))
     gtype = {"f32": GGMLType.F32, "f16": GGMLType.F16, "bf16": GGMLType.BF16}[outtype]
     n_tensors = 0
     # stack MoE experts: collect experts.N.* into 3D tensors
@@ -530,6 +615,15 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
                    "down_proj": f"blk.{li}.ffn_down_exps.weight"}.get(proj)
             if key:
                 expert_acc.setdefault(key, {})[ei] = np.asarray(arr, dtype=np.float32)
+            continue
+        if arch == "qwen3next":
+            for gname, a in _qwen3next_tensors(
+                name, np.asarray(arr, dtype=np.float32), cfg
+            ):
+                w.add_tensor(gname, a, gtype if a.ndim >= 2 else GGMLType.F32)
+                n_tensors += 1
+                if verbose:
+                    print(f"{name} -> {gname} {tuple(a.shape)}", file=sys.stderr)
             continue
         gname = map_tensor_name(name, arch)
         if gname is not None and arch == "gptneox" and "attn_qkv" in gname:
