@@ -1677,3 +1677,58 @@ def test_rnd1_diffusion(tmp_path):
     out = diffusion_generate(eng, ids, max_length=len(ids) + 6, steps=3,
                              mask_token_id=0)
     assert len(out) == 6 and all(t != 0 for t in out)
+
+
+def test_gemma1_generates_and_scales(tmp_path):
+    """gemma v1: sqrt(n_embd) embedding scale, no post-norms/softcaps/SWA
+    (llm_build_gemma)."""
+    from tpullm.models.testing import make_tiny_gemma_gguf
+
+    path = make_tiny_gemma_gguf(tmp_path / "g1.gguf", arch="gemma")
+    eng = Engine(path, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    assert eng.hp.sliding_window == 0
+    assert abs(eng.hp.embd_scale - 8.0) < 1e-6  # sqrt(64)
+    toks = eng.tokenizer.tokenize("the quick brown", add_special=True)
+    full = eng.prefill_all_logits(toks)
+    assert np.isfinite(full).all()
+    eng.reset()
+    eng.prefill(toks[:-1])
+    last = eng.decode_step(toks[-1])
+    np.testing.assert_allclose(last, full[-1], rtol=2e-3, atol=2e-3)
+
+
+def test_phimoe_decode_matches_prefill(tmp_path):
+    """phimoe: phi3 attention with RMS+bias norms, biased projections,
+    renormalized softmax MoE, biased output head."""
+    from tpullm.models.testing import make_tiny_phimoe_gguf
+
+    path = make_tiny_phimoe_gguf(tmp_path / "phimoe.gguf")
+    eng = Engine(path, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    assert eng.hp.rope.style == "neox"
+    toks = eng.tokenizer.tokenize("the quick brown", add_special=True)
+    full = eng.prefill_all_logits(toks)
+    assert np.isfinite(full).all()
+    eng.reset()
+    eng.prefill(toks[:-1])
+    last = eng.decode_step(toks[-1])
+    np.testing.assert_allclose(last, full[-1], rtol=2e-3, atol=2e-3)
+
+
+def test_rwkv6qwen2_decode_matches_prefill(tmp_path):
+    """rwkv6qwen2 (qrwkv): gated linear attention without bonus term on a
+    qwen2 swiglu body; carried state must make decode ≡ prefill."""
+    from tpullm.models.testing import make_tiny_rwkv6qwen2_gguf
+
+    path = make_tiny_rwkv6qwen2_gguf(tmp_path / "qrwkv.gguf")
+    eng = Engine(path, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    toks = eng.tokenizer.tokenize("the quick brown fox", add_special=True)
+    full = eng.prefill_all_logits(toks)
+    assert np.isfinite(full).all()
+    eng.reset()
+    eng.cache = type(eng.cache).new(eng.hp, eng.batch, eng.max_seq, jnp.float32)
+    eng.prefill(toks[:-1])
+    last = eng.decode_step(toks[-1])
+    np.testing.assert_allclose(last, full[-1], rtol=2e-3, atol=2e-3)

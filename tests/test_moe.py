@@ -105,8 +105,8 @@ def np_moe_forward(reader: GGUFReader, tokens: np.ndarray) -> np.ndarray:
         theta = pos[:, None] * inv
         c, s = np.cos(theta), np.sin(theta)
         out = x.copy()
-        if arch in ("deepseek", "granitemoe", "ernie4_5-moe", "bailingmoe",
-                    "glm4-moe"):  # NORM-rope archs
+        if arch in ("deepseek", "granitemoe", "ernie4_5-moe",
+                    "bailingmoe"):  # NORM-rope archs
             x0, x1 = x[..., 0::2], x[..., 1::2]
             out[..., 0::2] = x0 * c[:, None, :] - x1 * s[:, None, :]
             out[..., 1::2] = x0 * s[:, None, :] + x1 * c[:, None, :]
@@ -200,7 +200,7 @@ def np_moe_forward(reader: GGUFReader, tokens: np.ndarray) -> np.ndarray:
     ("dots1", 48, {"gated_shexp": False, "n_dense_lead": 1,
                    "with_probs_bias": True}),
     ("bailingmoe", 48, {"gated_shexp": False}),
-    ("glm4-moe", 48, {"gated_shexp": False, "n_dense_lead": 1,
+    ("glm4moe", 48, {"gated_shexp": False, "n_dense_lead": 1,
                       "with_probs_bias": True, "ffn_norm_name": "post_attention_norm"}),
 ])
 def test_moe_forward_matches_numpy(tmp_path, arch, shexp, kw):

@@ -151,6 +151,7 @@ NEOX_ROPE_ARCHS = {
     "orion", "codeshell", "seed_oss", "pangu-embedded", "hunyuan-dense",
     "bitnet", "dream", "dots1", "hunyuan-moe", "minimax-m2", "bailingmoe2",
     "grok", "llada-moe", "rnd1", "exaone-moe", "llama4", "lfm2", "lfm2moe",
+    "glm4moe",
     "qwen2vl", "qwen3vl", "qwen3vlmoe", "smallthinker", "qwen3next",
 }
 

@@ -76,3 +76,151 @@ def build_params(r: GGUFReader, hp: HParams, mode: str = "auto",
         "output_norm": load_vector(t["output_norm.weight"]),
         "output": linear(t["output.weight"]) if "output.weight" in t else None,
     }
+
+
+def build_params_moe(r: GGUFReader, hp: HParams, mode: str = "auto",
+                     dtype=jnp.bfloat16) -> Params:
+    """PhiMoE tensor set (llama-model.cpp LLM_ARCH_PHIMOE): RMS norms carry
+    biases, q/k/v arrive split with biases (or fused attn_qkv), wo/output
+    have biases, FFN slot is a renormalized-softmax MoE."""
+    import numpy as np
+
+    t = r.tensors
+
+    def linear(info):
+        return load_linear(info, mode=mode, dtype=dtype)
+
+    def vec(name):
+        return load_vector(t[name])
+
+    def maybe(name):
+        return load_vector(t[name]) if name in t else None
+
+    def experts(name):
+        w = t[name].to_numpy()
+        return jnp.asarray(np.ascontiguousarray(w.transpose(0, 2, 1)), dtype=dtype)
+
+    n_q = hp.n_head * hp.head_dim
+    n_kv = hp.n_head_kv * hp.head_dim
+
+    layers = []
+    for i in range(hp.n_layer):
+        p = f"blk.{i}."
+        if p + "attn_qkv.weight" in t:
+            qkv = t[p + "attn_qkv.weight"]
+            wq = linear(slice_rows(qkv, 0, n_q, p + "attn_q.weight"))
+            wk = linear(slice_rows(qkv, n_q, n_q + n_kv, p + "attn_k.weight"))
+            wv = linear(slice_rows(qkv, n_q + n_kv, n_q + 2 * n_kv,
+                                   p + "attn_v.weight"))
+        else:
+            wq = linear(t[p + "attn_q.weight"])
+            wk = linear(t[p + "attn_k.weight"])
+            wv = linear(t[p + "attn_v.weight"])
+        layers.append({
+            "attn_norm": vec(p + "attn_norm.weight"),
+            "attn_norm_b": maybe(p + "attn_norm.bias"),
+            "wq": wq, "wk": wk, "wv": wv,
+            "bq": maybe(p + "attn_q.bias"),
+            "bk": maybe(p + "attn_k.bias"),
+            "bv": maybe(p + "attn_v.bias"),
+            "wo": linear(t[p + "attn_output.weight"]),
+            "bo": maybe(p + "attn_output.bias"),
+            "ffn_norm": vec(p + "ffn_norm.weight"),
+            "ffn_norm_b": maybe(p + "ffn_norm.bias"),
+            "router": linear(t[p + "ffn_gate_inp.weight"]),
+            "w_gate_exps": experts(p + "ffn_gate_exps.weight"),
+            "w_up_exps": experts(p + "ffn_up_exps.weight"),
+            "w_down_exps": experts(p + "ffn_down_exps.weight"),
+        })
+
+    return {
+        "tok_embd": load_embedding(t["token_embd.weight"], dtype=dtype),
+        "layers": layers,
+        "output_norm": load_vector(t["output_norm.weight"]),
+        "output_norm_b": (load_vector(t["output_norm.bias"])
+                          if "output_norm.bias" in t else None),
+        "output": linear(t["output.weight"]) if "output.weight" in t else None,
+        "output_b": (load_vector(t["output.bias"])
+                     if "output.bias" in t else None),
+    }
+
+
+def forward_moe(
+    hp: HParams,
+    params: Params,
+    tokens,
+    positions,
+    cache,
+    cache_offset,
+    return_hidden: bool = False,
+):
+    """PhiMoE forward (llm_build_phi3 MoE branch): phi3 attention with
+    RMS+bias norms, softmax renormalized top-k MoE, biased output head."""
+    import jax
+    from ..ops.attention import attention, causal_mask
+    from ..ops.moe import moe_ffn, route
+    from ..ops.norms import rms_norm
+    from ..ops.rope import apply_rope
+
+    B, T = tokens.shape
+    scale = hp.head_dim ** -0.5
+    x = params["tok_embd"][tokens]
+
+    def norm_b(v, w, b):
+        out = rms_norm(v, w, hp.rms_eps)
+        return out + b.astype(out.dtype) if b is not None else out
+
+    offsets = jnp.broadcast_to(
+        jnp.asarray(cache_offset).reshape(-1), (B,)
+    ).astype(jnp.int32)
+    kv_len = jnp.asarray(cache_offset) + T
+    mask = causal_mask(positions, cache.max_len, kv_len, hp.sliding_window)
+
+    for li, layer in enumerate(params["layers"]):
+        h = norm_b(x, layer["attn_norm"], layer["attn_norm_b"])
+        q = layer["wq"](h)
+        k = layer["wk"](h)
+        v = layer["wv"](h)
+        if layer["bq"] is not None:
+            q = q + layer["bq"].astype(q.dtype)
+        if layer["bk"] is not None:
+            k = k + layer["bk"].astype(k.dtype)
+        if layer["bv"] is not None:
+            v = v + layer["bv"].astype(v.dtype)
+        q = q.reshape(B, T, hp.n_head, hp.head_dim)
+        k = k.reshape(B, T, hp.n_head_kv, hp.head_dim)
+        v = v.reshape(B, T, hp.n_head_kv, hp.head_dim_v)
+        q = apply_rope(q, positions, hp.rope)
+        k = apply_rope(k, positions, hp.rope)
+        cache = cache.update(
+            li, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), cache_offset
+        )
+        k_all, v_all = cache.kv(li)
+        attn_out = attention(q, k_all, v_all, mask, scale, offsets=offsets,
+                             sliding_window=hp.sliding_window)
+        attn_out = layer["wo"](attn_out.reshape(B, T, hp.n_head * hp.head_dim_v))
+        if layer["bo"] is not None:
+            attn_out = attn_out + layer["bo"].astype(attn_out.dtype)
+        x = x + attn_out
+
+        h = norm_b(x, layer["ffn_norm"], layer["ffn_norm_b"])
+        hs = h.reshape(B * T, -1)
+        logits = layer["router"](hs).astype(jnp.float32)
+        weights, idx = route(logits, hp.n_expert_used, gating="softmax",
+                             norm_weights=True)
+        ffn = moe_ffn(hs, weights, idx, layer["w_gate_exps"],
+                      layer["w_up_exps"], layer["w_down_exps"])
+        x = x + ffn.reshape(B, T, -1)
+
+    x = rms_norm(x, params["output_norm"], hp.rms_eps)
+    if params.get("output_norm_b") is not None:
+        x = x + params["output_norm_b"].astype(x.dtype)
+    if return_hidden:
+        return x.astype(jnp.float32), cache
+    if params["output"] is not None:
+        logits = params["output"](x)
+    else:
+        logits = jnp.dot(x, params["tok_embd"].T.astype(x.dtype))
+    if params.get("output_b") is not None:
+        logits = logits + params["output_b"].astype(logits.dtype)
+    return logits.astype(jnp.float32), cache

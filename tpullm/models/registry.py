@@ -154,7 +154,7 @@ def _ensure_builtin():
         # ungated shexp (llm_build_exaone_moe)
         aliases=("qwen2moe", "deepseek", "granitemoe", "ernie4_5-moe",
                  "dots1", "hunyuan-moe", "minimax-m2", "bailingmoe",
-                 "bailingmoe2", "glm4-moe", "exaone-moe", "qwen3vlmoe"),
+                 "bailingmoe2", "glm4moe", "exaone-moe", "qwen3vlmoe"),
     )
     from . import gemma, gpt2
 
@@ -165,6 +165,10 @@ def _ensure_builtin():
         aliases=("gemma2",),
         iswa=True,
     )
+    # gemma v1: same graph minus post-norms/softcaps/SWA (llm_build_gemma —
+    # sqrt(n_embd) embedding scale + GELU PAR FFN come through hparams and
+    # tensor presence)
+    register_arch("gemma", gemma.build_params, gemma.forward)
     # starcoder (v1) is the same wpe + fused-qkv + LN + seq-GELU graph
     # (llm_build_starcoder ≡ llm_build_gpt2 modulo tensor presence)
     register_arch("gpt2", gpt2.build_params, gpt2.forward,
@@ -172,6 +176,9 @@ def _ensure_builtin():
     from . import phi3
 
     register_arch("phi3", phi3.build_params, llama.forward)
+    # phimoe rides the phi3 graph with RMS+bias norms and a renormalized
+    # softmax MoE FFN (llama-model.cpp LLM_ARCH_PHIMOE → llm_build_phi3)
+    register_arch("phimoe", phi3.build_params_moe, phi3.forward_moe)
     from . import phi2
 
     register_arch("phi2", phi2.build_params, phi2.forward)
@@ -251,6 +258,15 @@ def _ensure_builtin():
         "rwkv6",
         rwkv6.build_params,
         rwkv6.forward,
+        recurrent=True,
+        make_cache=lambda hp, batch, max_len, dtype: rwkv6.Rwkv6Cache.new(hp, batch),
+    )
+    # rwkv6qwen2 (qrwkv): rwkv6 time-mix on a qwen2 swiglu body, gated
+    # linear attention without the bonus term (llm_build_rwkv6qwen2)
+    register_arch(
+        "rwkv6qwen2",
+        rwkv6.build_params_qwen2,
+        rwkv6.forward_qwen2,
         recurrent=True,
         make_cache=lambda hp, batch, max_len, dtype: rwkv6.Rwkv6Cache.new(hp, batch),
     )

@@ -235,3 +235,169 @@ def forward(
     else:
         logits = jnp.dot(x.astype(params["tok_embd"].dtype), params["tok_embd"].T)
     return logits.astype(jnp.float32), cache
+
+
+def build_params_qwen2(r: GGUFReader, hp: HParams, mode: str = "auto",
+                       dtype=jnp.bfloat16) -> Params:
+    """rwkv6qwen2 (qrwkv): rwkv6 time-mix on a qwen2 body — RMS norms,
+    swiglu FFN, GQA-sized k/v with optional biases, no bonus ("first") term,
+    no post-wkv group norm (llm_build_rwkv6qwen2 + rwkv6-base is_qrwkv)."""
+    t = r.tensors
+
+    def linear(name):
+        return load_linear(t[name], mode=mode, dtype=dtype)
+
+    def vec(name):
+        return load_vector(t[name])
+
+    def maybe(name):
+        return vec(name) if name in t else None
+
+    def raw(name):
+        return jnp.asarray(t[name].to_numpy(), dtype=jnp.float32)
+
+    layers = []
+    for i in range(hp.n_layer):
+        p = f"blk.{i}."
+        w1 = raw(p + "time_mix_w1.weight")
+        rank = w1.shape[0] // 5
+        layers.append({
+            "attn_norm": vec(p + "attn_norm.weight"),
+            "lerp_x": raw(p + "time_mix_lerp_x.weight").reshape(-1),
+            "lerp_fused": raw(p + "time_mix_lerp_fused.weight").reshape(5, -1),
+            "w1": w1.reshape(5, rank, hp.n_embd),
+            "w2": raw(p + "time_mix_w2.weight").reshape(5, hp.n_embd, rank),
+            "decay": raw(p + "time_mix_decay.weight").reshape(-1),
+            "decay_w1": raw(p + "time_mix_decay_w1.weight"),
+            "decay_w2": raw(p + "time_mix_decay_w2.weight"),
+            "wk": linear(p + "time_mix_key.weight"),
+            "bk": maybe(p + "time_mix_key.bias"),
+            "wv": linear(p + "time_mix_value.weight"),
+            "bv": maybe(p + "time_mix_value.bias"),
+            "wr": linear(p + "time_mix_receptance.weight"),
+            "br": maybe(p + "time_mix_receptance.bias"),
+            "wg": linear(p + "time_mix_gate.weight"),
+            "wo": linear(p + "time_mix_output.weight"),
+            "ffn_norm": vec(p + "ffn_norm.weight"),
+            "w_gate": linear(p + "ffn_gate.weight"),
+            "w_up": linear(p + "ffn_up.weight"),
+            "w_down": linear(p + "ffn_down.weight"),
+        })
+
+    return {
+        "tok_embd": load_embedding(t["token_embd.weight"], dtype=dtype),
+        "layers": layers,
+        "output_norm": vec("output_norm.weight"),
+        "output_norm_b": maybe("output_norm.bias"),
+        "output": linear("output.weight") if "output.weight" in t else None,
+    }
+
+
+def _gla(r, k, v, w, s0, scale):
+    """ggml_gated_linear_attn: S ← S·diag(w) + k⊗v, out = (r·scale)·S_after.
+    r,k,v,w: [B,T,H,D]; s0: [B,H,D,D] → (out [B,T,H,D], sT)."""
+    kv = k[..., :, None] * v[..., None, :]
+    a = jnp.broadcast_to(w[..., :, None], kv.shape)
+
+    def combine(lhs, rhs):
+        a1, b1 = lhs
+        a2, b2 = rhs
+        return a1 * a2, a2 * b1 + b2
+
+    a_acc, b_acc = jax.lax.associative_scan(combine, (a, kv), axis=1)
+    s_after = a_acc * s0[:, None] + b_acc
+    out = jnp.einsum("bthi,bthij->bthj", r * scale, s_after)
+    return out, s_after[:, -1]
+
+
+def forward_qwen2(
+    hp: HParams,
+    params: Params,
+    tokens: jax.Array,
+    positions: jax.Array,  # unused
+    cache: Rwkv6Cache,
+    cache_offset,  # unused
+    return_hidden: bool = False,
+) -> tuple[jax.Array, Rwkv6Cache]:
+    from ..ops.norms import rms_norm
+
+    B, T = tokens.shape
+    E = hp.n_embd
+    D = hp.ssm_d_state  # wkv head size
+    H = E // D
+    Hkv = hp.n_head_kv if hp.n_head_kv else H
+    eps = hp.rms_eps
+
+    x = params["tok_embd"][tokens].astype(jnp.float32)
+
+    new_shift = cache.shift
+    new_wkv = cache.wkv
+    for li, lyr in enumerate(params["layers"]):
+        att_norm = rms_norm(x, lyr["attn_norm"], eps)
+        att_shift = cache.shift[li, :, 0][:, None]
+        x_prev = jnp.concatenate([att_shift, att_norm[:, :-1]], axis=1)
+
+        cur = att_norm.astype(jnp.float32)
+        sx = x_prev.astype(jnp.float32) - cur
+        xxx = cur + sx * lyr["lerp_x"]
+        five = jnp.tanh(jnp.einsum("bte,gre->btgr", xxx, lyr["w1"]))
+        deltas = jnp.einsum("btgr,ger->btge", five, lyr["w2"])
+        mixed = cur[:, :, None] + sx[:, :, None] * (
+            deltas + lyr["lerp_fused"][None, None]
+        )
+        xw, xk, xv, xr, xg = [mixed[:, :, i] for i in range(5)]
+
+        rr = lyr["wr"](xr.astype(x.dtype)).astype(jnp.float32)
+        kk = lyr["wk"](xk.astype(x.dtype)).astype(jnp.float32)
+        vv = lyr["wv"](xv.astype(x.dtype)).astype(jnp.float32)
+        if lyr["br"] is not None:
+            rr = rr + lyr["br"]
+        if lyr["bk"] is not None:
+            kk = kk + lyr["bk"]
+        if lyr["bv"] is not None:
+            vv = vv + lyr["bv"]
+        g = jax.nn.sigmoid(lyr["wg"](xg.astype(x.dtype)).astype(jnp.float32))
+
+        w = jnp.einsum(
+            "btr,er->bte",
+            jnp.tanh(jnp.einsum("bte,re->btr", xw, lyr["decay_w1"])),
+            lyr["decay_w2"],
+        ) + lyr["decay"]
+        w = jnp.exp(-jnp.exp(w))
+
+        # GQA: repeat kv heads up to the full head count
+        kh = kk.reshape(B, T, Hkv, D)
+        vh = vv.reshape(B, T, Hkv, D)
+        if Hkv != H:
+            kh = jnp.repeat(kh, H // Hkv, axis=2)
+            vh = jnp.repeat(vh, H // Hkv, axis=2)
+        rh = rr.reshape(B, T, H, D)
+        wh = w.reshape(B, T, H, D)
+        kh = kh - kh * wh  # k·(1−w): qrwkv decay-compensated keys
+        out, s_last = _gla(rh, kh, vh, wh, cache.wkv[li], D ** -0.5)
+        new_wkv = new_wkv.at[li].set(s_last)
+
+        out = out.reshape(B, T, E) * g
+        x = x + lyr["wo"](out.astype(x.dtype)).astype(jnp.float32)
+        new_shift = new_shift.at[li, :, 0].set(att_norm[:, -1].astype(jnp.float32))
+
+        h = rms_norm(x, lyr["ffn_norm"], eps)
+        gate = lyr["w_gate"](h.astype(x.dtype))
+        up = lyr["w_up"](h.astype(x.dtype))
+        ffn = lyr["w_down"](
+            (jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32)
+             ).astype(x.dtype)
+        )
+        x = x + ffn.astype(jnp.float32)
+
+    x = rms_norm(x, params["output_norm"], eps)
+    if params["output_norm_b"] is not None:
+        x = x + params["output_norm_b"]
+    cache = Rwkv6Cache(new_shift, new_wkv)
+    if return_hidden:
+        return x.astype(jnp.float32), cache
+    if params["output"] is not None:
+        logits = params["output"](x.astype(params["tok_embd"].dtype))
+    else:
+        logits = jnp.dot(x.astype(params["tok_embd"].dtype), params["tok_embd"].T)
+    return logits.astype(jnp.float32), cache

@@ -222,11 +222,14 @@ def make_tiny_gemma_gguf(
     w.add_kv(f"{arch}.attention.head_count", n_head)
     w.add_kv(f"{arch}.attention.head_count_kv", n_head_kv)
     w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
-    w.add_kv(f"{arch}.attention.sliding_window", sliding_window)
+    if arch != "gemma":  # gemma v1: full attention, no softcaps
+        w.add_kv(f"{arch}.attention.sliding_window", sliding_window)
     w.add_kv(f"{arch}.rope.dimension_count", head_dim)
     if arch == "gemma3":
         w.add_kv(f"{arch}.rope.freq_base", 1_000_000.0)
         w.add_kv(f"{arch}.rope.freq_base_swa", 10000.0)
+    elif arch == "gemma":
+        w.add_kv(f"{arch}.rope.freq_base", 10000.0)
     else:
         w.add_kv(f"{arch}.rope.freq_base", 10000.0)
         w.add_kv(f"{arch}.attn_logit_softcapping", 50.0)
@@ -251,7 +254,8 @@ def make_tiny_gemma_gguf(
         w.add_tensor(p + "attn_k.weight", rand((n_head_kv * head_dim, n_embd)))
         w.add_tensor(p + "attn_v.weight", rand((n_head_kv * head_dim, n_embd)))
         w.add_tensor(p + "attn_output.weight", rand((n_embd, n_head * head_dim)))
-        w.add_tensor(p + "post_attention_norm.weight", np.ones(n_embd, dtype=np.float32))
+        if arch != "gemma":
+            w.add_tensor(p + "post_attention_norm.weight", np.ones(n_embd, dtype=np.float32))
         if arch == "gemma3":
             w.add_tensor(p + "attn_q_norm.weight", np.ones(head_dim, dtype=np.float32))
             w.add_tensor(p + "attn_k_norm.weight", np.ones(head_dim, dtype=np.float32))
@@ -259,7 +263,8 @@ def make_tiny_gemma_gguf(
         w.add_tensor(p + "ffn_gate.weight", rand((n_ff, n_embd)))
         w.add_tensor(p + "ffn_up.weight", rand((n_ff, n_embd)))
         w.add_tensor(p + "ffn_down.weight", rand((n_embd, n_ff)))
-        w.add_tensor(p + "post_ffw_norm.weight", np.ones(n_embd, dtype=np.float32))
+        if arch != "gemma":
+            w.add_tensor(p + "post_ffw_norm.weight", np.ones(n_embd, dtype=np.float32))
     w.add_tensor("output_norm.weight", np.ones(n_embd, dtype=np.float32))
     w.write()  # tied embeddings (gemma always ties)
     return str(path)
@@ -367,7 +372,7 @@ def make_tiny_moe_gguf(
     w.add_kv(f"{arch}.expert_feed_forward_length", n_ff_exp)
     if n_dense_lead:
         w.add_kv(f"{arch}.leading_dense_block_count", n_dense_lead)
-    if arch == "glm4-moe":
+    if arch == "glm4moe":
         w.add_kv(f"{arch}.expert_weights_norm", True)
     if expert_weights_scale:
         w.add_kv(f"{arch}.expert_weights_scale", expert_weights_scale)
@@ -2578,6 +2583,153 @@ def make_tiny_plm_gguf(
         w.add_tensor(p + "ffn_up.weight", rand((n_ff, n_embd)))
         w.add_tensor(p + "ffn_down.weight", rand((n_embd, n_ff)))
     w.add_tensor("output_norm.weight", np.ones(n_embd, dtype=np.float32))
+    w.add_tensor("output.weight", rand((n_vocab, n_embd)))
+    w.write()
+    return str(path)
+
+
+def make_tiny_phimoe_gguf(
+    path,
+    *,
+    n_layer: int = 2,
+    n_embd: int = 64,
+    n_head: int = 4,
+    n_head_kv: int = 2,
+    n_ff: int = 48,
+    n_expert: int = 4,
+    n_expert_used: int = 2,
+    n_ctx: int = 256,
+    seed: int = 0,
+) -> str:
+    """Tiny phimoe-shaped GGUF: RMS+bias norms, split biased qkv, softmax
+    renormalized MoE, biased output head (LLM_ARCH_PHIMOE tensor set)."""
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = _byte_vocab(DEFAULT_WORDS)
+    n_vocab = len(tokens)
+    head_dim = n_embd // n_head
+
+    arch = "phimoe"
+    w = GGUFWriter(path, architecture=arch)
+    w.add_kv("general.name", "tpullm-tiny-phimoe")
+    w.add_kv(f"{arch}.block_count", n_layer)
+    w.add_kv(f"{arch}.context_length", n_ctx)
+    w.add_kv(f"{arch}.embedding_length", n_embd)
+    w.add_kv(f"{arch}.feed_forward_length", n_ff)
+    w.add_kv(f"{arch}.attention.head_count", n_head)
+    w.add_kv(f"{arch}.attention.head_count_kv", n_head_kv)
+    w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_kv(f"{arch}.rope.freq_base", 10000.0)
+    w.add_kv(f"{arch}.rope.dimension_count", head_dim)
+    w.add_kv(f"{arch}.expert_count", n_expert)
+    w.add_kv(f"{arch}.expert_used_count", n_expert_used)
+    w.add_kv("tokenizer.ggml.model", "llama")
+    w.add_kv("tokenizer.ggml.tokens", tokens)
+    w.add_kv("tokenizer.ggml.scores", np.asarray(scores, dtype=np.float32))
+    w.add_kv("tokenizer.ggml.token_type", np.asarray(types, dtype=np.int32))
+    w.add_kv("tokenizer.ggml.bos_token_id", 1)
+    w.add_kv("tokenizer.ggml.eos_token_id", 2)
+    w.add_kv("tokenizer.ggml.unknown_token_id", 0)
+    w.add_kv("tokenizer.ggml.add_bos_token", True)
+
+    def rand(shape, scale=0.05):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    w.add_tensor("token_embd.weight", rand((n_vocab, n_embd)))
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        w.add_tensor(p + "attn_norm.weight", 1.0 + rand((n_embd,)))
+        w.add_tensor(p + "attn_norm.bias", rand((n_embd,)))
+        w.add_tensor(p + "attn_q.weight", rand((n_head * head_dim, n_embd)))
+        w.add_tensor(p + "attn_q.bias", rand((n_head * head_dim,)))
+        w.add_tensor(p + "attn_k.weight", rand((n_head_kv * head_dim, n_embd)))
+        w.add_tensor(p + "attn_k.bias", rand((n_head_kv * head_dim,)))
+        w.add_tensor(p + "attn_v.weight", rand((n_head_kv * head_dim, n_embd)))
+        w.add_tensor(p + "attn_v.bias", rand((n_head_kv * head_dim,)))
+        w.add_tensor(p + "attn_output.weight", rand((n_embd, n_head * head_dim)))
+        w.add_tensor(p + "attn_output.bias", rand((n_embd,)))
+        w.add_tensor(p + "ffn_norm.weight", 1.0 + rand((n_embd,)))
+        w.add_tensor(p + "ffn_norm.bias", rand((n_embd,)))
+        w.add_tensor(p + "ffn_gate_inp.weight", rand((n_expert, n_embd)))
+        w.add_tensor(p + "ffn_gate_exps.weight", rand((n_expert, n_ff, n_embd)))
+        w.add_tensor(p + "ffn_up_exps.weight", rand((n_expert, n_ff, n_embd)))
+        w.add_tensor(p + "ffn_down_exps.weight", rand((n_expert, n_embd, n_ff)))
+    w.add_tensor("output_norm.weight", 1.0 + rand((n_embd,)))
+    w.add_tensor("output_norm.bias", rand((n_embd,)))
+    w.add_tensor("output.weight", rand((n_vocab, n_embd)))
+    w.add_tensor("output.bias", rand((n_vocab,)))
+    w.write()
+    return str(path)
+
+
+def make_tiny_rwkv6qwen2_gguf(
+    path,
+    *,
+    n_layer: int = 2,
+    n_embd: int = 32,
+    head_size: int = 8,
+    n_head_kv: int = 2,
+    n_ff: int = 64,
+    lora_rank: int = 4,
+    decay_rank: int = 4,
+    n_ctx: int = 256,
+    seed: int = 0,
+) -> str:
+    """Tiny rwkv6qwen2-shaped GGUF: qrwkv time-mix (GQA k/v with biases, no
+    bonus) on a qwen2 swiglu body."""
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = _byte_vocab(DEFAULT_WORDS)
+    n_vocab = len(tokens)
+    H = n_embd // head_size
+    kv_size = n_head_kv * head_size
+
+    arch = "rwkv6qwen2"
+    w = GGUFWriter(path, architecture=arch)
+    w.add_kv("general.name", "tpullm-tiny-rwkv6qwen2")
+    w.add_kv(f"{arch}.block_count", n_layer)
+    w.add_kv(f"{arch}.context_length", n_ctx)
+    w.add_kv(f"{arch}.embedding_length", n_embd)
+    w.add_kv(f"{arch}.feed_forward_length", n_ff)
+    w.add_kv(f"{arch}.attention.head_count", H)
+    w.add_kv(f"{arch}.attention.head_count_kv", n_head_kv)
+    w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_kv(f"{arch}.wkv.head_size", head_size)
+    w.add_kv(f"{arch}.token_shift_count", 1)
+    w.add_kv("tokenizer.ggml.model", "llama")
+    w.add_kv("tokenizer.ggml.tokens", tokens)
+    w.add_kv("tokenizer.ggml.scores", np.asarray(scores, dtype=np.float32))
+    w.add_kv("tokenizer.ggml.token_type", np.asarray(types, dtype=np.int32))
+    w.add_kv("tokenizer.ggml.bos_token_id", 1)
+    w.add_kv("tokenizer.ggml.eos_token_id", 2)
+    w.add_kv("tokenizer.ggml.unknown_token_id", 0)
+    w.add_kv("tokenizer.ggml.add_bos_token", True)
+
+    def rand(shape, scale=0.1):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    w.add_tensor("token_embd.weight", rand((n_vocab, n_embd)))
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        w.add_tensor(p + "attn_norm.weight", np.ones(n_embd, np.float32))
+        w.add_tensor(p + "time_mix_lerp_x.weight", rand((n_embd,)))
+        w.add_tensor(p + "time_mix_lerp_fused.weight", rand((5, 1, n_embd)))
+        w.add_tensor(p + "time_mix_w1.weight", rand((5 * lora_rank, n_embd)))
+        w.add_tensor(p + "time_mix_w2.weight", rand((5, n_embd, lora_rank)))
+        w.add_tensor(p + "time_mix_decay.weight", rand((n_embd,)) - 4.0)
+        w.add_tensor(p + "time_mix_decay_w1.weight", rand((decay_rank, n_embd)))
+        w.add_tensor(p + "time_mix_decay_w2.weight", rand((n_embd, decay_rank)))
+        w.add_tensor(p + "time_mix_key.weight", rand((kv_size, n_embd)))
+        w.add_tensor(p + "time_mix_key.bias", rand((kv_size,)))
+        w.add_tensor(p + "time_mix_value.weight", rand((kv_size, n_embd)))
+        w.add_tensor(p + "time_mix_value.bias", rand((kv_size,)))
+        w.add_tensor(p + "time_mix_receptance.weight", rand((n_embd, n_embd)))
+        w.add_tensor(p + "time_mix_receptance.bias", rand((n_embd,)))
+        w.add_tensor(p + "time_mix_gate.weight", rand((n_embd, n_embd)))
+        w.add_tensor(p + "time_mix_output.weight", rand((n_embd, n_embd)))
+        w.add_tensor(p + "ffn_norm.weight", np.ones(n_embd, np.float32))
+        w.add_tensor(p + "ffn_gate.weight", rand((n_ff, n_embd)))
+        w.add_tensor(p + "ffn_up.weight", rand((n_ff, n_embd)))
+        w.add_tensor(p + "ffn_down.weight", rand((n_embd, n_ff)))
+    w.add_tensor("output_norm.weight", np.ones(n_embd, np.float32))
     w.add_tensor("output.weight", rand((n_vocab, n_embd)))
     w.write()
     return str(path)
