@@ -168,3 +168,122 @@ def test_llama_embed_bidirectional(tmp_path):
     assert not eng.hp.causal and eng.hp.pooling == "mean"
     emb = eng.embed("hello world")
     assert emb.shape == (eng.hp.n_embd,) and np.isfinite(emb).all()
+
+
+def test_nomic_bert_moe_embed(tmp_path):
+    """nomic-bert-moe: fused biased qkv + rope, GELU up/down MoE every 2nd
+    layer; padding invariance proves the bidirectional mask + MoE wiring."""
+    from tpullm.models.testing import make_tiny_nomic_moe_gguf
+
+    path = make_tiny_nomic_moe_gguf(tmp_path / "nm.gguf")
+    eng = Engine(path, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    assert eng.hp.moe_every_n == 2 and not eng.hp.causal
+    ids = eng.tokenizer.tokenize("hello world", add_special=True)
+    v1 = eng.embed_tokens(ids, pooling="mean", normalize=False)
+    long_ids = eng.tokenizer.tokenize(
+        "the quick brown fox and the lazy dog", add_special=True)
+    eng.embed_tokens(long_ids)
+    v2 = eng.embed_tokens(ids)
+    assert np.isfinite(v1).all()
+    np.testing.assert_allclose(v1, v2 * np.linalg.norm(v1), rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_neo_bert_embed(tmp_path):
+    from tpullm.models.testing import make_tiny_neo_bert_gguf
+
+    path = make_tiny_neo_bert_gguf(tmp_path / "nb.gguf")
+    eng = Engine(path, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    ids = eng.tokenizer.tokenize("hello world", add_special=True)
+    v1 = eng.embed_tokens(ids, pooling="mean", normalize=False)
+    eng.embed_tokens(eng.tokenizer.tokenize(
+        "the quick brown fox and the lazy dog", add_special=True))
+    v2 = eng.embed_tokens(ids, pooling="mean", normalize=False)
+    assert np.isfinite(v1).all()
+    np.testing.assert_allclose(v1, v2, rtol=1e-4, atol=1e-4)
+
+
+def test_modern_bert_embed(tmp_path):
+    """modern-bert: symmetric SWA on local layers + per-layer rope base."""
+    from tpullm.models.testing import make_tiny_modern_bert_gguf
+
+    path = make_tiny_modern_bert_gguf(tmp_path / "mb.gguf")
+    eng = Engine(path, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    assert eng.hp.sliding_window == 8 and eng.hp.swa_pattern == 3
+    assert eng.hp.is_swa(0) and not eng.hp.is_swa(2)
+    ids = eng.tokenizer.tokenize("hello world", add_special=True)
+    v1 = eng.embed_tokens(ids, pooling="mean", normalize=False)
+    eng.embed_tokens(eng.tokenizer.tokenize(
+        "the quick brown fox and the lazy dog", add_special=True))
+    v2 = eng.embed_tokens(ids, pooling="mean", normalize=False)
+    assert np.isfinite(v1).all()
+    np.testing.assert_allclose(v1, v2, rtol=1e-4, atol=1e-4)
+
+
+def test_gemma_embedding_embed(tmp_path):
+    from tpullm.models.testing import make_tiny_gemma_embedding_gguf
+
+    path = make_tiny_gemma_embedding_gguf(tmp_path / "ge.gguf")
+    eng = Engine(path, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    assert not eng.hp.causal and eng.hp.swa_pattern == 6
+    ids = eng.tokenizer.tokenize("hello world", add_special=True)
+    v1 = eng.embed_tokens(ids, pooling="mean", normalize=False)
+    eng.embed_tokens(eng.tokenizer.tokenize(
+        "the quick brown fox and the lazy dog", add_special=True))
+    v2 = eng.embed_tokens(ids, pooling="mean", normalize=False)
+    assert np.isfinite(v1).all()
+    np.testing.assert_allclose(v1, v2, rtol=1e-4, atol=1e-4)
+
+
+def test_jina_bert_v3_embed(tmp_path):
+    """jina-bert-v3: the bert graph + rope (no position embeddings)."""
+    from tpullm.gguf import GGUFWriter as _W
+    import numpy as _np
+    from tpullm.models.testing import _encoder_header
+
+    rng = _np.random.default_rng(3)
+    n_embd, n_head, n_ff, n_layer = 64, 4, 96, 2
+    path = str(tmp_path / "jv3.gguf")
+    w = _W(path, architecture="jina-bert-v3")
+    n_vocab = _encoder_header(w, "jina-bert-v3", n_layer=n_layer, n_ctx=128,
+                              n_embd=n_embd, n_ff=n_ff, n_head=n_head)
+    w.add_kv("jina-bert-v3.rope.freq_base", 10000.0)
+    w.add_kv("jina-bert-v3.rope.dimension_count", n_embd // n_head)
+
+    def rand(shape, scale=0.05):
+        return (rng.standard_normal(shape) * scale).astype(_np.float32)
+
+    w.add_tensor("token_embd.weight", rand((n_vocab, n_embd)))
+    w.add_tensor("token_embd_norm.weight", _np.ones(n_embd, _np.float32))
+    w.add_tensor("token_embd_norm.bias", rand((n_embd,)))
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        for nm in ("attn_q", "attn_k", "attn_v"):
+            w.add_tensor(p + nm + ".weight", rand((n_embd, n_embd)))
+            w.add_tensor(p + nm + ".bias", rand((n_embd,)))
+        w.add_tensor(p + "attn_output.weight", rand((n_embd, n_embd)))
+        w.add_tensor(p + "attn_output.bias", rand((n_embd,)))
+        w.add_tensor(p + "attn_output_norm.weight", _np.ones(n_embd, _np.float32))
+        w.add_tensor(p + "attn_output_norm.bias", rand((n_embd,)))
+        w.add_tensor(p + "ffn_up.weight", rand((n_ff, n_embd)))
+        w.add_tensor(p + "ffn_up.bias", rand((n_ff,)))
+        w.add_tensor(p + "ffn_down.weight", rand((n_embd, n_ff)))
+        w.add_tensor(p + "ffn_down.bias", rand((n_embd,)))
+        w.add_tensor(p + "layer_output_norm.weight", _np.ones(n_embd, _np.float32))
+        w.add_tensor(p + "layer_output_norm.bias", rand((n_embd,)))
+    w.write()
+
+    eng = Engine(path, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    assert eng.hp.rope.style == "neox"
+    ids = eng.tokenizer.tokenize("hello world", add_special=True)
+    v1 = eng.embed_tokens(ids, pooling="mean", normalize=False)
+    eng.embed_tokens(eng.tokenizer.tokenize(
+        "the quick brown fox and the lazy dog", add_special=True))
+    v2 = eng.embed_tokens(ids, pooling="mean", normalize=False)
+    assert np.isfinite(v1).all()
+    np.testing.assert_allclose(v1, v2, rtol=1e-4, atol=1e-4)

@@ -149,3 +149,75 @@ def forward(
     if hp.softcap_final:
         logits = jnp.tanh(logits / hp.softcap_final) * hp.softcap_final
     return logits, cache
+
+
+def forward_embedding(
+    hp: HParams,
+    params: Params,
+    tokens: jax.Array,
+    positions: jax.Array,
+    cache: KVCache,  # unused: bidirectional encoder (llama_encode path)
+    cache_offset,
+    return_hidden: bool = True,
+) -> tuple[jax.Array, KVCache]:
+    """EmbeddingGemma (llm_build_gemma_embedding): the gemma3 layer stack run
+    bidirectionally with no KV cache — sqrt(n_embd) input scale, per-head
+    qk-norm, per-layer rope base (local layers use the SWA base), q scaled by
+    f_attention_scale, pre+post norms, GELU FFN. Local layers keep the
+    sliding-window limit relative to query position."""
+    B, T = tokens.shape
+    x = params["tok_embd"][tokens] * jnp.asarray(
+        hp.embd_scale, dtype=params["tok_embd"].dtype)
+    scale = hp.attn_scale if hp.attn_scale is not None else hp.head_dim ** -0.5
+
+    n_valid = jnp.asarray(cache_offset).reshape(-1, 1, 1)
+    valid = jnp.arange(T)[None, None, :] < jnp.maximum(n_valid, 1)
+    mask_full = jnp.broadcast_to(valid, (B, T, T))
+    if hp.sliding_window > 0:
+        diff = positions[:, :, None] - positions[:, None, :]
+        mask_swa = mask_full & (jnp.abs(diff) < hp.sliding_window)
+    else:
+        mask_swa = mask_full
+
+    rope_global = hp.rope
+    rope_swa = (
+        replace(hp.rope, freq_base=hp.rope_freq_base_swa)
+        if hp.rope_freq_base_swa > 0 else hp.rope
+    )
+
+    from ..ops.attention import attention_reference
+
+    for li, layer in enumerate(params["layers"]):
+        swa = hp.is_swa(li)
+        h = rms_norm(x, layer["attn_norm"], hp.rms_eps)
+        q = layer["wq"](h).reshape(B, T, hp.n_head, hp.head_dim)
+        k = layer["wk"](h).reshape(B, T, hp.n_head_kv, hp.head_dim)
+        v = layer["wv"](h).reshape(B, T, hp.n_head_kv, hp.head_dim_v)
+        if layer["q_norm"] is not None:
+            q = rms_norm(q, layer["q_norm"], hp.rms_eps)
+        if layer["k_norm"] is not None:
+            k = rms_norm(k, layer["k_norm"], hp.rms_eps)
+        rope = rope_swa if swa else rope_global
+        q = apply_rope(q, positions, rope)
+        k = apply_rope(k, positions, rope)
+        attn_out = attention_reference(
+            q, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
+            mask_swa if swa else mask_full, scale,
+        )
+        attn_out = layer["wo"](attn_out.reshape(B, T, hp.n_head * hp.head_dim_v))
+        if layer["attn_post_norm"] is not None:
+            attn_out = rms_norm(attn_out, layer["attn_post_norm"], hp.rms_eps)
+        x = x + attn_out
+
+        h = rms_norm(x, layer["ffn_norm"], hp.rms_eps)
+        gate = layer["w_gate"](h)
+        up = layer["w_up"](h)
+        ffn = layer["w_down"](
+            jax.nn.gelu(gate.astype(jnp.float32), approximate=True).astype(up.dtype) * up
+        )
+        if layer["ffn_post_norm"] is not None:
+            ffn = rms_norm(ffn, layer["ffn_post_norm"], hp.rms_eps)
+        x = x + ffn
+
+    x = rms_norm(x, params["output_norm"], hp.rms_eps)
+    return x.astype(jnp.float32), cache

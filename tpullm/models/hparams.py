@@ -62,6 +62,7 @@ class HParams:
     attn_scale: float | None = None
     causal: bool = True
     swin_norm: bool = False  # chameleon: norms after attn/ffn (%s.swin_norm)
+    moe_every_n: int = 0  # nomic-bert-moe: MoE FFN on layers il % n == 1
     # gemma-family extras
     softcap_attn: float = 0.0
     softcap_final: float = 0.0
@@ -153,6 +154,7 @@ NEOX_ROPE_ARCHS = {
     "grok", "llada-moe", "rnd1", "exaone-moe", "llama4", "lfm2", "lfm2moe",
     "glm4moe",
     "qwen2vl", "qwen3vl", "qwen3vlmoe", "smallthinker", "qwen3next",
+    "nomic-bert-moe", "jina-bert-v3", "modern-bert", "gemma-embedding",
 }
 
 
@@ -242,18 +244,22 @@ def hparams_from_gguf(r: GGUFReader) -> HParams:
         sliding_window=int(k(Keys.Attention.SLIDING_WINDOW, 0)),
         swa_pattern=int(k(
             Keys.Attention.SLIDING_WINDOW_PATTERN,
-            {"gemma2": 2, "gemma3": 6, "gpt-oss": 2, "llama4": 4}.get(arch, 1),
+            {"gemma2": 2, "gemma3": 6, "gemma-embedding": 6, "gpt-oss": 2,
+             "llama4": 4, "modern-bert": 3}.get(arch, 1),
         )),
         attn_scale=(float(k(Keys.Attention.SCALE)) if k(Keys.Attention.SCALE) is not None else None),
         causal=bool(k(
             Keys.Attention.CAUSAL,
-            arch not in ("bert", "nomic-bert", "jina-bert-v2", "llama-embed"),
+            arch not in ("bert", "nomic-bert", "nomic-bert-moe",
+                         "jina-bert-v2", "jina-bert-v3", "neo-bert",
+                         "modern-bert", "gemma-embedding", "llama-embed"),
         )),
+        moe_every_n=int(k("{arch}.moe_every_n_layers", 0)),
         softcap_attn=float(k(Keys.LLM.ATTN_LOGIT_SOFTCAPPING, 0.0)),
         softcap_final=float(k(Keys.LLM.FINAL_LOGIT_SOFTCAPPING, 0.0)),
         rope_freq_base_swa=float(k(
             Keys.Rope.FREQ_BASE_SWA,
-            10000.0 if arch in ("gemma3", "gemma3n") else 0.0,
+            10000.0 if arch in ("gemma3", "gemma3n", "gemma-embedding") else 0.0,
         )),
         # minicpm ships granite-style multipliers with legacy defaults
         # (llama-model.cpp LLM_ARCH_MINICPM hparams block)

@@ -388,8 +388,15 @@ def _ensure_builtin():
         "bert",
         bert.build_params,
         bert.forward,
-        aliases=("nomic-bert", "jina-bert-v2"),
+        # nomic-bert-moe adds fused biased qkv + every-Nth GELU MoE;
+        # jina-bert-v3 adds rope — all ride llm_build_bert's branches
+        aliases=("nomic-bert", "jina-bert-v2", "nomic-bert-moe",
+                 "jina-bert-v3"),
     )
+    register_arch("neo-bert", bert.build_params_neo, bert.forward_neo)
+    register_arch("modern-bert", bert.build_params_modern, bert.forward_modern)
+    # EmbeddingGemma: gemma3 stack run bidirectionally (llm_build_gemma_embedding)
+    register_arch("gemma-embedding", gemma.build_params, gemma.forward_embedding)
 
 
 def load_hparams(r: GGUFReader) -> HParams:

@@ -2733,3 +2733,240 @@ def make_tiny_rwkv6qwen2_gguf(
     w.add_tensor("output.weight", rand((n_vocab, n_embd)))
     w.write()
     return str(path)
+
+
+def _wpm_vocab():
+    tokens = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+    types = [TokenType.CONTROL] * 5
+    words = ["the", "quick", "brown", "fox", "hello", "world", "dog", "cat",
+             "a", "an", "and", "of"]
+    tokens += ["▁" + w for w in words]
+    types += [TokenType.NORMAL] * len(words)
+    for ch in "abcdefghijklmnopqrstuvwxyz":
+        tokens += ["▁" + ch, ch]
+        types += [TokenType.NORMAL, TokenType.NORMAL]
+    return tokens, types
+
+
+def _encoder_header(w, arch, *, n_layer, n_ctx, n_embd, n_ff, n_head,
+                    n_head_kv=None, eps=1e-12):
+    w.add_kv(f"{arch}.block_count", n_layer)
+    w.add_kv(f"{arch}.context_length", n_ctx)
+    w.add_kv(f"{arch}.embedding_length", n_embd)
+    w.add_kv(f"{arch}.feed_forward_length", n_ff)
+    w.add_kv(f"{arch}.attention.head_count", n_head)
+    if n_head_kv is not None:
+        w.add_kv(f"{arch}.attention.head_count_kv", n_head_kv)
+    w.add_kv(f"{arch}.attention.layer_norm_epsilon", eps)
+    w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon", eps)
+    w.add_kv(f"{arch}.attention.causal", False)
+    w.add_kv(f"{arch}.pooling_type", 1)  # mean
+    tokens, types = _wpm_vocab()
+    w.add_kv("tokenizer.ggml.model", "bert")
+    w.add_kv("tokenizer.ggml.tokens", tokens)
+    w.add_kv("tokenizer.ggml.token_type", np.asarray(types, dtype=np.int32))
+    w.add_kv("tokenizer.ggml.cls_token_id", 2)
+    w.add_kv("tokenizer.ggml.seperator_token_id", 3)
+    w.add_kv("tokenizer.ggml.unknown_token_id", 1)
+    w.add_kv("tokenizer.ggml.padding_token_id", 0)
+    return len(tokens)
+
+
+def make_tiny_nomic_moe_gguf(
+    path,
+    *,
+    n_layer: int = 2,
+    n_embd: int = 64,
+    n_head: int = 4,
+    n_ff: int = 96,
+    n_expert: int = 4,
+    n_expert_used: int = 2,
+    moe_every_n: int = 2,
+    n_ctx: int = 128,
+    seed: int = 0,
+) -> str:
+    """Tiny nomic-bert-moe GGUF: fused biased qkv + rope, GELU up/down-only
+    MoE on layers il % n == 1, GELU sequential elsewhere."""
+    rng = np.random.default_rng(seed)
+    head_dim = n_embd // n_head
+
+    arch = "nomic-bert-moe"
+    w = GGUFWriter(path, architecture=arch)
+    w.add_kv("general.name", "tpullm-tiny-nomic-moe")
+    n_vocab = _encoder_header(w, arch, n_layer=n_layer, n_ctx=n_ctx,
+                              n_embd=n_embd, n_ff=n_ff, n_head=n_head)
+    w.add_kv(f"{arch}.moe_every_n_layers", moe_every_n)
+    w.add_kv(f"{arch}.expert_count", n_expert)
+    w.add_kv(f"{arch}.expert_used_count", n_expert_used)
+    w.add_kv(f"{arch}.rope.freq_base", 1000.0)
+    w.add_kv(f"{arch}.rope.dimension_count", head_dim)
+
+    def rand(shape, scale=0.05):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    w.add_tensor("token_embd.weight", rand((n_vocab, n_embd)))
+    w.add_tensor("token_types.weight", rand((2, n_embd)))
+    w.add_tensor("token_embd_norm.weight", np.ones(n_embd, dtype=np.float32))
+    w.add_tensor("token_embd_norm.bias", rand((n_embd,)))
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        w.add_tensor(p + "attn_qkv.weight", rand((3 * n_embd, n_embd)))
+        w.add_tensor(p + "attn_qkv.bias", rand((3 * n_embd,)))
+        w.add_tensor(p + "attn_output.weight", rand((n_embd, n_embd)))
+        w.add_tensor(p + "attn_output.bias", rand((n_embd,)))
+        w.add_tensor(p + "attn_output_norm.weight", np.ones(n_embd, dtype=np.float32))
+        w.add_tensor(p + "attn_output_norm.bias", rand((n_embd,)))
+        if moe_every_n > 0 and i % moe_every_n == 1:
+            w.add_tensor(p + "ffn_gate_inp.weight", rand((n_expert, n_embd)))
+            w.add_tensor(p + "ffn_up_exps.weight", rand((n_expert, n_ff, n_embd)))
+            w.add_tensor(p + "ffn_down_exps.weight", rand((n_expert, n_embd, n_ff)))
+        else:
+            w.add_tensor(p + "ffn_up.weight", rand((n_ff, n_embd)))
+            w.add_tensor(p + "ffn_up.bias", rand((n_ff,)))
+            w.add_tensor(p + "ffn_down.weight", rand((n_embd, n_ff)))
+            w.add_tensor(p + "ffn_down.bias", rand((n_embd,)))
+        w.add_tensor(p + "layer_output_norm.weight", np.ones(n_embd, dtype=np.float32))
+        w.add_tensor(p + "layer_output_norm.bias", rand((n_embd,)))
+    w.write()
+    return str(path)
+
+
+def make_tiny_neo_bert_gguf(
+    path,
+    *,
+    n_layer: int = 2,
+    n_embd: int = 64,
+    n_head: int = 4,
+    n_ff: int = 48,
+    n_ctx: int = 128,
+    seed: int = 0,
+) -> str:
+    """Tiny neo-bert GGUF: pre-norm RMS, fused qkv, NORM rope, fused swiglu."""
+    rng = np.random.default_rng(seed)
+    head_dim = n_embd // n_head
+
+    arch = "neo-bert"
+    w = GGUFWriter(path, architecture=arch)
+    w.add_kv("general.name", "tpullm-tiny-neo-bert")
+    n_vocab = _encoder_header(w, arch, n_layer=n_layer, n_ctx=n_ctx,
+                              n_embd=n_embd, n_ff=n_ff, n_head=n_head,
+                              eps=1e-5)
+    w.add_kv(f"{arch}.rope.freq_base", 10000.0)
+    w.add_kv(f"{arch}.rope.dimension_count", head_dim)
+
+    def rand(shape, scale=0.05):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    w.add_tensor("token_embd.weight", rand((n_vocab, n_embd)))
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        w.add_tensor(p + "attn_norm.weight", 1.0 + rand((n_embd,)))
+        w.add_tensor(p + "attn_qkv.weight", rand((3 * n_embd, n_embd)))
+        w.add_tensor(p + "attn_output.weight", rand((n_embd, n_embd)))
+        w.add_tensor(p + "ffn_norm.weight", 1.0 + rand((n_embd,)))
+        w.add_tensor(p + "ffn_up.weight", rand((2 * n_ff, n_embd)))
+        w.add_tensor(p + "ffn_down.weight", rand((n_embd, n_ff)))
+    w.add_tensor("enc.output_norm.weight", 1.0 + rand((n_embd,)))
+    w.write()
+    return str(path)
+
+
+def make_tiny_modern_bert_gguf(
+    path,
+    *,
+    n_layer: int = 3,
+    n_embd: int = 64,
+    n_head: int = 4,
+    n_ff: int = 48,
+    n_ctx: int = 128,
+    sliding_window: int = 8,
+    seed: int = 0,
+) -> str:
+    """Tiny modern-bert GGUF: pre-norm LN (layer 0 skips the attn norm),
+    fused qkv, symmetric sliding window on local layers, fused GEGLU FFN."""
+    rng = np.random.default_rng(seed)
+    head_dim = n_embd // n_head
+
+    arch = "modern-bert"
+    w = GGUFWriter(path, architecture=arch)
+    w.add_kv("general.name", "tpullm-tiny-modern-bert")
+    n_vocab = _encoder_header(w, arch, n_layer=n_layer, n_ctx=n_ctx,
+                              n_embd=n_embd, n_ff=n_ff, n_head=n_head,
+                              eps=1e-5)
+    w.add_kv(f"{arch}.attention.sliding_window", sliding_window)
+    w.add_kv(f"{arch}.attention.sliding_window_pattern", 3)
+    w.add_kv(f"{arch}.rope.freq_base", 160000.0)
+    w.add_kv(f"{arch}.rope.freq_base_swa", 10000.0)
+    w.add_kv(f"{arch}.rope.dimension_count", head_dim)
+
+    def rand(shape, scale=0.05):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    w.add_tensor("token_embd.weight", rand((n_vocab, n_embd)))
+    w.add_tensor("token_embd_norm.weight", np.ones(n_embd, dtype=np.float32))
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        if i > 0:  # layer 0 has no attention norm
+            w.add_tensor(p + "attn_norm.weight", 1.0 + rand((n_embd,)))
+        w.add_tensor(p + "attn_qkv.weight", rand((3 * n_embd, n_embd)))
+        w.add_tensor(p + "attn_output.weight", rand((n_embd, n_embd)))
+        w.add_tensor(p + "ffn_norm.weight", 1.0 + rand((n_embd,)))
+        w.add_tensor(p + "ffn_up.weight", rand((2 * n_ff, n_embd)))
+        w.add_tensor(p + "ffn_down.weight", rand((n_embd, n_ff)))
+    w.add_tensor("output_norm.weight", np.ones(n_embd, dtype=np.float32))
+    w.write()
+    return str(path)
+
+
+def make_tiny_gemma_embedding_gguf(
+    path,
+    *,
+    n_layer: int = 6,
+    n_embd: int = 64,
+    n_head: int = 4,
+    n_head_kv: int = 2,
+    n_ff: int = 96,
+    n_ctx: int = 128,
+    sliding_window: int = 8,
+    seed: int = 0,
+) -> str:
+    """Tiny gemma-embedding GGUF: the gemma3 tensor set with bidirectional
+    attention metadata (llm_build_gemma_embedding)."""
+    rng = np.random.default_rng(seed)
+    head_dim = n_embd // n_head
+
+    arch = "gemma-embedding"
+    w = GGUFWriter(path, architecture=arch)
+    w.add_kv("general.name", "tpullm-tiny-gemma-embedding")
+    n_vocab = _encoder_header(w, arch, n_layer=n_layer, n_ctx=n_ctx,
+                              n_embd=n_embd, n_ff=n_ff, n_head=n_head,
+                              n_head_kv=n_head_kv, eps=1e-5)
+    w.add_kv(f"{arch}.attention.sliding_window", sliding_window)
+    w.add_kv(f"{arch}.attention.sliding_window_pattern", 6)
+    w.add_kv(f"{arch}.rope.freq_base", 1_000_000.0)
+    w.add_kv(f"{arch}.rope.freq_base_swa", 10000.0)
+    w.add_kv(f"{arch}.rope.dimension_count", head_dim)
+    w.add_kv(f"{arch}.attention.scale", head_dim ** -0.5)
+
+    def rand(shape, scale=0.05):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    w.add_tensor("token_embd.weight", rand((n_vocab, n_embd)))
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        w.add_tensor(p + "attn_norm.weight", np.ones(n_embd, dtype=np.float32))
+        w.add_tensor(p + "attn_q.weight", rand((n_head * head_dim, n_embd)))
+        w.add_tensor(p + "attn_k.weight", rand((n_head_kv * head_dim, n_embd)))
+        w.add_tensor(p + "attn_v.weight", rand((n_head_kv * head_dim, n_embd)))
+        w.add_tensor(p + "attn_q_norm.weight", np.ones(head_dim, dtype=np.float32))
+        w.add_tensor(p + "attn_k_norm.weight", np.ones(head_dim, dtype=np.float32))
+        w.add_tensor(p + "attn_output.weight", rand((n_embd, n_head * head_dim)))
+        w.add_tensor(p + "post_attention_norm.weight", np.ones(n_embd, dtype=np.float32))
+        w.add_tensor(p + "ffn_norm.weight", np.ones(n_embd, dtype=np.float32))
+        w.add_tensor(p + "ffn_gate.weight", rand((n_ff, n_embd)))
+        w.add_tensor(p + "ffn_up.weight", rand((n_ff, n_embd)))
+        w.add_tensor(p + "ffn_down.weight", rand((n_embd, n_ff)))
+        w.add_tensor(p + "post_ffw_norm.weight", np.ones(n_embd, dtype=np.float32))
+    w.add_tensor("output_norm.weight", np.ones(n_embd, dtype=np.float32))
+    w.write()
+    return str(path)
