@@ -176,3 +176,40 @@ def test_lfm2_generates_and_decode_matches_prefill(tmp_path):
     eng.prefill(toks[:-1])
     last = eng.decode_step(toks[-1])
     np.testing.assert_allclose(last, full[-1], rtol=2e-3, atol=2e-3)
+
+
+def test_nemotron_h_moe_generates_and_decode_matches_prefill(tmp_path):
+    """nemotron_h_moe: FFN slots become sigmoid-routed gateless ReLU²
+    experts with selection bias + a gateless ReLU² shared expert."""
+    from tpullm.models.testing import make_tiny_hybrid2_gguf
+
+    path = make_tiny_hybrid2_gguf(tmp_path / "nhm.gguf", arch="nemotron_h_moe")
+    eng = Engine(path, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    assert eng.hp.expert_gating_func == "sigmoid"
+    toks = eng.tokenizer.tokenize("the quick brown", add_special=True)
+    full = eng.prefill_all_logits(toks)
+    assert np.isfinite(full).all()
+    eng.reset()
+    eng.cache = type(eng.cache).new(eng.hp, eng.batch, eng.max_seq, jnp.float32)
+    eng.prefill(toks[:-1])
+    last = eng.decode_step(toks[-1])
+    np.testing.assert_allclose(last, full[-1], rtol=2e-3, atol=2e-3)
+
+
+def test_falcon_h1_parallel_hybrid(tmp_path):
+    """falcon-h1: attention + mamba2 run in parallel on every layer."""
+    from tpullm.models.testing import make_tiny_falcon_h1_gguf
+
+    path = make_tiny_falcon_h1_gguf(tmp_path / "fh1.gguf")
+    eng = Engine(path, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    assert eng.hp.rope.style == "neox"
+    toks = eng.tokenizer.tokenize("the quick brown fox", add_special=True)
+    full = eng.prefill_all_logits(toks)
+    assert np.isfinite(full).all()
+    eng.reset()
+    eng.cache = type(eng.cache).new(eng.hp, eng.batch, eng.max_seq, jnp.float32)
+    eng.prefill(toks[:-1])
+    last = eng.decode_step(toks[-1])
+    np.testing.assert_allclose(last, full[-1], rtol=2e-3, atol=2e-3)

@@ -155,6 +155,7 @@ NEOX_ROPE_ARCHS = {
     "glm4moe",
     "qwen2vl", "qwen3vl", "qwen3vlmoe", "smallthinker", "qwen3next",
     "nomic-bert-moe", "jina-bert-v3", "modern-bert", "gemma-embedding",
+    "falcon-h1",
 }
 
 

@@ -132,7 +132,9 @@ def build_params(r: GGUFReader, hp: HParams, mode: str = "auto",
                 "D": vec(p + "ssm_d" if p + "ssm_d" in t else p + "ssm_d.weight"),
                 "ssm_out": linear(p + "ssm_out.weight"),
             })
-        elif p + "attn_q.weight" in t:
+        # NOT elif: falcon-h1 layers carry BOTH a mamba2 mixer and attention
+        # (parallel sum, llm_build_falcon_h1)
+        if p + "attn_q.weight" in t:
             layer.update({
                 "wq": linear(p + "attn_q.weight"),
                 "wk": linear(p + "attn_k.weight"),
@@ -142,11 +144,16 @@ def build_params(r: GGUFReader, hp: HParams, mode: str = "auto",
         # else: nemotron-h FFN-only sandwich layer
         if p + "ffn_gate_inp.weight" in t:  # MoE layer
             layer["router"] = linear(p + "ffn_gate_inp.weight")
-            layer["w_gate_exps"] = experts(p + "ffn_gate_exps.weight")
+            if p + "ffn_gate_exps.weight" in t:
+                layer["w_gate_exps"] = experts(p + "ffn_gate_exps.weight")
             layer["w_up_exps"] = experts(p + "ffn_up_exps.weight")
             layer["w_down_exps"] = experts(p + "ffn_down_exps.weight")
-            if p + "ffn_gate_shexp.weight" in t:  # granite-hybrid shared
-                layer["w_gate_shexp"] = linear(p + "ffn_gate_shexp.weight")
+            if p + "exp_probs_b.bias" in t:  # nemotron-h-moe selection bias
+                layer["exp_probs_b"] = vec(p + "exp_probs_b.bias")
+            if p + "ffn_up_shexp.weight" in t:
+                # granite-hybrid gated / nemotron-h-moe gateless ReLU² shexp
+                if p + "ffn_gate_shexp.weight" in t:
+                    layer["w_gate_shexp"] = linear(p + "ffn_gate_shexp.weight")
                 layer["w_up_shexp"] = linear(p + "ffn_up_shexp.weight")
                 layer["w_down_shexp"] = linear(p + "ffn_down_shexp.weight")
         elif p + "ffn_up.weight" in t:
@@ -168,6 +175,46 @@ def build_params(r: GGUFReader, hp: HParams, mode: str = "auto",
     }
 
 
+def _mamba2_mixer(hp, layer, h, conv_state0, ssm_state0):
+    """Mamba-2 SSD mixer over fused z|xBC|dt (shared by nemotron-h,
+    granite-hybrid and falcon-h1 ≡ llm_graph_context_mamba::
+    build_mamba2_layer). Returns (out, conv_state, ssm_state)."""
+    from .mamba import _ssd_scan
+
+    B, T = h.shape[:2]
+    D = hp.ssm_d_inner
+    H = hp.ssm_dt_rank  # SSD head count
+    S = hp.ssm_d_state
+    G = hp.ssm_n_group
+    hd = D // H
+    zxBCdt = layer["ssm_in"](h).astype(jnp.float32)
+    z = zxBCdt[..., :D]
+    xBC = zxBCdt[..., D: 2 * D + 2 * G * S]
+    dt_raw = zxBCdt[..., 2 * D + 2 * G * S:]
+    conv_out, conv_state = _causal_conv(
+        xBC, conv_state0, layer["conv_w"], layer["conv_b"]
+    )
+    xBC = jax.nn.silu(conv_out)
+    xin = xBC[..., :D].reshape(B, T, H, hd)
+    Bm = xBC[..., D: D + G * S].reshape(B, T, G, S)
+    Cm = xBC[..., D + G * S:].reshape(B, T, G, S)
+    dt = jax.nn.softplus(dt_raw + layer["dt_bias"][None, None])
+    A = -jnp.exp(layer["A_log"])
+    h0 = ssm_state0.reshape(B, H, hd, S)
+    y, ssm_state = _ssd_scan(xin, dt, A, Bm, Cm, h0, G)
+    y = y + xin * layer["D"][None, None, :, None]
+    y = y.reshape(B, T, D) * jax.nn.silu(z)
+    if layer["ssm_norm"] is not None:
+        yg = y.reshape(B, T, G, D // G)
+        wg = layer["ssm_norm"].reshape(G, D // G)
+        yg = yg / jnp.sqrt(
+            (yg * yg).mean(-1, keepdims=True) + hp.rms_eps
+        ) * wg[None, None]
+        y = yg.reshape(B, T, D)
+    out = layer["ssm_out"](y.astype(h.dtype))
+    return out, conv_state, ssm_state.reshape(B, D, S)
+
+
 def _ffn_block(hp, layer, h):
     """Per-layer FFN slot: MoE (+ungated shexp) / swiglu / nemotron-h ReLU²
     sequential with biases."""
@@ -175,16 +222,26 @@ def _ffn_block(hp, layer, h):
     if "router" in layer:
         hs = h.reshape(B * T, -1)
         logits = layer["router"](hs).astype(jnp.float32)
-        weights, idx = route(logits, hp.n_expert_used, gating="softmax",
-                             norm_weights=hp.expert_weights_norm)
-        ffn = moe_ffn(hs, weights, idx, layer["w_gate_exps"],
-                      layer["w_up_exps"], layer["w_down_exps"])
-        if "w_gate_shexp" in layer:
-            gate = layer["w_gate_shexp"](hs)
+        gateless = "w_gate_exps" not in layer  # nemotron-h-moe ReLU² experts
+        weights, idx = route(
+            logits, hp.n_expert_used,
+            gating=hp.expert_gating_func if gateless else "softmax",
+            norm_weights=hp.expert_weights_norm,
+            scale=hp.expert_weights_scale if gateless else 1.0,
+            select_bias=layer.get("exp_probs_b"),
+        )
+        ffn = moe_ffn(hs, weights, idx, layer.get("w_gate_exps"),
+                      layer["w_up_exps"], layer["w_down_exps"],
+                      act="relu_sqr" if gateless else "silu")
+        if "w_up_shexp" in layer:
             up = layer["w_up_shexp"](hs)
-            sh = layer["w_down_shexp"](
-                jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
-            )
+            if "w_gate_shexp" in layer:  # granite-hybrid gated shexp
+                gate = layer["w_gate_shexp"](hs)
+                mid = jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
+            else:  # nemotron-h-moe gateless ReLU² shexp
+                mid = jnp.square(
+                    jax.nn.relu(up.astype(jnp.float32))).astype(up.dtype)
+            sh = layer["w_down_shexp"](mid)
             ffn = ffn + sh.astype(ffn.dtype)
         return ffn.reshape(B, T, -1)
     up = layer["w_up"](h)
@@ -262,36 +319,11 @@ def forward(
             ssm_cache = ssm_cache.at[li].set(ssm_state)
             out = layer["ssm_out"](y.astype(x.dtype))
         elif "ssm_in" in layer:
-            # mamba2 SSD (nemotron-h / granite-hybrid): fused z|xBC|dt
-            H = R  # ssm_dt_rank holds the SSD head count
-            hd = D // H
-            zxBCdt = layer["ssm_in"](h).astype(jnp.float32)
-            z = zxBCdt[..., :D]
-            xBC = zxBCdt[..., D: 2 * D + 2 * G * S]
-            dt_raw = zxBCdt[..., 2 * D + 2 * G * S:]
-            conv_out, conv_state = _causal_conv(
-                xBC, conv_cache[li], layer["conv_w"], layer["conv_b"]
+            out, conv_state, ssm_state = _mamba2_mixer(
+                hp, layer, h, conv_cache[li], ssm_cache[li]
             )
-            xBC = jax.nn.silu(conv_out)
-            xin = xBC[..., :D].reshape(B, T, H, hd)
-            Bm = xBC[..., D: D + G * S].reshape(B, T, G, S)
-            Cm = xBC[..., D + G * S:].reshape(B, T, G, S)
-            dt = jax.nn.softplus(dt_raw + layer["dt_bias"][None, None])
-            A = -jnp.exp(layer["A_log"])
-            h0 = ssm_cache[li].reshape(B, H, hd, S)
-            y, ssm_state = _ssd_scan(xin, dt, A, Bm, Cm, h0, G)
-            y = y + xin * layer["D"][None, None, :, None]
-            y = y.reshape(B, T, D) * jax.nn.silu(z)
-            if layer["ssm_norm"] is not None:
-                yg = y.reshape(B, T, G, D // G)
-                wg = layer["ssm_norm"].reshape(G, D // G)
-                yg = yg / jnp.sqrt(
-                    (yg * yg).mean(-1, keepdims=True) + hp.rms_eps
-                ) * wg[None, None]
-                y = yg.reshape(B, T, D)
             conv_cache = conv_cache.at[li].set(conv_state)
-            ssm_cache = ssm_cache.at[li].set(ssm_state.reshape(B, D, S))
-            out = layer["ssm_out"](y.astype(x.dtype))
+            ssm_cache = ssm_cache.at[li].set(ssm_state)
         elif "wq" in layer:
             n_kv = hp.n_head_kv_l(li) or hp.n_head_kv
             q = layer["wq"](h).reshape(B, T, hp.n_head, hp.head_dim)
@@ -348,3 +380,71 @@ def forward(
     if hp.logit_scale != 1.0:  # granite-hybrid
         logits = logits / hp.logit_scale
     return logits, cache
+
+
+def forward_falcon_h1(
+    hp: HParams,
+    params: Params,
+    tokens: jax.Array,
+    positions: jax.Array,
+    cache: HybridCache,
+    cache_offset,
+    return_hidden: bool = False,
+) -> tuple[jax.Array, HybridCache]:
+    """Falcon-H1 (llm_build_falcon_h1): EVERY layer runs attention and a
+    mamba2 mixer in PARALLEL over the same attn_norm output; their sum joins
+    the residual, then a swiglu FFN."""
+    from ..ops.rope import apply_rope
+
+    B, T = tokens.shape
+    scale = hp.attn_scale if hp.attn_scale is not None else hp.head_dim ** -0.5
+    x = params["tok_embd"][tokens]
+
+    offsets = jnp.broadcast_to(
+        jnp.asarray(cache_offset).reshape(-1), (B,)
+    ).astype(jnp.int32)
+    kv_len = jnp.asarray(cache_offset) + T
+    mask = causal_mask(positions, cache.max_len, kv_len)
+
+    k_cache, v_cache = cache.k, cache.v
+    conv_cache, ssm_cache = cache.conv, cache.ssm
+    for li, layer in enumerate(params["layers"]):
+        h = rms_norm(x, layer["attn_norm"], hp.rms_eps)
+
+        q = layer["wq"](h).reshape(B, T, hp.n_head, hp.head_dim)
+        k = layer["wk"](h).reshape(B, T, hp.n_head_kv, hp.head_dim)
+        v = layer["wv"](h).reshape(B, T, hp.n_head_kv, hp.head_dim_v)
+        q = apply_rope(q, positions, hp.rope)
+        k = apply_rope(k, positions, hp.rope)
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k.transpose(0, 2, 1, 3)[None].astype(k_cache.dtype),
+            (li, 0, 0, jnp.asarray(cache_offset), 0),
+        )
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v.transpose(0, 2, 1, 3)[None].astype(v_cache.dtype),
+            (li, 0, 0, jnp.asarray(cache_offset), 0),
+        )
+        attn_out = attention(q, k_cache[li], v_cache[li], mask, scale,
+                             offsets=offsets)
+        attn_out = layer["wo"](attn_out.reshape(B, T, hp.n_head * hp.head_dim_v))
+
+        ssm_out, conv_state, ssm_state = _mamba2_mixer(
+            hp, layer, h, conv_cache[li], ssm_cache[li]
+        )
+        conv_cache = conv_cache.at[li].set(conv_state)
+        ssm_cache = ssm_cache.at[li].set(ssm_state)
+
+        x = x + attn_out + ssm_out
+
+        h2 = rms_norm(x, layer["ffn_norm"], hp.rms_eps)
+        x = x + _ffn_block(hp, layer, h2)
+
+    cache = HybridCache(k_cache, v_cache, conv_cache, ssm_cache)
+    x = rms_norm(x, params["output_norm"], hp.rms_eps)
+    if return_hidden:
+        return x.astype(jnp.float32), cache
+    if params["output"] is not None:
+        logits = params["output"](x)
+    else:
+        logits = jnp.dot(x, params["tok_embd"].T.astype(x.dtype))
+    return logits.astype(jnp.float32), cache

@@ -315,8 +315,20 @@ def _ensure_builtin():
         jamba.forward,
         # nemotron-h = one block per layer (mamba2 | attn | relu² ffn);
         # granitehybrid = mamba2/attn mixers + granite multipliers
-        aliases=("nemotron_h", "granitehybrid"),
+        # nemotron_h_moe = nemotron_h with sigmoid-routed gateless ReLU²
+        # experts + gateless shexp in the FFN slots
+        aliases=("nemotron_h", "granitehybrid", "nemotron_h_moe"),
         recurrent=True,  # exact-length prefills protect the carried state
+        make_cache=lambda hp, batch, max_len, dtype: jamba.HybridCache.new(
+            hp, batch, max_len, dtype
+        ),
+    )
+    # falcon-h1: attention + mamba2 mixer run in PARALLEL on every layer
+    register_arch(
+        "falcon-h1",
+        jamba.build_params,
+        jamba.forward_falcon_h1,
+        recurrent=True,
         make_cache=lambda hp, batch, max_len, dtype: jamba.HybridCache.new(
             hp, batch, max_len, dtype
         ),

@@ -2209,7 +2209,7 @@ def make_tiny_hybrid2_gguf(
     n_vocab = len(tokens)
     head_dim = n_embd // n_head
     conv_w = d_inner + 2 * n_group * d_state
-    if arch == "nemotron_h":
+    if arch in ("nemotron_h", "nemotron_h_moe"):
         kinds = ["mamba2", "attn", "ffn"]
     else:
         kinds = ["mamba2", "attn"]
@@ -2234,6 +2234,12 @@ def make_tiny_hybrid2_gguf(
         w.add_kv(f"{arch}.residual_scale", 0.5)
         w.add_kv(f"{arch}.embedding_scale", 2.0)
         w.add_kv(f"{arch}.logit_scale", 4.0)
+    if arch == "nemotron_h_moe":
+        w.add_kv(f"{arch}.expert_count", 4)
+        w.add_kv(f"{arch}.expert_used_count", 2)
+        w.add_kv(f"{arch}.expert_gating_func", 2)  # sigmoid
+        w.add_kv(f"{arch}.expert_weights_norm", True)
+        w.add_kv(f"{arch}.expert_weights_scale", 2.0)
     w.add_kv("tokenizer.ggml.model", "llama")
     w.add_kv("tokenizer.ggml.tokens", tokens)
     w.add_kv("tokenizer.ggml.scores", np.asarray(scores, dtype=np.float32))
@@ -2271,6 +2277,14 @@ def make_tiny_hybrid2_gguf(
                 w.add_tensor(p + "ffn_up.bias", rand((n_ff,)))
                 w.add_tensor(p + "ffn_down.weight", rand((n_embd, n_ff)))
                 w.add_tensor(p + "ffn_down.bias", rand((n_embd,)))
+        elif arch == "nemotron_h_moe":
+            if kind == "ffn":  # gateless ReLU² MoE + gateless shexp
+                w.add_tensor(p + "ffn_gate_inp.weight", rand((4, n_embd)))
+                w.add_tensor(p + "exp_probs_b.bias", rand((4,), 0.5))
+                w.add_tensor(p + "ffn_up_exps.weight", rand((4, n_ff, n_embd)))
+                w.add_tensor(p + "ffn_down_exps.weight", rand((4, n_embd, n_ff)))
+                w.add_tensor(p + "ffn_up_shexp.weight", rand((n_ff, n_embd)))
+                w.add_tensor(p + "ffn_down_shexp.weight", rand((n_embd, n_ff)))
         else:  # granitehybrid: swiglu FFN paired with every mixer
             w.add_tensor(p + "ffn_norm.weight", 1.0 + rand((n_embd,)))
             w.add_tensor(p + "ffn_gate.weight", rand((n_ff, n_embd)))
@@ -2968,5 +2982,85 @@ def make_tiny_gemma_embedding_gguf(
         w.add_tensor(p + "ffn_down.weight", rand((n_embd, n_ff)))
         w.add_tensor(p + "post_ffw_norm.weight", np.ones(n_embd, dtype=np.float32))
     w.add_tensor("output_norm.weight", np.ones(n_embd, dtype=np.float32))
+    w.write()
+    return str(path)
+
+
+def make_tiny_falcon_h1_gguf(
+    path,
+    *,
+    n_layer: int = 2,
+    n_embd: int = 64,
+    n_head: int = 4,
+    n_head_kv: int = 2,
+    d_inner: int = 64,
+    d_state: int = 16,
+    d_conv: int = 4,
+    n_ssm_head: int = 4,
+    n_group: int = 2,
+    n_ff: int = 96,
+    n_ctx: int = 256,
+    seed: int = 0,
+) -> str:
+    """Tiny falcon-h1 GGUF: every layer = attention + mamba2 mixer in
+    parallel, then swiglu FFN (llm_build_falcon_h1)."""
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = _byte_vocab(DEFAULT_WORDS)
+    n_vocab = len(tokens)
+    head_dim = n_embd // n_head
+    conv_w = d_inner + 2 * n_group * d_state
+
+    arch = "falcon-h1"
+    w = GGUFWriter(path, architecture=arch)
+    w.add_kv("general.name", "tpullm-tiny-falcon-h1")
+    w.add_kv(f"{arch}.block_count", n_layer)
+    w.add_kv(f"{arch}.context_length", n_ctx)
+    w.add_kv(f"{arch}.embedding_length", n_embd)
+    w.add_kv(f"{arch}.feed_forward_length", n_ff)
+    w.add_kv(f"{arch}.attention.head_count", n_head)
+    w.add_kv(f"{arch}.attention.head_count_kv", n_head_kv)
+    w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_kv(f"{arch}.rope.freq_base", 10000.0)
+    w.add_kv(f"{arch}.rope.dimension_count", head_dim)
+    w.add_kv(f"{arch}.ssm.conv_kernel", d_conv)
+    w.add_kv(f"{arch}.ssm.inner_size", d_inner)
+    w.add_kv(f"{arch}.ssm.state_size", d_state)
+    w.add_kv(f"{arch}.ssm.time_step_rank", n_ssm_head)
+    w.add_kv(f"{arch}.ssm.group_count", n_group)
+    w.add_kv("tokenizer.ggml.model", "llama")
+    w.add_kv("tokenizer.ggml.tokens", tokens)
+    w.add_kv("tokenizer.ggml.scores", np.asarray(scores, dtype=np.float32))
+    w.add_kv("tokenizer.ggml.token_type", np.asarray(types, dtype=np.int32))
+    w.add_kv("tokenizer.ggml.bos_token_id", 1)
+    w.add_kv("tokenizer.ggml.eos_token_id", 2)
+    w.add_kv("tokenizer.ggml.unknown_token_id", 0)
+    w.add_kv("tokenizer.ggml.add_bos_token", True)
+
+    def rand(shape, scale=0.05):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    w.add_tensor("token_embd.weight", rand((n_vocab, n_embd)))
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        w.add_tensor(p + "attn_norm.weight", 1.0 + rand((n_embd,)))
+        w.add_tensor(p + "attn_q.weight", rand((n_head * head_dim, n_embd)))
+        w.add_tensor(p + "attn_k.weight", rand((n_head_kv * head_dim, n_embd)))
+        w.add_tensor(p + "attn_v.weight", rand((n_head_kv * head_dim, n_embd)))
+        w.add_tensor(p + "attn_output.weight", rand((n_embd, n_head * head_dim)))
+        w.add_tensor(p + "ssm_in.weight",
+                     rand((2 * d_inner + 2 * n_group * d_state + n_ssm_head, n_embd)))
+        w.add_tensor(p + "ssm_conv1d.weight", rand((conv_w, d_conv)))
+        w.add_tensor(p + "ssm_conv1d.bias", rand((conv_w,)))
+        w.add_tensor(p + "ssm_dt.bias", rand((n_ssm_head,)))
+        w.add_tensor(p + "ssm_a", rand((n_ssm_head,)))
+        w.add_tensor(p + "ssm_d", rand((n_ssm_head,)))
+        w.add_tensor(p + "ssm_norm.weight", 1.0 + rand((d_inner,)))
+        w.add_tensor(p + "ssm_out.weight", rand((n_embd, d_inner)))
+        w.add_tensor(p + "ffn_norm.weight", 1.0 + rand((n_embd,)))
+        w.add_tensor(p + "ffn_gate.weight", rand((n_ff, n_embd)))
+        w.add_tensor(p + "ffn_up.weight", rand((n_ff, n_embd)))
+        w.add_tensor(p + "ffn_down.weight", rand((n_embd, n_ff)))
+    w.add_tensor("output_norm.weight", 1.0 + rand((n_embd,)))
+    w.add_tensor("output.weight", rand((n_vocab, n_embd)))
     w.write()
     return str(path)

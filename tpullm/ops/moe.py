@@ -59,19 +59,27 @@ def moe_ffn(
     x: jax.Array,  # [N, n_embd]
     weights: jax.Array,  # [N, k] routing weights
     idx: jax.Array,  # [N, k] expert ids
-    w_gate: jax.Array,  # [E, n_embd, n_ff]
+    w_gate: jax.Array | None,  # [E, n_embd, n_ff]; None = gateless experts
     w_up: jax.Array,  # [E, n_embd, n_ff]
     w_down: jax.Array,  # [E, n_ff, n_embd]
-    act: str = "silu",  # silu | gelu (grok) | relu (smallthinker)
+    act: str = "silu",  # silu | gelu (grok) | relu | relu_sqr (nemotron-h-moe)
 ) -> jax.Array:
-    """Gated expert FFN, combining the k routed experts per token."""
+    """Gated (or gateless up/down-only) expert FFN, combining the k routed
+    experts per token."""
     n_tokens = x.shape[0]
     if n_tokens <= _GATHER_MAX_TOKENS:
         return _moe_gather(x, weights, idx, w_gate, w_up, w_down, act)
     return _moe_dense(x, weights, idx, w_gate, w_up, w_down, act)
 
 
-def _glu(gate: jax.Array, up: jax.Array, act: str) -> jax.Array:
+def _glu(gate: jax.Array | None, up: jax.Array, act: str) -> jax.Array:
+    if gate is None:  # gateless experts: activation applied to up directly
+        uf = up.astype(jnp.float32)
+        if act == "relu_sqr":  # nemotron-h-moe ReLU²
+            return jnp.square(jax.nn.relu(uf)).astype(up.dtype)
+        if act == "gelu":
+            return jax.nn.gelu(uf, approximate=True).astype(up.dtype)
+        return jax.nn.relu(uf).astype(up.dtype)
     gf = gate.astype(jnp.float32)
     if act == "gelu":
         a = jax.nn.gelu(gf, approximate=False)
@@ -90,11 +98,11 @@ def _moe_gather(x, weights, idx, w_gate, w_up, w_down, act="silu"):
     """Decode regime: gather k experts' weights per token."""
     # [N, k, n_embd, n_ff] weight gathers ride XLA's dynamic-gather; with
     # N*k small this is k expert-reads from HBM
-    wg = w_gate[idx]  # [N, k, E_in, F]
     wu = w_up[idx]
     wd = w_down[idx]  # [N, k, F, E_in]
-    gate = jnp.einsum("ne,nkef->nkf", x, wg)
     up = jnp.einsum("ne,nkef->nkf", x, wu)
+    gate = (jnp.einsum("ne,nkef->nkf", x, w_gate[idx])
+            if w_gate is not None else None)
     mid = _glu(gate, up, act)
     out = jnp.einsum("nkf,nkfe->nke", mid, wd)
     return jnp.einsum("nke,nk->ne", out.astype(jnp.float32),
@@ -104,9 +112,10 @@ def _moe_gather(x, weights, idx, w_gate, w_up, w_down, act="silu"):
 def _moe_dense(x, weights, idx, w_gate, w_up, w_down, act="silu"):
     """Prefill regime: every expert computes every token on the MXU, then the
     routing weights (zero for unselected experts) combine them."""
-    E = w_gate.shape[0]
-    gate = jnp.einsum("ne,xef->xnf", x, w_gate)  # [E, N, F]
-    up = jnp.einsum("ne,xef->xnf", x, w_up)
+    E = w_up.shape[0]
+    up = jnp.einsum("ne,xef->xnf", x, w_up)  # [E, N, F]
+    gate = (jnp.einsum("ne,xef->xnf", x, w_gate)
+            if w_gate is not None else None)
     mid = _glu(gate, up, act)
     out = jnp.einsum("xnf,xfe->xne", mid, w_down)  # [E, N, n_embd]
     # dense per-(token, expert) weight matrix from the top-k selection
