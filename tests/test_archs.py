@@ -1732,3 +1732,112 @@ def test_rwkv6qwen2_decode_matches_prefill(tmp_path):
     eng.prefill(toks[:-1])
     last = eng.decode_step(toks[-1])
     np.testing.assert_allclose(last, full[-1], rtol=2e-3, atol=2e-3)
+
+
+def test_plamo_parallel_residual(tmp_path):
+    """plamo v1: attention and FFN both consume the same normed input."""
+    from tpullm.models.testing import make_tiny_plamo_gguf
+
+    path = make_tiny_plamo_gguf(tmp_path / "plamo.gguf")
+    eng = Engine(path, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    toks = eng.tokenizer.tokenize("the quick brown", add_special=True)
+    full = eng.prefill_all_logits(toks)
+    assert np.isfinite(full).all()
+    eng.reset()
+    eng.prefill(toks[:-1])
+    last = eng.decode_step(toks[-1])
+    np.testing.assert_allclose(last, full[-1], rtol=2e-3, atol=2e-3)
+
+
+def test_plamo2_hybrid_decode_matches_prefill(tmp_path):
+    """plamo2: mamba (per-head scalar A/dt, normed B/C/dt) + fused-qkv
+    attention hybrid with pre+post norm sandwiches."""
+    from tpullm.models.testing import make_tiny_plamo2_gguf
+
+    path = make_tiny_plamo2_gguf(tmp_path / "plamo2.gguf")
+    eng = Engine(path, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    assert eng.hp.n_head_kv_arr == (0, 2)
+    toks = eng.tokenizer.tokenize("the quick brown fox", add_special=True)
+    full = eng.prefill_all_logits(toks)
+    assert np.isfinite(full).all()
+    eng.reset()
+    eng.cache = type(eng.cache).new(eng.hp, eng.batch, eng.max_seq, jnp.float32)
+    eng.prefill(toks[:-1])
+    last = eng.decode_step(toks[-1])
+    np.testing.assert_allclose(last, full[-1], rtol=2e-3, atol=2e-3)
+
+
+def test_plamo3_iswa_decode_matches_prefill(tmp_path):
+    from tpullm.models.testing import make_tiny_plamo3_gguf
+
+    path = make_tiny_plamo3_gguf(tmp_path / "plamo3.gguf")
+    eng = Engine(path, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    assert eng.hp.is_swa(0) and not eng.hp.is_swa(2)
+    toks = eng.tokenizer.tokenize("the quick brown fox", add_special=True)
+    full = eng.prefill_all_logits(toks)
+    assert np.isfinite(full).all()
+    eng.reset()
+    eng.prefill(toks[:-1])
+    last = eng.decode_step(toks[-1])
+    np.testing.assert_allclose(last, full[-1], rtol=2e-3, atol=2e-3)
+
+
+def test_grovemoe_adjugate_experts(tmp_path):
+    """grovemoe: sigmoid selection + softmax weights, adjugate chunk experts
+    consume the regular MoE output (llm_build_grovemoe)."""
+    from tpullm.models.testing import make_tiny_grovemoe_gguf
+
+    path = make_tiny_grovemoe_gguf(tmp_path / "grove.gguf")
+    eng = Engine(path, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    assert eng.hp.n_group_experts == 4
+    toks = eng.tokenizer.tokenize("the quick brown", add_special=True)
+    full = eng.prefill_all_logits(toks)
+    assert np.isfinite(full).all()
+    eng.reset()
+    eng.prefill(toks[:-1])
+    last = eng.decode_step(toks[-1])
+    np.testing.assert_allclose(last, full[-1], rtol=2e-3, atol=2e-3)
+
+
+def test_apertus_xielu_ffn(tmp_path):
+    """apertus: llama graph with per-head qk norms and a gateless xIELU FFN
+    whose per-layer params come from the global xielu.* GGUF keys."""
+    from tpullm.gguf import GGUFReader
+    from tpullm.gguf.writer import GGUFWriter
+    from tpullm.models.testing import make_tiny_llama_gguf
+
+    path = make_tiny_llama_gguf(tmp_path / "ap.gguf", arch="apertus",
+                                n_layer=2, with_qk_norm=True)
+    r = GGUFReader(path)
+    path2 = str(tmp_path / "ap2.gguf")
+    w = GGUFWriter(path2, architecture="apertus")
+    for key, val in r.metadata.items():
+        if key != "general.architecture":
+            w.add_kv(key, val)
+    w.add_kv("xielu.alpha_n", [0.8, 0.8])
+    w.add_kv("xielu.alpha_p", [0.8, 0.8])
+    w.add_kv("xielu.beta", [0.5, 0.5])
+    w.add_kv("xielu.eps", [-1e-6, -1e-6])
+    for name, info in r.tensors.items():
+        if name.endswith("ffn_gate.weight"):
+            continue  # gateless
+        w.add_tensor(name, info.to_numpy())
+    w.write()
+
+    eng = Engine(path2, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    assert eng.hp.xielu is not None and len(eng.hp.xielu) == 2
+    an, ap, bb, ee = eng.hp.xielu[0]
+    assert abs(an - (0.5 + np.log1p(np.exp(0.8)))) < 1e-6  # β+softplus(αn)
+    assert abs(ap - np.log1p(np.exp(0.8))) < 1e-6
+    toks = eng.tokenizer.tokenize("the quick brown", add_special=True)
+    full = eng.prefill_all_logits(toks)
+    assert np.isfinite(full).all()
+    eng.reset()
+    eng.prefill(toks[:-1])
+    last = eng.decode_step(toks[-1])
+    np.testing.assert_allclose(last, full[-1], rtol=2e-3, atol=2e-3)

@@ -63,6 +63,12 @@ class HParams:
     causal: bool = True
     swin_norm: bool = False  # chameleon: norms after attn/ffn (%s.swin_norm)
     moe_every_n: int = 0  # nomic-bert-moe: MoE FFN on layers il % n == 1
+    # apertus xIELU: per-layer (alpha_n_eff, alpha_p_eff, beta, eps) with the
+    # ggml_xielu softplus folding already applied
+    xielu: tuple | None = None
+    # grovemoe adjugate experts
+    n_group_experts: int = 0  # %s.experts_per_group
+    expert_group_scale: float = 0.05  # %s.expert_group_scale
     # gemma-family extras
     softcap_attn: float = 0.0
     softcap_final: float = 0.0
@@ -155,8 +161,35 @@ NEOX_ROPE_ARCHS = {
     "glm4moe",
     "qwen2vl", "qwen3vl", "qwen3vlmoe", "smallthinker", "qwen3next",
     "nomic-bert-moe", "jina-bert-v3", "modern-bert", "gemma-embedding",
-    "falcon-h1",
+    "falcon-h1", "plamo", "plamo2", "plamo3", "grovemoe", "apertus",
 }
+
+
+def _read_xielu(r: GGUFReader, n_layer: int):
+    """Apertus xIELU per-layer params from global xielu.* keys, with the
+    ggml_xielu folding: alpha_n ← beta + softplus(alpha_n),
+    alpha_p ← softplus(alpha_p)."""
+    raw_n = r.metadata.get("xielu.alpha_n")
+    if raw_n is None or n_layer == 0:
+        return None
+
+    def arr(key, default):
+        v = r.metadata.get(key, default)
+        if isinstance(v, (list, tuple, np.ndarray)):
+            return [float(x) for x in v]
+        return [float(v)] * n_layer
+
+    def softplus(v):
+        return float(np.log1p(np.exp(v)))
+
+    a_n = arr("xielu.alpha_n", 0.0)
+    a_p = arr("xielu.alpha_p", 0.0)
+    beta = arr("xielu.beta", 0.5)
+    eps = arr("xielu.eps", -1e-6)
+    return tuple(
+        (beta[i] + softplus(a_n[i]), softplus(a_p[i]), beta[i], eps[i])
+        for i in range(n_layer)
+    )
 
 
 def hparams_from_gguf(r: GGUFReader) -> HParams:
@@ -256,6 +289,9 @@ def hparams_from_gguf(r: GGUFReader) -> HParams:
                          "modern-bert", "gemma-embedding", "llama-embed"),
         )),
         moe_every_n=int(k("{arch}.moe_every_n_layers", 0)),
+        xielu=_read_xielu(r, int(k(Keys.LLM.BLOCK_COUNT, 0) or 0)),
+        n_group_experts=int(k("{arch}.experts_per_group", 0) or 0),
+        expert_group_scale=float(k("{arch}.expert_group_scale", 0.05) or 0.05),
         softcap_attn=float(k(Keys.LLM.ATTN_LOGIT_SOFTCAPPING, 0.0)),
         softcap_final=float(k(Keys.LLM.FINAL_LOGIT_SOFTCAPPING, 0.0)),
         rope_freq_base_swa=float(k(

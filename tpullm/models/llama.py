@@ -239,6 +239,16 @@ def forward(
         if layer["w_gate"] is not None:
             gate = layer["w_gate"](h)
             act = jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
+        elif hp.xielu is not None:
+            # apertus xIELU (ggml_xielu, softplus folding done in hparams):
+            # x>0 → αp·x² + β·x; x≤0 → (expm1(min(x,eps)) − x)·αn + β·x
+            an, ap, bb, ee = hp.xielu[li]
+            uf = up.astype(jnp.float32)
+            act = jnp.where(
+                uf > 0.0,
+                ap * uf * uf + bb * uf,
+                (jnp.expm1(jnp.minimum(uf, ee)) - uf) * an + bb * uf,
+            ).astype(up.dtype)
         else:  # gateless ReLU² FFN (arcee, llm_build_arcee LLM_FFN_RELU_SQR)
             act = jnp.square(jax.nn.relu(up.astype(jnp.float32))).astype(up.dtype)
         ffn = layer["w_down"](act)

@@ -101,8 +101,13 @@ def _ensure_builtin():
                  # m-rope/interleaved-m-rope streams are all equal, so the
                  # rotation degenerates to standard neox rope (vision
                  # encoding rides mtmd separately)
-                 "llama-embed", "qwen2vl", "qwen3vl"),
+                 # apertus = llama + per-head qk norms + gateless xIELU FFN
+                 # (llm_build_apertus; hp.xielu drives the activation)
+                 "llama-embed", "qwen2vl", "qwen3vl", "apertus"),
     )
+    from . import grovemoe
+
+    register_arch("grovemoe", grovemoe.build_params, grovemoe.forward)
     from . import falcon
 
     # codeshell = the gptneox sequential layout with neox partial rope
@@ -191,6 +196,19 @@ def _ensure_builtin():
     from . import chameleon
 
     register_arch("chameleon", chameleon.build_params, chameleon.forward)
+    from . import plamo
+
+    register_arch("plamo", plamo.build_params, plamo.forward)
+    register_arch(
+        "plamo2",
+        plamo.build_params2,
+        plamo.forward2,
+        recurrent=True,
+        make_cache=lambda hp, batch, max_len, dtype: jamba.HybridCache.new(
+            hp, batch, max_len, dtype
+        ),
+    )
+    register_arch("plamo3", plamo.build_params3, plamo.forward3)
     from . import command_r, olmo2
 
     # exaone4 = the same post-norm skeleton with per-head qk norms and

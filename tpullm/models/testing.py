@@ -3064,3 +3064,295 @@ def make_tiny_falcon_h1_gguf(
     w.add_tensor("output.weight", rand((n_vocab, n_embd)))
     w.write()
     return str(path)
+
+
+def make_tiny_plamo_gguf(
+    path,
+    *,
+    n_layer: int = 2,
+    n_embd: int = 64,
+    n_head: int = 4,
+    n_head_kv: int = 4,
+    n_ff: int = 96,
+    n_ctx: int = 256,
+    seed: int = 0,
+) -> str:
+    """Tiny plamo v1 GGUF: parallel attention+FFN residual."""
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = _byte_vocab(DEFAULT_WORDS)
+    n_vocab = len(tokens)
+    head_dim = n_embd // n_head
+
+    arch = "plamo"
+    w = GGUFWriter(path, architecture=arch)
+    w.add_kv("general.name", "tpullm-tiny-plamo")
+    w.add_kv(f"{arch}.block_count", n_layer)
+    w.add_kv(f"{arch}.context_length", n_ctx)
+    w.add_kv(f"{arch}.embedding_length", n_embd)
+    w.add_kv(f"{arch}.feed_forward_length", n_ff)
+    w.add_kv(f"{arch}.attention.head_count", n_head)
+    w.add_kv(f"{arch}.attention.head_count_kv", n_head_kv)
+    w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_kv(f"{arch}.rope.freq_base", 10000.0)
+    w.add_kv(f"{arch}.rope.dimension_count", head_dim)
+    w.add_kv("tokenizer.ggml.model", "llama")
+    w.add_kv("tokenizer.ggml.tokens", tokens)
+    w.add_kv("tokenizer.ggml.scores", np.asarray(scores, dtype=np.float32))
+    w.add_kv("tokenizer.ggml.token_type", np.asarray(types, dtype=np.int32))
+    w.add_kv("tokenizer.ggml.bos_token_id", 1)
+    w.add_kv("tokenizer.ggml.eos_token_id", 2)
+    w.add_kv("tokenizer.ggml.unknown_token_id", 0)
+    w.add_kv("tokenizer.ggml.add_bos_token", True)
+
+    def rand(shape, scale=0.05):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    w.add_tensor("token_embd.weight", rand((n_vocab, n_embd)))
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        w.add_tensor(p + "attn_norm.weight", 1.0 + rand((n_embd,)))
+        w.add_tensor(p + "attn_q.weight", rand((n_head * head_dim, n_embd)))
+        w.add_tensor(p + "attn_k.weight", rand((n_head_kv * head_dim, n_embd)))
+        w.add_tensor(p + "attn_v.weight", rand((n_head_kv * head_dim, n_embd)))
+        w.add_tensor(p + "attn_output.weight", rand((n_embd, n_head * head_dim)))
+        w.add_tensor(p + "ffn_gate.weight", rand((n_ff, n_embd)))
+        w.add_tensor(p + "ffn_up.weight", rand((n_ff, n_embd)))
+        w.add_tensor(p + "ffn_down.weight", rand((n_embd, n_ff)))
+    w.add_tensor("output_norm.weight", 1.0 + rand((n_embd,)))
+    w.add_tensor("output.weight", rand((n_vocab, n_embd)))
+    w.write()
+    return str(path)
+
+
+def make_tiny_plamo2_gguf(
+    path,
+    *,
+    n_embd: int = 64,
+    n_head: int = 4,
+    n_head_kv: int = 2,
+    n_mamba_head: int = 4,
+    mamba_head_dim: int = 16,
+    d_state: int = 16,
+    d_conv: int = 4,
+    dt_dim: int = 8,
+    n_ff: int = 48,
+    n_ctx: int = 256,
+    seed: int = 0,
+) -> str:
+    """Tiny plamo2 GGUF: [mamba, attn] hybrid with pre+post norm sandwiches
+    and fused-swiglu FFN sub-blocks."""
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = _byte_vocab(DEFAULT_WORDS)
+    n_vocab = len(tokens)
+    head_dim = n_embd // n_head
+    d_inner = n_mamba_head * mamba_head_dim
+    kinds = ["mamba", "attn"]
+    kv_arr = [0 if k == "mamba" else n_head_kv for k in kinds]
+    n_layer = len(kinds)
+
+    arch = "plamo2"
+    w = GGUFWriter(path, architecture=arch)
+    w.add_kv("general.name", "tpullm-tiny-plamo2")
+    w.add_kv(f"{arch}.block_count", n_layer)
+    w.add_kv(f"{arch}.context_length", n_ctx)
+    w.add_kv(f"{arch}.embedding_length", n_embd)
+    w.add_kv(f"{arch}.feed_forward_length", n_ff)
+    w.add_kv(f"{arch}.attention.head_count", n_head)
+    w.add_kv(f"{arch}.attention.head_count_kv", np.asarray(kv_arr, dtype=np.int32))
+    w.add_kv(f"{arch}.attention.key_length", head_dim)
+    w.add_kv(f"{arch}.attention.value_length", head_dim)
+    w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon", 1e-6)
+    w.add_kv(f"{arch}.rope.freq_base", 10000.0)
+    w.add_kv(f"{arch}.rope.dimension_count", head_dim)
+    w.add_kv(f"{arch}.ssm.conv_kernel", d_conv)
+    w.add_kv(f"{arch}.ssm.inner_size", d_inner)
+    w.add_kv(f"{arch}.ssm.state_size", d_state)
+    w.add_kv(f"{arch}.ssm.time_step_rank", n_mamba_head)
+    w.add_kv(f"{arch}.ssm.group_count", 0)
+    w.add_kv("tokenizer.ggml.model", "llama")
+    w.add_kv("tokenizer.ggml.tokens", tokens)
+    w.add_kv("tokenizer.ggml.scores", np.asarray(scores, dtype=np.float32))
+    w.add_kv("tokenizer.ggml.token_type", np.asarray(types, dtype=np.int32))
+    w.add_kv("tokenizer.ggml.bos_token_id", 1)
+    w.add_kv("tokenizer.ggml.eos_token_id", 2)
+    w.add_kv("tokenizer.ggml.unknown_token_id", 0)
+    w.add_kv("tokenizer.ggml.add_bos_token", True)
+
+    def rand(shape, scale=0.05):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    w.add_tensor("token_embd.weight", rand((n_vocab, n_embd)))
+    for i, kind in enumerate(kinds):
+        p = f"blk.{i}."
+        w.add_tensor(p + "attn_norm.weight", 1.0 + rand((n_embd,)))
+        w.add_tensor(p + "post_attention_norm.weight", 1.0 + rand((n_embd,)))
+        w.add_tensor(p + "ffn_norm.weight", 1.0 + rand((n_embd,)))
+        w.add_tensor(p + "post_ffw_norm.weight", 1.0 + rand((n_embd,)))
+        if kind == "mamba":
+            w.add_tensor(p + "ssm_in.weight", rand((2 * d_inner, n_embd)))
+            w.add_tensor(p + "ssm_conv1d.weight", rand((d_inner, d_conv)))
+            w.add_tensor(p + "ssm_x.weight", rand((2 * d_state + dt_dim, d_inner)))
+            w.add_tensor(p + "ssm_b_norm.weight", 1.0 + rand((d_state,)))
+            w.add_tensor(p + "ssm_c_norm.weight", 1.0 + rand((d_state,)))
+            w.add_tensor(p + "ssm_dt_norm.weight", 1.0 + rand((dt_dim,)))
+            w.add_tensor(p + "ssm_dt.weight", rand((n_mamba_head, dt_dim)))
+            w.add_tensor(p + "ssm_dt.bias", rand((n_mamba_head,)))
+            w.add_tensor(p + "ssm_a", -np.exp(rand((n_mamba_head,))))
+            w.add_tensor(p + "ssm_d", 1.0 + rand((n_mamba_head,)))
+            w.add_tensor(p + "ssm_out.weight", rand((n_embd, d_inner)))
+        else:
+            w.add_tensor(p + "attn_qkv.weight",
+                         rand(((n_head + 2 * n_head_kv) * head_dim, n_embd)))
+            w.add_tensor(p + "attn_output.weight", rand((n_embd, n_head * head_dim)))
+            w.add_tensor(p + "attn_q_norm.weight", 1.0 + rand((head_dim,)))
+            w.add_tensor(p + "attn_k_norm.weight", 1.0 + rand((head_dim,)))
+        w.add_tensor(p + "ffn_up.weight", rand((2 * n_ff, n_embd)))
+        w.add_tensor(p + "ffn_down.weight", rand((n_embd, n_ff)))
+    w.add_tensor("output_norm.weight", 1.0 + rand((n_embd,)))
+    w.add_tensor("output.weight", rand((n_vocab, n_embd)))
+    w.write()
+    return str(path)
+
+
+def make_tiny_plamo3_gguf(
+    path,
+    *,
+    n_layer: int = 3,
+    n_embd: int = 64,
+    n_head: int = 4,
+    n_head_kv: int = 2,
+    n_ff: int = 48,
+    n_ctx: int = 256,
+    sliding_window: int = 8,
+    seed: int = 0,
+) -> str:
+    """Tiny plamo3 GGUF: fused qkv + per-head qk norms, pre+post norm
+    sandwich, fused swiglu, iSWA local layers."""
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = _byte_vocab(DEFAULT_WORDS)
+    n_vocab = len(tokens)
+    head_dim = n_embd // n_head
+
+    arch = "plamo3"
+    w = GGUFWriter(path, architecture=arch)
+    w.add_kv("general.name", "tpullm-tiny-plamo3")
+    w.add_kv(f"{arch}.block_count", n_layer)
+    w.add_kv(f"{arch}.context_length", n_ctx)
+    w.add_kv(f"{arch}.embedding_length", n_embd)
+    w.add_kv(f"{arch}.feed_forward_length", n_ff)
+    w.add_kv(f"{arch}.attention.head_count", n_head)
+    w.add_kv(f"{arch}.attention.head_count_kv", n_head_kv)
+    w.add_kv(f"{arch}.attention.key_length", head_dim)
+    w.add_kv(f"{arch}.attention.value_length", head_dim)
+    w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_kv(f"{arch}.attention.sliding_window", sliding_window)
+    w.add_kv(f"{arch}.attention.sliding_window_pattern", 3)
+    w.add_kv(f"{arch}.rope.freq_base", 1000000.0)
+    w.add_kv(f"{arch}.rope.freq_base_swa", 10000.0)
+    w.add_kv(f"{arch}.rope.dimension_count", head_dim)
+    w.add_kv("tokenizer.ggml.model", "llama")
+    w.add_kv("tokenizer.ggml.tokens", tokens)
+    w.add_kv("tokenizer.ggml.scores", np.asarray(scores, dtype=np.float32))
+    w.add_kv("tokenizer.ggml.token_type", np.asarray(types, dtype=np.int32))
+    w.add_kv("tokenizer.ggml.bos_token_id", 1)
+    w.add_kv("tokenizer.ggml.eos_token_id", 2)
+    w.add_kv("tokenizer.ggml.unknown_token_id", 0)
+    w.add_kv("tokenizer.ggml.add_bos_token", True)
+
+    def rand(shape, scale=0.05):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    w.add_tensor("token_embd.weight", rand((n_vocab, n_embd)))
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        w.add_tensor(p + "attn_norm.weight", 1.0 + rand((n_embd,)))
+        w.add_tensor(p + "post_attention_norm.weight", 1.0 + rand((n_embd,)))
+        w.add_tensor(p + "attn_qkv.weight",
+                     rand(((n_head + 2 * n_head_kv) * head_dim, n_embd)))
+        w.add_tensor(p + "attn_output.weight", rand((n_embd, n_head * head_dim)))
+        w.add_tensor(p + "attn_q_norm.weight", 1.0 + rand((head_dim,)))
+        w.add_tensor(p + "attn_k_norm.weight", 1.0 + rand((head_dim,)))
+        w.add_tensor(p + "ffn_norm.weight", 1.0 + rand((n_embd,)))
+        w.add_tensor(p + "post_ffw_norm.weight", 1.0 + rand((n_embd,)))
+        w.add_tensor(p + "ffn_up.weight", rand((2 * n_ff, n_embd)))
+        w.add_tensor(p + "ffn_down.weight", rand((n_embd, n_ff)))
+    w.add_tensor("output_norm.weight", 1.0 + rand((n_embd,)))
+    w.add_tensor("output.weight", rand((n_vocab, n_embd)))
+    w.write()
+    return str(path)
+
+
+def make_tiny_grovemoe_gguf(
+    path,
+    *,
+    n_layer: int = 2,
+    n_embd: int = 64,
+    n_head: int = 4,
+    n_head_kv: int = 2,
+    n_expert: int = 8,
+    n_expert_used: int = 2,
+    n_group_experts: int = 4,  # chunk experts = n_expert / this = 2
+    n_ff_exp: int = 32,
+    n_ff_chexp: int = 16,
+    n_ctx: int = 256,
+    seed: int = 0,
+) -> str:
+    """Tiny grovemoe GGUF: qwen3 attention + adjugate-expert double MoE."""
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = _byte_vocab(DEFAULT_WORDS)
+    n_vocab = len(tokens)
+    head_dim = n_embd // n_head
+    n_chunk = n_expert // n_group_experts
+
+    arch = "grovemoe"
+    w = GGUFWriter(path, architecture=arch)
+    w.add_kv("general.name", "tpullm-tiny-grovemoe")
+    w.add_kv(f"{arch}.block_count", n_layer)
+    w.add_kv(f"{arch}.context_length", n_ctx)
+    w.add_kv(f"{arch}.embedding_length", n_embd)
+    w.add_kv(f"{arch}.feed_forward_length", n_ff_exp)
+    w.add_kv(f"{arch}.attention.head_count", n_head)
+    w.add_kv(f"{arch}.attention.head_count_kv", n_head_kv)
+    w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon", 1e-6)
+    w.add_kv(f"{arch}.rope.freq_base", 10000.0)
+    w.add_kv(f"{arch}.rope.dimension_count", head_dim)
+    w.add_kv(f"{arch}.expert_count", n_expert)
+    w.add_kv(f"{arch}.expert_used_count", n_expert_used)
+    w.add_kv(f"{arch}.expert_feed_forward_length", n_ff_exp)
+    w.add_kv(f"{arch}.expert_chunk_feed_forward_length", n_ff_chexp)
+    w.add_kv(f"{arch}.experts_per_group", n_group_experts)
+    w.add_kv(f"{arch}.expert_group_scale", 0.05)
+    w.add_kv("tokenizer.ggml.model", "llama")
+    w.add_kv("tokenizer.ggml.tokens", tokens)
+    w.add_kv("tokenizer.ggml.scores", np.asarray(scores, dtype=np.float32))
+    w.add_kv("tokenizer.ggml.token_type", np.asarray(types, dtype=np.int32))
+    w.add_kv("tokenizer.ggml.bos_token_id", 1)
+    w.add_kv("tokenizer.ggml.eos_token_id", 2)
+    w.add_kv("tokenizer.ggml.unknown_token_id", 0)
+    w.add_kv("tokenizer.ggml.add_bos_token", True)
+
+    def rand(shape, scale=0.05):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    w.add_tensor("token_embd.weight", rand((n_vocab, n_embd)))
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        w.add_tensor(p + "attn_norm.weight", 1.0 + rand((n_embd,)))
+        w.add_tensor(p + "attn_q.weight", rand((n_head * head_dim, n_embd)))
+        w.add_tensor(p + "attn_k.weight", rand((n_head_kv * head_dim, n_embd)))
+        w.add_tensor(p + "attn_v.weight", rand((n_head_kv * head_dim, n_embd)))
+        w.add_tensor(p + "attn_q_norm.weight", 1.0 + rand((head_dim,)))
+        w.add_tensor(p + "attn_k_norm.weight", 1.0 + rand((head_dim,)))
+        w.add_tensor(p + "attn_output.weight", rand((n_embd, n_head * head_dim)))
+        w.add_tensor(p + "ffn_norm.weight", 1.0 + rand((n_embd,)))
+        w.add_tensor(p + "ffn_gate_inp.weight", rand((n_expert, n_embd)))
+        w.add_tensor(p + "ffn_gate_exps.weight", rand((n_expert, n_ff_exp, n_embd)))
+        w.add_tensor(p + "ffn_up_exps.weight", rand((n_expert, n_ff_exp, n_embd)))
+        w.add_tensor(p + "ffn_down_exps.weight", rand((n_expert, n_embd, n_ff_exp)))
+        w.add_tensor(p + "ffn_gate_chexps.weight", rand((n_chunk, n_ff_chexp, n_embd)))
+        w.add_tensor(p + "ffn_up_chexps.weight", rand((n_chunk, n_ff_chexp, n_embd)))
+        w.add_tensor(p + "ffn_down_chexps.weight", rand((n_chunk, n_embd, n_ff_chexp)))
+    w.add_tensor("output_norm.weight", 1.0 + rand((n_embd,)))
+    w.add_tensor("output.weight", rand((n_vocab, n_embd)))
+    w.write()
+    return str(path)
