@@ -1841,3 +1841,55 @@ def test_apertus_xielu_ffn(tmp_path):
     eng.prefill(toks[:-1])
     last = eng.decode_step(toks[-1])
     np.testing.assert_allclose(last, full[-1], rtol=2e-3, atol=2e-3)
+
+
+def test_afmoe_gated_attention_moe(tmp_path):
+    """afmoe: sigmoid-gated attention pre-wo, dual norm sandwiches, sigmoid
+    MoE with selection bias + gated shexp, NoPE on full-attn layers."""
+    from tpullm.models.testing import make_tiny_afmoe_gguf
+
+    path = make_tiny_afmoe_gguf(tmp_path / "afmoe.gguf")
+    eng = Engine(path, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    assert eng.hp.no_rope_step == 2 and eng.hp.is_swa(0)
+    toks = eng.tokenizer.tokenize("the quick brown", add_special=True)
+    full = eng.prefill_all_logits(toks)
+    assert np.isfinite(full).all()
+    eng.reset()
+    eng.prefill(toks[:-1])
+    last = eng.decode_step(toks[-1])
+    np.testing.assert_allclose(last, full[-1], rtol=2e-3, atol=2e-3)
+
+
+def test_mimo2_sinks_nas_iswa(tmp_path):
+    """mimo2: per-layer head counts, attention sinks, sigmoid MoE."""
+    from tpullm.models.testing import make_tiny_mimo2_gguf
+
+    path = make_tiny_mimo2_gguf(tmp_path / "mimo2.gguf")
+    eng = Engine(path, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    assert eng.hp.n_head_arr == (4, 2, 4)
+    toks = eng.tokenizer.tokenize("the quick brown", add_special=True)
+    full = eng.prefill_all_logits(toks)
+    assert np.isfinite(full).all()
+    eng.reset()
+    eng.prefill(toks[:-1])
+    last = eng.decode_step(toks[-1])
+    np.testing.assert_allclose(last, full[-1], rtol=2e-3, atol=2e-3)
+
+
+def test_step35_gate_and_half_rot(tmp_path):
+    """step35: head-wise scalar attn gate, qk norms, half-rot global rope,
+    gated shexp on MoE layers."""
+    from tpullm.models.testing import make_tiny_mimo2_gguf
+
+    path = make_tiny_mimo2_gguf(tmp_path / "step35.gguf", arch="step35")
+    eng = Engine(path, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    toks = eng.tokenizer.tokenize("the quick brown", add_special=True)
+    full = eng.prefill_all_logits(toks)
+    assert np.isfinite(full).all()
+    eng.reset()
+    eng.prefill(toks[:-1])
+    last = eng.decode_step(toks[-1])
+    np.testing.assert_allclose(last, full[-1], rtol=2e-3, atol=2e-3)

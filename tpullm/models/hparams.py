@@ -162,6 +162,7 @@ NEOX_ROPE_ARCHS = {
     "qwen2vl", "qwen3vl", "qwen3vlmoe", "smallthinker", "qwen3next",
     "nomic-bert-moe", "jina-bert-v3", "modern-bert", "gemma-embedding",
     "falcon-h1", "plamo", "plamo2", "plamo3", "grovemoe", "apertus",
+    "afmoe", "mimo2", "step35",
 }
 
 

@@ -108,6 +108,13 @@ def _ensure_builtin():
     from . import grovemoe
 
     register_arch("grovemoe", grovemoe.build_params, grovemoe.forward)
+    from . import afmoe
+
+    register_arch("afmoe", afmoe.build_params, afmoe.forward)
+    from . import mimo2
+
+    register_arch("mimo2", mimo2.build_params, mimo2.forward)
+    register_arch("step35", mimo2.build_params, mimo2.forward_step35)
     from . import falcon
 
     # codeshell = the gptneox sequential layout with neox partial rope

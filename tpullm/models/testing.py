@@ -3356,3 +3356,195 @@ def make_tiny_grovemoe_gguf(
     w.add_tensor("output.weight", rand((n_vocab, n_embd)))
     w.write()
     return str(path)
+
+
+def make_tiny_afmoe_gguf(
+    path,
+    *,
+    n_layer: int = 3,
+    n_embd: int = 64,
+    n_head: int = 4,
+    n_head_kv: int = 2,
+    n_ff: int = 64,
+    n_expert: int = 4,
+    n_expert_used: int = 2,
+    n_ff_exp: int = 32,
+    n_dense_lead: int = 1,
+    n_ctx: int = 256,
+    sliding_window: int = 8,
+    seed: int = 0,
+) -> str:
+    """Tiny afmoe GGUF: gated attention + dual norm sandwiches + sigmoid MoE
+    with selection bias and gated shexp; NoPE+full-attn every 2nd layer."""
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = _byte_vocab(DEFAULT_WORDS)
+    n_vocab = len(tokens)
+    head_dim = n_embd // n_head
+
+    arch = "afmoe"
+    w = GGUFWriter(path, architecture=arch)
+    w.add_kv("general.name", "tpullm-tiny-afmoe")
+    w.add_kv(f"{arch}.block_count", n_layer)
+    w.add_kv(f"{arch}.context_length", n_ctx)
+    w.add_kv(f"{arch}.embedding_length", n_embd)
+    w.add_kv(f"{arch}.feed_forward_length", n_ff)
+    w.add_kv(f"{arch}.attention.head_count", n_head)
+    w.add_kv(f"{arch}.attention.head_count_kv", n_head_kv)
+    w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon", 1e-6)
+    w.add_kv(f"{arch}.attention.sliding_window", sliding_window)
+    w.add_kv(f"{arch}.attention.sliding_window_pattern", 2)
+    w.add_kv(f"{arch}.attention.no_rope_layer_step", 2)
+    w.add_kv(f"{arch}.rope.freq_base", 1000000.0)
+    w.add_kv(f"{arch}.rope.freq_base_swa", 10000.0)
+    w.add_kv(f"{arch}.rope.dimension_count", head_dim)
+    w.add_kv(f"{arch}.leading_dense_block_count", n_dense_lead)
+    w.add_kv(f"{arch}.expert_count", n_expert)
+    w.add_kv(f"{arch}.expert_used_count", n_expert_used)
+    w.add_kv(f"{arch}.expert_feed_forward_length", n_ff_exp)
+    w.add_kv(f"{arch}.expert_shared_count", 1)
+    w.add_kv(f"{arch}.expert_weights_norm", True)
+    w.add_kv(f"{arch}.expert_weights_scale", 2.826)
+    w.add_kv(f"{arch}.expert_gating_func", 2)  # sigmoid
+    w.add_kv("tokenizer.ggml.model", "llama")
+    w.add_kv("tokenizer.ggml.tokens", tokens)
+    w.add_kv("tokenizer.ggml.scores", np.asarray(scores, dtype=np.float32))
+    w.add_kv("tokenizer.ggml.token_type", np.asarray(types, dtype=np.int32))
+    w.add_kv("tokenizer.ggml.bos_token_id", 1)
+    w.add_kv("tokenizer.ggml.eos_token_id", 2)
+    w.add_kv("tokenizer.ggml.unknown_token_id", 0)
+    w.add_kv("tokenizer.ggml.add_bos_token", True)
+
+    def rand(shape, scale=0.05):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    w.add_tensor("token_embd.weight", rand((n_vocab, n_embd)))
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        w.add_tensor(p + "attn_norm.weight", 1.0 + rand((n_embd,)))
+        w.add_tensor(p + "post_attention_norm.weight", 1.0 + rand((n_embd,)))
+        w.add_tensor(p + "attn_q.weight", rand((n_head * head_dim, n_embd)))
+        w.add_tensor(p + "attn_k.weight", rand((n_head_kv * head_dim, n_embd)))
+        w.add_tensor(p + "attn_v.weight", rand((n_head_kv * head_dim, n_embd)))
+        w.add_tensor(p + "attn_gate.weight", rand((n_head * head_dim, n_embd)))
+        w.add_tensor(p + "attn_q_norm.weight", 1.0 + rand((head_dim,)))
+        w.add_tensor(p + "attn_k_norm.weight", 1.0 + rand((head_dim,)))
+        w.add_tensor(p + "attn_output.weight", rand((n_embd, n_head * head_dim)))
+        w.add_tensor(p + "ffn_norm.weight", 1.0 + rand((n_embd,)))
+        w.add_tensor(p + "post_ffw_norm.weight", 1.0 + rand((n_embd,)))
+        if i < n_dense_lead:
+            w.add_tensor(p + "ffn_gate.weight", rand((n_ff, n_embd)))
+            w.add_tensor(p + "ffn_up.weight", rand((n_ff, n_embd)))
+            w.add_tensor(p + "ffn_down.weight", rand((n_embd, n_ff)))
+        else:
+            w.add_tensor(p + "ffn_gate_inp.weight", rand((n_expert, n_embd)))
+            w.add_tensor(p + "exp_probs_b.bias", rand((n_expert,), 0.5))
+            w.add_tensor(p + "ffn_gate_exps.weight", rand((n_expert, n_ff_exp, n_embd)))
+            w.add_tensor(p + "ffn_up_exps.weight", rand((n_expert, n_ff_exp, n_embd)))
+            w.add_tensor(p + "ffn_down_exps.weight", rand((n_expert, n_embd, n_ff_exp)))
+            w.add_tensor(p + "ffn_gate_shexp.weight", rand((n_ff_exp, n_embd)))
+            w.add_tensor(p + "ffn_up_shexp.weight", rand((n_ff_exp, n_embd)))
+            w.add_tensor(p + "ffn_down_shexp.weight", rand((n_embd, n_ff_exp)))
+    w.add_tensor("output_norm.weight", 1.0 + rand((n_embd,)))
+    w.add_tensor("output.weight", rand((n_vocab, n_embd)))
+    w.write()
+    return str(path)
+
+
+def make_tiny_mimo2_gguf(
+    path,
+    *,
+    arch: str = "mimo2",
+    n_embd: int = 64,
+    head_dim: int = 16,
+    n_ff: int = 64,
+    n_expert: int = 4,
+    n_expert_used: int = 2,
+    n_ff_exp: int = 32,
+    n_ctx: int = 256,
+    sliding_window: int = 8,
+    seed: int = 0,
+) -> str:
+    """Tiny mimo2/step35 GGUF: iSWA with per-layer head counts; mimo2 adds
+    attention sinks + sigmoid MoE, step35 adds qk norms + head-wise gate +
+    gated shexp + half-rot global rope."""
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = _byte_vocab(DEFAULT_WORDS)
+    n_vocab = len(tokens)
+    step35 = arch == "step35"
+    heads = [4, 2, 4]  # per-layer NAS head counts
+    kv = [2, 1, 2]
+    moe = [False, True, True]
+    n_layer = len(heads)
+
+    w = GGUFWriter(path, architecture=arch)
+    w.add_kv("general.name", f"tpullm-tiny-{arch}")
+    w.add_kv(f"{arch}.block_count", n_layer)
+    w.add_kv(f"{arch}.context_length", n_ctx)
+    w.add_kv(f"{arch}.embedding_length", n_embd)
+    w.add_kv(f"{arch}.feed_forward_length", n_ff)
+    w.add_kv(f"{arch}.attention.head_count", np.asarray(heads, dtype=np.int32))
+    w.add_kv(f"{arch}.attention.head_count_kv", np.asarray(kv, dtype=np.int32))
+    w.add_kv(f"{arch}.attention.key_length", head_dim)
+    w.add_kv(f"{arch}.attention.value_length", head_dim)
+    w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon", 1e-6)
+    w.add_kv(f"{arch}.attention.sliding_window", sliding_window)
+    w.add_kv(f"{arch}.attention.sliding_window_pattern", 3)
+    w.add_kv(f"{arch}.rope.freq_base", 1000000.0)
+    w.add_kv(f"{arch}.rope.freq_base_swa", 10000.0)
+    w.add_kv(f"{arch}.rope.dimension_count", head_dim)
+    w.add_kv(f"{arch}.expert_count", n_expert)
+    w.add_kv(f"{arch}.expert_used_count", n_expert_used)
+    w.add_kv(f"{arch}.expert_feed_forward_length", n_ff_exp)
+    if step35:
+        w.add_kv(f"{arch}.expert_weights_norm", True)
+        w.add_kv(f"{arch}.expert_weights_scale", 1.5)
+        w.add_kv(f"{arch}.expert_gating_func", 2)
+    w.add_kv("tokenizer.ggml.model", "llama")
+    w.add_kv("tokenizer.ggml.tokens", tokens)
+    w.add_kv("tokenizer.ggml.scores", np.asarray(scores, dtype=np.float32))
+    w.add_kv("tokenizer.ggml.token_type", np.asarray(types, dtype=np.int32))
+    w.add_kv("tokenizer.ggml.bos_token_id", 1)
+    w.add_kv("tokenizer.ggml.eos_token_id", 2)
+    w.add_kv("tokenizer.ggml.unknown_token_id", 0)
+    w.add_kv("tokenizer.ggml.add_bos_token", True)
+
+    def rand(shape, scale=0.05):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    w.add_tensor("token_embd.weight", rand((n_vocab, n_embd)))
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        nh, nkv = heads[i], kv[i]
+        w.add_tensor(p + "attn_norm.weight", 1.0 + rand((n_embd,)))
+        w.add_tensor(p + "attn_q.weight", rand((nh * head_dim, n_embd)))
+        w.add_tensor(p + "attn_k.weight", rand((nkv * head_dim, n_embd)))
+        w.add_tensor(p + "attn_v.weight", rand((nkv * head_dim, n_embd)))
+        w.add_tensor(p + "attn_output.weight", rand((n_embd, nh * head_dim)))
+        if step35:
+            w.add_tensor(p + "attn_q_norm.weight", 1.0 + rand((head_dim,)))
+            w.add_tensor(p + "attn_k_norm.weight", 1.0 + rand((head_dim,)))
+            w.add_tensor(p + "attn_gate.weight", rand((nh, n_embd)))
+        else:
+            w.add_tensor(p + "attn_sinks.weight", rand((nh,), 1.0))
+        w.add_tensor(p + "ffn_norm.weight", 1.0 + rand((n_embd,)))
+        if moe[i]:
+            w.add_tensor(p + "ffn_gate_inp.weight", rand((n_expert, n_embd)))
+            w.add_tensor(p + "exp_probs_b.bias", rand((n_expert,), 0.5))
+            w.add_tensor(p + "ffn_gate_exps.weight", rand((n_expert, n_ff_exp, n_embd)))
+            w.add_tensor(p + "ffn_up_exps.weight", rand((n_expert, n_ff_exp, n_embd)))
+            w.add_tensor(p + "ffn_down_exps.weight", rand((n_expert, n_embd, n_ff_exp)))
+            if step35:
+                w.add_tensor(p + "ffn_gate_shexp.weight", rand((n_ff_exp, n_embd)))
+                w.add_tensor(p + "ffn_up_shexp.weight", rand((n_ff_exp, n_embd)))
+                w.add_tensor(p + "ffn_down_shexp.weight", rand((n_embd, n_ff_exp)))
+        else:
+            w.add_tensor(p + "ffn_gate.weight", rand((n_ff, n_embd)))
+            w.add_tensor(p + "ffn_gate.bias", rand((n_ff,)))
+            w.add_tensor(p + "ffn_up.weight", rand((n_ff, n_embd)))
+            w.add_tensor(p + "ffn_up.bias", rand((n_ff,)))
+            w.add_tensor(p + "ffn_down.weight", rand((n_embd, n_ff)))
+            w.add_tensor(p + "ffn_down.bias", rand((n_embd,)))
+    w.add_tensor("output_norm.weight", 1.0 + rand((n_embd,)))
+    w.add_tensor("output.weight", rand((n_vocab, n_embd)))
+    w.write()
+    return str(path)
