@@ -1893,3 +1893,60 @@ def test_step35_gate_and_half_rot(tmp_path):
     eng.prefill(toks[:-1])
     last = eng.decode_step(toks[-1])
     np.testing.assert_allclose(last, full[-1], rtol=2e-3, atol=2e-3)
+
+
+def test_cogvlm_text_and_visual_expert_paths(tmp_path):
+    """cogvlm: text tokens use the text weights; float embedding inputs use
+    the parallel visual-expert weights (llm_build_cogvlm is_text switch)."""
+    from tpullm.gguf import GGUFReader
+    from tpullm.models.testing import make_tiny_cogvlm_gguf
+    from tpullm.models.registry import get_arch
+    from tpullm.models.hparams import hparams_from_gguf
+    from tpullm.runtime.kvcache import KVCache
+
+    path = make_tiny_cogvlm_gguf(tmp_path / "cog.gguf")
+    eng = Engine(path, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    toks = eng.tokenizer.tokenize("the quick brown", add_special=True)
+    full = eng.prefill_all_logits(toks)
+    assert np.isfinite(full).all()
+    eng.reset()
+    eng.prefill(toks[:-1])
+    last = eng.decode_step(toks[-1])
+    np.testing.assert_allclose(last, full[-1], rtol=2e-3, atol=2e-3)
+
+    # visual path: float embeddings route through vis_* weights and must
+    # differ from the text path on identical hidden inputs
+    r = GGUFReader(path)
+    hp = hparams_from_gguf(r)
+    spec = get_arch("cogvlm")
+    params = spec.build_params(r, hp, mode="dense", dtype=jnp.float32)
+    embd = params["tok_embd"][jnp.asarray([toks])]
+    cache1 = KVCache.new(hp, 1, 32, jnp.float32)
+    cache2 = KVCache.new(hp, 1, 32, jnp.float32)
+    pos = jnp.arange(len(toks), dtype=jnp.int32)[None]
+    txt_logits, _ = spec.forward(hp, params, jnp.asarray([toks]), pos, cache1, 0)
+    vis_logits, _ = spec.forward(hp, params, embd, pos, cache2, 0)
+    assert np.isfinite(np.asarray(vis_logits)).all()
+    assert not np.allclose(np.asarray(txt_logits), np.asarray(vis_logits))
+
+
+def test_kimi_linear_kda_mla_hybrid(tmp_path):
+    """kimi-linear: KDA delta rule with per-channel decay + rope-free MLA;
+    carried conv/delta state must make decode ≡ prefill."""
+    from tpullm.models.testing import make_tiny_kimi_linear_gguf
+
+    path = make_tiny_kimi_linear_gguf(tmp_path / "kimi.gguf")
+    eng = Engine(path, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    assert eng.hp.head_dim_kda == 16 and eng.hp.head_dim_k_mla == 24
+    toks = eng.tokenizer.tokenize("the quick brown fox", add_special=True)
+    full = eng.prefill_all_logits(toks)
+    assert np.isfinite(full).all()
+    eng.reset()
+    from tpullm.models.kimi_linear import make_cache as _kimi_cache
+
+    eng.cache = _kimi_cache(eng.hp, eng.batch, eng.max_seq, jnp.float32)
+    eng.prefill(toks[:-1])
+    last = eng.decode_step(toks[-1])
+    np.testing.assert_allclose(last, full[-1], rtol=2e-3, atol=2e-3)

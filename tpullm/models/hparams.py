@@ -92,6 +92,11 @@ class HParams:
     # deepseek2 / MLA family
     n_lora_q: int = 0
     n_lora_kv: int = 0
+    # kimi-linear: KDA head dim + MLA head dims (%s.kda.head_dim,
+    # %s.attention.{key,value}_length_mla)
+    head_dim_kda: int = 0
+    head_dim_k_mla: int = 0
+    head_dim_v_mla: int = 0
     n_layer_dense_lead: int = 0
     n_expert_shared: int = 0
     # granite-hybrid: rope only when rope.scaling.finetuned is set
@@ -162,7 +167,7 @@ NEOX_ROPE_ARCHS = {
     "qwen2vl", "qwen3vl", "qwen3vlmoe", "smallthinker", "qwen3next",
     "nomic-bert-moe", "jina-bert-v3", "modern-bert", "gemma-embedding",
     "falcon-h1", "plamo", "plamo2", "plamo3", "grovemoe", "apertus",
-    "afmoe", "mimo2", "step35",
+    "afmoe", "mimo2", "step35", "cogvlm",
 }
 
 
@@ -331,6 +336,9 @@ def hparams_from_gguf(r: GGUFReader) -> HParams:
         ),
         n_lora_q=int(k("{arch}.attention.q_lora_rank", 0) or 0),
         n_lora_kv=int(k("{arch}.attention.kv_lora_rank", 0) or 0),
+        head_dim_kda=int(k("{arch}.kda.head_dim", 0) or 0),
+        head_dim_k_mla=int(k("{arch}.attention.key_length_mla", 0) or 0),
+        head_dim_v_mla=int(k("{arch}.attention.value_length_mla", 0) or 0),
         n_layer_dense_lead=int(k("{arch}.leading_dense_block_count", 0)),
         n_expert_shared=int(k("{arch}.expert_shared_count", 0)),
         # lfm2's shortconv state rides the ssm fields: conv width l_cache

@@ -115,6 +115,20 @@ def _ensure_builtin():
 
     register_arch("mimo2", mimo2.build_params, mimo2.forward)
     register_arch("step35", mimo2.build_params, mimo2.forward_step35)
+    from . import cogvlm
+
+    register_arch("cogvlm", cogvlm.build_params, cogvlm.forward)
+    from . import kimi_linear
+
+    register_arch(
+        "kimi-linear",
+        kimi_linear.build_params,
+        kimi_linear.forward,
+        recurrent=True,  # KDA layers carry conv tails + delta-rule state
+        make_cache=lambda hp, batch, max_len, dtype: kimi_linear.make_cache(
+            hp, batch, max_len, dtype
+        ),
+    )
     from . import falcon
 
     # codeshell = the gptneox sequential layout with neox partial rope

@@ -3548,3 +3548,177 @@ def make_tiny_mimo2_gguf(
     w.add_tensor("output.weight", rand((n_vocab, n_embd)))
     w.write()
     return str(path)
+
+
+def make_tiny_cogvlm_gguf(
+    path,
+    *,
+    n_layer: int = 2,
+    n_embd: int = 64,
+    n_head: int = 4,
+    n_ff: int = 96,
+    n_ctx: int = 256,
+    seed: int = 0,
+) -> str:
+    """Tiny cogvlm GGUF: fused qkv + parallel visual-expert weight set."""
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = _byte_vocab(DEFAULT_WORDS)
+    n_vocab = len(tokens)
+    head_dim = n_embd // n_head
+
+    arch = "cogvlm"
+    w = GGUFWriter(path, architecture=arch)
+    w.add_kv("general.name", "tpullm-tiny-cogvlm")
+    w.add_kv(f"{arch}.block_count", n_layer)
+    w.add_kv(f"{arch}.context_length", n_ctx)
+    w.add_kv(f"{arch}.embedding_length", n_embd)
+    w.add_kv(f"{arch}.feed_forward_length", n_ff)
+    w.add_kv(f"{arch}.attention.head_count", n_head)
+    w.add_kv(f"{arch}.attention.head_count_kv", n_head)
+    w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_kv(f"{arch}.rope.freq_base", 10000.0)
+    w.add_kv(f"{arch}.rope.dimension_count", head_dim)
+    w.add_kv("tokenizer.ggml.model", "llama")
+    w.add_kv("tokenizer.ggml.tokens", tokens)
+    w.add_kv("tokenizer.ggml.scores", np.asarray(scores, dtype=np.float32))
+    w.add_kv("tokenizer.ggml.token_type", np.asarray(types, dtype=np.int32))
+    w.add_kv("tokenizer.ggml.bos_token_id", 1)
+    w.add_kv("tokenizer.ggml.eos_token_id", 2)
+    w.add_kv("tokenizer.ggml.unknown_token_id", 0)
+    w.add_kv("tokenizer.ggml.add_bos_token", True)
+
+    def rand(shape, scale=0.05):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    w.add_tensor("token_embd.weight", rand((n_vocab, n_embd)))
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        w.add_tensor(p + "attn_norm.weight", 1.0 + rand((n_embd,)))
+        w.add_tensor(p + "ffn_norm.weight", 1.0 + rand((n_embd,)))
+        w.add_tensor(p + "attn_qkv.weight", rand((3 * n_embd, n_embd)))
+        w.add_tensor(p + "attn_output.weight", rand((n_embd, n_embd)))
+        w.add_tensor(p + "ffn_gate.weight", rand((n_ff, n_embd)))
+        w.add_tensor(p + "ffn_up.weight", rand((n_ff, n_embd)))
+        w.add_tensor(p + "ffn_down.weight", rand((n_embd, n_ff)))
+        w.add_tensor(p + "vis_attn_qkv.weight", rand((3 * n_embd, n_embd)))
+        w.add_tensor(p + "vis_attn_output.weight", rand((n_embd, n_embd)))
+        w.add_tensor(p + "vis_gate.weight", rand((n_ff, n_embd)))
+        w.add_tensor(p + "vis_up.weight", rand((n_ff, n_embd)))
+        w.add_tensor(p + "vis_down.weight", rand((n_embd, n_ff)))
+    w.add_tensor("output_norm.weight", 1.0 + rand((n_embd,)))
+    w.add_tensor("output.weight", rand((n_vocab, n_embd)))
+    w.write()
+    return str(path)
+
+
+def make_tiny_kimi_linear_gguf(
+    path,
+    *,
+    n_embd: int = 64,
+    n_head: int = 4,
+    kda_head_dim: int = 16,
+    k_mla: int = 24,   # qk_nope(16) + qk_rope(8)
+    v_mla: int = 16,
+    qk_rope: int = 8,
+    kv_lora: int = 24,
+    d_conv: int = 4,
+    n_ff: int = 64,
+    n_expert: int = 4,
+    n_expert_used: int = 2,
+    n_ff_exp: int = 32,
+    n_ctx: int = 256,
+    seed: int = 0,
+) -> str:
+    """Tiny kimi-linear GGUF: [KDA, MLA, KDA] layers with dense-lead FFN then
+    MoE + gated shexp; MLA layers are rope-free with split wk_b/wv_b."""
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = _byte_vocab(DEFAULT_WORDS)
+    n_vocab = len(tokens)
+    d_inner = n_head * kda_head_dim
+    nope = k_mla - qk_rope
+    kinds = ["kda", "mla", "kda"]
+    kv_arr = [0 if k == "kda" else n_head for k in kinds]
+    moe = [False, True, True]
+    n_layer = len(kinds)
+
+    arch = "kimi-linear"
+    w = GGUFWriter(path, architecture=arch)
+    w.add_kv("general.name", "tpullm-tiny-kimi-linear")
+    w.add_kv(f"{arch}.block_count", n_layer)
+    w.add_kv(f"{arch}.context_length", n_ctx)
+    w.add_kv(f"{arch}.embedding_length", n_embd)
+    w.add_kv(f"{arch}.feed_forward_length", n_ff)
+    w.add_kv(f"{arch}.attention.head_count", n_head)
+    w.add_kv(f"{arch}.attention.head_count_kv", np.asarray(kv_arr, dtype=np.int32))
+    w.add_kv(f"{arch}.attention.key_length_mla", k_mla)
+    w.add_kv(f"{arch}.attention.value_length_mla", v_mla)
+    w.add_kv(f"{arch}.attention.kv_lora_rank", kv_lora)
+    w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon", 1e-6)
+    w.add_kv(f"{arch}.rope.dimension_count", qk_rope)
+    w.add_kv(f"{arch}.ssm.conv_kernel", d_conv)
+    w.add_kv(f"{arch}.kda.head_dim", kda_head_dim)
+    w.add_kv(f"{arch}.leading_dense_block_count", 1)
+    w.add_kv(f"{arch}.expert_count", n_expert)
+    w.add_kv(f"{arch}.expert_used_count", n_expert_used)
+    w.add_kv(f"{arch}.expert_feed_forward_length", n_ff_exp)
+    w.add_kv(f"{arch}.expert_shared_count", 1)
+    w.add_kv(f"{arch}.expert_weights_scale", 2.446)
+    w.add_kv(f"{arch}.expert_gating_func", 2)
+    w.add_kv("tokenizer.ggml.model", "llama")
+    w.add_kv("tokenizer.ggml.tokens", tokens)
+    w.add_kv("tokenizer.ggml.scores", np.asarray(scores, dtype=np.float32))
+    w.add_kv("tokenizer.ggml.token_type", np.asarray(types, dtype=np.int32))
+    w.add_kv("tokenizer.ggml.bos_token_id", 1)
+    w.add_kv("tokenizer.ggml.eos_token_id", 2)
+    w.add_kv("tokenizer.ggml.unknown_token_id", 0)
+    w.add_kv("tokenizer.ggml.add_bos_token", True)
+
+    def rand(shape, scale=0.05):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    w.add_tensor("token_embd.weight", rand((n_vocab, n_embd)))
+    for i, kind in enumerate(kinds):
+        p = f"blk.{i}."
+        w.add_tensor(p + "attn_norm.weight", 1.0 + rand((n_embd,)))
+        w.add_tensor(p + "ffn_norm.weight", 1.0 + rand((n_embd,)))
+        if kind == "kda":
+            w.add_tensor(p + "attn_q.weight", rand((d_inner, n_embd)))
+            w.add_tensor(p + "attn_k.weight", rand((d_inner, n_embd)))
+            w.add_tensor(p + "attn_v.weight", rand((d_inner, n_embd)))
+            for nm in ("ssm_conv1d_q", "ssm_conv1d_k", "ssm_conv1d_v"):
+                w.add_tensor(p + nm + ".weight", rand((d_inner, 1, d_conv)))
+            w.add_tensor(p + "ssm_f_a.weight", rand((kda_head_dim, n_embd)))
+            w.add_tensor(p + "ssm_f_b.weight", rand((d_inner, kda_head_dim)))
+            w.add_tensor(p + "ssm_beta.weight", rand((n_head, n_embd)))
+            w.add_tensor(p + "ssm_a", -np.exp(rand((1, n_head))))
+            w.add_tensor(p + "ssm_dt.bias", rand((d_inner,)))
+            w.add_tensor(p + "ssm_g_a.weight", rand((kda_head_dim, n_embd)))
+            w.add_tensor(p + "ssm_g_b.weight", rand((d_inner, kda_head_dim)))
+            w.add_tensor(p + "ssm_norm.weight", 1.0 + rand((kda_head_dim,)))
+            w.add_tensor(p + "attn_output.weight", rand((n_embd, d_inner)))
+        else:
+            w.add_tensor(p + "attn_q.weight", rand((n_head * k_mla, n_embd)))
+            w.add_tensor(p + "attn_kv_a_mqa.weight", rand((kv_lora + qk_rope, n_embd)))
+            w.add_tensor(p + "attn_kv_a_norm.weight", 1.0 + rand((kv_lora,)))
+            # ggml ne {nope, kv_lora, H} → numpy (H, kv_lora, nope)
+            w.add_tensor(p + "attn_k_b.weight", rand((n_head, kv_lora, nope)))
+            # ggml ne {kv_lora, v_mla, H} → numpy (H, v_mla, kv_lora)
+            w.add_tensor(p + "attn_v_b.weight", rand((n_head, v_mla, kv_lora)))
+            w.add_tensor(p + "attn_output.weight", rand((n_embd, n_head * v_mla)))
+        if moe[i]:
+            w.add_tensor(p + "ffn_gate_inp.weight", rand((n_expert, n_embd)))
+            w.add_tensor(p + "exp_probs_b.bias", rand((n_expert,), 0.5))
+            w.add_tensor(p + "ffn_gate_exps.weight", rand((n_expert, n_ff_exp, n_embd)))
+            w.add_tensor(p + "ffn_up_exps.weight", rand((n_expert, n_ff_exp, n_embd)))
+            w.add_tensor(p + "ffn_down_exps.weight", rand((n_expert, n_embd, n_ff_exp)))
+            w.add_tensor(p + "ffn_gate_shexp.weight", rand((n_ff_exp, n_embd)))
+            w.add_tensor(p + "ffn_up_shexp.weight", rand((n_ff_exp, n_embd)))
+            w.add_tensor(p + "ffn_down_shexp.weight", rand((n_embd, n_ff_exp)))
+        else:
+            w.add_tensor(p + "ffn_gate.weight", rand((n_ff, n_embd)))
+            w.add_tensor(p + "ffn_up.weight", rand((n_ff, n_embd)))
+            w.add_tensor(p + "ffn_down.weight", rand((n_embd, n_ff)))
+    w.add_tensor("output_norm.weight", 1.0 + rand((n_embd,)))
+    w.add_tensor("output.weight", rand((n_vocab, n_embd)))
+    w.write()
+    return str(path)
