@@ -1950,3 +1950,23 @@ def test_kimi_linear_kda_mla_hybrid(tmp_path):
     eng.prefill(toks[:-1])
     last = eng.decode_step(toks[-1])
     np.testing.assert_allclose(last, full[-1], rtol=2e-3, atol=2e-3)
+
+
+def test_gemma3n_altup_laurel(tmp_path):
+    """gemma3n: altup stacked hidden state, laurel residual, per-layer
+    embeddings, trailing shared-KV layers (llm_build_gemma3n_iswa)."""
+    from tpullm.models.testing import make_tiny_gemma3n_gguf
+
+    path = make_tiny_gemma3n_gguf(tmp_path / "g3n.gguf")
+    eng = Engine(path, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    assert eng.hp.n_altup == 2 and eng.hp.n_kv_shared == 2
+    assert eng.hp.swa_pattern == 5
+    toks = eng.tokenizer.tokenize("the quick brown", add_special=True)
+    full = eng.prefill_all_logits(toks)
+    assert np.isfinite(full).all()
+    assert np.abs(full).max() <= 30.0 + 1e-3  # final softcap
+    eng.reset()
+    eng.prefill(toks[:-1])
+    last = eng.decode_step(toks[-1])
+    np.testing.assert_allclose(last, full[-1], rtol=2e-3, atol=2e-3)

@@ -69,6 +69,11 @@ class HParams:
     # grovemoe adjugate experts
     n_group_experts: int = 0  # %s.experts_per_group
     expert_group_scale: float = 0.05  # %s.expert_group_scale
+    # gemma3n altup / per-layer-embedding geometry
+    n_altup: int = 0  # %s.altup.num_inputs
+    i_altup_act: int = 0  # %s.altup.active_idx
+    n_embd_altup: int = 0  # %s.embedding_length_per_layer_input
+    n_kv_shared: int = 0  # %s.attention.shared_kv_layers (trailing layers)
     # gemma-family extras
     softcap_attn: float = 0.0
     softcap_final: float = 0.0
@@ -284,8 +289,8 @@ def hparams_from_gguf(r: GGUFReader) -> HParams:
         sliding_window=int(k(Keys.Attention.SLIDING_WINDOW, 0)),
         swa_pattern=int(k(
             Keys.Attention.SLIDING_WINDOW_PATTERN,
-            {"gemma2": 2, "gemma3": 6, "gemma-embedding": 6, "gpt-oss": 2,
-             "llama4": 4, "modern-bert": 3}.get(arch, 1),
+            {"gemma2": 2, "gemma3": 6, "gemma3n": 5, "gemma-embedding": 6,
+             "gpt-oss": 2, "llama4": 4, "modern-bert": 3}.get(arch, 1),
         )),
         attn_scale=(float(k(Keys.Attention.SCALE)) if k(Keys.Attention.SCALE) is not None else None),
         causal=bool(k(
@@ -298,6 +303,12 @@ def hparams_from_gguf(r: GGUFReader) -> HParams:
         xielu=_read_xielu(r, int(k(Keys.LLM.BLOCK_COUNT, 0) or 0)),
         n_group_experts=int(k("{arch}.experts_per_group", 0) or 0),
         expert_group_scale=float(k("{arch}.expert_group_scale", 0.05) or 0.05),
+        n_altup=int(k("{arch}.altup.num_inputs",
+                      4 if arch == "gemma3n" else 0) or 0),
+        i_altup_act=int(k("{arch}.altup.active_idx", 0) or 0),
+        n_embd_altup=int(k("{arch}.embedding_length_per_layer_input",
+                           256 if arch == "gemma3n" else 0) or 0),
+        n_kv_shared=int(k("{arch}.attention.shared_kv_layers", 0) or 0),
         softcap_attn=float(k(Keys.LLM.ATTN_LOGIT_SOFTCAPPING, 0.0)),
         softcap_final=float(k(Keys.LLM.FINAL_LOGIT_SOFTCAPPING, 0.0)),
         rope_freq_base_swa=float(k(

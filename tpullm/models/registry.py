@@ -195,6 +195,9 @@ def _ensure_builtin():
     # sqrt(n_embd) embedding scale + GELU PAR FFN come through hparams and
     # tensor presence)
     register_arch("gemma", gemma.build_params, gemma.forward)
+    from . import gemma3n
+
+    register_arch("gemma3n", gemma3n.build_params, gemma3n.forward)
     # starcoder (v1) is the same wpe + fused-qkv + LN + seq-GELU graph
     # (llm_build_starcoder ≡ llm_build_gpt2 modulo tensor presence)
     register_arch("gpt2", gpt2.build_params, gpt2.forward,

@@ -3722,3 +3722,101 @@ def make_tiny_kimi_linear_gguf(
     w.add_tensor("output.weight", rand((n_vocab, n_embd)))
     w.write()
     return str(path)
+
+
+def make_tiny_gemma3n_gguf(
+    path,
+    *,
+    n_layer: int = 6,
+    n_embd: int = 64,
+    n_head: int = 4,
+    n_head_kv: int = 2,
+    head_dim: int = 16,
+    n_ff: int = 96,
+    n_altup: int = 2,
+    n_embd_altup: int = 16,
+    laurel_rank: int = 8,
+    n_kv_shared: int = 2,
+    n_ctx: int = 256,
+    sliding_window: int = 8,
+    seed: int = 0,
+) -> str:
+    """Tiny gemma3n GGUF: altup stack, laurel, per-layer embeddings,
+    trailing shared-KV layers, iSWA pattern 5."""
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = _byte_vocab(DEFAULT_WORDS)
+    n_vocab = len(tokens)
+    kv_from_start = n_layer - n_kv_shared
+
+    arch = "gemma3n"
+    w = GGUFWriter(path, architecture=arch)
+    w.add_kv("general.name", "tpullm-tiny-gemma3n")
+    w.add_kv(f"{arch}.block_count", n_layer)
+    w.add_kv(f"{arch}.context_length", n_ctx)
+    w.add_kv(f"{arch}.embedding_length", n_embd)
+    w.add_kv(f"{arch}.feed_forward_length", n_ff)
+    w.add_kv(f"{arch}.attention.head_count", n_head)
+    w.add_kv(f"{arch}.attention.head_count_kv", n_head_kv)
+    w.add_kv(f"{arch}.attention.key_length", head_dim)
+    w.add_kv(f"{arch}.attention.value_length", head_dim)
+    w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon", 1e-6)
+    w.add_kv(f"{arch}.attention.sliding_window", sliding_window)
+    w.add_kv(f"{arch}.attention.shared_kv_layers", n_kv_shared)
+    w.add_kv(f"{arch}.rope.freq_base", 1000000.0)
+    w.add_kv(f"{arch}.rope.freq_base_swa", 10000.0)
+    w.add_kv(f"{arch}.rope.dimension_count", head_dim)
+    w.add_kv(f"{arch}.altup.num_inputs", n_altup)
+    w.add_kv(f"{arch}.altup.active_idx", 0)
+    w.add_kv(f"{arch}.embedding_length_per_layer_input", n_embd_altup)
+    w.add_kv(f"{arch}.final_logit_softcapping", 30.0)
+    w.add_kv("tokenizer.ggml.model", "llama")
+    w.add_kv("tokenizer.ggml.tokens", tokens)
+    w.add_kv("tokenizer.ggml.scores", np.asarray(scores, dtype=np.float32))
+    w.add_kv("tokenizer.ggml.token_type", np.asarray(types, dtype=np.int32))
+    w.add_kv("tokenizer.ggml.bos_token_id", 1)
+    w.add_kv("tokenizer.ggml.eos_token_id", 2)
+    w.add_kv("tokenizer.ggml.unknown_token_id", 0)
+    w.add_kv("tokenizer.ggml.add_bos_token", True)
+
+    def rand(shape, scale=0.05):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    w.add_tensor("token_embd.weight", rand((n_vocab, n_embd)))
+    w.add_tensor("per_layer_token_embd.weight",
+                 rand((n_vocab, n_embd_altup * n_layer)))
+    w.add_tensor("altup_proj.weight", rand((n_altup - 1, n_embd, n_embd)))
+    w.add_tensor("altup_unembd_proj.weight", rand((n_altup - 1, n_embd, n_embd)))
+    w.add_tensor("per_layer_model_proj.weight",
+                 rand((n_embd_altup * n_layer, n_embd)))
+    w.add_tensor("per_layer_proj_norm.weight", 1.0 + rand((n_embd_altup,)))
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        w.add_tensor(p + "attn_norm.weight", 1.0 + rand((n_embd,)))
+        w.add_tensor(p + "post_attention_norm.weight", 1.0 + rand((n_embd,)))
+        w.add_tensor(p + "attn_q.weight", rand((n_head * head_dim, n_embd)))
+        if i < kv_from_start:
+            w.add_tensor(p + "attn_k.weight", rand((n_head_kv * head_dim, n_embd)))
+            w.add_tensor(p + "attn_v.weight", rand((n_head_kv * head_dim, n_embd)))
+        w.add_tensor(p + "attn_q_norm.weight", 1.0 + rand((head_dim,)))
+        w.add_tensor(p + "attn_k_norm.weight", 1.0 + rand((head_dim,)))
+        w.add_tensor(p + "attn_output.weight", rand((n_embd, n_head * head_dim)))
+        w.add_tensor(p + "ffn_norm.weight", 1.0 + rand((n_embd,)))
+        w.add_tensor(p + "ffn_gate.weight", rand((n_ff, n_embd)))
+        w.add_tensor(p + "ffn_up.weight", rand((n_ff, n_embd)))
+        w.add_tensor(p + "ffn_down.weight", rand((n_embd, n_ff)))
+        w.add_tensor(p + "post_ffw_norm.weight", 1.0 + rand((n_embd,)))
+        w.add_tensor(p + "inp_gate.weight", rand((n_embd_altup, n_embd)))
+        w.add_tensor(p + "proj.weight", rand((n_embd, n_embd_altup)))
+        w.add_tensor(p + "post_norm.weight", 1.0 + rand((n_embd,)))
+        w.add_tensor(p + "altup_correct_coef.weight", rand((n_altup, n_altup)))
+        w.add_tensor(p + "altup_correct_scale.weight", 1.0 + rand((n_embd,)))
+        w.add_tensor(p + "altup_predict_coef.weight",
+                     rand((n_altup * n_altup, n_altup)))
+        w.add_tensor(p + "altup_router.weight", rand((n_altup, n_embd)))
+        w.add_tensor(p + "altup_router_norm.weight", 1.0 + rand((n_embd,)))
+        w.add_tensor(p + "laurel_l.weight", rand((laurel_rank, n_embd)))
+        w.add_tensor(p + "laurel_r.weight", rand((n_embd, laurel_rank)))
+        w.add_tensor(p + "laurel_post_norm.weight", 1.0 + rand((n_embd,)))
+    w.add_tensor("output_norm.weight", 1.0 + rand((n_embd,)))
+    w.write()  # tied output head
+    return str(path)
