@@ -195,3 +195,49 @@ def test_rwkv_detokenize_roundtrip():
     text = "abc ab the\n\tab"
     ids = tok.tokenize(text, add_special=False)
     assert tok.detokenize(ids) == text
+
+
+def test_plamo2_tokenizer_viterbi_and_byte_fallback():
+    """PLaMo-2 suffix-DP tokenizer (llm_tokenizer_plamo2): min-cost piece
+    segmentation with longest-wins ties and UTF-8 byte fallback."""
+    import numpy as np
+    from tpullm.tokenizer import from_vocab
+    from tpullm.tokenizer.vocab import Vocab, TokenType
+
+    tokens = ["<unk>", "<s>", "</s>"]
+    types = [TokenType.UNKNOWN, TokenType.CONTROL, TokenType.CONTROL]
+    scores = [0.0, 0.0, 0.0]
+    for b in range(256):
+        tokens.append(f"<0x{b:02X}>")
+        types.append(TokenType.BYTE)
+        scores.append(0.0)
+    pieces = [("hello", -1.0), ("hell", -0.5), ("o", -0.8), ("he", -0.7),
+              ("llo", -0.2), (" world", -1.5), (" ", -3.0), ("world", -2.0)]
+    for text, sc in pieces:
+        tokens.append(text)
+        types.append(TokenType.NORMAL)
+        scores.append(sc)
+    v = Vocab(model="plamo2", pre="default", tokens=tokens,
+              scores=np.asarray(scores, dtype=np.float32),
+              token_types=np.asarray([int(t) for t in types], dtype=np.int32),
+              add_bos=True)
+    v.special.bos = 1
+    v.special.eos = 2
+    v.special.unk = 0
+    tok = from_vocab(v)
+    base = 259  # first piece id
+
+    # "hello world": maximize total score — he(-0.7)+llo(-0.2) = -0.9 beats
+    # hello(-1.0) and hell(-0.5)+o(-0.8) = -1.3
+    ids = tok.tokenize("hello world", add_special=False)
+    assert ids == [base + 3, base + 4, base + 5]  # he, llo, " world"
+    assert tok.detokenize(ids) == "hello world"
+
+    # unknown char → byte fallback: "é" = 0xC3 0xA9
+    ids = tok.tokenize("é", add_special=False)
+    assert ids == [3 + 0xC3, 3 + 0xA9]
+    assert tok.detokenize(ids) == "é"
+
+    # bos prepended with add_special
+    ids = tok.tokenize("hello", add_special=True)
+    assert ids[0] == 1

@@ -27,6 +27,10 @@ def from_vocab(vocab: Vocab) -> Tokenizer:
         from .rwkv import RWKVTokenizer
 
         return RWKVTokenizer(vocab)
+    if vocab.model == "plamo2":
+        from .plamo2 import Plamo2Tokenizer
+
+        return Plamo2Tokenizer(vocab)
     raise NotImplementedError(f"tokenizer model {vocab.model!r} not supported yet")
 
 
