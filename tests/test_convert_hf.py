@@ -463,3 +463,121 @@ def test_convert_qwen3next_logit_parity(tmp_path):
                  kv_dtype=jnp.float32)
     got = eng.prefill_all_logits(ids)
     np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_convert_mixtral_logit_parity(tmp_path):
+    """Mixtral = LLM_ARCH_LLAMA with a renormalized softmax MoE FFN."""
+    from transformers import MixtralConfig, MixtralForCausalLM
+
+    torch.manual_seed(12)
+    model = MixtralForCausalLM(MixtralConfig(
+        vocab_size=96, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_local_experts=4, num_experts_per_tok=2,
+        max_position_embeddings=128, rope_theta=10000.0,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+    ))
+    model.eval()
+    d = tmp_path / "hf_mixtral"
+    model.save_pretrained(d, safe_serialization=True)
+    out = str(tmp_path / "mixtral.gguf")
+    stats = convert_hf_to_gguf(str(d), out, outtype="f32", verbose=False)
+    assert stats["arch"] == "llama"
+    ids = [3, 17, 42, 7, 19]
+    with torch.no_grad():
+        ref = model(torch.tensor([ids])).logits[0].numpy()
+    eng = Engine(out, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    got = eng.prefill_all_logits(ids)
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_convert_gemma_v1_logit_parity(tmp_path):
+    from transformers import GemmaConfig, GemmaForCausalLM
+
+    torch.manual_seed(13)
+    model = GemmaForCausalLM(GemmaConfig(
+        vocab_size=96, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, hidden_act="gelu_pytorch_tanh",
+        max_position_embeddings=128, rope_theta=10000.0,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+    ))
+    model.eval()
+    d = tmp_path / "hf_gemma"
+    model.save_pretrained(d, safe_serialization=True)
+    out = str(tmp_path / "gemma.gguf")
+    stats = convert_hf_to_gguf(str(d), out, outtype="f32", verbose=False)
+    assert stats["arch"] == "gemma"
+    ids = [3, 17, 42, 7, 19]
+    with torch.no_grad():
+        ref = model(torch.tensor([ids])).logits[0].numpy()
+    eng = Engine(out, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    got = eng.prefill_all_logits(ids)
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_convert_deepseek_v3_logit_parity(tmp_path):
+    """DeepseekV3: MLA (q-LoRA + kv compression), sigmoid routing with
+    selection bias, routed scaling, shared expert, dense lead layer."""
+    from transformers import DeepseekV3Config, DeepseekV3ForCausalLM
+
+    torch.manual_seed(14)
+    model = DeepseekV3ForCausalLM(DeepseekV3Config(
+        vocab_size=96, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        qk_nope_head_dim=16, qk_rope_head_dim=8, v_head_dim=16,
+        q_lora_rank=24, kv_lora_rank=24,
+        n_routed_experts=4, num_experts_per_tok=2, moe_intermediate_size=32,
+        n_shared_experts=1, first_k_dense_replace=1,
+        routed_scaling_factor=2.5, norm_topk_prob=True,
+        scoring_func="sigmoid", topk_method="noaux_tc",
+        n_group=1, topk_group=1,
+        max_position_embeddings=128, rope_theta=10000.0,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+    ))
+    model.eval()
+    d = tmp_path / "hf_dsv3"
+    model.save_pretrained(d, safe_serialization=True)
+    out = str(tmp_path / "dsv3.gguf")
+    stats = convert_hf_to_gguf(str(d), out, outtype="f32", verbose=False)
+    assert stats["arch"] == "deepseek2"
+    ids = [3, 17, 42, 7, 19]
+    with torch.no_grad():
+        ref = model(torch.tensor([ids])).logits[0].numpy()
+    eng = Engine(out, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    assert eng.hp.head_dim_k_mla == 24 and eng.hp.n_head_kv == 1
+    got = eng.prefill_all_logits(ids)
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_convert_mamba2_logit_parity(tmp_path):
+    """Mamba2 SSD: converted A is -exp(A_log), grouped gated ssm_norm."""
+    from transformers import Mamba2Config, Mamba2ForCausalLM
+
+    torch.manual_seed(15)
+    model = Mamba2ForCausalLM(Mamba2Config(
+        # n_groups=1: HF's MambaRMSNormGated normalizes over the full
+        # width while the reference (and original mamba_ssm) normalize per
+        # group — the oracles only agree at one group
+        vocab_size=96, hidden_size=64, state_size=16, head_dim=16,
+        num_heads=8, expand=2, num_hidden_layers=2, n_groups=1,
+        conv_kernel=4, use_bias=False, use_conv_bias=True,
+        chunk_size=16, tie_word_embeddings=False,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+    ))
+    model.eval()
+    d = tmp_path / "hf_mamba2"
+    model.save_pretrained(d, safe_serialization=True)
+    out = str(tmp_path / "mamba2.gguf")
+    stats = convert_hf_to_gguf(str(d), out, outtype="f32", verbose=False)
+    assert stats["arch"] == "mamba2"
+    ids = [3, 17, 42, 7, 19]
+    with torch.no_grad():
+        ref = model(torch.tensor([ids])).logits[0].numpy()
+    eng = Engine(out, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    got = eng.prefill_all_logits(ids)
+    np.testing.assert_allclose(got, ref[:, :96], rtol=2e-3, atol=2e-3)

@@ -52,7 +52,7 @@ def np_jamba_forward(reader: GGUFReader, tokens):
             Bm = rms(x_db[:, R:R + S], t(p + "ssm_b_norm.weight"))
             Cm = rms(x_db[:, R + S:], t(p + "ssm_c_norm.weight"))
             dt = np.log1p(np.exp(dtr @ t(p + "ssm_dt.weight").T + t(p + "ssm_dt.bias")))
-            A = -np.exp(t(p + "ssm_a"))
+            A = t(p + "ssm_a")  # stored as -exp(A_log)
             hstate = np.zeros((D, S))
             y = np.zeros((T, D))
             for n in range(T):

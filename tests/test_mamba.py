@@ -50,7 +50,7 @@ def np_mamba_forward(reader: GGUFReader, tokens):
         x_db = xc @ t(p + "ssm_x.weight").T
         dt = softplus(x_db[:, :R] @ t(p + "ssm_dt.weight").T + t(p + "ssm_dt.bias"))
         Bm, Cm = x_db[:, R : R + S], x_db[:, R + S :]
-        A = -np.exp(t(p + "ssm_a"))  # [D, S]
+        A = t(p + "ssm_a")  # stored as -exp(A_log)
         hstate = np.zeros((D, S))
         y = np.zeros((T, D))
         for step in range(T):  # sequential reference scan
@@ -157,7 +157,7 @@ def np_mamba2_forward(reader, tokens):
         Bm = xBC[:, D:D + G * S].reshape(T, G, S)
         Cm = xBC[:, D + G * S:].reshape(T, G, S)
         dt = softplus(dt_raw + t(p + "ssm_dt.bias"))
-        A = -np.exp(t(p + "ssm_a"))
+        A = t(p + "ssm_a")  # stored as -exp(A_log)
         hstate = np.zeros((H, hd, S))
         y = np.zeros((T, H, hd))
         reps = H // G

@@ -100,8 +100,11 @@ def forward(
 ) -> tuple[jax.Array, KVCache]:
     B, T = tokens.shape
     H = hp.n_head
-    Dk = hp.head_dim          # qk_nope + qk_rope
-    Dv = hp.head_dim_v
+    # converted GGUFs carry the MQA-form key/value lengths in the plain
+    # keys and the true per-head MLA dims in *_mla (DeepseekV2Model
+    # add_key_length_mla); synthetic fixtures only set the plain keys
+    Dk = hp.head_dim_k_mla or hp.head_dim  # qk_nope + qk_rope
+    Dv = hp.head_dim_v_mla or hp.head_dim_v
     n_rot = hp.rope.dims      # decoupled rope head width
     n_nope = Dk - n_rot
     kvr = hp.n_lora_kv

@@ -199,7 +199,7 @@ def _mamba2_mixer(hp, layer, h, conv_state0, ssm_state0):
     Bm = xBC[..., D: D + G * S].reshape(B, T, G, S)
     Cm = xBC[..., D + G * S:].reshape(B, T, G, S)
     dt = jax.nn.softplus(dt_raw + layer["dt_bias"][None, None])
-    A = -jnp.exp(layer["A_log"])
+    A = layer["A_log"]  # stored as -exp(A_log) by the converter
     h0 = ssm_state0.reshape(B, H, hd, S)
     y, ssm_state = _ssd_scan(xin, dt, A, Bm, Cm, h0, G)
     y = y + xin * layer["D"][None, None, :, None]
@@ -311,7 +311,7 @@ def forward(
                 layer["ssm_dt"](dt_raw.astype(x.dtype)).astype(jnp.float32)
                 + layer["dt_bias"]
             )
-            A = -jnp.exp(layer["A_log"])
+            A = layer["A_log"]  # stored as -exp(A_log) by the converter
             y, ssm_state = _selective_scan(xc, dt, A, Bm, Cm, ssm_cache[li])
             y = y + xc * layer["D"][None, None]
             y = y * jax.nn.silu(z)

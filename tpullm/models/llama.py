@@ -59,8 +59,10 @@ def build_params(r: GGUFReader, hp: HParams, mode: str = "auto",
             ),
             # gateless variants (arcee) have no ffn_gate tensor
             "w_gate": linear(p + "ffn_gate.weight") if p + "ffn_gate.weight" in t else None,
-            "w_up": linear(p + "ffn_up.weight"),
-            "w_down": linear(p + "ffn_down.weight"),
+            "w_up": (linear(p + "ffn_up.weight")
+                     if p + "ffn_up.weight" in t else None),
+            "w_down": (linear(p + "ffn_down.weight")
+                       if p + "ffn_down.weight" in t else None),
             # optional extras: qwen2 attn biases, qwen3/olmo2 qk-norm
             "bq": maybe_vector(p + "attn_q.bias"),
             "bk": maybe_vector(p + "attn_k.bias"),
@@ -69,6 +71,20 @@ def build_params(r: GGUFReader, hp: HParams, mode: str = "auto",
             "q_norm": maybe_vector(p + "attn_q_norm.weight"),
             "k_norm": maybe_vector(p + "attn_k_norm.weight"),
         }
+        if p + "ffn_gate_inp.weight" in t:
+            # mixtral: LLM_ARCH_LLAMA with a renormalized-softmax MoE FFN
+            # (llm_build_llama MoE branch, src/models/llama.cpp:125)
+            import numpy as np
+
+            def experts(name):
+                w_ = t[name].to_numpy()
+                return jnp.asarray(
+                    np.ascontiguousarray(w_.transpose(0, 2, 1)), dtype=dtype)
+
+            layer["router"] = linear(p + "ffn_gate_inp.weight")
+            layer["w_gate_exps"] = experts(p + "ffn_gate_exps.weight")
+            layer["w_up_exps"] = experts(p + "ffn_up_exps.weight")
+            layer["w_down_exps"] = experts(p + "ffn_down_exps.weight")
         layers.append(layer)
 
     params: Params = {
@@ -235,6 +251,22 @@ def forward(
             alibi=alibi,
         )
         h = rms_norm(x, layer["ffn_norm"], hp.rms_eps)
+        if "router" in layer:  # mixtral MoE branch
+            from ..ops.moe import moe_ffn, route
+
+            hs = h.reshape(B * T, -1)
+            router_logits = layer["router"](hs).astype(jnp.float32)
+            weights, idx = route(router_logits, hp.n_expert_used,
+                                 gating="softmax", norm_weights=True)
+            ffn = moe_ffn(hs, weights, idx, layer["w_gate_exps"],
+                          layer["w_up_exps"], layer["w_down_exps"])
+            ffn = ffn.reshape(B, T, -1)
+            if hp.residual_scale != 1.0:
+                ffn = ffn * jnp.asarray(hp.residual_scale, ffn.dtype)
+            x = x + ffn
+            if cvec is not None:
+                x = x + cvec[li].astype(x.dtype)
+            continue
         up = layer["w_up"](h)
         if layer["w_gate"] is not None:
             gate = layer["w_gate"](h)

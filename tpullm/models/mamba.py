@@ -134,7 +134,7 @@ def forward(
             layer["ssm_dt"](dt_raw.astype(x.dtype)).astype(jnp.float32)
             + layer["dt_bias"]
         )  # [B,T,D]
-        A = -jnp.exp(layer["A_log"])  # [D,S]
+        A = layer["A_log"]  # stored as -exp(A_log) by the converter
 
         y, ssm_state = _selective_scan(xc, dt, A, Bm, Cm, cache.ssm[li])
         y = y + xc * layer["D"][None, None]
@@ -256,7 +256,7 @@ def forward2(
         Cm = xBC[..., D + G * S :].reshape(B, T, G, S)
 
         dt = jax.nn.softplus(dt_raw + layer["dt_bias"][None, None])  # [B,T,H]
-        A = -jnp.exp(layer["A_log"])  # [H]
+        A = layer["A_log"]  # stored as -exp(A_log) by the converter
         h0 = cache.ssm[li].reshape(B, H, hd, S)
         y, ssm_state = _ssd_scan(xin, dt, A, Bm, Cm, h0, G)
         y = y + xin * layer["D"][None, None, :, None]

@@ -215,8 +215,25 @@ def _ensure_builtin():
 
     # minicpm3 = the MLA graph + minicpm multipliers (llm_build_minicpm3);
     # plm = all-dense MLA with gateless ReLU² FFN (llm_build_plm)
+    def _mla_cache(hp, batch, max_len, dtype):
+        # converted deepseek2 GGUFs store head_count_kv=1 (MQA form) but the
+        # decompressed attention caches full per-head k/v at the MLA dims
+        from ..runtime.kvcache import KVCache, make_cache as _mk
+
+        if not hp.head_dim_k_mla:
+            return _mk(hp, batch, max_len, dtype)
+        import jax.numpy as _j
+
+        dt = _j.bfloat16 if isinstance(dtype, str) else dtype
+        return KVCache(
+            _jnp.zeros((hp.n_layer, batch, hp.n_head, max_len,
+                        hp.head_dim_k_mla), dt),
+            _jnp.zeros((hp.n_layer, batch, hp.n_head, max_len,
+                        hp.head_dim_v_mla), dt),
+        )
+
     register_arch("deepseek2", deepseek2.build_params, deepseek2.forward,
-                  aliases=("minicpm3", "plm"))
+                  aliases=("minicpm3", "plm"), make_cache=_mla_cache)
     from . import chameleon
 
     register_arch("chameleon", chameleon.build_params, chameleon.forward)

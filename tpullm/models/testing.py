@@ -480,7 +480,7 @@ def make_tiny_mamba_gguf(
         w.add_tensor(p + "ssm_dt.weight", rand((d_inner, dt_rank)))
         w.add_tensor(p + "ssm_dt.bias", rand((d_inner,)) + 0.5)
         # A_log > 0 so A = -exp(A_log) is stable
-        w.add_tensor(p + "ssm_a", np.abs(rand((d_inner, d_state), 1.0)) + 0.1)
+        w.add_tensor(p + "ssm_a", -np.exp(np.abs(rand((d_inner, d_state), 1.0)) + 0.1))
         w.add_tensor(p + "ssm_d", rand((d_inner,)) + 1.0)
         w.add_tensor(p + "ssm_out.weight", rand((n_embd, d_inner)))
     w.add_tensor("output_norm.weight", np.ones(n_embd, dtype=np.float32))
@@ -1690,7 +1690,7 @@ def make_tiny_mamba2_gguf(
         w.add_tensor(p + "ssm_conv1d.weight", rand((conv_w, d_conv)))
         w.add_tensor(p + "ssm_conv1d.bias", rand((conv_w,)))
         w.add_tensor(p + "ssm_dt.bias", rand((n_head,)))
-        w.add_tensor(p + "ssm_a", rand((n_head,)))
+        w.add_tensor(p + "ssm_a", -np.exp(rand((n_head,))))
         w.add_tensor(p + "ssm_d", rand((n_head,)))
         w.add_tensor(p + "ssm_norm.weight", 1.0 + rand((d_inner,)))
         w.add_tensor(p + "ssm_out.weight", rand((n_embd, d_inner)))
@@ -2002,7 +2002,7 @@ def make_tiny_jamba_gguf(
             w.add_tensor(p + "ssm_dt_norm.weight", 1.0 + rand((dt_rank,)))
             w.add_tensor(p + "ssm_b_norm.weight", 1.0 + rand((d_state,)))
             w.add_tensor(p + "ssm_c_norm.weight", 1.0 + rand((d_state,)))
-            w.add_tensor(p + "ssm_a", rand((d_inner, d_state)) - 1.0)
+            w.add_tensor(p + "ssm_a", -np.exp(rand((d_inner, d_state)) - 1.0))
             w.add_tensor(p + "ssm_d", 1.0 + rand((d_inner,)))
             w.add_tensor(p + "ssm_out.weight", rand((n_embd, d_inner)))
         else:
@@ -2262,7 +2262,7 @@ def make_tiny_hybrid2_gguf(
             w.add_tensor(p + "ssm_conv1d.weight", rand((conv_w, d_conv)))
             w.add_tensor(p + "ssm_conv1d.bias", rand((conv_w,)))
             w.add_tensor(p + "ssm_dt.bias", rand((n_ssm_head,)))
-            w.add_tensor(p + "ssm_a", rand((n_ssm_head,)))
+            w.add_tensor(p + "ssm_a", -np.exp(rand((n_ssm_head,))))
             w.add_tensor(p + "ssm_d", rand((n_ssm_head,)))
             w.add_tensor(p + "ssm_norm.weight", 1.0 + rand((d_inner,)))
             w.add_tensor(p + "ssm_out.weight", rand((n_embd, d_inner)))
@@ -3052,7 +3052,7 @@ def make_tiny_falcon_h1_gguf(
         w.add_tensor(p + "ssm_conv1d.weight", rand((conv_w, d_conv)))
         w.add_tensor(p + "ssm_conv1d.bias", rand((conv_w,)))
         w.add_tensor(p + "ssm_dt.bias", rand((n_ssm_head,)))
-        w.add_tensor(p + "ssm_a", rand((n_ssm_head,)))
+        w.add_tensor(p + "ssm_a", -np.exp(rand((n_ssm_head,))))
         w.add_tensor(p + "ssm_d", rand((n_ssm_head,)))
         w.add_tensor(p + "ssm_norm.weight", 1.0 + rand((d_inner,)))
         w.add_tensor(p + "ssm_out.weight", rand((n_embd, d_inner)))

@@ -24,10 +24,12 @@ from ..gguf.writer import GGUFWriter
 ARCH_MAP = {
     "llama": "llama",
     "mistral": "llama",
+    "mixtral": "llama",
     "qwen2": "qwen2",
     "qwen3": "qwen3",
     "qwen2_moe": "qwen2moe",
     "qwen3_moe": "qwen3moe",
+    "gemma": "gemma",
     "gemma2": "gemma2",
     "gemma3": "gemma3",
     "gemma3_text": "gemma3",
@@ -48,7 +50,10 @@ ARCH_MAP = {
     "llada": "llada",
     "t5": "t5",
     "mamba": "mamba",
+    "mamba2": "mamba2",
     "qwen3_next": "qwen3next",
+    "deepseek_v2": "deepseek2",
+    "deepseek_v3": "deepseek2",
 }
 
 # archs whose norms are LayerNorm (write layer_norm_epsilon, not RMS)
@@ -107,6 +112,7 @@ _LAYER_MAP = {
     "self_attn.sinks": "attn_sinks.weight",
     "mlp.router.weight": "ffn_gate_inp.weight",
     "mlp.router.bias": "ffn_gate_inp.bias",
+    "block_sparse_moe.gate.weight": "ffn_gate_inp.weight",
     "self_attn.q_norm.weight": "attn_q_norm.weight",
     "self_attn.k_norm.weight": "attn_k_norm.weight",
     "mlp.gate_proj.weight": "ffn_gate.weight",
@@ -130,6 +136,17 @@ _LAYER_MAP = {
     "mlp.shared_expert.gate_proj.weight": "ffn_gate_shexp.weight",
     "mlp.shared_expert.up_proj.weight": "ffn_up_shexp.weight",
     "mlp.shared_expert.down_proj.weight": "ffn_down_shexp.weight",
+    # deepseek2/3 MLA projections (DeepseekV2Model in convert_hf_to_gguf.py)
+    "self_attn.q_a_proj.weight": "attn_q_a.weight",
+    "self_attn.q_a_layernorm.weight": "attn_q_a_norm.weight",
+    "self_attn.q_b_proj.weight": "attn_q_b.weight",
+    "self_attn.kv_a_proj_with_mqa.weight": "attn_kv_a_mqa.weight",
+    "self_attn.kv_a_layernorm.weight": "attn_kv_a_norm.weight",
+    "self_attn.kv_b_proj.weight": "attn_kv_b.weight",
+    "mlp.gate.e_score_correction_bias": "exp_probs_b.bias",
+    "mlp.shared_experts.gate_proj.weight": "ffn_gate_shexp.weight",
+    "mlp.shared_experts.up_proj.weight": "ffn_up_shexp.weight",
+    "mlp.shared_experts.down_proj.weight": "ffn_down_shexp.weight",
 }
 
 
@@ -200,8 +217,10 @@ def _map_mamba_name(name: str) -> str | None:
             "mixer.x_proj.weight": "ssm_x.weight",
             "mixer.dt_proj.weight": "ssm_dt.weight",
             "mixer.dt_proj.bias": "ssm_dt.bias",
+            "mixer.dt_bias": "ssm_dt.bias",  # mamba2 fused dt bias
             "mixer.A_log": "ssm_a",
             "mixer.D": "ssm_d",
+            "mixer.norm.weight": "ssm_norm.weight",  # mamba2 gated norm
             "mixer.out_proj.weight": "ssm_out.weight",
         }.get(sub)
         if m:
@@ -284,7 +303,7 @@ def map_tensor_name(name: str, arch: str) -> str | None:
     """HF tensor name → GGUF name; None = skip (≡ gguf-py tensor_mapping)."""
     if arch == "t5":
         return _map_t5_name(name)
-    if arch == "mamba":
+    if arch in ("mamba", "mamba2"):
         return _map_mamba_name(name)
     if name.startswith("model."):
         name = name[len("model."):]
@@ -302,8 +321,9 @@ def map_tensor_name(name: str, arch: str) -> str | None:
         parts = name.split(".", 2)
         bid, rest = parts[1], parts[2]
         # gemma2/3: post_attention_layernorm is the POST norm; the pre-FFN
-        # norm is pre_feedforward_layernorm
-        if arch.startswith("gemma") and rest == "post_attention_layernorm.weight":
+        # norm is pre_feedforward_layernorm (gemma v1 has no post-norms, so
+        # its post_attention_layernorm is the ordinary ffn_norm)
+        if arch in ("gemma2", "gemma3") and rest == "post_attention_layernorm.weight":
             return f"blk.{bid}.post_attention_norm.weight"
         # olmo2 is post-norm only: both "post" layernorms are real post-norms
         if arch == "olmo2" and rest == "post_attention_layernorm.weight":
@@ -461,8 +481,16 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
     n_layer = int(cfg.get("num_hidden_layers",
                           cfg.get("n_layer", cfg.get("num_layers", 0)) or 0)
                   )
-    head_dim = int(cfg.get("head_dim",
-                           cfg.get("d_kv", n_embd // max(n_head, 1))))
+    head_dim = int(cfg.get("head_dim")
+                   or cfg.get("d_kv")
+                   or n_embd // max(n_head, 1))
+    head_dim_v = head_dim
+    if arch == "deepseek2":
+        # MQA-form lengths (≡ DeepseekV2Model: head_count_kv=1, key =
+        # kv_lora + rope, value = kv_lora); MLA per-head dims written below
+        n_kv = 1
+        head_dim = int(cfg["kv_lora_rank"]) + int(cfg["qk_rope_head_dim"])
+        head_dim_v = int(cfg["kv_lora_rank"])
 
     w = GGUFWriter(dst, architecture=arch)
     w.add_kv("general.name", os.path.basename(os.path.abspath(src_dir)))
@@ -473,7 +501,7 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
     w.add_kv(f"{arch}.attention.head_count", n_head)
     w.add_kv(f"{arch}.attention.head_count_kv", n_kv)
     w.add_kv(f"{arch}.attention.key_length", head_dim)
-    w.add_kv(f"{arch}.attention.value_length", head_dim)
+    w.add_kv(f"{arch}.attention.value_length", head_dim_v)
     eps = cfg.get("rms_norm_eps",
                   cfg.get("layer_norm_epsilon", cfg.get("layer_norm_eps", 1e-5)))
     if arch in LN_ARCHS:
@@ -482,9 +510,10 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
         w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon", float(eps))
     if arch != "gpt2":
         w.add_kv(f"{arch}.rope.freq_base", float(cfg.get("rope_theta", 10000.0)))
-        # stablelm/gptneox partial rotary (partial_rotary_factor/rotary_pct)
-        rot_pct = cfg.get("partial_rotary_factor", cfg.get("rotary_pct", 1.0))
-        w.add_kv(f"{arch}.rope.dimension_count", int(head_dim * float(rot_pct)))
+        if arch != "deepseek2":  # deepseek2 writes qk_rope_head_dim below
+            # stablelm/gptneox partial rotary (partial_rotary_factor/rotary_pct)
+            rot_pct = cfg.get("partial_rotary_factor", cfg.get("rotary_pct", 1.0))
+            w.add_kv(f"{arch}.rope.dimension_count", int(head_dim * float(rot_pct)))
     if cfg.get("use_parallel_residual") is not None:
         w.add_kv(f"{arch}.use_parallel_residual",
                  bool(cfg["use_parallel_residual"]))
@@ -565,6 +594,43 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
 
             tsr = _math.ceil(n_embd / 16)
         w.add_kv("mamba.ssm.time_step_rank", int(tsr))
+    if arch == "mamba2":
+        # ≡ Mamba2Model.set_gguf_parameters: time_step_rank carries the SSD
+        # head count (d_inner / head_dim)
+        d_inner = int(cfg.get("intermediate_size")
+                      or int(cfg.get("expand", 2)) * n_embd)
+        hd = int(cfg.get("head_dim", 64))
+        w.add_kv("mamba2.ssm.conv_kernel", int(cfg.get("conv_kernel", 4)))
+        w.add_kv("mamba2.ssm.inner_size", d_inner)
+        w.add_kv("mamba2.ssm.state_size", int(cfg.get("state_size", 128)))
+        w.add_kv("mamba2.ssm.time_step_rank", d_inner // hd)
+        w.add_kv("mamba2.ssm.group_count", int(cfg.get("n_groups", 1)))
+    if arch == "deepseek2":
+        # ≡ DeepseekV2Model.set_gguf_parameters: MQA-form key/value lengths
+        # plus the true per-head MLA dims; head_count_kv forced to 1
+        qk_nope = int(cfg["qk_nope_head_dim"])
+        qk_rope = int(cfg["qk_rope_head_dim"])
+        kv_lora = int(cfg["kv_lora_rank"])
+        if cfg.get("q_lora_rank"):
+            w.add_kv(f"{arch}.attention.q_lora_rank", int(cfg["q_lora_rank"]))
+        w.add_kv(f"{arch}.attention.kv_lora_rank", kv_lora)
+        w.add_kv(f"{arch}.attention.key_length_mla", qk_nope + qk_rope)
+        w.add_kv(f"{arch}.attention.value_length_mla", int(cfg["v_head_dim"]))
+        w.add_kv(f"{arch}.rope.dimension_count", qk_rope)
+        w.add_kv(f"{arch}.leading_dense_block_count",
+                 int(cfg.get("first_k_dense_replace", 0)))
+        if cfg.get("n_routed_experts"):
+            w.add_kv(f"{arch}.expert_count", int(cfg["n_routed_experts"]))
+            w.add_kv(f"{arch}.expert_used_count",
+                     int(cfg.get("num_experts_per_tok", 2)))
+        w.add_kv(f"{arch}.expert_shared_count",
+                 int(cfg.get("n_shared_experts", 0) or 0))
+        if cfg.get("routed_scaling_factor") is not None:
+            w.add_kv(f"{arch}.expert_weights_scale",
+                     float(cfg["routed_scaling_factor"]))
+        # (expert_weights_norm comes from the generic norm_topk_prob write)
+        if cfg.get("scoring_func") == "sigmoid":
+            w.add_kv(f"{arch}.expert_gating_func", 2)
     if arch == "qwen3next":
         # ≡ Qwen3NextModel.set_gguf_parameters: ssm.* keys carry the gated
         # DeltaNet geometry (group_count = key heads, time_step_rank = value
@@ -616,6 +682,16 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
             if key:
                 expert_acc.setdefault(key, {})[ei] = np.asarray(arr, dtype=np.float32)
             continue
+        if ".block_sparse_moe.experts." in name:
+            # mixtral: model.layers.L.block_sparse_moe.experts.E.w{1,2,3}
+            parts = name.split(".")
+            li = parts[2]; ei = int(parts[5]); proj = parts[6]
+            key = {"w1": f"blk.{li}.ffn_gate_exps.weight",
+                   "w2": f"blk.{li}.ffn_down_exps.weight",
+                   "w3": f"blk.{li}.ffn_up_exps.weight"}.get(proj)
+            if key:
+                expert_acc.setdefault(key, {})[ei] = np.asarray(arr, dtype=np.float32)
+            continue
         if arch == "qwen3next":
             for gname, a in _qwen3next_tensors(
                 name, np.asarray(arr, dtype=np.float32), cfg
@@ -641,8 +717,12 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
                 print(f"skip {name}", file=sys.stderr)
             continue
         arr = np.asarray(arr, dtype=np.float32)
-        if arch == "mamba" and gname.endswith("ssm_conv1d.weight"):
+        if arch in ("mamba", "mamba2") and gname.endswith("ssm_conv1d.weight"):
             arr = arr.reshape(arr.shape[0], arr.shape[-1])
+        if arch in ("mamba", "mamba2") and gname.endswith("ssm_a"):
+            arr = -np.exp(arr)  # gguf convention (MambaModel A_log fold)
+        if arch == "mamba2" and gname.endswith("ssm_norm.weight"):
+            arr = arr.reshape(int(cfg.get("n_groups", 1)), -1)
         if arch in PERMUTE_QK_ARCHS and gname.endswith("attn_q.weight"):
             arr = _permute_qk(arr, n_head)
         elif arch in PERMUTE_QK_ARCHS and gname.endswith("attn_k.weight"):
