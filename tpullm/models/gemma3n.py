@@ -210,12 +210,16 @@ def forward(
         hf = rms_norm(attn_laurel, layer["ffn_norm"], eps)
         gate = layer["w_gate"](hf.astype(emb.dtype)).astype(jnp.float32)
         up = layer["w_up"](hf.astype(emb.dtype)).astype(jnp.float32)
-        if li < N_LAYER_SPARSITY:
+        if hp.sparsity_scale is not None:  # converter-provided per-layer
+            std_mul = hp.sparsity_scale[li] if li < len(hp.sparsity_scale) else 0.0
+        else:  # llama.cpp defaults (models.h:198)
+            std_mul = SPARSITY_STD_MUL if li < N_LAYER_SPARSITY else 0.0
+        if std_mul > 0.0:
             mean = gate.mean(axis=-1, keepdims=True)
             std = jnp.sqrt(
                 jnp.sum(jnp.square(gate - mean), axis=-1, keepdims=True)
                 / (gate.shape[-1] - 1))
-            gate = jax.nn.relu(gate - (mean + SPARSITY_STD_MUL * std))
+            gate = jax.nn.relu(gate - (mean + std_mul * std))
         ffn = layer["w_down"](
             (jax.nn.gelu(gate, approximate=True) * up).astype(emb.dtype))
         ffn = rms_norm(ffn, layer["ffn_post_norm"], eps).astype(jnp.float32)

@@ -59,6 +59,10 @@ class HParams:
     # SWA layer interleave: is_swa(il) = (il + 1) % swa_pattern != 0
     # (1 = every layer when sliding_window > 0; gemma2 = 2; gemma3 = 6)
     swa_pattern: int = 1
+    # explicit per-layer SWA booleans (gemma3n writes an array pattern)
+    swa_layers: tuple[int, ...] | None = None
+    # per-layer activation-sparsity std multipliers (gemma3n; 0 = dense)
+    sparsity_scale: tuple[float, ...] | None = None
     attn_scale: float | None = None
     causal: bool = True
     swin_norm: bool = False  # chameleon: norms after attn/ffn (%s.swin_norm)
@@ -133,6 +137,8 @@ class HParams:
     ssm_n_group: int = 0  # mamba2 B/C group count (ssm.group_count)
 
     def is_swa(self, il: int) -> bool:
+        if self.swa_layers is not None:  # explicit per-layer bool pattern
+            return self.sliding_window > 0 and bool(self.swa_layers[il])
         return self.sliding_window > 0 and (il + 1) % self.swa_pattern != 0
 
     # per-layer accessors (≡ llama_hparams::n_head(il) etc.)
@@ -287,11 +293,18 @@ def hparams_from_gguf(r: GGUFReader) -> HParams:
             else 0.0,
         )),
         sliding_window=int(k(Keys.Attention.SLIDING_WINDOW, 0)),
-        swa_pattern=int(k(
+        swa_pattern=(lambda v: 1 if isinstance(v, (list, tuple, np.ndarray))
+                     else int(v))(k(
             Keys.Attention.SLIDING_WINDOW_PATTERN,
             {"gemma2": 2, "gemma3": 6, "gemma3n": 5, "gemma-embedding": 6,
              "gpt-oss": 2, "llama4": 4, "modern-bert": 3}.get(arch, 1),
         )),
+        swa_layers=(lambda v: tuple(int(b) for b in v)
+                    if isinstance(v, (list, tuple, np.ndarray)) else None)(
+            k(Keys.Attention.SLIDING_WINDOW_PATTERN)),
+        sparsity_scale=(lambda v: tuple(float(s) for s in v)
+                        if isinstance(v, (list, tuple, np.ndarray)) else None)(
+            k("{arch}.activation_sparsity_scale")),
         attn_scale=(float(k(Keys.Attention.SCALE)) if k(Keys.Attention.SCALE) is not None else None),
         causal=bool(k(
             Keys.Attention.CAUSAL,

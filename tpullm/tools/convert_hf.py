@@ -54,6 +54,8 @@ ARCH_MAP = {
     "qwen3_next": "qwen3next",
     "deepseek_v2": "deepseek2",
     "deepseek_v3": "deepseek2",
+    "gemma3n": "gemma3n",
+    "gemma3n_text": "gemma3n",
 }
 
 # archs whose norms are LayerNorm (write layer_norm_epsilon, not RMS)
@@ -228,6 +230,21 @@ def _map_mamba_name(name: str) -> str | None:
     return None
 
 
+def _erfinv(x: float) -> float:
+    """Inverse error function (Winitzki approximation + one Newton step) —
+    enough precision for the sparsity std multipliers."""
+    import math
+
+    a = 0.147
+    ln1mx2 = math.log(max(1.0 - x * x, 1e-300))
+    t = 2.0 / (math.pi * a) + ln1mx2 / 2.0
+    y = math.copysign(math.sqrt(math.sqrt(t * t - ln1mx2 / a) - t), x)
+    for _ in range(2):  # Newton refinement on erf(y) = x
+        err = math.erf(y) - x
+        y -= err / (2.0 / math.sqrt(math.pi) * math.exp(-y * y))
+    return y
+
+
 def _qwen3next_tensors(name: str, arr: np.ndarray, cfg: dict):
     """HF Qwen3Next → GGUF tensor(s) (≡ convert_hf_to_gguf.py
     Qwen3NextModel.modify_tensors): A_log sign-folded into ssm_a,
@@ -297,6 +314,63 @@ def _qwen3next_tensors(name: str, arr: np.ndarray, cfg: dict):
     elif op == "plus1":
         arr = arr + 1.0
     return [(p + gname, arr)]
+
+
+_GEMMA3N_LAYER = {
+    "input_layernorm.weight": "attn_norm.weight",
+    "post_attention_layernorm.weight": "post_attention_norm.weight",
+    "pre_feedforward_layernorm.weight": "ffn_norm.weight",
+    "post_feedforward_layernorm.weight": "post_ffw_norm.weight",
+    "self_attn.q_proj.weight": "attn_q.weight",
+    "self_attn.k_proj.weight": "attn_k.weight",
+    "self_attn.v_proj.weight": "attn_v.weight",
+    "self_attn.o_proj.weight": "attn_output.weight",
+    "self_attn.q_norm.weight": "attn_q_norm.weight",
+    "self_attn.k_norm.weight": "attn_k_norm.weight",
+    "mlp.gate_proj.weight": "ffn_gate.weight",
+    "mlp.up_proj.weight": "ffn_up.weight",
+    "mlp.down_proj.weight": "ffn_down.weight",
+    "altup.correct_output_scale": "altup_correct_scale.weight",
+    "altup.correction_coefs.weight": "altup_correct_coef.weight",
+    "altup.prediction_coefs.weight": "altup_predict_coef.weight",
+    "altup.modality_router.weight": "altup_router.weight",
+    "altup.router_norm.weight": "altup_router_norm.weight",
+    "laurel.linear_left.weight": "laurel_l.weight",
+    "laurel.linear_right.weight": "laurel_r.weight",
+    "laurel.post_laurel_norm.weight": "laurel_post_norm.weight",
+    "per_layer_input_gate.weight": "inp_gate.weight",
+    "per_layer_projection.weight": "proj.weight",
+    "post_per_layer_input_norm.weight": "post_norm.weight",
+}
+
+
+def _map_gemma3n_name(name: str) -> str | None:
+    """HF Gemma3n text names → GGUF (≡ Gemma3NModel; altup projection
+    stacking is handled in the conversion loop). norm_shift is 0 for
+    gemma3n, so norm weights are stored raw."""
+    if name.startswith("model.language_model."):
+        name = "model." + name[len("model.language_model."):]
+    if name == "model.embed_tokens.weight":
+        return "token_embd.weight"
+    if name == "model.embed_tokens_per_layer.weight":
+        return "per_layer_token_embd.weight"
+    if name in ("model.per_layer_model_projection.weight",
+                # transformers' save-time key remap mangles this name
+                "model.per_layer_model.language_model_projection.weight"):
+        return "per_layer_model_proj.weight"
+    if name == "model.per_layer_projection_norm.weight":
+        return "per_layer_proj_norm.weight"
+    if name == "model.norm.weight":
+        return "output_norm.weight"
+    if name == "lm_head.weight":
+        return "output.weight"
+    if name.startswith("model.layers."):
+        parts = name.split(".", 3)
+        bid, rest = parts[2], parts[3]
+        mapped = _GEMMA3N_LAYER.get(rest)
+        if mapped:
+            return f"blk.{bid}.{mapped}"
+    return None
 
 
 def map_tensor_name(name: str, arch: str) -> str | None:
@@ -497,7 +571,10 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
     w.add_kv(f"{arch}.block_count", n_layer)
     w.add_kv(f"{arch}.context_length", int(cfg.get("max_position_embeddings", 2048)))
     w.add_kv(f"{arch}.embedding_length", n_embd)
-    w.add_kv(f"{arch}.feed_forward_length", int(cfg.get("intermediate_size", cfg.get("n_inner", 4 * n_embd) or 4 * n_embd)))
+    n_ff_raw = cfg.get("intermediate_size", cfg.get("n_inner", 4 * n_embd) or 4 * n_embd)
+    if isinstance(n_ff_raw, list):  # gemma3n per-layer list (uniform here)
+        n_ff_raw = n_ff_raw[0]
+    w.add_kv(f"{arch}.feed_forward_length", int(n_ff_raw))
     w.add_kv(f"{arch}.attention.head_count", n_head)
     w.add_kv(f"{arch}.attention.head_count_kv", n_kv)
     w.add_kv(f"{arch}.attention.key_length", head_dim)
@@ -631,6 +708,33 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
         # (expert_weights_norm comes from the generic norm_topk_prob write)
         if cfg.get("scoring_func") == "sigmoid":
             w.add_kv(f"{arch}.expert_gating_func", 2)
+    if arch == "gemma3n":
+        # ≡ Gemma3NModel.set_gguf_parameters
+        import math as _math
+
+        w.add_kv(f"{arch}.altup.active_idx", int(cfg.get("altup_active_idx", 0)))
+        w.add_kv(f"{arch}.altup.num_inputs", int(cfg.get("altup_num_inputs", 4)))
+        w.add_kv(f"{arch}.embedding_length_per_layer_input",
+                 int(cfg["hidden_size_per_layer_input"]))
+        w.add_kv(f"{arch}.attention.shared_kv_layers",
+                 int(cfg.get("num_kv_shared_layers", 0)))
+        pat = cfg.get("activation_sparsity_pattern") or []
+        if pat:
+            # icdf of a standard normal via the inverse error function
+            def _icdf(p):
+                return _math.sqrt(2.0) * _erfinv(2.0 * p - 1.0)
+
+            w.add_kv(f"{arch}.activation_sparsity_scale",
+                     np.asarray([(_icdf(p) if p > 0 else 0.0) for p in pat],
+                                dtype=np.float32))
+        lt = cfg.get("layer_types") or []
+        if lt:
+            w.add_kv(f"{arch}.attention.sliding_window_pattern",
+                     np.asarray([t == "sliding_attention" for t in lt],
+                                dtype=bool))
+        if cfg.get("rope_local_base_freq"):
+            w.add_kv(f"{arch}.rope.freq_base_swa",
+                     float(cfg["rope_local_base_freq"]))
     if arch == "qwen3next":
         # ≡ Qwen3NextModel.set_gguf_parameters: ssm.* keys carry the gated
         # DeltaNet geometry (group_count = key heads, time_step_rank = value
@@ -645,6 +749,7 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
     n_tensors = 0
     # stack MoE experts: collect experts.N.* into 3D tensors
     expert_acc: dict[str, dict[int, np.ndarray]] = {}
+    altup_acc: dict[str, dict[int, np.ndarray]] = {}  # gemma3n projections
     for name, arr in _load_tensors(src_dir):
         if ".mlp.experts." in name and name.split(".")[5] in (
             "gate_up_proj", "gate_up_proj_bias", "down_proj", "down_proj_bias"
@@ -692,6 +797,28 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
             if key:
                 expert_acc.setdefault(key, {})[ei] = np.asarray(arr, dtype=np.float32)
             continue
+        if arch == "gemma3n":
+            nm = name
+            if nm.startswith("model.language_model."):
+                nm = "model." + nm[len("model.language_model."):]
+            if ".altup_projections." in nm or ".altup_unembed_projections." in nm:
+                # stack the A-1 projection matrices into one 3D tensor
+                parts = nm.split(".")
+                idx = int(parts[2])
+                key = ("altup_proj.weight" if "altup_projections" in nm
+                       else "altup_unembd_proj.weight")
+                altup_acc.setdefault(key, {})[idx] = np.asarray(
+                    arr, dtype=np.float32)
+                continue
+            gname = _map_gemma3n_name(nm)
+            if gname is None:
+                if verbose:
+                    print(f"skip {name}", file=sys.stderr)
+                continue
+            a = np.asarray(arr, dtype=np.float32)
+            w.add_tensor(gname, a, gtype if a.ndim >= 2 else GGMLType.F32)
+            n_tensors += 1
+            continue
         if arch == "qwen3next":
             for gname, a in _qwen3next_tensors(
                 name, np.asarray(arr, dtype=np.float32), cfg
@@ -737,6 +864,10 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
             print(f"{name} -> {gname} {tuple(arr.shape)}", file=sys.stderr)
     for key, experts in expert_acc.items():
         stacked = np.stack([experts[i] for i in sorted(experts)], axis=0)
+        w.add_tensor(key, stacked, gtype)
+        n_tensors += 1
+    for key, mats in altup_acc.items():
+        stacked = np.stack([mats[i] for i in sorted(mats)], axis=0)
         w.add_tensor(key, stacked, gtype)
         n_tensors += 1
     w.write()
