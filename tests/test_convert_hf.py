@@ -619,3 +619,71 @@ def test_convert_gemma3n_logit_parity(tmp_path):
     assert eng.hp.swa_layers == (1, 1, 0, 1) and eng.hp.n_kv_shared == 1
     got = eng.prefill_all_logits(ids)
     np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
+
+
+def test_convert_falcon_h1_logit_parity(tmp_path):
+    """FalconH1: parallel attention + mamba2 SSD per layer, MuP multipliers
+    folded into the weights at conversion."""
+    from transformers import FalconH1Config, FalconH1ForCausalLM
+
+    torch.manual_seed(17)
+    model = FalconH1ForCausalLM(FalconH1Config(
+        vocab_size=96, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, mamba_d_ssm=64, mamba_n_heads=4, mamba_d_head=16,
+        mamba_n_groups=1, mamba_d_state=16, mamba_d_conv=4,
+        mamba_rms_norm=True,
+        attention_in_multiplier=0.5, attention_out_multiplier=2.0,
+        key_multiplier=1.5, ssm_in_multiplier=0.8, ssm_out_multiplier=1.25,
+        mlp_multipliers=[0.7, 1.3], ssm_multipliers=[1.1, 0.9, 1.2, 0.8, 1.05],
+        embedding_multiplier=2.0, lm_head_multiplier=0.5,
+        max_position_embeddings=128, rope_theta=10000.0,
+        tie_word_embeddings=False,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+    ))
+    model.eval()
+    d = tmp_path / "hf_fh1"
+    model.save_pretrained(d, safe_serialization=True)
+    out = str(tmp_path / "fh1.gguf")
+    stats = convert_hf_to_gguf(str(d), out, outtype="f32", verbose=False)
+    assert stats["arch"] == "falcon-h1"
+    ids = [3, 17, 42, 7, 19]
+    with torch.no_grad():
+        ref = model(torch.tensor([ids])).logits[0].numpy()
+    eng = Engine(out, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    got = eng.prefill_all_logits(ids)
+    np.testing.assert_allclose(got, ref, rtol=3e-3, atol=3e-3)
+
+
+def test_convert_glm4moe_logit_parity(tmp_path):
+    """GLM4-MoE: sigmoid-scored routing with selection bias, routed scaling,
+    ungated shared expert, dense lead, half-rotary NEOX rope."""
+    from transformers import Glm4MoeConfig, Glm4MoeForCausalLM
+
+    torch.manual_seed(18)
+    model = Glm4MoeForCausalLM(Glm4MoeConfig(
+        vocab_size=96, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, n_routed_experts=4, num_experts_per_tok=2,
+        moe_intermediate_size=32, n_shared_experts=1,
+        first_k_dense_replace=1, routed_scaling_factor=1.5,
+        norm_topk_prob=True, use_qk_norm=True, partial_rotary_factor=0.5,
+        attention_bias=False, max_position_embeddings=128,
+        rope_theta=10000.0, tie_word_embeddings=False,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+    ))
+    model.eval()
+    d = tmp_path / "hf_glm4moe"
+    model.save_pretrained(d, safe_serialization=True)
+    out = str(tmp_path / "glm4moe.gguf")
+    stats = convert_hf_to_gguf(str(d), out, outtype="f32", verbose=False)
+    assert stats["arch"] == "glm4moe"
+    ids = [3, 17, 42, 7, 19]
+    with torch.no_grad():
+        ref = model(torch.tensor([ids])).logits[0].numpy()
+    eng = Engine(out, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    assert eng.hp.rope.style == "neox" and eng.hp.rope.dims == 8
+    got = eng.prefill_all_logits(ids)
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)

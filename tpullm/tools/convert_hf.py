@@ -56,6 +56,8 @@ ARCH_MAP = {
     "deepseek_v3": "deepseek2",
     "gemma3n": "gemma3n",
     "gemma3n_text": "gemma3n",
+    "falcon_h1": "falcon-h1",
+    "glm4_moe": "glm4moe",
 }
 
 # archs whose norms are LayerNorm (write layer_norm_epsilon, not RMS)
@@ -122,6 +124,19 @@ _LAYER_MAP = {
     "mlp.down_proj.weight": "ffn_down.weight",
     "input_layernorm.weight": "attn_norm.weight",
     "input_layernorm.bias": "attn_norm.bias",
+    # falcon-h1 (parallel attn+mamba2 per layer)
+    "pre_ff_layernorm.weight": "ffn_norm.weight",
+    "feed_forward.gate_proj.weight": "ffn_gate.weight",
+    "feed_forward.up_proj.weight": "ffn_up.weight",
+    "feed_forward.down_proj.weight": "ffn_down.weight",
+    "mamba.in_proj.weight": "ssm_in.weight",
+    "mamba.conv1d.weight": "ssm_conv1d.weight",
+    "mamba.conv1d.bias": "ssm_conv1d.bias",
+    "mamba.dt_bias": "ssm_dt.bias",
+    "mamba.A_log": "ssm_a",
+    "mamba.D": "ssm_d",
+    "mamba.norm.weight": "ssm_norm.weight",
+    "mamba.out_proj.weight": "ssm_out.weight",
     "post_attention_layernorm.weight": "ffn_norm.weight",
     "post_attention_layernorm.bias": "ffn_norm.bias",
     # starcoder2 sequential FFN
@@ -385,7 +400,8 @@ def map_tensor_name(name: str, arch: str) -> str | None:
         name = name[len("gpt_neox."):]
     if name in ("embed_tokens.weight", "embed_in.weight"):
         return "token_embd.weight"
-    if name in ("norm.weight", "final_layer_norm.weight"):
+    if name in ("norm.weight", "final_layer_norm.weight",
+                "final_layernorm.weight"):
         return "output_norm.weight"
     if name in ("norm.bias", "final_layer_norm.bias"):
         return "output_norm.bias"
@@ -735,6 +751,42 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
         if cfg.get("rope_local_base_freq"):
             w.add_kv(f"{arch}.rope.freq_base_swa",
                      float(cfg["rope_local_base_freq"]))
+    if arch == "glm4moe":
+        # ≡ Glm4MoeModel: deepseek-style routed MoE keys
+        w.add_kv(f"{arch}.expert_count", int(cfg["n_routed_experts"]))
+        w.add_kv(f"{arch}.expert_used_count", int(cfg.get("num_experts_per_tok", 8)))
+        w.add_kv(f"{arch}.expert_feed_forward_length",
+                 int(cfg["moe_intermediate_size"]))
+        w.add_kv(f"{arch}.expert_shared_count",
+                 int(cfg.get("n_shared_experts", 0) or 0))
+        w.add_kv(f"{arch}.leading_dense_block_count",
+                 int(cfg.get("first_k_dense_replace", 0)))
+        if cfg.get("routed_scaling_factor") is not None:
+            w.add_kv(f"{arch}.expert_weights_scale",
+                     float(cfg["routed_scaling_factor"]))
+        w.add_kv(f"{arch}.expert_gating_func", 2)  # sigmoid scoring
+    if arch == "glm4moe":
+        # ≡ Glm4MoeModel: deepseek-style routed MoE keys
+        w.add_kv(f"{arch}.expert_count", int(cfg["n_routed_experts"]))
+        w.add_kv(f"{arch}.expert_used_count",
+                 int(cfg.get("num_experts_per_tok", 8)))
+        w.add_kv(f"{arch}.expert_feed_forward_length",
+                 int(cfg["moe_intermediate_size"]))
+        w.add_kv(f"{arch}.expert_shared_count",
+                 int(cfg.get("n_shared_experts", 0) or 0))
+        w.add_kv(f"{arch}.leading_dense_block_count",
+                 int(cfg.get("first_k_dense_replace", 0)))
+        if cfg.get("routed_scaling_factor") is not None:
+            w.add_kv(f"{arch}.expert_weights_scale",
+                     float(cfg["routed_scaling_factor"]))
+        w.add_kv(f"{arch}.expert_gating_func", 2)  # sigmoid scoring
+    if arch == "falcon-h1":
+        # ≡ FalconH1Model.set_gguf_parameters (mamba2-style ssm keys)
+        w.add_kv(f"{arch}.ssm.conv_kernel", int(cfg.get("mamba_d_conv", 4)))
+        w.add_kv(f"{arch}.ssm.inner_size", int(cfg["mamba_d_ssm"]))
+        w.add_kv(f"{arch}.ssm.state_size", int(cfg.get("mamba_d_state", 128)))
+        w.add_kv(f"{arch}.ssm.time_step_rank", int(cfg["mamba_n_heads"]))
+        w.add_kv(f"{arch}.ssm.group_count", int(cfg.get("mamba_n_groups", 1)))
     if arch == "qwen3next":
         # ≡ Qwen3NextModel.set_gguf_parameters: ssm.* keys carry the gated
         # DeltaNet geometry (group_count = key heads, time_step_rank = value
@@ -844,12 +896,45 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
                 print(f"skip {name}", file=sys.stderr)
             continue
         arr = np.asarray(arr, dtype=np.float32)
-        if arch in ("mamba", "mamba2") and gname.endswith("ssm_conv1d.weight"):
+        if arch in ("mamba", "mamba2", "falcon-h1") and gname.endswith("ssm_conv1d.weight"):
             arr = arr.reshape(arr.shape[0], arr.shape[-1])
-        if arch in ("mamba", "mamba2") and gname.endswith("ssm_a"):
+        if arch in ("mamba", "mamba2", "falcon-h1") and gname.endswith("ssm_a"):
             arr = -np.exp(arr)  # gguf convention (MambaModel A_log fold)
         if arch == "mamba2" and gname.endswith("ssm_norm.weight"):
             arr = arr.reshape(int(cfg.get("n_groups", 1)), -1)
+        if arch == "falcon-h1":
+            # fold the MuP multipliers into the weights (FalconH1Model)
+            if gname.endswith("ssm_norm.weight"):
+                arr = arr.reshape(int(cfg.get("mamba_n_groups", 1)), -1)
+            mlp_m = cfg.get("mlp_multipliers") or [1.0, 1.0]
+            if gname.endswith("ffn_gate.weight"):
+                arr = arr * float(mlp_m[0])
+            elif gname.endswith("ffn_down.weight"):
+                arr = arr * float(mlp_m[1])
+            elif gname.endswith("attn_k.weight"):
+                arr = arr * float(cfg.get("key_multiplier", 1.0)) \
+                    * float(cfg.get("attention_in_multiplier", 1.0))
+            elif gname.endswith(("attn_q.weight", "attn_v.weight")):
+                arr = arr * float(cfg.get("attention_in_multiplier", 1.0))
+            elif gname.endswith("attn_output.weight"):
+                arr = arr * float(cfg.get("attention_out_multiplier", 1.0))
+            elif gname.endswith("ssm_out.weight"):
+                arr = arr * float(cfg.get("ssm_out_multiplier", 1.0))
+            elif gname.endswith("ssm_in.weight"):
+                arr = arr * float(cfg.get("ssm_in_multiplier", 1.0))
+                zx_m = cfg.get("ssm_multipliers") or [1.0] * 5
+                d_ssm = int(cfg["mamba_d_ssm"])
+                gts = int(cfg.get("mamba_n_groups", 1)) * int(cfg.get("mamba_d_state", 128))
+                arr = arr.copy()
+                arr[:d_ssm] *= float(zx_m[0])
+                arr[d_ssm:2 * d_ssm] *= float(zx_m[1])
+                arr[2 * d_ssm:2 * d_ssm + gts] *= float(zx_m[2])
+                arr[2 * d_ssm + gts:2 * d_ssm + 2 * gts] *= float(zx_m[3])
+                arr[2 * d_ssm + 2 * gts:] *= float(zx_m[4])
+            elif gname == "output.weight":
+                arr = arr * float(cfg.get("lm_head_multiplier", 1.0))
+            elif gname == "token_embd.weight":
+                arr = arr * float(cfg.get("embedding_multiplier", 1.0))
         if arch in PERMUTE_QK_ARCHS and gname.endswith("attn_q.weight"):
             arr = _permute_qk(arr, n_head)
         elif arch in PERMUTE_QK_ARCHS and gname.endswith("attn_k.weight"):
