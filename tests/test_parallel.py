@@ -274,3 +274,48 @@ def test_engine_ep_moe_matches_single_device(tmp_path):
     g1 = list(eng1.generate_tokens([2, 3, 4], 4, stop_on_eog=False))
     g2 = list(eng2.generate_tokens([2, 3, 4], 4, stop_on_eog=False))
     assert g1 == g2
+
+
+def test_ring_attention_matches_single_device():
+    """Sequence-parallel ring attention over an 8-way seq mesh must equal
+    plain causal attention (online-softmax merge exactness)."""
+    import numpy as np
+    import jax, jax.numpy as jnp
+    from tpullm.parallel.sequence import make_seq_mesh, ring_attention
+
+    B, T, H, Hkv, D = 2, 64, 4, 2, 16
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(B, T, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, T, Hkv, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, T, Hkv, D)).astype(np.float32))
+    scale = D ** -0.5
+
+    mesh = make_seq_mesh(8)
+    got = np.asarray(ring_attention(q, k, v, mesh, scale))
+
+    # single-device reference
+    G = H // Hkv
+    qf = np.asarray(q).reshape(B, T, Hkv, G, D)
+    s = np.einsum("bqhgd,bkhd->bhgqk", qf, np.asarray(k)) * scale
+    mask = np.tril(np.ones((T, T), bool))
+    s = np.where(mask[None, None, None], s, -np.inf)
+    e = np.exp(s - s.max(-1, keepdims=True))
+    p = e / e.sum(-1, keepdims=True)
+    ref = np.einsum("bhgqk,bkhd->bqhgd", p, np.asarray(v)).reshape(B, T, H, D)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_ring_attention_sp2():
+    """Ring works at any axis size that divides T (here sp=2)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tpullm.parallel.sequence import make_seq_mesh, ring_attention
+
+    B, T, H, D = 1, 32, 2, 8
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.normal(size=(B, T, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, T, H, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, T, H, D)).astype(np.float32))
+    mesh = make_seq_mesh(2)
+    got = np.asarray(ring_attention(q, k, v, mesh, D ** -0.5))
+    assert np.isfinite(got).all() and got.shape == (B, T, H, D)

@@ -88,9 +88,11 @@ def _kernel(x_ref, *refs, gtype: GGMLType, plane_names: tuple[str, ...],
     codes = qm._expand_codes(tiles, gtype)  # (tk, tn) int32
     vals = qm._mapped_values(codes, gtype)  # f32
     n_groups = tk // G
-    vals = vals.reshape(n_groups, G, tn) * tiles["scale"].reshape(n_groups, 1, tn)
+    scale = tiles["scale"].astype(jnp.float32)  # planes ride HBM at bf16
+    vals = vals.reshape(n_groups, G, tn) * scale.reshape(n_groups, 1, tn)
     if "minus" in tiles:
-        vals = vals - tiles["minus"].reshape(n_groups, 1, tn)
+        minus = tiles["minus"].astype(jnp.float32)
+        vals = vals - minus.reshape(n_groups, 1, tn)
     w = vals.reshape(tk, tn).astype(jnp.bfloat16)
     x = x_ref[:].astype(jnp.bfloat16)
     acc_ref[:] += jnp.dot(x, w, preferred_element_type=jnp.float32)

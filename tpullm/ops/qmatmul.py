@@ -235,9 +235,20 @@ def repack(data: np.ndarray, gtype: GGMLType, n_out: int, n_in: int) -> dict[str
     """Repack ggml blocks (row-major packed bytes) into TPU planes (host→device)."""
     from ..quant import native
 
+    def upload(planes_np):
+        # scale/minus planes ride HBM at bf16: halves the per-group overhead
+        # (8→4 bytes per G weights per lane, ~20% less decode traffic for
+        # Q4_K) at ≤2^-9 relative scale rounding — far below the block
+        # formats' own quantization error
+        return {
+            k: (jnp.asarray(v, jnp.bfloat16) if k in ("scale", "minus")
+                else jnp.asarray(v))
+            for k, v in planes_np.items()
+        }
+
     nat = native.repack(data, gtype, n_out, n_in)
     if nat is not None:
-        return {k: jnp.asarray(v) for k, v in nat.items()}
+        return upload(nat)
     codes, scale, minus = _decode_blocks(data, gtype, n_out, n_in)
     meta = _SCHEMA[gtype]
     bits = meta["bits"]
@@ -261,7 +272,7 @@ def repack(data: np.ndarray, gtype: GGMLType, n_out: int, n_in: int) -> dict[str
     planes["scale"] = scale
     if minus is not None:
         planes["minus"] = minus
-    return {k: jnp.asarray(v) for k, v in planes.items()}
+    return upload(planes)
 
 
 # ---------------------------------------------------------------------------
