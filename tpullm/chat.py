@@ -114,15 +114,17 @@ def _render_gemma(messages, add_generation_prompt):
     return "".join(out)
 
 
-def _render_mistral_v7(messages, add_generation_prompt):
+def _render_mistral_v7(messages, add_generation_prompt, *, sp=" "):
+    # official mistral v7 / v7-tekken (tekken drops the leading space;
+    # llama-chat.cpp:246-261)
     out = []
     for m in messages:
         if m["role"] == "system":
-            out.append(f"[SYSTEM_PROMPT] {m['content']}[/SYSTEM_PROMPT]")
+            out.append(f"[SYSTEM_PROMPT]{sp}{m['content']}[/SYSTEM_PROMPT]")
         elif m["role"] == "user":
-            out.append(f"[INST] {m['content']}[/INST]")
+            out.append(f"[INST]{sp}{m['content']}[/INST]")
         else:
-            out.append(f" {m['content']}</s>")
+            out.append(f"{sp}{m['content']}</s>")
     return "".join(out)
 
 
@@ -606,6 +608,7 @@ BUILTIN = {
     "llama3": _render_llama3,
     "gemma": _render_gemma,
     "mistral-v7": _render_mistral_v7,
+    "mistral-v7-tekken": lambda m, g: _render_mistral_v7(m, g, sp=""),
     "phi3": _render_phi3,
     "zephyr": _render_zephyr,
     "vicuna": _render_vicuna,

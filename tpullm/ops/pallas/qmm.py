@@ -71,9 +71,12 @@ def supports(gtype: GGMLType, n_in: int, n_out: int) -> bool:
     return n_out % 128 == 0
 
 
-def _kernel(x_ref, *refs, gtype: GGMLType, plane_names: tuple[str, ...],
-            tk: int, tn: int, out_dtype):
-    from .. import qmatmul as qm
+def _kernel_mat(x_ref, *refs, gtype: GGMLType, plane_names: tuple[str, ...],
+                tk: int, tn: int, out_dtype):
+    """Materializing dequant matmul: scaled weights built per tile, one dot.
+    Wins for the simple 32-unit types and G=16 K-quants where the grouped
+    formulation's batched dot lowers poorly (measured on v5e)."""
+    from tpullm.ops import qmatmul as qm
 
     *plane_refs, out_ref, acc_ref = refs
     k = pl.program_id(2)
@@ -102,6 +105,81 @@ def _kernel(x_ref, *refs, gtype: GGMLType, plane_names: tuple[str, ...],
         out_ref[:] = acc_ref[:].astype(out_dtype)
 
 
+# Types routed to the group-factored kernel below. Isolated micro-benchmarks
+# (dominated by tunnel dispatch jitter) suggested wins for Q4_K/Q5_K/MXFP4,
+# but the device-resident decode scan — the ground truth — measured a
+# regression (83.0 vs 87.9 tok/s on the 8B Q4_K_M bench), so the default is
+# the materializing kernel everywhere. Override for experiments with
+# TPULLM_QMM_GROUPED=Q4_K,Q5_K.
+GROUPED_TYPES: set = set()
+_env = __import__("os").environ.get("TPULLM_QMM_GROUPED", "")
+if _env:
+    GROUPED_TYPES = {GGMLType[t.strip()] for t in _env.split(",") if t.strip()}
+
+
+def _kernel(x_ref, *refs, gtype: GGMLType, plane_names: tuple[str, ...],
+            tk: int, tn: int, out_dtype):
+    """Group-factored dequant matmul.
+
+    Instead of materializing scaled weights (one mul + sub PER ELEMENT on
+    the VPU — measured to dominate decode), the scale is pulled out of the
+    inner dot:
+        out[m,n] = Σ_g scale[g,n]·(Σ_k x[m,g,k]·code[g,k,n])
+                   − Σ_g minus_eff[g,n]·(Σ_k x[m,g,k])
+    The grouped inner dot runs on the MXU with RAW codes cast to bf16
+    (integers ≤255 are exact); scale/minus touch only tk/G rows. The
+    symmetric bias (q−8)·d folds into minus_eff = 8·scale.
+    """
+    from .. import qmatmul as qm
+
+    *plane_refs, out_ref, acc_ref = refs
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    tiles = {name: ref[:] for name, ref in zip(plane_names, plane_refs)}
+    meta = qm._SCHEMA[gtype]
+    G = meta["G"]
+    ng = tk // G
+    codes = qm._expand_codes(tiles, gtype)  # (tk, tn) int32
+    if meta.get("lut"):
+        w = qm._mapped_values(codes, gtype).astype(jnp.bfloat16)
+    else:
+        w = codes.astype(jnp.bfloat16)  # exact: |code| ≤ 255
+    # x arrives TRANSPOSED [tk, tm] so the group split only divides major
+    # dims (Mosaic shape casts cannot split the minor/lane dim)
+    xg = x_ref[:].astype(jnp.bfloat16).reshape(ng, G, -1)  # (ng, G, tm)
+    tm = xg.shape[-1]
+    scale = tiles["scale"].astype(jnp.float32)  # (ng, tn)
+    # grouped dot on the MXU: (ng, G, tm) × (ng, G, tn) → (ng, tm, tn)
+    dot = jax.lax.dot_general(
+        xg, w.reshape(ng, G, tn),
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    acc = jnp.sum(dot * scale[:, None, :], axis=0)  # per-group scale
+    bias = meta.get("bias")
+    minus_eff = None
+    if "minus" in tiles:
+        minus_eff = tiles["minus"].astype(jnp.float32)
+    elif bias:
+        minus_eff = scale * float(bias)
+    if minus_eff is not None:
+        sx = jnp.sum(xg.astype(jnp.float32), axis=1)  # (ng, tm)
+        acc = acc - jax.lax.dot_general(
+            sx, minus_eff,  # Σ_g sx[g,m]·minus[g,n]
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    acc_ref[:] += acc
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_dtype)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("gtype", "M", "K", "N", "plane_names", "out_dtype", "interpret"),
@@ -114,9 +192,16 @@ def _qmm_2d(x, planes_flat, gtype, M, K, N, plane_names, out_dtype, interpret):
     tm = min(MAX_TILE_M, M)
     grid = (M // tm, N // tn, K // tk)
 
-    in_specs = [
-        pl.BlockSpec((tm, tk), lambda m, n, k: (m, k), memory_space=pltpu.VMEM)
-    ]
+    grouped = gtype in GROUPED_TYPES
+    if grouped:
+        # x passed transposed [K, M]: the kernel's group split must only
+        # divide major dims
+        x_spec = pl.BlockSpec((tk, tm), lambda m, n, k: (k, m),
+                              memory_space=pltpu.VMEM)
+    else:
+        x_spec = pl.BlockSpec((tm, tk), lambda m, n, k: (m, k),
+                              memory_space=pltpu.VMEM)
+    in_specs = [x_spec]
     for name in plane_names:
         rows = _plane_rows(gtype, name, tk)
         in_specs.append(
@@ -124,7 +209,8 @@ def _qmm_2d(x, planes_flat, gtype, M, K, N, plane_names, out_dtype, interpret):
         )
 
     kernel = functools.partial(
-        _kernel, gtype=gtype, plane_names=plane_names, tk=tk, tn=tn,
+        _kernel if grouped else _kernel_mat,
+        gtype=gtype, plane_names=plane_names, tk=tk, tn=tn,
         out_dtype=out_dtype,
     )
     flops = 2 * M * K * N
@@ -142,7 +228,7 @@ def _qmm_2d(x, planes_flat, gtype, M, K, N, plane_names, out_dtype, interpret):
             flops=flops, bytes_accessed=int(bytes_accessed), transcendentals=0
         ),
         interpret=interpret,
-    )(x, *planes_flat)
+    )(x.T if grouped else x, *planes_flat)
 
 
 # canonical plane order: codes first, then scale fields
