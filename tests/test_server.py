@@ -586,3 +586,46 @@ def test_infill_requires_fim_tokens(engine):
         asyncio.run(run())
     finally:
         sched.stop()
+
+
+def test_http_alias_and_compat_endpoints(engine):
+    """llama.cpp aliases + ollama compat + /apply-template + /lora-adapters."""
+    import asyncio
+
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from tpullm.server.api import Server
+
+    sched = Scheduler(engine)
+    sched.start()
+
+    async def run():
+        server = Server(sched, model_name="tiny")
+        client = TestClient(TestServer(server.app))
+        await client.start_server()
+        try:
+            for path in ("/v1/health", "/models", "/api/tags"):
+                r = await client.get(path)
+                assert r.status == 200, path
+            r = await client.post("/api/show", json={"model": "tiny"})
+            info = await r.json()
+            assert info["model_info"]["general.architecture"]
+            r = await client.post("/apply-template", json={"messages": [
+                {"role": "user", "content": "hi"}]})
+            assert "hi" in (await r.json())["prompt"]
+            r = await client.get("/lora-adapters")
+            assert (await r.json()) == []
+            r = await client.post("/completions", json={
+                "prompt": "the quick", "max_tokens": 2})
+            assert r.status == 200
+            r = await client.post("/chat/completions", json={
+                "messages": [{"role": "user", "content": "hi"}],
+                "max_tokens": 2})
+            assert r.status == 200
+        finally:
+            await client.close()
+
+    try:
+        asyncio.new_event_loop().run_until_complete(run())
+    finally:
+        sched.stop()

@@ -126,6 +126,7 @@ class Engine:
         self.arch = get_arch(self.hp.arch)
         self.tokenizer = tokenizer_mod.from_gguf(self.reader)
         self.params = self.arch.build_params(self.reader, self.hp, mode=mode, dtype=dtype)
+        self.lora_info = list(lora or [])  # [(path, scale)] for /lora-adapters
         for lora_path, lora_scale in lora or []:
             from ..models.lora import apply_lora, load_lora_gguf
 

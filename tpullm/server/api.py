@@ -106,21 +106,32 @@ class Server:
         self.app = web.Application(middlewares=[_json_errors])
         r = self.app.router
         r.add_get("/health", self.health)
+        r.add_get("/v1/health", self.health)  # llama.cpp alias
         r.add_get("/v1/models", self.models)
+        r.add_get("/models", self.models)  # llama.cpp alias
+        r.add_get("/api/tags", self.api_tags)  # ollama compat
+        r.add_post("/api/show", self.api_show)  # ollama compat
         r.add_get("/props", self.props)
         r.add_get("/metrics", self.metrics)
         r.add_get("/slots", self.slots)
         r.add_post("/slots/{slot_id}", self.slot_action)
         r.add_post("/tokenize", self.tokenize)
         r.add_post("/detokenize", self.detokenize)
+        r.add_post("/apply-template", self.apply_template)
+        r.add_get("/lora-adapters", self.lora_adapters)
         r.add_post("/embedding", self.embeddings)  # llama.cpp alias
+        r.add_post("/embeddings", self.embeddings)  # llama.cpp alias
         r.add_post("/v1/embeddings", self.embeddings)
         r.add_post("/rerank", self.rerank)  # llama.cpp alias
+        r.add_post("/reranking", self.rerank)  # llama.cpp alias
         r.add_post("/v1/rerank", self.rerank)
+        r.add_post("/v1/reranking", self.rerank)  # llama.cpp alias
         r.add_post("/infill", self.infill)
         r.add_post("/completion", self.completions)  # llama.cpp alias
+        r.add_post("/completions", self.completions)  # llama.cpp alias
         r.add_post("/v1/completions", self.completions)
         r.add_post("/v1/chat/completions", self.chat_completions)
+        r.add_post("/chat/completions", self.chat_completions)  # alias
         r.add_post("/v1/messages", self.anthropic_messages)
         r.add_post("/v1/messages/count_tokens", self.anthropic_count_tokens)
 
@@ -199,6 +210,48 @@ class Server:
         else:
             out = await loop.run_in_executor(None, self.sched.slot_restore, slot_id, path)
         return web.json_response(out)
+
+    async def apply_template(self, request):
+        """POST /apply-template: render the chat template without generating
+        (≡ server handle_apply_template)."""
+        body = await request.json()
+        messages = body.get("messages", [])
+        vocab = self.sched.engine.tokenizer.vocab
+        prompt = apply_chat_template(
+            vocab.chat_template, messages, add_generation_prompt=True
+        )
+        return web.json_response({"prompt": prompt})
+
+    async def api_tags(self, request):
+        """GET /api/tags: ollama-compatible model listing."""
+        return web.json_response({"models": [{
+            "name": self.model_name,
+            "model": self.model_name,
+            "modified_at": "",
+            "size": 0,
+            "details": {"family": "gguf", "format": "gguf"},
+        }]})
+
+    async def api_show(self, request):
+        """POST /api/show: ollama-compatible model info."""
+        hp = self.sched.engine.hp
+        return web.json_response({
+            "model_info": {
+                "general.architecture": hp.arch,
+                f"{hp.arch}.context_length": hp.n_ctx_train,
+                f"{hp.arch}.embedding_length": hp.n_embd,
+                f"{hp.arch}.block_count": hp.n_layer,
+            },
+            "capabilities": ["completion"],
+        })
+
+    async def lora_adapters(self, request):
+        """GET /lora-adapters: adapters were folded at load (apply_lora) —
+        report them with their scales (≡ server handle_lora_adapters_list)."""
+        loras = getattr(self.sched.engine, "lora_info", []) or []
+        return web.json_response([
+            {"id": i, "path": p, "scale": s} for i, (p, s) in enumerate(loras)
+        ])
 
     async def tokenize(self, request):
         body = await request.json()
