@@ -629,3 +629,53 @@ def test_http_alias_and_compat_endpoints(engine):
         asyncio.new_event_loop().run_until_complete(run())
     finally:
         sched.stop()
+
+
+def test_http_responses_api(engine):
+    """OpenAI /v1/responses: text + item-list input, non-stream and SSE."""
+    import asyncio
+
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from tpullm.server.api import Server
+
+    sched = Scheduler(engine)
+    sched.start()
+
+    async def run():
+        server = Server(sched, model_name="tiny")
+        client = TestClient(TestServer(server.app))
+        await client.start_server()
+        try:
+            r = await client.post("/v1/responses", json={
+                "input": "the quick brown", "max_output_tokens": 4})
+            body = await r.json()
+            assert body["object"] == "response" and body["status"] == "completed"
+            msg = [o for o in body["output"] if o["type"] == "message"][0]
+            assert msg["content"][0]["type"] == "output_text"
+            assert body["usage"]["output_tokens"] >= 1
+
+            r = await client.post("/v1/responses", json={
+                "instructions": "be brief",
+                "input": [{"role": "user", "content": "hello"}],
+                "max_output_tokens": 3})
+            assert (await r.json())["status"] == "completed"
+
+            # streaming SSE
+            r = await client.post("/v1/responses", json={
+                "input": "hello", "max_output_tokens": 3, "stream": True})
+            raw = (await r.read()).decode()
+            assert "response.created" in raw
+            assert "response.output_text.delta" in raw
+            assert "response.completed" in raw
+
+            # errors
+            r = await client.post("/v1/responses", json={})
+            assert r.status == 400
+        finally:
+            await client.close()
+
+    try:
+        asyncio.new_event_loop().run_until_complete(run())
+    finally:
+        sched.stop()

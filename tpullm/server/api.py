@@ -134,6 +134,7 @@ class Server:
         r.add_post("/chat/completions", self.chat_completions)  # alias
         r.add_post("/v1/messages", self.anthropic_messages)
         r.add_post("/v1/messages/count_tokens", self.anthropic_count_tokens)
+        r.add_post("/v1/responses", self.responses)
 
     # -- info endpoints ------------------------------------------------------------
 
@@ -520,6 +521,146 @@ class Server:
             },
             "timings": stats,
         })
+
+    # -- OpenAI responses API (≡ server convert_responses_to_chatcmpl +
+    # to_json_oaicompat_resp) ------------------------------------------------------
+
+    @staticmethod
+    def _responses_to_messages(body: dict) -> list[dict]:
+        if "input" not in body:
+            raise ValueError("'input' is required")
+        if body.get("previous_response_id"):
+            raise ValueError("'previous_response_id' is not supported")
+        messages: list[dict] = []
+        if body.get("instructions"):
+            messages.append({"role": "system", "content": body["instructions"]})
+        inp = body["input"]
+        if isinstance(inp, str):
+            messages.append({"role": "user", "content": inp})
+            return messages
+        for item in inp:
+            content = item.get("content", "")
+            if isinstance(content, str):
+                content = [{"type": "input_text", "text": content}]
+            role = item.get("role", "user")
+            if role == "assistant":
+                text = "".join(b.get("text", "") for b in content
+                               if b.get("type") in ("output_text", "input_text"))
+                messages.append({"role": "assistant", "content": text})
+                continue
+            parts = []
+            for b in content:
+                btype = b.get("type")
+                if btype == "input_text":
+                    parts.append({"type": "text", "text": b.get("text", "")})
+                elif btype == "input_image":
+                    parts.append({"type": "image_url",
+                                  "image_url": {"url": b.get("image_url", "")}})
+                else:
+                    raise ValueError(f"unsupported input item type {btype!r}")
+            if len(parts) == 1 and parts[0]["type"] == "text":
+                messages.append({"role": role, "content": parts[0]["text"]})
+            else:
+                messages.append({"role": role, "content": parts})
+        return messages
+
+    async def responses(self, request):
+        body = await request.json()
+        try:
+            messages = self._responses_to_messages(body)
+        except ValueError as e:
+            return web.json_response({"error": {"message": str(e)}}, status=400)
+        for m in messages:  # normalize the developer role
+            if m["role"] == "developer":
+                m["role"] = "system"
+        vocab = self.sched.engine.tokenizer.vocab
+        messages, images = self._extract_images(messages)
+        prompt = apply_chat_template(
+            vocab.chat_template, messages, add_generation_prompt=True)
+        tok = self.sched.engine.tokenizer
+        ids = tok.tokenize(prompt, add_special=True, parse_special=True)
+        req = GenRequest(
+            prompt_ids=ids,
+            max_tokens=int(body.get("max_output_tokens",
+                                    body.get("max_tokens", 128))),
+            sampling=_sampling_from_body(body),
+            stop=body.get("stop") or [],
+        )
+        rid = f"resp_{uuid.uuid4().hex[:16]}"
+        self.sched.submit(req)
+        if body.get("stream"):
+            return await self._stream_responses(request, req, rid)
+        text, reason, stats = await self._collect(req)
+        reasoning, text = extract_reasoning(text)
+        return web.json_response(
+            self._responses_json(rid, text, reasoning, stats))
+
+    def _responses_json(self, rid, text, reasoning, stats):
+        output = []
+        if reasoning:
+            output.append({
+                "id": f"rs_{uuid.uuid4().hex[:12]}",
+                "summary": [], "type": "reasoning",
+                "content": [{"text": reasoning, "type": "reasoning_text"}],
+                "encrypted_content": "", "status": "completed",
+            })
+        output.append({
+            "content": [{"type": "output_text", "annotations": [],
+                         "logprobs": [], "text": text}],
+            "id": f"msg_{uuid.uuid4().hex[:12]}",
+            "role": "assistant", "status": "completed", "type": "message",
+        })
+        now = int(time.time())
+        return {
+            "id": rid, "object": "response", "created_at": now,
+            "completed_at": now, "model": self.model_name,
+            "status": "completed", "output": output,
+            "usage": {
+                "input_tokens": stats.get("prompt_n", 0),
+                "output_tokens": stats.get("predicted_n", 0),
+                "total_tokens": stats.get("prompt_n", 0)
+                + stats.get("predicted_n", 0),
+            },
+        }
+
+    async def _stream_responses(self, request, req: GenRequest, rid: str):
+        """SSE stream: response.created → response.output_text.delta* →
+        response.completed."""
+        resp = web.StreamResponse(headers={
+            "Content-Type": "text/event-stream",
+            "Cache-Control": "no-cache",
+        })
+        await resp.prepare(request)
+
+        async def emit(event, data):
+            await resp.write(
+                f"event: {event}\ndata: {json.dumps(data)}\n\n".encode())
+
+        await emit("response.created",
+                   {"type": "response.created",
+                    "response": {"id": rid, "object": "response",
+                                 "status": "in_progress"}})
+        loop = asyncio.get_event_loop()
+        parts = []
+        stats = {}
+        while True:
+            ev = await loop.run_in_executor(None, req.out.get)
+            if ev[0] == "token":
+                parts.append(ev[2])
+                await emit("response.output_text.delta",
+                           {"type": "response.output_text.delta",
+                            "item_id": rid, "delta": ev[2]})
+            else:
+                stats = ev[2]
+                break
+        text = "".join(parts)
+        reasoning, text = extract_reasoning(text)
+        await emit("response.completed",
+                   {"type": "response.completed",
+                    "response": self._responses_json(rid, text, reasoning,
+                                                     stats)})
+        await resp.write_eof()
+        return resp
 
     # -- anthropic-compatible messages API (≡ server's /v1/messages route) ---------
 
