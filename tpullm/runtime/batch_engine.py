@@ -35,6 +35,9 @@ class BatchEngine:
         kv_dtype=jnp.bfloat16,
         prefill_chunk: int = 512,
     ):
+        from ..utils.compile_cache import enable_persistent_cache
+
+        enable_persistent_cache()
         t0 = time.perf_counter()
         self.reader = GGUFReader(model_path)
         self.hp = load_hparams(self.reader)

@@ -118,6 +118,9 @@ class Engine:
         swa_full: bool = False,  # force full-size SWA-layer cache (≡ --swa-full)
         grp_attn_n: int = 1,  # self-extend group size (≡ passkey --grp-attn-n)
     ):
+        from ..utils.compile_cache import enable_persistent_cache
+
+        enable_persistent_cache()
         t0 = time.perf_counter()
         self.reader = GGUFReader(model_path)
         if override_kv:

@@ -137,9 +137,17 @@ def apply_dry(
             continue
         if l > match_len.get(z, 0):
             match_len[z] = l
+    # clamp the exponent so long repeats don't overflow to inf
+    # (≡ llama_sampler_dry's max_exponent guard)
+    max_exponent = 0.0
+    if base > 1.0 and multiplier > 0:
+        max_exponent = np.log(np.finfo(np.float32).max / multiplier) / np.log(base)
     for z, l in match_len.items():
         if l >= allowed_length and 0 <= z < logits.size:
-            logits[z] -= multiplier * (base ** (l - allowed_length))
+            exp = float(l - allowed_length)
+            if max_exponent > 0:
+                exp = min(exp, max_exponent)
+            logits[z] -= multiplier * (base ** exp)
     return logits
 
 

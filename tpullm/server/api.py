@@ -278,15 +278,17 @@ class Server:
         tok = self.sched.engine.tokenizer
         loop = asyncio.get_event_loop()
         data = []
+        n_prompt_tokens = 0
         for i, text in enumerate(inputs):
             ids = tok.tokenize(str(text), add_special=True, parse_special=True)
+            n_prompt_tokens += len(ids)
             vec = await loop.run_in_executor(None, self.sched.embed, ids)
             data.append({"object": "embedding", "index": i,
                          "embedding": [float(x) for x in vec]})
         return web.json_response({
             "object": "list", "model": self.model_name, "data": data,
-            "usage": {"prompt_tokens": sum(len(d["embedding"]) for d in data),
-                      "total_tokens": 0},
+            "usage": {"prompt_tokens": n_prompt_tokens,
+                      "total_tokens": n_prompt_tokens},
         })
 
     async def rerank(self, request):
@@ -575,16 +577,30 @@ class Server:
                 m["role"] = "system"
         vocab = self.sched.engine.tokenizer.vocab
         messages, images = self._extract_images(messages)
+        if images and self.clip is None and self.audio_enc is None:
+            return web.json_response(
+                {"error": {"message": "server started without --mmproj"}},
+                status=400,
+            )
         prompt = apply_chat_template(
             vocab.chat_template, messages, add_generation_prompt=True)
         tok = self.sched.engine.tokenizer
         ids = tok.tokenize(prompt, add_special=True, parse_special=True)
+        prompt_embds = None
+        if images:
+            from ..mtmd import build_multimodal_embeddings
+
+            prompt_embds = build_multimodal_embeddings(
+                self.sched.engine, self.clip, prompt, images,
+                audio=self.audio_enc,
+            )
         req = GenRequest(
             prompt_ids=ids,
             max_tokens=int(body.get("max_output_tokens",
                                     body.get("max_tokens", 128))),
             sampling=_sampling_from_body(body),
             stop=body.get("stop") or [],
+            prompt_embds=prompt_embds,
         )
         rid = f"resp_{uuid.uuid4().hex[:16]}"
         self.sched.submit(req)

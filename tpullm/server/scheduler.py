@@ -313,7 +313,11 @@ class Scheduler:
         half = (eng.max_seq - keep) // 2
         kept = slot.tokens[:keep] + slot.tokens[-half:]
         eng.free_slot(slot.index)
-        eng.prefill_slot(slot.index, kept)
+        # the just-sampled token (last of `kept`) is delivered through
+        # pending_token on the next decode step — prefilling it here too
+        # would write it into the KV cache twice and drift slot.tokens vs
+        # cache content by one position per shift
+        eng.prefill_slot(slot.index, kept[:-1])
         slot.tokens = list(kept)
         self.n_context_shifts += 1
         self._wake.set()

@@ -1,0 +1,42 @@
+"""Persistent XLA compilation cache.
+
+The reference amortizes per-step launch overhead with CUDA graph capture
+(ggml-cuda.cu graph record/replay); under XLA the analogous cold-start cost
+is *compilation* of the jitted prefill/decode programs (tens of seconds for
+an 8B model). Enabling JAX's persistent compilation cache makes every
+process after the first deserialize the compiled executable instead —
+cold TTFT drops from minutes to seconds.
+
+Called from Engine/BatchEngine construction; idempotent. Opt out with
+TPULLM_NO_COMPILE_CACHE=1, redirect with TPULLM_COMPILE_CACHE_DIR.
+"""
+
+from __future__ import annotations
+
+import os
+
+_done = False
+
+
+def enable_persistent_cache() -> None:
+    global _done
+    if _done or os.environ.get("TPULLM_NO_COMPILE_CACHE"):
+        return
+    _done = True
+    import jax
+
+    cache_dir = os.environ.get(
+        "TPULLM_COMPILE_CACHE_DIR",
+        os.path.join(
+            os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+            "tpullm", "xla_cache",
+        ),
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # cache every program regardless of compile time / size
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:  # config knobs vary across jax versions — best effort
+        pass
