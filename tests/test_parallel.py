@@ -319,3 +319,68 @@ def test_ring_attention_sp2():
     mesh = make_seq_mesh(2)
     got = np.asarray(ring_attention(q, k, v, mesh, D ** -0.5))
     assert np.isfinite(got).all() and got.shape == (B, T, H, D)
+
+
+# -- mesh-sharded serving (BatchEngine) --------------------------------------------
+
+
+def test_batch_engine_mesh_matches_unsharded(model8):
+    """Sharded BatchEngine prefill+decode logits == unsharded run
+    (≡ the reference serving through split-mode row, but over the mesh)."""
+    from tpullm.runtime.batch_engine import BatchEngine
+
+    def run(mesh):
+        eng = BatchEngine(model8, n_slots=4, max_seq=64, mode="dense",
+                          dtype=jnp.float32, kv_dtype=jnp.float32, mesh=mesh)
+        out = []
+        lg0 = eng.prefill_slot(0, [1, 5, 9, 2, 7])
+        lg1 = eng.prefill_slot(1, [3, 8, 4])
+        out.append(lg0)
+        out.append(lg1)
+        step = eng.decode_batch({0: int(np.argmax(lg0)), 1: int(np.argmax(lg1))})
+        out.append(step[0])
+        out.append(step[1])
+        return out
+
+    ref = run(None)
+    mesh = make_mesh(tp=4, dp=2)
+    with mesh:
+        got = run(mesh)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(r), np.asarray(g),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_batch_engine_mesh_q8_kv(model8):
+    """Sharded serving with q8_0 KV storage stays numerically aligned."""
+    from tpullm.runtime.batch_engine import BatchEngine
+
+    def run(mesh):
+        eng = BatchEngine(model8, n_slots=2, max_seq=64, mode="dense",
+                          dtype=jnp.float32, kv_dtype="q8_0", mesh=mesh)
+        lg = eng.prefill_slot(0, [1, 5, 9, 2, 7, 6, 11, 12])
+        step = eng.decode_batch({0: int(np.argmax(lg))})
+        return [lg, step[0]]
+
+    ref = run(None)
+    mesh = make_mesh(tp=4, dp=2)
+    with mesh:
+        got = run(mesh)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(r), np.asarray(g),
+                                   rtol=5e-3, atol=5e-3)
+
+
+def test_shard_cache_specs(model8):
+    from jax.sharding import PartitionSpec as P
+
+    from tpullm.runtime.kvcache import QuantKVCache
+
+    r = GGUFReader(model8)
+    hp = load_hparams(r)
+    mesh = make_mesh(tp=4, dp=2)
+    c = shard_cache(KVCache.new(hp, 4, 32, jnp.float32), mesh, data_batch=True)
+    assert c.k.sharding.spec == P(None, "data", "model", None, None)
+    q = shard_cache(QuantKVCache.new(hp, 4, 32), mesh, data_batch=True)
+    assert q.k_q.sharding.spec == P(None, "data", "model", None, None)
+    assert q.k_s.sharding.spec == P(None, "data", "model", None)

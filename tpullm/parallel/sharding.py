@@ -22,8 +22,8 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.weights import DenseLinear, QuantLinear
-from ..runtime.kvcache import KVCache
-from .mesh import EXPERT_AXIS, MODEL_AXIS
+from ..runtime.kvcache import KVCache, QuantKVCache, SWACache
+from .mesh import DATA_AXIS, EXPERT_AXIS, MODEL_AXIS
 
 # tensor-name patterns → (dense spec over [n_in, n_out], quant plane row/col)
 COL_PARALLEL = re.compile(r"(wq|wk|wv|w_gate|w_up|output)$")
@@ -113,9 +113,49 @@ def shard_params(params: dict, mesh: Mesh) -> dict:
     return out
 
 
-def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:
-    """KV sharded over kv-heads (dim 2 of [L,B,Hkv,S,D]) when divisible."""
+def shard_cache(cache, mesh: Mesh, data_batch: bool = False):
+    """Shard a KV cache over the mesh.
+
+    KV heads (dim 2 of [L,B,Hkv,S,D]) go over the tensor axis when
+    divisible. With `data_batch=True` (serving: BatchEngine slots) the
+    batch/slot dim additionally shards over the data axis, so each
+    data-parallel group holds its own slice of the continuous-batching
+    slots — the TPU translation of running dp replicas of the reference
+    server behind one endpoint.
+    """
     tp = _axis_size(mesh)
-    hkv = cache.k.shape[2]
-    spec = P(None, None, MODEL_AXIS, None, None) if hkv % tp == 0 else P()
-    return KVCache(_put(cache.k, mesh, spec), _put(cache.v, mesh, spec))
+    dp = mesh.shape.get(DATA_AXIS, 1) if hasattr(mesh.shape, "get") else (
+        mesh.shape[DATA_AXIS] if DATA_AXIS in mesh.axis_names else 1
+    )
+
+    def axes(arr, head_dim: int | None, batch_dim: int = 1):
+        spec = [None] * arr.ndim
+        if head_dim is not None and arr.shape[head_dim] % tp == 0:
+            spec[head_dim] = MODEL_AXIS
+        if data_batch and dp > 1 and arr.shape[batch_dim] % dp == 0:
+            spec[batch_dim] = DATA_AXIS
+        return P(*spec)
+
+    if isinstance(cache, KVCache):
+        return KVCache(
+            _put(cache.k, mesh, axes(cache.k, 2)),
+            _put(cache.v, mesh, axes(cache.v, 2)),
+        )
+    if isinstance(cache, QuantKVCache):
+        return QuantKVCache(
+            _put(cache.k_q, mesh, axes(cache.k_q, 2)),
+            _put(cache.v_q, mesh, axes(cache.v_q, 2)),
+            _put(cache.k_s, mesh, axes(cache.k_s, 2)),
+            _put(cache.v_s, mesh, axes(cache.v_s, 2)),
+        )
+    if isinstance(cache, SWACache):
+        return SWACache(
+            _put(cache.full_k, mesh, axes(cache.full_k, 2)),
+            _put(cache.full_v, mesh, axes(cache.full_v, 2)),
+            _put(cache.swa_k, mesh, axes(cache.swa_k, 2)),
+            _put(cache.swa_v, mesh, axes(cache.swa_v, 2)),
+            _put(cache.slot_pos, mesh, axes(cache.slot_pos, None, 0)),
+            cache.layer_map, cache.window,
+        )
+    # recurrent / unknown cache pytrees: replicate every leaf
+    return jax.tree_util.tree_map(lambda a: _put(a, mesh, P()), cache)

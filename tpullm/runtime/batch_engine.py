@@ -34,6 +34,7 @@ class BatchEngine:
         dtype=jnp.bfloat16,
         kv_dtype=jnp.bfloat16,
         prefill_chunk: int = 512,
+        mesh=None,  # jax.sharding.Mesh: TP (+ slot-DP) sharded serving
     ):
         from ..utils.compile_cache import enable_persistent_cache
 
@@ -53,6 +54,16 @@ class BatchEngine:
                 "recurrent archs are single-stream for now (use Engine)"
             )
         self.cache = make_cache(self.hp, n_slots, max_seq, kv_dtype)
+        self.mesh = mesh
+        if mesh is not None:
+            # mesh-sharded serving (the reference's split-mode row served
+            # through server-context has no analogue beyond one node;
+            # here GSPMD shards weights over "model" and the slot dim over
+            # "data", and the same jitted step runs on N chips)
+            from ..parallel import shard_cache, shard_params
+
+            self.params = shard_params(self.params, mesh)
+            self.cache = shard_cache(self.cache, mesh, data_batch=True)
         self.n_past = np.zeros(n_slots, dtype=np.int32)
         self.perf = PerfCounters(t_load_s=time.perf_counter() - t0)
 

@@ -174,8 +174,7 @@ class Engine:
             from ..parallel import shard_cache, shard_params
 
             self.params = shard_params(self.params, mesh)
-            if hasattr(self.cache, "k"):
-                self.cache = shard_cache(self.cache, mesh)
+            self.cache = shard_cache(self.cache, mesh)
         self.n_past = 0
         # self-extend / group attention (SURVEY §5.7): rope positions are
         # compressed to slot//G so a context G× the trained window stays

@@ -23,12 +23,61 @@ def main(argv=None):
                     help="CLIP mmproj GGUF for vision requests")
     ap.add_argument("--slot-save-path", default=None,
                     help="directory for /slots/:id?action=save|restore files")
+    ap.add_argument("--tp", type=int, default=1,
+                    help="tensor-parallel ways over the device mesh "
+                         "(≡ --split-mode row over ICI)")
+    ap.add_argument("--dp", type=int, default=1,
+                    help="data-parallel ways: serving slots shard over "
+                         "replica groups")
+    ap.add_argument("--kv-type", default=None, choices=["f16", "bf16", "f32", "q8_0"],
+                    help="KV cache storage type (≡ -ctk/-ctv)")
+    ap.add_argument("--draft-model", default=None,
+                    help="draft model GGUF for in-scheduler speculative "
+                         "decoding (≡ -md)")
+    ap.add_argument("--draft-max", type=int, default=8,
+                    help="max draft tokens per speculation step (≡ --draft-max)")
+    ap.add_argument("--spec-type", default=None,
+                    choices=["draft", "ngram_simple", "ngram_cache"],
+                    help="speculation strategy (default: draft if --draft-model "
+                         "given, else off)")
+    ap.add_argument("--cache-reuse", type=int, default=0,
+                    help="min chunk size for mid-prompt cache reuse via "
+                         "position shifting (≡ --cache-reuse)")
+    ap.add_argument("--dist-coordinator", default=None,
+                    help="multi-host: coordinator host:port for "
+                         "jax.distributed (see docs/multihost.md)")
+    ap.add_argument("--dist-nprocs", type=int, default=None,
+                    help="multi-host: total process count")
+    ap.add_argument("--dist-procid", type=int, default=None,
+                    help="multi-host: this process's rank")
     args = ap.parse_args(argv)
 
     from aiohttp import web
 
+    from ..utils.platform import honor_jax_platforms
+
+    honor_jax_platforms()
+
+    if args.dist_coordinator is not None or args.dist_nprocs is not None:
+        from ..parallel.distributed import init_distributed
+
+        info = init_distributed(args.dist_coordinator, args.dist_nprocs,
+                                args.dist_procid)
+        print(f"tpullm-server joined process group: rank "
+              f"{info['process_id']}/{info['num_processes']}, "
+              f"{info['global_devices']} global devices", file=sys.stderr)
+
+    mesh = None
+    if args.tp > 1 or args.dp > 1:
+        from ..parallel import make_mesh
+
+        mesh = make_mesh(tp=args.tp, dp=args.dp)
+
     engine_kw = dict(n_slots=args.parallel, max_seq=args.ctx_size,
-                     mode=args.mode, prefill_chunk=args.prefill_chunk)
+                     mode=args.mode, prefill_chunk=args.prefill_chunk,
+                     mesh=mesh)
+    if args.kv_type:
+        engine_kw["kv_dtype"] = args.kv_type
 
     if len(args.model) > 1 or "=" in args.model[0]:
         from .router import make_router_app
