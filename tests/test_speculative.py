@@ -155,3 +155,84 @@ def test_lookup_cli_create_merge_stats(model_path, tmp_path, capsys):
     assert lookup_main(["stats", merged]) == 0
     out = capsys.readouterr().out
     assert "n-grams:" in out
+
+
+# -- ngram_mod / ngram_map_k4v strategies (≡ common/ngram-mod.h, ngram-map.h) --
+
+
+def test_ngram_mod_proposes_on_repetition():
+    from tpullm.runtime.speculative import NgramModSpeculator
+
+    spec = NgramModSpeculator(n=2, n_draft=4)
+    seq = [1, 2, 3, 4] * 5 + [1]
+    spec.resync(seq + [0])  # observe the periodic history (ends ...4 1)
+    drafts = spec.propose(2, 4)  # (1,2)→3, (2,3)→4, (3,4)→1
+    assert drafts[:3] == [3, 4, 1]
+
+
+def test_ngram_mod_collision_overwrite():
+    from tpullm.runtime.speculative import NgramModSpeculator
+
+    spec = NgramModSpeculator(n=2, n_draft=2, size=1)  # every gram collides
+    spec.resync([1, 2, 9, 3, 4, 8, 0])
+    # table slot holds only the newest gram (3,4)→8
+    assert spec.propose(4, 2) == []  # sim suffix (0,4) ≠ stored key
+    spec2 = NgramModSpeculator(n=2, n_draft=2, size=1)
+    spec2.resync([1, 2, 9, 3, 4, 8, 0])
+    assert spec2.propose(8, 1) == []  # (0,8) not the stored key either
+
+
+def test_ngram_map_k4v_learns_and_feeds_back():
+    from tpullm.runtime.speculative import NgramMapSpeculator
+
+    spec = NgramMapSpeculator(size_ngram=2, size_mgram=3, max_values=4,
+                              min_hits=2)
+    seq = [7, 8, 1, 2, 3] * 4 + [7]
+    spec.resync(seq + [0])  # history ends ...2 3 7
+    # cur=8 → key (7,8) has value (1,2,3) with count ≥2 → whole m-gram drafted
+    drafts = spec.propose(8, 3)
+    assert drafts == [1, 2, 3]
+    spec.accept(3)
+    key = (7, 8)
+    assert spec.map[key][0][2] == 3  # acceptance feedback recorded
+
+
+def test_ngram_map_k_single_value():
+    from tpullm.runtime.speculative import make_speculator
+
+    spec = make_speculator("ngram_map_k")
+    assert spec.max_values == 1
+
+
+def test_make_speculator_names():
+    from tpullm.runtime.speculative import make_speculator
+
+    for name in ("ngram_simple", "ngram_mod", "ngram_map_k",
+                 "ngram_map_k4v", "ngram_cache"):
+        assert make_speculator(name) is not None
+    with pytest.raises(ValueError):
+        make_speculator("bogus")
+    with pytest.raises(ValueError):
+        make_speculator("draft")  # needs an engine
+
+
+def test_align_history_handles_divergence():
+    from tpullm.runtime.speculative import _align_history
+
+    h = [1, 2, 3, 4, 5]
+    tail = _align_history(h, [1, 2, 9, 10])
+    assert h == [1, 2]
+    assert tail == [9, 10]
+    # plain append case
+    h2 = [1, 2]
+    assert _align_history(h2, [1, 2, 3]) == [3]
+
+
+def test_ngram_mod_matches_greedy(model_path):
+    from tpullm.runtime.speculative import NgramModSpeculator
+
+    ids, ref = greedy_reference(model_path, "the quick brown fox the quick brown", 20)
+    target = Engine(model_path, mode="dense", max_seq=256)
+    out, stats = generate_speculative(target, NgramModSpeculator(n=2, n_draft=4),
+                                      ids, max_new_tokens=20, stop_on_eog=False)
+    assert out == ref

@@ -23,14 +23,15 @@ def _yarn_corr_dim(n_dims: int, n_ctx_orig: int, n_rot: float, base: float) -> f
     return n_dims * math.log(n_ctx_orig / (n_rot * 2 * math.pi)) / (2 * math.log(base))
 
 
-def rope_angles(rp: RopeParams, positions: jax.Array) -> tuple[jax.Array, jax.Array]:
+def rope_angles(rp: RopeParams, positions: jax.Array,
+                mscale_on: bool = True) -> tuple[jax.Array, jax.Array]:
     """cos/sin tables: positions [...,] -> ([..., n_dims/2], [..., n_dims/2])."""
     half = rp.dims // 2
     freq_scale = 1.0 / rp.scale_factor if rp.scaling_type in ("linear", "yarn") else 1.0
     inv_freq = rp.freq_base ** (-jnp.arange(0, half, dtype=jnp.float32) * 2.0 / rp.dims)
     theta_extrap = positions[..., None].astype(jnp.float32) * inv_freq
     theta = theta_extrap * freq_scale
-    mscale = rp.attn_factor
+    mscale = rp.attn_factor if mscale_on else 1.0
 
     if rp.scaling_type == "yarn" and rp.ext_factor != 0.0:
         n_ctx_orig = rp.orig_ctx or 1
@@ -40,9 +41,23 @@ def rope_angles(rp: RopeParams, positions: jax.Array) -> tuple[jax.Array, jax.Ar
         ramp = 1.0 - jnp.clip((i0 / 2.0 - low) / max(0.001, high - low), 0.0, 1.0)
         ramp_mix = ramp * rp.ext_factor
         theta = theta * (1.0 - ramp_mix) + theta_extrap * ramp_mix
-        mscale *= 1.0 + 0.1 * math.log(1.0 / freq_scale)
+        if mscale_on:
+            mscale *= 1.0 + 0.1 * math.log(1.0 / freq_scale)
 
     return jnp.cos(theta) * mscale, jnp.sin(theta) * mscale
+
+
+def rotate_cached_keys(k: jax.Array, delta: jax.Array, rp: RopeParams) -> jax.Array:
+    """Re-rotate already-rope'd keys by a per-row position delta
+    (≡ llama_kv_cache seq_add / ggml_rope's in-place K rotation on context
+    shift, reference src/llama-kv-cache.cpp:779). Valid because every
+    supported scaling keeps theta linear in position, so
+    R(pos+delta) = R(delta)·R(pos); the magnitude scale (attn_factor / YaRN
+    mscale) is already baked into the stored keys and must not be re-applied.
+
+    k: [..., S, D], delta: [S] int32 (0 = identity)."""
+    cos, sin = rope_angles(rp, delta.astype(jnp.float32), mscale_on=False)
+    return _apply(k, cos, sin, rp.style)
 
 
 @partial(jax.jit, static_argnames=("style",))

@@ -190,6 +190,104 @@ class BatchEngine:
             v = v / max(np.linalg.norm(v), 1e-12)
         return v
 
+    def verify_batch(self, tokens: dict[int, list[int]], width: int,
+                     ) -> dict[int, np.ndarray]:
+        """Speculative verification step (≡ the reference server's
+        can_speculate batch: server-context.cpp builds one llama_batch of
+        token+draft per slot). Feeds up to `width` tokens per slot in ONE
+        batched fixed-shape forward and returns {slot: logits [width, V]}.
+
+        Does NOT advance n_past — the scheduler commits only the accepted
+        prefix (cache slots past the commit point hold stale K/V, which the
+        position-based causal mask keeps invisible until overwritten).
+        """
+        t0 = time.perf_counter()
+        toks = np.zeros((self.n_slots, width), dtype=np.int32)
+        pos = np.zeros((self.n_slots, width), dtype=np.int32)
+        offsets = np.full(self.n_slots, -1, dtype=np.int32)
+        for slot, seq in tokens.items():
+            n = len(seq)
+            start = int(self.n_past[slot])
+            if start + width > self.max_seq:
+                raise ValueError(f"slot {slot} verify overflow: {start}+{width}")
+            toks[slot, :n] = seq
+            pos[slot] = np.arange(start, start + width)
+            offsets[slot] = start
+        logits, self.cache = self._step(
+            self.params, jnp.asarray(toks), jnp.asarray(pos), self.cache,
+            jnp.asarray(offsets),
+        )
+        logits = np.asarray(logits)
+        out = {slot: logits[slot] for slot in tokens}
+        self.perf.t_decode_s += time.perf_counter() - t0
+        self.perf.n_decode += sum(len(s) for s in tokens.values())
+        return out
+
+    def rewind(self, slot: int, n_past: int):
+        """Roll a slot's valid-cache length back (speculative rejection)."""
+        self.n_past[slot] = n_past
+
+    @property
+    def can_shift(self) -> bool:
+        """Whether cached K rows can be re-positioned by rope re-rotation
+        (≡ llama_kv_cache_can_shift). Excludes MLA/latent caches, NoPE
+        interleave, and position-dependent (longrope) scaling."""
+        from .kvcache import KVCache, QuantKVCache
+
+        return (
+            isinstance(self.cache, (KVCache, QuantKVCache))
+            and not self.arch.recurrent
+            and self.hp.head_dim_k_mla == 0
+            and self.hp.arch not in ("deepseek2", "kimi-linear")
+            and self.hp.no_rope_step == 0
+            and self.hp.rope.scaling_type != "longrope"
+            and self.hp.rope.dims > 0
+        )
+
+    def shift_slot(self, slot: int, idx: np.ndarray, delta: np.ndarray):
+        """Permute one slot's cache rows: destination row i takes source row
+        idx[i], with K re-rotated by delta[i] positions (V and alibi-style K
+        are position-free, so they just move). One fixed-shape jitted gather
+        per call — the compiled program is reused for every reuse pattern.
+        ≡ the reference server's --cache-reuse chunk shifting
+        (tools/server/server-context.cpp:2228-2271)."""
+        from ..ops.rope import rotate_cached_keys
+        from .kvcache import KVCache, QuantKVCache
+
+        if not hasattr(self, "_shift_fn"):
+            hp = self.hp
+            rotate = hp.max_alibi_bias <= 0.0  # alibi keys carry no rope
+
+            @functools.partial(jax.jit, donate_argnames=("cache",))
+            def _shift(cache, slot, idx, delta):
+                if isinstance(cache, QuantKVCache):
+                    kq = jnp.take(cache.k_q[:, slot], idx, axis=2)
+                    ks = jnp.take(cache.k_s[:, slot], idx, axis=2)
+                    vq = jnp.take(cache.v_q[:, slot], idx, axis=2)
+                    vs = jnp.take(cache.v_s[:, slot], idx, axis=2)
+                    if rotate:
+                        kf = kq.astype(jnp.float32) * ks[..., None]
+                        kf = rotate_cached_keys(kf, delta, hp.rope)
+                        kq, ks = QuantKVCache._quantize(kf)
+                    return QuantKVCache(
+                        cache.k_q.at[:, slot].set(kq),
+                        cache.v_q.at[:, slot].set(vq),
+                        cache.k_s.at[:, slot].set(ks),
+                        cache.v_s.at[:, slot].set(vs),
+                    )
+                k = jnp.take(cache.k[:, slot], idx, axis=2)
+                v = jnp.take(cache.v[:, slot], idx, axis=2)
+                if rotate:
+                    k = rotate_cached_keys(k, delta, hp.rope).astype(k.dtype)
+                return KVCache(cache.k.at[:, slot].set(k),
+                               cache.v.at[:, slot].set(v))
+
+            self._shift_fn = _shift
+        self.cache = self._shift_fn(
+            self.cache, jnp.int32(slot),
+            jnp.asarray(idx, jnp.int32), jnp.asarray(delta, jnp.int32),
+        )
+
     def decode_batch(self, tokens: dict[int, int]) -> dict[int, np.ndarray]:
         """One decode step for the given {slot: token}; returns {slot: logits}."""
         t0 = time.perf_counter()

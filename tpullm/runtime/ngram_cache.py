@@ -172,10 +172,9 @@ class NgramCacheSpeculator:
         self.history: list[int] = []
 
     def resync(self, ctx: list[int]):
-        want = list(ctx[:-1])
-        if len(self.history) > len(want):
-            del self.history[len(want):]
-        missing = want[len(self.history):]
+        from .speculative import _align_history
+
+        missing = _align_history(self.history, list(ctx[:-1]))
         if missing:
             self.history.extend(missing)
             self.context.update(self.history, nnew=len(missing))

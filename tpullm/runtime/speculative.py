@@ -57,6 +57,20 @@ class DraftModelSpeculator:
         return out
 
 
+def _align_history(history: list[int], want: list[int]) -> list[int]:
+    """Truncate `history` in place to its common prefix with `want` and
+    return the tail of `want` still to observe. Handles both normal append
+    (history is a prefix) and divergence (context shift rewrote the middle
+    of the window, new request reused the slot)."""
+    n = 0
+    for a, b in zip(history, want):
+        if a != b:
+            break
+        n += 1
+    del history[n:]
+    return want[n:]
+
+
 class NgramSpeculator:
     """Prompt/self n-gram lookup (≡ ngram_simple/ngram_map): propose the
     continuation that followed the most recent occurrence of the current
@@ -79,12 +93,7 @@ class NgramSpeculator:
             h.append(t)
 
     def resync(self, ctx: list[int]):
-        want = list(ctx[:-1])
-        if len(self.history) > len(want):
-            # rejected drafts were never observed, so this only trims cur
-            del self.history[len(want):]
-        missing = want[len(self.history):]
-        self._observe(missing)
+        self._observe(_align_history(self.history, list(ctx[:-1])))
 
     def propose(self, cur: int, max_tokens: int) -> list[int]:
         sim = self.history + [cur]
@@ -101,6 +110,145 @@ class NgramSpeculator:
             out.append(nxt)
             sim.append(nxt)
         return out
+
+
+class NgramModSpeculator:
+    """Fixed-size modular-hash n-gram table (≡ common/ngram-mod.h, PR
+    #19164): maps the hash of the trailing n-gram to the token that followed
+    it, newest occurrence wins (collision-overwrite). O(1) memory regardless
+    of context length; drafts chain greedily through the table."""
+
+    def __init__(self, n: int = 3, n_draft: int = 5, size: int = 1 << 16):
+        self.n = n
+        self.n_draft = n_draft
+        self.size = size
+        self.keys: dict[int, tuple] = {}
+        self.vals: dict[int, int] = {}
+        self.history: list[int] = []
+
+    def _hash(self, gram: tuple) -> int:
+        h = 2166136261
+        for t in gram:
+            h = (h ^ (t & 0xFFFFFFFF)) * 16777619 & 0xFFFFFFFF
+        return h % self.size
+
+    def _observe(self, tokens: list[int]):
+        h = self.history
+        for t in tokens:
+            if len(h) >= self.n:
+                gram = tuple(h[-self.n:])
+                idx = self._hash(gram)
+                self.keys[idx] = gram
+                self.vals[idx] = t
+            h.append(t)
+
+    def resync(self, ctx: list[int]):
+        self._observe(_align_history(self.history, list(ctx[:-1])))
+
+    def propose(self, cur: int, max_tokens: int) -> list[int]:
+        sim = self.history + [cur]
+        out: list[int] = []
+        for _ in range(min(self.n_draft, max_tokens)):
+            if len(sim) < self.n:
+                break
+            gram = tuple(sim[-self.n:])
+            idx = self._hash(gram)
+            if self.keys.get(idx) != gram:  # empty or collision
+                break
+            nxt = self.vals[idx]
+            out.append(nxt)
+            sim.append(nxt)
+        return out
+
+
+class NgramMapSpeculator:
+    """Key n-gram → value m-gram map with per-value occurrence counts and
+    acceptance feedback (≡ common/ngram-map.h ngram_map_k / ngram_map_k4v,
+    PR #18471): each key n-gram keeps up to `max_values` distinct follower
+    m-grams; drafting picks the best-scoring value (count + how much of it
+    was accepted last time) and emits the whole m-gram at once."""
+
+    def __init__(self, size_ngram: int = 2, size_mgram: int = 6,
+                 max_values: int = 4, min_hits: int = 2):
+        self.n = size_ngram
+        self.m = size_mgram
+        self.max_values = max_values  # 1 ≡ ngram_map_k, 4 ≡ ngram_map_k4v
+        self.min_hits = min_hits
+        # key-gram -> list of [mgram tuple, count, last_n_accepted]
+        self.map: dict[tuple, list[list]] = {}
+        self.history: list[int] = []
+        self._last_key: tuple | None = None
+        self._last_val: int | None = None
+
+    def _observe(self, tokens: list[int]):
+        h = self.history
+        for t in tokens:
+            h.append(t)
+            # a complete key+value window ends at the new token
+            w = self.n + self.m
+            if len(h) >= w:
+                key = tuple(h[-w:-self.m])
+                val = tuple(h[-self.m:])
+                vals = self.map.setdefault(key, [])
+                for ent in vals:
+                    if ent[0] == val:
+                        ent[1] += 1
+                        break
+                else:
+                    if len(vals) < self.max_values:
+                        vals.append([val, 1, -1])
+                    else:  # replace the weakest entry
+                        weakest = min(range(len(vals)), key=lambda i: vals[i][1])
+                        vals[weakest] = [val, 1, -1]
+
+    def resync(self, ctx: list[int]):
+        self._observe(_align_history(self.history, list(ctx[:-1])))
+
+    def propose(self, cur: int, max_tokens: int) -> list[int]:
+        sim = self.history + [cur]
+        if len(sim) < self.n:
+            return []
+        key = tuple(sim[-self.n:])
+        vals = self.map.get(key)
+        if not vals:
+            return []
+        best = max(range(len(vals)),
+                   key=lambda i: (vals[i][1], vals[i][2]))
+        ent = vals[best]
+        if ent[1] < self.min_hits and ent[2] <= 0:
+            return []
+        self._last_key, self._last_val = key, best
+        return list(ent[0])[:max_tokens]
+
+    def accept(self, n_accepted: int):
+        """Feedback: record how much of the last drafted m-gram survived."""
+        if self._last_key is not None:
+            self.map[self._last_key][self._last_val][2] = n_accepted
+            self._last_key = self._last_val = None
+
+
+def make_speculator(spec_type: str, *, n_draft: int = 5, engine=None):
+    """Factory over the reference's strategy names (speculative.cpp:32-39).
+    `engine` is the draft Engine/BatchEngine for type 'draft'."""
+    if spec_type == "draft":
+        if engine is None:
+            raise ValueError("draft speculation needs a draft model engine")
+        return DraftModelSpeculator(engine, n_draft=n_draft)
+    if spec_type == "ngram_simple":
+        return NgramSpeculator(n_draft=n_draft)
+    if spec_type == "ngram_map_k":
+        return NgramMapSpeculator(max_values=1)
+    if spec_type == "ngram_map_k4v":
+        return NgramMapSpeculator(max_values=4)
+    if spec_type == "ngram_mod":
+        return NgramModSpeculator(n_draft=n_draft)
+    if spec_type == "ngram_cache":
+        from .ngram_cache import NgramCacheSpeculator
+
+        return NgramCacheSpeculator(n_draft=n_draft)
+    raise ValueError(f"unknown speculative type {spec_type!r} "
+                     "(draft|ngram_simple|ngram_map_k|ngram_map_k4v|"
+                     "ngram_mod|ngram_cache)")
 
 
 @dataclass

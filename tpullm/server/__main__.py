@@ -37,7 +37,8 @@ def main(argv=None):
     ap.add_argument("--draft-max", type=int, default=8,
                     help="max draft tokens per speculation step (≡ --draft-max)")
     ap.add_argument("--spec-type", default=None,
-                    choices=["draft", "ngram_simple", "ngram_cache"],
+                    choices=["draft", "ngram_simple", "ngram_cache",
+                             "ngram_mod", "ngram_map_k", "ngram_map_k4v"],
                     help="speculation strategy (default: draft if --draft-model "
                          "given, else off)")
     ap.add_argument("--cache-reuse", type=int, default=0,
@@ -103,6 +104,10 @@ def main(argv=None):
         args.model[0],
         slot_save_path=args.slot_save_path,
         mmproj_path=args.mmproj,
+        spec_type=args.spec_type,
+        draft_model_path=args.draft_model,
+        n_draft=args.draft_max,
+        cache_reuse=args.cache_reuse,
         **engine_kw,
     )
     print(f"tpullm-server listening on http://{args.host}:{args.port} "

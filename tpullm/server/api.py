@@ -177,6 +177,13 @@ class Server:
             f"tpullm_prompt_tokens_reused_total {s.n_reused_tokens}",
             "# TYPE tpullm_context_shifts_total counter",
             f"tpullm_context_shifts_total {s.n_context_shifts}",
+            "# TYPE tpullm_spec_tokens_drafted_total counter",
+            f"tpullm_spec_tokens_drafted_total {s.n_spec_drafted}",
+            "# TYPE tpullm_spec_tokens_accepted_total counter",
+            f"tpullm_spec_tokens_accepted_total {s.n_spec_accepted}",
+            "# TYPE tpullm_spec_accept_rate gauge",
+            f"tpullm_spec_accept_rate "
+            f"{s.n_spec_accepted / s.n_spec_drafted if s.n_spec_drafted else 0.0}",
         ]
         return web.Response(text="\n".join(lines) + "\n",
                             content_type="text/plain")
@@ -828,11 +835,19 @@ class Server:
 
 def make_app(model_path, slot_save_path: str | None = None,
              mmproj_path: str | None = None,
+             spec_type: str | None = None, draft_model_path=None,
+             n_draft: int = 8, cache_reuse: int = 0,
              **engine_kw) -> tuple[web.Application, Scheduler]:
     from ..runtime.batch_engine import BatchEngine
 
     engine = BatchEngine(model_path, **engine_kw)
-    sched = Scheduler(engine)
+    draft_engine = None
+    if draft_model_path is not None:
+        # the draft model shares slot layout with the target so one batched
+        # draft step serves every speculating slot (≡ server -md)
+        draft_engine = BatchEngine(draft_model_path, **engine_kw)
+    sched = Scheduler(engine, spec_type=spec_type, draft_engine=draft_engine,
+                      n_draft=n_draft, cache_reuse=cache_reuse)
     sched.start()
     server = Server(sched, slot_save_path=slot_save_path,
                     mmproj_path=mmproj_path)

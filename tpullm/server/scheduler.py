@@ -53,12 +53,15 @@ class _Slot:
     text: str = ""
     tokens: list = field(default_factory=list)  # prompt + generated ids
     pending_token: int | None = None
+    speculator: object = None  # per-slot draft proposer (ngram family)
     t_start: float = 0.0
     t_first_token: float = 0.0
 
 
 class Scheduler:
-    def __init__(self, engine: BatchEngine):
+    def __init__(self, engine: BatchEngine, *, spec_type: str | None = None,
+                 draft_engine: BatchEngine | None = None, n_draft: int = 8,
+                 cache_reuse: int = 0):
         self.engine = engine
         self.slots = [_Slot(i) for i in range(engine.n_slots)]
         self.pending: queue.Queue[GenRequest] = queue.Queue()
@@ -66,12 +69,27 @@ class Scheduler:
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
         self._wake = threading.Event()
+        # in-scheduler speculative decoding (≡ server-context.cpp
+        # can_speculate: every slot keeps decoding while drafted tokens are
+        # verified in one batched fixed-shape forward)
+        self.spec_type = spec_type
+        self.draft_engine = draft_engine
+        if spec_type == "draft" and draft_engine is None:
+            raise ValueError("spec_type=draft requires a draft_engine")
+        if draft_engine is not None and spec_type is None:
+            self.spec_type = "draft"
+        self.n_draft = max(1, n_draft)
+        # --cache-reuse: min chunk length for mid-prompt KV reuse via
+        # position shifting (0 = common-prefix reuse only)
+        self.cache_reuse = cache_reuse if engine.can_shift else 0
         # metrics (≡ server_metrics)
         self.n_requests = 0
         self.n_tokens_generated = 0
         self.n_prompt_tokens = 0
         self.n_reused_tokens = 0
         self.n_context_shifts = 0
+        self.n_spec_drafted = 0
+        self.n_spec_accepted = 0
         self.n_keep = 4  # prompt tokens pinned across context shifts
 
     # -- public API ---------------------------------------------------------------
@@ -126,7 +144,10 @@ class Scheduler:
         if s.state != SlotState.IDLE:
             raise ValueError(f"slot {slot_id} busy")
         self.engine.free_slot(slot_id)
+        if self.draft_engine is not None:
+            self.draft_engine.free_slot(slot_id)
         s.tokens = []
+        s.speculator = None
         return {"id_slot": slot_id, "n_erased": 1}
 
     def slots_info(self) -> list[dict]:
@@ -205,11 +226,117 @@ class Scheduler:
             if s.state == SlotState.GENERATING and s.pending_token is not None
         }
         if gen:
-            logits = self.engine.decode_batch(gen)
-            for idx, lg in logits.items():
-                self._advance(self.slots[idx], lg)
+            if self.spec_type:
+                self._speculative_step(gen)
+            else:
+                logits = self.engine.decode_batch(gen)
+                for idx, lg in logits.items():
+                    self._advance(self.slots[idx], lg)
             did = True
         return did
+
+    # -- speculative decoding ---------------------------------------------------
+
+    def _speculative_step(self, gen: dict[int, int]):
+        """Draft + batched verify for every generating slot (≡ the
+        reference's update_slots speculative branch). Slots with no draft
+        this round ride the same verify batch with a single token."""
+        eng = self.engine
+        width = self.n_draft + 1
+        # stay clear of the context end: the verify write needs width cache
+        # slots and the post-accept step needs one more
+        can = {
+            idx: pend for idx, pend in gen.items()
+            if int(eng.n_past[idx]) + width + 1 < eng.max_seq
+        }
+        no_room = {idx: pend for idx, pend in gen.items() if idx not in can}
+        drafts = self._propose(can) if can else {}
+        if not any(drafts.values()):
+            logits = eng.decode_batch(gen)
+            for idx, lg in logits.items():
+                self._advance(self.slots[idx], lg)
+            return
+        # draft-less slots with room ride the same verify batch (fixed-shape
+        # forward: a one-token row costs nothing extra)
+        seqs = {idx: [gen[idx]] + drafts.get(idx, [])[: width - 1] for idx in can}
+        logits = eng.verify_batch(seqs, width)
+        for idx, rows in logits.items():
+            self._accept(self.slots[idx], seqs[idx], rows)
+        if no_room:  # rare: the last `width` tokens before a context shift
+            logits = eng.decode_batch(no_room)
+            for idx, lg in logits.items():
+                self._advance(self.slots[idx], lg)
+
+    def _propose(self, gen: dict[int, int]) -> dict[int, list[int]]:
+        if self.spec_type == "draft":
+            return self._propose_draft(gen)
+        out = {}
+        for idx, pend in gen.items():
+            slot = self.slots[idx]
+            spec = slot.speculator
+            if spec is None:
+                from ..runtime.speculative import make_speculator
+
+                spec = slot.speculator = make_speculator(
+                    self.spec_type, n_draft=self.n_draft
+                )
+            # slot.tokens ends with the pending token = the spec contract's
+            # "ctx ending in the next token to feed"
+            spec.resync(slot.tokens)
+            out[idx] = spec.propose(pend, self.n_draft)
+        return out
+
+    def _propose_draft(self, gen: dict[int, int]) -> dict[int, list[int]]:
+        """Batched greedy draft continuation on the (smaller) draft model:
+        k batched draft steps serve every speculating slot at once."""
+        d = self.draft_engine
+        for idx in gen:
+            want = len(self.slots[idx].tokens) - 1  # cache holds ctx[:-1]
+            have = int(d.n_past[idx])
+            if have > want:
+                d.rewind(idx, want)
+            elif have < want:
+                d.prefill_slot(idx, self.slots[idx].tokens[have:want])
+        drafts = {idx: [] for idx in gen}
+        cur = dict(gen)
+        for _ in range(self.n_draft):
+            if any(int(d.n_past[i]) + 1 >= d.max_seq for i in cur):
+                break
+            logits = d.decode_batch(cur)
+            for idx, lg in logits.items():
+                t = int(np.argmax(lg))
+                drafts[idx].append(t)
+                cur[idx] = t
+        return drafts
+
+    def _accept(self, slot: _Slot, fed: list[int], logits_rows):
+        """Longest-matching-prefix acceptance over one slot's verify rows.
+        fed[0] is the committed pending token; fed[1:] are drafts. Row j
+        holds the distribution after fed[:j+1]."""
+        eng, idx = self.engine, slot.index
+        old = int(eng.n_past[idx])
+        n_drafted = len(fed) - 1
+        n_accepted = 0
+        n_valid = 0
+        for j in range(len(fed)):
+            n_valid = j + 1
+            self._advance(slot, logits_rows[j], spec=True)
+            if slot.state != SlotState.GENERATING:
+                break
+            if j + 1 < len(fed) and slot.pending_token == fed[j + 1]:
+                n_accepted += 1
+                continue
+            break
+        eng.n_past[idx] = old + n_valid
+        self.n_spec_drafted += n_drafted
+        self.n_spec_accepted += n_accepted
+        if slot.speculator is not None and hasattr(slot.speculator, "accept"):
+            slot.speculator.accept(n_accepted)
+        # deferred context-shift check (suppressed inside the accept loop
+        # where n_past is not yet committed)
+        if (slot.state == SlotState.GENERATING
+                and int(eng.n_past[idx]) + 1 >= eng.max_seq):
+            self._context_shift(slot)
 
     def _admit(self, slot: _Slot, req: GenRequest):
         eng = self.engine
@@ -242,13 +369,22 @@ class Scheduler:
         # finished request was never decoded back in)
         n_common = min(self._common_prefix(slot.tokens, req.prompt_ids), n - 1,
                        int(eng.n_past[slot.index]))
-        if n_common > 0:
-            eng.n_past[slot.index] = n_common
-            tail = req.prompt_ids[n_common:]
-            self.n_reused_tokens += n_common
+        n_valid = n_common
+        if n_common > 0 and self.cache_reuse > 0 and req.prompt_embds is None:
+            n_valid = self._cache_reuse_shift(slot, req.prompt_ids, n_common)
+        if n_valid > 0:
+            eng.n_past[slot.index] = n_valid
+            tail = req.prompt_ids[n_valid:]
+            self.n_reused_tokens += n_valid
         else:
             eng.free_slot(slot.index)
             tail = req.prompt_ids
+        # speculative state belongs to the previous request; the draft cache
+        # keeps only the prefix that still matches the new prompt
+        slot.speculator = None
+        if self.draft_engine is not None:
+            d = self.draft_engine
+            d.rewind(slot.index, min(int(d.n_past[slot.index]), n_common))
         slot.tokens = list(req.prompt_ids)
         self.n_prompt_tokens += n
         if req.prompt_embds is not None:
@@ -260,7 +396,43 @@ class Scheduler:
         slot.state = SlotState.GENERATING
         self._advance(slot, logits, first=True)
 
-    def _advance(self, slot: _Slot, logits: np.ndarray, first: bool = False):
+    def _cache_reuse_shift(self, slot: _Slot, prompt: list[int],
+                           n_common: int) -> int:
+        """Mid-prompt KV reuse by hole punching (≡ server --cache-reuse,
+        server-context.cpp:2228-2271): past the common prefix, cached chunks
+        of ≥ cache_reuse tokens that reappear later in the new prompt are
+        compacted leftward (K re-rotated by the position delta) instead of
+        recomputed. Returns the new count of valid cache rows."""
+        eng, idx_slot = self.engine, slot.index
+        old = slot.tokens
+        n_cache = min(len(old), int(eng.n_past[idx_slot]))
+        n = len(prompt)
+        S = eng.max_seq
+        idx = np.arange(S, dtype=np.int32)
+        delta = np.zeros(S, dtype=np.int32)
+        head_c = head_p = n_common
+        moved = False
+        while head_c < n_cache and head_p < n - 1:
+            n_match = 0
+            while (head_c + n_match < n_cache and head_p + n_match < n
+                   and old[head_c + n_match] == prompt[head_p + n_match]):
+                n_match += 1
+            if n_match >= self.cache_reuse:
+                # at least the final prompt token must be re-fed for logits
+                used = min(n_match, n - 1 - head_p)
+                idx[head_p:head_p + used] = np.arange(head_c, head_c + used)
+                delta[head_p:head_p + used] = head_p - head_c
+                moved = moved or head_p != head_c
+                head_c += used
+                head_p += used
+            else:
+                head_c += 1
+        if moved:
+            eng.shift_slot(idx_slot, idx, delta)
+        return head_p
+
+    def _advance(self, slot: _Slot, logits: np.ndarray, first: bool = False,
+                 spec: bool = False):
         req = slot.request
         sampler = slot.sampler
         token = sampler.sample(logits)
@@ -297,7 +469,10 @@ class Scheduler:
         if slot.n_generated >= req.max_tokens:
             self._finish(slot, "length")
             return
-        if int(self.engine.n_past[slot.index]) + 1 >= self.engine.max_seq:
+        # inside a speculative accept run n_past is not yet committed;
+        # _accept re-checks the shift once the commit lands
+        if (not spec
+                and int(self.engine.n_past[slot.index]) + 1 >= self.engine.max_seq):
             self._context_shift(slot)
         slot.pending_token = token
 
@@ -319,6 +494,10 @@ class Scheduler:
         # cache content by one position per shift
         eng.prefill_slot(slot.index, kept[:-1])
         slot.tokens = list(kept)
+        # the draft cache no longer matches the compressed history; ngram
+        # speculators re-align via prefix-safe resync on the next propose
+        if self.draft_engine is not None:
+            self.draft_engine.free_slot(slot.index)
         self.n_context_shifts += 1
         self._wake.set()
 
