@@ -841,3 +841,99 @@ def test_scheduler_cache_reuse_punches_holes(engine):
     for s in sched.slots:
         engine.free_slot(s.index)
         s.tokens = []
+
+
+# -- serving-engine arch breadth: iSWA + recurrent caches ------------------------
+# (≡ the reference server running llama_kv_cache_unified_iswa and
+# llama_memory_recurrent models through the same update_slots loop)
+
+
+def test_serve_iswa_dual_cache(tmp_path):
+    from tpullm.models.testing import make_tiny_gemma_gguf
+    from tpullm.runtime.engine import Engine
+    from tpullm.runtime.kvcache import SWACache
+
+    path = make_tiny_gemma_gguf(tmp_path / "g3.gguf", n_layer=4,
+                                sliding_window=16)
+    eng = BatchEngine(path, n_slots=2, max_seq=64, mode="dense",
+                      prefill_chunk=16)
+    assert isinstance(eng.cache, SWACache)
+    toks = eng.tokenizer.tokenize("the quick brown fox", add_special=True)
+    l0 = eng.prefill_slot(0, toks)
+    l1 = eng.prefill_slot(1, toks)
+    np.testing.assert_allclose(l0, l1, rtol=2e-2, atol=2e-2)
+    # decode past the sliding window so the ring evicts; both slots stay equal
+    tok = 7
+    for _ in range(24):
+        out = eng.decode_batch({0: tok, 1: tok})
+        np.testing.assert_allclose(out[0], out[1], rtol=2e-2, atol=2e-2)
+        tok = int(np.argmax(out[0]))
+    # parity with the single-stream Engine over the same trajectory
+    ref = Engine(path, max_seq=64, mode="dense")
+    ref.prefill(toks)
+    tok_b, tok_s = 7, 7
+    eng.free_slot(0)
+    eng.prefill_slot(0, toks)
+    for _ in range(24):
+        lb = eng.decode_batch({0: tok_b})[0]
+        ls = np.asarray(ref.decode_step(tok_s))
+        tok_b, tok_s = int(np.argmax(lb)), int(np.argmax(ls))
+        assert tok_b == tok_s
+    # free_slot must clear the ring positions: a fresh identical prefill
+    # reproduces the original logits even after the long generation above
+    eng.free_slot(0)
+    l0b = eng.prefill_slot(0, toks)
+    np.testing.assert_allclose(l0b, l0, rtol=2e-2, atol=2e-2)
+
+
+def test_serve_recurrent_mamba(tmp_path):
+    from tpullm.models.testing import make_tiny_mamba_gguf
+
+    path = make_tiny_mamba_gguf(tmp_path / "mamba.gguf")
+    eng = BatchEngine(path, n_slots=2, max_seq=64, mode="dense",
+                      prefill_chunk=16)
+    t1 = eng.tokenizer.tokenize("the quick brown", add_special=True)
+    t2 = eng.tokenizer.tokenize("hello world over the lazy", add_special=True)
+    l0 = eng.prefill_slot(0, t1)
+    # prefilling/decoding another slot must not disturb slot 0's carried state
+    eng.prefill_slot(1, t2)
+    for t in (5, 9):
+        eng.decode_batch({1: t})
+    out = eng.decode_batch({0: 4})[0]
+    ref_eng = BatchEngine(path, n_slots=2, max_seq=64, mode="dense",
+                          prefill_chunk=16)
+    ref_eng.prefill_slot(0, t1)
+    ref = ref_eng.decode_batch({0: 4})[0]
+    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
+    # free_slot must zero the cumulative state: re-prefill reproduces l0
+    eng.free_slot(0)
+    l0b = eng.prefill_slot(0, t1)
+    np.testing.assert_allclose(l0b, l0, rtol=2e-2, atol=2e-2)
+
+
+def test_scheduler_recurrent_generation(tmp_path):
+    from tpullm.models.testing import make_tiny_mamba_gguf
+    from tpullm.runtime.engine import Engine
+
+    path = make_tiny_mamba_gguf(tmp_path / "mamba_s.gguf")
+    eng = BatchEngine(path, n_slots=2, max_seq=64, mode="dense",
+                      prefill_chunk=16)
+    # speculation silently degrades to plain decoding: recurrent state
+    # cannot roll back a rejected draft
+    sched = Scheduler(eng, spec_type="ngram_simple")
+    assert sched.spec_type is None
+    sched.start()
+    try:
+        tok = eng.tokenizer.tokenize
+        ids_a = tok("the quick brown", add_special=True)
+        ids_b = tok("hello world over", add_special=True)
+        got_a = _greedy_tokens(sched, ids_a, 6)
+        got_b = _greedy_tokens(sched, ids_b, 6)
+        ref = Engine(path, max_seq=64, mode="dense")
+        ref_a = list(ref.generate_tokens(ids_a, 6, stop_on_eog=True))
+        ref2 = Engine(path, max_seq=64, mode="dense")
+        ref_b = list(ref2.generate_tokens(ids_b, 6, stop_on_eog=True))
+        assert got_a == ref_a
+        assert got_b == ref_b
+    finally:
+        sched.stop()

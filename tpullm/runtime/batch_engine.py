@@ -49,11 +49,35 @@ class BatchEngine:
         self.max_seq = max_seq
         self.prefill_chunk = min(prefill_chunk, max_seq)
         self.kv_dtype = kv_dtype
-        if self.arch.recurrent:
-            raise NotImplementedError(
-                "recurrent archs are single-stream for now (use Engine)"
+        if self.arch.make_cache is not None:
+            self.cache = self.arch.make_cache(self.hp, n_slots, max_seq, kv_dtype)
+        elif (
+            self.arch.iswa
+            and self.hp.sliding_window > 0
+            and not isinstance(kv_dtype, str)
+            and max_seq > self.hp.sliding_window
+        ):
+            # iSWA dual cache in the serving engine (≡ the reference server
+            # running llama_kv_cache_unified_iswa models,
+            # src/llama-kv-cache-iswa.h:14-79): SWA layers share a ring
+            from .kvcache import SWACache
+
+            self.cache = SWACache.new(
+                self.hp, n_slots, max_seq, kv_dtype,
+                max_chunk=self.prefill_chunk,
             )
-        self.cache = make_cache(self.hp, n_slots, max_seq, kv_dtype)
+        else:
+            self.cache = make_cache(self.hp, n_slots, max_seq, kv_dtype)
+        if not hasattr(self.cache, "batch") or self.cache.batch != n_slots:
+            # non-incremental archs (diffusion canvases) have no slot axis
+            raise NotImplementedError(
+                f"{self.hp.arch} has no per-slot cache; use the "
+                "single-stream Engine"
+            )
+        if self.arch.recurrent and mesh is not None:
+            raise NotImplementedError(
+                "mesh-sharded serving of recurrent archs is not wired yet"
+            )
         self.mesh = mesh
         if mesh is not None:
             # mesh-sharded serving (the reference's split-mode row served
@@ -70,9 +94,25 @@ class BatchEngine:
         fwd = self.arch.forward
         hp = self.hp
 
-        @functools.partial(jax.jit, donate_argnames=("cache",))
-        def _step(params, tokens, positions, cache, offsets):
-            return fwd(hp, params, tokens, positions, cache, offsets)
+        if self.arch.recurrent:
+            # recurrent forwards carry whole-batch state and ignore the
+            # offsets mask; restore idle slots' rows after each step so a
+            # prefill for one slot can't clobber the others' conv/ssm/wkv
+            # state (every recurrent-family cache leaf is [L, B, ...])
+            @functools.partial(jax.jit, donate_argnames=("cache",))
+            def _step(params, tokens, positions, cache, offsets):
+                logits, new = fwd(hp, params, tokens, positions, cache, offsets)
+                act = offsets >= 0  # [B]
+
+                def keep_idle(n, o):
+                    m = act.reshape((1, -1) + (1,) * (n.ndim - 2))
+                    return jnp.where(m, n, o)
+
+                return logits, jax.tree.map(keep_idle, new, cache)
+        else:
+            @functools.partial(jax.jit, donate_argnames=("cache",))
+            def _step(params, tokens, positions, cache, offsets):
+                return fwd(hp, params, tokens, positions, cache, offsets)
 
         self._step = _step
 
@@ -80,6 +120,34 @@ class BatchEngine:
 
     def free_slot(self, slot: int):
         self.n_past[slot] = 0
+        from .kvcache import SWACache
+
+        if isinstance(self.cache, SWACache):
+            # positional KV rows are invalidated by offsets alone, but ring
+            # slot positions must be marked empty or a new request would
+            # attend the previous tenant's window
+            self.cache = self._reset_fn(self.cache, jnp.int32(slot))
+        elif self.arch.recurrent:
+            # recurrent state is cumulative — a freed slot starts from zero
+            self.cache = self._reset_fn(self.cache, jnp.int32(slot))
+
+    @functools.cached_property
+    def _reset_fn(self):
+        from .kvcache import SWACache
+
+        @functools.partial(jax.jit, donate_argnames=("cache",))
+        def _reset(cache, slot):
+            if isinstance(cache, SWACache):
+                return SWACache(
+                    cache.full_k, cache.full_v, cache.swa_k, cache.swa_v,
+                    cache.slot_pos.at[slot].set(-1),
+                    cache.layer_map, cache.window,
+                )
+            return jax.tree.map(
+                lambda a: a.at[:, slot].set(0) if a.ndim >= 2 else a, cache
+            )
+
+        return _reset
 
     def prefill_slot(self, slot: int, tokens: list[int]) -> np.ndarray:
         """Feed `tokens` into one slot (chunked to prefill_chunk); returns
@@ -96,6 +164,10 @@ class BatchEngine:
         return logits_last
 
     def _bucket(self, n: int) -> int:
+        # recurrent state would absorb pad tokens, so those prompts run at
+        # exact length (one compile per length, as in the single-stream path)
+        if self.arch.recurrent:
+            return n
         for b in PREFILL_BUCKETS:
             if n <= b:
                 return min(b, self.max_seq)

@@ -325,9 +325,11 @@ class SWACache:
         else:
 
             def row(ring, new, o):
+                # single advanced index between slices stays in place:
+                # ring[:, idx, :] is [Hkv, T, D], matching `new` directly
                 idx = (jnp.maximum(o, 0) + jnp.arange(t)) % r
-                new_t = jnp.moveaxis(new, 1, 0).astype(ring.dtype)  # [T,Hkv,D]
-                src = jnp.where(o >= 0, new_t, ring[:, idx, :])
+                src = jnp.where(o >= 0, new.astype(ring.dtype),
+                                ring[:, idx, :])
                 return ring.at[:, idx, :].set(src)
 
             sk = self.swa_k.at[loc].set(jax.vmap(row)(self.swa_k[loc], k_new, off))

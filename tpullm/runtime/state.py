@@ -94,6 +94,11 @@ def load_state(engine, path) -> list[int]:
 
 def save_slot_state(bengine, slot: int, path, tokens: list[int] | None = None):
     """Per-slot state save (≡ SERVER_TASK_TYPE_SLOT_SAVE / GGSQ)."""
+    if not hasattr(bengine.cache, "k"):
+        raise ValueError(
+            "slot save/restore supports unified bf16 KV caches only "
+            f"(cache is {type(bengine.cache).__name__})"
+        )
     n = int(bengine.n_past[slot])
     k = np.asarray(bengine.cache.k[:, slot, :, :n], dtype=np.float32)
     v = np.asarray(bengine.cache.v[:, slot, :, :n], dtype=np.float32)
@@ -106,6 +111,11 @@ def save_slot_state(bengine, slot: int, path, tokens: list[int] | None = None):
 
 
 def load_slot_state(bengine, slot: int, path) -> list[int]:
+    if not hasattr(bengine.cache, "k"):
+        raise ValueError(
+            "slot save/restore supports unified bf16 KV caches only "
+            f"(cache is {type(bengine.cache).__name__})"
+        )
     z = np.load(path, allow_pickle=False)
     _check(bengine.hp, z)
     n = int(z["n_past"])

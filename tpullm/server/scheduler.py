@@ -78,6 +78,15 @@ class Scheduler:
             raise ValueError("spec_type=draft requires a draft_engine")
         if draft_engine is not None and spec_type is None:
             self.spec_type = "draft"
+        if engine.arch.recurrent and self.spec_type is not None:
+            # recurrent/hybrid state absorbs every verified token and cannot
+            # roll back a rejected draft (≡ the reference disabling
+            # speculation when !llama_kv_cache_can_shift-style rewind holds)
+            self.spec_type = None
+            self.draft_engine = None
+        if self.draft_engine is not None and self.draft_engine.arch.recurrent:
+            raise ValueError("recurrent draft models cannot rewind; "
+                             "use a KV-cache draft model")
         self.n_draft = max(1, n_draft)
         # --cache-reuse: min chunk length for mid-prompt KV reuse via
         # position shifting (0 = common-prefix reuse only)
@@ -369,6 +378,11 @@ class Scheduler:
         # finished request was never decoded back in)
         n_common = min(self._common_prefix(slot.tokens, req.prompt_ids), n - 1,
                        int(eng.n_past[slot.index]))
+        if eng.arch.recurrent and n_common != int(eng.n_past[slot.index]):
+            # recurrent state is cumulative at n_past; it can be reused only
+            # when the new prompt extends every absorbed token (multi-turn
+            # continuation), never truncated to a shorter prefix
+            n_common = 0
         n_valid = n_common
         if n_common > 0 and self.cache_reuse > 0 and req.prompt_embds is None:
             n_valid = self._cache_reuse_shift(slot, req.prompt_ids, n_common)
