@@ -274,3 +274,50 @@ def test_parse_partial_json_garbage():
 
     assert parse_partial_json("not json at all )") == (None, "")
     assert parse_partial_json("") == (None, "")
+
+
+# -- lazy triggers (≡ llama_sampler_init_grammar_lazy_patterns) ---------------
+
+
+def test_lazy_constraint_word_trigger():
+    from tpullm.grammar import LazyGrammarConstraint
+
+    pieces = [b"hi ", b"<call>", b"a", b"b", b"<eos>", b"<ca", b"ll>"]
+    c = LazyGrammarConstraint(
+        'root ::= "<call>" "ab"', pieces, eog_ids={4},
+        trigger_patterns=[r"[\s\S]*?(<call>)"],
+    )
+    logits = np.zeros(7, dtype=np.float32)
+    # inactive: everything allowed, logits untouched
+    out = c(logits.copy())
+    assert np.isfinite(out).all()
+    c.accept(0)  # plain prose does not trigger
+    assert not c.active
+    # trigger split across two tokens still fires on completion
+    c.accept(5)
+    assert not c.active
+    c.accept(6)
+    assert c.active
+    out = c(logits.copy())
+    assert np.isfinite(out[2])  # "a" continues the grammar
+    assert not np.isfinite(out[3]) and not np.isfinite(out[4])
+    c.accept(2)
+    c.accept(3)
+    out = c(logits.copy())
+    assert np.isfinite(out[4])  # complete → EOG
+
+
+def test_lazy_constraint_token_trigger():
+    from tpullm.grammar import LazyGrammarConstraint
+
+    pieces = [b"x", b"<call>", b"a", b"b", b"<eos>"]
+    c = LazyGrammarConstraint(
+        'root ::= "<call>" "ab"', pieces, eog_ids={4},
+        trigger_tokens=[1],
+    )
+    c.accept(0)
+    assert not c.active
+    c.accept(1)  # the trigger token itself is fed to the grammar
+    assert c.active
+    out = c(np.zeros(5, dtype=np.float32))
+    assert np.isfinite(out[2]) and not np.isfinite(out[3])

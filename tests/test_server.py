@@ -937,3 +937,27 @@ def test_scheduler_recurrent_generation(tmp_path):
         assert got_b == ref_b
     finally:
         sched.stop()
+
+
+def test_scheduler_lazy_grammar_stays_inactive(engine):
+    """A lazy grammar whose trigger never fires must leave generation
+    unconstrained (≡ grammar_lazy: the grammar applies only post-trigger)."""
+    req = Scheduler(engine)
+    sched = req
+    sched.start()
+    try:
+        ids = engine.tokenizer.tokenize("the quick brown", add_special=True)
+        r = sched.submit(GenRequest(
+            prompt_ids=ids, max_tokens=8,
+            sampling=SamplerParams(temp=0.0),
+            grammar='root ::= "\x00unreachable\x00"',
+            grammar_triggers=[{"type": "word", "value": "\x00never\x00"}],
+        ))
+        toks, reason, _ = _drain(r)
+        assert reason == "length"
+        assert len(toks) == 8
+    finally:
+        sched.stop()
+    for s in sched.slots:
+        engine.free_slot(s.index)
+        s.tokens = []

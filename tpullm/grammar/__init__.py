@@ -2,7 +2,7 @@
 JSON-schema→GBNF compiler (reference: src/llama-grammar.cpp,
 common/json-schema-to-grammar.cpp)."""
 
-from .engine import GrammarConstraint, GrammarMatcher
+from .engine import GrammarConstraint, GrammarMatcher, LazyGrammarConstraint
 from .gbnf import GBNFError, Grammar, parse_gbnf
 from .json_schema import json_schema_to_gbnf
 
@@ -12,5 +12,6 @@ __all__ = [
     "parse_gbnf",
     "GrammarMatcher",
     "GrammarConstraint",
+    "LazyGrammarConstraint",
     "json_schema_to_gbnf",
 ]

@@ -218,3 +218,61 @@ class GrammarConstraint:
         pieces = [tokenizer.piece_bytes(i) for i in range(n)]
         eog = {i for i in range(n) if vocab.is_eog(i)}
         return cls(grammar, pieces, eog_ids=eog, **kw)
+
+
+class LazyGrammarConstraint(GrammarConstraint):
+    """Lazy grammar (≡ llama_sampler_init_grammar_lazy_patterns,
+    include/llama.h:1371, and the trigger handling in llama-grammar.cpp):
+    decoding runs unconstrained until either a trigger token is sampled or
+    the generated text matches a trigger pattern. From that point the
+    grammar constrains sampling, fed the content starting at the trigger —
+    the first capture group for patterns (the whole match when the pattern
+    has no groups), the trigger token itself (included) for tokens.
+
+    Patterns are matched against the full generation output so far, anchored
+    at its start (≡ the reference's "matched from the start of the
+    generation output"); include a leading ``[\\s\\S]*?`` to float."""
+
+    def __init__(self, grammar, vocab_pieces, *, trigger_patterns=(),
+                 trigger_tokens=(), eog_ids=None, chunk: int = 512):
+        import re
+
+        super().__init__(grammar, vocab_pieces, eog_ids=eog_ids, chunk=chunk)
+        self.patterns = [
+            re.compile(p.encode("utf-8") if isinstance(p, str) else p,
+                       re.DOTALL)
+            for p in trigger_patterns
+        ]
+        self.trigger_tokens = set(trigger_tokens)
+        self.active = False
+        self._buf = b""
+
+    def __call__(self, logits: np.ndarray) -> np.ndarray:
+        if not self.active:
+            return logits
+        return super().__call__(logits)
+
+    def _activate(self, fed: bytes):
+        self.active = True
+        if not self.matcher.accept_bytes(fed):
+            raise ValueError(
+                f"grammar trigger content {fed[:64]!r} rejected by grammar"
+            )
+
+    def accept(self, token_id: int):
+        if self.active:
+            return super().accept(token_id)
+        piece = self.pieces[token_id] if token_id < len(self.pieces) else b""
+        if token_id in self.trigger_tokens:
+            self._activate(piece)
+            return
+        self._buf += piece
+        for pat in self.patterns:
+            m = pat.match(self._buf)
+            if m is None:
+                continue
+            start = m.start()
+            if m.groups() and m.start(1) != -1:
+                start = m.start(1)
+            self._activate(self._buf[start:])
+            return

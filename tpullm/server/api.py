@@ -68,6 +68,25 @@ def _grammar_from_body(body: dict) -> str | None:
     return None
 
 
+def _grammar_triggers_from_body(body: dict) -> list:
+    """grammar_lazy + grammar_triggers request params (≡ the reference
+    server's lazy grammar: triggers are [{type, value}] with type one of
+    word/pattern/pattern_full/token; token values may be token ids)."""
+    if not body.get("grammar_lazy") and not body.get("grammar_triggers"):
+        return []
+    out = []
+    for trig in body.get("grammar_triggers") or []:
+        if isinstance(trig, str):  # bare word shorthand
+            out.append({"type": "word", "value": trig})
+        elif isinstance(trig, dict):
+            kind = trig.get("type", "word")
+            if isinstance(kind, int):  # reference enum numbering
+                kind = {0: "token", 1: "word", 2: "pattern",
+                        3: "pattern_full"}.get(kind, "word")
+            out.append({"type": kind, "value": trig.get("value", "")})
+    return out
+
+
 @web.middleware
 async def _json_errors(request, handler):
     try:
@@ -379,6 +398,7 @@ class Server:
             sampling=_sampling_from_body(body),
             stop=body.get("stop") or [],
             grammar=_grammar_from_body(body),
+            grammar_triggers=_grammar_triggers_from_body(body),
             n_probs=n_probs,
         )
         rid = f"cmpl-{uuid.uuid4().hex[:12]}"
@@ -479,23 +499,26 @@ class Server:
                 audio=self.audio_enc,
             )
         grammar = _grammar_from_body(body)
+        triggers = _grammar_triggers_from_body(body)
         tool_choice = body.get("tool_choice")
-        if (
-            grammar is None
-            and body.get("tools")
-            and (tool_choice == "required" or isinstance(tool_choice, dict))
-        ):
+        if grammar is None and body.get("tools") and tool_choice != "none":
             # constrain decoding to a valid tool call (≡ common/chat.cpp
-            # grammar construction for tool_choice=required)
+            # grammar construction). tool_choice=required forces the grammar
+            # from token 0; auto attaches it lazily so the model can answer
+            # in prose until it opens a <tool_call> (≡ grammar_lazy +
+            # "<tool_call>" trigger in the reference's hermes format)
             from ..chat import tool_call_grammar
 
             grammar = tool_call_grammar(body["tools"], tool_choice)
+            if not (tool_choice == "required" or isinstance(tool_choice, dict)):
+                triggers = [{"type": "word", "value": "<tool_call>"}]
         req = GenRequest(
             prompt_ids=ids,
             max_tokens=int(body.get("max_tokens", 128)),
             sampling=_sampling_from_body(body),
             stop=body.get("stop") or [],
             grammar=grammar,
+            grammar_triggers=triggers,
             prompt_embds=prompt_embds,
         )
         rid = f"chatcmpl-{uuid.uuid4().hex[:12]}"

@@ -34,6 +34,10 @@ class GenRequest:
     sampling: SamplerParams = field(default_factory=SamplerParams)
     stop: list[str] = field(default_factory=list)
     grammar: str | None = None  # GBNF text (set from grammar/json_schema params)
+    # lazy-grammar triggers (≡ grammar_lazy + grammar_triggers in the
+    # reference server): [{"type": "word"|"pattern"|"token", "value": ...}].
+    # Non-empty → the grammar activates only once a trigger fires.
+    grammar_triggers: list = field(default_factory=list)
     n_probs: int = 0  # top-N logprobs per token (OpenAI logprobs)
     # multimodal: precomputed input embeddings [n, E]; replaces prompt_ids
     # for the prefill (ids still carry the text part for bookkeeping)
@@ -355,11 +359,34 @@ class Scheduler:
             return
         slot.request = req
         if req.grammar:
-            from ..grammar import GrammarConstraint
+            if req.grammar_triggers:
+                import re as _re
 
-            constraint = GrammarConstraint.from_tokenizer(
-                req.grammar, eng.tokenizer
-            )
+                from ..grammar import LazyGrammarConstraint
+
+                patterns, tok_ids = [], []
+                for trig in req.grammar_triggers:
+                    kind = trig.get("type", "word")
+                    val = trig.get("value", "")
+                    if kind == "token":
+                        tok_ids.append(int(val))
+                    elif kind == "word":
+                        # ≡ the reference turning WORD triggers into
+                        # start-anchored floating patterns with the word
+                        # as the capture group
+                        patterns.append(r"[\s\S]*?(" + _re.escape(val) + ")")
+                    else:  # "pattern" / "pattern_full"
+                        patterns.append(str(val))
+                constraint = LazyGrammarConstraint.from_tokenizer(
+                    req.grammar, eng.tokenizer,
+                    trigger_patterns=patterns, trigger_tokens=tok_ids,
+                )
+            else:
+                from ..grammar import GrammarConstraint
+
+                constraint = GrammarConstraint.from_tokenizer(
+                    req.grammar, eng.tokenizer
+                )
             slot.sampler = Sampler(
                 req.sampling,
                 constraint_fn=constraint,
