@@ -200,8 +200,51 @@ def _decode_blocks(data: np.ndarray, gtype: GGMLType, n_out: int, n_in: int):
         scale = (d[..., None] * ls.astype(F32)).astype(F32)
         return col(codes), col(scale), None
 
+    if gtype in _IQ_TYPES:
+        # i-quant / ternary formats: the codebook structure collapses to the
+        # affine plane form because every decoded value is
+        # group_scale · v with v from a small signed set (the IQ2 grids hold
+        # {8,25,43}, IQ3_XXS {4..62}, IQ3_S odd 1..15, IQ1 {-1,0,1}±0.125;
+        # sign flips and the IQ1 delta are exact in f32). Codes are
+        # recovered by nearest-LUT match of value/scale — bit-exact
+        # reconstruction is asserted in tests/test_qmm.py.
+        from ..quant.iq_codecs import IQ_DEQUANT, iq_group_scales
+
+        meta = _SCHEMA[gtype]
+        G = meta["G"]
+        lut = np.asarray(
+            meta["lut"] if "lut" in meta
+            else [i - meta["bias"] for i in range(3)],  # ternary bias form
+            dtype=F32,
+        )
+        blocks = b.reshape(n_out * nb, tt.type_size)
+        v = IQ_DEQUANT[gtype](blocks)  # (n_out·nb, 256) f32
+        scale = iq_group_scales(blocks, gtype)  # (n_out·nb, 256/G)
+        vr = v.reshape(v.shape[0], -1, G)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratio = np.nan_to_num(vr / scale[..., None])
+        codes = np.abs(ratio[..., None] - lut).argmin(-1).astype(np.uint8)
+        codes = codes.reshape(n_out, nb * QK_K)
+        scale = scale.reshape(n_out, -1)
+        return col(codes), col(scale), None
+
     raise NotImplementedError(f"repack of {gtype.name} not supported")
 
+
+_IQ2_VALUES = (8.0, 25.0, 43.0, -8.0, -25.0, -43.0)
+_IQ3XXS_VALUES = tuple(float(s * m) for s in (1, -1)
+                       for m in (4, 12, 20, 28, 36, 44, 52, 62))
+_IQ3S_VALUES = tuple(float(s * m) for s in (1, -1)
+                     for m in (1, 3, 5, 7, 9, 11, 13, 15))
+# IQ1 grid value g ∈ {-1,0,1} plus the per-group ±0.125 delta, both folded
+# into one 6-entry map: code = (g+1) + 3·[delta<0]
+_IQ1_VALUES = (-0.875, 0.125, 1.125, -1.125, -0.125, 0.875)
+
+_IQ_TYPES = (
+    GGMLType.IQ2_XXS, GGMLType.IQ2_XS, GGMLType.IQ2_S,
+    GGMLType.IQ3_XXS, GGMLType.IQ3_S, GGMLType.IQ1_S, GGMLType.IQ1_M,
+    GGMLType.TQ1_0, GGMLType.TQ2_0,
+)
 
 # metadata: code bits, scale-group size G, split unit U, optional LUT/sign
 _SCHEMA = {
@@ -218,6 +261,15 @@ _SCHEMA = {
     GGMLType.Q2_K: dict(bits=2, G=16, SB=256),
     GGMLType.Q3_K: dict(bits=3, G=16, SB=256, bias=4),
     GGMLType.IQ4_XS: dict(bits=4, G=32, SB=256, lut=IQ4_NL_VALUES),
+    GGMLType.IQ2_XXS: dict(bits=3, G=32, SB=256, lut=_IQ2_VALUES),
+    GGMLType.IQ2_XS: dict(bits=3, G=16, SB=256, lut=_IQ2_VALUES),
+    GGMLType.IQ2_S: dict(bits=3, G=16, SB=256, lut=_IQ2_VALUES),
+    GGMLType.IQ3_XXS: dict(bits=4, G=32, SB=256, lut=_IQ3XXS_VALUES),
+    GGMLType.IQ3_S: dict(bits=4, G=32, SB=256, lut=_IQ3S_VALUES),
+    GGMLType.IQ1_S: dict(bits=3, G=32, SB=256, lut=_IQ1_VALUES),
+    GGMLType.IQ1_M: dict(bits=3, G=16, SB=256, lut=_IQ1_VALUES),
+    GGMLType.TQ1_0: dict(bits=2, G=256, SB=256, bias=1),
+    GGMLType.TQ2_0: dict(bits=2, G=256, SB=256, bias=1),
 }
 
 

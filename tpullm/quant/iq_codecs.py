@@ -211,3 +211,57 @@ IQ_DEQUANT = {
     GGMLType.TQ1_0: dequant_tq1_0,
     GGMLType.TQ2_0: dequant_tq2_0,
 }
+
+
+def iq_group_scales(b: np.ndarray, gtype: GGMLType) -> np.ndarray:
+    """Per-scale-group effective f32 scales of one block array (n, type_size)
+    → (n, 256/G). These are the premultiplied `scale` planes of the fused
+    qmm schema (ops/qmatmul.py): with the value LUTs there,
+    dequant == scale[g] · lut[code] bit-exactly (sign flips and the IQ1
+    ±0.125 delta are exact in f32)."""
+    n = b.shape[0]
+    if gtype == GGMLType.IQ2_XXS:
+        d = _f16(b[:, :2])
+        aux = np.ascontiguousarray(b[:, 2:]).view("<u4").reshape(n, 8, 2)[:, :, 1]
+        return d[:, None] * (F32(0.5) + (aux >> 28).astype(F32)) * F32(0.25)
+    if gtype == GGMLType.IQ2_XS:
+        d = _f16(b[:, :2])
+        scales = b[:, 66:74]
+        half = np.stack([scales & 0xF, scales >> 4], axis=-1).astype(F32)
+        return (d[:, None, None] * (F32(0.5) + half) * F32(0.25)).reshape(n, 16)
+    if gtype == GGMLType.IQ2_S:
+        d = _f16(b[:, :2])
+        scales = b[:, 74:82]
+        half = np.stack([scales & 0xF, scales >> 4], axis=-1).astype(F32)
+        return (d[:, None, None] * (F32(0.5) + half) * F32(0.25)).reshape(n, 16)
+    if gtype == GGMLType.IQ3_XXS:
+        d = _f16(b[:, :2])
+        aux = np.ascontiguousarray(b[:, 66:98]).view("<u4").reshape(n, 8)
+        return d[:, None] * (F32(0.5) + (aux >> 28).astype(F32)) * F32(0.5)
+    if gtype == GGMLType.IQ3_S:
+        d = _f16(b[:, :2])
+        scales = b[:, 106:110]
+        nib = np.stack([scales & 0xF, scales >> 4], axis=-1).reshape(n, 8)
+        return d[:, None] * (F32(1) + F32(2) * nib.astype(F32))
+    if gtype == GGMLType.IQ1_S:
+        d = _f16(b[:, :2])
+        qh = np.ascontiguousarray(b[:, 34:50]).view("<u2").reshape(n, 8)
+        return d[:, None] * (2 * ((qh >> 12) & 7) + 1).astype(F32)
+    if gtype == GGMLType.IQ1_M:
+        sc = np.ascontiguousarray(b[:, 48:56]).view("<u2").reshape(n, 4)
+        dbits = (
+            (sc[:, 0] >> 12)
+            | ((sc[:, 1] >> 8) & 0x00F0)
+            | ((sc[:, 2] >> 4) & 0x0F00)
+            | (sc[:, 3] & 0xF000)
+        ).astype("<u2")
+        d = dbits.view("<f2").astype(F32)
+        shift = 6 * (np.arange(8) % 2)
+        w = sc[:, np.arange(8) // 2]
+        dl1 = d[:, None] * (2 * ((w >> shift) & 7) + 1).astype(F32)
+        dl2 = d[:, None] * (2 * ((w >> (shift + 3)) & 7) + 1).astype(F32)
+        return np.stack([dl1, dl2], axis=-1).reshape(n, 16)  # per 16 elements
+    if gtype in (GGMLType.TQ1_0, GGMLType.TQ2_0):
+        off = 52 if gtype == GGMLType.TQ1_0 else 64
+        return _f16(b[:, off : off + 2]).reshape(n, 1)
+    raise NotImplementedError(gtype)
