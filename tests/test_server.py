@@ -961,3 +961,23 @@ def test_scheduler_lazy_grammar_stays_inactive(engine):
     for s in sched.slots:
         engine.free_slot(s.index)
         s.tokens = []
+
+
+def test_precompile_covers_scheduler_shapes(engine):
+    """precompile() must lower+compile without error for every shape the
+    loop issues, including the speculative verify width."""
+    sched = Scheduler(engine, spec_type="ngram_simple", n_draft=4)
+    th = sched.precompile(background=True)
+    th.join(timeout=120)
+    assert not th.is_alive()
+    # compiled shapes actually serve a request end-to-end
+    sched.start()
+    try:
+        ids = engine.tokenizer.tokenize("the quick brown fox", add_special=True)
+        toks = _greedy_tokens(sched, ids, 4)
+        assert len(toks) == 4
+    finally:
+        sched.stop()
+    for s in sched.slots:
+        engine.free_slot(s.index)
+        s.tokens = []

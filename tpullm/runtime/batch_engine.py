@@ -116,6 +116,54 @@ class BatchEngine:
 
         self._step = _step
 
+    def precompile(self, widths: tuple = (), background: bool = False):
+        """Compile the batched step for every token-shape the scheduler can
+        issue — decode [B,1], each prefill bucket up to prefill_chunk, and
+        any speculative-verify widths — so the first request's TTFT pays
+        tracing only (the persistent XLA cache then serves the binaries).
+        ≡ the reference server's startup warmup decode. Returns the worker
+        thread when background=True."""
+
+        def _widths():
+            yield 1
+            yield from widths
+            if not self.arch.recurrent:  # recurrent prefills are exact-length
+                for b in PREFILL_BUCKETS:
+                    if b > min(self.prefill_chunk, self.max_seq):
+                        break
+                    yield b
+
+        def _sds(t):
+            return jax.tree.map(
+                lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype,
+                                               sharding=a.sharding), t
+            )
+
+        def _run():
+            p, c = _sds(self.params), _sds(self.cache)
+            offs = jax.ShapeDtypeStruct((self.n_slots,), jnp.int32)
+            for t in _widths():
+                toks = jax.ShapeDtypeStruct((self.n_slots, t), jnp.int32)
+                pos = jax.ShapeDtypeStruct((self.n_slots, t), jnp.int32)
+                try:
+                    self._step.lower(p, toks, pos, c, offs).compile()
+                except Exception:  # never take the server down from warmup
+                    import logging
+
+                    logging.getLogger(__name__).exception(
+                        "precompile failed for token width %d", t
+                    )
+
+        if background:
+            import threading
+
+            th = threading.Thread(target=_run, daemon=True,
+                                  name="tpullm-precompile")
+            th.start()
+            return th
+        _run()
+        return None
+
     # -- slot lifecycle ----------------------------------------------------------
 
     def free_slot(self, slot: int):

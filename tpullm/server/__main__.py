@@ -110,6 +110,7 @@ def main(argv=None):
         cache_reuse=args.cache_reuse,
         **engine_kw,
     )
+    sched.precompile(background=True)
     print(f"tpullm-server listening on http://{args.host}:{args.port} "
           f"({sched.engine.hp.arch}, {sched.engine.n_slots} slots, "
           f"ctx {sched.engine.max_seq})", file=sys.stderr)

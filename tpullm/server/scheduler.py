@@ -129,6 +129,16 @@ class Scheduler:
         self._thread = threading.Thread(target=self._run, daemon=True, name="tpullm-sched")
         self._thread.start()
 
+    def precompile(self, background: bool = True):
+        """Warm every jitted shape the loop can hit (decode, prefill
+        buckets, the speculative verify width) so first-request TTFT pays
+        tracing only — ≡ the reference server's warmup decode pass."""
+        widths = (self.n_draft + 1,) if self.spec_type else ()
+        th = self.engine.precompile(widths=widths, background=background)
+        if self.draft_engine is not None:
+            self.draft_engine.precompile(background=background)
+        return th
+
     def stop(self):
         self._stop.set()
         self._wake.set()
