@@ -371,3 +371,240 @@ def test_server_audio_chat(tmp_path):
         asyncio.run(run())
     finally:
         sched.stop()
+
+
+# -- qwen2/2.5-VL + gemma3 towers vs transformers oracles ----------------------
+
+
+def _qwen_mmproj_from_hf(path, model, *, proj_type, n_embd, n_ff, n_layer,
+                         n_head, patch, merge, n_wa_pattern=0, window=0,
+                         eps=1e-6):
+    """Export an HF qwen vision tower state dict into the mmproj GGUF layout
+    (≡ convert naming in tools/mtmd/clip-impl.h)."""
+    from tpullm.gguf.writer import GGUFWriter
+
+    sd = {k: v.detach().numpy().astype(np.float32)
+          for k, v in model.state_dict().items()}
+    w = GGUFWriter(path, architecture="clip")
+    w.add_kv("clip.projector_type", proj_type)
+    w.add_kv("clip.has_vision_encoder", True)
+    w.add_kv("clip.vision.patch_size", patch)
+    w.add_kv("clip.vision.embedding_length", n_embd)
+    w.add_kv("clip.vision.feed_forward_length", n_ff)
+    w.add_kv("clip.vision.block_count", n_layer)
+    w.add_kv("clip.vision.attention.head_count", n_head)
+    w.add_kv("clip.vision.attention.layer_norm_epsilon", eps)
+    w.add_kv("clip.vision.spatial_merge_size", merge)
+    if n_wa_pattern:
+        w.add_kv("clip.vision.n_wa_pattern", n_wa_pattern)
+        w.add_kv("clip.vision.window_size", window)
+    pw = sd["patch_embed.proj.weight"]  # [C, 3, tps, P, P]
+    w.add_tensor("v.patch_embd.weight",
+                 np.ascontiguousarray(pw[:, :, 0]).reshape(n_embd, -1))
+    w.add_tensor("v.patch_embd.weight.1",
+                 np.ascontiguousarray(pw[:, :, 1]).reshape(n_embd, -1))
+    for i in range(n_layer):
+        hp, gp = f"blocks.{i}.", f"v.blk.{i}."
+        qkv_w = sd[hp + "attn.qkv.weight"]
+        qkv_b = sd[hp + "attn.qkv.bias"]
+        for j, nm in enumerate(("attn_q", "attn_k", "attn_v")):
+            w.add_tensor(gp + nm + ".weight", qkv_w[j * n_embd:(j + 1) * n_embd])
+            w.add_tensor(gp + nm + ".bias", qkv_b[j * n_embd:(j + 1) * n_embd])
+        w.add_tensor(gp + "attn_out.weight", sd[hp + "attn.proj.weight"])
+        w.add_tensor(gp + "attn_out.bias", sd[hp + "attn.proj.bias"])
+        w.add_tensor(gp + "ln1.weight", sd[hp + "norm1.weight"])
+        if hp + "norm1.bias" in sd:
+            w.add_tensor(gp + "ln1.bias", sd[hp + "norm1.bias"])
+        w.add_tensor(gp + "ln2.weight", sd[hp + "norm2.weight"])
+        if hp + "norm2.bias" in sd:
+            w.add_tensor(gp + "ln2.bias", sd[hp + "norm2.bias"])
+        if hp + "mlp.fc1.weight" in sd:  # 2.0 quick-gelu MLP
+            w.add_tensor(gp + "ffn_up.weight", sd[hp + "mlp.fc1.weight"])
+            w.add_tensor(gp + "ffn_up.bias", sd[hp + "mlp.fc1.bias"])
+            w.add_tensor(gp + "ffn_down.weight", sd[hp + "mlp.fc2.weight"])
+            w.add_tensor(gp + "ffn_down.bias", sd[hp + "mlp.fc2.bias"])
+        else:  # 2.5 gated silu
+            w.add_tensor(gp + "ffn_gate.weight", sd[hp + "mlp.gate_proj.weight"])
+            w.add_tensor(gp + "ffn_gate.bias", sd[hp + "mlp.gate_proj.bias"])
+            w.add_tensor(gp + "ffn_up.weight", sd[hp + "mlp.up_proj.weight"])
+            w.add_tensor(gp + "ffn_up.bias", sd[hp + "mlp.up_proj.bias"])
+            w.add_tensor(gp + "ffn_down.weight", sd[hp + "mlp.down_proj.weight"])
+            w.add_tensor(gp + "ffn_down.bias", sd[hp + "mlp.down_proj.bias"])
+    w.add_tensor("v.post_ln.weight", sd["merger.ln_q.weight"])
+    if "merger.ln_q.bias" in sd:
+        w.add_tensor("v.post_ln.bias", sd["merger.ln_q.bias"])
+    w.add_tensor("mm.0.weight", sd["merger.mlp.0.weight"])
+    w.add_tensor("mm.0.bias", sd["merger.mlp.0.bias"])
+    w.add_tensor("mm.2.weight", sd["merger.mlp.2.weight"])
+    w.add_tensor("mm.2.bias", sd["merger.mlp.2.bias"])
+    w.write()
+    return str(path)
+
+
+def _qwen_hf_patches(img, tps, P, m):
+    """Replicate Qwen2VLImageProcessor patch flattening for one still image
+    (features ordered [c, t, py, px], sequence in 2x2 merge-block order)."""
+    C, H, W = img.shape
+    gh, gw = H // P, W // P
+    pat = np.stack([img] * tps)  # temporal duplicate
+    pat = pat.reshape(1, tps, C, gh // m, m, P, gw // m, m, P)
+    pat = pat.transpose(0, 3, 6, 4, 7, 2, 1, 5, 8)
+    return np.ascontiguousarray(pat).reshape(gh * gw, C * tps * P * P)
+
+
+def test_qwen2vl_tower_matches_transformers(tmp_path):
+    torch = pytest.importorskip("torch")
+    from transformers.models.qwen2_vl.configuration_qwen2_vl import (
+        Qwen2VLVisionConfig,
+    )
+    from transformers.models.qwen2_vl.modeling_qwen2_vl import (
+        Qwen2VisionTransformerPretrainedModel,
+    )
+
+    from tpullm.mtmd import load_vision
+
+    cfg = Qwen2VLVisionConfig(
+        depth=2, embed_dim=32, hidden_size=48, num_heads=2, mlp_ratio=2,
+        patch_size=4, spatial_merge_size=2, temporal_patch_size=2,
+    )
+    torch.manual_seed(0)
+    hf = Qwen2VisionTransformerPretrainedModel(cfg).eval().float()
+    path = _qwen_mmproj_from_hf(
+        tmp_path / "q2vl.gguf", hf, proj_type="qwen2vl_merger",
+        n_embd=32, n_ff=64, n_layer=2, n_head=2, patch=4, merge=2,
+    )
+    tower = load_vision(path)
+    from tpullm.mtmd import Qwen2VLVision
+
+    assert isinstance(tower, Qwen2VLVision)
+    rng = np.random.default_rng(3)
+    img = rng.normal(size=(3, 16, 24)).astype(np.float32)  # 4x6 patch grid
+    got = tower.encode_pixels(img)
+    with torch.no_grad():
+        flat = torch.from_numpy(_qwen_hf_patches(img, 2, 4, 2))
+        ref = hf(flat, grid_thw=torch.tensor([[1, 4, 6]])).numpy()
+    assert got.shape == ref.shape == (6, 48)
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_qwen25vl_tower_matches_transformers(tmp_path):
+    """2.5 adds RMS norms, gated-silu FFN and window attention."""
+    torch = pytest.importorskip("torch")
+    from transformers.models.qwen2_5_vl.configuration_qwen2_5_vl import (
+        Qwen2_5_VLVisionConfig,
+    )
+    from transformers.models.qwen2_5_vl.modeling_qwen2_5_vl import (
+        Qwen2_5_VisionTransformerPretrainedModel,
+    )
+
+    from tpullm.mtmd import load_vision
+
+    cfg = Qwen2_5_VLVisionConfig(
+        depth=4, hidden_size=32, out_hidden_size=48, intermediate_size=64,
+        num_heads=2, patch_size=4, spatial_merge_size=2,
+        temporal_patch_size=2, window_size=8, fullatt_block_indexes=[1, 3],
+    )
+    torch.manual_seed(1)
+    hf = Qwen2_5_VisionTransformerPretrainedModel(cfg).eval().float()
+    path = _qwen_mmproj_from_hf(
+        tmp_path / "q25vl.gguf", hf, proj_type="qwen2.5vl_merger",
+        n_embd=32, n_ff=64, n_layer=4, n_head=2, patch=4, merge=2,
+        n_wa_pattern=2, window=8,
+    )
+    tower = load_vision(path)
+    rng = np.random.default_rng(5)
+    img = rng.normal(size=(3, 24, 16)).astype(np.float32)  # 6x4 grid
+    got = tower.encode_pixels(img)
+    with torch.no_grad():
+        flat = torch.from_numpy(_qwen_hf_patches(img, 2, 4, 2))
+        ref = hf(flat, grid_thw=torch.tensor([[1, 6, 4]])).numpy()
+    assert got.shape == ref.shape == (6, 48)
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_qwen_smart_resize_bounds():
+    from tpullm.mtmd.qwen_vl import smart_resize
+
+    h, w = smart_resize(1000, 700, 28, 8 * 28 * 28, 1024 * 28 * 28)
+    assert h % 28 == 0 and w % 28 == 0
+    assert 8 * 28 * 28 <= h * w <= 1024 * 28 * 28
+    # tiny images round up to the minimum token budget
+    h, w = smart_resize(10, 10, 28, 8 * 28 * 28, 1024 * 28 * 28)
+    assert h % 28 == 0 and w % 28 == 0 and h * w >= 8 * 28 * 28
+
+
+def test_gemma3_tower_matches_transformers(tmp_path):
+    torch = pytest.importorskip("torch")
+    from transformers import SiglipVisionConfig, SiglipVisionModel
+
+    from tpullm.gguf.writer import GGUFWriter
+    from tpullm.mtmd import Gemma3Vision, load_vision
+
+    n_embd, n_layer, n_head, patch, size, llm = 32, 2, 2, 4, 32, 48
+    cfg = SiglipVisionConfig(
+        hidden_size=n_embd, intermediate_size=64, num_hidden_layers=n_layer,
+        num_attention_heads=n_head, image_size=size, patch_size=patch,
+        hidden_act="gelu_pytorch_tanh",
+    )
+    torch.manual_seed(2)
+    hf = SiglipVisionModel(cfg).eval().float()
+    sd = {k: v.detach().numpy().astype(np.float32)
+          for k, v in hf.state_dict().items()}
+    rng = np.random.default_rng(9)
+    soft_norm = rng.normal(size=n_embd).astype(np.float32) * 0.1
+    in_proj = rng.normal(size=(n_embd, llm)).astype(np.float32) * 0.1
+
+    w = GGUFWriter(tmp_path / "g3v.gguf", architecture="clip")
+    w.add_kv("clip.projector_type", "gemma3")
+    w.add_kv("clip.has_vision_encoder", True)
+    w.add_kv("clip.vision.image_size", size)
+    w.add_kv("clip.vision.patch_size", patch)
+    w.add_kv("clip.vision.embedding_length", n_embd)
+    w.add_kv("clip.vision.block_count", n_layer)
+    w.add_kv("clip.vision.attention.head_count", n_head)
+    w.add_kv("clip.vision.attention.layer_norm_epsilon", 1e-6)
+    w.add_kv("clip.vision.projector.scale_factor", 2)
+    pre = "vision_model."
+    w.add_tensor("v.patch_embd.weight",
+                 sd[pre + "embeddings.patch_embedding.weight"].reshape(n_embd, -1))
+    w.add_tensor("v.patch_embd.bias", sd[pre + "embeddings.patch_embedding.bias"])
+    w.add_tensor("v.position_embd.weight",
+                 sd[pre + "embeddings.position_embedding.weight"])
+    for i in range(n_layer):
+        hp, gp = pre + f"encoder.layers.{i}.", f"v.blk.{i}."
+        w.add_tensor(gp + "ln1.weight", sd[hp + "layer_norm1.weight"])
+        w.add_tensor(gp + "ln1.bias", sd[hp + "layer_norm1.bias"])
+        w.add_tensor(gp + "ln2.weight", sd[hp + "layer_norm2.weight"])
+        w.add_tensor(gp + "ln2.bias", sd[hp + "layer_norm2.bias"])
+        for hf_nm, gg_nm in (("q_proj", "attn_q"), ("k_proj", "attn_k"),
+                             ("v_proj", "attn_v"), ("out_proj", "attn_out")):
+            w.add_tensor(gp + gg_nm + ".weight", sd[hp + f"self_attn.{hf_nm}.weight"])
+            w.add_tensor(gp + gg_nm + ".bias", sd[hp + f"self_attn.{hf_nm}.bias"])
+        w.add_tensor(gp + "ffn_up.weight", sd[hp + "mlp.fc1.weight"])
+        w.add_tensor(gp + "ffn_up.bias", sd[hp + "mlp.fc1.bias"])
+        w.add_tensor(gp + "ffn_down.weight", sd[hp + "mlp.fc2.weight"])
+        w.add_tensor(gp + "ffn_down.bias", sd[hp + "mlp.fc2.bias"])
+    w.add_tensor("v.post_ln.weight", sd[pre + "post_layernorm.weight"])
+    w.add_tensor("v.post_ln.bias", sd[pre + "post_layernorm.bias"])
+    # gemma folds the +1 of its RMSNorm into the stored weight
+    w.add_tensor("mm.soft_emb_norm.weight", 1.0 + soft_norm)
+    w.add_tensor("mm.input_projection.weight", in_proj)
+    w.write()
+
+    tower = load_vision(str(tmp_path / "g3v.gguf"))
+    assert isinstance(tower, Gemma3Vision)
+    rng2 = np.random.default_rng(11)
+    px = rng2.normal(size=(3, size, size)).astype(np.float32)
+    got = np.asarray(tower._encode(tower.params, px))
+
+    with torch.no_grad():
+        hidden = hf(torch.from_numpy(px[None])).last_hidden_state[0].numpy()
+    side = size // patch
+    k = 2
+    pooled = hidden.reshape(side // k, k, side // k, k, n_embd).mean(
+        axis=(1, 3)).reshape(-1, n_embd)
+    var = (pooled.astype(np.float64) ** 2).mean(-1, keepdims=True)
+    normed = pooled / np.sqrt(var + 1e-6)
+    ref = (normed * (1.0 + soft_norm)) @ in_proj
+    assert got.shape == ref.shape == ((side // k) ** 2, llm)
+    np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4)

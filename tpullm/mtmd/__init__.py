@@ -6,6 +6,22 @@ Reference: tools/mtmd (clip.cpp encoder graphs over ggml, mtmd.h C API with
 
 from .audio import WhisperAudioEncoder, chunk_mel, log_mel_spectrogram
 from .clip import ClipVision, preprocess_image
+from .qwen_vl import Qwen2VLVision
+from .siglip import Gemma3Vision
+
+
+def load_vision(path):
+    """Projector-type dispatch (≡ clip.cpp clip_graph builder switch,
+    clip.cpp:779-830): picks the tower class from clip.projector_type."""
+    from ..gguf.reader import GGUFReader
+
+    proj = GGUFReader(path).metadata.get("clip.projector_type", "mlp")
+    if proj in ("qwen2vl_merger", "qwen2.5vl_merger"):
+        return Qwen2VLVision(path)
+    if proj == "gemma3":
+        return Gemma3Vision(path)
+    return ClipVision(path)
+
 from .pipeline import MEDIA_MARKER, build_multimodal_embeddings, generate_mtmd
 
 __all__ = [
@@ -13,6 +29,9 @@ __all__ = [
     "log_mel_spectrogram",
     "chunk_mel",
     "ClipVision",
+    "Qwen2VLVision",
+    "Gemma3Vision",
+    "load_vision",
     "preprocess_image",
     "MEDIA_MARKER",
     "build_multimodal_embeddings",

@@ -119,9 +119,9 @@ class Server:
 
                 self.audio_enc = WhisperAudioEncoder(mmproj_path)
             if md.get("clip.has_vision_encoder") or not self.audio_enc:
-                from ..mtmd import ClipVision
+                from ..mtmd import load_vision
 
-                self.clip = ClipVision(mmproj_path)
+                self.clip = load_vision(mmproj_path)
         self.app = web.Application(middlewares=[_json_errors])
         r = self.app.router
         r.add_get("/health", self.health)
