@@ -57,12 +57,19 @@ def build_params(r: GGUFReader, hp: HParams, mode: str = "auto",
             "down_s": scale(p + "ffn_down.scale"),
         })
 
-    return {
+    params = {
         "tok_embd": load_embedding(t["token_embd.weight"], dtype=dtype),
         "layers": layers,
         "output_norm": load_vector(t["output_norm.weight"]),
-        "output": None,  # tied
+        # tied head unless the checkpoint ships a separate lm_head
+        "output": linear("output.weight") if "output.weight" in t else None,
     }
+    # microsoft BitNet-b1.58-2B (transformers `bitnet`) swaps the gated silu
+    # for gated ReLU²; the 1bitLLM variant (reference BitnetForCausalLM)
+    # keeps silu. Leafless marker: key presence is static under jit.
+    if str(r.metadata.get("bitnet.activation", "silu")) == "relu2":
+        params["relu2"] = ()
+    return params
 
 
 def forward(
@@ -107,11 +114,18 @@ def forward(
         h = rms_norm(x, layer["ffn_norm"], hp.rms_eps)
         gate = layer["w_gate"](h) * layer["gate_s"]
         up = layer["w_up"](h) * layer["up_s"]
-        act = jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
+        g32 = gate.astype(jnp.float32)
+        if "relu2" in params:
+            g32 = jnp.square(jax.nn.relu(g32))
+        else:
+            g32 = jax.nn.silu(g32)
+        act = g32.astype(up.dtype) * up
         act = rms_norm(act, layer["ffn_sub_norm"], hp.rms_eps)
         x = x + layer["w_down"](act) * layer["down_s"]
 
     x = rms_norm(x, params["output_norm"], hp.rms_eps)
     if return_hidden:
         return x.astype(jnp.float32), cache
+    if params["output"] is not None:
+        return params["output"](x).astype(jnp.float32), cache
     return jnp.dot(x, params["tok_embd"].T.astype(x.dtype)).astype(jnp.float32), cache

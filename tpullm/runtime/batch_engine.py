@@ -37,7 +37,9 @@ class BatchEngine:
         mesh=None,  # jax.sharding.Mesh: TP (+ slot-DP) sharded serving
     ):
         from ..utils.compile_cache import enable_persistent_cache
+        from ..utils.platform import honor_jax_platforms
 
+        honor_jax_platforms()
         enable_persistent_cache()
         t0 = time.perf_counter()
         self.reader = GGUFReader(model_path)

@@ -119,7 +119,9 @@ class Engine:
         grp_attn_n: int = 1,  # self-extend group size (≡ passkey --grp-attn-n)
     ):
         from ..utils.compile_cache import enable_persistent_cache
+        from ..utils.platform import honor_jax_platforms
 
+        honor_jax_platforms()
         enable_persistent_cache()
         t0 = time.perf_counter()
         self.reader = GGUFReader(model_path)

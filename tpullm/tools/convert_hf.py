@@ -58,10 +58,28 @@ ARCH_MAP = {
     "gemma3n_text": "gemma3n",
     "falcon_h1": "falcon-h1",
     "glm4_moe": "glm4moe",
+    "olmo": "olmo",
+    "phi": "phi2",
+    "exaone4": "exaone4",
+    "nemotron": "nemotron",
+    "glm4": "glm4",
+    "cohere2": "cohere2",
+    "dots1": "dots1",
+    "seed_oss": "seed_oss",
+    "ernie4_5": "ernie4_5",
+    "hunyuan_v1_dense": "hunyuan-dense",
+    "bitnet": "bitnet",
+    "apertus": "apertus",
+    "dbrx": "dbrx",
+    "falcon": "falcon",
+    "mpt": "mpt",
+    "bloom": "bloom",
+    "gpt_bigcode": "starcoder",
 }
 
 # archs whose norms are LayerNorm (write layer_norm_epsilon, not RMS)
-LN_ARCHS = {"gpt2", "stablelm", "starcoder2", "gptneox"}
+LN_ARCHS = {"gpt2", "stablelm", "starcoder2", "gptneox", "phi2", "nemotron",
+            "dbrx", "falcon", "mpt", "bloom", "starcoder"}
 
 # rope "norm" (interleaved) archs need HF→GGUF QK permutation
 PERMUTE_QK_ARCHS = {"llama"}
@@ -164,6 +182,15 @@ _LAYER_MAP = {
     "mlp.shared_experts.gate_proj.weight": "ffn_gate_shexp.weight",
     "mlp.shared_experts.up_proj.weight": "ffn_up_shexp.weight",
     "mlp.shared_experts.down_proj.weight": "ffn_down_shexp.weight",
+    # hunyuan post-rope qk norms
+    "self_attn.query_layernorm.weight": "attn_q_norm.weight",
+    "self_attn.key_layernorm.weight": "attn_k_norm.weight",
+    # bitnet sub-norms (llm_build_bitnet)
+    "self_attn.attn_sub_norm.weight": "attn_sub_norm.weight",
+    "mlp.ffn_sub_norm.weight": "ffn_sub_norm.weight",
+    # apertus norms (gateless xIELU FFN)
+    "attention_layernorm.weight": "attn_norm.weight",
+    "feedforward_layernorm.weight": "ffn_norm.weight",
 }
 
 
@@ -388,12 +415,91 @@ def _map_gemma3n_name(name: str) -> str | None:
     return None
 
 
+# "transformer."-prefixed family (falcon/mpt/bloom/dbrx/gpt2/starcoder):
+# per-layer suffix → GGUF suffix
+_TRANSFORMER_LAYER_MAP = {
+    # falcon / bloom
+    "self_attention.query_key_value.weight": "attn_qkv.weight",
+    "self_attention.query_key_value.bias": "attn_qkv.bias",
+    "self_attention.dense.weight": "attn_output.weight",
+    "self_attention.dense.bias": "attn_output.bias",
+    "ln_attn.weight": "attn_norm.weight",
+    "ln_attn.bias": "attn_norm.bias",
+    "ln_mlp.weight": "attn_norm_2.weight",
+    "ln_mlp.bias": "attn_norm_2.bias",
+    "input_layernorm.weight": "attn_norm.weight",
+    "input_layernorm.bias": "attn_norm.bias",
+    "post_attention_layernorm.weight": "ffn_norm.weight",
+    "post_attention_layernorm.bias": "ffn_norm.bias",
+    "mlp.dense_h_to_4h.weight": "ffn_up.weight",
+    "mlp.dense_h_to_4h.bias": "ffn_up.bias",
+    "mlp.dense_4h_to_h.weight": "ffn_down.weight",
+    "mlp.dense_4h_to_h.bias": "ffn_down.bias",
+    # mpt
+    "norm_1.weight": "attn_norm.weight",
+    "attn.Wqkv.weight": "attn_qkv.weight",
+    "attn.out_proj.weight": "attn_output.weight",
+    "norm_2.weight": "ffn_norm.weight",
+    "ffn.up_proj.weight": "ffn_up.weight",
+    "ffn.down_proj.weight": "ffn_down.weight",
+    "attn.q_ln.weight": "attn_q_norm.weight",
+    "attn.k_ln.weight": "attn_k_norm.weight",
+    # dbrx (block sits under norm_attn_norm; norm_2 is the POST-attn norm)
+    "norm_attn_norm.norm_1.weight": "attn_norm.weight",
+    "norm_attn_norm.attn.Wqkv.weight": "attn_qkv.weight",
+    "norm_attn_norm.attn.out_proj.weight": "attn_output.weight",
+    "norm_attn_norm.norm_2.weight": "attn_output_norm.weight",
+    "ffn.router.layer.weight": "ffn_gate_inp.weight",
+    # gpt2 / gpt_bigcode (starcoder)
+    "ln_1.weight": "attn_norm.weight",
+    "ln_1.bias": "attn_norm.bias",
+    "attn.c_attn.weight": "attn_qkv.weight",
+    "attn.c_attn.bias": "attn_qkv.bias",
+    "attn.c_proj.weight": "attn_output.weight",
+    "attn.c_proj.bias": "attn_output.bias",
+    "ln_2.weight": "ffn_norm.weight",
+    "ln_2.bias": "ffn_norm.bias",
+    "mlp.c_fc.weight": "ffn_up.weight",
+    "mlp.c_fc.bias": "ffn_up.bias",
+    "mlp.c_proj.weight": "ffn_down.weight",
+    "mlp.c_proj.bias": "ffn_down.bias",
+}
+
+
+def _map_transformer_name(name: str) -> str | None:
+    """transformer.* family (falcon/mpt/bloom/dbrx/gpt2/gpt_bigcode)."""
+    if name.startswith("transformer."):
+        name = name[len("transformer."):]
+    top = {
+        "wte.weight": "token_embd.weight",
+        "word_embeddings.weight": "token_embd.weight",
+        "wpe.weight": "position_embd.weight",
+        "word_embeddings_layernorm.weight": "token_embd_norm.weight",
+        "word_embeddings_layernorm.bias": "token_embd_norm.bias",
+        "ln_f.weight": "output_norm.weight",
+        "ln_f.bias": "output_norm.bias",
+        "norm_f.weight": "output_norm.weight",
+        "norm_f.bias": "output_norm.bias",
+        "lm_head.weight": "output.weight",
+    }
+    if name in top:
+        return top[name]
+    for pfx in ("h.", "blocks."):
+        if name.startswith(pfx):
+            _, bid, rest = name.split(".", 2)
+            mapped = _TRANSFORMER_LAYER_MAP.get(rest)
+            return f"blk.{bid}.{mapped}" if mapped else None
+    return None
+
+
 def map_tensor_name(name: str, arch: str) -> str | None:
     """HF tensor name → GGUF name; None = skip (≡ gguf-py tensor_mapping)."""
     if arch == "t5":
         return _map_t5_name(name)
     if arch in ("mamba", "mamba2"):
         return _map_mamba_name(name)
+    if arch in ("falcon", "mpt", "bloom", "dbrx", "starcoder", "gpt2"):
+        return _map_transformer_name(name)
     if name.startswith("model."):
         name = name[len("model."):]
     if name.startswith("gpt_neox."):
@@ -403,10 +509,12 @@ def map_tensor_name(name: str, arch: str) -> str | None:
     if name in ("norm.weight", "final_layer_norm.weight",
                 "final_layernorm.weight"):
         return "output_norm.weight"
-    if name in ("norm.bias", "final_layer_norm.bias"):
+    if name in ("norm.bias", "final_layer_norm.bias", "final_layernorm.bias"):
         return "output_norm.bias"
     if name in ("lm_head.weight", "embed_out.weight"):
         return "output.weight"
+    if name == "lm_head.bias":
+        return "output.bias"
     if name.startswith("layers."):
         parts = name.split(".", 2)
         bid, rest = parts[1], parts[2]
@@ -415,9 +523,29 @@ def map_tensor_name(name: str, arch: str) -> str | None:
         # its post_attention_layernorm is the ordinary ffn_norm)
         if arch in ("gemma2", "gemma3") and rest == "post_attention_layernorm.weight":
             return f"blk.{bid}.post_attention_norm.weight"
-        # olmo2 is post-norm only: both "post" layernorms are real post-norms
-        if arch == "olmo2" and rest == "post_attention_layernorm.weight":
+        # olmo2/exaone4 are post-norm only: both "post" layernorms are real
+        # post-norms (llm_build_olmo2 / llm_build_exaone4)
+        if arch in ("olmo2", "exaone4") and rest == "post_attention_layernorm.weight":
             return f"blk.{bid}.post_attention_norm.weight"
+        if arch == "exaone4" and rest == "post_feedforward_layernorm.weight":
+            return f"blk.{bid}.post_ffw_norm.weight"
+        # glm4 post-norms sit AFTER the attn/ffn outputs; its pre-FFN norm
+        # arrives as post_attention_layernorm via the generic map
+        if arch == "glm4" and rest == "post_self_attn_layernorm.weight":
+            return f"blk.{bid}.post_attention_norm.weight"
+        if arch == "glm4" and rest == "post_mlp_layernorm.weight":
+            return f"blk.{bid}.post_ffw_norm.weight"
+        # phi2 names (PhiModel in convert_hf_to_gguf.py)
+        phi2 = {
+            "self_attn.dense.weight": "attn_output.weight",
+            "self_attn.dense.bias": "attn_output.bias",
+            "mlp.fc1.weight": "ffn_up.weight",
+            "mlp.fc1.bias": "ffn_up.bias",
+            "mlp.fc2.weight": "ffn_down.weight",
+            "mlp.fc2.bias": "ffn_down.bias",
+        }
+        if arch == "phi2" and rest in phi2:
+            return f"blk.{bid}.{phi2[rest]}"
         # gpt-oss: the pre-MoE norm is stored as post_attention_norm
         if arch == "gpt-oss" and rest == "post_attention_layernorm.weight":
             return f"blk.{bid}.post_attention_norm.weight"
@@ -564,6 +692,43 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
     if arch is None:
         raise NotImplementedError(f"model_type {model_type!r} not supported yet "
                                   f"(have: {sorted(ARCH_MAP)})")
+    if model_type == "dbrx":
+        # flatten MosaicML's nested config (≡ DbrxModel.set_gguf_parameters)
+        ac = cfg.get("attn_config") or {}
+        fc = cfg.get("ffn_config") or {}
+        cfg.setdefault("hidden_size", cfg.get("d_model"))
+        cfg.setdefault("num_hidden_layers", cfg.get("n_layers"))
+        cfg.setdefault("num_attention_heads", cfg.get("n_heads"))
+        cfg.setdefault("num_key_value_heads", ac.get("kv_n_heads", 1))
+        cfg.setdefault("max_position_embeddings", cfg.get("max_seq_len"))
+        cfg.setdefault("rope_theta", ac.get("rope_theta", 10000.0))
+        cfg.setdefault("clip_qkv", ac.get("clip_qkv"))
+        cfg.setdefault("num_experts", fc.get("moe_num_experts"))
+        cfg.setdefault("num_experts_per_tok", fc.get("moe_top_k"))
+        cfg.setdefault("intermediate_size", fc.get("ffn_hidden_size"))
+    if model_type == "mpt":
+        ac = cfg.get("attn_config") or {}
+        cfg.setdefault("hidden_size", cfg.get("d_model"))
+        cfg.setdefault("num_hidden_layers", cfg.get("n_layers"))
+        cfg.setdefault("num_attention_heads", cfg.get("n_heads"))
+        cfg.setdefault("max_position_embeddings", cfg.get("max_seq_len"))
+        cfg.setdefault("intermediate_size",
+                       int(cfg.get("expansion_ratio", 4)) * int(cfg["d_model"]))
+        cfg.setdefault("clip_qkv", ac.get("clip_qkv"))
+        if ac.get("alibi", True):
+            cfg.setdefault("alibi_bias_max", ac.get("alibi_bias_max", 8.0))
+    if model_type == "falcon":
+        cfg.setdefault("intermediate_size",
+                       cfg.get("ffn_hidden_size", 4 * int(cfg["hidden_size"])))
+        if cfg.get("new_decoder_architecture"):
+            cfg.setdefault("num_key_value_heads",
+                           cfg.get("num_kv_heads", cfg.get("n_head_kv", 8)))
+        elif cfg.get("multi_query", True):
+            cfg.setdefault("num_key_value_heads", 1)
+    if model_type == "gpt_bigcode":
+        cfg.setdefault("num_key_value_heads",
+                       1 if cfg.get("multi_query", True)
+                       else cfg.get("n_head"))
     n_head = int(cfg.get("num_attention_heads",
                          cfg.get("n_head", cfg.get("num_heads", 1)) or 1))
     n_kv = int(cfg.get("num_key_value_heads", n_head))
@@ -596,7 +761,8 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
     w.add_kv(f"{arch}.attention.key_length", head_dim)
     w.add_kv(f"{arch}.attention.value_length", head_dim_v)
     eps = cfg.get("rms_norm_eps",
-                  cfg.get("layer_norm_epsilon", cfg.get("layer_norm_eps", 1e-5)))
+                  cfg.get("layer_norm_epsilon",
+                          cfg.get("layer_norm_eps", cfg.get("norm_eps", 1e-5))))
     if arch in LN_ARCHS:
         w.add_kv(f"{arch}.attention.layer_norm_epsilon", float(eps))
     else:
@@ -625,6 +791,16 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
         w.add_kv(f"{arch}.attention.scale", float(cfg["attention_multiplier"]))
     if cfg.get("sliding_window"):
         w.add_kv(f"{arch}.attention.sliding_window", int(cfg["sliding_window"]))
+    swp = cfg.get("sliding_window_pattern")
+    if swp:
+        # "LLLG" string (exaone4) or int N: every Nth layer is global
+        w.add_kv(f"{arch}.attention.sliding_window_pattern",
+                 len(swp) if isinstance(swp, str) else int(swp))
+    if cfg.get("clip_qkv"):  # olmo/dbrx/mpt qkv clamping
+        w.add_kv(f"{arch}.attention.clamp_kqv", float(cfg["clip_qkv"]))
+    if cfg.get("alibi_bias_max"):  # mpt/jais
+        w.add_kv(f"{arch}.attention.max_alibi_bias",
+                 float(cfg["alibi_bias_max"]))
     if cfg.get("attn_logit_softcapping"):
         w.add_kv(f"{arch}.attn_logit_softcapping", float(cfg["attn_logit_softcapping"]))
     if cfg.get("final_logit_softcapping"):
@@ -780,6 +956,27 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
             w.add_kv(f"{arch}.expert_weights_scale",
                      float(cfg["routed_scaling_factor"]))
         w.add_kv(f"{arch}.expert_gating_func", 2)  # sigmoid scoring
+    if arch == "bitnet" and cfg.get("hidden_act") == "relu2":
+        # microsoft BitNet-b1.58 uses gated ReLU² (beyond the reference,
+        # which only converts the 1bitLLM silu variant)
+        w.add_kv("bitnet.activation", "relu2")
+    if arch == "dots1":
+        # ≡ Dots1Model: deepseek-style routed MoE keys; the noaux_tc router
+        # scores with sigmoid + e_score_correction bias
+        w.add_kv(f"{arch}.expert_count", int(cfg["n_routed_experts"]))
+        w.add_kv(f"{arch}.expert_used_count",
+                 int(cfg.get("num_experts_per_tok", 8)))
+        w.add_kv(f"{arch}.expert_feed_forward_length",
+                 int(cfg["moe_intermediate_size"]))
+        w.add_kv(f"{arch}.expert_shared_count",
+                 int(cfg.get("n_shared_experts", 0) or 0))
+        w.add_kv(f"{arch}.leading_dense_block_count",
+                 int(cfg.get("first_k_dense_replace", 0)))
+        if cfg.get("routed_scaling_factor") is not None:
+            w.add_kv(f"{arch}.expert_weights_scale",
+                     float(cfg["routed_scaling_factor"]))
+        if cfg.get("scoring_func", "noaux_tc") == "noaux_tc":
+            w.add_kv(f"{arch}.expert_gating_func", 2)  # sigmoid scoring
     if arch == "falcon-h1":
         # ≡ FalconH1Model.set_gguf_parameters (mamba2-style ssm keys)
         w.add_kv(f"{arch}.ssm.conv_kernel", int(cfg.get("mamba_d_conv", 4)))
@@ -802,6 +999,7 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
     # stack MoE experts: collect experts.N.* into 3D tensors
     expert_acc: dict[str, dict[int, np.ndarray]] = {}
     altup_acc: dict[str, dict[int, np.ndarray]] = {}  # gemma3n projections
+    xielu_acc: dict[str, dict[int, float]] = {}  # apertus activation params
     for name, arr in _load_tensors(src_dir):
         if ".mlp.experts." in name and name.split(".")[5] in (
             "gate_up_proj", "gate_up_proj_bias", "down_proj", "down_proj_bias"
@@ -880,10 +1078,33 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
                 if verbose:
                     print(f"{name} -> {gname} {tuple(a.shape)}", file=sys.stderr)
             continue
+        if arch == "dbrx" and ".ffn.experts.mlp." in name:
+            # pre-stacked (E·ff, d) planes; w2 is stored input-major
+            li = name.split(".")[2]
+            kind = name.split(".")[-1]
+            a = np.asarray(arr, dtype=np.float32).reshape(
+                int(cfg["num_experts"]), -1, n_embd)
+            if kind == "w1":
+                gname = f"blk.{li}.ffn_gate_exps.weight"
+            elif kind == "v1":
+                gname = f"blk.{li}.ffn_up_exps.weight"
+            else:  # w2 → (E, d, ff)
+                gname = f"blk.{li}.ffn_down_exps.weight"
+                a = a.transpose(0, 2, 1)
+            w.add_tensor(gname, np.ascontiguousarray(a), gtype)
+            n_tensors += 1
+            continue
+        if arch == "apertus" and ".mlp.act_fn." in name:
+            # xIELU scalars → global per-layer xielu.* KV arrays
+            parts = name.split(".")
+            xielu_acc.setdefault(parts[-1], {})[int(parts[2])] = float(
+                np.asarray(arr, dtype=np.float32).reshape(-1)[0])
+            continue
         gname = map_tensor_name(name, arch)
-        if gname is not None and arch == "gptneox" and "attn_qkv" in gname:
-            # HF GPTNeoX fuses qkv per head [(q,k,v)×head_dim]·n_head; GGUF
-            # expects [Q|K|V] blocks (convert_hf_to_gguf GPTNeoXModel)
+        if gname is not None and arch in ("gptneox", "bloom") and "attn_qkv" in gname:
+            # HF GPTNeoX/Bloom fuse qkv per head [(q,k,v)×head_dim]·n_head;
+            # GGUF expects [Q|K|V] blocks (convert_hf_to_gguf GPTNeoXModel /
+            # BloomModel)
             a = np.asarray(arr, dtype=np.float32)
             hd = n_embd // n_head
             qkv = a.reshape((n_head, 3, hd) + a.shape[1:])
@@ -891,6 +1112,17 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
                 [qkv[:, 0].reshape((n_embd,) + a.shape[1:]),
                  qkv[:, 1].reshape((n_embd,) + a.shape[1:]),
                  qkv[:, 2].reshape((n_embd,) + a.shape[1:])], axis=0)
+        if gname is not None and arch == "falcon" and "attn_qkv" in gname:
+            # HF Falcon interleaves q/k/v per kv group
+            # [(q×g)|k|v]·n_kv_head; GGUF expects [Q|K|V] (FalconModel)
+            a = np.asarray(arr, dtype=np.float32)
+            hd = n_embd // n_head
+            g = n_head // n_kv
+            qkv = a.reshape((n_kv, g + 2, hd) + a.shape[1:])
+            arr = np.concatenate(
+                [qkv[:, :g].reshape((n_head * hd,) + a.shape[1:]),
+                 qkv[:, g].reshape((n_kv * hd,) + a.shape[1:]),
+                 qkv[:, g + 1].reshape((n_kv * hd,) + a.shape[1:])], axis=0)
         if gname is None:
             if verbose and "inv_freq" not in name:
                 print(f"skip {name}", file=sys.stderr)
@@ -941,6 +1173,8 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
             arr = _permute_qk(arr, n_kv)
         if arch.startswith("gemma") and gname.endswith("norm.weight"):
             arr = arr + 1.0  # gemma norms store w-1 in HF
+        if arch == "nemotron" and gname.endswith("norm.weight"):
+            arr = arr + 1.0  # LayerNorm1P (NemotronModel.modify_tensors)
         # norms/1-d stay f32
         t = gtype if arr.ndim >= 2 else GGMLType.F32
         w.add_tensor(gname, arr, t)
@@ -955,6 +1189,10 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
         stacked = np.stack([mats[i] for i in sorted(mats)], axis=0)
         w.add_tensor(key, stacked, gtype)
         n_tensors += 1
+    for kind, by_layer in xielu_acc.items():
+        w.add_kv(f"xielu.{kind}",
+                 np.asarray([by_layer[i] for i in sorted(by_layer)],
+                            dtype=np.float32))
     w.write()
     return {"n_tensors": n_tensors, "arch": arch, "out": dst}
 
