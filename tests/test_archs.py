@@ -34,6 +34,21 @@ def _rope_neox(x, pos, base):
     return out
 
 
+def _rope_norm(x, pos, base):
+    # NORM style: interleaved (x0,x1),(x2,x3)… pairs — the reference's rope
+    # type for command-r/deci (llama_model_rope_type)
+    T, H, D = x.shape
+    half = D // 2
+    inv = base ** (-np.arange(half) * 2.0 / D)
+    theta = pos[:, None] * inv
+    c, s = np.cos(theta), np.sin(theta)
+    x0, x1 = x[..., 0::2], x[..., 1::2]
+    out = x.copy()
+    out[..., 0::2] = x0 * c[:, None, :] - x1 * s[:, None, :]
+    out[..., 1::2] = x0 * s[:, None, :] + x1 * c[:, None, :]
+    return out
+
+
 def _gelu_tanh(x):
     return 0.5 * x * (1 + np.tanh(np.sqrt(2 / np.pi) * (x + 0.044715 * x**3)))
 
@@ -371,7 +386,7 @@ def test_command_r_forward_matches_numpy(tmp_path):
         q = (h @ t(p + "attn_q.weight").T).reshape(T, n_head, hd)
         k = (h @ t(p + "attn_k.weight").T).reshape(T, n_head_kv, hd)
         v = (h @ t(p + "attn_v.weight").T).reshape(T, n_head_kv, hd)
-        q, k = _rope_neox(q, pos, base), _rope_neox(k, pos, base)
+        q, k = _rope_norm(q, pos, base), _rope_norm(k, pos, base)
         out = _mha(q, k, v, n_head, n_head_kv, 1 / np.sqrt(hd))
         attn = out.reshape(T, n_embd) @ t(p + "attn_output.weight").T
         gate = h @ t(p + "ffn_gate.weight").T
@@ -1216,8 +1231,8 @@ def np_deci_forward(reader: GGUFReader, tokens):
             if nkv == 0:
                 attn = h @ t(p + "attn_output.weight").T
             else:
-                q = _rope_neox((h @ t(p + "attn_q.weight").T).reshape(T, nh, hd), pos, base)
-                k = _rope_neox((h @ t(p + "attn_k.weight").T).reshape(T, nkv, hd), pos, base)
+                q = _rope_norm((h @ t(p + "attn_q.weight").T).reshape(T, nh, hd), pos, base)
+                k = _rope_norm((h @ t(p + "attn_k.weight").T).reshape(T, nkv, hd), pos, base)
                 v = (h @ t(p + "attn_v.weight").T).reshape(T, nkv, hd)
                 out = _mha(q, k, v, nh, nkv, 1.0 / np.sqrt(hd))
                 attn = out.reshape(T, nh * hd) @ t(p + "attn_output.weight").T

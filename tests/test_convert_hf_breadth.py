@@ -52,13 +52,42 @@ CASES = {
         attn_config=dict(kv_n_heads=2, clip_qkv=8.0, rope_theta=10000.0),
         ffn_config=dict(ffn_hidden_size=32, moe_num_experts=4, moe_top_k=2),
         pad_token_id=0, bos_token_id=1, eos_token_id=2)),
-    "jamba": ("jamba", dict()),
+    "jamba": ("jamba", dict(
+        vocab_size=96, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        attn_layer_offset=1, attn_layer_period=2, expert_layer_offset=1,
+        expert_layer_period=2, num_experts=4, num_experts_per_tok=2,
+        mamba_d_state=16, mamba_d_conv=4, mamba_expand=2, use_mamba_kernels=False,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2)),
+    "falcon_mamba": ("falcon-mamba", dict(
+        vocab_size=96, hidden_size=64, num_hidden_layers=2, state_size=16,
+        conv_kernel=4, expand=2,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2)),
+    "granitemoe": ("granitemoe", dict(
+        vocab_size=96, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, num_local_experts=4,
+        num_experts_per_tok=2, intermediate_size=32,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2)),
+    "phimoe": ("phimoe", dict(
+        vocab_size=96, hidden_size=64, intermediate_size=32,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_local_experts=4, num_experts_per_tok=2,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2)),
+    "llama4_text": ("llama4", dict(
+        vocab_size=96, hidden_size=64, intermediate_size=32,
+        intermediate_size_mlp=128, num_hidden_layers=4,
+        num_attention_heads=4, num_key_value_heads=2, num_local_experts=2,
+        num_experts_per_tok=1, interleave_moe_layer_step=2,
+        attention_chunk_size=8, head_dim=16,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2)),
+    "olmo3": ("olmo2", dict(
+        sliding_window=8,
+        layer_types=["sliding_attention", "full_attention"])),
     "falcon": ("falcon", dict(
         vocab_size=96, hidden_size=64, num_hidden_layers=2,
         num_attention_heads=4, new_decoder_architecture=True, num_kv_heads=2,
         bias=False, parallel_attn=True,
         pad_token_id=0, bos_token_id=1, eos_token_id=2)),
-    "falcon_mamba": ("falcon-mamba", dict()),
     "mpt": ("mpt", dict(
         vocab_size=96, d_model=64, n_layers=2, n_heads=4, max_seq_len=128,
         pad_token_id=0, bos_token_id=1, eos_token_id=2)),
@@ -68,10 +97,6 @@ CASES = {
     "gpt_bigcode": ("starcoder", dict(
         vocab_size=96, n_embd=64, n_layer=2, n_head=4, n_positions=128,
         multi_query=True, pad_token_id=0, bos_token_id=1, eos_token_id=2)),
-    "granitemoe": ("granitemoe", dict()),
-    "phimoe": ("phimoe", dict()),
-    "llama4": ("llama4", dict()),
-    "olmo3": ("olmo2", dict()),
     "bert": ("bert", dict()),
     "modernbert": ("modern-bert", dict()),
 }
@@ -87,7 +112,9 @@ def _tiny_hf(model_type: str, overrides: dict, tmp_path):
     else:
         kw = dict(_COMMON)
         kw.update(overrides)
-    torch.manual_seed(hash(model_type) % 2**31)
+    import zlib
+
+    torch.manual_seed(zlib.crc32(model_type.encode()) % 2**31)
     cfg = AutoConfig.for_model(model_type, **kw)
     model = AutoModelForCausalLM.from_config(cfg)
     model.eval()
@@ -96,7 +123,9 @@ def _tiny_hf(model_type: str, overrides: dict, tmp_path):
     return model, str(d)
 
 
-def _parity(model, src, tmp_path, arch, rtol=2e-3, atol=2e-3):
+def _parity(model, src, tmp_path, arch, rtol=2e-4, atol=2e-4):
+    # f32 end-to-end: anything beyond ~1e-4 is a convention bug, not noise
+    # (a loose 2e-3 hid a rope-style mismatch on tiny random weights)
     out = str(tmp_path / "m.gguf")
     stats = convert_hf_to_gguf(src, out, outtype="f32", verbose=False)
     assert stats["arch"] == arch
@@ -122,6 +151,15 @@ def test_breadth_batch1(model_type, tmp_path):
                                         "bitnet", "apertus", "dbrx", "falcon",
                                         "mpt", "bloom", "gpt_bigcode"])
 def test_breadth_batch2(model_type, tmp_path):
+    arch, overrides = CASES[model_type]
+    model, src = _tiny_hf(model_type, overrides, tmp_path)
+    _parity(model, src, tmp_path, arch)
+
+
+@pytest.mark.parametrize("model_type", ["jamba", "falcon_mamba",
+                                        "granitemoe", "phimoe", "llama4_text",
+                                        "olmo3", "lfm2"])
+def test_breadth_batch3(model_type, tmp_path):
     arch, overrides = CASES[model_type]
     model, src = _tiny_hf(model_type, overrides, tmp_path)
     _parity(model, src, tmp_path, arch)

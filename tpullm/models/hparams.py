@@ -135,6 +135,9 @@ class HParams:
     ssm_d_state: int = 0
     ssm_dt_rank: int = 0  # mamba2: the SSD head count
     ssm_n_group: int = 0  # mamba2 B/C group count (ssm.group_count)
+    # falcon-mamba: weightless RMS on dt/B/C before the scan
+    # (llama-hparams.h ssm_dt_b_c_rms, graph-context-mamba.cpp:94)
+    ssm_dt_b_c_rms: bool = False
 
     def is_swa(self, il: int) -> bool:
         if self.swa_layers is not None:  # explicit per-layer bool pattern
@@ -164,21 +167,29 @@ class HParams:
         return self.head_dim_v * self.n_head_kv
 
 
-# arch → rope style (reference: llama_model_rope_type, src/llama-model.cpp)
+# arch → rope style, copied VERBATIM from llama_model_rope_type
+# (src/llama-model.cpp:8488-8626). Everything not listed here is NORM
+# (interleaved pairs) or rope-free. Getting this exactly right is a
+# wire-format requirement: reference-produced GGUFs for NORM archs carry
+# PERMUTED q/k weights (LlamaModel.permute in convert_hf_to_gguf.py), so a
+# wrong style here silently garbles real checkpoints. NOTE llama4/deci/
+# command-r/cohere2/olmo/smollm3/internlm2 are NORM in the reference —
+# their HF sources are either natively interleaved (command-r, llama4) or
+# permuted at conversion (cohere2, olmo, smollm3, granite…).
 NEOX_ROPE_ARCHS = {
-    "falcon", "gptneox", "stablelm", "qwen", "qwen2", "qwen2moe", "qwen3",
-    "qwen3moe", "olmo", "olmo2", "olmoe", "phi2", "phi3", "phimoe", "gemma",
-    "gemma2", "gemma3", "gemma3n", "starcoder2", "openelm", "dbrx", "bert",
-    "nomic-bert", "minicpm3", "command-r", "cohere2", "internlm2", "exaone",
-    "exaone4", "smollm3", "gpt-oss", "deci", "nemotron",
-    "orion", "codeshell", "seed_oss", "pangu-embedded", "hunyuan-dense",
-    "bitnet", "dream", "dots1", "hunyuan-moe", "minimax-m2", "bailingmoe2",
-    "grok", "llada-moe", "rnd1", "exaone-moe", "llama4", "lfm2", "lfm2moe",
+    "falcon", "falcon-h1", "grok", "dbrx", "bert", "jina-bert-v3",
+    "modern-bert", "nomic-bert", "nomic-bert-moe", "stablelm", "bitnet",
+    "qwen", "qwen2", "dream", "qwen2moe", "qwen3", "qwen3moe", "llada-moe",
+    "rnd1", "olmo2", "olmoe", "phi2", "phi3", "phimoe", "plamo", "plamo2",
+    "plamo3", "gemma", "gemma2", "gemma3", "gemma3n", "gemma-embedding",
+    "starcoder2", "openelm", "gptneox", "codeshell", "orion", "nemotron",
+    "exaone", "exaone4", "exaone-moe", "minicpm3", "bailingmoe2", "dots1",
+    "hunyuan-moe", "gpt-oss", "hunyuan-dense", "lfm2", "lfm2moe",
+    "smallthinker", "seed_oss", "grovemoe", "apertus", "minimax-m2",
+    "cogvlm", "pangu-embedded", "afmoe", "qwen3next", "mimo2", "step35",
     "glm4moe",
-    "qwen2vl", "qwen3vl", "qwen3vlmoe", "smallthinker", "qwen3next",
-    "nomic-bert-moe", "jina-bert-v3", "modern-bert", "gemma-embedding",
-    "falcon-h1", "plamo", "plamo2", "plamo3", "grovemoe", "apertus",
-    "afmoe", "mimo2", "step35", "cogvlm",
+    # MROPE/IMROPE archs degenerate to neox for text-only streams
+    "qwen2vl", "qwen3vl", "qwen3vlmoe",
 }
 
 
@@ -376,6 +387,8 @@ def hparams_from_gguf(r: GGUFReader) -> HParams:
         rescale_every=int(k("{arch}.rescale_every_n_layers", 0)),
         ssm_dt_rank=int(k("{arch}.ssm.time_step_rank", 0)),
         ssm_n_group=int(k("{arch}.ssm.group_count", 0)),
+        ssm_dt_b_c_rms=bool(k("{arch}.ssm.dt_b_c_rms",
+                              arch == "falcon-mamba")),
         rope_finetuned=bool(k("{arch}.rope.scaling.finetuned", False)),
         nextn_layers=int(k("{arch}.nextn_predict_layers", 0)),
         n_norm_groups=int(k("{arch}.attention.group_norm_groups", 0)),

@@ -29,9 +29,12 @@ ATTN_TEMP_SCALE = 0.1
 ATTN_TEMP_OFFSET = 1.0
 
 
-def _l2_norm(x: jax.Array, eps: float = 1e-12) -> jax.Array:
+def _l2_norm(x: jax.Array, eps: float) -> jax.Array:
+    # Llama4TextL2Norm ≡ weightless RMS norm (mean-based): the reference
+    # lowers it to ggml_rms_norm with f_norm_rms_eps (llama-iswa.cpp:92)
     xf = x.astype(jnp.float32)
-    return (xf * jax.lax.rsqrt((xf * xf).sum(-1, keepdims=True) + eps)).astype(x.dtype)
+    return (xf * jax.lax.rsqrt(
+        (xf * xf).mean(-1, keepdims=True) + eps)).astype(x.dtype)
 
 
 def forward(
@@ -76,8 +79,8 @@ def forward(
         if use_rope:
             q = apply_rope(q, positions, hp.rope)
             k = apply_rope(k, positions, hp.rope)
-            q = _l2_norm(q)  # use_kq_norm (weightless L2, rope layers only)
-            k = _l2_norm(k)
+            q = _l2_norm(q, hp.rms_eps)  # use_kq_norm (rope layers only)
+            k = _l2_norm(k, hp.rms_eps)
         else:
             q = q * attn_temp.astype(q.dtype)
         cache = cache.update(
@@ -94,8 +97,11 @@ def forward(
             logits = layer["router"](hs).astype(jnp.float32)
             weights, idx = route(logits, hp.n_expert_used, gating="sigmoid",
                                  norm_weights=False)
+            # llama4 applies the sigmoid weights BEFORE the expert FFN
+            # (build_moe_ffn weight_before_ffn, llama-graph.cpp:1181)
             ffn = moe_ffn(hs, weights, idx, layer["w_gate_exps"],
-                          layer["w_up_exps"], layer["w_down_exps"])
+                          layer["w_up_exps"], layer["w_down_exps"],
+                          weight_before_ffn=True)
             if "w_gate_shexp" in layer:
                 gate = layer["w_gate_shexp"](hs)
                 up = layer["w_up_shexp"](hs)

@@ -130,6 +130,14 @@ def forward(
         dt_raw = x_db[..., :R]
         Bm = x_db[..., R : R + S]
         Cm = x_db[..., R + S :]
+        if hp.ssm_dt_b_c_rms:
+            # falcon-mamba: weightless RMS on dt/B/C
+            # (graph-context-mamba.cpp:94 ssm_dt_b_c_rms branch)
+            def _wrms(v):
+                return v * jax.lax.rsqrt(
+                    (v * v).mean(-1, keepdims=True) + hp.rms_eps)
+
+            dt_raw, Bm, Cm = _wrms(dt_raw), _wrms(Bm), _wrms(Cm)
         dt = jax.nn.softplus(
             layer["ssm_dt"](dt_raw.astype(x.dtype)).astype(jnp.float32)
             + layer["dt_bias"]

@@ -72,8 +72,11 @@ def forward(
     mask = causal_mask(positions, cache.max_len, kv_len, 0)
     # exaone4 iSWA: most layers are sliding-window + rope, every
     # swa_pattern-th layer is full-attention WITHOUT rope
-    # (llm_build_exaone4 use_rope = is_swa(il))
-    use_swa_layers = hp.arch == "exaone4" and hp.sliding_window > 0
+    # (llm_build_exaone4 use_rope = is_swa(il)); olmo3 ships an explicit
+    # per-layer bool pattern and ropes every layer (ref convert
+    # Olmo3ForCausalLM → OLMO2 arch + sliding_window_pattern)
+    use_swa_layers = hp.sliding_window > 0 and (
+        hp.arch == "exaone4" or hp.swa_layers is not None)
     mask_swa = (
         causal_mask(positions, cache.max_len, kv_len, hp.sliding_window)
         if use_swa_layers else None
@@ -81,7 +84,7 @@ def forward(
 
     for li, layer in enumerate(params["layers"]):
         is_swa = hp.is_swa(li) if use_swa_layers else False
-        use_rope = (not use_swa_layers) or is_swa
+        use_rope = (hp.arch != "exaone4") or (not use_swa_layers) or is_swa
         mask_l = mask_swa if is_swa else mask
         window_l = hp.sliding_window if is_swa else 0
         # attention on the RAW residual stream (no pre-norm); olmo2 norms

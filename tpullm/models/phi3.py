@@ -158,8 +158,8 @@ def forward_moe(
     RMS+bias norms, softmax renormalized top-k MoE, biased output head."""
     import jax
     from ..ops.attention import attention, causal_mask
-    from ..ops.moe import moe_ffn, route
-    from ..ops.norms import rms_norm
+    from ..ops.moe import moe_ffn, route, route_sparsemixer
+    from ..ops.norms import layer_norm, rms_norm
     from ..ops.rope import apply_rope
 
     B, T = tokens.shape
@@ -167,8 +167,13 @@ def forward_moe(
     x = params["tok_embd"][tokens]
 
     def norm_b(v, w, b):
-        out = rms_norm(v, w, hp.rms_eps)
-        return out + b.astype(out.dtype) if b is not None else out
+        # PhiMoE norms are TRUE LayerNorms (modeling_phimoe nn.LayerNorm,
+        # mean-subtracted); a bias-carrying norm marks the phimoe variant.
+        # (The reference folds them into the phi3 RMS graph — phi3.cpp:39 —
+        # which drifts from HF; we keep exact HF semantics.)
+        if b is not None:
+            return layer_norm(v, w, b, hp.rms_eps)
+        return rms_norm(v, w, hp.rms_eps)
 
     offsets = jnp.broadcast_to(
         jnp.asarray(cache_offset).reshape(-1), (B,)
@@ -206,15 +211,19 @@ def forward_moe(
         h = norm_b(x, layer["ffn_norm"], layer["ffn_norm_b"])
         hs = h.reshape(B * T, -1)
         logits = layer["router"](hs).astype(jnp.float32)
-        weights, idx = route(logits, hp.n_expert_used, gating="softmax",
-                             norm_weights=True)
+        if hp.n_expert_used == 2:
+            # PhiMoE routes with sparsemixer (un-renormalized banded
+            # softmax); the reference's softmax+renorm (phi3.cpp:109) is an
+            # approximation of it
+            weights, idx = route_sparsemixer(logits)
+        else:
+            weights, idx = route(logits, hp.n_expert_used, gating="softmax",
+                                 norm_weights=True)
         ffn = moe_ffn(hs, weights, idx, layer["w_gate_exps"],
                       layer["w_up_exps"], layer["w_down_exps"])
         x = x + ffn.reshape(B, T, -1)
 
-    x = rms_norm(x, params["output_norm"], hp.rms_eps)
-    if params.get("output_norm_b") is not None:
-        x = x + params["output_norm_b"].astype(x.dtype)
+    x = norm_b(x, params["output_norm"], params.get("output_norm_b"))
     if return_hidden:
         return x.astype(jnp.float32), cache
     if params["output"] is not None:

@@ -55,6 +55,34 @@ def route(
     return weights, idx.astype(jnp.int32)
 
 
+def route_sparsemixer(router_logits: jax.Array,
+                      jitter_eps: float = 0.01) -> tuple[jax.Array, jax.Array]:
+    """PhiMoE sparsemixer top-2 routing, inference path (modeling_phimoe
+    sparsemixer with training=False): expert i = argmax of the (masked)
+    logits; its weight = softmax over the logits that sit within a
+    2·jitter_eps relative band of the max — NOT renormalized over the pair.
+    The reference approximates this with softmax+renorm (phi3.cpp:109
+    build_moe_ffn norm_w=true); we follow the exact HF semantics."""
+    s = router_logits.astype(jnp.float32)  # [N, E]
+    neg_inf = jnp.float32(-1e30)
+
+    def one_round(scores_masked):
+        m = scores_masked.max(axis=-1, keepdims=True)
+        sel = jnp.argmax(scores_masked, axis=-1)
+        factor = jnp.maximum(jnp.abs(s), m)
+        drop = ((m - s) / factor) > (2.0 * jitter_eps)
+        gates = jax.nn.softmax(jnp.where(drop, neg_inf, scores_masked), axis=-1)
+        w = jnp.take_along_axis(gates, sel[:, None], axis=-1)[:, 0]
+        return w, sel
+
+    w1, sel1 = one_round(s)
+    s2 = jnp.where(jax.nn.one_hot(sel1, s.shape[-1], dtype=bool), neg_inf, s)
+    w2, sel2 = one_round(s2)
+    weights = jnp.stack([w1, w2], axis=-1)
+    idx = jnp.stack([sel1, sel2], axis=-1).astype(jnp.int32)
+    return weights, idx
+
+
 def moe_ffn(
     x: jax.Array,  # [N, n_embd]
     weights: jax.Array,  # [N, k] routing weights
@@ -63,13 +91,21 @@ def moe_ffn(
     w_up: jax.Array,  # [E, n_embd, n_ff]
     w_down: jax.Array,  # [E, n_ff, n_embd]
     act: str = "silu",  # silu | gelu (grok) | relu | relu_sqr (nemotron-h-moe)
+    weight_before_ffn: bool = False,  # llama4: scale the expert INPUT
 ) -> jax.Array:
     """Gated (or gateless up/down-only) expert FFN, combining the k routed
-    experts per token."""
+    experts per token.
+
+    weight_before_ffn applies the routing weight to the expert input (so the
+    nonlinearity sees the scaled activations) instead of the output —
+    llama.cpp build_moe_ffn weight_before_ffn, set for LLM_ARCH_LLAMA4
+    (llama-graph.cpp:1181)."""
     n_tokens = x.shape[0]
     if n_tokens <= _GATHER_MAX_TOKENS:
-        return _moe_gather(x, weights, idx, w_gate, w_up, w_down, act)
-    return _moe_dense(x, weights, idx, w_gate, w_up, w_down, act)
+        return _moe_gather(x, weights, idx, w_gate, w_up, w_down, act,
+                           weight_before_ffn)
+    return _moe_dense(x, weights, idx, w_gate, w_up, w_down, act,
+                      weight_before_ffn)
 
 
 def _glu(gate: jax.Array | None, up: jax.Array, act: str) -> jax.Array:
@@ -94,32 +130,53 @@ def _swiglu(gate: jax.Array, up: jax.Array) -> jax.Array:
     return _glu(gate, up, "silu")
 
 
-def _moe_gather(x, weights, idx, w_gate, w_up, w_down, act="silu"):
+def _moe_gather(x, weights, idx, w_gate, w_up, w_down, act="silu",
+                weight_before_ffn=False):
     """Decode regime: gather k experts' weights per token."""
     # [N, k, n_embd, n_ff] weight gathers ride XLA's dynamic-gather; with
     # N*k small this is k expert-reads from HBM
     wu = w_up[idx]
     wd = w_down[idx]  # [N, k, F, E_in]
-    up = jnp.einsum("ne,nkef->nkf", x, wu)
-    gate = (jnp.einsum("ne,nkef->nkf", x, w_gate[idx])
-            if w_gate is not None else None)
+    if weight_before_ffn:
+        xk = x[:, None, :] * weights[..., None].astype(x.dtype)  # [N, k, e]
+        up = jnp.einsum("nke,nkef->nkf", xk, wu)
+        gate = (jnp.einsum("nke,nkef->nkf", xk, w_gate[idx])
+                if w_gate is not None else None)
+    else:
+        up = jnp.einsum("ne,nkef->nkf", x, wu)
+        gate = (jnp.einsum("ne,nkef->nkf", x, w_gate[idx])
+                if w_gate is not None else None)
     mid = _glu(gate, up, act)
     out = jnp.einsum("nkf,nkfe->nke", mid, wd)
+    if weight_before_ffn:
+        return jnp.sum(out.astype(jnp.float32), axis=1).astype(x.dtype)
     return jnp.einsum("nke,nk->ne", out.astype(jnp.float32),
                       weights.astype(jnp.float32)).astype(x.dtype)
 
 
-def _moe_dense(x, weights, idx, w_gate, w_up, w_down, act="silu"):
+def _moe_dense(x, weights, idx, w_gate, w_up, w_down, act="silu",
+               weight_before_ffn=False):
     """Prefill regime: every expert computes every token on the MXU, then the
     routing weights (zero for unselected experts) combine them."""
     E = w_up.shape[0]
+    onehot = jax.nn.one_hot(idx, E, dtype=jnp.float32)  # [N, k, E]
+    dense_w = jnp.einsum("nkx,nk->nx", onehot, weights.astype(jnp.float32))
+    if weight_before_ffn:
+        # per-(expert, token) scaled inputs: nonlinearity sees w·x
+        xs = x[None, :, :] * dense_w.T[:, :, None].astype(x.dtype)  # [E,N,e]
+        up = jnp.einsum("xne,xef->xnf", xs, w_up)
+        gate = (jnp.einsum("xne,xef->xnf", xs, w_gate)
+                if w_gate is not None else None)
+        mid = _glu(gate, up, act)
+        out = jnp.einsum("xnf,xfe->xne", mid, w_down)  # [E, N, n_embd]
+        sel = (dense_w.T != 0.0)[:, :, None]  # combine selected experts only
+        return jnp.sum(jnp.where(sel, out.astype(jnp.float32), 0.0),
+                       axis=0).astype(x.dtype)
     up = jnp.einsum("ne,xef->xnf", x, w_up)  # [E, N, F]
     gate = (jnp.einsum("ne,xef->xnf", x, w_gate)
             if w_gate is not None else None)
     mid = _glu(gate, up, act)
     out = jnp.einsum("xnf,xfe->xne", mid, w_down)  # [E, N, n_embd]
     # dense per-(token, expert) weight matrix from the top-k selection
-    onehot = jax.nn.one_hot(idx, E, dtype=jnp.float32)  # [N, k, E]
-    dense_w = jnp.einsum("nkx,nk->nx", onehot, weights.astype(jnp.float32))
     return jnp.einsum("xne,nx->ne", out.astype(jnp.float32),
                       dense_w).astype(x.dtype)

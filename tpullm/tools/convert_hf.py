@@ -70,6 +70,14 @@ ARCH_MAP = {
     "hunyuan_v1_dense": "hunyuan-dense",
     "bitnet": "bitnet",
     "apertus": "apertus",
+    "jamba": "jamba",
+    "falcon_mamba": "falcon-mamba",
+    "granitemoe": "granitemoe",
+    "phimoe": "phimoe",
+    "llama4": "llama4",
+    "llama4_text": "llama4",
+    "olmo3": "olmo2",
+    "lfm2": "lfm2",
     "dbrx": "dbrx",
     "falcon": "falcon",
     "mpt": "mpt",
@@ -81,8 +89,15 @@ ARCH_MAP = {
 LN_ARCHS = {"gpt2", "stablelm", "starcoder2", "gptneox", "phi2", "nemotron",
             "dbrx", "falcon", "mpt", "bloom", "starcoder"}
 
-# rope "norm" (interleaved) archs need HF→GGUF QK permutation
-PERMUTE_QK_ARCHS = {"llama"}
+# NORM-rope archs whose HF sources use rotate_half (halves) need the
+# HF→GGUF QK permutation, exactly mirroring which reference convert classes
+# call LlamaModel.permute (convert_hf_to_gguf.py: LlamaModel undo_permute,
+# GraniteModel/GraniteMoeModel, Cohere2Model, OlmoModel, SmolLM3Model,
+# ArceeModel, MiniCPMModel, DeciModel…). NORM archs whose HF modeling is
+# natively interleaved (llama4, command-r, cohere2, glm4, chatglm) must NOT
+# permute.
+PERMUTE_QK_ARCHS = {"llama", "granite", "granitemoe", "olmo",
+                    "smollm3", "arcee", "minicpm", "deci"}
 
 
 def _permute_qk(w: np.ndarray, n_head: int) -> np.ndarray:
@@ -185,6 +200,30 @@ _LAYER_MAP = {
     # hunyuan post-rope qk norms
     "self_attn.query_layernorm.weight": "attn_q_norm.weight",
     "self_attn.key_layernorm.weight": "attn_k_norm.weight",
+    # lfm2 (per-head qk norms, shortconv mixer, llama1-style w1/w2/w3 FFN)
+    "self_attn.out_proj.weight": "attn_output.weight",
+    "self_attn.q_layernorm.weight": "attn_q_norm.weight",
+    "self_attn.k_layernorm.weight": "attn_k_norm.weight",
+    "conv.in_proj.weight": "shortconv.in_proj.weight",
+    "conv.out_proj.weight": "shortconv.out_proj.weight",
+    "feed_forward.w1.weight": "ffn_gate.weight",
+    "feed_forward.w3.weight": "ffn_up.weight",
+    "feed_forward.w2.weight": "ffn_down.weight",
+    "operator_norm.weight": "attn_norm.weight",
+    "ffn_norm.weight": "ffn_norm.weight",
+    # jamba mamba mixer (dt/b/c norms + x/dt projections)
+    "mamba.x_proj.weight": "ssm_x.weight",
+    "mamba.dt_proj.weight": "ssm_dt.weight",
+    "mamba.dt_proj.bias": "ssm_dt.bias",
+    "mamba.dt_layernorm.weight": "ssm_dt_norm.weight",
+    "mamba.b_layernorm.weight": "ssm_b_norm.weight",
+    "mamba.c_layernorm.weight": "ssm_c_norm.weight",
+    # jamba / llama4 routers + shared expert
+    "feed_forward.router.weight": "ffn_gate_inp.weight",
+    "block_sparse_moe.router.layer.weight": "ffn_gate_inp.weight",
+    "feed_forward.shared_expert.gate_proj.weight": "ffn_gate_shexp.weight",
+    "feed_forward.shared_expert.up_proj.weight": "ffn_up_shexp.weight",
+    "feed_forward.shared_expert.down_proj.weight": "ffn_down_shexp.weight",
     # bitnet sub-norms (llm_build_bitnet)
     "self_attn.attn_sub_norm.weight": "attn_sub_norm.weight",
     "mlp.ffn_sub_norm.weight": "ffn_sub_norm.weight",
@@ -496,7 +535,7 @@ def map_tensor_name(name: str, arch: str) -> str | None:
     """HF tensor name → GGUF name; None = skip (≡ gguf-py tensor_mapping)."""
     if arch == "t5":
         return _map_t5_name(name)
-    if arch in ("mamba", "mamba2"):
+    if arch in ("mamba", "mamba2", "falcon-mamba"):
         return _map_mamba_name(name)
     if arch in ("falcon", "mpt", "bloom", "dbrx", "starcoder", "gpt2"):
         return _map_transformer_name(name)
@@ -515,6 +554,11 @@ def map_tensor_name(name: str, arch: str) -> str | None:
         return "output.weight"
     if name == "lm_head.bias":
         return "output.bias"
+    if name == "embedding_norm.weight":  # lfm2
+        return "token_embd_norm.weight"
+    if name.startswith("layers.") and ".conv.conv." in name:  # lfm2 mixer
+        bid = name.split(".")[1]
+        return f"blk.{bid}.shortconv.conv.weight"
     if name.startswith("layers."):
         parts = name.split(".", 2)
         bid, rest = parts[1], parts[2]
@@ -851,18 +895,20 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
         w.add_kv("t5.decoder_start_token_id",
                  int(cfg.get("decoder_start_token_id", cfg.get("pad_token_id", 0))))
         w.add_kv("t5.feed_forward_length", int(cfg.get("d_ff", 4 * n_embd)))
-    if arch == "mamba":
+    if arch in ("mamba", "falcon-mamba"):
         d_inner = int(cfg.get("intermediate_size",
                               int(cfg.get("expand", 2)) * n_embd))
-        w.add_kv("mamba.ssm.conv_kernel", int(cfg.get("conv_kernel", cfg.get("d_conv", 4))))
-        w.add_kv("mamba.ssm.inner_size", d_inner)
-        w.add_kv("mamba.ssm.state_size", int(cfg.get("state_size", cfg.get("d_state", 16))))
+        w.add_kv(f"{arch}.ssm.conv_kernel", int(cfg.get("conv_kernel", cfg.get("d_conv", 4))))
+        w.add_kv(f"{arch}.ssm.inner_size", d_inner)
+        w.add_kv(f"{arch}.ssm.state_size", int(cfg.get("state_size", cfg.get("d_state", 16))))
         tsr = cfg.get("time_step_rank", "auto")
         if tsr == "auto" or tsr is None:
             import math as _math
 
             tsr = _math.ceil(n_embd / 16)
-        w.add_kv("mamba.ssm.time_step_rank", int(tsr))
+        w.add_kv(f"{arch}.ssm.time_step_rank", int(tsr))
+        if arch == "falcon-mamba":
+            w.add_kv("falcon-mamba.ssm.dt_b_c_rms", True)
     if arch == "mamba2":
         # ≡ Mamba2Model.set_gguf_parameters: time_step_rank carries the SSD
         # head count (d_inner / head_dim)
@@ -956,6 +1002,46 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
             w.add_kv(f"{arch}.expert_weights_scale",
                      float(cfg["routed_scaling_factor"]))
         w.add_kv(f"{arch}.expert_gating_func", 2)  # sigmoid scoring
+    if arch == "jamba":
+        # ≡ JambaModel.set_gguf_parameters: mamba geometry + per-layer kv
+        # head array (0 on mamba layers)
+        import math as _math
+
+        d_inner = int(cfg.get("mamba_expand", 2)) * n_embd
+        tsr = cfg.get("mamba_dt_rank", "auto")
+        if tsr in ("auto", None):
+            tsr = _math.ceil(n_embd / 16)
+        w.add_kv("jamba.ssm.conv_kernel", int(cfg.get("mamba_d_conv", 4)))
+        w.add_kv("jamba.ssm.inner_size", d_inner)
+        w.add_kv("jamba.ssm.state_size", int(cfg.get("mamba_d_state", 16)))
+        w.add_kv("jamba.ssm.time_step_rank", int(tsr))
+        ao, ap = int(cfg.get("attn_layer_offset", 4)), int(
+            cfg.get("attn_layer_period", 8))
+        kv_arr = [n_kv if (i % ap) == ao else 0 for i in range(n_layer)]
+        w.add_kv("jamba.attention.head_count_kv",
+                 np.asarray(kv_arr, dtype=np.int32))
+    if arch == "lfm2":
+        # ≡ LFM2Model: shortconv length + per-layer kv head array (0 on
+        # conv layers)
+        w.add_kv("lfm2.shortconv.l_cache", int(cfg.get("conv_L_cache", 3)))
+        lt = cfg.get("layer_types") or []
+        if lt:
+            kv_arr = [n_kv if t == "full_attention" else 0 for t in lt]
+            w.add_kv("lfm2.attention.head_count_kv",
+                     np.asarray(kv_arr, dtype=np.int32))
+    if arch == "llama4":
+        # ≡ Llama4Model: chunked-attention window; expert ffn width is
+        # intermediate_size, dense width intermediate_size_mlp
+        if cfg.get("attention_chunk_size"):
+            w.add_kv("llama4.attention.sliding_window",
+                     int(cfg["attention_chunk_size"]))
+        if cfg.get("intermediate_size_mlp"):
+            w.add_kv("llama4.expert_feed_forward_length",
+                     int(cfg["intermediate_size"]))
+    if arch == "granitemoe":
+        # renormalized softmax routing (GraniteMoeTopKGating softmax over
+        # the top-k logits)
+        w.add_kv("granitemoe.expert_weights_norm", True)
     if arch == "bitnet" and cfg.get("hidden_act") == "relu2":
         # microsoft BitNet-b1.58 uses gated ReLU² (beyond the reference,
         # which only converts the 1bitLLM silu variant)
@@ -1027,8 +1113,43 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
                 w.add_tensor(pfx + "ffn_down_exps.bias", a)
                 n_tensors += 1
             continue
-        if ".mlp.experts." in name:
-            # model.layers.L.mlp.experts.E.{gate,up,down}_proj.weight
+        if arch == "llama4" and ".feed_forward.experts." in name:
+            # pre-stacked llama4 experts: gate_up_proj (E, d, 2F) halves,
+            # down_proj (E, F, d) — GGUF wants (E, F, d)/(E, d, F)
+            li = name.split(".")[2]
+            kind = name.split(".")[5]
+            a = np.asarray(arr, dtype=np.float32)
+            if kind == "gate_up_proj":
+                F = a.shape[2] // 2
+                w.add_tensor(f"blk.{li}.ffn_gate_exps.weight",
+                             np.ascontiguousarray(a[:, :, :F].transpose(0, 2, 1)), gtype)
+                w.add_tensor(f"blk.{li}.ffn_up_exps.weight",
+                             np.ascontiguousarray(a[:, :, F:].transpose(0, 2, 1)), gtype)
+                n_tensors += 2
+            else:  # down_proj
+                w.add_tensor(f"blk.{li}.ffn_down_exps.weight",
+                             np.ascontiguousarray(a.transpose(0, 2, 1)), gtype)
+                n_tensors += 1
+            continue
+        if arch == "granitemoe" and ".block_sparse_moe." in name and (
+                "input_linear" in name or "output_linear" in name):
+            # GraniteMoeParallelExperts: input_linear (E, 2F, d) fused
+            # [gate; up], output_linear (E, d, F)
+            li = name.split(".")[2]
+            a = np.asarray(arr, dtype=np.float32)
+            if "input_linear" in name:
+                F = a.shape[1] // 2
+                w.add_tensor(f"blk.{li}.ffn_gate_exps.weight",
+                             np.ascontiguousarray(a[:, :F, :]), gtype)
+                w.add_tensor(f"blk.{li}.ffn_up_exps.weight",
+                             np.ascontiguousarray(a[:, F:, :]), gtype)
+                n_tensors += 2
+            else:
+                w.add_tensor(f"blk.{li}.ffn_down_exps.weight", a, gtype)
+                n_tensors += 1
+            continue
+        if ".mlp.experts." in name or ".feed_forward.experts." in name:
+            # model.layers.L.{mlp|feed_forward}.experts.E.{gate,up,down}_proj.weight
             parts = name.split(".")
             li = parts[2]; ei = int(parts[5]); proj = parts[6]
             key = {"gate_proj": f"blk.{li}.ffn_gate_exps.weight",
@@ -1128,9 +1249,9 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
                 print(f"skip {name}", file=sys.stderr)
             continue
         arr = np.asarray(arr, dtype=np.float32)
-        if arch in ("mamba", "mamba2", "falcon-h1") and gname.endswith("ssm_conv1d.weight"):
+        if arch in ("mamba", "mamba2", "falcon-h1", "falcon-mamba", "jamba") and gname.endswith("ssm_conv1d.weight"):
             arr = arr.reshape(arr.shape[0], arr.shape[-1])
-        if arch in ("mamba", "mamba2", "falcon-h1") and gname.endswith("ssm_a"):
+        if arch in ("mamba", "mamba2", "falcon-h1", "falcon-mamba", "jamba") and gname.endswith("ssm_a"):
             arr = -np.exp(arr)  # gguf convention (MambaModel A_log fold)
         if arch == "mamba2" and gname.endswith("ssm_norm.weight"):
             arr = arr.reshape(int(cfg.get("n_groups", 1)), -1)
@@ -1175,6 +1296,8 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
             arr = arr + 1.0  # gemma norms store w-1 in HF
         if arch == "nemotron" and gname.endswith("norm.weight"):
             arr = arr + 1.0  # LayerNorm1P (NemotronModel.modify_tensors)
+        if arch == "lfm2" and gname.endswith("shortconv.conv.weight"):
+            arr = arr.reshape(arr.shape[0], arr.shape[-1])  # (d,1,L)→(d,L)
         # norms/1-d stay f32
         t = gtype if arr.ndim >= 2 else GGMLType.F32
         w.add_tensor(gname, arr, t)
