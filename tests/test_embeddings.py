@@ -213,7 +213,9 @@ def test_modern_bert_embed(tmp_path):
     eng = Engine(path, mode="dense", dtype=jnp.float32, max_seq=64,
                  kv_dtype=jnp.float32)
     assert eng.hp.sliding_window == 8 and eng.hp.swa_pattern == 3
-    assert eng.hp.is_swa(0) and not eng.hp.is_swa(2)
+    # dense-first: HF ModernBERT's layer 0 is GLOBAL (layer_id % 3 != 0 →
+    # local, modeling_modernbert.py:464)
+    assert not eng.hp.is_swa(0) and eng.hp.is_swa(2)
     ids = eng.tokenizer.tokenize("hello world", add_special=True)
     v1 = eng.embed_tokens(ids, pooling="mean", normalize=False)
     eng.embed_tokens(eng.tokenizer.tokenize(

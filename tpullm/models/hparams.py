@@ -139,9 +139,16 @@ class HParams:
     # (llama-hparams.h ssm_dt_b_c_rms, graph-context-mamba.cpp:94)
     ssm_dt_b_c_rms: bool = False
 
+    # dense-first pattern: global layers sit at il % n == 0 instead of
+    # il % n == n-1 (llama_hparams::set_swa_pattern dense_first; used by
+    # smallthinker — and by HF ModernBERT, whose layer 0 is global)
+    swa_dense_first: bool = False
+
     def is_swa(self, il: int) -> bool:
         if self.swa_layers is not None:  # explicit per-layer bool pattern
             return self.sliding_window > 0 and bool(self.swa_layers[il])
+        if self.swa_dense_first:
+            return self.sliding_window > 0 and il % self.swa_pattern != 0
         return self.sliding_window > 0 and (il + 1) % self.swa_pattern != 0
 
     # per-layer accessors (≡ llama_hparams::n_head(il) etc.)
@@ -389,6 +396,7 @@ def hparams_from_gguf(r: GGUFReader) -> HParams:
         ssm_n_group=int(k("{arch}.ssm.group_count", 0)),
         ssm_dt_b_c_rms=bool(k("{arch}.ssm.dt_b_c_rms",
                               arch == "falcon-mamba")),
+        swa_dense_first=arch in ("modern-bert", "smallthinker"),
         rope_finetuned=bool(k("{arch}.rope.scaling.finetuned", False)),
         nextn_layers=int(k("{arch}.nextn_predict_layers", 0)),
         n_norm_groups=int(k("{arch}.attention.group_norm_groups", 0)),

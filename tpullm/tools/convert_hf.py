@@ -83,11 +83,13 @@ ARCH_MAP = {
     "mpt": "mpt",
     "bloom": "bloom",
     "gpt_bigcode": "starcoder",
+    "bert": "bert",
+    "modernbert": "modern-bert",
 }
 
 # archs whose norms are LayerNorm (write layer_norm_epsilon, not RMS)
 LN_ARCHS = {"gpt2", "stablelm", "starcoder2", "gptneox", "phi2", "nemotron",
-            "dbrx", "falcon", "mpt", "bloom", "starcoder"}
+            "dbrx", "falcon", "mpt", "bloom", "starcoder", "bert"}
 
 # NORM-rope archs whose HF sources use rotate_half (halves) need the
 # HF→GGUF QK permutation, exactly mirroring which reference convert classes
@@ -505,6 +507,71 @@ _TRANSFORMER_LAYER_MAP = {
 }
 
 
+_BERT_LAYER_MAP = {
+    "attention.self.query.weight": "attn_q.weight",
+    "attention.self.query.bias": "attn_q.bias",
+    "attention.self.key.weight": "attn_k.weight",
+    "attention.self.key.bias": "attn_k.bias",
+    "attention.self.value.weight": "attn_v.weight",
+    "attention.self.value.bias": "attn_v.bias",
+    "attention.output.dense.weight": "attn_output.weight",
+    "attention.output.dense.bias": "attn_output.bias",
+    "attention.output.LayerNorm.weight": "attn_output_norm.weight",
+    "attention.output.LayerNorm.bias": "attn_output_norm.bias",
+    "intermediate.dense.weight": "ffn_up.weight",
+    "intermediate.dense.bias": "ffn_up.bias",
+    "output.dense.weight": "ffn_down.weight",
+    "output.dense.bias": "ffn_down.bias",
+    "output.LayerNorm.weight": "layer_output_norm.weight",
+    "output.LayerNorm.bias": "layer_output_norm.bias",
+}
+
+
+def _map_bert_name(name: str) -> str | None:
+    """BERT encoder (BertModel in convert_hf_to_gguf.py)."""
+    if name.startswith("bert."):
+        name = name[len("bert."):]
+    top = {
+        "embeddings.word_embeddings.weight": "token_embd.weight",
+        "embeddings.position_embeddings.weight": "position_embd.weight",
+        "embeddings.token_type_embeddings.weight": "token_types.weight",
+        "embeddings.LayerNorm.weight": "token_embd_norm.weight",
+        "embeddings.LayerNorm.bias": "token_embd_norm.bias",
+    }
+    if name in top:
+        return top[name]
+    if name.startswith("encoder.layer."):
+        _, _, bid, rest = name.split(".", 3)
+        mapped = _BERT_LAYER_MAP.get(rest)
+        return f"blk.{bid}.{mapped}" if mapped else None
+    return None  # cls.predictions head is not part of the embedding graph
+
+
+def _map_modern_bert_name(name: str) -> str | None:
+    """ModernBERT encoder (ModernBertModel in convert_hf_to_gguf.py)."""
+    if name.startswith("model."):
+        name = name[len("model."):]
+    top = {
+        "embeddings.tok_embeddings.weight": "token_embd.weight",
+        "embeddings.norm.weight": "token_embd_norm.weight",
+        "final_norm.weight": "output_norm.weight",
+    }
+    if name in top:
+        return top[name]
+    if name.startswith("layers."):
+        _, bid, rest = name.split(".", 2)
+        mapped = {
+            "attn.Wqkv.weight": "attn_qkv.weight",
+            "attn.Wo.weight": "attn_output.weight",
+            "attn_norm.weight": "attn_norm.weight",
+            "mlp_norm.weight": "ffn_norm.weight",
+            "mlp.Wi.weight": "ffn_up.weight",
+            "mlp.Wo.weight": "ffn_down.weight",
+        }.get(rest)
+        return f"blk.{bid}.{mapped}" if mapped else None
+    return None  # decoder/head tensors are not part of the embedding graph
+
+
 def _map_transformer_name(name: str) -> str | None:
     """transformer.* family (falcon/mpt/bloom/dbrx/gpt2/gpt_bigcode)."""
     if name.startswith("transformer."):
@@ -539,6 +606,10 @@ def map_tensor_name(name: str, arch: str) -> str | None:
         return _map_mamba_name(name)
     if arch in ("falcon", "mpt", "bloom", "dbrx", "starcoder", "gpt2"):
         return _map_transformer_name(name)
+    if arch == "bert":
+        return _map_bert_name(name)
+    if arch == "modern-bert":
+        return _map_modern_bert_name(name)
     if name.startswith("model."):
         name = name[len("model."):]
     if name.startswith("gpt_neox."):
@@ -1038,6 +1109,21 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
         if cfg.get("intermediate_size_mlp"):
             w.add_kv("llama4.expert_feed_forward_length",
                      int(cfg["intermediate_size"]))
+    if arch == "bert":
+        w.add_kv("bert.attention.causal", False)
+    if arch == "modern-bert":
+        # ≡ ModernBertModel: dual rope bases, local/global interleave;
+        # GGUF sliding_window is the one-sided half of HF local_attention
+        w.add_kv("modern-bert.attention.causal", False)
+        # full two-sided width; SYMMETRIC masking halves it per side
+        w.add_kv("modern-bert.attention.sliding_window",
+                 int(cfg.get("local_attention", 128)))
+        w.add_kv("modern-bert.attention.sliding_window_pattern",
+                 int(cfg.get("global_attn_every_n_layers", 3)))
+        w.add_kv("modern-bert.rope.freq_base",
+                 float(cfg.get("global_rope_theta", 160000.0)))
+        w.add_kv("modern-bert.rope.freq_base_swa",
+                 float(cfg.get("local_rope_theta", 10000.0)))
     if arch == "granitemoe":
         # renormalized softmax routing (GraniteMoeTopKGating softmax over
         # the top-k logits)
