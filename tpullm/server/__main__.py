@@ -8,7 +8,7 @@ import sys
 
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="tpullm-server")
-    ap.add_argument("-m", "--model", required=True, action="append",
+    ap.add_argument("-m", "--model", action="append", default=None,
                     help="model path, or NAME=PATH (repeat for multi-model "
                          "routing, ≡ server-models router)")
     ap.add_argument("--max-loaded", type=int, default=1,
@@ -51,7 +51,15 @@ def main(argv=None):
                     help="multi-host: total process count")
     ap.add_argument("--dist-procid", type=int, default=None,
                     help="multi-host: this process's rank")
+    from ..tools.download import add_hf_args, model_path_from_args
+
+    add_hf_args(ap)
     args = ap.parse_args(argv)
+    hf_path = model_path_from_args(args)
+    if hf_path:
+        args.model = (args.model or []) + [hf_path]
+    if not args.model:
+        ap.error("one of -m/--model or -hf/--hf-repo is required")
 
     from aiohttp import web
 

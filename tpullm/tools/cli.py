@@ -18,7 +18,10 @@ def _env(name, default=None):
 
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="tpullm", description="TPU-native LLM inference")
-    ap.add_argument("-m", "--model", default=_env("model"), required=_env("model") is None)
+    ap.add_argument("-m", "--model", default=_env("model"))
+    from .download import add_hf_args
+
+    add_hf_args(ap)
     ap.add_argument("-p", "--prompt", default=None)
     ap.add_argument("-n", "--n-predict", type=int, default=int(_env("n_predict", 128)))
     ap.add_argument("-c", "--ctx-size", type=int, default=int(_env("ctx_size", 2048)))
@@ -108,6 +111,12 @@ def make_engine(args):
         kw["grp_attn_n"] = args.grp_attn_n
     if getattr(args, "cache_type_kv", None):
         kw["kv_dtype"] = args.cache_type_kv
+    if not args.model:
+        from .download import model_path_from_args
+
+        args.model = model_path_from_args(args)
+    if not args.model:
+        raise SystemExit("one of -m/--model or -hf/--hf-repo is required")
     return Engine(args.model, mode=args.mode, max_seq=int(args.ctx_size),
                   override_kv=parse_kv_overrides(args.override_kv or []), **kw)
 
