@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..gguf.reader import GGUFReader
-from ..ops.attention import attention, causal_mask
+from ..ops.attention import attention, attention_cached, causal_mask
 from ..ops.moe import moe_ffn, route
 from ..ops.norms import rms_norm
 from ..ops.rope import apply_rope
@@ -150,8 +150,8 @@ def forward(
         cache = cache.update(
             li, kf.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), cache_offset
         )
-        k_all, v_all = cache.kv(li)
-        attn_out = attention(qf, k_all, v_all, mask, scale, offsets=offsets)
+        attn_out = attention_cached(
+            qf, cache, li, mask, scale, offsets=offsets)
         attn_out = layer["wo"](attn_out.reshape(B, T, H * Dv))
         if res_scale != 1.0:
             attn_out = attn_out * jnp.asarray(res_scale, attn_out.dtype)

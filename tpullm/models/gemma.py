@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..gguf.reader import GGUFReader
-from ..ops.attention import attention, causal_mask
+from ..ops.attention import attention, attention_cached, causal_mask
 from ..ops.norms import rms_norm
 from ..ops.rope import apply_rope
 from ..runtime.kvcache import KVCache, SWACache
@@ -116,9 +116,8 @@ def forward(
         cache = cache.update(
             li, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), cache_offset
         )
-        k_all, v_all = cache.kv(li)
-        attn_out = attention(
-            q, k_all, v_all, mask, scale,
+        attn_out = attention_cached(
+            q, cache, li, mask, scale,
             softcap=hp.softcap_attn,
             offsets=None if (ring and swa) else offsets,
             sliding_window=hp.sliding_window if swa and not ring else 0,

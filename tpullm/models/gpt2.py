@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 
 from ..gguf.reader import GGUFReader
-from ..ops.attention import attention, causal_mask
+from ..ops.attention import attention, attention_cached, causal_mask
 from ..ops.norms import layer_norm
 from ..runtime.kvcache import KVCache
 from .hparams import HParams
@@ -95,9 +95,8 @@ def forward(
         cache = cache.update(
             li, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), cache_offset
         )
-        k_all, v_all = cache.kv(li)
-        attn_out = attention(
-            q, k_all, v_all, mask, scale, offsets=offsets
+        attn_out = attention_cached(
+            q, cache, li, mask, scale, offsets=offsets
         )
         attn_out = layer["wo"](attn_out.reshape(B, T, n_q))
         if layer["bo"] is not None:

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..gguf.reader import GGUFReader
-from ..ops.attention import attention, causal_mask
+from ..ops.attention import attention, attention_cached, causal_mask
 from ..ops.moe import moe_ffn, route
 from ..ops.norms import rms_norm
 from ..ops.rope import apply_rope
@@ -107,8 +107,8 @@ def forward(
         cache = cache.update(
             li, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), cache_offset
         )
-        k_all, v_all = cache.kv(li)
-        attn_out = attention(q, k_all, v_all, mask, scale, offsets=offsets,
+        attn_out = attention_cached(
+            q, cache, li, mask, scale, offsets=offsets,
                              softcap=hp.softcap_attn)
         attn_out = layer["wo"](attn_out.reshape(B, T, hp.n_head * hp.head_dim_v))
         attn_out = rms_norm(attn_out, layer["attn_out_norm"], hp.rms_eps)

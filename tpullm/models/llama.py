@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ..gguf.reader import GGUFReader
-from ..ops.attention import alibi_distances, alibi_slopes, attention, causal_mask
+from ..ops.attention import alibi_distances, alibi_slopes, attention, attention_cached, causal_mask
 from ..ops.norms import rms_norm
 from ..ops.rope import apply_rope
 from ..runtime.kvcache import KVCache
@@ -158,30 +158,12 @@ def attn_block(
     cache = cache.update(
         li, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), cache_offset
     )
-    from ..ops.pallas import flash as _flash
-
-    if (
-        alibi is None
-        and hasattr(cache, "kv_packed")
-        and _flash.available()
-        and _flash.supports(
-            q.shape, (B, hp.n_head_kv, cache.max_len, hp.head_dim),
-            hp.sliding_window,
-        )
-    ):
-        # q8 KV flash path: int8 planes stream straight into the kernel
-        # (≡ the fork's flash_attn_tile_q8 over a q8_0 cache)
-        k_q, k_s, v_q, v_s = cache.kv_packed(li)
-        attn_out = _flash.flash_attention_q8(
-            q, k_q, k_s, v_q, v_s, offsets, scale,
-            sliding_window=hp.sliding_window,
-        )
-    else:
-        k_all, v_all = cache.kv(li)
-        attn_out = attention(
-            q, k_all, v_all, mask, scale,
-            offsets=offsets, sliding_window=hp.sliding_window, alibi=alibi,
-        )
+    # attention_cached dispatches the q8-packed flash path when the cache
+    # quantizes (≡ the fork's flash_attn_tile_q8 over a q8_0 cache)
+    attn_out = attention_cached(
+        q, cache, li, mask, scale,
+        offsets=offsets, sliding_window=hp.sliding_window, alibi=alibi,
+    )
     attn_out = layer["wo"](attn_out.reshape(B, T, hp.n_head * hp.head_dim_v))
     if layer.get("bo") is not None:
         attn_out = attn_out + layer["bo"].astype(attn_out.dtype)

@@ -15,7 +15,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention import attention, causal_mask
+from ..ops.attention import attention, attention_cached, causal_mask
 from ..ops.moe import moe_ffn, route
 from ..ops.norms import rms_norm
 from ..ops.rope import apply_rope
@@ -86,9 +86,15 @@ def forward(
         cache = cache.update(
             li, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), cache_offset
         )
-        k_all, v_all = cache.kv(li)
-        mask_l = mask_chunk if (use_rope and W > 0) else mask_full
-        attn_out = attention(q, k_all, v_all, mask_l, scale, offsets=offsets)
+        if use_rope and W > 0:
+            # chunked layers: the flash kernels derive causal(+window) masks
+            # from offsets and cannot express LLAMA_SWA_TYPE_CHUNKED, so
+            # force the mask-honoring reference path (offsets=None)
+            k_all, v_all = cache.kv(li)
+            attn_out = attention(q, k_all, v_all, mask_chunk, scale)
+        else:
+            attn_out = attention_cached(q, cache, li, mask_full, scale,
+                                        offsets=offsets)
         x = x + layer["wo"](attn_out.reshape(B, T, hp.n_head * hp.head_dim_v))
 
         h = rms_norm(x, layer["ffn_norm"], hp.rms_eps)

@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 
 from ..gguf.reader import GGUFReader
-from ..ops.attention import attention, causal_mask
+from ..ops.attention import attention, attention_cached, causal_mask
 from ..ops.rope import apply_rope
 from ..runtime.kvcache import KVCache
 from .hparams import HParams
@@ -90,8 +90,8 @@ def forward(
         cache = cache.update(
             li, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), cache_offset
         )
-        k_all, v_all = cache.kv(li)
-        attn_out = attention(q, k_all, v_all, mask, scale, offsets=offsets)
+        attn_out = attention_cached(
+            q, cache, li, mask, scale, offsets=offsets)
         x = x + layer["wo"](attn_out.reshape(B, T, hp.n_head * hp.head_dim_v))
 
         h = _ln(x, hp.rms_eps)

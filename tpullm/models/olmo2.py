@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 
 from ..gguf.reader import GGUFReader
-from ..ops.attention import attention, causal_mask
+from ..ops.attention import attention, attention_cached, causal_mask
 from ..ops.norms import rms_norm
 from ..ops.rope import apply_rope
 from ..runtime.kvcache import KVCache
@@ -109,8 +109,8 @@ def forward(
         cache = cache.update(
             li, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), cache_offset
         )
-        k_all, v_all = cache.kv(li)
-        attn_out = attention(q, k_all, v_all, mask_l, scale, offsets=offsets,
+        attn_out = attention_cached(
+            q, cache, li, mask_l, scale, offsets=offsets,
                              sliding_window=window_l)
         attn_out = layer["wo"](attn_out.reshape(B, T, hp.n_head * hp.head_dim_v))
         x = x + rms_norm(attn_out, layer["attn_post_norm"], hp.rms_eps)

@@ -157,7 +157,7 @@ def forward_moe(
     """PhiMoE forward (llm_build_phi3 MoE branch): phi3 attention with
     RMS+bias norms, softmax renormalized top-k MoE, biased output head."""
     import jax
-    from ..ops.attention import attention, causal_mask
+    from ..ops.attention import attention, attention_cached, causal_mask
     from ..ops.moe import moe_ffn, route, route_sparsemixer
     from ..ops.norms import layer_norm, rms_norm
     from ..ops.rope import apply_rope
@@ -200,8 +200,8 @@ def forward_moe(
         cache = cache.update(
             li, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), cache_offset
         )
-        k_all, v_all = cache.kv(li)
-        attn_out = attention(q, k_all, v_all, mask, scale, offsets=offsets,
+        attn_out = attention_cached(
+            q, cache, li, mask, scale, offsets=offsets,
                              sliding_window=hp.sliding_window)
         attn_out = layer["wo"](attn_out.reshape(B, T, hp.n_head * hp.head_dim_v))
         if layer["bo"] is not None:

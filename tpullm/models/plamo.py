@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..gguf.reader import GGUFReader
-from ..ops.attention import attention, causal_mask
+from ..ops.attention import attention, attention_cached, causal_mask
 from ..ops.norms import rms_norm
 from ..ops.rope import apply_rope
 from ..runtime.kvcache import KVCache
@@ -93,8 +93,8 @@ def forward(
         cache = cache.update(
             li, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), cache_offset
         )
-        k_all, v_all = cache.kv(li)
-        attn_out = attention(q, k_all, v_all, mask, scale, offsets=offsets)
+        attn_out = attention_cached(
+            q, cache, li, mask, scale, offsets=offsets)
         attn_out = layer["wo"](attn_out.reshape(B, T, hp.n_head * hp.head_dim_v))
 
         # parallel FFN over the SAME normed input (llm_build_plamo)
@@ -360,9 +360,8 @@ def forward3(
         cache = cache.update(
             li, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), cache_offset
         )
-        k_all, v_all = cache.kv(li)
-        attn_out = attention(
-            q, k_all, v_all, mask_swa if swa else mask_full, scale,
+        attn_out = attention_cached(
+            q, cache, li, mask_swa if swa else mask_full, scale,
             offsets=offsets, sliding_window=hp.sliding_window if swa else 0,
         )
         attn_out = layer["wo"](attn_out.reshape(B, T, hp.n_head * hp.head_dim_v))
