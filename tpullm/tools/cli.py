@@ -23,6 +23,13 @@ def build_parser() -> argparse.ArgumentParser:
 
     add_hf_args(ap)
     ap.add_argument("-p", "--prompt", default=None)
+    # logging/verbosity family (≡ common/arg.cpp --log-* flags)
+    ap.add_argument("--log-verbosity", type=int, default=None,
+                    help="0=output 1=error 2=warn 3=info 4=debug")
+    ap.add_argument("--log-colors", choices=["auto", "on", "off"], default=None)
+    ap.add_argument("--log-timestamps", action="store_true")
+    ap.add_argument("--log-prefix", action="store_true")
+    ap.add_argument("--log-file", default=None)
     ap.add_argument("-n", "--n-predict", type=int, default=int(_env("n_predict", 128)))
     ap.add_argument("-c", "--ctx-size", type=int, default=int(_env("ctx_size", 2048)))
     ap.add_argument("--temp", type=float, default=float(_env("temp", 0.8)))
@@ -215,16 +222,24 @@ def run_completion(args) -> int:
 
 def run_chat(args) -> int:
     from ..chat import apply_chat_template
+    from ..utils.console import Console
+    from ..utils.logging import main_log
 
     eng = make_engine(args)
     sampler = make_sampler(args)
     messages = []
+    con = Console()
+    mlog = main_log()
     print("tpullm chat — empty line or /exit to quit", file=sys.stderr)
     while True:
+        mlog.pause()  # raw console I/O owns the terminal (≡ common_log_pause)
         try:
-            user = input("> ")
-        except (EOFError, KeyboardInterrupt):
+            user = con.readline("> ")
+        except KeyboardInterrupt:
+            mlog.resume()
             break
+        finally:
+            mlog.resume()
         if not user.strip() or user.strip() == "/exit":
             break
         messages.append({"role": "user", "content": user})
@@ -240,16 +255,31 @@ def run_chat(args) -> int:
         for tok in eng.generate_tokens(ids, max_new_tokens=args.n_predict, sampler=sampler):
             piece = eng.tokenizer.detokenize([tok])
             pieces.append(piece)
-            sys.stdout.write(piece)
-            sys.stdout.flush()
+            con.put(piece)  # UTF-8-safe: buffers split codepoints
+        con.flush_partial()
         sys.stdout.write("\n")
         messages.append({"role": "assistant", "content": "".join(pieces)})
+    con.cleanup()
     return 0
 
 
 def main(argv=None):
     parser = build_parser()
     args = parser.parse_args(argv)
+    from ..utils.logging import main_log
+
+    _ml = main_log()
+    if args.log_verbosity is not None:
+        _ml.set_verbosity(args.log_verbosity)
+    if args.log_colors is not None:
+        _ml.set_colors(args.log_colors == "on" or (
+            args.log_colors == "auto" and sys.stderr.isatty()))
+    if args.log_timestamps:
+        _ml.set_timestamps(True)
+    if args.log_prefix:
+        _ml.set_prefix(True)
+    if args.log_file:
+        _ml.set_file(args.log_file)
     if args.preset:
         args = apply_preset(args, parser, argv)
     if args.chat:

@@ -25,11 +25,27 @@ def enable_persistent_cache() -> None:
     _done = True
     import jax
 
+    # key the cache by platform AND host CPU: XLA:CPU AOT results embed
+    # target-machine features, and reusing an entry compiled on a different
+    # host (e.g. the TPU frontend vs this box) trips cpu_aot_loader
+    # mismatch warnings / potential SIGILL
+    plat = os.environ.get("JAX_PLATFORMS", "") or "default"
+    host = (os.uname().machine if hasattr(os, "uname") else "unknown")
+    try:
+        import zlib
+
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("model name", "flags")):
+                    host += "-" + format(zlib.crc32(line.encode()), "08x")
+                    break
+    except OSError:
+        pass
     cache_dir = os.environ.get(
         "TPULLM_COMPILE_CACHE_DIR",
         os.path.join(
             os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
-            "tpullm", "xla_cache",
+            "tpullm", "xla_cache", f"{plat}-{host}".replace("/", "_"),
         ),
     )
     try:
