@@ -29,11 +29,15 @@ inline float f16_to_f32(uint16_t h) {
     if (exp == 0) {
         if (man == 0) {
             bits = sign;
-        } else { // subnormal: normalize
+        } else { // subnormal: value = man·2^-24 = 1.f·2^(-14-shift)
             int shift = 0;
             while (!(man & 0x400)) { man <<= 1; ++shift; }
             man &= 0x3FF;
-            bits = sign | ((uint32_t)(127 - 15 - shift) << 23) | (man << 13);
+            // biased f32 exp = 127 + (-14 - shift); NOT -15: the subnormal
+            // exponent is e_min = -14 (this off-by-one silently HALVED
+            // every subnormal d — real 8B K-quant superblock scales
+            // routinely sit below the 6.1e-5 f16 normal threshold)
+            bits = sign | ((uint32_t)(127 - 14 - shift) << 23) | (man << 13);
         }
     } else if (exp == 0x1F) {
         bits = sign | 0x7F800000u | (man << 13);

@@ -345,3 +345,41 @@ def test_iq_encoder_interop_with_reference_decoder(gtype, reference_gguf):
         packed.copy(), reference_gguf.GGMLQuantizationType(int(gtype))
     ).reshape(-1)
     np.testing.assert_array_equal(mine, theirs.astype(np.float32))
+
+
+def test_native_f16_subnormal_decode():
+    """Subnormal f16 superblock scales must decode exactly (a biased-exp
+    off-by-one in the native half→float path silently HALVED every
+    subnormal d; real-model K-quant scales routinely sit below the 6.1e-5
+    f16 normal threshold). Round-trip error must be scale-invariant."""
+    from tpullm.quant import native
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=4 * 256).astype(np.float32)
+    for gtype in (GGMLType.Q6_K, GGMLType.Q5_K, GGMLType.Q4_K, GGMLType.Q8_0):
+        rels = []
+        for s in (1.0, 0.02, 0.001):
+            w = base * s
+            packed = np.asarray(native.quantize(w, gtype))
+            nat = np.asarray(native.dequantize(packed, gtype, w.size))
+            py = codecs.dequantize_py(packed, gtype, w.size) if hasattr(
+                codecs, "dequantize_py") else None
+            rels.append(float(np.sqrt(np.mean((nat - w) ** 2)) / s))
+        # scale invariance: tiny-magnitude blocks may not be materially
+        # worse than unit-magnitude ones
+        assert max(rels) < 1.5 * min(rels) + 1e-6, (gtype.name, rels)
+
+
+def test_native_f16_conversion_subnormals():
+    """native f16→f32 of subnormal halves must match numpy bit-for-bit."""
+    from tpullm.quant import native
+
+    # craft Q8_0 blocks whose d spans normal and subnormal halves
+    halves = np.asarray([6.0e-8, 1.5e-5, 5.9e-5, 6.2e-5, 1.0, -1.5e-5],
+                        dtype=np.float16)
+    for d in halves:
+        block = np.zeros(34, dtype=np.uint8)
+        block[0:2] = np.asarray([d], dtype=np.float16).view(np.uint8)
+        block[2:] = 1  # qs = 1 everywhere
+        out = np.asarray(native.dequantize(block, GGMLType.Q8_0, 32))
+        np.testing.assert_array_equal(out, np.full(32, np.float32(d) * 1.0))

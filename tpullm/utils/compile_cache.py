@@ -25,6 +25,17 @@ def enable_persistent_cache() -> None:
     _done = True
     import jax
 
+    # the cache exists to amortize TPU cold-start compiles; on the CPU
+    # backend XLA's AOT entries re-load with noisy target-feature
+    # mismatch warnings (prefer-no-scatter/gather) and save little —
+    # skip unless explicitly forced
+    try:
+        if jax.default_backend() == "cpu" and not os.environ.get(
+                "TPULLM_FORCE_COMPILE_CACHE"):
+            return
+    except Exception:
+        pass
+
     # key the cache by platform AND host CPU: XLA:CPU AOT results embed
     # target-machine features, and reusing an entry compiled on a different
     # host (e.g. the TPU frontend vs this box) trips cpu_aot_loader
