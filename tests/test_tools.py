@@ -258,3 +258,23 @@ def test_streaming_tool_call_parser_plain_content():
     events += p.flush()
     assert "".join(e[1] for e in events if e[0] == "content") == "hello <toolish> world"
     assert not p.saw_tool_call
+
+
+def test_eval_callback_dump(tmp_path, capsys):
+    """Per-op tensor dump (≡ examples/eval-callback): instrumented eager
+    forward prints one row per shared-op invocation, logits last."""
+    from tpullm.models.testing import make_tiny_llama_gguf
+    from tpullm.tools import eval_callback
+
+    path = make_tiny_llama_gguf(tmp_path / "m.gguf")
+    rc = eval_callback.main(["-m", str(path), "-p", "the quick", "--limit", "9"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    lines = [ln for ln in out.splitlines() if ln.strip()]
+    assert len(lines) >= 9
+    assert any("rms_norm" in ln for ln in lines)
+    assert any("apply_rope" in ln for ln in lines)
+    # instrumentation must fully unwind
+    from tpullm.ops import norms
+
+    assert norms.rms_norm.__name__ == "rms_norm"
