@@ -981,3 +981,34 @@ def test_precompile_covers_scheduler_shapes(engine):
     for s in sched.slots:
         engine.free_slot(s.index)
         s.tokens = []
+
+
+def test_webui_served_at_root(engine):
+    """The webui single-file SPA is served at / (≡ tools/server/webui)."""
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from tpullm.server.api import Server
+
+    sched = Scheduler(engine)
+    sched.start()
+
+    async def run():
+        server = Server(sched, model_name="tiny")
+        client = TestClient(TestServer(server.app))
+        await client.start_server()
+        try:
+            for path in ("/", "/index.html"):
+                r = await client.get(path)
+                assert r.status == 200
+                html = await r.text()
+                assert "tpullm" in html
+                assert "/v1/chat/completions" in html
+        finally:
+            await client.close()
+
+    try:
+        import asyncio
+
+        asyncio.new_event_loop().run_until_complete(run())
+    finally:
+        sched.stop()

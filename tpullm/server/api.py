@@ -4,6 +4,7 @@
 
 from __future__ import annotations
 
+import os
 import asyncio
 import json
 import time
@@ -124,6 +125,10 @@ class Server:
                 self.clip = load_vision(mmproj_path)
         self.app = web.Application(middlewares=[_json_errors])
         r = self.app.router
+        # webui (≡ tools/server/webui, served at / like the reference;
+        # dependency-free single file instead of the Svelte bundle)
+        r.add_get("/", self.webui)
+        r.add_get("/index.html", self.webui)
         r.add_get("/health", self.health)
         r.add_get("/v1/health", self.health)  # llama.cpp alias
         r.add_get("/v1/models", self.models)
@@ -166,6 +171,11 @@ class Server:
             "data": [{"id": self.model_name, "object": "model",
                       "created": int(self.t_start), "owned_by": "tpullm"}],
         })
+
+    async def webui(self, request):
+        path = os.path.join(os.path.dirname(__file__), "webui", "index.html")
+        return web.FileResponse(path,
+                                headers={"Cache-Control": "no-cache"})
 
     async def props(self, request):
         eng = self.sched.engine
