@@ -20,6 +20,14 @@ def load_vision(path):
         return Qwen2VLVision(path)
     if proj == "gemma3":
         return Gemma3Vision(path)
+    if proj in ("pixtral", "lightonocr"):
+        from .pixtral import PixtralVision
+
+        return PixtralVision(path)
+    if proj == "resampler":  # minicpm-v
+        from .minicpmv import MiniCPMVVision
+
+        return MiniCPMVVision(path)
     return ClipVision(path)
 
 from .pipeline import MEDIA_MARKER, build_multimodal_embeddings, generate_mtmd
