@@ -266,3 +266,114 @@ def test_load_vision_dispatch_new_towers(tmp_path):
     h, w = fit_image_size(300, 500, 16, 8 * 256, 64 * 256)
     assert h % 16 == 0 and w % 16 == 0
     assert 8 * 256 <= h * w
+
+
+def test_internvl_tower_matches_transformers(tmp_path):
+    from transformers.models.internvl.configuration_internvl import (
+        InternVLVisionConfig,
+    )
+    from transformers.models.internvl.modeling_internvl import (
+        InternVLVisionModel,
+    )
+
+    from tpullm.mtmd.internvl import InternVLVision
+
+    torch.manual_seed(0)
+    P, n_embd, side, m = 8, 64, 4, 2
+    cfg = InternVLVisionConfig(
+        hidden_size=n_embd, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, image_size=[side * P, side * P],
+        patch_size=[P, P], use_absolute_position_embeddings=True,
+        layer_norm_eps=1e-6,
+    )
+    model = InternVLVisionModel(cfg)
+    model.eval()
+    img = torch.randn(1, 3, side * P, side * P)
+    with torch.no_grad():
+        hidden = model(pixel_values=img).last_hidden_state
+
+    # HF get_image_features: drop CLS → (b, fs, fs, c) → pixel_shuffle(0.5)
+    # → LN + linear + GELU + linear (InternVLMultiModalProjector)
+    feats = hidden[:, 1:, :]
+    b, np_, c = feats.shape
+    fs = int(np_ ** 0.5)
+    v = feats.reshape(b, fs, fs, -1)
+    # pixel_shuffle(scale=1/m), modeling_internvl.py:688
+    bs, w_, h_, ch = v.size()
+    v = v.view(bs, w_, int(h_ // m), int(ch * m))
+    v = v.permute(0, 2, 1, 3).contiguous()
+    v = v.view(bs, int(h_ // m), int(w_ // m), int(ch * m * m))
+    v = v.permute(0, 2, 1, 3).contiguous()
+    v = v.reshape(bs, -1, v.shape[-1])
+
+    rng = np.random.default_rng(5)
+    dmm = n_embd * m * m
+    mmw = {
+        "ln_w": (1.0 + rng.normal(size=dmm) * 0.1).astype(np.float32),
+        "ln_b": (rng.normal(size=dmm) * 0.1).astype(np.float32),
+        "l1_w": (rng.normal(size=(48, dmm)) * 0.05).astype(np.float32),
+        "l1_b": (rng.normal(size=48) * 0.05).astype(np.float32),
+        "l2_w": (rng.normal(size=(48, 48)) * 0.05).astype(np.float32),
+        "l2_b": (rng.normal(size=48) * 0.05).astype(np.float32),
+    }
+    import torch.nn.functional as F
+
+    x = v.float()
+    x = F.layer_norm(x, (dmm,), torch.as_tensor(mmw["ln_w"]),
+                     torch.as_tensor(mmw["ln_b"]), eps=1e-5)
+    x = x @ torch.as_tensor(mmw["l1_w"]).t() + torch.as_tensor(mmw["l1_b"])
+    x = F.gelu(x)
+    ref = (x @ torch.as_tensor(mmw["l2_w"]).t()
+           + torch.as_tensor(mmw["l2_b"]))[0].numpy()
+
+    # export mmproj gguf
+    sd = {k: t.detach().numpy().astype(np.float32)
+          for k, t in model.state_dict().items()}
+    path = str(tmp_path / "internvl.gguf")
+    w = GGUFWriter(path, architecture="clip")
+    w.add_kv("clip.projector_type", "internvl")
+    w.add_kv("clip.vision.image_size", side * P)
+    w.add_kv("clip.vision.patch_size", P)
+    w.add_kv("clip.vision.embedding_length", n_embd)
+    w.add_kv("clip.vision.block_count", 2)
+    w.add_kv("clip.vision.attention.head_count", 4)
+    w.add_kv("clip.vision.attention.layer_norm_epsilon", 1e-6)
+    w.add_kv("clip.vision.projector.scale_factor", m)
+    w.add_tensor("v.patch_embd.weight",
+                 sd["embeddings.patch_embeddings.projection.weight"].reshape(n_embd, -1))
+    w.add_tensor("v.patch_embd.bias", sd["embeddings.patch_embeddings.projection.bias"])
+    w.add_tensor("v.class_embd", sd["embeddings.cls_token"].reshape(-1))
+    w.add_tensor("v.position_embd.weight",
+                 sd["embeddings.position_embeddings"].reshape(-1, n_embd))
+    for i in range(2):
+        hf = f"encoder.layer.{i}."
+        p = f"v.blk.{i}."
+        w.add_tensor(p + "ln1.weight", sd[hf + "layernorm_before.weight"])
+        w.add_tensor(p + "ln1.bias", sd[hf + "layernorm_before.bias"])
+        w.add_tensor(p + "attn_q.weight", sd[hf + "attention.q_proj.weight"])
+        w.add_tensor(p + "attn_k.weight", sd[hf + "attention.k_proj.weight"])
+        w.add_tensor(p + "attn_v.weight", sd[hf + "attention.v_proj.weight"])
+        w.add_tensor(p + "attn_out.weight", sd[hf + "attention.projection_layer.weight"])
+        w.add_tensor(p + "attn_out.bias", sd[hf + "attention.projection_layer.bias"])
+        w.add_tensor(p + "ls1.weight", sd[hf + "lambda_1"])
+        w.add_tensor(p + "ln2.weight", sd[hf + "layernorm_after.weight"])
+        w.add_tensor(p + "ln2.bias", sd[hf + "layernorm_after.bias"])
+        w.add_tensor(p + "ffn_up.weight", sd[hf + "mlp.fc1.weight"])
+        w.add_tensor(p + "ffn_up.bias", sd[hf + "mlp.fc1.bias"])
+        w.add_tensor(p + "ffn_down.weight", sd[hf + "mlp.fc2.weight"])
+        w.add_tensor(p + "ffn_down.bias", sd[hf + "mlp.fc2.bias"])
+        w.add_tensor(p + "ls2.weight", sd[hf + "lambda_2"])
+    w.add_tensor("mm.model.mlp.0.weight", mmw["ln_w"])
+    w.add_tensor("mm.model.mlp.0.bias", mmw["ln_b"])
+    w.add_tensor("mm.model.mlp.1.weight", mmw["l1_w"])
+    w.add_tensor("mm.model.mlp.1.bias", mmw["l1_b"])
+    w.add_tensor("mm.model.mlp.3.weight", mmw["l2_w"])
+    w.add_tensor("mm.model.mlp.3.bias", mmw["l2_b"])
+    w.write()
+
+    tower = InternVLVision(path)
+    arr = img[0].numpy()
+    patches = arr.reshape(3, side, P, side, P).transpose(1, 3, 0, 2, 4)
+    patches = patches.reshape(side * side, 3 * P * P).astype(np.float32)
+    got = tower.encode_grid(patches, side, side)
+    np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4)
