@@ -211,9 +211,15 @@ class Engine:
                 self.cache.layer_map, self.cache.window,
             )
 
+    # recurrent-prefill chunk ladder: state carries across calls, so a prompt
+    # decomposes into a few fixed-size chunks instead of compiling one
+    # program per exact length (≤5 compiled programs ever, vs the old
+    # per-prompt-length TTFT land mine)
+    _RECURRENT_CHUNKS = (512, 128, 32, 8, 1)
+
     def _bucket(self, n: int) -> int:
-        # recurrent models carry state: pad tokens would pollute it, so the
-        # prompt runs at exact length (one compile per prompt length)
+        # recurrent models carry state: pad tokens would pollute it, so
+        # chunks run at exact (ladder) length
         if self.arch.recurrent:
             return n
         for b in PREFILL_BUCKETS:
@@ -233,6 +239,10 @@ class Engine:
             self.prefill(tokens[: self.prefill_cap])
             tokens = tokens[self.prefill_cap :]
             n = len(tokens)
+        if self.arch.recurrent and n not in self._RECURRENT_CHUNKS:
+            c = next(c for c in self._RECURRENT_CHUNKS if c <= n)
+            self.prefill(tokens[:c])
+            return self.prefill(tokens[c:])
         bucket = self._bucket(n)
         toks = np.zeros((self.batch, bucket), dtype=np.int32)
         toks[0, :n] = tokens
