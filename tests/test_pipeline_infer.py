@@ -90,3 +90,87 @@ def test_pipeline_decode_steps_match(model_path):
     got2 = eng.forward_batch(step_tok2)
     np.testing.assert_allclose(got1, refs[0], rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(got2, refs[1], rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("pp,tp", [(2, 1), (2, 2)])
+def test_batch_engine_pipe_mesh_matches_unsharded(model_path, pp, tp):
+    """Continuous-batching serving on a ('pipe','model') mesh: staggered
+    per-slot prefills, partial-batch decode, and a speculative verify step
+    must reproduce the unsharded BatchEngine (≡ the reference server over a
+    --split-mode layer model)."""
+    from jax.sharding import Mesh
+
+    from tpullm.runtime.batch_engine import BatchEngine
+
+    def run(mesh):
+        eng = BatchEngine(model_path, n_slots=4, max_seq=32, mode="dense",
+                          dtype=jnp.float32, kv_dtype=jnp.float32, mesh=mesh)
+        out = []
+        out.append(eng.prefill_slot(0, [1, 5, 9, 2, 7]))
+        out.append(eng.prefill_slot(2, [3, 8, 4]))  # slots at staggered n_past
+        step = eng.decode_batch({0: 11, 2: 13})  # slots 1/3 idle (offset −1)
+        out.append(step[0])
+        out.append(step[2])
+        ver = eng.verify_batch({0: [4, 6, 2], 2: [9, 1, 5]}, width=3)
+        out.append(ver[0])
+        out.append(ver[2])
+        return out
+
+    ref = run(None)
+    mesh = Mesh(np.asarray(jax.devices()[: pp * tp]).reshape(pp, tp),
+                ("pipe", "model"))
+    got = run(mesh)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_scheduler_on_pipe_mesh(model_path):
+    """The continuous-batching scheduler end-to-end on a layer-split mesh:
+    greedy generations must match the unsharded engine token-for-token."""
+    from jax.sharding import Mesh
+
+    from tpullm.runtime.batch_engine import BatchEngine
+    from tpullm.runtime.sampling import SamplerParams
+    from tpullm.server.scheduler import GenRequest, Scheduler
+
+    def gen(mesh):
+        eng = BatchEngine(model_path, n_slots=2, max_seq=64, mode="dense",
+                          dtype=jnp.float32, kv_dtype=jnp.float32, mesh=mesh)
+        sched = Scheduler(eng)
+        sched.start()
+        try:
+            ids = eng.tokenizer.tokenize("the quick brown", add_special=True)
+            req = sched.submit(GenRequest(
+                prompt_ids=ids, max_tokens=8,
+                sampling=SamplerParams(temp=0.0)))
+            toks = []
+            while True:
+                ev = req.out.get(timeout=120)
+                if ev[0] != "token":
+                    break
+                toks.append(ev[1])
+            return toks
+        finally:
+            sched.stop()
+
+    ref = gen(None)
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2),
+                ("pipe", "model"))
+    got = gen(mesh)
+    assert got == ref and len(got) > 0
+
+
+def test_batch_engine_pipe_mesh_guards(model_path):
+    from jax.sharding import Mesh
+
+    from tpullm.runtime.batch_engine import BatchEngine
+
+    mesh = Mesh(np.asarray(jax.devices()[:2]).reshape(2, 1),
+                ("pipe", "model"))
+    with pytest.raises(ValueError, match="divisible by pp"):
+        BatchEngine(model_path, n_slots=3, max_seq=32, mode="dense",
+                    dtype=jnp.float32, kv_dtype=jnp.float32, mesh=mesh)
+    with pytest.raises(NotImplementedError, match="quantized KV"):
+        BatchEngine(model_path, n_slots=4, max_seq=32, mode="dense",
+                    dtype=jnp.float32, kv_dtype="q8_0", mesh=mesh)

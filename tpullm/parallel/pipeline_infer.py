@@ -17,8 +17,14 @@ activation copies between GPUs). Re-designed for TPU:
   - the "model" mesh axis runs Megatron TP *inside* each stage (column-split
     qkv/gate/up, row-split wo/down, one psum per half) so pp×tp composes.
 
-Prefill and decode are the same program at different T; both are jitted once
-per (B, T) and reused for the whole session.
+The step function speaks the BatchEngine serving contract
+(runtime/batch_engine.py): per-row int32 offsets where −1 marks an idle slot
+whose cache write is masked out, positions given per row, and either int32
+tokens [B, T] or precomputed embeddings [B, T, E] as input — so the whole
+continuous-batching scheduler (prefill chunks, decode, speculative verify)
+runs unchanged on a layer-split mesh, ≡ the reference server with
+--split-mode layer (tools/server/server-context.cpp update_slots over a
+layer-split llama_model, src/llama-model.cpp:2616).
 """
 
 from __future__ import annotations
@@ -31,6 +37,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.rope import apply_rope
+from ..runtime.kvcache import KVCache
 from .pipeline import (
     MODEL_AXIS,
     PIPE_AXIS,
@@ -41,28 +48,29 @@ from .pipeline import (
 )
 
 
-def cache_specs() -> tuple:
-    """(k, v) stacked cache [L, B, Hkv, S, D]: layer dim on the pipe axis,
-    kv-head dim on the model axis."""
-    return (P(PIPE_AXIS, None, MODEL_AXIS), P(PIPE_AXIS, None, MODEL_AXIS))
+def cache_specs() -> KVCache:
+    """Spec tree for the stacked cache [L, B, Hkv, S, D]: layer dim on the
+    pipe axis, kv-head dim on the model axis."""
+    spec = P(PIPE_AXIS, None, MODEL_AXIS)
+    return KVCache(spec, spec)
 
 
 def make_stacked_cache(hp, batch: int, max_seq: int, mesh: Mesh,
-                       dtype=jnp.bfloat16) -> tuple:
-    n_kv = max(hp.n_head_kv, 1)
-    shape = (hp.n_layer, batch, n_kv, max_seq, hp.head_dim)
-    k_spec, v_spec = cache_specs()
-    k = jax.device_put(jnp.zeros(shape, dtype), NamedSharding(mesh, k_spec))
-    v = jax.device_put(jnp.zeros(shape, dtype), NamedSharding(mesh, v_spec))
-    return (k, v)
+                       dtype=jnp.bfloat16) -> KVCache:
+    cache = KVCache.new(hp, batch, max_seq, dtype)
+    specs = cache_specs()
+    return KVCache(
+        jax.device_put(cache.k, NamedSharding(mesh, specs.k)),
+        jax.device_put(cache.v, NamedSharding(mesh, specs.v)),
+    )
 
 
 def place_stacked_infer(params: dict, hp, mesh: Mesh, dtype=jnp.bfloat16):
     """Stack per-layer params and place them with pipe/TP shardings.
 
     Returns (stacked_params, n_vocab_padded). The output head's vocab dim is
-    padded up to a tp multiple; padded logit columns are sliced off on the
-    host side.
+    padded up to a tp multiple; padded logit columns are sliced off inside
+    the jitted step.
     """
     pp = mesh.shape[PIPE_AXIS]
     tp = mesh.shape[MODEL_AXIS]
@@ -91,55 +99,63 @@ def place_stacked_infer(params: dict, hp, mesh: Mesh, dtype=jnp.bfloat16):
     return placed, w_out.shape[1]
 
 
-def _layer_cached(hp, tp: int, w, x, positions, k_l, v_l, offset,
-                  batch_start, valid):
+def _layer_cached(hp, tp: int, w, x, positions, k_l, v_l, offs, batch_start,
+                  tick_valid):
     """One llama block against a stage-local cache slice.
 
-    x: [b, T, E]; k_l/v_l: [B, Hkv_local, S, D] (full batch rows, this
-    stage's layer); the microbatch occupies rows [batch_start, batch_start+b).
-    When `valid` is false (pipeline fill/drain tick) the cache row is written
-    back unchanged, so bubble ticks are pure no-ops on state.
+    x: [b, T, E]; positions: [b, T]; k_l/v_l: [B, Hkv_local, S, D] (full
+    batch rows, this stage's layer); the microbatch occupies rows
+    [batch_start, batch_start+b). `offs` is the per-row write offset (−1 =
+    idle slot, write masked). When `tick_valid` is false (pipeline fill /
+    drain tick) every cache row is written back unchanged, so bubble ticks
+    are pure no-ops on state.
     """
     b, T, E = x.shape
     n_head_l = hp.n_head // tp
     n_kv_l = max(hp.n_head_kv // tp, 1)
     hd = hp.head_dim
+    hd_v = hp.head_dim_v
     S = k_l.shape[2]
 
     h = _rms(x, w["attn_norm"], hp.rms_eps)
     q = (h @ w["wq"]).reshape(b, T, n_head_l, hd)
     k = (h @ w["wk"]).reshape(b, T, n_kv_l, hd)
-    v = (h @ w["wv"]).reshape(b, T, n_kv_l, hd)
+    v = (h @ w["wv"]).reshape(b, T, n_kv_l, hd_v)
     q = apply_rope(q, positions, hp.rope)
     k = apply_rope(k, positions, hp.rope)
 
     k = k.transpose(0, 2, 1, 3)  # [b, Hkv, T, D]
     v = v.transpose(0, 2, 1, 3)
-    old_k = jax.lax.dynamic_slice(
-        k_l, (batch_start, 0, offset, 0), (b, n_kv_l, T, hd))
-    old_v = jax.lax.dynamic_slice(
-        v_l, (batch_start, 0, offset, 0), (b, n_kv_l, T, hd))
-    k_w = jnp.where(valid, k.astype(k_l.dtype), old_k)
-    v_w = jnp.where(valid, v.astype(v_l.dtype), old_v)
-    k_l = jax.lax.dynamic_update_slice(k_l, k_w, (batch_start, 0, offset, 0))
-    v_l = jax.lax.dynamic_update_slice(v_l, v_w, (batch_start, 0, offset, 0))
+    row_ok = tick_valid & (offs >= 0)  # [b]
+    start = jnp.maximum(offs, 0)
 
-    keys = jax.lax.dynamic_slice(
-        k_l, (batch_start, 0, 0, 0), (b, n_kv_l, S, hd))
-    vals = jax.lax.dynamic_slice(
-        v_l, (batch_start, 0, 0, 0), (b, n_kv_l, S, hd))
+    def upd(row_cache, new_row, off, ok):
+        # row_cache [Hkv, S, D], new_row [Hkv, T, D]
+        cur = jax.lax.dynamic_slice(row_cache, (0, off, 0), new_row.shape)
+        src = jnp.where(ok, new_row.astype(row_cache.dtype), cur)
+        return jax.lax.dynamic_update_slice(row_cache, src, (0, off, 0))
+
+    kb = jax.lax.dynamic_slice(k_l, (batch_start, 0, 0, 0),
+                               (b, n_kv_l, S, hd))
+    vb = jax.lax.dynamic_slice(v_l, (batch_start, 0, 0, 0),
+                               (b, n_kv_l, S, hd_v))
+    kb = jax.vmap(upd)(kb, k, start, row_ok)
+    vb = jax.vmap(upd)(vb, v, start, row_ok)
+    k_l = jax.lax.dynamic_update_slice(k_l, kb, (batch_start, 0, 0, 0))
+    v_l = jax.lax.dynamic_update_slice(v_l, vb, (batch_start, 0, 0, 0))
+
     g = n_head_l // n_kv_l
     qf = q.reshape(b, T, n_kv_l, g, hd).astype(jnp.float32)
-    scores = jnp.einsum("bthgd,bhsd->bhgts", qf, keys.astype(jnp.float32))
+    scores = jnp.einsum("bthgd,bhsd->bhgts", qf, kb.astype(jnp.float32))
     scores = scores * (hd ** -0.5)
-    slot = offset + jnp.arange(T, dtype=jnp.int32)  # query slots
+    slot = start[:, None] + jnp.arange(T, dtype=jnp.int32)[None]  # [b, T]
     key_idx = jnp.arange(S, dtype=jnp.int32)
-    mask = key_idx[None, :] <= slot[:, None]  # [T, S] causal over slots
-    scores = jnp.where(mask[None, None, None], scores, -jnp.inf)
+    mask = key_idx[None, None, :] <= slot[:, :, None]  # [b, T, S] causal
+    scores = jnp.where(mask[:, None, None], scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1)
     attn = jnp.einsum("bhgts,bhsd->bthgd", probs,
-                      vals.astype(jnp.float32)).astype(x.dtype)
-    attn = attn.reshape(b, T, n_head_l * hd)
+                      vb.astype(jnp.float32)).astype(x.dtype)
+    attn = attn.reshape(b, T, n_head_l * hd_v)
     x = x + jax.lax.psum(attn @ w["wo"], MODEL_AXIS)
 
     h = _rms(x, w["ffn_norm"], hp.rms_eps)
@@ -149,62 +165,74 @@ def _layer_cached(hp, tp: int, w, x, positions, k_l, v_l, offset,
     return x, k_l, v_l
 
 
-def make_pipeline_infer_step(hp, mesh: Mesh, batch: int, seq: int):
-    """Jitted (params, tokens [B,T], positions [B,T], (k,v), offset) →
-    (logits [B,T,Vpad] f32, (k,v)).
+def make_pipeline_step(hp, mesh: Mesh):
+    """Jitted serving step with the BatchEngine contract:
 
-    B must divide into M = pp microbatches. The cache is donated, so decode
-    steps run in place.
+        step(params, tokens [B,T] int32 | embds [B,T,E], positions [B,T],
+             cache KVCache, offsets [B] int32) → (logits [B,T,V] f32, cache)
+
+    B must divide into M = pp microbatches; rows with offset −1 are idle
+    (cache write masked, their logits are garbage the caller ignores). One
+    program per (B, T, input-rank) via jit retracing; the cache is donated
+    so decode runs in place.
     """
     pp = mesh.shape[PIPE_AXIS]
     tp = mesh.shape[MODEL_AXIS]
-    if batch % pp:
-        raise ValueError(f"batch {batch} must be divisible by pp {pp}")
-    M = pp
-    b = batch // M
     specs = param_specs(hp, pp, tp)
-    k_spec, v_spec = cache_specs()
+    c_specs = cache_specs()
 
-    def spmd(params, tokens, positions, k_c, v_c, offset):
+    def spmd(params, tokens, positions, cache, offsets):
         stage = jax.lax.axis_index(PIPE_AXIS)
         emb = params["tok_embd"]
         stack = params["stack"]
-        B, T = tokens.shape
-        mb_toks = tokens.reshape(M, b, T)
+        B, T = tokens.shape[:2]
+        if B % pp:
+            raise ValueError(f"batch {B} must be divisible by pp {pp}")
+        M = pp
+        b = B // M
+        is_embd = tokens.ndim == 3
+        mb_toks = tokens.reshape((M, b, T) + tokens.shape[2:])
         mb_pos = positions.reshape(M, b, T)
+        mb_offs = offsets.reshape(M, b)
         n_ticks = M + pp - 1
         E = hp.n_embd
         v_loc = params["output"].shape[1]
         logits_acc = jnp.zeros((M, b, T, v_loc), jnp.float32)
         x0 = jnp.zeros((b, T, E), jnp.float32)
+        k_c, v_c = cache.k, cache.v
 
         def tick(carry, t):
             x, k_c, v_c, acc = carry
-            feed = emb[mb_toks[jnp.clip(t, 0, M - 1)]].astype(jnp.float32)
-            x = jnp.where((stage == 0) & (t < M), feed, x)
+            ti = jnp.clip(t, 0, M - 1)
+            feed = mb_toks[ti] if is_embd else emb[mb_toks[ti]]
+            x = jnp.where((stage == 0) & (t < M), feed.astype(jnp.float32), x)
             m = t - stage  # microbatch this stage works on now
-            valid = (m >= 0) & (m < M)
+            tick_valid = (m >= 0) & (m < M)
             mi = jnp.clip(m, 0, M - 1)
             pos = mb_pos[mi]
+            offs = mb_offs[mi]
             bs = mi * b
 
             def body(xc, layer_state):
                 w, k_l, v_l = layer_state
                 xn, k_l, v_l = _layer_cached(
-                    hp, tp, w, xc, pos, k_l, v_l, offset, bs, valid)
+                    hp, tp, w, xc, pos, k_l, v_l, offs, bs, tick_valid)
                 return xn, (k_l, v_l)
 
             x_out, (k_c, v_c) = jax.lax.scan(body, x, (stack, k_c, v_c))
-            # last stage emits logits for the microbatch that just left
-            h = _rms(x_out, params["output_norm"], hp.rms_eps)
-            lg = (h @ params["output"]).astype(jnp.float32)
+            # last stage emits logits for the microbatch that just left;
+            # lax.cond skips the head matmul on every other (stage, tick)
             m_out = t - (pp - 1)
             use = (stage == pp - 1) & (m_out >= 0) & (m_out < M)
             mo = jnp.clip(m_out, 0, M - 1)
-            old = jax.lax.dynamic_slice(
-                acc, (mo, 0, 0, 0), (1, b, T, v_loc))
-            upd = jnp.where(use, lg[None], old)
-            acc = jax.lax.dynamic_update_slice(acc, upd, (mo, 0, 0, 0))
+
+            def do_head(acc):
+                h = _rms(x_out, params["output_norm"], hp.rms_eps)
+                lg = (h @ params["output"]).astype(jnp.float32)
+                return jax.lax.dynamic_update_slice(
+                    acc, lg[None], (mo, 0, 0, 0))
+
+            acc = jax.lax.cond(use, do_head, lambda a: a, acc)
             x = jax.lax.ppermute(
                 x_out, PIPE_AXIS, [(i, (i + 1) % pp) for i in range(pp)])
             return (x, k_c, v_c, acc), None
@@ -213,20 +241,21 @@ def make_pipeline_infer_step(hp, mesh: Mesh, batch: int, seq: int):
             tick, (x0, k_c, v_c, logits_acc), jnp.arange(n_ticks))
         # logits live on the last stage only; replicate across pipe
         logits_acc = jax.lax.psum(logits_acc, PIPE_AXIS)
-        return logits_acc.reshape(B, T, v_loc), k_c, v_c
+        return logits_acc.reshape((B, T, v_loc)), KVCache(k_c, v_c)
 
     from jax.experimental.shard_map import shard_map
 
     fn = shard_map(
         spmd, mesh=mesh,
-        in_specs=(specs, P(), P(), k_spec, v_spec, P()),
-        out_specs=(P(None, None, MODEL_AXIS), k_spec, v_spec),
+        in_specs=(specs, P(), P(), c_specs, P()),
+        out_specs=(P(None, None, MODEL_AXIS), c_specs),
         check_rep=False,
     )
 
-    @functools.partial(jax.jit, donate_argnums=(3, 4))
-    def step(params, tokens, positions, k_c, v_c, offset):
-        return fn(params, tokens, positions, k_c, v_c, offset)
+    @functools.partial(jax.jit, donate_argnames=("cache",))
+    def step(params, tokens, positions, cache, offsets):
+        logits, cache = fn(params, tokens, positions, cache, offsets)
+        return logits[:, :, : hp.n_vocab], cache
 
     return step
 
@@ -236,7 +265,9 @@ class PipelineEngine:
 
     The multi-stage serving path the reference reaches with
     --split-mode layer over N GPUs (src/llama-model.cpp:2616). Plain
-    llama-family graphs (no MoE/bias variants); weights enter dense.
+    llama-family graphs (no MoE/bias variants); weights enter dense. For
+    continuous batching on a pipe mesh, use BatchEngine(mesh=...) which
+    drives the same step function through the server scheduler.
     """
 
     def __init__(self, model_path, *, mesh: Mesh, batch: int | None = None,
@@ -260,31 +291,18 @@ class PipelineEngine:
         self.cache = make_stacked_cache(self.hp, self.batch, max_seq, mesh,
                                         dtype=dtype)
         self.n_past = np.zeros((self.batch,), np.int64)
-        self._steps: dict = {}
-
-    def _step_for(self, T: int):
-        fn = self._steps.get(T)
-        if fn is None:
-            fn = make_pipeline_infer_step(self.hp, self.mesh, self.batch, T)
-            self._steps[T] = fn
-        return fn
+        self._step = make_pipeline_step(self.hp, mesh)
 
     def forward_batch(self, tokens: np.ndarray) -> np.ndarray:
-        """Run [B, T] tokens through the pipeline (all rows advance in
-        lockstep); returns logits [B, T, n_vocab] f32."""
+        """Run [B, T] tokens through the pipeline; rows may sit at different
+        positions (per-row offsets); returns logits [B, T, n_vocab] f32."""
         B, T = tokens.shape
         if B != self.batch:
             raise ValueError(f"batch {B} != engine batch {self.batch}")
-        off = int(self.n_past[0])
-        if not (self.n_past == off).all():
-            raise ValueError("pipeline rows must advance in lockstep")
-        pos = np.broadcast_to(
-            np.arange(off, off + T, dtype=np.int32), (B, T))
-        step = self._step_for(T)
-        k, v = self.cache
-        logits, k, v = step(
+        offs = self.n_past.astype(np.int32)
+        pos = offs[:, None] + np.arange(T, dtype=np.int32)[None]
+        logits, self.cache = self._step(
             self.params, jnp.asarray(tokens.astype(np.int32)),
-            jnp.asarray(pos), k, v, jnp.int32(off))
-        self.cache = (k, v)
+            jnp.asarray(pos), self.cache, jnp.asarray(offs))
         self.n_past += T
-        return np.asarray(logits[:, :, : self.hp.n_vocab])
+        return np.asarray(logits)

@@ -46,11 +46,23 @@ class BatchEngine:
         self.hp = load_hparams(self.reader)
         self.arch = get_arch(self.hp.arch)
         self.tokenizer = tokenizer_mod.from_gguf(self.reader)
-        self.params = self.arch.build_params(self.reader, self.hp, mode=mode, dtype=dtype)
         self.n_slots = n_slots
         self.max_seq = max_seq
         self.prefill_chunk = min(prefill_chunk, max_seq)
         self.kv_dtype = kv_dtype
+        self._pipe = mesh is not None and "pipe" in getattr(
+            mesh, "axis_names", ())
+        if self._pipe:
+            # layer-split serving: the same scheduler contract
+            # (tokens/positions/cache/offsets step) backed by the pipeline
+            # SPMD program — ≡ the reference server over a --split-mode
+            # layer model (src/llama-model.cpp:2616 + update_slots)
+            self.mesh = mesh
+            self._init_pipeline(mesh, dtype)
+            self.n_past = np.zeros(n_slots, dtype=np.int32)
+            self.perf = PerfCounters(t_load_s=time.perf_counter() - t0)
+            return
+        self.params = self.arch.build_params(self.reader, self.hp, mode=mode, dtype=dtype)
         if self.arch.make_cache is not None:
             self.cache = self.arch.make_cache(self.hp, n_slots, max_seq, kv_dtype)
         elif (
@@ -117,6 +129,50 @@ class BatchEngine:
                 return fwd(hp, params, tokens, positions, cache, offsets)
 
         self._step = _step
+
+    def _init_pipeline(self, mesh, dtype):
+        from ..parallel.pipeline import MODEL_AXIS, PIPE_AXIS
+        from ..parallel.pipeline_infer import (
+            make_pipeline_step,
+            make_stacked_cache,
+            place_stacked_infer,
+        )
+
+        hp = self.hp
+        pp = mesh.shape[PIPE_AXIS]
+        tp = mesh.shape[MODEL_AXIS]
+        if self.arch.recurrent or self.arch.make_cache is not None:
+            raise NotImplementedError(
+                f"{hp.arch}: pipeline serving needs a plain positional KV "
+                "cache"
+            )
+        if isinstance(self.kv_dtype, str):
+            raise NotImplementedError(
+                "quantized KV is not wired on a pipe mesh yet"
+            )
+        if self.n_slots % pp:
+            raise ValueError(
+                f"n_slots {self.n_slots} must be divisible by pp {pp} "
+                "(slots are the microbatch dimension)"
+            )
+        if hp.n_head % tp or (tp > 1 and hp.n_head_kv % tp):
+            raise ValueError(
+                f"heads ({hp.n_head}/{hp.n_head_kv}) must divide tp {tp}"
+            )
+        # quantized files widen to dense here — the stacked stage layout
+        # feeds MXU matmuls directly
+        raw = self.arch.build_params(self.reader, hp, mode="dense",
+                                     dtype=jnp.float32)
+        try:
+            self.params, _ = place_stacked_infer(raw, hp, mesh, dtype=dtype)
+        except KeyError as e:
+            raise NotImplementedError(
+                f"{hp.arch}: pipeline serving covers the plain llama "
+                f"family (missing weight {e})"
+            ) from None
+        self.cache = make_stacked_cache(hp, self.n_slots, self.max_seq,
+                                        mesh, dtype=self.kv_dtype)
+        self._step = make_pipeline_step(hp, mesh)
 
     def precompile(self, widths: tuple = (), background: bool = False):
         """Compile the batched step for every token-shape the scheduler can
@@ -272,6 +328,10 @@ class BatchEngine:
                      normalize: bool = True) -> np.ndarray:
         """Pooled embedding computed in an idle slot (slot state is consumed
         and freed). ≡ server embeddings endpoint over a borrowed slot."""
+        if self._pipe:
+            raise NotImplementedError(
+                "embeddings are not wired on a pipe mesh; use a tp/dp mesh"
+            )
         pooling = pooling or (
             self.hp.pooling if self.hp.pooling != "none" else "mean"
         )

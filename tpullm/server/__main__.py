@@ -29,6 +29,10 @@ def main(argv=None):
     ap.add_argument("--dp", type=int, default=1,
                     help="data-parallel ways: serving slots shard over "
                          "replica groups")
+    ap.add_argument("--pp", type=int, default=1,
+                    help="pipeline-parallel stages: layer-split serving "
+                         "with a stage-resident KV cache (≡ --split-mode "
+                         "layer; composes with --tp, excludes --dp)")
     ap.add_argument("--kv-type", default=None, choices=["f16", "bf16", "f32", "q8_0"],
                     help="KV cache storage type (≡ -ctk/-ctv)")
     ap.add_argument("--draft-model", default=None,
@@ -77,7 +81,20 @@ def main(argv=None):
               f"{info['global_devices']} global devices", file=sys.stderr)
 
     mesh = None
-    if args.tp > 1 or args.dp > 1:
+    if args.pp > 1:
+        if args.dp > 1:
+            ap.error("--pp shards slots as microbatches; it composes with "
+                     "--tp but not --dp")
+        import jax as _jax
+        import numpy as _np
+        from jax.sharding import Mesh as _Mesh
+
+        n = args.pp * args.tp
+        mesh = _Mesh(
+            _np.asarray(_jax.devices()[:n]).reshape(args.pp, args.tp),
+            ("pipe", "model"),
+        )
+    elif args.tp > 1 or args.dp > 1:
         from ..parallel import make_mesh
 
         mesh = make_mesh(tp=args.tp, dp=args.dp)
