@@ -193,10 +193,15 @@ def forward(
     cache: KVCache,
     cache_offset,  # scalar int: write position in the cache
     return_hidden: bool = False,  # trace-time switch: final-norm hidden states
+    last_index=None,  # int32 scalar: compute the head for this row only
 ) -> tuple[jax.Array, KVCache]:
     """Returns (logits [B, T, n_vocab] f32, updated cache); with
     return_hidden, (hidden [B, T, E] f32, cache) instead (embeddings path,
-    ≡ llama_get_embeddings).
+    ≡ llama_get_embeddings). With last_index=i, logits are [B, 1, n_vocab]
+    for position i only — the prefill fast path (≡ llama_batch.logits
+    flagging just the final token: the reference skips the lm_head for all
+    other rows, and at T=512 the head is ~6% of an 8B model's FLOPs plus a
+    [T, n_vocab] f32 buffer).
 
     `tokens` may be float [B, T, E] — precomputed input embeddings (the
     multimodal path, ≡ llama_batch.embd / mtmd media chunks)."""
@@ -274,4 +279,7 @@ def forward(
 
     if return_hidden:
         return rms_norm(x, params["output_norm"], hp.rms_eps).astype(jnp.float32), cache
+    if last_index is not None:
+        x = jax.lax.dynamic_slice_in_dim(
+            x, jnp.asarray(last_index, jnp.int32), 1, axis=1)
     return output_head(hp, params, x), cache

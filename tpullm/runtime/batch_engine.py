@@ -130,6 +130,15 @@ class BatchEngine:
 
         self._step = _step
 
+        from .engine import _get_prefill_step
+
+        # last-row-only lm_head for prefill chunks (≡ llama_batch.logits
+        # flagging just the final prompt token); recurrent forwards ignore
+        # offsets per-row so they keep the plain step
+        self._prefill_step = (
+            None if self.arch.recurrent else _get_prefill_step(fwd, hp)
+        )
+
     def _init_pipeline(self, mesh, dtype):
         from ..parallel.pipeline import MODEL_AXIS, PIPE_AXIS
         from ..parallel.pipeline_infer import (
@@ -173,6 +182,7 @@ class BatchEngine:
         self.cache = make_stacked_cache(hp, self.n_slots, self.max_seq,
                                         mesh, dtype=self.kv_dtype)
         self._step = make_pipeline_step(hp, mesh)
+        self._prefill_step = None
 
     def precompile(self, widths: tuple = (), background: bool = False):
         """Compile the batched step for every token-shape the scheduler can
@@ -183,13 +193,16 @@ class BatchEngine:
         thread when background=True."""
 
         def _widths():
-            yield 1
-            yield from widths
+            # (width, use_prefill_variant): decode + speculative-verify
+            # widths run the full step, prefill buckets the last-row-head one
+            yield 1, False
+            for w in widths:
+                yield w, False
             if not self.arch.recurrent:  # recurrent prefills are exact-length
                 for b in PREFILL_BUCKETS:
                     if b > min(self.prefill_chunk, self.max_seq):
                         break
-                    yield b
+                    yield b, self._prefill_step is not None
 
         def _sds(t):
             return jax.tree.map(
@@ -200,11 +213,16 @@ class BatchEngine:
         def _run():
             p, c = _sds(self.params), _sds(self.cache)
             offs = jax.ShapeDtypeStruct((self.n_slots,), jnp.int32)
-            for t in _widths():
+            n_last = jax.ShapeDtypeStruct((), jnp.int32)
+            for t, use_prefill in _widths():
                 toks = jax.ShapeDtypeStruct((self.n_slots, t), jnp.int32)
                 pos = jax.ShapeDtypeStruct((self.n_slots, t), jnp.int32)
                 try:
-                    self._step.lower(p, toks, pos, c, offs).compile()
+                    if use_prefill:
+                        self._prefill_step.lower(
+                            p, toks, pos, c, offs, n_last).compile()
+                    else:
+                        self._step.lower(p, toks, pos, c, offs).compile()
                 except Exception:  # never take the server down from warmup
                     import logging
 
@@ -295,14 +313,22 @@ class BatchEngine:
         pos[slot] = np.arange(start, start + bucket)
         offsets = np.full(self.n_slots, -1, dtype=np.int32)
         offsets[slot] = start
-        logits, self.cache = self._step(
-            self.params, jnp.asarray(buf), jnp.asarray(pos), self.cache,
-            jnp.asarray(offsets),
-        )
+        if self._prefill_step is not None:
+            logits, self.cache = self._prefill_step(
+                self.params, jnp.asarray(buf), jnp.asarray(pos), self.cache,
+                jnp.asarray(offsets), jnp.int32(n - 1),
+            )
+            out = np.asarray(logits[slot, 0])
+        else:
+            logits, self.cache = self._step(
+                self.params, jnp.asarray(buf), jnp.asarray(pos), self.cache,
+                jnp.asarray(offsets),
+            )
+            out = np.asarray(logits[slot, n - 1])
         self.n_past[slot] = start + n
         self.perf.t_prefill_s += time.perf_counter() - t0
         self.perf.n_prefill += n
-        return np.asarray(logits[slot, n - 1])
+        return out
 
     def _prefill_chunk(self, slot: int, chunk: list[int]) -> np.ndarray:
         n = len(chunk)
@@ -316,6 +342,13 @@ class BatchEngine:
         pos[slot] = np.arange(start, start + bucket)
         offsets = np.full(self.n_slots, -1, dtype=np.int32)
         offsets[slot] = start
+        if self._prefill_step is not None:
+            logits, self.cache = self._prefill_step(
+                self.params, jnp.asarray(toks), jnp.asarray(pos), self.cache,
+                jnp.asarray(offsets), jnp.int32(n - 1),
+            )
+            self.n_past[slot] = start + n
+            return np.asarray(logits[slot, 0])
         logits, self.cache = self._step(
             self.params, jnp.asarray(toks), jnp.asarray(pos), self.cache,
             jnp.asarray(offsets),

@@ -43,6 +43,33 @@ def _get_step(fwd, hp):
     return step
 
 
+def _supports_last_index(fwd) -> bool:
+    import inspect
+
+    try:
+        return "last_index" in inspect.signature(fwd).parameters
+    except (TypeError, ValueError):
+        return False
+
+
+def _get_prefill_step(fwd, hp):
+    """Prefill variant computing the lm_head for one flagged row only
+    (≡ llama_batch.logits marking just the last prompt token); returns
+    logits [B, 1, V]. None when the arch's forward has no last_index."""
+    if not _supports_last_index(fwd):
+        return None
+    key = (fwd, repr(hp), "last")
+    step = _STEP_CACHE.get(key)
+    if step is None:
+        @functools.partial(jax.jit, donate_argnames=("cache",))
+        def step(params, tokens, positions, cache, offset, n_last):
+            return fwd(hp, params, tokens, positions, cache, offset,
+                       last_index=n_last)
+
+        _STEP_CACHE[key] = step
+    return step
+
+
 def _get_device_gen(fwd, hp, chunk: int):
     """Device-resident generation: prefill-and-sample plus a lax.scan decode
     chunk. Only sampled token ids cross back to the host (the ≡ of the
@@ -55,10 +82,18 @@ def _get_device_gen(fwd, hp, chunk: int):
 
     from ..ops.sampling_ops import sample_token
 
+    last_ok = _supports_last_index(fwd)
+
     @functools.partial(jax.jit, donate_argnames=("cache",))
     def prefill_sample(params, tokens, positions, cache, offset, n_last, rng, sp):
-        logits, cache = fwd(hp, params, tokens, positions, cache, offset)
-        tok = sample_token(logits[0, n_last].astype(jnp.float32), rng, sp)
+        if last_ok:  # skip the lm_head for all but the flagged row
+            logits, cache = fwd(hp, params, tokens, positions, cache, offset,
+                                last_index=n_last)
+            row = logits[0, 0]
+        else:
+            logits, cache = fwd(hp, params, tokens, positions, cache, offset)
+            row = logits[0, n_last]
+        tok = sample_token(row.astype(jnp.float32), rng, sp)
         return tok, cache
 
     @functools.partial(jax.jit, donate_argnames=("cache",))
@@ -187,6 +222,7 @@ class Engine:
         self.perf = PerfCounters(t_load_s=time.perf_counter() - t0)
 
         self._step = _get_step(self.arch.forward, self.hp)
+        self._prefill_step = _get_prefill_step(self.arch.forward, self.hp)
         if self.arch.enc_dec:  # T5: jitted encoder filling the cross cache
             enc = self.arch.encode
             hp = self.hp
@@ -247,11 +283,18 @@ class Engine:
         toks = np.zeros((self.batch, bucket), dtype=np.int32)
         toks[0, :n] = tokens
         pos = self._positions(bucket)
-        logits, self.cache = self._step(
-            self.params, jnp.asarray(toks), jnp.asarray(pos), self.cache,
-            jnp.int32(self.n_past),
-        )
-        out = np.asarray(logits[0, n - 1])
+        if self._prefill_step is not None:
+            logits, self.cache = self._prefill_step(
+                self.params, jnp.asarray(toks), jnp.asarray(pos), self.cache,
+                jnp.int32(self.n_past), jnp.int32(n - 1),
+            )
+            out = np.asarray(logits[0, 0])
+        else:
+            logits, self.cache = self._step(
+                self.params, jnp.asarray(toks), jnp.asarray(pos), self.cache,
+                jnp.int32(self.n_past),
+            )
+            out = np.asarray(logits[0, n - 1])
         self.n_past += n
         self.perf.t_prefill_s += time.perf_counter() - t0
         self.perf.n_prefill += n
@@ -328,11 +371,18 @@ class Engine:
         buf[0, :n] = embds
         pos = np.arange(self.n_past, self.n_past + bucket, dtype=np.int32)
         pos = np.broadcast_to(pos, (self.batch, bucket))
-        logits, self.cache = self._step(
-            self.params, jnp.asarray(buf), jnp.asarray(pos), self.cache,
-            jnp.int32(self.n_past),
-        )
-        out = np.asarray(logits[0, n - 1])
+        if self._prefill_step is not None:
+            logits, self.cache = self._prefill_step(
+                self.params, jnp.asarray(buf), jnp.asarray(pos), self.cache,
+                jnp.int32(self.n_past), jnp.int32(n - 1),
+            )
+            out = np.asarray(logits[0, 0])
+        else:
+            logits, self.cache = self._step(
+                self.params, jnp.asarray(buf), jnp.asarray(pos), self.cache,
+                jnp.int32(self.n_past),
+            )
+            out = np.asarray(logits[0, n - 1])
         self.n_past += n
         self.perf.t_prefill_s += time.perf_counter() - t0
         self.perf.n_prefill += n
