@@ -116,9 +116,13 @@ def attn_block(
     B, T = x.shape[:2]
     scale = hp.attn_scale if hp.attn_scale is not None else hp.head_dim ** -0.5
     h = rms_norm(x, layer["attn_norm"], hp.rms_eps)
-    q = layer["wq"](h)
-    k = layer["wk"](h)
-    v = layer["wv"](h)
+    fused = layer.get("wqkv")
+    if fused is not None:  # one plane stream for q|k|v (FusedLinear)
+        q, k, v = fused(h)
+    else:
+        q = layer["wq"](h)
+        k = layer["wk"](h)
+        v = layer["wv"](h)
     if layer["bq"] is not None:
         q = q + layer["bq"].astype(q.dtype)
     if layer["bk"] is not None:
@@ -254,14 +258,19 @@ def forward(
             if cvec is not None:
                 x = x + cvec[li].astype(x.dtype)
             continue
-        up = layer["w_up"](h)
-        if layer["w_gate"] is not None:
+        fgu = layer.get("wgu")
+        if fgu is not None:  # one plane stream for gate|up
+            gate, up = fgu(h)
+            act = jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
+        elif layer["w_gate"] is not None:
+            up = layer["w_up"](h)
             gate = layer["w_gate"](h)
             act = jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
         elif hp.xielu is not None:
             # apertus xIELU (ggml_xielu, softplus folding done in hparams):
             # x>0 → αp·x² + β·x; x≤0 → (expm1(min(x,eps)) − x)·αn + β·x
             an, ap, bb, ee = hp.xielu[li]
+            up = layer["w_up"](h)
             uf = up.astype(jnp.float32)
             act = jnp.where(
                 uf > 0.0,
@@ -269,6 +278,7 @@ def forward(
                 (jnp.expm1(jnp.minimum(uf, ee)) - uf) * an + bb * uf,
             ).astype(up.dtype)
         else:  # gateless ReLU² FFN (arcee, llm_build_arcee LLM_FFN_RELU_SQR)
+            up = layer["w_up"](h)
             act = jnp.square(jax.nn.relu(up.astype(jnp.float32))).astype(up.dtype)
         ffn = layer["w_down"](act)
         if hp.residual_scale != 1.0:  # granite

@@ -76,7 +76,86 @@ class QuantLinear:
         return cls(gtype, n_out, n_in, dict(zip(keys, children)))
 
 
-Linear = Any  # DenseLinear | QuantLinear
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class FusedLinear:
+    """Output-concatenation of K same-input linears computed as ONE matmul.
+
+    The decode step is weight-bandwidth bound; fusing QKV (and gate+up)
+    into a single plane stream reads the same bytes in one long contiguous
+    pass and launches one kernel instead of three (≡ the fork's MMQ batching
+    discipline — fewer, larger streaming dots). Numerically exact: each
+    output column is computed by the same kernel math at the same position,
+    only the N-tiling grouping changes. __call__ returns the split outputs.
+    """
+
+    base: Any  # DenseLinear | QuantLinear over the concatenated n_out
+    splits: tuple[int, ...]
+
+    def __call__(self, x: jax.Array) -> tuple[jax.Array, ...]:
+        out = self.base(x)
+        bounds = np.cumsum(self.splits[:-1]).tolist()
+        return tuple(jnp.split(out, bounds, axis=-1))
+
+    def tree_flatten(self):
+        return (self.base,), (self.splits,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux[0])
+
+
+def fuse_linears(linears: list) -> "FusedLinear | None":
+    """Concatenate same-type, same-n_in linears along n_out; None when the
+    set is heterogeneous (e.g. Q4_K wq/wk beside a Q6_K wv — the ftype
+    recipes mix per-layer types, so fusion is a per-layer decision)."""
+    splits = tuple(int(l.n_out) for l in linears)
+    if all(isinstance(l, DenseLinear) for l in linears):
+        if len({l.w.dtype for l in linears}) != 1 or \
+                len({l.n_in for l in linears}) != 1:
+            return None
+        return FusedLinear(
+            DenseLinear(jnp.concatenate([l.w for l in linears], axis=1)),
+            splits,
+        )
+    if all(isinstance(l, QuantLinear) for l in linears):
+        if len({l.gtype for l in linears}) != 1 or \
+                len({l.n_in for l in linears}) != 1 or \
+                len({tuple(sorted(l.planes)) for l in linears}) != 1:
+            return None
+        planes = {
+            nm: jnp.concatenate([l.planes[nm] for l in linears], axis=1)
+            for nm in linears[0].planes
+        }
+        return FusedLinear(
+            QuantLinear(linears[0].gtype, sum(splits), linears[0].n_in,
+                        planes),
+            splits,
+        )
+    return None
+
+
+def fuse_llama_params(params: dict) -> dict:
+    """Fuse each layer's QKV and gate+up projections in place (llama-family
+    param layout). Layers whose projections mix quant types keep the
+    separate linears. Consumed by attn_block/forward via layer['wqkv'] /
+    layer['wgu']; the original keys are cleared so the planes aren't held
+    twice."""
+    for layer in params["layers"]:
+        if all(layer.get(k) is not None for k in ("wq", "wk", "wv")):
+            f = fuse_linears([layer["wq"], layer["wk"], layer["wv"]])
+            if f is not None:
+                layer["wqkv"] = f
+                layer["wq"] = layer["wk"] = layer["wv"] = None
+        if layer.get("w_gate") is not None and layer.get("w_up") is not None:
+            f = fuse_linears([layer["w_gate"], layer["w_up"]])
+            if f is not None:
+                layer["wgu"] = f
+                layer["w_gate"] = layer["w_up"] = None
+    return params
+
+
+Linear = Any  # DenseLinear | QuantLinear | FusedLinear
 
 
 def dense_from_info(info: GGUFTensorInfo, dtype=jnp.bfloat16) -> DenseLinear:

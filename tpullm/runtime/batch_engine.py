@@ -63,6 +63,18 @@ class BatchEngine:
             self.perf = PerfCounters(t_load_s=time.perf_counter() - t0)
             return
         self.params = self.arch.build_params(self.reader, self.hp, mode=mode, dtype=dtype)
+        if mesh is None:
+            # fused QKV / gate+up weight streams (see Engine._maybe_fuse;
+            # the TP sharding rules key on the unfused names, so mesh
+            # serving keeps them separate)
+            import os as _os
+
+            from ..models import llama as _llama
+            from ..models.weights import fuse_llama_params
+
+            if (self.arch.forward is _llama.forward
+                    and _os.environ.get("TPULLM_FUSE_QKV", "1") != "0"):
+                self.params = fuse_llama_params(self.params)
         if self.arch.make_cache is not None:
             self.cache = self.arch.make_cache(self.hp, n_slots, max_seq, kv_dtype)
         elif (

@@ -183,6 +183,7 @@ class Engine:
                 v = load_control_vector(cv_path, self.hp.n_layer, strength)
                 total = v if total is None else total + v
             self.params["cvec"] = jnp.asarray(_np.asarray(total))
+        self._maybe_fuse(mesh)
         self.max_seq = max_seq
         self.batch = batch
         self.kv_dtype = kv_dtype
@@ -232,6 +233,25 @@ class Engine:
                 return enc(hp, params, toks, enc_len, cache)
 
             self._encode = _encode
+
+    def _maybe_fuse(self, mesh):
+        """Fuse per-layer QKV / gate+up weight streams (decode is
+        weight-bandwidth bound; one long contiguous read beats three).
+        Plain llama-family forwards only; skipped with LoRA wrappers (the
+        adapters target the named projections) and under a mesh (the TP
+        sharding rules key on the unfused names). TPULLM_FUSE_QKV=0 opts
+        out."""
+        import os as _os
+
+        if mesh is not None or self.lora_info:
+            return
+        if _os.environ.get("TPULLM_FUSE_QKV", "1") == "0":
+            return
+        from ..models import llama as _llama
+        from ..models.weights import fuse_llama_params
+
+        if self.arch.forward is _llama.forward:
+            self.params = fuse_llama_params(self.params)
 
     # -- core ops ---------------------------------------------------------------
 

@@ -92,8 +92,12 @@ def _capture_layer_states(engine, text: str) -> np.ndarray:
         for li, layer in enumerate(params["layers"]):
             x, cache = attn_block(hp, layer, x, pos, cache, li, 0, mask, offsets)
             h = rms_norm(x, layer["ffn_norm"], hp.rms_eps)
-            gate = layer["w_gate"](h)
-            up = layer["w_up"](h)
+            fgu = layer.get("wgu")  # engines fuse gate|up (FusedLinear)
+            if fgu is not None:
+                gate, up = fgu(h)
+            else:
+                gate = layer["w_gate"](h)
+                up = layer["w_up"](h)
             x = x + layer["w_down"](
                 jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
             )
