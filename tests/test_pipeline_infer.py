@@ -161,6 +161,38 @@ def test_scheduler_on_pipe_mesh(model_path):
     assert got == ref and len(got) > 0
 
 
+def test_pipe_mesh_quantized_weights(model_path, tmp_path):
+    """mode=quant on the pipe mesh: uniform-type weights stay packed (fused
+    qmm stage-locally) and logits match the unsharded quant engine."""
+    from jax.sharding import Mesh
+
+    from tpullm.runtime.batch_engine import BatchEngine
+    from tpullm.tools.quantize import quantize_model
+
+    qpath = tmp_path / "pp_q8.gguf"
+    quantize_model(str(model_path), str(qpath), "Q8_0", verbose=False)
+
+    def run(mesh):
+        eng = BatchEngine(qpath, n_slots=2, max_seq=32, mode="quant",
+                          dtype=jnp.float32, kv_dtype=jnp.float32, mesh=mesh)
+        lg = eng.prefill_slot(0, [1, 5, 9, 2, 7])
+        step = eng.decode_batch({0: int(np.argmax(lg))})
+        return [lg, step[0]], eng
+
+    ref, _ = run(None)
+    mesh = Mesh(np.asarray(jax.devices()[:2]).reshape(2, 1),
+                ("pipe", "model"))
+    got, eng = run(mesh)
+    # the packed names really are packed (plane dicts in the stack)
+    assert isinstance(eng.params["stack"]["wq"], dict)
+    # the pipeline widens head/embd to f32 while the unsharded kernel casts
+    # dequantized weights to bf16, so parity is format-noise-bounded
+    for r, g in zip(ref, got):
+        assert int(np.argmax(g)) == int(np.argmax(r))
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-2, atol=1e-2)
+
+
 def test_batch_engine_pipe_mesh_guards(model_path):
     from jax.sharding import Mesh
 

@@ -41,9 +41,7 @@ from ..runtime.kvcache import KVCache
 from .pipeline import (
     MODEL_AXIS,
     PIPE_AXIS,
-    STACKED_WEIGHTS,
     param_specs,
-    stack_llama_params,
     _rms,
 )
 
@@ -65,42 +63,106 @@ def make_stacked_cache(hp, batch: int, max_seq: int, mesh: Mesh,
     )
 
 
-def place_stacked_infer(params: dict, hp, mesh: Mesh, dtype=jnp.bfloat16):
-    """Stack per-layer params and place them with pipe/TP shardings.
+# GGUF tensor stems for the stacked per-layer weights
+_STACK_TENSORS = {
+    "wq": "attn_q", "wk": "attn_k", "wv": "attn_v", "wo": "attn_output",
+    "w_gate": "ffn_gate", "w_up": "ffn_up", "w_down": "ffn_down",
+}
+_STACK_NORMS = {"attn_norm": "attn_norm", "ffn_norm": "ffn_norm"}
 
-    Returns (stacked_params, n_vocab_padded). The output head's vocab dim is
-    padded up to a tp multiple; padded logit columns are sliced off inside
-    the jitted step.
+
+def load_stacked_serving(reader, hp, mesh: Mesh, dtype=jnp.bfloat16,
+                         mode: str = "auto"):
+    """Load + stack llama-family weights for pipeline serving straight from
+    the GGUF, keeping quantized plane streams packed where possible.
+
+    Per weight name: when every layer shares one kernel-supported quant type
+    (and the stage runs tp=1 — plane row/column layouts don't shard), the
+    packed planes stack to [L, rows, N] and decode through the fused qmm
+    kernel stage-locally; otherwise that name widens to a dense [L, K, N]
+    stack. (Q4_K_M mixes attn_v/ffn_down types across layers, so those
+    names widen while attn_q/attn_k/ffn_gate/ffn_up stay packed — ≡ the
+    reference running a quantized model under --split-mode layer.)
+
+    Returns (placed_params, qmeta, n_vocab_padded); qmeta maps weight name →
+    (gtype, n_out, n_in) for packed names (static kernel metadata).
     """
+    from ..gguf.constants import TYPE_TRAITS
+    from ..ops import qmatmul as qm
+
+    t = reader.tensors
     pp = mesh.shape[PIPE_AXIS]
     tp = mesh.shape[MODEL_AXIS]
     if hp.n_layer % pp:
         raise ValueError(f"n_layer {hp.n_layer} must divide pp {pp}")
-    stacked = stack_llama_params(params)
+    for bad in ("attn_q.bias", "attn_q_norm.weight", "ffn_gate_inp.weight"):
+        if f"blk.0.{bad}" in t:
+            raise NotImplementedError(
+                f"pipeline serving covers plain llama graphs "
+                f"(blk.*.{bad} present)"
+            )
     specs = param_specs(hp, pp, tp)
 
     def put(x, spec):
-        return jax.device_put(jnp.asarray(x, dtype), NamedSharding(mesh, spec))
+        return jax.device_put(x, NamedSharding(mesh, spec))
 
-    w_out = stacked["output"]
-    if w_out is None:
-        w_out = stacked["tok_embd"].T
+    qmeta: dict = {}
+    stack: dict = {}
+    for key, stem in _STACK_TENSORS.items():
+        infos = [t[f"blk.{i}.{stem}.weight"] for i in range(hp.n_layer)]
+        gtypes = {inf.ggml_type for inf in infos}
+        quantized = TYPE_TRAITS[infos[0].ggml_type].is_quantized
+        if (mode != "dense" and tp == 1 and len(gtypes) == 1 and quantized
+                and qm.supports(infos[0].ggml_type)):
+            gtype = infos[0].ggml_type
+            n_in, n_out = infos[0].shape[0], infos[0].shape[1]
+            per_layer = [qm.repack(inf.data, gtype, n_out, n_in)
+                         for inf in infos]
+            stack[key] = {
+                nm: put(jnp.stack([pl[nm] for pl in per_layer]), P(PIPE_AXIS))
+                for nm in per_layer[0]
+            }
+            qmeta[key] = (gtype, n_out, n_in)
+        else:
+            ws = np.stack([inf.to_numpy().T for inf in infos])  # [L, K, N]
+            stack[key] = put(jnp.asarray(ws, dtype), specs["stack"][key])
+    for key, stem in _STACK_NORMS.items():
+        vs = np.stack([t[f"blk.{i}.{stem}.weight"].to_numpy()
+                       for i in range(hp.n_layer)])
+        stack[key] = put(jnp.asarray(vs, jnp.float32), P(PIPE_AXIS))
+
+    emb = jnp.asarray(t["token_embd.weight"].to_numpy(), dtype)
+    if "output.weight" in t:
+        w_out = jnp.asarray(t["output.weight"].to_numpy().T, dtype)
+    else:
+        w_out = emb.T
     pad = (-w_out.shape[1]) % tp
     if pad:
         w_out = jnp.pad(w_out, ((0, 0), (0, pad)))
-    placed = {
-        "tok_embd": put(stacked["tok_embd"], specs["tok_embd"]),
-        "output_norm": put(stacked["output_norm"], specs["output_norm"]),
-        "output": put(w_out, specs["output"]),
-        "stack": {
-            k: put(v, specs["stack"][k]) for k, v in stacked["stack"].items()
-        },
+    params = {
+        "tok_embd": put(emb, P()),
+        "output_norm": put(
+            jnp.asarray(t["output_norm.weight"].to_numpy(), jnp.float32),
+            P()),
+        "output": put(w_out, P(None, MODEL_AXIS)),
+        "stack": stack,
     }
-    return placed, w_out.shape[1]
+    return params, qmeta, w_out.shape[1]
+
+
+def _mm(x, w, meta):
+    """x @ weight where `w` is a dense [K, N] array or a packed-plane dict
+    (meta = static (gtype, n_out, n_in) → fused dequant matmul)."""
+    if meta is None:
+        return x @ w
+    from ..models.weights import QuantLinear
+    from ..ops import qmatmul as qm
+
+    return qm.matmul(x, QuantLinear(*meta, w)).astype(x.dtype)
 
 
 def _layer_cached(hp, tp: int, w, x, positions, k_l, v_l, offs, batch_start,
-                  tick_valid):
+                  tick_valid, qmeta):
     """One llama block against a stage-local cache slice.
 
     x: [b, T, E]; positions: [b, T]; k_l/v_l: [B, Hkv_local, S, D] (full
@@ -118,9 +180,9 @@ def _layer_cached(hp, tp: int, w, x, positions, k_l, v_l, offs, batch_start,
     S = k_l.shape[2]
 
     h = _rms(x, w["attn_norm"], hp.rms_eps)
-    q = (h @ w["wq"]).reshape(b, T, n_head_l, hd)
-    k = (h @ w["wk"]).reshape(b, T, n_kv_l, hd)
-    v = (h @ w["wv"]).reshape(b, T, n_kv_l, hd_v)
+    q = _mm(h, w["wq"], qmeta.get("wq")).reshape(b, T, n_head_l, hd)
+    k = _mm(h, w["wk"], qmeta.get("wk")).reshape(b, T, n_kv_l, hd)
+    v = _mm(h, w["wv"], qmeta.get("wv")).reshape(b, T, n_kv_l, hd_v)
     q = apply_rope(q, positions, hp.rope)
     k = apply_rope(k, positions, hp.rope)
 
@@ -156,16 +218,18 @@ def _layer_cached(hp, tp: int, w, x, positions, k_l, v_l, offs, batch_start,
     attn = jnp.einsum("bhgts,bhsd->bthgd", probs,
                       vb.astype(jnp.float32)).astype(x.dtype)
     attn = attn.reshape(b, T, n_head_l * hd_v)
-    x = x + jax.lax.psum(attn @ w["wo"], MODEL_AXIS)
+    x = x + jax.lax.psum(_mm(attn, w["wo"], qmeta.get("wo")), MODEL_AXIS)
 
     h = _rms(x, w["ffn_norm"], hp.rms_eps)
-    act = jax.nn.silu((h @ w["w_gate"]).astype(jnp.float32)).astype(h.dtype) \
-        * (h @ w["w_up"])
-    x = x + jax.lax.psum(act @ w["w_down"], MODEL_AXIS)
+    act = jax.nn.silu(
+        _mm(h, w["w_gate"], qmeta.get("w_gate")).astype(jnp.float32)
+    ).astype(h.dtype) * _mm(h, w["w_up"], qmeta.get("w_up"))
+    x = x + jax.lax.psum(_mm(act, w["w_down"], qmeta.get("w_down")),
+                         MODEL_AXIS)
     return x, k_l, v_l
 
 
-def make_pipeline_step(hp, mesh: Mesh):
+def make_pipeline_step(hp, mesh: Mesh, qmeta: dict | None = None):
     """Jitted serving step with the BatchEngine contract:
 
         step(params, tokens [B,T] int32 | embds [B,T,E], positions [B,T],
@@ -174,11 +238,18 @@ def make_pipeline_step(hp, mesh: Mesh):
     B must divide into M = pp microbatches; rows with offset −1 are idle
     (cache write masked, their logits are garbage the caller ignores). One
     program per (B, T, input-rank) via jit retracing; the cache is donated
-    so decode runs in place.
+    so decode runs in place. `qmeta` marks weight names whose stack entries
+    are packed quant planes (see load_stacked_serving).
     """
+    qmeta = qmeta or {}
     pp = mesh.shape[PIPE_AXIS]
     tp = mesh.shape[MODEL_AXIS]
     specs = param_specs(hp, pp, tp)
+    if qmeta:  # plane dicts: one pipe-axis prefix spec covers every plane
+        specs = {**specs, "stack": {
+            k: (P(PIPE_AXIS) if k in qmeta else v)
+            for k, v in specs["stack"].items()
+        }}
     c_specs = cache_specs()
 
     def spmd(params, tokens, positions, cache, offsets):
@@ -216,7 +287,8 @@ def make_pipeline_step(hp, mesh: Mesh):
             def body(xc, layer_state):
                 w, k_l, v_l = layer_state
                 xn, k_l, v_l = _layer_cached(
-                    hp, tp, w, xc, pos, k_l, v_l, offs, bs, tick_valid)
+                    hp, tp, w, xc, pos, k_l, v_l, offs, bs, tick_valid,
+                    qmeta)
                 return xn, (k_l, v_l)
 
             x_out, (k_c, v_c) = jax.lax.scan(body, x, (stack, k_c, v_c))
@@ -271,27 +343,24 @@ class PipelineEngine:
     """
 
     def __init__(self, model_path, *, mesh: Mesh, batch: int | None = None,
-                 max_seq: int = 2048, dtype=jnp.bfloat16):
+                 max_seq: int = 2048, dtype=jnp.bfloat16, mode: str = "auto"):
         from ..gguf.reader import GGUFReader
-        from ..models.registry import get_arch, load_hparams
+        from ..models.registry import load_hparams
         from .. import tokenizer as tokenizer_mod
 
         self.reader = GGUFReader(model_path)
         self.hp = load_hparams(self.reader)
-        arch = get_arch(self.hp.arch)
         self.tokenizer = tokenizer_mod.from_gguf(self.reader)
-        raw = arch.build_params(self.reader, self.hp, mode="dense",
-                                dtype=jnp.float32)
         self.mesh = mesh
         self.pp = mesh.shape[PIPE_AXIS]
         self.batch = batch if batch is not None else self.pp
         self.max_seq = max_seq
-        self.params, self.n_vocab_pad = place_stacked_infer(
-            raw, self.hp, mesh, dtype=dtype)
+        self.params, self.qmeta, self.n_vocab_pad = load_stacked_serving(
+            self.reader, self.hp, mesh, dtype=dtype, mode=mode)
         self.cache = make_stacked_cache(self.hp, self.batch, max_seq, mesh,
                                         dtype=dtype)
         self.n_past = np.zeros((self.batch,), np.int64)
-        self._step = make_pipeline_step(self.hp, mesh)
+        self._step = make_pipeline_step(self.hp, mesh, self.qmeta)
 
     def forward_batch(self, tokens: np.ndarray) -> np.ndarray:
         """Run [B, T] tokens through the pipeline; rows may sit at different

@@ -58,7 +58,7 @@ class BatchEngine:
             # SPMD program — ≡ the reference server over a --split-mode
             # layer model (src/llama-model.cpp:2616 + update_slots)
             self.mesh = mesh
-            self._init_pipeline(mesh, dtype)
+            self._init_pipeline(mesh, dtype, mode)
             self.n_past = np.zeros(n_slots, dtype=np.int32)
             self.perf = PerfCounters(t_load_s=time.perf_counter() - t0)
             return
@@ -151,12 +151,12 @@ class BatchEngine:
             None if self.arch.recurrent else _get_prefill_step(fwd, hp)
         )
 
-    def _init_pipeline(self, mesh, dtype):
+    def _init_pipeline(self, mesh, dtype, mode):
         from ..parallel.pipeline import MODEL_AXIS, PIPE_AXIS
         from ..parallel.pipeline_infer import (
+            load_stacked_serving,
             make_pipeline_step,
             make_stacked_cache,
-            place_stacked_infer,
         )
 
         hp = self.hp
@@ -180,12 +180,9 @@ class BatchEngine:
             raise ValueError(
                 f"heads ({hp.n_head}/{hp.n_head_kv}) must divide tp {tp}"
             )
-        # quantized files widen to dense here — the stacked stage layout
-        # feeds MXU matmuls directly
-        raw = self.arch.build_params(self.reader, hp, mode="dense",
-                                     dtype=jnp.float32)
         try:
-            self.params, _ = place_stacked_infer(raw, hp, mesh, dtype=dtype)
+            self.params, qmeta, _ = load_stacked_serving(
+                self.reader, hp, mesh, dtype=dtype, mode=mode)
         except KeyError as e:
             raise NotImplementedError(
                 f"{hp.arch}: pipeline serving covers the plain llama "
@@ -193,7 +190,7 @@ class BatchEngine:
             ) from None
         self.cache = make_stacked_cache(hp, self.n_slots, self.max_seq,
                                         mesh, dtype=self.kv_dtype)
-        self._step = make_pipeline_step(hp, mesh)
+        self._step = make_pipeline_step(hp, mesh, qmeta)
         self._prefill_step = None
 
     def precompile(self, widths: tuple = (), background: bool = False):
