@@ -115,11 +115,10 @@ def bench_streams(model: str, n_par: int = 32, ctx: int = 1024,
     for slot in range(n_par):
         eng.prefill_slot(slot, rng.integers(3, 900, size=pp).tolist())
     cur = {s: 5 for s in range(n_par)}
-    eng.decode_batch(cur)  # compile
-    t0 = time.perf_counter()
+    eng.decode_batch_greedy(cur)  # compile (ids-only readback: [B] int32,
+    t0 = time.perf_counter()      # not [B, V] f32 logits over the host link)
     for _ in range(tg):
-        logits = eng.decode_batch(cur)
-        cur = {s: int(np.argmax(l[:32])) for s, l in logits.items()}
+        cur = eng.decode_batch_greedy(cur)
     dt = time.perf_counter() - t0
     return {"streams": n_par, "tg_steps": tg,
             "agg_tok_s": round(n_par * tg / dt, 1),
@@ -138,6 +137,16 @@ def main():
     log(f"load+repack: {time.time()-t0:.1f}s")
 
     tps, extra = bench_decode(eng)
+
+    if os.environ.get("TPULLM_BENCH_QUICK"):  # decode-only A/B runs
+        print(json.dumps({
+            "metric": "decode_tokens_per_sec_8B_Q4_K_M_single_chip",
+            "value": round(tps, 2),
+            "unit": "tok/s",
+            "vs_baseline": round(tps / BASELINE_TG, 3),
+            "extra": extra,
+        }))
+        return
 
     try:
         pp = bench_pp512(eng)

@@ -88,6 +88,25 @@ def test_scheduler_single_request(engine):
         sched.stop()
 
 
+def test_decode_batch_greedy_matches_logits_argmax(engine):
+    """The ids-only device-greedy step must equal host argmax of
+    decode_batch logits for the same slots."""
+    def fresh():
+        eng = BatchEngine(engine.reader.path, n_slots=2, max_seq=128,
+                          mode="dense")
+        lg0 = eng.prefill_slot(0, [1, 5, 9, 2, 7])
+        lg1 = eng.prefill_slot(1, [3, 8, 4])
+        feed = {0: int(np.argmax(lg0)), 1: int(np.argmax(lg1))}
+        return eng, feed
+
+    eng_a, feed = fresh()
+    ref = {s: int(np.argmax(l))
+           for s, l in eng_a.decode_batch(feed).items()}
+    eng_b, feed_b = fresh()
+    assert feed_b == feed
+    assert eng_b.decode_batch_greedy(feed) == ref
+
+
 def test_scheduler_concurrent_requests(engine):
     sched = Scheduler(engine)
     sched.start()

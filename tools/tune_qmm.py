@@ -29,6 +29,9 @@ SHAPES = [  # (K, N, label) — llama-3-8B decode matmuls
     (4096, 1024, "wk/wv"),
     (4096, 14336, "gate/up"),
     (14336, 4096, "down"),
+    # fused streams (models/weights.py FusedLinear: default decode path)
+    (4096, 6144, "wqkv-fused"),
+    (4096, 28672, "gate|up-fused"),
 ]
 
 

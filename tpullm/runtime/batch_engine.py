@@ -512,6 +512,43 @@ class BatchEngine:
             jnp.asarray(idx, jnp.int32), jnp.asarray(delta, jnp.int32),
         )
 
+    def decode_batch_greedy(self, tokens: dict[int, int]) -> dict[int, int]:
+        """One decode step returning argmax token ids only (computed on
+        device): readback shrinks from [B, V] f32 logits to [B] int32 — the
+        batched analog of the single-stream engine's on-device sampling.
+        Only exact for pure-greedy slots (no penalties/bias/grammar — the
+        scheduler gates on Scheduler._device_greedy_ok)."""
+        if not hasattr(self, "_greedy_step"):
+            base = self._step
+
+            @functools.partial(jax.jit, donate_argnames=("cache",))
+            def _greedy(params, toks, pos, cache, offsets):
+                logits, cache = base(params, toks, pos, cache, offsets)
+                return jnp.argmax(logits[:, -1, :], axis=-1).astype(
+                    jnp.int32), cache
+
+            self._greedy_step = _greedy
+        t0 = time.perf_counter()
+        toks = np.zeros((self.n_slots, 1), dtype=np.int32)
+        pos = np.zeros((self.n_slots, 1), dtype=np.int32)
+        offsets = np.full(self.n_slots, -1, dtype=np.int32)
+        for slot, tok in tokens.items():
+            toks[slot, 0] = tok
+            pos[slot, 0] = self.n_past[slot]
+            offsets[slot] = self.n_past[slot]
+        ids, self.cache = self._greedy_step(
+            self.params, jnp.asarray(toks), jnp.asarray(pos), self.cache,
+            jnp.asarray(offsets),
+        )
+        ids = np.asarray(ids)
+        out = {}
+        for slot in tokens:
+            self.n_past[slot] += 1
+            out[slot] = int(ids[slot])
+        self.perf.t_decode_s += time.perf_counter() - t0
+        self.perf.n_decode += len(tokens)
+        return out
+
     def decode_batch(self, tokens: dict[int, int]) -> dict[int, np.ndarray]:
         """One decode step for the given {slot: token}; returns {slot: logits}."""
         t0 = time.perf_counter()
