@@ -33,6 +33,20 @@ PIPE_AXIS = "pipe"
 MODEL_AXIS = "model"
 
 
+def shard_map_compat(fn, mesh, in_specs, out_specs):
+    """jax.shard_map across the 0.8 API move (check_rep → check_vma)."""
+    try:
+        from jax import shard_map as sm
+
+        return sm(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                  check_vma=False)
+    except (ImportError, TypeError):  # pragma: no cover — older jax
+        from jax.experimental.shard_map import shard_map as sm
+
+        return sm(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                  check_rep=False)
+
+
 def make_mesh3(dp: int, pp: int, tp: int, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     n = dp * pp * tp
@@ -255,13 +269,10 @@ def make_pipeline_train_step(hp, mesh: Mesh, lr: float = 1e-3):
         new_params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
         return new_params, loss
 
-    from jax.experimental.shard_map import shard_map
-
-    fn = shard_map(
+    fn = shard_map_compat(
         spmd, mesh=mesh,
         in_specs=(specs, token_spec),
         out_specs=(specs, P()),
-        check_rep=False,
     )
     return jax.jit(fn)
 

@@ -42,6 +42,7 @@ from .pipeline import (
     MODEL_AXIS,
     PIPE_AXIS,
     param_specs,
+    shard_map_compat,
     _rms,
 )
 
@@ -315,13 +316,10 @@ def make_pipeline_step(hp, mesh: Mesh, qmeta: dict | None = None):
         logits_acc = jax.lax.psum(logits_acc, PIPE_AXIS)
         return logits_acc.reshape((B, T, v_loc)), KVCache(k_c, v_c)
 
-    from jax.experimental.shard_map import shard_map
-
-    fn = shard_map(
+    fn = shard_map_compat(
         spmd, mesh=mesh,
         in_specs=(specs, P(), P(), c_specs, P()),
         out_specs=(P(None, None, MODEL_AXIS), c_specs),
-        check_rep=False,
     )
 
     @functools.partial(jax.jit, donate_argnames=("cache",))

@@ -99,16 +99,15 @@ def ring_attention(q, k, v, mesh: Mesh, scale: float,
     """Driver: q,k,v [B, T, H(:kv), D] get sequence-sharded over
     `axis_name`, attention runs as a ring, output comes back sharded the
     same way. T must divide by the axis size."""
-    from jax.experimental.shard_map import shard_map
+    from .pipeline import shard_map_compat
 
     spec = P(None, axis_name, None, None)
-    fn = shard_map(
+    fn = shard_map_compat(
         functools.partial(ring_attention_local, scale=scale,
                           axis_name=axis_name),
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,
-        check_rep=False,
     )
     return fn(q, k, v)
 
