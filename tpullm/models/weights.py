@@ -135,6 +135,24 @@ def fuse_linears(linears: list) -> "FusedLinear | None":
     return None
 
 
+def maybe_fuse_llama(arch, params: dict, mesh=None, lora: bool = False) -> dict:
+    """Single fusion-eligibility policy for both engines: plain llama-family
+    forwards only, unsharded (the TP rules key on the unfused names), no
+    LoRA wrappers (the adapters target the named projections); the
+    TPULLM_FUSE_QKV=0 env opts out."""
+    import os
+
+    from . import llama as _llama
+
+    if mesh is not None or lora:
+        return params
+    if os.environ.get("TPULLM_FUSE_QKV", "1") == "0":
+        return params
+    if arch.forward is not _llama.forward:
+        return params
+    return fuse_llama_params(params)
+
+
 def fuse_llama_params(params: dict) -> dict:
     """Fuse each layer's QKV and gate+up projections in place (llama-family
     param layout). Layers whose projections mix quant types keep the

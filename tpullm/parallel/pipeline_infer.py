@@ -89,6 +89,8 @@ def load_stacked_serving(reader, hp, mesh: Mesh, dtype=jnp.bfloat16,
     (gtype, n_out, n_in) for packed names (static kernel metadata).
     """
     from ..gguf.constants import TYPE_TRAITS
+    from ..models import llama as _llama
+    from ..models.registry import get_arch
     from ..ops import qmatmul as qm
 
     t = reader.tensors
@@ -96,16 +98,64 @@ def load_stacked_serving(reader, hp, mesh: Mesh, dtype=jnp.bfloat16,
     tp = mesh.shape[MODEL_AXIS]
     if hp.n_layer % pp:
         raise ValueError(f"n_layer {hp.n_layer} must divide pp {pp}")
+    # the stage program hard-codes plain llama math — sharing llama TENSOR
+    # NAMES is not enough (gemma would load but diverge silently). Reject
+    # anything whose forward isn't llama.forward or whose hparams engage
+    # llama.forward features the stage program doesn't implement.
+    if get_arch(hp.arch).forward is not _llama.forward:
+        raise NotImplementedError(
+            f"{hp.arch}: pipeline serving covers the plain llama family"
+        )
+    nonplain = {
+        "no_rope_step": hp.no_rope_step != 0,
+        "max_alibi_bias": hp.max_alibi_bias > 0.0,
+        "sliding_window": hp.sliding_window > 0,
+        "embd_scale": hp.embd_scale != 1.0,
+        "residual_scale": hp.residual_scale != 1.0,
+        "logit_scale": hp.logit_scale != 1.0,
+        "attn_scale": hp.attn_scale is not None,
+        "non-causal": not hp.causal,
+        "xielu": hp.xielu is not None,
+    }
+    engaged = [k for k, v in nonplain.items() if v]
+    if engaged:
+        raise NotImplementedError(
+            f"{hp.arch}: pipeline serving doesn't implement {engaged}"
+        )
     for bad in ("attn_q.bias", "attn_q_norm.weight", "ffn_gate_inp.weight"):
         if f"blk.0.{bad}" in t:
             raise NotImplementedError(
                 f"pipeline serving covers plain llama graphs "
                 f"(blk.*.{bad} present)"
             )
+    for stem in list(_STACK_TENSORS.values()) + list(_STACK_NORMS.values()):
+        if f"blk.0.{stem}.weight" not in t:
+            raise NotImplementedError(
+                f"{hp.arch}: pipeline serving needs blk.*.{stem}.weight"
+            )
     specs = param_specs(hp, pp, tp)
 
     def put(x, spec):
         return jax.device_put(x, NamedSharding(mesh, spec))
+
+    def put_stacked(spec, leaf_shape, dtype_, layer_fn):
+        """Place an [L, ...] stack shard-by-shard: each device shard is
+        built from only ITS layers (read lazily off the mmap), so the full
+        unsharded stack never materializes in host RAM or on one device —
+        a dense-widened 70B ffn_down stack would otherwise be ~75 GB f32 on
+        the host and >HBM on one chip before resharding."""
+        shape = (hp.n_layer,) + tuple(leaf_shape)
+        sharding = NamedSharding(mesh, spec)
+
+        def cb(index):
+            ls = index[0]
+            start = 0 if ls.start is None else ls.start
+            stop = shape[0] if ls.stop is None else ls.stop
+            block = np.stack([np.asarray(layer_fn(i), dtype_)
+                              for i in range(start, stop)])
+            return block[(slice(None),) + tuple(index[1:])]
+
+        return jax.make_array_from_callback(shape, sharding, cb)
 
     qmeta: dict = {}
     stack: dict = {}
@@ -117,16 +167,24 @@ def load_stacked_serving(reader, hp, mesh: Mesh, dtype=jnp.bfloat16,
                 and qm.supports(infos[0].ggml_type)):
             gtype = infos[0].ggml_type
             n_in, n_out = infos[0].shape[0], infos[0].shape[1]
-            per_layer = [qm.repack(inf.data, gtype, n_out, n_in)
-                         for inf in infos]
+            # stage planes at packed size on host, then shard the stacks
+            per_layer = [
+                {nm: np.asarray(v)
+                 for nm, v in qm.repack(inf.data, gtype, n_out, n_in).items()}
+                for inf in infos
+            ]
             stack[key] = {
-                nm: put(jnp.stack([pl[nm] for pl in per_layer]), P(PIPE_AXIS))
-                for nm in per_layer[0]
+                nm: put_stacked(P(PIPE_AXIS), v0.shape, v0.dtype,
+                                lambda i, nm=nm: per_layer[i][nm])
+                for nm, v0 in per_layer[0].items()
             }
             qmeta[key] = (gtype, n_out, n_in)
         else:
-            ws = np.stack([inf.to_numpy().T for inf in infos])  # [L, K, N]
-            stack[key] = put(jnp.asarray(ws, dtype), specs["stack"][key])
+            n_in, n_out = infos[0].shape[0], infos[0].shape[1]
+            stack[key] = put_stacked(
+                specs["stack"][key], (n_in, n_out), dtype,
+                lambda i, infos=infos: infos[i].to_numpy().T,
+            )
     for key, stem in _STACK_NORMS.items():
         vs = np.stack([t[f"blk.{i}.{stem}.weight"].to_numpy()
                        for i in range(hp.n_layer)])
@@ -230,7 +288,8 @@ def _layer_cached(hp, tp: int, w, x, positions, k_l, v_l, offs, batch_start,
     return x, k_l, v_l
 
 
-def make_pipeline_step(hp, mesh: Mesh, qmeta: dict | None = None):
+def make_pipeline_step(hp, mesh: Mesh, qmeta: dict | None = None,
+                       last_only: bool = False):
     """Jitted serving step with the BatchEngine contract:
 
         step(params, tokens [B,T] int32 | embds [B,T,E], positions [B,T],
@@ -241,6 +300,12 @@ def make_pipeline_step(hp, mesh: Mesh, qmeta: dict | None = None):
     program per (B, T, input-rank) via jit retracing; the cache is donated
     so decode runs in place. `qmeta` marks weight names whose stack entries
     are packed quant planes (see load_stacked_serving).
+
+    With last_only the step takes a trailing n_last scalar and computes the
+    lm_head for that row alone, returning [B, 1, V] — the prefill fast path
+    (≡ llama_batch.logits flagging one token). Without it, a 512-token
+    prefill would carry a [M, b, T, V] f32 accumulator through the scan and
+    psum it across the pipe axis just to have the caller keep one row.
     """
     qmeta = qmeta or {}
     pp = mesh.shape[PIPE_AXIS]
@@ -253,7 +318,7 @@ def make_pipeline_step(hp, mesh: Mesh, qmeta: dict | None = None):
         }}
     c_specs = cache_specs()
 
-    def spmd(params, tokens, positions, cache, offsets):
+    def spmd(params, tokens, positions, cache, offsets, n_last):
         stage = jax.lax.axis_index(PIPE_AXIS)
         emb = params["tok_embd"]
         stack = params["stack"]
@@ -268,8 +333,9 @@ def make_pipeline_step(hp, mesh: Mesh, qmeta: dict | None = None):
         mb_offs = offsets.reshape(M, b)
         n_ticks = M + pp - 1
         E = hp.n_embd
+        T_out = 1 if last_only else T
         v_loc = params["output"].shape[1]
-        logits_acc = jnp.zeros((M, b, T, v_loc), jnp.float32)
+        logits_acc = jnp.zeros((M, b, T_out, v_loc), jnp.float32)
         x0 = jnp.zeros((b, T, E), jnp.float32)
         k_c, v_c = cache.k, cache.v
 
@@ -300,7 +366,11 @@ def make_pipeline_step(hp, mesh: Mesh, qmeta: dict | None = None):
             mo = jnp.clip(m_out, 0, M - 1)
 
             def do_head(acc):
-                h = _rms(x_out, params["output_norm"], hp.rms_eps)
+                xr = x_out
+                if last_only:  # one flagged row through the vocab matmul
+                    xr = jax.lax.dynamic_slice_in_dim(x_out, n_last, 1,
+                                                      axis=1)
+                h = _rms(xr, params["output_norm"], hp.rms_eps)
                 lg = (h @ params["output"]).astype(jnp.float32)
                 return jax.lax.dynamic_update_slice(
                     acc, lg[None], (mo, 0, 0, 0))
@@ -314,18 +384,26 @@ def make_pipeline_step(hp, mesh: Mesh, qmeta: dict | None = None):
             tick, (x0, k_c, v_c, logits_acc), jnp.arange(n_ticks))
         # logits live on the last stage only; replicate across pipe
         logits_acc = jax.lax.psum(logits_acc, PIPE_AXIS)
-        return logits_acc.reshape((B, T, v_loc)), KVCache(k_c, v_c)
+        return logits_acc.reshape((B, T_out, v_loc)), KVCache(k_c, v_c)
 
     fn = shard_map_compat(
         spmd, mesh=mesh,
-        in_specs=(specs, P(), P(), c_specs, P()),
+        in_specs=(specs, P(), P(), c_specs, P(), P()),
         out_specs=(P(None, None, MODEL_AXIS), c_specs),
     )
 
-    @functools.partial(jax.jit, donate_argnames=("cache",))
-    def step(params, tokens, positions, cache, offsets):
-        logits, cache = fn(params, tokens, positions, cache, offsets)
-        return logits[:, :, : hp.n_vocab], cache
+    if last_only:
+        @functools.partial(jax.jit, donate_argnames=("cache",))
+        def step(params, tokens, positions, cache, offsets, n_last):
+            logits, cache = fn(params, tokens, positions, cache, offsets,
+                               jnp.asarray(n_last, jnp.int32))
+            return logits[:, :, : hp.n_vocab], cache
+    else:
+        @functools.partial(jax.jit, donate_argnames=("cache",))
+        def step(params, tokens, positions, cache, offsets):
+            logits, cache = fn(params, tokens, positions, cache, offsets,
+                               jnp.int32(0))
+            return logits[:, :, : hp.n_vocab], cache
 
     return step
 

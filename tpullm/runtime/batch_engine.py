@@ -63,18 +63,9 @@ class BatchEngine:
             self.perf = PerfCounters(t_load_s=time.perf_counter() - t0)
             return
         self.params = self.arch.build_params(self.reader, self.hp, mode=mode, dtype=dtype)
-        if mesh is None:
-            # fused QKV / gate+up weight streams (see Engine._maybe_fuse;
-            # the TP sharding rules key on the unfused names, so mesh
-            # serving keeps them separate)
-            import os as _os
+        from ..models.weights import maybe_fuse_llama
 
-            from ..models import llama as _llama
-            from ..models.weights import fuse_llama_params
-
-            if (self.arch.forward is _llama.forward
-                    and _os.environ.get("TPULLM_FUSE_QKV", "1") != "0"):
-                self.params = fuse_llama_params(self.params)
+        self.params = maybe_fuse_llama(self.arch, self.params, mesh)
         if self.arch.make_cache is not None:
             self.cache = self.arch.make_cache(self.hp, n_slots, max_seq, kv_dtype)
         elif (
@@ -191,7 +182,8 @@ class BatchEngine:
         self.cache = make_stacked_cache(hp, self.n_slots, self.max_seq,
                                         mesh, dtype=self.kv_dtype)
         self._step = make_pipeline_step(hp, mesh, qmeta)
-        self._prefill_step = None
+        self._prefill_step = make_pipeline_step(hp, mesh, qmeta,
+                                                last_only=True)
 
     def precompile(self, widths: tuple = (), background: bool = False):
         """Compile the batched step for every token-shape the scheduler can
@@ -232,6 +224,10 @@ class BatchEngine:
                             p, toks, pos, c, offs, n_last).compile()
                     else:
                         self._step.lower(p, toks, pos, c, offs).compile()
+                        if t == 1:  # greedy ids-only decode (the scheduler's
+                            # default path for temp=0 traffic)
+                            self._ensure_greedy_step().lower(
+                                p, toks, pos, c, offs).compile()
                 except Exception:  # never take the server down from warmup
                     import logging
 
@@ -512,12 +508,7 @@ class BatchEngine:
             jnp.asarray(idx, jnp.int32), jnp.asarray(delta, jnp.int32),
         )
 
-    def decode_batch_greedy(self, tokens: dict[int, int]) -> dict[int, int]:
-        """One decode step returning argmax token ids only (computed on
-        device): readback shrinks from [B, V] f32 logits to [B] int32 — the
-        batched analog of the single-stream engine's on-device sampling.
-        Only exact for pure-greedy slots (no penalties/bias/grammar — the
-        scheduler gates on Scheduler._device_greedy_ok)."""
+    def _ensure_greedy_step(self):
         if not hasattr(self, "_greedy_step"):
             base = self._step
 
@@ -528,6 +519,15 @@ class BatchEngine:
                     jnp.int32), cache
 
             self._greedy_step = _greedy
+        return self._greedy_step
+
+    def decode_batch_greedy(self, tokens: dict[int, int]) -> dict[int, int]:
+        """One decode step returning argmax token ids only (computed on
+        device): readback shrinks from [B, V] f32 logits to [B] int32 — the
+        batched analog of the single-stream engine's on-device sampling.
+        Only exact for pure-greedy slots (no penalties/bias/grammar — the
+        scheduler gates on Scheduler._device_greedy_ok)."""
+        self._ensure_greedy_step()
         t0 = time.perf_counter()
         toks = np.zeros((self.n_slots, 1), dtype=np.int32)
         pos = np.zeros((self.n_slots, 1), dtype=np.int32)

@@ -237,21 +237,11 @@ class Engine:
     def _maybe_fuse(self, mesh):
         """Fuse per-layer QKV / gate+up weight streams (decode is
         weight-bandwidth bound; one long contiguous read beats three).
-        Plain llama-family forwards only; skipped with LoRA wrappers (the
-        adapters target the named projections) and under a mesh (the TP
-        sharding rules key on the unfused names). TPULLM_FUSE_QKV=0 opts
-        out."""
-        import os as _os
+        Policy lives in models.weights.maybe_fuse_llama."""
+        from ..models.weights import maybe_fuse_llama
 
-        if mesh is not None or self.lora_info:
-            return
-        if _os.environ.get("TPULLM_FUSE_QKV", "1") == "0":
-            return
-        from ..models import llama as _llama
-        from ..models.weights import fuse_llama_params
-
-        if self.arch.forward is _llama.forward:
-            self.params = fuse_llama_params(self.params)
+        self.params = maybe_fuse_llama(self.arch, self.params, mesh,
+                                       lora=bool(self.lora_info))
 
     # -- core ops ---------------------------------------------------------------
 

@@ -276,7 +276,7 @@ class Scheduler:
             p.greedy
             and p.mirostat == 0
             and not p.logit_bias
-            and p.penalty_repeat in (0.0, 1.0)
+            and p.penalty_repeat == 1.0
             and p.penalty_freq == 0.0
             and p.penalty_present == 0.0
             and p.dry_multiplier == 0.0
