@@ -126,9 +126,32 @@ def bench_streams(model: str, n_par: int = 32, ctx: int = 1024,
 
 
 def main():
+    # Device-acquisition watchdog: when the axon tunnel is down, jax device
+    # init blocks forever retrying the relay. Bound it so the driver gets an
+    # explanatory metric line instead of a hang. Covers ONLY device
+    # acquisition — compiles may legitimately take longer.
+    import threading
+
+    acquired = threading.Event()
+
+    def _watchdog():
+        if not acquired.wait(timeout=900):
+            print(json.dumps({
+                "metric": "decode_tokens_per_sec_8B_Q4_K_M_single_chip",
+                "value": 0.0,
+                "unit": "tok/s",
+                "vs_baseline": 0.0,
+                "extra": {"error": "TPU unreachable: jax device init hung "
+                                   ">900s (axon tunnel down)"},
+            }), flush=True)
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     import jax
 
     log("devices:", jax.devices())
+    acquired.set()
     from tpullm.runtime import Engine
 
     model = ensure_model()
