@@ -107,6 +107,30 @@ def test_decode_batch_greedy_matches_logits_argmax(engine):
     assert eng_b.decode_batch_greedy(feed) == ref
 
 
+def test_prefill_slots_matches_sequential(engine):
+    """Joint multi-slot prefill (one batched step per chunk round) must
+    reproduce sequential per-slot prefills exactly."""
+    prompts = {0: [1, 5, 9, 2, 7, 11, 4], 1: [3, 8, 4], 2: [6, 2, 9, 9, 1]}
+
+    eng_a = BatchEngine(engine.reader.path, n_slots=3, max_seq=128,
+                        mode="dense", prefill_chunk=4)
+    ref = {s: eng_a.prefill_slot(s, toks) for s, toks in prompts.items()}
+
+    eng_b = BatchEngine(engine.reader.path, n_slots=3, max_seq=128,
+                        mode="dense", prefill_chunk=4)
+    got = eng_b.prefill_slots(prompts)
+    assert set(got) == set(ref)
+    for s in prompts:
+        np.testing.assert_allclose(got[s], ref[s], rtol=2e-4, atol=2e-4)
+        assert eng_b.n_past[s] == eng_a.n_past[s] == len(prompts[s])
+    # the caches must agree too: decode one step per slot and compare
+    feed = {s: int(np.argmax(ref[s])) for s in prompts}
+    da = eng_a.decode_batch(feed)
+    db = eng_b.decode_batch(feed)
+    for s in prompts:
+        np.testing.assert_allclose(db[s], da[s], rtol=2e-4, atol=2e-4)
+
+
 def test_scheduler_concurrent_requests(engine):
     sched = Scheduler(engine)
     sched.start()

@@ -290,6 +290,11 @@ def forward(
     if return_hidden:
         return rms_norm(x, params["output_norm"], hp.rms_eps).astype(jnp.float32), cache
     if last_index is not None:
-        x = jax.lax.dynamic_slice_in_dim(
-            x, jnp.asarray(last_index, jnp.int32), 1, axis=1)
+        li = jnp.asarray(last_index, jnp.int32)
+        if li.ndim == 0:
+            x = jax.lax.dynamic_slice_in_dim(x, li, 1, axis=1)
+        else:  # per-row flagged positions (multi-slot batched prefill)
+            x = jax.vmap(
+                lambda xr, i: jax.lax.dynamic_slice_in_dim(xr, i, 1, axis=0)
+            )(x, li)
     return output_head(hp, params, x), cache

@@ -367,9 +367,12 @@ def make_pipeline_step(hp, mesh: Mesh, qmeta: dict | None = None,
 
             def do_head(acc):
                 xr = x_out
-                if last_only:  # one flagged row through the vocab matmul
-                    xr = jax.lax.dynamic_slice_in_dim(x_out, n_last, 1,
-                                                      axis=1)
+                if last_only:  # per-row flagged position through the head
+                    rows = n_last.reshape(M, b)[mo]
+                    xr = jax.vmap(
+                        lambda xrow, i: jax.lax.dynamic_slice_in_dim(
+                            xrow, i, 1, axis=0)
+                    )(x_out, rows)
                 h = _rms(xr, params["output_norm"], hp.rms_eps)
                 lg = (h @ params["output"]).astype(jnp.float32)
                 return jax.lax.dynamic_update_slice(
@@ -395,8 +398,11 @@ def make_pipeline_step(hp, mesh: Mesh, qmeta: dict | None = None,
     if last_only:
         @functools.partial(jax.jit, donate_argnames=("cache",))
         def step(params, tokens, positions, cache, offsets, n_last):
+            n_last = jnp.asarray(n_last, jnp.int32)
+            if n_last.ndim == 0:  # scalar = same flagged row for all slots
+                n_last = jnp.broadcast_to(n_last, (tokens.shape[0],))
             logits, cache = fn(params, tokens, positions, cache, offsets,
-                               jnp.asarray(n_last, jnp.int32))
+                               n_last)
             return logits[:, :, : hp.n_vocab], cache
     else:
         @functools.partial(jax.jit, donate_argnames=("cache",))

@@ -214,7 +214,7 @@ class BatchEngine:
         def _run():
             p, c = _sds(self.params), _sds(self.cache)
             offs = jax.ShapeDtypeStruct((self.n_slots,), jnp.int32)
-            n_last = jax.ShapeDtypeStruct((), jnp.int32)
+            n_last = jax.ShapeDtypeStruct((self.n_slots,), jnp.int32)
             for t, use_prefill in _widths():
                 toks = jax.ShapeDtypeStruct((self.n_slots, t), jnp.int32)
                 pos = jax.ShapeDtypeStruct((self.n_slots, t), jnp.int32)
@@ -292,6 +292,68 @@ class BatchEngine:
         self.perf.n_prefill += len(tokens)
         return logits_last
 
+    def prefill_slots(self, tokens: dict[int, list[int]]
+                      ) -> dict[int, np.ndarray]:
+        """Feed several slots' prompts in JOINT batched steps (≡ the
+        reference server packing multiple slots' prompt chunks into one
+        llama_batch under the n_batch budget): each step prefills one chunk
+        per slot with per-row offsets and per-row flagged head rows. Returns
+        {slot: last-token logits}. Recurrent archs fall back to sequential
+        exact-length prefills (row padding would pollute their state)."""
+        if self.arch.recurrent or len(tokens) == 1:
+            return {s: self.prefill_slot(s, toks)
+                    for s, toks in tokens.items()}
+        t0 = time.perf_counter()
+        remaining = {s: list(toks) for s, toks in tokens.items()}
+        for s, toks in remaining.items():
+            if int(self.n_past[s]) + len(toks) > self.max_seq:
+                raise ValueError(
+                    f"slot {s} context overflow: {self.n_past[s]}+{len(toks)}"
+                )
+        out: dict[int, np.ndarray] = {}
+        while remaining:
+            chunk = {s: toks[: self.prefill_chunk]
+                     for s, toks in remaining.items()}
+            bucket = self._bucket(max(len(c) for c in chunk.values()))
+            toks_b = np.zeros((self.n_slots, bucket), dtype=np.int32)
+            pos = np.zeros((self.n_slots, bucket), dtype=np.int32)
+            offsets = np.full(self.n_slots, -1, dtype=np.int32)
+            n_last = np.zeros(self.n_slots, dtype=np.int32)
+            for s, c in chunk.items():
+                start = int(self.n_past[s])
+                toks_b[s, : len(c)] = c
+                pos[s] = np.arange(start, start + bucket)
+                offsets[s] = start
+                n_last[s] = len(c) - 1
+            if self._prefill_step is not None:
+                logits, self.cache = self._prefill_step(
+                    self.params, jnp.asarray(toks_b), jnp.asarray(pos),
+                    self.cache, jnp.asarray(offsets), jnp.asarray(n_last),
+                )
+                logits = np.asarray(logits)
+                rows = {s: logits[s, 0] for s in chunk}
+            else:
+                logits, self.cache = self._step(
+                    self.params, jnp.asarray(toks_b), jnp.asarray(pos),
+                    self.cache, jnp.asarray(offsets),
+                )
+                logits = np.asarray(logits)
+                rows = {s: logits[s, len(c) - 1] for s, c in chunk.items()}
+            done = []
+            for s, c in chunk.items():
+                self.n_past[s] += len(c)
+                self.perf.n_prefill += len(c)
+                rest = remaining[s][len(c):]
+                if rest:
+                    remaining[s] = rest
+                else:
+                    out[s] = rows[s]
+                    done.append(s)
+            for s in done:
+                del remaining[s]
+        self.perf.t_prefill_s += time.perf_counter() - t0
+        return out
+
     def _bucket(self, n: int) -> int:
         # recurrent state would absorb pad tokens, so those prompts run at
         # exact length (one compile per length, as in the single-stream path)
@@ -319,9 +381,11 @@ class BatchEngine:
         offsets = np.full(self.n_slots, -1, dtype=np.int32)
         offsets[slot] = start
         if self._prefill_step is not None:
+            n_last = np.zeros(self.n_slots, dtype=np.int32)
+            n_last[slot] = n - 1
             logits, self.cache = self._prefill_step(
                 self.params, jnp.asarray(buf), jnp.asarray(pos), self.cache,
-                jnp.asarray(offsets), jnp.int32(n - 1),
+                jnp.asarray(offsets), jnp.asarray(n_last),
             )
             out = np.asarray(logits[slot, 0])
         else:
@@ -348,9 +412,11 @@ class BatchEngine:
         offsets = np.full(self.n_slots, -1, dtype=np.int32)
         offsets[slot] = start
         if self._prefill_step is not None:
+            n_last = np.zeros(self.n_slots, dtype=np.int32)
+            n_last[slot] = n - 1
             logits, self.cache = self._prefill_step(
                 self.params, jnp.asarray(toks), jnp.asarray(pos), self.cache,
-                jnp.asarray(offsets), jnp.int32(n - 1),
+                jnp.asarray(offsets), jnp.asarray(n_last),
             )
             self.n_past[slot] = start + n
             return np.asarray(logits[slot, 0])

@@ -225,22 +225,36 @@ class Scheduler:
                     except Exception as e:  # surface to the caller
                         job["out"].put(e)
                     did = True
-        # admit one pending request into a free slot (prompt phase)
+        # admit pending requests into free slots and run their prompt
+        # phases JOINTLY — one batched step per chunk round with per-slot
+        # offsets (≡ the reference packing several slots' prompt chunks
+        # into one llama_batch under the n_batch budget)
         free = self._free_slots()
-        if free and not self.pending.empty():
+        admitted: dict[int, _Slot] = {}
+        tails: dict[int, list[int]] = {}
+        while free and not self.pending.empty():
             try:
                 req = self.pending.get_nowait()
             except queue.Empty:
-                req = None
-            if req is not None:
-                # best-match slot by common prompt prefix (≡ server's
-                # launch_slot_with_task similarity selection)
-                slot = max(
-                    free,
-                    key=lambda s: self._common_prefix(s.tokens, req.prompt_ids),
-                )
-                self._admit(slot, req)
-                did = True
+                break
+            # best-match slot by common prompt prefix (≡ server's
+            # launch_slot_with_task similarity selection)
+            slot = max(
+                free,
+                key=lambda s: self._common_prefix(s.tokens, req.prompt_ids),
+            )
+            free.remove(slot)
+            did = True
+            tail = self._prepare_admit(slot, req)
+            if tail is not None:
+                admitted[slot.index] = slot
+                tails[slot.index] = tail
+        if tails:
+            first_logits = self.engine.prefill_slots(tails)
+            for idx, lg in first_logits.items():
+                s = admitted[idx]
+                s.state = SlotState.GENERATING
+                self._advance(s, lg, first=True)
 
         # one batched decode step over generating slots
         gen = {
@@ -388,11 +402,25 @@ class Scheduler:
             self._context_shift(slot)
 
     def _admit(self, slot: _Slot, req: GenRequest):
+        """Admit + prefill one request (single-slot path; _iteration batches
+        several via _prepare_admit + engine.prefill_slots)."""
+        tail = self._prepare_admit(slot, req)
+        if tail is None:
+            return
+        logits = self.engine.prefill_slot(slot.index, tail)
+        slot.state = SlotState.GENERATING
+        self._advance(slot, logits, first=True)
+
+    def _prepare_admit(self, slot: _Slot, req: GenRequest) -> list[int] | None:
+        """Slot bookkeeping for a new request up to (not including) the
+        prompt prefill. Returns the token tail still to prefill, or None
+        when the request was fully handled here (overflow error, or the
+        embeddings-prompt path which prefills inline)."""
         eng = self.engine
         n = len(req.prompt_ids) if req.prompt_embds is None else len(req.prompt_embds)
         if n >= eng.max_seq:
             req.out.put(("done", "context_overflow", {}))
-            return
+            return None
         slot.request = req
         if req.grammar:
             if req.grammar_triggers:
@@ -468,10 +496,10 @@ class Scheduler:
             eng.free_slot(slot.index)
             slot.tokens = []  # mixed-media prefix is not reusable by ids
             logits = eng.prefill_slot_embeddings(slot.index, req.prompt_embds)
-        else:
-            logits = eng.prefill_slot(slot.index, tail)
-        slot.state = SlotState.GENERATING
-        self._advance(slot, logits, first=True)
+            slot.state = SlotState.GENERATING
+            self._advance(slot, logits, first=True)
+            return None
+        return tail
 
     def _cache_reuse_shift(self, slot: _Slot, prompt: list[int],
                            n_common: int) -> int:
