@@ -371,6 +371,30 @@ def test_batch_engine_mesh_q8_kv(model8):
                                    rtol=5e-3, atol=5e-3)
 
 
+def test_batch_engine_ep_moe_serving(tmp_path):
+    """Continuous-batching MoE serving on a dp×ep×tp mesh (≡ north-star
+    Mixtral EP serving): expert stacks shard over 'expert', slots over
+    'data', and logits match the unsharded batch engine."""
+    from tpullm.models.testing import make_tiny_moe_gguf
+    from tpullm.parallel import make_mesh_ep
+    from tpullm.runtime.batch_engine import BatchEngine
+
+    path = make_tiny_moe_gguf(tmp_path / "moe.gguf")
+
+    def run(mesh):
+        eng = BatchEngine(path, n_slots=2, max_seq=64, mode="dense",
+                          dtype=jnp.float32, kv_dtype=jnp.float32, mesh=mesh)
+        lg = eng.prefill_slot(0, list(range(2, 20)))
+        step = eng.decode_batch({0: int(np.argmax(lg))})
+        return [lg, step[0]]
+
+    ref = run(None)
+    got = run(make_mesh_ep(dp=2, ep=2, tp=2))
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=3e-4, atol=3e-4)
+
+
 def test_shard_cache_specs(model8):
     from jax.sharding import PartitionSpec as P
 

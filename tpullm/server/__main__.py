@@ -33,6 +33,10 @@ def main(argv=None):
                     help="pipeline-parallel stages: layer-split serving "
                          "with a stage-resident KV cache (≡ --split-mode "
                          "layer; composes with --tp, excludes --dp)")
+    ap.add_argument("--ep", type=int, default=1,
+                    help="expert-parallel ways for MoE models: expert "
+                         "stacks shard over a dedicated mesh axis "
+                         "(composes with --tp/--dp, excludes --pp)")
     ap.add_argument("--kv-type", default=None, choices=["f16", "bf16", "f32", "q8_0"],
                     help="KV cache storage type (≡ -ctk/-ctv)")
     ap.add_argument("--draft-model", default=None,
@@ -82,9 +86,9 @@ def main(argv=None):
 
     mesh = None
     if args.pp > 1:
-        if args.dp > 1:
+        if args.dp > 1 or args.ep > 1:
             ap.error("--pp shards slots as microbatches; it composes with "
-                     "--tp but not --dp")
+                     "--tp but not --dp/--ep")
         import jax as _jax
         import numpy as _np
         from jax.sharding import Mesh as _Mesh
@@ -94,6 +98,10 @@ def main(argv=None):
             _np.asarray(_jax.devices()[:n]).reshape(args.pp, args.tp),
             ("pipe", "model"),
         )
+    elif args.ep > 1:
+        from ..parallel import make_mesh_ep
+
+        mesh = make_mesh_ep(dp=args.dp, ep=args.ep, tp=args.tp)
     elif args.tp > 1 or args.dp > 1:
         from ..parallel import make_mesh
 
