@@ -24,16 +24,16 @@ def run_case(eng, pp: int, tg: int, b: int) -> dict:
         eng.free_slot(slot)
 
     t0 = time.perf_counter()
-    for slot in range(b):
-        toks = rng.integers(3, vocab_top, size=pp).tolist()
-        eng.prefill_slot(slot, toks)
+    eng.prefill_slots({
+        slot: rng.integers(3, vocab_top, size=pp).tolist()
+        for slot in range(b)
+    })  # joint batched prompt phase (the scheduler's admission path)
     t_pp = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     cur = {slot: 5 for slot in range(b)}
     for _ in range(tg):
-        logits = eng.decode_batch(cur)
-        cur = {s: int(np.argmax(l[:32])) for s, l in logits.items()}
+        cur = eng.decode_batch_greedy(cur)  # ids-only readback
     t_tg = time.perf_counter() - t0
 
     n_pp, n_tg = pp * b, tg * b
