@@ -203,6 +203,28 @@ def test_batch_engine_pipe_mesh_guards(model_path):
     with pytest.raises(ValueError, match="divisible by pp"):
         BatchEngine(model_path, n_slots=3, max_seq=32, mode="dense",
                     dtype=jnp.float32, kv_dtype=jnp.float32, mesh=mesh)
-    with pytest.raises(NotImplementedError, match="quantized KV"):
-        BatchEngine(model_path, n_slots=4, max_seq=32, mode="dense",
-                    dtype=jnp.float32, kv_dtype="q8_0", mesh=mesh)
+
+
+def test_pipe_mesh_q8_kv(model_path):
+    """q8_0 KV on the pipe mesh (the fork's -ctk q8_0 headline config):
+    int8 codes + scales stay stage-resident; logits track the unsharded
+    q8-KV engine within quantization noise."""
+    from jax.sharding import Mesh
+
+    from tpullm.runtime.batch_engine import BatchEngine
+
+    def run(mesh):
+        eng = BatchEngine(model_path, n_slots=2, max_seq=32, mode="dense",
+                          dtype=jnp.float32, kv_dtype="q8_0", mesh=mesh)
+        lg = eng.prefill_slot(0, [1, 5, 9, 2, 7, 6, 11, 12])
+        step = eng.decode_batch({0: int(np.argmax(lg))})
+        return [lg, step[0]]
+
+    ref = run(None)
+    mesh = Mesh(np.asarray(jax.devices()[:2]).reshape(2, 1),
+                ("pipe", "model"))
+    got = run(mesh)
+    for r, g in zip(ref, got):
+        assert int(np.argmax(g)) == int(np.argmax(r))
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=5e-3, atol=5e-3)

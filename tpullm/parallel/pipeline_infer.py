@@ -47,21 +47,36 @@ from .pipeline import (
 )
 
 
-def cache_specs() -> KVCache:
-    """Spec tree for the stacked cache [L, B, Hkv, S, D]: layer dim on the
-    pipe axis, kv-head dim on the model axis."""
+def cache_specs(quant: bool = False):
+    """Spec tree for the stacked cache: layer dim on the pipe axis, kv-head
+    dim on the model axis ([L, B, Hkv, S, D] arrays; q8 adds [L, B, Hkv, S]
+    scale planes)."""
     spec = P(PIPE_AXIS, None, MODEL_AXIS)
+    if quant:
+        from ..runtime.kvcache import QuantKVCache
+
+        return QuantKVCache(spec, spec, spec, spec)
     return KVCache(spec, spec)
 
 
 def make_stacked_cache(hp, batch: int, max_seq: int, mesh: Mesh,
-                       dtype=jnp.bfloat16) -> KVCache:
-    cache = KVCache.new(hp, batch, max_seq, dtype)
-    specs = cache_specs()
-    return KVCache(
-        jax.device_put(cache.k, NamedSharding(mesh, specs.k)),
-        jax.device_put(cache.v, NamedSharding(mesh, specs.v)),
-    )
+                       dtype=jnp.bfloat16):
+    """Stage-resident cache; dtype 'q8_0' keeps int8 codes + per-vector
+    scales in HBM (≡ the fork's -ctk q8_0 headline config)."""
+    if isinstance(dtype, str):
+        if dtype != "q8_0":
+            raise NotImplementedError(f"pipe KV dtype {dtype!r}")
+        from ..runtime.kvcache import QuantKVCache
+
+        cache = QuantKVCache.new(hp, batch, max_seq)
+    else:
+        cache = KVCache.new(hp, batch, max_seq, dtype)
+    specs = cache_specs(isinstance(dtype, str))
+    leaves, treedef = jax.tree.flatten(cache)
+    spec_leaves = jax.tree.flatten(specs)[0]
+    placed = [jax.device_put(a, NamedSharding(mesh, s))
+              for a, s in zip(leaves, spec_leaves)]
+    return jax.tree.unflatten(treedef, placed)
 
 
 # GGUF tensor stems for the stacked per-layer weights
@@ -220,12 +235,13 @@ def _mm(x, w, meta):
     return qm.matmul(x, QuantLinear(*meta, w)).astype(x.dtype)
 
 
-def _layer_cached(hp, tp: int, w, x, positions, k_l, v_l, offs, batch_start,
+def _layer_cached(hp, tp: int, w, x, positions, c_l, offs, batch_start,
                   tick_valid, qmeta):
     """One llama block against a stage-local cache slice.
 
-    x: [b, T, E]; positions: [b, T]; k_l/v_l: [B, Hkv_local, S, D] (full
-    batch rows, this stage's layer); the microbatch occupies rows
+    x: [b, T, E]; positions: [b, T]; c_l: this stage's layer cache leaves —
+    (k, v) bf16 [B, Hkv_local, S, D], or (k_q, v_q, k_s, v_s) for q8 KV
+    (int8 codes + per-vector scales). The microbatch occupies rows
     [batch_start, batch_start+b). `offs` is the per-row write offset (−1 =
     idle slot, write masked). When `tick_valid` is false (pipeline fill /
     drain tick) every cache row is written back unchanged, so bubble ticks
@@ -236,7 +252,8 @@ def _layer_cached(hp, tp: int, w, x, positions, k_l, v_l, offs, batch_start,
     n_kv_l = max(hp.n_head_kv // tp, 1)
     hd = hp.head_dim
     hd_v = hp.head_dim_v
-    S = k_l.shape[2]
+    quant = len(c_l) == 4
+    S = c_l[0].shape[2]
 
     h = _rms(x, w["attn_norm"], hp.rms_eps)
     q = _mm(h, w["wq"], qmeta.get("wq")).reshape(b, T, n_head_l, hd)
@@ -251,19 +268,40 @@ def _layer_cached(hp, tp: int, w, x, positions, k_l, v_l, offs, batch_start,
     start = jnp.maximum(offs, 0)
 
     def upd(row_cache, new_row, off, ok):
-        # row_cache [Hkv, S, D], new_row [Hkv, T, D]
-        cur = jax.lax.dynamic_slice(row_cache, (0, off, 0), new_row.shape)
+        # row_cache [Hkv, S, ...], new_row [Hkv, T, ...]
+        zeros = (0,) * (new_row.ndim - 2)
+        cur = jax.lax.dynamic_slice(row_cache, (0, off) + zeros,
+                                    new_row.shape)
         src = jnp.where(ok, new_row.astype(row_cache.dtype), cur)
-        return jax.lax.dynamic_update_slice(row_cache, src, (0, off, 0))
+        return jax.lax.dynamic_update_slice(row_cache, src, (0, off) + zeros)
 
-    kb = jax.lax.dynamic_slice(k_l, (batch_start, 0, 0, 0),
-                               (b, n_kv_l, S, hd))
-    vb = jax.lax.dynamic_slice(v_l, (batch_start, 0, 0, 0),
-                               (b, n_kv_l, S, hd_v))
-    kb = jax.vmap(upd)(kb, k, start, row_ok)
-    vb = jax.vmap(upd)(vb, v, start, row_ok)
-    k_l = jax.lax.dynamic_update_slice(k_l, kb, (batch_start, 0, 0, 0))
-    v_l = jax.lax.dynamic_update_slice(v_l, vb, (batch_start, 0, 0, 0))
+    def rw(leaf, new_row):
+        """Write the microbatch's rows into one cache leaf and return
+        (updated leaf, this microbatch's full-S row block)."""
+        blk_shape = (b,) + leaf.shape[1:]
+        blk = jax.lax.dynamic_slice(
+            leaf, (batch_start,) + (0,) * (leaf.ndim - 1), blk_shape)
+        blk = jax.vmap(upd)(blk, new_row, start, row_ok)
+        leaf = jax.lax.dynamic_update_slice(
+            leaf, blk, (batch_start,) + (0,) * (leaf.ndim - 1))
+        return leaf, blk
+
+    if quant:
+        from ..runtime.kvcache import QuantKVCache
+
+        k_codes, k_scale = QuantKVCache._quantize(k)  # [b,H,T,D], [b,H,T]
+        v_codes, v_scale = QuantKVCache._quantize(v)
+        kq_l, kq_b = rw(c_l[0], k_codes)
+        vq_l, vq_b = rw(c_l[1], v_codes)
+        ks_l, ks_b = rw(c_l[2], k_scale)
+        vs_l, vs_b = rw(c_l[3], v_scale)
+        c_l = (kq_l, vq_l, ks_l, vs_l)
+        kb = kq_b.astype(jnp.float32) * ks_b[..., None]
+        vb = vq_b.astype(jnp.float32) * vs_b[..., None]
+    else:
+        k_l, kb = rw(c_l[0], k)
+        v_l, vb = rw(c_l[1], v)
+        c_l = (k_l, v_l)
 
     g = n_head_l // n_kv_l
     qf = q.reshape(b, T, n_kv_l, g, hd).astype(jnp.float32)
@@ -285,11 +323,11 @@ def _layer_cached(hp, tp: int, w, x, positions, k_l, v_l, offs, batch_start,
     ).astype(h.dtype) * _mm(h, w["w_up"], qmeta.get("w_up"))
     x = x + jax.lax.psum(_mm(act, w["w_down"], qmeta.get("w_down")),
                          MODEL_AXIS)
-    return x, k_l, v_l
+    return x, c_l
 
 
 def make_pipeline_step(hp, mesh: Mesh, qmeta: dict | None = None,
-                       last_only: bool = False):
+                       last_only: bool = False, quant_kv: bool = False):
     """Jitted serving step with the BatchEngine contract:
 
         step(params, tokens [B,T] int32 | embds [B,T,E], positions [B,T],
@@ -316,7 +354,7 @@ def make_pipeline_step(hp, mesh: Mesh, qmeta: dict | None = None,
             k: (P(PIPE_AXIS) if k in qmeta else v)
             for k, v in specs["stack"].items()
         }}
-    c_specs = cache_specs()
+    c_specs = cache_specs(quant_kv)
 
     def spmd(params, tokens, positions, cache, offsets, n_last):
         stage = jax.lax.axis_index(PIPE_AXIS)
@@ -337,10 +375,11 @@ def make_pipeline_step(hp, mesh: Mesh, qmeta: dict | None = None,
         v_loc = params["output"].shape[1]
         logits_acc = jnp.zeros((M, b, T_out, v_loc), jnp.float32)
         x0 = jnp.zeros((b, T, E), jnp.float32)
-        k_c, v_c = cache.k, cache.v
+        c_leaves, c_def = jax.tree.flatten(cache)
+        c_leaves = tuple(c_leaves)
 
         def tick(carry, t):
-            x, k_c, v_c, acc = carry
+            x, c_leaves, acc = carry
             ti = jnp.clip(t, 0, M - 1)
             feed = mb_toks[ti] if is_embd else emb[mb_toks[ti]]
             x = jnp.where((stage == 0) & (t < M), feed.astype(jnp.float32), x)
@@ -352,13 +391,14 @@ def make_pipeline_step(hp, mesh: Mesh, qmeta: dict | None = None,
             bs = mi * b
 
             def body(xc, layer_state):
-                w, k_l, v_l = layer_state
-                xn, k_l, v_l = _layer_cached(
-                    hp, tp, w, xc, pos, k_l, v_l, offs, bs, tick_valid,
-                    qmeta)
-                return xn, (k_l, v_l)
+                w = layer_state[0]
+                xn, c_l = _layer_cached(
+                    hp, tp, w, xc, pos, layer_state[1:], offs, bs,
+                    tick_valid, qmeta)
+                return xn, c_l
 
-            x_out, (k_c, v_c) = jax.lax.scan(body, x, (stack, k_c, v_c))
+            x_out, c_leaves = jax.lax.scan(
+                body, x, (stack,) + c_leaves)
             # last stage emits logits for the microbatch that just left;
             # lax.cond skips the head matmul on every other (stage, tick)
             m_out = t - (pp - 1)
@@ -381,13 +421,14 @@ def make_pipeline_step(hp, mesh: Mesh, qmeta: dict | None = None,
             acc = jax.lax.cond(use, do_head, lambda a: a, acc)
             x = jax.lax.ppermute(
                 x_out, PIPE_AXIS, [(i, (i + 1) % pp) for i in range(pp)])
-            return (x, k_c, v_c, acc), None
+            return (x, c_leaves, acc), None
 
-        (x, k_c, v_c, logits_acc), _ = jax.lax.scan(
-            tick, (x0, k_c, v_c, logits_acc), jnp.arange(n_ticks))
+        (x, c_leaves, logits_acc), _ = jax.lax.scan(
+            tick, (x0, c_leaves, logits_acc), jnp.arange(n_ticks))
         # logits live on the last stage only; replicate across pipe
         logits_acc = jax.lax.psum(logits_acc, PIPE_AXIS)
-        return logits_acc.reshape((B, T_out, v_loc)), KVCache(k_c, v_c)
+        return (logits_acc.reshape((B, T_out, v_loc)),
+                jax.tree.unflatten(c_def, list(c_leaves)))
 
     fn = shard_map_compat(
         spmd, mesh=mesh,

@@ -158,9 +158,9 @@ class BatchEngine:
                 f"{hp.arch}: pipeline serving needs a plain positional KV "
                 "cache"
             )
-        if isinstance(self.kv_dtype, str):
+        if isinstance(self.kv_dtype, str) and self.kv_dtype != "q8_0":
             raise NotImplementedError(
-                "quantized KV is not wired on a pipe mesh yet"
+                f"pipe KV dtype {self.kv_dtype!r} (q8_0 or a float dtype)"
             )
         if self.n_slots % pp:
             raise ValueError(
@@ -181,9 +181,10 @@ class BatchEngine:
             ) from None
         self.cache = make_stacked_cache(hp, self.n_slots, self.max_seq,
                                         mesh, dtype=self.kv_dtype)
-        self._step = make_pipeline_step(hp, mesh, qmeta)
-        self._prefill_step = make_pipeline_step(hp, mesh, qmeta,
-                                                last_only=True)
+        quant_kv = isinstance(self.kv_dtype, str)
+        self._step = make_pipeline_step(hp, mesh, qmeta, quant_kv=quant_kv)
+        self._prefill_step = make_pipeline_step(
+            hp, mesh, qmeta, last_only=True, quant_kv=quant_kv)
 
     def precompile(self, widths: tuple = (), background: bool = False):
         """Compile the batched step for every token-shape the scheduler can
