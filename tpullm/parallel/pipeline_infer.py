@@ -137,13 +137,40 @@ def load_stacked_serving(reader, hp, mesh: Mesh, dtype=jnp.bfloat16,
         raise NotImplementedError(
             f"{hp.arch}: pipeline serving doesn't implement {engaged}"
         )
-    for bad in ("attn_q.bias", "attn_q_norm.weight", "ffn_gate_inp.weight"):
+    for bad in ("attn_q.bias", "attn_q_norm.weight"):
         if f"blk.0.{bad}" in t:
             raise NotImplementedError(
                 f"pipeline serving covers plain llama graphs "
                 f"(blk.*.{bad} present)"
             )
-    for stem in list(_STACK_TENSORS.values()) + list(_STACK_NORMS.values()):
+    # mixtral-style MoE FFN (llama arch + ffn_gate_inp router): every layer
+    # must be MoE (a scan over stacked layers needs one homogeneous
+    # structure — deepseek dense-lead mixes are out), tp must be 1 (expert
+    # stacks are stage-local, unsharded)
+    moe = f"blk.0.ffn_gate_inp.weight" in t
+    if moe:
+        for bad in ("ffn_gate_shexp.weight", "exp_probs_b.bias"):
+            if f"blk.0.{bad}" in t:
+                raise NotImplementedError(
+                    f"pipeline serving: MoE variant blk.*.{bad} not wired"
+                )
+        if tp > 1:
+            raise NotImplementedError(
+                "MoE pipeline serving runs tp=1 stages (expert stacks are "
+                "stage-local)"
+            )
+        missing = [i for i in range(hp.n_layer)
+                   if f"blk.{i}.ffn_gate_inp.weight" not in t]
+        if missing:
+            raise NotImplementedError(
+                f"MoE pipeline serving needs every layer MoE (dense layers "
+                f"{missing[:4]}…)"
+            )
+    weight_stems = dict(_STACK_TENSORS)
+    if moe:
+        for k in ("w_gate", "w_up", "w_down"):
+            del weight_stems[k]
+    for stem in list(weight_stems.values()) + list(_STACK_NORMS.values()):
         if f"blk.0.{stem}.weight" not in t:
             raise NotImplementedError(
                 f"{hp.arch}: pipeline serving needs blk.*.{stem}.weight"
@@ -174,7 +201,25 @@ def load_stacked_serving(reader, hp, mesh: Mesh, dtype=jnp.bfloat16,
 
     qmeta: dict = {}
     stack: dict = {}
-    for key, stem in _STACK_TENSORS.items():
+    if moe:
+        stack["router"] = put_stacked(
+            P(PIPE_AXIS), (hp.n_embd, hp.n_expert), dtype,
+            lambda i: t[f"blk.{i}.ffn_gate_inp.weight"].to_numpy().T,
+        )
+        for key, stem in (("w_gate_exps", "ffn_gate_exps"),
+                          ("w_up_exps", "ffn_up_exps"),
+                          ("w_down_exps", "ffn_down_exps")):
+            inf0 = t[f"blk.0.{stem}.weight"]
+            # GGUF 3-D expert tensors arrive (E, n_out, n_in); moe_ffn wants
+            # [E, n_in, n_out] (models/llama.py experts())
+            e, n_out3, n_in3 = inf0.to_numpy().shape
+            stack[key] = put_stacked(
+                P(PIPE_AXIS), (e, n_in3, n_out3), dtype,
+                lambda i, stem=stem: np.ascontiguousarray(
+                    t[f"blk.{i}.{stem}.weight"].to_numpy().transpose(0, 2, 1)
+                ),
+            )
+    for key, stem in weight_stems.items():
         infos = [t[f"blk.{i}.{stem}.weight"] for i in range(hp.n_layer)]
         gtypes = {inf.ggml_type for inf in infos}
         quantized = TYPE_TRAITS[infos[0].ggml_type].is_quantized
@@ -318,6 +363,16 @@ def _layer_cached(hp, tp: int, w, x, positions, c_l, offs, batch_start,
     x = x + jax.lax.psum(_mm(attn, w["wo"], qmeta.get("wo")), MODEL_AXIS)
 
     h = _rms(x, w["ffn_norm"], hp.rms_eps)
+    if "router" in w:  # mixtral MoE FFN (llama.forward MoE branch)
+        from ..ops.moe import moe_ffn, route
+
+        hs = h.reshape(b * T, E)
+        rl = (hs @ w["router"]).astype(jnp.float32)
+        weights, idx = route(rl, hp.n_expert_used, gating="softmax",
+                             norm_weights=True)
+        ffn = moe_ffn(hs, weights, idx, w["w_gate_exps"], w["w_up_exps"],
+                      w["w_down_exps"]).reshape(b, T, E)
+        return x + ffn, c_l
     act = jax.nn.silu(
         _mm(h, w["w_gate"], qmeta.get("w_gate")).astype(jnp.float32)
     ).astype(h.dtype) * _mm(h, w["w_up"], qmeta.get("w_up"))
@@ -327,7 +382,8 @@ def _layer_cached(hp, tp: int, w, x, positions, c_l, offs, batch_start,
 
 
 def make_pipeline_step(hp, mesh: Mesh, qmeta: dict | None = None,
-                       last_only: bool = False, quant_kv: bool = False):
+                       last_only: bool = False, quant_kv: bool = False,
+                       moe: bool = False):
     """Jitted serving step with the BatchEngine contract:
 
         step(params, tokens [B,T] int32 | embds [B,T,E], positions [B,T],
@@ -349,11 +405,16 @@ def make_pipeline_step(hp, mesh: Mesh, qmeta: dict | None = None,
     pp = mesh.shape[PIPE_AXIS]
     tp = mesh.shape[MODEL_AXIS]
     specs = param_specs(hp, pp, tp)
-    if qmeta:  # plane dicts: one pipe-axis prefix spec covers every plane
-        specs = {**specs, "stack": {
-            k: (P(PIPE_AXIS) if k in qmeta else v)
-            for k, v in specs["stack"].items()
-        }}
+    stack_specs = {
+        k: (P(PIPE_AXIS) if k in (qmeta or {}) else v)
+        for k, v in specs["stack"].items()
+    }
+    if moe:  # router + expert stacks replace the dense FFN weights
+        for k in ("w_gate", "w_up", "w_down"):
+            del stack_specs[k]
+        for k in ("router", "w_gate_exps", "w_up_exps", "w_down_exps"):
+            stack_specs[k] = P(PIPE_AXIS)
+    specs = {**specs, "stack": stack_specs}
     c_specs = cache_specs(quant_kv)
 
     def spmd(params, tokens, positions, cache, offsets, n_last):
@@ -483,7 +544,9 @@ class PipelineEngine:
         self.cache = make_stacked_cache(self.hp, self.batch, max_seq, mesh,
                                         dtype=dtype)
         self.n_past = np.zeros((self.batch,), np.int64)
-        self._step = make_pipeline_step(self.hp, mesh, self.qmeta)
+        self._step = make_pipeline_step(
+            self.hp, mesh, self.qmeta,
+            moe="router" in self.params["stack"])
 
     def forward_batch(self, tokens: np.ndarray) -> np.ndarray:
         """Run [B, T] tokens through the pipeline; rows may sit at different

@@ -182,9 +182,11 @@ class BatchEngine:
         self.cache = make_stacked_cache(hp, self.n_slots, self.max_seq,
                                         mesh, dtype=self.kv_dtype)
         quant_kv = isinstance(self.kv_dtype, str)
-        self._step = make_pipeline_step(hp, mesh, qmeta, quant_kv=quant_kv)
+        moe = "router" in self.params["stack"]
+        self._step = make_pipeline_step(hp, mesh, qmeta, quant_kv=quant_kv,
+                                        moe=moe)
         self._prefill_step = make_pipeline_step(
-            hp, mesh, qmeta, last_only=True, quant_kv=quant_kv)
+            hp, mesh, qmeta, last_only=True, quant_kv=quant_kv, moe=moe)
 
     def precompile(self, widths: tuple = (), background: bool = False):
         """Compile the batched step for every token-shape the scheduler can
