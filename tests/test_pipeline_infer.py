@@ -233,6 +233,36 @@ def test_pipe_mesh_moe(tmp_path):
                                    rtol=2e-4, atol=2e-4)
 
 
+def test_pipe_mesh_sliding_window(tmp_path):
+    """SWA llama (mistral-style) through the pipeline: the stage mask must
+    window the full-size stage cache exactly like ops.attention.causal_mask."""
+    from jax.sharding import Mesh
+
+    from tpullm.models.testing import make_tiny_llama_gguf
+    from tpullm.runtime.batch_engine import BatchEngine
+
+    path = make_tiny_llama_gguf(
+        tmp_path / "swa.gguf", n_layer=2, n_embd=64, n_head=4, n_head_kv=2,
+        n_ff=128, seed=5,
+        extra_kv={"llama.attention.sliding_window": 4})
+
+    def run(mesh):
+        eng = BatchEngine(path, n_slots=2, max_seq=32, mode="dense",
+                          dtype=jnp.float32, kv_dtype=jnp.float32, mesh=mesh)
+        assert eng.hp.sliding_window == 4
+        lg = eng.prefill_slot(0, [1, 5, 9, 2, 7, 6, 11, 12, 3, 8])
+        step = eng.decode_batch({0: int(np.argmax(lg))})
+        return [lg, step[0]]
+
+    ref = run(None)
+    mesh = Mesh(np.asarray(jax.devices()[:2]).reshape(2, 1),
+                ("pipe", "model"))
+    got = run(mesh)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=2e-4, atol=2e-4)
+
+
 def test_pipe_mesh_q8_kv(model_path):
     """q8_0 KV on the pipe mesh (the fork's -ctk q8_0 headline config):
     int8 codes + scales stay stage-resident; logits track the unsharded

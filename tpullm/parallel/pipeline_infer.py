@@ -124,7 +124,6 @@ def load_stacked_serving(reader, hp, mesh: Mesh, dtype=jnp.bfloat16,
     nonplain = {
         "no_rope_step": hp.no_rope_step != 0,
         "max_alibi_bias": hp.max_alibi_bias > 0.0,
-        "sliding_window": hp.sliding_window > 0,
         "embd_scale": hp.embd_scale != 1.0,
         "residual_scale": hp.residual_scale != 1.0,
         "logit_scale": hp.logit_scale != 1.0,
@@ -355,6 +354,9 @@ def _layer_cached(hp, tp: int, w, x, positions, c_l, offs, batch_start,
     slot = start[:, None] + jnp.arange(T, dtype=jnp.int32)[None]  # [b, T]
     key_idx = jnp.arange(S, dtype=jnp.int32)
     mask = key_idx[None, None, :] <= slot[:, :, None]  # [b, T, S] causal
+    if hp.sliding_window > 0:  # SWA via mask (≡ ops.attention.causal_mask;
+        # the stage cache stays full-size, rows past the window just unread)
+        mask &= key_idx[None, None, :] > slot[:, :, None] - hp.sliding_window
     scores = jnp.where(mask[:, None, None], scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1)
     attn = jnp.einsum("bhgts,bhsd->bthgd", probs,
