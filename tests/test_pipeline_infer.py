@@ -233,6 +233,45 @@ def test_pipe_mesh_moe(tmp_path):
                                    rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("variant", ["granite", "smollm3"])
+def test_pipe_mesh_scaled_variants(tmp_path, variant):
+    """llama-graph variants with hparam multipliers (granite scales) or
+    per-layer rope gates (smollm3 NoPE layers) through the pipeline."""
+    from jax.sharding import Mesh
+
+    from tpullm.models.testing import make_tiny_llama_gguf
+    from tpullm.runtime.batch_engine import BatchEngine
+
+    if variant == "granite":
+        extra = {"granite.residual_scale": 0.5,
+                 "granite.embedding_scale": 4.0,
+                 "granite.logit_scale": 2.0}
+        path = make_tiny_llama_gguf(
+            tmp_path / "g.gguf", arch="granite", n_layer=2, n_embd=64,
+            n_head=4, n_head_kv=2, n_ff=128, seed=6, extra_kv=extra)
+    else:
+        # smollm3 defaults to no_rope_step=4 (every 4th layer skips rope)
+        path = make_tiny_llama_gguf(
+            tmp_path / "s.gguf", arch="smollm3", n_layer=4, n_embd=64,
+            n_head=4, n_head_kv=2, n_ff=128, seed=6)
+
+    def run(mesh):
+        eng = BatchEngine(path, n_slots=2, max_seq=32, mode="dense",
+                          dtype=jnp.float32, kv_dtype=jnp.float32, mesh=mesh)
+        lg = eng.prefill_slot(0, [1, 5, 9, 2, 7])
+        step = eng.decode_batch({0: int(np.argmax(lg))})
+        return [lg, step[0]]
+
+    ref = run(None)
+    pp = 2
+    mesh = Mesh(np.asarray(jax.devices()[:pp]).reshape(pp, 1),
+                ("pipe", "model"))
+    got = run(mesh)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=2e-4, atol=2e-4)
+
+
 def test_pipe_mesh_sliding_window(tmp_path):
     """SWA llama (mistral-style) through the pipeline: the stage mask must
     window the full-size stage cache exactly like ops.attention.causal_mask."""

@@ -122,12 +122,7 @@ def load_stacked_serving(reader, hp, mesh: Mesh, dtype=jnp.bfloat16,
             f"{hp.arch}: pipeline serving covers the plain llama family"
         )
     nonplain = {
-        "no_rope_step": hp.no_rope_step != 0,
         "max_alibi_bias": hp.max_alibi_bias > 0.0,
-        "embd_scale": hp.embd_scale != 1.0,
-        "residual_scale": hp.residual_scale != 1.0,
-        "logit_scale": hp.logit_scale != 1.0,
-        "attn_scale": hp.attn_scale is not None,
         "non-causal": not hp.causal,
         "xielu": hp.xielu is not None,
     }
@@ -248,6 +243,12 @@ def load_stacked_serving(reader, hp, mesh: Mesh, dtype=jnp.bfloat16,
         vs = np.stack([t[f"blk.{i}.{stem}.weight"].to_numpy()
                        for i in range(hp.n_layer)])
         stack[key] = put(jnp.asarray(vs, jnp.float32), P(PIPE_AXIS))
+    # per-layer rope gate (smollm3/llama4 skip rope every no_rope_step-th
+    # layer — the scan treats layers uniformly, so the flag rides the stack)
+    rope_on = np.ones(hp.n_layer, bool)
+    if hp.no_rope_step:
+        rope_on = (np.arange(1, hp.n_layer + 1) % hp.no_rope_step) != 0
+    stack["rope_on"] = put(jnp.asarray(rope_on), P(PIPE_AXIS))
 
     emb = jnp.asarray(t["token_embd.weight"].to_numpy(), dtype)
     if "output.weight" in t:
@@ -303,8 +304,12 @@ def _layer_cached(hp, tp: int, w, x, positions, c_l, offs, batch_start,
     q = _mm(h, w["wq"], qmeta.get("wq")).reshape(b, T, n_head_l, hd)
     k = _mm(h, w["wk"], qmeta.get("wk")).reshape(b, T, n_kv_l, hd)
     v = _mm(h, w["wv"], qmeta.get("wv")).reshape(b, T, n_kv_l, hd_v)
-    q = apply_rope(q, positions, hp.rope)
-    k = apply_rope(k, positions, hp.rope)
+    if hp.no_rope_step:  # smollm3-style rope-skip layers (per-layer gate)
+        q = jnp.where(w["rope_on"], apply_rope(q, positions, hp.rope), q)
+        k = jnp.where(w["rope_on"], apply_rope(k, positions, hp.rope), k)
+    else:
+        q = apply_rope(q, positions, hp.rope)
+        k = apply_rope(k, positions, hp.rope)
 
     k = k.transpose(0, 2, 1, 3)  # [b, Hkv, T, D]
     v = v.transpose(0, 2, 1, 3)
@@ -350,7 +355,8 @@ def _layer_cached(hp, tp: int, w, x, positions, c_l, offs, batch_start,
     g = n_head_l // n_kv_l
     qf = q.reshape(b, T, n_kv_l, g, hd).astype(jnp.float32)
     scores = jnp.einsum("bthgd,bhsd->bhgts", qf, kb.astype(jnp.float32))
-    scores = scores * (hd ** -0.5)
+    scale = hp.attn_scale if hp.attn_scale is not None else hd ** -0.5
+    scores = scores * scale
     slot = start[:, None] + jnp.arange(T, dtype=jnp.int32)[None]  # [b, T]
     key_idx = jnp.arange(S, dtype=jnp.int32)
     mask = key_idx[None, None, :] <= slot[:, :, None]  # [b, T, S] causal
@@ -362,7 +368,10 @@ def _layer_cached(hp, tp: int, w, x, positions, c_l, offs, batch_start,
     attn = jnp.einsum("bhgts,bhsd->bthgd", probs,
                       vb.astype(jnp.float32)).astype(x.dtype)
     attn = attn.reshape(b, T, n_head_l * hd_v)
-    x = x + jax.lax.psum(_mm(attn, w["wo"], qmeta.get("wo")), MODEL_AXIS)
+    attn_out = jax.lax.psum(_mm(attn, w["wo"], qmeta.get("wo")), MODEL_AXIS)
+    if hp.residual_scale != 1.0:  # granite residual multiplier
+        attn_out = attn_out * hp.residual_scale
+    x = x + attn_out
 
     h = _rms(x, w["ffn_norm"], hp.rms_eps)
     if "router" in w:  # mixtral MoE FFN (llama.forward MoE branch)
@@ -374,13 +383,17 @@ def _layer_cached(hp, tp: int, w, x, positions, c_l, offs, batch_start,
                              norm_weights=True)
         ffn = moe_ffn(hs, weights, idx, w["w_gate_exps"], w["w_up_exps"],
                       w["w_down_exps"]).reshape(b, T, E)
+        if hp.residual_scale != 1.0:
+            ffn = ffn * hp.residual_scale
         return x + ffn, c_l
     act = jax.nn.silu(
         _mm(h, w["w_gate"], qmeta.get("w_gate")).astype(jnp.float32)
     ).astype(h.dtype) * _mm(h, w["w_up"], qmeta.get("w_up"))
-    x = x + jax.lax.psum(_mm(act, w["w_down"], qmeta.get("w_down")),
-                         MODEL_AXIS)
-    return x, c_l
+    ffn = jax.lax.psum(_mm(act, w["w_down"], qmeta.get("w_down")),
+                       MODEL_AXIS)
+    if hp.residual_scale != 1.0:
+        ffn = ffn * hp.residual_scale
+    return x + ffn, c_l
 
 
 def make_pipeline_step(hp, mesh: Mesh, qmeta: dict | None = None,
@@ -416,6 +429,7 @@ def make_pipeline_step(hp, mesh: Mesh, qmeta: dict | None = None,
             del stack_specs[k]
         for k in ("router", "w_gate_exps", "w_up_exps", "w_down_exps"):
             stack_specs[k] = P(PIPE_AXIS)
+    stack_specs["rope_on"] = P(PIPE_AXIS)
     specs = {**specs, "stack": stack_specs}
     c_specs = cache_specs(quant_kv)
 
@@ -445,6 +459,8 @@ def make_pipeline_step(hp, mesh: Mesh, qmeta: dict | None = None,
             x, c_leaves, acc = carry
             ti = jnp.clip(t, 0, M - 1)
             feed = mb_toks[ti] if is_embd else emb[mb_toks[ti]]
+            if hp.embd_scale != 1.0 and not is_embd:  # granite multiplier
+                feed = feed * jnp.asarray(hp.embd_scale, feed.dtype)
             x = jnp.where((stage == 0) & (t < M), feed.astype(jnp.float32), x)
             m = t - stage  # microbatch this stage works on now
             tick_valid = (m >= 0) & (m < M)
@@ -478,6 +494,8 @@ def make_pipeline_step(hp, mesh: Mesh, qmeta: dict | None = None,
                     )(x_out, rows)
                 h = _rms(xr, params["output_norm"], hp.rms_eps)
                 lg = (h @ params["output"]).astype(jnp.float32)
+                if hp.logit_scale != 1.0:  # granite: logits / f_logit_scale
+                    lg = lg / hp.logit_scale
                 return jax.lax.dynamic_update_slice(
                     acc, lg[None], (mo, 0, 0, 0))
 
