@@ -233,6 +233,37 @@ def test_pipe_mesh_moe(tmp_path):
                                    rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("pp,tp,kind", [(2, 1, "bias"), (2, 2, "bias"),
+                                        (2, 1, "qknorm")])
+def test_pipe_mesh_qwen_variants(tmp_path, pp, tp, kind):
+    """qwen2-style attn biases (column-sharded with the projections) and
+    qwen3-style per-head qk norms through the pipeline."""
+    from jax.sharding import Mesh
+
+    from tpullm.models.testing import make_tiny_llama_gguf
+    from tpullm.runtime.batch_engine import BatchEngine
+
+    path = make_tiny_llama_gguf(
+        tmp_path / f"{kind}.gguf", arch="qwen2" if kind == "bias" else "qwen3",
+        n_layer=2, n_embd=128, n_head=8, n_head_kv=4, n_ff=128, seed=9,
+        with_qkv_bias=kind == "bias", with_qk_norm=kind == "qknorm")
+
+    def run(mesh):
+        eng = BatchEngine(path, n_slots=2, max_seq=32, mode="dense",
+                          dtype=jnp.float32, kv_dtype=jnp.float32, mesh=mesh)
+        lg = eng.prefill_slot(0, [1, 5, 9, 2, 7])
+        step = eng.decode_batch({0: int(np.argmax(lg))})
+        return [lg, step[0]]
+
+    ref = run(None)
+    mesh = Mesh(np.asarray(jax.devices()[: pp * tp]).reshape(pp, tp),
+                ("pipe", "model"))
+    got = run(mesh)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=2e-4, atol=2e-4)
+
+
 @pytest.mark.parametrize("variant", ["granite", "smollm3"])
 def test_pipe_mesh_scaled_variants(tmp_path, variant):
     """llama-graph variants with hparam multipliers (granite scales) or

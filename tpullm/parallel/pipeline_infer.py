@@ -85,6 +85,15 @@ _STACK_TENSORS = {
     "w_gate": "ffn_gate", "w_up": "ffn_up", "w_down": "ffn_down",
 }
 _STACK_NORMS = {"attn_norm": "attn_norm", "ffn_norm": "ffn_norm"}
+# optional per-layer vector stacks and their shardings
+_OPT_STACK_SPECS = {
+    "bq": P(PIPE_AXIS, MODEL_AXIS),
+    "bk": P(PIPE_AXIS, MODEL_AXIS),
+    "bv": P(PIPE_AXIS, MODEL_AXIS),
+    "bo": P(PIPE_AXIS),
+    "q_norm": P(PIPE_AXIS),
+    "k_norm": P(PIPE_AXIS),
+}
 
 
 def load_stacked_serving(reader, hp, mesh: Mesh, dtype=jnp.bfloat16,
@@ -131,12 +140,12 @@ def load_stacked_serving(reader, hp, mesh: Mesh, dtype=jnp.bfloat16,
         raise NotImplementedError(
             f"{hp.arch}: pipeline serving doesn't implement {engaged}"
         )
-    for bad in ("attn_q.bias", "attn_q_norm.weight"):
-        if f"blk.0.{bad}" in t:
-            raise NotImplementedError(
-                f"pipeline serving covers plain llama graphs "
-                f"(blk.*.{bad} present)"
-            )
+    if (f"blk.0.attn_q_norm.weight" in t
+            and t["blk.0.attn_q_norm.weight"].shape[0] != hp.head_dim):
+        raise NotImplementedError(
+            "pipeline serving: full-projection qk norms (olmoe/minimax "
+            "style) are not wired"
+        )
     # mixtral-style MoE FFN (llama arch + ffn_gate_inp router): every layer
     # must be MoE (a scan over stacked layers needs one homogeneous
     # structure — deepseek dense-lead mixes are out), tp must be 1 (expert
@@ -249,6 +258,18 @@ def load_stacked_serving(reader, hp, mesh: Mesh, dtype=jnp.bfloat16,
     if hp.no_rope_step:
         rope_on = (np.arange(1, hp.n_layer + 1) % hp.no_rope_step) != 0
     stack["rope_on"] = put(jnp.asarray(rope_on), P(PIPE_AXIS))
+    # optional per-layer vectors: qwen2-style attn biases, qwen3-style
+    # per-head qk norms (qkv biases shard with their column-parallel
+    # projections; bo is added after the wo psum, norms are per-head)
+    for key, stem in (("bq", "attn_q.bias"), ("bk", "attn_k.bias"),
+                      ("bv", "attn_v.bias"), ("bo", "attn_output.bias"),
+                      ("q_norm", "attn_q_norm.weight"),
+                      ("k_norm", "attn_k_norm.weight")):
+        if f"blk.0.{stem}" in t:
+            vs = np.stack([t[f"blk.{i}.{stem}"].to_numpy()
+                           for i in range(hp.n_layer)])
+            stack[key] = put(jnp.asarray(vs, jnp.float32),
+                             _OPT_STACK_SPECS[key])
 
     emb = jnp.asarray(t["token_embd.weight"].to_numpy(), dtype)
     if "output.weight" in t:
@@ -301,15 +322,33 @@ def _layer_cached(hp, tp: int, w, x, positions, c_l, offs, batch_start,
     S = c_l[0].shape[2]
 
     h = _rms(x, w["attn_norm"], hp.rms_eps)
-    q = _mm(h, w["wq"], qmeta.get("wq")).reshape(b, T, n_head_l, hd)
-    k = _mm(h, w["wk"], qmeta.get("wk")).reshape(b, T, n_kv_l, hd)
-    v = _mm(h, w["wv"], qmeta.get("wv")).reshape(b, T, n_kv_l, hd_v)
+    q = _mm(h, w["wq"], qmeta.get("wq"))
+    k = _mm(h, w["wk"], qmeta.get("wk"))
+    v = _mm(h, w["wv"], qmeta.get("wv"))
+    if "bq" in w:  # qwen2-style attn biases (column-sharded with qkv)
+        q = q + w["bq"].astype(q.dtype)
+        k = k + w["bk"].astype(k.dtype)
+        v = v + w["bv"].astype(v.dtype)
+    q = q.reshape(b, T, n_head_l, hd)
+    k = k.reshape(b, T, n_kv_l, hd)
+    v = v.reshape(b, T, n_kv_l, hd_v)
+
+    def qk_norms(q, k):
+        if "q_norm" in w:  # qwen3-style per-head RMS norms
+            q = _rms(q, w["q_norm"], hp.rms_eps).astype(q.dtype)
+            k = _rms(k, w["k_norm"], hp.rms_eps).astype(k.dtype)
+        return q, k
+
+    if not hp.qk_norm_post_rope:
+        q, k = qk_norms(q, k)
     if hp.no_rope_step:  # smollm3-style rope-skip layers (per-layer gate)
         q = jnp.where(w["rope_on"], apply_rope(q, positions, hp.rope), q)
         k = jnp.where(w["rope_on"], apply_rope(k, positions, hp.rope), k)
     else:
         q = apply_rope(q, positions, hp.rope)
         k = apply_rope(k, positions, hp.rope)
+    if hp.qk_norm_post_rope:  # maincoder / hunyuan-dense ordering
+        q, k = qk_norms(q, k)
 
     k = k.transpose(0, 2, 1, 3)  # [b, Hkv, T, D]
     v = v.transpose(0, 2, 1, 3)
@@ -369,6 +408,8 @@ def _layer_cached(hp, tp: int, w, x, positions, c_l, offs, batch_start,
                       vb.astype(jnp.float32)).astype(x.dtype)
     attn = attn.reshape(b, T, n_head_l * hd_v)
     attn_out = jax.lax.psum(_mm(attn, w["wo"], qmeta.get("wo")), MODEL_AXIS)
+    if "bo" in w:  # output bias added once, after the tp psum
+        attn_out = attn_out + w["bo"].astype(attn_out.dtype)
     if hp.residual_scale != 1.0:  # granite residual multiplier
         attn_out = attn_out * hp.residual_scale
     x = x + attn_out
@@ -398,7 +439,7 @@ def _layer_cached(hp, tp: int, w, x, positions, c_l, offs, batch_start,
 
 def make_pipeline_step(hp, mesh: Mesh, qmeta: dict | None = None,
                        last_only: bool = False, quant_kv: bool = False,
-                       moe: bool = False):
+                       moe: bool = False, opt_keys: tuple = ()):
     """Jitted serving step with the BatchEngine contract:
 
         step(params, tokens [B,T] int32 | embds [B,T,E], positions [B,T],
@@ -430,6 +471,8 @@ def make_pipeline_step(hp, mesh: Mesh, qmeta: dict | None = None,
         for k in ("router", "w_gate_exps", "w_up_exps", "w_down_exps"):
             stack_specs[k] = P(PIPE_AXIS)
     stack_specs["rope_on"] = P(PIPE_AXIS)
+    for k in opt_keys:
+        stack_specs[k] = _OPT_STACK_SPECS[k]
     specs = {**specs, "stack": stack_specs}
     c_specs = cache_specs(quant_kv)
 
@@ -566,7 +609,9 @@ class PipelineEngine:
         self.n_past = np.zeros((self.batch,), np.int64)
         self._step = make_pipeline_step(
             self.hp, mesh, self.qmeta,
-            moe="router" in self.params["stack"])
+            moe="router" in self.params["stack"],
+            opt_keys=tuple(k for k in _OPT_STACK_SPECS
+                           if k in self.params["stack"]))
 
     def forward_batch(self, tokens: np.ndarray) -> np.ndarray:
         """Run [B, T] tokens through the pipeline; rows may sit at different

@@ -182,11 +182,15 @@ class BatchEngine:
         self.cache = make_stacked_cache(hp, self.n_slots, self.max_seq,
                                         mesh, dtype=self.kv_dtype)
         quant_kv = isinstance(self.kv_dtype, str)
+        from ..parallel.pipeline_infer import _OPT_STACK_SPECS
+
         moe = "router" in self.params["stack"]
+        opt = tuple(k for k in _OPT_STACK_SPECS if k in self.params["stack"])
         self._step = make_pipeline_step(hp, mesh, qmeta, quant_kv=quant_kv,
-                                        moe=moe)
+                                        moe=moe, opt_keys=opt)
         self._prefill_step = make_pipeline_step(
-            hp, mesh, qmeta, last_only=True, quant_kv=quant_kv, moe=moe)
+            hp, mesh, qmeta, last_only=True, quant_kv=quant_kv, moe=moe,
+            opt_keys=opt)
 
     def precompile(self, widths: tuple = (), background: bool = False):
         """Compile the batched step for every token-shape the scheduler can
