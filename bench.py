@@ -112,8 +112,9 @@ def bench_streams(model: str, n_par: int = 32, ctx: int = 1024,
     eng = BatchEngine(model, mode="quant", n_slots=n_par, max_seq=ctx,
                       prefill_chunk=pp)
     rng = np.random.default_rng(0)
-    for slot in range(n_par):
-        eng.prefill_slot(slot, rng.integers(3, 900, size=pp).tolist())
+    eng.prefill_slots({
+        slot: rng.integers(3, 900, size=pp).tolist() for slot in range(n_par)
+    })  # joint batched prompt phase
     cur = {s: 5 for s in range(n_par)}
     eng.decode_batch_greedy(cur)  # compile (ids-only readback: [B] int32,
     t0 = time.perf_counter()      # not [B, V] f32 logits over the host link)
