@@ -147,3 +147,29 @@ def test_ring_device_generation_chunked(gemma_model):
     want = full.generate_tokens_device(prompt, max_new_tokens=6, temp=0.0,
                                        stop_on_eog=False)
     assert got == want
+
+
+def test_joint_prefill_on_swa_serving_engine(gemma_model):
+    """prefill_slots (joint multi-slot admission) over the iSWA dual ring
+    cache must reproduce sequential per-slot prefills — ring writes and
+    slot_pos bookkeeping are per-row vmapped."""
+    from tpullm.runtime.batch_engine import BatchEngine
+
+    prompts = {0: list(range(3, 30)), 1: list(range(5, 14))}
+
+    def fresh():
+        return BatchEngine(gemma_model, n_slots=2, max_seq=64, mode="dense",
+                           dtype=jnp.float32, kv_dtype=jnp.float32,
+                           prefill_chunk=16)
+
+    eng_a = fresh()
+    ref = {s: eng_a.prefill_slot(s, t) for s, t in prompts.items()}
+    eng_b = fresh()
+    got = eng_b.prefill_slots(prompts)
+    for s in prompts:
+        np.testing.assert_allclose(got[s], ref[s], rtol=2e-4, atol=2e-4)
+    feed = {s: int(np.argmax(ref[s])) for s in prompts}
+    da = eng_a.decode_batch(feed)
+    db = eng_b.decode_batch(feed)
+    for s in prompts:
+        np.testing.assert_allclose(db[s], da[s], rtol=2e-4, atol=2e-4)
