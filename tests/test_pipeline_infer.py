@@ -264,6 +264,68 @@ def test_pipe_mesh_qwen_variants(tmp_path, pp, tp, kind):
                                    rtol=2e-4, atol=2e-4)
 
 
+def _strip_gate(src_path, dst_path, arch, extra_kv=None):
+    """Copy a fixture minus ffn_gate tensors (gateless-FFN archs)."""
+    from tpullm.gguf import GGUFReader
+    from tpullm.gguf.writer import GGUFWriter
+
+    r = GGUFReader(src_path)
+    w = GGUFWriter(str(dst_path), architecture=arch)
+    for key, val in r.metadata.items():
+        if key != "general.architecture":
+            w.add_kv(key, val)
+    for key, val in (extra_kv or {}).items():
+        w.add_kv(key, val)
+    for name, info in r.tensors.items():
+        if name.endswith("ffn_gate.weight"):
+            continue
+        w.add_tensor(name, info.to_numpy())
+    w.write()
+    return str(dst_path)
+
+
+@pytest.mark.parametrize("variant", ["refact", "arcee", "apertus"])
+def test_pipe_mesh_alibi_and_gateless(tmp_path, variant):
+    """refact (ALiBi, no rope), arcee (gateless ReLU² FFN), and apertus
+    (per-head qk norms + xIELU) through the pipeline."""
+    from jax.sharding import Mesh
+
+    from tpullm.models.testing import make_tiny_llama_gguf
+    from tpullm.runtime.batch_engine import BatchEngine
+
+    if variant == "refact":
+        path = make_tiny_llama_gguf(
+            tmp_path / "r.gguf", arch="refact", n_layer=2, n_embd=64,
+            n_head=4, n_head_kv=2, n_ff=128, seed=11)
+    elif variant == "arcee":
+        base = make_tiny_llama_gguf(
+            tmp_path / "a0.gguf", arch="arcee", n_layer=2, n_embd=64,
+            n_head=4, n_head_kv=2, n_ff=128, seed=11)
+        path = _strip_gate(base, tmp_path / "a.gguf", "arcee")
+    else:
+        base = make_tiny_llama_gguf(
+            tmp_path / "x0.gguf", arch="apertus", n_layer=2, n_embd=64,
+            n_head=4, n_head_kv=2, n_ff=128, seed=11, with_qk_norm=True)
+        path = _strip_gate(base, tmp_path / "x.gguf", "apertus", extra_kv={
+            "xielu.alpha_n": [0.8, 0.7], "xielu.alpha_p": [0.8, 0.9],
+            "xielu.beta": [0.5, 0.5], "xielu.eps": [-1e-6, -1e-6]})
+
+    def run(mesh):
+        eng = BatchEngine(path, n_slots=2, max_seq=32, mode="dense",
+                          dtype=jnp.float32, kv_dtype=jnp.float32, mesh=mesh)
+        lg = eng.prefill_slot(0, [1, 5, 9, 2, 7])
+        step = eng.decode_batch({0: int(np.argmax(lg))})
+        return [lg, step[0]]
+
+    ref = run(None)
+    mesh = Mesh(np.asarray(jax.devices()[:2]).reshape(2, 1),
+                ("pipe", "model"))
+    got = run(mesh)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=2e-4, atol=2e-4)
+
+
 @pytest.mark.parametrize("variant", ["granite", "smollm3"])
 def test_pipe_mesh_scaled_variants(tmp_path, variant):
     """llama-graph variants with hparam multipliers (granite scales) or

@@ -93,6 +93,7 @@ _OPT_STACK_SPECS = {
     "bo": P(PIPE_AXIS),
     "q_norm": P(PIPE_AXIS),
     "k_norm": P(PIPE_AXIS),
+    "xielu": P(PIPE_AXIS),
 }
 
 
@@ -130,15 +131,9 @@ def load_stacked_serving(reader, hp, mesh: Mesh, dtype=jnp.bfloat16,
         raise NotImplementedError(
             f"{hp.arch}: pipeline serving covers the plain llama family"
         )
-    nonplain = {
-        "max_alibi_bias": hp.max_alibi_bias > 0.0,
-        "non-causal": not hp.causal,
-        "xielu": hp.xielu is not None,
-    }
-    engaged = [k for k, v in nonplain.items() if v]
-    if engaged:
+    if not hp.causal:
         raise NotImplementedError(
-            f"{hp.arch}: pipeline serving doesn't implement {engaged}"
+            f"{hp.arch}: pipeline serving is causal-decoder only"
         )
     if (f"blk.0.attn_q_norm.weight" in t
             and t["blk.0.attn_q_norm.weight"].shape[0] != hp.head_dim):
@@ -173,6 +168,9 @@ def load_stacked_serving(reader, hp, mesh: Mesh, dtype=jnp.bfloat16,
     if moe:
         for k in ("w_gate", "w_up", "w_down"):
             del weight_stems[k]
+    elif f"blk.0.ffn_gate.weight" not in t:
+        # gateless FFN (arcee ReLU², apertus xIELU): no gate tensor
+        del weight_stems["w_gate"]
     for stem in list(weight_stems.values()) + list(_STACK_NORMS.values()):
         if f"blk.0.{stem}.weight" not in t:
             raise NotImplementedError(
@@ -258,6 +256,9 @@ def load_stacked_serving(reader, hp, mesh: Mesh, dtype=jnp.bfloat16,
     if hp.no_rope_step:
         rope_on = (np.arange(1, hp.n_layer + 1) % hp.no_rope_step) != 0
     stack["rope_on"] = put(jnp.asarray(rope_on), P(PIPE_AXIS))
+    if hp.xielu is not None:  # apertus per-layer (αn, αp, β, ε) constants
+        stack["xielu"] = put(
+            jnp.asarray(np.asarray(hp.xielu, np.float32)), P(PIPE_AXIS))
     # optional per-layer vectors: qwen2-style attn biases, qwen3-style
     # per-head qk norms (qkv biases shard with their column-parallel
     # projections; bo is added after the wo psum, norms are per-head)
@@ -339,9 +340,12 @@ def _layer_cached(hp, tp: int, w, x, positions, c_l, offs, batch_start,
             k = _rms(k, w["k_norm"], hp.rms_eps).astype(k.dtype)
         return q, k
 
+    use_alibi = hp.max_alibi_bias > 0.0  # refact/baichuan-13B: no rope
     if not hp.qk_norm_post_rope:
         q, k = qk_norms(q, k)
-    if hp.no_rope_step:  # smollm3-style rope-skip layers (per-layer gate)
+    if use_alibi:
+        pass
+    elif hp.no_rope_step:  # smollm3-style rope-skip layers (per-layer gate)
         q = jnp.where(w["rope_on"], apply_rope(q, positions, hp.rope), q)
         k = jnp.where(w["rope_on"], apply_rope(k, positions, hp.rope), k)
     else:
@@ -396,6 +400,18 @@ def _layer_cached(hp, tp: int, w, x, positions, c_l, offs, batch_start,
     scores = jnp.einsum("bthgd,bhsd->bhgts", qf, kb.astype(jnp.float32))
     scale = hp.attn_scale if hp.attn_scale is not None else hd ** -0.5
     scores = scores * scale
+    if use_alibi:  # slope·(−|q_pos − key_slot|), local head slice under tp
+        from ..ops.attention import alibi_slopes
+
+        slopes = alibi_slopes(hp.n_head, hp.max_alibi_bias)
+        h0 = jax.lax.axis_index(MODEL_AXIS) * n_head_l
+        sl = jax.lax.dynamic_slice_in_dim(slopes, h0, n_head_l)
+        sl = sl.reshape(n_kv_l, n_head_l // n_kv_l)
+        dist = -jnp.abs(
+            positions[:, :, None].astype(jnp.float32)
+            - jnp.arange(S, dtype=jnp.float32)[None, None, :]
+        )
+        scores = scores + sl[None, :, :, None, None] * dist[:, None, None]
     slot = start[:, None] + jnp.arange(T, dtype=jnp.int32)[None]  # [b, T]
     key_idx = jnp.arange(S, dtype=jnp.int32)
     mask = key_idx[None, None, :] <= slot[:, :, None]  # [b, T, S] causal
@@ -427,9 +443,23 @@ def _layer_cached(hp, tp: int, w, x, positions, c_l, offs, batch_start,
         if hp.residual_scale != 1.0:
             ffn = ffn * hp.residual_scale
         return x + ffn, c_l
-    act = jax.nn.silu(
-        _mm(h, w["w_gate"], qmeta.get("w_gate")).astype(jnp.float32)
-    ).astype(h.dtype) * _mm(h, w["w_up"], qmeta.get("w_up"))
+    if "w_gate" in w:
+        act = jax.nn.silu(
+            _mm(h, w["w_gate"], qmeta.get("w_gate")).astype(jnp.float32)
+        ).astype(h.dtype) * _mm(h, w["w_up"], qmeta.get("w_up"))
+    else:  # gateless FFN: apertus xIELU / arcee ReLU²
+        up = _mm(h, w["w_up"], qmeta.get("w_up"))
+        uf = up.astype(jnp.float32)
+        if "xielu" in w:
+            an, ap, bb, ee = (w["xielu"][0], w["xielu"][1],
+                              w["xielu"][2], w["xielu"][3])
+            act = jnp.where(
+                uf > 0.0,
+                ap * uf * uf + bb * uf,
+                (jnp.expm1(jnp.minimum(uf, ee)) - uf) * an + bb * uf,
+            ).astype(up.dtype)
+        else:
+            act = jnp.square(jax.nn.relu(uf)).astype(up.dtype)
     ffn = jax.lax.psum(_mm(act, w["w_down"], qmeta.get("w_down")),
                        MODEL_AXIS)
     if hp.residual_scale != 1.0:
@@ -439,7 +469,8 @@ def _layer_cached(hp, tp: int, w, x, positions, c_l, offs, batch_start,
 
 def make_pipeline_step(hp, mesh: Mesh, qmeta: dict | None = None,
                        last_only: bool = False, quant_kv: bool = False,
-                       moe: bool = False, opt_keys: tuple = ()):
+                       moe: bool = False, opt_keys: tuple = (),
+                       gateless: bool = False):
     """Jitted serving step with the BatchEngine contract:
 
         step(params, tokens [B,T] int32 | embds [B,T,E], positions [B,T],
@@ -470,6 +501,8 @@ def make_pipeline_step(hp, mesh: Mesh, qmeta: dict | None = None,
             del stack_specs[k]
         for k in ("router", "w_gate_exps", "w_up_exps", "w_down_exps"):
             stack_specs[k] = P(PIPE_AXIS)
+    if gateless:  # arcee/apertus: no ffn_gate stack
+        stack_specs.pop("w_gate", None)
     stack_specs["rope_on"] = P(PIPE_AXIS)
     for k in opt_keys:
         stack_specs[k] = _OPT_STACK_SPECS[k]
@@ -610,6 +643,8 @@ class PipelineEngine:
         self._step = make_pipeline_step(
             self.hp, mesh, self.qmeta,
             moe="router" in self.params["stack"],
+            gateless=("w_gate" not in self.params["stack"]
+                      and "router" not in self.params["stack"]),
             opt_keys=tuple(k for k in _OPT_STACK_SPECS
                            if k in self.params["stack"]))
 

@@ -185,12 +185,14 @@ class BatchEngine:
         from ..parallel.pipeline_infer import _OPT_STACK_SPECS
 
         moe = "router" in self.params["stack"]
+        gateless = not moe and "w_gate" not in self.params["stack"]
         opt = tuple(k for k in _OPT_STACK_SPECS if k in self.params["stack"])
         self._step = make_pipeline_step(hp, mesh, qmeta, quant_kv=quant_kv,
-                                        moe=moe, opt_keys=opt)
+                                        moe=moe, opt_keys=opt,
+                                        gateless=gateless)
         self._prefill_step = make_pipeline_step(
             hp, mesh, qmeta, last_only=True, quant_kv=quant_kv, moe=moe,
-            opt_keys=opt)
+            opt_keys=opt, gateless=gateless)
 
     def precompile(self, widths: tuple = (), background: bool = False):
         """Compile the batched step for every token-shape the scheduler can
