@@ -326,6 +326,51 @@ def test_pipe_mesh_alibi_and_gateless(tmp_path, variant):
                                    rtol=2e-4, atol=2e-4)
 
 
+def test_pipe_mesh_full_projection_qk_norms(tmp_path):
+    """Full-width qk norms (olmoe/minimax style, llama.forward's
+    full_qk_norm branch) through the pipeline at tp=1."""
+    from jax.sharding import Mesh
+
+    from tpullm.gguf import GGUFReader
+    from tpullm.gguf.writer import GGUFWriter
+    from tpullm.models.testing import make_tiny_llama_gguf
+    from tpullm.runtime.batch_engine import BatchEngine
+
+    base = make_tiny_llama_gguf(
+        tmp_path / "f0.gguf", n_layer=2, n_embd=64, n_head=4, n_head_kv=2,
+        n_ff=128, seed=12)
+    r = GGUFReader(base)
+    path = str(tmp_path / "f.gguf")
+    w = GGUFWriter(path, architecture="llama")
+    for key, val in r.metadata.items():
+        if key != "general.architecture":
+            w.add_kv(key, val)
+    rng = np.random.default_rng(12)
+    for name, info in r.tensors.items():
+        w.add_tensor(name, info.to_numpy())
+    for i in range(2):
+        w.add_tensor(f"blk.{i}.attn_q_norm.weight",
+                     (rng.normal(size=64) * 0.1 + 1.0).astype(np.float32))
+        w.add_tensor(f"blk.{i}.attn_k_norm.weight",
+                     (rng.normal(size=32) * 0.1 + 1.0).astype(np.float32))
+    w.write()
+
+    def run(mesh):
+        eng = BatchEngine(path, n_slots=2, max_seq=32, mode="dense",
+                          dtype=jnp.float32, kv_dtype=jnp.float32, mesh=mesh)
+        lg = eng.prefill_slot(0, [1, 5, 9, 2, 7])
+        step = eng.decode_batch({0: int(np.argmax(lg))})
+        return [lg, step[0]]
+
+    ref = run(None)
+    mesh = Mesh(np.asarray(jax.devices()[:2]).reshape(2, 1),
+                ("pipe", "model"))
+    got = run(mesh)
+    for r_, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r_),
+                                   rtol=2e-4, atol=2e-4)
+
+
 @pytest.mark.parametrize("variant", ["granite", "smollm3"])
 def test_pipe_mesh_scaled_variants(tmp_path, variant):
     """llama-graph variants with hparam multipliers (granite scales) or

@@ -136,10 +136,11 @@ def load_stacked_serving(reader, hp, mesh: Mesh, dtype=jnp.bfloat16,
             f"{hp.arch}: pipeline serving is causal-decoder only"
         )
     if (f"blk.0.attn_q_norm.weight" in t
-            and t["blk.0.attn_q_norm.weight"].shape[0] != hp.head_dim):
+            and t["blk.0.attn_q_norm.weight"].shape[0] != hp.head_dim
+            and tp > 1):
         raise NotImplementedError(
             "pipeline serving: full-projection qk norms (olmoe/minimax "
-            "style) are not wired"
+            "style) need tp=1 stages (the RMS reduces over the sharded dim)"
         )
     # mixtral-style MoE FFN (llama arch + ffn_gate_inp router): every layer
     # must be MoE (a scan over stacked layers needs one homogeneous
@@ -330,12 +331,18 @@ def _layer_cached(hp, tp: int, w, x, positions, c_l, offs, batch_start,
         q = q + w["bq"].astype(q.dtype)
         k = k + w["bk"].astype(k.dtype)
         v = v + w["bv"].astype(v.dtype)
+    full_qk_norm = ("q_norm" in w
+                    and w["q_norm"].shape[-1] == hp.n_head * hd
+                    and hd != hp.n_head * hd)
+    if full_qk_norm:  # olmoe/minimax: norm spans the whole projection
+        q = _rms(q, w["q_norm"], hp.rms_eps).astype(q.dtype)
+        k = _rms(k, w["k_norm"], hp.rms_eps).astype(k.dtype)
     q = q.reshape(b, T, n_head_l, hd)
     k = k.reshape(b, T, n_kv_l, hd)
     v = v.reshape(b, T, n_kv_l, hd_v)
 
     def qk_norms(q, k):
-        if "q_norm" in w:  # qwen3-style per-head RMS norms
+        if "q_norm" in w and not full_qk_norm:  # qwen3 per-head RMS norms
             q = _rms(q, w["q_norm"], hp.rms_eps).astype(q.dtype)
             k = _rms(k, w["k_norm"], hp.rms_eps).astype(k.dtype)
         return q, k
