@@ -312,7 +312,6 @@ class BatchEngine:
         if self.arch.recurrent or len(tokens) == 1:
             return {s: self.prefill_slot(s, toks)
                     for s, toks in tokens.items()}
-        t0 = time.perf_counter()
         remaining = {s: list(toks) for s, toks in tokens.items()}
         for s, toks in remaining.items():
             if int(self.n_past[s]) + len(toks) > self.max_seq:
@@ -323,35 +322,9 @@ class BatchEngine:
         while remaining:
             chunk = {s: toks[: self.prefill_chunk]
                      for s, toks in remaining.items()}
-            bucket = self._bucket(max(len(c) for c in chunk.values()))
-            toks_b = np.zeros((self.n_slots, bucket), dtype=np.int32)
-            pos = np.zeros((self.n_slots, bucket), dtype=np.int32)
-            offsets = np.full(self.n_slots, -1, dtype=np.int32)
-            n_last = np.zeros(self.n_slots, dtype=np.int32)
-            for s, c in chunk.items():
-                start = int(self.n_past[s])
-                toks_b[s, : len(c)] = c
-                pos[s] = np.arange(start, start + bucket)
-                offsets[s] = start
-                n_last[s] = len(c) - 1
-            if self._prefill_step is not None:
-                logits, self.cache = self._prefill_step(
-                    self.params, jnp.asarray(toks_b), jnp.asarray(pos),
-                    self.cache, jnp.asarray(offsets), jnp.asarray(n_last),
-                )
-                logits = np.asarray(logits)
-                rows = {s: logits[s, 0] for s in chunk}
-            else:
-                logits, self.cache = self._step(
-                    self.params, jnp.asarray(toks_b), jnp.asarray(pos),
-                    self.cache, jnp.asarray(offsets),
-                )
-                logits = np.asarray(logits)
-                rows = {s: logits[s, len(c) - 1] for s, c in chunk.items()}
+            rows = self.prefill_slots_round(chunk)
             done = []
             for s, c in chunk.items():
-                self.n_past[s] += len(c)
-                self.perf.n_prefill += len(c)
                 rest = remaining[s][len(c):]
                 if rest:
                     remaining[s] = rest
@@ -360,8 +333,49 @@ class BatchEngine:
                     done.append(s)
             for s in done:
                 del remaining[s]
-        self.perf.t_prefill_s += time.perf_counter() - t0
         return out
+
+    def prefill_slots_round(self, chunk: dict[int, list[int]]
+                            ) -> dict[int, np.ndarray]:
+        """ONE joint batched prefill round: feed at most prefill_chunk
+        tokens per slot and return each fed slot's last-row logits. The
+        scheduler interleaves these rounds with decode steps so generating
+        slots keep producing tokens while long prompts stream in (≡ the
+        reference's one-llama_batch-per-update_slots-pass cadence)."""
+        t0 = time.perf_counter()
+        bucket = self._bucket(max(len(c) for c in chunk.values()))
+        toks_b = np.zeros((self.n_slots, bucket), dtype=np.int32)
+        pos = np.zeros((self.n_slots, bucket), dtype=np.int32)
+        offsets = np.full(self.n_slots, -1, dtype=np.int32)
+        n_last = np.zeros(self.n_slots, dtype=np.int32)
+        for s, c in chunk.items():
+            start = int(self.n_past[s])
+            if start + len(c) > self.max_seq:
+                raise ValueError(
+                    f"slot {s} context overflow: {start}+{len(c)}")
+            toks_b[s, : len(c)] = c
+            pos[s] = np.arange(start, start + bucket)
+            offsets[s] = start
+            n_last[s] = len(c) - 1
+        if self._prefill_step is not None:
+            logits, self.cache = self._prefill_step(
+                self.params, jnp.asarray(toks_b), jnp.asarray(pos),
+                self.cache, jnp.asarray(offsets), jnp.asarray(n_last),
+            )
+            logits = np.asarray(logits)
+            rows = {s: logits[s, 0] for s in chunk}
+        else:
+            logits, self.cache = self._step(
+                self.params, jnp.asarray(toks_b), jnp.asarray(pos),
+                self.cache, jnp.asarray(offsets),
+            )
+            logits = np.asarray(logits)
+            rows = {s: logits[s, len(c) - 1] for s, c in chunk.items()}
+        for s, c in chunk.items():
+            self.n_past[s] += len(c)
+            self.perf.n_prefill += len(c)
+        self.perf.t_prefill_s += time.perf_counter() - t0
+        return rows
 
     def _bucket(self, n: int) -> int:
         # recurrent state would absorb pad tokens, so those prompts run at

@@ -24,6 +24,7 @@ from ..runtime.sampling import Sampler, SamplerParams
 
 class SlotState(Enum):
     IDLE = "idle"
+    PREFILLING = "prefilling"  # prompt streaming in, one chunk per iteration
     GENERATING = "generating"
 
 
@@ -57,6 +58,7 @@ class _Slot:
     text: str = ""
     tokens: list = field(default_factory=list)  # prompt + generated ids
     pending_token: int | None = None
+    prefill_tail: list | None = None  # prompt tokens not yet fed
     speculator: object = None  # per-slot draft proposer (ngram family)
     t_start: float = 0.0
     t_first_token: float = 0.0
@@ -230,8 +232,6 @@ class Scheduler:
         # offsets (≡ the reference packing several slots' prompt chunks
         # into one llama_batch under the n_batch budget)
         free = self._free_slots()
-        admitted: dict[int, _Slot] = {}
-        tails: dict[int, list[int]] = {}
         while free and not self.pending.empty():
             try:
                 req = self.pending.get_nowait()
@@ -247,14 +247,32 @@ class Scheduler:
             did = True
             tail = self._prepare_admit(slot, req)
             if tail is not None:
-                admitted[slot.index] = slot
-                tails[slot.index] = tail
-        if tails:
-            first_logits = self.engine.prefill_slots(tails)
-            for idx, lg in first_logits.items():
-                s = admitted[idx]
-                s.state = SlotState.GENERATING
-                self._advance(s, lg, first=True)
+                if self.engine.arch.recurrent:
+                    # recurrent prefills are exact-length/sequential
+                    logits = self.engine.prefill_slot(slot.index, tail)
+                    slot.state = SlotState.GENERATING
+                    self._advance(slot, logits, first=True)
+                else:
+                    slot.prefill_tail = tail
+                    slot.state = SlotState.PREFILLING
+
+        # ONE joint prefill round for slots with prompt still streaming in —
+        # interleaved with the decode step below so generating slots keep
+        # producing tokens during long admissions (≡ the reference feeding
+        # one llama_batch of mixed prompt chunks per update_slots pass)
+        pre = {s.index: s for s in self.slots
+               if s.state == SlotState.PREFILLING}
+        if pre:
+            chunk = {idx: s.prefill_tail[: self.engine.prefill_chunk]
+                     for idx, s in pre.items()}
+            rows = self.engine.prefill_slots_round(chunk)
+            for idx, s in pre.items():
+                s.prefill_tail = s.prefill_tail[len(chunk[idx]):]
+                if not s.prefill_tail:
+                    s.prefill_tail = None
+                    s.state = SlotState.GENERATING
+                    self._advance(s, rows[idx], first=True)
+            did = True
 
         # one batched decode step over generating slots
         gen = {
