@@ -132,3 +132,27 @@ def test_kl_divergence_base_and_compare(tmp_path):
     res = _json.loads(buf.getvalue().strip().splitlines()[-1])
     assert res["kld"] < 1e-3  # same model, f16-rounded logits
     assert res["same_top_p"] > 0.99
+
+
+def test_compare_bench_tool(tmp_path, capsys):
+    """tpullm-compare-bench diffs two bench JSON runs with noise-band
+    significance (≡ scripts/compare-llama-bench.py)."""
+    import json
+
+    from tpullm.tools.compare_bench import main as cmp_main
+
+    old = [{"model": "m.gguf", "mode": "dense", "n_prompt": 32, "n_gen": 8,
+            "pp_ts": 100.0, "pp_stddev": 2.0, "tg_ts": 10.0,
+            "tg_stddev": 0.5}]
+    new = [{"model": "/elsewhere/m.gguf", "mode": "dense", "n_prompt": 32,
+            "n_gen": 8, "pp_ts": 120.0, "pp_stddev": 2.0, "tg_ts": 10.2,
+            "tg_stddev": 0.5}]
+    a, b = tmp_path / "a.json", tmp_path / "b.json"
+    a.write_text(json.dumps(old))
+    b.write_text(json.dumps(new))
+    assert cmp_main([str(a), str(b), "-o", "json"]) == 0
+    rows = json.loads(capsys.readouterr().out)
+    assert rows[0]["pp_ts"]["speedup"] == 1.2
+    assert rows[0]["pp_ts"]["significant"] is True  # 20 > 2+2
+    assert rows[0]["tg_ts"]["significant"] is False  # 0.2 < 0.5+0.5
+    assert cmp_main([str(a), str(b)]) == 0  # markdown mode renders

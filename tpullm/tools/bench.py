@@ -87,12 +87,25 @@ def main(argv=None):
     ap.add_argument("-c", "--ctx-size", type=int, default=4096)
     ap.add_argument("--mode", default="auto", choices=["auto", "quant", "dense"])
     ap.add_argument("-o", "--output", default="md", choices=["md", "csv", "json"])
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax profiler trace of the sweep into DIR "
+                         "(open with xprof/tensorboard; the per-op analog of "
+                         "GGML_PERF instrumentation)")
     args = ap.parse_args(argv)
 
+    import contextlib
+
+    prof = contextlib.nullcontext()
+    if args.profile:
+        import jax
+
+        prof = jax.profiler.trace(args.profile)
+
     rows = []
-    for model in args.model:
-        rows += run_matrix(model, args.n_prompt, args.n_gen,
-                           args.repetitions, args.mode, args.ctx_size)
+    with prof:
+        for model in args.model:
+            rows += run_matrix(model, args.n_prompt, args.n_gen,
+                               args.repetitions, args.mode, args.ctx_size)
 
     if args.output == "json":
         print(json.dumps(rows, indent=2))
