@@ -1055,3 +1055,59 @@ def test_webui_served_at_root(engine):
         asyncio.new_event_loop().run_until_complete(run())
     finally:
         sched.stop()
+
+
+def test_prefill_bucket_overshoot_near_context_end(engine):
+    """Bucket padding past max_seq must not clobber earlier cache rows
+    (kvcache._seq_write clamp-and-roll): a 1-token tail at offset 29 of a
+    32-slot cache rides an 8-wide bucket — logits must match a run where
+    the bucket fits."""
+    import jax.numpy as jnp
+
+    from tpullm.runtime import Engine
+
+    toks = list(range(3, 32))  # 29 tokens
+
+    def run(max_seq):
+        eng = Engine(engine.reader.path, mode="dense", dtype=jnp.float32,
+                     kv_dtype=jnp.float32, max_seq=max_seq)
+        eng.prefill(toks)
+        lg = eng.prefill([40])  # bucket 8 at offset 29 overshoots max_seq 32
+        nxt = eng.decode_step(int(np.argmax(lg)))
+        return [lg, nxt]
+
+    ref = run(64)   # 29+8 fits: no clamp
+    got = run(32)   # 29+8 > 32: clamped window, rolled payload
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_joint_round_mixed_offsets_near_context_end(engine):
+    """The confirmed review repro: a short reuse-tail admission near the
+    context end shares a joint round with a longer chunk; the shared bucket
+    must not corrupt the short slot's cache."""
+    import jax.numpy as jnp
+
+    def fresh():
+        return BatchEngine(engine.reader.path, n_slots=2, max_seq=32,
+                           mode="dense", dtype=jnp.float32,
+                           kv_dtype=jnp.float32, prefill_chunk=16)
+
+    long_toks = list(range(3, 19))  # 16
+    head = list(range(3, 32))  # 29 cached tokens for slot 0
+
+    eng_a = fresh()
+    eng_a.prefill_slot(0, head)
+    ref0 = eng_a.prefill_slot(0, [40])       # sequential reference
+    ref1 = eng_a.prefill_slot(1, long_toks)
+
+    eng_b = fresh()
+    eng_b.prefill_slot(0, head)
+    got = eng_b.prefill_slots({0: [40], 1: long_toks})  # one joint round
+    np.testing.assert_allclose(got[0], ref0, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(got[1], ref1, rtol=2e-4, atol=2e-4)
+    da = eng_a.decode_batch({0: int(np.argmax(ref0)), 1: int(np.argmax(ref1))})
+    db = eng_b.decode_batch({0: int(np.argmax(ref0)), 1: int(np.argmax(ref1))})
+    for s in (0, 1):
+        np.testing.assert_allclose(db[s], da[s], rtol=2e-4, atol=2e-4)

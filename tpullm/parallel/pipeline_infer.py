@@ -212,9 +212,22 @@ def load_stacked_serving(reader, hp, mesh: Mesh, dtype=jnp.bfloat16,
                           ("w_up_exps", "ffn_up_exps"),
                           ("w_down_exps", "ffn_down_exps")):
             inf0 = t[f"blk.0.{stem}.weight"]
-            # GGUF 3-D expert tensors arrive (E, n_out, n_in); moe_ffn wants
-            # [E, n_in, n_out] (models/llama.py experts())
-            e, n_out3, n_in3 = inf0.to_numpy().shape
+            # shape from metadata only — to_numpy() would dequantize a
+            # multi-GB expert tensor just to read its dims. GGUF ne order
+            # is (n_in, n_out, E); moe_ffn wants [E, n_in, n_out]
+            # (models/llama.py experts())
+            n_in3, n_out3, e = inf0.shape
+            if TYPE_TRAITS[inf0.ggml_type].is_quantized:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "pipeline serving widens quantized MoE expert stacks "
+                    "(%s, %s) to %s — HBM grows ~%dx vs the packed file; "
+                    "packed 3-D expert kernels are not wired yet",
+                    stem, inf0.ggml_type.name, np.dtype(dtype).name,
+                    max(1, int(np.dtype(dtype).itemsize * 8
+                               / max(TYPE_TRAITS[inf0.ggml_type].bits_per_weight, 1))),
+                )
             stack[key] = put_stacked(
                 P(PIPE_AXIS), (e, n_in3, n_out3), dtype,
                 lambda i, stem=stem: np.ascontiguousarray(
@@ -292,6 +305,18 @@ def load_stacked_serving(reader, hp, mesh: Mesh, dtype=jnp.bfloat16,
     return params, qmeta, w_out.shape[1]
 
 
+def step_flags(stack: dict) -> dict:
+    """Derive make_pipeline_step's structural flags from a loaded stack —
+    single source of truth for both BatchEngine._init_pipeline and
+    PipelineEngine."""
+    moe = "router" in stack
+    return {
+        "moe": moe,
+        "gateless": not moe and "w_gate" not in stack,
+        "opt_keys": tuple(k for k in _OPT_STACK_SPECS if k in stack),
+    }
+
+
 def _mm(x, w, meta):
     """x @ weight where `w` is a dense [K, N] array or a packed-plane dict
     (meta = static (gtype, n_out, n_in) → fused dequant matmul)."""
@@ -367,12 +392,13 @@ def _layer_cached(hp, tp: int, w, x, positions, c_l, offs, batch_start,
     start = jnp.maximum(offs, 0)
 
     def upd(row_cache, new_row, off, ok):
-        # row_cache [Hkv, S, ...], new_row [Hkv, T, ...]
-        zeros = (0,) * (new_row.ndim - 2)
-        cur = jax.lax.dynamic_slice(row_cache, (0, off) + zeros,
-                                    new_row.shape)
-        src = jnp.where(ok, new_row.astype(row_cache.dtype), cur)
-        return jax.lax.dynamic_update_slice(row_cache, src, (0, off) + zeros)
+        # row_cache [Hkv, S, ...], new_row [Hkv, T, ...]; clamp-and-roll
+        # write (runtime.kvcache._seq_write): bucket padding near the
+        # context end must not clobber earlier positions
+        from ..runtime.kvcache import _seq_write
+
+        return _seq_write(row_cache, new_row, jnp.where(ok, off, -1),
+                          seq_axis=1)
 
     def rw(leaf, new_row):
         """Write the microbatch's rows into one cache leaf and return
@@ -647,13 +673,13 @@ class PipelineEngine:
         self.cache = make_stacked_cache(self.hp, self.batch, max_seq, mesh,
                                         dtype=dtype)
         self.n_past = np.zeros((self.batch,), np.int64)
+        if isinstance(dtype, str):
+            raise NotImplementedError(
+                "PipelineEngine stores its cache at the weight dtype; use "
+                "BatchEngine(kv_dtype='q8_0', mesh=...) for quantized KV"
+            )
         self._step = make_pipeline_step(
-            self.hp, mesh, self.qmeta,
-            moe="router" in self.params["stack"],
-            gateless=("w_gate" not in self.params["stack"]
-                      and "router" not in self.params["stack"]),
-            opt_keys=tuple(k for k in _OPT_STACK_SPECS
-                           if k in self.params["stack"]))
+            self.hp, mesh, self.qmeta, **step_flags(self.params["stack"]))
 
     def forward_batch(self, tokens: np.ndarray) -> np.ndarray:
         """Run [B, T] tokens through the pipeline; rows may sit at different

@@ -182,17 +182,13 @@ class BatchEngine:
         self.cache = make_stacked_cache(hp, self.n_slots, self.max_seq,
                                         mesh, dtype=self.kv_dtype)
         quant_kv = isinstance(self.kv_dtype, str)
-        from ..parallel.pipeline_infer import _OPT_STACK_SPECS
+        from ..parallel.pipeline_infer import step_flags
 
-        moe = "router" in self.params["stack"]
-        gateless = not moe and "w_gate" not in self.params["stack"]
-        opt = tuple(k for k in _OPT_STACK_SPECS if k in self.params["stack"])
+        flags = step_flags(self.params["stack"])
         self._step = make_pipeline_step(hp, mesh, qmeta, quant_kv=quant_kv,
-                                        moe=moe, opt_keys=opt,
-                                        gateless=gateless)
+                                        **flags)
         self._prefill_step = make_pipeline_step(
-            hp, mesh, qmeta, last_only=True, quant_kv=quant_kv, moe=moe,
-            opt_keys=opt, gateless=gateless)
+            hp, mesh, qmeta, last_only=True, quant_kv=quant_kv, **flags)
 
     def precompile(self, widths: tuple = (), background: bool = False):
         """Compile the batched step for every token-shape the scheduler can
@@ -289,16 +285,14 @@ class BatchEngine:
 
     def prefill_slot(self, slot: int, tokens: list[int]) -> np.ndarray:
         """Feed `tokens` into one slot (chunked to prefill_chunk); returns
-        last-token logits [n_vocab]."""
-        t0 = time.perf_counter()
+        last-token logits [n_vocab]. Perf counters accumulate per chunk
+        round (prefill_slots_round)."""
         logits_last = None
         idx = 0
         while idx < len(tokens):
             chunk = tokens[idx : idx + self.prefill_chunk]
             logits_last = self._prefill_chunk(slot, chunk)
             idx += len(chunk)
-        self.perf.t_prefill_s += time.perf_counter() - t0
-        self.perf.n_prefill += len(tokens)
         return logits_last
 
     def prefill_slots(self, tokens: dict[int, list[int]]
@@ -423,32 +417,7 @@ class BatchEngine:
         return out
 
     def _prefill_chunk(self, slot: int, chunk: list[int]) -> np.ndarray:
-        n = len(chunk)
-        start = int(self.n_past[slot])
-        if start + n > self.max_seq:
-            raise ValueError(f"slot {slot} context overflow: {start}+{n}")
-        bucket = self._bucket(n)
-        toks = np.zeros((self.n_slots, bucket), dtype=np.int32)
-        toks[slot, :n] = chunk
-        pos = np.zeros((self.n_slots, bucket), dtype=np.int32)
-        pos[slot] = np.arange(start, start + bucket)
-        offsets = np.full(self.n_slots, -1, dtype=np.int32)
-        offsets[slot] = start
-        if self._prefill_step is not None:
-            n_last = np.zeros(self.n_slots, dtype=np.int32)
-            n_last[slot] = n - 1
-            logits, self.cache = self._prefill_step(
-                self.params, jnp.asarray(toks), jnp.asarray(pos), self.cache,
-                jnp.asarray(offsets), jnp.asarray(n_last),
-            )
-            self.n_past[slot] = start + n
-            return np.asarray(logits[slot, 0])
-        logits, self.cache = self._step(
-            self.params, jnp.asarray(toks), jnp.asarray(pos), self.cache,
-            jnp.asarray(offsets),
-        )
-        self.n_past[slot] = start + n
-        return np.asarray(logits[slot, n - 1])
+        return self.prefill_slots_round({slot: chunk})[slot]
 
     def embed_tokens(self, slot: int, tokens: list[int],
                      pooling: str | None = None,

@@ -17,6 +17,36 @@ import jax.numpy as jnp
 from ..models.hparams import HParams
 
 
+def _seq_write(cache_arr: jax.Array, new_arr: jax.Array, off,
+               seq_axis: int) -> jax.Array:
+    """Write `new_arr` (T wide on seq_axis) at sequence position `off` of
+    `cache_arr` (S wide); off < 0 skips the write entirely.
+
+    Prefill buckets can overshoot the context end (off + bucket > S even
+    though every REAL token fits — the engines only guarantee
+    off + n_tokens <= S). A raw dynamic_update_slice would clamp its start
+    to S - T and silently clobber positions before `off` with pad-token
+    rows; instead the window clamps left, the payload rolls right by the
+    clamp distance so every real token still lands at its absolute
+    position, and the wrapped-in columns keep the existing cache content.
+    """
+    S = cache_arr.shape[seq_axis]
+    T = new_arr.shape[seq_axis]
+    off = jnp.asarray(off, jnp.int32)
+    start = jnp.clip(off, 0, max(S - T, 0))
+    shifted = jnp.roll(new_arr, off - start, axis=seq_axis)
+    starts = [0] * cache_arr.ndim
+    starts[seq_axis] = start
+    cur = jax.lax.dynamic_slice(cache_arr, starts, new_arr.shape)
+    colpos = start + jnp.arange(T, dtype=jnp.int32)
+    keep_new = (off >= 0) & (colpos >= off)
+    shape = [1] * cache_arr.ndim
+    shape[seq_axis] = T
+    src = jnp.where(keep_new.reshape(shape),
+                    shifted.astype(cache_arr.dtype), cur)
+    return jax.lax.dynamic_update_slice(cache_arr, src, starts)
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class KVCache:
@@ -60,21 +90,15 @@ class KVCache:
         """
         offset = jnp.asarray(offset)
         if offset.ndim == 0:
-            k = jax.lax.dynamic_update_slice(
-                self.k, k_new[None].astype(self.k.dtype), (layer, 0, 0, offset, 0)
-            )
-            v = jax.lax.dynamic_update_slice(
-                self.v, v_new[None].astype(self.v.dtype), (layer, 0, 0, offset, 0)
-            )
+            k = self.k.at[layer].set(
+                _seq_write(self.k[layer], k_new, offset, seq_axis=2))
+            v = self.v.at[layer].set(
+                _seq_write(self.v[layer], v_new, offset, seq_axis=2))
             return KVCache(k, v)
 
         def row(cache_row, new_row, off):
-            # cache_row [Hkv, S, D], new_row [Hkv, T, D]
-            # off < 0 → rewrite the currently-stored values (no-op write)
-            start = jnp.maximum(off, 0)
-            cur = jax.lax.dynamic_slice(cache_row, (0, start, 0), new_row.shape)
-            src = jnp.where(off >= 0, new_row.astype(cache_row.dtype), cur)
-            return jax.lax.dynamic_update_slice(cache_row, src, (0, start, 0))
+            # cache_row [Hkv, S, D], new_row [Hkv, T, D]; off < 0 = no-op
+            return _seq_write(cache_row, new_row, off, seq_axis=1)
 
         k_l = jax.vmap(row)(self.k[layer], k_new, offset)
         v_l = jax.vmap(row)(self.v[layer], v_new, offset)
@@ -150,23 +174,21 @@ class QuantKVCache:
         v_q, v_s = self._quantize(v_new)
         offset = jnp.asarray(offset)
         if offset.ndim == 0:
-            kq = jax.lax.dynamic_update_slice(self.k_q, k_q[None], (layer, 0, 0, offset, 0))
-            vq = jax.lax.dynamic_update_slice(self.v_q, v_q[None], (layer, 0, 0, offset, 0))
-            ks = jax.lax.dynamic_update_slice(self.k_s, k_s[None], (layer, 0, 0, offset))
-            vs = jax.lax.dynamic_update_slice(self.v_s, v_s[None], (layer, 0, 0, offset))
+            kq = self.k_q.at[layer].set(
+                _seq_write(self.k_q[layer], k_q, offset, seq_axis=2))
+            vq = self.v_q.at[layer].set(
+                _seq_write(self.v_q[layer], v_q, offset, seq_axis=2))
+            ks = self.k_s.at[layer].set(
+                _seq_write(self.k_s[layer], k_s, offset, seq_axis=2))
+            vs = self.v_s.at[layer].set(
+                _seq_write(self.v_s[layer], v_s, offset, seq_axis=2))
             return QuantKVCache(kq, vq, ks, vs)
 
         def row4(cache_row, new_row, off):
-            start = jnp.maximum(off, 0)
-            cur = jax.lax.dynamic_slice(cache_row, (0, start, 0), new_row.shape)
-            src = jnp.where(off >= 0, new_row, cur)
-            return jax.lax.dynamic_update_slice(cache_row, src, (0, start, 0))
+            return _seq_write(cache_row, new_row, off, seq_axis=1)
 
         def row3(cache_row, new_row, off):
-            start = jnp.maximum(off, 0)
-            cur = jax.lax.dynamic_slice(cache_row, (0, start), new_row.shape)
-            src = jnp.where(off >= 0, new_row, cur)
-            return jax.lax.dynamic_update_slice(cache_row, src, (0, start))
+            return _seq_write(cache_row, new_row, off, seq_axis=1)
 
         kq = self.k_q.at[layer].set(jax.vmap(row4)(self.k_q[layer], k_q, offset))
         vq = self.v_q.at[layer].set(jax.vmap(row4)(self.v_q[layer], v_q, offset))

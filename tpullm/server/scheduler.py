@@ -246,6 +246,10 @@ class Scheduler:
             free.remove(slot)
             did = True
             tail = self._prepare_admit(slot, req)
+            if tail is None and slot.state == SlotState.IDLE:
+                # rejected without touching the slot (context overflow):
+                # give it back so later queue entries can admit this pass
+                free.append(slot)
             if tail is not None:
                 if self.engine.arch.recurrent:
                     # recurrent prefills are exact-length/sequential
