@@ -743,3 +743,117 @@ def test_convert_gemma2_logit_parity(tmp_path):
                  kv_dtype=jnp.float32)
     got = eng.prefill_all_logits(ids)
     np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
+
+
+def test_convert_ernie4_5_moe_logit_parity(tmp_path):
+    from transformers import Ernie4_5_MoeConfig, Ernie4_5_MoeForCausalLM
+
+    torch.manual_seed(23)
+    model = Ernie4_5_MoeForCausalLM(Ernie4_5_MoeConfig(
+        vocab_size=96, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        moe_num_experts=4, moe_k=2, moe_intermediate_size=32,
+        moe_num_shared_experts=1, moe_layer_start_index=1,
+        max_position_embeddings=128, rope_theta=10000.0,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+    ))
+    model.eval()
+    d = tmp_path / "hf_ernie_moe"
+    model.save_pretrained(d, safe_serialization=True)
+    out = str(tmp_path / "ernie_moe.gguf")
+    stats = convert_hf_to_gguf(str(d), out, outtype="f32", verbose=False)
+    assert stats["arch"] == "ernie4_5-moe"
+    ids = [3, 17, 42, 7, 19]
+    with torch.no_grad():
+        ref = model(torch.tensor([ids])).logits[0].numpy()
+    eng = Engine(out, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    got = eng.prefill_all_logits(ids)
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_convert_hunyuan_moe_logit_parity(tmp_path):
+    from transformers import HunYuanMoEV1Config, HunYuanMoEV1ForCausalLM
+
+    torch.manual_seed(29)
+    model = HunYuanMoEV1ForCausalLM(HunYuanMoEV1Config(
+        vocab_size=96, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, num_experts=4, moe_topk=2,
+        max_position_embeddings=128, rope_theta=10000.0,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+    ))
+    model.eval()
+    d = tmp_path / "hf_hy_moe"
+    model.save_pretrained(d, safe_serialization=True)
+    out = str(tmp_path / "hy_moe.gguf")
+    stats = convert_hf_to_gguf(str(d), out, outtype="f32", verbose=False)
+    assert stats["arch"] == "hunyuan-moe"
+    ids = [3, 17, 42, 7, 19]
+    with torch.no_grad():
+        ref = model(torch.tensor([ids])).logits[0].numpy()
+    eng = Engine(out, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    got = eng.prefill_all_logits(ids)
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_convert_granitemoeshared_logit_parity(tmp_path):
+    from transformers import GraniteMoeSharedConfig, GraniteMoeSharedForCausalLM
+
+    torch.manual_seed(31)
+    model = GraniteMoeSharedForCausalLM(GraniteMoeSharedConfig(
+        vocab_size=96, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_local_experts=4, num_experts_per_tok=2,
+        shared_intermediate_size=48, max_position_embeddings=128,
+        rope_theta=10000.0, pad_token_id=0, bos_token_id=1, eos_token_id=2,
+        attention_multiplier=0.25, embedding_multiplier=2.0,
+        residual_multiplier=0.5, logits_scaling=2.0,
+    ))
+    model.eval()
+    d = tmp_path / "hf_gms"
+    model.save_pretrained(d, safe_serialization=True)
+    out = str(tmp_path / "gms.gguf")
+    stats = convert_hf_to_gguf(str(d), out, outtype="f32", verbose=False)
+    assert stats["arch"] == "granitemoe"
+    ids = [3, 17, 42, 7, 19]
+    with torch.no_grad():
+        ref = model(torch.tensor([ids])).logits[0].numpy()
+    eng = Engine(out, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    got = eng.prefill_all_logits(ids)
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_convert_granitemoehybrid_logit_parity(tmp_path):
+    from transformers import (
+        GraniteMoeHybridConfig,
+        GraniteMoeHybridForCausalLM,
+    )
+
+    torch.manual_seed(37)
+    model = GraniteMoeHybridForCausalLM(GraniteMoeHybridConfig(
+        vocab_size=96, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_local_experts=4, num_experts_per_tok=2,
+        shared_intermediate_size=48, layer_types=["mamba", "attention"],
+        mamba_d_state=16, mamba_n_heads=4, mamba_d_head=16, mamba_expand=1,
+        mamba_n_groups=1, mamba_d_conv=4, mamba_conv_bias=True,
+        max_position_embeddings=128, pad_token_id=0, bos_token_id=1,
+        eos_token_id=2, attention_multiplier=0.2, embedding_multiplier=2.0,
+        residual_multiplier=0.5, logits_scaling=2.0,
+    ))
+    model.eval()
+    d = tmp_path / "hf_gmh"
+    model.save_pretrained(d, safe_serialization=True)
+    out = str(tmp_path / "gmh.gguf")
+    stats = convert_hf_to_gguf(str(d), out, outtype="f32", verbose=False)
+    assert stats["arch"] == "granitehybrid"
+    ids = [3, 17, 42, 7, 19]
+    with torch.no_grad():
+        ref = model(torch.tensor([ids])).logits[0].numpy()
+    eng = Engine(out, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    got = eng.prefill_all_logits(ids)
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)

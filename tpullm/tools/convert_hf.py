@@ -67,12 +67,16 @@ ARCH_MAP = {
     "dots1": "dots1",
     "seed_oss": "seed_oss",
     "ernie4_5": "ernie4_5",
+    "ernie4_5_moe": "ernie4_5-moe",
     "hunyuan_v1_dense": "hunyuan-dense",
+    "hunyuan_v1_moe": "hunyuan-moe",
     "bitnet": "bitnet",
     "apertus": "apertus",
     "jamba": "jamba",
     "falcon_mamba": "falcon-mamba",
     "granitemoe": "granitemoe",
+    "granitemoeshared": "granitemoe",  # + shared_mlp fused gate|up tensors
+    "granitemoehybrid": "granitehybrid",
     "phimoe": "phimoe",
     "llama4": "llama4",
     "llama4_text": "llama4",
@@ -184,6 +188,10 @@ _LAYER_MAP = {
     "post_feedforward_layernorm.weight": "post_ffw_norm.weight",
     # MoE (qwen2_moe/qwen3_moe)
     "mlp.gate.weight": "ffn_gate_inp.weight",
+    "mlp.gate.wg.weight": "ffn_gate_inp.weight",  # hunyuan-moe router
+    "mlp.shared_mlp.gate_proj.weight": "ffn_gate_shexp.weight",
+    "mlp.shared_mlp.up_proj.weight": "ffn_up_shexp.weight",
+    "mlp.shared_mlp.down_proj.weight": "ffn_down_shexp.weight",
     "mlp.shared_expert_gate.weight": "ffn_gate_inp_shexp.weight",
     "mlp.shared_expert.gate_proj.weight": "ffn_gate_shexp.weight",
     "mlp.shared_expert.up_proj.weight": "ffn_up_shexp.weight",
@@ -1128,6 +1136,45 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
         # renormalized softmax routing (GraniteMoeTopKGating softmax over
         # the top-k logits)
         w.add_kv("granitemoe.expert_weights_norm", True)
+    if arch == "granitehybrid":
+        # ≡ GraniteMoeHybrid (granite-4.0-h): mamba2/attention mixer per
+        # layer_types, granitemoe-style fused MoE + shared mlp, NoPE attn
+        lt = cfg.get("layer_types")
+        if not lt:
+            raise NotImplementedError(
+                "granitemoehybrid: config.layer_types is required")
+        kv_arr = [n_kv if t == "attention" else 0 for t in lt]
+        w.add_kv(f"{arch}.attention.head_count_kv",
+                 np.asarray(kv_arr, dtype=np.int32))
+        d_inner = int(cfg["mamba_n_heads"]) * int(cfg["mamba_d_head"])
+        w.add_kv(f"{arch}.ssm.conv_kernel", int(cfg.get("mamba_d_conv", 4)))
+        w.add_kv(f"{arch}.ssm.inner_size", d_inner)
+        w.add_kv(f"{arch}.ssm.state_size", int(cfg.get("mamba_d_state", 128)))
+        w.add_kv(f"{arch}.ssm.time_step_rank", int(cfg["mamba_n_heads"]))
+        w.add_kv(f"{arch}.ssm.group_count", int(cfg.get("mamba_n_groups", 1)))
+        w.add_kv(f"{arch}.expert_count", int(cfg["num_local_experts"]))
+        w.add_kv(f"{arch}.expert_used_count",
+                 int(cfg.get("num_experts_per_tok", 2)))
+        # GraniteMoeHybridTopKGating: softmax over the top-k logits
+        w.add_kv(f"{arch}.expert_weights_norm", True)
+    if arch == "hunyuan-moe":
+        # ≡ HunYuanMoEV1: renormalized top-k softmax + always-on shared mlp
+        w.add_kv(f"{arch}.expert_count", int(cfg["num_experts"]))
+        w.add_kv(f"{arch}.expert_used_count", int(cfg.get("moe_topk", 1)))
+    if arch == "ernie4_5-moe":
+        # ≡ Ernie4_5MoeModel.set_gguf_parameters: moe_* config keys; the
+        # leading dense block count comes from moe_layer_start_index
+        if int(cfg.get("moe_layer_interval", 1)) != 1:
+            raise NotImplementedError("ernie4_5-moe: interleaved MoE layers "
+                                      "(moe_layer_interval != 1)")
+        w.add_kv(f"{arch}.expert_count", int(cfg["moe_num_experts"]))
+        w.add_kv(f"{arch}.expert_used_count", int(cfg.get("moe_k", 2)))
+        w.add_kv(f"{arch}.expert_feed_forward_length",
+                 int(cfg.get("moe_intermediate_size", 0)))
+        w.add_kv(f"{arch}.expert_shared_count",
+                 int(cfg.get("moe_num_shared_experts", 0) or 0))
+        w.add_kv(f"{arch}.leading_dense_block_count",
+                 int(cfg.get("moe_layer_start_index", 0)))
     if arch == "bitnet" and cfg.get("hidden_act") == "relu2":
         # microsoft BitNet-b1.58 uses gated ReLU² (beyond the reference,
         # which only converts the 1bitLLM silu variant)
@@ -1217,7 +1264,8 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
                              np.ascontiguousarray(a.transpose(0, 2, 1)), gtype)
                 n_tensors += 1
             continue
-        if arch == "granitemoe" and ".block_sparse_moe." in name and (
+        if arch in ("granitemoe", "granitehybrid") and \
+                ".block_sparse_moe." in name and (
                 "input_linear" in name or "output_linear" in name):
             # GraniteMoeParallelExperts: input_linear (E, 2F, d) fused
             # [gate; up], output_linear (E, d, F)
@@ -1234,6 +1282,14 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
                 w.add_tensor(f"blk.{li}.ffn_down_exps.weight", a, gtype)
                 n_tensors += 1
             continue
+        if name.endswith(".mlp.moe_statics.e_score_correction_bias"):
+            # ernie4_5-moe selection bias (ranked by probs+bias, weighted by
+            # probs — qwen_moe.forward select_bias); HF shape (1, E)
+            li = name.split(".")[2]
+            w.add_tensor(f"blk.{li}.exp_probs_b.bias",
+                         np.asarray(arr, np.float32).reshape(-1))
+            n_tensors += 1
+            continue
         if ".mlp.experts." in name or ".feed_forward.experts." in name:
             # model.layers.L.{mlp|feed_forward}.experts.E.{gate,up,down}_proj.weight
             parts = name.split(".")
@@ -1243,6 +1299,23 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
                    "down_proj": f"blk.{li}.ffn_down_exps.weight"}.get(proj)
             if key:
                 expert_acc.setdefault(key, {})[ei] = np.asarray(arr, dtype=np.float32)
+            continue
+        if ".shared_mlp.input_linear.weight" in name and \
+                arch in ("granitemoe", "granitehybrid"):
+            # GraniteMoeShared: layer-level fused [gate; up] shared expert
+            li = name.split(".")[2]
+            a = np.asarray(arr, dtype=np.float32)
+            F = a.shape[0] // 2
+            w.add_tensor(f"blk.{li}.ffn_gate_shexp.weight", a[:F], gtype)
+            w.add_tensor(f"blk.{li}.ffn_up_shexp.weight", a[F:], gtype)
+            n_tensors += 2
+            continue
+        if ".shared_mlp.output_linear.weight" in name and \
+                arch in ("granitemoe", "granitehybrid"):
+            li = name.split(".")[2]
+            w.add_tensor(f"blk.{li}.ffn_down_shexp.weight",
+                         np.asarray(arr, dtype=np.float32), gtype)
+            n_tensors += 1
             continue
         if ".block_sparse_moe.experts." in name:
             # mixtral: model.layers.L.block_sparse_moe.experts.E.w{1,2,3}
