@@ -857,3 +857,119 @@ def test_convert_granitemoehybrid_logit_parity(tmp_path):
                  kv_dtype=jnp.float32)
     got = eng.prefill_all_logits(ids)
     np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_convert_qwen2_vl_text_and_mmproj(tmp_path):
+    """qwen2-VL checkpoints convert twice: text stack (logit parity on a
+    text-only prompt) and --mmproj vision tower (loads as Qwen2VLVision and
+    reproduces the HF visual forward)."""
+    from transformers import Qwen2VLConfig, Qwen2VLForConditionalGeneration
+    from transformers.models.qwen2_vl.configuration_qwen2_vl import (
+        Qwen2VLVisionConfig,
+    )
+
+    torch.manual_seed(41)
+    vcfg = Qwen2VLVisionConfig(
+        depth=2, embed_dim=32, hidden_size=48, num_heads=2, in_chans=3,
+        mlp_ratio=2, patch_size=4, spatial_merge_size=2,
+        temporal_patch_size=2)
+    cfg = Qwen2VLConfig(
+        vocab_size=96, hidden_size=48, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rope_theta=10000.0,
+        rope_scaling={"type": "mrope", "mrope_section": [4, 1, 1]},
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+        vision_config=vcfg.to_dict(), image_token_id=95, video_token_id=94,
+        vision_start_token_id=93, vision_end_token_id=92)
+    model = Qwen2VLForConditionalGeneration(cfg)
+    model.eval()
+    d = tmp_path / "hf_q2vl"
+    model.save_pretrained(d, safe_serialization=True)
+
+    # text stack
+    out = str(tmp_path / "q2vl.gguf")
+    stats = convert_hf_to_gguf(str(d), out, outtype="f32", verbose=False)
+    assert stats["arch"] == "qwen2vl"
+    ids = [3, 17, 42, 7, 19]
+    with torch.no_grad():
+        ref = model(torch.tensor([ids])).logits[0].numpy()
+    eng = Engine(out, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    got = eng.prefill_all_logits(ids)
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+    # vision tower
+    from tpullm.mtmd import Qwen2VLVision, load_vision
+    from tpullm.tools.convert_hf import convert_hf_mmproj
+    from test_mtmd import _qwen_hf_patches
+
+    mm = str(tmp_path / "q2vl.mmproj.gguf")
+    mstats = convert_hf_mmproj(str(d), mm, verbose=False)
+    assert mstats["n_tensors"] > 10
+    tower = load_vision(mm)
+    assert isinstance(tower, Qwen2VLVision)
+    visual = (model.model.visual
+              if hasattr(model.model, "visual") else model.visual).float()
+    img = np.random.default_rng(5).normal(size=(3, 16, 24)).astype(np.float32)
+    got_emb = tower.encode_pixels(img)
+    with torch.no_grad():
+        flat = torch.from_numpy(_qwen_hf_patches(img, 2, 4, 2))
+        ref_emb = visual(flat, grid_thw=torch.tensor([[1, 4, 6]])).numpy()
+    np.testing.assert_allclose(got_emb, ref_emb, rtol=2e-3, atol=2e-3)
+
+
+def test_convert_qwen25_vl_text_and_mmproj(tmp_path):
+    from transformers import (
+        Qwen2_5_VLConfig,
+        Qwen2_5_VLForConditionalGeneration,
+    )
+    from transformers.models.qwen2_5_vl.configuration_qwen2_5_vl import (
+        Qwen2_5_VLVisionConfig,
+    )
+
+    torch.manual_seed(43)
+    vcfg = Qwen2_5_VLVisionConfig(
+        depth=4, hidden_size=32, out_hidden_size=48, intermediate_size=64,
+        num_heads=2, patch_size=4, spatial_merge_size=2,
+        temporal_patch_size=2, window_size=8, fullatt_block_indexes=[1, 3])
+    cfg = Qwen2_5_VLConfig(
+        vocab_size=96, hidden_size=48, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rope_theta=10000.0,
+        rope_scaling={"type": "mrope", "mrope_section": [4, 1, 1]},
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+        vision_config=vcfg.to_dict(), image_token_id=95, video_token_id=94,
+        vision_start_token_id=93, vision_end_token_id=92)
+    model = Qwen2_5_VLForConditionalGeneration(cfg)
+    model.eval()
+    d = tmp_path / "hf_q25vl"
+    model.save_pretrained(d, safe_serialization=True)
+
+    out = str(tmp_path / "q25vl.gguf")
+    stats = convert_hf_to_gguf(str(d), out, outtype="f32", verbose=False)
+    assert stats["arch"] == "qwen2vl"
+    ids = [3, 17, 42, 7, 19]
+    with torch.no_grad():
+        ref = model(torch.tensor([ids])).logits[0].numpy()
+    eng = Engine(out, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    got = eng.prefill_all_logits(ids)
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+    from tpullm.mtmd import Qwen2VLVision, load_vision
+    from tpullm.tools.convert_hf import convert_hf_mmproj
+    from test_mtmd import _qwen_hf_patches
+
+    mm = str(tmp_path / "q25vl.mmproj.gguf")
+    convert_hf_mmproj(str(d), mm, verbose=False)
+    tower = load_vision(mm)
+    assert isinstance(tower, Qwen2VLVision) and tower.is_25
+    assert tower.n_wa_pattern == 2
+    visual = (model.model.visual
+              if hasattr(model.model, "visual") else model.visual).float()
+    img = np.random.default_rng(7).normal(size=(3, 16, 16)).astype(np.float32)
+    got_emb = tower.encode_pixels(img)
+    with torch.no_grad():
+        flat = torch.from_numpy(_qwen_hf_patches(img, 2, 4, 2))
+        ref_emb = visual(flat, grid_thw=torch.tensor([[1, 4, 4]])).numpy()
+    np.testing.assert_allclose(got_emb, ref_emb, rtol=2e-3, atol=2e-3)

@@ -68,6 +68,8 @@ ARCH_MAP = {
     "seed_oss": "seed_oss",
     "ernie4_5": "ernie4_5",
     "ernie4_5_moe": "ernie4_5-moe",
+    "qwen2_vl": "qwen2vl",  # text stack; --mmproj exports the vision tower
+    "qwen2_5_vl": "qwen2vl",
     "hunyuan_v1_dense": "hunyuan-dense",
     "hunyuan_v1_moe": "hunyuan-moe",
     "bitnet": "bitnet",
@@ -815,6 +817,11 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
     if arch is None:
         raise NotImplementedError(f"model_type {model_type!r} not supported yet "
                                   f"(have: {sorted(ARCH_MAP)})")
+    if model_type in ("qwen2_vl", "qwen2_5_vl"):
+        # newer transformers nests the text config; flatten it for the generic
+        # kv writer (vision tensors are skipped here — --mmproj exports them)
+        for k_, v_ in (cfg.get("text_config") or {}).items():
+            cfg.setdefault(k_, v_)
     if model_type == "dbrx":
         # flatten MosaicML's nested config (≡ DbrxModel.set_gguf_parameters)
         ac = cfg.get("attn_config") or {}
@@ -1157,6 +1164,12 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
                  int(cfg.get("num_experts_per_tok", 2)))
         # GraniteMoeHybridTopKGating: softmax over the top-k logits
         w.add_kv(f"{arch}.expert_weights_norm", True)
+    if arch == "qwen2vl":
+        rs = cfg.get("rope_scaling") or {}
+        sec = rs.get("mrope_section")
+        if sec:
+            w.add_kv(f"{arch}.rope.dimension_sections",
+                     np.asarray(list(sec) + [0], dtype=np.int32))
     if arch == "hunyuan-moe":
         # ≡ HunYuanMoEV1: renormalized top-k softmax + always-on shared mlp
         w.add_kv(f"{arch}.expert_count", int(cfg["num_experts"]))
@@ -1220,6 +1233,11 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
     altup_acc: dict[str, dict[int, np.ndarray]] = {}  # gemma3n projections
     xielu_acc: dict[str, dict[int, float]] = {}  # apertus activation params
     for name, arr in _load_tensors(src_dir):
+        if arch == "qwen2vl":
+            if name.startswith(("model.visual.", "visual.")):
+                continue  # vision tower lives in the --mmproj output
+            if name.startswith("model.language_model."):
+                name = "model." + name[len("model.language_model."):]
         if ".mlp.experts." in name and name.split(".")[5] in (
             "gate_up_proj", "gate_up_proj_bias", "down_proj", "down_proj_bias"
         ):
@@ -1479,13 +1497,128 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
     return {"n_tensors": n_tensors, "arch": arch, "out": dst}
 
 
+_MMPROJ_VISION_TYPES = ("qwen2_vl", "qwen2_5_vl")
+
+
+def convert_hf_mmproj(src_dir: str, dst: str, verbose: bool = True) -> dict:
+    """Export the VISION tower of an HF VL checkpoint as an mmproj GGUF
+    (≡ convert_hf_to_gguf.py --mmproj → tools/mtmd/clip-impl.h naming).
+    Currently: qwen2_vl (quick-gelu MLP merger) and qwen2_5_vl (RMS norms,
+    gated silu, windowed attention)."""
+    cfg = json.load(open(os.path.join(src_dir, "config.json")))
+    model_type = cfg.get("model_type")
+    if model_type not in _MMPROJ_VISION_TYPES:
+        raise NotImplementedError(
+            f"--mmproj supports {_MMPROJ_VISION_TYPES}, got {model_type!r}")
+    is25 = model_type == "qwen2_5_vl"
+    vc = cfg["vision_config"]
+    # 2.0: embed_dim is the tower width (hidden_size = LLM dim for the
+    # merger); 2.5: hidden_size is the tower width
+    n_embd = int(vc.get("embed_dim") or vc["hidden_size"])
+    depth = int(vc["depth"])
+    n_head = int(vc["num_heads"])
+    n_ff = int(vc.get("intermediate_size",
+                      n_embd * float(vc.get("mlp_ratio", 4))))
+    patch = int(vc.get("patch_size", 14))
+    merge = int(vc.get("spatial_merge_size", 2))
+
+    from ..gguf.writer import GGUFWriter
+
+    w = GGUFWriter(dst, architecture="clip")
+    w.add_kv("clip.projector_type",
+             "qwen2.5vl_merger" if is25 else "qwen2vl_merger")
+    w.add_kv("clip.has_vision_encoder", True)
+    w.add_kv("clip.vision.patch_size", patch)
+    w.add_kv("clip.vision.embedding_length", n_embd)
+    w.add_kv("clip.vision.feed_forward_length", n_ff)
+    w.add_kv("clip.vision.block_count", depth)
+    w.add_kv("clip.vision.attention.head_count", n_head)
+    w.add_kv("clip.vision.attention.layer_norm_epsilon", 1e-6)
+    w.add_kv("clip.vision.spatial_merge_size", merge)
+    if is25:
+        idx = sorted(vc.get("fullatt_block_indexes", []))
+        # clip.cpp models the full-attention interleave as every
+        # n_wa_pattern-th block; HF stores the explicit index list
+        pattern = (idx[0] + 1) if idx else 0
+        if any((i + 1) % pattern for i in idx):
+            raise NotImplementedError(
+                f"irregular fullatt_block_indexes {idx}")
+        w.add_kv("clip.vision.n_wa_pattern", pattern)
+        w.add_kv("clip.vision.window_size", int(vc.get("window_size", 112)))
+
+    sd = {}
+    for name, arr in _load_tensors(src_dir):
+        for pfx in ("model.visual.", "visual."):
+            if name.startswith(pfx):
+                sd[name[len(pfx):]] = np.asarray(arr, dtype=np.float32)
+                break
+    if not sd:
+        raise ValueError(f"no visual.* tensors found under {src_dir}")
+
+    n_tensors = 0
+
+    def put(gname, a):
+        nonlocal n_tensors
+        w.add_tensor(gname, np.ascontiguousarray(a))
+        n_tensors += 1
+
+    pw = sd["patch_embed.proj.weight"]  # [C, 3, tps, P, P]
+    put("v.patch_embd.weight", pw[:, :, 0].reshape(n_embd, -1))
+    if pw.shape[2] > 1:  # temporal_patch_size 2: second frame plane
+        put("v.patch_embd.weight.1", pw[:, :, 1].reshape(n_embd, -1))
+    for i in range(depth):
+        hp_, gp = f"blocks.{i}.", f"v.blk.{i}."
+        qkv_w, qkv_b = sd[hp_ + "attn.qkv.weight"], sd[hp_ + "attn.qkv.bias"]
+        for j, nm in enumerate(("attn_q", "attn_k", "attn_v")):
+            put(gp + nm + ".weight", qkv_w[j * n_embd:(j + 1) * n_embd])
+            put(gp + nm + ".bias", qkv_b[j * n_embd:(j + 1) * n_embd])
+        put(gp + "attn_out.weight", sd[hp_ + "attn.proj.weight"])
+        put(gp + "attn_out.bias", sd[hp_ + "attn.proj.bias"])
+        put(gp + "ln1.weight", sd[hp_ + "norm1.weight"])
+        if hp_ + "norm1.bias" in sd:
+            put(gp + "ln1.bias", sd[hp_ + "norm1.bias"])
+        put(gp + "ln2.weight", sd[hp_ + "norm2.weight"])
+        if hp_ + "norm2.bias" in sd:
+            put(gp + "ln2.bias", sd[hp_ + "norm2.bias"])
+        if hp_ + "mlp.fc1.weight" in sd:  # 2.0 quick-gelu MLP
+            put(gp + "ffn_up.weight", sd[hp_ + "mlp.fc1.weight"])
+            put(gp + "ffn_up.bias", sd[hp_ + "mlp.fc1.bias"])
+            put(gp + "ffn_down.weight", sd[hp_ + "mlp.fc2.weight"])
+            put(gp + "ffn_down.bias", sd[hp_ + "mlp.fc2.bias"])
+        else:  # 2.5 gated silu
+            for g_, h_ in (("ffn_gate", "mlp.gate_proj"),
+                           ("ffn_up", "mlp.up_proj"),
+                           ("ffn_down", "mlp.down_proj")):
+                put(gp + g_ + ".weight", sd[hp_ + h_ + ".weight"])
+                put(gp + g_ + ".bias", sd[hp_ + h_ + ".bias"])
+    put("v.post_ln.weight", sd["merger.ln_q.weight"])
+    if "merger.ln_q.bias" in sd:
+        put("v.post_ln.bias", sd["merger.ln_q.bias"])
+    put("mm.0.weight", sd["merger.mlp.0.weight"])
+    put("mm.0.bias", sd["merger.mlp.0.bias"])
+    put("mm.2.weight", sd["merger.mlp.2.weight"])
+    put("mm.2.bias", sd["merger.mlp.2.bias"])
+    w.write()
+    if verbose:
+        print(f"wrote mmproj {dst} ({n_tensors} tensors)")
+    return {"out": dst, "arch": "clip", "n_tensors": n_tensors}
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="tpullm-convert-hf")
     ap.add_argument("model_dir")
     ap.add_argument("-o", "--outfile", required=True)
     ap.add_argument("--outtype", default="f16", choices=["f32", "f16", "bf16"])
     ap.add_argument("-q", "--quiet", action="store_true")
+    ap.add_argument("--mmproj", action="store_true",
+                    help="export the VISION tower as an mmproj GGUF instead "
+                         "of the text model (≡ convert_hf_to_gguf --mmproj)")
     args = ap.parse_args(argv)
+    if args.mmproj:
+        stats = convert_hf_mmproj(args.model_dir, args.outfile,
+                                  verbose=not args.quiet)
+        print(f"wrote {stats['out']} (mmproj, {stats['n_tensors']} tensors)")
+        return 0
     stats = convert_hf_to_gguf(args.model_dir, args.outfile, args.outtype,
                                verbose=not args.quiet)
     print(f"wrote {stats['out']} ({stats['arch']}, {stats['n_tensors']} tensors)")
