@@ -973,3 +973,59 @@ def test_convert_qwen25_vl_text_and_mmproj(tmp_path):
         flat = torch.from_numpy(_qwen_hf_patches(img, 2, 4, 2))
         ref_emb = visual(flat, grid_thw=torch.tensor([[1, 4, 4]])).numpy()
     np.testing.assert_allclose(got_emb, ref_emb, rtol=2e-3, atol=2e-3)
+
+
+def test_convert_gemma3_vl_text_and_mmproj(tmp_path):
+    """Full Gemma3 multimodal checkpoint: text stack parity + --mmproj
+    SigLIP tower export (AvgPool projector with folded +1 RMS norm)."""
+    from transformers import Gemma3Config, Gemma3ForConditionalGeneration
+
+    torch.manual_seed(47)
+    cfg = Gemma3Config(
+        text_config=dict(
+            vocab_size=262208, hidden_size=48, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=16, sliding_window=8,
+            max_position_embeddings=128, rope_theta=10000.0),
+        vision_config=dict(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=2, image_size=32, patch_size=4,
+            hidden_act="gelu_pytorch_tanh"),
+        mm_tokens_per_image=16,
+        image_token_index=262144, boi_token_index=255999,
+        eoi_token_index=256000,
+    )
+    model = Gemma3ForConditionalGeneration(cfg)
+    model.eval()
+    d = tmp_path / "hf_g3vl"
+    model.save_pretrained(d, safe_serialization=True)
+
+    out = str(tmp_path / "g3vl.gguf")
+    stats = convert_hf_to_gguf(str(d), out, outtype="f32", verbose=False)
+    assert stats["arch"] == "gemma3"
+    ids = [3, 17, 42, 7, 19]
+    with torch.no_grad():
+        ref = model(input_ids=torch.tensor([ids])).logits[0].numpy()
+    eng = Engine(out, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    got = eng.prefill_all_logits(ids)
+    np.testing.assert_allclose(got, ref, rtol=3e-3, atol=3e-3)
+
+    from tpullm.mtmd import Gemma3Vision, load_vision
+    from tpullm.tools.convert_hf import convert_hf_mmproj
+
+    mm = str(tmp_path / "g3vl.mmproj.gguf")
+    convert_hf_mmproj(str(d), mm, verbose=False)
+    tower = load_vision(mm)
+    assert isinstance(tower, Gemma3Vision)
+    visual = (model.model.vision_tower
+              if hasattr(model.model, "vision_tower") else model.vision_tower)
+    proj = (model.model.multi_modal_projector
+            if hasattr(model.model, "multi_modal_projector")
+            else model.multi_modal_projector)
+    px = np.random.default_rng(13).normal(size=(3, 32, 32)).astype(np.float32)
+    got_emb = np.asarray(tower._encode(tower.params, px))
+    with torch.no_grad():
+        hidden = visual(torch.from_numpy(px[None])).last_hidden_state
+        ref_emb = proj(hidden)[0].numpy()
+    np.testing.assert_allclose(got_emb, ref_emb, rtol=3e-3, atol=3e-3)

@@ -817,9 +817,11 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
     if arch is None:
         raise NotImplementedError(f"model_type {model_type!r} not supported yet "
                                   f"(have: {sorted(ARCH_MAP)})")
-    if model_type in ("qwen2_vl", "qwen2_5_vl"):
-        # newer transformers nests the text config; flatten it for the generic
-        # kv writer (vision tensors are skipped here — --mmproj exports them)
+    if model_type in ("qwen2_vl", "qwen2_5_vl") or (
+            model_type == "gemma3" and "vision_config" in cfg):
+        # multimodal checkpoints nest the text config; flatten it for the
+        # generic kv writer (vision tensors are skipped here — --mmproj
+        # exports them)
         for k_, v_ in (cfg.get("text_config") or {}).items():
             cfg.setdefault(k_, v_)
     if model_type == "dbrx":
@@ -910,6 +912,11 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
         w.add_kv(f"{arch}.expert_weights_norm", bool(cfg["norm_topk_prob"]))
     if cfg.get("logit_scale"):
         w.add_kv(f"{arch}.logit_scale", float(cfg["logit_scale"]))
+    if arch in ("gemma2", "gemma3") and cfg.get("query_pre_attn_scalar"):
+        # gemma scales attention by query_pre_attn_scalar**-0.5, which on
+        # gemma2-27b / gemma3 differs from head_dim**-0.5
+        w.add_kv(f"{arch}.attention.scale",
+                 float(cfg["query_pre_attn_scalar"]) ** -0.5)
     # granite multipliers (≡ GraniteModel in convert_hf_to_gguf.py)
     if cfg.get("logits_scaling"):
         w.add_kv(f"{arch}.logit_scale", float(cfg["logits_scaling"]))
@@ -1233,11 +1240,18 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
     altup_acc: dict[str, dict[int, np.ndarray]] = {}  # gemma3n projections
     xielu_acc: dict[str, dict[int, float]] = {}  # apertus activation params
     for name, arr in _load_tensors(src_dir):
-        if arch == "qwen2vl":
-            if name.startswith(("model.visual.", "visual.")):
+        if arch in ("qwen2vl", "gemma3"):
+            if name.startswith(("model.visual.", "visual.",
+                                "model.vision_tower.", "vision_tower.",
+                                "model.multi_modal_projector.",
+                                "multi_modal_projector.")):
                 continue  # vision tower lives in the --mmproj output
+            # two serializations: model.language_model.* (new) and
+            # language_model.model.* / language_model.lm_head (legacy)
             if name.startswith("model.language_model."):
                 name = "model." + name[len("model.language_model."):]
+            elif name.startswith("language_model."):
+                name = name[len("language_model."):]
         if ".mlp.experts." in name and name.split(".")[5] in (
             "gate_up_proj", "gate_up_proj_bias", "down_proj", "down_proj_bias"
         ):
@@ -1497,7 +1511,7 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
     return {"n_tensors": n_tensors, "arch": arch, "out": dst}
 
 
-_MMPROJ_VISION_TYPES = ("qwen2_vl", "qwen2_5_vl")
+_MMPROJ_VISION_TYPES = ("qwen2_vl", "qwen2_5_vl", "gemma3")
 
 
 def convert_hf_mmproj(src_dir: str, dst: str, verbose: bool = True) -> dict:
@@ -1510,6 +1524,8 @@ def convert_hf_mmproj(src_dir: str, dst: str, verbose: bool = True) -> dict:
     if model_type not in _MMPROJ_VISION_TYPES:
         raise NotImplementedError(
             f"--mmproj supports {_MMPROJ_VISION_TYPES}, got {model_type!r}")
+    if model_type == "gemma3":
+        return _convert_gemma3_mmproj(src_dir, dst, cfg, verbose)
     is25 = model_type == "qwen2_5_vl"
     vc = cfg["vision_config"]
     # 2.0: embed_dim is the tower width (hidden_size = LLM dim for the
@@ -1598,6 +1614,84 @@ def convert_hf_mmproj(src_dir: str, dst: str, verbose: bool = True) -> dict:
     put("mm.0.bias", sd["merger.mlp.0.bias"])
     put("mm.2.weight", sd["merger.mlp.2.weight"])
     put("mm.2.bias", sd["merger.mlp.2.bias"])
+    w.write()
+    if verbose:
+        print(f"wrote mmproj {dst} ({n_tensors} tensors)")
+    return {"out": dst, "arch": "clip", "n_tensors": n_tensors}
+
+
+def _convert_gemma3_mmproj(src_dir: str, dst: str, cfg: dict,
+                           verbose: bool) -> dict:
+    """Gemma3 SigLIP tower + AvgPool projector → mmproj GGUF
+    (≡ Gemma3VisionModel in convert_hf_to_gguf.py / clip.cpp gemma3)."""
+    import math as _math
+
+    from ..gguf.writer import GGUFWriter
+
+    vc = cfg["vision_config"]
+    n_embd = int(vc["hidden_size"])
+    n_layer = int(vc["num_hidden_layers"])
+    size = int(vc.get("image_size", 896))
+    patch = int(vc.get("patch_size", 14))
+    side = size // patch
+    tokens = int(cfg.get("mm_tokens_per_image", 256))
+    sf = side // int(_math.isqrt(tokens))
+
+    sd = {}
+    for name, arr in _load_tensors(src_dir):
+        for pfx in ("model.vision_tower.vision_model.",
+                    "vision_tower.vision_model.",
+                    "model.multi_modal_projector.",
+                    "multi_modal_projector."):
+            if name.startswith(pfx):
+                sd[name[len(pfx):]] = np.asarray(arr, dtype=np.float32)
+                break
+    if not sd:
+        raise ValueError(f"no vision_tower tensors found under {src_dir}")
+
+    w = GGUFWriter(dst, architecture="clip")
+    w.add_kv("clip.projector_type", "gemma3")
+    w.add_kv("clip.has_vision_encoder", True)
+    w.add_kv("clip.vision.image_size", size)
+    w.add_kv("clip.vision.patch_size", patch)
+    w.add_kv("clip.vision.embedding_length", n_embd)
+    w.add_kv("clip.vision.feed_forward_length", int(vc["intermediate_size"]))
+    w.add_kv("clip.vision.block_count", n_layer)
+    w.add_kv("clip.vision.attention.head_count",
+             int(vc["num_attention_heads"]))
+    w.add_kv("clip.vision.attention.layer_norm_epsilon",
+             float(vc.get("layer_norm_eps", 1e-6)))
+    w.add_kv("clip.vision.projector.scale_factor", sf)
+    n_tensors = 0
+
+    def put(gname, a):
+        nonlocal n_tensors
+        w.add_tensor(gname, np.ascontiguousarray(a))
+        n_tensors += 1
+
+    put("v.patch_embd.weight",
+        sd["embeddings.patch_embedding.weight"].reshape(n_embd, -1))
+    put("v.patch_embd.bias", sd["embeddings.patch_embedding.bias"])
+    put("v.position_embd.weight", sd["embeddings.position_embedding.weight"])
+    for i in range(n_layer):
+        hp_, gp = f"encoder.layers.{i}.", f"v.blk.{i}."
+        put(gp + "ln1.weight", sd[hp_ + "layer_norm1.weight"])
+        put(gp + "ln1.bias", sd[hp_ + "layer_norm1.bias"])
+        put(gp + "ln2.weight", sd[hp_ + "layer_norm2.weight"])
+        put(gp + "ln2.bias", sd[hp_ + "layer_norm2.bias"])
+        for hf_nm, gg_nm in (("q_proj", "attn_q"), ("k_proj", "attn_k"),
+                             ("v_proj", "attn_v"), ("out_proj", "attn_out")):
+            put(gp + gg_nm + ".weight", sd[hp_ + f"self_attn.{hf_nm}.weight"])
+            put(gp + gg_nm + ".bias", sd[hp_ + f"self_attn.{hf_nm}.bias"])
+        put(gp + "ffn_up.weight", sd[hp_ + "mlp.fc1.weight"])
+        put(gp + "ffn_up.bias", sd[hp_ + "mlp.fc1.bias"])
+        put(gp + "ffn_down.weight", sd[hp_ + "mlp.fc2.weight"])
+        put(gp + "ffn_down.bias", sd[hp_ + "mlp.fc2.bias"])
+    put("v.post_ln.weight", sd["post_layernorm.weight"])
+    put("v.post_ln.bias", sd["post_layernorm.bias"])
+    # gemma folds the +1 of its RMSNorm into the stored mmproj weight
+    put("mm.soft_emb_norm.weight", 1.0 + sd["mm_soft_emb_norm.weight"])
+    put("mm.input_projection.weight", sd["mm_input_projection_weight"])
     w.write()
     if verbose:
         print(f"wrote mmproj {dst} ({n_tensors} tensors)")
