@@ -1029,3 +1029,67 @@ def test_convert_gemma3_vl_text_and_mmproj(tmp_path):
         hidden = visual(torch.from_numpy(px[None])).last_hidden_state
         ref_emb = proj(hidden)[0].numpy()
     np.testing.assert_allclose(got_emb, ref_emb, rtol=3e-3, atol=3e-3)
+
+
+def test_convert_mistral3_text_and_mmproj(tmp_path):
+    """Mistral-Small-3.1-style checkpoint: mistral text stack + --mmproj
+    pixtral tower with the Mistral3 patch merger."""
+    from transformers import Mistral3Config, Mistral3ForConditionalGeneration
+
+    torch.manual_seed(53)
+    cfg = Mistral3Config(
+        text_config=dict(
+            model_type="mistral", vocab_size=100, hidden_size=48,
+            intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2, head_dim=12,
+            rope_theta=10000.0, max_position_embeddings=128),
+        vision_config=dict(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=2, head_dim=16, image_size=32, patch_size=4,
+            rope_theta=10000.0),
+        spatial_merge_size=2, image_token_index=99,
+        vision_feature_layer=-1, multimodal_projector_bias=False)
+    model = Mistral3ForConditionalGeneration(cfg)
+    model.eval()
+    d = tmp_path / "hf_m3"
+    model.save_pretrained(d, safe_serialization=True)
+
+    out = str(tmp_path / "m3.gguf")
+    stats = convert_hf_to_gguf(str(d), out, outtype="f32", verbose=False)
+    assert stats["arch"] == "mistral3"
+    ids = [3, 17, 42, 7, 19]
+    with torch.no_grad():
+        ref = model(input_ids=torch.tensor([ids])).logits[0].numpy()
+    eng = Engine(out, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    got = eng.prefill_all_logits(ids)
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+    from tpullm.mtmd import load_vision
+    from tpullm.mtmd.pixtral import PixtralVision
+    from tpullm.tools.convert_hf import convert_hf_mmproj
+
+    mm = str(tmp_path / "m3.mmproj.gguf")
+    convert_hf_mmproj(str(d), mm, verbose=False)
+    tower = load_vision(mm)
+    assert isinstance(tower, PixtralVision)
+    P, rows, cols = 4, 8, 8
+    px = np.random.default_rng(17).normal(
+        size=(3, rows * P, cols * P)).astype(np.float32)
+    patches = px.reshape(3, rows, P, cols, P).transpose(1, 3, 0, 2, 4)
+    patches = patches.reshape(rows * cols, 3 * P * P).astype(np.float32)
+    got_emb = tower.encode_grid(patches, rows, cols)
+    visual = (model.model.vision_tower
+              if hasattr(model.model, "vision_tower") else model.vision_tower)
+    proj = (model.model.multi_modal_projector
+            if hasattr(model.model, "multi_modal_projector")
+            else model.multi_modal_projector)
+    with torch.no_grad():
+        hidden = visual(torch.from_numpy(px[None]),
+                        image_sizes=torch.tensor([[rows * P, cols * P]]))
+        hidden = hidden.last_hidden_state if hasattr(
+            hidden, "last_hidden_state") else hidden[0]
+        ref_emb = proj(hidden.reshape(-1, 32),
+                       image_sizes=torch.tensor([[rows * P, cols * P]]))
+        ref_emb = ref_emb.numpy()
+    np.testing.assert_allclose(got_emb, ref_emb, rtol=2e-3, atol=2e-3)

@@ -70,6 +70,7 @@ ARCH_MAP = {
     "ernie4_5_moe": "ernie4_5-moe",
     "qwen2_vl": "qwen2vl",  # text stack; --mmproj exports the vision tower
     "qwen2_5_vl": "qwen2vl",
+    "mistral3": "mistral3",  # Mistral-Small-3.1: mistral text + pixtral vision
     "hunyuan_v1_dense": "hunyuan-dense",
     "hunyuan_v1_moe": "hunyuan-moe",
     "bitnet": "bitnet",
@@ -105,7 +106,7 @@ LN_ARCHS = {"gpt2", "stablelm", "starcoder2", "gptneox", "phi2", "nemotron",
 # natively interleaved (llama4, command-r, cohere2, glm4, chatglm) must NOT
 # permute.
 PERMUTE_QK_ARCHS = {"llama", "granite", "granitemoe", "olmo",
-                    "smollm3", "arcee", "minicpm", "deci"}
+                    "smollm3", "arcee", "minicpm", "deci", "mistral3"}
 
 
 def _permute_qk(w: np.ndarray, n_head: int) -> np.ndarray:
@@ -817,7 +818,7 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
     if arch is None:
         raise NotImplementedError(f"model_type {model_type!r} not supported yet "
                                   f"(have: {sorted(ARCH_MAP)})")
-    if model_type in ("qwen2_vl", "qwen2_5_vl") or (
+    if model_type in ("qwen2_vl", "qwen2_5_vl", "mistral3") or (
             model_type == "gemma3" and "vision_config" in cfg):
         # multimodal checkpoints nest the text config; flatten it for the
         # generic kv writer (vision tensors are skipped here — --mmproj
@@ -1240,7 +1241,7 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
     altup_acc: dict[str, dict[int, np.ndarray]] = {}  # gemma3n projections
     xielu_acc: dict[str, dict[int, float]] = {}  # apertus activation params
     for name, arr in _load_tensors(src_dir):
-        if arch in ("qwen2vl", "gemma3"):
+        if arch in ("qwen2vl", "gemma3", "mistral3"):
             if name.startswith(("model.visual.", "visual.",
                                 "model.vision_tower.", "vision_tower.",
                                 "model.multi_modal_projector.",
@@ -1511,7 +1512,7 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
     return {"n_tensors": n_tensors, "arch": arch, "out": dst}
 
 
-_MMPROJ_VISION_TYPES = ("qwen2_vl", "qwen2_5_vl", "gemma3")
+_MMPROJ_VISION_TYPES = ("qwen2_vl", "qwen2_5_vl", "gemma3", "mistral3")
 
 
 def convert_hf_mmproj(src_dir: str, dst: str, verbose: bool = True) -> dict:
@@ -1526,6 +1527,8 @@ def convert_hf_mmproj(src_dir: str, dst: str, verbose: bool = True) -> dict:
             f"--mmproj supports {_MMPROJ_VISION_TYPES}, got {model_type!r}")
     if model_type == "gemma3":
         return _convert_gemma3_mmproj(src_dir, dst, cfg, verbose)
+    if model_type == "mistral3":
+        return _convert_pixtral_mmproj(src_dir, dst, cfg, verbose)
     is25 = model_type == "qwen2_5_vl"
     vc = cfg["vision_config"]
     # 2.0: embed_dim is the tower width (hidden_size = LLM dim for the
@@ -1692,6 +1695,77 @@ def _convert_gemma3_mmproj(src_dir: str, dst: str, cfg: dict,
     # gemma folds the +1 of its RMSNorm into the stored mmproj weight
     put("mm.soft_emb_norm.weight", 1.0 + sd["mm_soft_emb_norm.weight"])
     put("mm.input_projection.weight", sd["mm_input_projection_weight"])
+    w.write()
+    if verbose:
+        print(f"wrote mmproj {dst} ({n_tensors} tensors)")
+    return {"out": dst, "arch": "clip", "n_tensors": n_tensors}
+
+
+def _convert_pixtral_mmproj(src_dir: str, dst: str, cfg: dict,
+                            verbose: bool) -> dict:
+    """Mistral-Small-3.1 pixtral tower + Mistral3 patch merger/projector →
+    mmproj GGUF (≡ clip.cpp pixtral / mistral3 graph)."""
+    from ..gguf.writer import GGUFWriter
+
+    vc = cfg["vision_config"]
+    n_embd = int(vc["hidden_size"])
+    n_layer = int(vc["num_hidden_layers"])
+    head_dim = int(vc.get("head_dim", n_embd // int(vc["num_attention_heads"])))
+    patch = int(vc.get("patch_size", 16))
+    merge = int(cfg.get("spatial_merge_size", 1))
+
+    sd = {}
+    for name, arr in _load_tensors(src_dir):
+        for pfx in ("model.vision_tower.", "vision_tower.",
+                    "model.multi_modal_projector.", "multi_modal_projector."):
+            if name.startswith(pfx):
+                sd[name[len(pfx):]] = np.asarray(arr, dtype=np.float32)
+                break
+    if not sd:
+        raise ValueError(f"no vision_tower tensors found under {src_dir}")
+
+    w = GGUFWriter(dst, architecture="clip")
+    w.add_kv("clip.projector_type", "pixtral")
+    w.add_kv("clip.has_vision_encoder", True)
+    w.add_kv("clip.vision.patch_size", patch)
+    w.add_kv("clip.vision.embedding_length", n_embd)
+    w.add_kv("clip.vision.block_count", n_layer)
+    w.add_kv("clip.vision.attention.head_count", n_embd // head_dim)
+    w.add_kv("clip.vision.attention.layer_norm_epsilon",
+             float(vc.get("rms_norm_eps", 1e-5)))
+    w.add_kv("clip.vision.rope.freq_base",
+             float(vc.get("rope_theta", 10000.0)))
+    if merge > 1:
+        w.add_kv("clip.vision.spatial_merge_size", merge)
+    n_tensors = 0
+
+    def put(gname, a):
+        nonlocal n_tensors
+        w.add_tensor(gname, np.ascontiguousarray(a))
+        n_tensors += 1
+
+    put("v.patch_embd.weight", sd["patch_conv.weight"].reshape(n_embd, -1))
+    put("v.pre_ln.weight", sd["ln_pre.weight"])
+    for i in range(n_layer):
+        hp_, gp = f"transformer.layers.{i}.", f"v.blk.{i}."
+        put(gp + "ln1.weight", sd[hp_ + "attention_norm.weight"])
+        put(gp + "attn_q.weight", sd[hp_ + "attention.q_proj.weight"])
+        put(gp + "attn_k.weight", sd[hp_ + "attention.k_proj.weight"])
+        put(gp + "attn_v.weight", sd[hp_ + "attention.v_proj.weight"])
+        put(gp + "attn_out.weight", sd[hp_ + "attention.o_proj.weight"])
+        put(gp + "ln2.weight", sd[hp_ + "ffn_norm.weight"])
+        put(gp + "ffn_gate.weight", sd[hp_ + "feed_forward.gate_proj.weight"])
+        put(gp + "ffn_up.weight", sd[hp_ + "feed_forward.up_proj.weight"])
+        put(gp + "ffn_down.weight", sd[hp_ + "feed_forward.down_proj.weight"])
+    if merge > 1:
+        put("mm.input_norm.weight", sd["norm.weight"])
+        put("mm.patch_merger.weight", sd["patch_merger.merging_layer.weight"])
+    put("mm.1.weight", sd["linear_1.weight"])
+    if "linear_1.bias" in sd:
+        put("mm.1.bias", sd["linear_1.bias"])
+    put("mm.2.weight", sd["linear_2.weight"])
+    if "linear_2.bias" in sd:
+        put("mm.2.bias", sd["linear_2.bias"])
     w.write()
     if verbose:
         print(f"wrote mmproj {dst} ({n_tensors} tensors)")
