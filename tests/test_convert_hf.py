@@ -1093,3 +1093,59 @@ def test_convert_mistral3_text_and_mmproj(tmp_path):
                        image_sizes=torch.tensor([[rows * P, cols * P]]))
         ref_emb = ref_emb.numpy()
     np.testing.assert_allclose(got_emb, ref_emb, rtol=2e-3, atol=2e-3)
+
+
+def test_convert_internvl_text_and_mmproj(tmp_path):
+    """InternVL wrapper: the qwen2 language model converts under its own
+    arch; --mmproj exports the InternViT tower + pixel-shuffle projector."""
+    from transformers import InternVLConfig, InternVLForConditionalGeneration
+
+    torch.manual_seed(59)
+    cfg = InternVLConfig(
+        text_config=dict(
+            model_type="qwen2", vocab_size=100, hidden_size=48,
+            intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2,
+            rope_theta=10000.0, max_position_embeddings=128),
+        vision_config=dict(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=2, image_size=[32, 32], patch_size=[4, 4],
+            use_absolute_position_embeddings=True, layer_norm_eps=1e-6),
+        image_token_id=99, downsample_ratio=0.5)
+    model = InternVLForConditionalGeneration(cfg)
+    model.eval()
+    d = tmp_path / "hf_ivl"
+    model.save_pretrained(d, safe_serialization=True)
+
+    out = str(tmp_path / "ivl.gguf")
+    stats = convert_hf_to_gguf(str(d), out, outtype="f32", verbose=False)
+    assert stats["arch"] == "qwen2"
+    ids = [3, 17, 42, 7, 19]
+    with torch.no_grad():
+        ref = model(input_ids=torch.tensor([ids])).logits[0].numpy()
+    eng = Engine(out, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    got = eng.prefill_all_logits(ids)
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+    from tpullm.mtmd import load_vision
+    from tpullm.mtmd.internvl import InternVLVision
+    from tpullm.tools.convert_hf import convert_hf_mmproj
+
+    mm = str(tmp_path / "ivl.mmproj.gguf")
+    convert_hf_mmproj(str(d), mm, verbose=False)
+    tower = load_vision(mm)
+    assert isinstance(tower, InternVLVision)
+    P, side = 4, 8
+    px = np.random.default_rng(19).normal(
+        size=(3, side * P, side * P)).astype(np.float32)
+    patches = px.reshape(3, side, P, side, P).transpose(1, 3, 0, 2, 4)
+    patches = patches.reshape(side * side, 3 * P * P).astype(np.float32)
+    got_emb = tower.encode_grid(patches, side, side)
+    with torch.no_grad():
+        feats = model.get_image_features(
+            torch.from_numpy(px[None]),
+            vision_feature_layer=-1,
+            vision_feature_select_strategy="default")
+        ref_emb = feats[0].numpy()
+    np.testing.assert_allclose(got_emb, ref_emb, rtol=2e-3, atol=2e-3)

@@ -28,6 +28,10 @@ def load_vision(path):
         from .minicpmv import MiniCPMVVision
 
         return MiniCPMVVision(path)
+    if proj == "internvl":
+        from .internvl import InternVLVision
+
+        return InternVLVision(path)
     return ClipVision(path)
 
 from .pipeline import MEDIA_MARKER, build_multimodal_embeddings, generate_mtmd

@@ -814,12 +814,20 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
                        verbose: bool = True) -> dict:
     cfg = json.load(open(os.path.join(src_dir, "config.json")))
     model_type = cfg.get("model_type", "llama")
+    vl_wrapped = model_type in ("qwen2_vl", "qwen2_5_vl", "mistral3",
+                                "internvl") or (
+        model_type == "gemma3" and "vision_config" in cfg)
+    if model_type == "internvl":
+        # the InternVL wrapper's text model is an ordinary qwen2/llama —
+        # convert the language model under ITS arch; --mmproj exports the
+        # InternViT tower
+        model_type = (cfg.get("text_config") or {}).get("model_type",
+                                                        "qwen2")
     arch = ARCH_MAP.get(model_type)
     if arch is None:
         raise NotImplementedError(f"model_type {model_type!r} not supported yet "
                                   f"(have: {sorted(ARCH_MAP)})")
-    if model_type in ("qwen2_vl", "qwen2_5_vl", "mistral3") or (
-            model_type == "gemma3" and "vision_config" in cfg):
+    if vl_wrapped:
         # multimodal checkpoints nest the text config; flatten it for the
         # generic kv writer (vision tensors are skipped here — --mmproj
         # exports them)
@@ -1241,7 +1249,7 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
     altup_acc: dict[str, dict[int, np.ndarray]] = {}  # gemma3n projections
     xielu_acc: dict[str, dict[int, float]] = {}  # apertus activation params
     for name, arr in _load_tensors(src_dir):
-        if arch in ("qwen2vl", "gemma3", "mistral3"):
+        if vl_wrapped:
             if name.startswith(("model.visual.", "visual.",
                                 "model.vision_tower.", "vision_tower.",
                                 "model.multi_modal_projector.",
@@ -1512,7 +1520,8 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
     return {"n_tensors": n_tensors, "arch": arch, "out": dst}
 
 
-_MMPROJ_VISION_TYPES = ("qwen2_vl", "qwen2_5_vl", "gemma3", "mistral3")
+_MMPROJ_VISION_TYPES = ("qwen2_vl", "qwen2_5_vl", "gemma3", "mistral3",
+                        "internvl")
 
 
 def convert_hf_mmproj(src_dir: str, dst: str, verbose: bool = True) -> dict:
@@ -1529,6 +1538,8 @@ def convert_hf_mmproj(src_dir: str, dst: str, verbose: bool = True) -> dict:
         return _convert_gemma3_mmproj(src_dir, dst, cfg, verbose)
     if model_type == "mistral3":
         return _convert_pixtral_mmproj(src_dir, dst, cfg, verbose)
+    if model_type == "internvl":
+        return _convert_internvl_mmproj(src_dir, dst, cfg, verbose)
     is25 = model_type == "qwen2_5_vl"
     vc = cfg["vision_config"]
     # 2.0: embed_dim is the tower width (hidden_size = LLM dim for the
@@ -1766,6 +1777,99 @@ def _convert_pixtral_mmproj(src_dir: str, dst: str, cfg: dict,
     put("mm.2.weight", sd["linear_2.weight"])
     if "linear_2.bias" in sd:
         put("mm.2.bias", sd["linear_2.bias"])
+    w.write()
+    if verbose:
+        print(f"wrote mmproj {dst} ({n_tensors} tensors)")
+    return {"out": dst, "arch": "clip", "n_tensors": n_tensors}
+
+
+def _convert_internvl_mmproj(src_dir: str, dst: str, cfg: dict,
+                             verbose: bool) -> dict:
+    """InternVL InternViT tower (CLS token, layer scales, optional qk
+    norms) + pixel-shuffle MLP projector → mmproj GGUF (≡ clip.cpp
+    internvl graph)."""
+    from ..gguf.writer import GGUFWriter
+
+    vc = cfg["vision_config"]
+    n_embd = int(vc["hidden_size"])
+    n_layer = int(vc["num_hidden_layers"])
+
+    def first(v):
+        return int(v[0]) if isinstance(v, (list, tuple)) else int(v)
+
+    patch = first(vc.get("patch_size", 14))
+    size = first(vc.get("image_size", 448))
+    m = int(round(1.0 / float(cfg.get("downsample_ratio", 0.5))))
+
+    sd = {}
+    for name, arr in _load_tensors(src_dir):
+        for pfx in ("model.vision_tower.", "vision_tower.",
+                    "model.multi_modal_projector.", "multi_modal_projector."):
+            if name.startswith(pfx):
+                sd[name[len(pfx):]] = np.asarray(arr, dtype=np.float32)
+                break
+    if not sd:
+        raise ValueError(f"no vision_tower tensors found under {src_dir}")
+
+    w = GGUFWriter(dst, architecture="clip")
+    w.add_kv("clip.projector_type", "internvl")
+    w.add_kv("clip.has_vision_encoder", True)
+    w.add_kv("clip.vision.image_size", size)
+    w.add_kv("clip.vision.patch_size", patch)
+    w.add_kv("clip.vision.embedding_length", n_embd)
+    w.add_kv("clip.vision.feed_forward_length", int(vc["intermediate_size"]))
+    w.add_kv("clip.vision.block_count", n_layer)
+    w.add_kv("clip.vision.attention.head_count",
+             int(vc["num_attention_heads"]))
+    w.add_kv("clip.vision.attention.layer_norm_epsilon",
+             float(vc.get("layer_norm_eps", 1e-6)))
+    w.add_kv("clip.vision.projector.scale_factor", m)
+    n_tensors = 0
+
+    def put(gname, a):
+        nonlocal n_tensors
+        w.add_tensor(gname, np.ascontiguousarray(a))
+        n_tensors += 1
+
+    def put_if(gname, key):
+        if key in sd:
+            put(gname, sd[key])
+
+    put("v.patch_embd.weight",
+        sd["embeddings.patch_embeddings.projection.weight"].reshape(
+            n_embd, -1))
+    put_if("v.patch_embd.bias", "embeddings.patch_embeddings.projection.bias")
+    put("v.class_embd", sd["embeddings.cls_token"].reshape(-1))
+    put("v.position_embd.weight",
+        sd["embeddings.position_embeddings"].reshape(-1, n_embd))
+    for i in range(n_layer):
+        hp_, gp = f"encoder.layer.{i}.", f"v.blk.{i}."
+        put(gp + "ln1.weight", sd[hp_ + "layernorm_before.weight"])
+        put_if(gp + "ln1.bias", hp_ + "layernorm_before.bias")
+        for hf_nm, gg_nm in (("q_proj", "attn_q"), ("k_proj", "attn_k"),
+                             ("v_proj", "attn_v")):
+            put(gp + gg_nm + ".weight",
+                sd[hp_ + f"attention.{hf_nm}.weight"])
+            put_if(gp + gg_nm + ".bias", hp_ + f"attention.{hf_nm}.bias")
+        put_if(gp + "attn_q_norm.weight", hp_ + "attention.q_norm.weight")
+        put_if(gp + "attn_k_norm.weight", hp_ + "attention.k_norm.weight")
+        put(gp + "attn_out.weight",
+            sd[hp_ + "attention.projection_layer.weight"])
+        put_if(gp + "attn_out.bias", hp_ + "attention.projection_layer.bias")
+        put_if(gp + "ls1.weight", hp_ + "lambda_1")
+        put(gp + "ln2.weight", sd[hp_ + "layernorm_after.weight"])
+        put_if(gp + "ln2.bias", hp_ + "layernorm_after.bias")
+        put(gp + "ffn_up.weight", sd[hp_ + "mlp.fc1.weight"])
+        put_if(gp + "ffn_up.bias", hp_ + "mlp.fc1.bias")
+        put(gp + "ffn_down.weight", sd[hp_ + "mlp.fc2.weight"])
+        put_if(gp + "ffn_down.bias", hp_ + "mlp.fc2.bias")
+        put_if(gp + "ls2.weight", hp_ + "lambda_2")
+    put("mm.model.mlp.0.weight", sd["layer_norm.weight"])
+    put("mm.model.mlp.0.bias", sd["layer_norm.bias"])
+    put("mm.model.mlp.1.weight", sd["linear_1.weight"])
+    put_if("mm.model.mlp.1.bias", "linear_1.bias")
+    put("mm.model.mlp.3.weight", sd["linear_2.weight"])
+    put_if("mm.model.mlp.3.bias", "linear_2.bias")
     w.write()
     if verbose:
         print(f"wrote mmproj {dst} ({n_tensors} tensors)")
