@@ -1149,3 +1149,58 @@ def test_convert_internvl_text_and_mmproj(tmp_path):
             vision_feature_select_strategy="default")
         ref_emb = feats[0].numpy()
     np.testing.assert_allclose(got_emb, ref_emb, rtol=2e-3, atol=2e-3)
+
+
+def test_convert_llava_text_and_mmproj(tmp_path):
+    """LLaVA: llama text under its own arch; --mmproj exports the CLIP
+    tower truncated at vision_feature_layer=-2 with quick_gelu recorded."""
+    from transformers import LlavaConfig, LlavaForConditionalGeneration
+
+    torch.manual_seed(61)
+    cfg = LlavaConfig(
+        text_config=dict(
+            model_type="llama", vocab_size=100, hidden_size=48,
+            intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2,
+            rope_theta=10000.0, max_position_embeddings=128),
+        vision_config=dict(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+            num_attention_heads=2, image_size=32, patch_size=4,
+            projection_dim=48, hidden_act="quick_gelu"),
+        image_token_index=99)
+    model = LlavaForConditionalGeneration(cfg)
+    model.eval()
+    d = tmp_path / "hf_llava"
+    model.save_pretrained(d, safe_serialization=True)
+
+    out = str(tmp_path / "llava.gguf")
+    stats = convert_hf_to_gguf(str(d), out, outtype="f32", verbose=False)
+    assert stats["arch"] == "llama"
+    ids = [3, 17, 42, 7, 19]
+    with torch.no_grad():
+        ref = model(input_ids=torch.tensor([ids])).logits[0].numpy()
+    eng = Engine(out, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    got = eng.prefill_all_logits(ids)
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+    from tpullm.mtmd import ClipVision, load_vision
+    from tpullm.tools.convert_hf import convert_hf_mmproj
+
+    mm = str(tmp_path / "llava.mmproj.gguf")
+    convert_hf_mmproj(str(d), mm, verbose=False)
+    tower = load_vision(mm)
+    assert isinstance(tower, ClipVision)
+    assert tower.n_layer == 2 and tower.use_gelu is False  # vfl=-2 truncation
+    px = np.random.default_rng(23).normal(size=(1, 3, 32, 32)).astype(
+        np.float32)
+    got_emb = tower.encode(px)[0]
+    with torch.no_grad():
+        ref_emb = model.get_image_features(
+            torch.from_numpy(px),
+            vision_feature_layer=-2,
+            vision_feature_select_strategy="default")
+        if isinstance(ref_emb, (list, tuple)):
+            ref_emb = ref_emb[0]
+        ref_emb = ref_emb.reshape(-1, 48).numpy()
+    np.testing.assert_allclose(got_emb, ref_emb, rtol=2e-3, atol=2e-3)

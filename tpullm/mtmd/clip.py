@@ -29,6 +29,10 @@ class ClipVision:
         self.n_layer = int(g("block_count", 12))
         self.n_head = int(g("attention.head_count", 12))
         self.eps = float(g("attention.layer_norm_epsilon", 1e-5))
+        # ≡ clip.cpp use_gelu: CLIP ViTs use quick_gelu (x·σ(1.702x));
+        # towers converted from gelu models set clip.use_gelu=true. Our
+        # synthetic fixtures predate the flag and assume tanh-gelu.
+        self.use_gelu = bool(md.get("clip.use_gelu", True))
         self.image_mean = np.asarray(g("image_mean", [0.48145466, 0.4578275, 0.40821073]),
                                      dtype=np.float32)
         self.image_std = np.asarray(g("image_std", [0.26862954, 0.26130258, 0.27577711]),
@@ -125,7 +129,10 @@ class ClipVision:
             up = jnp.einsum("bte,fe->btf", h, lyr["up_w"])
             if lyr["up_b"] is not None:
                 up = up + lyr["up_b"]
-            act = jax.nn.gelu(up, approximate=True)
+            if self.use_gelu:
+                act = jax.nn.gelu(up, approximate=True)
+            else:  # quick_gelu
+                act = up * jax.nn.sigmoid(1.702 * up)
             down = jnp.einsum("btf,ef->bte", act, lyr["down_w"])
             if lyr["down_b"] is not None:
                 down = down + lyr["down_b"]

@@ -815,8 +815,12 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
     cfg = json.load(open(os.path.join(src_dir, "config.json")))
     model_type = cfg.get("model_type", "llama")
     vl_wrapped = model_type in ("qwen2_vl", "qwen2_5_vl", "mistral3",
-                                "internvl") or (
+                                "internvl", "llava") or (
         model_type == "gemma3" and "vision_config" in cfg)
+    if model_type == "llava":
+        # LLaVA wraps an ordinary llama/mistral/vicuna text model
+        model_type = (cfg.get("text_config") or {}).get("model_type",
+                                                        "llama")
     if model_type == "internvl":
         # the InternVL wrapper's text model is an ordinary qwen2/llama —
         # convert the language model under ITS arch; --mmproj exports the
@@ -1521,7 +1525,7 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
 
 
 _MMPROJ_VISION_TYPES = ("qwen2_vl", "qwen2_5_vl", "gemma3", "mistral3",
-                        "internvl")
+                        "internvl", "llava")
 
 
 def convert_hf_mmproj(src_dir: str, dst: str, verbose: bool = True) -> dict:
@@ -1540,6 +1544,8 @@ def convert_hf_mmproj(src_dir: str, dst: str, verbose: bool = True) -> dict:
         return _convert_pixtral_mmproj(src_dir, dst, cfg, verbose)
     if model_type == "internvl":
         return _convert_internvl_mmproj(src_dir, dst, cfg, verbose)
+    if model_type == "llava":
+        return _convert_llava_mmproj(src_dir, dst, cfg, verbose)
     is25 = model_type == "qwen2_5_vl"
     vc = cfg["vision_config"]
     # 2.0: embed_dim is the tower width (hidden_size = LLM dim for the
@@ -1870,6 +1876,90 @@ def _convert_internvl_mmproj(src_dir: str, dst: str, cfg: dict,
     put_if("mm.model.mlp.1.bias", "linear_1.bias")
     put("mm.model.mlp.3.weight", sd["linear_2.weight"])
     put_if("mm.model.mlp.3.bias", "linear_2.bias")
+    w.write()
+    if verbose:
+        print(f"wrote mmproj {dst} ({n_tensors} tensors)")
+    return {"out": dst, "arch": "clip", "n_tensors": n_tensors}
+
+
+def _convert_llava_mmproj(src_dir: str, dst: str, cfg: dict,
+                          verbose: bool) -> dict:
+    """LLaVA CLIP ViT + 2-layer MLP projector → mmproj GGUF. The tower is
+    truncated at vision_feature_layer (default −2: drop the last block —
+    HF reads hidden_states[vfl], never the post layernorm), and
+    clip.use_gelu records the activation (CLIP ViTs use quick_gelu)."""
+    from ..gguf.writer import GGUFWriter
+
+    vc = cfg["vision_config"]
+    n_embd = int(vc["hidden_size"])
+    depth = int(vc["num_hidden_layers"])
+    vfl = int(cfg.get("vision_feature_layer", -2))
+    n_keep = depth + vfl + 1 if vfl < 0 else vfl
+    if not 0 < n_keep <= depth:
+        raise ValueError(f"vision_feature_layer {vfl} out of range")
+
+    sd = {}
+    for name, arr in _load_tensors(src_dir):
+        for pfx in ("model.vision_tower.vision_model.",
+                    "vision_tower.vision_model.",
+                    "model.multi_modal_projector.",
+                    "multi_modal_projector."):
+            if name.startswith(pfx):
+                sd[name[len(pfx):]] = np.asarray(arr, dtype=np.float32)
+                break
+    if not sd:
+        raise ValueError(f"no vision_tower tensors found under {src_dir}")
+
+    w = GGUFWriter(dst, architecture="clip")
+    w.add_kv("clip.projector_type", "mlp")
+    w.add_kv("clip.has_vision_encoder", True)
+    w.add_kv("clip.use_gelu",
+             vc.get("hidden_act", "quick_gelu") != "quick_gelu")
+    w.add_kv("clip.vision.image_size", int(vc.get("image_size", 336)))
+    w.add_kv("clip.vision.patch_size", int(vc.get("patch_size", 14)))
+    w.add_kv("clip.vision.embedding_length", n_embd)
+    w.add_kv("clip.vision.feed_forward_length", int(vc["intermediate_size"]))
+    w.add_kv("clip.vision.block_count", n_keep)
+    w.add_kv("clip.vision.attention.head_count",
+             int(vc["num_attention_heads"]))
+    w.add_kv("clip.vision.attention.layer_norm_epsilon",
+             float(vc.get("layer_norm_eps", 1e-5)))
+    n_tensors = 0
+
+    def put(gname, a):
+        nonlocal n_tensors
+        w.add_tensor(gname, np.ascontiguousarray(a))
+        n_tensors += 1
+
+    def put_if(gname, key):
+        if key in sd:
+            put(gname, sd[key])
+
+    put("v.patch_embd.weight",
+        sd["embeddings.patch_embedding.weight"].reshape(n_embd, -1))
+    put_if("v.patch_embd.bias", "embeddings.patch_embedding.bias")
+    put("v.class_embd", sd["embeddings.class_embedding"].reshape(-1))
+    put("v.position_embd.weight", sd["embeddings.position_embedding.weight"])
+    put_if("v.pre_ln.weight", "pre_layrnorm.weight")
+    put_if("v.pre_ln.bias", "pre_layrnorm.bias")
+    for i in range(n_keep):
+        hp_, gp = f"encoder.layers.{i}.", f"v.blk.{i}."
+        put(gp + "ln1.weight", sd[hp_ + "layer_norm1.weight"])
+        put(gp + "ln1.bias", sd[hp_ + "layer_norm1.bias"])
+        for hf_nm, gg_nm in (("q_proj", "attn_q"), ("k_proj", "attn_k"),
+                             ("v_proj", "attn_v"), ("out_proj", "attn_out")):
+            put(gp + gg_nm + ".weight", sd[hp_ + f"self_attn.{hf_nm}.weight"])
+            put_if(gp + gg_nm + ".bias", hp_ + f"self_attn.{hf_nm}.bias")
+        put(gp + "ln2.weight", sd[hp_ + "layer_norm2.weight"])
+        put(gp + "ln2.bias", sd[hp_ + "layer_norm2.bias"])
+        put(gp + "ffn_up.weight", sd[hp_ + "mlp.fc1.weight"])
+        put_if(gp + "ffn_up.bias", hp_ + "mlp.fc1.bias")
+        put(gp + "ffn_down.weight", sd[hp_ + "mlp.fc2.weight"])
+        put_if(gp + "ffn_down.bias", hp_ + "mlp.fc2.bias")
+    put("mm.0.weight", sd["linear_1.weight"])
+    put_if("mm.0.bias", "linear_1.bias")
+    put("mm.2.weight", sd["linear_2.weight"])
+    put_if("mm.2.bias", "linear_2.bias")
     w.write()
     if verbose:
         print(f"wrote mmproj {dst} ({n_tensors} tensors)")
