@@ -62,6 +62,8 @@ def test_two_process_localhost_group(tmp_path):
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     env.pop("JAX_PLATFORM_NAME", None)
+    # a dead axon tunnel blocks worker interpreters in sitecustomize
+    env.pop("PALLAS_AXON_POOL_IPS", None)
 
     procs = [
         subprocess.Popen(
@@ -73,7 +75,7 @@ def test_two_process_localhost_group(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, err = p.communicate(timeout=180)
+            out, err = p.communicate(timeout=420)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
