@@ -157,6 +157,9 @@ class GGUFReader:
         self.path = Path(path)
         self._file: BinaryIO = open(self.path, "rb")
         self._mmap = mmap.mmap(self._file.fileno(), 0, access=mmap.ACCESS_READ)
+        # the mapping holds its own file reference; closing the fd now
+        # avoids leaking a BufferedReader per model for process lifetime
+        self._file.close()
         buf = memoryview(self._mmap)
 
         if bytes(buf[:4]) != GGUF_MAGIC:
