@@ -1204,3 +1204,59 @@ def test_convert_llava_text_and_mmproj(tmp_path):
             ref_emb = ref_emb[0]
         ref_emb = ref_emb.reshape(-1, 48).numpy()
     np.testing.assert_allclose(got_emb, ref_emb, rtol=2e-3, atol=2e-3)
+
+
+def test_convert_qwen2_audio_text_and_mmproj(tmp_path):
+    """Qwen2-Audio: qwen2 text under its own arch; --mmproj exports the
+    whisper encoder (+stride-2 avg pool) and fc projector, pinned against
+    the HF audio tower + projector forward."""
+    from transformers import (
+        Qwen2AudioConfig,
+        Qwen2AudioForConditionalGeneration,
+    )
+
+    torch.manual_seed(67)
+    cfg = Qwen2AudioConfig(
+        audio_config=dict(
+            d_model=32, encoder_layers=2, encoder_attention_heads=2,
+            encoder_ffn_dim=64, num_mel_bins=16, max_source_positions=50),
+        text_config=dict(
+            model_type="qwen2", vocab_size=100, hidden_size=48,
+            intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2,
+            rope_theta=10000.0, max_position_embeddings=128),
+        audio_token_index=99)
+    model = Qwen2AudioForConditionalGeneration(cfg)
+    model.eval()
+    d = tmp_path / "hf_q2a"
+    model.save_pretrained(d, safe_serialization=True)
+
+    out = str(tmp_path / "q2a.gguf")
+    stats = convert_hf_to_gguf(str(d), out, outtype="f32", verbose=False)
+    assert stats["arch"] == "qwen2"
+    ids = [3, 17, 42, 7, 19]
+    with torch.no_grad():
+        ref = model(input_ids=torch.tensor([ids])).logits[0].numpy()
+    eng = Engine(out, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    got = eng.prefill_all_logits(ids)
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+    from tpullm.mtmd import WhisperAudioEncoder
+    from tpullm.tools.convert_hf import convert_hf_mmproj
+
+    mm = str(tmp_path / "q2a.mmproj.gguf")
+    convert_hf_mmproj(str(d), mm, verbose=False)
+    enc = WhisperAudioEncoder(mm)
+    # HF expects mel length 2*max_source_positions (stride-2 conv)
+    mel = np.random.default_rng(29).normal(size=(16, 100)).astype(np.float32)
+    got_emb = enc.encode_mel(mel)
+    tower = (model.audio_tower if hasattr(model, "audio_tower")
+             else model.model.audio_tower)
+    proj = (model.multi_modal_projector
+            if hasattr(model, "multi_modal_projector")
+            else model.model.multi_modal_projector)
+    with torch.no_grad():
+        hidden = tower(torch.from_numpy(mel[None])).last_hidden_state
+        ref_emb = proj(hidden)[0].numpy()
+    np.testing.assert_allclose(got_emb, ref_emb, rtol=2e-3, atol=2e-3)

@@ -262,6 +262,8 @@ def np_whisper_encoder(reader, mel):
         h = ln(x, t(p + "ln2.weight"), t(p + "ln2.bias"))
         up = gelu(h @ t(p + "ffn_up.weight").T + t(p + "ffn_up.bias"))
         x = x + up @ t(p + "ffn_down.weight").T + t(p + "ffn_down.bias")
+    T2 = (x.shape[0] // 2) * 2  # qwen2a stride-2 avg pool before post-LN
+    x = x[:T2].reshape(T2 // 2, 2, -1).mean(axis=1)
     x = ln(x, t("a.post_ln.weight"), t("a.post_ln.bias"))
     return x @ t("mm.a.fc.weight").T + t("mm.a.fc.bias")
 
@@ -276,7 +278,7 @@ def test_whisper_encoder_matches_numpy(tmp_path):
     mel = rng.standard_normal((16, 100)).astype(np.float32)
     got = enc.encode_mel(mel)
     ref = np_whisper_encoder(enc.reader, mel)
-    assert got.shape == (50, 64)  # stride-2 conv halves frames
+    assert got.shape == (25, 64)  # stride-2 conv + stride-2 avg pool
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
 
 

@@ -201,6 +201,13 @@ class WhisperAudioEncoder:
                 down = down + lyr["down_b"]
             x = x + down
 
+        if self.proj_type == "qwen2a":
+            # stride-2 avg pool over time BEFORE the post layernorm
+            # (≡ clip.cpp audio_has_avgpool / HF Qwen2Audio avg_pooler;
+            # odd trailing frame drops, AvgPool1d floor semantics)
+            T2 = (x.shape[0] // 2) * 2
+            x = x[:T2].reshape(T2 // 2, 2, -1).mean(axis=1)
+
         if p["post_ln_w"] is not None:
             x = layer_norm(x, p["post_ln_w"], p["post_ln_b"], self.eps)
 

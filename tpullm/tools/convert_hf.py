@@ -815,12 +815,15 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
     cfg = json.load(open(os.path.join(src_dir, "config.json")))
     model_type = cfg.get("model_type", "llama")
     vl_wrapped = model_type in ("qwen2_vl", "qwen2_5_vl", "mistral3",
-                                "internvl", "llava") or (
+                                "internvl", "llava", "qwen2_audio") or (
         model_type == "gemma3" and "vision_config" in cfg)
     if model_type == "llava":
         # LLaVA wraps an ordinary llama/mistral/vicuna text model
         model_type = (cfg.get("text_config") or {}).get("model_type",
                                                         "llama")
+    if model_type == "qwen2_audio":
+        model_type = (cfg.get("text_config") or {}).get("model_type",
+                                                        "qwen2")
     if model_type == "internvl":
         # the InternVL wrapper's text model is an ordinary qwen2/llama —
         # convert the language model under ITS arch; --mmproj exports the
@@ -1256,6 +1259,7 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
         if vl_wrapped:
             if name.startswith(("model.visual.", "visual.",
                                 "model.vision_tower.", "vision_tower.",
+                                "model.audio_tower.", "audio_tower.",
                                 "model.multi_modal_projector.",
                                 "multi_modal_projector.")):
                 continue  # vision tower lives in the --mmproj output
@@ -1525,7 +1529,7 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
 
 
 _MMPROJ_VISION_TYPES = ("qwen2_vl", "qwen2_5_vl", "gemma3", "mistral3",
-                        "internvl", "llava")
+                        "internvl", "llava", "qwen2_audio")
 
 
 def convert_hf_mmproj(src_dir: str, dst: str, verbose: bool = True) -> dict:
@@ -1546,6 +1550,8 @@ def convert_hf_mmproj(src_dir: str, dst: str, verbose: bool = True) -> dict:
         return _convert_internvl_mmproj(src_dir, dst, cfg, verbose)
     if model_type == "llava":
         return _convert_llava_mmproj(src_dir, dst, cfg, verbose)
+    if model_type == "qwen2_audio":
+        return _convert_qwen2_audio_mmproj(src_dir, dst, cfg, verbose)
     is25 = model_type == "qwen2_5_vl"
     vc = cfg["vision_config"]
     # 2.0: embed_dim is the tower width (hidden_size = LLM dim for the
@@ -1960,6 +1966,79 @@ def _convert_llava_mmproj(src_dir: str, dst: str, cfg: dict,
     put_if("mm.0.bias", "linear_1.bias")
     put("mm.2.weight", sd["linear_2.weight"])
     put_if("mm.2.bias", "linear_2.bias")
+    w.write()
+    if verbose:
+        print(f"wrote mmproj {dst} ({n_tensors} tensors)")
+    return {"out": dst, "arch": "clip", "n_tensors": n_tensors}
+
+
+def _convert_qwen2_audio_mmproj(src_dir: str, dst: str, cfg: dict,
+                                verbose: bool) -> dict:
+    """Qwen2-Audio whisper encoder + fc projector → audio mmproj GGUF
+    (≡ clip.cpp qwen2a graph: stride-2 avg pool before the post-LN)."""
+    from ..gguf.writer import GGUFWriter
+
+    ac = cfg["audio_config"]
+    n_embd = int(ac["d_model"])
+    n_layer = int(ac["encoder_layers"])
+
+    sd = {}
+    for name, arr in _load_tensors(src_dir):
+        for pfx in ("model.audio_tower.", "audio_tower.",
+                    "model.multi_modal_projector.", "multi_modal_projector."):
+            if name.startswith(pfx):
+                sd[name[len(pfx):]] = np.asarray(arr, dtype=np.float32)
+                break
+    if not sd:
+        raise ValueError(f"no audio_tower tensors found under {src_dir}")
+
+    w = GGUFWriter(dst, architecture="clip")
+    w.add_kv("clip.projector_type", "qwen2a")
+    w.add_kv("clip.has_audio_encoder", True)
+    w.add_kv("clip.audio.num_mel_bins", int(ac.get("num_mel_bins", 128)))
+    w.add_kv("clip.audio.embedding_length", n_embd)
+    w.add_kv("clip.audio.feed_forward_length", int(ac["encoder_ffn_dim"]))
+    w.add_kv("clip.audio.block_count", n_layer)
+    w.add_kv("clip.audio.attention.head_count",
+             int(ac["encoder_attention_heads"]))
+    w.add_kv("clip.audio.attention.layer_norm_epsilon", 1e-5)
+    n_tensors = 0
+
+    def put(gname, a):
+        nonlocal n_tensors
+        w.add_tensor(gname, np.ascontiguousarray(a))
+        n_tensors += 1
+
+    def put_if(gname, key):
+        if key in sd:
+            put(gname, sd[key])
+
+    put("a.conv1d.1.weight", sd["conv1.weight"])
+    put("a.conv1d.1.bias", sd["conv1.bias"])
+    put("a.conv1d.2.weight", sd["conv2.weight"])
+    put("a.conv1d.2.bias", sd["conv2.bias"])
+    put("a.position_embd.weight", sd["embed_positions.weight"])
+    for i in range(n_layer):
+        hp_, gp = f"layers.{i}.", f"a.blk.{i}."
+        put(gp + "ln1.weight", sd[hp_ + "self_attn_layer_norm.weight"])
+        put(gp + "ln1.bias", sd[hp_ + "self_attn_layer_norm.bias"])
+        put(gp + "attn_q.weight", sd[hp_ + "self_attn.q_proj.weight"])
+        put(gp + "attn_q.bias", sd[hp_ + "self_attn.q_proj.bias"])
+        put(gp + "attn_k.weight", sd[hp_ + "self_attn.k_proj.weight"])
+        put(gp + "attn_v.weight", sd[hp_ + "self_attn.v_proj.weight"])
+        put(gp + "attn_v.bias", sd[hp_ + "self_attn.v_proj.bias"])
+        put(gp + "attn_out.weight", sd[hp_ + "self_attn.out_proj.weight"])
+        put(gp + "attn_out.bias", sd[hp_ + "self_attn.out_proj.bias"])
+        put(gp + "ln2.weight", sd[hp_ + "final_layer_norm.weight"])
+        put(gp + "ln2.bias", sd[hp_ + "final_layer_norm.bias"])
+        put(gp + "ffn_up.weight", sd[hp_ + "fc1.weight"])
+        put(gp + "ffn_up.bias", sd[hp_ + "fc1.bias"])
+        put(gp + "ffn_down.weight", sd[hp_ + "fc2.weight"])
+        put(gp + "ffn_down.bias", sd[hp_ + "fc2.bias"])
+    put("a.post_ln.weight", sd["layer_norm.weight"])
+    put("a.post_ln.bias", sd["layer_norm.bias"])
+    put("mm.a.fc.weight", sd["linear.weight"])
+    put_if("mm.a.fc.bias", "linear.bias")
     w.write()
     if verbose:
         print(f"wrote mmproj {dst} ({n_tensors} tensors)")
