@@ -1260,3 +1260,51 @@ def test_convert_qwen2_audio_text_and_mmproj(tmp_path):
         hidden = tower(torch.from_numpy(mel[None])).last_hidden_state
         ref_emb = proj(hidden)[0].numpy()
     np.testing.assert_allclose(got_emb, ref_emb, rtol=2e-3, atol=2e-3)
+
+
+def test_convert_voxtral_text_and_mmproj(tmp_path):
+    """Voxtral: llama text + --mmproj whisper tower with frame stacking and
+    the bias-free GELU MLP projector, pinned against HF get_audio_features."""
+    from transformers import VoxtralConfig, VoxtralForConditionalGeneration
+
+    torch.manual_seed(71)
+    cfg = VoxtralConfig(
+        audio_config=dict(
+            hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+            intermediate_size=128, num_mel_bins=16,
+            max_source_positions=52),
+        text_config=dict(
+            model_type="llama", vocab_size=100, hidden_size=48,
+            intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2,
+            rope_theta=10000.0, max_position_embeddings=128),
+        audio_token_id=99)
+    model = VoxtralForConditionalGeneration(cfg)
+    model.eval()
+    d = tmp_path / "hf_vox"
+    model.save_pretrained(d, safe_serialization=True)
+
+    out = str(tmp_path / "vox.gguf")
+    stats = convert_hf_to_gguf(str(d), out, outtype="f32", verbose=False)
+    assert stats["arch"] == "llama"
+    ids = [3, 17, 42, 7, 19]
+    with torch.no_grad():
+        ref = model(input_ids=torch.tensor([ids])).logits[0].numpy()
+    eng = Engine(out, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    got = eng.prefill_all_logits(ids)
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+    from tpullm.mtmd import WhisperAudioEncoder
+    from tpullm.tools.convert_hf import convert_hf_mmproj
+
+    mm = str(tmp_path / "vox.mmproj.gguf")
+    convert_hf_mmproj(str(d), mm, verbose=False)
+    enc = WhisperAudioEncoder(mm)
+    assert enc.proj_type == "voxtral" and enc.stack_factor == 4
+    mel = np.random.default_rng(31).normal(size=(16, 104)).astype(np.float32)
+    got_emb = enc.encode_mel(mel)
+    with torch.no_grad():
+        ref_emb = model.get_audio_features(
+            torch.from_numpy(mel[None])).numpy()
+    np.testing.assert_allclose(got_emb, ref_emb, rtol=2e-3, atol=2e-3)

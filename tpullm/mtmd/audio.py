@@ -203,7 +203,7 @@ class WhisperAudioEncoder:
 
         if self.proj_type == "qwen2a":
             # stride-2 avg pool over time BEFORE the post layernorm
-            # (≡ clip.cpp audio_has_avgpool / HF Qwen2Audio avg_pooler;
+            # (≡ clip.cpp audio_has_avgpool / HF avg_pooler;
             # odd trailing frame drops, AvgPool1d floor semantics)
             T2 = (x.shape[0] // 2) * 2
             x = x[:T2].reshape(T2 // 2, 2, -1).mean(axis=1)
@@ -223,6 +223,16 @@ class WhisperAudioEncoder:
             a, b = jnp.split(y, 2, axis=-1)
             y = a * jax.nn.silu(b)
             y = rms_norm(y, p["norm_mid_w"], 1e-6)
+            return y @ p["mlp2_w"].T
+        if self.proj_type == "voxtral":
+            # stack sf frames then a 2-layer GELU-erf MLP (no norms/biases;
+            # HF VoxtralEncoder applies NO avg pool — the projector input is
+            # the raw conv-downsampled frames reshaped by intermediate/d_model)
+            sf = self.stack_factor
+            pad = (-x.shape[0]) % sf
+            x = jnp.pad(x, ((0, pad), (0, 0)))
+            x = x.reshape(x.shape[0] // sf, sf * self.n_embd)
+            y = jax.nn.gelu(x @ p["mlp1_w"].T, approximate=False)
             return y @ p["mlp2_w"].T
         # qwen2a: single fc
         y = x @ p["fc_w"].T

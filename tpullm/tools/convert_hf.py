@@ -815,13 +815,14 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
     cfg = json.load(open(os.path.join(src_dir, "config.json")))
     model_type = cfg.get("model_type", "llama")
     vl_wrapped = model_type in ("qwen2_vl", "qwen2_5_vl", "mistral3",
-                                "internvl", "llava", "qwen2_audio") or (
+                                "internvl", "llava", "qwen2_audio",
+                                "voxtral") or (
         model_type == "gemma3" and "vision_config" in cfg)
     if model_type == "llava":
         # LLaVA wraps an ordinary llama/mistral/vicuna text model
         model_type = (cfg.get("text_config") or {}).get("model_type",
                                                         "llama")
-    if model_type == "qwen2_audio":
+    if model_type in ("qwen2_audio", "voxtral"):
         model_type = (cfg.get("text_config") or {}).get("model_type",
                                                         "qwen2")
     if model_type == "internvl":
@@ -1529,7 +1530,7 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
 
 
 _MMPROJ_VISION_TYPES = ("qwen2_vl", "qwen2_5_vl", "gemma3", "mistral3",
-                        "internvl", "llava", "qwen2_audio")
+                        "internvl", "llava", "qwen2_audio", "voxtral")
 
 
 def convert_hf_mmproj(src_dir: str, dst: str, verbose: bool = True) -> dict:
@@ -1550,8 +1551,9 @@ def convert_hf_mmproj(src_dir: str, dst: str, verbose: bool = True) -> dict:
         return _convert_internvl_mmproj(src_dir, dst, cfg, verbose)
     if model_type == "llava":
         return _convert_llava_mmproj(src_dir, dst, cfg, verbose)
-    if model_type == "qwen2_audio":
-        return _convert_qwen2_audio_mmproj(src_dir, dst, cfg, verbose)
+    if model_type in ("qwen2_audio", "voxtral"):
+        return _convert_whisper_audio_mmproj(src_dir, dst, cfg, model_type,
+                                             verbose)
     is25 = model_type == "qwen2_5_vl"
     vc = cfg["vision_config"]
     # 2.0: embed_dim is the tower width (hidden_size = LLM dim for the
@@ -1972,15 +1974,23 @@ def _convert_llava_mmproj(src_dir: str, dst: str, cfg: dict,
     return {"out": dst, "arch": "clip", "n_tensors": n_tensors}
 
 
-def _convert_qwen2_audio_mmproj(src_dir: str, dst: str, cfg: dict,
-                                verbose: bool) -> dict:
-    """Qwen2-Audio whisper encoder + fc projector → audio mmproj GGUF
-    (≡ clip.cpp qwen2a graph: stride-2 avg pool before the post-LN)."""
+def _convert_whisper_audio_mmproj(src_dir: str, dst: str, cfg: dict,
+                                  model_type: str,
+                                  verbose: bool = True) -> dict:
+    """Whisper-encoder audio towers → mmproj GGUF: qwen2_audio (fc
+    projector) and voxtral (frame stacking + 2-layer GELU-erf MLP); both
+    stride-2 avg pool before the post-LN (clip.cpp audio_has_avgpool)."""
     from ..gguf.writer import GGUFWriter
 
     ac = cfg["audio_config"]
-    n_embd = int(ac["d_model"])
-    n_layer = int(ac["encoder_layers"])
+    # whisper configs serialize either classic (d_model/encoder_*) or
+    # canonical (hidden_size/num_*) attribute names
+    n_embd = int(ac.get("d_model") or ac["hidden_size"])
+    n_layer = int(ac.get("encoder_layers") or ac["num_hidden_layers"])
+    n_ff = int(ac.get("encoder_ffn_dim") or ac["intermediate_size"])
+    n_head = int(ac.get("encoder_attention_heads")
+                 or ac["num_attention_heads"])
+    voxtral = model_type == "voxtral"
 
     sd = {}
     for name, arr in _load_tensors(src_dir):
@@ -1993,14 +2003,16 @@ def _convert_qwen2_audio_mmproj(src_dir: str, dst: str, cfg: dict,
         raise ValueError(f"no audio_tower tensors found under {src_dir}")
 
     w = GGUFWriter(dst, architecture="clip")
-    w.add_kv("clip.projector_type", "qwen2a")
+    w.add_kv("clip.projector_type", "voxtral" if voxtral else "qwen2a")
     w.add_kv("clip.has_audio_encoder", True)
+    if voxtral:  # stacked frames per projector input row
+        w.add_kv("clip.audio.projector.stack_factor",
+                 int(ac["intermediate_size"]) // n_embd)
     w.add_kv("clip.audio.num_mel_bins", int(ac.get("num_mel_bins", 128)))
     w.add_kv("clip.audio.embedding_length", n_embd)
-    w.add_kv("clip.audio.feed_forward_length", int(ac["encoder_ffn_dim"]))
+    w.add_kv("clip.audio.feed_forward_length", n_ff)
     w.add_kv("clip.audio.block_count", n_layer)
-    w.add_kv("clip.audio.attention.head_count",
-             int(ac["encoder_attention_heads"]))
+    w.add_kv("clip.audio.attention.head_count", n_head)
     w.add_kv("clip.audio.attention.layer_norm_epsilon", 1e-5)
     n_tensors = 0
 
@@ -2037,8 +2049,12 @@ def _convert_qwen2_audio_mmproj(src_dir: str, dst: str, cfg: dict,
         put(gp + "ffn_down.bias", sd[hp_ + "fc2.bias"])
     put("a.post_ln.weight", sd["layer_norm.weight"])
     put("a.post_ln.bias", sd["layer_norm.bias"])
-    put("mm.a.fc.weight", sd["linear.weight"])
-    put_if("mm.a.fc.bias", "linear.bias")
+    if voxtral:
+        put("mm.a.mlp.1.weight", sd["linear_1.weight"])
+        put("mm.a.mlp.2.weight", sd["linear_2.weight"])
+    else:
+        put("mm.a.fc.weight", sd["linear.weight"])
+        put_if("mm.a.fc.bias", "linear.bias")
     w.write()
     if verbose:
         print(f"wrote mmproj {dst} ({n_tensors} tensors)")
