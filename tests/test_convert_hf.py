@@ -1308,3 +1308,56 @@ def test_convert_voxtral_text_and_mmproj(tmp_path):
         ref_emb = model.get_audio_features(
             torch.from_numpy(mel[None])).numpy()
     np.testing.assert_allclose(got_emb, ref_emb, rtol=2e-3, atol=2e-3)
+
+
+def test_convert_idefics3_text_and_mmproj(tmp_path):
+    """SmolVLM/Idefics3: llama text under its own arch; --mmproj exports the
+    SigLIP tower + pixel-shuffle fc projector, pinned against the HF
+    vision tower + connector forward."""
+    from transformers import Idefics3Config, Idefics3ForConditionalGeneration
+
+    torch.manual_seed(73)
+    cfg = Idefics3Config(
+        text_config=dict(
+            model_type="llama", vocab_size=100, hidden_size=48,
+            intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2,
+            rope_theta=10000.0, max_position_embeddings=128),
+        vision_config=dict(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=2, image_size=32, patch_size=4),
+        scale_factor=2, image_token_id=99)
+    model = Idefics3ForConditionalGeneration(cfg)
+    model.eval()
+    d = tmp_path / "hf_idf"
+    model.save_pretrained(d, safe_serialization=True)
+
+    out = str(tmp_path / "idf.gguf")
+    stats = convert_hf_to_gguf(str(d), out, outtype="f32", verbose=False)
+    assert stats["arch"] == "llama"
+    ids = [3, 17, 42, 7, 19]
+    with torch.no_grad():
+        ref = model(input_ids=torch.tensor([ids])).logits[0].numpy()
+    eng = Engine(out, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    got = eng.prefill_all_logits(ids)
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+    from tpullm.mtmd import load_vision
+    from tpullm.mtmd.siglip import Idefics3Vision
+    from tpullm.tools.convert_hf import convert_hf_mmproj
+
+    mm = str(tmp_path / "idf.mmproj.gguf")
+    convert_hf_mmproj(str(d), mm, verbose=False)
+    tower = load_vision(mm)
+    assert isinstance(tower, Idefics3Vision)
+    px = np.random.default_rng(37).normal(size=(3, 32, 32)).astype(np.float32)
+    got_emb = np.asarray(tower._encode(tower.params, jnp.asarray(px)))
+    vt = (model.model.vision_model
+          if hasattr(model.model, "vision_model") else model.vision_model)
+    conn = (model.model.connector
+            if hasattr(model.model, "connector") else model.connector)
+    with torch.no_grad():
+        hidden = vt(torch.from_numpy(px[None])).last_hidden_state
+        ref_emb = conn(hidden)[0].numpy()
+    np.testing.assert_allclose(got_emb, ref_emb, rtol=2e-3, atol=2e-3)

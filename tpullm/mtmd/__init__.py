@@ -20,6 +20,10 @@ def load_vision(path):
         return Qwen2VLVision(path)
     if proj == "gemma3":
         return Gemma3Vision(path)
+    if proj == "idefics3":
+        from .siglip import Idefics3Vision
+
+        return Idefics3Vision(path)
     if proj in ("pixtral", "lightonocr"):
         from .pixtral import PixtralVision
 

@@ -46,16 +46,16 @@ class Gemma3Vision:
             return arr(name, d) if name in t else None
 
         P = self.patch_size
-        proj = arr("mm.input_projection.weight")
-        if proj.shape[0] != self.n_embd:  # accept either orientation
-            proj = proj.T
+        proj = maybe("mm.input_projection.weight")
+        if proj is not None and proj.shape[0] != self.n_embd:
+            proj = proj.T  # accept either orientation
         self.params = {
             "patch_w": arr("v.patch_embd.weight").reshape(self.n_embd, 3 * P * P),
             "patch_b": maybe("v.patch_embd.bias"),
             "pos_embd": arr("v.position_embd.weight"),
             "post_ln_w": maybe("v.post_ln.weight"),
             "post_ln_b": maybe("v.post_ln.bias"),
-            "soft_emb_norm": arr("mm.soft_emb_norm.weight"),
+            "soft_emb_norm": maybe("mm.soft_emb_norm.weight"),
             "input_proj": proj,  # [n_embd_vision, n_embd_llm]
             "layers": [],
         }
@@ -131,3 +131,71 @@ class Gemma3Vision:
         px = preprocess_image(image, self.image_size, self.image_mean,
                               self.image_std)
         return np.asarray(self._encode(self.params, jnp.asarray(px)))
+
+
+class Idefics3Vision(Gemma3Vision):
+    """SmolVLM/Idefics3: the same SigLIP ViT, but the projector is a
+    pixel-shuffle (scale_factor, modeling_idefics3.py pixel_shuffle) into a
+    single linear (clip.cpp PROJECTOR_TYPE_IDEFICS3 mm.model.fc)."""
+
+    def __init__(self, path, dtype=jnp.float32):
+        super().__init__(path, dtype=dtype)
+        t = self.reader.tensors
+        self.params["fc"] = jnp.asarray(
+            t["mm.model.fc.weight"].to_numpy(), dtype)
+
+    def _forward(self, p, pixels):
+        P = self.patch_size
+        side = self.side
+        N = side * side
+        C = self.n_embd
+        hd = C // self.n_head
+        x = pixels.reshape(3, side, P, side, P)
+        x = x.transpose(1, 3, 0, 2, 4).reshape(N, 3 * P * P)
+        x = x @ p["patch_w"].T
+        if p["patch_b"] is not None:
+            x = x + p["patch_b"]
+        # Idefics3 buckets fractional coords scaled by (1-1e-6), so even a
+        # full-size grid indexes positions [0, 0, 1, …, side-2] per axis
+        # (Idefics3VisionEmbeddings.forward bucketize(right=True))
+        frac = (np.arange(side) / side) * (1 - 1e-6)
+        bounds = np.arange(1, side) / side
+        ids = np.searchsorted(bounds, frac, side="right")
+        pos_ids = (ids[:, None] * side + ids[None, :]).reshape(-1)
+        x = x + p["pos_embd"][pos_ids]
+        for lyr in p["layers"]:
+            h = layer_norm(x, lyr["ln1_w"], lyr["ln1_b"], self.eps)
+
+            def proj(w, b):
+                y = h @ lyr[w].T
+                if lyr[b] is not None:
+                    y = y + lyr[b]
+                return y.reshape(N, self.n_head, hd)
+
+            q, k, v = proj("wq", "bq"), proj("wk", "bk"), proj("wv", "bv")
+            scores = jnp.einsum("thd,shd->hts", q, k) * (hd ** -0.5)
+            probs = jax.nn.softmax(scores, axis=-1)
+            attn = jnp.einsum("hts,shd->thd", probs, v).reshape(N, C)
+            attn = attn @ lyr["wo"].T
+            if lyr["bo"] is not None:
+                attn = attn + lyr["bo"]
+            x = x + attn
+            h = layer_norm(x, lyr["ln2_w"], lyr["ln2_b"], self.eps)
+            up = h @ lyr["up_w"].T
+            if lyr["up_b"] is not None:
+                up = up + lyr["up_b"]
+            act = jax.nn.gelu(up, approximate=True)
+            down = act @ lyr["down_w"].T
+            if lyr["down_b"] is not None:
+                down = down + lyr["down_b"]
+            x = x + down
+        if p["post_ln_w"] is not None:
+            x = layer_norm(x, p["post_ln_w"], p["post_ln_b"], self.eps)
+
+        # pixel_shuffle (modeling_idefics3.py:578): [h, w, C] →
+        # [h/sf · w/sf, C·sf²] with column-major gather per shuffle block
+        sf = self.n_merge
+        x = x.reshape(side, side // sf, C * sf)
+        x = x.transpose(1, 0, 2).reshape(side // sf, side // sf, C * sf * sf)
+        x = x.transpose(1, 0, 2).reshape((side // sf) ** 2, C * sf * sf)
+        return x @ p["fc"].T

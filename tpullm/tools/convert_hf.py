@@ -816,7 +816,7 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
     model_type = cfg.get("model_type", "llama")
     vl_wrapped = model_type in ("qwen2_vl", "qwen2_5_vl", "mistral3",
                                 "internvl", "llava", "qwen2_audio",
-                                "voxtral") or (
+                                "voxtral", "idefics3") or (
         model_type == "gemma3" and "vision_config" in cfg)
     if model_type == "llava":
         # LLaVA wraps an ordinary llama/mistral/vicuna text model
@@ -825,6 +825,9 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
     if model_type in ("qwen2_audio", "voxtral"):
         model_type = (cfg.get("text_config") or {}).get("model_type",
                                                         "qwen2")
+    if model_type == "idefics3":  # SmolVLM wraps a llama text model
+        model_type = (cfg.get("text_config") or {}).get("model_type",
+                                                        "llama")
     if model_type == "internvl":
         # the InternVL wrapper's text model is an ordinary qwen2/llama —
         # convert the language model under ITS arch; --mmproj exports the
@@ -1261,15 +1264,20 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
             if name.startswith(("model.visual.", "visual.",
                                 "model.vision_tower.", "vision_tower.",
                                 "model.audio_tower.", "audio_tower.",
+                                "model.vision_model.", "vision_model.",
+                                "model.connector.", "connector.",
                                 "model.multi_modal_projector.",
                                 "multi_modal_projector.")):
                 continue  # vision tower lives in the --mmproj output
-            # two serializations: model.language_model.* (new) and
-            # language_model.model.* / language_model.lm_head (legacy)
+            # serializations: model.language_model.* (new),
+            # language_model.model.* / language_model.lm_head (legacy),
+            # model.text_model.* (idefics3)
             if name.startswith("model.language_model."):
                 name = "model." + name[len("model.language_model."):]
             elif name.startswith("language_model."):
                 name = name[len("language_model."):]
+            elif name.startswith("model.text_model."):
+                name = "model." + name[len("model.text_model."):]
         if ".mlp.experts." in name and name.split(".")[5] in (
             "gate_up_proj", "gate_up_proj_bias", "down_proj", "down_proj_bias"
         ):
@@ -1530,7 +1538,8 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
 
 
 _MMPROJ_VISION_TYPES = ("qwen2_vl", "qwen2_5_vl", "gemma3", "mistral3",
-                        "internvl", "llava", "qwen2_audio", "voxtral")
+                        "internvl", "llava", "qwen2_audio", "voxtral",
+                        "idefics3")
 
 
 def convert_hf_mmproj(src_dir: str, dst: str, verbose: bool = True) -> dict:
@@ -1554,6 +1563,8 @@ def convert_hf_mmproj(src_dir: str, dst: str, verbose: bool = True) -> dict:
     if model_type in ("qwen2_audio", "voxtral"):
         return _convert_whisper_audio_mmproj(src_dir, dst, cfg, model_type,
                                              verbose)
+    if model_type == "idefics3":
+        return _convert_idefics3_mmproj(src_dir, dst, cfg, verbose)
     is25 = model_type == "qwen2_5_vl"
     vc = cfg["vision_config"]
     # 2.0: embed_dim is the tower width (hidden_size = LLM dim for the
@@ -2055,6 +2066,78 @@ def _convert_whisper_audio_mmproj(src_dir: str, dst: str, cfg: dict,
     else:
         put("mm.a.fc.weight", sd["linear.weight"])
         put_if("mm.a.fc.bias", "linear.bias")
+    w.write()
+    if verbose:
+        print(f"wrote mmproj {dst} ({n_tensors} tensors)")
+    return {"out": dst, "arch": "clip", "n_tensors": n_tensors}
+
+
+def _convert_idefics3_mmproj(src_dir: str, dst: str, cfg: dict,
+                             verbose: bool) -> dict:
+    """SmolVLM/Idefics3 SigLIP tower + pixel-shuffle fc projector →
+    mmproj GGUF (≡ clip.cpp PROJECTOR_TYPE_IDEFICS3)."""
+    from ..gguf.writer import GGUFWriter
+
+    vc = cfg["vision_config"]
+    n_embd = int(vc["hidden_size"])
+    n_layer = int(vc["num_hidden_layers"])
+
+    sd = {}
+    for name, arr in _load_tensors(src_dir):
+        for pfx in ("model.vision_model.", "vision_model.",
+                    "model.connector.", "connector."):
+            if name.startswith(pfx):
+                sd[name[len(pfx):]] = np.asarray(arr, dtype=np.float32)
+                break
+    if not sd:
+        raise ValueError(f"no vision_model tensors found under {src_dir}")
+
+    w = GGUFWriter(dst, architecture="clip")
+    w.add_kv("clip.projector_type", "idefics3")
+    w.add_kv("clip.has_vision_encoder", True)
+    w.add_kv("clip.vision.image_size", int(vc.get("image_size", 512)))
+    w.add_kv("clip.vision.patch_size", int(vc.get("patch_size", 16)))
+    w.add_kv("clip.vision.embedding_length", n_embd)
+    w.add_kv("clip.vision.feed_forward_length", int(vc["intermediate_size"]))
+    w.add_kv("clip.vision.block_count", n_layer)
+    w.add_kv("clip.vision.attention.head_count",
+             int(vc["num_attention_heads"]))
+    w.add_kv("clip.vision.attention.layer_norm_epsilon",
+             float(vc.get("layer_norm_eps", 1e-6)))
+    w.add_kv("clip.vision.projector.scale_factor",
+             int(cfg.get("scale_factor", 2)))
+    n_tensors = 0
+
+    def put(gname, a):
+        nonlocal n_tensors
+        w.add_tensor(gname, np.ascontiguousarray(a))
+        n_tensors += 1
+
+    def put_if(gname, key):
+        if key in sd:
+            put(gname, sd[key])
+
+    put("v.patch_embd.weight",
+        sd["embeddings.patch_embedding.weight"].reshape(n_embd, -1))
+    put_if("v.patch_embd.bias", "embeddings.patch_embedding.bias")
+    put("v.position_embd.weight", sd["embeddings.position_embedding.weight"])
+    for i in range(n_layer):
+        hp_, gp = f"encoder.layers.{i}.", f"v.blk.{i}."
+        put(gp + "ln1.weight", sd[hp_ + "layer_norm1.weight"])
+        put(gp + "ln1.bias", sd[hp_ + "layer_norm1.bias"])
+        for hf_nm, gg_nm in (("q_proj", "attn_q"), ("k_proj", "attn_k"),
+                             ("v_proj", "attn_v"), ("out_proj", "attn_out")):
+            put(gp + gg_nm + ".weight", sd[hp_ + f"self_attn.{hf_nm}.weight"])
+            put_if(gp + gg_nm + ".bias", hp_ + f"self_attn.{hf_nm}.bias")
+        put(gp + "ln2.weight", sd[hp_ + "layer_norm2.weight"])
+        put(gp + "ln2.bias", sd[hp_ + "layer_norm2.bias"])
+        put(gp + "ffn_up.weight", sd[hp_ + "mlp.fc1.weight"])
+        put_if(gp + "ffn_up.bias", hp_ + "mlp.fc1.bias")
+        put(gp + "ffn_down.weight", sd[hp_ + "mlp.fc2.weight"])
+        put_if(gp + "ffn_down.bias", hp_ + "mlp.fc2.bias")
+    put("v.post_ln.weight", sd["post_layernorm.weight"])
+    put("v.post_ln.bias", sd["post_layernorm.bias"])
+    put("mm.model.fc.weight", sd["modality_projection.proj.weight"])
     w.write()
     if verbose:
         print(f"wrote mmproj {dst} ({n_tensors} tensors)")
