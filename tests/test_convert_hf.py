@@ -1361,3 +1361,55 @@ def test_convert_idefics3_text_and_mmproj(tmp_path):
         hidden = vt(torch.from_numpy(px[None])).last_hidden_state
         ref_emb = conn(hidden)[0].numpy()
     np.testing.assert_allclose(got_emb, ref_emb, rtol=2e-3, atol=2e-3)
+
+
+def test_convert_janus_text_and_mmproj(tmp_path):
+    """Janus-Pro: llama text (model.language_model.* prefix, generation
+    stack skipped); --mmproj exports the SigLIP tower + 2-layer MLP
+    aligner, pinned against HF JanusModel.get_image_features."""
+    from transformers import JanusConfig, JanusForConditionalGeneration
+
+    torch.manual_seed(74)
+    cfg = JanusConfig(
+        text_config=dict(
+            model_type="llama", vocab_size=100, hidden_size=48,
+            intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2,
+            rope_theta=10000.0, max_position_embeddings=128),
+        vision_config=dict(
+            hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+            image_size=32, patch_size=4, mlp_ratio=2),
+        vq_config=dict(embed_dim=8, num_embeddings=16, base_channels=32,
+                       resolution=32),
+        image_token_id=99)
+    model = JanusForConditionalGeneration(cfg)
+    model.eval()
+    d = tmp_path / "hf_janus"
+    model.save_pretrained(d, safe_serialization=True)
+
+    out = str(tmp_path / "janus.gguf")
+    stats = convert_hf_to_gguf(str(d), out, outtype="f32", verbose=False)
+    assert stats["arch"] == "llama"
+    ids = [3, 17, 42, 7, 19]
+    with torch.no_grad():
+        ref = model(input_ids=torch.tensor([ids])).logits[0].numpy()
+    eng = Engine(out, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    got = eng.prefill_all_logits(ids)
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+    from tpullm.mtmd import load_vision
+    from tpullm.mtmd.siglip import JanusVision
+    from tpullm.tools.convert_hf import convert_hf_mmproj
+
+    mm = str(tmp_path / "janus.mmproj.gguf")
+    convert_hf_mmproj(str(d), mm, verbose=False)
+    tower = load_vision(mm)
+    assert isinstance(tower, JanusVision)
+    assert tower.use_gelu  # janus vision hidden_act is exact gelu
+    px = np.random.default_rng(41).normal(size=(3, 32, 32)).astype(np.float32)
+    got_emb = np.asarray(tower._encode(tower.params, jnp.asarray(px)))
+    with torch.no_grad():
+        ref_emb = model.model.get_image_features(
+            torch.from_numpy(px[None]))[0].numpy()
+    np.testing.assert_allclose(got_emb, ref_emb, rtol=2e-3, atol=2e-3)

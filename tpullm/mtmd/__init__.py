@@ -24,6 +24,10 @@ def load_vision(path):
         from .siglip import Idefics3Vision
 
         return Idefics3Vision(path)
+    if proj == "janus_pro":
+        from .siglip import JanusVision
+
+        return JanusVision(path)
     if proj in ("pixtral", "lightonocr"):
         from .pixtral import PixtralVision
 

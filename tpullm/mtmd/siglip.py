@@ -1,11 +1,14 @@
-"""SigLIP vision encoder + Gemma3 multimodal projector.
+"""SigLIP vision encoder family: Gemma3 / Idefics3(SmolVLM) / Janus-Pro.
 
-Reference: tools/mtmd/models/siglip.cpp (clip_graph_siglip::build,
-PROJECTOR_TYPE_GEMMA3 branch): standard pre-norm ViT with learned positions
-and no class token, gelu-tanh FFN; then the gemma3 projector — average-pool
-the patch grid by n_merge per side, RMS-normalize (mm.soft_emb_norm, weight
-stored with the gemma +1 fold), and project into the LLM embedding space
-(mm.input_projection).
+Reference: tools/mtmd/models/siglip.cpp (clip_graph_siglip::build): standard
+pre-norm ViT with learned positions and no class token; the FFN activation
+comes from hparams.ffn_op (clip.use_gelu → exact GELU, clip.use_silu → SiLU,
+else the tanh/quick approximation, clip.cpp:1048-1064). Projector heads:
+  - gemma3: average-pool the patch grid by n_merge per side, RMS-normalize
+    (mm.soft_emb_norm) and project (mm.input_projection)
+  - idefics3: pixel-shuffle by scale_factor into a single fc (mm.model.fc)
+  - janus_pro: two-layer MLP aligner (mm.0 → ffn_op → mm.1,
+    siglip.cpp:70-76)
 """
 
 from __future__ import annotations
@@ -33,6 +36,9 @@ class Gemma3Vision:
         self.eps = float(g("attention.layer_norm_epsilon", 1e-6))
         # patch side reduced 4× by the pool (clip.cpp:1142-1150)
         self.n_merge = int(md.get("clip.vision.projector.scale_factor", 4))
+        # block-FFN activation ≡ hparams.ffn_op (clip.cpp:1048-1064)
+        self.use_gelu = bool(md.get("clip.use_gelu", False))
+        self.use_silu = bool(md.get("clip.use_silu", False))
         self.image_mean = np.asarray(g("image_mean", [0.5, 0.5, 0.5]), np.float32)
         self.image_std = np.asarray(g("image_std", [0.5, 0.5, 0.5]), np.float32)
         self.side = self.image_size // self.patch_size
@@ -72,10 +78,25 @@ class Gemma3Vision:
                 "down_w": arr(p + "ffn_down.weight"),
                 "down_b": maybe(p + "ffn_down.bias"),
             })
+        self._load_extra(t, dtype)
         self._encode = jax.jit(self._forward)
 
+    def _load_extra(self, tensors, dtype):
+        """Projector-specific tensors beyond the shared trunk."""
+
+    def _ffn_act(self, up):
+        if self.use_gelu:
+            return jax.nn.gelu(up, approximate=False)
+        if self.use_silu:
+            return jax.nn.silu(up)
+        return jax.nn.gelu(up, approximate=True)  # gelu_pytorch_tanh
+
+    def _pos_ids(self):
+        """Position-embedding row per patch (default: raster order)."""
+        return np.arange(self.side * self.side)
+
     def _forward(self, p, pixels):
-        """pixels [3, S, S] normalized → [(side/n_merge)², n_embd_llm]."""
+        """pixels [3, S, S] normalized → [n_tokens, n_embd_llm]."""
         P = self.patch_size
         side = self.side
         N = side * side
@@ -86,7 +107,7 @@ class Gemma3Vision:
         x = x @ p["patch_w"].T
         if p["patch_b"] is not None:
             x = x + p["patch_b"]
-        x = x + p["pos_embd"][:N]
+        x = x + p["pos_embd"][self._pos_ids()]
 
         for lyr in p["layers"]:
             h = layer_norm(x, lyr["ln1_w"], lyr["ln1_b"], self.eps)
@@ -110,17 +131,19 @@ class Gemma3Vision:
             up = h @ lyr["up_w"].T
             if lyr["up_b"] is not None:
                 up = up + lyr["up_b"]
-            act = jax.nn.gelu(up, approximate=True)  # gelu_pytorch_tanh
-            down = act @ lyr["down_w"].T
+            down = self._ffn_act(up) @ lyr["down_w"].T
             if lyr["down_b"] is not None:
                 down = down + lyr["down_b"]
             x = x + down
 
         if p["post_ln_w"] is not None:
             x = layer_norm(x, p["post_ln_w"], p["post_ln_b"], self.eps)
+        return self._project(p, x)
 
+    def _project(self, p, x):
         # gemma3 projector: avg-pool n_merge×n_merge over the patch grid,
         # RMS norm, single projection (siglip.cpp:18-39)
+        side, C = self.side, self.n_embd
         k = self.n_merge
         s2 = side // k
         g = x.reshape(s2, k, s2, k, C).mean(axis=(1, 3)).reshape(s2 * s2, C)
@@ -138,64 +161,75 @@ class Idefics3Vision(Gemma3Vision):
     pixel-shuffle (scale_factor, modeling_idefics3.py pixel_shuffle) into a
     single linear (clip.cpp PROJECTOR_TYPE_IDEFICS3 mm.model.fc)."""
 
-    def __init__(self, path, dtype=jnp.float32):
-        super().__init__(path, dtype=dtype)
-        t = self.reader.tensors
+    def _load_extra(self, tensors, dtype):
         self.params["fc"] = jnp.asarray(
-            t["mm.model.fc.weight"].to_numpy(), dtype)
+            tensors["mm.model.fc.weight"].to_numpy(), dtype)
 
-    def _forward(self, p, pixels):
-        P = self.patch_size
-        side = self.side
-        N = side * side
-        C = self.n_embd
-        hd = C // self.n_head
-        x = pixels.reshape(3, side, P, side, P)
-        x = x.transpose(1, 3, 0, 2, 4).reshape(N, 3 * P * P)
-        x = x @ p["patch_w"].T
-        if p["patch_b"] is not None:
-            x = x + p["patch_b"]
+    def _pos_ids(self):
         # Idefics3 buckets fractional coords scaled by (1-1e-6), so even a
         # full-size grid indexes positions [0, 0, 1, …, side-2] per axis
         # (Idefics3VisionEmbeddings.forward bucketize(right=True))
+        side = self.side
         frac = (np.arange(side) / side) * (1 - 1e-6)
         bounds = np.arange(1, side) / side
         ids = np.searchsorted(bounds, frac, side="right")
-        pos_ids = (ids[:, None] * side + ids[None, :]).reshape(-1)
-        x = x + p["pos_embd"][pos_ids]
-        for lyr in p["layers"]:
-            h = layer_norm(x, lyr["ln1_w"], lyr["ln1_b"], self.eps)
+        return (ids[:, None] * side + ids[None, :]).reshape(-1)
 
-            def proj(w, b):
-                y = h @ lyr[w].T
-                if lyr[b] is not None:
-                    y = y + lyr[b]
-                return y.reshape(N, self.n_head, hd)
-
-            q, k, v = proj("wq", "bq"), proj("wk", "bk"), proj("wv", "bv")
-            scores = jnp.einsum("thd,shd->hts", q, k) * (hd ** -0.5)
-            probs = jax.nn.softmax(scores, axis=-1)
-            attn = jnp.einsum("hts,shd->thd", probs, v).reshape(N, C)
-            attn = attn @ lyr["wo"].T
-            if lyr["bo"] is not None:
-                attn = attn + lyr["bo"]
-            x = x + attn
-            h = layer_norm(x, lyr["ln2_w"], lyr["ln2_b"], self.eps)
-            up = h @ lyr["up_w"].T
-            if lyr["up_b"] is not None:
-                up = up + lyr["up_b"]
-            act = jax.nn.gelu(up, approximate=True)
-            down = act @ lyr["down_w"].T
-            if lyr["down_b"] is not None:
-                down = down + lyr["down_b"]
-            x = x + down
-        if p["post_ln_w"] is not None:
-            x = layer_norm(x, p["post_ln_w"], p["post_ln_b"], self.eps)
-
+    def _project(self, p, x):
         # pixel_shuffle (modeling_idefics3.py:578): [h, w, C] →
         # [h/sf · w/sf, C·sf²] with column-major gather per shuffle block
+        side, C = self.side, self.n_embd
         sf = self.n_merge
         x = x.reshape(side, side // sf, C * sf)
         x = x.transpose(1, 0, 2).reshape(side // sf, side // sf, C * sf * sf)
         x = x.transpose(1, 0, 2).reshape((side // sf) ** 2, C * sf * sf)
         return x @ p["fc"].T
+
+
+class JanusVision(Gemma3Vision):
+    """Janus-Pro: the SigLIP ViT trunk (exact-GELU FFN via clip.use_gelu)
+    followed by the two-layer MLP aligner — mm.0 → ffn_op → mm.1
+    (clip.cpp PROJECTOR_TYPE_JANUS_PRO, siglip.cpp:70-76; HF
+    JanusVisionModel + aligner fc1/hidden_layers.0)."""
+
+    def _load_extra(self, tensors, dtype):
+        for k in ("mm.0.weight", "mm.0.bias", "mm.1.weight", "mm.1.bias"):
+            self.params[k] = jnp.asarray(tensors[k].to_numpy(), dtype) \
+                if k in tensors else None
+
+    def _project(self, p, x):
+        h = x @ p["mm.0.weight"].T
+        if p["mm.0.bias"] is not None:
+            h = h + p["mm.0.bias"]
+        h = self._ffn_act(h)
+        h = h @ p["mm.1.weight"].T
+        if p["mm.1.bias"] is not None:
+            h = h + p["mm.1.bias"]
+        return h
+
+    def encode_image(self, image) -> np.ndarray:
+        # Janus pads to square with gray(127) — aspect-preserving resize
+        # centered on the canvas (clip.cpp PROJECTOR_TYPE_JANUS_PRO
+        # preprocessing + img_tool::resize add_padding branch)
+        if not isinstance(image, np.ndarray):
+            image = np.asarray(image.convert("RGB"))
+        h, w_ = image.shape[:2]
+        if h != w_:
+            sz = self.image_size
+            scale = min(sz / w_, sz / h)
+            nw = min(int(np.ceil(w_ * scale)), sz)
+            nh = min(int(np.ceil(h * scale)), sz)
+            try:
+                from PIL import Image
+
+                small = np.asarray(Image.fromarray(image.astype(np.uint8))
+                                   .resize((nw, nh), Image.BILINEAR))
+            except ImportError:
+                ys = (np.arange(nh) * h // nh).clip(0, h - 1)
+                xs = (np.arange(nw) * w_ // nw).clip(0, w_ - 1)
+                small = image[ys][:, xs]
+            canvas = np.full((sz, sz, 3), 127, np.uint8)
+            oy, ox = (sz - nh) // 2, (sz - nw) // 2
+            canvas[oy:oy + nh, ox:ox + nw] = small
+            image = canvas
+        return super().encode_image(image)

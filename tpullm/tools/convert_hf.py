@@ -816,7 +816,7 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
     model_type = cfg.get("model_type", "llama")
     vl_wrapped = model_type in ("qwen2_vl", "qwen2_5_vl", "mistral3",
                                 "internvl", "llava", "qwen2_audio",
-                                "voxtral", "idefics3") or (
+                                "voxtral", "idefics3", "janus") or (
         model_type == "gemma3" and "vision_config" in cfg)
     if model_type == "llava":
         # LLaVA wraps an ordinary llama/mistral/vicuna text model
@@ -825,7 +825,8 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
     if model_type in ("qwen2_audio", "voxtral"):
         model_type = (cfg.get("text_config") or {}).get("model_type",
                                                         "qwen2")
-    if model_type == "idefics3":  # SmolVLM wraps a llama text model
+    if model_type in ("idefics3", "janus"):
+        # SmolVLM and Janus-Pro wrap a llama text model
         model_type = (cfg.get("text_config") or {}).get("model_type",
                                                         "llama")
     if model_type == "internvl":
@@ -1267,7 +1268,13 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
                                 "model.vision_model.", "vision_model.",
                                 "model.connector.", "connector.",
                                 "model.multi_modal_projector.",
-                                "multi_modal_projector.")):
+                                "multi_modal_projector.",
+                                # janus aligner + image-generation stack
+                                "model.aligner.", "aligner.",
+                                "model.vqmodel.", "vqmodel.",
+                                "model.generation_embeddings.",
+                                "model.generation_aligner.",
+                                "model.generation_head.")):
                 continue  # vision tower lives in the --mmproj output
             # serializations: model.language_model.* (new),
             # language_model.model.* / language_model.lm_head (legacy),
@@ -1539,7 +1546,7 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
 
 _MMPROJ_VISION_TYPES = ("qwen2_vl", "qwen2_5_vl", "gemma3", "mistral3",
                         "internvl", "llava", "qwen2_audio", "voxtral",
-                        "idefics3")
+                        "idefics3", "janus")
 
 
 def convert_hf_mmproj(src_dir: str, dst: str, verbose: bool = True) -> dict:
@@ -1565,6 +1572,8 @@ def convert_hf_mmproj(src_dir: str, dst: str, verbose: bool = True) -> dict:
                                              verbose)
     if model_type == "idefics3":
         return _convert_idefics3_mmproj(src_dir, dst, cfg, verbose)
+    if model_type == "janus":
+        return _convert_janus_mmproj(src_dir, dst, cfg, verbose)
     is25 = model_type == "qwen2_5_vl"
     vc = cfg["vision_config"]
     # 2.0: embed_dim is the tower width (hidden_size = LLM dim for the
@@ -2138,6 +2147,96 @@ def _convert_idefics3_mmproj(src_dir: str, dst: str, cfg: dict,
     put("v.post_ln.weight", sd["post_layernorm.weight"])
     put("v.post_ln.bias", sd["post_layernorm.bias"])
     put("mm.model.fc.weight", sd["modality_projection.proj.weight"])
+    w.write()
+    if verbose:
+        print(f"wrote mmproj {dst} ({n_tensors} tensors)")
+    return {"out": dst, "arch": "clip", "n_tensors": n_tensors}
+
+
+def _convert_janus_mmproj(src_dir: str, dst: str, cfg: dict,
+                          verbose: bool) -> dict:
+    """Janus-Pro SigLIP tower + 2-layer MLP aligner → mmproj GGUF
+    (≡ clip.cpp PROJECTOR_TYPE_JANUS_PRO: aligner.fc1 → mm.0,
+    aligner.hidden_layers.N → mm.N+1; convert_hf_to_gguf.py
+    JanusProVisionModel)."""
+    from ..gguf.writer import GGUFWriter
+
+    vc = cfg["vision_config"]
+    n_embd = int(vc["hidden_size"])
+    n_layer = int(vc["num_hidden_layers"])
+    n_ff = int(vc.get("intermediate_size") or
+               round(float(vc.get("mlp_ratio", 4)) * n_embd))
+
+    sd = {}
+    for name, arr in _load_tensors(src_dir):
+        for pfx in ("model.vision_model.", "vision_model.",
+                    "model.aligner.", "aligner."):
+            if name.startswith(pfx):
+                key = name[len(pfx):]
+                if pfx.endswith("aligner."):
+                    key = "aligner." + key
+                sd[key] = np.asarray(arr, dtype=np.float32)
+                break
+    if not sd:
+        raise ValueError(f"no vision_model tensors found under {src_dir}")
+
+    w = GGUFWriter(dst, architecture="clip")
+    w.add_kv("clip.projector_type", "janus_pro")
+    w.add_kv("clip.has_vision_encoder", True)
+    w.add_kv("clip.vision.image_size", int(vc.get("image_size", 384)))
+    w.add_kv("clip.vision.patch_size", int(vc.get("patch_size", 16)))
+    w.add_kv("clip.vision.embedding_length", n_embd)
+    w.add_kv("clip.vision.feed_forward_length", n_ff)
+    w.add_kv("clip.vision.block_count", n_layer)
+    w.add_kv("clip.vision.attention.head_count",
+             int(vc["num_attention_heads"]))
+    w.add_kv("clip.vision.attention.layer_norm_epsilon",
+             float(vc.get("layer_norm_eps", 1e-6)))
+    act = str(vc.get("hidden_act", "")).lower()
+    if act == "gelu":
+        w.add_kv("clip.use_gelu", True)
+    elif act == "silu":
+        w.add_kv("clip.use_silu", True)
+    n_tensors = 0
+
+    def put(gname, a):
+        nonlocal n_tensors
+        w.add_tensor(gname, np.ascontiguousarray(a))
+        n_tensors += 1
+
+    def put_if(gname, key):
+        if key in sd:
+            put(gname, sd[key])
+
+    put("v.patch_embd.weight",
+        sd["embeddings.patch_embedding.weight"].reshape(n_embd, -1))
+    put_if("v.patch_embd.bias", "embeddings.patch_embedding.bias")
+    put("v.position_embd.weight", sd["embeddings.position_embedding.weight"])
+    for i in range(n_layer):
+        hp_, gp = f"encoder.layers.{i}.", f"v.blk.{i}."
+        put(gp + "ln1.weight", sd[hp_ + "layer_norm1.weight"])
+        put(gp + "ln1.bias", sd[hp_ + "layer_norm1.bias"])
+        # the output projection is named projection_layer in HF Janus
+        for hf_nm, gg_nm in (("q_proj", "attn_q"), ("k_proj", "attn_k"),
+                             ("v_proj", "attn_v"),
+                             ("projection_layer", "attn_out")):
+            put(gp + gg_nm + ".weight", sd[hp_ + f"self_attn.{hf_nm}.weight"])
+            put_if(gp + gg_nm + ".bias", hp_ + f"self_attn.{hf_nm}.bias")
+        put(gp + "ln2.weight", sd[hp_ + "layer_norm2.weight"])
+        put(gp + "ln2.bias", sd[hp_ + "layer_norm2.bias"])
+        put(gp + "ffn_up.weight", sd[hp_ + "mlp.fc1.weight"])
+        put_if(gp + "ffn_up.bias", hp_ + "mlp.fc1.bias")
+        put(gp + "ffn_down.weight", sd[hp_ + "mlp.fc2.weight"])
+        put_if(gp + "ffn_down.bias", hp_ + "mlp.fc2.bias")
+    put("v.post_ln.weight", sd["post_layernorm.weight"])
+    put("v.post_ln.bias", sd["post_layernorm.bias"])
+    put("mm.0.weight", sd["aligner.fc1.weight"])
+    put_if("mm.0.bias", "aligner.fc1.bias")
+    for key in sorted(k for k in sd if k.startswith("aligner.hidden_layers.")
+                      and k.endswith(".weight")):
+        idx = int(key.split(".")[2])
+        put(f"mm.{idx + 1}.weight", sd[key])
+        put_if(f"mm.{idx + 1}.bias", key[:-len("weight")] + "bias")
     w.write()
     if verbose:
         print(f"wrote mmproj {dst} ({n_tensors} tensors)")
