@@ -1413,3 +1413,73 @@ def test_convert_janus_text_and_mmproj(tmp_path):
         ref_emb = model.model.get_image_features(
             torch.from_numpy(px[None]))[0].numpy()
     np.testing.assert_allclose(got_emb, ref_emb, rtol=2e-3, atol=2e-3)
+
+
+def test_convert_lfm2_vl_text_and_mmproj(tmp_path):
+    """LFM2-VL: lfm2 hybrid text under its own arch; --mmproj exports the
+    SigLIP2-NaFlex tower (dynamic grid, antialiased position resize) +
+    pixel-unshuffle MLP projector, pinned against HF
+    Lfm2VlModel.get_image_features at a non-square, non-native grid."""
+    from transformers import Lfm2VlConfig, Lfm2VlForConditionalGeneration
+
+    torch.manual_seed(75)
+    cfg = Lfm2VlConfig(
+        text_config=dict(
+            model_type="lfm2", vocab_size=100, hidden_size=48,
+            intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2,
+            layer_types=["conv", "full_attention"], conv_L_cache=3,
+            max_position_embeddings=128, block_ff_dim=64,
+            block_multiple_of=16, block_auto_adjust_ff_dim=False),
+        vision_config=dict(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=2, num_patches=64, patch_size=4),
+        downsample_factor=2, image_token_id=99)
+    model = Lfm2VlForConditionalGeneration(cfg)
+    model.eval()
+    d = tmp_path / "hf_lfm2vl"
+    model.save_pretrained(d, safe_serialization=True)
+
+    out = str(tmp_path / "lfm2vl.gguf")
+    stats = convert_hf_to_gguf(str(d), out, outtype="f32", verbose=False)
+    assert stats["arch"] == "lfm2"
+    ids = [3, 17, 42, 7, 19]
+    with torch.no_grad():
+        ref = model(input_ids=torch.tensor([ids])).logits[0].numpy()
+    eng = Engine(out, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    got = eng.prefill_all_logits(ids)
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+    from tpullm.mtmd import load_vision
+    from tpullm.mtmd.siglip import Lfm2Vision
+    from tpullm.tools.convert_hf import convert_hf_mmproj
+
+    mm = str(tmp_path / "lfm2vl.mmproj.gguf")
+    convert_hf_mmproj(str(d), mm, verbose=False)
+    tower = load_vision(mm)
+    assert isinstance(tower, Lfm2Vision)
+    # 16×24 image → 4×6 patch grid (≠ native 8×8 → position resize),
+    # downsampled 2× → 2×3 = 6 output tokens
+    P, H, W = 4, 16, 24
+    rng = np.random.default_rng(43)
+    img = rng.normal(size=(H, W, 3)).astype(np.float32)
+    got_emb = np.asarray(tower._encode(
+        tower.params, jnp.asarray(img.transpose(2, 0, 1))))
+    assert got_emb.shape[0] == (H // P // 2) * (W // P // 2)
+    # HF NaFlex input: HWC-flattened patches in raster order
+    patches = (img.reshape(H // P, P, W // P, P, 3)
+               .transpose(0, 2, 1, 3, 4).reshape(-1, P * P * 3))
+    with torch.no_grad():
+        ref_emb = model.model.get_image_features(
+            torch.from_numpy(patches[None]),
+            torch.tensor([[H // P, W // P]]),
+            torch.ones(1, patches.shape[0], dtype=torch.long))
+    ref_emb = ref_emb[0].reshape(-1, ref_emb[0].shape[-1]).numpy()
+    np.testing.assert_allclose(got_emb, ref_emb, rtol=2e-3, atol=2e-3)
+
+    # preprocessing snaps to patch·merge multiples (calc_size_preserved_ratio)
+    th, tw = tower._target_size(100, 190)
+    assert th % (P * 2) == 0 and tw % (P * 2) == 0
+    emb2 = tower.encode_image((rng.random((100, 190, 3)) * 255).astype(np.uint8))
+    assert emb2.shape[0] == (th // P // 2) * (tw // P // 2)

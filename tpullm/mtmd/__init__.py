@@ -28,6 +28,10 @@ def load_vision(path):
         from .siglip import JanusVision
 
         return JanusVision(path)
+    if proj == "lfm2":
+        from .siglip import Lfm2Vision
+
+        return Lfm2Vision(path)
     if proj in ("pixtral", "lightonocr"):
         from .pixtral import PixtralVision
 

@@ -100,15 +100,19 @@ class Gemma3Vision:
         P = self.patch_size
         side = self.side
         N = side * side
-        C = self.n_embd
-        hd = C // self.n_head
         x = pixels.reshape(3, side, P, side, P)
         x = x.transpose(1, 3, 0, 2, 4).reshape(N, 3 * P * P)
         x = x @ p["patch_w"].T
         if p["patch_b"] is not None:
             x = x + p["patch_b"]
         x = x + p["pos_embd"][self._pos_ids()]
+        return self._project(p, self._blocks(p, x))
 
+    def _blocks(self, p, x):
+        """Shared pre-norm ViT encoder + post-LN over [N, C] tokens
+        (clip.cpp clip_graph::build_vit)."""
+        N, C = x.shape
+        hd = C // self.n_head
         for lyr in p["layers"]:
             h = layer_norm(x, lyr["ln1_w"], lyr["ln1_b"], self.eps)
 
@@ -138,7 +142,7 @@ class Gemma3Vision:
 
         if p["post_ln_w"] is not None:
             x = layer_norm(x, p["post_ln_w"], p["post_ln_b"], self.eps)
-        return self._project(p, x)
+        return x
 
     def _project(self, p, x):
         # gemma3 projector: avg-pool n_merge×n_merge over the patch grid,
@@ -233,3 +237,105 @@ class JanusVision(Gemma3Vision):
             canvas[oy:oy + nh, ox:ox + nw] = small
             image = canvas
         return super().encode_image(image)
+
+
+class Lfm2Vision(Gemma3Vision):
+    """LFM2-VL: SigLIP2-NaFlex ViT at dynamic resolution — learned position
+    grid bilinear-resized (antialias) per image, pixel-unshuffle by
+    scale_factor, optional input LayerNorm, then a 2-layer GELU MLP
+    (clip.cpp PROJECTOR_TYPE_LFM2 + siglip.cpp resize_position_embeddings
+    branch; HF Lfm2VlMultiModalProjector).  Images are resized
+    aspect-preserving and snapped to patch_size·scale_factor multiples
+    within [min, max] token limits (clip.cpp calc_size_preserved_ratio,
+    set_limit_image_tokens(64, 1024))."""
+
+    def _load_extra(self, tensors, dtype):
+        def maybe(k):
+            return jnp.asarray(tensors[k].to_numpy(), dtype) \
+                if k in tensors else None
+
+        self.params.update({
+            "inp_norm_w": maybe("mm.input_norm.weight"),
+            "inp_norm_b": maybe("mm.input_norm.bias"),
+            "mm1_w": maybe("mm.1.weight"), "mm1_b": maybe("mm.1.bias"),
+            "mm2_w": maybe("mm.2.weight"), "mm2_b": maybe("mm.2.bias"),
+        })
+        md = self.reader.metadata
+        P, f = self.patch_size, self.n_merge
+        self.min_pixels = 64 * P * P * f * f
+        self.max_pixels = int(md.get("clip.vision.preproc_image_max_tokens",
+                                     1024)) * P * P * f * f
+
+    def _forward(self, p, pixels):
+        """pixels [3, H, W] (H, W multiples of patch·merge) → [h/f·w/f, D]."""
+        P = self.patch_size
+        C = self.n_embd
+        _, H, W = pixels.shape
+        h, w = H // P, W // P
+        x = pixels.reshape(3, h, P, w, P)
+        x = x.transpose(1, 3, 0, 2, 4).reshape(h * w, 3 * P * P)
+        x = x @ p["patch_w"].T
+        if p["patch_b"] is not None:
+            x = x + p["patch_b"]
+        nps = int(np.sqrt(p["pos_embd"].shape[0]))
+        pos = p["pos_embd"].reshape(nps, nps, C)
+        if (h, w) != (nps, nps):
+            # F.interpolate(bilinear, antialias=True) ≡ jax.image.resize
+            # with the default antialiasing triangle filter
+            pos = jax.image.resize(pos, (h, w, C), method="bilinear",
+                                   antialias=True)
+        x = x + pos.reshape(h * w, C)
+        x = self._blocks(p, x)
+
+        # pixel unshuffle (HF Lfm2VlMultiModalProjector.pixel_unshuffle,
+        # same algebra as clip.cpp build_patch_merge_permute)
+        f = self.n_merge
+        x = x.reshape(h, w // f, C * f)
+        x = x.transpose(1, 0, 2).reshape(w // f, h // f, C * f * f)
+        x = x.transpose(1, 0, 2).reshape((h // f) * (w // f), C * f * f)
+        if p["inp_norm_w"] is not None:
+            x = layer_norm(x, p["inp_norm_w"], p["inp_norm_b"], 1e-5)
+        x = x @ p["mm1_w"].T
+        if p["mm1_b"] is not None:
+            x = x + p["mm1_b"]
+        x = jax.nn.gelu(x, approximate=False)
+        x = x @ p["mm2_w"].T
+        if p["mm2_b"] is not None:
+            x = x + p["mm2_b"]
+        return x
+
+    def _target_size(self, h, w):
+        """calc_size_preserved_ratio (clip.cpp:2343): snap to
+        patch·merge multiples within [min_pixels, max_pixels]."""
+        a = self.patch_size * self.n_merge
+        rnd = lambda x: max(a, int(round(x / a)) * a)
+        h_bar, w_bar = rnd(h), rnd(w)
+        if h_bar * w_bar > self.max_pixels:
+            beta = np.sqrt(h * w / self.max_pixels)
+            flo = lambda x: max(a, int(np.floor(x / a)) * a)
+            h_bar, w_bar = flo(h / beta), flo(w / beta)
+        elif h_bar * w_bar < self.min_pixels:
+            beta = np.sqrt(self.min_pixels / (h * w))
+            cei = lambda x: int(np.ceil(x / a)) * a
+            h_bar, w_bar = cei(h * beta), cei(w * beta)
+        return h_bar, w_bar
+
+    def encode_image(self, image) -> np.ndarray:
+        if not isinstance(image, np.ndarray):
+            image = np.asarray(image.convert("RGB"))
+        h, w = image.shape[:2]
+        th, tw = self._target_size(h, w)
+        if (h, w) != (th, tw):
+            try:
+                from PIL import Image
+
+                image = np.asarray(Image.fromarray(image.astype(np.uint8))
+                                   .resize((tw, th), Image.BILINEAR))
+            except ImportError:
+                ys = (np.arange(th) * h // th).clip(0, h - 1)
+                xs = (np.arange(tw) * w // tw).clip(0, w - 1)
+                image = image[ys][:, xs]
+        x = image.astype(np.float32) / 255.0
+        x = (x - self.image_mean) / self.image_std
+        px = np.ascontiguousarray(x.transpose(2, 0, 1))
+        return np.asarray(self._encode(self.params, jnp.asarray(px)))

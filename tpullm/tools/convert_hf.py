@@ -816,7 +816,8 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
     model_type = cfg.get("model_type", "llama")
     vl_wrapped = model_type in ("qwen2_vl", "qwen2_5_vl", "mistral3",
                                 "internvl", "llava", "qwen2_audio",
-                                "voxtral", "idefics3", "janus") or (
+                                "voxtral", "idefics3", "janus",
+                                "lfm2_vl", "lfm2-vl") or (
         model_type == "gemma3" and "vision_config" in cfg)
     if model_type == "llava":
         # LLaVA wraps an ordinary llama/mistral/vicuna text model
@@ -829,6 +830,9 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
         # SmolVLM and Janus-Pro wrap a llama text model
         model_type = (cfg.get("text_config") or {}).get("model_type",
                                                         "llama")
+    if model_type in ("lfm2_vl", "lfm2-vl"):  # wraps an lfm2 hybrid text model
+        model_type = (cfg.get("text_config") or {}).get("model_type",
+                                                        "lfm2")
     if model_type == "internvl":
         # the InternVL wrapper's text model is an ordinary qwen2/llama —
         # convert the language model under ITS arch; --mmproj exports the
@@ -1546,7 +1550,7 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
 
 _MMPROJ_VISION_TYPES = ("qwen2_vl", "qwen2_5_vl", "gemma3", "mistral3",
                         "internvl", "llava", "qwen2_audio", "voxtral",
-                        "idefics3", "janus")
+                        "idefics3", "janus", "lfm2_vl", "lfm2-vl")
 
 
 def convert_hf_mmproj(src_dir: str, dst: str, verbose: bool = True) -> dict:
@@ -1574,6 +1578,8 @@ def convert_hf_mmproj(src_dir: str, dst: str, verbose: bool = True) -> dict:
         return _convert_idefics3_mmproj(src_dir, dst, cfg, verbose)
     if model_type == "janus":
         return _convert_janus_mmproj(src_dir, dst, cfg, verbose)
+    if model_type in ("lfm2_vl", "lfm2-vl"):
+        return _convert_lfm2_mmproj(src_dir, dst, cfg, verbose)
     is25 = model_type == "qwen2_5_vl"
     vc = cfg["vision_config"]
     # 2.0: embed_dim is the tower width (hidden_size = LLM dim for the
@@ -2237,6 +2243,107 @@ def _convert_janus_mmproj(src_dir: str, dst: str, cfg: dict,
         idx = int(key.split(".")[2])
         put(f"mm.{idx + 1}.weight", sd[key])
         put_if(f"mm.{idx + 1}.bias", key[:-len("weight")] + "bias")
+    w.write()
+    if verbose:
+        print(f"wrote mmproj {dst} ({n_tensors} tensors)")
+    return {"out": dst, "arch": "clip", "n_tensors": n_tensors}
+
+
+def _convert_lfm2_mmproj(src_dir: str, dst: str, cfg: dict,
+                         verbose: bool) -> dict:
+    """LFM2-VL SigLIP2-NaFlex tower + pixel-unshuffle MLP projector →
+    mmproj GGUF (≡ clip.cpp PROJECTOR_TYPE_LFM2: multi_modal_projector
+    layer_norm → mm.input_norm, linear_1/2 → mm.1/mm.2; the unused
+    attention-pooling head is skipped)."""
+    from ..gguf.writer import GGUFWriter
+
+    vc = cfg["vision_config"]
+    n_embd = int(vc["hidden_size"])
+    # vision_feature_layer == -K drops the last K-1 encoder blocks
+    # (≡ convert_hf_to_gguf.py LFM2VLModel.set_gguf_parameters)
+    drop = -(int(cfg.get("vision_feature_layer", -1)) + 1)
+    n_layer = int(vc["num_hidden_layers"]) - drop
+    patch = int(vc.get("patch_size", 16))
+    # NaFlex: the learned position grid is sqrt(num_patches) per side
+    nps = int(round(float(vc.get("num_patches", 256)) ** 0.5))
+
+    sd = {}
+    for name, arr in _load_tensors(src_dir):
+        for pfx in ("model.vision_tower.vision_model.",
+                    "vision_tower.vision_model.",
+                    "model.multi_modal_projector.",
+                    "multi_modal_projector."):
+            if name.startswith(pfx):
+                key = name[len(pfx):]
+                if pfx.endswith("multi_modal_projector."):
+                    key = "proj." + key
+                if key.startswith("head."):
+                    break  # attention-pooling head unused by LFM2-VL
+                sd[key] = np.asarray(arr, dtype=np.float32)
+                break
+    if not sd:
+        raise ValueError(f"no vision_tower tensors found under {src_dir}")
+
+    w = GGUFWriter(dst, architecture="clip")
+    w.add_kv("clip.projector_type", "lfm2")
+    w.add_kv("clip.has_vision_encoder", True)
+    w.add_kv("clip.vision.image_size", nps * patch)
+    w.add_kv("clip.vision.patch_size", patch)
+    w.add_kv("clip.vision.embedding_length", n_embd)
+    w.add_kv("clip.vision.feed_forward_length", int(vc["intermediate_size"]))
+    w.add_kv("clip.vision.block_count", n_layer)
+    w.add_kv("clip.vision.attention.head_count",
+             int(vc["num_attention_heads"]))
+    w.add_kv("clip.vision.attention.layer_norm_epsilon",
+             float(vc.get("layer_norm_eps", 1e-6)))
+    w.add_kv("clip.vision.projector.scale_factor",
+             int(cfg.get("downsample_factor", 2)))
+    act = str(vc.get("hidden_act", "")).lower()
+    if act == "gelu":
+        w.add_kv("clip.use_gelu", True)
+    elif act == "silu":
+        w.add_kv("clip.use_silu", True)
+    n_tensors = 0
+
+    def put(gname, a):
+        nonlocal n_tensors
+        w.add_tensor(gname, np.ascontiguousarray(a))
+        n_tensors += 1
+
+    def put_if(gname, key):
+        if key in sd:
+            put(gname, sd[key])
+
+    # SigLIP2's patch embedding is a Linear over HWC-flattened (P, P, 3)
+    # patches; repack its columns to the conv/CHW layout the runtime
+    # patchify uses (≡ LFM2VLModel.modify_tensors view+permute)
+    pe = sd["embeddings.patch_embedding.weight"]
+    pe = pe.reshape(n_embd, patch, patch, 3).transpose(0, 3, 1, 2)
+    put("v.patch_embd.weight", pe.reshape(n_embd, -1))
+    put_if("v.patch_embd.bias", "embeddings.patch_embedding.bias")
+    put("v.position_embd.weight", sd["embeddings.position_embedding.weight"])
+    for i in range(n_layer):
+        hp_, gp = f"encoder.layers.{i}.", f"v.blk.{i}."
+        put(gp + "ln1.weight", sd[hp_ + "layer_norm1.weight"])
+        put(gp + "ln1.bias", sd[hp_ + "layer_norm1.bias"])
+        for hf_nm, gg_nm in (("q_proj", "attn_q"), ("k_proj", "attn_k"),
+                             ("v_proj", "attn_v"), ("out_proj", "attn_out")):
+            put(gp + gg_nm + ".weight", sd[hp_ + f"self_attn.{hf_nm}.weight"])
+            put_if(gp + gg_nm + ".bias", hp_ + f"self_attn.{hf_nm}.bias")
+        put(gp + "ln2.weight", sd[hp_ + "layer_norm2.weight"])
+        put(gp + "ln2.bias", sd[hp_ + "layer_norm2.bias"])
+        put(gp + "ffn_up.weight", sd[hp_ + "mlp.fc1.weight"])
+        put_if(gp + "ffn_up.bias", hp_ + "mlp.fc1.bias")
+        put(gp + "ffn_down.weight", sd[hp_ + "mlp.fc2.weight"])
+        put_if(gp + "ffn_down.bias", hp_ + "mlp.fc2.bias")
+    put("v.post_ln.weight", sd["post_layernorm.weight"])
+    put("v.post_ln.bias", sd["post_layernorm.bias"])
+    put("mm.input_norm.weight", sd["proj.layer_norm.weight"])
+    put_if("mm.input_norm.bias", "proj.layer_norm.bias")
+    put("mm.1.weight", sd["proj.linear_1.weight"])
+    put_if("mm.1.bias", "proj.linear_1.bias")
+    put("mm.2.weight", sd["proj.linear_2.weight"])
+    put_if("mm.2.bias", "proj.linear_2.bias")
     w.write()
     if verbose:
         print(f"wrote mmproj {dst} ({n_tensors} tensors)")
