@@ -1483,3 +1483,68 @@ def test_convert_lfm2_vl_text_and_mmproj(tmp_path):
     assert th % (P * 2) == 0 and tw % (P * 2) == 0
     emb2 = tower.encode_image((rng.random((100, 190, 3)) * 255).astype(np.uint8))
     assert emb2.shape[0] == (th // P // 2) * (tw // P // 2)
+
+
+def test_convert_glm4v_text_and_mmproj(tmp_path):
+    """GLM-4V: glm4 text under its own arch (text-only M-RoPE ≡ standard
+    interleaved partial rotary); --mmproj exports the RMS-norm M-RoPE ViT
+    with bicubic-resized positions, conv patch-merger and gated-MLP
+    projector, pinned against HF Glm4vVisionModel at a non-native grid."""
+    from transformers import Glm4vConfig, Glm4vForConditionalGeneration
+
+    torch.manual_seed(76)
+    cfg = Glm4vConfig(
+        text_config=dict(
+            vocab_size=100, hidden_size=48, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=128,
+            rope_theta=10000.0,
+            rope_scaling=dict(rope_type="default", mrope_section=[2, 2, 2])),
+        vision_config=dict(
+            hidden_size=32, depth=2, num_heads=2, intermediate_size=40,
+            out_hidden_size=48, image_size=32, patch_size=4,
+            spatial_merge_size=2, temporal_patch_size=2),
+        image_token_id=99)
+    model = Glm4vForConditionalGeneration(cfg)
+    model.eval()
+    d = tmp_path / "hf_glm4v"
+    model.save_pretrained(d, safe_serialization=True)
+
+    out = str(tmp_path / "glm4v.gguf")
+    stats = convert_hf_to_gguf(str(d), out, outtype="f32", verbose=False)
+    assert stats["arch"] == "glm4"
+    ids = [3, 17, 42, 7, 19]
+    with torch.no_grad():
+        ref = model(input_ids=torch.tensor([ids])).logits[0].numpy()
+    eng = Engine(out, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    got = eng.prefill_all_logits(ids)
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+    from tpullm.mtmd import load_vision
+    from tpullm.mtmd.glm4v import Glm4vVision
+    from tpullm.tools.convert_hf import convert_hf_mmproj
+
+    mm = str(tmp_path / "glm4v.mmproj.gguf")
+    convert_hf_mmproj(str(d), mm, verbose=False)
+    tower = load_vision(mm)
+    assert isinstance(tower, Glm4vVision)
+    # 16×24 image → 4×6 patch grid (≠ native 8×8 → bicubic position resize),
+    # merged 2× → 2×3 = 6 output tokens
+    P, H, W = 4, 16, 24
+    rng = np.random.default_rng(44)
+    px = rng.normal(size=(3, H, W)).astype(np.float32)
+    got_emb = tower.encode_pixels(px)
+    assert got_emb.shape == (6, 48)
+    # HF input: merge-block-ordered patches, still frame duplicated on the
+    # temporal axis, flattened (c, t, py, px)
+    m = 2
+    ph, pw = H // P, W // P
+    x = px.reshape(3, ph // m, m, P, pw // m, m, P)
+    patches = x.transpose(1, 4, 2, 5, 0, 3, 6).reshape(ph * pw, 3, P, P)
+    patches = np.repeat(patches[:, :, None], 2, axis=2).reshape(ph * pw, -1)
+    with torch.no_grad():
+        ref_emb = model.model.visual(
+            torch.from_numpy(patches),
+            grid_thw=torch.tensor([[1, ph, pw]])).numpy()
+    np.testing.assert_allclose(got_emb, ref_emb, rtol=2e-3, atol=2e-3)

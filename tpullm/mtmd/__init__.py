@@ -32,6 +32,10 @@ def load_vision(path):
         from .siglip import Lfm2Vision
 
         return Lfm2Vision(path)
+    if proj == "glm4v":
+        from .glm4v import Glm4vVision
+
+        return Glm4vVision(path)
     if proj in ("pixtral", "lightonocr"):
         from .pixtral import PixtralVision
 

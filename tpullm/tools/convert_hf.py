@@ -817,7 +817,8 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
     vl_wrapped = model_type in ("qwen2_vl", "qwen2_5_vl", "mistral3",
                                 "internvl", "llava", "qwen2_audio",
                                 "voxtral", "idefics3", "janus",
-                                "lfm2_vl", "lfm2-vl") or (
+                                "lfm2_vl", "lfm2-vl",
+                                "glm4v", "glm4v_moe") or (
         model_type == "gemma3" and "vision_config" in cfg)
     if model_type == "llava":
         # LLaVA wraps an ordinary llama/mistral/vicuna text model
@@ -833,6 +834,10 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
     if model_type in ("lfm2_vl", "lfm2-vl"):  # wraps an lfm2 hybrid text model
         model_type = (cfg.get("text_config") or {}).get("model_type",
                                                         "lfm2")
+    if model_type in ("glm4v", "glm4v_moe"):
+        # GLM-4V text is an ordinary glm4 / glm4-moe stack (the reference
+        # converts it under those archs; text-only M-RoPE ≡ standard rope)
+        model_type = "glm4" if model_type == "glm4v" else "glm4_moe"
     if model_type == "internvl":
         # the InternVL wrapper's text model is an ordinary qwen2/llama —
         # convert the language model under ITS arch; --mmproj exports the
@@ -1550,7 +1555,8 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
 
 _MMPROJ_VISION_TYPES = ("qwen2_vl", "qwen2_5_vl", "gemma3", "mistral3",
                         "internvl", "llava", "qwen2_audio", "voxtral",
-                        "idefics3", "janus", "lfm2_vl", "lfm2-vl")
+                        "idefics3", "janus", "lfm2_vl", "lfm2-vl", "glm4v",
+                        "glm4v_moe")
 
 
 def convert_hf_mmproj(src_dir: str, dst: str, verbose: bool = True) -> dict:
@@ -1580,6 +1586,8 @@ def convert_hf_mmproj(src_dir: str, dst: str, verbose: bool = True) -> dict:
         return _convert_janus_mmproj(src_dir, dst, cfg, verbose)
     if model_type in ("lfm2_vl", "lfm2-vl"):
         return _convert_lfm2_mmproj(src_dir, dst, cfg, verbose)
+    if model_type in ("glm4v", "glm4v_moe"):
+        return _convert_glm4v_mmproj(src_dir, dst, cfg, verbose)
     is25 = model_type == "qwen2_5_vl"
     vc = cfg["vision_config"]
     # 2.0: embed_dim is the tower width (hidden_size = LLM dim for the
@@ -2344,6 +2352,100 @@ def _convert_lfm2_mmproj(src_dir: str, dst: str, cfg: dict,
     put_if("mm.1.bias", "proj.linear_1.bias")
     put("mm.2.weight", sd["proj.linear_2.weight"])
     put_if("mm.2.bias", "proj.linear_2.bias")
+    w.write()
+    if verbose:
+        print(f"wrote mmproj {dst} ({n_tensors} tensors)")
+    return {"out": dst, "arch": "clip", "n_tensors": n_tensors}
+
+
+def _convert_glm4v_mmproj(src_dir: str, dst: str, cfg: dict,
+                          verbose: bool) -> dict:
+    """GLM-4V vision tower → mmproj GGUF (≡ clip.cpp PROJECTOR_TYPE_GLM4V /
+    convert_hf_to_gguf.py Glm4VVisionModel): conv3d patch embed split into
+    temporal slices, fused qkv split into q/k/v, downsample conv →
+    mm.patch_merger, merger MLP → mm.model.fc + mm.post_norm +
+    mm.gate/up/down."""
+    from ..gguf.writer import GGUFWriter
+
+    vc = cfg["vision_config"]
+    n_embd = int(vc["hidden_size"])
+    n_layer = int(vc["depth"])
+    patch = int(vc.get("patch_size", 14))
+
+    sd = {}
+    for name, arr in _load_tensors(src_dir):
+        for pfx in ("model.visual.", "visual."):
+            if name.startswith(pfx):
+                sd[name[len(pfx):]] = np.asarray(arr, dtype=np.float32)
+                break
+    if not sd:
+        raise ValueError(f"no visual tensors found under {src_dir}")
+
+    w = GGUFWriter(dst, architecture="clip")
+    w.add_kv("clip.projector_type", "glm4v")
+    w.add_kv("clip.has_vision_encoder", True)
+    w.add_kv("clip.vision.image_size", int(vc.get("image_size", 336)))
+    w.add_kv("clip.vision.patch_size", patch)
+    w.add_kv("clip.vision.embedding_length", n_embd)
+    w.add_kv("clip.vision.feed_forward_length",
+             int(vc.get("intermediate_size", 4 * n_embd)))
+    w.add_kv("clip.vision.block_count", n_layer)
+    w.add_kv("clip.vision.attention.head_count", int(vc["num_heads"]))
+    w.add_kv("clip.vision.attention.layer_norm_epsilon",
+             float(vc.get("rms_norm_eps", 1e-5)))
+    w.add_kv("clip.vision.spatial_merge_size",
+             int(vc.get("spatial_merge_size", 2)))
+    act = str(vc.get("hidden_act", "")).lower()
+    if act == "gelu":
+        w.add_kv("clip.use_gelu", True)
+    elif act == "silu":
+        w.add_kv("clip.use_silu", True)
+    n_tensors = 0
+
+    def put(gname, a):
+        nonlocal n_tensors
+        w.add_tensor(gname, np.ascontiguousarray(a))
+        n_tensors += 1
+
+    def put_if(gname, key):
+        if key in sd:
+            put(gname, sd[key])
+
+    # conv3d [C, 3, T, P, P]: one gguf tensor per temporal slice
+    pe = sd["patch_embed.proj.weight"]
+    put("v.patch_embd.weight", pe[:, :, 0].reshape(n_embd, -1))
+    if pe.shape[2] > 1:
+        put("v.patch_embd.weight.1", pe[:, :, 1].reshape(n_embd, -1))
+    put_if("v.patch_embd.bias", "patch_embed.proj.bias")
+    put("v.norm_embd.weight", sd["post_conv_layernorm.weight"])
+    put("v.position_embd.weight", sd["embeddings.position_embedding.weight"])
+    for i in range(n_layer):
+        hp_, gp = f"blocks.{i}.", f"v.blk.{i}."
+        put(gp + "ln1.weight", sd[hp_ + "norm1.weight"])
+        put(gp + "ln2.weight", sd[hp_ + "norm2.weight"])
+        qkv = sd[hp_ + "attn.qkv.weight"]
+        for j, nm in enumerate(("attn_q", "attn_k", "attn_v")):
+            put(gp + nm + ".weight", qkv[j * n_embd:(j + 1) * n_embd])
+        if hp_ + "attn.qkv.bias" in sd:
+            qb = sd[hp_ + "attn.qkv.bias"]
+            for j, nm in enumerate(("attn_q", "attn_k", "attn_v")):
+                put(gp + nm + ".bias", qb[j * n_embd:(j + 1) * n_embd])
+        put(gp + "attn_out.weight", sd[hp_ + "attn.proj.weight"])
+        put(gp + "ffn_gate.weight", sd[hp_ + "mlp.gate_proj.weight"])
+        put(gp + "ffn_up.weight", sd[hp_ + "mlp.up_proj.weight"])
+        put(gp + "ffn_down.weight", sd[hp_ + "mlp.down_proj.weight"])
+    put("v.post_ln.weight", sd["post_layernorm.weight"])
+    put("mm.patch_merger.weight", sd["downsample.weight"])
+    put_if("mm.patch_merger.bias", "downsample.bias")
+    put("mm.model.fc.weight", sd["merger.proj.weight"])
+    put("mm.post_norm.weight", sd["merger.post_projection_norm.weight"])
+    put_if("mm.post_norm.bias", "merger.post_projection_norm.bias")
+    put("mm.gate.weight", sd["merger.gate_proj.weight"])
+    put_if("mm.gate.bias", "merger.gate_proj.bias")
+    put("mm.up.weight", sd["merger.up_proj.weight"])
+    put_if("mm.up.bias", "merger.up_proj.bias")
+    put("mm.down.weight", sd["merger.down_proj.weight"])
+    put_if("mm.down.bias", "merger.down_proj.bias")
     w.write()
     if verbose:
         print(f"wrote mmproj {dst} ({n_tensors} tensors)")
