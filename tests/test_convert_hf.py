@@ -1548,3 +1548,59 @@ def test_convert_glm4v_text_and_mmproj(tmp_path):
             torch.from_numpy(patches),
             grid_thw=torch.tensor([[1, ph, pw]])).numpy()
     np.testing.assert_allclose(got_emb, ref_emb, rtol=2e-3, atol=2e-3)
+
+
+def test_convert_llama4_vl_text_and_mmproj(tmp_path):
+    """Llama-4 multimodal: MoE text under the llama4 arch; --mmproj exports
+    the CLS-tailed 2-D-rope ViT + pixel shuffle + double-GELU adapter +
+    projector, pinned against HF Llama4VisionModel + multi_modal_projector."""
+    from transformers import Llama4Config, Llama4ForConditionalGeneration
+
+    torch.manual_seed(77)
+    cfg = Llama4Config(
+        text_config=dict(
+            vocab_size=96, hidden_size=64, intermediate_size=32,
+            intermediate_size_mlp=128, num_hidden_layers=4,
+            num_attention_heads=4, num_key_value_heads=2,
+            num_local_experts=2, num_experts_per_tok=1,
+            interleave_moe_layer_step=2, attention_chunk_size=8,
+            head_dim=16, max_position_embeddings=128, rope_theta=10000.0,
+            pad_token_id=0, bos_token_id=1, eos_token_id=2),
+        vision_config=dict(
+            hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+            intermediate_size=128, image_size=16, patch_size=4,
+            pixel_shuffle_ratio=0.5, projector_input_dim=48,
+            projector_output_dim=48, vision_output_dim=48),
+        image_token_id=95)
+    model = Llama4ForConditionalGeneration(cfg)
+    model.eval()
+    d = tmp_path / "hf_llama4vl"
+    model.save_pretrained(d, safe_serialization=True)
+
+    out = str(tmp_path / "llama4vl.gguf")
+    stats = convert_hf_to_gguf(str(d), out, outtype="f32", verbose=False)
+    assert stats["arch"] == "llama4"
+    ids = [3, 17, 42, 7, 19]
+    with torch.no_grad():
+        ref = model(input_ids=torch.tensor([ids])).logits[0].numpy()
+    eng = Engine(out, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    got = eng.prefill_all_logits(ids)
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+    from tpullm.mtmd import load_vision
+    from tpullm.mtmd.llama4 import Llama4Vision
+    from tpullm.tools.convert_hf import convert_hf_mmproj
+
+    mm = str(tmp_path / "llama4vl.mmproj.gguf")
+    convert_hf_mmproj(str(d), mm, verbose=False)
+    tower = load_vision(mm)
+    assert isinstance(tower, Llama4Vision)
+    px = np.random.default_rng(45).normal(size=(3, 16, 16)).astype(np.float32)
+    got_emb = np.asarray(tower._encode(tower.params, jnp.asarray(px)))
+    assert got_emb.shape == (4, 64)  # 4×4 patches → shuffle 2× → 4 tokens
+    with torch.no_grad():
+        vt = getattr(model, "model", model)
+        hs = vt.vision_model(torch.from_numpy(px[None])).last_hidden_state
+        ref_emb = vt.multi_modal_projector(hs)[0].numpy()
+    np.testing.assert_allclose(got_emb, ref_emb, rtol=2e-3, atol=2e-3)

@@ -36,6 +36,10 @@ def load_vision(path):
         from .glm4v import Glm4vVision
 
         return Glm4vVision(path)
+    if proj == "llama4":
+        from .llama4 import Llama4Vision
+
+        return Llama4Vision(path)
     if proj in ("pixtral", "lightonocr"):
         from .pixtral import PixtralVision
 

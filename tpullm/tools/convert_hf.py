@@ -819,7 +819,7 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
                                 "voxtral", "idefics3", "janus",
                                 "lfm2_vl", "lfm2-vl",
                                 "glm4v", "glm4v_moe") or (
-        model_type == "gemma3" and "vision_config" in cfg)
+        model_type in ("gemma3", "llama4") and "vision_config" in cfg)
     if model_type == "llava":
         # LLaVA wraps an ordinary llama/mistral/vicuna text model
         model_type = (cfg.get("text_config") or {}).get("model_type",
@@ -1556,7 +1556,7 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
 _MMPROJ_VISION_TYPES = ("qwen2_vl", "qwen2_5_vl", "gemma3", "mistral3",
                         "internvl", "llava", "qwen2_audio", "voxtral",
                         "idefics3", "janus", "lfm2_vl", "lfm2-vl", "glm4v",
-                        "glm4v_moe")
+                        "glm4v_moe", "llama4")
 
 
 def convert_hf_mmproj(src_dir: str, dst: str, verbose: bool = True) -> dict:
@@ -1588,6 +1588,8 @@ def convert_hf_mmproj(src_dir: str, dst: str, verbose: bool = True) -> dict:
         return _convert_lfm2_mmproj(src_dir, dst, cfg, verbose)
     if model_type in ("glm4v", "glm4v_moe"):
         return _convert_glm4v_mmproj(src_dir, dst, cfg, verbose)
+    if model_type == "llama4":
+        return _convert_llama4_mmproj(src_dir, dst, cfg, verbose)
     is25 = model_type == "qwen2_5_vl"
     vc = cfg["vision_config"]
     # 2.0: embed_dim is the tower width (hidden_size = LLM dim for the
@@ -2446,6 +2448,90 @@ def _convert_glm4v_mmproj(src_dir: str, dst: str, cfg: dict,
     put_if("mm.up.bias", "merger.up_proj.bias")
     put("mm.down.weight", sd["merger.down_proj.weight"])
     put_if("mm.down.bias", "merger.down_proj.bias")
+    w.write()
+    if verbose:
+        print(f"wrote mmproj {dst} ({n_tensors} tensors)")
+    return {"out": dst, "arch": "clip", "n_tensors": n_tensors}
+
+
+def _convert_llama4_mmproj(src_dir: str, dst: str, cfg: dict,
+                           verbose: bool) -> dict:
+    """Llama-4 vision tower → mmproj GGUF (≡ clip.cpp PROJECTOR_TYPE_LLAMA4 /
+    convert_hf_to_gguf.py Llama4VisionModel): unfold-conv patch linear,
+    trailing CLS, adapter MLP → mm.model.mlp.1/2, multi_modal_projector
+    linear_1 → mm.model.fc."""
+    from ..gguf.writer import GGUFWriter
+
+    vc = cfg["vision_config"]
+    n_embd = int(vc["hidden_size"])
+    n_layer = int(vc["num_hidden_layers"])
+
+    sd = {}
+    for name, arr in _load_tensors(src_dir):
+        for pfx in ("model.vision_model.", "vision_model.",
+                    "model.multi_modal_projector.", "multi_modal_projector."):
+            if name.startswith(pfx):
+                key = name[len(pfx):]
+                if pfx.endswith("multi_modal_projector."):
+                    key = "proj." + key
+                sd[key] = np.asarray(arr, dtype=np.float32)
+                break
+    if not sd:
+        raise ValueError(f"no vision_model tensors found under {src_dir}")
+
+    w = GGUFWriter(dst, architecture="clip")
+    w.add_kv("clip.projector_type", "llama4")
+    w.add_kv("clip.has_vision_encoder", True)
+    w.add_kv("clip.vision.image_size", int(vc.get("image_size", 336)))
+    w.add_kv("clip.vision.patch_size", int(vc.get("patch_size", 14)))
+    w.add_kv("clip.vision.embedding_length", n_embd)
+    w.add_kv("clip.vision.feed_forward_length",
+             int(vc.get("intermediate_size", 4 * n_embd)))
+    w.add_kv("clip.vision.block_count", n_layer)
+    w.add_kv("clip.vision.attention.head_count",
+             int(vc["num_attention_heads"]))
+    w.add_kv("clip.vision.attention.layer_norm_epsilon",
+             float(vc.get("norm_eps", 1e-5)))
+    w.add_kv("clip.vision.projector.scale_factor",
+             int(round(1.0 / float(vc.get("pixel_shuffle_ratio", 0.5)))))
+    w.add_kv("clip.use_gelu", True)
+    n_tensors = 0
+
+    def put(gname, a):
+        nonlocal n_tensors
+        w.add_tensor(gname, np.ascontiguousarray(a))
+        n_tensors += 1
+
+    def put_if(gname, key):
+        if key in sd:
+            put(gname, sd[key])
+
+    # unfold-conv = Linear over CHW-flattened patches — layout matches
+    put("v.patch_embd.weight", sd["patch_embedding.linear.weight"])
+    put_if("v.patch_embd.bias", "patch_embedding.linear.bias")
+    put("v.class_embd", sd["class_embedding"])
+    put("v.position_embd.weight", sd["positional_embedding_vlm"])
+    put("v.pre_ln.weight", sd["layernorm_pre.weight"])
+    put_if("v.pre_ln.bias", "layernorm_pre.bias")
+    for i in range(n_layer):
+        hp_, gp = f"model.layers.{i}.", f"v.blk.{i}."
+        put(gp + "ln1.weight", sd[hp_ + "input_layernorm.weight"])
+        put_if(gp + "ln1.bias", hp_ + "input_layernorm.bias")
+        for hf_nm, gg_nm in (("q_proj", "attn_q"), ("k_proj", "attn_k"),
+                             ("v_proj", "attn_v"), ("o_proj", "attn_out")):
+            put(gp + gg_nm + ".weight", sd[hp_ + f"self_attn.{hf_nm}.weight"])
+            put_if(gp + gg_nm + ".bias", hp_ + f"self_attn.{hf_nm}.bias")
+        put(gp + "ln2.weight", sd[hp_ + "post_attention_layernorm.weight"])
+        put_if(gp + "ln2.bias", hp_ + "post_attention_layernorm.bias")
+        put(gp + "ffn_up.weight", sd[hp_ + "mlp.fc1.weight"])
+        put_if(gp + "ffn_up.bias", hp_ + "mlp.fc1.bias")
+        put(gp + "ffn_down.weight", sd[hp_ + "mlp.fc2.weight"])
+        put_if(gp + "ffn_down.bias", hp_ + "mlp.fc2.bias")
+    put("v.post_ln.weight", sd["layernorm_post.weight"])
+    put_if("v.post_ln.bias", "layernorm_post.bias")
+    put("mm.model.mlp.1.weight", sd["vision_adapter.mlp.fc1.weight"])
+    put("mm.model.mlp.2.weight", sd["vision_adapter.mlp.fc2.weight"])
+    put("mm.model.fc.weight", sd["proj.linear_1.weight"])
     w.write()
     if verbose:
         print(f"wrote mmproj {dst} ({n_tensors} tensors)")
