@@ -1604,3 +1604,69 @@ def test_convert_llama4_vl_text_and_mmproj(tmp_path):
         hs = vt.vision_model(torch.from_numpy(px[None])).last_hidden_state
         ref_emb = vt.multi_modal_projector(hs)[0].numpy()
     np.testing.assert_allclose(got_emb, ref_emb, rtol=2e-3, atol=2e-3)
+
+
+def test_convert_qwen3vl_text_and_mmproj(tmp_path):
+    """Qwen3-VL: qwen3vl text arch (qwen3 graph + m-rope sections kv);
+    --mmproj exports the deepstack ViT — align-corners bilinear position
+    interpolation, fused-qkv M-RoPE blocks, per-layer deepstack mergers and
+    the main merger — pinned against HF Qwen3VLVisionModel (output =
+    main ‖ deepstack features)."""
+    from transformers import Qwen3VLConfig, Qwen3VLForConditionalGeneration
+
+    torch.manual_seed(78)
+    cfg = Qwen3VLConfig(
+        text_config=dict(
+            vocab_size=100, hidden_size=48, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=16,
+            max_position_embeddings=128, rope_theta=10000.0,
+            rope_scaling=dict(rope_type="default", mrope_section=[4, 2, 2])),
+        vision_config=dict(
+            hidden_size=32, depth=3, num_heads=2, intermediate_size=40,
+            out_hidden_size=48, patch_size=4, spatial_merge_size=2,
+            temporal_patch_size=2, num_position_embeddings=16,
+            deepstack_visual_indexes=[0, 1]),
+        image_token_id=99)
+    model = Qwen3VLForConditionalGeneration(cfg)
+    model.eval()
+    d = tmp_path / "hf_qwen3vl"
+    model.save_pretrained(d, safe_serialization=True)
+
+    out = str(tmp_path / "qwen3vl.gguf")
+    stats = convert_hf_to_gguf(str(d), out, outtype="f32", verbose=False)
+    assert stats["arch"] == "qwen3vl"
+    ids = [3, 17, 42, 7, 19]
+    with torch.no_grad():
+        ref = model(input_ids=torch.tensor([ids])).logits[0].numpy()
+    eng = Engine(out, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    got = eng.prefill_all_logits(ids)
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+    from tpullm.mtmd import load_vision
+    from tpullm.mtmd.qwen_vl import Qwen3VLVision
+    from tpullm.tools.convert_hf import convert_hf_mmproj
+
+    mm = str(tmp_path / "qwen3vl.mmproj.gguf")
+    convert_hf_mmproj(str(d), mm, verbose=False)
+    tower = load_vision(mm)
+    assert isinstance(tower, Qwen3VLVision)
+    # 16×24 → 4×6 patches (pw=6 ≠ grid side 4 → interpolated positions);
+    # merged 2× → 6 tokens; out dim 48·(1+2 deepstack) = 144
+    P, H, W = 4, 16, 24
+    rng = np.random.default_rng(46)
+    px = rng.normal(size=(3, H, W)).astype(np.float32)
+    got_emb = tower.encode_pixels(px)
+    assert got_emb.shape == (6, 144)
+    m = 2
+    ph, pw = H // P, W // P
+    x = px.reshape(3, ph // m, m, P, pw // m, m, P)
+    patches = x.transpose(1, 4, 2, 5, 0, 3, 6).reshape(ph * pw, 3, P, P)
+    patches = np.repeat(patches[:, :, None], 2, axis=2).reshape(ph * pw, -1)
+    with torch.no_grad():
+        vt = getattr(model, "model", model)
+        main, ds = vt.visual(torch.from_numpy(patches),
+                             grid_thw=torch.tensor([[1, ph, pw]]))
+        ref_emb = torch.cat([main] + list(ds), dim=-1).numpy()
+    np.testing.assert_allclose(got_emb, ref_emb, rtol=2e-3, atol=2e-3)

@@ -18,6 +18,10 @@ def load_vision(path):
     proj = GGUFReader(path).metadata.get("clip.projector_type", "mlp")
     if proj in ("qwen2vl_merger", "qwen2.5vl_merger"):
         return Qwen2VLVision(path)
+    if proj == "qwen3vl_merger":
+        from .qwen_vl import Qwen3VLVision
+
+        return Qwen3VLVision(path)
     if proj == "gemma3":
         return Gemma3Vision(path)
     if proj == "idefics3":

@@ -276,3 +276,216 @@ class Qwen2VLVision:
         out = self._forward(jnp.asarray(patches), jnp.asarray(rows),
                             jnp.asarray(cols), jnp.asarray(zeros))
         return np.asarray(out)
+
+
+def _linear_ac_weights(dst: int, src: int) -> np.ndarray:
+    """Align-corners bilinear interpolation matrix [dst, src]
+    (≡ Qwen3VLVisionModel.fast_pos_embed_interpolate linspace(0, src-1, dst)
+    with floor/ceil gathers)."""
+    W = np.zeros((dst, src), np.float32)
+    xs = np.linspace(0.0, src - 1.0, dst) if dst > 1 else np.zeros(1)
+    for i, x in enumerate(xs):
+        x0 = int(x)  # trunc, matches .int()
+        x1 = min(x0 + 1, src - 1)
+        t = x - x0
+        W[i, x0] += 1.0 - t
+        W[i, x1] += t
+    return W
+
+
+class Qwen3VLVision:
+    """Qwen3-VL tower (proj_type "qwen3vl_merger", models/qwen3vl.cpp):
+    LayerNorm ViT with fused-qkv M-RoPE attention, align-corners bilinear
+    position interpolation, deepstack mergers tapping intermediate layers
+    (clip.vision.is_deepstack_layers) and a LayerNorm + 2-layer GELU main
+    merger; the output concatenates the main path with every deepstack
+    feature along the embedding dim (out_dim × (1 + n_deepstack))."""
+
+    def __init__(self, path, dtype=jnp.float32):
+        r = GGUFReader(path)
+        self.reader = r
+        md = r.metadata
+        g = lambda k, d=None: md.get(f"clip.vision.{k}", d)
+        self.patch_size = int(g("patch_size", 16))
+        self.n_embd = int(g("embedding_length", 1152))
+        self.n_layer = int(g("block_count", 27))
+        self.n_head = int(g("attention.head_count", 16))
+        self.eps = float(g("attention.layer_norm_epsilon", 1e-6))
+        self.merge = int(g("spatial_merge_size", 2))
+        self.ds_layers = [bool(b) for b in g("is_deepstack_layers",
+                                             [False] * self.n_layer)]
+        mp2 = (self.merge * self.patch_size) ** 2
+        self.min_pixels = int(g("image_min_pixels", 8 * mp2))
+        self.max_pixels = int(g("image_max_pixels", 4096 * mp2))
+        self.image_mean = np.asarray(g("image_mean", [0.5, 0.5, 0.5]), np.float32)
+        self.image_std = np.asarray(g("image_std", [0.5, 0.5, 0.5]), np.float32)
+
+        t = r.tensors
+
+        def arr(name, d=dtype):
+            return jnp.asarray(t[name].to_numpy(), dtype=d)
+
+        def maybe(name, d=dtype):
+            return arr(name, d) if name in t else None
+
+        P = self.patch_size
+        w0 = arr("v.patch_embd.weight").reshape(self.n_embd, 3 * P * P)
+        w1 = maybe("v.patch_embd.weight.1")
+        if w1 is not None:
+            w0 = w0 + w1.reshape(self.n_embd, 3 * P * P)
+        self.params = {
+            "patch_w": w0,
+            "patch_b": maybe("v.patch_embd.bias"),
+            "pos_embd": arr("v.position_embd.weight"),
+            "post_ln_w": arr("v.post_ln.weight"),
+            "post_ln_b": maybe("v.post_ln.bias"),
+            "mm0_w": arr("mm.0.weight"), "mm0_b": maybe("mm.0.bias"),
+            "mm1_w": arr("mm.1.weight"), "mm1_b": maybe("mm.1.bias"),
+            "layers": [],
+            "deepstack": {},
+        }
+        for i in range(self.n_layer):
+            p = f"v.blk.{i}."
+            self.params["layers"].append({
+                "ln1_w": arr(p + "ln1.weight"), "ln1_b": maybe(p + "ln1.bias"),
+                "wq": arr(p + "attn_q.weight"), "bq": maybe(p + "attn_q.bias"),
+                "wk": arr(p + "attn_k.weight"), "bk": maybe(p + "attn_k.bias"),
+                "wv": arr(p + "attn_v.weight"), "bv": maybe(p + "attn_v.bias"),
+                "wo": arr(p + "attn_out.weight"), "bo": maybe(p + "attn_out.bias"),
+                "ln2_w": arr(p + "ln2.weight"), "ln2_b": maybe(p + "ln2.bias"),
+                "up_w": arr(p + "ffn_up.weight"), "up_b": maybe(p + "ffn_up.bias"),
+                "down_w": arr(p + "ffn_down.weight"),
+                "down_b": maybe(p + "ffn_down.bias"),
+            })
+            if self.ds_layers[i]:
+                d = f"v.deepstack.{i}."
+                self.params["deepstack"][i] = {
+                    "norm_w": arr(d + "norm.weight"),
+                    "norm_b": maybe(d + "norm.bias"),
+                    "fc1_w": arr(d + "fc1.weight"),
+                    "fc1_b": maybe(d + "fc1.bias"),
+                    "fc2_w": arr(d + "fc2.weight"),
+                    "fc2_b": maybe(d + "fc2.bias"),
+                }
+        self._jit_fwd = jax.jit(self._forward_impl)
+
+    def _forward_impl(self, p, patches, rows, cols, wh, ww):
+        N = patches.shape[0]
+        C = self.n_embd
+        hd = C // self.n_head
+        m2 = self.merge * self.merge
+        x = patches @ p["patch_w"].T
+        if p["patch_b"] is not None:
+            x = x + p["patch_b"]
+        nside = int(round(float(p["pos_embd"].shape[0]) ** 0.5))
+        pos = jnp.einsum("hp,pqc,wq->hwc", wh,
+                         p["pos_embd"].reshape(nside, nside, C), ww)
+        x = x + pos[rows, cols]
+
+        quarter = hd // 4
+        inv = 1.0 / (10000.0 ** (np.arange(quarter) / quarter))
+        inv = jnp.asarray(inv, jnp.float32)
+        ang = jnp.concatenate([
+            rows[:, None].astype(jnp.float32) * inv[None, :],
+            cols[:, None].astype(jnp.float32) * inv[None, :],
+        ], axis=1)
+        cos = jnp.cos(jnp.concatenate([ang, ang], axis=1))
+        sin = jnp.sin(jnp.concatenate([ang, ang], axis=1))
+
+        def rope(v):
+            h1, h2 = v[..., : hd // 2], v[..., hd // 2:]
+            rot = jnp.concatenate([-h2, h1], axis=-1)
+            return v * cos[:, None, :] + rot * sin[:, None, :]
+
+        ds_feats = []
+        for li, lyr in enumerate(p["layers"]):
+            h = layer_norm(x, lyr["ln1_w"], lyr["ln1_b"], self.eps)
+
+            def proj(w, b):
+                y = h @ lyr[w].T
+                if lyr[b] is not None:
+                    y = y + lyr[b]
+                return y.reshape(N, self.n_head, hd)
+
+            q = rope(proj("wq", "bq"))
+            k = rope(proj("wk", "bk"))
+            v = proj("wv", "bv")
+            scores = jnp.einsum("thd,shd->hts", q, k) * (hd ** -0.5)
+            probs = jax.nn.softmax(scores, axis=-1)
+            attn = jnp.einsum("hts,shd->thd", probs, v).reshape(N, C)
+            attn = attn @ lyr["wo"].T
+            if lyr["bo"] is not None:
+                attn = attn + lyr["bo"]
+            x = x + attn
+
+            h = layer_norm(x, lyr["ln2_w"], lyr["ln2_b"], self.eps)
+            up = h @ lyr["up_w"].T
+            if lyr["up_b"] is not None:
+                up = up + lyr["up_b"]
+            down = jax.nn.gelu(up, approximate=True) @ lyr["down_w"].T
+            if lyr["down_b"] is not None:
+                down = down + lyr["down_b"]
+            x = x + down
+
+            if li in p["deepstack"]:
+                ds = p["deepstack"][li]
+                f = x.reshape(N // m2, C * m2)  # post-shuffle norm
+                f = layer_norm(f, ds["norm_w"], ds["norm_b"], 1e-6)
+                f = f @ ds["fc1_w"].T
+                if ds["fc1_b"] is not None:
+                    f = f + ds["fc1_b"]
+                f = jax.nn.gelu(f, approximate=False)
+                f = f @ ds["fc2_w"].T
+                if ds["fc2_b"] is not None:
+                    f = f + ds["fc2_b"]
+                ds_feats.append(f)
+
+        # main merger: LayerNorm on C, group m², 2-layer GELU MLP
+        y = layer_norm(x, p["post_ln_w"], p["post_ln_b"], 1e-6)
+        y = y.reshape(N // m2, C * m2)
+        y = y @ p["mm0_w"].T
+        if p["mm0_b"] is not None:
+            y = y + p["mm0_b"]
+        y = jax.nn.gelu(y, approximate=False)
+        y = y @ p["mm1_w"].T
+        if p["mm1_b"] is not None:
+            y = y + p["mm1_b"]
+        # concat main + deepstack features (clip.cpp qwen3vl graph tail)
+        return jnp.concatenate([y] + ds_feats, axis=-1)
+
+    def encode_pixels(self, pixels: np.ndarray) -> np.ndarray:
+        P, m = self.patch_size, self.merge
+        _, H, W = pixels.shape
+        ph, pw = H // P, W // P
+        x = pixels.reshape(3, ph // m, m, P, pw // m, m, P)
+        patches = x.transpose(1, 4, 2, 5, 0, 3, 6).reshape(ph * pw, 3 * P * P)
+        yy = np.arange(ph).reshape(ph // m, m, 1, 1)
+        xx = np.arange(pw).reshape(1, 1, pw // m, m)
+        rows = np.broadcast_to(yy.transpose(0, 2, 1, 3),
+                               (ph // m, pw // m, m, m)).reshape(-1)
+        cols = np.broadcast_to(xx.transpose(0, 2, 1, 3),
+                               (ph // m, pw // m, m, m)).reshape(-1)
+        nside = int(round(float(self.params["pos_embd"].shape[0]) ** 0.5))
+        wh = jnp.asarray(_linear_ac_weights(ph, nside))
+        ww = jnp.asarray(_linear_ac_weights(pw, nside))
+        out = self._jit_fwd(self.params, jnp.asarray(patches),
+                            jnp.asarray(rows), jnp.asarray(cols), wh, ww)
+        return np.asarray(out)
+
+    def encode_image(self, image) -> np.ndarray:
+        if not isinstance(image, np.ndarray):
+            image = np.asarray(image.convert("RGB"))
+        h, w = image.shape[:2]
+        th, tw = smart_resize(h, w, self.patch_size * self.merge,
+                              self.min_pixels, self.max_pixels)
+        try:
+            from PIL import Image
+
+            image = np.asarray(Image.fromarray(image.astype(np.uint8))
+                               .resize((tw, th), Image.BICUBIC))
+        except ImportError:
+            ys = (np.arange(th) * h // th).clip(0, h - 1)
+            xs = (np.arange(tw) * w // tw).clip(0, w - 1)
+            image = image[ys][:, xs]
+        px = (image.astype(np.float32) / 255.0 - self.image_mean) / self.image_std
+        return self.encode_pixels(np.ascontiguousarray(px.transpose(2, 0, 1)))

@@ -70,6 +70,8 @@ ARCH_MAP = {
     "ernie4_5_moe": "ernie4_5-moe",
     "qwen2_vl": "qwen2vl",  # text stack; --mmproj exports the vision tower
     "qwen2_5_vl": "qwen2vl",
+    "qwen3_vl": "qwen3vl",
+    "qwen3_vl_moe": "qwen3vlmoe",
     "mistral3": "mistral3",  # Mistral-Small-3.1: mistral text + pixtral vision
     "hunyuan_v1_dense": "hunyuan-dense",
     "hunyuan_v1_moe": "hunyuan-moe",
@@ -815,6 +817,7 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
     cfg = json.load(open(os.path.join(src_dir, "config.json")))
     model_type = cfg.get("model_type", "llama")
     vl_wrapped = model_type in ("qwen2_vl", "qwen2_5_vl", "mistral3",
+                                "qwen3_vl", "qwen3_vl_moe",
                                 "internvl", "llava", "qwen2_audio",
                                 "voxtral", "idefics3", "janus",
                                 "lfm2_vl", "lfm2-vl",
@@ -1201,12 +1204,16 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
                  int(cfg.get("num_experts_per_tok", 2)))
         # GraniteMoeHybridTopKGating: softmax over the top-k logits
         w.add_kv(f"{arch}.expert_weights_norm", True)
-    if arch == "qwen2vl":
+    if arch in ("qwen2vl", "qwen3vl", "qwen3vlmoe"):
         rs = cfg.get("rope_scaling") or {}
         sec = rs.get("mrope_section")
         if sec:
             w.add_kv(f"{arch}.rope.dimension_sections",
                      np.asarray(list(sec) + [0], dtype=np.int32))
+        nds = len((cfg.get("vision_config") or {})
+                  .get("deepstack_visual_indexes", []))
+        if nds:
+            w.add_kv(f"{arch}.n_deepstack_layers", nds)
     if arch == "hunyuan-moe":
         # ≡ HunYuanMoEV1: renormalized top-k softmax + always-on shared mlp
         w.add_kv(f"{arch}.expert_count", int(cfg["num_experts"]))
@@ -1556,7 +1563,7 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
 _MMPROJ_VISION_TYPES = ("qwen2_vl", "qwen2_5_vl", "gemma3", "mistral3",
                         "internvl", "llava", "qwen2_audio", "voxtral",
                         "idefics3", "janus", "lfm2_vl", "lfm2-vl", "glm4v",
-                        "glm4v_moe", "llama4")
+                        "glm4v_moe", "llama4", "qwen3_vl", "qwen3_vl_moe")
 
 
 def convert_hf_mmproj(src_dir: str, dst: str, verbose: bool = True) -> dict:
@@ -1590,6 +1597,8 @@ def convert_hf_mmproj(src_dir: str, dst: str, verbose: bool = True) -> dict:
         return _convert_glm4v_mmproj(src_dir, dst, cfg, verbose)
     if model_type == "llama4":
         return _convert_llama4_mmproj(src_dir, dst, cfg, verbose)
+    if model_type in ("qwen3_vl", "qwen3_vl_moe"):
+        return _convert_qwen3vl_mmproj(src_dir, dst, cfg, verbose)
     is25 = model_type == "qwen2_5_vl"
     vc = cfg["vision_config"]
     # 2.0: embed_dim is the tower width (hidden_size = LLM dim for the
@@ -2532,6 +2541,105 @@ def _convert_llama4_mmproj(src_dir: str, dst: str, cfg: dict,
     put("mm.model.mlp.1.weight", sd["vision_adapter.mlp.fc1.weight"])
     put("mm.model.mlp.2.weight", sd["vision_adapter.mlp.fc2.weight"])
     put("mm.model.fc.weight", sd["proj.linear_1.weight"])
+    w.write()
+    if verbose:
+        print(f"wrote mmproj {dst} ({n_tensors} tensors)")
+    return {"out": dst, "arch": "clip", "n_tensors": n_tensors}
+
+
+def _convert_qwen3vl_mmproj(src_dir: str, dst: str, cfg: dict,
+                            verbose: bool) -> dict:
+    """Qwen3-VL vision tower → mmproj GGUF (≡ clip.cpp
+    PROJECTOR_TYPE_QWEN3VL / convert_hf_to_gguf.py Qwen3VLVisionModel):
+    conv3d patch embed split into temporal slices, fused qkv split,
+    deepstack mergers at clip.vision.is_deepstack_layers, main merger →
+    v.post_ln + mm.0/mm.1."""
+    from ..gguf.writer import GGUFWriter
+
+    vc = cfg["vision_config"]
+    n_embd = int(vc["hidden_size"])
+    n_layer = int(vc["depth"])
+    patch = int(vc.get("patch_size", 16))
+    ds_idx = [int(i) for i in vc.get("deepstack_visual_indexes", [])]
+
+    sd = {}
+    for name, arr in _load_tensors(src_dir):
+        for pfx in ("model.visual.", "visual."):
+            if name.startswith(pfx):
+                sd[name[len(pfx):]] = np.asarray(arr, dtype=np.float32)
+                break
+    if not sd:
+        raise ValueError(f"no visual tensors found under {src_dir}")
+
+    w = GGUFWriter(dst, architecture="clip")
+    w.add_kv("clip.projector_type", "qwen3vl_merger")
+    w.add_kv("clip.has_vision_encoder", True)
+    # NaFlex-style: image_size is nominal; the position grid is
+    # num_position_embeddings per side
+    npos = int(vc.get("num_position_embeddings", 2304))
+    nside = int(round(npos ** 0.5))
+    w.add_kv("clip.vision.image_size", nside * patch)
+    w.add_kv("clip.vision.patch_size", patch)
+    w.add_kv("clip.vision.embedding_length", n_embd)
+    w.add_kv("clip.vision.feed_forward_length",
+             int(vc.get("intermediate_size", 4 * n_embd)))
+    w.add_kv("clip.vision.block_count", n_layer)
+    w.add_kv("clip.vision.attention.head_count", int(vc["num_heads"]))
+    w.add_kv("clip.vision.attention.layer_norm_epsilon", 1e-6)
+    w.add_kv("clip.vision.spatial_merge_size",
+             int(vc.get("spatial_merge_size", 2)))
+    w.add_kv("clip.vision.is_deepstack_layers",
+             [i in ds_idx for i in range(n_layer)])
+    n_tensors = 0
+
+    def put(gname, a):
+        nonlocal n_tensors
+        w.add_tensor(gname, np.ascontiguousarray(a))
+        n_tensors += 1
+
+    def put_if(gname, key):
+        if key in sd:
+            put(gname, sd[key])
+
+    pe = sd["patch_embed.proj.weight"].reshape(n_embd, 3, -1, patch, patch)
+    put("v.patch_embd.weight", pe[:, :, 0].reshape(n_embd, -1))
+    if pe.shape[2] > 1:
+        put("v.patch_embd.weight.1", pe[:, :, 1].reshape(n_embd, -1))
+    put_if("v.patch_embd.bias", "patch_embed.proj.bias")
+    put("v.position_embd.weight", sd["pos_embed.weight"])
+    for i in range(n_layer):
+        hp_, gp = f"blocks.{i}.", f"v.blk.{i}."
+        put(gp + "ln1.weight", sd[hp_ + "norm1.weight"])
+        put_if(gp + "ln1.bias", hp_ + "norm1.bias")
+        put(gp + "ln2.weight", sd[hp_ + "norm2.weight"])
+        put_if(gp + "ln2.bias", hp_ + "norm2.bias")
+        qkv = sd[hp_ + "attn.qkv.weight"]
+        for j, nm in enumerate(("attn_q", "attn_k", "attn_v")):
+            put(gp + nm + ".weight", qkv[j * n_embd:(j + 1) * n_embd])
+        if hp_ + "attn.qkv.bias" in sd:
+            qb = sd[hp_ + "attn.qkv.bias"]
+            for j, nm in enumerate(("attn_q", "attn_k", "attn_v")):
+                put(gp + nm + ".bias", qb[j * n_embd:(j + 1) * n_embd])
+        put(gp + "attn_out.weight", sd[hp_ + "attn.proj.weight"])
+        put_if(gp + "attn_out.bias", hp_ + "attn.proj.bias")
+        put(gp + "ffn_up.weight", sd[hp_ + "mlp.linear_fc1.weight"])
+        put_if(gp + "ffn_up.bias", hp_ + "mlp.linear_fc1.bias")
+        put(gp + "ffn_down.weight", sd[hp_ + "mlp.linear_fc2.weight"])
+        put_if(gp + "ffn_down.bias", hp_ + "mlp.linear_fc2.bias")
+    for k, il in enumerate(ds_idx):
+        hp_, gp = f"deepstack_merger_list.{k}.", f"v.deepstack.{il}."
+        put(gp + "norm.weight", sd[hp_ + "norm.weight"])
+        put_if(gp + "norm.bias", hp_ + "norm.bias")
+        put(gp + "fc1.weight", sd[hp_ + "linear_fc1.weight"])
+        put_if(gp + "fc1.bias", hp_ + "linear_fc1.bias")
+        put(gp + "fc2.weight", sd[hp_ + "linear_fc2.weight"])
+        put_if(gp + "fc2.bias", hp_ + "linear_fc2.bias")
+    put("v.post_ln.weight", sd["merger.norm.weight"])
+    put_if("v.post_ln.bias", "merger.norm.bias")
+    put("mm.0.weight", sd["merger.linear_fc1.weight"])
+    put_if("mm.0.bias", "merger.linear_fc1.bias")
+    put("mm.1.weight", sd["merger.linear_fc2.weight"])
+    put_if("mm.1.bias", "merger.linear_fc2.bias")
     w.write()
     if verbose:
         print(f"wrote mmproj {dst} ({n_tensors} tensors)")
