@@ -1670,3 +1670,179 @@ def test_convert_qwen3vl_text_and_mmproj(tmp_path):
                              grid_thw=torch.tensor([[1, ph, pw]]))
         ref_emb = torch.cat([main] + list(ds), dim=-1).numpy()
     np.testing.assert_allclose(got_emb, ref_emb, rtol=2e-3, atol=2e-3)
+
+
+def test_qwen3vl_multimodal_prefill_parity(tmp_path):
+    """Full multimodal prefill: M-RoPE position streams (get_rope_index
+    semantics) + deepstack residual injection at early layers, pinned
+    against the HF Qwen3VL forward with pixel_values. Also checks the
+    decode-position counter (rope trails cache slots after image grids)."""
+    from transformers import Qwen3VLConfig, Qwen3VLForConditionalGeneration
+
+    torch.manual_seed(79)
+    cfg = Qwen3VLConfig(
+        text_config=dict(
+            vocab_size=100, hidden_size=48, intermediate_size=64,
+            num_hidden_layers=3, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=16,
+            max_position_embeddings=128, rope_theta=10000.0,
+            rope_scaling=dict(rope_type="default", mrope_section=[4, 2, 2])),
+        vision_config=dict(
+            hidden_size=32, depth=3, num_heads=2, intermediate_size=40,
+            out_hidden_size=48, patch_size=4, spatial_merge_size=2,
+            temporal_patch_size=2, num_position_embeddings=16,
+            deepstack_visual_indexes=[0, 1]),
+        image_token_id=99, vision_start_token_id=98)
+    model = Qwen3VLForConditionalGeneration(cfg)
+    model.eval()
+    d = tmp_path / "hf_qwen3vl_mm"
+    model.save_pretrained(d, safe_serialization=True)
+
+    out = str(tmp_path / "q3vl_mm.gguf")
+    convert_hf_to_gguf(str(d), out, outtype="f32", verbose=False)
+    from tpullm.tools.convert_hf import convert_hf_mmproj
+
+    mm = str(tmp_path / "q3vl_mm.mmproj.gguf")
+    convert_hf_mmproj(str(d), mm, verbose=False)
+
+    # image: 16×24 → 4×6 patch grid → 2×3 = 6 llm tokens
+    P, H, W = 4, 16, 24
+    rng = np.random.default_rng(47)
+    px = rng.normal(size=(3, H, W)).astype(np.float32)
+    m = 2
+    ph, pw = H // P, W // P
+    x = px.reshape(3, ph // m, m, P, pw // m, m, P)
+    patches = x.transpose(1, 4, 2, 5, 0, 3, 6).reshape(ph * pw, 3, P, P)
+    patches = np.repeat(patches[:, :, None], 2, axis=2).reshape(ph * pw, -1)
+
+    pre, post = [3, 17, 42, 98], [7, 19]  # 98 = vision_start
+    n_img = (ph // m) * (pw // m)
+    ids = pre + [99] * n_img + post
+    input_ids = torch.tensor([ids])
+    grid = torch.tensor([[1, ph, pw]])
+    with torch.no_grad():
+        hf_out = model(input_ids=input_ids,
+                       pixel_values=torch.from_numpy(patches),
+                       image_grid_thw=grid)
+        ref_last = hf_out.logits[0, -1].numpy()
+        hf_pos = model.model.get_rope_index(input_ids,
+                                            image_grid_thw=grid)[0].numpy()
+
+    from tpullm.mtmd import load_vision
+
+    eng = Engine(out, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    tower = load_vision(mm)
+    emb = tower.encode_pixels(px)
+    E = eng.hp.n_embd
+    k = emb.shape[1] // E - 1
+    main, ds = emb[:, :E], emb[:, E:].reshape(n_img, k, E)
+
+    tok_embd = np.asarray(eng.params["tok_embd"], np.float32)
+    embds = np.concatenate([tok_embd[pre], main, tok_embd[post]], 0)
+    n = len(ids)
+    # position streams: text runs advance all; image pins t, sweeps h/w
+    st = len(pre)
+    g = np.arange(n_img, dtype=np.int32)
+    gw = pw // m
+    img_pos = np.stack([np.full(n_img, st), st + g // gw, st + g % gw,
+                        np.full(n_img, st)]).astype(np.int32)
+    st2 = st + max(ph // m, pw // m)
+    tail = np.arange(st2, st2 + len(post), dtype=np.int32)
+    positions = np.concatenate([
+        np.broadcast_to(np.arange(st, dtype=np.int32), (4, st)).copy(),
+        img_pos, np.broadcast_to(tail, (4, len(post))).copy()], axis=1)
+    # our streams must equal HF get_rope_index (t, h, w)
+    np.testing.assert_array_equal(positions[:3], hf_pos[:, 0])
+
+    deepstack = np.zeros((k, n, E), np.float32)
+    deepstack[:, st:st + n_img] = ds.transpose(1, 0, 2)
+    got_last = eng.prefill_embeddings(embds, positions=positions,
+                                      deepstack=deepstack)
+    np.testing.assert_allclose(got_last, ref_last, rtol=2e-3, atol=2e-3)
+
+    # one decode step: rope position = mrope counter, not cache slot
+    nxt = 23
+    with torch.no_grad():
+        ref2 = model(input_ids=torch.tensor([ids + [nxt]]),
+                     pixel_values=torch.from_numpy(patches),
+                     image_grid_thw=grid).logits[0, -1].numpy()
+    eng.rope_pos_delta = int(positions[:, -1].max()) + 1 - eng.n_past
+    got2 = eng.decode_step(nxt)
+    np.testing.assert_allclose(got2, ref2, rtol=2e-3, atol=2e-3)
+
+
+def test_qwen2vl_multimodal_prefill_parity(tmp_path):
+    """Qwen2-VL multimodal prefill: chunked M-RoPE sections (TTT…HHH…WWW)
+    + grid position streams, pinned against the HF forward with
+    pixel_values."""
+    from transformers import Qwen2VLConfig, Qwen2VLForConditionalGeneration
+
+    torch.manual_seed(80)
+    cfg = Qwen2VLConfig(
+        vocab_size=100, hidden_size=48, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rope_theta=10000.0,
+        rope_scaling=dict(rope_type="default", mrope_section=[2, 2, 2]),
+        vision_config=dict(
+            depth=2, embed_dim=32, hidden_size=48, num_heads=2,
+            mlp_ratio=2, patch_size=4, spatial_merge_size=2,
+            temporal_patch_size=2, in_channels=3),
+        image_token_id=99, vision_start_token_id=98, vision_end_token_id=97)
+    model = Qwen2VLForConditionalGeneration(cfg)
+    model.eval()
+    d = tmp_path / "hf_qwen2vl_mm"
+    model.save_pretrained(d, safe_serialization=True)
+
+    out = str(tmp_path / "q2vl_mm.gguf")
+    convert_hf_to_gguf(str(d), out, outtype="f32", verbose=False)
+    from tpullm.tools.convert_hf import convert_hf_mmproj
+
+    mm = str(tmp_path / "q2vl_mm.mmproj.gguf")
+    convert_hf_mmproj(str(d), mm, verbose=False)
+
+    P, H, W = 4, 16, 24
+    rng = np.random.default_rng(48)
+    px = rng.normal(size=(3, H, W)).astype(np.float32)
+    m = 2
+    ph, pw = H // P, W // P
+    x = px.reshape(3, ph // m, m, P, pw // m, m, P)
+    patches = x.transpose(1, 4, 2, 5, 0, 3, 6).reshape(ph * pw, 3, P, P)
+    patches = np.repeat(patches[:, :, None], 2, axis=2).reshape(ph * pw, -1)
+
+    pre, post = [3, 17, 42, 98], [97, 19]
+    n_img = (ph // m) * (pw // m)
+    ids = pre + [99] * n_img + post
+    input_ids = torch.tensor([ids])
+    grid = torch.tensor([[1, ph, pw]])
+    with torch.no_grad():
+        ref_last = model(input_ids=input_ids,
+                         pixel_values=torch.from_numpy(patches),
+                         image_grid_thw=grid).logits[0, -1].numpy()
+        hf_pos = model.model.get_rope_index(input_ids,
+                                            image_grid_thw=grid)[0].numpy()
+
+    from tpullm.mtmd import load_vision
+
+    eng = Engine(out, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    assert eng.hp.rope.sections and not eng.hp.rope.mrope_interleaved
+    tower = load_vision(mm)
+    emb = np.asarray(tower.encode_pixels(px), np.float32)
+    assert tower.last_grid == (ph // m, pw // m)
+
+    tok_embd = np.asarray(eng.params["tok_embd"], np.float32)
+    embds = np.concatenate([tok_embd[pre], emb, tok_embd[post]], 0)
+    st = len(pre)
+    g = np.arange(n_img, dtype=np.int32)
+    gw = pw // m
+    img_pos = np.stack([np.full(n_img, st), st + g // gw, st + g % gw,
+                        np.full(n_img, st)]).astype(np.int32)
+    st2 = st + max(ph // m, pw // m)
+    tail = np.arange(st2, st2 + len(post), dtype=np.int32)
+    positions = np.concatenate([
+        np.broadcast_to(np.arange(st, dtype=np.int32), (4, st)).copy(),
+        img_pos, np.broadcast_to(tail, (4, len(post))).copy()], axis=1)
+    np.testing.assert_array_equal(positions[:3], hf_pos[:, 0])
+    got_last = eng.prefill_embeddings(embds, positions=positions)
+    np.testing.assert_allclose(got_last, ref_last, rtol=2e-3, atol=2e-3)

@@ -610,3 +610,43 @@ def test_gemma3_tower_matches_transformers(tmp_path):
     ref = (normed * (1.0 + soft_norm)) @ in_proj
     assert got.shape == ref.shape == ((side // k) ** 2, llm)
     np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4)
+
+
+def test_generate_mtmd_mrope_positions(tmp_path):
+    """build_multimodal_inputs produces get_rope_index-style streams for an
+    mrope text stack (grid pins t, sweeps h/w, counter jumps by max side);
+    generate_mtmd prefills with them and decode continues from the mrope
+    counter (rope_pos_delta trails n_past)."""
+    import numpy as np
+
+    from tpullm.models.testing import make_tiny_llama_gguf
+    from tpullm.mtmd.pipeline import build_multimodal_inputs, generate_mtmd
+    from tpullm.runtime import Engine
+
+    path = make_tiny_llama_gguf(
+        tmp_path / "q2vl.gguf", arch="qwen2vl",
+        extra_kv={"qwen2vl.rope.dimension_sections":
+                  np.asarray([2, 2, 2, 0], np.int32)})
+    eng = Engine(path, mode="dense", max_seq=128)
+    assert eng.hp.rope.sections == (2, 2, 2, 0)
+
+    class FakeClip:
+        def encode_image(self, item):
+            self.last_grid = (2, 3)
+            rng = np.random.default_rng(0)
+            return rng.normal(size=(6, eng.hp.n_embd)).astype(np.float32) * 0.01
+
+    clip = FakeClip()
+    text = "the quick <__media__> brown fox"
+    embds, positions, ds = build_multimodal_inputs(eng, clip, text, [object()])
+    assert ds is None and positions is not None and positions.shape[0] == 4
+    n = embds.shape[0]
+    # image occupies 6 tokens somewhere; afterwards the counter trails n
+    assert int(positions[:, -1].max()) < n - 1
+    # within the image block, t is constant and h/w sweep the 2×3 grid
+    img0 = np.flatnonzero(positions[1] != positions[2])
+    assert img0.size > 0  # h ≠ w somewhere only inside the grid
+    out = generate_mtmd(eng, clip, text, [object()], max_new_tokens=3,
+                        stop_on_eog=False)
+    assert isinstance(out, str)
+    assert eng.rope_pos_delta < 0  # grid compressed the position counter

@@ -28,6 +28,12 @@ class RopeParams:
     # "norm" = rotate adjacent pairs (GGML interleaved, llama GGUF layout);
     # "neox" = rotate halves (GPT-NeoX/HF layout, qwen/gemma/phi GGUFs)
     style: str = "norm"
+    # M-RoPE (qwen2vl/qwen3vl/glm4v): per-stream frequency sections
+    # (t, h, w, extra) from {arch}.rope.dimension_sections; empty = classic
+    sections: tuple = ()
+    # qwen3vl IMROPE: sections interleave [THW THW …] over the frequency
+    # dims instead of contiguous chunks (HF apply_interleaved_mrope)
+    mrope_interleaved: bool = False
 
 
 @dataclass(frozen=True)
@@ -270,6 +276,11 @@ def hparams_from_gguf(r: GGUFReader) -> HParams:
         beta_fast=float(k(Keys.Rope.SCALING_YARN_BETA_FAST, 32.0)),
         beta_slow=float(k(Keys.Rope.SCALING_YARN_BETA_SLOW, 1.0)),
         style="neox" if arch in NEOX_ROPE_ARCHS else "norm",
+        sections=tuple(
+            int(v) for v in np.atleast_1d(
+                k("{arch}.rope.dimension_sections", ()))
+        ),
+        mrope_interleaved=arch in ("qwen3vl", "qwen3vlmoe"),
     )
 
     return HParams(

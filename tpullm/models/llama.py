@@ -198,6 +198,7 @@ def forward(
     cache_offset,  # scalar int: write position in the cache
     return_hidden: bool = False,  # trace-time switch: final-norm hidden states
     last_index=None,  # int32 scalar: compute the head for this row only
+    deepstack=None,  # [n_ds, B, T, E]: qwen3vl deepstack visual residuals
 ) -> tuple[jax.Array, KVCache]:
     """Returns (logits [B, T, n_vocab] f32, updated cache); with
     return_hidden, (hidden [B, T, E] f32, cache) instead (embeddings path,
@@ -208,7 +209,13 @@ def forward(
     [T, n_vocab] f32 buffer).
 
     `tokens` may be float [B, T, E] — precomputed input embeddings (the
-    multimodal path, ≡ llama_batch.embd / mtmd media chunks)."""
+    multimodal path, ≡ llama_batch.embd / mtmd media chunks).
+
+    `positions` may be [S, B, T] — per-section M-RoPE streams (t, h, w,
+    extra) for qwen2vl/qwen3vl/glm4v multimodal prefill (≡ ggml mrope with
+    the mtmd helper's 4-D positions). `deepstack` adds visual features to
+    the hidden states after layers 0..n_ds−1 at image positions
+    (≡ Qwen3VLTextModel._deepstack_process; zero rows elsewhere)."""
     if jnp.issubdtype(tokens.dtype, jnp.integer):
         B, T = tokens.shape
         x = params["tok_embd"][tokens]  # [B, T, E]
@@ -232,7 +239,8 @@ def forward(
     if hp.max_alibi_bias > 0.0:  # refact / baichuan-13B ride the llama graph
         alibi = (
             alibi_slopes(hp.n_head, hp.max_alibi_bias),
-            alibi_distances(positions, cache.max_len),
+            alibi_distances(positions if positions.ndim == 2 else positions[0],
+                            cache.max_len),
         )
 
     cvec = params.get("cvec")  # [n_layer, E] steering vectors (llama-adapter)
@@ -257,6 +265,8 @@ def forward(
             x = x + ffn
             if cvec is not None:
                 x = x + cvec[li].astype(x.dtype)
+            if deepstack is not None and li < deepstack.shape[0]:
+                x = x + deepstack[li].astype(x.dtype)
             continue
         fgu = layer.get("wgu")
         if fgu is not None:  # one plane stream for gate|up
@@ -286,6 +296,8 @@ def forward(
         x = x + ffn
         if cvec is not None:
             x = x + cvec[li].astype(x.dtype)
+        if deepstack is not None and li < deepstack.shape[0]:
+            x = x + deepstack[li].astype(x.dtype)
 
     if return_hidden:
         return rms_norm(x, params["output_norm"], hp.rms_eps).astype(jnp.float32), cache

@@ -210,6 +210,7 @@ class Glm4vVision:
         P, m = self.patch_size, self.merge
         _, H, W = pixels.shape
         ph, pw = H // P, W // P
+        self.last_grid = (ph // m, pw // m)  # LLM-token grid
         x = pixels.reshape(3, ph // m, m, P, pw // m, m, P)
         patches = x.transpose(1, 4, 2, 5, 0, 3, 6).reshape(ph * pw, 3 * P * P)
         yy = np.arange(ph).reshape(ph // m, m, 1, 1)

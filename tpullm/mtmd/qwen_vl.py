@@ -254,6 +254,7 @@ class Qwen2VLVision:
         P, m = self.patch_size, self.merge
         _, H, W = pixels.shape
         ph, pw = H // P, W // P
+        self.last_grid = (ph // m, pw // m)  # LLM-token grid (mrope h, w)
         # merge-block patch order: (y-block, x-block, dy, dx)
         x = pixels.reshape(3, ph // m, m, P, pw // m, m, P)
         patches = x.transpose(1, 4, 2, 5, 0, 3, 6).reshape(ph * pw, 3 * P * P)
@@ -457,6 +458,7 @@ class Qwen3VLVision:
         P, m = self.patch_size, self.merge
         _, H, W = pixels.shape
         ph, pw = H // P, W // P
+        self.last_grid = (ph // m, pw // m)  # LLM-token grid (mrope h, w)
         x = pixels.reshape(3, ph // m, m, P, pw // m, m, P)
         patches = x.transpose(1, 4, 2, 5, 0, 3, 6).reshape(ph * pw, 3 * P * P)
         yy = np.arange(ph).reshape(ph // m, m, 1, 1)

@@ -14,6 +14,7 @@ import math
 from functools import partial
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from ..models.hparams import RopeParams
@@ -88,6 +89,35 @@ def _apply(x: jax.Array, cos: jax.Array, sin: jax.Array, style: str) -> jax.Arra
 def apply_rope(
     x: jax.Array, positions: jax.Array, rp: RopeParams
 ) -> jax.Array:
-    """x: [B, T, H, D], positions: [B, T] -> same shape, first rp.dims rotated."""
+    """x: [B, T, H, D], positions: [B, T] -> same shape, first rp.dims rotated.
+
+    M-RoPE (qwen2vl/qwen3vl/glm4v text, ≡ ggml GGML_ROPE_TYPE_MROPE): when
+    rp.sections is set and positions is [S, B, T] (one stream per section
+    role: t, h, w, extra), each frequency dim takes its angle from the
+    stream its section covers. With all streams equal (pure text) this
+    reduces exactly to classic rope."""
+    if rp.sections and positions.ndim == 3:
+        cos, sin = rope_angles(rp, positions)  # [S, B, T, half]
+        half = rp.dims // 2
+        sec = [s for s in rp.sections]
+        if rp.mrope_interleaved:
+            # qwen3vl IMROPE: [T H W T H W … T] (HF apply_interleaved_mrope)
+            stream = np.zeros(half, np.int64)
+            for d, off in ((1, 1), (2, 2)):
+                idx = np.arange(off, min(sec[d] * 3, half), 3)
+                stream[idx] = d
+        else:
+            sec_total = max(1, sum(sec))
+            j = np.arange(half) % sec_total
+            stream = np.searchsorted(np.cumsum(sec), j, side="right")
+        stream = np.minimum(stream, positions.shape[0] - 1)
+        idx = jnp.asarray(stream, jnp.int32)
+        cos = jnp.take_along_axis(
+            jnp.moveaxis(cos, 0, -1), idx[None, None, :, None], axis=-1
+        )[..., 0]
+        sin = jnp.take_along_axis(
+            jnp.moveaxis(sin, 0, -1), idx[None, None, :, None], axis=-1
+        )[..., 0]
+        return _apply(x, cos[:, :, None, :], sin[:, :, None, :], rp.style)
     cos, sin = rope_angles(rp, positions)  # [B, T, half]
     return _apply(x, cos[:, :, None, :], sin[:, :, None, :], rp.style)

@@ -70,6 +70,36 @@ def _get_prefill_step(fwd, hp):
     return step
 
 
+def _get_mm_prefill_step(fwd, hp, with_ds: bool):
+    """Multimodal prefill step with explicit rope positions (classic [B, T]
+    or M-RoPE streams [S, B, T]) and optional qwen3vl deepstack residuals
+    (≡ mtmd helper feeding llama_batch.embd with 4-D mrope positions)."""
+    import inspect
+
+    key = (fwd, repr(hp), "mm", with_ds)
+    step = _STEP_CACHE.get(key)
+    if step is not None:
+        return step
+    params_ = inspect.signature(fwd).parameters
+    last_ok = "last_index" in params_
+    if with_ds and "deepstack" not in params_:
+        raise ValueError(f"{hp.arch}: forward has no deepstack support")
+
+    @functools.partial(jax.jit, donate_argnames=("cache",))
+    def step(params, embds, positions, cache, offset, n_last, deepstack=None):
+        kw = {"deepstack": deepstack} if with_ds else {}
+        if last_ok:
+            logits, cache = fwd(hp, params, embds, positions, cache, offset,
+                                last_index=n_last, **kw)
+            return logits[:, 0], cache
+        logits, cache = fwd(hp, params, embds, positions, cache, offset, **kw)
+        row = jax.lax.dynamic_slice_in_dim(logits, n_last, 1, axis=1)
+        return row[:, 0], cache
+
+    _STEP_CACHE[key] = step
+    return step
+
+
 def _get_device_gen(fwd, hp, chunk: int):
     """Device-resident generation: prefill-and-sample plus a lax.scan decode
     chunk. Only sampled token ids cross back to the host (the ≡ of the
@@ -220,6 +250,7 @@ class Engine:
         # remain dense. Reference: examples/passkey --grp-attn-n via
         # llama_memory_seq_div.
         self.grp_attn_n = max(1, int(grp_attn_n))
+        self.rope_pos_delta = 0  # mrope: rope position − cache slot
         self.perf = PerfCounters(t_load_s=time.perf_counter() - t0)
 
         self._step = _get_step(self.arch.forward, self.hp)
@@ -312,8 +343,12 @@ class Engine:
 
     def _positions(self, count: int) -> np.ndarray:
         """[batch, count] rope positions for the next `count` slots; with
-        self-extend active they compress to slot//G."""
-        pos = np.arange(self.n_past, self.n_past + count, dtype=np.int32)
+        self-extend active they compress to slot//G. `rope_pos_delta`
+        shifts rope positions relative to cache slots — set by the mtmd
+        pipeline when M-RoPE image grids compress the position counter
+        (≡ llama.cpp n_past vs mrope st divergence)."""
+        start = self.n_past + self.rope_pos_delta
+        pos = np.arange(start, start + count, dtype=np.int32)
         if self.grp_attn_n > 1:
             pos = pos // self.grp_attn_n
         return np.broadcast_to(pos, (self.batch, count))
@@ -364,35 +399,77 @@ class Engine:
         self.n_past += n
         return out
 
-    def prefill_embeddings(self, embds: np.ndarray) -> np.ndarray:
+    def prefill_embeddings(self, embds: np.ndarray, positions=None,
+                           deepstack=None) -> np.ndarray:
         """Feed precomputed input embeddings [n, E] (multimodal path,
-        ≡ llama_batch.embd); returns last-position logits [n_vocab]."""
+        ≡ llama_batch.embd); returns last-position logits [n_vocab].
+
+        `positions` [S, n]: per-section M-RoPE rope-position streams
+        (qwen2vl/qwen3vl/glm4v image grids — ≡ the mtmd helper's 4-D
+        positions). `deepstack` [n_ds, n, E]: qwen3vl per-layer visual
+        residuals, zero at text positions."""
         t0 = time.perf_counter()
         n = embds.shape[0]
         if self.n_past + n > self.max_seq:
             raise ValueError(f"context overflow: {self.n_past}+{n}")
         while n > self.prefill_cap:
-            self.prefill_embeddings(embds[: self.prefill_cap])
-            embds = embds[self.prefill_cap :]
+            c = self.prefill_cap
+            self.prefill_embeddings(
+                embds[:c],
+                None if positions is None else positions[:, :c],
+                None if deepstack is None else deepstack[:, :c],
+            )
+            embds = embds[c:]
+            positions = None if positions is None else positions[:, c:]
+            deepstack = None if deepstack is None else deepstack[:, c:]
             n = embds.shape[0]
         bucket = self._bucket(n)
         E = embds.shape[1]
         buf = np.zeros((self.batch, bucket, E), dtype=np.float32)
         buf[0, :n] = embds
-        pos = np.arange(self.n_past, self.n_past + bucket, dtype=np.int32)
-        pos = np.broadcast_to(pos, (self.batch, bucket))
-        if self._prefill_step is not None:
-            logits, self.cache = self._prefill_step(
-                self.params, jnp.asarray(buf), jnp.asarray(pos), self.cache,
-                jnp.int32(self.n_past), jnp.int32(n - 1),
-            )
-            out = np.asarray(logits[0, 0])
+        if positions is None and deepstack is None:
+            pos = np.arange(self.n_past, self.n_past + bucket, dtype=np.int32)
+            pos = np.broadcast_to(pos, (self.batch, bucket))
+            if self._prefill_step is not None:
+                logits, self.cache = self._prefill_step(
+                    self.params, jnp.asarray(buf), jnp.asarray(pos), self.cache,
+                    jnp.int32(self.n_past), jnp.int32(n - 1),
+                )
+                out = np.asarray(logits[0, 0])
+            else:
+                logits, self.cache = self._step(
+                    self.params, jnp.asarray(buf), jnp.asarray(pos), self.cache,
+                    jnp.int32(self.n_past),
+                )
+                out = np.asarray(logits[0, n - 1])
         else:
-            logits, self.cache = self._step(
-                self.params, jnp.asarray(buf), jnp.asarray(pos), self.cache,
-                jnp.int32(self.n_past),
-            )
-            out = np.asarray(logits[0, n - 1])
+            if positions is None:
+                pos = np.broadcast_to(
+                    np.arange(self.n_past, self.n_past + bucket,
+                              dtype=np.int32), (self.batch, bucket))
+            else:
+                S = positions.shape[0]
+                pbuf = np.zeros((S, bucket), np.int32)
+                pbuf[:, :n] = positions
+                if n < bucket:  # pad rows continue past the last position
+                    tail = positions[:, -1:] + np.arange(1, bucket - n + 1,
+                                                         dtype=np.int32)
+                    pbuf[:, n:] = tail
+                pos = np.broadcast_to(pbuf[:, None, :], (S, self.batch, bucket))
+            ds = None
+            if deepstack is not None:
+                k = deepstack.shape[0]
+                dbuf = np.zeros((k, self.batch, bucket, E), np.float32)
+                dbuf[:, 0, :n] = deepstack
+                ds = jnp.asarray(dbuf)
+            step = _get_mm_prefill_step(self.arch.forward, self.hp,
+                                        deepstack is not None)
+            args = [self.params, jnp.asarray(buf), jnp.asarray(pos),
+                    self.cache, jnp.int32(self.n_past), jnp.int32(n - 1)]
+            if ds is not None:
+                args.append(ds)
+            logits, self.cache = step(*args)
+            out = np.asarray(logits[0])
         self.n_past += n
         self.perf.t_prefill_s += time.perf_counter() - t0
         self.perf.n_prefill += n
