@@ -650,3 +650,104 @@ def test_generate_mtmd_mrope_positions(tmp_path):
                         stop_on_eog=False)
     assert isinstance(out, str)
     assert eng.rope_pos_delta < 0  # grid compressed the position counter
+
+
+def test_batch_engine_mrope_slot_matches_engine(tmp_path):
+    """BatchEngine.prefill_slot_embeddings with M-RoPE streams + deepstack
+    matches the single-stream Engine bit-for-bit, sets the slot's
+    rope_delta, and decode continues through the batched step (the server
+    vision path for qwen-VL models)."""
+    import numpy as np
+
+    from tpullm.models.testing import make_tiny_llama_gguf
+    from tpullm.runtime import Engine
+    from tpullm.runtime.batch_engine import BatchEngine
+
+    path = make_tiny_llama_gguf(
+        tmp_path / "q2vl_b.gguf", arch="qwen2vl",
+        extra_kv={"qwen2vl.rope.dimension_sections":
+                  np.asarray([2, 2, 2, 0], np.int32)})
+    be = BatchEngine(path, n_slots=2, max_seq=128, dtype=jnp.float32,
+                     kv_dtype=jnp.float32)
+    se = Engine(path, mode="dense", dtype=jnp.float32, max_seq=128,
+                kv_dtype=jnp.float32)
+    E = be.hp.n_embd
+    rng = np.random.default_rng(5)
+    n, n_img, st = 10, 6, 2
+    embds = rng.normal(size=(n, E)).astype(np.float32) * 0.02
+    g = np.arange(n_img, dtype=np.int32)
+    img = np.stack([np.full(n_img, st), st + g // 3, st + g % 3,
+                    np.full(n_img, st)]).astype(np.int32)
+    tail = np.arange(st + 3, st + 3 + (n - st - n_img), dtype=np.int32)
+    pos = np.concatenate([
+        np.broadcast_to(np.arange(st, dtype=np.int32), (4, st)).copy(),
+        img, np.broadcast_to(tail, (4, n - st - n_img)).copy()], axis=1)
+    ds = (rng.normal(size=(2, n, E)) * 0.01).astype(np.float32)
+
+    got = be.prefill_slot_embeddings(1, embds, positions=pos, deepstack=ds)
+    ref = se.prefill_embeddings(embds, positions=pos, deepstack=ds)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+    assert int(be.rope_delta[1]) == int(pos[:, -1].max()) + 1 - n < 0
+
+    # decode uses the compressed rope counter on both engines
+    se.rope_pos_delta = int(be.rope_delta[1])
+    got2 = be.decode_batch({1: 7})[1]
+    ref2 = se.decode_step(7)
+    np.testing.assert_allclose(got2, ref2, rtol=1e-5, atol=1e-5)
+    be.free_slot(1)
+    assert int(be.rope_delta[1]) == 0
+
+
+def test_server_vision_chat_mrope(mmproj, tmp_path):
+    """Server vision request against an M-RoPE text stack (qwen2vl arch):
+    the scheduler threads position streams through the slot prefill."""
+    import asyncio
+    import base64
+    import io
+
+    from aiohttp.test_utils import TestClient, TestServer
+    from PIL import Image
+
+    from tpullm.models.testing import make_tiny_llama_gguf
+    from tpullm.runtime.batch_engine import BatchEngine
+    from tpullm.server.api import Server
+    from tpullm.server.scheduler import Scheduler
+
+    llm = make_tiny_llama_gguf(
+        tmp_path / "q2vl_srv.gguf", arch="qwen2vl",
+        extra_kv={"qwen2vl.rope.dimension_sections":
+                  np.asarray([2, 2, 2, 0], np.int32)})
+    engine = BatchEngine(llm, n_slots=2, max_seq=128, mode="dense",
+                         prefill_chunk=32)
+    assert engine.hp.rope.sections
+    sched = Scheduler(engine)
+    sched.start()
+
+    buf = io.BytesIO()
+    Image.fromarray(
+        np.random.default_rng(6).integers(0, 255, (28, 28, 3), dtype=np.uint8)
+    ).save(buf, format="PNG")
+    data_uri = "data:image/png;base64," + base64.b64encode(buf.getvalue()).decode()
+
+    async def run():
+        server = Server(sched, model_name="tiny", mmproj_path=mmproj)
+        client = TestClient(TestServer(server.app))
+        await client.start_server()
+        try:
+            r = await client.post("/v1/chat/completions", json={
+                "max_tokens": 4, "temperature": 0,
+                "messages": [{"role": "user", "content": [
+                    {"type": "text", "text": "what is this?"},
+                    {"type": "image_url", "image_url": {"url": data_uri}},
+                ]}],
+            })
+            assert r.status == 200
+            data = await r.json()
+            assert data["choices"][0]["message"]["role"] == "assistant"
+        finally:
+            await client.close()
+
+    try:
+        asyncio.run(run())
+    finally:
+        sched.stop()

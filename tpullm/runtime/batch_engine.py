@@ -60,6 +60,7 @@ class BatchEngine:
             self.mesh = mesh
             self._init_pipeline(mesh, dtype, mode)
             self.n_past = np.zeros(n_slots, dtype=np.int32)
+            self.rope_delta = np.zeros(n_slots, dtype=np.int32)
             self.perf = PerfCounters(t_load_s=time.perf_counter() - t0)
             return
         self.params = self.arch.build_params(self.reader, self.hp, mode=mode, dtype=dtype)
@@ -106,6 +107,10 @@ class BatchEngine:
             self.params = shard_params(self.params, mesh)
             self.cache = shard_cache(self.cache, mesh, data_batch=True)
         self.n_past = np.zeros(n_slots, dtype=np.int32)
+        # per-slot rope-position offset relative to the cache slot count:
+        # nonzero after M-RoPE image grids compress the position counter
+        # (≡ llama.cpp mrope_position_delta per sequence)
+        self.rope_delta = np.zeros(n_slots, dtype=np.int32)
         self.perf = PerfCounters(t_load_s=time.perf_counter() - t0)
 
         fwd = self.arch.forward
@@ -254,6 +259,7 @@ class BatchEngine:
 
     def free_slot(self, slot: int):
         self.n_past[slot] = 0
+        self.rope_delta[slot] = 0
         from .kvcache import SWACache
 
         if isinstance(self.cache, SWACache):
@@ -348,7 +354,8 @@ class BatchEngine:
                 raise ValueError(
                     f"slot {s} context overflow: {start}+{len(c)}")
             toks_b[s, : len(c)] = c
-            pos[s] = np.arange(start, start + bucket)
+            rs = start + int(self.rope_delta[s])
+            pos[s] = np.arange(rs, rs + bucket)
             offsets[s] = start
             n_last[s] = len(c) - 1
         if self._prefill_step is not None:
@@ -381,9 +388,14 @@ class BatchEngine:
                 return min(b, self.max_seq)
         raise ValueError(n)
 
-    def prefill_slot_embeddings(self, slot: int, embds: np.ndarray) -> np.ndarray:
+    def prefill_slot_embeddings(self, slot: int, embds: np.ndarray,
+                                positions=None, deepstack=None) -> np.ndarray:
         """Feed precomputed input embeddings [n, E] into one slot
-        (multimodal chunks, ≡ llama_batch.embd); returns last logits."""
+        (multimodal chunks, ≡ llama_batch.embd); returns last logits.
+
+        `positions` [4, n]: M-RoPE streams for qwen-VL image grids — the
+        slot's rope counter then trails its cache slots (rope_delta).
+        `deepstack` [k, n, E]: qwen3vl per-layer visual residuals."""
         t0 = time.perf_counter()
         n = embds.shape[0]
         start = int(self.n_past[slot])
@@ -393,8 +405,12 @@ class BatchEngine:
         E = embds.shape[1]
         buf = np.zeros((self.n_slots, bucket, E), dtype=np.float32)
         buf[slot, :n] = embds
+        if positions is not None or deepstack is not None:
+            return self._prefill_slot_mm(slot, buf, n, start, positions,
+                                         deepstack, t0)
         pos = np.zeros((self.n_slots, bucket), dtype=np.int32)
-        pos[slot] = np.arange(start, start + bucket)
+        rs = start + int(self.rope_delta[slot])
+        pos[slot] = np.arange(rs, rs + bucket)
         offsets = np.full(self.n_slots, -1, dtype=np.int32)
         offsets[slot] = start
         if self._prefill_step is not None:
@@ -412,6 +428,49 @@ class BatchEngine:
             )
             out = np.asarray(logits[slot, n - 1])
         self.n_past[slot] = start + n
+        self.perf.t_prefill_s += time.perf_counter() - t0
+        self.perf.n_prefill += n
+        return out
+
+    def _prefill_slot_mm(self, slot, buf, n, start, positions, deepstack,
+                         t0) -> np.ndarray:
+        """Batched M-RoPE/deepstack prefill for one slot (other slots idle,
+        offsets −1). Sets the slot's rope_delta from the final stream max."""
+        from .engine import _get_mm_prefill_step
+
+        n_slots, bucket, E = buf.shape
+        base = start + int(self.rope_delta[slot])
+        pos4 = np.broadcast_to(
+            np.arange(bucket, dtype=np.int32), (4, n_slots, bucket)).copy()
+        if positions is not None:
+            pos4[:, slot, :n] = positions + base
+            if n < bucket:
+                pos4[:, slot, n:] = (int(positions[:, -1].max()) + base + 1
+                                     + np.arange(bucket - n, dtype=np.int32))
+            end = int(positions[:, -1].max()) + base + 1
+        else:
+            pos4[:, slot] = base + np.arange(bucket, dtype=np.int32)
+            end = base + n
+        offsets = np.full(n_slots, -1, dtype=np.int32)
+        offsets[slot] = start
+        n_last = np.zeros(n_slots, dtype=np.int32)
+        n_last[slot] = n - 1
+        ds = None
+        if deepstack is not None:
+            k = deepstack.shape[0]
+            dbuf = np.zeros((k, n_slots, bucket, E), np.float32)
+            dbuf[:, slot, :n] = deepstack
+            ds = jnp.asarray(dbuf)
+        step = _get_mm_prefill_step(self.arch.forward, self.hp,
+                                    deepstack is not None)
+        args = [self.params, jnp.asarray(buf), jnp.asarray(pos4), self.cache,
+                jnp.asarray(offsets), jnp.asarray(n_last)]
+        if ds is not None:
+            args.append(ds)
+        logits, self.cache = step(*args)
+        out = np.asarray(logits[slot])
+        self.n_past[slot] = start + n
+        self.rope_delta[slot] = end - int(self.n_past[slot])
         self.perf.t_prefill_s += time.perf_counter() - t0
         self.perf.n_prefill += n
         return out
@@ -489,7 +548,8 @@ class BatchEngine:
             if start + width > self.max_seq:
                 raise ValueError(f"slot {slot} verify overflow: {start}+{width}")
             toks[slot, :n] = seq
-            pos[slot] = np.arange(start, start + width)
+            rs = start + int(self.rope_delta[slot])
+            pos[slot] = np.arange(rs, rs + width)
             offsets[slot] = start
         logits, self.cache = self._step(
             self.params, jnp.asarray(toks), jnp.asarray(pos), self.cache,
@@ -592,7 +652,7 @@ class BatchEngine:
         offsets = np.full(self.n_slots, -1, dtype=np.int32)
         for slot, tok in tokens.items():
             toks[slot, 0] = tok
-            pos[slot, 0] = self.n_past[slot]
+            pos[slot, 0] = self.n_past[slot] + self.rope_delta[slot]
             offsets[slot] = self.n_past[slot]
         ids, self.cache = self._greedy_step(
             self.params, jnp.asarray(toks), jnp.asarray(pos), self.cache,
@@ -615,7 +675,7 @@ class BatchEngine:
         offsets = np.full(self.n_slots, -1, dtype=np.int32)
         for slot, tok in tokens.items():
             toks[slot, 0] = tok
-            pos[slot, 0] = self.n_past[slot]
+            pos[slot, 0] = self.n_past[slot] + self.rope_delta[slot]
             offsets[slot] = self.n_past[slot]
         logits, self.cache = self._step(
             self.params, jnp.asarray(toks), jnp.asarray(pos), self.cache,

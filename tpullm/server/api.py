@@ -500,11 +500,11 @@ class Server:
         )
         tok = self.sched.engine.tokenizer
         ids = tok.tokenize(prompt, add_special=True, parse_special=True)
-        prompt_embds = None
+        prompt_embds = prompt_pos = prompt_ds = None
         if images:
-            from ..mtmd import build_multimodal_embeddings
+            from ..mtmd.pipeline import build_multimodal_inputs
 
-            prompt_embds = build_multimodal_embeddings(
+            prompt_embds, prompt_pos, prompt_ds = build_multimodal_inputs(
                 self.sched.engine, self.clip, prompt, images,
                 audio=self.audio_enc,
             )
@@ -530,6 +530,8 @@ class Server:
             grammar=grammar,
             grammar_triggers=triggers,
             prompt_embds=prompt_embds,
+            prompt_positions=prompt_pos,
+            prompt_deepstack=prompt_ds,
         )
         rid = f"chatcmpl-{uuid.uuid4().hex[:12]}"
         self.sched.submit(req)
@@ -626,11 +628,11 @@ class Server:
             vocab.chat_template, messages, add_generation_prompt=True)
         tok = self.sched.engine.tokenizer
         ids = tok.tokenize(prompt, add_special=True, parse_special=True)
-        prompt_embds = None
+        prompt_embds = prompt_pos = prompt_ds = None
         if images:
-            from ..mtmd import build_multimodal_embeddings
+            from ..mtmd.pipeline import build_multimodal_inputs
 
-            prompt_embds = build_multimodal_embeddings(
+            prompt_embds, prompt_pos, prompt_ds = build_multimodal_inputs(
                 self.sched.engine, self.clip, prompt, images,
                 audio=self.audio_enc,
             )
@@ -641,6 +643,8 @@ class Server:
             sampling=_sampling_from_body(body),
             stop=body.get("stop") or [],
             prompt_embds=prompt_embds,
+            prompt_positions=prompt_pos,
+            prompt_deepstack=prompt_ds,
         )
         rid = f"resp_{uuid.uuid4().hex[:16]}"
         self.sched.submit(req)

@@ -43,6 +43,10 @@ class GenRequest:
     # multimodal: precomputed input embeddings [n, E]; replaces prompt_ids
     # for the prefill (ids still carry the text part for bookkeeping)
     prompt_embds: object = None
+    # M-RoPE position streams [4, n] + qwen3vl deepstack residuals [k, n, E]
+    # accompanying prompt_embds (≡ mtmd helper 4-D positions)
+    prompt_positions: object = None
+    prompt_deepstack: object = None
     id: int = field(default_factory=itertools.count().__next__)
     # events: ("token", token_id, text) | ("done", finish_reason, stats)
     out: queue.Queue = field(default_factory=queue.Queue)
@@ -517,7 +521,10 @@ class Scheduler:
         if req.prompt_embds is not None:
             eng.free_slot(slot.index)
             slot.tokens = []  # mixed-media prefix is not reusable by ids
-            logits = eng.prefill_slot_embeddings(slot.index, req.prompt_embds)
+            logits = eng.prefill_slot_embeddings(
+                slot.index, req.prompt_embds,
+                positions=req.prompt_positions,
+                deepstack=req.prompt_deepstack)
             slot.state = SlotState.GENERATING
             self._advance(slot, logits, first=True)
             return None
