@@ -396,6 +396,13 @@ class BatchEngine:
         `positions` [4, n]: M-RoPE streams for qwen-VL image grids — the
         slot's rope counter then trails its cache slots (rope_delta).
         `deepstack` [k, n, E]: qwen3vl per-layer visual residuals."""
+        if self._pipe:
+            # the stacked pipeline step embeds token ids on-device; raw
+            # embedding prompts have no entry point there yet
+            raise NotImplementedError(
+                "multimodal embedding prompts are not supported under "
+                "--pp layer-split serving"
+            )
         t0 = time.perf_counter()
         n = embds.shape[0]
         start = int(self.n_past[slot])
