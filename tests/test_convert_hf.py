@@ -1846,3 +1846,90 @@ def test_qwen2vl_multimodal_prefill_parity(tmp_path):
     np.testing.assert_array_equal(positions[:3], hf_pos[:, 0])
     got_last = eng.prefill_embeddings(embds, positions=positions)
     np.testing.assert_allclose(got_last, ref_last, rtol=2e-3, atol=2e-3)
+
+
+def test_convert_qwen25_omni_text_vision_audio(tmp_path):
+    """Qwen2.5-Omni thinker: qwen2vl text arch; ONE dual-modality --mmproj
+    with the 2.5-VL vision half (separate q/k/v) and the windowed whisper
+    audio half (per-window conv/positions/attention + avg pool), each
+    pinned against the HF thinker towers."""
+    from transformers.models.qwen2_5_omni.configuration_qwen2_5_omni import (
+        Qwen2_5OmniThinkerConfig)
+    from transformers.models.qwen2_5_omni.modeling_qwen2_5_omni import (
+        Qwen2_5OmniThinkerForConditionalGeneration)
+
+    torch.manual_seed(81)
+    cfg = Qwen2_5OmniThinkerConfig(
+        audio_config=dict(
+            d_model=32, encoder_layers=2, encoder_attention_heads=2,
+            encoder_ffn_dim=48, num_mel_bins=16, output_dim=48, n_window=4,
+            max_source_positions=200),
+        vision_config=dict(
+            depth=2, hidden_size=32, num_heads=2, intermediate_size=40,
+            out_hidden_size=48, patch_size=4, spatial_merge_size=2,
+            temporal_patch_size=2, fullatt_block_indexes=[1], window_size=8,
+            in_channels=3),
+        text_config=dict(
+            vocab_size=100, hidden_size=48, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=128,
+            rope_theta=10000.0,
+            rope_scaling=dict(rope_type="default", mrope_section=[2, 2, 2])),
+        audio_token_index=96, image_token_index=99, video_token_index=97)
+    model = Qwen2_5OmniThinkerForConditionalGeneration(cfg)
+    model.eval()
+    d = tmp_path / "hf_omni"
+    model.save_pretrained(d, safe_serialization=True)
+
+    out = str(tmp_path / "omni.gguf")
+    stats = convert_hf_to_gguf(str(d), out, outtype="f32", verbose=False)
+    assert stats["arch"] == "qwen2vl"
+    ids = [3, 17, 42, 7, 19]
+    with torch.no_grad():
+        ref = model(input_ids=torch.tensor([ids])).logits[0].numpy()
+    eng = Engine(out, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    got = eng.prefill_all_logits(ids)
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+    from tpullm.mtmd import WhisperAudioEncoder, load_vision
+    from tpullm.mtmd.qwen_vl import Qwen2VLVision
+    from tpullm.tools.convert_hf import convert_hf_mmproj
+
+    mm = str(tmp_path / "omni.mmproj.gguf")
+    convert_hf_mmproj(str(d), mm, verbose=False)
+
+    # vision half ≡ qwen2.5vl graph
+    tower = load_vision(mm)
+    assert isinstance(tower, Qwen2VLVision) and tower.is_25
+    P, H, W = 4, 16, 16
+    rng = np.random.default_rng(49)
+    px = rng.normal(size=(3, H, W)).astype(np.float32)
+    got_emb = tower.encode_pixels(px)
+    m = 2
+    ph, pw = H // P, W // P
+    x = px.reshape(3, ph // m, m, P, pw // m, m, P)
+    patches = x.transpose(1, 4, 2, 5, 0, 3, 6).reshape(ph * pw, 3, P, P)
+    patches = np.repeat(patches[:, :, None], 2, axis=2).reshape(ph * pw, -1)
+    with torch.no_grad():
+        ref_emb = model.visual(torch.from_numpy(patches),
+                               grid_thw=torch.tensor([[1, ph, pw]])).numpy()
+    np.testing.assert_allclose(got_emb, ref_emb, rtol=2e-3, atol=2e-3)
+
+    # audio half: windowed attention over 2·n_window mel chunks
+    audio = WhisperAudioEncoder(mm)
+    assert audio.proj_type == "qwen2.5o" and audio.n_window == 4
+    L = 18  # chunks [8, 8, 2] → post-conv [4, 4, 1] = 9 → pooled 4
+    mel = rng.normal(size=(16, L)).astype(np.float32)
+    got_a = audio.encode_mel(mel)
+    assert got_a.shape == (4, 48)
+    import math
+
+    aftercnn = sum(math.ceil(c / 2) for c in (8, 8, 2))
+    with torch.no_grad():
+        ref_a = model.audio_tower(
+            input_features=torch.from_numpy(mel),
+            feature_lens=torch.tensor([L]),
+            aftercnn_lens=torch.tensor([aftercnn]),
+        ).last_hidden_state.numpy()
+    np.testing.assert_allclose(got_a, ref_a, rtol=2e-3, atol=2e-3)

@@ -16,7 +16,7 @@ def load_vision(path):
     from ..gguf.reader import GGUFReader
 
     proj = GGUFReader(path).metadata.get("clip.projector_type", "mlp")
-    if proj in ("qwen2vl_merger", "qwen2.5vl_merger"):
+    if proj in ("qwen2vl_merger", "qwen2.5vl_merger", "qwen2.5o"):
         return Qwen2VLVision(path)
     if proj == "qwen3vl_merger":
         from .qwen_vl import Qwen3VLVision

@@ -113,6 +113,9 @@ class WhisperAudioEncoder:
         self.eps = float(g("attention.layer_norm_epsilon", 1e-5))
         self.proj_type = str(md.get("clip.projector_type", "qwen2a"))
         self.stack_factor = int(g("projector.stack_factor", 8))
+        # qwen2.5-omni: attention windows of n_window post-conv frames,
+        # positions restarting per window (Qwen2_5OmniAudioEncoder)
+        self.n_window = int(g("window_size", 100))
 
         t = r.tensors
 
@@ -154,7 +157,9 @@ class WhisperAudioEncoder:
                 "down_w": arr(p + "ffn_down.weight"),
                 "down_b": maybe(p + "ffn_down.bias"),
             })
-        self._encode = jax.jit(self._forward)
+        self._encode = jax.jit(
+            self._forward_omni if self.proj_type == "qwen2.5o"
+            else self._forward)
 
     # -- graph ------------------------------------------------------------------
 
@@ -166,17 +171,11 @@ class WhisperAudioEncoder:
         )[0]
         return out + b[:, None]
 
-    def _forward(self, mel: jax.Array) -> jax.Array:
-        """mel [n_mel, n_frames] → projected audio embeddings [n_tok, E_llm]."""
+    def _blocks(self, x, mask=None):
+        """Pre-norm whisper encoder layers over [n_pos, E]; `mask` [T, T]
+        additive (block-diagonal for qwen2.5-omni attention windows)."""
         p = self.params
-        x = self._conv1d(mel, p["conv1_w"], p["conv1_b"], 1)
-        x = jax.nn.gelu(x, approximate=False)
-        x = self._conv1d(x, p["conv2_w"], p["conv2_b"], 2)
-        x = jax.nn.gelu(x, approximate=False)
-        x = x.T  # [n_pos, E]
         n_pos = x.shape[0]
-        x = x + p["pos_embd"][:n_pos]
-
         hd = self.n_embd // self.n_head
         for lyr in p["layers"]:
             h = layer_norm(x, lyr["ln1_w"], lyr["ln1_b"], self.eps)
@@ -184,6 +183,8 @@ class WhisperAudioEncoder:
             k = (h @ lyr["wk"].T).reshape(n_pos, self.n_head, hd)
             v = (h @ lyr["wv"].T + lyr["bv"]).reshape(n_pos, self.n_head, hd)
             scores = jnp.einsum("thd,shd->hts", q, k) * (hd ** -0.5)
+            if mask is not None:
+                scores = scores + mask[None]
             probs = jax.nn.softmax(scores, axis=-1)  # bidirectional
             attn = jnp.einsum("hts,shd->thd", probs, v).reshape(n_pos, self.n_embd)
             attn = attn @ lyr["wo"].T
@@ -200,6 +201,49 @@ class WhisperAudioEncoder:
             if lyr["down_b"] is not None:
                 down = down + lyr["down_b"]
             x = x + down
+        return x
+
+    def _forward_omni(self, mel: jax.Array) -> jax.Array:
+        """qwen2.5-omni audio: the mel splits into windows of 2·n_window
+        frames — each conv'd with positions restarting at 0 and attending
+        only within itself (Qwen2_5OmniAudioEncoder cu_seqlens) — then
+        stride-2 avg pool → ln_post → fc over the whole sequence."""
+        p = self.params
+        nw2 = 2 * self.n_window
+        L = mel.shape[1]
+        xs, win = [], []
+        for ci, off in enumerate(range(0, L, nw2)):
+            c = mel[:, off:off + nw2]
+            x = self._conv1d(c, p["conv1_w"], p["conv1_b"], 1)
+            x = jax.nn.gelu(x, approximate=False)
+            x = self._conv1d(x, p["conv2_w"], p["conv2_b"], 2)
+            x = jax.nn.gelu(x, approximate=False)
+            x = x.T
+            x = x + p["pos_embd"][: x.shape[0]]
+            xs.append(x)
+            win.append(np.full(x.shape[0], ci))
+        x = jnp.concatenate(xs, axis=0)
+        wid = jnp.asarray(np.concatenate(win))
+        mask = jnp.where(wid[:, None] == wid[None, :], 0.0, -jnp.inf)
+        x = self._blocks(x, mask)
+        T2 = (x.shape[0] // 2) * 2
+        x = x[:T2].reshape(T2 // 2, 2, -1).mean(axis=1)
+        x = layer_norm(x, p["post_ln_w"], p["post_ln_b"], self.eps)
+        y = x @ p["fc_w"].T
+        if p["fc_b"] is not None:
+            y = y + p["fc_b"]
+        return y
+
+    def _forward(self, mel: jax.Array) -> jax.Array:
+        """mel [n_mel, n_frames] → projected audio embeddings [n_tok, E_llm]."""
+        p = self.params
+        x = self._conv1d(mel, p["conv1_w"], p["conv1_b"], 1)
+        x = jax.nn.gelu(x, approximate=False)
+        x = self._conv1d(x, p["conv2_w"], p["conv2_b"], 2)
+        x = jax.nn.gelu(x, approximate=False)
+        x = x.T  # [n_pos, E]
+        x = x + p["pos_embd"][: x.shape[0]]
+        x = self._blocks(x)
 
         if self.proj_type == "qwen2a":
             # stride-2 avg pool over time BEFORE the post layernorm

@@ -56,7 +56,9 @@ class Qwen2VLVision:
         self.reader = r
         md = r.metadata
         self.proj_type = md.get("clip.projector_type", "qwen2vl_merger")
-        self.is_25 = self.proj_type == "qwen2.5vl_merger"
+        # qwen2.5o = qwen2.5-omni dual-modality mmproj; its vision half is
+        # the 2.5-VL graph (clip.cpp PROJECTOR_TYPE_QWEN25O → QWEN25VL)
+        self.is_25 = self.proj_type in ("qwen2.5vl_merger", "qwen2.5o")
         g = lambda k, d=None: md.get(f"clip.vision.{k}", d)
         self.patch_size = int(g("patch_size", 14))
         self.n_embd = int(g("embedding_length", 1280))

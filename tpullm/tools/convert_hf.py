@@ -818,6 +818,7 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
     model_type = cfg.get("model_type", "llama")
     vl_wrapped = model_type in ("qwen2_vl", "qwen2_5_vl", "mistral3",
                                 "qwen3_vl", "qwen3_vl_moe",
+                                "qwen2_5_omni", "qwen2_5_omni_thinker",
                                 "internvl", "llava", "qwen2_audio",
                                 "voxtral", "idefics3", "janus",
                                 "lfm2_vl", "lfm2-vl",
@@ -841,6 +842,12 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
         # GLM-4V text is an ordinary glm4 / glm4-moe stack (the reference
         # converts it under those archs; text-only M-RoPE ≡ standard rope)
         model_type = "glm4" if model_type == "glm4v" else "glm4_moe"
+    if model_type in ("qwen2_5_omni", "qwen2_5_omni_thinker"):
+        # the omni thinker text rides the qwen2vl arch (≡ Qwen2VLModel
+        # registered for Qwen2_5OmniModel); talker/token2wav are skipped
+        for k_, v_ in (cfg.get("thinker_config") or {}).items():
+            cfg.setdefault(k_, v_)
+        model_type = "qwen2_vl"
     if model_type == "internvl":
         # the InternVL wrapper's text model is an ordinary qwen2/llama —
         # convert the language model under ITS arch; --mmproj exports the
@@ -1278,6 +1285,10 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
     xielu_acc: dict[str, dict[int, float]] = {}  # apertus activation params
     for name, arr in _load_tensors(src_dir):
         if vl_wrapped:
+            if name.startswith(("talker.", "token2wav.")):
+                continue  # omni speech stack (not a text-LM component)
+            if name.startswith("thinker."):
+                name = name[len("thinker."):]
             if name.startswith(("model.visual.", "visual.",
                                 "model.vision_tower.", "vision_tower.",
                                 "model.audio_tower.", "audio_tower.",
@@ -1563,7 +1574,8 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
 _MMPROJ_VISION_TYPES = ("qwen2_vl", "qwen2_5_vl", "gemma3", "mistral3",
                         "internvl", "llava", "qwen2_audio", "voxtral",
                         "idefics3", "janus", "lfm2_vl", "lfm2-vl", "glm4v",
-                        "glm4v_moe", "llama4", "qwen3_vl", "qwen3_vl_moe")
+                        "glm4v_moe", "llama4", "qwen3_vl", "qwen3_vl_moe",
+                        "qwen2_5_omni", "qwen2_5_omni_thinker")
 
 
 def convert_hf_mmproj(src_dir: str, dst: str, verbose: bool = True) -> dict:
@@ -1599,6 +1611,8 @@ def convert_hf_mmproj(src_dir: str, dst: str, verbose: bool = True) -> dict:
         return _convert_llama4_mmproj(src_dir, dst, cfg, verbose)
     if model_type in ("qwen3_vl", "qwen3_vl_moe"):
         return _convert_qwen3vl_mmproj(src_dir, dst, cfg, verbose)
+    if model_type in ("qwen2_5_omni", "qwen2_5_omni_thinker"):
+        return _convert_qwen25o_mmproj(src_dir, dst, cfg, verbose)
     is25 = model_type == "qwen2_5_vl"
     vc = cfg["vision_config"]
     # 2.0: embed_dim is the tower width (hidden_size = LLM dim for the
@@ -2640,6 +2654,147 @@ def _convert_qwen3vl_mmproj(src_dir: str, dst: str, cfg: dict,
     put_if("mm.0.bias", "merger.linear_fc1.bias")
     put("mm.1.weight", sd["merger.linear_fc2.weight"])
     put_if("mm.1.bias", "merger.linear_fc2.bias")
+    w.write()
+    if verbose:
+        print(f"wrote mmproj {dst} ({n_tensors} tensors)")
+    return {"out": dst, "arch": "clip", "n_tensors": n_tensors}
+
+
+def _convert_qwen25o_mmproj(src_dir: str, dst: str, cfg: dict,
+                            verbose: bool) -> dict:
+    """Qwen2.5-Omni thinker towers → ONE dual-modality mmproj GGUF
+    (≡ convert_hf_to_gguf.py Qwen25OmniModel / clip.cpp
+    PROJECTOR_TYPE_QWEN25O, resolved to QWEN25VL or QWEN2A per modality):
+    the 2.5-VL vision tower (separate q/k/v here) plus the windowed whisper
+    audio tower with generated sinusoidal positions."""
+    from ..gguf.writer import GGUFWriter
+
+    th = cfg.get("thinker_config") or cfg
+    vc = th["vision_config"]
+    ac = th["audio_config"]
+    v_embd = int(vc["hidden_size"])
+    v_depth = int(vc["depth"])
+    a_embd = int(ac.get("d_model") or ac["hidden_size"])
+    a_layer = int(ac.get("encoder_layers") or ac["num_hidden_layers"])
+
+    sd = {}
+    for name, arr in _load_tensors(src_dir):
+        if name.startswith("thinker."):
+            name = name[len("thinker."):]
+        for pfx in ("visual.", "audio_tower."):
+            if name.startswith(pfx):
+                sd[name] = np.asarray(arr, dtype=np.float32)
+                break
+    if not sd:
+        raise ValueError(f"no thinker tower tensors found under {src_dir}")
+
+    w = GGUFWriter(dst, architecture="clip")
+    w.add_kv("clip.projector_type", "qwen2.5o")
+    w.add_kv("clip.has_vision_encoder", True)
+    w.add_kv("clip.has_audio_encoder", True)
+    # vision half (≡ the qwen2.5vl mmproj kvs)
+    w.add_kv("clip.vision.patch_size", int(vc.get("patch_size", 14)))
+    w.add_kv("clip.vision.embedding_length", v_embd)
+    w.add_kv("clip.vision.feed_forward_length",
+             int(vc.get("intermediate_size", 4 * v_embd)))
+    w.add_kv("clip.vision.block_count", v_depth)
+    w.add_kv("clip.vision.attention.head_count", int(vc["num_heads"]))
+    w.add_kv("clip.vision.attention.layer_norm_epsilon", 1e-6)
+    w.add_kv("clip.vision.spatial_merge_size",
+             int(vc.get("spatial_merge_size", 2)))
+    idx = sorted(vc.get("fullatt_block_indexes", []))
+    pattern = (idx[0] + 1) if idx else 0
+    if any((i + 1) % pattern for i in idx):
+        raise NotImplementedError(f"irregular fullatt_block_indexes {idx}")
+    w.add_kv("clip.vision.n_wa_pattern", pattern)
+    w.add_kv("clip.vision.window_size", int(vc.get("window_size", 112)))
+    # audio half (≡ the qwen2a mmproj kvs + the omni attention window)
+    w.add_kv("clip.audio.num_mel_bins", int(ac.get("num_mel_bins", 128)))
+    w.add_kv("clip.audio.embedding_length", a_embd)
+    w.add_kv("clip.audio.feed_forward_length",
+             int(ac.get("encoder_ffn_dim") or ac["intermediate_size"]))
+    w.add_kv("clip.audio.block_count", a_layer)
+    w.add_kv("clip.audio.attention.head_count",
+             int(ac.get("encoder_attention_heads")
+                 or ac["num_attention_heads"]))
+    w.add_kv("clip.audio.attention.layer_norm_epsilon", 1e-5)
+    w.add_kv("clip.audio.window_size", int(ac.get("n_window", 100)))
+    n_tensors = 0
+
+    def put(gname, a):
+        nonlocal n_tensors
+        w.add_tensor(gname, np.ascontiguousarray(a))
+        n_tensors += 1
+
+    def put_if(gname, key):
+        if key in sd:
+            put(gname, sd[key])
+
+    # ---- vision tensors
+    pw = sd["visual.patch_embed.proj.weight"]  # [C, 3, tps, P, P]
+    put("v.patch_embd.weight", pw[:, :, 0].reshape(v_embd, -1))
+    if pw.shape[2] > 1:
+        put("v.patch_embd.weight.1", pw[:, :, 1].reshape(v_embd, -1))
+    put_if("v.patch_embd.bias", "visual.patch_embed.proj.bias")
+    for i in range(v_depth):
+        hp_, gp = f"visual.blocks.{i}.", f"v.blk.{i}."
+        # omni splits the attention into separate q/k/v modules
+        for hf_nm, gg_nm in (("q", "attn_q"), ("k", "attn_k"),
+                             ("v", "attn_v")):
+            put(gp + gg_nm + ".weight", sd[hp_ + f"attn.{hf_nm}.weight"])
+            put_if(gp + gg_nm + ".bias", hp_ + f"attn.{hf_nm}.bias")
+        put(gp + "attn_out.weight", sd[hp_ + "attn.proj.weight"])
+        put_if(gp + "attn_out.bias", hp_ + "attn.proj.bias")
+        put(gp + "ln1.weight", sd[hp_ + "norm1.weight"])
+        put_if(gp + "ln1.bias", hp_ + "norm1.bias")
+        put(gp + "ln2.weight", sd[hp_ + "norm2.weight"])
+        put_if(gp + "ln2.bias", hp_ + "norm2.bias")
+        for g_, h_ in (("ffn_gate", "mlp.gate_proj"), ("ffn_up", "mlp.up_proj"),
+                       ("ffn_down", "mlp.down_proj")):
+            put(gp + g_ + ".weight", sd[hp_ + h_ + ".weight"])
+            put_if(gp + g_ + ".bias", hp_ + h_ + ".bias")
+    put("v.post_ln.weight", sd["visual.merger.ln_q.weight"])
+    put_if("v.post_ln.bias", "visual.merger.ln_q.bias")
+    put("mm.0.weight", sd["visual.merger.mlp.0.weight"])
+    put_if("mm.0.bias", "visual.merger.mlp.0.bias")
+    put("mm.2.weight", sd["visual.merger.mlp.2.weight"])
+    put_if("mm.2.bias", "visual.merger.mlp.2.bias")
+
+    # ---- audio tensors (SinusoidsPositionEmbedding is a buffer the HF
+    # checkpoint omits — regenerate it, ≡ Qwen25OmniModel
+    # generate_extra_tensors)
+    put("a.conv1d.1.weight", sd["audio_tower.conv1.weight"])
+    put("a.conv1d.1.bias", sd["audio_tower.conv1.bias"])
+    put("a.conv1d.2.weight", sd["audio_tower.conv2.weight"])
+    put("a.conv1d.2.bias", sd["audio_tower.conv2.bias"])
+    length = int(ac.get("max_source_positions", 1500))
+    half = a_embd // 2
+    log_inc = np.log(10000.0) / (half - 1)
+    inv = np.exp(-log_inc * np.arange(half))
+    t = np.arange(length)[:, None] * inv[None, :]
+    put("a.position_embd.weight",
+        np.concatenate([np.sin(t), np.cos(t)], axis=1).astype(np.float32))
+    for i in range(a_layer):
+        hp_, gp = f"audio_tower.layers.{i}.", f"a.blk.{i}."
+        put(gp + "ln1.weight", sd[hp_ + "self_attn_layer_norm.weight"])
+        put(gp + "ln1.bias", sd[hp_ + "self_attn_layer_norm.bias"])
+        put(gp + "attn_q.weight", sd[hp_ + "self_attn.q_proj.weight"])
+        put(gp + "attn_q.bias", sd[hp_ + "self_attn.q_proj.bias"])
+        put(gp + "attn_k.weight", sd[hp_ + "self_attn.k_proj.weight"])
+        put(gp + "attn_v.weight", sd[hp_ + "self_attn.v_proj.weight"])
+        put(gp + "attn_v.bias", sd[hp_ + "self_attn.v_proj.bias"])
+        put(gp + "attn_out.weight", sd[hp_ + "self_attn.out_proj.weight"])
+        put(gp + "attn_out.bias", sd[hp_ + "self_attn.out_proj.bias"])
+        put(gp + "ln2.weight", sd[hp_ + "final_layer_norm.weight"])
+        put(gp + "ln2.bias", sd[hp_ + "final_layer_norm.bias"])
+        put(gp + "ffn_up.weight", sd[hp_ + "fc1.weight"])
+        put(gp + "ffn_up.bias", sd[hp_ + "fc1.bias"])
+        put(gp + "ffn_down.weight", sd[hp_ + "fc2.weight"])
+        put(gp + "ffn_down.bias", sd[hp_ + "fc2.bias"])
+    put("a.post_ln.weight", sd["audio_tower.ln_post.weight"])
+    put("a.post_ln.bias", sd["audio_tower.ln_post.bias"])
+    put("mm.a.fc.weight", sd["audio_tower.proj.weight"])
+    put_if("mm.a.fc.bias", "audio_tower.proj.bias")
     w.write()
     if verbose:
         print(f"wrote mmproj {dst} ({n_tensors} tensors)")
