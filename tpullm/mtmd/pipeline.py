@@ -125,6 +125,10 @@ def generate_mtmd(engine, clip, text: str, images: list,
     sampler = sampler or Sampler(SamplerParams(temp=0.0))
     embds, positions, deepstack = build_multimodal_inputs(
         engine, clip, text, images, audio=audio)
+    if positions is not None:
+        # continuation: streams restart at 0 per build; shift them to the
+        # engine's current rope counter (n_past + delta)
+        positions = positions + engine.n_past + engine.rope_pos_delta
     logits = engine.prefill_embeddings(embds, positions=positions,
                                        deepstack=deepstack)
     if positions is not None:

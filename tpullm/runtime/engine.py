@@ -428,7 +428,8 @@ class Engine:
         buf = np.zeros((self.batch, bucket, E), dtype=np.float32)
         buf[0, :n] = embds
         if positions is None and deepstack is None:
-            pos = np.arange(self.n_past, self.n_past + bucket, dtype=np.int32)
+            rs = self.n_past + self.rope_pos_delta
+            pos = np.arange(rs, rs + bucket, dtype=np.int32)
             pos = np.broadcast_to(pos, (self.batch, bucket))
             if self._prefill_step is not None:
                 logits, self.cache = self._prefill_step(
@@ -444,8 +445,9 @@ class Engine:
                 out = np.asarray(logits[0, n - 1])
         else:
             if positions is None:
+                rs = self.n_past + self.rope_pos_delta
                 pos = np.broadcast_to(
-                    np.arange(self.n_past, self.n_past + bucket,
+                    np.arange(rs, rs + bucket,
                               dtype=np.int32), (self.batch, bucket))
             else:
                 S = positions.shape[0]
