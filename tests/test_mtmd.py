@@ -61,6 +61,11 @@ def np_clip_forward(reader, pixels):
     x = ln(x, t("v.post_ln.weight"), t("v.post_ln.bias"))
     x = x[1:]  # drop class token
     y = x @ t("mm.0.weight").T + t("mm.0.bias")
+    if "mm.1.weight" in reader.tensors:  # mlp_norm (Yi-VL)
+        y = ln(y, t("mm.1.weight"), t("mm.1.bias"))
+        y = gelu(y)
+        y = y @ t("mm.3.weight").T + t("mm.3.bias")
+        return ln(y, t("mm.4.weight"), t("mm.4.bias"))
     y = gelu(y) @ t("mm.2.weight").T + t("mm.2.bias")
     return y
 
@@ -751,3 +756,20 @@ def test_server_vision_chat_mrope(mmproj, tmp_path):
         asyncio.run(run())
     finally:
         sched.stop()
+
+
+def test_clip_mlp_norm_projector(tmp_path):
+    """Yi-VL mlp_norm projector (clip.cpp PROJECTOR_TYPE_MLP_NORM, detected
+    by the mm.1/mm.3/mm.4 norm tensors): mm.0 → LN → GELU → mm.3 → LN,
+    pinned against the numpy replica of the reference graph."""
+    from tpullm.models.testing import make_tiny_mmproj_gguf
+
+    path = make_tiny_mmproj_gguf(tmp_path / "yivl.gguf",
+                                 projector="mlp_norm")
+    clip = ClipVision(path)
+    rng = np.random.default_rng(9)
+    pixels = rng.standard_normal((3, 28, 28)).astype(np.float32) * 0.5
+    got = clip.encode(pixels[None])[0]
+    assert got.shape == (16, 64)
+    ref = np_clip_forward(clip.reader, pixels)
+    np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)

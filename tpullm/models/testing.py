@@ -650,6 +650,7 @@ def make_tiny_mmproj_gguf(
     n_head: int = 4,
     n_embd_llm: int = 64,
     seed: int = 0,
+    projector: str = "mlp",  # "mlp" (llava) or "mlp_norm" (Yi-VL)
 ) -> str:
     """Tiny CLIP ViT mmproj GGUF (llava projector), ≡ clip.cpp model files."""
     rng = np.random.default_rng(seed)
@@ -690,6 +691,18 @@ def make_tiny_mmproj_gguf(
         w.add_tensor(p + "ffn_down.bias", rand((n_embd,)))
     w.add_tensor("v.post_ln.weight", np.ones(n_embd, np.float32))
     w.add_tensor("v.post_ln.bias", rand((n_embd,)))
+    if projector == "mlp_norm":
+        # Yi-VL: mm.0 → LN(mm.1) → GELU → mm.3 → LN(mm.4)
+        w.add_tensor("mm.0.weight", rand((n_embd_llm, n_embd)))
+        w.add_tensor("mm.0.bias", rand((n_embd_llm,)))
+        w.add_tensor("mm.1.weight", rand((n_embd_llm,)) + 1.0)
+        w.add_tensor("mm.1.bias", rand((n_embd_llm,)))
+        w.add_tensor("mm.3.weight", rand((n_embd_llm, n_embd_llm)))
+        w.add_tensor("mm.3.bias", rand((n_embd_llm,)))
+        w.add_tensor("mm.4.weight", rand((n_embd_llm,)) + 1.0)
+        w.add_tensor("mm.4.bias", rand((n_embd_llm,)))
+        w.write()
+        return str(path)
     w.add_tensor("mm.0.weight", rand((n_embd_llm, n_embd)))
     w.add_tensor("mm.0.bias", rand((n_embd_llm,)))
     w.add_tensor("mm.2.weight", rand((n_embd_llm, n_embd_llm)))

@@ -66,6 +66,11 @@ class ClipVision:
             "mm0_b": maybe("mm.0.bias"),
             "mm2_w": maybe("mm.2.weight"),
             "mm2_b": maybe("mm.2.bias"),
+            # mlp_norm (Yi-VL, clip.cpp PROJECTOR_TYPE_MLP_NORM): LayerNorms
+            # after each linear — mm.0 → LN(mm.1) → GELU → mm.3 → LN(mm.4)
+            "mm1_w": maybe("mm.1.weight"), "mm1_b": maybe("mm.1.bias"),
+            "mm3_w": maybe("mm.3.weight"), "mm3_b": maybe("mm.3.bias"),
+            "mm4_w": maybe("mm.4.weight"), "mm4_b": maybe("mm.4.bias"),
         }
         for i in range(self.n_layer):
             p = f"v.blk.{i}."
@@ -146,6 +151,13 @@ class ClipVision:
         y = jnp.einsum("bte,de->btd", x, p["mm0_w"])
         if p["mm0_b"] is not None:
             y = y + p["mm0_b"]
+        if p["mm1_w"] is not None:  # mlp_norm (Yi-VL)
+            y = layer_norm(y, p["mm1_w"], p["mm1_b"], self.eps)
+            y = jax.nn.gelu(y, approximate=True)
+            y = jnp.einsum("btd,ed->bte", y, p["mm3_w"])
+            if p["mm3_b"] is not None:
+                y = y + p["mm3_b"]
+            return layer_norm(y, p["mm4_w"], p["mm4_b"], self.eps)
         if p["mm2_w"] is not None:
             y = jax.nn.gelu(y, approximate=True)
             y = jnp.einsum("btd,ed->bte", y, p["mm2_w"])
