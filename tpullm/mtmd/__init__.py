@@ -44,6 +44,10 @@ def load_vision(path):
         from .llama4 import Llama4Vision
 
         return Llama4Vision(path)
+    if proj == "cogvlm":
+        from .cogvlm import CogVLMVision
+
+        return CogVLMVision(path)
     if proj in ("pixtral", "lightonocr"):
         from .pixtral import PixtralVision
 
