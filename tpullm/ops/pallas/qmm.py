@@ -186,8 +186,12 @@ def _kernel(x_ref, *refs, gtype: GGMLType, plane_names: tuple[str, ...],
 )
 def _qmm_2d(x, planes_flat, gtype, M, K, N, plane_names, out_dtype, interpret):
     tk = min(TILE_K, K)
+    # largest lane-aligned divisor of N up to TILE_N (halving alone lands on
+    # 256 for vocab heads like 128256 = 768·167 where 768 is available)
     tn = min(TILE_N, N)
-    while N % tn:  # shrink to a divisor (≥128: supports() guarantees it)
+    while N % tn and tn > 128:
+        tn -= 128
+    while N % tn:  # last resort (supports() guarantees N % 128 == 0)
         tn //= 2
     tm = min(MAX_TILE_M, M)
     grid = (M // tm, N // tn, K // tk)

@@ -18,7 +18,7 @@ from ..models.hparams import HParams
 
 
 def _seq_write(cache_arr: jax.Array, new_arr: jax.Array, off,
-               seq_axis: int) -> jax.Array:
+               seq_axis: int, masked: bool = True) -> jax.Array:
     """Write `new_arr` (T wide on seq_axis) at sequence position `off` of
     `cache_arr` (S wide); off < 0 skips the write entirely.
 
@@ -29,11 +29,21 @@ def _seq_write(cache_arr: jax.Array, new_arr: jax.Array, off,
     rows; instead the window clamps left, the payload rolls right by the
     clamp distance so every real token still lands at its absolute
     position, and the wrapped-in columns keep the existing cache content.
+
+    masked=False asserts the caller guarantees 0 <= off <= S - T (scalar
+    decode-step writes, where engines bound the position before invoking
+    the program): skips the read-modify-write guard so XLA lowers a plain
+    in-place dynamic-update-slice inside the decode scan.
     """
     S = cache_arr.shape[seq_axis]
     T = new_arr.shape[seq_axis]
     off = jnp.asarray(off, jnp.int32)
     start = jnp.clip(off, 0, max(S - T, 0))
+    if not masked and T == 1:
+        starts = [0] * cache_arr.ndim
+        starts[seq_axis] = start
+        return jax.lax.dynamic_update_slice(
+            cache_arr, new_arr.astype(cache_arr.dtype), starts)
     shifted = jnp.roll(new_arr, off - start, axis=seq_axis)
     starts = [0] * cache_arr.ndim
     starts[seq_axis] = start
@@ -91,9 +101,11 @@ class KVCache:
         offset = jnp.asarray(offset)
         if offset.ndim == 0:
             k = self.k.at[layer].set(
-                _seq_write(self.k[layer], k_new, offset, seq_axis=2))
+                _seq_write(self.k[layer], k_new, offset, seq_axis=2,
+                           masked=k_new.shape[2] > 1))
             v = self.v.at[layer].set(
-                _seq_write(self.v[layer], v_new, offset, seq_axis=2))
+                _seq_write(self.v[layer], v_new, offset, seq_axis=2,
+                           masked=v_new.shape[2] > 1))
             return KVCache(k, v)
 
         def row(cache_row, new_row, off):
@@ -175,13 +187,17 @@ class QuantKVCache:
         offset = jnp.asarray(offset)
         if offset.ndim == 0:
             kq = self.k_q.at[layer].set(
-                _seq_write(self.k_q[layer], k_q, offset, seq_axis=2))
+                _seq_write(self.k_q[layer], k_q, offset, seq_axis=2,
+                           masked=k_q.shape[2] > 1))
             vq = self.v_q.at[layer].set(
-                _seq_write(self.v_q[layer], v_q, offset, seq_axis=2))
+                _seq_write(self.v_q[layer], v_q, offset, seq_axis=2,
+                           masked=v_q.shape[2] > 1))
             ks = self.k_s.at[layer].set(
-                _seq_write(self.k_s[layer], k_s, offset, seq_axis=2))
+                _seq_write(self.k_s[layer], k_s, offset, seq_axis=2,
+                           masked=k_s.shape[2] > 1))
             vs = self.v_s.at[layer].set(
-                _seq_write(self.v_s[layer], v_s, offset, seq_axis=2))
+                _seq_write(self.v_s[layer], v_s, offset, seq_axis=2,
+                           masked=v_s.shape[2] > 1))
             return QuantKVCache(kq, vq, ks, vs)
 
         def row4(cache_row, new_row, off):
