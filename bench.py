@@ -126,6 +126,20 @@ def bench_streams(model: str, n_par: int = 32, ctx: int = 1024,
             "per_stream_tok_s": round(tg / dt, 2)}
 
 
+def emit(tps: float, extra: dict):
+    """The ONE parsed line. Printed immediately after the primary phase and
+    re-printed (enriched) after each optional phase, so a timeout at ANY
+    later point still leaves a complete, parseable metric on stdout
+    (BENCH_r02 lost its number by printing only at the very end)."""
+    print(json.dumps({
+        "metric": "decode_tokens_per_sec_8B_Q4_K_M_single_chip",
+        "value": round(tps, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(tps / BASELINE_TG, 3),
+        "extra": extra,
+    }), flush=True)
+
+
 def main():
     # Device-acquisition watchdog: when the axon tunnel is down, jax device
     # init blocks forever retrying the relay. Bound it so the driver gets an
@@ -149,6 +163,15 @@ def main():
 
     threading.Thread(target=_watchdog, daemon=True).start()
 
+    # total wall budget: optional phases only START while enough remains for
+    # their cold-compile worst case, so the process exits cleanly instead of
+    # being killed mid-phase by the driver's own timeout
+    budget = float(os.environ.get("TPULLM_BENCH_BUDGET", "1500"))
+    t_start = time.time()
+
+    def remaining() -> float:
+        return budget - (time.time() - t_start)
+
     import jax
 
     log("devices:", jax.devices())
@@ -161,47 +184,48 @@ def main():
     log(f"load+repack: {time.time()-t0:.1f}s")
 
     tps, extra = bench_decode(eng)
+    emit(tps, extra)  # primary metric is now un-losable
 
     if os.environ.get("TPULLM_BENCH_QUICK"):  # decode-only A/B runs
-        print(json.dumps({
-            "metric": "decode_tokens_per_sec_8B_Q4_K_M_single_chip",
-            "value": round(tps, 2),
-            "unit": "tok/s",
-            "vs_baseline": round(tps / BASELINE_TG, 3),
-            "extra": extra,
-        }))
         return
 
-    try:
-        pp = bench_pp512(eng)
-        extra["pp512_tok_s"] = round(pp, 1)
-        extra["pp512_vs_baseline"] = round(pp / BASELINE_PP, 3)
-        log(f"pp512 steady-state: {pp:.1f} t/s")
-    except Exception as e:  # noqa: BLE001 — primary metric must still print
-        log("pp512 failed:", e)
+    # optional phases, cheapest-compile first; each re-emits on success.
+    # Worst-case estimates are COLD-compile times over the axon tunnel; with
+    # the persistent XLA cache warm they run in seconds.
+    if remaining() > 420:
+        try:
+            pp = bench_pp512(eng)
+            extra["pp512_tok_s"] = round(pp, 1)
+            extra["pp512_vs_baseline"] = round(pp / BASELINE_PP, 3)
+            log(f"pp512 steady-state: {pp:.1f} t/s")
+            emit(tps, extra)
+        except Exception as e:  # noqa: BLE001 — primary metric already out
+            log("pp512 failed:", e)
+    else:
+        log(f"skipping pp512: {remaining():.0f}s left < 420s worst case")
 
-    try:
-        ttft = bench_warm_ttft(eng)
-        extra["warm_ttft_p50_s"] = round(ttft, 4)
-        log(f"warm TTFT p50 (256-tok prompt): {ttft*1000:.1f} ms")
-    except Exception as e:  # noqa: BLE001
-        log("warm TTFT failed:", e)
+    if remaining() > 420:
+        try:
+            ttft = bench_warm_ttft(eng)
+            extra["warm_ttft_p50_s"] = round(ttft, 4)
+            log(f"warm TTFT p50 (256-tok prompt): {ttft*1000:.1f} ms")
+            emit(tps, extra)
+        except Exception as e:  # noqa: BLE001
+            log("warm TTFT failed:", e)
+    else:
+        log(f"skipping TTFT: {remaining():.0f}s left < 420s worst case")
 
-    del eng  # free HBM before the 32-stream engine loads its own copy
-    try:
-        streams = bench_streams(model)
-        extra["batch32"] = streams
-        log(f"32-stream: {streams['agg_tok_s']} tok/s aggregate")
-    except Exception as e:  # noqa: BLE001
-        log("32-stream failed:", e)
-
-    print(json.dumps({
-        "metric": "decode_tokens_per_sec_8B_Q4_K_M_single_chip",
-        "value": round(tps, 2),
-        "unit": "tok/s",
-        "vs_baseline": round(tps / BASELINE_TG, 3),
-        "extra": extra,
-    }))
+    if remaining() > 700:
+        del eng  # free HBM before the 32-stream engine loads its own copy
+        try:
+            streams = bench_streams(model)
+            extra["batch32"] = streams
+            log(f"32-stream: {streams['agg_tok_s']} tok/s aggregate")
+            emit(tps, extra)
+        except Exception as e:  # noqa: BLE001
+            log("32-stream failed:", e)
+    else:
+        log(f"skipping 32-stream: {remaining():.0f}s left < 700s worst case")
 
 
 if __name__ == "__main__":

@@ -135,6 +135,49 @@ def test_deepseek2_generation_runs(ds2_model):
     assert isinstance(eng.generate("the quick", max_new_tokens=6), str)
 
 
+def test_mla_absorbed_matches_decompressed(ds2_model, monkeypatch):
+    """The absorbed-latent MQA path (MLACache, reference is_mla=true) must
+    produce the decompressed-MHA oracle's logits (is_mla=false): absorption
+    only reassociates the wkv_b matmuls."""
+    from tpullm.runtime.kvcache import KVCache, MLACache
+
+    eng = Engine(ds2_model, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    assert isinstance(eng.cache, MLACache)
+    toks = eng.tokenizer.tokenize("the quick brown fox", add_special=True)
+    absorbed = eng.prefill(toks)
+    step_abs = eng.decode_step(int(np.argmax(absorbed)))
+
+    monkeypatch.setenv("TPULLM_MLA", "0")
+    ref = Engine(ds2_model, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    assert isinstance(ref.cache, KVCache)
+    oracle = ref.prefill(toks)
+    step_ref = ref.decode_step(int(np.argmax(oracle)))
+    np.testing.assert_allclose(absorbed, oracle, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(step_abs, step_ref, rtol=2e-3, atol=2e-3)
+
+
+def test_mla_cache_stores_latent_width(ds2_model, monkeypatch):
+    """KV bytes: the absorbed cache holds kvr+n_rot floats per token-layer
+    vs the decompressed cache's n_head·(Dk+Dv) — the reference's MLA memory
+    win (llama-kv-cache.cpp:138 caches the latent)."""
+    eng = Engine(ds2_model, mode="dense", max_seq=64)
+    hp = eng.hp
+    latent = hp.n_lora_kv + hp.rope.dims
+    assert eng.cache.c.shape[2:] == (1, 64, latent)
+    abs_bytes = eng.cache.c.size * eng.cache.c.dtype.itemsize
+
+    monkeypatch.setenv("TPULLM_MLA", "0")
+    ref = Engine(ds2_model, mode="dense", max_seq=64)
+    ref_bytes = (ref.cache.k.size * ref.cache.k.dtype.itemsize
+                 + ref.cache.v.size * ref.cache.v.dtype.itemsize)
+    dk = hp.head_dim_k_mla or hp.head_dim
+    dv = hp.head_dim_v_mla or hp.head_dim_v
+    assert ref_bytes / abs_bytes == pytest.approx(
+        hp.n_head * (dk + dv) / latent)
+
+
 def test_minicpm3_rides_mla_graph(tmp_path):
     """minicpm3 = deepseek2's MLA graph + minicpm multipliers
     (llm_build_minicpm3: scale_embd=12, scale_depth residuals, scaled head)."""

@@ -1,12 +1,21 @@
 """DeepSeek-V2/V3 decoder (MLA + MoE).
 
-Reference graph: llm_build_deepseek2 (src/models/deepseek2.cpp). This is the
-non-absorbed MLA path (the reference's is_mla=false branch): the compressed
-KV latent is decompressed per token through wkv_b so attention runs as plain
-MHA over [k_nope | k_rope] keys — which drops straight onto the shared KV
-cache and attention op. The cache-the-latent absorption trick (MQA over
-kv_lora_rank+rope, the fork's DKQ=576/DV=512 FA case) is a memory
-optimization left for a later round.
+Reference graph: llm_build_deepseek2 (src/models/deepseek2.cpp). Two MLA
+attention forms, matching the reference's is_mla branches:
+
+* **Absorbed (default)** — the is_mla=true branch: the cache stores the
+  compressed latent [kv_cmpr | k_pe] (kv_lora_rank + n_rot wide, MQA) and
+  wkv_b's two halves are absorbed into the query/output sides
+  (q_nope·wk_b scores against the latent directly; values ARE the latent,
+  projected by wv_b after attention). Matches the reference's MLA cache
+  (llama-kv-cache.cpp:138) and the DKQ=576/DV=512 attention shape
+  (ggml-cuda/fattn.cu dkq576 instances). ~71× less KV HBM for DeepSeek-V2.
+  Opt out with TPULLM_MLA=0.
+* **Decompressed** — the is_mla=false branch: the latent is decompressed
+  per token through wkv_b and attention runs as plain MHA over
+  [k_nope | k_rope]; kept as the reference oracle and the TPULLM_MLA=0
+  fallback. The forward picks the branch from the cache type (MLACache ⇒
+  absorbed), so both compile from the same code.
 
 Covers: optional q LoRA compression (wq_a/wq_b + q_a_norm), kv compression
 (wkv_a_mqa + kv_a_norm), decoupled rope head (q_pe/k_pe, rope applies to the
@@ -15,6 +24,8 @@ expert selection (exp_probs_b) and always-on shared experts.
 """
 
 from __future__ import annotations
+
+import os
 
 import jax
 import jax.numpy as jnp
@@ -29,6 +40,21 @@ from .hparams import HParams
 from .llama import Params, output_head
 from .qwen_moe import _experts
 from .weights import load_embedding, load_linear, load_vector
+
+
+def mla_absorbed(hp: HParams) -> bool:
+    """Whether this model runs the absorbed-latent MLA path (default on for
+    every MLA model; TPULLM_MLA=0 selects the decompressed oracle)."""
+    return hp.n_lora_kv > 0 and os.environ.get("TPULLM_MLA", "1") != "0"
+
+
+def _mla_dims(hp: HParams) -> tuple[int, int, int, int]:
+    """(Dk, Dv, n_rot, n_nope) — per-head MLA dims (converted GGUFs carry
+    the true per-head dims in *_mla; synthetic fixtures in the plain keys)."""
+    Dk = hp.head_dim_k_mla or hp.head_dim
+    Dv = hp.head_dim_v_mla or hp.head_dim_v
+    n_rot = hp.rope.dims
+    return Dk, Dv, n_rot, Dk - n_rot
 
 
 def build_params(r: GGUFReader, hp: HParams, mode: str = "auto",
@@ -64,6 +90,21 @@ def build_params(r: GGUFReader, hp: HParams, mode: str = "auto",
             "wo": linear(p + "attn_output.weight"),
             "ffn_norm": vec(p + "ffn_norm.weight"),
         }
+        if mla_absorbed(hp):
+            # absorb wkv_b's two halves (per-head [k_nope; v] row blocks,
+            # ≡ the reference's wk_b/wv_b views of attn_kv_b): wk_b folds
+            # into the query side, wv_b projects the latent attention
+            # output. Small (H·Dk·kvr ≈ 17 MB bf16 for V2), kept dense.
+            import numpy as np
+
+            _, Dv, _, n_nope = _mla_dims(hp)
+            kvb = t[p + "attn_kv_b.weight"].to_numpy()  # (H·(n_nope+Dv), kvr)
+            kvb = kvb.reshape(hp.n_head, n_nope + Dv, hp.n_lora_kv)
+            layer["wk_b"] = jnp.asarray(
+                np.ascontiguousarray(kvb[:, :n_nope, :]), dtype)
+            layer["wv_b"] = jnp.asarray(
+                np.ascontiguousarray(kvb[:, n_nope:, :]), dtype)
+            layer["wkv_b"] = None  # decompression matrix unused when absorbed
         if p + "ffn_gate_inp.weight" not in t:
             # dense lead layer; plm is all-dense with a gateless ReLU²
             # sequential FFN (llm_build_plm LLM_FFN_RELU_SQR)
@@ -100,14 +141,14 @@ def forward(
 ) -> tuple[jax.Array, KVCache]:
     B, T = tokens.shape
     H = hp.n_head
-    # converted GGUFs carry the MQA-form key/value lengths in the plain
-    # keys and the true per-head MLA dims in *_mla (DeepseekV2Model
-    # add_key_length_mla); synthetic fixtures only set the plain keys
-    Dk = hp.head_dim_k_mla or hp.head_dim  # qk_nope + qk_rope
-    Dv = hp.head_dim_v_mla or hp.head_dim_v
-    n_rot = hp.rope.dims      # decoupled rope head width
-    n_nope = Dk - n_rot
+    Dk, Dv, n_rot, n_nope = _mla_dims(hp)
     kvr = hp.n_lora_kv
+    # the cache type selects the attention form: MLACache ⇒ absorbed MQA
+    # over the latent (reference is_mla=true), plain KVCache ⇒ decompressed
+    # MHA (is_mla=false oracle)
+    from ..runtime.kvcache import MLACache
+
+    absorbed = isinstance(cache, MLACache)
     x = params["tok_embd"][tokens]
     if hp.embd_scale != 1.0:  # minicpm3 scale_embd
         x = x * jnp.asarray(hp.embd_scale, x.dtype)
@@ -138,21 +179,38 @@ def forward(
         k_pe = kv_pe[..., kvr:].reshape(B, T, 1, n_rot)
         k_pe = apply_rope(k_pe, positions, hp.rope)
 
-        kv = layer["wkv_b"](kv_cmpr).reshape(B, T, H, n_nope + Dv)
-        k_nope = kv[..., :n_nope]
-        v = kv[..., n_nope:]
+        if absorbed:
+            # q_nope·wk_b scores straight against the cached latent; the
+            # per-token wkv_b decompression disappears from the hot loop
+            q_abs = jnp.einsum(
+                "bthd,hdc->bthc", q_nope, layer["wk_b"].astype(q_nope.dtype))
+            qf = jnp.concatenate([q_abs, q_pe], axis=-1)  # [B,T,H,kvr+n_rot]
+            latent = jnp.concatenate(
+                [kv_cmpr.reshape(B, T, 1, kvr), k_pe], axis=-1)
+            cache = cache.update(
+                li, latent.transpose(0, 2, 1, 3), None, cache_offset)
+            o = attention_cached(
+                qf, cache, li, mask, scale, offsets=offsets)  # [B,T,H,kvr]
+            attn_out = jnp.einsum(
+                "bthc,hec->bthe", o, layer["wv_b"].astype(o.dtype))
+            attn_out = layer["wo"](attn_out.reshape(B, T, H * Dv))
+        else:
+            kv = layer["wkv_b"](kv_cmpr).reshape(B, T, H, n_nope + Dv)
+            k_nope = kv[..., :n_nope]
+            v = kv[..., n_nope:]
 
-        qf = jnp.concatenate([q_nope, q_pe], axis=-1)  # [B,T,H,Dk]
-        kf = jnp.concatenate(
-            [k_nope, jnp.broadcast_to(k_pe, (B, T, H, n_rot))], axis=-1
-        )
+            qf = jnp.concatenate([q_nope, q_pe], axis=-1)  # [B,T,H,Dk]
+            kf = jnp.concatenate(
+                [k_nope, jnp.broadcast_to(k_pe, (B, T, H, n_rot))], axis=-1
+            )
 
-        cache = cache.update(
-            li, kf.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), cache_offset
-        )
-        attn_out = attention_cached(
-            qf, cache, li, mask, scale, offsets=offsets)
-        attn_out = layer["wo"](attn_out.reshape(B, T, H * Dv))
+            cache = cache.update(
+                li, kf.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
+                cache_offset
+            )
+            attn_out = attention_cached(
+                qf, cache, li, mask, scale, offsets=offsets)
+            attn_out = layer["wo"](attn_out.reshape(B, T, H * Dv))
         if res_scale != 1.0:
             attn_out = attn_out * jnp.asarray(res_scale, attn_out.dtype)
         x = x + attn_out

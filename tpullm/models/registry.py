@@ -216,15 +216,25 @@ def _ensure_builtin():
     # minicpm3 = the MLA graph + minicpm multipliers (llm_build_minicpm3);
     # plm = all-dense MLA with gateless ReLU² FFN (llm_build_plm)
     def _mla_cache(hp, batch, max_len, dtype):
-        # converted deepseek2 GGUFs store head_count_kv=1 (MQA form) but the
-        # decompressed attention caches full per-head k/v at the MLA dims
+        import jax.numpy as _j
+
+        dt = _j.bfloat16 if isinstance(dtype, str) else dtype
+        if deepseek2.mla_absorbed(hp):
+            # absorbed path: cache the kv_lora_rank+rope latent, MQA-style
+            # (≡ llama-kv-cache.cpp:138 MLA cache; ~71× less HBM than the
+            # decompressed form for DeepSeek-V2). A string kv dtype (q8)
+            # falls back to bf16 — the latent is already 71× smaller.
+            from ..runtime.kvcache import MLACache
+
+            return MLACache.new(hp.n_layer, batch, max_len, hp.n_lora_kv,
+                                hp.rope.dims, dt)
+        # decompressed oracle (TPULLM_MLA=0): converted deepseek2 GGUFs store
+        # head_count_kv=1 (MQA form) but this branch caches full per-head
+        # k/v at the MLA dims
         from ..runtime.kvcache import KVCache, make_cache as _mk
 
         if not hp.head_dim_k_mla:
             return _mk(hp, batch, max_len, dtype)
-        import jax.numpy as _j
-
-        dt = _j.bfloat16 if isinstance(dtype, str) else dtype
         return KVCache(
             _jnp.zeros((hp.n_layer, batch, hp.n_head, max_len,
                         hp.head_dim_k_mla), dt),

@@ -479,6 +479,13 @@ class Engine:
 
     def decode_step(self, token: int) -> np.ndarray:
         """Feed one token; returns next-token logits [n_vocab]."""
+        if self.n_past >= self.max_seq:
+            # guards the kvcache masked=False single-token write precondition
+            # (0 <= off <= S-1): an out-of-range write would silently clamp
+            # into slot S-1 instead of erroring
+            raise ValueError(
+                f"context overflow: decode at n_past={self.n_past} >= "
+                f"max_seq={self.max_seq}")
         t0 = time.perf_counter()
         toks = jnp.full((self.batch, 1), token, dtype=jnp.int32)
         pos = jnp.asarray(self._positions(1))

@@ -20,7 +20,8 @@ from ..models.hparams import HParams
 def _seq_write(cache_arr: jax.Array, new_arr: jax.Array, off,
                seq_axis: int, masked: bool = True) -> jax.Array:
     """Write `new_arr` (T wide on seq_axis) at sequence position `off` of
-    `cache_arr` (S wide); off < 0 skips the write entirely.
+    `cache_arr` (S wide); on the masked path (the default), off < 0 skips
+    the write entirely.
 
     Prefill buckets can overshoot the context end (off + bucket > S even
     though every REAL token fits — the engines only guarantee
@@ -32,8 +33,11 @@ def _seq_write(cache_arr: jax.Array, new_arr: jax.Array, off,
 
     masked=False asserts the caller guarantees 0 <= off <= S - T (scalar
     decode-step writes, where engines bound the position before invoking
-    the program): skips the read-modify-write guard so XLA lowers a plain
-    in-place dynamic-update-slice inside the decode scan.
+    the program — Engine.decode_step raises on overflow and the draft
+    speculator caps its proposals at the cache end): skips both the
+    negative-offset skip guard and the read-modify-write clamp handling so
+    XLA lowers a plain in-place dynamic-update-slice inside the decode
+    scan. An out-of-range offset on this path clamps instead of skipping.
     """
     S = cache_arr.shape[seq_axis]
     T = new_arr.shape[seq_axis]
@@ -211,6 +215,68 @@ class QuantKVCache:
         ks = self.k_s.at[layer].set(jax.vmap(row3)(self.k_s[layer], k_s, offset))
         vs = self.v_s.at[layer].set(jax.vmap(row3)(self.v_s[layer], v_s, offset))
         return QuantKVCache(kq, vq, ks, vs)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class MLACache:
+    """Absorbed-MLA latent cache (≡ the reference's is_mla branch:
+    llama-kv-cache.cpp:138 caches the kv_lora_rank+rope latent and
+    llm_build_deepseek2 runs MQA at DKQ=kv_lora_rank+n_rot, DV=kv_lora_rank;
+    fattn.cu dkq576/dv512 template instances).
+
+    One plane per layer: c[..., :kvr] is the compressed KV latent (shared by
+    K-nope scores AND values — V is a zero-copy view), c[..., kvr:] the
+    decoupled rope key. Per cached token this stores kvr+n_rot floats
+    instead of the decompressed n_head·(head_dim_k+head_dim_v) — ~71× less
+    HBM for DeepSeek-V2 (576 vs 128·(192+128)).
+    """
+
+    c: jax.Array  # [n_layer, B, 1, S, kvr + n_rot]
+    kvr: int  # static: latent width (value slice)
+
+    def tree_flatten(self):
+        return (self.c,), (self.kvr,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux[0])
+
+    @property
+    def max_len(self) -> int:
+        return self.c.shape[3]
+
+    @property
+    def batch(self) -> int:
+        return self.c.shape[1]
+
+    @classmethod
+    def new(cls, n_layer: int, batch: int, max_len: int, kvr: int,
+            n_rot: int, dtype=jnp.bfloat16) -> "MLACache":
+        return cls(
+            jnp.zeros((n_layer, batch, 1, max_len, kvr + n_rot), dtype), kvr
+        )
+
+    def kv(self, layer: int) -> tuple[jax.Array, jax.Array]:
+        """(k, v): k [B, 1, S, kvr+n_rot]; v is the latent slice of k."""
+        k = self.c[layer]
+        return k, k[..., : self.kvr]
+
+    def update(self, layer: int, k_new: jax.Array, v_new=None, offset=0) -> "MLACache":
+        """Write the combined latent row k_new [B, 1, T, kvr+n_rot] at
+        `offset` (scalar or [B] per-slot vector; negative row skips)."""
+        offset = jnp.asarray(offset)
+        if offset.ndim == 0:
+            c = self.c.at[layer].set(
+                _seq_write(self.c[layer], k_new, offset, seq_axis=2,
+                           masked=k_new.shape[2] > 1))
+            return MLACache(c, self.kvr)
+
+        def row(cache_row, new_row, off):
+            return _seq_write(cache_row, new_row, off, seq_axis=1)
+
+        c_l = jax.vmap(row)(self.c[layer], k_new, offset)
+        return MLACache(self.c.at[layer].set(c_l), self.kvr)
 
 
 @jax.tree_util.register_pytree_node_class

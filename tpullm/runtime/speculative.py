@@ -44,7 +44,12 @@ class DraftModelSpeculator:
             self.engine.prefill(list(ctx[self.engine.n_past : want]))
 
     def propose(self, cur: int, max_tokens: int) -> list[int]:
-        k = min(self.n_draft, max_tokens)
+        # cap at the draft cache's remaining room: prefill([cur]) consumes one
+        # slot and each decode_step another — without the cap, steps past
+        # max_seq would violate the kvcache masked=False write precondition
+        # (0 <= off <= S-T) and clobber slot S-1
+        room = self.engine.max_seq - self.engine.n_past - 1
+        k = min(self.n_draft, max_tokens, room)
         if k <= 0:
             return []
         logits = self.engine.prefill([cur])

@@ -44,6 +44,10 @@ def save_state(engine, path, tokens: list[int] | None = None):
             "slot_pos": np.asarray(cache.slot_pos[0]),
             "swa_window": cache.window,
         }
+    elif hasattr(cache, "c"):  # MLACache: the latent plane IS the state
+        k = np.asarray(cache.c[:, 0, :, :n], dtype=np.float32)
+        v = np.zeros((0,), dtype=np.float32)
+        extra = {"mla_kvr": cache.kvr}
     else:
         k = np.asarray(cache.k[:, 0, :, :n], dtype=np.float32)  # [L, Hkv, n, Dk]
         v = np.asarray(cache.v[:, 0, :, :n], dtype=np.float32)
@@ -86,6 +90,14 @@ def load_state(engine, path) -> list[int]:
             cache.slot_pos.at[0].set(jnp.asarray(z["slot_pos"], jnp.int32)),
             cache.layer_map, cache.window,
         )
+    elif "mla_kvr" in z.files:
+        cache = engine.cache
+        if not hasattr(cache, "c") or int(z["mla_kvr"]) != cache.kvr:
+            raise ValueError("MLA state file needs a matching MLACache engine")
+        if n:
+            c = cache.c.at[:, 0, :, :n].set(
+                jnp.asarray(z["k"], cache.c.dtype))
+            engine.cache = type(cache)(c, cache.kvr)
     else:
         _write_rows(engine, 0, z["k"], z["v"], n)
     engine.n_past = n
