@@ -43,16 +43,49 @@ def make_ql(K, N, gtype, seed=0):
     return QuantLinear(gtype, N, K, planes)
 
 
-def bench(fn, *args):
-    out = jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    out = jax.block_until_ready(fn(*args))
-    return time.perf_counter() - t0, out
+def bench(fn, xs, *args):
+    """Time fn over a list of DISTINCT first arguments, forcing completion
+    with a value READBACK (np.asarray): under the axon tunnel
+    block_until_ready returns before device work completes, and identical
+    buffers can be served from a client result cache — both observed as
+    'matmuls' finishing in 2µs. The per-sweep readback cost is one [M,1]
+    f32 per call; subtract the measured no-op floor."""
+    out = np.asarray(fn(xs[0], *args))  # compile + settle
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for x in xs:
+            np.asarray(fn(x, *args))
+        best = min(best, (time.perf_counter() - t0) / len(xs))
+    return best, out
+
+
+_FLOOR = None
+
+
+def dispatch_floor() -> float:
+    """Round-trip seconds for a trivial jitted op + readback (the tunnel's
+    fixed cost, subtracted from per-call times)."""
+    global _FLOOR
+    if _FLOOR is None:
+        tiny = jnp.zeros((M, 1), jnp.float32)
+        f = jax.jit(lambda v: v + 1.0)
+        np.asarray(f(tiny))
+        t0 = time.perf_counter()
+        n = 8
+        for _ in range(n):
+            tiny = f(tiny)
+            np.asarray(tiny)
+        _FLOOR = (time.perf_counter() - t0) / n
+        print(f"dispatch+readback floor: {_FLOOR*1e6:.0f} us")
+    return _FLOOR
 
 
 def time_qmm(ql, label):
     K, N = ql.n_in, ql.n_out
-    x = jnp.asarray(np.random.default_rng(1).normal(size=(M, K)), jnp.bfloat16)
+    rng = np.random.default_rng(1)
+    xs = [jnp.asarray(rng.normal(size=(M, K)), jnp.bfloat16)
+          for _ in range(4)]
     nbytes = sum(p.size * p.dtype.itemsize for p in ql.planes.values())
 
     @jax.jit
@@ -66,8 +99,8 @@ def time_qmm(ql, label):
         _, acc = jax.lax.fori_loop(0, ITERS, body, (x, jnp.zeros((M, 1), jnp.float32)))
         return acc
 
-    dt, _ = bench(loop, x, ql)
-    per = dt / ITERS
+    dt, _ = bench(loop, xs, ql)
+    per = max(dt - dispatch_floor(), 1e-9) / ITERS
     gbs = nbytes / per / 1e9
     print(f"{label:28s} K={K:6d} N={N:6d} {per*1e6:8.1f} us  "
           f"{gbs:7.1f} GB/s  ({100*gbs/HBM_GBs:5.1f}% roof)  "
@@ -77,7 +110,9 @@ def time_qmm(ql, label):
 
 def time_dense(K, N, label):
     w = jnp.asarray(np.random.default_rng(2).normal(size=(K, N)), jnp.bfloat16)
-    x = jnp.asarray(np.random.default_rng(1).normal(size=(M, K)), jnp.bfloat16)
+    rng = np.random.default_rng(1)
+    xs = [jnp.asarray(rng.normal(size=(M, K)), jnp.bfloat16)
+          for _ in range(4)]
 
     @jax.jit
     def loop(x, w):
@@ -90,8 +125,8 @@ def time_dense(K, N, label):
         _, acc = jax.lax.fori_loop(0, ITERS, body, (x, jnp.zeros((M, 1), jnp.float32)))
         return acc
 
-    dt, _ = bench(loop, x, w)
-    per = dt / ITERS
+    dt, _ = bench(loop, xs, w)
+    per = max(dt - dispatch_floor(), 1e-9) / ITERS
     nbytes = K * N * 2
     gbs = nbytes / per / 1e9
     print(f"{label:28s} K={K:6d} N={N:6d} {per*1e6:8.1f} us  "
