@@ -18,10 +18,20 @@ from ..models.hparams import HParams
 
 
 def _seq_write(cache_arr: jax.Array, new_arr: jax.Array, off,
-               seq_axis: int, masked: bool = True) -> jax.Array:
+               seq_axis: int, masked: bool = True,
+               layer: int | None = None) -> jax.Array:
     """Write `new_arr` (T wide on seq_axis) at sequence position `off` of
     `cache_arr` (S wide); on the masked path (the default), off < 0 skips
     the write entirely.
+
+    With `layer` given, `cache_arr` is the FULL [L, ...] cache, `new_arr`
+    has the per-layer shape (no leading L), and `seq_axis` is relative to
+    the per-layer shape. Every read/write then addresses the
+    (layer, ..., start, ...) window of the full array directly — one
+    dynamic-update-slice XLA keeps in place on the donated buffer. The
+    earlier slice-the-layer-out / .at[layer].set(...) spelling forced a
+    whole-layer copy per (layer, step) inside the decode scan: measured
+    −13% single-stream decode tok/s (87.9 → 76.5, BENCH r1 vs r2).
 
     Prefill buckets can overshoot the context end (off + bucket > S even
     though every REAL token fits — the engines only guarantee
@@ -39,18 +49,21 @@ def _seq_write(cache_arr: jax.Array, new_arr: jax.Array, off,
     XLA lowers a plain in-place dynamic-update-slice inside the decode
     scan. An out-of-range offset on this path clamps instead of skipping.
     """
+    if layer is not None:
+        new_arr = new_arr[None]
+        seq_axis = seq_axis + 1
     S = cache_arr.shape[seq_axis]
     T = new_arr.shape[seq_axis]
     off = jnp.asarray(off, jnp.int32)
     start = jnp.clip(off, 0, max(S - T, 0))
+    starts = [0] * cache_arr.ndim
+    starts[seq_axis] = start
+    if layer is not None:
+        starts[0] = layer
     if not masked and T == 1:
-        starts = [0] * cache_arr.ndim
-        starts[seq_axis] = start
         return jax.lax.dynamic_update_slice(
             cache_arr, new_arr.astype(cache_arr.dtype), starts)
     shifted = jnp.roll(new_arr, off - start, axis=seq_axis)
-    starts = [0] * cache_arr.ndim
-    starts[seq_axis] = start
     cur = jax.lax.dynamic_slice(cache_arr, starts, new_arr.shape)
     colpos = start + jnp.arange(T, dtype=jnp.int32)
     keep_new = (off >= 0) & (colpos >= off)
@@ -104,12 +117,10 @@ class KVCache:
         """
         offset = jnp.asarray(offset)
         if offset.ndim == 0:
-            k = self.k.at[layer].set(
-                _seq_write(self.k[layer], k_new, offset, seq_axis=2,
-                           masked=k_new.shape[2] > 1))
-            v = self.v.at[layer].set(
-                _seq_write(self.v[layer], v_new, offset, seq_axis=2,
-                           masked=v_new.shape[2] > 1))
+            k = _seq_write(self.k, k_new, offset, seq_axis=2,
+                           masked=k_new.shape[2] > 1, layer=layer)
+            v = _seq_write(self.v, v_new, offset, seq_axis=2,
+                           masked=v_new.shape[2] > 1, layer=layer)
             return KVCache(k, v)
 
         def row(cache_row, new_row, off):
@@ -190,18 +201,15 @@ class QuantKVCache:
         v_q, v_s = self._quantize(v_new)
         offset = jnp.asarray(offset)
         if offset.ndim == 0:
-            kq = self.k_q.at[layer].set(
-                _seq_write(self.k_q[layer], k_q, offset, seq_axis=2,
-                           masked=k_q.shape[2] > 1))
-            vq = self.v_q.at[layer].set(
-                _seq_write(self.v_q[layer], v_q, offset, seq_axis=2,
-                           masked=v_q.shape[2] > 1))
-            ks = self.k_s.at[layer].set(
-                _seq_write(self.k_s[layer], k_s, offset, seq_axis=2,
-                           masked=k_s.shape[2] > 1))
-            vs = self.v_s.at[layer].set(
-                _seq_write(self.v_s[layer], v_s, offset, seq_axis=2,
-                           masked=v_s.shape[2] > 1))
+            masked = k_q.shape[2] > 1
+            kq = _seq_write(self.k_q, k_q, offset, seq_axis=2,
+                            masked=masked, layer=layer)
+            vq = _seq_write(self.v_q, v_q, offset, seq_axis=2,
+                            masked=masked, layer=layer)
+            ks = _seq_write(self.k_s, k_s, offset, seq_axis=2,
+                            masked=masked, layer=layer)
+            vs = _seq_write(self.v_s, v_s, offset, seq_axis=2,
+                            masked=masked, layer=layer)
             return QuantKVCache(kq, vq, ks, vs)
 
         def row4(cache_row, new_row, off):
@@ -267,9 +275,8 @@ class MLACache:
         `offset` (scalar or [B] per-slot vector; negative row skips)."""
         offset = jnp.asarray(offset)
         if offset.ndim == 0:
-            c = self.c.at[layer].set(
-                _seq_write(self.c[layer], k_new, offset, seq_axis=2,
-                           masked=k_new.shape[2] > 1))
+            c = _seq_write(self.c, k_new, offset, seq_axis=2,
+                           masked=k_new.shape[2] > 1, layer=layer)
             return MLACache(c, self.kvr)
 
         def row(cache_row, new_row, off):
