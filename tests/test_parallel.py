@@ -67,6 +67,7 @@ def test_tp_param_shardings(model8):
     assert down.sharding.spec == P("model", None)
 
 
+@pytest.mark.slow
 def test_quant_tp_forward(model8, tmp_path):
     from tpullm.gguf.constants import GGMLType
 
@@ -108,6 +109,7 @@ def test_train_step_decreases_loss(model8):
     assert losses[-1] < losses[0], losses
 
 
+@pytest.mark.slow
 def test_sharded_train_step(model8):
     r, hp, arch, params = _load(model8)
     mesh = make_mesh(tp=4, dp=2)
@@ -135,6 +137,7 @@ def test_graft_entry():
 # -- 4D pipeline parallelism -------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_pipeline_train_step_matches_single_device(tmp_path):
     """dp×pp×tp shard_map pipeline loss == plain single-device loss."""
     import jax
@@ -176,6 +179,7 @@ def test_pipeline_train_step_matches_single_device(tmp_path):
     assert abs(float(loss) - ref_loss) < 2e-3, (float(loss), ref_loss)
 
 
+@pytest.mark.slow
 def test_pipeline_train_step_learns(tmp_path):
     """A few SGD steps through the pipeline reduce the loss."""
     import jax
@@ -213,6 +217,7 @@ def test_pipeline_train_step_learns(tmp_path):
     assert losses[-1] < losses[0], losses
 
 
+@pytest.mark.slow
 def test_engine_tp_inference_matches_single_device(model8):
     """Engine(mesh=...) runs sharded inference that matches unsharded logits
     (the serving analog of LLAMA_SPLIT_MODE_ROW)."""
@@ -242,6 +247,7 @@ def test_engine_tp_inference_matches_single_device(model8):
     assert got_gen == ref_gen
 
 
+@pytest.mark.slow
 def test_engine_ep_moe_matches_single_device(tmp_path):
     """Expert-parallel inference: stacked expert tensors shard over the
     'expert' mesh axis; logits match the unsharded engine (the dense
@@ -305,6 +311,7 @@ def test_ring_attention_matches_single_device():
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_ring_attention_sp2():
     """Ring works at any axis size that divides T (here sp=2)."""
     import numpy as np
@@ -351,6 +358,7 @@ def test_batch_engine_mesh_matches_unsharded(model8):
                                    rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_batch_engine_mesh_q8_kv(model8):
     """Sharded serving with q8_0 KV storage stays numerically aligned."""
     from tpullm.runtime.batch_engine import BatchEngine
@@ -371,6 +379,7 @@ def test_batch_engine_mesh_q8_kv(model8):
                                    rtol=5e-3, atol=5e-3)
 
 
+@pytest.mark.slow
 def test_batch_engine_ep_moe_serving(tmp_path):
     """Continuous-batching MoE serving on a dp×ep×tp mesh (≡ north-star
     Mixtral EP serving): expert stacks shard over 'expert', slots over

@@ -57,6 +57,7 @@ def test_pipeline_prefill_matches_single_device(model_path, pp, tp):
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_pipeline_decode_steps_match(model_path):
     """Prefill then two decode steps: the stage-resident cache must carry
     state correctly across pipelined calls."""
@@ -125,6 +126,7 @@ def test_batch_engine_pipe_mesh_matches_unsharded(model_path, pp, tp):
                                    rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_scheduler_on_pipe_mesh(model_path):
     """The continuous-batching scheduler end-to-end on a layer-split mesh:
     greedy generations must match the unsharded engine token-for-token."""
@@ -161,6 +163,7 @@ def test_scheduler_on_pipe_mesh(model_path):
     assert got == ref and len(got) > 0
 
 
+@pytest.mark.slow
 def test_pipe_mesh_quantized_weights(model_path, tmp_path):
     """mode=quant on the pipe mesh: uniform-type weights stay packed (fused
     qmm stage-locally) and logits match the unsharded quant engine."""
@@ -205,6 +208,7 @@ def test_batch_engine_pipe_mesh_guards(model_path):
                     dtype=jnp.float32, kv_dtype=jnp.float32, mesh=mesh)
 
 
+@pytest.mark.slow
 def test_pipe_mesh_moe(tmp_path):
     """Mixtral-style MoE through the layer-split pipeline: router + expert
     stacks live stage-resident, logits match the unsharded engine."""
@@ -233,6 +237,7 @@ def test_pipe_mesh_moe(tmp_path):
                                    rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("pp,tp,kind", [(2, 1, "bias"), (2, 2, "bias"),
                                         (2, 1, "qknorm")])
 def test_pipe_mesh_qwen_variants(tmp_path, pp, tp, kind):
@@ -284,6 +289,7 @@ def _strip_gate(src_path, dst_path, arch, extra_kv=None):
     return str(dst_path)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("variant", ["refact", "arcee", "apertus"])
 def test_pipe_mesh_alibi_and_gateless(tmp_path, variant):
     """refact (ALiBi, no rope), arcee (gateless ReLU² FFN), and apertus
@@ -326,6 +332,7 @@ def test_pipe_mesh_alibi_and_gateless(tmp_path, variant):
                                    rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_pipe_mesh_full_projection_qk_norms(tmp_path):
     """Full-width qk norms (olmoe/minimax style, llama.forward's
     full_qk_norm branch) through the pipeline at tp=1."""
@@ -371,6 +378,7 @@ def test_pipe_mesh_full_projection_qk_norms(tmp_path):
                                    rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("variant", ["granite", "smollm3"])
 def test_pipe_mesh_scaled_variants(tmp_path, variant):
     """llama-graph variants with hparam multipliers (granite scales) or
@@ -410,6 +418,7 @@ def test_pipe_mesh_scaled_variants(tmp_path, variant):
                                    rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_pipe_mesh_sliding_window(tmp_path):
     """SWA llama (mistral-style) through the pipeline: the stage mask must
     window the full-size stage cache exactly like ops.attention.causal_mask."""
@@ -440,6 +449,7 @@ def test_pipe_mesh_sliding_window(tmp_path):
                                    rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_pipe_mesh_q8_kv(model_path):
     """q8_0 KV on the pipe mesh (the fork's -ctk q8_0 headline config):
     int8 codes + scales stay stage-resident; logits track the unsharded

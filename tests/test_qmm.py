@@ -13,6 +13,21 @@ from tpullm.ops import qmatmul
 from tpullm.ops.pallas import qmm
 from tpullm.quant import codecs
 
+# Interpret-mode Pallas on CPU costs tens of seconds per case, so the full
+# type×M sweep carries the `slow` mark and the default (-m "not slow") run
+# keeps one representative per layout family (simple f16-scale block,
+# K-quant superblock) at M=1 — the decode shape. Run the full matrix with
+# `pytest -m slow tests/test_qmm.py` (CI) or on real TPU.
+_FAST = {(GGMLType.Q4_0, 1), (GGMLType.Q4_K, 1)}
+
+
+def _ktype_params(types, Ms):
+    for t in types:
+        for m in Ms:
+            marks = [] if (t, m) in _FAST else [pytest.mark.slow]
+            yield pytest.param(t, m, marks=marks, id=f"{t.name}-M{m}")
+
+
 KERNEL_TYPES = [
     GGMLType.Q4_0,
     GGMLType.Q4_1,
@@ -53,8 +68,7 @@ def nmse(a, b):
     return float(np.mean((a - b) ** 2) / (np.mean(b**2) + 1e-12))
 
 
-@pytest.mark.parametrize("gtype", KERNEL_TYPES, ids=lambda t: t.name)
-@pytest.mark.parametrize("M", [1, 16])
+@pytest.mark.parametrize("gtype,M", _ktype_params(KERNEL_TYPES, [1, 16]))
 def test_kernel_matches_reference(gtype, M):
     n_in, n_out = 512, 256
     ql = make_ql(gtype, n_out, n_in)
@@ -70,6 +84,7 @@ def test_kernel_matches_reference(gtype, M):
     assert err < 2e-4, f"{gtype.name} M={M}: NMSE {err}"
 
 
+@pytest.mark.slow
 def test_kernel_batched_shape():
     ql = make_ql(GGMLType.Q8_0, 256, 512)
     rng = np.random.default_rng(2)
@@ -80,6 +95,7 @@ def test_kernel_batched_shape():
     assert nmse(np.asarray(got), np.asarray(ref)) < 2e-4
 
 
+@pytest.mark.slow
 def test_kernel_multi_ktile():
     """K larger than one tile exercises the accumulation loop."""
     ql = make_ql(GGMLType.Q4_K, 128, 2 * qmm.TILE_K)
@@ -129,8 +145,13 @@ def test_iq_plane_decode_bit_exact(gtype):
     assert np.array_equal(got, ref), f"{gtype.name}: plane decode not exact"
 
 
-@pytest.mark.parametrize("gtype", IQ_TYPES, ids=lambda t: t.name)
-@pytest.mark.parametrize("M", [1, 16])
+@pytest.mark.parametrize(
+    "gtype,M",
+    [pytest.param(t, m,
+                  marks=[] if (t, m) == (GGMLType.IQ2_XXS, 1)
+                  else [pytest.mark.slow],
+                  id=f"{t.name}-M{m}")
+     for t in IQ_TYPES for m in (1, 16)])
 def test_iq_kernel_matches_reference(gtype, M):
     # TQ scale groups span 256 rows; the scale plane needs ≥8 sublanes
     n_in = 2048 if gtype in (GGMLType.TQ1_0, GGMLType.TQ2_0) else 512
