@@ -52,6 +52,10 @@ def load_vision(path):
         from .pixtral import PixtralVision
 
         return PixtralVision(path)
+    if proj == "kimivl":
+        from .kimivl import KimiVLVision
+
+        return KimiVLVision(path)
     if proj == "resampler":  # minicpm-v
         from .minicpmv import MiniCPMVVision
 

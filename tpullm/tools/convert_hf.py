@@ -821,7 +821,7 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
                                 "qwen2_5_omni", "qwen2_5_omni_thinker",
                                 "internvl", "llava", "qwen2_audio",
                                 "voxtral", "idefics3", "janus",
-                                "lfm2_vl", "lfm2-vl",
+                                "lfm2_vl", "lfm2-vl", "kimi_vl",
                                 "glm4v", "glm4v_moe") or (
         model_type in ("gemma3", "llama4") and "vision_config" in cfg)
     if model_type == "llava":
@@ -838,6 +838,11 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
     if model_type in ("lfm2_vl", "lfm2-vl"):  # wraps an lfm2 hybrid text model
         model_type = (cfg.get("text_config") or {}).get("model_type",
                                                         "lfm2")
+    if model_type == "kimi_vl":
+        # Kimi-VL's text model is a DeepSeek-V2/V3 MLA+MoE stack (reference
+        # registers KimiVLForConditionalGeneration under DeepseekV2Model)
+        model_type = (cfg.get("text_config") or {}).get("model_type",
+                                                        "deepseek_v2")
     if model_type in ("glm4v", "glm4v_moe"):
         # GLM-4V text is an ordinary glm4 / glm4-moe stack (the reference
         # converts it under those archs; text-only M-RoPE ≡ standard rope)
@@ -1575,7 +1580,7 @@ _MMPROJ_VISION_TYPES = ("qwen2_vl", "qwen2_5_vl", "gemma3", "mistral3",
                         "internvl", "llava", "qwen2_audio", "voxtral",
                         "idefics3", "janus", "lfm2_vl", "lfm2-vl", "glm4v",
                         "glm4v_moe", "llama4", "qwen3_vl", "qwen3_vl_moe",
-                        "qwen2_5_omni", "qwen2_5_omni_thinker")
+                        "qwen2_5_omni", "qwen2_5_omni_thinker", "kimi_vl")
 
 
 def convert_hf_mmproj(src_dir: str, dst: str, verbose: bool = True) -> dict:
@@ -1613,6 +1618,8 @@ def convert_hf_mmproj(src_dir: str, dst: str, verbose: bool = True) -> dict:
         return _convert_qwen3vl_mmproj(src_dir, dst, cfg, verbose)
     if model_type in ("qwen2_5_omni", "qwen2_5_omni_thinker"):
         return _convert_qwen25o_mmproj(src_dir, dst, cfg, verbose)
+    if model_type == "kimi_vl":
+        return _convert_kimivl_mmproj(src_dir, dst, cfg, verbose)
     is25 = model_type == "qwen2_5_vl"
     vc = cfg["vision_config"]
     # 2.0: embed_dim is the tower width (hidden_size = LLM dim for the
@@ -2373,6 +2380,105 @@ def _convert_lfm2_mmproj(src_dir: str, dst: str, cfg: dict,
     put("v.post_ln.bias", sd["post_layernorm.bias"])
     put("mm.input_norm.weight", sd["proj.layer_norm.weight"])
     put_if("mm.input_norm.bias", "proj.layer_norm.bias")
+    put("mm.1.weight", sd["proj.linear_1.weight"])
+    put_if("mm.1.bias", "proj.linear_1.bias")
+    put("mm.2.weight", sd["proj.linear_2.weight"])
+    put_if("mm.2.bias", "proj.linear_2.bias")
+    w.write()
+    if verbose:
+        print(f"wrote mmproj {dst} ({n_tensors} tensors)")
+    return {"out": dst, "arch": "clip", "n_tensors": n_tensors}
+
+
+def _convert_kimivl_mmproj(src_dir: str, dst: str, cfg: dict,
+                           verbose: bool) -> dict:
+    """Kimi-VL MoonViT tower → mmproj GGUF (≡ clip.cpp PROJECTOR_TYPE_KIMIVL /
+    convert_hf_to_gguf.py KimiVLModel): fused wqkv split into q/k/v,
+    (H, W, C) learned pos_emb flattened, encoder.final_layernorm →
+    v.post_ln, projector pre_norm/linear_1/linear_2 → mm.input_norm/mm.1/
+    mm.2."""
+    from ..gguf.writer import GGUFWriter
+
+    vc = cfg["vision_config"]
+    n_embd = int(vc["hidden_size"])
+    n_layer = int(vc.get("num_hidden_layers", vc.get("depth", 27)))
+    patch = int(vc.get("patch_size", 14))
+    merge = (vc.get("merge_kernel_size") or [2, 2])[0]
+
+    sd = {}
+    for name, arr in _load_tensors(src_dir):
+        for pfx in ("vision_tower.", "multi_modal_projector."):
+            if name.startswith(pfx):
+                key = name[len(pfx):]
+                if pfx == "multi_modal_projector.":
+                    key = "proj." + key
+                sd[key] = np.asarray(arr, dtype=np.float32)
+                break
+    if not sd:
+        raise ValueError(f"no vision_tower tensors found under {src_dir}")
+
+    w = GGUFWriter(dst, architecture="clip")
+    w.add_kv("clip.projector_type", "kimivl")
+    w.add_kv("clip.has_vision_encoder", True)
+    # image_size is nominal for KIMIVL (dynamic resolution); the reference
+    # converter writes 64·14 "for compatibility"
+    w.add_kv("clip.vision.image_size", 64 * patch)
+    w.add_kv("clip.vision.patch_size", patch)
+    w.add_kv("clip.vision.embedding_length", n_embd)
+    w.add_kv("clip.vision.feed_forward_length",
+             int(vc.get("intermediate_size", 4 * n_embd)))
+    w.add_kv("clip.vision.block_count", n_layer)
+    w.add_kv("clip.vision.attention.head_count",
+             int(vc["num_attention_heads"]))
+    w.add_kv("clip.vision.attention.layer_norm_epsilon",
+             float(vc.get("layer_norm_eps", 1e-5)))
+    w.add_kv("clip.vision.projector.scale_factor", int(merge))
+    w.add_kv("clip.use_gelu", True)
+    if "image_mean" in cfg:
+        w.add_kv("clip.vision.image_mean", list(cfg["image_mean"]))
+        w.add_kv("clip.vision.image_std", list(cfg["image_std"]))
+    n_tensors = 0
+
+    def put(gname, a):
+        nonlocal n_tensors
+        w.add_tensor(gname, np.ascontiguousarray(a))
+        n_tensors += 1
+
+    def put_if(gname, key):
+        if key in sd:
+            put(gname, sd[key])
+
+    pe = sd["patch_embed.proj.weight"]  # conv (E, 3, P, P)
+    put("v.patch_embd.weight", pe.reshape(n_embd, -1))
+    put_if("v.patch_embd.bias", "patch_embed.proj.bias")
+    pos = sd["patch_embed.pos_emb"]  # (H, W, C) → (H·W, C)
+    put("v.position_embd.weight", pos.reshape(-1, pos.shape[-1]))
+    for i in range(n_layer):
+        hp_, gp = f"encoder.blocks.{i}.", f"v.blk.{i}."
+        put(gp + "ln1.weight", sd[hp_ + "norm0.weight"])
+        put_if(gp + "ln1.bias", hp_ + "norm0.bias")
+        # fused wqkv (3E, E) → q/k/v (reference KimiVLModel chunk(3, dim=0))
+        wq, wk, wv = np.split(sd[hp_ + "wqkv.weight"], 3, axis=0)
+        put(gp + "attn_q.weight", wq)
+        put(gp + "attn_k.weight", wk)
+        put(gp + "attn_v.weight", wv)
+        if hp_ + "wqkv.bias" in sd:
+            bq, bk, bv = np.split(sd[hp_ + "wqkv.bias"], 3, axis=0)
+            put(gp + "attn_q.bias", bq)
+            put(gp + "attn_k.bias", bk)
+            put(gp + "attn_v.bias", bv)
+        put(gp + "attn_out.weight", sd[hp_ + "wo.weight"])
+        put_if(gp + "attn_out.bias", hp_ + "wo.bias")
+        put(gp + "ln2.weight", sd[hp_ + "norm1.weight"])
+        put_if(gp + "ln2.bias", hp_ + "norm1.bias")
+        put(gp + "ffn_up.weight", sd[hp_ + "mlp.fc0.weight"])
+        put_if(gp + "ffn_up.bias", hp_ + "mlp.fc0.bias")
+        put(gp + "ffn_down.weight", sd[hp_ + "mlp.fc1.weight"])
+        put_if(gp + "ffn_down.bias", hp_ + "mlp.fc1.bias")
+    put("v.post_ln.weight", sd["encoder.final_layernorm.weight"])
+    put_if("v.post_ln.bias", "encoder.final_layernorm.bias")
+    put("mm.input_norm.weight", sd["proj.pre_norm.weight"])
+    put_if("mm.input_norm.bias", "proj.pre_norm.bias")
     put("mm.1.weight", sd["proj.linear_1.weight"])
     put_if("mm.1.bias", "proj.linear_1.bias")
     put("mm.2.weight", sd["proj.linear_2.weight"])
