@@ -56,6 +56,10 @@ def load_vision(path):
         from .kimivl import KimiVLVision
 
         return KimiVLVision(path)
+    if proj == "youtuvl":
+        from .qwen_vl import YoutuVLVision
+
+        return YoutuVLVision(path)
     if proj == "resampler":  # minicpm-v
         from .minicpmv import MiniCPMVVision
 

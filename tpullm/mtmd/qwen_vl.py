@@ -124,6 +124,18 @@ class Qwen2VLVision:
             return rms_norm(x, w, self.eps)
         return layer_norm(x, w, b, self.eps)
 
+    def _is_full(self, li: int) -> bool:
+        return self.n_wa_pattern == 0 or (li + 1) % self.n_wa_pattern == 0
+
+    def _use_windows(self) -> bool:
+        return self.n_wa_pattern > 0
+
+    def _ffn_act(self, up):
+        return _quick_gelu(up)
+
+    def _pre_merge(self, p, x):
+        return self._norm(x, p["post_ln_w"], p["post_ln_b"])
+
     def _forward(self, patches, rows, cols, win_id):
         if not hasattr(self, "_jit_fwd"):
             self._jit_fwd = jax.jit(self._forward_impl)
@@ -159,8 +171,7 @@ class Qwen2VLVision:
         mask = jnp.where(win_id[:, None] == win_id[None, :], 0.0, -jnp.inf)
 
         for li, lyr in enumerate(p["layers"]):
-            full = (self.n_wa_pattern == 0
-                    or (li + 1) % self.n_wa_pattern == 0)
+            full = self._is_full(li)
             h = self._norm(x, lyr["ln1_w"], lyr["ln1_b"])
 
             def proj(w, b):
@@ -191,14 +202,14 @@ class Qwen2VLVision:
                 if lyr["gate_b"] is not None:
                     gate = gate + lyr["gate_b"]
                 act = jax.nn.silu(gate) * up
-            else:  # 2.0: quick-gelu
-                act = _quick_gelu(up)
+            else:  # 2.0: quick-gelu (youtuvl overrides with tanh-gelu)
+                act = self._ffn_act(up)
             down = act @ lyr["down_w"].T
             if lyr["down_b"] is not None:
                 down = down + lyr["down_b"]
             x = x + down
 
-        x = self._norm(x, p["post_ln_w"], p["post_ln_b"])  # merger ln_q
+        x = self._pre_merge(p, x)  # merger ln_q (youtuvl: post_ln + rms ln_q)
         m2 = self.merge * self.merge
         y = x.reshape(N // m2, m2 * C)
         y = y @ p["mm0_w"].T
@@ -267,7 +278,7 @@ class Qwen2VLVision:
         cols = np.broadcast_to(xx.transpose(0, 2, 1, 3),
                                (ph // m, pw // m, m, m)).reshape(-1)
         m2 = m * m
-        if self.n_wa_pattern > 0:
+        if self._use_windows():
             inv, idx, wid = self._window_layout(ph, pw)
             perm = (inv[:, None] * m2 + np.arange(m2)[None, :]).reshape(-1)
             out = self._forward(
@@ -493,3 +504,43 @@ class Qwen3VLVision:
             image = image[ys][:, xs]
         px = (image.astype(np.float32) / 255.0 - self.image_mean) / self.image_std
         return self.encode_pixels(np.ascontiguousarray(px.transpose(2, 0, 1)))
+
+
+class YoutuVLVision(Qwen2VLVision):
+    """Youtu-VL tower (proj_type "youtuvl", tools/mtmd/models/youtuvl.cpp):
+    a SigLIP2-based LayerNorm ViT with the qwen2.5-VL window-attention
+    machinery, except full-attention layers come from an EXPLICIT index list
+    (clip.vision.wa_layer_indexes) instead of an every-Nth pattern, the FFN
+    is plain tanh-GELU, and the VLPatchMerger applies the SigLIP2
+    post_layernorm followed by an RMS ln_q (mm.input_norm) before the
+    2×2-merge MLP (mm.0 → GELU → mm.2). Vision M-RoPE is identical
+    (sections d/4·4, θ=10000). Token budget 1..62500 (clip.cpp
+    set_limit_image_tokens for PROJECTOR_TYPE_YOUTUVL)."""
+
+    def __init__(self, path, dtype=jnp.float32):
+        super().__init__(path, dtype)
+        md = self.reader.metadata
+        idx = md.get("clip.vision.wa_layer_indexes")
+        self.wa_full_layers = (
+            set() if idx is None
+            else {int(i) for i in np.atleast_1d(idx).tolist()})
+        mp2 = (self.merge * self.patch_size) ** 2
+        g = lambda k, d=None: md.get(f"clip.vision.{k}", d)
+        self.min_pixels = int(g("image_min_pixels", 1 * mp2))
+        self.max_pixels = int(g("image_max_pixels", 62500 * mp2))
+        t = self.reader.tensors
+        self.params["inp_norm_w"] = jnp.asarray(
+            t["mm.input_norm.weight"].to_numpy(), dtype)
+
+    def _is_full(self, li: int) -> bool:
+        return not self.wa_full_layers or li in self.wa_full_layers
+
+    def _use_windows(self) -> bool:
+        return bool(self.wa_full_layers)
+
+    def _ffn_act(self, up):
+        return jax.nn.gelu(up, approximate=True)  # gelu_pytorch_tanh
+
+    def _pre_merge(self, p, x):
+        x = layer_norm(x, p["post_ln_w"], p["post_ln_b"], self.eps)
+        return rms_norm(x, p["inp_norm_w"], 1e-6)  # merger ln_q

@@ -822,6 +822,7 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
                                 "internvl", "llava", "qwen2_audio",
                                 "voxtral", "idefics3", "janus",
                                 "lfm2_vl", "lfm2-vl", "kimi_vl",
+                                "youtu_vl", "youtuvl",
                                 "glm4v", "glm4v_moe") or (
         model_type in ("gemma3", "llama4") and "vision_config" in cfg)
     if model_type == "llava":
@@ -838,9 +839,10 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
     if model_type in ("lfm2_vl", "lfm2-vl"):  # wraps an lfm2 hybrid text model
         model_type = (cfg.get("text_config") or {}).get("model_type",
                                                         "lfm2")
-    if model_type == "kimi_vl":
-        # Kimi-VL's text model is a DeepSeek-V2/V3 MLA+MoE stack (reference
-        # registers KimiVLForConditionalGeneration under DeepseekV2Model)
+    if model_type in ("kimi_vl", "youtu_vl", "youtuvl"):
+        # Kimi-VL's and Youtu-VL's text models are DeepSeek-V2/V3 MLA stacks
+        # (reference registers both ForConditionalGeneration classes under
+        # DeepseekV2Model)
         model_type = (cfg.get("text_config") or {}).get("model_type",
                                                         "deepseek_v2")
     if model_type in ("glm4v", "glm4v_moe"):
@@ -1580,7 +1582,8 @@ _MMPROJ_VISION_TYPES = ("qwen2_vl", "qwen2_5_vl", "gemma3", "mistral3",
                         "internvl", "llava", "qwen2_audio", "voxtral",
                         "idefics3", "janus", "lfm2_vl", "lfm2-vl", "glm4v",
                         "glm4v_moe", "llama4", "qwen3_vl", "qwen3_vl_moe",
-                        "qwen2_5_omni", "qwen2_5_omni_thinker", "kimi_vl")
+                        "qwen2_5_omni", "qwen2_5_omni_thinker", "kimi_vl",
+                        "youtu_vl", "youtuvl")
 
 
 def convert_hf_mmproj(src_dir: str, dst: str, verbose: bool = True) -> dict:
@@ -1620,6 +1623,8 @@ def convert_hf_mmproj(src_dir: str, dst: str, verbose: bool = True) -> dict:
         return _convert_qwen25o_mmproj(src_dir, dst, cfg, verbose)
     if model_type == "kimi_vl":
         return _convert_kimivl_mmproj(src_dir, dst, cfg, verbose)
+    if model_type in ("youtu_vl", "youtuvl"):
+        return _convert_youtuvl_mmproj(src_dir, dst, cfg, verbose)
     is25 = model_type == "qwen2_5_vl"
     vc = cfg["vision_config"]
     # 2.0: embed_dim is the tower width (hidden_size = LLM dim for the
@@ -2483,6 +2488,109 @@ def _convert_kimivl_mmproj(src_dir: str, dst: str, cfg: dict,
     put_if("mm.1.bias", "proj.linear_1.bias")
     put("mm.2.weight", sd["proj.linear_2.weight"])
     put_if("mm.2.bias", "proj.linear_2.bias")
+    w.write()
+    if verbose:
+        print(f"wrote mmproj {dst} ({n_tensors} tensors)")
+    return {"out": dst, "arch": "clip", "n_tensors": n_tensors}
+
+
+def _convert_youtuvl_mmproj(src_dir: str, dst: str, cfg: dict,
+                            verbose: bool) -> dict:
+    """Youtu-VL SigLIP2 tower + VLPatchMerger → mmproj GGUF
+    (≡ clip.cpp PROJECTOR_TYPE_YOUTUVL / convert_hf_to_gguf.py
+    YoutuVLVisionModel): explicit full-attention layer indexes
+    (clip.vision.wa_layer_indexes), merger.ln_q → mm.input_norm (RMS),
+    merger.mlp.{0,2} → mm.{0,2}. The NaFlex linear patch embedding is
+    repacked from HWC columns to the conv/CHW layout the runtime patchify
+    produces (same treatment as the LFM2 exporter)."""
+    from ..gguf.writer import GGUFWriter
+
+    vc = cfg["vision_config"]
+    n_embd = int(vc["hidden_size"])
+    n_layer = int(vc.get("num_hidden_layers", vc.get("depth", 27)))
+    patch = int(vc.get("patch_size", 16))
+
+    sd = {}
+    for name, arr in _load_tensors(src_dir):
+        for pfx in ("model.siglip2.vision_model.", "siglip2.vision_model.",
+                    "model.merger.", "merger."):
+            if name.startswith(pfx):
+                key = name[len(pfx):]
+                if pfx.endswith("merger."):
+                    key = "merger." + key
+                sd[key] = np.asarray(arr, dtype=np.float32)
+                break
+    if not sd:
+        raise ValueError(f"no siglip2 vision tensors found under {src_dir}")
+
+    w = GGUFWriter(dst, architecture="clip")
+    w.add_kv("clip.projector_type", "youtuvl")
+    w.add_kv("clip.has_vision_encoder", True)
+    w.add_kv("clip.vision.image_size", int(vc.get("image_size", 560)))
+    w.add_kv("clip.vision.patch_size", patch)
+    w.add_kv("clip.vision.embedding_length", n_embd)
+    w.add_kv("clip.vision.feed_forward_length",
+             int(vc.get("intermediate_size", 4 * n_embd)))
+    w.add_kv("clip.vision.block_count", n_layer)
+    w.add_kv("clip.vision.attention.head_count",
+             int(vc["num_attention_heads"]))
+    w.add_kv("clip.vision.attention.layer_norm_epsilon",
+             float(cfg.get("layer_norm_eps", vc.get("layer_norm_eps", 1e-6))))
+    w.add_kv("clip.vision.spatial_merge_size",
+             int(vc.get("spatial_merge_size", 2)))
+    if vc.get("window_size") is not None:
+        w.add_kv("clip.vision.window_size", int(vc["window_size"]))
+    idx = vc.get("fullatt_block_indexes")
+    if idx is None:
+        raise ValueError("fullatt_block_indexes is required for youtuvl")
+    w.add_kv("clip.vision.wa_layer_indexes",
+             np.asarray(sorted(int(i) for i in idx), np.int32))
+    act = str(vc.get("hidden_act", "gelu_pytorch_tanh")).lower()
+    if act.startswith("gelu"):
+        w.add_kv("clip.use_gelu", True)
+    elif act == "silu":
+        w.add_kv("clip.use_silu", True)
+    else:
+        raise ValueError(f"unsupported youtuvl activation {act!r}")
+    if "image_mean" in cfg:
+        w.add_kv("clip.vision.image_mean", list(cfg["image_mean"]))
+        w.add_kv("clip.vision.image_std", list(cfg["image_std"]))
+    n_tensors = 0
+
+    def put(gname, a):
+        nonlocal n_tensors
+        w.add_tensor(gname, np.ascontiguousarray(a))
+        n_tensors += 1
+
+    def put_if(gname, key):
+        if key in sd:
+            put(gname, sd[key])
+
+    pe = sd["embeddings.patch_embedding.weight"]
+    pe = pe.reshape(n_embd, patch, patch, 3).transpose(0, 3, 1, 2)
+    put("v.patch_embd.weight", pe.reshape(n_embd, -1))
+    put_if("v.patch_embd.bias", "embeddings.patch_embedding.bias")
+    for i in range(n_layer):
+        hp_, gp = f"encoder.layers.{i}.", f"v.blk.{i}."
+        put(gp + "ln1.weight", sd[hp_ + "layer_norm1.weight"])
+        put(gp + "ln1.bias", sd[hp_ + "layer_norm1.bias"])
+        for hf_nm, gg_nm in (("q_proj", "attn_q"), ("k_proj", "attn_k"),
+                             ("v_proj", "attn_v"), ("out_proj", "attn_out")):
+            put(gp + gg_nm + ".weight", sd[hp_ + f"self_attn.{hf_nm}.weight"])
+            put_if(gp + gg_nm + ".bias", hp_ + f"self_attn.{hf_nm}.bias")
+        put(gp + "ln2.weight", sd[hp_ + "layer_norm2.weight"])
+        put(gp + "ln2.bias", sd[hp_ + "layer_norm2.bias"])
+        put(gp + "ffn_up.weight", sd[hp_ + "mlp.fc1.weight"])
+        put_if(gp + "ffn_up.bias", hp_ + "mlp.fc1.bias")
+        put(gp + "ffn_down.weight", sd[hp_ + "mlp.fc2.weight"])
+        put_if(gp + "ffn_down.bias", hp_ + "mlp.fc2.bias")
+    put("v.post_ln.weight", sd["post_layernorm.weight"])
+    put_if("v.post_ln.bias", "post_layernorm.bias")
+    put("mm.input_norm.weight", sd["merger.ln_q.weight"])
+    put("mm.0.weight", sd["merger.mlp.0.weight"])
+    put_if("mm.0.bias", "merger.mlp.0.bias")
+    put("mm.2.weight", sd["merger.mlp.2.weight"])
+    put_if("mm.2.bias", "merger.mlp.2.bias")
     w.write()
     if verbose:
         print(f"wrote mmproj {dst} ({n_tensors} tensors)")
