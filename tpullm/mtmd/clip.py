@@ -61,8 +61,9 @@ class ClipVision:
             "post_ln_w": maybe("v.post_ln.weight"),
             "post_ln_b": maybe("v.post_ln.bias"),
             "layers": [],
-            # llava projector: mm.0 (+bias) → GELU → mm.2 (+bias)
-            "mm0_w": arr("mm.0.weight"),
+            # llava projector: mm.0 (+bias) → GELU → mm.2 (+bias);
+            # absent for the conv projectors (ldp/ldpv2/adapter)
+            "mm0_w": maybe("mm.0.weight"),
             "mm0_b": maybe("mm.0.bias"),
             "mm2_w": maybe("mm.2.weight"),
             "mm2_b": maybe("mm.2.bias"),
@@ -72,6 +73,56 @@ class ClipVision:
             "mm3_w": maybe("mm.3.weight"), "mm3_b": maybe("mm.3.bias"),
             "mm4_w": maybe("mm.4.weight"), "mm4_b": maybe("mm.4.bias"),
         }
+        self.proj_type = md.get("clip.projector_type", "mlp")
+        if self.proj_type == "ldp":
+            # MobileVLM LDP (llava.cpp PROJECTOR_TYPE_LDP): MLP then two
+            # depthwise-conv squeeze-excite blocks, the second at stride 2
+            self.params.update({
+                "mlp1_w": arr("mm.model.mlp.1.weight"),
+                "mlp1_b": arr("mm.model.mlp.1.bias"),
+                "mlp3_w": arr("mm.model.mlp.3.weight"),
+                "mlp3_b": arr("mm.model.mlp.3.bias"),
+            })
+            for bi in (1, 2):
+                pre = f"mm.model.mb_block.{bi}.block."
+                self.params[f"mb{bi}"] = {
+                    "dw_w": arr(pre + "0.0.weight"),
+                    "ln0_w": arr(pre + "0.1.weight"),
+                    "ln0_b": arr(pre + "0.1.bias"),
+                    "fc1_w": arr(pre + "1.fc1.weight"),
+                    "fc1_b": arr(pre + "1.fc1.bias"),
+                    "fc2_w": arr(pre + "1.fc2.weight"),
+                    "fc2_b": arr(pre + "1.fc2.bias"),
+                    "pw_w": arr(pre + "2.0.weight"),
+                    "ln2_w": arr(pre + "2.1.weight"),
+                    "ln2_b": arr(pre + "2.1.bias"),
+                }
+        elif self.proj_type == "ldpv2":
+            # MobileVLM-v2 LDPv2: MLP → 2×2 avg-pool → PEG depthwise conv
+            # residual
+            self.params.update({
+                "mlp0_w": arr("mm.model.mlp.0.weight"),
+                "mlp0_b": arr("mm.model.mlp.0.bias"),
+                "mlp2_w": arr("mm.model.mlp.2.weight"),
+                "mlp2_b": arr("mm.model.mlp.2.bias"),
+                "peg_w": arr("mm.model.peg.0.weight"),
+                "peg_b": arr("mm.model.peg.0.bias"),
+            })
+        elif self.proj_type == "adapter":
+            # GLM-Edge (llava.cpp PROJECTOR_TYPE_GLM_EDGE): 2×2 stride-2
+            # conv downsample + gated GLU + BOI/EOI marker embeddings
+            self.params.update({
+                "conv_w": arr("adapter.conv.weight"),
+                "conv_b": arr("adapter.conv.bias"),
+                "glu_lin_w": arr("adapter.linear.linear.weight"),
+                "glu_ln_w": arr("adapter.linear.norm1.weight"),
+                "glu_ln_b": arr("adapter.linear.norm1.bias"),
+                "glu_up_w": arr("adapter.linear.dense_h_to_4h.weight"),
+                "glu_gate_w": arr("adapter.linear.gate.weight"),
+                "glu_down_w": arr("adapter.linear.dense_4h_to_h.weight"),
+                "boi": arr("adapter.boi"),
+                "eoi": arr("adapter.eoi"),
+            })
         for i in range(self.n_layer):
             p = f"v.blk.{i}."
             self.params["layers"].append({
@@ -148,6 +199,15 @@ class ClipVision:
         # llava: project PATCH tokens (drop the class token)
         if p["class_embd"] is not None:
             x = x[:, 1:]
+        return self._project(p, x)
+
+    def _project(self, p, x):
+        if self.proj_type == "ldp":
+            return self._project_ldp(p, x)
+        if self.proj_type == "ldpv2":
+            return self._project_ldpv2(p, x)
+        if self.proj_type == "adapter":
+            return self._project_glm_edge(p, x)
         y = jnp.einsum("bte,de->btd", x, p["mm0_w"])
         if p["mm0_b"] is not None:
             y = y + p["mm0_b"]
@@ -164,6 +224,81 @@ class ClipVision:
             if p["mm2_b"] is not None:
                 y = y + p["mm2_b"]
         return y
+
+    # -- MobileVLM / GLM-Edge projector graphs (llava.cpp:197-364) ------------
+
+    @staticmethod
+    def _dwconv3x3(x, w, stride: int):
+        """x [B, H, W, C]; w logical (C, 1, 3, 3) depthwise kernel, pad 1."""
+        C = x.shape[-1]
+        k = jnp.transpose(w.reshape(C, 3, 3), (1, 2, 0))[:, :, None, :]
+        return jax.lax.conv_general_dilated(
+            x, k, window_strides=(stride, stride), padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=C)
+
+    @staticmethod
+    def _hardswish(x):
+        return x * jnp.clip(x + 3.0, 0.0, 6.0) / 6.0
+
+    @staticmethod
+    def _hardsigmoid(x):
+        return jnp.clip((x + 3.0) / 6.0, 0.0, 1.0)
+
+    def _mb_block(self, x, blk, stride: int):
+        """One MobileVLM LDP depthwise SE block over [B, H, W, C]."""
+        y = self._dwconv3x3(x, blk["dw_w"], stride)
+        y = layer_norm(y, blk["ln0_w"], blk["ln0_b"], self.eps)
+        hw = self._hardswish(y)
+        se = hw.mean(axis=(1, 2))  # global average pool [B, C]
+        se = jax.nn.relu(se @ blk["fc1_w"].T + blk["fc1_b"])
+        se = self._hardsigmoid(se @ blk["fc2_w"].T + blk["fc2_b"])
+        y = hw * se[:, None, None, :]
+        y = jnp.einsum("bhwc,dc->bhwd", y, blk["pw_w"])  # pointwise conv
+        return layer_norm(y, blk["ln2_w"], blk["ln2_b"], self.eps)
+
+    def _project_ldp(self, p, x):
+        B, N, _ = x.shape
+        g = int(np.sqrt(N))
+        y = jax.nn.gelu(x @ p["mlp1_w"].T + p["mlp1_b"], approximate=True)
+        y = y @ p["mlp3_w"].T + p["mlp3_b"]
+        grid = y.reshape(B, g, g, y.shape[-1])
+        grid = grid + self._mb_block(grid, p["mb1"], 1)  # residual block
+        grid = self._mb_block(grid, p["mb2"], 2)  # stride-2, no residual
+        return grid.reshape(B, (g // 2) * (g // 2), grid.shape[-1])
+
+    def _project_ldpv2(self, p, x):
+        B, N, _ = x.shape
+        g = int(np.sqrt(N))
+        y = jax.nn.gelu(x @ p["mlp0_w"].T + p["mlp0_b"], approximate=True)
+        y = y @ p["mlp2_w"].T + p["mlp2_b"]
+        grid = y.reshape(B, g, g, y.shape[-1])
+        pooled = grid.reshape(B, g // 2, 2, g // 2, 2, -1).mean(axis=(2, 4))
+        peg = self._dwconv3x3(pooled, p["peg_w"], 1) + p["peg_b"]
+        out = peg + pooled
+        return out.reshape(B, (g // 2) * (g // 2), out.shape[-1])
+
+    def _project_glm_edge(self, p, x):
+        B, N, C = x.shape
+        g = int(np.sqrt(N))
+        grid = x.reshape(B, g, g, C)
+        kw = p["conv_w"]  # logical (C_out, C_in, 2, 2)
+        k = jnp.transpose(kw, (2, 3, 1, 0))  # HWIO
+        y = jax.lax.conv_general_dilated(
+            grid, k, window_strides=(2, 2), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = y.reshape(B, (g // 2) * (g // 2), -1) + p["conv_b"]
+        h = y @ p["glu_lin_w"].T
+        h = layer_norm(h, p["glu_ln_w"], p["glu_ln_b"], self.eps)
+        h = jax.nn.gelu(h, approximate=True)
+        gate = jax.nn.silu(h @ p["glu_gate_w"].T)
+        up = h @ p["glu_up_w"].T
+        h = (gate * up) @ p["glu_down_w"].T
+        boi = jnp.broadcast_to(p["boi"].reshape(1, 1, -1),
+                               (B, 1, h.shape[-1]))
+        eoi = jnp.broadcast_to(p["eoi"].reshape(1, 1, -1),
+                               (B, 1, h.shape[-1]))
+        return jnp.concatenate([boi, h, eoi], axis=1)
 
     def encode(self, pixels: np.ndarray) -> np.ndarray:
         """pixels [B, 3, H, W] (already normalized) → [B, n_patches, E_llm]."""
