@@ -215,8 +215,10 @@ def test_log_mel_spectrogram_properties():
     assert 4 <= int(np.argmax(row_energy)) <= 28  # mid-band, not edges
 
 
-def np_whisper_encoder(reader, mel):
-    """Independent numpy whisper-encoder forward (qwen2a projector)."""
+def np_whisper_encoder(reader, mel, skip_proj=False):
+    """Independent numpy whisper-encoder forward (qwen2a projector);
+    skip_proj=True returns the avg-pooled post-LN body (shared by the
+    music_flamingo oracle)."""
     md = reader.metadata
     n_embd = md["clip.audio.embedding_length"]
     n_head = md["clip.audio.attention.head_count"]
@@ -270,6 +272,8 @@ def np_whisper_encoder(reader, mel):
     T2 = (x.shape[0] // 2) * 2  # qwen2a stride-2 avg pool before post-LN
     x = x[:T2].reshape(T2 // 2, 2, -1).mean(axis=1)
     x = ln(x, t("a.post_ln.weight"), t("a.post_ln.bias"))
+    if skip_proj:
+        return x
     return x @ t("mm.a.fc.weight").T + t("mm.a.fc.bias")
 
 
@@ -773,3 +777,48 @@ def test_clip_mlp_norm_projector(tmp_path):
     assert got.shape == (16, 64)
     ref = np_clip_forward(clip.reader, pixels)
     np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
+
+
+def test_music_flamingo_projector(tmp_path):
+    """whisper-enc.cpp PROJECTOR_TYPE_MUSIC_FLAMINGO: avg-pooled frames
+    through a biased 2-layer GELU-erf MLP."""
+    from tpullm.models.testing import make_tiny_audio_mmproj_gguf
+    from tpullm.mtmd import WhisperAudioEncoder
+
+    path = make_tiny_audio_mmproj_gguf(tmp_path / "mf.gguf", n_mel=16,
+                                       projector="music_flamingo")
+    enc = WhisperAudioEncoder(path)
+    rng = np.random.default_rng(3)
+    mel = rng.standard_normal((16, 100)).astype(np.float32)
+    out = enc.encode_mel(mel)
+    assert out.shape == (25, 64)  # conv/2 then avgpool/2 like qwen2a
+    # oracle: shared whisper body (qwen2a oracle minus its fc) + the MLP
+    t = lambda n: enc.reader.tensors[n].to_numpy().astype(np.float64)
+    body = np_whisper_encoder(enc.reader, mel, skip_proj=True)
+    import math
+    erf = np.vectorize(math.erf)
+    gelu = lambda v: 0.5 * v * (1 + erf(v / np.sqrt(2)))
+    ref = gelu(body @ t("mm.a.mlp.1.weight").T + t("mm.a.mlp.1.bias"))
+    ref = ref @ t("mm.a.mlp.2.weight").T + t("mm.a.mlp.2.bias")
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_glma_projector(tmp_path):
+    """whisper-enc.cpp PROJECTOR_TYPE_GLMA: LN -> stack -> biased GELU-erf
+    MLP -> BOI/EOI markers."""
+    from tpullm.models.testing import make_tiny_audio_mmproj_gguf
+    from tpullm.mtmd import WhisperAudioEncoder
+
+    path = make_tiny_audio_mmproj_gguf(tmp_path / "ga.gguf", n_mel=16,
+                                       projector="glma", stack_factor=4)
+    enc = WhisperAudioEncoder(path)
+    rng = np.random.default_rng(5)
+    mel = rng.standard_normal((16, 96)).astype(np.float32)
+    out = enc.encode_mel(mel)
+    # 96 frames -> 48 positions -> stack 4 -> 12 tokens + BOI + EOI
+    assert out.shape == (14, 64)
+    assert np.isfinite(out).all()
+    boi = enc.reader.tensors["v.boi"].to_numpy().reshape(-1)
+    eoi = enc.reader.tensors["v.eoi"].to_numpy().reshape(-1)
+    np.testing.assert_allclose(out[0], boi, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(out[-1], eoi, rtol=1e-5, atol=1e-6)

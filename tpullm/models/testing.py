@@ -1018,7 +1018,7 @@ def make_tiny_audio_mmproj_gguf(
     w.add_kv("clip.audio.block_count", n_layer)
     w.add_kv("clip.audio.attention.head_count", n_head)
     w.add_kv("clip.audio.attention.layer_norm_epsilon", 1e-5)
-    if projector == "ultravox":
+    if projector in ("ultravox", "glma"):
         w.add_kv("clip.audio.projector.stack_factor", stack_factor)
 
     def rand(shape, scale=0.05):
@@ -1054,6 +1054,23 @@ def make_tiny_audio_mmproj_gguf(
         w.add_tensor("mm.a.mlp.1.weight", rand((2 * hidden, stack_factor * n_embd)))
         w.add_tensor("mm.a.norm_mid.weight", np.ones(hidden, np.float32))
         w.add_tensor("mm.a.mlp.2.weight", rand((n_embd_llm, hidden)))
+    elif projector == "music_flamingo":
+        hidden = 2 * n_embd
+        w.add_tensor("mm.a.mlp.1.weight", rand((hidden, n_embd)))
+        w.add_tensor("mm.a.mlp.1.bias", rand((hidden,)))
+        w.add_tensor("mm.a.mlp.2.weight", rand((n_embd_llm, hidden)))
+        w.add_tensor("mm.a.mlp.2.bias", rand((n_embd_llm,)))
+    elif projector == "glma":
+        hidden = 2 * n_embd
+        w.add_tensor("mm.a.norm_pre.weight", np.ones(n_embd, np.float32))
+        w.add_tensor("mm.a.norm_pre.bias", rand((n_embd,)))
+        w.add_tensor("mm.a.mlp.1.weight",
+                     rand((hidden, stack_factor * n_embd)))
+        w.add_tensor("mm.a.mlp.1.bias", rand((hidden,)))
+        w.add_tensor("mm.a.mlp.2.weight", rand((n_embd_llm, hidden)))
+        w.add_tensor("mm.a.mlp.2.bias", rand((n_embd_llm,)))
+        w.add_tensor("v.boi", rand((1, n_embd_llm)))
+        w.add_tensor("v.eoi", rand((1, n_embd_llm)))
     else:
         w.add_tensor("mm.a.fc.weight", rand((n_embd_llm, n_embd)))
         w.add_tensor("mm.a.fc.bias", rand((n_embd_llm,)))

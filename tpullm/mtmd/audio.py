@@ -138,11 +138,17 @@ class WhisperAudioEncoder:
             # qwen2a projector
             "fc_w": maybe("mm.a.fc.weight"),
             "fc_b": maybe("mm.a.fc.bias"),
-            # ultravox projector
+            # ultravox / voxtral / music-flamingo / glma projector MLPs
             "mlp1_w": maybe("mm.a.mlp.1.weight"),
+            "mlp1_b": maybe("mm.a.mlp.1.bias"),
             "mlp2_w": maybe("mm.a.mlp.2.weight"),
+            "mlp2_b": maybe("mm.a.mlp.2.bias"),
             "norm_pre_w": maybe("mm.a.norm_pre.weight"),
+            "norm_pre_b": maybe("mm.a.norm_pre.bias"),
             "norm_mid_w": maybe("mm.a.norm_mid.weight"),
+            # glma (GLM-4-Voice adapter) audio BOI/EOI marker embeddings
+            "boi": maybe("v.boi"),
+            "eoi": maybe("v.eoi"),
         }
         for i in range(self.n_layer):
             p = f"a.blk.{i}."
@@ -245,7 +251,7 @@ class WhisperAudioEncoder:
         x = x + p["pos_embd"][: x.shape[0]]
         x = self._blocks(x)
 
-        if self.proj_type == "qwen2a":
+        if self.proj_type in ("qwen2a", "music_flamingo"):
             # stride-2 avg pool over time BEFORE the post layernorm
             # (≡ clip.cpp audio_has_avgpool / HF avg_pooler;
             # odd trailing frame drops, AvgPool1d floor semantics)
@@ -268,6 +274,35 @@ class WhisperAudioEncoder:
             y = a * jax.nn.silu(b)
             y = rms_norm(y, p["norm_mid_w"], 1e-6)
             return y @ p["mlp2_w"].T
+        if self.proj_type == "music_flamingo":
+            # Music-Flamingo (whisper-enc.cpp PROJECTOR_TYPE_MUSIC_FLAMINGO):
+            # avg-pooled frames through a biased 2-layer GELU-erf MLP
+            y = x @ p["mlp1_w"].T
+            if p["mlp1_b"] is not None:
+                y = y + p["mlp1_b"]
+            y = jax.nn.gelu(y, approximate=False)
+            y = y @ p["mlp2_w"].T
+            if p["mlp2_b"] is not None:
+                y = y + p["mlp2_b"]
+            return y
+        if self.proj_type == "glma":
+            # GLM audio adapter (whisper-enc.cpp PROJECTOR_TYPE_GLMA):
+            # LayerNorm → StackAudioFrames → biased GELU-erf MLP → BOI/EOI
+            x = layer_norm(x, p["norm_pre_w"], p["norm_pre_b"], self.eps)
+            sf = self.stack_factor
+            pad = (-x.shape[0]) % sf
+            x = jnp.pad(x, ((0, pad), (0, 0)))
+            x = x.reshape(x.shape[0] // sf, sf * self.n_embd)
+            y = x @ p["mlp1_w"].T
+            if p["mlp1_b"] is not None:
+                y = y + p["mlp1_b"]
+            y = jax.nn.gelu(y, approximate=False)
+            y = y @ p["mlp2_w"].T
+            if p["mlp2_b"] is not None:
+                y = y + p["mlp2_b"]
+            boi = p["boi"].reshape(1, -1)
+            eoi = p["eoi"].reshape(1, -1)
+            return jnp.concatenate([boi, y, eoi], axis=0)
         if self.proj_type == "voxtral":
             # stack sf frames then a 2-layer GELU-erf MLP (no norms/biases;
             # HF VoxtralEncoder applies NO avg pool — the projector input is
