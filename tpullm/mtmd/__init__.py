@@ -4,7 +4,24 @@ Reference: tools/mtmd (clip.cpp encoder graphs over ggml, mtmd.h C API with
 <__media__> markers and media chunking).
 """
 
-from .audio import WhisperAudioEncoder, chunk_mel, log_mel_spectrogram
+from .audio import (
+    ConformerAudioEncoder,
+    WhisperAudioEncoder,
+    chunk_mel,
+    log_mel_spectrogram,
+)
+
+
+def load_audio(path):
+    """Audio-tower dispatch (≡ clip.cpp builder switch for audio
+    projectors): LFM2A rides the conformer graph, every other audio
+    projector the whisper encoder."""
+    from ..gguf.reader import GGUFReader
+
+    proj = GGUFReader(path).metadata.get("clip.projector_type", "qwen2a")
+    if proj == "lfm2a":
+        return ConformerAudioEncoder(path)
+    return WhisperAudioEncoder(path)
 from .clip import ClipVision, preprocess_image
 from .qwen_vl import Qwen2VLVision
 from .siglip import Gemma3Vision
@@ -74,6 +91,8 @@ from .pipeline import MEDIA_MARKER, build_multimodal_embeddings, generate_mtmd
 
 __all__ = [
     "WhisperAudioEncoder",
+    "ConformerAudioEncoder",
+    "load_audio",
     "log_mel_spectrogram",
     "chunk_mel",
     "ClipVision",

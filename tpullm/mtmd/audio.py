@@ -355,3 +355,208 @@ def load_wav(path: str) -> np.ndarray:
             np.linspace(0.0, x.size - 1, n_out), np.arange(x.size), x
         ).astype(np.float32)
     return x
+
+
+class ConformerAudioEncoder:
+    """LFM2-Audio conformer encoder (tools/mtmd/models/conformer.cpp,
+    PROJECTOR_TYPE_LFM2A): conv2d subsampling (×8 in time), NeMo-style
+    conformer blocks — macaron half-FFNs (·0.5), relative-position
+    self-attention with pos_bias_u/v and the Transformer-XL rel-shift, a
+    GLU → depthwise-conv(k) → batchnorm-affine → silu → pointwise conv
+    module — then an audio adapter (LayerNorm → GELU-erf MLP).
+
+    Tensor names ≡ clip.cpp PROJECTOR_TYPE_LFM2A: a.conv1d.{0,2,3,5,6}.*,
+    a.pre_encode.out.*, a.blk.N.{ffn_norm,ffn_up,ffn_down,ln1,attn_q/k/v/
+    out,pos_bias_u,pos_bias_v,linear_pos,norm_conv,conv_pw1,conv_dw,
+    conv_norm,conv_pw2,ffn_norm_1,ffn_up_1,ffn_down_1,ln2}.*, and the
+    mm.a.mlp.{0,1,3} adapter."""
+
+    def __init__(self, path_or_reader, dtype=jnp.float32):
+        r = (path_or_reader if isinstance(path_or_reader, GGUFReader)
+             else GGUFReader(path_or_reader))
+        self.reader = r
+        md = r.metadata
+        g = lambda k, d=None: md.get(f"clip.audio.{k}", d)
+        self.n_mel = int(g("num_mel_bins", 128))
+        self.n_embd = int(g("embedding_length", 512))
+        self.n_layer = int(g("block_count", 16))
+        self.n_head = int(g("attention.head_count", 8))
+        self.eps = 1e-5  # conformer.cpp hardcodes 1e-5 in every build_norm
+
+        t = r.tensors
+
+        def arr(name, d=dtype):
+            return jnp.asarray(t[name].to_numpy(), dtype=d)
+
+        self.params = {
+            "pre": {i: (arr(f"a.conv1d.{i}.weight"),
+                        arr(f"a.conv1d.{i}.bias"))
+                    for i in (0, 2, 3, 5, 6)},
+            "out_w": arr("a.pre_encode.out.weight"),
+            "out_b": arr("a.pre_encode.out.bias"),
+            "mm0_w": arr("mm.a.mlp.0.weight"), "mm0_b": arr("mm.a.mlp.0.bias"),
+            "mm1_w": arr("mm.a.mlp.1.weight"), "mm1_b": arr("mm.a.mlp.1.bias"),
+            "mm3_w": arr("mm.a.mlp.3.weight"), "mm3_b": arr("mm.a.mlp.3.bias"),
+            "layers": [],
+        }
+        for i in range(self.n_layer):
+            p = f"a.blk.{i}."
+            names = {
+                "ffn_norm": "ffn_norm", "ffn_up": "ffn_up",
+                "ffn_down": "ffn_down", "ln1": "ln1", "wq": "attn_q",
+                "wk": "attn_k", "wv": "attn_v", "wo": "attn_out",
+                "norm_conv": "norm_conv", "conv_pw1": "conv_pw1",
+                "conv_dw": "conv_dw", "conv_norm": "conv_norm",
+                "conv_pw2": "conv_pw2", "ffn_norm_1": "ffn_norm_1",
+                "ffn_up_1": "ffn_up_1", "ffn_down_1": "ffn_down_1",
+                "ln2": "ln2",
+            }
+            lyr = {}
+            for key, nm in names.items():
+                lyr[key + "_w"] = arr(p + nm + ".weight")
+                lyr[key + "_b"] = arr(p + nm + ".bias")
+            lyr["pos_bias_u"] = arr(p + "pos_bias_u")
+            lyr["pos_bias_v"] = arr(p + "pos_bias_v")
+            lyr["linear_pos_w"] = arr(p + "linear_pos.weight")
+            self.params["layers"].append(lyr)
+        self._jit_cache: dict = {}
+
+    # -- pre-encode conv subsampling -------------------------------------------
+
+    @staticmethod
+    def _conv2d(x, w, b, stride, pad, groups=1):
+        """x [1, H, W, C]; w logical (O, I/groups, kh, kw)."""
+        k = jnp.transpose(w, (2, 3, 1, 0))  # HWIO
+        y = jax.lax.conv_general_dilated(
+            x, k, window_strides=(stride, stride),
+            padding=((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=groups)
+        return y + b
+
+    def _pre_encode(self, mel):
+        """mel [n_mel, T] → [T', d_model] (T' = T subsampled ×8)."""
+        p = self.params
+        # image layout: H = time, W = mel bins, 1 channel
+        x = mel.T[None, :, :, None]
+        w0, b0 = p["pre"][0]
+        x = jax.nn.relu(self._conv2d(x, w0, b0, 2, 1))
+        C = x.shape[-1]
+        w2, b2 = p["pre"][2]
+        x = self._conv2d(x, w2.reshape(C, 1, 3, 3), b2, 2, 1, groups=C)
+        w3, b3 = p["pre"][3]
+        x = jax.nn.relu(self._conv2d(x, w3, b3, 1, 0))
+        C = x.shape[-1]
+        w5, b5 = p["pre"][5]
+        x = self._conv2d(x, w5.reshape(C, 1, 3, 3), b5, 2, 1, groups=C)
+        w6, b6 = p["pre"][6]
+        x = jax.nn.relu(self._conv2d(x, w6, b6, 1, 0))
+        # flatten (freq, channel) with freq fastest (ggml reshape of
+        # ne (W', C, H')): [1, T', W', C] → [T', C·W']
+        _, Tq, Wq, Cq = x.shape
+        feats = x[0].transpose(0, 2, 1).reshape(Tq, Cq * Wq)
+        return feats @ p["out_w"].T + p["out_b"]
+
+    # -- conformer blocks -------------------------------------------------------
+
+    @staticmethod
+    def _rel_shift(bd, k_len):
+        """Transformer-XL relative shift (conformer.cpp rel-shift block);
+        bd [h, q, p] → [h, q, k_len]."""
+        h, q, p = bd.shape
+        b = jnp.pad(bd, ((0, 0), (0, 0), (0, 1)))
+        b = jnp.roll(b, 1, axis=2)
+        b = b.reshape(h, p + 1, q)[:, 1:, :]
+        b = b.reshape(h, q, p)
+        return b[:, :, :k_len]
+
+    def _pos_emb(self, L: int) -> np.ndarray:
+        """Sinusoidal relative positions [2L−1, d_model], interleaved
+        sin/cos at angle (L − pos − 1)·inv_freq (clip.cpp LFM2A input)."""
+        d = self.n_embd
+        inv = np.exp(-(np.log(10000.0) / d) * 2.0 * np.arange(d // 2))
+        pos = np.arange(2 * L - 1)[:, None]
+        ang = (L - pos - 1) * inv[None, :]
+        out = np.empty((2 * L - 1, d), np.float32)
+        out[:, 0::2] = np.sin(ang)
+        out[:, 1::2] = np.cos(ang)
+        return out
+
+    def _forward(self, p, feats, pos_emb):
+        ln = lambda x, w, b: layer_norm(x, w, b, self.eps)
+        H = self.n_head
+        C = self.n_embd
+        hd = C // H
+        x = feats
+        T = x.shape[0]
+        for lyr in p["layers"]:
+            # macaron FFN 1 (silu, ·0.5)
+            h = ln(x, lyr["ffn_norm_w"], lyr["ffn_norm_b"])
+            h = jax.nn.silu(h @ lyr["ffn_up_w"].T + lyr["ffn_up_b"])
+            h = h @ lyr["ffn_down_w"].T + lyr["ffn_down_b"]
+            x = x + 0.5 * h
+
+            # relative-position self-attention
+            h = ln(x, lyr["ln1_w"], lyr["ln1_b"])
+            q = (h @ lyr["wq_w"].T + lyr["wq_b"]).reshape(T, H, hd)
+            k = (h @ lyr["wk_w"].T + lyr["wk_b"]).reshape(T, H, hd)
+            v = (h @ lyr["wv_w"].T + lyr["wv_b"]).reshape(T, H, hd)
+            qu = (q + lyr["pos_bias_u"].reshape(H, hd)).transpose(1, 0, 2)
+            qv = (q + lyr["pos_bias_v"].reshape(H, hd)).transpose(1, 0, 2)
+            kt = k.transpose(1, 0, 2)
+            ac = jnp.einsum("hqd,hkd->hqk", qu, kt)
+            pe = (pos_emb @ lyr["linear_pos_w"].T).reshape(-1, H, hd)
+            bd = jnp.einsum("hqd,hpd->hqp", qv, pe.transpose(1, 0, 2))
+            bd = self._rel_shift(bd, T)
+            scores = (ac + bd) / np.sqrt(hd)
+            probs = jax.nn.softmax(scores, axis=-1)
+            ctx = jnp.einsum("hqk,khd->qhd", probs,
+                             v).reshape(T, C)
+            x = x + ctx @ lyr["wo_w"].T + lyr["wo_b"]
+
+            # conv module
+            h = ln(x, lyr["norm_conv_w"], lyr["norm_conv_b"])
+            y = h @ lyr["conv_pw1_w"].T + lyr["conv_pw1_b"]
+            a, gate = jnp.split(y, 2, axis=-1)
+            y = a * jax.nn.sigmoid(gate)  # GLU
+            dw = lyr["conv_dw_w"]
+            K = int(dw.size) // C
+            kern = dw.reshape(C, K)
+            half = (K - 1) // 2
+            ypad = jnp.pad(y, ((half, half), (0, 0)))
+            idx = jnp.arange(T)[:, None] + jnp.arange(K)[None, :]
+            y = jnp.einsum("tkc,ck->tc", ypad[idx], kern) + lyr["conv_dw_b"]
+            y = y * lyr["conv_norm_w"] + lyr["conv_norm_b"]  # folded BN
+            y = jax.nn.silu(y)
+            y = y @ lyr["conv_pw2_w"].T + lyr["conv_pw2_b"]
+            x = x + y
+
+            # macaron FFN 2 (silu, ·0.5)
+            h = ln(x, lyr["ffn_norm_1_w"], lyr["ffn_norm_1_b"])
+            h = jax.nn.silu(h @ lyr["ffn_up_1_w"].T + lyr["ffn_up_1_b"])
+            h = h @ lyr["ffn_down_1_w"].T + lyr["ffn_down_1_b"]
+            x = x + 0.5 * h
+
+            x = ln(x, lyr["ln2_w"], lyr["ln2_b"])  # norm_out
+
+        # audio adapter: LayerNorm → GELU-erf MLP
+        x = ln(x, p["mm0_w"], p["mm0_b"])
+        x = jax.nn.gelu(x @ p["mm1_w"].T + p["mm1_b"], approximate=False)
+        return x @ p["mm3_w"].T + p["mm3_b"]
+
+    # -- API --------------------------------------------------------------------
+
+    def encode_mel(self, mel: np.ndarray) -> np.ndarray:
+        mel = np.asarray(mel, np.float32)
+        feats = self._pre_encode(jnp.asarray(mel))
+        L = int(feats.shape[0])
+        fn = self._jit_cache.get(L)
+        if fn is None:
+            fn = jax.jit(self._forward)
+            self._jit_cache[L] = fn
+        pos = jnp.asarray(self._pos_emb(L))
+        return np.asarray(fn(self.params, feats, pos))
+
+    def encode_audio(self, samples: np.ndarray) -> np.ndarray:
+        mel = log_mel_spectrogram(samples, self.n_mel, chunk_len_s=1)
+        return self.encode_mel(mel)

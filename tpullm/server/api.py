@@ -116,9 +116,9 @@ class Server:
 
             md = GGUFReader(mmproj_path).metadata
             if md.get("clip.has_audio_encoder"):
-                from ..mtmd import WhisperAudioEncoder
+                from ..mtmd import load_audio
 
-                self.audio_enc = WhisperAudioEncoder(mmproj_path)
+                self.audio_enc = load_audio(mmproj_path)
             if md.get("clip.has_vision_encoder") or not self.audio_enc:
                 from ..mtmd import load_vision
 

@@ -47,9 +47,9 @@ def main(argv=None):
         args.mmproj).metadata
     clip = audio_enc = None
     if reader_keys.get("clip.has_audio_encoder"):
-        from ..mtmd import WhisperAudioEncoder
+        from ..mtmd import load_audio
 
-        audio_enc = WhisperAudioEncoder(args.mmproj)
+        audio_enc = load_audio(args.mmproj)
     if reader_keys.get("clip.has_vision_encoder") or not audio_enc:
         clip = ClipVision(args.mmproj)
     sampler = Sampler(SamplerParams(temp=args.temp))
