@@ -18,7 +18,7 @@ from tpullm.quant import codecs
 # keeps one representative per layout family (simple f16-scale block,
 # K-quant superblock) at M=1 — the decode shape. Run the full matrix with
 # `pytest -m slow tests/test_qmm.py` (CI) or on real TPU.
-_FAST = {(GGMLType.Q4_0, 1), (GGMLType.Q4_K, 1)}
+_FAST = {(GGMLType.Q4_0, 1), (GGMLType.Q4_K, 1), (GGMLType.Q6_K, 1)}
 
 
 def _ktype_params(types, Ms):
@@ -164,3 +164,40 @@ def test_iq_kernel_matches_reference(gtype, M):
     got = qmm.qmatmul(x, ql)
     err = nmse(np.asarray(got), np.asarray(ref))
     assert err < 2e-4, f"{gtype.name} M={M}: NMSE {err}"
+
+
+def test_q6k_wide_repack_bit_exact():
+    """The wide int8 "qw" plane (bias pre-folded at repack) must decode to
+    exactly the same values as the packed qs/qh planes: scale planes are
+    shared, so dequant equality reduces to code equality."""
+    import jax.numpy as jnp_
+
+    rng = np.random.default_rng(5)
+    n_out, n_in = 8, 512
+    w = rng.normal(size=(n_out, n_in)).astype(np.float32) * 0.1
+    packed = codecs.quantize(w.reshape(-1), GGMLType.Q6_K)
+
+    codes, scale, minus = qmatmul._decode_blocks(packed, GGMLType.Q6_K,
+                                                 n_out, n_in)
+    assert minus is None
+    U = qmatmul.split_unit(GGMLType.Q6_K)
+    planes_np = {
+        "qs": qmatmul._half_split_pack4(codes & 0x0F, U),
+        "qh": qmatmul._bitplane_pack(codes >> 4, 2, U),
+        "scale": scale,
+    }
+    wide = qmatmul._widen_planes(planes_np, GGMLType.Q6_K, n_out, n_in)
+    got = wide["qw"].view(np.int8).astype(np.int32)
+    expect = codes.astype(np.int32) - 32
+    assert np.array_equal(got, expect)
+    np.testing.assert_array_equal(wide["scale"], scale)
+
+    # and the full repack → reference dequant matches the codec dequant
+    # within the bf16 scale-plane rounding
+    planes = qmatmul.repack(packed, GGMLType.Q6_K, n_out, n_in)
+    assert "qw" in planes  # Q6_K defaults to the wide layout
+    deq = np.asarray(qmatmul.dequant_planes(planes, GGMLType.Q6_K,
+                                            n_out, n_in))
+    ref = codecs.dequantize(packed, GGMLType.Q6_K, n_out * n_in).reshape(
+        n_out, n_in).T
+    np.testing.assert_allclose(deq, ref, rtol=4.5e-3, atol=1e-6)

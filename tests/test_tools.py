@@ -40,8 +40,12 @@ def test_quantize_roundtrip(tiny, tmp_path):
 
     r = GGUFReader(dst)
     assert r.tensors["blk.0.attn_q.weight"].ggml_type == GGMLType.Q4_K
-    # _M recipe upgrades attn_v; output head goes to Q6_K
-    assert r.tensors["blk.0.attn_v.weight"].ggml_type == GGMLType.Q6_K
+    # _M recipe upgrades attn_v on the use_more_bits layer pattern
+    # (llama-quant.cpp:185-187): for n_layer=2 that is the last layer only;
+    # output head goes to Q6_K
+    assert r.tensors["blk.0.attn_v.weight"].ggml_type == GGMLType.Q4_K
+    assert r.tensors["blk.1.attn_v.weight"].ggml_type == GGMLType.Q6_K
+    assert r.tensors["blk.1.ffn_down.weight"].ggml_type == GGMLType.Q6_K
     assert r.tensors["output.weight"].ggml_type == GGMLType.Q6_K
     assert r.tensors["output_norm.weight"].ggml_type == GGMLType.F32
     assert r.metadata["general.file_type"] == 15

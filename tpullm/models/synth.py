@@ -107,18 +107,30 @@ def make_synthetic_llama_gguf(
     def norm(name, n):
         w.add_tensor(name, np.ones(n, dtype=np.float32), GGMLType.F32)
 
+    # Q4_K_M recipe parity: attn_v and ffn_down upgrade to Q6_K on the
+    # use_more_bits layer pattern (llama-quant.cpp:185-187, :303, :363) —
+    # matches the published 4.58 GiB Llama-3-8B Q4_K_M footprint the bench
+    # baseline was measured on (tools/quantize/README.md:142-145)
+    from ..tools.quantize import use_more_bits
+
+    def bump(i):
+        if head_type != weight_type and use_more_bits(i, n_layer) and \
+                weight_type in (GGMLType.Q4_K, GGMLType.Q5_K):
+            return GGMLType.Q6_K
+        return weight_type
+
     packed("token_embd.weight", n_vocab, n_embd, weight_type)
     for i in range(n_layer):
         p = f"blk.{i}."
         norm(p + "attn_norm.weight", n_embd)
         packed(p + "attn_q.weight", n_head * head_dim, n_embd, weight_type)
         packed(p + "attn_k.weight", n_head_kv * head_dim, n_embd, weight_type)
-        packed(p + "attn_v.weight", n_head_kv * head_dim, n_embd, weight_type)
+        packed(p + "attn_v.weight", n_head_kv * head_dim, n_embd, bump(i))
         packed(p + "attn_output.weight", n_embd, n_head * head_dim, weight_type)
         norm(p + "ffn_norm.weight", n_embd)
         packed(p + "ffn_gate.weight", n_ff, n_embd, weight_type)
         packed(p + "ffn_up.weight", n_ff, n_embd, weight_type)
-        packed(p + "ffn_down.weight", n_embd, n_ff, weight_type)
+        packed(p + "ffn_down.weight", n_embd, n_ff, bump(i))
     norm("output_norm.weight", n_embd)
     packed("output.weight", n_vocab, n_embd, head_type)
     w.write()

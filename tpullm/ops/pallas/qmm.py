@@ -44,6 +44,8 @@ def _plane_rows(gtype: GGMLType, name: str, tk: int) -> int:
 
     meta = qm._SCHEMA[gtype]
     bits = meta["bits"]
+    if name == "qw":  # wide int8 codes (one row per weight row)
+        return tk
     if name == "qs":
         return {2: tk // 4, 3: tk // 4, 4: tk // 2, 5: tk // 2, 6: tk // 2,
                 8: tk}[bits]
@@ -62,9 +64,12 @@ def supports(gtype: GGMLType, n_in: int, n_out: int) -> bool:
     if n_in % max(tk, U) != 0 or tk % U != 0:
         return False
     meta = qm._SCHEMA[gtype]
-    names = ["qs", "scale"]
-    if meta["bits"] in (3, 5, 6):
-        names.append("qh")
+    if gtype in qm.WIDE_TYPES:
+        names = ["qw", "scale"]
+    else:
+        names = ["qs", "scale"]
+        if meta["bits"] in (3, 5, 6):
+            names.append("qh")
     if any(_plane_rows(gtype, nm, tk) % 8 != 0 for nm in names):
         return False
     # N tile adapts down to 128 lanes (e.g. vocab heads like 128256)
@@ -88,8 +93,7 @@ def _kernel_mat(x_ref, *refs, gtype: GGMLType, plane_names: tuple[str, ...],
     tiles = {name: ref[:] for name, ref in zip(plane_names, plane_refs)}
     meta = qm._SCHEMA[gtype]
     G = meta["G"]
-    codes = qm._expand_codes(tiles, gtype)  # (tk, tn) int32
-    vals = qm._mapped_values(codes, gtype)  # f32
+    vals = qm._plane_values(tiles, gtype)  # (tk, tn) f32
     n_groups = tk // G
     scale = tiles["scale"].astype(jnp.float32)  # planes ride HBM at bf16
     vals = vals.reshape(n_groups, G, tn) * scale.reshape(n_groups, 1, tn)
@@ -143,11 +147,16 @@ def _kernel(x_ref, *refs, gtype: GGMLType, plane_names: tuple[str, ...],
     meta = qm._SCHEMA[gtype]
     G = meta["G"]
     ng = tk // G
-    codes = qm._expand_codes(tiles, gtype)  # (tk, tn) int32
-    if meta.get("lut"):
-        w = qm._mapped_values(codes, gtype).astype(jnp.bfloat16)
+    if "qw" in tiles:  # wide int8 codes, bias pre-folded
+        w = qm._plane_values(tiles, gtype).astype(jnp.bfloat16)
+        bias_folded = True
     else:
-        w = codes.astype(jnp.bfloat16)  # exact: |code| ≤ 255
+        codes = qm._expand_codes(tiles, gtype)  # (tk, tn) int32
+        if meta.get("lut"):
+            w = qm._mapped_values(codes, gtype).astype(jnp.bfloat16)
+        else:
+            w = codes.astype(jnp.bfloat16)  # exact: |code| ≤ 255
+        bias_folded = False
     # x arrives TRANSPOSED [tk, tm] so the group split only divides major
     # dims (Mosaic shape casts cannot split the minor/lane dim)
     xg = x_ref[:].astype(jnp.bfloat16).reshape(ng, G, -1)  # (ng, G, tm)
@@ -160,7 +169,7 @@ def _kernel(x_ref, *refs, gtype: GGMLType, plane_names: tuple[str, ...],
         preferred_element_type=jnp.float32,
     )
     acc = jnp.sum(dot * scale[:, None, :], axis=0)  # per-group scale
-    bias = meta.get("bias")
+    bias = None if bias_folded else meta.get("bias")
     minus_eff = None
     if "minus" in tiles:
         minus_eff = tiles["minus"].astype(jnp.float32)
@@ -236,7 +245,7 @@ def _qmm_2d(x, planes_flat, gtype, M, K, N, plane_names, out_dtype, interpret):
 
 
 # canonical plane order: codes first, then scale fields
-_ORDER = ("qs", "qh", "scale", "minus")
+_ORDER = ("qw", "qs", "qh", "scale", "minus")
 
 
 def qmatmul(x: jax.Array, ql) -> jax.Array:

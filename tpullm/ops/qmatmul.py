@@ -283,11 +283,45 @@ def split_unit(gtype: GGMLType) -> int:
     return _SCHEMA[gtype].get("SB", _SCHEMA[gtype]["G"])
 
 
+# Types repacked to WIDE int8 code planes ("qw": one signed byte per weight,
+# bias pre-folded) instead of packed sub-byte codes. Q6_K's 4+2-bit unpack
+# (nibble split + 2-bit plane + shift/or + bias sub) is VPU-bound on v5e:
+# measured ~480 GB/s vs ~950 for the int8 single-plane decode at the same
+# shapes (tools/profile_qmm.py, llama-8B ffn_down/head) — a ~2× kernel win
+# for +28% plane bytes (6.56→8.5 bpw), net ≈1.5× on the Q4_K_M decode
+# stream's Q6_K share. Override with TPULLM_QMM_WIDE=Q6_K,Q3_K or =''.
+WIDE_TYPES: set = {GGMLType.Q6_K}
+_wide_env = __import__("os").environ.get("TPULLM_QMM_WIDE")
+if _wide_env is not None:
+    WIDE_TYPES = {GGMLType[t.strip()] for t in _wide_env.split(",")
+                  if t.strip()}
+
+
+def _widen_planes(planes: dict[str, np.ndarray], gtype: GGMLType,
+                  n_out: int, n_in: int) -> dict[str, np.ndarray]:
+    """Packed qs/qh code planes → one signed int8 "qw" plane with the
+    symmetric bias folded (numpy mirror of _expand_codes for bits=6)."""
+    meta = _SCHEMA[gtype]
+    assert meta["bits"] == 6 and "minus" not in planes, gtype
+    U = split_unit(gtype)
+    K = n_in
+    qs = planes["qs"].reshape(K // U, U // 2, n_out)
+    lo = np.concatenate([qs & 0x0F, qs >> 4], axis=1)  # (K/U, U, N)
+    qh = planes["qh"].reshape(K // U, U // 4, n_out)
+    hi = np.concatenate([(qh >> (2 * j)) & 3 for j in range(4)], axis=1)
+    codes = (lo | (hi << 4)).reshape(K, n_out).astype(np.int16)
+    out = {"qw": (codes - meta["bias"]).astype(np.int8).view(np.uint8),
+           "scale": planes["scale"]}
+    return out
+
+
 def repack(data: np.ndarray, gtype: GGMLType, n_out: int, n_in: int) -> dict[str, jax.Array]:
     """Repack ggml blocks (row-major packed bytes) into TPU planes (host→device)."""
     from ..quant import native
 
     def upload(planes_np):
+        if gtype in WIDE_TYPES and "qs" in planes_np:
+            planes_np = _widen_planes(planes_np, gtype, n_out, n_in)
         # scale/minus planes ride HBM at bf16: halves the per-group overhead
         # (8→4 bytes per G weights per lane, ~20% less decode traffic for
         # Q4_K) at ≤2^-9 relative scale rounding — far below the block
@@ -382,6 +416,14 @@ def _expand_codes(planes: dict[str, jax.Array], gtype: GGMLType) -> jax.Array:
     return c
 
 
+def _plane_values(planes: dict[str, jax.Array], gtype: GGMLType) -> jax.Array:
+    """(K, N) f32 unscaled values from code planes — wide int8 "qw" planes
+    (bias pre-folded at repack) or packed codes through the type map."""
+    if "qw" in planes:
+        return _sign8(_u32(planes["qw"])).astype(jnp.float32)
+    return _mapped_values(_expand_codes(planes, gtype), gtype)
+
+
 def _mapped_values(codes: jax.Array, gtype: GGMLType) -> jax.Array:
     """codes (int32) → f32 values through the type's code map (bias for
     symmetric types subtracted here, in int — ≡ ggml's (q − 8)·d form)."""
@@ -404,8 +446,7 @@ def dequant_planes(planes: dict[str, jax.Array], gtype: GGMLType, n_out: int, n_
     """Reference dequant of the full plane set -> dense [K, N] = [n_in, n_out]."""
     meta = _SCHEMA[gtype]
     G = meta["G"]
-    codes = _expand_codes(planes, gtype)
-    vals = _mapped_values(codes, gtype)
+    vals = _plane_values(planes, gtype)
     n_groups = n_in // G
     vals = vals.reshape(n_groups, G, n_out) * planes["scale"].reshape(n_groups, 1, n_out)
     if "minus" in planes:

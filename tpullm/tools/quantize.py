@@ -52,6 +52,12 @@ FTYPES = {
 }
 
 
+def use_more_bits(i_layer: int, n_layer: int) -> bool:
+    """≡ llama-quant.cpp:185-187."""
+    return (i_layer < n_layer // 8 or i_layer >= 7 * n_layer // 8
+            or (i_layer - n_layer // 8) % 3 == 2)
+
+
 def tensor_type_policy(name: str, default: GGMLType, ftype_name: str,
                        n_layer: int) -> GGMLType:
     """Per-tensor quant policy (behavior of llama_tensor_get_type)."""
@@ -67,17 +73,17 @@ def tensor_type_policy(name: str, default: GGMLType, ftype_name: str,
         if ftype_name in ("Q4_K_M", "Q5_K_M") or default == GGMLType.Q4_K:
             return default
         return default
-    if ftype_name.endswith("_M") and ".attn_v.weight" in name:
-        # _M recipes upgrade attn_v (and ffn_down on early layers)
-        return {GGMLType.Q4_K: GGMLType.Q6_K, GGMLType.Q5_K: GGMLType.Q6_K}.get(
-            default, default
-        )
-    if ftype_name.endswith("_M") and ".ffn_down.weight" in name:
+    if ftype_name.endswith("_M") and (".attn_v.weight" in name
+                                      or ".ffn_down.weight" in name):
+        # _M recipes upgrade attn_v and ffn_down on the use_more_bits layer
+        # pattern (llama-quant.cpp:185-187 — first/last n/8 layers plus
+        # every third in between; applied at :303 for attn_v and :363 for
+        # ffn_down under Q4_K_M/Q5_K_M)
         try:
             layer = int(name.split(".")[1])
         except (IndexError, ValueError):
             layer = n_layer
-        if layer < n_layer // 8:
+        if use_more_bits(layer, n_layer):
             return {GGMLType.Q4_K: GGMLType.Q6_K, GGMLType.Q5_K: GGMLType.Q6_K}.get(
                 default, default
             )
