@@ -77,6 +77,10 @@ def load_vision(path):
         from .qwen_vl import YoutuVLVision
 
         return YoutuVLVision(path)
+    if proj == "gemma3nv":
+        from .mobilenet import Gemma3nVision
+
+        return Gemma3nVision(path)
     if proj == "resampler":  # minicpm-v
         from .minicpmv import MiniCPMVVision
 

@@ -1583,7 +1583,7 @@ _MMPROJ_VISION_TYPES = ("qwen2_vl", "qwen2_5_vl", "gemma3", "mistral3",
                         "idefics3", "janus", "lfm2_vl", "lfm2-vl", "glm4v",
                         "glm4v_moe", "llama4", "qwen3_vl", "qwen3_vl_moe",
                         "qwen2_5_omni", "qwen2_5_omni_thinker", "kimi_vl",
-                        "youtu_vl", "youtuvl")
+                        "youtu_vl", "youtuvl", "gemma3n")
 
 
 def convert_hf_mmproj(src_dir: str, dst: str, verbose: bool = True) -> dict:
@@ -1625,6 +1625,8 @@ def convert_hf_mmproj(src_dir: str, dst: str, verbose: bool = True) -> dict:
         return _convert_kimivl_mmproj(src_dir, dst, cfg, verbose)
     if model_type in ("youtu_vl", "youtuvl"):
         return _convert_youtuvl_mmproj(src_dir, dst, cfg, verbose)
+    if model_type == "gemma3n":
+        return _convert_gemma3n_mmproj(src_dir, dst, cfg, verbose)
     is25 = model_type == "qwen2_5_vl"
     vc = cfg["vision_config"]
     # 2.0: embed_dim is the tower width (hidden_size = LLM dim for the
@@ -2591,6 +2593,116 @@ def _convert_youtuvl_mmproj(src_dir: str, dst: str, cfg: dict,
     put_if("mm.0.bias", "merger.mlp.0.bias")
     put("mm.2.weight", sd["merger.mlp.2.weight"])
     put_if("mm.2.bias", "merger.mlp.2.bias")
+    w.write()
+    if verbose:
+        print(f"wrote mmproj {dst} ({n_tensors} tensors)")
+    return {"out": dst, "arch": "clip", "n_tensors": n_tensors}
+
+
+# MobileNetV5 block-tensor suffixes pass through unchanged
+# (≡ Gemma3nVisionAudioModel.block_tensor_mapping, convert_hf_to_gguf.py:6267)
+_GEMMA3N_BLK_SUFFIXES = frozenset({
+    "conv_exp.weight", "bn1.weight", "conv_pwl.weight", "bn2.weight",
+    "dw_start.conv.weight", "dw_start.bn.weight",
+    "dw_mid.conv.weight", "dw_mid.bn.weight",
+    "pw_exp.conv.weight", "pw_exp.bn.weight",
+    "pw_proj.conv.weight", "pw_proj.bn.weight",
+    "layer_scale.gamma", "norm.weight",
+    "attn.query.proj.weight", "attn.key.proj.weight",
+    "attn.value.proj.weight", "attn.output.proj.weight",
+    "attn.key.down_conv.weight", "attn.key.norm.weight",
+    "attn.value.down_conv.weight", "attn.value.norm.weight",
+})
+
+
+def _convert_gemma3n_mmproj(src_dir: str, dst: str, cfg: dict,
+                            verbose: bool) -> dict:
+    """Gemma3n MobileNetV5 vision tower → mmproj GGUF
+    (≡ convert_hf_to_gguf.py Gemma3nVisionAudioModel, vision half;
+    PROJECTOR_TYPE_GEMMA3NV in clip.cpp). Double-indexed timm block names
+    map v.blk.{stage}.{idx}.<suffix> with identity suffixes; conv_stem
+    bias and layer_scale gammas are stored [1,C,1,1] like the reference;
+    the embedder rides model.embed_vision.* → mm.*."""
+    from ..gguf.writer import GGUFWriter
+
+    vc = cfg.get("vision_config") or {}
+    # preprocessor_config.json carries the 768×768 size + 256-token length
+    pp = {}
+    pp_path = os.path.join(src_dir, "preprocessor_config.json")
+    if os.path.exists(pp_path):
+        pp = json.load(open(pp_path))
+    image_size = int((pp.get("size") or {}).get("height", 768))
+    seq_len = int(pp.get("image_seq_length", 256))
+    n_embd = int(vc.get("hidden_size", 2048))
+
+    w = GGUFWriter(dst, architecture="clip")
+    w.add_kv("clip.projector_type", "gemma3nv")
+    w.add_kv("clip.has_vision_encoder", True)
+    w.add_kv("clip.vision.image_size", image_size)
+    # patch_size is a bookkeeping value: image_size/seq_len, so the runtime
+    # n_patches = image_size/patch_size recovers the 256-token grid
+    w.add_kv("clip.vision.patch_size", max(1, image_size // seq_len))
+    w.add_kv("clip.vision.embedding_length", n_embd)
+    w.add_kv("clip.vision.block_count", 0)  # no uniform layer structure
+    w.add_kv("clip.vision.attention.layer_norm_epsilon",
+             float(cfg.get("layer_norm_eps", 1e-6)))
+    # MobileNetV5 takes raw 0..1 pixels (reference zeroes mean/unit std)
+    w.add_kv("clip.vision.image_mean", [0.0, 0.0, 0.0])
+    w.add_kv("clip.vision.image_std", [1.0, 1.0, 1.0])
+    w.add_kv("clip.use_gelu", True)
+    n_tensors = 0
+
+    def put(gname, a):
+        nonlocal n_tensors
+        w.add_tensor(gname, np.ascontiguousarray(np.asarray(a, np.float32)))
+        n_tensors += 1
+
+    unsqueeze = ("v.conv_stem.conv.bias",)
+    flat_map = {
+        "model.vision_tower.timm_model.conv_stem.conv.weight":
+            "v.conv_stem.conv.weight",
+        "model.vision_tower.timm_model.conv_stem.conv.bias":
+            "v.conv_stem.conv.bias",
+        "model.vision_tower.timm_model.conv_stem.bn.weight":
+            "v.conv_stem.bn.weight",
+        "model.vision_tower.timm_model.msfa.ffn.pw_exp.conv.weight":
+            "v.msfa.ffn.pw_exp.conv.weight",
+        "model.vision_tower.timm_model.msfa.ffn.pw_exp.bn.weight":
+            "v.msfa.ffn.pw_exp.bn.weight",
+        "model.vision_tower.timm_model.msfa.ffn.pw_proj.conv.weight":
+            "v.msfa.ffn.pw_proj.conv.weight",
+        "model.vision_tower.timm_model.msfa.ffn.pw_proj.bn.weight":
+            "v.msfa.ffn.pw_proj.bn.weight",
+        "model.vision_tower.timm_model.msfa.norm.weight":
+            "v.msfa.norm.weight",
+        "model.embed_vision.embedding_projection.weight":
+            "mm.input_projection.weight",
+        "model.embed_vision.soft_embedding_norm.weight":
+            "mm.soft_emb_norm.weight",
+        "model.embed_vision.embedding.weight": "mm.embedding.weight",
+        "model.embed_vision.hard_embedding_norm.weight":
+            "mm.hard_emb_norm.weight",
+    }
+    blk_pfx = "model.vision_tower.timm_model.blocks."
+    for name, arr in _load_tensors(src_dir):
+        if name in flat_map:
+            gname = flat_map[name]
+            a = np.asarray(arr, np.float32)
+            if gname in unsqueeze:
+                a = a.reshape(1, -1, 1, 1)
+            put(gname, a)
+        elif name.startswith(blk_pfx):
+            rest = name[len(blk_pfx):]
+            stage, idx, suffix = rest.split(".", 2)
+            if suffix not in _GEMMA3N_BLK_SUFFIXES:
+                raise ValueError(f"unknown MobileNetV5 block tensor {name}")
+            a = np.asarray(arr, np.float32)
+            if suffix == "layer_scale.gamma":
+                a = a.reshape(1, -1, 1, 1)
+            put(f"v.blk.{stage}.{idx}.{suffix}", a)
+        # audio tower + text stack tensors are not part of the vision mmproj
+    if n_tensors == 0:
+        raise ValueError(f"no vision_tower tensors found under {src_dir}")
     w.write()
     if verbose:
         print(f"wrote mmproj {dst} ({n_tensors} tensors)")
