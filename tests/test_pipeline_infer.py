@@ -473,3 +473,41 @@ def test_pipe_mesh_q8_kv(model_path):
         assert int(np.argmax(g)) == int(np.argmax(r))
         np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                    rtol=5e-3, atol=5e-3)
+
+
+@pytest.mark.slow
+def test_pipe_mesh_embedding_prompt_and_embed(model_path):
+    """Plain precomputed-embedding prompts and the pooled-embeddings
+    endpoint both run on the pipe mesh (VERDICT r2 #9: the reference's
+    --split-mode layer serves embedding requests too); M-RoPE/deepstack
+    multimodal streams remain a documented structural boundary of the
+    uniform stacked-layer scan."""
+    from jax.sharding import Mesh
+
+    from tpullm.runtime.batch_engine import BatchEngine
+
+    rng = np.random.default_rng(7)
+    embds = (rng.normal(size=(5, 128)) * 0.02).astype(np.float32)
+
+    def run(mesh):
+        eng = BatchEngine(model_path, n_slots=2, max_seq=32, mode="dense",
+                          dtype=jnp.float32, kv_dtype=jnp.float32, mesh=mesh)
+        lg = eng.prefill_slot_embeddings(0, embds)
+        step = eng.decode_batch({0: int(np.argmax(lg))})
+        vec = eng.embed_tokens(1, [3, 9, 4, 2])
+        return [lg, step[0], vec]
+
+    ref = run(None)
+    mesh = Mesh(np.asarray(jax.devices()[:2]).reshape(2, 1),
+                ("pipe", "model"))
+    got = run(mesh)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=2e-4, atol=2e-4)
+
+    # the structural boundary still raises, with an actionable message
+    eng = BatchEngine(model_path, n_slots=2, max_seq=32, mode="dense",
+                      dtype=jnp.float32, kv_dtype=jnp.float32, mesh=mesh)
+    pos4 = np.zeros((4, 5), np.int32)
+    with pytest.raises(NotImplementedError, match="M-RoPE"):
+        eng.prefill_slot_embeddings(0, embds, positions=pos4)

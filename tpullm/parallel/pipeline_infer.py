@@ -25,6 +25,20 @@ continuous-batching scheduler (prefill chunks, decode, speculative verify)
 runs unchanged on a layer-split mesh, ≡ the reference server with
 --split-mode layer (tools/server/server-context.cpp update_slots over a
 layer-split llama_model, src/llama-model.cpp:2616).
+
+Coverage boundary (each gate raises with the reason at load): the stage
+program scans ONE homogeneous stacked-layer structure, so it serves every
+arch whose forward is llama.forward — plain llama/mistral-SWA/qwen(2/3)/
+granite/ALiBi/gateless/xielu variants plus all-MoE mixtral-style FFNs —
+with tokens OR precomputed [B, T, E] embedding prompts and the pooled
+embeddings endpoint. Structurally outside the uniform scan: non-llama
+forwards (gemma softcaps/post-norms, per-layer NAS shapes, hybrid
+SSM/linear-attention layers), recurrent caches, M-RoPE 4-stream
+positions and deepstack per-layer residual injection. The reference's
+--split-mode layer splits an arbitrary graph at layer boundaries because
+its scheduler interprets per-layer subgraphs; the TPU design instead
+compiles one scanned program per stage — widening it means teaching the
+scan that arch's layer body, not lifting a whitelist.
 """
 
 from __future__ import annotations
@@ -503,7 +517,7 @@ def _layer_cached(hp, tp: int, w, x, positions, c_l, offs, batch_start,
 def make_pipeline_step(hp, mesh: Mesh, qmeta: dict | None = None,
                        last_only: bool = False, quant_kv: bool = False,
                        moe: bool = False, opt_keys: tuple = (),
-                       gateless: bool = False):
+                       gateless: bool = False, return_hidden: bool = False):
     """Jitted serving step with the BatchEngine contract:
 
         step(params, tokens [B,T] int32 | embds [B,T,E], positions [B,T],
@@ -522,6 +536,7 @@ def make_pipeline_step(hp, mesh: Mesh, qmeta: dict | None = None,
     psum it across the pipe axis just to have the caller keep one row.
     """
     qmeta = qmeta or {}
+    assert not (last_only and return_hidden)
     pp = mesh.shape[PIPE_AXIS]
     tp = mesh.shape[MODEL_AXIS]
     specs = param_specs(hp, pp, tp)
@@ -558,7 +573,7 @@ def make_pipeline_step(hp, mesh: Mesh, qmeta: dict | None = None,
         n_ticks = M + pp - 1
         E = hp.n_embd
         T_out = 1 if last_only else T
-        v_loc = params["output"].shape[1]
+        v_loc = E if return_hidden else params["output"].shape[1]
         logits_acc = jnp.zeros((M, b, T_out, v_loc), jnp.float32)
         x0 = jnp.zeros((b, T, E), jnp.float32)
         c_leaves, c_def = jax.tree.flatten(cache)
@@ -602,9 +617,12 @@ def make_pipeline_step(hp, mesh: Mesh, qmeta: dict | None = None,
                             xrow, i, 1, axis=0)
                     )(x_out, rows)
                 h = _rms(xr, params["output_norm"], hp.rms_eps)
-                lg = (h @ params["output"]).astype(jnp.float32)
-                if hp.logit_scale != 1.0:  # granite: logits / f_logit_scale
-                    lg = lg / hp.logit_scale
+                if return_hidden:  # embeddings endpoint: final-norm states
+                    lg = h.astype(jnp.float32)
+                else:
+                    lg = (h @ params["output"]).astype(jnp.float32)
+                    if hp.logit_scale != 1.0:  # granite: / f_logit_scale
+                        lg = lg / hp.logit_scale
                 return jax.lax.dynamic_update_slice(
                     acc, lg[None], (mo, 0, 0, 0))
 
@@ -620,13 +638,19 @@ def make_pipeline_step(hp, mesh: Mesh, qmeta: dict | None = None,
         return (logits_acc.reshape((B, T_out, v_loc)),
                 jax.tree.unflatten(c_def, list(c_leaves)))
 
+    out_spec = P() if return_hidden else P(None, None, MODEL_AXIS)
     fn = shard_map_compat(
         spmd, mesh=mesh,
         in_specs=(specs, P(), P(), c_specs, P(), P()),
-        out_specs=(P(None, None, MODEL_AXIS), c_specs),
+        out_specs=(out_spec, c_specs),
     )
 
-    if last_only:
+    if return_hidden:
+        @functools.partial(jax.jit, donate_argnames=("cache",))
+        def step(params, tokens, positions, cache, offsets):
+            return fn(params, tokens, positions, cache, offsets,
+                      jnp.int32(0))
+    elif last_only:
         @functools.partial(jax.jit, donate_argnames=("cache",))
         def step(params, tokens, positions, cache, offsets, n_last):
             n_last = jnp.asarray(n_last, jnp.int32)

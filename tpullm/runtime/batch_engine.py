@@ -163,10 +163,18 @@ class BatchEngine:
                 f"{hp.arch}: pipeline serving needs a plain positional KV "
                 "cache"
             )
-        if isinstance(self.kv_dtype, str) and self.kv_dtype != "q8_0":
-            raise NotImplementedError(
-                f"pipe KV dtype {self.kv_dtype!r} (q8_0 or a float dtype)"
-            )
+        if isinstance(self.kv_dtype, str):
+            # float-name strings from --kv-type normalize to dtypes here
+            # (make_cache does this on the non-pipe path); only q8_0 stays
+            # a string = quantized stage cache
+            named = {"f16": jnp.float16, "bf16": jnp.bfloat16,
+                     "f32": jnp.float32, "q8": "q8_0"}
+            self.kv_dtype = named.get(self.kv_dtype, self.kv_dtype)
+            if isinstance(self.kv_dtype, str) and self.kv_dtype != "q8_0":
+                raise NotImplementedError(
+                    f"pipe KV dtype {self.kv_dtype!r} (q8_0 or a float "
+                    "dtype)"
+                )
         if self.n_slots % pp:
             raise ValueError(
                 f"n_slots {self.n_slots} must be divisible by pp {pp} "
@@ -177,7 +185,7 @@ class BatchEngine:
                 f"heads ({hp.n_head}/{hp.n_head_kv}) must divide tp {tp}"
             )
         try:
-            self.params, qmeta, _ = load_stacked_serving(
+            self.params, self._qmeta, _ = load_stacked_serving(
                 self.reader, hp, mesh, dtype=dtype, mode=mode)
         except KeyError as e:
             raise NotImplementedError(
@@ -190,6 +198,7 @@ class BatchEngine:
         from ..parallel.pipeline_infer import step_flags
 
         flags = step_flags(self.params["stack"])
+        qmeta = self._qmeta
         self._step = make_pipeline_step(hp, mesh, qmeta, quant_kv=quant_kv,
                                         **flags)
         self._prefill_step = make_pipeline_step(
@@ -396,12 +405,14 @@ class BatchEngine:
         `positions` [4, n]: M-RoPE streams for qwen-VL image grids — the
         slot's rope counter then trails its cache slots (rope_delta).
         `deepstack` [k, n, E]: qwen3vl per-layer visual residuals."""
-        if self._pipe:
-            # the stacked pipeline step embeds token ids on-device; raw
-            # embedding prompts have no entry point there yet
+        if self._pipe and (positions is not None or deepstack is not None):
+            # the uniform stacked-layer scan has no entry point for M-RoPE
+            # 4-stream positions or per-layer deepstack residuals; plain
+            # embedding prompts ride the pipe step's [B, T, E] input path
             raise NotImplementedError(
-                "multimodal embedding prompts are not supported under "
-                "--pp layer-split serving"
+                "M-RoPE/deepstack multimodal prompts are not supported "
+                "under --pp layer-split serving (plain embedding prompts "
+                "are)"
             )
         t0 = time.perf_counter()
         n = embds.shape[0]
@@ -490,21 +501,28 @@ class BatchEngine:
                      normalize: bool = True) -> np.ndarray:
         """Pooled embedding computed in an idle slot (slot state is consumed
         and freed). ≡ server embeddings endpoint over a borrowed slot."""
-        if self._pipe:
-            raise NotImplementedError(
-                "embeddings are not wired on a pipe mesh; use a tp/dp mesh"
-            )
         pooling = pooling or (
             self.hp.pooling if self.hp.pooling != "none" else "mean"
         )
         fwd, hp = self.arch.forward, self.hp
         if not hasattr(self, "_hidden_step"):
-            @functools.partial(jax.jit, donate_argnames=("cache",))
-            def _hidden(params, toks, positions, cache, offsets):
-                return fwd(hp, params, toks, positions, cache, offsets,
-                           return_hidden=True)
+            if self._pipe:
+                from ..parallel.pipeline_infer import (
+                    make_pipeline_step,
+                    step_flags,
+                )
 
-            self._hidden_step = _hidden
+                self._hidden_step = make_pipeline_step(
+                    hp, self.mesh, self._qmeta, return_hidden=True,
+                    quant_kv=isinstance(self.kv_dtype, str),
+                    **step_flags(self.params["stack"]))
+            else:
+                @functools.partial(jax.jit, donate_argnames=("cache",))
+                def _hidden(params, toks, positions, cache, offsets):
+                    return fwd(hp, params, toks, positions, cache, offsets,
+                               return_hidden=True)
+
+                self._hidden_step = _hidden
 
         n = len(tokens)
         bucket = self._bucket(n)
