@@ -117,8 +117,8 @@ def build_corpus(max_bytes: int = 4_000_000) -> tuple[str, str]:
 # -- model --------------------------------------------------------------------
 
 
-def make_init_gguf(path: str, *, n_layer=4, n_embd=256, n_head=8,
-                   n_head_kv=4, n_ff=768, n_ctx=512, seed=0) -> str:
+def make_init_gguf(path: str, *, n_layer=8, n_embd=512, n_head=8,
+                   n_head_kv=4, n_ff=1536, n_ctx=512, seed=0) -> str:
     """Random-init llama GGUF with a true byte-level SPM vocab, so the
     trained model reads arbitrary text through byte fallback."""
     from ..gguf.constants import GGMLType  # noqa: F401
@@ -249,29 +249,40 @@ def train_byte_lm(init_gguf: str, train_text: str, steps: int,
 
 
 def measure_ppl(gguf_path: str, eval_text: str, n_ctx: int = 512,
-                max_windows: int | None = 40, mode: str = "auto"):
+                max_windows: int | None = 40, mode: str = "auto",
+                kld_base: str | None = None, kld_windows: int = 12):
+    """PPL over the eval split, plus (when kld_base is given) mean token
+    KLD + top-1 agreement vs the recorded F16 logits (≡ perplexity
+    --kl-divergence, tools/perplexity/README.md:60-70)."""
     import jax.numpy as jnp
 
     from ..runtime import Engine
-    from .perplexity import perplexity
+    from .perplexity import kld_vs_base, perplexity
 
     eng = Engine(gguf_path, mode=mode, dtype=jnp.float32, max_seq=n_ctx,
                  kv_dtype=jnp.float32)
     ppl, n_tok = perplexity(eng, eval_text, n_ctx=n_ctx,
                             max_windows=max_windows)
-    return ppl, n_tok
+    kld = None
+    if kld_base is not None:
+        kld = kld_vs_base(eng, eval_text, kld_base, max_windows=kld_windows)
+    return ppl, n_tok, kld
 
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
-    ap.add_argument("--steps", type=int, default=600)
-    ap.add_argument("--corpus-bytes", type=int, default=4_000_000)
-    ap.add_argument("--max-windows", type=int, default=40)
+    ap.add_argument("--steps", type=int, default=1500)
+    ap.add_argument("--corpus-bytes", type=int, default=8_000_000)
+    ap.add_argument("--max-windows", type=int, default=64)
+    ap.add_argument("--kld-windows", type=int, default=12)
     ap.add_argument("--workdir", default=os.path.join(REPO, ".cache", "baseline"))
     ap.add_argument("--out", default=os.path.join(REPO, "BASELINE.json"))
     ap.add_argument("--ftypes", default=",".join(FTYPES))
     args = ap.parse_args(argv)
 
+    # train + export need the unfused per-projection params (the fused
+    # QKV/gate-up decode layout has no wq/wk/wv to write back out)
+    os.environ["TPULLM_FUSE_QKV"] = "0"
     os.makedirs(args.workdir, exist_ok=True)
     train_text, eval_text = build_corpus(args.corpus_bytes)
     log(f"corpus: {len(train_text)} train bytes, {len(eval_text)} eval bytes")
@@ -287,27 +298,56 @@ def main(argv=None):
     from .quantize import main as quantize_main
 
     results: dict[str, dict] = {}
-    ppl_f16, n_tok = measure_ppl(f16, eval_text, max_windows=args.max_windows,
-                                 mode="dense")
+    ppl_f16, n_tok, _ = measure_ppl(f16, eval_text,
+                                    max_windows=args.max_windows,
+                                    mode="dense")
     log(f"F16 ppl {ppl_f16:.4f} over {n_tok} tokens")
     results["F16"] = {"ppl": round(ppl_f16, 4), "tokens": n_tok}
+
+    # record the F16 logits once for the per-ftype KLD column
+    # (≡ perplexity --kl-divergence-base)
+    import jax.numpy as jnp
+
+    from ..runtime import Engine
+    from .perplexity import save_logits_base
+
+    base = os.path.join(args.workdir, "f16-logits.npz")
+    eng_f16 = Engine(f16, mode="dense", dtype=jnp.float32, max_seq=512,
+                     kv_dtype=jnp.float32)
+    save_logits_base(eng_f16, eval_text, base, max_windows=args.kld_windows)
+    del eng_f16
 
     for ftype in args.ftypes.split(","):
         q = os.path.join(args.workdir, f"bytelm-{ftype.lower()}.gguf")
         quantize_main([f16, q, ftype, "-q"])
-        ppl, _ = measure_ppl(q, eval_text, max_windows=args.max_windows)
+        ppl, _, kld = measure_ppl(q, eval_text,
+                                  max_windows=args.max_windows,
+                                  kld_base=base,
+                                  kld_windows=args.kld_windows)
         results[ftype] = {
             "ppl": round(ppl, 4),
             "delta_vs_f16": round(ppl - ppl_f16, 4),
+            "kld": round(kld["kld"], 6),
+            "same_top_p": round(kld["same_top_p"], 4),
             "size_bytes": os.path.getsize(q),
         }
-        log(f"{ftype}: ppl {ppl:.4f} (Δ {ppl - ppl_f16:+.4f})")
+        log(f"{ftype}: ppl {ppl:.4f} (Δ {ppl - ppl_f16:+.4f}) "
+            f"kld {kld['kld']:.6f} top1 {kld['same_top_p']:.4f}")
+
+    ladder = [f for f in args.ftypes.split(",") if f in results]
+    deltas = [results[f]["delta_vs_f16"] for f in ladder]
+    monotonic = all(a <= b for a, b in zip(deltas, deltas[1:]))
+    log(f"ftype ladder {ladder}: deltas {deltas} "
+        f"({'monotonic' if monotonic else 'NON-monotonic'})")
 
     published = {
         "quantization_ppl": {
-            "protocol": "trained-here byte-level llama (4L/256d) on locally "
-                        "harvested English (docstrings+markdown); "
-                        "tools/quantize + tools/perplexity, 512-token windows",
+            "protocol": "trained-here byte-level llama (8L/512d/1536ff) on "
+                        "locally harvested English (docstrings+markdown); "
+                        "tools/quantize + tools/perplexity, 512-token "
+                        "windows; kld = mean token KL vs the F16 logits "
+                        "(\u2261 perplexity --kl-divergence)",
+            "ladder_monotonic": monotonic,
             "note": "wikitext-2 on Llama-3-8B is blocked in this sandbox "
                     "(zero egress: no checkpoint, no corpus download); the "
                     "quant codecs are bit-exact vs ggml-quants.c "
@@ -321,8 +361,11 @@ def main(argv=None):
     doc.setdefault("published", {}).update(published)
     json.dump(doc, open(args.out, "w"), indent=1)
     print(json.dumps({"f16_ppl": results["F16"]["ppl"],
+                      "monotonic": monotonic,
                       "deltas": {k: v.get("delta_vs_f16") for k, v in
-                                 results.items() if k != "F16"}}))
+                                 results.items() if k != "F16"},
+                      "kld": {k: v.get("kld") for k, v in results.items()
+                              if k != "F16"}}))
 
 
 if __name__ == "__main__":
