@@ -126,6 +126,34 @@ def bench_streams(model: str, n_par: int = 32, ctx: int = 1024,
             "per_stream_tok_s": round(tg / dt, 2)}
 
 
+def bench_depth(model: str, depth: int = 4096, tg: int = 128) -> dict:
+    """tg at a deep prefix (≡ llama-bench -d rows, tools/llama-bench/
+    README.md): decode throughput after a `depth`-token prompt, where KV
+    reads are no longer second-order."""
+    import numpy as np
+
+    from tpullm.runtime import Engine
+
+    eng = Engine(model, mode="quant", max_seq=depth + tg + 64)
+    prompt = (np.arange(depth) % 900 + 3).tolist()
+    t0 = time.time()
+    out = eng.generate_tokens_device(prompt, max_new_tokens=tg, chunk=tg,
+                                     stop_on_eog=False)
+    t_first = time.time() - t0  # compile + prefill + tg decode
+    eng.reset()
+    eng.perf = type(eng.perf)()
+    t0 = time.time()
+    eng.generate_tokens_device(prompt, max_new_tokens=tg, chunk=tg,
+                               stop_on_eog=False)
+    log(f"depth compile+prefill+decode (cold): {t_first:.1f}s "
+        f"({len(out)} tokens)")
+    pp_s = eng.perf.t_prefill_s
+    dt, n = eng.perf.t_decode_s, eng.perf.n_decode
+    return {"depth": depth,
+            "tg_tok_s": round(n / dt, 2),
+            "pp_tok_s": round(depth / pp_s, 1)}
+
+
 def emit(tps: float, extra: dict):
     """The ONE parsed line. Printed immediately after the primary phase and
     re-printed (enriched) after each optional phase, so a timeout at ANY
@@ -217,6 +245,7 @@ def main():
 
     if remaining() > 700:
         del eng  # free HBM before the 32-stream engine loads its own copy
+        eng = None
         try:
             streams = bench_streams(model)
             extra["batch32"] = streams
@@ -226,6 +255,20 @@ def main():
             log("32-stream failed:", e)
     else:
         log(f"skipping 32-stream: {remaining():.0f}s left < 700s worst case")
+
+    if remaining() > 700:
+        if eng is not None:
+            del eng  # free HBM for the depth engine's own weight copy
+        try:
+            depth = bench_depth(model)
+            extra["depth4096"] = depth
+            log(f"d4096: tg {depth['tg_tok_s']} tok/s, "
+                f"pp {depth['pp_tok_s']} tok/s")
+            emit(tps, extra)
+        except Exception as e:  # noqa: BLE001
+            log("depth failed:", e)
+    else:
+        log(f"skipping depth: {remaining():.0f}s left < 700s worst case")
 
 
 if __name__ == "__main__":

@@ -9,6 +9,7 @@ times a dense bf16 matmul of identical plane bytes as the Pallas-free
 ceiling, and the full 32-layer equivalent stream.
 """
 
+import os
 import sys
 import time
 
@@ -22,7 +23,9 @@ from tpullm.models.weights import QuantLinear
 from tpullm.ops import qmatmul
 
 M = int(sys.argv[1]) if len(sys.argv) > 1 else 1
-ITERS = 64
+# enough loop iterations that device time dwarfs the tunnel round-trip
+# floor (~31 ms observed): 1024 x ~100-800us kernels = 0.1-0.8 s per call
+ITERS = int(os.environ.get("QMM_PROF_ITERS", "1024"))
 HBM_GBs = 819.0
 
 
