@@ -26,7 +26,8 @@ def run_case(B, T, H, Hkv, D, S, offset, sliding_window=0, softcap=0.0, seed=0):
 
 def test_supports():
     assert flash.supports((1, 128, 8, 64), (1, 2, 512, 64))
-    assert not flash.supports((1, 1, 8, 64), (1, 2, 512, 64))  # decode T=1
+    assert flash.supports((1, 1, 8, 64), (1, 2, 512, 64))  # decode T=1 pads
+    assert not flash.supports((1, 12, 8, 64), (1, 2, 512, 64))  # T%8
     assert not flash.supports((1, 128, 8, 64), (1, 3, 512, 64))  # H % Hkv
 
 
@@ -118,3 +119,105 @@ def test_quant_kv_cache_engine_uses_q8_flash(tmp_path):
                   kv_dtype=jnp.float32)
     ref = e_bf.prefill_all_logits(toks)
     np.testing.assert_allclose(got, ref, rtol=0.1, atol=0.1)  # q8 rounding
+
+
+def test_decode_t1_and_t4():
+    """T<8 decode steps pad to one 8-row tile; kv tiles past kv_len clamp
+    (DMA elision) and skip compute — values must still match the dense
+    reference exactly."""
+    for T, off in ((1, 0), (1, 100), (4, 37), (7, 250)):
+        run_case(B=2, T=T, H=4, Hkv=2, D=64, S=512, offset=off, seed=T)
+
+
+def test_decode_per_batch_offsets_with_idle_row():
+    """Batched decode: one active slot deep in the cache, one idle slot
+    (offset −1) whose output must be finite (the scheduler discards it)."""
+    rng = np.random.default_rng(5)
+    B, T, H, Hkv, D, S = 2, 1, 2, 2, 32, 256
+    q = jnp.asarray(rng.normal(size=(B, T, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, Hkv, S, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, Hkv, S, D)).astype(np.float32))
+    offsets = jnp.asarray([200, -1], jnp.int32)
+    got = flash.flash_attention(q, k, v, offsets, 0.125)
+    positions = jnp.asarray([[200]])
+    mask = causal_mask(positions, S, jnp.asarray([201]))
+    ref = attention_reference(q[:1], k[:1], v[:1], mask, 0.125)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                               rtol=2e-3, atol=2e-3)
+    assert np.isfinite(np.asarray(got[1])).all()
+
+
+def test_sinks_match_dense():
+    """Per-head sink logits join the softmax normalizer (≡ gpt-oss
+    ggml_soft_max_add_sinks) — kernel vs the dense sink formula."""
+    from tpullm.ops.attention import _attention_with_sinks_dense as _attention_with_sinks
+
+    rng = np.random.default_rng(7)
+    for T, off in ((1, 60), (32, 0)):
+        B, H, Hkv, D, S = 1, 4, 2, 32, 128
+        q = jnp.asarray(rng.normal(size=(B, T, H, D)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(B, Hkv, S, D)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(B, Hkv, S, D)).astype(np.float32))
+        sinks = jnp.asarray(rng.normal(size=(H,)).astype(np.float32))
+        offsets = jnp.full((B,), off, jnp.int32)
+        got = flash.flash_attention(q, k, v, offsets, 0.177, sinks=sinks)
+        positions = jnp.broadcast_to(jnp.arange(off, off + T), (B, T))
+        mask = causal_mask(positions, S, off + T)
+        ref = _attention_with_sinks(q, k, v, mask, 0.177, sinks)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-3, atol=2e-3)
+
+
+def test_alibi_matches_dense():
+    """ALiBi slopes in-kernel vs the dense reference bias path
+    (bloom/mpt/jais)."""
+    from tpullm.ops.attention import alibi_distances, alibi_slopes
+
+    rng = np.random.default_rng(9)
+    for T, off in ((1, 90), (64, 0)):
+        B, H, Hkv, D, S = 1, 8, 8, 32, 128
+        q = jnp.asarray(rng.normal(size=(B, T, H, D)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(B, Hkv, S, D)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(B, Hkv, S, D)).astype(np.float32))
+        slopes = alibi_slopes(H, 8.0)
+        offsets = jnp.full((B,), off, jnp.int32)
+        got = flash.flash_attention(q, k, v, offsets, 0.177,
+                                    alibi_slopes=slopes)
+        positions = jnp.broadcast_to(jnp.arange(off, off + T), (B, T))
+        mask = causal_mask(positions, S, off + T)
+        dist = alibi_distances(positions, S)
+        ref = attention_reference(q, k, v, mask, 0.177,
+                                  alibi=(slopes, dist))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-3, atol=2e-3)
+
+
+def test_q8_decode_t1_with_sinks():
+    """The q8 kernel shares the decode/sink plumbing."""
+    from tpullm.ops.attention import _attention_with_sinks_dense as _attention_with_sinks
+
+    rng = np.random.default_rng(11)
+    B, T, H, Hkv, S, D = 1, 1, 4, 2, 256, 64
+    q = jnp.asarray(rng.standard_normal((B, T, H, D)).astype(np.float32) * 0.3)
+    k_q = jnp.asarray(rng.integers(-127, 127, size=(B, Hkv, S, D), dtype=np.int8))
+    v_q = jnp.asarray(rng.integers(-127, 127, size=(B, Hkv, S, D), dtype=np.int8))
+    k_s = jnp.asarray(rng.uniform(0.001, 0.01, size=(B, Hkv, S)).astype(np.float32))
+    v_s = jnp.asarray(rng.uniform(0.001, 0.01, size=(B, Hkv, S)).astype(np.float32))
+    sinks = jnp.asarray(rng.normal(size=(H,)).astype(np.float32) - 3.0)
+    offsets = jnp.asarray([77], jnp.int32)
+    got = flash.flash_attention_q8(q, k_q, k_s, v_q, v_s, offsets, 0.125,
+                                   sinks=sinks)
+    k = k_q.astype(jnp.float32) * k_s[..., None]
+    v = v_q.astype(jnp.float32) * v_s[..., None]
+    positions = offsets[:, None] + jnp.arange(T)[None, :]
+    mask = causal_mask(positions, S, offsets + T)
+    ref = _attention_with_sinks(q, k, v, mask, 0.125, sinks)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_sliding_window_decode_clamps_low_tiles():
+    """Deep-offset decode with a window smaller than the context: tiles
+    left of the window clamp/skip; values match the dense reference."""
+    run_case(B=1, T=1, H=2, Hkv=2, D=32, S=1024, offset=900,
+             sliding_window=128, seed=13)

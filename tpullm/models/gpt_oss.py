@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..gguf.reader import GGUFReader
-from ..ops.attention import causal_mask
+from ..ops.attention import attention_cached, causal_mask
 from ..ops.norms import rms_norm
 from ..ops.rope import apply_rope
 from ..runtime.kvcache import KVCache
@@ -77,24 +77,6 @@ def build_params(r: GGUFReader, hp: HParams, mode: str = "auto",
     }
 
 
-def _attention_with_sinks(q, k, v, mask, scale, sinks):
-    """Attention where each head carries a learnable sink logit that joins
-    the softmax normalization (≡ ggml_soft_max_add_sinks)."""
-    B, T, H, D = q.shape
-    Hkv = k.shape[1]
-    G = H // Hkv
-    qf = q.reshape(B, T, Hkv, G, D).astype(jnp.float32)
-    scores = jnp.einsum("bthgd,bhsd->bhgts", qf, k.astype(jnp.float32)) * scale
-    scores = jnp.where(mask[:, None, None, :, :], scores, -jnp.inf)
-    sk = sinks.astype(jnp.float32).reshape(Hkv, G)[None, :, :, None]  # [1,Hkv,G,1]
-    m = jnp.maximum(jnp.max(scores, axis=-1), sk)  # [B,Hkv,G,T]
-    e = jnp.exp(scores - m[..., None])
-    denom = e.sum(axis=-1) + jnp.exp(sk - m)
-    probs = e / denom[..., None]
-    out = jnp.einsum("bhgts,bhsd->bthgd", probs, v.astype(jnp.float32))
-    return out.reshape(B, T, H, v.shape[-1]).astype(q.dtype)
-
-
 def _swiglu_oai(gate: jax.Array, up: jax.Array) -> jax.Array:
     g = jnp.minimum(gate.astype(jnp.float32), SWIGLU_LIMIT)
     u = jnp.clip(up.astype(jnp.float32), -SWIGLU_LIMIT, SWIGLU_LIMIT)
@@ -137,6 +119,9 @@ def forward(
     x = params["tok_embd"][tokens]
     scale = hp.head_dim ** -0.5
 
+    offsets = jnp.broadcast_to(
+        jnp.asarray(cache_offset).reshape(-1), (B,)
+    ).astype(jnp.int32)
     kv_len = jnp.asarray(cache_offset) + T
     mask_full = causal_mask(positions, cache.max_len, kv_len, 0)
     mask_swa = causal_mask(positions, cache.max_len, kv_len, hp.sliding_window)
@@ -161,9 +146,11 @@ def forward(
         cache = cache.update(
             li, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), cache_offset
         )
-        k_all, v_all = cache.kv(li)
-        attn_out = _attention_with_sinks(q, k_all, v_all, mask, scale,
-                                         layer["sinks"])
+        attn_out = attention_cached(
+            q, cache, li, mask, scale, offsets=offsets,
+            sliding_window=hp.sliding_window if hp.is_swa(li) else 0,
+            sinks=layer["sinks"],
+        )
         attn_out = layer["wo"](attn_out.reshape(B, T, hp.n_head * hp.head_dim_v))
         if layer["bo"] is not None:
             attn_out = attn_out + layer["bo"].astype(attn_out.dtype)

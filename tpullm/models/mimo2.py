@@ -28,7 +28,6 @@ from ..ops.norms import rms_norm
 from ..ops.rope import apply_rope
 from ..runtime.kvcache import KVCache
 from .hparams import HParams
-from .gpt_oss import _attention_with_sinks
 from .llama import Params, output_head
 from .weights import load_embedding, load_linear, load_vector
 
@@ -138,14 +137,11 @@ def _forward(hp, params, tokens, positions, cache, cache_offset,
         k_all = k_all[:, :n_kv]
         v_all = v_all[:, :n_kv]
         mask = mask_swa if swa else mask_full
-        if layer["sinks"] is not None:
-            attn_out = _attention_with_sinks(q, k_all, v_all, mask, scale,
-                                             layer["sinks"][:n_h])
-        else:
-            attn_out = attention(
-                q, k_all, v_all, mask, scale, offsets=offsets,
-                sliding_window=hp.sliding_window if swa else 0,
-            )
+        attn_out = attention(
+            q, k_all, v_all, mask, scale, offsets=offsets,
+            sliding_window=hp.sliding_window if swa else 0,
+            sinks=layer["sinks"][:n_h] if layer["sinks"] is not None else None,
+        )
         if layer["gate_attn"] is not None:  # step35 head-wise scalar gate
             gate = layer["gate_attn"](h).astype(jnp.float32)  # [B,T,n_h]
             attn_out = attn_out * jax.nn.sigmoid(gate)[..., None].astype(attn_out.dtype)
