@@ -97,12 +97,21 @@ def _kernel_mat(x_ref, *refs, gtype: GGMLType, plane_names: tuple[str, ...],
     n_groups = tk // G
     scale = tiles["scale"].astype(jnp.float32)  # planes ride HBM at bf16
     vals = vals.reshape(n_groups, G, tn) * scale.reshape(n_groups, 1, tn)
-    if "minus" in tiles:
-        minus = tiles["minus"].astype(jnp.float32)
-        vals = vals - minus.reshape(n_groups, 1, tn)
     w = vals.reshape(tk, tn).astype(jnp.bfloat16)
     x = x_ref[:].astype(jnp.bfloat16)
     acc_ref[:] += jnp.dot(x, w, preferred_element_type=jnp.float32)
+    if "minus" in tiles:
+        # factored min term (exact algebra): Σ_k (v_k·s_g − m_g)·x_k
+        # = Σ v s x − Σ_g m_g·(Σ_{k∈g} x_k). The per-element subtract was
+        # ~1/5 of the materializing kernel's VPU work; the group sums ride
+        # the MXU instead via a 0/1 selector dot (x's K dim is the lane
+        # dim, so a reshape-sum would split lanes, which Mosaic can't).
+        minus = tiles["minus"].astype(jnp.float32)  # (ng, tn)
+        kk = jax.lax.broadcasted_iota(jnp.int32, (tk, n_groups), 0)
+        gg = jax.lax.broadcasted_iota(jnp.int32, (tk, n_groups), 1)
+        sel = (kk // G == gg).astype(jnp.bfloat16)  # exact 0/1
+        sx = jnp.dot(x, sel, preferred_element_type=jnp.float32)  # (tm, ng)
+        acc_ref[:] -= jnp.dot(sx, minus, preferred_element_type=jnp.float32)
 
     @pl.when(k == pl.num_programs(2) - 1)
     def _():
