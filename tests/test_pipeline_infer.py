@@ -511,3 +511,39 @@ def test_pipe_mesh_embedding_prompt_and_embed(model_path):
     pos4 = np.zeros((4, 5), np.int32)
     with pytest.raises(NotImplementedError, match="M-RoPE"):
         eng.prefill_slot_embeddings(0, embds, positions=pos4)
+
+
+@pytest.mark.parametrize("garch", ["gemma2", "gemma3"])
+def test_pipe_mesh_gemma_family(tmp_path, garch):
+    """Gemma through the pipeline (VERDICT r2 #9 widening): gelu FFN,
+    sandwich post-norms, per-layer SWA interleave + dual rope base (g3),
+    qk-norms (g3), attn/final softcaps (g2), sqrt(E) embedding scale —
+    logits must equal the single-device gemma.forward over a full cache
+    (the pipe stage cache is full-size ≡ --swa-full)."""
+    from jax.sharding import Mesh
+
+    from tpullm.models.testing import make_tiny_gemma_gguf
+    from tpullm.runtime.batch_engine import BatchEngine
+
+    path = make_tiny_gemma_gguf(
+        tmp_path / f"{garch}.gguf", arch=garch, n_layer=4, n_embd=64,
+        n_head=4, n_head_kv=2, n_ff=128, sliding_window=4, seed=11)
+
+    def run(mesh):
+        eng = BatchEngine(path, n_slots=2, max_seq=32, mode="dense",
+                          dtype=jnp.float32, kv_dtype=jnp.float32,
+                          mesh=mesh)
+        if mesh is None:
+            assert eng.hp.sliding_window == 4
+            assert eng.hp.swa_pattern > 1  # the interleave is exercised
+        lg = eng.prefill_slot(0, [1, 5, 9, 2, 7, 6, 11, 12, 3, 8])
+        step = eng.decode_batch({0: int(np.argmax(lg))})
+        return [lg, step[0]]
+
+    ref = run(None)
+    mesh = Mesh(np.asarray(jax.devices()[:2]).reshape(2, 1),
+                ("pipe", "model"))
+    got = run(mesh)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=2e-4, atol=2e-4)

@@ -30,15 +30,18 @@ Coverage boundary (each gate raises with the reason at load): the stage
 program scans ONE homogeneous stacked-layer structure, so it serves every
 arch whose forward is llama.forward — plain llama/mistral-SWA/qwen(2/3)/
 granite/ALiBi/gateless/xielu variants plus all-MoE mixtral-style FFNs —
-with tokens OR precomputed [B, T, E] embedding prompts and the pooled
-embeddings endpoint. Structurally outside the uniform scan: non-llama
-forwards (gemma softcaps/post-norms, per-layer NAS shapes, hybrid
-SSM/linear-attention layers), recurrent caches, M-RoPE 4-stream
-positions and deepstack per-layer residual injection. The reference's
---split-mode layer splits an arbitrary graph at layer boundaries because
-its scheduler interprets per-layer subgraphs; the TPU design instead
-compiles one scanned program per stage — widening it means teaching the
-scan that arch's layer body, not lifting a whitelist.
+and the gemma family (gemma.forward: gelu FFN, sandwich post-norms,
+per-layer SWA interleave with a dual rope base, qk-norms, attn/final
+softcaps, sqrt(E) embedding scale; the stage cache is full-size ≡
+--swa-full), with tokens OR precomputed [B, T, E] embedding prompts and
+the pooled embeddings endpoint. Structurally outside the uniform scan:
+per-layer NAS shapes (deci), hybrid SSM/linear-attention layers,
+recurrent caches, M-RoPE 4-stream positions and deepstack per-layer
+residual injection. The reference's --split-mode layer splits an
+arbitrary graph at layer boundaries because its scheduler interprets
+per-layer subgraphs; the TPU design instead compiles one scanned program
+per stage — widening it means teaching the scan that arch's layer body,
+not lifting a whitelist.
 """
 
 from __future__ import annotations
@@ -108,6 +111,10 @@ _OPT_STACK_SPECS = {
     "q_norm": P(PIPE_AXIS),
     "k_norm": P(PIPE_AXIS),
     "xielu": P(PIPE_AXIS),
+    # gemma-family sandwich norms + the per-layer SWA interleave flag
+    "attn_post_norm": P(PIPE_AXIS),
+    "ffn_post_norm": P(PIPE_AXIS),
+    "swa_on": P(PIPE_AXIS),
 }
 
 
@@ -137,13 +144,16 @@ def load_stacked_serving(reader, hp, mesh: Mesh, dtype=jnp.bfloat16,
     tp = mesh.shape[MODEL_AXIS]
     if hp.n_layer % pp:
         raise ValueError(f"n_layer {hp.n_layer} must divide pp {pp}")
-    # the stage program hard-codes plain llama math — sharing llama TENSOR
-    # NAMES is not enough (gemma would load but diverge silently). Reject
-    # anything whose forward isn't llama.forward or whose hparams engage
-    # llama.forward features the stage program doesn't implement.
-    if get_arch(hp.arch).forward is not _llama.forward:
+    # the stage program hard-codes the layer math — sharing llama TENSOR
+    # NAMES is not enough (an unknown forward would load but diverge
+    # silently). The scan body implements llama.forward exactly plus the
+    # gemma deltas (gelu FFN, sandwich post-norms, per-layer SWA/rope
+    # interleave, attn/final softcaps); reject every other forward.
+    from ..models import gemma as _gemma
+
+    if get_arch(hp.arch).forward not in (_llama.forward, _gemma.forward):
         raise NotImplementedError(
-            f"{hp.arch}: pipeline serving covers the plain llama family"
+            f"{hp.arch}: pipeline serving covers the llama + gemma families"
         )
     if not hp.causal:
         raise NotImplementedError(
@@ -284,6 +294,12 @@ def load_stacked_serving(reader, hp, mesh: Mesh, dtype=jnp.bfloat16,
     if hp.no_rope_step:
         rope_on = (np.arange(1, hp.n_layer + 1) % hp.no_rope_step) != 0
     stack["rope_on"] = put(jnp.asarray(rope_on), P(PIPE_AXIS))
+    if hp.sliding_window > 0:
+        # per-layer SWA interleave (gemma2 1:1, gemma3 5:1, mistral all-on):
+        # the scan selects mask + rope base by this flag
+        stack["swa_on"] = put(
+            jnp.asarray([hp.is_swa(i) for i in range(hp.n_layer)]),
+            P(PIPE_AXIS))
     if hp.xielu is not None:  # apertus per-layer (αn, αp, β, ε) constants
         stack["xielu"] = put(
             jnp.asarray(np.asarray(hp.xielu, np.float32)), P(PIPE_AXIS))
@@ -293,7 +309,9 @@ def load_stacked_serving(reader, hp, mesh: Mesh, dtype=jnp.bfloat16,
     for key, stem in (("bq", "attn_q.bias"), ("bk", "attn_k.bias"),
                       ("bv", "attn_v.bias"), ("bo", "attn_output.bias"),
                       ("q_norm", "attn_q_norm.weight"),
-                      ("k_norm", "attn_k_norm.weight")):
+                      ("k_norm", "attn_k_norm.weight"),
+                      ("attn_post_norm", "post_attention_norm.weight"),
+                      ("ffn_post_norm", "post_ffw_norm.weight")):
         if f"blk.0.{stem}" in t:
             vs = np.stack([t[f"blk.{i}.{stem}"].to_numpy()
                            for i in range(hp.n_layer)])
@@ -319,15 +337,23 @@ def load_stacked_serving(reader, hp, mesh: Mesh, dtype=jnp.bfloat16,
     return params, qmeta, w_out.shape[1]
 
 
-def step_flags(stack: dict) -> dict:
+def step_flags(stack: dict, hp=None) -> dict:
     """Derive make_pipeline_step's structural flags from a loaded stack —
     single source of truth for both BatchEngine._init_pipeline and
-    PipelineEngine."""
+    PipelineEngine. `hp` selects the FFN activation (gemma family = gelu)."""
     moe = "router" in stack
+    act = "silu"
+    if hp is not None:
+        from ..models import gemma as _gemma
+        from ..models.registry import get_arch
+
+        if get_arch(hp.arch).forward is _gemma.forward:
+            act = "gelu"
     return {
         "moe": moe,
         "gateless": not moe and "w_gate" not in stack,
         "opt_keys": tuple(k for k in _OPT_STACK_SPECS if k in stack),
+        "act": act,
     }
 
 
@@ -343,7 +369,7 @@ def _mm(x, w, meta):
 
 
 def _layer_cached(hp, tp: int, w, x, positions, c_l, offs, batch_start,
-                  tick_valid, qmeta):
+                  tick_valid, qmeta, act: str = "silu"):
     """One llama block against a stage-local cache slice.
 
     x: [b, T, E]; positions: [b, T]; c_l: this stage's layer cache leaves —
@@ -394,6 +420,15 @@ def _layer_cached(hp, tp: int, w, x, positions, c_l, offs, batch_start,
     elif hp.no_rope_step:  # smollm3-style rope-skip layers (per-layer gate)
         q = jnp.where(w["rope_on"], apply_rope(q, positions, hp.rope), q)
         k = jnp.where(w["rope_on"], apply_rope(k, positions, hp.rope), k)
+    elif "swa_on" in w and hp.rope_freq_base_swa > 0:
+        # gemma3: SWA layers rope at their own (local) freq base
+        from dataclasses import replace as _replace
+
+        rope_swa = _replace(hp.rope, freq_base=hp.rope_freq_base_swa)
+        q = jnp.where(w["swa_on"], apply_rope(q, positions, rope_swa),
+                      apply_rope(q, positions, hp.rope))
+        k = jnp.where(w["swa_on"], apply_rope(k, positions, rope_swa),
+                      apply_rope(k, positions, hp.rope))
     else:
         q = apply_rope(q, positions, hp.rope)
         k = apply_rope(k, positions, hp.rope)
@@ -447,6 +482,8 @@ def _layer_cached(hp, tp: int, w, x, positions, c_l, offs, batch_start,
     scores = jnp.einsum("bthgd,bhsd->bhgts", qf, kb.astype(jnp.float32))
     scale = hp.attn_scale if hp.attn_scale is not None else hd ** -0.5
     scores = scores * scale
+    if hp.softcap_attn:  # gemma2 attention logit softcap
+        scores = jnp.tanh(scores / hp.softcap_attn) * hp.softcap_attn
     if use_alibi:  # slope·(−|q_pos − key_slot|), local head slice under tp
         from ..ops.attention import alibi_slopes
 
@@ -463,8 +500,12 @@ def _layer_cached(hp, tp: int, w, x, positions, c_l, offs, batch_start,
     key_idx = jnp.arange(S, dtype=jnp.int32)
     mask = key_idx[None, None, :] <= slot[:, :, None]  # [b, T, S] causal
     if hp.sliding_window > 0:  # SWA via mask (≡ ops.attention.causal_mask;
-        # the stage cache stays full-size, rows past the window just unread)
-        mask &= key_idx[None, None, :] > slot[:, :, None] - hp.sliding_window
+        # the stage cache stays full-size, rows past the window just unread;
+        # the stacked swa_on flag gates the interleaved patterns)
+        mask_w = mask & (
+            key_idx[None, None, :] > slot[:, :, None] - hp.sliding_window)
+        mask = jnp.where(w["swa_on"], mask_w, mask) if "swa_on" in w \
+            else mask_w
     scores = jnp.where(mask[:, None, None], scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1)
     attn = jnp.einsum("bhgts,bhsd->bthgd", probs,
@@ -473,6 +514,9 @@ def _layer_cached(hp, tp: int, w, x, positions, c_l, offs, batch_start,
     attn_out = jax.lax.psum(_mm(attn, w["wo"], qmeta.get("wo")), MODEL_AXIS)
     if "bo" in w:  # output bias added once, after the tp psum
         attn_out = attn_out + w["bo"].astype(attn_out.dtype)
+    if "attn_post_norm" in w:  # gemma sandwich norm (after wo, pre-residual)
+        attn_out = _rms(attn_out, w["attn_post_norm"],
+                        hp.rms_eps).astype(x.dtype)
     if hp.residual_scale != 1.0:  # granite residual multiplier
         attn_out = attn_out * hp.residual_scale
     x = x + attn_out
@@ -491,24 +535,29 @@ def _layer_cached(hp, tp: int, w, x, positions, c_l, offs, batch_start,
             ffn = ffn * hp.residual_scale
         return x + ffn, c_l
     if "w_gate" in w:
-        act = jax.nn.silu(
-            _mm(h, w["w_gate"], qmeta.get("w_gate")).astype(jnp.float32)
-        ).astype(h.dtype) * _mm(h, w["w_up"], qmeta.get("w_up"))
+        gate32 = _mm(h, w["w_gate"], qmeta.get("w_gate")).astype(jnp.float32)
+        if act == "gelu":  # gemma family
+            g = jax.nn.gelu(gate32, approximate=True)
+        else:
+            g = jax.nn.silu(gate32)
+        a = g.astype(h.dtype) * _mm(h, w["w_up"], qmeta.get("w_up"))
     else:  # gateless FFN: apertus xIELU / arcee ReLU²
         up = _mm(h, w["w_up"], qmeta.get("w_up"))
         uf = up.astype(jnp.float32)
         if "xielu" in w:
             an, ap, bb, ee = (w["xielu"][0], w["xielu"][1],
                               w["xielu"][2], w["xielu"][3])
-            act = jnp.where(
+            a = jnp.where(
                 uf > 0.0,
                 ap * uf * uf + bb * uf,
                 (jnp.expm1(jnp.minimum(uf, ee)) - uf) * an + bb * uf,
             ).astype(up.dtype)
         else:
-            act = jnp.square(jax.nn.relu(uf)).astype(up.dtype)
-    ffn = jax.lax.psum(_mm(act, w["w_down"], qmeta.get("w_down")),
+            a = jnp.square(jax.nn.relu(uf)).astype(up.dtype)
+    ffn = jax.lax.psum(_mm(a, w["w_down"], qmeta.get("w_down")),
                        MODEL_AXIS)
+    if "ffn_post_norm" in w:  # gemma sandwich norm (after down, pre-residual)
+        ffn = _rms(ffn, w["ffn_post_norm"], hp.rms_eps).astype(x.dtype)
     if hp.residual_scale != 1.0:
         ffn = ffn * hp.residual_scale
     return x + ffn, c_l
@@ -517,7 +566,8 @@ def _layer_cached(hp, tp: int, w, x, positions, c_l, offs, batch_start,
 def make_pipeline_step(hp, mesh: Mesh, qmeta: dict | None = None,
                        last_only: bool = False, quant_kv: bool = False,
                        moe: bool = False, opt_keys: tuple = (),
-                       gateless: bool = False, return_hidden: bool = False):
+                       gateless: bool = False, return_hidden: bool = False,
+                       act: str = "silu"):
     """Jitted serving step with the BatchEngine contract:
 
         step(params, tokens [B,T] int32 | embds [B,T,E], positions [B,T],
@@ -597,7 +647,7 @@ def make_pipeline_step(hp, mesh: Mesh, qmeta: dict | None = None,
                 w = layer_state[0]
                 xn, c_l = _layer_cached(
                     hp, tp, w, xc, pos, layer_state[1:], offs, bs,
-                    tick_valid, qmeta)
+                    tick_valid, qmeta, act=act)
                 return xn, c_l
 
             x_out, c_leaves = jax.lax.scan(
@@ -623,6 +673,9 @@ def make_pipeline_step(hp, mesh: Mesh, qmeta: dict | None = None,
                     lg = (h @ params["output"]).astype(jnp.float32)
                     if hp.logit_scale != 1.0:  # granite: / f_logit_scale
                         lg = lg / hp.logit_scale
+                    if hp.softcap_final:  # gemma2 final-logit softcap
+                        lg = jnp.tanh(lg / hp.softcap_final) \
+                            * hp.softcap_final
                 return jax.lax.dynamic_update_slice(
                     acc, lg[None], (mo, 0, 0, 0))
 
@@ -703,7 +756,8 @@ class PipelineEngine:
                 "BatchEngine(kv_dtype='q8_0', mesh=...) for quantized KV"
             )
         self._step = make_pipeline_step(
-            self.hp, mesh, self.qmeta, **step_flags(self.params["stack"]))
+            self.hp, mesh, self.qmeta,
+            **step_flags(self.params["stack"], self.hp))
 
     def forward_batch(self, tokens: np.ndarray) -> np.ndarray:
         """Run [B, T] tokens through the pipeline; rows may sit at different

@@ -197,7 +197,7 @@ class BatchEngine:
         quant_kv = isinstance(self.kv_dtype, str)
         from ..parallel.pipeline_infer import step_flags
 
-        flags = step_flags(self.params["stack"])
+        flags = step_flags(self.params["stack"], hp)
         qmeta = self._qmeta
         self._step = make_pipeline_step(hp, mesh, qmeta, quant_kv=quant_kv,
                                         **flags)
@@ -515,7 +515,7 @@ class BatchEngine:
                 self._hidden_step = make_pipeline_step(
                     hp, self.mesh, self._qmeta, return_hidden=True,
                     quant_kv=isinstance(self.kv_dtype, str),
-                    **step_flags(self.params["stack"]))
+                    **step_flags(self.params["stack"], self.hp))
             else:
                 @functools.partial(jax.jit, donate_argnames=("cache",))
                 def _hidden(params, toks, positions, cache, offsets):
