@@ -102,14 +102,14 @@ def bench_warm_ttft(eng, n_req: int = 8) -> float:
     return float(sorted(times)[len(times) // 2])
 
 
-def bench_streams(model: str, n_par: int = 32, ctx: int = 1024,
+def bench_streams(model, n_par: int = 32, ctx: int = 1024,
                   pp: int = 128, tg: int = 128) -> dict:
     """Continuous-batching aggregate decode throughput, 32 streams."""
     import numpy as np
 
     from tpullm.runtime.batch_engine import BatchEngine
 
-    eng = BatchEngine(model, mode="quant", n_slots=n_par, max_seq=ctx,
+    eng = BatchEngine(model, n_slots=n_par, max_seq=ctx,
                       prefill_chunk=pp)
     rng = np.random.default_rng(0)
     eng.prefill_slots({
@@ -126,7 +126,7 @@ def bench_streams(model: str, n_par: int = 32, ctx: int = 1024,
             "per_stream_tok_s": round(tg / dt, 2)}
 
 
-def bench_depth(model: str, depth: int = 4096, tg: int = 128) -> dict:
+def bench_depth(model, depth: int = 4096, tg: int = 128) -> dict:
     """tg at a deep prefix (≡ llama-bench -d rows, tools/llama-bench/
     README.md): decode throughput after a `depth`-token prompt, where KV
     reads are no longer second-order."""
@@ -134,7 +134,7 @@ def bench_depth(model: str, depth: int = 4096, tg: int = 128) -> dict:
 
     from tpullm.runtime import Engine
 
-    eng = Engine(model, mode="quant", max_seq=depth + tg + 64)
+    eng = Engine(model, max_seq=depth + tg + 64)
     prompt = (np.arange(depth) % 900 + 3).tolist()
     t0 = time.time()
     out = eng.generate_tokens_device(prompt, max_new_tokens=tg, chunk=tg,
@@ -204,11 +204,15 @@ def main():
 
     log("devices:", jax.devices())
     acquired.set()
-    from tpullm.runtime import Engine
+    from tpullm.runtime import Engine, Model
 
-    model = ensure_model()
+    model_path = ensure_model()
     t0 = time.time()
-    eng = Engine(model, mode="quant", max_seq=2048)
+    # one Model, many contexts (≡ llama_model / llama_context): the 4.6 GB
+    # of packed weights cross the host→HBM link once; the 32-stream and
+    # depth phases build their engines on the same device-resident planes
+    model = Model(model_path, mode="quant")
+    eng = Engine(model, max_seq=2048)
     log(f"load+repack: {time.time()-t0:.1f}s")
 
     tps, extra = bench_decode(eng)

@@ -42,10 +42,24 @@ class BatchEngine:
         honor_jax_platforms()
         enable_persistent_cache()
         t0 = time.perf_counter()
-        self.reader = GGUFReader(model_path)
-        self.hp = load_hparams(self.reader)
-        self.arch = get_arch(self.hp.arch)
-        self.tokenizer = tokenizer_mod.from_gguf(self.reader)
+        from .model import Model
+
+        self._shared_model = isinstance(model_path, Model)
+        if self._shared_model:
+            # shared llama_model (runtime/model.py): reuse the
+            # device-resident params; this engine is one llama_context
+            mdl = model_path
+            if mode != "auto":
+                mdl.check_compatible(mode, dtype)
+            self.reader = mdl.reader
+            self.hp = mdl.hp
+            self.arch = mdl.arch
+            self.tokenizer = mdl.tokenizer
+        else:
+            self.reader = GGUFReader(model_path)
+            self.hp = load_hparams(self.reader)
+            self.arch = get_arch(self.hp.arch)
+            self.tokenizer = tokenizer_mod.from_gguf(self.reader)
         self.n_slots = n_slots
         self.max_seq = max_seq
         self.prefill_chunk = min(prefill_chunk, max_seq)
@@ -63,10 +77,22 @@ class BatchEngine:
             self.rope_delta = np.zeros(n_slots, dtype=np.int32)
             self.perf = PerfCounters(t_load_s=time.perf_counter() - t0)
             return
-        self.params = self.arch.build_params(self.reader, self.hp, mode=mode, dtype=dtype)
-        from ..models.weights import maybe_fuse_llama
+        if self._shared_model:
+            # fuse on the Model (once) for single-chip contexts; mesh
+            # engines take the unfused names (fusing would donate the
+            # Model's arrays)
+            self.params = (model_path.fused() if mesh is None
+                           else model_path.params)
+            if mesh is not None and model_path._fused:
+                raise ValueError(
+                    "Model already fused by a plain engine; load a "
+                    "separate Model for mesh use")
+        else:
+            self.params = self.arch.build_params(
+                self.reader, self.hp, mode=mode, dtype=dtype)
+            from ..models.weights import maybe_fuse_llama
 
-        self.params = maybe_fuse_llama(self.arch, self.params, mesh)
+            self.params = maybe_fuse_llama(self.arch, self.params, mesh)
         if self.arch.make_cache is not None:
             self.cache = self.arch.make_cache(self.hp, n_slots, max_seq, kv_dtype)
         elif (

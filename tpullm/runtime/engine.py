@@ -189,13 +189,42 @@ class Engine:
         honor_jax_platforms()
         enable_persistent_cache()
         t0 = time.perf_counter()
-        self.reader = GGUFReader(model_path)
-        if override_kv:
-            self.reader.metadata.update(override_kv)
-        self.hp = load_hparams(self.reader)
-        self.arch = get_arch(self.hp.arch)
-        self.tokenizer = tokenizer_mod.from_gguf(self.reader)
-        self.params = self.arch.build_params(self.reader, self.hp, mode=mode, dtype=dtype)
+        from .model import Model
+
+        if isinstance(model_path, Model):
+            # shared llama_model: weights already device-resident; this
+            # context holds only its own cache/steps (llama_init_from_model)
+            mdl = model_path
+            self._shared_model = mdl
+            if mode != "auto":
+                mdl.check_compatible(mode, dtype)
+            if override_kv:
+                raise ValueError(
+                    "override_kv must be applied when loading the Model")
+            self.reader = mdl.reader
+            self.hp = mdl.hp
+            self.arch = mdl.arch
+            self.tokenizer = mdl.tokenizer
+            self.params = mdl.params
+            if lora or control_vectors:
+                if mdl._fused:
+                    raise ValueError(
+                        "Model already fused by a plain engine; load a "
+                        "separate Model for LoRA/cvec use")
+                # unshare the tree STRUCTURE (arrays stay shared) so the
+                # in-place LoRA wrap / cvec key don't touch the Model
+                self.params = {**self.params,
+                               "layers": [dict(l)
+                                          for l in self.params["layers"]]}
+        else:
+            self._shared_model = None
+            self.reader = GGUFReader(model_path)
+            if override_kv:
+                self.reader.metadata.update(override_kv)
+            self.hp = load_hparams(self.reader)
+            self.arch = get_arch(self.hp.arch)
+            self.tokenizer = tokenizer_mod.from_gguf(self.reader)
+            self.params = self.arch.build_params(self.reader, self.hp, mode=mode, dtype=dtype)
         self.lora_info = list(lora or [])  # [(path, scale)] for /lora-adapters
         for lora_path, lora_scale in lora or []:
             from ..models.lora import apply_lora, load_lora_gguf
@@ -268,9 +297,22 @@ class Engine:
     def _maybe_fuse(self, mesh):
         """Fuse per-layer QKV / gate+up weight streams (decode is
         weight-bandwidth bound; one long contiguous read beats three).
-        Policy lives in models.weights.maybe_fuse_llama."""
+        Policy lives in models.weights.maybe_fuse_llama. Shared-Model
+        engines fuse ON the Model (once, donated) so contexts share the
+        fused planes too."""
         from ..models.weights import maybe_fuse_llama
 
+        if self._shared_model is not None:
+            if (mesh is None and not self.lora_info
+                    and "cvec" not in self.params):
+                self.params = self._shared_model.fused()
+            elif self._shared_model._fused:
+                raise ValueError(
+                    "Model already fused by a plain engine; load a separate "
+                    "Model for mesh/LoRA/cvec use")
+            # else: mesh/LoRA/cvec engines run the shared params unfused —
+            # fusing here would donate (free) the Model's arrays
+            return
         self.params = maybe_fuse_llama(self.arch, self.params, mesh,
                                        lora=bool(self.lora_info))
 
