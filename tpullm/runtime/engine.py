@@ -607,11 +607,10 @@ class Engine:
             jnp.int32(self.n_past), jnp.int32(n - 1), sub, sp,
         )
         self.n_past += n
+        out: list[int] = []
+        first = int(tok_dev)  # sync point: the prefill has actually run
         self.perf.t_prefill_s += time.perf_counter() - t0
         self.perf.n_prefill += n
-
-        out: list[int] = []
-        first = int(tok_dev)
         if stop_on_eog and vocab.is_eog(first):
             return out
         out.append(first)
