@@ -99,6 +99,9 @@ CASES = {
         multi_query=True, pad_token_id=0, bos_token_id=1, eos_token_id=2)),
     "bert": ("bert", dict()),
     "modernbert": ("modern-bert", dict()),
+    "glm": ("chatglm", dict(head_dim=16)),  # GlmForCausalLM → CHATGLM arch
+    "chameleon": ("chameleon", dict(vocabulary_map={"<image>": 0})),
+    "ministral": ("llama", dict(head_dim=16, sliding_window=8)),
 }
 
 
@@ -164,6 +167,32 @@ def test_breadth_batch2(model_type, tmp_path):
 def test_breadth_batch3(model_type, tmp_path):
     arch, overrides = CASES[model_type]
     model, src = _tiny_hf(model_type, overrides, tmp_path)
+    _parity(model, src, tmp_path, arch)
+
+
+@pytest.mark.parametrize("model_type", ["glm", "chameleon", "ministral"])
+def test_breadth_batch4(model_type, tmp_path):
+    arch, overrides = CASES[model_type]
+    if model_type == "chameleon":
+        # ChameleonForConditionalGeneration isn't in the AutoModelForCausalLM
+        # registry; build it directly (it IS the causal LM head)
+        from transformers import AutoConfig
+        from transformers.models.chameleon import (
+            ChameleonForConditionalGeneration,
+        )
+        import zlib
+
+        kw = dict(_COMMON)
+        kw.update(overrides)
+        torch.manual_seed(zlib.crc32(model_type.encode()) % 2**31)
+        model = ChameleonForConditionalGeneration(
+            AutoConfig.for_model(model_type, **kw))
+        model.eval()
+        d = tmp_path / f"hf_{model_type}"
+        model.save_pretrained(d, safe_serialization=True)
+        src = str(d)
+    else:
+        model, src = _tiny_hf(model_type, overrides, tmp_path)
     _parity(model, src, tmp_path, arch)
 
 

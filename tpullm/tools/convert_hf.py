@@ -94,6 +94,9 @@ ARCH_MAP = {
     "gpt_bigcode": "starcoder",
     "bert": "bert",
     "modernbert": "modern-bert",
+    "glm": "chatglm",  # GlmForCausalLM (glm-4-hf) rides CHATGLM (ref :8701)
+    "chameleon": "chameleon",
+    "ministral": "llama",  # Ministral-8B: llama body + SWA (ref LlamaModel)
 }
 
 # archs whose norms are LayerNorm (write layer_norm_epsilon, not RMS)
@@ -108,7 +111,8 @@ LN_ARCHS = {"gpt2", "stablelm", "starcoder2", "gptneox", "phi2", "nemotron",
 # natively interleaved (llama4, command-r, cohere2, glm4, chatglm) must NOT
 # permute.
 PERMUTE_QK_ARCHS = {"llama", "granite", "granitemoe", "olmo",
-                    "smollm3", "arcee", "minicpm", "deci", "mistral3"}
+                    "smollm3", "arcee", "minicpm", "deci", "mistral3",
+                    "chameleon"}
 
 
 def _permute_qk(w: np.ndarray, n_head: int) -> np.ndarray:
@@ -163,6 +167,8 @@ _LAYER_MAP = {
     "block_sparse_moe.gate.weight": "ffn_gate_inp.weight",
     "self_attn.q_norm.weight": "attn_q_norm.weight",
     "self_attn.k_norm.weight": "attn_k_norm.weight",
+    "self_attn.q_norm.bias": "attn_q_norm.bias",  # chameleon per-head LN
+    "self_attn.k_norm.bias": "attn_k_norm.bias",
     "mlp.gate_proj.weight": "ffn_gate.weight",
     "mlp.up_proj.weight": "ffn_up.weight",
     "mlp.down_proj.weight": "ffn_down.weight",
@@ -985,6 +991,8 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
     if cfg.get("alibi_bias_max"):  # mpt/jais
         w.add_kv(f"{arch}.attention.max_alibi_bias",
                  float(cfg["alibi_bias_max"]))
+    if arch == "chameleon":
+        w.add_kv(f"{arch}.swin_norm", bool(cfg.get("swin_norm", False)))
     if cfg.get("attn_logit_softcapping"):
         w.add_kv(f"{arch}.attn_logit_softcapping", float(cfg["attn_logit_softcapping"]))
     if cfg.get("final_logit_softcapping"):
@@ -1479,6 +1487,18 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
             xielu_acc.setdefault(parts[-1], {})[int(parts[2])] = float(
                 np.asarray(arr, dtype=np.float32).reshape(-1)[0])
             continue
+        if arch == "chameleon":
+            if name.startswith("model.vqmodel"):
+                continue  # image tokenizer (ChameleonModel.modify_tensors)
+            if ".q_norm." in name or ".k_norm." in name:
+                # per-head LN qk-norms ride the same within-head pair
+                # interleave as the permuted q/k (ChameleonModel.
+                # _reverse_hf_permute, convert_hf_to_gguf.py:9786 — kept
+                # per-head instead of replicating head 0, matching the HF
+                # module's distinct per-head weights)
+                a = np.asarray(arr, np.float32)
+                hd = a.shape[-1]
+                arr = a.reshape(-1, 2, hd // 2).swapaxes(1, 2).reshape(a.shape)
         gname = map_tensor_name(name, arch)
         if gname is not None and arch in ("gptneox", "bloom") and "attn_qkv" in gname:
             # HF GPTNeoX/Bloom fuse qkv per head [(q,k,v)×head_dim]·n_head;
