@@ -1111,3 +1111,53 @@ def test_joint_round_mixed_offsets_near_context_end(engine):
     db = eng_b.decode_batch({0: int(np.argmax(ref0)), 1: int(np.argmax(ref1))})
     for s in (0, 1):
         np.testing.assert_allclose(db[s], da[s], rtol=2e-4, atol=2e-4)
+
+
+def test_api_key_auth(engine):
+    """--api-key security (≡ reference tools/server/tests test_security.py +
+    middleware_validate_api_key, server-http.cpp:126-170): public endpoints
+    stay open, everything else requires Bearer or X-Api-Key."""
+    import asyncio
+
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from tpullm.server.api import Server
+
+    sched = Scheduler(engine)
+    sched.start()
+
+    async def run():
+        server = Server(sched, model_name="tiny", api_keys=["sk-test"])
+        client = TestClient(TestServer(server.app))
+        await client.start_server()
+        try:
+            r = await client.get("/health")  # public
+            assert r.status == 200
+            r = await client.get("/v1/models")  # public
+            assert r.status == 200
+
+            body = {"prompt": "hi", "max_tokens": 2, "temperature": 0}
+            r = await client.post("/v1/completions", json=body)
+            assert r.status == 401
+            err = (await r.json())["error"]
+            assert err["type"] == "authentication_error"
+
+            r = await client.post("/v1/completions", json=body, headers={
+                "Authorization": "Bearer sk-wrong"})
+            assert r.status == 401
+            r = await client.post("/v1/completions", json=body, headers={
+                "Authorization": "Bearer sk-test"})
+            assert r.status == 200
+            r = await client.post("/v1/completions", json=body, headers={
+                "X-Api-Key": "sk-test"})
+            assert r.status == 200
+            r = await client.get("/metrics", headers={
+                "Authorization": "Bearer sk-test"})
+            assert r.status == 200
+        finally:
+            await client.close()
+
+    try:
+        asyncio.new_event_loop().run_until_complete(run())
+    finally:
+        sched.stop()

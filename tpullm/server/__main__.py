@@ -21,6 +21,11 @@ def main(argv=None):
     ap.add_argument("--prefill-chunk", type=int, default=512)
     ap.add_argument("--mmproj", default=None,
                     help="CLIP mmproj GGUF for vision requests")
+    ap.add_argument("--api-key", action="append", default=None,
+                    help="require this bearer token on non-public endpoints "
+                         "(repeatable; env TPULLM_API_KEY, ≡ --api-key)")
+    ap.add_argument("--api-key-file", default=None,
+                    help="file with one accepted API key per line")
     ap.add_argument("--slot-save-path", default=None,
                     help="directory for /slots/:id?action=save|restore files")
     ap.add_argument("--tp", type=int, default=1,
@@ -68,6 +73,14 @@ def main(argv=None):
         args.model = (args.model or []) + [hf_path]
     if not args.model:
         ap.error("one of -m/--model or -hf/--hf-repo is required")
+    import os as _os
+
+    api_keys = list(args.api_key or [])
+    if _os.environ.get("TPULLM_API_KEY"):
+        api_keys.append(_os.environ["TPULLM_API_KEY"])
+    if args.api_key_file:
+        with open(args.api_key_file) as f:
+            api_keys += [ln.strip() for ln in f if ln.strip()]
 
     from aiohttp import web
 
@@ -122,7 +135,8 @@ def main(argv=None):
             if not path:
                 name, path = spec, spec
             models[name] = path
-        router = make_router_app(models, max_loaded=args.max_loaded, **engine_kw)
+        router = make_router_app(models, max_loaded=args.max_loaded,
+                                 api_keys=api_keys, **engine_kw)
         print(f"tpullm-server router on http://{args.host}:{args.port} "
               f"({len(models)} models)", file=sys.stderr)
         try:
@@ -141,6 +155,7 @@ def main(argv=None):
         draft_model_path=args.draft_model,
         n_draft=args.draft_max,
         cache_reuse=args.cache_reuse,
+        api_keys=api_keys,
         **engine_kw,
     )
     sched.precompile(background=True)

@@ -101,13 +101,44 @@ async def _json_errors(request, handler):
         )
 
 
+# endpoints reachable without a key when --api-key is set (≡ the reference
+# middleware_validate_api_key, tools/server/server-http.cpp:126-143)
+_PUBLIC_ENDPOINTS = {"/health", "/v1/health", "/models", "/v1/models",
+                     "/api/tags", "/"}
+
+
+def _api_key_middleware(api_keys: list[str]):
+    keys = set(api_keys)
+
+    @web.middleware
+    async def check(request, handler):
+        if request.path in _PUBLIC_ENDPOINTS:
+            return await handler(request)
+        got = request.headers.get("Authorization", "")
+        if not got:  # anthropic-style header
+            got = request.headers.get("X-Api-Key", "")
+        if got.startswith("Bearer "):
+            got = got[len("Bearer "):]
+        if got in keys:
+            return await handler(request)
+        return web.json_response(
+            {"error": {"message": "Invalid API Key",
+                       "type": "authentication_error", "code": 401}},
+            status=401,
+        )
+
+    return check
+
+
 class Server:
     def __init__(self, scheduler: Scheduler, model_name: str = "tpullm",
                  slot_save_path: str | None = None,
-                 mmproj_path: str | None = None):
+                 mmproj_path: str | None = None,
+                 api_keys: list[str] | None = None):
         self.sched = scheduler
         self.model_name = model_name
         self.slot_save_path = slot_save_path
+        self.api_keys = list(api_keys or [])
         self.t_start = time.time()
         self.clip = None
         self.audio_enc = None
@@ -123,7 +154,10 @@ class Server:
                 from ..mtmd import load_vision
 
                 self.clip = load_vision(mmproj_path)
-        self.app = web.Application(middlewares=[_json_errors])
+        mw = [_json_errors]
+        if self.api_keys:
+            mw.insert(0, _api_key_middleware(self.api_keys))
+        self.app = web.Application(middlewares=mw)
         r = self.app.router
         # webui (≡ tools/server/webui, served at / like the reference;
         # dependency-free single file instead of the Svelte bundle)
@@ -874,6 +908,7 @@ def make_app(model_path, slot_save_path: str | None = None,
              mmproj_path: str | None = None,
              spec_type: str | None = None, draft_model_path=None,
              n_draft: int = 8, cache_reuse: int = 0,
+             api_keys: list[str] | None = None,
              **engine_kw) -> tuple[web.Application, Scheduler]:
     from ..runtime.batch_engine import BatchEngine
 
@@ -887,5 +922,5 @@ def make_app(model_path, slot_save_path: str | None = None,
                       n_draft=n_draft, cache_reuse=cache_reuse)
     sched.start()
     server = Server(sched, slot_save_path=slot_save_path,
-                    mmproj_path=mmproj_path)
+                    mmproj_path=mmproj_path, api_keys=api_keys)
     return server.app, sched

@@ -34,7 +34,8 @@ class ModelEntry:
 
 class Router:
     def __init__(self, models: dict[str, str], max_loaded: int = 1,
-                 **engine_kw):
+                 api_keys: list[str] | None = None, **engine_kw):
+        self.api_keys = list(api_keys or [])
         self.entries = {
             name: ModelEntry(name, path, engine_kw)
             for name, path in models.items()
@@ -44,7 +45,12 @@ class Router:
         self.default = next(iter(self.entries))
         self.max_loaded = max_loaded
 
-        self.app = web.Application(middlewares=[_json_errors])
+        mw = [_json_errors]
+        if self.api_keys:
+            from .api import _api_key_middleware
+
+            mw.insert(0, _api_key_middleware(self.api_keys))
+        self.app = web.Application(middlewares=mw)
         r = self.app.router
         r.add_get("/health", self.health)
         r.add_get("/v1/models", self.models)
@@ -165,5 +171,6 @@ class _Replayed:
 
 
 def make_router_app(models: dict[str, str], max_loaded: int = 1,
-                    **engine_kw) -> Router:
-    return Router(models, max_loaded=max_loaded, **engine_kw)
+                    api_keys: list[str] | None = None, **engine_kw) -> Router:
+    return Router(models, max_loaded=max_loaded, api_keys=api_keys,
+                  **engine_kw)
