@@ -221,3 +221,26 @@ def test_sliding_window_decode_clamps_low_tiles():
     left of the window clamp/skip; values match the dense reference."""
     run_case(B=1, T=1, H=2, Hkv=2, D=32, S=1024, offset=900,
              sliding_window=128, seed=13)
+
+
+def test_flash_non_multiple_256_cache():
+    """Caches sized off the ×256 grid (max_seq = depth + tg + 64 style)
+    still take the kernel via a smaller divisor tile."""
+    import numpy as np
+
+    from tpullm.ops.attention import attention_reference, causal_mask
+    from tpullm.ops.pallas import flash
+
+    B, T, H, Hkv, D, S = 1, 16, 4, 2, 32, 320  # 320 = 64×5, not ×256
+    assert flash.supports((B, T, H, D), (B, Hkv, S, D))
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.normal(size=(B, T, H, D)) * 0.3, jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, Hkv, S, D)) * 0.3, jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, Hkv, S, D)) * 0.3, jnp.float32)
+    offs = jnp.asarray([40], jnp.int32)
+    got = flash.flash_attention(q, k, v, offs, 0.177)
+    positions = offs[:, None] + jnp.arange(T)[None, :]
+    mask = causal_mask(positions, S, offs + T)
+    ref = attention_reference(q, k, v, mask, 0.177)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)

@@ -44,6 +44,15 @@ def available() -> bool:
     return True
 
 
+def _pick_tk(S: int) -> int:
+    """Largest kv tile ≤ DEFAULT_TK that divides S (caches are not always
+    sized to ×256 — e.g. max_seq = depth + tg + 64); 0 if none."""
+    for tk in (256, 128, 64, 32, 16, 8):
+        if tk <= S and S % tk == 0:
+            return tk
+    return 0
+
+
 def supports(q_shape, k_shape, sliding_window: int = 0) -> bool:
     """q [B,T,H,D] (pre-transpose), k [B,Hkv,S,D]. T<8 pads to one 8-row
     tile; larger T must stay sublane-aligned."""
@@ -54,8 +63,7 @@ def supports(q_shape, k_shape, sliding_window: int = 0) -> bool:
     if T >= 8 and T % 8:
         return False
     tq = min(DEFAULT_TQ, max(T, 8))
-    tk = min(DEFAULT_TK, S)
-    return (T < 8 or T % tq == 0) and S % tk == 0 and tk % 8 == 0
+    return (T < 8 or T % tq == 0) and _pick_tk(S) > 0
 
 
 def _make_kernel(*, quant: bool, scale: float, tq: int, tk: int, t_real: int,
@@ -165,7 +173,7 @@ def _run(q, kv_inputs, kv_shapes, offsets, *, quant, scale, softcap,
     Hkv, S, Dv = kv_shapes
     G = H // Hkv
     tq = min(DEFAULT_TQ, T)
-    tk = min(DEFAULT_TK, S)
+    tk = _pick_tk(S)
     grid = (B, H, T // tq, S // tk)
 
     def kv_idx(b, h, i, j, off):

@@ -27,6 +27,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...gguf.constants import GGMLType
 
+# bf16 dequant multiply A/B (see _kernel_mat); default decided by on-chip
+# end-to-end decode measurement
+_BF16_MUL = __import__("os").environ.get("TPULLM_QMM_BF16_MUL", "0") == "1"
+
 # default tile sizes; K tile must be a multiple of the type's split unit and
 # large enough that every plane's K-rows-per-tile is sublane-aligned (%8)
 TILE_K = 2048
@@ -93,11 +97,20 @@ def _kernel_mat(x_ref, *refs, gtype: GGMLType, plane_names: tuple[str, ...],
     tiles = {name: ref[:] for name, ref in zip(plane_names, plane_refs)}
     meta = qm._SCHEMA[gtype]
     G = meta["G"]
-    vals = qm._plane_values(tiles, gtype)  # (tk, tn) f32
     n_groups = tk // G
-    scale = tiles["scale"].astype(jnp.float32)  # planes ride HBM at bf16
-    vals = vals.reshape(n_groups, G, tn) * scale.reshape(n_groups, 1, tn)
-    w = vals.reshape(tk, tn).astype(jnp.bfloat16)
+    if _BF16_MUL and not meta.get("lut"):
+        # bf16 dequant multiply: codes are exact in bf16 (|v| ≤ 256), the
+        # scale plane already rides HBM at bf16, and bf16·bf16 rounds the
+        # exact product the same way f32-multiply-then-round-to-bf16 does —
+        # bit-identical w, fewer f32 lane ops
+        vals = qm._plane_values(tiles, gtype, dtype=jnp.bfloat16)
+        w = (vals.reshape(n_groups, G, tn)
+             * tiles["scale"].reshape(n_groups, 1, tn)).reshape(tk, tn)
+    else:
+        vals = qm._plane_values(tiles, gtype)  # (tk, tn) f32
+        scale = tiles["scale"].astype(jnp.float32)  # planes ride HBM at bf16
+        vals = vals.reshape(n_groups, G, tn) * scale.reshape(n_groups, 1, tn)
+        w = vals.reshape(tk, tn).astype(jnp.bfloat16)
     x = x_ref[:].astype(jnp.bfloat16)
     acc_ref[:] += jnp.dot(x, w, preferred_element_type=jnp.float32)
     if "minus" in tiles:

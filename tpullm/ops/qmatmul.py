@@ -416,29 +416,33 @@ def _expand_codes(planes: dict[str, jax.Array], gtype: GGMLType) -> jax.Array:
     return c
 
 
-def _plane_values(planes: dict[str, jax.Array], gtype: GGMLType) -> jax.Array:
-    """(K, N) f32 unscaled values from code planes — wide int8 "qw" planes
-    (bias pre-folded at repack) or packed codes through the type map."""
+def _plane_values(planes: dict[str, jax.Array], gtype: GGMLType,
+                  dtype=jnp.float32) -> jax.Array:
+    """(K, N) unscaled values from code planes — wide int8 "qw" planes
+    (bias pre-folded at repack) or packed codes through the type map.
+    dtype=bfloat16 is exact for code types (|code| ≤ 256 < 2^9); LUT types
+    keep f32 (their table values need the mantissa)."""
     if "qw" in planes:
-        return _sign8(_u32(planes["qw"])).astype(jnp.float32)
-    return _mapped_values(_expand_codes(planes, gtype), gtype)
+        return _sign8(_u32(planes["qw"])).astype(dtype)
+    return _mapped_values(_expand_codes(planes, gtype), gtype, dtype)
 
 
-def _mapped_values(codes: jax.Array, gtype: GGMLType) -> jax.Array:
-    """codes (int32) → f32 values through the type's code map (bias for
+def _mapped_values(codes: jax.Array, gtype: GGMLType,
+                   dtype=jnp.float32) -> jax.Array:
+    """codes (int32) → float values through the type's code map (bias for
     symmetric types subtracted here, in int — ≡ ggml's (q − 8)·d form)."""
     meta = _SCHEMA[gtype]
     bias = meta.get("bias")
     if bias:
-        return (codes - bias).astype(jnp.float32)
+        return (codes - bias).astype(dtype)
     if meta.get("lut"):
         lut = meta["lut"]
         # branchless LUT via where-chain (16-entry gathers don't vectorize)
         out = jnp.full(codes.shape, float(lut[0]), dtype=jnp.float32)
         for i in range(1, len(lut)):
             out = jnp.where(codes == i, float(lut[i]), out)
-        return out
-    return codes.astype(jnp.float32)
+        return out.astype(dtype) if dtype != jnp.float32 else out
+    return codes.astype(dtype)
 
 
 def dequant_planes(planes: dict[str, jax.Array], gtype: GGMLType, n_out: int, n_in: int,

@@ -246,7 +246,13 @@ class Engine:
         self.max_seq = max_seq
         self.batch = batch
         self.kv_dtype = kv_dtype
-        self.prefill_cap = max_seq
+        # long prompts prefill in chunks (≡ n_ubatch / the fork's -ub 2048):
+        # a single-bucket 8k+ prefill of an 8B model overflows a 16 GB chip
+        # on [T, n_ff] activation temps; chunking bounds them
+        import os as _os
+
+        self.prefill_cap = min(
+            max_seq, int(_os.environ.get("TPULLM_PREFILL_CHUNK", "4096")))
         if self.arch.make_cache is not None:
             self.cache = self.arch.make_cache(self.hp, batch, max_seq, kv_dtype)
         elif (
