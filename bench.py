@@ -134,7 +134,10 @@ def bench_depth(model, depth: int = 4096, tg: int = 128) -> dict:
 
     from tpullm.runtime import Engine
 
-    eng = Engine(model, max_seq=depth + tg + 64)
+    # ×256 so the flash kernel keeps its full kv tile (smaller divisor
+    # tiles work but pay grid overhead)
+    max_seq = -(-(depth + tg + 64) // 256) * 256
+    eng = Engine(model, max_seq=max_seq)
     prompt = (np.arange(depth) % 900 + 3).tolist()
     t0 = time.time()
     out = eng.generate_tokens_device(prompt, max_new_tokens=tg, chunk=tg,
