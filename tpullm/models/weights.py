@@ -188,11 +188,126 @@ def dense_from_info(info: GGUFTensorInfo, dtype=jnp.bfloat16) -> DenseLinear:
     return DenseLinear(jnp.asarray(np.ascontiguousarray(w.T), dtype=dtype))
 
 
+def _repack_cache_dir() -> str | None:
+    """On-disk repack cache root (None = disabled).
+
+    The blocks→planes repack is the expensive half of loading (~220 s of
+    single-thread C++ for an 8B model, + ~80 s of numpy Q6_K widening,
+    measured over 226 tensors) while the planes themselves are tiny
+    transforms of immutable weights — the classic cache shape. The
+    reference's analog is mmap-loading the GGUF directly (its blocks ARE
+    its kernel format, src/llama-mmap.cpp); the TPU kernel wants planes, so
+    the cache gives back the same load-once property."""
+    import os
+
+    if os.environ.get("TPULLM_NO_REPACK_CACHE"):
+        return None
+    return os.environ.get(
+        "TPULLM_REPACK_CACHE_DIR",
+        os.path.join(
+            os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+            "tpullm", "repack",
+        ),
+    )
+
+
+def _repack_key(info: GGUFTensorInfo) -> str:
+    """Content hash of the packed blocks + everything that shapes the plane
+    layout. Full-data blake2b runs ~1 GB/s — noise next to the repack it
+    saves — and keys by value, so renamed/requantized files never collide."""
+    import hashlib
+
+    from ..ops import qmatmul
+
+    h = hashlib.blake2b(digest_size=16)
+    wide = info.ggml_type in qmatmul.WIDE_TYPES
+    h.update(repr((int(info.ggml_type), tuple(info.shape), wide,
+                   qmatmul.REPACK_SCHEMA_VERSION)).encode())
+    h.update(memoryview(np.ascontiguousarray(info.data)))
+    return h.hexdigest()
+
+
+def planes_np_for(info: GGUFTensorInfo) -> dict[str, np.ndarray]:
+    """Host plane arrays for a quantized tensor: prewarmed > disk > repack.
+
+    Disk entries are one .npy per plane under <cachedir>/<content-key>/,
+    written tmp-then-rename so concurrent loaders never see a torn entry;
+    hits come back mmap'd (the device upload streams straight from the
+    page cache)."""
+    import os
+
+    pre = info.__dict__.pop("_planes_np", None)
+    if pre is not None:
+        return pre
+    n_out, n_in = info.shape[1], info.shape[0]
+    from ..ops import qmatmul
+
+    root = _repack_cache_dir()
+    if root is None:
+        return qmatmul.repack_np(info.data, info.ggml_type, n_out, n_in)
+    d = os.path.join(root, _repack_key(info))
+    if os.path.isdir(d):
+        try:
+            names = [f[:-4] for f in os.listdir(d) if f.endswith(".npy")]
+            if names:
+                return {nm: np.load(os.path.join(d, nm + ".npy"),
+                                    mmap_mode="r") for nm in names}
+        except OSError:
+            pass  # torn/corrupt entry: fall through and rebuild it
+    planes = qmatmul.repack_np(info.data, info.ggml_type, n_out, n_in)
+    try:
+        os.makedirs(root, exist_ok=True)
+        tmp = d + f".tmp{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
+        for nm, arr in planes.items():
+            np.save(os.path.join(tmp, nm + ".npy"), arr)
+        if os.path.isdir(d):  # lost a race: another loader already wrote it
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            os.replace(tmp, d)
+    except OSError:
+        pass  # cache is best-effort (read-only FS, disk full, lost race)
+    return planes
+
+
+def prewarm_quant_planes(reader, mode: str = "auto") -> None:
+    """Repack every quantized tensor thread-parallel before build_params.
+
+    The per-tensor repack path releases the GIL (ctypes C++ call, hashlib,
+    numpy bit ops, np.save), so a small pool turns ~300 s of serial host
+    work into ~wall/nthreads; results attach to the tensor infos and are
+    consumed (and dropped) by quant_from_info as build_params walks them."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..gguf.constants import TYPE_TRAITS as _TT
+    from ..ops import qmatmul
+
+    if mode == "dense":
+        return
+    infos = [
+        ti for ti in reader.tensors.values()
+        if len(ti.shape) == 2 and _TT[ti.ggml_type].is_quantized
+        and qmatmul.supports(ti.ggml_type)
+    ]
+    if len(infos) < 2:
+        return
+    workers = min(8, os.cpu_count() or 1, len(infos))
+
+    def _one(ti):
+        ti._planes_np = planes_np_for(ti)
+
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        list(pool.map(_one, infos))
+
+
 def quant_from_info(info: GGUFTensorInfo) -> QuantLinear:
     from ..ops import qmatmul
 
     n_out, n_in = info.shape[1], info.shape[0]
-    planes = qmatmul.repack(info.data, info.ggml_type, n_out, n_in)
+    planes = qmatmul.upload_planes(planes_np_for(info))
     return QuantLinear(info.ggml_type, n_out, n_in, planes)
 
 

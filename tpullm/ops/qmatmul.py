@@ -315,26 +315,43 @@ def _widen_planes(planes: dict[str, np.ndarray], gtype: GGMLType,
     return out
 
 
-def repack(data: np.ndarray, gtype: GGMLType, n_out: int, n_in: int) -> dict[str, jax.Array]:
-    """Repack ggml blocks (row-major packed bytes) into TPU planes (host→device)."""
+# bump when the plane layout produced by repack_np changes (invalidates the
+# on-disk repack cache in models/weights.py)
+REPACK_SCHEMA_VERSION = 2
+
+
+def upload_planes(planes_np: dict[str, np.ndarray]) -> dict[str, jax.Array]:
+    """Host plane arrays → device arrays.
+
+    scale/minus planes ride HBM at bf16: halves the per-group overhead
+    (8→4 bytes per G weights per lane, ~20% less decode traffic for Q4_K)
+    at ≤2^-9 relative scale rounding — far below the block formats' own
+    quantization error."""
+    return {
+        k: (jnp.asarray(v, jnp.bfloat16) if k in ("scale", "minus")
+            else jnp.asarray(v))
+        for k, v in planes_np.items()
+    }
+
+
+def repack_np(data: np.ndarray, gtype: GGMLType, n_out: int,
+              n_in: int) -> dict[str, np.ndarray]:
+    """Repack ggml blocks (row-major packed bytes) into host plane arrays.
+
+    Pure CPU work (native C++ fast path, numpy fallback) — the expensive
+    half of weight loading; models/weights.py caches its result on disk and
+    runs it thread-parallel across tensors (the ctypes call and the numpy
+    bit ops release the GIL)."""
     from ..quant import native
 
-    def upload(planes_np):
+    def widen(planes_np):
         if gtype in WIDE_TYPES and "qs" in planes_np:
-            planes_np = _widen_planes(planes_np, gtype, n_out, n_in)
-        # scale/minus planes ride HBM at bf16: halves the per-group overhead
-        # (8→4 bytes per G weights per lane, ~20% less decode traffic for
-        # Q4_K) at ≤2^-9 relative scale rounding — far below the block
-        # formats' own quantization error
-        return {
-            k: (jnp.asarray(v, jnp.bfloat16) if k in ("scale", "minus")
-                else jnp.asarray(v))
-            for k, v in planes_np.items()
-        }
+            return _widen_planes(planes_np, gtype, n_out, n_in)
+        return planes_np
 
     nat = native.repack(data, gtype, n_out, n_in)
     if nat is not None:
-        return upload(nat)
+        return widen(nat)
     codes, scale, minus = _decode_blocks(data, gtype, n_out, n_in)
     meta = _SCHEMA[gtype]
     bits = meta["bits"]
@@ -358,7 +375,12 @@ def repack(data: np.ndarray, gtype: GGMLType, n_out: int, n_in: int) -> dict[str
     planes["scale"] = scale
     if minus is not None:
         planes["minus"] = minus
-    return upload(planes)
+    return widen(planes)
+
+
+def repack(data: np.ndarray, gtype: GGMLType, n_out: int, n_in: int) -> dict[str, jax.Array]:
+    """Repack ggml blocks (row-major packed bytes) into TPU planes (host→device)."""
+    return upload_planes(repack_np(data, gtype, n_out, n_in))
 
 
 # ---------------------------------------------------------------------------

@@ -224,6 +224,9 @@ class Engine:
             self.hp = load_hparams(self.reader)
             self.arch = get_arch(self.hp.arch)
             self.tokenizer = tokenizer_mod.from_gguf(self.reader)
+            from ..models.weights import prewarm_quant_planes
+
+            prewarm_quant_planes(self.reader, mode)
             self.params = self.arch.build_params(self.reader, self.hp, mode=mode, dtype=dtype)
         self.lora_info = list(lora or [])  # [(path, scale)] for /lora-adapters
         for lora_path, lora_scale in lora or []:

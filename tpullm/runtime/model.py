@@ -44,6 +44,9 @@ class Model:
         self.tokenizer = tokenizer_mod.from_gguf(self.reader)
         self.mode = mode
         self.dtype = dtype
+        from ..models.weights import prewarm_quant_planes
+
+        prewarm_quant_planes(self.reader, mode)
         self.params = self.arch.build_params(
             self.reader, self.hp, mode=mode, dtype=dtype)
         self.t_load_s = time.perf_counter() - t0
