@@ -23,6 +23,15 @@ BASELINE_PP = 821.8  # t/s, BASELINE.md "Q4_K_M pp512"
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
 MODEL = os.path.join(CACHE, "bench-llama3-8b-q4km.gguf")
 
+# repo-local caches: ~/.cache did not survive into the round-3 driver run
+# (834 s cold load) while this repo's .cache/ did — so the repack and XLA
+# compile caches live HERE unless the env overrides them. Must be set
+# before jax/tpullm imports.
+os.environ.setdefault("TPULLM_REPACK_CACHE_DIR",
+                      os.path.join(CACHE, "repack"))
+os.environ.setdefault("TPULLM_COMPILE_CACHE_DIR",
+                      os.path.join(CACHE, "xla"))
+
 N_WARMUP = 5
 N_STEPS = 512
 CHUNK = 512  # decode steps per device program call (amortizes dispatch)
@@ -216,7 +225,7 @@ def main():
     # depth phases build their engines on the same device-resident planes
     model = Model(model_path, mode="quant")
     eng = Engine(model, max_seq=2048)
-    log(f"load+repack: {time.time()-t0:.1f}s")
+    log(f"load+repack: {time.time()-t0:.1f}s [{model.load_breakdown}]")
 
     tps, extra = bench_decode(eng)
     emit(tps, extra)  # primary metric is now un-losable

@@ -70,13 +70,23 @@ def test_prewarm_attaches_and_quant_load_consumes(quant_gguf, tmp_path,
     prewarm_quant_planes(r, "quant")
     quant_infos = [ti for ti in r.tensors.values()
                    if ti.ggml_type == GGMLType.Q4_K and len(ti.shape) == 2]
-    assert quant_infos and all(
-        "_planes_np" in ti.__dict__ for ti in quant_infos)
+    assert quant_infos
+    # prewarm is async and bounded: futures attach up to max_inflight ahead
+    # of consumption; consuming releases permits so the rest follow
+    import time
+
+    deadline = time.time() + 10
+    while time.time() < deadline and not any(
+            "_planes_fut" in ti.__dict__ for ti in quant_infos):
+        time.sleep(0.01)
+    assert any("_planes_fut" in ti.__dict__ for ti in quant_infos)
     from tpullm.models.weights import quant_from_info
 
-    ql = quant_from_info(quant_infos[0])
-    assert "_planes_np" not in quant_infos[0].__dict__  # consumed + dropped
-    assert ql.n_in == quant_infos[0].shape[0]
+    for ti in quant_infos:  # consume ALL — exercises the bounded pipeline
+        ql = quant_from_info(ti)
+        assert "_planes_np" not in ti.__dict__  # consumed + dropped
+        assert "_planes_fut" not in ti.__dict__
+        assert ql.n_in == ti.shape[0]
 
 
 def test_disabled_cache_still_loads(quant_gguf, monkeypatch):

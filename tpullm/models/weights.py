@@ -188,6 +188,50 @@ def dense_from_info(info: GGUFTensorInfo, dtype=jnp.bfloat16) -> DenseLinear:
     return DenseLinear(jnp.asarray(np.ascontiguousarray(w.T), dtype=dtype))
 
 
+class _LoadStats:
+    """Cumulative per-load phase timers (thread-safe; seconds are summed
+    across pool threads, so on a multi-core host they can exceed wall —
+    compare ratios, not absolutes). Reset by Model/Engine at load start;
+    logged so a slow load says WHERE it was slow (hash vs repack vs cache
+    I/O vs device upload — the round-3 bench's 834 s load was opaque)."""
+
+    def __init__(self):
+        import threading
+
+        self._lock = threading.Lock()
+        self.t = {"hash": 0.0, "cache_read": 0.0, "repack": 0.0,
+                  "cache_write": 0.0, "upload": 0.0}
+        self.n = {"cache_hit": 0, "cache_miss": 0}
+        self.bytes_uploaded = 0
+
+    def add(self, key: str, dt: float):
+        with self._lock:
+            self.t[key] += dt
+
+    def count(self, key: str):
+        with self._lock:
+            self.n[key] += 1
+
+    def add_bytes(self, nb: int):
+        with self._lock:
+            self.bytes_uploaded += nb
+
+    def summary(self) -> str:
+        gb = self.bytes_uploaded / 2**30
+        parts = [f"{k}={v:.1f}s" for k, v in self.t.items() if v >= 0.05]
+        parts.append(f"hit/miss={self.n['cache_hit']}/{self.n['cache_miss']}")
+        parts.append(f"uploaded={gb:.2f}GiB")
+        return " ".join(parts)
+
+
+load_stats = _LoadStats()
+
+
+def reset_load_stats() -> None:
+    global load_stats
+    load_stats = _LoadStats()
+
+
 def _repack_cache_dir() -> str | None:
     """On-disk repack cache root (None = disabled).
 
@@ -216,70 +260,139 @@ def _repack_key(info: GGUFTensorInfo) -> str:
     layout. Full-data blake2b runs ~1 GB/s — noise next to the repack it
     saves — and keys by value, so renamed/requantized files never collide."""
     import hashlib
+    import time
 
     from ..ops import qmatmul
 
+    t0 = time.perf_counter()
     h = hashlib.blake2b(digest_size=16)
     wide = info.ggml_type in qmatmul.WIDE_TYPES
     h.update(repr((int(info.ggml_type), tuple(info.shape), wide,
                    qmatmul.REPACK_SCHEMA_VERSION)).encode())
     h.update(memoryview(np.ascontiguousarray(info.data)))
+    load_stats.add("hash", time.perf_counter() - t0)
     return h.hexdigest()
+
+
+def _read_cached_planes(d: str) -> dict[str, np.ndarray] | None:
+    """Load a cache entry, or None when absent/torn/incomplete.
+
+    Entries carry a `manifest.txt` naming every plane (written last, inside
+    the tmp dir, before the atomic rename) so a hit is only taken when the
+    plane set is provably complete. Corrupt .npy payloads (truncated by a
+    crash mid-write on a pre-manifest entry) are treated as misses and the
+    bad entry is removed so it gets rebuilt."""
+    import os
+    import shutil
+
+    try:
+        with open(os.path.join(d, "manifest.txt")) as f:
+            names = [ln.strip() for ln in f if ln.strip()]
+        if not names:
+            return None
+        return {nm: np.load(os.path.join(d, nm + ".npy"), mmap_mode="r")
+                for nm in names}
+    except FileNotFoundError:
+        return None
+    except (OSError, ValueError, EOFError):
+        shutil.rmtree(d, ignore_errors=True)  # corrupt entry: rebuild
+        return None
 
 
 def planes_np_for(info: GGUFTensorInfo) -> dict[str, np.ndarray]:
     """Host plane arrays for a quantized tensor: prewarmed > disk > repack.
 
-    Disk entries are one .npy per plane under <cachedir>/<content-key>/,
-    written tmp-then-rename so concurrent loaders never see a torn entry;
-    hits come back mmap'd (the device upload streams straight from the
-    page cache)."""
+    Disk entries are one .npy per plane + a manifest under
+    <cachedir>/<content-key>/, written tmp-then-rename so concurrent loaders
+    never see a torn entry; hits come back mmap'd (the device upload streams
+    straight from the page cache)."""
     import os
+    import shutil
 
     pre = info.__dict__.pop("_planes_np", None)
     if pre is not None:
         return pre
+    fut = info.__dict__.pop("_planes_fut", None)
+    if fut is not None and not fut.cancel():
+        return fut.result()  # started/finished: take the prewarmed result
+    return _planes_np_compute(info)
+
+
+def _planes_np_compute(info: GGUFTensorInfo) -> dict[str, np.ndarray]:
+    """Raw cache-or-repack (no prewarm consultation — this IS the prewarm
+    pool's task body; consulting _planes_fut here would self-deadlock)."""
+    import os
+    import shutil
+    import time
+
     n_out, n_in = info.shape[1], info.shape[0]
     from ..ops import qmatmul
 
     root = _repack_cache_dir()
     if root is None:
-        return qmatmul.repack_np(info.data, info.ggml_type, n_out, n_in)
+        t0 = time.perf_counter()
+        planes = qmatmul.repack_np(info.data, info.ggml_type, n_out, n_in)
+        load_stats.add("repack", time.perf_counter() - t0)
+        return planes
     d = os.path.join(root, _repack_key(info))
-    if os.path.isdir(d):
-        try:
-            names = [f[:-4] for f in os.listdir(d) if f.endswith(".npy")]
-            if names:
-                return {nm: np.load(os.path.join(d, nm + ".npy"),
-                                    mmap_mode="r") for nm in names}
-        except OSError:
-            pass  # torn/corrupt entry: fall through and rebuild it
+    t0 = time.perf_counter()
+    hit = _read_cached_planes(d)
+    load_stats.add("cache_read", time.perf_counter() - t0)
+    if hit is not None:
+        load_stats.count("cache_hit")
+        return hit
+    load_stats.count("cache_miss")
+    t0 = time.perf_counter()
     planes = qmatmul.repack_np(info.data, info.ggml_type, n_out, n_in)
+    load_stats.add("repack", time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    tmp = None
     try:
         os.makedirs(root, exist_ok=True)
-        tmp = d + f".tmp{os.getpid()}"
-        os.makedirs(tmp, exist_ok=True)
+        # unique tmp per writer: two threads repacking identical-content
+        # tensors share pid, so the suffix must distinguish them or one
+        # os.replace()s a torn, interleaved entry into the cache
+        import tempfile
+
+        tmp = tempfile.mkdtemp(dir=root, prefix=".tmp-")
         for nm, arr in planes.items():
             np.save(os.path.join(tmp, nm + ".npy"), arr)
+        with open(os.path.join(tmp, "manifest.txt"), "w") as f:
+            f.write("\n".join(planes) + "\n")
         if os.path.isdir(d):  # lost a race: another loader already wrote it
-            import shutil
-
             shutil.rmtree(tmp, ignore_errors=True)
         else:
             os.replace(tmp, d)
+        tmp = None
     except OSError:
         pass  # cache is best-effort (read-only FS, disk full, lost race)
+    finally:
+        if tmp is not None:
+            shutil.rmtree(tmp, ignore_errors=True)
+        load_stats.add("cache_write", time.perf_counter() - t0)
     return planes
 
 
-def prewarm_quant_planes(reader, mode: str = "auto") -> None:
-    """Repack every quantized tensor thread-parallel before build_params.
+# tensors consumed by load_embedding/load_vector rather than load_linear:
+# repacking them wastes time and (worse) host RAM for the process lifetime
+_NON_LINEAR_NAMES = ("token_embd.weight", "position_embd.weight",
+                     "token_types.weight")
+
+
+def prewarm_quant_planes(reader, mode: str = "auto",
+                         max_inflight: int | None = None) -> None:
+    """Repack quantized linears thread-parallel, ahead of build_params.
 
     The per-tensor repack path releases the GIL (ctypes C++ call, hashlib,
-    numpy bit ops, np.save), so a small pool turns ~300 s of serial host
-    work into ~wall/nthreads; results attach to the tensor infos and are
-    consumed (and dropped) by quant_from_info as build_params walks them."""
+    numpy bit ops, np.save), so a small pool turns the serial host work into
+    ~wall/nthreads. Futures attach to the tensor infos and are consumed by
+    quant_from_info as build_params walks them; a background submitter keeps
+    at most `max_inflight` repacked-but-unconsumed results alive so a cold
+    load never materializes the whole widened model in host RAM at once
+    (build_params previously streamed per tensor; this keeps that property).
+    """
     import os
+    import threading
     from concurrent.futures import ThreadPoolExecutor
 
     from ..gguf.constants import TYPE_TRAITS as _TT
@@ -287,27 +400,89 @@ def prewarm_quant_planes(reader, mode: str = "auto") -> None:
 
     if mode == "dense":
         return
+    from ..ops import device_repack
+
+    dev = device_repack.enabled()
     infos = [
         ti for ti in reader.tensors.values()
         if len(ti.shape) == 2 and _TT[ti.ggml_type].is_quantized
         and qmatmul.supports(ti.ggml_type)
+        and ti.name not in _NON_LINEAR_NAMES
+        and not (dev and device_repack.supports(ti.ggml_type))
     ]
     if len(infos) < 2:
         return
     workers = min(8, os.cpu_count() or 1, len(infos))
+    if max_inflight is None:
+        max_inflight = max(2 * workers, 8)
+    pool = ThreadPoolExecutor(max_workers=workers)
+    unconsumed = threading.Semaphore(max_inflight)
 
-    def _one(ti):
-        ti._planes_np = planes_np_for(ti)
+    class _Handle:
+        """Future wrapper whose semaphore permit is released exactly once —
+        when the consumer takes the result (or the task is cancelled), NOT
+        when the task finishes: that bounds live results, not queue depth."""
 
-    with ThreadPoolExecutor(max_workers=workers) as pool:
-        list(pool.map(_one, infos))
+        def __init__(self, fut):
+            self._fut = fut
+            self._released = False
+            self._lock = threading.Lock()
+
+        def _release(self):
+            with self._lock:
+                if not self._released:
+                    self._released = True
+                    unconsumed.release()
+
+        def cancel(self):
+            ok = self._fut.cancel()
+            if ok:
+                self._release()
+            return ok
+
+        def result(self, timeout=None):
+            out = self._fut.result(timeout)
+            self._release()
+            return out
+
+    def _submit_all():
+        for ti in infos:  # reader order ≈ build_params consumption order
+            unconsumed.acquire()
+            ti._planes_fut = _Handle(pool.submit(_planes_np_compute, ti))
+        pool.shutdown(wait=False)
+
+    threading.Thread(target=_submit_all, daemon=True).start()
+
+
+def drop_unconsumed_planes(reader) -> None:
+    """Free any prewarmed plane arrays build_params did not consume (e.g. a
+    quantized tensor the arch loads some other way). Without this they stay
+    attached to the reader — which the engine retains — for the process
+    lifetime."""
+    for ti in reader.tensors.values():
+        ti.__dict__.pop("_planes_np", None)
+        fut = ti.__dict__.pop("_planes_fut", None)
+        if fut is not None and not fut.cancel():
+            try:
+                fut.result()
+            except Exception:  # noqa: BLE001 — freeing, not consuming
+                pass
 
 
 def quant_from_info(info: GGUFTensorInfo) -> QuantLinear:
+    import time
+
     from ..ops import qmatmul
 
     n_out, n_in = info.shape[1], info.shape[0]
-    planes = qmatmul.upload_planes(planes_np_for(info))
+    dev = qmatmul.repack_on_device(info)
+    if dev is not None:
+        return QuantLinear(info.ggml_type, n_out, n_in, dev)
+    planes_np = planes_np_for(info)
+    t0 = time.perf_counter()
+    planes = qmatmul.upload_planes(planes_np)
+    load_stats.add("upload", time.perf_counter() - t0)
+    load_stats.add_bytes(sum(v.nbytes for v in planes_np.values()))
     return QuantLinear(info.ggml_type, n_out, n_in, planes)
 
 
@@ -325,8 +500,45 @@ def load_linear(info: GGUFTensorInfo, mode: str = "auto", dtype=jnp.bfloat16) ->
 
 
 def load_embedding(info: GGUFTensorInfo, dtype=jnp.bfloat16) -> jax.Array:
-    """Embedding table as [n_vocab, n_embd] (row gather needs dense rows)."""
+    """Embedding table as [n_vocab, n_embd] (row gather needs dense rows).
+
+    On TPU a quantized table is uploaded packed and dequantized on-chip —
+    the token_embd of an 8B model is ~0.3 GiB packed vs 1.0 GiB dense bf16
+    (and ~20 s of host dequant avoided)."""
+    import time
+
+    from ..gguf.constants import TYPE_TRAITS as _TT
+    from ..ops import device_repack, qmatmul
+
+    if (len(info.shape) == 2 and _TT[info.ggml_type].is_quantized
+            and qmatmul.supports(info.ggml_type)
+            and device_repack.enabled()
+            and device_repack.supports(info.ggml_type)):
+        n_out, n_in = info.shape[1], info.shape[0]
+        t0 = time.perf_counter()
+        planes = device_repack.repack_device(
+            info.data, info.ggml_type, n_out, n_in)
+        w = _dequant_table_jit(planes, int(info.ggml_type), n_out, n_in,
+                               jnp.dtype(dtype).name)
+        load_stats.add("upload", time.perf_counter() - t0)
+        load_stats.add_bytes(int(np.asarray(info.data).nbytes))
+        return w
     return jnp.asarray(info.to_numpy(), dtype=dtype)
+
+
+def _dequant_table_jit(planes, gtype_int: int, n_out: int, n_in: int,
+                       dtype_name: str):
+    """planes → dense [n_out, n_in] table on device (the packed planes
+    free when this returns — only the dense table is kept)."""
+    from ..ops import qmatmul
+
+    @jax.jit
+    def _run(planes):
+        w = qmatmul.dequant_planes(planes, GGMLType(gtype_int), n_out, n_in,
+                                   dtype=jnp.dtype(dtype_name))
+        return w.T  # [n_in, n_out] → [n_out(n_vocab), n_in(n_embd)]
+
+    return _run(planes)
 
 
 def load_vector(info: GGUFTensorInfo, dtype=jnp.float32) -> jax.Array:

@@ -383,6 +383,29 @@ def repack(data: np.ndarray, gtype: GGMLType, n_out: int, n_in: int) -> dict[str
     return upload_planes(repack_np(data, gtype, n_out, n_in))
 
 
+def repack_on_device(info) -> dict[str, jax.Array] | None:
+    """Device-side repack when available: uploads the *packed* blocks (the
+    smallest bytes that exist) and runs the plane transform on-chip —
+    replaces hundreds of seconds of single-core host bit-twiddling with
+    ~ms of VPU work (see ops/device_repack.py). None → host path."""
+    import time
+
+    from . import device_repack
+
+    if not (device_repack.enabled()
+            and device_repack.supports(info.ggml_type)):
+        return None
+    from ..models.weights import load_stats
+
+    n_out, n_in = info.shape[1], info.shape[0]
+    t0 = time.perf_counter()
+    planes = device_repack.repack_device(info.data, info.ggml_type,
+                                         n_out, n_in)
+    load_stats.add("upload", time.perf_counter() - t0)
+    load_stats.add_bytes(int(np.asarray(info.data).nbytes))
+    return planes
+
+
 # ---------------------------------------------------------------------------
 # jnp reference: planes -> dequantized weight tile (also the CPU fallback)
 # ---------------------------------------------------------------------------

@@ -88,11 +88,13 @@ class BatchEngine:
                     "Model already fused by a plain engine; load a "
                     "separate Model for mesh use")
         else:
-            from ..models.weights import prewarm_quant_planes
+            from ..models.weights import (drop_unconsumed_planes,
+                                          prewarm_quant_planes)
 
             prewarm_quant_planes(self.reader, mode)
             self.params = self.arch.build_params(
                 self.reader, self.hp, mode=mode, dtype=dtype)
+            drop_unconsumed_planes(self.reader)
             from ..models.weights import maybe_fuse_llama
 
             self.params = maybe_fuse_llama(self.arch, self.params, mesh)

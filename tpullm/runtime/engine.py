@@ -224,10 +224,12 @@ class Engine:
             self.hp = load_hparams(self.reader)
             self.arch = get_arch(self.hp.arch)
             self.tokenizer = tokenizer_mod.from_gguf(self.reader)
-            from ..models.weights import prewarm_quant_planes
+            from ..models.weights import (drop_unconsumed_planes,
+                                          prewarm_quant_planes)
 
             prewarm_quant_planes(self.reader, mode)
             self.params = self.arch.build_params(self.reader, self.hp, mode=mode, dtype=dtype)
+            drop_unconsumed_planes(self.reader)
         self.lora_info = list(lora or [])  # [(path, scale)] for /lora-adapters
         for lora_path, lora_scale in lora or []:
             from ..models.lora import apply_lora, load_lora_gguf

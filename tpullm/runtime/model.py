@@ -34,6 +34,9 @@ class Model:
 
     def __init__(self, model_path: str, *, mode: str = "auto",
                  dtype=jnp.bfloat16, override_kv: dict | None = None):
+        from ..utils.compile_cache import enable_persistent_cache
+
+        enable_persistent_cache()  # the repack/embedding jits cache too
         t0 = time.perf_counter()
         self.path = model_path
         self.reader = GGUFReader(model_path)
@@ -44,12 +47,18 @@ class Model:
         self.tokenizer = tokenizer_mod.from_gguf(self.reader)
         self.mode = mode
         self.dtype = dtype
-        from ..models.weights import prewarm_quant_planes
+        from ..models import weights as _w
 
-        prewarm_quant_planes(self.reader, mode)
+        _w.reset_load_stats()
+        t_meta = time.perf_counter() - t0
+        _w.prewarm_quant_planes(self.reader, mode)
         self.params = self.arch.build_params(
             self.reader, self.hp, mode=mode, dtype=dtype)
+        _w.drop_unconsumed_planes(self.reader)
         self.t_load_s = time.perf_counter() - t0
+        self.load_breakdown = (
+            f"total={self.t_load_s:.1f}s meta={t_meta:.1f}s "
+            + _w.load_stats.summary())
         self._fused = False
 
     def fused(self) -> dict:
