@@ -236,6 +236,24 @@ def main():
     # optional phases, cheapest-compile first; each re-emits on success.
     # Worst-case estimates are COLD-compile times over the axon tunnel; with
     # the persistent XLA cache warm they run in seconds.
+    # on-chip kernel conformance (≡ test-backend-ops on the real device):
+    # every quant schema through the qmm kernel + flash/flash_q8 vs the
+    # host numpy oracle. Compile-bound on first run, seconds when the
+    # persistent XLA cache is warm.
+    if remaining() > 240:
+        try:
+            from tpullm.tools.conformance import run_sweep
+
+            conf = run_sweep()
+            extra["conformance"] = conf
+            log(f"conformance: {conf['passed']}/{conf['cases']} ok, "
+                f"max qmm nmse {conf['max_nmse_qmm']}, {conf['t_s']}s")
+            emit(tps, extra)
+        except Exception as e:  # noqa: BLE001
+            log("conformance failed:", e)
+    else:
+        log(f"skipping conformance: {remaining():.0f}s left")
+
     if remaining() > 420:
         try:
             pp = bench_pp512(eng)

@@ -92,6 +92,37 @@ def test_bench_tool_runs(model, capsys):
     assert rows[0]["pp_ts"] > 0 and rows[0]["tg_ts"] > 0
 
 
+def test_bench_fork_recipe_flags(model, capsys):
+    """The MI50 fork's exact bench recipe must run: -fa 1 -ctk q8_0 with
+    depth rows and sql/jsonl history output (≡ llama-bench.cpp:313-356,403
+    + SCRIPT_llama_bench.sh), shrunk to fixture sizes."""
+    from tpullm.tools.bench import main
+
+    rc = main(["-m", str(model), "-fa", "1", "-ctk", "q8_0",
+               "-p", "8", "-n", "2", "-d", "0,8", "-r", "1",
+               "-c", "64", "--mode", "dense", "-o", "jsonl"])
+    assert rc == 0
+    import json
+
+    rows = [json.loads(ln) for ln in
+            capsys.readouterr().out.strip().splitlines()]
+    assert {r["n_depth"] for r in rows} == {0, 8}
+    assert all(r["type_kv"] == "q8_0" and r["fa"] == 1 for r in rows)
+    assert all(r["tg_ts"] > 0 for r in rows)
+
+    rc = main(["-m", str(model), "-p", "8", "-n", "0", "-r", "1",
+               "-c", "64", "--mode", "dense", "-o", "sql"])
+    assert rc == 0
+    sql = capsys.readouterr().out
+    assert "CREATE TABLE IF NOT EXISTS bench" in sql
+    assert "INSERT INTO bench" in sql
+    import sqlite3
+
+    db = sqlite3.connect(":memory:")
+    db.executescript(sql)  # the dump must be valid SQLite
+    assert db.execute("SELECT COUNT(*) FROM bench").fetchone()[0] == 1
+
+
 def test_batched_bench_tool_runs(model, capsys):
     from tpullm.tools.batched_bench import main
 

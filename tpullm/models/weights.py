@@ -154,9 +154,18 @@ def maybe_fuse_llama(arch, params: dict, mesh=None, lora: bool = False) -> dict:
     # per-layer jnp.concatenate is its own synchronous device round trip
     # (~190 of them for a 32-layer model — measured +160s of load time over
     # the axon tunnel). Donation lets XLA retire each source plane after its
-    # concat, so peak HBM stays ~weights + one fused group.
+    # concat, so peak HBM stays ~weights + one fused group. XLA then warns
+    # that the donated planes "were not usable" as output buffers — true
+    # (the fused concats have different shapes) but irrelevant: donation
+    # here is for early FREEING, not aliasing. Silence that one warning so
+    # a page of plane shapes doesn't spam every model load.
+    import warnings
+
     donate = (0,) if jax.default_backend() == "tpu" else ()
-    return jax.jit(fuse_llama_params, donate_argnums=donate)(params)
+    with warnings.catch_warnings():
+        warnings.filterwarnings(
+            "ignore", message="Some donated buffers were not usable")
+        return jax.jit(fuse_llama_params, donate_argnums=donate)(params)
 
 
 def fuse_llama_params(params: dict) -> dict:

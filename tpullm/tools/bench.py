@@ -1,8 +1,16 @@
 """tpullm-bench: throughput benchmark matrix (≡ reference tools/llama-bench).
 
-Cartesian sweep of prompt sizes × generation lengths × weight modes with
-repetitions; reports t/s ± stddev as markdown, csv, or json
-(llama-bench.cpp cmd_params / output formats analog).
+Cartesian sweep of prompt sizes × generation lengths × prefix depths ×
+KV-cache types × weight modes with repetitions; reports t/s ± stddev as
+markdown, csv, json, jsonl, or sql (llama-bench.cpp cmd_params
+:313-356 / output_formats :403 analog — the sql form feeds
+tpullm-compare-bench the way compare-llama-bench.py diffs sqlite runs).
+
+The MI50 fork's own recipe runs verbatim:
+    tpullm-bench -m model.gguf -fa 1 -ctk q8_0 -p 512,2048,8192 \
+        -n 1,128,2048 -d 512
+(-fa is accepted for recipe compatibility; attention is always the flash
+kernel on TPU, so 0 only annotates the row.)
 """
 
 from __future__ import annotations
@@ -18,7 +26,11 @@ def _parse_int_list(s: str) -> list[int]:
     return [int(x) for x in str(s).split(",") if x != ""]
 
 
-def bench_case(eng, n_prompt: int, n_gen: int, reps: int) -> dict:
+def _parse_str_list(s: str) -> list[str]:
+    return [x.strip() for x in str(s).split(",") if x.strip()]
+
+
+def bench_case(eng, n_prompt: int, n_gen: int, depth: int, reps: int) -> dict:
     import numpy as np
 
     pp_rates, tg_rates = [], []
@@ -26,6 +38,8 @@ def bench_case(eng, n_prompt: int, n_gen: int, reps: int) -> dict:
     rng = np.random.default_rng(0)
     for _ in range(reps):
         eng.reset()
+        if depth > 0:  # un-timed deep prefix (≡ llama-bench -d)
+            eng.prefill(rng.integers(3, vocab_top, size=depth).tolist())
         toks = rng.integers(3, vocab_top, size=max(n_prompt, 1)).tolist()
         t0 = time.perf_counter()
         if n_prompt > 0:
@@ -41,7 +55,7 @@ def bench_case(eng, n_prompt: int, n_gen: int, reps: int) -> dict:
                 logits = eng.decode_step(tok)
                 tok = int(np.argmax(logits[:32]))  # cheap argmax slice
             tg_rates.append(n_gen / (time.perf_counter() - t0))
-    case = {"n_prompt": n_prompt, "n_gen": n_gen}
+    case = {"n_prompt": n_prompt, "n_gen": n_gen, "n_depth": depth}
     if pp_rates:
         case["pp_ts"] = round(statistics.mean(pp_rates), 2)
         case["pp_stddev"] = round(statistics.stdev(pp_rates), 2) if len(pp_rates) > 1 else 0.0
@@ -51,22 +65,37 @@ def bench_case(eng, n_prompt: int, n_gen: int, reps: int) -> dict:
     return case
 
 
-def run_matrix(model, n_prompt, n_gen, reps, mode, ctx) -> list[dict]:
+def run_matrix(model, n_prompt, n_gen, depths, reps, mode, ctx,
+               kv_types, fa: int = 1) -> list[dict]:
     from ..runtime import Engine
 
-    eng = Engine(model, mode=mode, max_seq=ctx)
     rows = []
-    for p in n_prompt:
-        for g in n_gen:
-            if p == 0 and g == 0:
-                continue
-            row = {"model": str(model), "mode": mode, **bench_case(eng, p, g, reps)}
-            rows.append(row)
-            print(_fmt_md_row(row), file=sys.stderr)
+    for ctk in kv_types:
+        kv_dtype = ctk if isinstance(ctk, str) else ctk
+        eng = None
+        for d in depths:
+            for p in n_prompt:
+                for g in n_gen:
+                    if p == 0 and g == 0:
+                        continue
+                    need = d + p + g + 8
+                    case_ctx = max(ctx, -(-need // 256) * 256)
+                    if eng is None or eng.max_seq < case_ctx:
+                        eng = Engine(model, mode=mode, max_seq=case_ctx,
+                                     kv_dtype=kv_dtype)
+                    row = {"model": str(model), "mode": mode,
+                           "type_kv": str(ctk), "fa": fa,
+                           **bench_case(eng, p, g, d, reps)}
+                    rows.append(row)
+                    print(_fmt_md_row(row), file=sys.stderr)
     return rows
 
 
-_MD_HEADER = "| model | mode | pp | tg | pp t/s | tg t/s |"
+_MD_HEADER = "| model | mode | kv | d | pp | tg | pp t/s | tg t/s |"
+_MD_NCOL = 8
+
+_SQL_COLS = ("model", "mode", "type_kv", "fa", "n_prompt", "n_gen",
+             "n_depth", "pp_ts", "pp_stddev", "tg_ts", "tg_stddev")
 
 
 def _fmt_md_row(r: dict) -> str:
@@ -75,7 +104,29 @@ def _fmt_md_row(r: dict) -> str:
     import os
 
     return (f"| {os.path.basename(r['model'])} | {r['mode']} | "
+            f"{r.get('type_kv', 'bf16')} | {r.get('n_depth', 0)} | "
             f"{r['n_prompt']} | {r['n_gen']} | {pp} | {tg} |")
+
+
+def _sql_quote(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, (int, float)):
+        return str(v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def emit_sql(rows: list[dict], out=None) -> None:
+    """SQLite-ready dump (≡ llama-bench -o sql): pipe into `sqlite3 db` and
+    diff runs with tpullm-compare-bench or plain SQL."""
+    out = out if out is not None else sys.stdout
+    cols = ", ".join(f"{c} {'TEXT' if c in ('model', 'mode', 'type_kv') else 'REAL'}"
+                     for c in _SQL_COLS)
+    print(f"CREATE TABLE IF NOT EXISTS bench ({cols});", file=out)
+    for r in rows:
+        vals = ", ".join(_sql_quote(r.get(c)) for c in _SQL_COLS)
+        print(f"INSERT INTO bench ({', '.join(_SQL_COLS)}) VALUES ({vals});",
+              file=out)
 
 
 def main(argv=None):
@@ -83,15 +134,35 @@ def main(argv=None):
     ap.add_argument("-m", "--model", action="append", required=True)
     ap.add_argument("-p", "--n-prompt", default="512", type=_parse_int_list)
     ap.add_argument("-n", "--n-gen", default="128", type=_parse_int_list)
+    ap.add_argument("-d", "--n-depth", default="0", type=_parse_int_list,
+                    help="prefix depths: decode/prefill measured after an "
+                         "un-timed d-token prompt (≡ llama-bench -d)")
+    ap.add_argument("-ctk", "--cache-type-k", default="bf16",
+                    type=_parse_str_list,
+                    help="KV cache types to sweep: bf16, f16, f32, q8_0")
+    ap.add_argument("-ctv", "--cache-type-v", default=None,
+                    type=_parse_str_list,
+                    help="accepted for recipe compatibility; the TPU cache "
+                         "stores K and V in ONE type, so this must equal "
+                         "-ctk when given")
+    ap.add_argument("-fa", "--flash-attn", type=int, default=1,
+                    help="accepted for recipe compatibility (attention is "
+                         "always the flash kernel on TPU); annotates rows")
     ap.add_argument("-r", "--repetitions", type=int, default=3)
     ap.add_argument("-c", "--ctx-size", type=int, default=4096)
     ap.add_argument("--mode", default="auto", choices=["auto", "quant", "dense"])
-    ap.add_argument("-o", "--output", default="md", choices=["md", "csv", "json"])
+    ap.add_argument("-o", "--output", default="md",
+                    choices=["md", "csv", "json", "jsonl", "sql"])
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="capture a jax profiler trace of the sweep into DIR "
                          "(open with xprof/tensorboard; the per-op analog of "
                          "GGML_PERF instrumentation)")
     args = ap.parse_args(argv)
+
+    if args.cache_type_v is not None and args.cache_type_v != args.cache_type_k:
+        ap.error("-ctv must equal -ctk (unified KV storage type)")
+    kv_types = [("q8_0" if t in ("q8_0", "q8") else t)
+                for t in args.cache_type_k]
 
     import contextlib
 
@@ -105,19 +176,24 @@ def main(argv=None):
     with prof:
         for model in args.model:
             rows += run_matrix(model, args.n_prompt, args.n_gen,
-                               args.repetitions, args.mode, args.ctx_size)
+                               args.n_depth, args.repetitions, args.mode,
+                               args.ctx_size, kv_types, args.flash_attn)
 
     if args.output == "json":
         print(json.dumps(rows, indent=2))
+    elif args.output == "jsonl":
+        for r in rows:
+            print(json.dumps(r))
+    elif args.output == "sql":
+        emit_sql(rows)
     elif args.output == "csv":
-        keys = ["model", "mode", "n_prompt", "n_gen", "pp_ts", "pp_stddev",
-                "tg_ts", "tg_stddev"]
+        keys = list(_SQL_COLS)
         print(",".join(keys))
         for r in rows:
             print(",".join(str(r.get(k, "")) for k in keys))
     else:
         print(_MD_HEADER)
-        print("|" + "---|" * 6)
+        print("|" + "---|" * _MD_NCOL)
         for r in rows:
             print(_fmt_md_row(r))
     return 0

@@ -15,7 +15,8 @@ import sys
 
 def _key(r: dict) -> tuple:
     return (os.path.basename(str(r.get("model", ""))), r.get("mode"),
-            r.get("n_prompt"), r.get("n_gen"))
+            r.get("n_prompt"), r.get("n_gen"),
+            r.get("n_depth", 0), r.get("type_kv", "bf16"))
 
 
 def compare(old_rows: list[dict], new_rows: list[dict]) -> list[dict]:
