@@ -105,6 +105,16 @@ class FusedLinear:
         return cls(children[0], aux[0])
 
 
+@jax.jit
+def _concat_cols(arrs: tuple) -> jax.Array:
+    """jitted axis-1 concat, shape-keyed: every layer's QKV (and gate+up)
+    group has identical shapes, so ALL layers share one compiled program.
+    (A single whole-tree fuse jit compiled for ~560 s on first run — a
+    ~190-input concat graph; eager per-concat dispatch cost ~160 s over the
+    axon link. This is the fast middle: 2-4 tiny compiles + async calls.)"""
+    return jnp.concatenate(list(arrs), axis=1)
+
+
 def fuse_linears(linears: list) -> "FusedLinear | None":
     """Concatenate same-type, same-n_in linears along n_out; None when the
     set is heterogeneous (e.g. Q4_K wq/wk beside a Q6_K wv — the ftype
@@ -115,7 +125,7 @@ def fuse_linears(linears: list) -> "FusedLinear | None":
                 len({l.n_in for l in linears}) != 1:
             return None
         return FusedLinear(
-            DenseLinear(jnp.concatenate([l.w for l in linears], axis=1)),
+            DenseLinear(_concat_cols(tuple(l.w for l in linears))),
             splits,
         )
     if all(isinstance(l, QuantLinear) for l in linears):
@@ -124,7 +134,7 @@ def fuse_linears(linears: list) -> "FusedLinear | None":
                 len({tuple(sorted(l.planes)) for l in linears}) != 1:
             return None
         planes = {
-            nm: jnp.concatenate([l.planes[nm] for l in linears], axis=1)
+            nm: _concat_cols(tuple(l.planes[nm] for l in linears))
             for nm in linears[0].planes
         }
         return FusedLinear(
@@ -150,22 +160,11 @@ def maybe_fuse_llama(arch, params: dict, mesh=None, lora: bool = False) -> dict:
         return params
     if arch.forward is not _llama.forward:
         return params
-    # one jitted dispatch for ALL the concatenations: issued eagerly, each
-    # per-layer jnp.concatenate is its own synchronous device round trip
-    # (~190 of them for a 32-layer model — measured +160s of load time over
-    # the axon tunnel). Donation lets XLA retire each source plane after its
-    # concat, so peak HBM stays ~weights + one fused group. XLA then warns
-    # that the donated planes "were not usable" as output buffers — true
-    # (the fused concats have different shapes) but irrelevant: donation
-    # here is for early FREEING, not aliasing. Silence that one warning so
-    # a page of plane shapes doesn't spam every model load.
-    import warnings
-
-    donate = (0,) if jax.default_backend() == "tpu" else ()
-    with warnings.catch_warnings():
-        warnings.filterwarnings(
-            "ignore", message="Some donated buffers were not usable")
-        return jax.jit(fuse_llama_params, donate_argnums=donate)(params)
+    # per-group shape-keyed jitted concats (_concat_cols): all layers share
+    # one compiled program per group signature, dispatches run async, and
+    # the unfused planes free as each group's references drop — peak HBM
+    # stays ~weights + one fused group without donation
+    return fuse_llama_params(params)
 
 
 def fuse_llama_params(params: dict) -> dict:
