@@ -82,6 +82,12 @@ class GGUFWriter:
                 vtype = _infer_scalar_type(value)
         self._kv.append((key, vtype, value))
 
+    def set_kv(self, key: str, value: Any, vtype: GGUFValueType | None = None):
+        """add_kv replacing any earlier write of the same key (converter
+        family hooks override the generic header without duplicate keys)."""
+        self._kv = [(k, t, v) for (k, t, v) in self._kv if k != key]
+        self.add_kv(key, value, vtype)
+
     # -- tensors --------------------------------------------------------------
 
     def add_tensor(

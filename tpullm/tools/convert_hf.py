@@ -99,6 +99,12 @@ ARCH_MAP = {
     "ministral": "llama",  # Ministral-8B: llama body + SWA (ref LlamaModel)
 }
 
+# long-tail custom-code families (RWKV, PLaMo, Baichuan, InternLM2, ...)
+# live in convert_families.py; merge their model_type → arch entries
+from .convert_families import FAMILIES as _FAMILIES  # noqa: E402
+
+ARCH_MAP.update({mt: fam.arch for mt, fam in _FAMILIES.items()})
+
 # archs whose norms are LayerNorm (write layer_norm_epsilon, not RMS)
 LN_ARCHS = {"gpt2", "stablelm", "starcoder2", "gptneox", "phi2", "nemotron",
             "dbrx", "falcon", "mpt", "bloom", "starcoder", "bert"}
@@ -871,6 +877,7 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
     if arch is None:
         raise NotImplementedError(f"model_type {model_type!r} not supported yet "
                                   f"(have: {sorted(ARCH_MAP)})")
+    fam = _FAMILIES.get(model_type)
     if vl_wrapped:
         # multimodal checkpoints nest the text config; flatten it for the
         # generic kv writer (vision tensors are skipped here — --mmproj
@@ -948,7 +955,7 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
     eps = cfg.get("rms_norm_eps",
                   cfg.get("layer_norm_epsilon",
                           cfg.get("layer_norm_eps", cfg.get("norm_eps", 1e-5))))
-    if arch in LN_ARCHS:
+    if arch in LN_ARCHS or (fam is not None and fam.ln):
         w.add_kv(f"{arch}.attention.layer_norm_epsilon", float(eps))
     else:
         w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon", float(eps))
@@ -1016,10 +1023,14 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
                      int(cfg["shared_expert_intermediate_size"]))
 
     # vocab
+    from .convert_families import convert_vocab_rwkv_world
+
     n_vocab = int(cfg.get("vocab_size", 0))
     tok_json_path = os.path.join(src_dir, "tokenizer.json")
     spm_path = os.path.join(src_dir, "tokenizer.model")
-    if os.path.exists(tok_json_path):
+    if convert_vocab_rwkv_world(w, src_dir, cfg):
+        pass  # RWKV world trie vocab shipped as rwkv_vocab_v20230424.txt
+    elif os.path.exists(tok_json_path):
         _convert_vocab_bpe(w, json.load(open(tok_json_path)), cfg)
     elif os.path.exists(spm_path):
         _convert_vocab_spm(w, spm_path)
@@ -1292,6 +1303,13 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
         w.add_kv(f"{arch}.ssm.time_step_rank", int(cfg["linear_num_value_heads"]))
         w.add_kv(f"{arch}.ssm.inner_size",
                  int(cfg["linear_value_head_dim"]) * int(cfg["linear_num_value_heads"]))
+    hp_info = {"arch": arch, "n_embd": n_embd, "n_head": n_head,
+               "n_kv": n_kv, "n_layer": n_layer, "head_dim": head_dim}
+    if fam is not None and fam.set_kv is not None:
+        fam.set_kv(w, cfg, hp_info)
+    fam_mapper = (fam.make_mapper(cfg, hp_info)
+                  if fam is not None and fam.make_mapper is not None else None)
+
     gtype = {"f32": GGMLType.F32, "f16": GGMLType.F16, "bf16": GGMLType.BF16}[outtype]
     n_tensors = 0
     # stack MoE experts: collect experts.N.* into 3D tensors
@@ -1327,6 +1345,17 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
                 name = name[len("language_model."):]
             elif name.startswith("model.text_model."):
                 name = "model." + name[len("model.text_model."):]
+        if fam_mapper is not None:
+            out = fam_mapper(name, np.asarray(arr, dtype=np.float32))
+            if out is not None:
+                for gname, a in out:
+                    w.add_tensor(gname, a,
+                                 gtype if a.ndim >= 2 else GGMLType.F32)
+                    n_tensors += 1
+                    if verbose:
+                        print(f"{name} -> {gname} {tuple(a.shape)}",
+                              file=sys.stderr)
+                continue
         if ".mlp.experts." in name and name.split(".")[5] in (
             "gate_up_proj", "gate_up_proj_bias", "down_proj", "down_proj_bias"
         ):
@@ -1566,9 +1595,11 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
                 arr = arr * float(cfg.get("lm_head_multiplier", 1.0))
             elif gname == "token_embd.weight":
                 arr = arr * float(cfg.get("embedding_multiplier", 1.0))
-        if arch in PERMUTE_QK_ARCHS and gname.endswith("attn_q.weight"):
+        permute = arch in PERMUTE_QK_ARCHS or (fam is not None
+                                               and fam.permute_qk)
+        if permute and gname.endswith("attn_q.weight"):
             arr = _permute_qk(arr, n_head)
-        elif arch in PERMUTE_QK_ARCHS and gname.endswith("attn_k.weight"):
+        elif permute and gname.endswith("attn_k.weight"):
             arr = _permute_qk(arr, n_kv)
         if arch.startswith("gemma") and gname.endswith("norm.weight"):
             arr = arr + 1.0  # gemma norms store w-1 in HF
