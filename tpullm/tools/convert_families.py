@@ -458,3 +458,563 @@ register(
     set_kv=_rwkv7_kv_for("arwkv7"),
     make_mapper=_rwkv7_mapper_for("arwkv7"),
 )
+
+
+# ---------------------------------------------------------------------------
+# llama-graph aliases with custom checkpoint naming
+# ---------------------------------------------------------------------------
+
+
+def _exaone_mapper(cfg: dict, hp: dict) -> Mapper:
+    """EXAONE-3.x (ExaoneForCausalLM) — gpt2-style prefixes around a llama
+    graph (≡ convert_hf_to_gguf.py ExaoneModel :8896; NEOX rope, no
+    permute)."""
+    LAYER = {
+        "ln_1.weight": "attn_norm.weight",
+        "ln_2.weight": "ffn_norm.weight",
+        "attn.attention.q_proj.weight": "attn_q.weight",
+        "attn.attention.k_proj.weight": "attn_k.weight",
+        "attn.attention.v_proj.weight": "attn_v.weight",
+        "attn.attention.out_proj.weight": "attn_output.weight",
+        "mlp.c_fc_0.weight": "ffn_gate.weight",
+        "mlp.c_fc_1.weight": "ffn_up.weight",
+        "mlp.c_proj.weight": "ffn_down.weight",
+    }
+
+    def m(name: str, arr: np.ndarray):
+        if name == "transformer.wte.weight":
+            return [("token_embd.weight", arr)]
+        if name.startswith("transformer.ln_f."):
+            return [("output_norm." + _wb(name), arr)]
+        if name == "lm_head.weight":
+            return [("output.weight", arr)]
+        if name.startswith("transformer.h."):
+            parts = name.split(".", 3)
+            mapped = LAYER.get(parts[3])
+            return [(f"blk.{parts[2]}.{mapped}", arr)] if mapped else []
+        return []
+
+    return m
+
+
+def _exaone_kv(w, cfg: dict, hp: dict) -> None:
+    rot = float(cfg.get("partial_rotary_factor", cfg.get("rope_pct", 1.0)))
+    w.set_kv("exaone.rope.dimension_count", int(rot * hp["head_dim"]))
+
+
+register("exaone", arch="exaone", set_kv=_exaone_kv,
+         make_mapper=_exaone_mapper)
+
+
+def _internlm2_mapper(cfg: dict, hp: dict) -> Mapper:
+    """InternLM2ForCausalLM — wqkv is grouped per kv-head as
+    [q×g | k | v]·head_dim; split + NORM-rope permute
+    (≡ InternLM2Model.modify_tensors)."""
+    from .convert_hf import _permute_qk
+
+    n_head, n_kv, hd = hp["n_head"], hp["n_kv"], hp["head_dim"]
+    q_per_kv = n_head // n_kv
+    LAYER = {
+        "attention_norm.weight": "attn_norm.weight",
+        "ffn_norm.weight": "ffn_norm.weight",
+        "attention.wo.weight": "attn_output.weight",
+        "feed_forward.w1.weight": "ffn_gate.weight",
+        "feed_forward.w3.weight": "ffn_up.weight",
+        "feed_forward.w2.weight": "ffn_down.weight",
+    }
+
+    def m(name: str, arr: np.ndarray):
+        if name == "model.tok_embeddings.weight":
+            return [("token_embd.weight", arr)]
+        if name == "model.norm.weight":
+            return [("output_norm.weight", arr)]
+        if name == "output.weight":
+            return [("output.weight", arr)]
+        if not name.startswith("model.layers."):
+            return []
+        parts = name.split(".", 3)
+        bid, rest = parts[2], parts[3]
+        p = f"blk.{bid}."
+        if rest == "attention.wqkv.weight":
+            qkv = arr.reshape(n_kv, q_per_kv + 2, hd, arr.shape[-1])
+            q = qkv[:, :q_per_kv].reshape(-1, arr.shape[-1])
+            k = qkv[:, -2].reshape(-1, arr.shape[-1])
+            v = qkv[:, -1].reshape(-1, arr.shape[-1])
+            return [
+                (p + "attn_q.weight", _permute_qk(q, n_head)),
+                (p + "attn_k.weight", _permute_qk(k, n_kv)),
+                (p + "attn_v.weight", v),
+            ]
+        mapped = LAYER.get(rest)
+        return [(p + mapped, arr)] if mapped else []
+
+    return m
+
+
+register("internlm2", arch="internlm2", make_mapper=_internlm2_mapper)
+
+
+def _minicpm3_kv(w, cfg: dict, hp: dict) -> None:
+    """MiniCPM3 MLA dims (≡ MiniCPM3Model.set_gguf_parameters :3418);
+    tensor names are the deepseek2 set, handled by the generic map."""
+    qk_nope = int(cfg["qk_nope_head_dim"])
+    qk_rope = int(cfg["qk_rope_head_dim"])
+    if cfg.get("q_lora_rank"):
+        w.add_kv("minicpm3.attention.q_lora_rank", int(cfg["q_lora_rank"]))
+    w.add_kv("minicpm3.attention.kv_lora_rank", int(cfg["kv_lora_rank"]))
+    w.set_kv("minicpm3.attention.key_length", qk_nope + qk_rope)
+    w.set_kv("minicpm3.attention.value_length",
+             int(cfg.get("v_head_dim", qk_nope)))
+    w.set_kv("minicpm3.rope.dimension_count", qk_rope)
+
+
+register("minicpm3", arch="minicpm3", set_kv=_minicpm3_kv)
+
+
+def _openelm_ffn_dims(cfg: dict) -> list[int]:
+    """≡ OpenELMModel._make_divisible over ffn_multipliers."""
+    div = int(cfg["ffn_dim_divisor"])
+    E = int(cfg["model_dim"])
+    dims = []
+    for mult in cfg["ffn_multipliers"]:
+        v = mult * E
+        new_v = max(div, int(v + div / 2) // div * div)
+        if new_v < 0.9 * v:
+            new_v += div
+        dims.append(int(new_v))
+    return dims
+
+
+def _openelm_kv(w, cfg: dict, hp: dict) -> None:
+    arch = "openelm"
+    w.set_kv(f"{arch}.block_count", int(cfg["num_transformer_layers"]))
+    w.set_kv(f"{arch}.context_length", int(cfg["max_context_length"]))
+    w.set_kv(f"{arch}.embedding_length", int(cfg["model_dim"]))
+    w.set_kv(f"{arch}.feed_forward_length",
+             np.asarray(_openelm_ffn_dims(cfg), dtype=np.int32))
+    w.set_kv(f"{arch}.attention.head_count",
+             np.asarray(cfg["num_query_heads"], dtype=np.int32))
+    w.set_kv(f"{arch}.attention.head_count_kv",
+             np.asarray(cfg["num_kv_heads"], dtype=np.int32))
+    hd = int(cfg["head_dim"])
+    w.set_kv(f"{arch}.attention.key_length", hd)
+    w.set_kv(f"{arch}.attention.value_length", hd)
+    w.set_kv(f"{arch}.attention.layer_norm_rms_epsilon", 1e-6)
+    w.set_kv(f"{arch}.rope.freq_base", float(cfg["rope_freq_constant"]))
+    w.set_kv(f"{arch}.rope.dimension_count", hd)
+
+
+def _openelm_mapper(cfg: dict, hp: dict) -> Mapper:
+    """apple/OpenELM (≡ OpenELMModel :7272): transformer.layers.* naming,
+    fused qkv kept fused, ffn.proj_1 split into gate|up at the per-layer
+    ffn dim."""
+    ffn_dims = _openelm_ffn_dims(cfg)
+    LAYER = {
+        "attn_norm.weight": "attn_norm.weight",
+        "ffn_norm.weight": "ffn_norm.weight",
+        "attn.qkv_proj.weight": "attn_qkv.weight",
+        "attn.out_proj.weight": "attn_output.weight",
+        "attn.q_norm.weight": "attn_q_norm.weight",
+        "attn.k_norm.weight": "attn_k_norm.weight",
+        "ffn.proj_2.weight": "ffn_down.weight",
+    }
+
+    def m(name: str, arr: np.ndarray):
+        if name == "transformer.token_embeddings.weight":
+            return [("token_embd.weight", arr)]
+        if name == "transformer.norm.weight":
+            return [("output_norm.weight", arr)]
+        if name == "lm_head.weight":
+            return [("output.weight", arr)]
+        if not name.startswith("transformer.layers."):
+            return []
+        parts = name.split(".", 3)
+        bid, rest = int(parts[2]), parts[3]
+        p = f"blk.{bid}."
+        if rest == "ffn.proj_1.weight":
+            ff = ffn_dims[bid]
+            return [(p + "ffn_gate.weight", arr[:ff]),
+                    (p + "ffn_up.weight", arr[ff:])]
+        mapped = LAYER.get(rest)
+        return [(p + mapped, arr)] if mapped else []
+
+    return m
+
+
+register("openelm", arch="openelm", set_kv=_openelm_kv,
+         make_mapper=_openelm_mapper)
+
+
+# ---------------------------------------------------------------------------
+# PLaMo family (pfnet) — model.layers.layers.* naming
+# ---------------------------------------------------------------------------
+
+
+def _plamo1_mapper(cfg: dict, hp: dict) -> Mapper:
+    """PLaMo-13B (≡ PlamoModel :4820): GQA weights stored q-major
+    [q_per_kv, n_kv, hd]; GGUF wants kv-major [n_kv, q_per_kv, hd]."""
+    n_head = hp["n_head"]
+    n_kv = int(cfg.get("num_key_value_heads") or n_head)
+    hd = hp["head_dim"]
+    q_per_kv = max(1, n_head // max(n_kv, 1))
+    LAYER = {
+        "norm.weight": "attn_norm.weight",
+        "self_attn.q_proj.weight": "attn_q.weight",
+        "self_attn.k_proj.weight": "attn_k.weight",
+        "self_attn.v_proj.weight": "attn_v.weight",
+        "self_attn.o_proj.weight": "attn_output.weight",
+        "mlp.gate_proj.weight": "ffn_gate.weight",
+        "mlp.up_proj.weight": "ffn_up.weight",
+        "mlp.down_proj.weight": "ffn_down.weight",
+    }
+
+    def m(name: str, arr: np.ndarray):
+        if name == "model.embed_tokens.weight":
+            return [("token_embd.weight", arr)]
+        if name == "model.norm.weight":
+            return [("output_norm.weight", arr)]
+        if name == "lm_head.weight":
+            return [("output.weight", arr)]
+        if not name.startswith("model.layers.layers."):
+            return []
+        parts = name.split(".", 4)
+        bid, rest = parts[3], parts[4]
+        mapped = LAYER.get(rest)
+        if not mapped:
+            return []
+        if mapped == "attn_q.weight" and q_per_kv > 1:
+            E = arr.shape[-1]
+            arr = (arr.reshape(q_per_kv, n_kv, hd, E)
+                   .transpose(1, 0, 2, 3).reshape(-1, E))
+        elif mapped == "attn_output.weight" and q_per_kv > 1:
+            E = arr.shape[0]
+            arr = (arr.reshape(E, q_per_kv, n_kv, hd)
+                   .transpose(0, 2, 1, 3).reshape(E, -1))
+        return [(f"blk.{bid}.{mapped}", arr)]
+
+    return m
+
+
+register("plamo", arch="plamo", make_mapper=_plamo1_mapper)
+
+
+def _plamo2_is_mamba(cfg: dict, i: int, n_layer: int) -> bool:
+    """≡ Plamo2Model.set_gguf_parameters / modeling_plamo is_mamba."""
+    step = int(cfg.get("mamba_step", 2))
+    if not cfg.get("mamba_enabled", True):
+        return False
+    if n_layer <= step // 2:
+        return i != n_layer - 1
+    return (i % step) != (step // 2)
+
+
+def _plamo2_kv(w, cfg: dict, hp: dict) -> None:
+    arch = "plamo2"
+    n_layer = hp["n_layer"]
+    n_head = int(cfg.get("num_attention_heads", 32))
+    n_kv = int(cfg.get("num_key_value_heads", 4))
+    kv_arr = [0 if _plamo2_is_mamba(cfg, i, n_layer) else n_kv
+              for i in range(n_layer)]
+    hd = int(cfg.get("hidden_size_per_head", 128))
+    w.set_kv(f"{arch}.attention.head_count", n_head)
+    w.set_kv(f"{arch}.attention.head_count_kv",
+             np.asarray(kv_arr, dtype=np.int32))
+    w.set_kv(f"{arch}.attention.key_length", hd)
+    w.set_kv(f"{arch}.attention.value_length", hd)
+    w.set_kv(f"{arch}.rope.dimension_count", hd)
+    w.add_kv(f"{arch}.ssm.state_size", int(cfg.get("mamba_d_state", 64)))
+    w.add_kv(f"{arch}.ssm.conv_kernel", int(cfg.get("mamba_d_conv", 4)))
+    w.add_kv(f"{arch}.ssm.time_step_rank", int(cfg.get("mamba_num_heads", 64)))
+    w.add_kv(f"{arch}.ssm.inner_size",
+             int(cfg.get("mamba_num_heads", 64)) * hd)
+    w.add_kv(f"{arch}.ssm.group_count", 0)
+
+
+_PLAMO2_NORM_OFFSET = {
+    "pre_mixer_norm.weight": ("attn_norm.weight", 1.0),
+    "post_mixer_norm.weight": ("post_attention_norm.weight", 1.0 / 5),
+    "pre_mlp_norm.weight": ("ffn_norm.weight", 1.0),
+    "post_mlp_norm.weight": ("post_ffw_norm.weight", 1.0 / 5 ** 1.5),
+}
+
+
+def _plamo2_mapper(cfg: dict, hp: dict) -> Mapper:
+    """PLaMo2 hybrid (≡ Plamo2Model :4865): mamba/attn mixers under
+    model.layers.layers.*, norm weights stored with offsets, fused swiglu
+    gate_up, per-head q/k RMS norms."""
+    MIXER = {
+        "mixer.qkv_proj.weight": "attn_qkv.weight",
+        "mixer.o_proj.weight": "attn_output.weight",
+        "mixer.q.weight": "attn_q_norm.weight",
+        "mixer.q_weight": "attn_q_norm.weight",
+        "mixer.k.weight": "attn_k_norm.weight",
+        "mixer.k_weight": "attn_k_norm.weight",
+        "mixer.in_proj.weight": "ssm_in.weight",
+        "mixer.bcdt_proj.weight": "ssm_x.weight",
+        "mixer.dt_proj.weight": "ssm_dt.weight",
+        "mixer.dt_bias": "ssm_dt.bias",
+        "mixer.dt_norm_weight": "ssm_dt_norm.weight",
+        "mixer.dt_norm.weight": "ssm_dt_norm.weight",
+        "mixer.B_norm_weight": "ssm_b_norm.weight",
+        "mixer.B_norm.weight": "ssm_b_norm.weight",
+        "mixer.C_norm_weight": "ssm_c_norm.weight",
+        "mixer.C_norm.weight": "ssm_c_norm.weight",
+        "mixer.D": "ssm_d",
+        "mixer.out_proj.weight": "ssm_out.weight",
+        "mlp.gate_up_proj.weight": "ffn_up.weight",
+        "mlp.down_proj.weight": "ffn_down.weight",
+    }
+
+    def m(name: str, arr: np.ndarray):
+        if name == "model.embed_tokens.weight":
+            return [("token_embd.weight", arr)]
+        if name == "model.norm.weight":
+            return [("output_norm.weight", arr + 1.0)]
+        if name == "lm_head.weight":
+            return [("output.weight", arr)]
+        if not name.startswith("model.layers.layers."):
+            return []
+        parts = name.split(".", 4)
+        bid, rest = parts[3], parts[4]
+        p = f"blk.{bid}."
+        if rest in _PLAMO2_NORM_OFFSET:
+            gname, off = _PLAMO2_NORM_OFFSET[rest]
+            return [(p + gname, arr + off)]
+        if rest == "mixer.conv1d.weight":
+            return [(p + "ssm_conv1d.weight",
+                     arr.reshape(arr.shape[0], arr.shape[-1]))]
+        if rest == "mixer.A_log":
+            return [(p + "ssm_a", -np.exp(arr))]
+        mapped = MIXER.get(rest)
+        return [(p + mapped, arr)] if mapped else []
+
+    return m
+
+
+register("plamo2", arch="plamo2", make_mapper=_plamo2_mapper,
+         set_kv=_plamo2_kv)
+
+
+def _plamo3_kv(w, cfg: dict, hp: dict) -> None:
+    sw = cfg.get("window_size", cfg.get("sliding_window"))
+    if sw:
+        w.set_kv("plamo3.attention.sliding_window", int(sw))
+        if cfg.get("sliding_window_pattern"):
+            w.set_kv("plamo3.attention.sliding_window_pattern",
+                     int(cfg["sliding_window_pattern"]))
+    if cfg.get("rope_local_theta"):
+        w.add_kv("plamo3.rope.freq_base_swa", float(cfg["rope_local_theta"]))
+    hd = int(cfg.get("hidden_size_per_head",
+                     hp["n_embd"] // max(hp["n_head"], 1)))
+    w.set_kv("plamo3.attention.key_length", hd)
+    w.set_kv("plamo3.attention.value_length", hd)
+    w.set_kv("plamo3.rope.dimension_count", hd)
+
+
+def _plamo3_mapper(cfg: dict, hp: dict) -> Mapper:
+    """PLaMo3 (≡ Plamo3Model :4954): plamo2's attention block everywhere
+    (no mamba), q/k norms stored -1."""
+    MIXER = {
+        "mixer.qkv_proj.weight": "attn_qkv.weight",
+        "mixer.o_proj.weight": "attn_output.weight",
+        "mlp.gate_up_proj.weight": "ffn_up.weight",
+        "mlp.down_proj.weight": "ffn_down.weight",
+    }
+
+    def m(name: str, arr: np.ndarray):
+        if name == "model.embed_tokens.weight":
+            return [("token_embd.weight", arr)]
+        if name == "model.norm.weight":
+            return [("output_norm.weight", arr + 1.0)]
+        if name == "lm_head.weight":
+            return [("output.weight", arr)]
+        if not name.startswith("model.layers.layers."):
+            return []
+        parts = name.split(".", 4)
+        bid, rest = parts[3], parts[4]
+        p = f"blk.{bid}."
+        if rest in _PLAMO2_NORM_OFFSET:
+            gname, off = _PLAMO2_NORM_OFFSET[rest]
+            return [(p + gname, arr + off)]
+        if rest == "mixer.q_norm.weight":
+            return [(p + "attn_q_norm.weight", arr + 1.0)]
+        if rest == "mixer.k_norm.weight":
+            return [(p + "attn_k_norm.weight", arr + 1.0)]
+        mapped = MIXER.get(rest)
+        return [(p + mapped, arr)] if mapped else []
+
+    return m
+
+
+register("plamo3", arch="plamo3", make_mapper=_plamo3_mapper,
+         set_kv=_plamo3_kv)
+
+
+# ---------------------------------------------------------------------------
+# Baichuan / Xverse / Orion (llama graphs, custom packing or norms)
+# ---------------------------------------------------------------------------
+
+
+def _baichuan_mapper(cfg: dict, hp: dict) -> Mapper:
+    """BaichuanForCausalLM (≡ BaichuanModel :2146): fused W_pack split into
+    thirds, q/k NORM-rope permuted; everything else is llama naming (fall
+    through to the generic map)."""
+    from .convert_hf import _permute_qk
+
+    n_head, n_kv = hp["n_head"], hp["n_kv"]
+
+    def m(name: str, arr: np.ndarray):
+        if name.endswith("self_attn.W_pack.weight"):
+            bid = name.split(".")[2]
+            r = arr.shape[0] // 3
+            p = f"blk.{bid}."
+            return [
+                (p + "attn_q.weight", _permute_qk(arr[:r], n_head)),
+                (p + "attn_k.weight", _permute_qk(arr[r:2 * r], n_kv)),
+                (p + "attn_v.weight", arr[2 * r:]),
+            ]
+        return None  # generic llama mapping
+
+    return m
+
+
+def _baichuan_kv(w, cfg: dict, hp: dict) -> None:
+    if cfg.get("model_max_length") and not cfg.get("max_position_embeddings"):
+        w.set_kv("baichuan.context_length", int(cfg["model_max_length"]))
+
+
+register("baichuan", arch="baichuan", set_kv=_baichuan_kv,
+         make_mapper=_baichuan_mapper)
+
+# XverseForCausalLM (≡ XverseModel :2197): pure llama naming + QK permute
+register("xverse", arch="xverse", permute_qk=True)
+
+# OrionForCausalLM (≡ OrionModel :2112): llama naming, but the norms are
+# LayerNorm with bias despite the config's rms_norm_eps name; NEOX rope
+register("orion", arch="orion", ln=True)
+
+
+# ---------------------------------------------------------------------------
+# Qwen v1 / CodeShell / Jais (transformer.h.* family)
+# ---------------------------------------------------------------------------
+
+
+def _qwen_v1_mapper(cfg: dict, hp: dict) -> Mapper:
+    """QWenLMHeadModel (≡ QwenModel :3477): gpt2-style prefixes, fused
+    c_attn Linear (no transpose), w2=gate / w1=up swiglu."""
+    LAYER = {
+        "ln_1.weight": "attn_norm.weight",
+        "ln_2.weight": "ffn_norm.weight",
+        "attn.c_attn.weight": "attn_qkv.weight",
+        "attn.c_attn.bias": "attn_qkv.bias",
+        "attn.c_proj.weight": "attn_output.weight",
+        "mlp.w1.weight": "ffn_up.weight",
+        "mlp.w2.weight": "ffn_gate.weight",
+        "mlp.c_proj.weight": "ffn_down.weight",
+    }
+
+    def m(name: str, arr: np.ndarray):
+        if name == "transformer.wte.weight":
+            return [("token_embd.weight", arr)]
+        if name == "transformer.ln_f.weight":
+            return [("output_norm.weight", arr)]
+        if name == "lm_head.weight":
+            return [("output.weight", arr)]
+        if name.startswith("transformer.h."):
+            parts = name.split(".", 3)
+            mapped = LAYER.get(parts[3])
+            return [(f"blk.{parts[2]}.{mapped}", arr)] if mapped else []
+        return []
+
+    return m
+
+
+def _qwen_v1_kv(w, cfg: dict, hp: dict) -> None:
+    # HF intermediate_size counts w1+w2 together; each is half
+    w.set_kv("qwen.feed_forward_length", int(cfg["intermediate_size"]) // 2)
+    if cfg.get("seq_length"):
+        w.set_kv("qwen.context_length", int(cfg["seq_length"]))
+
+
+register("qwen", arch="qwen", set_kv=_qwen_v1_kv,
+         make_mapper=_qwen_v1_mapper)
+
+
+def _codeshell_kv(w, cfg: dict, hp: dict) -> None:
+    arch = "codeshell"
+    w.set_kv(f"{arch}.context_length", int(cfg.get("n_positions", 8192)))
+    w.set_kv(f"{arch}.feed_forward_length",
+             int(cfg.get("n_inner") or 4 * hp["n_embd"]))
+    w.set_kv(f"{arch}.attention.head_count_kv",
+             int(cfg.get("num_query_groups", 1)))
+    w.set_kv(f"{arch}.rope.freq_base", float(cfg.get("rope_theta", 10000.0)))
+    # partial rotary (codeshell rope_scaling=linear 1.0 over rot dims)
+    w.set_kv(f"{arch}.rope.dimension_count",
+             int(hp["head_dim"] * float(cfg.get("rotary_pct", 0.5))))
+
+
+# CodeShellForCausalLM (≡ CodeShellModel :5008): gpt_bigcode layout —
+# mapper always defers to the generic transformer.* path
+register("codeshell", arch="codeshell", ln=True, set_kv=_codeshell_kv,
+         make_mapper=lambda cfg, hp: lambda name, arr: None)
+
+
+def _jais_mapper(cfg: dict, hp: dict) -> Mapper:
+    """JAIS (≡ JaisModel :8403): gpt2 Conv1D weights need transposing, muP
+    scales fold into the embeddings/head, ALiBi slopes fold into
+    max_alibi_bias metadata (written by set_kv from config)."""
+    emb_scale = float(cfg.get("mup_embeddings_scale",
+                              cfg.get("embeddings_scale", 1.0)))
+    if cfg.get("mup_output_alpha") is not None:
+        width_scale = float(cfg["mup_output_alpha"]) * float(
+            cfg.get("mup_width_scale", 1.0))
+    else:
+        width_scale = float(cfg.get("width_scale", 1.0))
+    LAYER = {
+        "ln_1.weight": ("attn_norm.weight", False),
+        "ln_1.bias": ("attn_norm.bias", False),
+        "ln_2.weight": ("ffn_norm.weight", False),
+        "ln_2.bias": ("ffn_norm.bias", False),
+        "attn.c_attn.weight": ("attn_qkv.weight", True),
+        "attn.c_attn.bias": ("attn_qkv.bias", False),
+        "attn.c_proj.weight": ("attn_output.weight", True),
+        "attn.c_proj.bias": ("attn_output.bias", False),
+        "mlp.c_fc.weight": ("ffn_up.weight", True),
+        "mlp.c_fc.bias": ("ffn_up.bias", False),
+        "mlp.c_fc2.weight": ("ffn_gate.weight", True),
+        "mlp.c_fc2.bias": ("ffn_gate.bias", False),
+        "mlp.c_proj.weight": ("ffn_down.weight", True),
+        "mlp.c_proj.bias": ("ffn_down.bias", False),
+    }
+
+    def m(name: str, arr: np.ndarray):
+        if name.endswith(".attn.bias") or name.endswith("relative_pe.slopes"):
+            return []
+        if name == "transformer.wte.weight":
+            return [("token_embd.weight", arr * emb_scale)]
+        if name.startswith("transformer.ln_f."):
+            return [("output_norm." + _wb(name), arr)]
+        if name == "lm_head.weight":
+            return [("output.weight", arr * width_scale)]
+        if name.startswith("transformer.h."):
+            parts = name.split(".", 3)
+            entry = LAYER.get(parts[3])
+            if entry is None:
+                return []
+            gname, transpose = entry
+            return [(f"blk.{parts[2]}.{gname}", arr.T if transpose else arr)]
+        return []
+
+    return m
+
+
+def _jais_kv(w, cfg: dict, hp: dict) -> None:
+    w.set_kv("jais.context_length", int(cfg.get("n_positions", 2048)))
+    w.set_kv("jais.feed_forward_length",
+             int(cfg.get("n_inner") or 4 * hp["n_embd"]))
+    w.add_kv("jais.attention.max_alibi_bias",
+             float(cfg.get("max_alibi_bias", 8.0)))
+
+
+register("jais", arch="jais", ln=True, set_kv=_jais_kv,
+         make_mapper=_jais_mapper)

@@ -629,7 +629,8 @@ def map_tensor_name(name: str, arch: str) -> str | None:
         return _map_t5_name(name)
     if arch in ("mamba", "mamba2", "falcon-mamba"):
         return _map_mamba_name(name)
-    if arch in ("falcon", "mpt", "bloom", "dbrx", "starcoder", "gpt2"):
+    if arch in ("falcon", "mpt", "bloom", "dbrx", "starcoder", "gpt2",
+                "codeshell"):
         return _map_transformer_name(name)
     if arch == "bert":
         return _map_bert_name(name)
