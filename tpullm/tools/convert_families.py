@@ -42,6 +42,7 @@ class Family:
     permute_qk: bool = False
     set_kv: Callable[[Any, dict, dict], None] | None = None
     make_mapper: Callable[[dict, dict], Mapper] | None = None
+    pick_arch: Callable[[dict], str] | None = None  # config-dependent arch
 
 
 FAMILIES: dict[str, Family] = {}
@@ -1018,3 +1019,444 @@ def _jais_kv(w, cfg: dict, hp: dict) -> None:
 
 register("jais", arch="jais", ln=True, set_kv=_jais_kv,
          make_mapper=_jais_mapper)
+
+
+# ---------------------------------------------------------------------------
+# MoE and hybrid families
+# ---------------------------------------------------------------------------
+
+
+def _deepseek_v1_kv(w, cfg: dict, hp: dict) -> None:
+    """DeepSeek-MoE v1 (≡ DeepseekModel :7493): llama tensors + routed
+    experts with ungated shared experts and unit routing scale."""
+    arch = "deepseek"
+    w.set_kv(f"{arch}.rope.dimension_count", hp["head_dim"])
+    w.add_kv(f"{arch}.leading_dense_block_count",
+             int(cfg.get("first_k_dense_replace", 0)))
+    w.set_kv(f"{arch}.expert_count", int(cfg.get("n_routed_experts", 0)))
+    w.set_kv(f"{arch}.expert_used_count",
+             int(cfg.get("num_experts_per_tok", 2)))
+    w.add_kv(f"{arch}.expert_feed_forward_length",
+             int(cfg.get("moe_intermediate_size", 0)))
+    w.add_kv(f"{arch}.expert_shared_count",
+             int(cfg.get("n_shared_experts", 0) or 0))
+    w.add_kv(f"{arch}.expert_weights_scale", 1.0)
+
+
+register("deepseek", arch="deepseek", permute_qk=True,
+         set_kv=_deepseek_v1_kv)
+
+
+def _chatglm_kv(w, cfg: dict, hp: dict) -> None:
+    """ChatGLM3 / GLM-4 custom-code checkpoints (≡ ChatGLMModel :8701)."""
+    arch = "chatglm"
+    E = hp["n_embd"]
+    w.set_kv(f"{arch}.context_length", int(cfg.get("seq_length", E)))
+    w.set_kv(f"{arch}.feed_forward_length",
+             int(cfg.get("ffn_hidden_size",
+                         cfg.get("intermediate_size", 4 * E))))
+    w.set_kv(f"{arch}.attention.head_count_kv",
+             int(cfg.get("multi_query_group_num",
+                         cfg.get("num_key_value_heads", hp["n_head"]))))
+    w.set_kv(f"{arch}.attention.layer_norm_rms_epsilon",
+             float(cfg.get("layernorm_epsilon", 1e-5)))
+    rope_dim = int(cfg.get("attention_dim", hp["head_dim"]))
+    w.set_kv(f"{arch}.rope.dimension_count",
+             int(rope_dim * float(cfg.get("partial_rotary_factor", 0.5))))
+    w.set_kv(f"{arch}.rope.freq_base",
+             10000.0 * float(cfg.get("rope_ratio", 1.0)))
+    if cfg.get("padded_vocab_size"):
+        w.set_kv(f"{arch}.vocab_size", int(cfg["padded_vocab_size"]))
+
+
+def _chatglm_mapper(cfg: dict, hp: dict) -> Mapper:
+    LAYER = {
+        "input_layernorm.weight": "attn_norm.weight",
+        "post_attention_layernorm.weight": "ffn_norm.weight",
+        "self_attention.query_key_value.weight": "attn_qkv.weight",
+        "self_attention.query_key_value.bias": "attn_qkv.bias",
+        "self_attention.dense.weight": "attn_output.weight",
+        "mlp.dense_h_to_4h.weight": "ffn_up.weight",  # fused [gate|up]
+        "mlp.dense_4h_to_h.weight": "ffn_down.weight",
+    }
+
+    def m(name: str, arr: np.ndarray):
+        name = name.removeprefix("transformer.")
+        if name.endswith("rotary_pos_emb.inv_freq"):
+            return []
+        if name == "embedding.word_embeddings.weight":
+            return [("token_embd.weight", arr)]
+        if name.startswith("encoder.final_layernorm."):
+            return [("output_norm." + _wb(name), arr)]
+        if name == "output_layer.weight":
+            return [("output.weight", arr)]
+        if name.startswith("encoder.layers."):
+            parts = name.split(".", 3)
+            mapped = LAYER.get(parts[3])
+            return [(f"blk.{parts[2]}.{mapped}", arr)] if mapped else []
+        return []
+
+    return m
+
+
+register("chatglm", arch="chatglm", set_kv=_chatglm_kv,
+         make_mapper=_chatglm_mapper)
+
+
+def _bailingmoe_kv(w, cfg: dict, hp: dict) -> None:
+    """Ling / BailingMoe (≡ BailingMoeModel :9479)."""
+    arch = "bailingmoe"
+    w.set_kv(f"{arch}.rope.dimension_count", hp["head_dim"])
+    w.add_kv(f"{arch}.leading_dense_block_count",
+             int(cfg.get("first_k_dense_replace", 0)))
+    w.set_kv(f"{arch}.expert_count", int(cfg.get("num_experts", 0)))
+    w.set_kv(f"{arch}.expert_used_count",
+             int(cfg.get("num_experts_per_tok", 2)))
+    w.add_kv(f"{arch}.expert_feed_forward_length",
+             int(cfg.get("moe_intermediate_size", 0)))
+    w.add_kv(f"{arch}.expert_shared_count",
+             int(cfg.get("num_shared_experts", 0) or 0))
+    w.add_kv(f"{arch}.expert_weights_scale", 1.0)
+    w.set_kv(f"{arch}.expert_weights_norm",
+             bool(cfg.get("norm_topk_prob", False)))
+
+
+def _bailingmoe_mapper(cfg: dict, hp: dict) -> Mapper:
+    from .convert_hf import _permute_qk
+
+    n_head, n_kv = hp["n_head"], hp["n_kv"]
+    hd = int(cfg.get("head_dim") or hp["n_embd"] // n_head)
+    norm_head = bool(cfg.get("norm_head"))
+
+    def m(name: str, arr: np.ndarray):
+        if name == "model.word_embeddings.weight":
+            return [("token_embd.weight", arr)]
+        if name == "lm_head.weight":
+            if norm_head:  # folded output norm (BailingMoeModel norm_head)
+                arr = arr / (np.linalg.norm(arr, axis=0, keepdims=True)
+                             + 1e-7)
+            return [("output.weight", arr)]
+        if name.endswith("attention.dense.weight"):
+            bid = name.split(".")[2]
+            return [(f"blk.{bid}.attn_output.weight", arr)]
+        if name.endswith("attention.query_key_value.weight"):
+            bid = name.split(".")[2]
+            p = f"blk.{bid}."
+            q = arr[: n_head * hd]
+            k = arr[n_head * hd: (n_head + n_kv) * hd]
+            v = arr[(n_head + n_kv) * hd:]
+            return [
+                (p + "attn_q.weight", _permute_qk(q, n_head)),
+                (p + "attn_k.weight", _permute_qk(k, n_kv)),
+                (p + "attn_v.weight", v),
+            ]
+        return None  # generic llama/MoE mapping for everything else
+
+    return m
+
+
+register("bailing_moe", arch="bailingmoe", set_kv=_bailingmoe_kv,
+         make_mapper=_bailingmoe_mapper)
+
+
+def _llada_moe_kv(w, cfg: dict, hp: dict) -> None:
+    """LLaDA-MoE diffusion LM (≡ LLaDAMoEModel :10180): qwen-moe tensor set
+    + bidirectional diffusion metadata."""
+    arch = "llada-moe"
+    w.set_kv(f"{arch}.expert_count", int(cfg.get("num_experts", 0)))
+    w.set_kv(f"{arch}.expert_used_count",
+             int(cfg.get("num_experts_per_tok", 2)))
+    w.set_kv(f"{arch}.expert_feed_forward_length",
+             int(cfg.get("expert_intermediate_size",
+                         cfg.get("moe_intermediate_size", 0))))
+    w.add_kv(f"{arch}.attention.causal", False)
+    w.add_kv(f"{arch}.diffusion.shift_logits", False)
+    w.add_kv("tokenizer.ggml.mask_token_id", 156895)
+
+
+register("llada_moe", arch="llada-moe", set_kv=_llada_moe_kv)
+
+
+def _afmoe_kv(w, cfg: dict, hp: dict) -> None:
+    """AFMoE (≡ AfmoeModel :2692): gated attention, dual norm sandwiches,
+    sigmoid-routed MoE with selection bias."""
+    arch = "afmoe"
+    for hf_key, gg_key in (("num_experts", "expert_count"),
+                           ("num_experts_per_tok", "expert_used_count")):
+        if cfg.get(hf_key) is not None:
+            w.set_kv(f"{arch}.{gg_key}", int(cfg[hf_key]))
+    if cfg.get("moe_intermediate_size") is not None:
+        w.add_kv(f"{arch}.expert_feed_forward_length",
+                 int(cfg["moe_intermediate_size"]))
+    if cfg.get("num_shared_experts") is not None:
+        w.add_kv(f"{arch}.expert_shared_count",
+                 int(cfg["num_shared_experts"]))
+    if cfg.get("num_dense_layers") is not None:
+        w.add_kv(f"{arch}.leading_dense_block_count",
+                 int(cfg["num_dense_layers"]))
+    if cfg.get("route_norm") is not None:
+        w.add_kv(f"{arch}.expert_weights_norm", bool(cfg["route_norm"]))
+    if cfg.get("route_scale") is not None:
+        w.add_kv(f"{arch}.expert_weights_scale", float(cfg["route_scale"]))
+    if cfg.get("score_func", "sigmoid") == "sigmoid":
+        w.add_kv(f"{arch}.expert_gating_func", 2)
+    if cfg.get("global_attn_every_n_layers"):
+        w.add_kv(f"{arch}.attention.sliding_window_pattern",
+                 int(cfg["global_attn_every_n_layers"]))
+        w.add_kv(f"{arch}.attention.no_rope_layer_step",
+                 int(cfg["global_attn_every_n_layers"]))
+    if cfg.get("rope_local_base_freq"):
+        w.add_kv(f"{arch}.rope.freq_base_swa",
+                 float(cfg["rope_local_base_freq"]))
+
+
+def _afmoe_mapper(cfg: dict, hp: dict) -> Mapper:
+    RENAME = {
+        "post_attention_layernorm.weight": "post_attention_norm.weight",
+        "pre_mlp_layernorm.weight": "ffn_norm.weight",
+        "post_mlp_layernorm.weight": "post_ffw_norm.weight",
+        "self_attn.gate_proj.weight": "attn_gate.weight",
+        "mlp.router.gate.weight": "ffn_gate_inp.weight",
+        "mlp.expert_bias": "exp_probs_b.bias",
+        "mlp.shared_experts.gate_proj.weight": "ffn_gate_shexp.weight",
+        "mlp.shared_experts.up_proj.weight": "ffn_up_shexp.weight",
+        "mlp.shared_experts.down_proj.weight": "ffn_down_shexp.weight",
+    }
+
+    def m(name: str, arr: np.ndarray):
+        if not name.startswith("model.layers."):
+            return None
+        parts = name.split(".", 3)
+        mapped = RENAME.get(parts[3])
+        if mapped:
+            return [(f"blk.{parts[2]}.{mapped}", arr)]
+        return None  # generic: q/k/v/o, norms, experts stacking
+
+    return m
+
+
+register("afmoe", arch="afmoe", set_kv=_afmoe_kv, make_mapper=_afmoe_mapper)
+
+
+def _minimax_m2_kv(w, cfg: dict, hp: dict) -> None:
+    """MiniMax-M2 (≡ MiniMaxM2Model :7784): mixtral-style expert tensors
+    with a noaux_tc selection bias."""
+    arch = "minimax-m2"
+    w.set_kv(f"{arch}.expert_count", int(cfg.get("num_local_experts", 0)))
+    w.set_kv(f"{arch}.expert_used_count",
+             int(cfg.get("num_experts_per_tok", 2)))
+    w.add_kv(f"{arch}.expert_feed_forward_length",
+             int(cfg.get("intermediate_size", 0)))
+    if cfg.get("rotary_dim"):
+        w.set_kv(f"{arch}.rope.dimension_count", int(cfg["rotary_dim"]))
+    w.set_kv(f"{arch}.attention.layer_norm_rms_epsilon",
+             float(cfg.get("layernorm_epsilon",
+                           cfg.get("rms_norm_eps", 1e-5))))
+
+
+register("minimax_m2", arch="minimax-m2", set_kv=_minimax_m2_kv)
+
+
+def _grovemoe_kv(w, cfg: dict, hp: dict) -> None:
+    """GroveMoE (≡ GroveMoeModel :9653): adjugate chunk experts; group
+    size / chunk ffn / scale are modeling-code constants."""
+    arch = "grovemoe"
+    w.set_kv(f"{arch}.expert_count", int(cfg.get("num_experts", 0)))
+    w.set_kv(f"{arch}.expert_used_count",
+             int(cfg.get("num_experts_per_tok", 2)))
+    if cfg.get("moe_intermediate_size") is not None:
+        w.add_kv(f"{arch}.expert_feed_forward_length",
+                 int(cfg["moe_intermediate_size"]))
+    w.add_kv(f"{arch}.expert_chunk_feed_forward_length",
+             int(cfg.get("head_dim") or 128))
+    w.add_kv(f"{arch}.experts_per_group", 2)
+    w.add_kv(f"{arch}.expert_group_scale", 0.05)
+
+
+def _grovemoe_mapper(cfg: dict, hp: dict) -> Mapper:
+    chunks: dict[str, dict[int, np.ndarray]] = {}
+
+    def m(name: str, arr: np.ndarray):
+        if name.endswith(".expert_bias"):
+            return []  # unused in the modeling code
+        if ".mlp.chunk_experts." in name:
+            parts = name.split(".")
+            li, ei, proj = parts[2], int(parts[5]), parts[6]
+            key = {"gate_proj": f"blk.{li}.ffn_gate_chexps.weight",
+                   "up_proj": f"blk.{li}.ffn_up_chexps.weight",
+                   "down_proj": f"blk.{li}.ffn_down_chexps.weight"}.get(proj)
+            if key is None:
+                return []
+            d = chunks.setdefault(key, {})
+            d[ei] = arr
+            n_chunk = int(cfg.get("num_experts", 0)) // 2
+            if len(d) == n_chunk:
+                return [(key, np.stack([d[i] for i in sorted(d)], axis=0))]
+            return []
+        return None  # generic qwen3-style attention + expert stacking
+
+    return m
+
+
+register("grove_moe", arch="grovemoe", set_kv=_grovemoe_kv,
+         make_mapper=_grovemoe_mapper)
+register("grovemoe", arch="grovemoe", set_kv=_grovemoe_kv,
+         make_mapper=_grovemoe_mapper)
+
+
+# ---------------------------------------------------------------------------
+# Nemotron-H (+MoE): mamba2/attention/FFN hybrid under backbone.* naming
+# ≡ convert_hf_to_gguf.py NemotronHModel (:9323)
+# ---------------------------------------------------------------------------
+
+
+def _nemotron_h_arch(cfg: dict) -> str:
+    return ("nemotron_h_moe" if cfg.get("num_experts_per_tok") is not None
+            else "nemotron_h")
+
+
+def _nemotron_h_kv(w, cfg: dict, hp: dict) -> None:
+    arch = _nemotron_h_arch(cfg)
+    pattern = cfg["hybrid_override_pattern"]
+    n_kv = int(cfg.get("num_key_value_heads", hp["n_head"]))
+    kv_arr = [n_kv if c == "*" else 0 for c in pattern]
+    w.set_kv(f"{arch}.attention.head_count_kv",
+             np.asarray(kv_arr, dtype=np.int32))
+    hd = int(cfg.get("head_dim", cfg.get("attention_head_dim", 128)))
+    w.set_kv(f"{arch}.attention.key_length", hd)
+    w.set_kv(f"{arch}.attention.value_length", hd)
+    mamba_heads = int(cfg.get("mamba_num_heads",
+                              cfg.get("num_heads", 128)))
+    mamba_hd = int(cfg.get("mamba_head_dim", 64))
+    w.add_kv(f"{arch}.ssm.conv_kernel", int(cfg.get("conv_kernel", 4)))
+    w.add_kv(f"{arch}.ssm.inner_size", mamba_heads * mamba_hd)
+    w.add_kv(f"{arch}.ssm.state_size", int(cfg.get("ssm_state_size", 128)))
+    w.add_kv(f"{arch}.ssm.time_step_rank", mamba_heads)
+    w.add_kv(f"{arch}.ssm.group_count", int(cfg.get("n_groups", 8)))
+    if arch == "nemotron_h_moe":
+        w.set_kv(f"{arch}.expert_count", int(cfg["n_routed_experts"]))
+        w.set_kv(f"{arch}.expert_used_count",
+                 int(cfg["num_experts_per_tok"]))
+        w.add_kv(f"{arch}.expert_feed_forward_length",
+                 int(cfg["moe_intermediate_size"]))
+        w.add_kv(f"{arch}.expert_shared_count",
+                 int(cfg.get("n_shared_experts", 0) or 0))
+        if cfg.get("norm_topk_prob") is not None:
+            w.set_kv(f"{arch}.expert_weights_norm",
+                     bool(cfg["norm_topk_prob"]))
+        if cfg.get("routed_scaling_factor") is not None:
+            w.add_kv(f"{arch}.expert_weights_scale",
+                     float(cfg["routed_scaling_factor"]))
+        w.add_kv(f"{arch}.expert_gating_func", 2)
+
+
+def _nemotron_h_mapper(cfg: dict, hp: dict) -> Mapper:
+    n_expert = int(cfg.get("n_routed_experts", 0) or 0)
+    experts: dict[str, dict[int, np.ndarray]] = {}
+    MIX = {
+        "mixer.in_proj.weight": "ssm_in.weight",
+        "mixer.dt_bias": "ssm_dt.bias",
+        "mixer.dt.bias": "ssm_dt.bias",
+        "mixer.norm.weight": "ssm_norm.weight",
+        "mixer.out_proj.weight": "ssm_out.weight",
+        "mixer.q_proj.weight": "attn_q.weight",
+        "mixer.k_proj.weight": "attn_k.weight",
+        "mixer.v_proj.weight": "attn_v.weight",
+        "mixer.o_proj.weight": "attn_output.weight",
+        "mixer.up_proj.weight": "ffn_up.weight",
+        "mixer.up_proj.bias": "ffn_up.bias",
+        "mixer.down_proj.weight": "ffn_down.weight",
+        "mixer.down_proj.bias": "ffn_down.bias",
+        "mixer.gate.weight": "ffn_gate_inp.weight",
+        "mixer.gate.e_score_correction_bias": "exp_probs_b.bias",
+        "mixer.shared_experts.up_proj.weight": "ffn_up_shexp.weight",
+        "mixer.shared_experts.down_proj.weight": "ffn_down_shexp.weight",
+        "norm.weight": "attn_norm.weight",
+    }
+
+    def m(name: str, arr: np.ndarray):
+        if name == "backbone.embeddings.weight":
+            return [("token_embd.weight", arr)]
+        if name.startswith("backbone.norm_f."):
+            return [("output_norm." + _wb(name), arr)]
+        if name == "lm_head.weight":
+            return [("output.weight", arr)]
+        if not name.startswith("backbone.layers."):
+            return []
+        parts = name.split(".", 3)
+        bid, rest = parts[2], parts[3]
+        p = f"blk.{bid}."
+        if rest == "mixer.conv1d.weight":
+            return [(p + "ssm_conv1d.weight",
+                     arr.reshape(arr.shape[0], arr.shape[-1]))]
+        if rest == "mixer.conv1d.bias":
+            return [(p + "ssm_conv1d.bias", arr)]
+        if rest == "mixer.A_log":
+            return [(p + "ssm_a", -np.exp(arr))]
+        if rest == "mixer.D":
+            return [(p + "ssm_d", arr)]
+        if ".experts." in rest and "shared" not in rest:
+            sub = rest.split(".")
+            if sub[2].isdigit():  # per-expert mixer.experts.E.{up,down}_proj
+                ei, proj = int(sub[2]), sub[3]
+                key = {"up_proj": p + "ffn_up_exps.weight",
+                       "down_proj": p + "ffn_down_exps.weight"}.get(proj)
+                if key is None:
+                    return []
+                d = experts.setdefault(key, {})
+                d[ei] = arr
+                if n_expert and len(d) == n_expert:
+                    return [(key,
+                             np.stack([d[i] for i in sorted(d)], axis=0))]
+                return []
+            # pre-merged mixer.experts.{up,down}_proj 3-D tensors
+            key = {"up_proj": p + "ffn_up_exps.weight",
+                   "down_proj": p + "ffn_down_exps.weight"}.get(sub[2])
+            return [(key, arr)] if key else []
+        mapped = MIX.get(rest)
+        return [(p + mapped, arr)] if mapped else []
+
+    return m
+
+
+register("nemotron_h", arch="nemotron_h", set_kv=_nemotron_h_kv,
+         make_mapper=_nemotron_h_mapper, pick_arch=_nemotron_h_arch)
+
+
+# ---------------------------------------------------------------------------
+# simple llama-naming tails
+# ---------------------------------------------------------------------------
+
+
+def _maincoder_kv(w, cfg: dict, hp: dict) -> None:
+    # ≡ MaincoderModel (:6808): rope dims = head_dim when config carries it
+    if cfg.get("head_dim") is not None:
+        w.set_kv("maincoder.rope.dimension_count", int(cfg["head_dim"]))
+
+
+register("maincoder", arch="maincoder", set_kv=_maincoder_kv)
+
+
+def _pangu_kv(w, cfg: dict, hp: dict) -> None:
+    # ≡ PanguEmbeddedModel (:8044)
+    w.set_kv("pangu-embedded.rope.dimension_count", hp["head_dim"])
+
+
+register("pangu_embedded", arch="pangu-embedded", set_kv=_pangu_kv)
+register("PanguEmbedded", arch="pangu-embedded", set_kv=_pangu_kv)
+
+
+def _plm_kv(w, cfg: dict, hp: dict) -> None:
+    """PLM (≡ PLMModel :8109): MLA attention dims + gateless ReLU² FFN;
+    tensors ride the generic deepseek2-style map."""
+    arch = "plm"
+    qk_nope = int(cfg["qk_nope_head_dim"])
+    qk_rope = int(cfg["qk_rope_head_dim"])
+    w.add_kv(f"{arch}.attention.kv_lora_rank", int(cfg["kv_lora_rank"]))
+    w.set_kv(f"{arch}.attention.key_length", qk_nope + qk_rope)
+    w.set_kv(f"{arch}.attention.value_length",
+             int(cfg.get("v_head_dim", qk_nope)))
+    w.set_kv(f"{arch}.rope.dimension_count", qk_rope)
+
+
+register("plm", arch="plm", set_kv=_plm_kv)

@@ -221,6 +221,7 @@ _LAYER_MAP = {
     "self_attn.kv_a_layernorm.weight": "attn_kv_a_norm.weight",
     "self_attn.kv_b_proj.weight": "attn_kv_b.weight",
     "mlp.gate.e_score_correction_bias": "exp_probs_b.bias",
+    "block_sparse_moe.gate.e_score_correction_bias": "exp_probs_b.bias",
     "mlp.shared_experts.gate_proj.weight": "ffn_gate_shexp.weight",
     "mlp.shared_experts.up_proj.weight": "ffn_up_shexp.weight",
     "mlp.shared_experts.down_proj.weight": "ffn_down_shexp.weight",
@@ -874,11 +875,20 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
         # InternViT tower
         model_type = (cfg.get("text_config") or {}).get("model_type",
                                                         "qwen2")
+    # class-name disambiguation where one model_type covers two archs
+    _BY_CLASS = {"MiniMaxM2ForCausalLM": "minimax_m2",
+                 "MiMoV2FlashForCausalLM": "mimo2",
+                 "Step3p5ForCausalLM": "step35"}
+    for cls in cfg.get("architectures") or []:
+        if cls in _BY_CLASS:
+            model_type = _BY_CLASS[cls]
     arch = ARCH_MAP.get(model_type)
     if arch is None:
         raise NotImplementedError(f"model_type {model_type!r} not supported yet "
                                   f"(have: {sorted(ARCH_MAP)})")
     fam = _FAMILIES.get(model_type)
+    if fam is not None and fam.pick_arch is not None:
+        arch = fam.pick_arch(cfg)  # e.g. nemotron_h vs nemotron_h_moe
     if vl_wrapped:
         # multimodal checkpoints nest the text config; flatten it for the
         # generic kv writer (vision tensors are skipped here — --mmproj
