@@ -1542,6 +1542,7 @@ def make_tiny_deci_gguf(
     *,
     n_embd: int = 64,
     n_ctx: int = 256,
+    ffs: list | None = None,  # per-layer ffn dims (0 = dummy layer)
     seed: int = 0,
 ) -> str:
     """Tiny deci-shaped GGUF with NAS'd per-layer shapes (llm_build_deci):
@@ -1553,7 +1554,7 @@ def make_tiny_deci_gguf(
     n_vocab = len(tokens)
     heads = [4, 4, 0, 4, 0]
     kv_heads = [2, 1, 0, 0, 0]
-    ffs = [128, 128, 128, 128, 0]
+    ffs = list(ffs) if ffs is not None else [128, 128, 128, 128, 0]
     n_layer = len(heads)
     head_dim = n_embd // 4
 
@@ -2335,10 +2336,15 @@ def make_tiny_lfm2_gguf(
     n_ff: int = 96,
     l_cache: int = 3,
     n_ctx: int = 256,
+    n_expert: int = 0,  # >0: lfm2moe (sigmoid-routed w1/w2/w3 experts)
+    n_expert_used: int = 2,
+    n_ff_exp: int = 32,
+    n_dense_lead: int = 1,
     seed: int = 0,
 ) -> str:
     """Tiny lfm2-shaped GGUF: [shortconv, attn, shortconv] layers + swiglu
-    FFN each (llm_build_lfm2 shapes)."""
+    FFN each (llm_build_lfm2 shapes); n_expert>0 makes it lfm2moe with a
+    dense lead and sigmoid-routed renormalized experts + selection bias."""
     rng = np.random.default_rng(seed)
     tokens, scores, types = _byte_vocab(DEFAULT_WORDS)
     n_vocab = len(tokens)
@@ -2347,7 +2353,7 @@ def make_tiny_lfm2_gguf(
     kv_arr = [n_head_kv if k == "attn" else 0 for k in kinds]
     n_layer = len(kinds)
 
-    arch = "lfm2"
+    arch = "lfm2moe" if n_expert else "lfm2"
     w = GGUFWriter(path, architecture=arch)
     w.add_kv("general.name", "tpullm-tiny-lfm2")
     w.add_kv(f"{arch}.block_count", n_layer)
@@ -2360,6 +2366,13 @@ def make_tiny_lfm2_gguf(
     w.add_kv(f"{arch}.rope.freq_base", 10000.0)
     w.add_kv(f"{arch}.rope.dimension_count", head_dim)
     w.add_kv(f"{arch}.shortconv.l_cache", l_cache)
+    if n_expert:
+        w.add_kv(f"{arch}.expert_count", n_expert)
+        w.add_kv(f"{arch}.expert_used_count", n_expert_used)
+        w.add_kv(f"{arch}.expert_feed_forward_length", n_ff_exp)
+        w.add_kv(f"{arch}.leading_dense_block_count", n_dense_lead)
+        w.add_kv(f"{arch}.expert_gating_func", 2)  # sigmoid
+        w.add_kv(f"{arch}.expert_weights_norm", True)
     w.add_kv("tokenizer.ggml.model", "llama")
     w.add_kv("tokenizer.ggml.tokens", tokens)
     w.add_kv("tokenizer.ggml.scores", np.asarray(scores, dtype=np.float32))
@@ -2389,9 +2402,16 @@ def make_tiny_lfm2_gguf(
             w.add_tensor(p + "attn_k_norm.weight", 1.0 + rand((head_dim,)))
             w.add_tensor(p + "attn_output.weight", rand((n_embd, n_head * head_dim)))
         w.add_tensor(p + "ffn_norm.weight", 1.0 + rand((n_embd,)))
-        w.add_tensor(p + "ffn_gate.weight", rand((n_ff, n_embd)))
-        w.add_tensor(p + "ffn_up.weight", rand((n_ff, n_embd)))
-        w.add_tensor(p + "ffn_down.weight", rand((n_embd, n_ff)))
+        if n_expert and i >= n_dense_lead:
+            w.add_tensor(p + "ffn_gate_inp.weight", rand((n_expert, n_embd)))
+            w.add_tensor(p + "exp_probs_b.bias", rand((n_expert,), 0.5))
+            w.add_tensor(p + "ffn_gate_exps.weight", rand((n_expert, n_ff_exp, n_embd)))
+            w.add_tensor(p + "ffn_up_exps.weight", rand((n_expert, n_ff_exp, n_embd)))
+            w.add_tensor(p + "ffn_down_exps.weight", rand((n_expert, n_embd, n_ff_exp)))
+        else:
+            w.add_tensor(p + "ffn_gate.weight", rand((n_ff, n_embd)))
+            w.add_tensor(p + "ffn_up.weight", rand((n_ff, n_embd)))
+            w.add_tensor(p + "ffn_down.weight", rand((n_embd, n_ff)))
     w.add_tensor("output.weight", rand((n_vocab, n_embd)))
     w.write()
     return str(path)

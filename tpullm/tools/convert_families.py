@@ -1460,3 +1460,722 @@ def _plm_kv(w, cfg: dict, hp: dict) -> None:
 
 
 register("plm", arch="plm", set_kv=_plm_kv)
+
+
+# ---------------------------------------------------------------------------
+# Kimi-Linear (KDA + MLA hybrid) ≡ convert_hf_to_gguf.py KimiLinearModel
+# (:5020). head_count_kv keeps the true MLA head count (the runtime's MLA
+# cache stores the compressed latent per layer already).
+# ---------------------------------------------------------------------------
+
+
+def _kimi_linear_kv(w, cfg: dict, hp: dict) -> None:
+    arch = "kimi-linear"
+    lac = cfg.get("linear_attn_config") or {}
+    full = set(lac.get("full_attn_layers") or [])
+    n_layer = hp["n_layer"]
+    kv_arr = [hp["n_head"] if (il + 1) in full else 0
+              for il in range(n_layer)]
+    w.set_kv(f"{arch}.attention.head_count_kv",
+             np.asarray(kv_arr, dtype=np.int32))
+    if lac.get("short_conv_kernel_size"):
+        w.add_kv(f"{arch}.ssm.conv_kernel",
+                 int(lac["short_conv_kernel_size"]))
+    if lac.get("head_dim"):
+        w.add_kv(f"{arch}.kda.head_dim", int(lac["head_dim"]))
+    qk_nope = int(cfg["qk_nope_head_dim"])
+    qk_rope = int(cfg["qk_rope_head_dim"])
+    if cfg.get("q_lora_rank"):
+        w.add_kv(f"{arch}.attention.q_lora_rank", int(cfg["q_lora_rank"]))
+    w.add_kv(f"{arch}.attention.kv_lora_rank", int(cfg["kv_lora_rank"]))
+    w.add_kv(f"{arch}.attention.key_length_mla", qk_nope + qk_rope)
+    w.add_kv(f"{arch}.attention.value_length_mla", int(cfg["v_head_dim"]))
+    w.set_kv(f"{arch}.rope.dimension_count", qk_rope)
+    w.add_kv(f"{arch}.leading_dense_block_count",
+             int(cfg.get("first_k_dense_replace", 0)))
+    w.set_kv(f"{arch}.expert_count",
+             int(cfg.get("num_local_experts", cfg.get("num_experts", 0))))
+    w.set_kv(f"{arch}.expert_used_count",
+             int(cfg.get("num_experts_per_tok", 2)))
+    w.add_kv(f"{arch}.expert_feed_forward_length",
+             int(cfg["moe_intermediate_size"]))
+    w.add_kv(f"{arch}.expert_shared_count",
+             int(cfg.get("num_shared_experts", 0) or 0))
+    if cfg.get("routed_scaling_factor") is not None:
+        w.add_kv(f"{arch}.expert_weights_scale",
+                 float(cfg["routed_scaling_factor"]))
+    w.add_kv(f"{arch}.expert_gating_func", 2)
+
+
+def _kimi_linear_mapper(cfg: dict, hp: dict) -> Mapper:
+    n_head = hp["n_head"]
+    qk_nope = int(cfg["qk_nope_head_dim"])
+    v_dim = int(cfg["v_head_dim"])
+    n_expert = int(cfg.get("num_local_experts", cfg.get("num_experts", 0)))
+    experts: dict[str, dict[int, np.ndarray]] = {}
+    KDA = {
+        "self_attn.q_proj.weight": "attn_q.weight",
+        "self_attn.k_proj.weight": "attn_k.weight",
+        "self_attn.v_proj.weight": "attn_v.weight",
+        "self_attn.q_conv1d.weight": "ssm_conv1d_q.weight",
+        "self_attn.k_conv1d.weight": "ssm_conv1d_k.weight",
+        "self_attn.v_conv1d.weight": "ssm_conv1d_v.weight",
+        "self_attn.f_a_proj.weight": "ssm_f_a.weight",
+        "self_attn.f_b_proj.weight": "ssm_f_b.weight",
+        "self_attn.b_proj.weight": "ssm_beta.weight",
+        "self_attn.g_a_proj.weight": "ssm_g_a.weight",
+        "self_attn.g_b_proj.weight": "ssm_g_b.weight",
+        "self_attn.o_norm.weight": "ssm_norm.weight",
+        "self_attn.o_proj.weight": "attn_output.weight",
+        # MLA layers
+        "self_attn.kv_a_proj_with_mqa.weight": "attn_kv_a_mqa.weight",
+        "self_attn.kv_a_layernorm.weight": "attn_kv_a_norm.weight",
+        "self_attn.q_a_proj.weight": "attn_q_a.weight",
+        "self_attn.q_a_layernorm.weight": "attn_q_a_norm.weight",
+        "self_attn.q_b_proj.weight": "attn_q_b.weight",
+        "input_layernorm.weight": "attn_norm.weight",
+        "post_attention_layernorm.weight": "ffn_norm.weight",
+        "mlp.gate_proj.weight": "ffn_gate.weight",
+        "mlp.up_proj.weight": "ffn_up.weight",
+        "mlp.down_proj.weight": "ffn_down.weight",
+        "block_sparse_moe.gate.weight": "ffn_gate_inp.weight",
+        "block_sparse_moe.gate.e_score_correction_bias": "exp_probs_b.bias",
+        "block_sparse_moe.shared_experts.gate_proj.weight":
+            "ffn_gate_shexp.weight",
+        "block_sparse_moe.shared_experts.up_proj.weight":
+            "ffn_up_shexp.weight",
+        "block_sparse_moe.shared_experts.down_proj.weight":
+            "ffn_down_shexp.weight",
+    }
+
+    def m(name: str, arr: np.ndarray):
+        if name == "model.embed_tokens.weight":
+            return [("token_embd.weight", arr)]
+        if name == "model.norm.weight":
+            return [("output_norm.weight", arr)]
+        if name == "lm_head.weight":
+            return [("output.weight", arr)]
+        if not name.startswith("model.layers."):
+            return []
+        parts = name.split(".", 3)
+        bid, rest = parts[2], parts[3]
+        p = f"blk.{bid}."
+        if rest.endswith("conv1d.weight") and arr.ndim == 2:
+            arr = arr[:, None, :]  # (d_inner, d_conv) → (d_inner, 1, d_conv)
+        if rest == "self_attn.A_log":
+            return [(p + "ssm_a", -np.exp(arr).reshape(1, -1))]
+        if rest == "self_attn.dt_bias":
+            return [(p + "ssm_dt.bias", arr.reshape(-1))]
+        if rest == "self_attn.kv_b_proj.weight":
+            kv_b = arr.reshape(n_head, qk_nope + v_dim, arr.shape[-1])
+            k_b = kv_b[:, :qk_nope].transpose(0, 2, 1)  # (H, kv_lora, nope)
+            v_b = kv_b[:, qk_nope:]                     # (H, v, kv_lora)
+            return [(p + "attn_k_b.weight", np.ascontiguousarray(k_b)),
+                    (p + "attn_v_b.weight", np.ascontiguousarray(v_b))]
+        if ".block_sparse_moe.experts." in name:
+            sub = rest.split(".")
+            ei, wid = int(sub[2]), sub[3]
+            key = {"w1": p + "ffn_gate_exps.weight",
+                   "w2": p + "ffn_down_exps.weight",
+                   "w3": p + "ffn_up_exps.weight"}.get(wid)
+            if key is None:
+                return []
+            d = experts.setdefault(key, {})
+            d[ei] = arr
+            if n_expert and len(d) == n_expert:
+                return [(key, np.stack([d[i] for i in sorted(d)], axis=0))]
+            return []
+        mapped = KDA.get(rest)
+        return [(p + mapped, arr)] if mapped else []
+
+    return m
+
+
+register("kimi_linear", arch="kimi-linear", set_kv=_kimi_linear_kv,
+         make_mapper=_kimi_linear_mapper)
+
+
+# ---------------------------------------------------------------------------
+# LFM2-MoE ≡ LFM2MoeModel (:10530): lfm2 shortconv/attention hybrid whose
+# FFN is a sigmoid-routed MoE with w1/w2/w3 experts and a selection bias
+# ---------------------------------------------------------------------------
+
+
+def _lfm2moe_kv(w, cfg: dict, hp: dict) -> None:
+    arch = "lfm2moe"
+    lt = cfg.get("layer_types") or []
+    if lt:
+        kv_arr = [hp["n_kv"] if t == "full_attention" else 0 for t in lt]
+        w.set_kv(f"{arch}.attention.head_count_kv",
+                 np.asarray(kv_arr, dtype=np.int32))
+    w.add_kv(f"{arch}.shortconv.l_cache", int(cfg.get("conv_L_cache", 3)))
+    w.set_kv(f"{arch}.expert_count", int(cfg["num_experts"]))
+    w.set_kv(f"{arch}.expert_used_count",
+             int(cfg.get("num_experts_per_tok", 2)))
+    w.add_kv(f"{arch}.expert_feed_forward_length",
+             int(cfg["moe_intermediate_size"]))
+    w.add_kv(f"{arch}.leading_dense_block_count",
+             int(cfg.get("num_dense_layers", 0)))
+    w.add_kv(f"{arch}.expert_gating_func", 2)
+    if cfg.get("norm_topk_prob") is not None:
+        w.set_kv(f"{arch}.expert_weights_norm", bool(cfg["norm_topk_prob"]))
+
+
+def _lfm2moe_mapper(cfg: dict, hp: dict) -> Mapper:
+    n_expert = int(cfg["num_experts"])
+    experts: dict[str, dict[int, np.ndarray]] = {}
+
+    def m(name: str, arr: np.ndarray):
+        name = name.removeprefix("model.")
+        if "conv.conv" in name and arr.ndim == 3:
+            bid = name.split(".")[1]
+            return [(f"blk.{bid}.shortconv.conv.weight",
+                     arr.reshape(arr.shape[0], arr.shape[-1]))]
+        if name.endswith(".feed_forward.gate.weight"):
+            bid = name.split(".")[1]
+            return [(f"blk.{bid}.ffn_gate_inp.weight", arr)]
+        if name.endswith(".feed_forward.expert_bias"):
+            bid = name.split(".")[1]
+            return [(f"blk.{bid}.exp_probs_b.bias", arr)]
+        if ".feed_forward.experts." in name:
+            parts = name.split(".")
+            bid, ei, wid = parts[1], int(parts[4]), parts[5]
+            p = f"blk.{bid}."
+            key = {"w1": p + "ffn_gate_exps.weight",
+                   "w2": p + "ffn_down_exps.weight",
+                   "w3": p + "ffn_up_exps.weight"}.get(wid)
+            if key is None:
+                return []
+            d = experts.setdefault(key, {})
+            d[ei] = arr
+            if len(d) == n_expert:
+                return [(key, np.stack([d[i] for i in sorted(d)], axis=0))]
+            return []
+        return None  # lfm2 naming handled by the generic map
+
+    return m
+
+
+register("lfm2_moe", arch="lfm2moe", set_kv=_lfm2moe_kv,
+         make_mapper=_lfm2moe_mapper)
+
+
+# ---------------------------------------------------------------------------
+# Arctic / SmallThinker / RND1 / Deci
+# ---------------------------------------------------------------------------
+
+
+def _arctic_kv(w, cfg: dict, hp: dict) -> None:
+    # ≡ ArcticModel (:7346): dense residual FFN + parallel MoE
+    w.set_kv("arctic.expert_count", int(cfg.get("num_local_experts", 0)))
+    w.set_kv("arctic.expert_used_count",
+             int(cfg.get("num_experts_per_tok", 2)))
+    w.add_kv("arctic.expert_feed_forward_length",
+             int(cfg.get("moe_intermediate_size",
+                         cfg.get("intermediate_size", 0))))
+
+
+def _arctic_mapper(cfg: dict, hp: dict) -> Mapper:
+    from .convert_hf import _permute_qk
+
+    n_head, n_kv = hp["n_head"], hp["n_kv"]
+    n_expert = int(cfg.get("num_local_experts", 0))
+    experts: dict[str, dict[int, np.ndarray]] = {}
+    RENAME = {
+        "residual_layernorm.weight": "ffn_norm.weight",
+        "post_attention_layernorm.weight": "ffn_norm_exps.weight",
+        "residual_mlp.w1.weight": "ffn_gate.weight",
+        "residual_mlp.w2.weight": "ffn_down.weight",
+        "residual_mlp.w3.weight": "ffn_up.weight",
+    }
+
+    def m(name: str, arr: np.ndarray):
+        if not name.startswith("model.layers."):
+            return None
+        parts = name.split(".", 3)
+        bid, rest = parts[2], parts[3]
+        p = f"blk.{bid}."
+        if rest.endswith("q_proj.weight"):
+            return [(p + "attn_q.weight", _permute_qk(arr, n_head))]
+        if rest.endswith("k_proj.weight"):
+            return [(p + "attn_k.weight", _permute_qk(arr, n_kv))]
+        mapped = RENAME.get(rest)
+        if mapped:
+            return [(p + mapped, arr)]
+        if ".block_sparse_moe.experts." in name:
+            sub = rest.split(".")
+            ei, wid = int(sub[2]), sub[3]
+            key = {"w1": p + "ffn_gate_exps.weight",
+                   "w2": p + "ffn_down_exps.weight",
+                   "w3": p + "ffn_up_exps.weight"}.get(wid)
+            if key is None:
+                return []
+            d = experts.setdefault(key, {})
+            d[ei] = arr
+            if n_expert and len(d) == n_expert:
+                return [(key, np.stack([d[i] for i in sorted(d)], axis=0))]
+            return []
+        return None
+
+    return m
+
+
+register("arctic", arch="arctic", set_kv=_arctic_kv,
+         make_mapper=_arctic_mapper)
+
+
+def _smallthinker_kv(w, cfg: dict, hp: dict) -> None:
+    # ≡ SmallThinkerModel (:10669)
+    arch = "smallthinker"
+    n_exp = cfg.get("num_experts", cfg.get("moe_num_primary_experts"))
+    if n_exp is not None:
+        w.set_kv(f"{arch}.expert_count", int(n_exp))
+    used = cfg.get("num_experts_per_tok",
+                   cfg.get("moe_num_active_primary_experts"))
+    if used is not None:
+        w.set_kv(f"{arch}.expert_used_count", int(used))
+    if cfg.get("moe_ffn_hidden_size") is not None:
+        w.set_kv(f"{arch}.expert_feed_forward_length",
+                 int(cfg["moe_ffn_hidden_size"]))
+        w.set_kv(f"{arch}.feed_forward_length",
+                 int(cfg["moe_ffn_hidden_size"]))
+    w.add_kv(f"{arch}.expert_gating_func",
+             1 if cfg.get("moe_primary_router_apply_softmax") else 2)
+    if any(cfg.get("sliding_window_layout") or []):
+        if cfg.get("sliding_window_size"):
+            w.add_kv(f"{arch}.attention.sliding_window",
+                     int(cfg["sliding_window_size"]))
+
+
+def _smallthinker_mapper(cfg: dict, hp: dict) -> Mapper:
+    n_expert = int(cfg.get("num_experts",
+                           cfg.get("moe_num_primary_experts", 0)) or 0)
+    experts: dict[str, dict[int, np.ndarray]] = {}
+
+    def m(name: str, arr: np.ndarray):
+        if not name.startswith("model.layers."):
+            return None
+        parts = name.split(".", 3)
+        bid, rest = parts[2], parts[3]
+        p = f"blk.{bid}."
+        if rest == "block_sparse_moe.primary_router.weight":
+            return [(p + "ffn_gate_inp.weight", arr)]
+        if ".block_sparse_moe.experts." in name:
+            sub = rest.split(".")
+            ei, wid = int(sub[2]), sub[3]
+            key = {"gate": p + "ffn_gate_exps.weight",
+                   "up": p + "ffn_up_exps.weight",
+                   "down": p + "ffn_down_exps.weight"}.get(wid)
+            if key is None:
+                return []
+            d = experts.setdefault(key, {})
+            d[ei] = arr
+            if n_expert and len(d) == n_expert:
+                return [(key, np.stack([d[i] for i in sorted(d)], axis=0))]
+            return []
+        return None
+
+    return m
+
+
+register("smallthinker", arch="smallthinker", set_kv=_smallthinker_kv,
+         make_mapper=_smallthinker_mapper)
+
+
+def _rnd1_kv(w, cfg: dict, hp: dict) -> None:
+    # ≡ RND1Model (:4347): qwen2moe tensor set, bidirectional denoiser
+    arch = "rnd1"
+    w.set_kv(f"{arch}.expert_count", int(cfg.get("num_experts", 0)))
+    w.set_kv(f"{arch}.expert_used_count",
+             int(cfg.get("num_experts_per_tok", 2)))
+    if cfg.get("moe_intermediate_size"):
+        w.add_kv(f"{arch}.expert_feed_forward_length",
+                 int(cfg["moe_intermediate_size"]))
+    w.add_kv(f"{arch}.attention.causal", False)
+    if cfg.get("mask_token_id") is not None:
+        w.add_kv("tokenizer.ggml.mask_token_id", int(cfg["mask_token_id"]))
+
+
+register("rnd1", arch="rnd1", set_kv=_rnd1_kv)
+
+
+def _deci_ffn_dim(mult: float, n_embd: int) -> int:
+    size = int(2 * mult * n_embd / 3)
+    return size if size % 256 == 0 else size + 256 - (size % 256)
+
+
+def _deci_kv(w, cfg: dict, hp: dict) -> None:
+    """DeciLM / Llama-3_1-Nemotron NAS (≡ DeciModel :2984): per-layer
+    attention/FFN shapes from block_configs."""
+    arch = "deci"
+    E = hp["n_embd"]
+    n_head = hp["n_head"]
+    if "block_configs" in cfg:
+        heads, kvs, ffs = [], [], []
+        for bc in cfg["block_configs"]:
+            g = bc["attention"].get("n_heads_in_group")
+            if g is None:
+                kvs.append(0)
+                heads.append(n_head if bc["attention"].get(
+                    "replace_with_linear") else 0)
+            else:
+                kvs.append(n_head // int(g))
+                heads.append(n_head)
+            mult = bc["ffn"].get("ffn_mult")
+            ffs.append(0 if mult is None else _deci_ffn_dim(float(mult), E))
+        w.set_kv(f"{arch}.attention.head_count",
+                 np.asarray(heads, dtype=np.int32))
+        w.set_kv(f"{arch}.attention.head_count_kv",
+                 np.asarray(kvs, dtype=np.int32))
+        w.set_kv(f"{arch}.feed_forward_length",
+                 np.asarray(ffs, dtype=np.int32))
+    elif "num_key_value_heads_per_layer" in cfg:  # DeciLM-7B
+        w.set_kv(f"{arch}.attention.head_count_kv",
+                 np.asarray(cfg["num_key_value_heads_per_layer"],
+                            dtype=np.int32))
+    w.set_kv(f"{arch}.rope.dimension_count",
+             int(cfg.get("head_dim") or E // n_head))
+
+
+def _deci_mapper(cfg: dict, hp: dict) -> Mapper:
+    from .convert_hf import _permute_qk
+
+    n_head = hp["n_head"]
+    kvs = []
+    for bc in cfg.get("block_configs") or []:
+        g = bc["attention"].get("n_heads_in_group")
+        kvs.append(0 if g is None else n_head // int(g))
+
+    def m(name: str, arr: np.ndarray):
+        if not name.startswith("model.layers."):
+            return None
+        parts = name.split(".", 3)
+        bid, rest = int(parts[2]), parts[3]
+        p = f"blk.{bid}."
+        if rest == "self_attn.linear_attn.weight":  # linear-attention layer
+            return [(p + "attn_output.weight", arr)]
+        if rest.endswith("q_proj.weight"):
+            return [(p + "attn_q.weight", _permute_qk(arr, n_head))]
+        if rest.endswith("k_proj.weight"):
+            n_kv = kvs[bid] if bid < len(kvs) else hp["n_kv"]
+            return [(p + "attn_k.weight", _permute_qk(arr, max(n_kv, 1)))]
+        return None
+
+    return m
+
+
+register("nemotron-nas", arch="deci", set_kv=_deci_kv,
+         make_mapper=_deci_mapper)
+register("deci", arch="deci", set_kv=_deci_kv, make_mapper=_deci_mapper)
+
+
+# ---------------------------------------------------------------------------
+# Encoder tail: Nomic-BERT (+MoE), NeoBERT, Jina-BERT-v2, EmbeddingGemma,
+# T5-encoder, CogVLM text stack
+# ---------------------------------------------------------------------------
+
+
+def _nomic_arch(cfg: dict) -> str:
+    return ("nomic-bert-moe" if cfg.get("moe_every_n_layers")
+            else "nomic-bert")
+
+
+def _nomic_kv(w, cfg: dict, hp: dict) -> None:
+    arch = _nomic_arch(cfg)
+    # nomic configs use gpt2-style keys (n_embd/n_head/n_layer handled by
+    # the generic header); trained positions cap the usable context
+    # (≡ NomicBertModel.__init__ :5736)
+    npos = int(cfg.get("n_positions", 2048))
+    mtp = int(cfg.get("max_trained_positions", 2048))
+    w.set_kv(f"{arch}.context_length",
+             2048 if (npos == 8192 and mtp == 2048) else 512)
+    w.add_kv(f"{arch}.attention.causal", False)
+    w.add_kv(f"{arch}.pooling_type", 1)  # mean
+    if cfg.get("rotary_emb_base"):
+        w.set_kv(f"{arch}.rope.freq_base", float(cfg["rotary_emb_base"]))
+    if cfg.get("moe_every_n_layers"):
+        w.add_kv(f"{arch}.moe_every_n_layers",
+                 int(cfg["moe_every_n_layers"]))
+        w.set_kv(f"{arch}.expert_count", int(cfg["num_experts"]))
+        w.set_kv(f"{arch}.expert_used_count", int(cfg.get("moe_top_k", 2)))
+
+
+def _nomic_mapper(cfg: dict, hp: dict) -> Mapper:
+    E = hp["n_embd"]
+    n_expert = int(cfg.get("num_experts", 0) or 0)
+    n_inner = int(cfg.get("n_inner", 4 * E))
+    LAYER = {
+        "attn.Wqkv.weight": "attn_qkv.weight",
+        "attn.Wqkv.bias": "attn_qkv.bias",
+        "attn.out_proj.weight": "attn_output.weight",
+        "attn.out_proj.bias": "attn_output.bias",
+        "norm1.weight": "attn_output_norm.weight",
+        "norm1.bias": "attn_output_norm.bias",
+        "norm2.weight": "layer_output_norm.weight",
+        "norm2.bias": "layer_output_norm.bias",
+        "mlp.fc11.weight": "ffn_up.weight",  # swiglu (v1)
+        "mlp.fc12.weight": "ffn_gate.weight",
+        "mlp.fc1.weight": "ffn_up.weight",  # gelu (moe dense layers)
+        "mlp.fc1.bias": "ffn_up.bias",
+        "mlp.fc2.weight": "ffn_down.weight",
+        "mlp.fc2.bias": "ffn_down.bias",
+        "mlp.router.layer.weight": "ffn_gate_inp.weight",
+    }
+
+    def m(name: str, arr: np.ndarray):
+        top = {
+            "embeddings.word_embeddings.weight": "token_embd.weight",
+            "embeddings.token_type_embeddings.weight": "token_types.weight",
+            "emb_ln.weight": "token_embd_norm.weight",
+            "emb_ln.bias": "token_embd_norm.bias",
+        }
+        if name in top:
+            return [(top[name], arr)]
+        if not name.startswith("encoder.layers."):
+            return []
+        parts = name.split(".", 3)
+        bid, rest = parts[2], parts[3]
+        p = f"blk.{bid}."
+        if rest == "mlp.experts.bias":
+            return []
+        if rest == "mlp.experts.mlp.w1":  # (E_out·ff, E) flat → stacked
+            return [(p + "ffn_up_exps.weight",
+                     arr.reshape(n_expert, n_inner, E))]
+        if rest == "mlp.experts.mlp.w2":
+            a = arr.reshape(n_expert, n_inner, E).transpose(0, 2, 1)
+            return [(p + "ffn_down_exps.weight", np.ascontiguousarray(a))]
+        mapped = LAYER.get(rest)
+        return [(p + mapped, arr)] if mapped else []
+
+    return m
+
+
+register("nomic_bert", arch="nomic-bert", ln=True, set_kv=_nomic_kv,
+         make_mapper=_nomic_mapper, pick_arch=_nomic_arch)
+
+
+def _neobert_kv(w, cfg: dict, hp: dict) -> None:
+    arch = "neo-bert"
+    # ≡ NeoBert (:5817): ffn is 2/3 of intermediate_size, CLS pooling
+    w.set_kv(f"{arch}.feed_forward_length",
+             int(2 * int(cfg["intermediate_size"]) / 3))
+    w.set_kv(f"{arch}.attention.layer_norm_rms_epsilon",
+             float(cfg.get("norm_eps", 1e-6)))
+    w.add_kv(f"{arch}.rope.freq_base", 10000.0)
+    w.add_kv(f"{arch}.attention.causal", False)
+    w.add_kv(f"{arch}.pooling_type", 2)  # cls
+
+
+def _neobert_mapper(cfg: dict, hp: dict) -> Mapper:
+    LAYER = {
+        "attention_norm.weight": "attn_norm.weight",
+        "qkv.weight": "attn_qkv.weight",
+        "wo.weight": "attn_output.weight",
+        "ffn_norm.weight": "ffn_norm.weight",
+        "ffn.w12.weight": "ffn_up.weight",  # fused [gate|up]
+        "ffn.w3.weight": "ffn_down.weight",
+    }
+
+    def m(name: str, arr: np.ndarray):
+        name = name.removeprefix("model.")
+        if name.startswith("decoder."):
+            return []
+        if name == "encoder.weight":
+            return [("token_embd.weight", arr)]
+        if name == "layer_norm.weight":
+            return [("enc.output_norm.weight", arr)]
+        if name.startswith("transformer_encoder."):
+            parts = name.split(".", 2)
+            mapped = LAYER.get(parts[2])
+            return [(f"blk.{parts[1]}.{mapped}", arr)] if mapped else []
+        return []
+
+    return m
+
+
+register("neobert", arch="neo-bert", set_kv=_neobert_kv,
+         make_mapper=_neobert_mapper)
+
+
+def _jina_bert_v2_kv(w, cfg: dict, hp: dict) -> None:
+    arch = "jina-bert-v2"
+    w.add_kv(f"{arch}.attention.causal", False)
+    w.add_kv(f"{arch}.pooling_type", 1)  # mean
+    w.add_kv(f"{arch}.attention.max_alibi_bias", 8.0)
+
+
+def _jina_bert_v2_mapper(cfg: dict, hp: dict) -> Mapper:
+    LAYER = {
+        "attention.self.query.weight": "attn_q.weight",
+        "attention.self.query.bias": "attn_q.bias",
+        "attention.self.key.weight": "attn_k.weight",
+        "attention.self.key.bias": "attn_k.bias",
+        "attention.self.value.weight": "attn_v.weight",
+        "attention.self.value.bias": "attn_v.bias",
+        "attention.self.layer_norm_q.weight": "attn_q_norm.weight",
+        "attention.self.layer_norm_q.bias": "attn_q_norm.bias",
+        "attention.self.layer_norm_k.weight": "attn_k_norm.weight",
+        "attention.self.layer_norm_k.bias": "attn_k_norm.bias",
+        "attention.output.dense.weight": "attn_output.weight",
+        "attention.output.dense.bias": "attn_output.bias",
+        "attention.output.LayerNorm.weight": "attn_output_norm.weight",
+        "attention.output.LayerNorm.bias": "attn_output_norm.bias",
+        "mlp.gated_layers.weight": "ffn_up.weight",  # fused GEGLU
+        "mlp.gated_layers_w.weight": "ffn_gate.weight",
+        "mlp.gated_layers_v.weight": "ffn_up.weight",
+        "mlp.up_gated_layer.weight": "ffn_up.weight",
+        "mlp.wo.weight": "ffn_down.weight",
+        "mlp.wo.bias": "ffn_down.bias",
+        "mlp.down_layer.weight": "ffn_down.weight",
+        "mlp.layernorm.weight": "layer_output_norm.weight",
+        "mlp.layernorm.bias": "layer_output_norm.bias",
+    }
+
+    def m(name: str, arr: np.ndarray):
+        if name.startswith("bert."):
+            name = name[len("bert."):]
+        top = {
+            "embeddings.word_embeddings.weight": "token_embd.weight",
+            "embeddings.token_type_embeddings.weight": "token_types.weight",
+            "embeddings.LayerNorm.weight": "token_embd_norm.weight",
+            "embeddings.LayerNorm.bias": "token_embd_norm.bias",
+        }
+        if name in top:
+            return [(top[name], arr)]
+        if name.startswith("encoder.layer."):
+            parts = name.split(".", 3)
+            mapped = LAYER.get(parts[3])
+            return [(f"blk.{parts[2]}.{mapped}", arr)] if mapped else []
+        return []
+
+    return m
+
+
+register("jina_bert_v2", arch="jina-bert-v2", ln=True,
+         set_kv=_jina_bert_v2_kv, make_mapper=_jina_bert_v2_mapper)
+
+
+def _gemma_embedding_kv(w, cfg: dict, hp: dict) -> None:
+    # EmbeddingGemma (≡ reference :6088 Gemma3TextModel registration):
+    # gemma3 tensor set, bidirectional mean pooling
+    arch = "gemma-embedding"
+    if cfg.get("query_pre_attn_scalar"):
+        w.add_kv(f"{arch}.attention.scale",
+                 float(cfg["query_pre_attn_scalar"]) ** -0.5)
+    if cfg.get("rope_local_base_freq"):
+        w.add_kv(f"{arch}.rope.freq_base_swa",
+                 float(cfg["rope_local_base_freq"]))
+    swp = cfg.get("sliding_window_pattern")
+    if swp and f"{arch}.attention.sliding_window_pattern" not in [
+            k for k, _, _ in w._kv]:
+        w.add_kv(f"{arch}.attention.sliding_window_pattern", int(swp))
+    w.add_kv(f"{arch}.attention.causal", False)
+    w.add_kv(f"{arch}.pooling_type", 1)  # mean
+
+
+def _gemma_embedding_mapper(cfg: dict, hp: dict) -> Mapper:
+    LAYER = {
+        "input_layernorm.weight": "attn_norm.weight",
+        "post_attention_layernorm.weight": "post_attention_norm.weight",
+        "pre_feedforward_layernorm.weight": "ffn_norm.weight",
+        "post_feedforward_layernorm.weight": "post_ffw_norm.weight",
+        "self_attn.q_proj.weight": "attn_q.weight",
+        "self_attn.k_proj.weight": "attn_k.weight",
+        "self_attn.v_proj.weight": "attn_v.weight",
+        "self_attn.o_proj.weight": "attn_output.weight",
+        "self_attn.q_norm.weight": "attn_q_norm.weight",
+        "self_attn.k_norm.weight": "attn_k_norm.weight",
+        "mlp.gate_proj.weight": "ffn_gate.weight",
+        "mlp.up_proj.weight": "ffn_up.weight",
+        "mlp.down_proj.weight": "ffn_down.weight",
+    }
+
+    def m(name: str, arr: np.ndarray):
+        name = name.removeprefix("model.")
+        if name == "embed_tokens.weight":
+            return [("token_embd.weight", arr)]
+        if name == "norm.weight":
+            return [("output_norm.weight", arr + 1.0)]
+        if name.startswith("layers."):
+            parts = name.split(".", 2)
+            mapped = LAYER.get(parts[2])
+            if mapped is None:
+                return []
+            if mapped.endswith("norm.weight"):
+                arr = arr + 1.0  # gemma stores w-1
+            return [(f"blk.{parts[1]}.{mapped}", arr)]
+        return []
+
+    return m
+
+
+register("gemma_embedding", arch="gemma-embedding",
+         set_kv=_gemma_embedding_kv, make_mapper=_gemma_embedding_mapper)
+
+
+def _t5encoder_mapper(cfg: dict, hp: dict) -> Mapper:
+    from .convert_hf import _map_t5_name
+
+    def m(name: str, arr: np.ndarray):
+        if name == "shared.weight":
+            return [("token_embd.weight", arr)]
+        gname = _map_t5_name(name)
+        return [(gname, arr)] if gname and not gname.startswith("dec") \
+            else []
+
+    return m
+
+
+def _t5encoder_kv(w, cfg: dict, hp: dict) -> None:
+    w.add_kv("t5encoder.attention.relative_buckets_count",
+             int(cfg.get("relative_attention_num_buckets", 32)))
+    w.set_kv("t5encoder.feed_forward_length",
+             int(cfg.get("d_ff", 4 * hp["n_embd"])))
+    if cfg.get("n_positions"):
+        w.set_kv("t5encoder.context_length", int(cfg["n_positions"]))
+
+
+register("t5encoder", arch="t5encoder", set_kv=_t5encoder_kv,
+         make_mapper=_t5encoder_mapper)
+
+
+def _cogvlm_mapper(cfg: dict, hp: dict) -> Mapper:
+    """CogVLM text stack (≡ CogVLMModel :11079): dual language/vision
+    expert projections; the vision tower exports via --mmproj."""
+    LAYER = {
+        "input_layernorm.weight": "attn_norm.weight",
+        "post_attention_layernorm.weight": "ffn_norm.weight",
+        "self_attn.language_expert_query_key_value.weight":
+            "attn_qkv.weight",
+        "self_attn.language_expert_dense.weight": "attn_output.weight",
+        "self_attn.vision_expert_query_key_value.weight":
+            "vis_attn_qkv.weight",
+        "self_attn.vision_expert_dense.weight": "vis_attn_output.weight",
+        "mlp.language_mlp.gate_proj.weight": "ffn_gate.weight",
+        "mlp.language_mlp.up_proj.weight": "ffn_up.weight",
+        "mlp.language_mlp.down_proj.weight": "ffn_down.weight",
+        "mlp.vision_mlp.gate_proj.weight": "vis_gate.weight",
+        "mlp.vision_mlp.up_proj.weight": "vis_up.weight",
+        "mlp.vision_mlp.down_proj.weight": "vis_down.weight",
+    }
+
+    def m(name: str, arr: np.ndarray):
+        if name.startswith("model.vision."):
+            return []
+        name = name.removeprefix("model.")
+        if name == "embed_tokens.weight":
+            return [("token_embd.weight", arr)]
+        if name == "norm.weight":
+            return [("output_norm.weight", arr)]
+        if name == "lm_head.weight":
+            return [("output.weight", arr)]
+        if name.startswith("layers."):
+            parts = name.split(".", 2)
+            mapped = LAYER.get(parts[2])
+            return [(f"blk.{parts[1]}.{mapped}", arr)] if mapped else []
+        return []
+
+    return m
+
+
+register("cogvlm", arch="cogvlm", make_mapper=_cogvlm_mapper)

@@ -878,7 +878,14 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
     # class-name disambiguation where one model_type covers two archs
     _BY_CLASS = {"MiniMaxM2ForCausalLM": "minimax_m2",
                  "MiMoV2FlashForCausalLM": "mimo2",
-                 "Step3p5ForCausalLM": "step35"}
+                 "Step3p5ForCausalLM": "step35",
+                 # encoder-only exports of decoder configs
+                 "Gemma3TextModel": "gemma_embedding",
+                 "T5EncoderModel": "t5encoder",
+                 "JinaBertModel": "jina_bert_v2",
+                 "JinaBertForMaskedLM": "jina_bert_v2",
+                 "NomicBertModel": "nomic_bert",
+                 "NeoBERT": "neobert", "NeoBERTLMHead": "neobert"}
     for cls in cfg.get("architectures") or []:
         if cls in _BY_CLASS:
             model_type = _BY_CLASS[cls]
