@@ -3525,6 +3525,34 @@ def make_tiny_mimo2_gguf(
     kv = [2, 1, 2]
     moe = [False, True, True]
     n_layer = len(heads)
+    return _write_mimo2(path, arch, rng, tokens, scores, types, n_vocab,
+                        step35, heads, kv, moe, n_layer, n_embd, head_dim,
+                        n_ff, n_expert, n_expert_used, n_ff_exp, n_ctx,
+                        sliding_window, swa_layers=None)
+
+
+def make_tiny_mimo2_nas_gguf(path, *, arch="mimo2", heads, kv, swa_layers,
+                             moe=None, n_embd=64, head_dim=16, n_ff=64,
+                             n_expert=4, n_expert_used=2, n_ff_exp=32,
+                             n_ctx=256, sliding_window=8, seed=0) -> str:
+    """mimo2/step35 fixture with explicit per-layer head/kv/SWA layouts
+    (converter round-trip tests need reference-expressible shapes)."""
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = _byte_vocab(DEFAULT_WORDS)
+    n_vocab = len(tokens)
+    step35 = arch == "step35"
+    moe = moe if moe is not None else [False, True, True]
+    n_layer = len(heads)
+    return _write_mimo2(path, arch, rng, tokens, scores, types, n_vocab,
+                        step35, list(heads), list(kv), moe, n_layer, n_embd,
+                        head_dim, n_ff, n_expert, n_expert_used, n_ff_exp,
+                        n_ctx, sliding_window, swa_layers=list(swa_layers))
+
+
+def _write_mimo2(path, arch, rng, tokens, scores, types, n_vocab, step35,
+                 heads, kv, moe, n_layer, n_embd, head_dim, n_ff, n_expert,
+                 n_expert_used, n_ff_exp, n_ctx, sliding_window,
+                 swa_layers):
 
     w = GGUFWriter(path, architecture=arch)
     w.add_kv("general.name", f"tpullm-tiny-{arch}")
@@ -3538,7 +3566,11 @@ def make_tiny_mimo2_gguf(
     w.add_kv(f"{arch}.attention.value_length", head_dim)
     w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon", 1e-6)
     w.add_kv(f"{arch}.attention.sliding_window", sliding_window)
-    w.add_kv(f"{arch}.attention.sliding_window_pattern", 3)
+    if swa_layers is None:
+        w.add_kv(f"{arch}.attention.sliding_window_pattern", 3)
+    else:
+        w.add_kv(f"{arch}.attention.sliding_window_pattern",
+                 np.asarray(swa_layers, dtype=bool))
     w.add_kv(f"{arch}.rope.freq_base", 1000000.0)
     w.add_kv(f"{arch}.rope.freq_base_swa", 10000.0)
     w.add_kv(f"{arch}.rope.dimension_count", head_dim)

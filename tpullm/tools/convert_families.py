@@ -2179,3 +2179,377 @@ def _cogvlm_mapper(cfg: dict, hp: dict) -> Mapper:
 
 
 register("cogvlm", arch="cogvlm", make_mapper=_cogvlm_mapper)
+
+
+# ---------------------------------------------------------------------------
+# final tail: llama-embed, BailingMoeV2, Grok, EXAONE-MoE, MiMo-V2, Step-3.5
+# ---------------------------------------------------------------------------
+
+# LlamaModel encoder-only exports (≡ reference LLAMA_EMBED registration):
+# plain llama tensors, bidirectional mean-pooled embedding use
+register("llama_embed", arch="llama-embed", permute_qk=True)
+
+
+def _bailingmoe2_kv(w, cfg: dict, hp: dict) -> None:
+    """Ling-2.0 / BailingMoeV2 (≡ BailingMoeV2Model :9577)."""
+    arch = "bailingmoe2"
+    w.set_kv(f"{arch}.rope.dimension_count",
+             int(hp["head_dim"] * float(cfg.get("partial_rotary_factor",
+                                                0.5))))
+    w.add_kv(f"{arch}.leading_dense_block_count",
+             int(cfg.get("first_k_dense_replace", 0)))
+    w.set_kv(f"{arch}.expert_count", int(cfg["num_experts"]))
+    w.set_kv(f"{arch}.expert_used_count",
+             int(cfg.get("num_experts_per_tok", 2)))
+    w.add_kv(f"{arch}.expert_feed_forward_length",
+             int(cfg["moe_intermediate_size"]))
+    w.add_kv(f"{arch}.expert_shared_feed_forward_length",
+             int(cfg.get("moe_shared_expert_intermediate_size")
+                 or cfg["moe_intermediate_size"]
+                 * int(cfg.get("num_shared_experts", 1))))
+    w.add_kv(f"{arch}.expert_shared_count",
+             int(cfg.get("num_shared_experts", 0) or 0))
+    if cfg.get("routed_scaling_factor") is not None:
+        w.add_kv(f"{arch}.expert_weights_scale",
+                 float(cfg["routed_scaling_factor"]))
+    w.set_kv(f"{arch}.expert_weights_norm",
+             bool(cfg.get("norm_topk_prob", False)))
+    if cfg.get("score_function", "sigmoid") == "sigmoid":
+        w.add_kv(f"{arch}.expert_gating_func", 2)
+
+
+def _bailingmoe2_mapper(cfg: dict, hp: dict) -> Mapper:
+    n_head, n_kv = hp["n_head"], hp["n_kv"]
+    hd = int(cfg.get("head_dim") or hp["n_embd"] // n_head)
+    RENAME = {
+        "attention.dense.weight": "attn_output.weight",
+        "attention.query_layernorm.weight": "attn_q_norm.weight",
+        "attention.key_layernorm.weight": "attn_k_norm.weight",
+        "mlp.gate.expert_bias": "exp_probs_b.bias",
+    }
+
+    def m(name: str, arr: np.ndarray):
+        if name.startswith("model.mtp") or ".mtp." in name:
+            return []
+        if name == "model.word_embeddings.weight":
+            return [("token_embd.weight", arr)]
+        if not name.startswith("model.layers."):
+            return None
+        parts = name.split(".", 3)
+        bid, rest = parts[2], parts[3]
+        p = f"blk.{bid}."
+        if rest == "attention.query_key_value.weight":
+            q = arr[: n_head * hd]
+            k = arr[n_head * hd: (n_head + n_kv) * hd]
+            v = arr[(n_head + n_kv) * hd:]
+            return [(p + "attn_q.weight", q), (p + "attn_k.weight", k),
+                    (p + "attn_v.weight", v)]  # NEOX rope: no permute
+        mapped = RENAME.get(rest)
+        if mapped:
+            return [(p + mapped, arr)]
+        return None  # generic qwen-moe mapping + expert stacking
+
+    return m
+
+
+register("bailing_moe_v2", arch="bailingmoe2", set_kv=_bailingmoe2_kv,
+         make_mapper=_bailingmoe2_mapper)
+register("bailing_moe2", arch="bailingmoe2", set_kv=_bailingmoe2_kv,
+         make_mapper=_bailingmoe2_mapper)
+
+
+def _grok_kv(w, cfg: dict, hp: dict) -> None:
+    """Grok-1/2 (≡ GrokModel :3197)."""
+    arch = "grok"
+    w.add_kv(f"{arch}.attn_logit_softcapping",
+             float(cfg.get("attn_logit_softcapping", 30.0) or 30.0))
+    if cfg.get("final_logit_softcapping"):
+        w.add_kv(f"{arch}.final_logit_softcapping",
+                 float(cfg["final_logit_softcapping"]))
+    if cfg.get("moe_intermediate_size") is not None:
+        w.add_kv(f"{arch}.expert_feed_forward_length",
+                 int(cfg["moe_intermediate_size"]))
+    w.set_kv(f"{arch}.expert_count", int(cfg.get("num_local_experts",
+                                                 cfg.get("num_experts", 0))))
+    w.set_kv(f"{arch}.expert_used_count",
+             int(cfg.get("num_experts_per_tok", 2)))
+    if cfg.get("embedding_multiplier_scale") is not None:
+        w.add_kv(f"{arch}.embedding_scale",
+                 float(cfg["embedding_multiplier_scale"]))
+    if cfg.get("output_multiplier_scale") is not None:
+        w.set_kv(f"{arch}.logit_scale",
+                 float(cfg["output_multiplier_scale"]))
+    if cfg.get("attn_output_multiplier") is not None:
+        w.add_kv(f"{arch}.attention.output_scale",
+                 float(cfg["attn_output_multiplier"]))
+
+
+def _grok_mapper(cfg: dict, hp: dict) -> Mapper:
+    """Grok-1 transformer.decoder_layer.* naming with merged moe.linear*
+    tensors, plus the grok-2 model.layers.* norm names."""
+    L1 = {
+        "rms_norm.weight": "attn_norm.weight",
+        "rms_norm_1.weight": "attn_output_norm.weight",
+        "rms_norm_2.weight": "ffn_norm.weight",
+        "rms_norm_3.weight": "layer_output_norm.weight",
+        "multi_head_attention.query.weight": "attn_q.weight",
+        "multi_head_attention.key.weight": "attn_k.weight",
+        "multi_head_attention.value.weight": "attn_v.weight",
+        "multi_head_attention.linear.weight": "attn_output.weight",
+        "router.weight": "ffn_gate_inp.weight",
+        "moe.linear.weight": "ffn_gate_exps.weight",   # merged (E, ff, d)
+        "moe.linear_1.weight": "ffn_down_exps.weight",
+        "moe.linear_v.weight": "ffn_up_exps.weight",
+    }
+    L2 = {
+        "pre_attn_norm.weight": "attn_norm.weight",
+        "post_attn_norm.weight": "attn_output_norm.weight",
+        "pre_moe_norm.weight": "ffn_norm.weight",
+        "post_moe_norm.weight": "layer_output_norm.weight",
+        "self_attn.q_proj.weight": "attn_q.weight",
+        "self_attn.k_proj.weight": "attn_k.weight",
+        "self_attn.v_proj.weight": "attn_v.weight",
+        "self_attn.o_proj.weight": "attn_output.weight",
+        "router.weight": "ffn_gate_inp.weight",
+        "mlp.gate_proj.weight": "ffn_gate.weight",
+        "mlp.up_proj.weight": "ffn_up.weight",
+        "mlp.down_proj.weight": "ffn_down.weight",
+    }
+    n_expert = int(cfg.get("num_local_experts",
+                           cfg.get("num_experts", 0)) or 0)
+    experts: dict[str, dict[int, np.ndarray]] = {}
+
+    def m(name: str, arr: np.ndarray):
+        if name == "transformer.in_out_embed.weight":
+            return [("token_embd.weight", arr)]
+        if name == "transformer.rms_norm.weight":
+            return [("output_norm.weight", arr)]
+        if name in ("lm_head.weight", "model.embed_tokens.weight",
+                    "model.norm.weight"):
+            gg = {"lm_head.weight": "output.weight",
+                  "model.embed_tokens.weight": "token_embd.weight",
+                  "model.norm.weight": "output_norm.weight"}[name]
+            return [(gg, arr)]
+        for pfx, table in (("transformer.decoder_layer.", L1),
+                           ("model.layers.", L2)):
+            if not name.startswith(pfx):
+                continue
+            parts = name[len(pfx):].split(".", 1)
+            bid, rest = parts[0], parts[1]
+            p = f"blk.{bid}."
+            if ".block_sparse_moe.experts." in name or \
+                    ".moe.experts." in name:
+                sub = rest.split(".")
+                ei, wid = int(sub[2]), sub[3]
+                key = {"w1": p + "ffn_gate_exps.weight",
+                       "w2": p + "ffn_down_exps.weight",
+                       "w3": p + "ffn_up_exps.weight",
+                       "gate_proj": p + "ffn_gate_exps.weight",
+                       "down_proj": p + "ffn_down_exps.weight",
+                       "up_proj": p + "ffn_up_exps.weight"}.get(wid)
+                if key is None:
+                    return []
+                d = experts.setdefault(key, {})
+                d[ei] = arr
+                if n_expert and len(d) == n_expert:
+                    return [(key,
+                             np.stack([d[i] for i in sorted(d)], axis=0))]
+                return []
+            mapped = table.get(rest)
+            return [(p + mapped, arr)] if mapped else []
+        return []
+
+    return m
+
+
+register("grok-1", arch="grok", set_kv=_grok_kv, make_mapper=_grok_mapper)
+register("grok", arch="grok", set_kv=_grok_kv, make_mapper=_grok_mapper)
+
+
+def _exaone_moe_kv(w, cfg: dict, hp: dict) -> None:
+    """EXAONE-MoE (≡ ExaoneMoeModel :9004)."""
+    arch = "exaone-moe"
+    w.set_kv(f"{arch}.expert_count", int(cfg["num_experts"]))
+    w.set_kv(f"{arch}.expert_used_count",
+             int(cfg.get("num_experts_per_tok", 2)))
+    moe_ff = int(cfg["moe_intermediate_size"])
+    n_sh = int(cfg.get("num_shared_experts", 0) or 0)
+    w.add_kv(f"{arch}.expert_feed_forward_length", moe_ff)
+    w.add_kv(f"{arch}.expert_shared_count", n_sh)
+    w.add_kv(f"{arch}.expert_shared_feed_forward_length", moe_ff * n_sh)
+    if cfg.get("routed_scaling_factor") is not None:
+        w.add_kv(f"{arch}.expert_weights_scale",
+                 float(cfg["routed_scaling_factor"]))
+    if cfg.get("norm_topk_prob") is not None:
+        w.set_kv(f"{arch}.expert_weights_norm", bool(cfg["norm_topk_prob"]))
+    w.add_kv(f"{arch}.leading_dense_block_count",
+             int(cfg.get("first_k_dense_replace",
+                         cfg.get("first_last_k_dense_replace",
+                                 cfg.get("num_dense_layers", 0)))))
+
+
+def _exaone_moe_mapper(cfg: dict, hp: dict) -> Mapper:
+    def m(name: str, arr: np.ndarray):
+        if name.startswith("mtp."):
+            return []  # next-token-prediction head (not served)
+        if name.endswith("mlp.e_score_correction_bias") or \
+                name.endswith("mlp.gate.e_score_correction_bias"):
+            bid = name.split(".")[2]
+            return [(f"blk.{bid}.exp_probs_b.bias", arr.reshape(-1))]
+        return None  # generic llama/qwen-moe mapping
+
+    return m
+
+
+register("exaone_moe", arch="exaone-moe", set_kv=_exaone_moe_kv,
+         make_mapper=_exaone_moe_mapper)
+
+
+def _mimo2_kv(w, cfg: dict, hp: dict) -> None:
+    """MiMo-V2-Flash (≡ MimoV2Model :7835): hybrid SWA with sinks +
+    noaux_tc sigmoid MoE."""
+    arch = "mimo2"
+    pattern = cfg["hybrid_layer_pattern"]
+    n_kv = int(cfg["num_key_value_heads"])
+    n_kv_swa = int(cfg.get("swa_num_key_value_heads", n_kv))
+    kv_arr = [n_kv_swa if int(s) == 1 else n_kv for s in pattern]
+    w.set_kv(f"{arch}.attention.head_count_kv",
+             np.asarray(kv_arr, dtype=np.int32))
+    w.add_kv(f"{arch}.attention.sliding_window",
+             int(cfg["sliding_window"]))
+    w.add_kv(f"{arch}.attention.sliding_window_pattern",
+             np.asarray([int(s) == 1 for s in pattern], dtype=bool))
+    w.set_kv(f"{arch}.attention.value_length", int(cfg["v_head_dim"]))
+    w.set_kv(f"{arch}.expert_count", int(cfg["n_routed_experts"]))
+    w.set_kv(f"{arch}.expert_used_count",
+             int(cfg.get("num_experts_per_tok", 2)))
+    w.add_kv(f"{arch}.expert_feed_forward_length",
+             int(cfg["moe_intermediate_size"]))
+    w.set_kv(f"{arch}.rope.dimension_count",
+             int(int(cfg["head_dim"])
+                 * float(cfg.get("partial_rotary_factor", 1.0))))
+    w.set_kv(f"{arch}.attention.layer_norm_rms_epsilon",
+             float(cfg.get("layernorm_epsilon", 1e-5)))
+    if cfg.get("rope_theta_swa"):
+        w.add_kv(f"{arch}.rope.freq_base_swa", float(cfg["rope_theta_swa"]))
+    w.add_kv(f"{arch}.expert_gating_func", 2)  # noaux_tc sigmoid
+
+
+def _mimo2_mapper(cfg: dict, hp: dict) -> Mapper:
+    def m(name: str, arr: np.ndarray):
+        if "model.mtp." in name:
+            return []
+        if name.endswith("self_attn.attention_sink") or \
+                name.endswith("self_attn.attention_sink_bias"):
+            bid = name.split(".")[2]
+            return [(f"blk.{bid}.attn_sinks.weight", arr.reshape(-1))]
+        if name.endswith("mlp.gate.e_score_correction_bias"):
+            bid = name.split(".")[2]
+            return [(f"blk.{bid}.exp_probs_b.bias", arr.reshape(-1))]
+        return None  # generic llama/qwen-moe mapping + expert stacking
+
+    return m
+
+
+register("mimo2", arch="mimo2", set_kv=_mimo2_kv, make_mapper=_mimo2_mapper)
+register("mimo_v2_flash", arch="mimo2", set_kv=_mimo2_kv,
+         make_mapper=_mimo2_mapper)
+
+
+def _step35_kv(w, cfg: dict, hp: dict) -> None:
+    """Step-3.5 (≡ Step35Model :7915): NAS'd SWA head counts, head-wise
+    attention gate, merged MoE tensors with a router bias."""
+    arch = "step35"
+    layer_types = (cfg.get("layer_types") or [])[: hp["n_layer"]]
+    other = cfg.get("attention_other_setting") or {}
+    n_head = hp["n_head"]
+    n_kv = int(cfg.get("num_attention_groups",
+                       cfg.get("num_key_value_heads", n_head)))
+    n_head_swa = int(other.get("num_attention_heads", n_head))
+    n_kv_swa = int(other.get("num_attention_groups", n_kv))
+    head_arr = [n_head_swa if t == "sliding_attention" else n_head
+                for t in layer_types]
+    kv_arr = [n_kv_swa if t == "sliding_attention" else n_kv
+              for t in layer_types]
+    if head_arr:
+        w.set_kv(f"{arch}.attention.head_count",
+                 np.asarray(head_arr, dtype=np.int32))
+        w.set_kv(f"{arch}.attention.head_count_kv",
+                 np.asarray(kv_arr, dtype=np.int32))
+        w.add_kv(f"{arch}.attention.sliding_window_pattern",
+                 np.asarray([t == "sliding_attention" for t in layer_types],
+                            dtype=bool))
+    if cfg.get("sliding_window"):
+        w.add_kv(f"{arch}.attention.sliding_window",
+                 int(cfg["sliding_window"]))
+    hd = int(cfg.get("head_dim", hp["head_dim"]))
+    w.set_kv(f"{arch}.attention.key_length", hd)
+    w.set_kv(f"{arch}.attention.value_length", hd)
+    w.set_kv(f"{arch}.expert_count", int(cfg["moe_num_experts"]))
+    w.set_kv(f"{arch}.expert_used_count", int(cfg.get("moe_top_k", 2)))
+    w.add_kv(f"{arch}.expert_feed_forward_length",
+             int(cfg["moe_intermediate_size"]))
+    if cfg.get("share_expert_dim"):
+        w.add_kv(f"{arch}.expert_shared_feed_forward_length",
+                 int(cfg["share_expert_dim"]))
+    if cfg.get("moe_router_scaling_factor") is not None:
+        w.add_kv(f"{arch}.expert_weights_scale",
+                 float(cfg["moe_router_scaling_factor"]))
+    if cfg.get("norm_expert_weight") is not None:
+        w.set_kv(f"{arch}.expert_weights_norm",
+                 bool(cfg["norm_expert_weight"]))
+    w.add_kv(f"{arch}.expert_gating_func", 2)
+    rt = cfg.get("rope_theta")
+    if isinstance(rt, list):
+        w.set_kv(f"{arch}.rope.freq_base", float(rt[0]))
+        w.add_kv(f"{arch}.rope.freq_base_swa", float(rt[1]))
+
+
+def _step35_mapper(cfg: dict, hp: dict) -> Mapper:
+    n_main = int(cfg.get("num_hidden_layers", hp["n_layer"]))
+    RENAME = {
+        "self_attn.g_proj.weight": "attn_gate.weight",
+        "moe.gate.weight": "ffn_gate_inp.weight",
+        "moe.router_bias": "exp_probs_b.bias",
+        "moe.gate_proj.weight": "ffn_gate_exps.weight",  # merged (E,ff,d)
+        "moe.up_proj.weight": "ffn_up_exps.weight",
+        "moe.down_proj.weight": "ffn_down_exps.weight",
+        "share_expert.gate_proj.weight": "ffn_gate_shexp.weight",
+        "share_expert.up_proj.weight": "ffn_up_shexp.weight",
+        "share_expert.down_proj.weight": "ffn_down_shexp.weight",
+    }
+
+    SQUEEZED = {"self_attn.g_proj.weight", "moe.gate.weight",
+                "moe.up_proj.weight", "moe.gate_proj.weight",
+                "moe.down_proj.weight"}
+
+    def m(name: str, arr: np.ndarray):
+        if name == "model.norm.weight":  # all norms store w+1 (≡ Step35)
+            return [("output_norm.weight", arr + 1.0)]
+        if not name.startswith("model.layers."):
+            return None
+        parts = name.split(".", 3)
+        bid, rest = int(parts[2]), parts[3]
+        if bid >= n_main:
+            return []  # mtp layers
+        p = f"blk.{bid}."
+        if rest.endswith("norm.weight"):
+            gg = {"input_layernorm.weight": "attn_norm.weight",
+                  "post_attention_layernorm.weight": "ffn_norm.weight",
+                  "self_attn.q_norm.weight": "attn_q_norm.weight",
+                  "self_attn.k_norm.weight": "attn_k_norm.weight"}.get(rest)
+            return [(p + gg, arr + 1.0)] if gg else []
+        mapped = RENAME.get(rest)
+        if mapped:
+            if rest in SQUEEZED:
+                arr = arr.squeeze()
+            return [(p + mapped, arr)]
+        return None  # q/k/v/o via the generic map
+
+    return m
+
+
+register("step3p5", arch="step35", set_kv=_step35_kv,
+         make_mapper=_step35_mapper)
+register("step35", arch="step35", set_kv=_step35_kv,
+         make_mapper=_step35_mapper)

@@ -178,6 +178,9 @@ _LAYER_MAP = {
     "mlp.gate_proj.weight": "ffn_gate.weight",
     "mlp.up_proj.weight": "ffn_up.weight",
     "mlp.down_proj.weight": "ffn_down.weight",
+    "mlp.gate_proj.bias": "ffn_gate.bias",
+    "mlp.up_proj.bias": "ffn_up.bias",
+    "mlp.down_proj.bias": "ffn_down.bias",
     "input_layernorm.weight": "attn_norm.weight",
     "input_layernorm.bias": "attn_norm.bias",
     # falcon-h1 (parallel attn+mamba2 per layer)
@@ -885,7 +888,8 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
                  "JinaBertModel": "jina_bert_v2",
                  "JinaBertForMaskedLM": "jina_bert_v2",
                  "NomicBertModel": "nomic_bert",
-                 "NeoBERT": "neobert", "NeoBERTLMHead": "neobert"}
+                 "NeoBERT": "neobert", "NeoBERTLMHead": "neobert",
+                 "LlamaModel": "llama_embed"}
     for cls in cfg.get("architectures") or []:
         if cls in _BY_CLASS:
             model_type = _BY_CLASS[cls]
@@ -978,7 +982,10 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
     else:
         w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon", float(eps))
     if arch != "gpt2":
-        w.add_kv(f"{arch}.rope.freq_base", float(cfg.get("rope_theta", 10000.0)))
+        theta = cfg.get("rope_theta", 10000.0)
+        if isinstance(theta, list):  # step35 ships a [global, swa] pair
+            theta = theta[0]
+        w.add_kv(f"{arch}.rope.freq_base", float(theta))
         if arch != "deepseek2":  # deepseek2 writes qk_rope_head_dim below
             # stablelm/gptneox partial rotary (partial_rotary_factor/rotary_pct)
             rot_pct = cfg.get("partial_rotary_factor", cfg.get("rotary_pct", 1.0))
