@@ -547,3 +547,70 @@ def test_pipe_mesh_gemma_family(tmp_path, garch):
     for r, g in zip(ref, got):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                    rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("kind", ["qwen3moe", "qwen2moe_shexp",
+                                  "probs_bias_scale"])
+def test_pipe_mesh_qwen_moe_family(tmp_path, kind):
+    """qwen-moe family through the layer-split pipeline: hparams-driven
+    routing (renorm policy, gating func, scale, selection bias) and the
+    shared expert (gated and plain) all stage-resident."""
+    from jax.sharding import Mesh
+
+    from tpullm.models.testing import make_tiny_moe_gguf
+    from tpullm.runtime.batch_engine import BatchEngine
+
+    if kind == "qwen3moe":  # renormalized top-k via arch policy
+        path = make_tiny_moe_gguf(tmp_path / "m.gguf", arch="qwen3moe",
+                                  n_layer=2)
+    elif kind == "qwen2moe_shexp":  # sigmoid-gated shared expert, no renorm
+        path = make_tiny_moe_gguf(tmp_path / "m.gguf", arch="qwen2moe",
+                                  n_layer=2, n_ff_shexp=48,
+                                  gated_shexp=True)
+    else:  # selection bias ranks, unbiased weights + router scale
+        path = make_tiny_moe_gguf(tmp_path / "m.gguf", arch="qwen3moe",
+                                  n_layer=2, with_probs_bias=True,
+                                  expert_weights_scale=1.5)
+
+    def run(mesh):
+        eng = BatchEngine(path, n_slots=2, max_seq=32, mode="dense",
+                          dtype=jnp.float32, kv_dtype=jnp.float32, mesh=mesh)
+        lg = eng.prefill_slot(0, [1, 5, 9, 2, 7])
+        step = eng.decode_batch({0: int(np.argmax(lg))})
+        return [lg, step[0]]
+
+    ref = run(None)
+    mesh = Mesh(np.asarray(jax.devices()[:2]).reshape(2, 1),
+                ("pipe", "model"))
+    got = run(mesh)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_pipe_mesh_mla_deepseek2(tmp_path):
+    """deepseek2 absorbed-MLA through the layer-split pipeline: dense-lead
+    layers run replicated as a prologue, the MoE+MLA layers rotate through
+    stages with a pipe-sharded latent cache. Logits match the unsharded
+    MLA engine."""
+    from jax.sharding import Mesh
+
+    from tpullm.models.testing import make_tiny_deepseek2_gguf
+    from tpullm.runtime.batch_engine import BatchEngine
+
+    path = make_tiny_deepseek2_gguf(tmp_path / "ds2.gguf")
+
+    def run(mesh):
+        eng = BatchEngine(path, n_slots=2, max_seq=32, mode="dense",
+                          dtype=jnp.float32, kv_dtype=jnp.float32, mesh=mesh)
+        lg = eng.prefill_slot(0, [1, 5, 9, 2, 7])
+        step = eng.decode_batch({0: int(np.argmax(lg))})
+        return [lg, step[0]]
+
+    ref = run(None)
+    mesh = Mesh(np.asarray(jax.devices()[:2]).reshape(2, 1),
+                ("pipe", "model"))
+    got = run(mesh)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=2e-4, atol=2e-4)

@@ -36,6 +36,15 @@ from .llama import Params, attn_block, output_head
 from .weights import load_embedding, load_linear, load_vector
 
 
+def norm_weights_policy(hp: HParams) -> bool:
+    """Whether top-k routing weights are renormalized for this arch
+    (reference: build_moe_ffn's norm_w argument per graph). Shared by this
+    forward and the pipeline-serving scan body."""
+    return hp.expert_weights_norm or hp.arch in (
+        "qwen3moe", "granitemoe", "ernie4_5-moe", "hunyuan-moe",
+        "minimax-m2", "dots1", "bailingmoe2")
+
+
 def _experts(info, dtype) -> jax.Array:
     """Stacked expert tensor (E, a, b) → device array [E, b, a] so each
     expert slice is an x@w-ready [n_in, n_out] matrix."""
@@ -130,9 +139,7 @@ def forward(
 
     # qwen3moe/granite-moe renormalize top-k weights; qwen2moe/deepseek do
     # not (reference: build_moe_ffn norm_w argument per graph)
-    norm_w = hp.expert_weights_norm or hp.arch in (
-        "qwen3moe", "granitemoe", "ernie4_5-moe", "hunyuan-moe",
-        "minimax-m2", "dots1", "bailingmoe2")
+    norm_w = norm_weights_policy(hp)
 
     for li, layer in enumerate(params["layers"]):
         x, cache = attn_block(

@@ -64,6 +64,34 @@ from .pipeline import (
 )
 
 
+def mla_cache_specs():
+    """Spec tree for the MLA stage cache dict: the scanned layers' latent
+    planes shard on the pipe axis; the dense-lead planes replicate (lead
+    layers run on every stage — see make_pipeline_step's prologue)."""
+    return {"lead": P(), "stage": P(PIPE_AXIS)}
+
+
+def make_mla_stacked_cache(hp, batch: int, max_seq: int, mesh: Mesh,
+                           dtype=jnp.bfloat16):
+    """Absorbed-MLA latent cache split into replicated lead + pipe-sharded
+    scanned planes ([n, B, 1, S, kvr+n_rot] each, ≡ runtime.kvcache.MLACache
+    with the layer dim split at n_layer_dense_lead)."""
+    if isinstance(dtype, str):
+        raise NotImplementedError(
+            "MLA pipeline serving stores the latent at a float dtype "
+            "(the latent is already ~71x smaller than decompressed KV)")
+    W = hp.n_lora_kv + hp.rope.dims
+    n_lead = hp.n_layer_dense_lead
+    cache = {
+        "lead": jnp.zeros((n_lead, batch, 1, max_seq, W), dtype),
+        "stage": jnp.zeros((hp.n_layer - n_lead, batch, 1, max_seq, W),
+                           dtype),
+    }
+    specs = mla_cache_specs()
+    return {k: jax.device_put(v, NamedSharding(mesh, specs[k]))
+            for k, v in cache.items()}
+
+
 def cache_specs(quant: bool = False):
     """Spec tree for the stacked cache: layer dim on the pipe axis, kv-head
     dim on the model axis ([L, B, Hkv, S, D] arrays; q8 adds [L, B, Hkv, S]
@@ -115,6 +143,13 @@ _OPT_STACK_SPECS = {
     "attn_post_norm": P(PIPE_AXIS),
     "ffn_post_norm": P(PIPE_AXIS),
     "swa_on": P(PIPE_AXIS),
+    # MoE extras (qwen2/3-moe family, tp=1 stages): per-layer selection
+    # bias, shared-expert weights, qwen2moe's sigmoid shexp gate vector
+    "exp_probs_b": P(PIPE_AXIS),
+    "w_gate_shexp": P(PIPE_AXIS),
+    "w_up_shexp": P(PIPE_AXIS),
+    "w_down_shexp": P(PIPE_AXIS),
+    "shexp_gate_inp": P(PIPE_AXIS),
 }
 
 
@@ -149,11 +184,18 @@ def load_stacked_serving(reader, hp, mesh: Mesh, dtype=jnp.bfloat16,
     # silently). The scan body implements llama.forward exactly plus the
     # gemma deltas (gelu FFN, sandwich post-norms, per-layer SWA/rope
     # interleave, attn/final softcaps); reject every other forward.
-    from ..models import gemma as _gemma
+    from ..models import gemma as _gemma, qwen_moe as _qwen_moe
 
-    if get_arch(hp.arch).forward not in (_llama.forward, _gemma.forward):
+    if get_arch(hp.arch).forward not in (_llama.forward, _gemma.forward,
+                                         _qwen_moe.forward):
         raise NotImplementedError(
-            f"{hp.arch}: pipeline serving covers the llama + gemma families"
+            f"{hp.arch}: pipeline serving covers the llama, gemma and "
+            "qwen-moe families"
+        )
+    if hp.nextn_layers:
+        raise NotImplementedError(
+            f"{hp.arch}: pipeline serving does not stack trailing NextN/MTP "
+            "predictor layers"
         )
     if not hp.causal:
         raise NotImplementedError(
@@ -172,11 +214,6 @@ def load_stacked_serving(reader, hp, mesh: Mesh, dtype=jnp.bfloat16,
     # stacks are stage-local, unsharded)
     moe = f"blk.0.ffn_gate_inp.weight" in t
     if moe:
-        for bad in ("ffn_gate_shexp.weight", "exp_probs_b.bias"):
-            if f"blk.0.{bad}" in t:
-                raise NotImplementedError(
-                    f"pipeline serving: MoE variant blk.*.{bad} not wired"
-                )
         if tp > 1:
             raise NotImplementedError(
                 "MoE pipeline serving runs tp=1 stages (expert stacks are "
@@ -258,6 +295,38 @@ def load_stacked_serving(reader, hp, mesh: Mesh, dtype=jnp.bfloat16,
                     t[f"blk.{i}.{stem}.weight"].to_numpy().transpose(0, 2, 1)
                 ),
             )
+        # per-layer structural extras must be homogeneous for the scan
+        for stem in ("exp_probs_b.bias", "ffn_gate_shexp.weight",
+                     "ffn_gate_inp_shexp.weight"):
+            have = [i for i in range(hp.n_layer) if f"blk.{i}.{stem}" in t]
+            if have and len(have) != hp.n_layer:
+                raise NotImplementedError(
+                    f"pipeline serving: blk.*.{stem} on layers {have[:4]}… "
+                    "only — the stage scan needs one homogeneous structure"
+                )
+        if f"blk.0.exp_probs_b.bias" in t:  # deepseek-v3/ernie selection bias
+            stack["exp_probs_b"] = put(
+                jnp.asarray(np.stack(
+                    [t[f"blk.{i}.exp_probs_b.bias"].to_numpy()
+                     for i in range(hp.n_layer)]), jnp.float32),
+                P(PIPE_AXIS))
+        if f"blk.0.ffn_gate_shexp.weight" in t:  # shared expert (dense)
+            for key, stem in (("w_gate_shexp", "ffn_gate_shexp"),
+                              ("w_up_shexp", "ffn_up_shexp"),
+                              ("w_down_shexp", "ffn_down_shexp")):
+                inf0 = t[f"blk.0.{stem}.weight"]
+                stack[key] = put_stacked(
+                    P(PIPE_AXIS), (inf0.shape[0], inf0.shape[1]), dtype,
+                    lambda i, stem=stem:
+                        t[f"blk.{i}.{stem}.weight"].to_numpy().T,
+                )
+            if f"blk.0.ffn_gate_inp_shexp.weight" in t:  # qwen2moe gate
+                stack["shexp_gate_inp"] = put(
+                    jnp.asarray(np.stack(
+                        [t[f"blk.{i}.ffn_gate_inp_shexp.weight"].to_numpy()
+                         .reshape(-1) for i in range(hp.n_layer)]),
+                        jnp.float32),
+                    P(PIPE_AXIS))
     for key, stem in weight_stems.items():
         infos = [t[f"blk.{i}.{stem}.weight"] for i in range(hp.n_layer)]
         gtypes = {inf.ggml_type for inf in infos}
@@ -295,11 +364,16 @@ def load_stacked_serving(reader, hp, mesh: Mesh, dtype=jnp.bfloat16,
         rope_on = (np.arange(1, hp.n_layer + 1) % hp.no_rope_step) != 0
     stack["rope_on"] = put(jnp.asarray(rope_on), P(PIPE_AXIS))
     if hp.sliding_window > 0:
-        # per-layer SWA interleave (gemma2 1:1, gemma3 5:1, mistral all-on):
-        # the scan selects mask + rope base by this flag
-        stack["swa_on"] = put(
-            jnp.asarray([hp.is_swa(i) for i in range(hp.n_layer)]),
-            P(PIPE_AXIS))
+        # per-layer SWA interleave: gemma.forward keys off hp.is_swa
+        # (gemma2 1:1, gemma3 5:1); llama.forward windows EVERY layer when
+        # sliding_window>0 (mistral-style — is_swa is all-False there since
+        # plain llama GGUFs carry no interleave pattern). The stage scan
+        # must mirror whichever forward it replaces.
+        if get_arch(hp.arch).forward is _gemma.forward:
+            swa_flags = [hp.is_swa(i) for i in range(hp.n_layer)]
+        else:
+            swa_flags = [True] * hp.n_layer
+        stack["swa_on"] = put(jnp.asarray(swa_flags), P(PIPE_AXIS))
     if hp.xielu is not None:  # apertus per-layer (αn, αp, β, ε) constants
         stack["xielu"] = put(
             jnp.asarray(np.asarray(hp.xielu, np.float32)), P(PIPE_AXIS))
@@ -335,6 +409,172 @@ def load_stacked_serving(reader, hp, mesh: Mesh, dtype=jnp.bfloat16,
         "stack": stack,
     }
     return params, qmeta, w_out.shape[1]
+
+
+def load_mla_stacked_serving(reader, hp, mesh: Mesh, dtype=jnp.bfloat16,
+                             mode: str = "auto"):
+    """Load + stack deepseek2-family (absorbed MLA) weights for pipeline
+    serving: the n_layer_dense_lead leading layers replicate on every stage
+    (they are tiny next to the expert stacks and their MQA latent cache is
+    ~71x smaller than decompressed KV), the remaining layers stack
+    [L_m, ...] sharded on the pipe axis. Weights widen to `dtype` (packed
+    MLA stacks are not wired — the expert stacks dominate and already
+    widen on the non-pipe path too).
+
+    Returns (params, n_vocab_padded): params = {tok_embd, output_norm,
+    output, stack, lead?}.
+    """
+    from ..models import deepseek2 as _ds2
+    from ..models.deepseek2 import _mla_dims
+    from ..models.registry import get_arch
+
+    t = reader.tensors
+    pp = mesh.shape[PIPE_AXIS]
+    tp = mesh.shape[MODEL_AXIS]
+    if get_arch(hp.arch).forward is not _ds2.forward:
+        raise NotImplementedError(
+            f"{hp.arch}: not a deepseek2-family (MLA) arch")
+    if not _ds2.mla_absorbed(hp):
+        raise NotImplementedError(
+            "MLA pipeline serving needs the absorbed-latent path "
+            "(kv_lora_rank > 0, TPULLM_MLA != 0)")
+    if tp > 1:
+        raise NotImplementedError(
+            "MLA pipeline serving runs tp=1 stages (the latent is MQA — "
+            "there is no head axis to shard)")
+    if hp.nextn_layers:
+        raise NotImplementedError(
+            f"{hp.arch}: pipeline serving does not stack NextN/MTP layers")
+    n_lead = hp.n_layer_dense_lead
+    # tensor-presence is the ground truth for the lead/MoE boundary
+    # (llm_build_deepseek2 switches on ffn_gate_inp per layer)
+    first_moe = next((i for i in range(hp.n_layer)
+                      if f"blk.{i}.ffn_gate_inp.weight" in t), None)
+    if first_moe is not None and first_moe != n_lead:
+        raise NotImplementedError(
+            f"MLA pipeline serving: MoE starts at layer {first_moe} but "
+            f"leading_dense_block_count is {n_lead}")
+    moe = first_moe is not None
+    L_m = hp.n_layer - n_lead
+    if L_m <= 0 or L_m % pp:
+        raise ValueError(
+            f"scanned layers {L_m} (= n_layer {hp.n_layer} - dense lead "
+            f"{n_lead}) must be a positive multiple of pp {pp}")
+    if moe:
+        bad = [i for i in range(n_lead, hp.n_layer)
+               if f"blk.{i}.ffn_gate_inp.weight" not in t]
+        if bad:
+            raise NotImplementedError(
+                f"MLA pipeline serving needs every post-lead layer MoE "
+                f"(dense layers {bad[:4]}…)")
+    q_lora = f"blk.0.attn_q_a.weight" in t
+    Dk, Dv, n_rot, n_nope = _mla_dims(hp)
+    H = hp.n_head
+
+    def put(x, spec):
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    def put_stacked(first, n, spec, leaf_shape, dtype_, layer_fn):
+        """[n, ...] stack whose shard is built lazily from its own layers
+        (layer_fn takes the GLOBAL block index = first + stack index)."""
+        shape = (n,) + tuple(leaf_shape)
+        sharding = NamedSharding(mesh, spec)
+
+        def cb(index):
+            ls = index[0]
+            start = 0 if ls.start is None else ls.start
+            stop = shape[0] if ls.stop is None else ls.stop
+            block = np.stack([np.asarray(layer_fn(first + i), dtype_)
+                              for i in range(start, stop)])
+            return block[(slice(None),) + tuple(index[1:])]
+
+        return jax.make_array_from_callback(shape, sharding, cb)
+
+    def wT(i, stem):
+        return lambda j, i=i, stem=stem: \
+            t[f"blk.{j}.{stem}.weight"].to_numpy().T
+
+    def kvb_half(which):
+        def fn(j):
+            kvb = t[f"blk.{j}.attn_kv_b.weight"].to_numpy()
+            kvb = kvb.reshape(H, n_nope + Dv, hp.n_lora_kv)
+            return kvb[:, :n_nope] if which == "k" else kvb[:, n_nope:]
+        return fn
+
+    def group(first: int, n: int, spec, group_moe: bool) -> dict:
+        """Stack layers [first, first+n) into one weight dict."""
+        g: dict = {}
+        p0 = f"blk.{first}."
+
+        def stk(key, stem):
+            inf = t[f"{p0}{stem}.weight"]
+            g[key] = put_stacked(first, n, spec,
+                                 (inf.shape[0], inf.shape[1]), dtype,
+                                 wT(first, stem))
+
+        def vecs(key, stem, np_dtype=np.float32):
+            g[key] = put(jnp.asarray(np.stack(
+                [t[f"blk.{i}.{stem}"].to_numpy()
+                 for i in range(first, first + n)]), jnp.float32), spec)
+
+        vecs("attn_norm", "attn_norm.weight")
+        vecs("ffn_norm", "ffn_norm.weight")
+        vecs("kv_a_norm", "attn_kv_a_norm.weight")
+        if q_lora:
+            stk("wq_a", "attn_q_a")
+            vecs("q_a_norm", "attn_q_a_norm.weight")
+            stk("wq_b", "attn_q_b")
+        else:
+            stk("wq", "attn_q")
+        stk("wkv_a", "attn_kv_a_mqa")
+        stk("wo", "attn_output")
+        g["wk_b"] = put_stacked(first, n, spec, (H, n_nope, hp.n_lora_kv),
+                                dtype, kvb_half("k"))
+        g["wv_b"] = put_stacked(first, n, spec, (H, Dv, hp.n_lora_kv),
+                                dtype, kvb_half("v"))
+        if group_moe:
+            stk("router", "ffn_gate_inp")
+            for key, stem in (("w_gate_exps", "ffn_gate_exps"),
+                              ("w_up_exps", "ffn_up_exps"),
+                              ("w_down_exps", "ffn_down_exps")):
+                inf = t[f"{p0}{stem}.weight"]
+                g[key] = put_stacked(
+                    first, n, spec,
+                    (inf.shape[2], inf.shape[0], inf.shape[1]), dtype,
+                    lambda j, stem=stem: np.ascontiguousarray(
+                        t[f"blk.{j}.{stem}.weight"].to_numpy()
+                        .transpose(0, 2, 1)))
+            if f"{p0}exp_probs_b.bias" in t:
+                vecs("exp_probs_b", "exp_probs_b.bias")
+            for key, stem in (("w_gate_shexp", "ffn_gate_shexp"),
+                              ("w_up_shexp", "ffn_up_shexp"),
+                              ("w_down_shexp", "ffn_down_shexp")):
+                if f"{p0}{stem}.weight" in t:
+                    stk(key, stem)
+        else:
+            if f"{p0}ffn_gate.weight" in t:
+                stk("w_gate", "ffn_gate")
+            stk("w_up", "ffn_up")
+            stk("w_down", "ffn_down")
+        return g
+
+    stack = group(n_lead, L_m, P(PIPE_AXIS), moe)
+    params = {
+        "tok_embd": put(
+            jnp.asarray(t["token_embd.weight"].to_numpy(), dtype), P()),
+        "output_norm": put(
+            jnp.asarray(t["output_norm.weight"].to_numpy(), jnp.float32),
+            P()),
+        "stack": stack,
+    }
+    if n_lead:
+        params["lead"] = group(0, n_lead, P(), False)
+    if "output.weight" in t:
+        w_out = jnp.asarray(t["output.weight"].to_numpy().T, dtype)
+    else:
+        w_out = params["tok_embd"].T
+    params["output"] = put(w_out, P())
+    return params, w_out.shape[1]
 
 
 def step_flags(stack: dict, hp=None) -> dict:
@@ -522,15 +762,13 @@ def _layer_cached(hp, tp: int, w, x, positions, c_l, offs, batch_start,
     x = x + attn_out
 
     h = _rms(x, w["ffn_norm"], hp.rms_eps)
-    if "router" in w:  # mixtral MoE FFN (llama.forward MoE branch)
-        from ..ops.moe import moe_ffn, route
+    if "router" in w:  # routed MoE FFN (llama mixtral / qwen-moe family)
+        from ..models import llama as _llama
+        from ..models.registry import get_arch
 
-        hs = h.reshape(b * T, E)
-        rl = (hs @ w["router"]).astype(jnp.float32)
-        weights, idx = route(rl, hp.n_expert_used, gating="softmax",
-                             norm_weights=True)
-        ffn = moe_ffn(hs, weights, idx, w["w_gate_exps"], w["w_up_exps"],
-                      w["w_down_exps"]).reshape(b, T, E)
+        llama_moe = get_arch(hp.arch).forward is _llama.forward
+        ffn = _moe_ffn_tokens(hp, w, h.reshape(b * T, E),
+                              llama_moe=llama_moe).reshape(b, T, E)
         if hp.residual_scale != 1.0:
             ffn = ffn * hp.residual_scale
         return x + ffn, c_l
@@ -561,6 +799,132 @@ def _layer_cached(hp, tp: int, w, x, positions, c_l, offs, batch_start,
     if hp.residual_scale != 1.0:
         ffn = ffn * hp.residual_scale
     return x + ffn, c_l
+
+
+def _cache_rw(leaf, new_row, batch_start, start, row_ok):
+    """Write a microbatch's rows into one cache leaf [B, H, S, ...] and
+    return (updated leaf, the microbatch's full-S block). Rows with
+    row_ok=False are written back unchanged (fill/drain ticks, idle slots)."""
+    from ..runtime.kvcache import _seq_write
+
+    b = new_row.shape[0]
+    blk_shape = (b,) + leaf.shape[1:]
+    blk = jax.lax.dynamic_slice(
+        leaf, (batch_start,) + (0,) * (leaf.ndim - 1), blk_shape)
+    blk = jax.vmap(
+        lambda rc, nr, off, ok: _seq_write(rc, nr, jnp.where(ok, off, -1),
+                                           seq_axis=1)
+    )(blk, new_row, start, row_ok)
+    leaf = jax.lax.dynamic_update_slice(
+        leaf, blk, (batch_start,) + (0,) * (leaf.ndim - 1))
+    return leaf, blk
+
+
+def _moe_ffn_tokens(hp, w, hs, llama_moe: bool = False):
+    """Routed-MoE FFN over token rows hs [N, E] (shared by the generic and
+    MLA scan bodies): hparams-driven routing + optional selection bias and
+    shared expert (≡ build_moe_ffn, llama-graph.h:785)."""
+    from ..models.qwen_moe import norm_weights_policy
+    from ..ops.moe import moe_ffn, route
+
+    rl = (hs @ w["router"]).astype(jnp.float32)
+    if llama_moe:  # mixtral-on-llama: softmax + renorm (llama.forward)
+        gating, norm_w = "softmax", True
+    else:
+        gating, norm_w = hp.expert_gating_func, norm_weights_policy(hp)
+    weights, idx = route(rl, hp.n_expert_used, gating=gating,
+                         norm_weights=norm_w,
+                         scale=hp.expert_weights_scale,
+                         select_bias=w.get("exp_probs_b"))
+    ffn = moe_ffn(hs, weights, idx, w["w_gate_exps"], w["w_up_exps"],
+                  w["w_down_exps"])
+    if "w_gate_shexp" in w:  # shared expert (qwen2moe gated / plain)
+        hd_ = hs.astype(w["w_gate_shexp"].dtype)
+        g32 = (hd_ @ w["w_gate_shexp"]).astype(jnp.float32)
+        up = hd_ @ w["w_up_shexp"]
+        sh = (jax.nn.silu(g32).astype(up.dtype) * up) @ w["w_down_shexp"]
+        if "shexp_gate_inp" in w:  # qwen2moe sigmoid gate
+            gg = jax.nn.sigmoid(
+                hs.astype(jnp.float32) @ w["shexp_gate_inp"])[:, None]
+            sh = (sh.astype(jnp.float32) * gg).astype(sh.dtype)
+        ffn = ffn + sh.astype(ffn.dtype)
+    return ffn
+
+
+def _mla_layer_cached(hp, w, x, positions, c_l, offs, batch_start,
+                      tick_valid, moe: bool):
+    """One absorbed-MLA deepseek2 block against a stage-local latent plane.
+
+    ≡ llm_build_deepseek2's is_mla=true branch (src/models/deepseek2.cpp,
+    models/deepseek2.py forward): MQA over the cached [kv_cmpr | k_pe]
+    latent with wk_b folded into the query side and wv_b projecting the
+    latent attention output. c_l: this layer's plane [B, 1, S, kvr+n_rot].
+    FFN is dense swiglu (lead layers / minicpm3) or deepseek MoE + shared
+    experts (moe=True).
+    """
+    from ..models.deepseek2 import _mla_dims
+
+    b, T, E = x.shape
+    H = hp.n_head
+    kvr = hp.n_lora_kv
+    Dk, Dv, n_rot, n_nope = _mla_dims(hp)
+    S = c_l.shape[2]
+    scale = hp.attn_scale if hp.attn_scale is not None else Dk ** -0.5
+    res_scale = hp.residual_scale
+
+    h = _rms(x, w["attn_norm"], hp.rms_eps)
+    if "wq" in w:  # deepseek2-lite: direct q projection
+        q = h @ w["wq"]
+    else:  # q LoRA compression
+        q = _rms(h @ w["wq_a"], w["q_a_norm"], hp.rms_eps) @ w["wq_b"]
+    q = q.reshape(b, T, H, Dk)
+    q_nope, q_pe = q[..., :n_nope], q[..., n_nope:]
+    q_pe = apply_rope(q_pe, positions, hp.rope)
+
+    kv_pe = h @ w["wkv_a"]  # [b, T, kvr + n_rot]
+    kv_cmpr = _rms(kv_pe[..., :kvr], w["kv_a_norm"], hp.rms_eps)
+    k_pe = apply_rope(kv_pe[..., kvr:].reshape(b, T, 1, n_rot),
+                      positions, hp.rope)
+
+    q_abs = jnp.einsum("bthd,hdc->bthc", q_nope.astype(jnp.float32),
+                       w["wk_b"].astype(jnp.float32))
+    qf = jnp.concatenate([q_abs, q_pe.astype(jnp.float32)], axis=-1)
+    latent = jnp.concatenate(
+        [kv_cmpr.reshape(b, T, 1, kvr), k_pe], axis=-1)  # [b, T, 1, W]
+    row_ok = tick_valid & (offs >= 0)
+    start = jnp.maximum(offs, 0)
+    c_l, blk = _cache_rw(c_l, latent.transpose(0, 2, 1, 3).astype(c_l.dtype),
+                         batch_start, start, row_ok)
+    kb = blk[:, 0].astype(jnp.float32)  # [b, S, W]
+
+    scores = jnp.einsum("bthw,bsw->bhts", qf, kb) * scale
+    slot = start[:, None] + jnp.arange(T, dtype=jnp.int32)[None]
+    key_idx = jnp.arange(S, dtype=jnp.int32)
+    mask = key_idx[None, None, :] <= slot[:, :, None]  # [b, T, S]
+    scores = jnp.where(mask[:, None], scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1)
+    o = jnp.einsum("bhts,bsc->bthc", probs, kb[..., :kvr])  # [b, T, H, kvr]
+    attn = jnp.einsum("bthc,hec->bthe", o,
+                      w["wv_b"].astype(jnp.float32)).reshape(b, T, H * Dv)
+    attn_out = attn.astype(x.dtype) @ w["wo"].astype(x.dtype)
+    if res_scale != 1.0:  # minicpm3 scale_depth
+        attn_out = attn_out * res_scale
+    x = x + attn_out
+
+    h = _rms(x, w["ffn_norm"], hp.rms_eps)
+    if moe:
+        ffn = _moe_ffn_tokens(hp, w, h.reshape(b * T, E)).reshape(b, T, E)
+    else:
+        up = h @ w["w_up"]
+        if "w_gate" in w:
+            g32 = (h @ w["w_gate"]).astype(jnp.float32)
+            act = jax.nn.silu(g32).astype(up.dtype) * up
+        else:  # plm gateless ReLU² (LLM_FFN_RELU_SQR)
+            act = jnp.square(jax.nn.relu(up.astype(jnp.float32)))
+        ffn = act.astype(h.dtype) @ w["w_down"]
+    if res_scale != 1.0:
+        ffn = ffn * res_scale
+    return x + ffn.astype(x.dtype), c_l
 
 
 def make_pipeline_step(hp, mesh: Mesh, qmeta: dict | None = None,
@@ -708,6 +1072,151 @@ def make_pipeline_step(hp, mesh: Mesh, qmeta: dict | None = None,
         def step(params, tokens, positions, cache, offsets, n_last):
             n_last = jnp.asarray(n_last, jnp.int32)
             if n_last.ndim == 0:  # scalar = same flagged row for all slots
+                n_last = jnp.broadcast_to(n_last, (tokens.shape[0],))
+            logits, cache = fn(params, tokens, positions, cache, offsets,
+                               n_last)
+            return logits[:, :, : hp.n_vocab], cache
+    else:
+        @functools.partial(jax.jit, donate_argnames=("cache",))
+        def step(params, tokens, positions, cache, offsets):
+            logits, cache = fn(params, tokens, positions, cache, offsets,
+                               jnp.int32(0))
+            return logits[:, :, : hp.n_vocab], cache
+
+    return step
+
+
+def make_mla_pipeline_step(hp, mesh: Mesh, params: dict,
+                           last_only: bool = False,
+                           return_hidden: bool = False):
+    """Jitted deepseek2-family (absorbed MLA) serving step with the
+    BatchEngine contract (see make_pipeline_step). The dense-lead layers run
+    replicated on every stage as a prologue when stage 0 feeds a microbatch
+    (they are 1-3 layers against 27-61 scanned ones); the scanned layers
+    rotate through stages exactly like the generic step. Cache is the
+    {"lead", "stage"} dict from make_mla_stacked_cache.
+    """
+    assert not (last_only and return_hidden)
+    pp = mesh.shape[PIPE_AXIS]
+    n_lead = hp.n_layer_dense_lead
+    moe = "router" in params["stack"]
+    specs = {
+        "tok_embd": P(), "output_norm": P(), "output": P(),
+        "stack": {k: P(PIPE_AXIS) for k in params["stack"]},
+    }
+    if "lead" in params:
+        specs["lead"] = {k: P() for k in params["lead"]}
+    c_specs = mla_cache_specs()
+
+    def spmd(params, tokens, positions, cache, offsets, n_last):
+        stage = jax.lax.axis_index(PIPE_AXIS)
+        emb = params["tok_embd"]
+        stack = params["stack"]
+        B, T = tokens.shape[:2]
+        if B % pp:
+            raise ValueError(f"batch {B} must be divisible by pp {pp}")
+        M = pp
+        b = B // M
+        is_embd = tokens.ndim == 3
+        mb_toks = tokens.reshape((M, b, T) + tokens.shape[2:])
+        mb_pos = positions.reshape(M, b, T)
+        mb_offs = offsets.reshape(M, b)
+        n_ticks = M + pp - 1
+        E = hp.n_embd
+        T_out = 1 if last_only else T
+        v_loc = E if return_hidden else params["output"].shape[1]
+        logits_acc = jnp.zeros((M, b, T_out, v_loc), jnp.float32)
+        x0 = jnp.zeros((b, T, E), jnp.float32)
+        c_lead = cache["lead"]
+        c_stage = cache["stage"]
+
+        def tick(carry, t):
+            x, c_lead, c_stage, acc = carry
+            ti = jnp.clip(t, 0, M - 1)
+            feed = mb_toks[ti] if is_embd else emb[mb_toks[ti]]
+            if hp.embd_scale != 1.0 and not is_embd:  # minicpm3 scale_embd
+                feed = feed * jnp.asarray(hp.embd_scale, feed.dtype)
+            feed = feed.astype(jnp.float32)
+            feed_valid = t < M
+            if n_lead:
+                # replicated dense-lead prologue: every stage computes the
+                # same result against the replicated lead cache, so the fed
+                # microbatch arrives at stage 0 already past the lead layers
+                def lead_body(xc, ls):
+                    xn, c_l = _mla_layer_cached(
+                        hp, ls[0], xc, mb_pos[ti], ls[1], mb_offs[ti],
+                        ti * b, feed_valid, moe=False)
+                    return xn, c_l
+
+                feed, c_lead = jax.lax.scan(
+                    lead_body, feed, (params["lead"], c_lead))
+            x = jnp.where((stage == 0) & feed_valid, feed, x)
+            m = t - stage
+            tick_valid = (m >= 0) & (m < M)
+            mi = jnp.clip(m, 0, M - 1)
+            pos = mb_pos[mi]
+            offs = mb_offs[mi]
+            bs = mi * b
+
+            def body(xc, ls):
+                xn, c_l = _mla_layer_cached(
+                    hp, ls[0], xc, pos, ls[1], offs, bs, tick_valid,
+                    moe=moe)
+                return xn, c_l
+
+            x_out, c_stage = jax.lax.scan(body, x, (stack, c_stage))
+            m_out = t - (pp - 1)
+            use = (stage == pp - 1) & (m_out >= 0) & (m_out < M)
+            mo = jnp.clip(m_out, 0, M - 1)
+
+            def do_head(acc):
+                xr = x_out
+                if last_only:
+                    rows = n_last.reshape(M, b)[mo]
+                    xr = jax.vmap(
+                        lambda xrow, i: jax.lax.dynamic_slice_in_dim(
+                            xrow, i, 1, axis=0)
+                    )(x_out, rows)
+                h = _rms(xr, params["output_norm"], hp.rms_eps)
+                if return_hidden:
+                    lg = h.astype(jnp.float32)
+                else:
+                    lg = (h @ params["output"]).astype(jnp.float32)
+                    if hp.logit_scale != 1.0:
+                        lg = lg / hp.logit_scale
+                    if hp.softcap_final:
+                        lg = jnp.tanh(lg / hp.softcap_final) \
+                            * hp.softcap_final
+                return jax.lax.dynamic_update_slice(
+                    acc, lg[None], (mo, 0, 0, 0))
+
+            acc = jax.lax.cond(use, do_head, lambda a: a, acc)
+            x = jax.lax.ppermute(
+                x_out, PIPE_AXIS, [(i, (i + 1) % pp) for i in range(pp)])
+            return (x, c_lead, c_stage, acc), None
+
+        (x, c_lead, c_stage, logits_acc), _ = jax.lax.scan(
+            tick, (x0, c_lead, c_stage, logits_acc), jnp.arange(n_ticks))
+        logits_acc = jax.lax.psum(logits_acc, PIPE_AXIS)
+        return (logits_acc.reshape((B, T_out, v_loc)),
+                {"lead": c_lead, "stage": c_stage})
+
+    fn = shard_map_compat(
+        spmd, mesh=mesh,
+        in_specs=(specs, P(), P(), c_specs, P(), P()),
+        out_specs=(P(), c_specs),
+    )
+
+    if return_hidden:
+        @functools.partial(jax.jit, donate_argnames=("cache",))
+        def step(params, tokens, positions, cache, offsets):
+            return fn(params, tokens, positions, cache, offsets,
+                      jnp.int32(0))
+    elif last_only:
+        @functools.partial(jax.jit, donate_argnames=("cache",))
+        def step(params, tokens, positions, cache, offsets, n_last):
+            n_last = jnp.asarray(n_last, jnp.int32)
+            if n_last.ndim == 0:
                 n_last = jnp.broadcast_to(n_last, (tokens.shape[0],))
             logits, cache = fn(params, tokens, positions, cache, offsets,
                                n_last)

@@ -189,7 +189,12 @@ class BatchEngine:
         hp = self.hp
         pp = mesh.shape[PIPE_AXIS]
         tp = mesh.shape[MODEL_AXIS]
-        if self.arch.recurrent or self.arch.make_cache is not None:
+        from ..models import deepseek2 as _ds2
+
+        mla = (self.arch.forward is _ds2.forward
+               and _ds2.mla_absorbed(hp))
+        if not mla and (self.arch.recurrent
+                        or self.arch.make_cache is not None):
             raise NotImplementedError(
                 f"{hp.arch}: pipeline serving needs a plain positional KV "
                 "cache"
@@ -215,6 +220,22 @@ class BatchEngine:
             raise ValueError(
                 f"heads ({hp.n_head}/{hp.n_head_kv}) must divide tp {tp}"
             )
+        if mla:
+            from ..parallel.pipeline_infer import (
+                load_mla_stacked_serving,
+                make_mla_pipeline_step,
+                make_mla_stacked_cache,
+            )
+
+            self.params, _ = load_mla_stacked_serving(
+                self.reader, hp, mesh, dtype=dtype, mode=mode)
+            self._qmeta = {}
+            self.cache = make_mla_stacked_cache(
+                hp, self.n_slots, self.max_seq, mesh, dtype=self.kv_dtype)
+            self._step = make_mla_pipeline_step(hp, mesh, self.params)
+            self._prefill_step = make_mla_pipeline_step(
+                hp, mesh, self.params, last_only=True)
+            return
         try:
             self.params, self._qmeta, _ = load_stacked_serving(
                 self.reader, hp, mesh, dtype=dtype, mode=mode)
@@ -539,14 +560,19 @@ class BatchEngine:
         if not hasattr(self, "_hidden_step"):
             if self._pipe:
                 from ..parallel.pipeline_infer import (
+                    make_mla_pipeline_step,
                     make_pipeline_step,
                     step_flags,
                 )
 
-                self._hidden_step = make_pipeline_step(
-                    hp, self.mesh, self._qmeta, return_hidden=True,
-                    quant_kv=isinstance(self.kv_dtype, str),
-                    **step_flags(self.params["stack"], self.hp))
+                if "wkv_a" in self.params["stack"]:  # deepseek2 MLA stack
+                    self._hidden_step = make_mla_pipeline_step(
+                        hp, self.mesh, self.params, return_hidden=True)
+                else:
+                    self._hidden_step = make_pipeline_step(
+                        hp, self.mesh, self._qmeta, return_hidden=True,
+                        quant_kv=isinstance(self.kv_dtype, str),
+                        **step_flags(self.params["stack"], self.hp))
             else:
                 @functools.partial(jax.jit, donate_argnames=("cache",))
                 def _hidden(params, toks, positions, cache, offsets):
