@@ -1,3 +1,15 @@
-from .train import OptimConfig, loss_fn, make_optimizer, make_train_step, train_epoch
+from .data import Dataset
+from .train import (
+    OptimConfig,
+    evaluate,
+    fit,
+    loss_fn,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+    train_epoch,
+)
 
-__all__ = ["OptimConfig", "loss_fn", "make_optimizer", "make_train_step", "train_epoch"]
+__all__ = ["Dataset", "OptimConfig", "evaluate", "fit", "loss_fn",
+           "make_eval_step", "make_optimizer", "make_train_step",
+           "train_epoch"]

@@ -18,6 +18,7 @@ from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ..models.hparams import HParams
@@ -91,3 +92,103 @@ def train_epoch(
         params, opt_state, loss = step(params, opt_state, jnp.asarray(batch))
         losses.append(float(loss))
     return params, losses
+
+
+def make_eval_step(forward: Callable, hp: HParams):
+    """Jitted (params, tokens) -> (sum_nll, n_correct, n) — the
+    loss+accuracy accumulators of ggml_opt_result (ggml-opt.h result
+    getters: ggml_opt_result_loss / _accuracy)."""
+
+    @jax.jit
+    def eval_step(params, tokens):
+        B, T = tokens.shape
+        positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
+        cache = KVCache.new(hp, B, T, jnp.bfloat16)
+        logits, _ = forward(hp, params, tokens, positions, cache, 0)
+        lg = logits[:, :-1].astype(jnp.float32)
+        tgt = tokens[:, 1:]
+        logp = jax.nn.log_softmax(lg, axis=-1)
+        nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+        correct = (jnp.argmax(lg, axis=-1) == tgt).sum()
+        return nll.sum(), correct, nll.size
+
+    return eval_step
+
+
+def evaluate(forward: Callable, hp: HParams, params, batches) -> dict:
+    """Mean next-token loss + argmax accuracy over an iterable of [B, T]
+    batches (≡ running ggml_opt_epoch with result_eval only)."""
+    step = make_eval_step(forward, hp)
+    s_nll, s_ok, n = 0.0, 0, 0
+    for batch in batches:
+        nll, ok, k = step(params, jnp.asarray(batch))
+        s_nll += float(nll)
+        s_ok += int(ok)
+        n += int(k)
+    if n == 0:
+        return {"loss": float("nan"), "accuracy": float("nan"), "n": 0}
+    return {"loss": s_nll / n, "accuracy": s_ok / n, "n": n}
+
+
+def fit(
+    forward: Callable,
+    hp: HParams,
+    params: Any,
+    dataset,
+    *,
+    cfg: OptimConfig | None = None,
+    epochs: int = 1,
+    batch_size: int = 1,
+    val_split: float = 0.0,
+    seed: int = 0,
+    callback: Callable | None = None,
+    trainable: Callable | None = None,
+) -> tuple[Any, list[dict]]:
+    """One-call training loop (≡ ggml_opt_fit, ggml-opt.h:239): split the
+    dataset front/back into train/eval, run `epochs` epochs of optimizer
+    steps over shuffled train batches, evaluate after each epoch, invoke
+    `callback(epoch_stats)` per epoch (≡ ggml_opt_epoch_callback).
+
+    `trainable(path_key_tuple, leaf) -> bool` masks which leaves the
+    optimizer updates (≡ llama_opt_init's param filter, llama.h:1553 —
+    e.g. LoRA-only or norms-only finetunes); masked leaves keep their
+    loaded values exactly.
+
+    Returns (params, history) where history[i] = {"epoch", "train_loss",
+    "eval_loss", "eval_accuracy"}.
+    """
+    cfg = cfg or OptimConfig()
+    opt = make_optimizer(cfg)
+    if trainable is not None:
+        # multi_transform + set_to_zero freezes masked-out leaves exactly
+        # (optax.masked would pass their RAW grads through as updates)
+        labels = jax.tree_util.tree_map_with_path(
+            lambda path, leaf: "train" if trainable(path, leaf)
+            else "freeze", params)
+        opt = optax.multi_transform(
+            {"train": opt, "freeze": optax.set_to_zero()}, labels)
+    opt_state = opt.init(params)
+    step = make_train_step(forward, hp, opt)
+    train_ds, eval_ds = dataset.split(val_split)
+    rng = np.random.default_rng(seed)
+    history: list[dict] = []
+    for epoch in range(epochs):
+        losses = []
+        for batch in train_ds.batches(batch_size, rng=rng):
+            params, opt_state, loss = step(params, opt_state,
+                                           jnp.asarray(batch))
+            losses.append(float(loss))
+        stats = {
+            "epoch": epoch,
+            "train_loss": sum(losses) / max(len(losses), 1),
+            "train_batches": len(losses),
+        }
+        if eval_ds.ndata >= batch_size:
+            ev = evaluate(forward, hp, params,
+                          eval_ds.batches(batch_size))
+            stats["eval_loss"] = ev["loss"]
+            stats["eval_accuracy"] = ev["accuracy"]
+        history.append(stats)
+        if callback is not None:
+            callback(stats)
+    return params, history
