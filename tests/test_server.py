@@ -23,7 +23,29 @@ def engine(tmp_path_factory):
                        prefill_chunk=32)
 
 
-def _drain(req: GenRequest, timeout=60):
+@pytest.fixture(autouse=True)
+def _fresh_engine_state(request):
+    """Reset the shared module engine's slot state before every test.
+
+    The engine is module-scoped (compiling it per test would triple the
+    suite time) but many tests assume empty slots; under pytest-xdist each
+    worker runs an arbitrary SUBSET of the module in arbitrary order, so
+    any state a previous test leaves (n_past offsets, slot tenancy) breaks
+    order-sensitive tests that pass serially. ≡ the reference server tests
+    booting a fresh ServerProcess per scenario."""
+    if "engine" in request.fixturenames:
+        eng = request.getfixturevalue("engine")
+        for s in range(eng.n_slots):
+            eng.free_slot(s)
+        eng.n_past[:] = 0
+        eng.rope_delta[:] = 0
+    yield
+
+
+def _drain(req: GenRequest, timeout=300):
+    # generous: under pytest-xdist 8 workers share this box's cores, so a
+    # first-compile that takes 30s serial can take minutes — a short drain
+    # timeout turns CPU starvation into bogus output-mismatch failures
     pieces, reason, stats = [], None, None
     deadline = time.time() + timeout
     while time.time() < deadline:
@@ -296,7 +318,7 @@ def test_context_shift_long_generation(tmp_path):
         ids = eng.tokenizer.tokenize("the quick brown", add_special=True)
         req = sched.submit(GenRequest(prompt_ids=ids, max_tokens=100,
                                       sampling=SamplerParams(temp=0.0)))
-        toks, reason, stats = _drain(req, timeout=120)
+        toks, reason, stats = _drain(req, timeout=300)
         assert len(toks) == 100  # well past max_seq=48
         assert reason == "length"
         assert sched.n_context_shifts >= 1
@@ -465,7 +487,7 @@ def test_thread_safety_stress(engine):
                                             add_special=True)
             req = sched.submit(GenRequest(prompt_ids=ids, max_tokens=4,
                                           sampling=SamplerParams(temp=0.0)))
-            toks, reason, stats = _drain(req, timeout=120)
+            toks, reason, stats = _drain(req, timeout=300)
             assert reason in ("stop", "length"), reason
             results[i] = toks
         except Exception as e:  # pragma: no cover
@@ -485,7 +507,7 @@ def test_thread_safety_stress(engine):
         for t in threads:
             t.start()
         for t in threads:
-            t.join(timeout=180)
+            t.join(timeout=600)
         assert not errors, errors
         assert len(results) == 8
         # determinism: same prompt index → same output across repeat run
@@ -495,7 +517,7 @@ def test_thread_safety_stress(engine):
                                             add_special=True)
             req = sched.submit(GenRequest(prompt_ids=ids, max_tokens=4,
                                           sampling=SamplerParams(temp=0.0)))
-            toks, _, _ = _drain(req, timeout=120)
+            toks, _, _ = _drain(req, timeout=300)
             rerun[i] = toks
         assert rerun[0] == results[0] and rerun[3] == results[3]
     finally:
@@ -1011,7 +1033,7 @@ def test_precompile_covers_scheduler_shapes(engine):
     loop issues, including the speculative verify width."""
     sched = Scheduler(engine, spec_type="ngram_simple", n_draft=4)
     th = sched.precompile(background=True)
-    th.join(timeout=120)
+    th.join(timeout=600)  # xdist workers contend for compile cores
     assert not th.is_alive()
     # compiled shapes actually serve a request end-to-end
     sched.start()
