@@ -282,3 +282,38 @@ def test_eval_callback_dump(tmp_path, capsys):
     from tpullm.ops import norms
 
     assert norms.rms_norm.__name__ == "rms_norm"
+
+
+def test_gguf_hash_tool(tiny, capsys):
+    """Per-tensor + overall hashes are deterministic and value-sensitive
+    (≡ gguf-py gguf_hash.py)."""
+    from tpullm.tools.gguf_hash import hash_gguf
+
+    h1 = hash_gguf(tiny, ["blake2b64", "sha256"])
+    capsys.readouterr()
+    h2 = hash_gguf(tiny, ["blake2b64", "sha256"])
+    assert h1 == h2 and len(h1["sha256"]) == 64 and "uuid" in h1
+
+
+def test_gguf_metadata_tool(tiny, tmp_path, capsys):
+    """KV add/override/remove with tensor passthrough; edited file still
+    loads and generates (≡ gguf_new_metadata.py / gguf_set_metadata.py)."""
+    import jax.numpy as jnp
+
+    from tpullm.gguf.reader import GGUFReader
+    from tpullm.runtime import Engine
+    from tpullm.tools.gguf_metadata import main as meta_main
+
+    out = str(tmp_path / "edited.gguf")
+    rc = meta_main([tiny, out, "--set", "general.name=renamed",
+                    "--set", "custom.answer=42",
+                    "--remove", "general.name_missing_ok"])
+    assert rc == 0
+    r = GGUFReader(out)
+    assert r.metadata["general.name"] == "renamed"
+    assert r.metadata["custom.answer"] == 42
+    src = GGUFReader(tiny)
+    assert set(r.tensors) == set(src.tensors)
+    eng = Engine(out, mode="dense", dtype=jnp.float32, max_seq=64,
+                 kv_dtype=jnp.float32)
+    assert isinstance(eng.generate("the quick", max_new_tokens=2), str)
