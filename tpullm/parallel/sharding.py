@@ -157,5 +157,16 @@ def shard_cache(cache, mesh: Mesh, data_batch: bool = False):
             _put(cache.slot_pos, mesh, axes(cache.slot_pos, None, 0)),
             cache.layer_map, cache.window,
         )
-    # recurrent / unknown cache pytrees: replicate every leaf
-    return jax.tree_util.tree_map(lambda a: _put(a, mesh, P()), cache)
+    # recurrent / hybrid cache pytrees (mamba conv+ssm states, rwkv wkv
+    # state, MLA latents): every leaf is [L, B, ...] (see
+    # runtime/recurrent.py), so serving shards the slot dim over "data"
+    # and replicates the rest — dp recurrent serving without arch-specific
+    # rules. TP stays replicated (the inner-state contraction is arch
+    # specific; BatchEngine gates tp>1 off for recurrent archs).
+    def place(a):
+        if (data_batch and dp > 1 and a.ndim >= 2
+                and a.shape[1] % dp == 0):
+            return _put(a, mesh, P(None, DATA_AXIS))
+        return _put(a, mesh, P())
+
+    return jax.tree_util.tree_map(place, cache)

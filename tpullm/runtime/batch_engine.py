@@ -124,9 +124,15 @@ class BatchEngine:
                 "single-stream Engine"
             )
         if self.arch.recurrent and mesh is not None:
-            raise NotImplementedError(
-                "mesh-sharded serving of recurrent archs is not wired yet"
-            )
+            from ..parallel.mesh import MODEL_AXIS as _TP_AXIS
+
+            tp_ways = (mesh.shape[_TP_AXIS]
+                       if _TP_AXIS in mesh.axis_names else 1)
+            if tp_ways > 1:
+                raise NotImplementedError(
+                    "recurrent archs serve with --dp (state shards over "
+                    "slots); tp>1 needs arch-specific inner-state sharding"
+                )
         self.mesh = mesh
         if mesh is not None:
             # mesh-sharded serving (the reference's split-mode row served
