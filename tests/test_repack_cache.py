@@ -112,3 +112,30 @@ def test_engine_logits_unchanged_by_cache(quant_gguf, tmp_path, monkeypatch):
     eng2 = Engine(quant_gguf, mode="quant", max_seq=32)
     l2 = np.asarray(eng2.prefill(ids), np.float32)
     np.testing.assert_array_equal(l1, l2)
+
+
+def test_repack_cache_eviction(tmp_path):
+    """Size cap deletes oldest entries first (ADVICE r3: unbounded growth)."""
+    import os
+    import time
+
+    import numpy as np
+
+    from tpullm.models.weights import evict_repack_cache
+
+    root = tmp_path / "repack"
+    root.mkdir()
+    for i, age in enumerate([30, 20, 10]):  # older → smaller mtime
+        d = root / f"entry{i}"
+        d.mkdir()
+        np.save(d / "qs.npy", np.zeros(256, np.uint8))
+        (d / "manifest.txt").write_text("qs\n")
+        t = time.time() - age
+        os.utime(d, (t, t))
+    sizes = sum(
+        f.stat().st_size for d in root.iterdir() for f in d.iterdir())
+    freed = evict_repack_cache(str(root), max_bytes=sizes // 2)
+    assert freed > 0
+    left = sorted(p.name for p in root.iterdir())
+    assert "entry0" not in left  # oldest gone
+    assert "entry2" in left  # newest kept

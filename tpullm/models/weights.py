@@ -263,6 +263,48 @@ def _repack_cache_dir() -> str | None:
     )
 
 
+def evict_repack_cache(root: str | None = None,
+                       max_bytes: int | None = None) -> int:
+    """Age-based size cap for the repack cache (ADVICE r3: it grew
+    unboundedly — ~GBs per model/quant revision). Oldest entries go first
+    until the root fits under TPULLM_REPACK_CACHE_MAX_GB (default 24).
+    Returns bytes freed. Called once per Model load; O(#entries) stat
+    walk, no data reads."""
+    import os
+    import shutil
+
+    root = root if root is not None else _repack_cache_dir()
+    if root is None or not os.path.isdir(root):
+        return 0
+    if max_bytes is None:
+        max_bytes = int(float(os.environ.get(
+            "TPULLM_REPACK_CACHE_MAX_GB", "24")) * 2**30)
+    entries = []  # (mtime, size, path)
+    total = 0
+    for name in os.listdir(root):
+        d = os.path.join(root, name)
+        if not os.path.isdir(d):
+            continue
+        size = 0
+        try:
+            with os.scandir(d) as it:
+                size = sum(e.stat().st_size for e in it if e.is_file())
+            mtime = os.stat(d).st_mtime
+        except OSError:
+            continue
+        total += size
+        entries.append((mtime, size, d))
+    freed = 0
+    if total <= max_bytes:
+        return 0
+    for mtime, size, d in sorted(entries):
+        if total - freed <= max_bytes:
+            break
+        shutil.rmtree(d, ignore_errors=True)
+        freed += size
+    return freed
+
+
 def _repack_key(info: GGUFTensorInfo) -> str:
     """Content hash of the packed blocks + everything that shapes the plane
     layout. Full-data blake2b runs ~1 GB/s — noise next to the repack it

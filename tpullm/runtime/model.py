@@ -51,6 +51,7 @@ class Model:
 
         _w.reset_load_stats()
         t_meta = time.perf_counter() - t0
+        _w.evict_repack_cache()  # size-cap the on-disk plane cache
         _w.prewarm_quant_planes(self.reader, mode)
         self.params = self.arch.build_params(
             self.reader, self.hp, mode=mode, dtype=dtype)
