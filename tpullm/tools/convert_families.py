@@ -2553,3 +2553,229 @@ register("step3p5", arch="step35", set_kv=_step35_kv,
          make_mapper=_step35_mapper)
 register("step35", arch="step35", set_kv=_step35_kv,
          make_mapper=_step35_mapper)
+
+
+# ---------------------------------------------------------------------------
+# Refact, XLM-RoBERTa (bge-m3 / jina-embeddings-v3), WavTokenizer decoder
+# ---------------------------------------------------------------------------
+
+
+def _refact_ff(cfg: dict) -> int:
+    """Refact derives n_ff from n_embd (≡ RefactModel :2339: 2/3 of 4E
+    rounded up to 256)."""
+    hidden = int(2 * (4 * int(cfg["n_embd"])) / 3)
+    return 256 * ((hidden + 255) // 256)
+
+
+def _refact_kv(w, cfg: dict, hp: dict) -> None:
+    arch = "refact"
+    w.set_kv(f"{arch}.context_length", int(cfg.get("n_positions", 4096)))
+    w.set_kv(f"{arch}.feed_forward_length", _refact_ff(cfg))
+    w.set_kv(f"{arch}.attention.head_count_kv", 1)  # MQA
+    w.set_kv(f"{arch}.attention.layer_norm_rms_epsilon",
+             float(cfg.get("layer_norm_epsilon", 1e-5)))
+
+
+def _refact_mapper(cfg: dict, hp: dict) -> Mapper:
+    E = int(cfg["n_embd"])
+    hd = E // int(cfg["n_head"])
+    ff = _refact_ff(cfg)
+    TOP = {
+        "transformer.wte.weight": "token_embd.weight",
+        "transformer.ln_f.weight": "output_norm.weight",
+        "lm_head.weight": "output.weight",
+    }
+    L = {
+        "ln_1.weight": "attn_norm.weight",
+        "ln_2.weight": "ffn_norm.weight",
+        "attn.q.weight": "attn_q.weight",
+        "attn.c_proj.weight": "attn_output.weight",
+        "mlp.c_proj.weight": "ffn_down.weight",
+    }
+
+    def m(name: str, arr: np.ndarray):
+        if name in TOP:
+            return [(TOP[name], arr)]
+        if not name.startswith("transformer.h."):
+            return []
+        parts = name.split(".", 3)
+        p = f"blk.{parts[2]}."
+        rest = parts[3]
+        if rest == "attn.kv.weight":  # fused single-head K|V
+            return [(p + "attn_k.weight", arr[:hd]),
+                    (p + "attn_v.weight", arr[hd:])]
+        if rest == "mlp.gate_up_proj.weight":  # fused gate|up at derived ff
+            return [(p + "ffn_gate.weight", arr[:ff]),
+                    (p + "ffn_up.weight", arr[ff:])]
+        mapped = L.get(rest)
+        return [(p + mapped, arr)] if mapped else []
+
+    return m
+
+
+register("gpt_refact", arch="refact", set_kv=_refact_kv,
+         make_mapper=_refact_mapper)
+
+
+def _xlmr_arch(cfg: dict) -> str:
+    """jina-embeddings-v3 announces itself via lora_adaptations
+    (≡ XLMRobertaModel :5845 → JINA_BERT_V3); plain XLM-RoBERTa
+    (bge-m3 etc.) is the bert graph."""
+    return "jina-bert-v3" if cfg.get("lora_adaptations") else "bert"
+
+
+def _xlmr_kv(w, cfg: dict, hp: dict) -> None:
+    arch = _xlmr_arch(cfg)
+    w.add_kv(f"{arch}.attention.causal", False)
+    w.add_kv(f"{arch}.pooling_type", 1)  # mean
+    # fairseq position convention: ids start at pad+1, so usable context
+    # shrinks by the offset (≡ _xlmroberta_tokenizer_init :5534)
+    pad = int(cfg.get("pad_token_id", 1) or 1)
+    w.set_kv(f"{arch}.context_length",
+             int(cfg.get("max_position_embeddings", 514)) - (pad + 1))
+    if arch == "jina-bert-v3" and cfg.get("rotary_emb_base"):
+        w.set_kv(f"{arch}.rope.freq_base", float(cfg["rotary_emb_base"]))
+
+
+def _xlmr_mapper(cfg: dict, hp: dict) -> Mapper:
+    from .convert_hf import _map_bert_name
+
+    pad = int(cfg.get("pad_token_id", 1) or 1)
+    jina = bool(cfg.get("lora_adaptations"))
+
+    def m(name: str, arr: np.ndarray):
+        if name.startswith("roberta."):
+            name = name[len("roberta."):]
+        if ".parametrizations." in name:  # jina-v3 torch parametrize wrap
+            name = name.replace(".parametrizations.", ".")
+            if name.endswith(".original"):
+                name = name[: -len(".original")]
+        if (".lora_A" in name or ".lora_B" in name
+                or name.startswith(("pooler.", "lm_head.", "classifier."))):
+            return []  # per-task adapters + heads: not the embedding graph
+        if name == "embeddings.position_embeddings.weight":
+            if jina:
+                return []  # v3 ropes; no learned positions
+            return [("position_embd.weight", arr[pad + 1:])]
+        mapped = _map_bert_name(name)
+        return [(mapped, arr)] if mapped else []
+
+    return m
+
+
+register("xlm-roberta", arch="bert", ln=True, pick_arch=_xlmr_arch,
+         set_kv=_xlmr_kv, make_mapper=_xlmr_mapper)
+
+
+def convert_vocab_xlmroberta(w, src_dir: str, cfg: dict) -> bool:
+    """UGM vocab from sentencepiece.bpe.model with the fairseq realignment
+    (≡ _xlmroberta_set_vocab :5543: [<s>, <pad>, </s>, <unk>] + pieces[3:],
+    tokenizer model "t5")."""
+    import os
+
+    path = os.path.join(src_dir, "sentencepiece.bpe.model")
+    if not os.path.exists(path):
+        return False
+    from ..gguf.constants import TokenType
+    from .convert_hf import _SPM_TYPE_MAP, _parse_spm
+
+    pieces = _parse_spm(path)
+    toks = [p[0] for p in pieces]
+    scores = [p[1] for p in pieces]
+    types = [int(_SPM_TYPE_MAP.get(p[2], TokenType.NORMAL)) for p in pieces]
+    # realign: fairseq specials take ids 0-3, spm's own specials drop
+    toks = ["<s>", "<pad>", "</s>", "<unk>"] + toks[3:]
+    scores = [0.0, 0.0, 0.0, 0.0] + scores[3:]
+    types = [int(TokenType.CONTROL)] * 3 + [int(TokenType.UNKNOWN)] \
+        + types[3:]
+    n_vocab = int(cfg.get("vocab_size", 0) or 0)
+    while n_vocab and len(toks) < n_vocab:
+        toks.append(f"[PAD{len(toks)}]")
+        scores.append(-10000.0)
+        types.append(int(TokenType.UNUSED))
+    w.add_kv("tokenizer.ggml.model", "t5")
+    w.add_kv("tokenizer.ggml.pre", "default")
+    w.add_kv("tokenizer.ggml.tokens", toks)
+    w.add_kv("tokenizer.ggml.scores", np.asarray(scores, dtype=np.float32))
+    w.add_kv("tokenizer.ggml.token_type", np.asarray(types, dtype=np.int32))
+    w.add_kv("tokenizer.ggml.add_space_prefix", True)
+    w.add_kv("tokenizer.ggml.bos_token_id", 0)
+    w.add_kv("tokenizer.ggml.padding_token_id", 1)
+    w.add_kv("tokenizer.ggml.eos_token_id", 2)
+    w.add_kv("tokenizer.ggml.unknown_token_id", 3)
+    return True
+
+
+def _wavtok_kv(w, cfg: dict, hp: dict) -> None:
+    """WavTokenizer decoder metadata (≡ WavTokenizerDecModel :4049)."""
+    arch = "wavtokenizer-dec"
+    w.set_kv(f"{arch}.vocab_size", int(cfg["vocab_size"]))
+    w.set_kv(f"{arch}.features_length", int(cfg["n_embd_features"]))
+    w.set_kv(f"{arch}.feed_forward_length", int(cfg.get("n_ff", 0)))
+    w.add_kv(f"{arch}.attention.group_norm_epsilon",
+             float(cfg.get("group_norm_epsilon", 1e-6)))
+    w.add_kv(f"{arch}.attention.group_norm_groups",
+             int(cfg.get("group_norm_groups", 32)))
+    w.set_kv(f"{arch}.posnet.embedding_length",
+             int(cfg["posnet"]["n_embd"]))
+    w.set_kv(f"{arch}.posnet.block_count", int(cfg["posnet"]["n_layer"]))
+    w.set_kv(f"{arch}.convnext.embedding_length",
+             int(cfg["convnext"]["n_embd"]))
+    w.set_kv(f"{arch}.convnext.block_count",
+             int(cfg["convnext"]["n_layer"]))
+    w.add_kv(f"{arch}.attention.causal", False)
+    w.set_kv("tokenizer.ggml.model", "none")
+
+
+def _wavtok_mapper(cfg: dict, hp: dict) -> Mapper:
+    # posnet block layout is fixed: [res, res, ATTENTION, res, res, NORM]
+    # (WavTokenizerDec's 6-block posnet) — both the attention block's
+    # group-norm and the final norm are called "norm" in the checkpoint,
+    # so the block index disambiguates (gguf-py's tensor map carries the
+    # same collision, tensor_mapping.py:1251 vs :1263)
+    n_pos = int((cfg.get("posnet") or {}).get("n_layer", 6))
+    attn_blocks = {str(i) for i in range(n_pos) if i % 3 == 2 and
+                   i != n_pos - 1}
+    POS = {"conv1": "conv1", "conv2": "conv2", "norm": "norm",
+           "norm1": "norm1", "norm2": "norm2", "q": "attn_q",
+           "k": "attn_k", "v": "attn_v", "proj_out": "attn_output"}
+    CNX = {"dwconv": "dw", "norm": "norm", "pwconv1": "pw1",
+           "pwconv2": "pw2", "gamma": "gamma"}
+
+    def m(name: str, arr: np.ndarray):
+        if name.endswith(("codebook.cluster_size", "codebook.embed_avg",
+                          "codebook.inited")):
+            return []
+        if name.endswith("codebook.embed"):  # VQ codes table
+            return [("token_embd.weight", arr)]
+        if name.startswith("backbone.embed."):  # input conv
+            return [("conv1d." + _wb(name), arr)]
+        if name.startswith("backbone.norm."):
+            return [("token_embd_norm." + _wb(name), arr)]
+        if name.startswith("backbone.final_layer_norm."):
+            return [("output_norm." + _wb(name), arr)]
+        if name.startswith("head.out."):
+            return [("output." + _wb(name), arr)]
+        for pfx, table, gg in (("backbone.posnet.", POS, "posnet"),
+                               ("backbone.convnext.", CNX, "convnext")):
+            if not name.startswith(pfx):
+                continue
+            parts = name[len(pfx):].split(".")
+            bid = parts[0]
+            stem = parts[1]
+            suffix = parts[2] if len(parts) > 2 else "weight"
+            mapped = table.get(stem)
+            if gg == "posnet" and stem == "norm" and bid in attn_blocks:
+                mapped = "attn_norm"
+            if mapped is None:
+                return []
+            return [(f"{gg}.{bid}.{mapped}.{suffix}", arr)]
+        return []
+
+    return m
+
+
+register("wavtokenizer-dec", arch="wavtokenizer-dec", set_kv=_wavtok_kv,
+         make_mapper=_wavtok_mapper)
+register("wavtokenizer", arch="wavtokenizer-dec", set_kv=_wavtok_kv,
+         make_mapper=_wavtok_mapper)

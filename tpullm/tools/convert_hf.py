@@ -889,7 +889,11 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
                  "JinaBertForMaskedLM": "jina_bert_v2",
                  "NomicBertModel": "nomic_bert",
                  "NeoBERT": "neobert", "NeoBERTLMHead": "neobert",
-                 "LlamaModel": "llama_embed"}
+                 "LlamaModel": "llama_embed",
+                 "XLMRobertaModel": "xlm-roberta",
+                 "XLMRobertaForSequenceClassification": "xlm-roberta",
+                 "GPTRefactForCausalLM": "gpt_refact",
+                 "WavTokenizerDec": "wavtokenizer-dec"}
     for cls in cfg.get("architectures") or []:
         if cls in _BY_CLASS:
             model_type = _BY_CLASS[cls]
@@ -1053,8 +1057,12 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
     n_vocab = int(cfg.get("vocab_size", 0))
     tok_json_path = os.path.join(src_dir, "tokenizer.json")
     spm_path = os.path.join(src_dir, "tokenizer.model")
+    from .convert_families import convert_vocab_xlmroberta
+
     if convert_vocab_rwkv_world(w, src_dir, cfg):
         pass  # RWKV world trie vocab shipped as rwkv_vocab_v20230424.txt
+    elif convert_vocab_xlmroberta(w, src_dir, cfg):
+        pass  # sentencepiece.bpe.model (fairseq-aligned UGM, bge-m3/jina-v3)
     elif os.path.exists(tok_json_path):
         _convert_vocab_bpe(w, json.load(open(tok_json_path)), cfg)
     elif os.path.exists(spm_path):
