@@ -75,7 +75,7 @@ def test_prewarm_attaches_and_quant_load_consumes(quant_gguf, tmp_path,
     # of consumption; consuming releases permits so the rest follow
     import time
 
-    deadline = time.time() + 10
+    deadline = time.time() + 60  # xdist workers contend for cores
     while time.time() < deadline and not any(
             "_planes_fut" in ti.__dict__ for ti in quant_infos):
         time.sleep(0.01)
