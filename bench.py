@@ -212,6 +212,37 @@ def main():
     def remaining() -> float:
         return budget - (time.time() - t_start)
 
+    # budget guard: the axon relay's throughput varies wildly run to run
+    # (85->550 MB/s upload within one morning; one measured period ran
+    # device programs ~60x slow), so any phase can blow its worst-case
+    # estimate. At budget-45s this thread ends the process CLEANLY:
+    # everything measured so far has already been emitted (emit() re-prints
+    # after every phase), so exiting 0 here turns an overrun into a partial
+    #-but-parseable result instead of the driver's rc=124 hard kill
+    # (BENCH_r02/r04 failure mode).
+    phase = {"name": "device-init", "emitted": False}
+
+    def _emergency():
+        wait = max(budget - 45.0 - (time.time() - t_start), 1.0)
+        time.sleep(wait)
+        if not phase["emitted"]:
+            print(json.dumps({
+                "metric": "decode_tokens_per_sec_8B_Q4_K_M_single_chip",
+                "value": 0.0,
+                "unit": "tok/s",
+                "vs_baseline": 0.0,
+                "extra": {"error": f"budget exhausted during phase "
+                                   f"{phase['name']!r} at "
+                                   f"{time.time()-t_start:.0f}s — axon "
+                                   "relay slow or stalled"},
+            }), flush=True)
+            os._exit(4)
+        log(f"budget guard: stopping during phase {phase['name']!r} at "
+            f"{time.time()-t_start:.0f}s; prior phases already emitted")
+        os._exit(0)
+
+    threading.Thread(target=_emergency, daemon=True).start()
+
     import jax
 
     log("devices:", jax.devices())
@@ -223,11 +254,17 @@ def main():
     # one Model, many contexts (≡ llama_model / llama_context): the 4.6 GB
     # of packed weights cross the host→HBM link once; the 32-stream and
     # depth phases build their engines on the same device-resident planes
+    phase["name"] = "model-load"
     model = Model(model_path, mode="quant")
+    phase["name"] = "engine-build (fuse)"
     eng = Engine(model, max_seq=2048)
-    log(f"load+repack: {time.time()-t0:.1f}s [{model.load_breakdown}]")
+    t_load = time.time() - t0
+    log(f"load+repack: {t_load:.1f}s [{model.load_breakdown}]")
 
+    phase["name"] = "decode compile+measure"
     tps, extra = bench_decode(eng)
+    extra["load_s"] = round(t_load, 1)
+    phase["emitted"] = True
     emit(tps, extra)  # primary metric is now un-losable
 
     if os.environ.get("TPULLM_BENCH_QUICK"):  # decode-only A/B runs
@@ -242,6 +279,7 @@ def main():
     # persistent XLA cache is warm.
     if remaining() > 240:
         try:
+            phase["name"] = "conformance"
             from tpullm.tools.conformance import run_sweep
 
             conf = run_sweep()
@@ -256,6 +294,7 @@ def main():
 
     if remaining() > 420:
         try:
+            phase["name"] = "pp512"
             pp = bench_pp512(eng)
             extra["pp512_tok_s"] = round(pp, 1)
             extra["pp512_vs_baseline"] = round(pp / BASELINE_PP, 3)
@@ -268,6 +307,7 @@ def main():
 
     if remaining() > 420:
         try:
+            phase["name"] = "warm-ttft"
             ttft = bench_warm_ttft(eng)
             extra["warm_ttft_p50_s"] = round(ttft, 4)
             log(f"warm TTFT p50 (256-tok prompt): {ttft*1000:.1f} ms")
@@ -281,6 +321,7 @@ def main():
         del eng  # free HBM before the 32-stream engine loads its own copy
         eng = None
         try:
+            phase["name"] = "32-stream"
             streams = bench_streams(model)
             extra["batch32"] = streams
             log(f"32-stream: {streams['agg_tok_s']} tok/s aggregate")
@@ -294,6 +335,7 @@ def main():
         if eng is not None:
             del eng  # free HBM for the depth engine's own weight copy
         try:
+            phase["name"] = "depth-4096"
             depth = bench_depth(model)
             extra["depth4096"] = depth
             log(f"d4096: tg {depth['tg_tok_s']} tok/s, "
