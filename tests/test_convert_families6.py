@@ -102,18 +102,8 @@ def test_roundtrip_llama_embed(tmp_path):
                max_position_embeddings=256, rope_theta=10000.0,
                rms_norm_eps=1e-5,
                vocab_size=t["token_embd.weight"].shape[0], **_IDS)
-    out = str(tmp_path / "m.gguf")
-    stats = convert_hf_to_gguf(_write_hf(tmp_path, "le", cfg, sd), out,
-                               outtype="f32", verbose=False)
-    assert stats["arch"] == "llama-embed"
-    ids = [3, 17, 42, 7, 19, 55]
-    ref = Engine(fx, mode="dense", dtype=jnp.float32, max_seq=64,
-                 kv_dtype=jnp.float32).embed_tokens(ids, pooling="mean",
-                                                    normalize=False)
-    got = Engine(out, mode="dense", dtype=jnp.float32, max_seq=64,
-                 kv_dtype=jnp.float32).embed_tokens(ids, pooling="mean",
-                                                    normalize=False)
-    np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4)
+    _embed_parity(fx, _write_hf(tmp_path, "le", cfg, sd), tmp_path,
+                  "llama-embed")
 
 
 def test_roundtrip_bailingmoe2(tmp_path):

@@ -150,3 +150,51 @@ def test_fit_trainable_mask_freezes(tmp_path):
     assert np.abs(np.asarray(params["tok_embd"]) - emb_before).max() > 0
     np.testing.assert_array_equal(
         np.asarray(params["layers"][0]["wq"].w), wq_before)
+
+
+def test_finetune_moe_save_roundtrip(tmp_path):
+    """Full-weight finetune of a MoE model saves router/expert/shexp
+    tensors (review finding: they previously copied through untrained)."""
+    from tpullm.gguf.reader import GGUFReader
+    from tpullm.models.registry import get_arch, load_hparams
+    from tpullm.models.testing import make_tiny_moe_gguf
+    from tpullm import tokenizer as tokenizer_mod
+    from tpullm.training import Dataset, OptimConfig, fit
+    from tpullm.training.save import save_dense_gguf
+
+    path = make_tiny_moe_gguf(tmp_path / "m.gguf", arch="qwen2moe",
+                              n_layer=2, n_ff_shexp=48, gated_shexp=True)
+    r = GGUFReader(path)
+    hp = load_hparams(r)
+    arch = get_arch(hp.arch)
+    tok = tokenizer_mod.from_gguf(r)
+    params = arch.build_params(r, hp, mode="dense", dtype=jnp.float32)
+    before = np.asarray(
+        r.tensors["blk.0.ffn_gate_exps.weight"].to_numpy(), np.float32)
+    ds = Dataset.from_text(tok, _corpus(), seq_len=32)
+    params, _ = fit(arch.forward, hp, params, ds,
+                    cfg=OptimConfig(lr=5e-3), epochs=1, batch_size=2)
+    out = str(tmp_path / "trained.gguf")
+    save_dense_gguf(r, hp, params, out, outtype="f32")
+    r2 = GGUFReader(out)
+    after = np.asarray(
+        r2.tensors["blk.0.ffn_gate_exps.weight"].to_numpy(), np.float32)
+    assert np.abs(after - before).max() > 0  # experts actually trained
+    for stem in ("ffn_gate_inp.weight", "ffn_gate_shexp.weight",
+                 "ffn_gate_inp_shexp.weight"):
+        assert f"blk.0.{stem}" in r2.tensors
+
+
+def test_fit_raises_on_empty_train_split(tmp_path):
+    from tpullm.gguf.reader import GGUFReader
+    from tpullm.models.registry import get_arch, load_hparams
+    from tpullm.training import Dataset, fit
+
+    path = make_tiny_llama_gguf(tmp_path / "m.gguf")
+    r = GGUFReader(path)
+    hp = load_hparams(r)
+    arch = get_arch(hp.arch)
+    params = arch.build_params(r, hp, mode="dense", dtype=jnp.float32)
+    ds = Dataset.from_tokens(np.arange(40), seq_len=32)  # one window
+    with pytest.raises(ValueError, match="zero optimizer steps"):
+        fit(arch.forward, hp, params, ds, epochs=1, batch_size=2)

@@ -340,8 +340,13 @@ def _read_cached_planes(d: str) -> dict[str, np.ndarray] | None:
             names = [ln.strip() for ln in f if ln.strip()]
         if not names:
             return None
-        return {nm: np.load(os.path.join(d, nm + ".npy"), mmap_mode="r")
-                for nm in names}
+        planes = {nm: np.load(os.path.join(d, nm + ".npy"), mmap_mode="r")
+                  for nm in names}
+        try:  # LRU touch: eviction ranks by mtime, so hits must refresh it
+            os.utime(d)
+        except OSError:
+            pass
+        return planes
     except FileNotFoundError:
         return None
     except (OSError, ValueError, EOFError):

@@ -2630,7 +2630,8 @@ def _xlmr_kv(w, cfg: dict, hp: dict) -> None:
     w.add_kv(f"{arch}.pooling_type", 1)  # mean
     # fairseq position convention: ids start at pad+1, so usable context
     # shrinks by the offset (≡ _xlmroberta_tokenizer_init :5534)
-    pad = int(cfg.get("pad_token_id", 1) or 1)
+    pad = cfg.get("pad_token_id")
+    pad = 1 if pad is None else int(pad)  # 0 is a legal pad id
     w.set_kv(f"{arch}.context_length",
              int(cfg.get("max_position_embeddings", 514)) - (pad + 1))
     if arch == "jina-bert-v3" and cfg.get("rotary_emb_base"):
@@ -2640,7 +2641,8 @@ def _xlmr_kv(w, cfg: dict, hp: dict) -> None:
 def _xlmr_mapper(cfg: dict, hp: dict) -> Mapper:
     from .convert_hf import _map_bert_name
 
-    pad = int(cfg.get("pad_token_id", 1) or 1)
+    pad = cfg.get("pad_token_id")
+    pad = 1 if pad is None else int(pad)  # 0 is a legal pad id
     jina = bool(cfg.get("lora_adaptations"))
 
     def m(name: str, arr: np.ndarray):
@@ -2673,6 +2675,11 @@ def convert_vocab_xlmroberta(w, src_dir: str, cfg: dict) -> bool:
     tokenizer model "t5")."""
     import os
 
+    # only XLM-R-family checkpoints use the fairseq-aligned vocab; other
+    # models may legitimately ship a legacy sentencepiece.bpe.model next to
+    # their real tokenizer.json and must NOT take this branch
+    if cfg.get("model_type") not in ("xlm-roberta", "roberta", "bert"):
+        return False
     path = os.path.join(src_dir, "sentencepiece.bpe.model")
     if not os.path.exists(path):
         return False

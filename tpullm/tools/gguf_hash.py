@@ -23,20 +23,25 @@ def hash_gguf(path: str, algos: list[str], no_layer: bool = False,
 
     out = out or sys.stdout
     r = GGUFReader(path)
-    whole = {a: _new(a) for a in algos}
+    # the model UUID always derives from sha256 so two invocations with
+    # different hash flags agree on the identity of the same file
+    uuid_algos = list(dict.fromkeys(algos + ["sha256"]))
+    whole = {a: _new(a) for a in uuid_algos}
     totals: dict[str, str] = {}
     for name, info in r.tensors.items():
         data = memoryview(info.data)
-        for a in algos:
-            h = _new(a)
-            h.update(data)
+        for a in uuid_algos:
             whole[a].update(data)
-            if not no_layer:
+        if not no_layer:
+            for a in algos:
+                h = _new(a)
+                h.update(data)
                 print(f"{a}\t{h.hexdigest()}\t{path}:{name}", file=out)
-    for a in algos:
+    for a in uuid_algos:
         totals[a] = whole[a].hexdigest()
-        print(f"{a}\t{totals[a]}\t{path}", file=out)
-    model_uuid = uuid.uuid5(_UUID_NS, totals[algos[0]])
+        if a in algos:
+            print(f"{a}\t{totals[a]}\t{path}", file=out)
+    model_uuid = uuid.uuid5(_UUID_NS, totals["sha256"])
     print(f"uuid\t{model_uuid}\t{path}", file=out)
     totals["uuid"] = str(model_uuid)
     return totals

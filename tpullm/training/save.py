@@ -29,6 +29,11 @@ _LAYER_VECTORS = {
     "bq": "attn_q.bias", "bk": "attn_k.bias", "bv": "attn_v.bias",
     "bo": "attn_output.bias",
 }
+_MOE_WEIGHTS = {
+    "w_gate_exps": "ffn_gate_exps.weight",
+    "w_up_exps": "ffn_up_exps.weight",
+    "w_down_exps": "ffn_down_exps.weight",
+}
 
 
 def _trained_tensors(hp, params) -> dict[str, np.ndarray]:
@@ -48,6 +53,7 @@ def _trained_tensors(hp, params) -> dict[str, np.ndarray]:
     out["output_norm.weight"] = np.asarray(params["output_norm"], np.float32)
     if params.get("output") is not None:
         out["output.weight"] = mat(params["output"])
+    handled = set(_LAYER_WEIGHTS) | set(_LAYER_VECTORS) | set(_MOE_WEIGHTS)
     for i, layer in enumerate(params["layers"]):
         p = f"blk.{i}."
         for key, stem in _LAYER_WEIGHTS.items():
@@ -56,6 +62,35 @@ def _trained_tensors(hp, params) -> dict[str, np.ndarray]:
         for key, stem in _LAYER_VECTORS.items():
             if layer.get(key) is not None:
                 out[p + stem] = np.asarray(layer[key], np.float32)
+        # MoE FFN (mixtral / qwen-moe families): router + stacked experts
+        # train like any other leaf, so they must save like one
+        if layer.get("router") is not None:
+            out[p + "ffn_gate_inp.weight"] = mat(layer["router"])
+        for key, stem in _MOE_WEIGHTS.items():
+            if layer.get(key) is not None:
+                # [E, n_in, n_out] device stack -> GGUF (E, n_out, n_in)
+                out[p + stem] = np.asarray(
+                    layer[key], np.float32).transpose(0, 2, 1)
+        for key, stem in (("w_gate_shexp", "ffn_gate_shexp.weight"),
+                          ("w_up_shexp", "ffn_up_shexp.weight"),
+                          ("w_down_shexp", "ffn_down_shexp.weight")):
+            if layer.get(key) is not None:
+                out[p + stem] = mat(layer[key])
+        if layer.get("shexp_gate_inp") is not None:
+            out[p + "ffn_gate_inp_shexp.weight"] = np.asarray(
+                layer["shexp_gate_inp"], np.float32)
+        if layer.get("exp_probs_b") is not None:
+            out[p + "exp_probs_b.bias"] = np.asarray(
+                layer["exp_probs_b"], np.float32)
+        unhandled = [k for k, v in layer.items()
+                     if v is not None and k not in handled
+                     and k not in ("router", "w_gate_shexp", "w_up_shexp",
+                                   "w_down_shexp", "shexp_gate_inp",
+                                   "exp_probs_b")]
+        if unhandled:  # a silent partial save must be impossible
+            raise NotImplementedError(
+                f"save_dense_gguf: layer {i} has trained weights with no "
+                f"save mapping: {unhandled}")
     return out
 
 

@@ -170,6 +170,11 @@ def fit(
     opt_state = opt.init(params)
     step = make_train_step(forward, hp, opt)
     train_ds, eval_ds = dataset.split(val_split)
+    if train_ds.ndata < batch_size:
+        raise ValueError(
+            f"train split has {train_ds.ndata} windows < batch_size "
+            f"{batch_size} — zero optimizer steps would run (shrink "
+            "--batch / --seq-len / --val-split, or grow the corpus)")
     rng = np.random.default_rng(seed)
     history: list[dict] = []
     for epoch in range(epochs):
