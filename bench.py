@@ -54,6 +54,33 @@ def ensure_model() -> str:
     return MODEL
 
 
+def device_health() -> float:
+    """Achieved f32 TFLOP/s on 64 chained 4k matmuls — a 2-second canary
+    for the shared axon backend. Healthy v5e ≈ 40+; one measured afternoon
+    ran at 2.5 (other tenants / relay degradation), which made every
+    downstream number meaningless without this context in `extra`."""
+    import numpy as np
+
+    import jax
+
+    x = jax.device_put(np.random.default_rng(0)
+                       .standard_normal((4096, 4096)).astype(np.float32))
+
+    import jax.numpy as jnp  # noqa: F401
+
+    @jax.jit
+    def f(x):
+        def body(i, a):
+            return a @ x * 0.001 + a
+        return jax.lax.fori_loop(0, 64, body, x)
+
+    np.asarray(f(x))  # compile + settle
+    t0 = time.perf_counter()
+    np.asarray(f(x))
+    dt = time.perf_counter() - t0
+    return 64 * 2 * 4096 ** 3 / dt / 1e12
+
+
 def bench_decode(eng) -> tuple[float, dict]:
     """Single-stream tg: device-resident scan chunks, ids-only readback."""
     prompt = list(range(3, 19))  # 16 tokens
@@ -247,6 +274,8 @@ def main():
 
     log("devices:", jax.devices())
     acquired.set()
+    tflops = device_health()
+    log(f"device health: {tflops:.1f} f32 TFLOP/s (healthy v5e ~40+)")
     from tpullm.runtime import Engine, Model
 
     model_path = ensure_model()
@@ -264,6 +293,7 @@ def main():
     phase["name"] = "decode compile+measure"
     tps, extra = bench_decode(eng)
     extra["load_s"] = round(t_load, 1)
+    extra["device_tflops_f32"] = round(tflops, 1)
     phase["emitted"] = True
     emit(tps, extra)  # primary metric is now un-losable
 
