@@ -62,8 +62,22 @@ def enable_persistent_cache() -> None:
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        # cache every program regardless of compile time / size
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        # persist ONLY expensive compiles. With the 0.0 default-every-program
+        # policy, serializing each of the hundreds of tiny load-time programs
+        # (uploads, device repacks, concats) round-trips executable binaries
+        # through the axon relay: measured 427s engine construction with the
+        # cache on vs 2.8s off. The decode/prefill step programs (minutes to
+        # compile over the relay) still get cached — they are the entire
+        # point of the cache.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          float(os.environ.get(
+                              "TPULLM_COMPILE_CACHE_MIN_SECS", "5.0")))
+        # the default 'all' also enables XLA-side caches (per-fusion
+        # autotune cache etc.); on the axon TPU relay those made every
+        # cache-enabled run stall minutes inside shard_args (measured:
+        # fuse 2.8s cache-off vs 427.8s cache-on) — keep only JAX's
+        # executable cache
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
     except Exception:  # config knobs vary across jax versions — best effort
         pass
