@@ -54,6 +54,10 @@ def ensure_model() -> str:
     return MODEL
 
 
+HEALTHY_TFLOPS = 15.0  # healthy v5e reads ~40+; r04's poisoned relay read 3.0
+MIN_FULL_S = 750.0  # worst-case cold post-canary full-run wall (load+compile)
+
+
 def device_health() -> float:
     """Achieved f32 TFLOP/s on 64 chained 4k matmuls — a 2-second canary
     for the shared axon backend. Healthy v5e ≈ 40+; one measured afternoon
@@ -79,6 +83,29 @@ def device_health() -> float:
     np.asarray(f(x))
     dt = time.perf_counter() - t0
     return 64 * 2 * 4096 ** 3 / dt / 1e12
+
+
+def canary_gate(remaining) -> tuple[float, list[float]]:
+    """Gate the run on device health instead of marching into a 13x-slow
+    relay (r04 burned its whole 1546s budget that way: canary read 3.0,
+    the run proceeded, and load+compile alone overran the budget).
+    While the relay is degraded AND enough budget remains for a full run,
+    sleep-and-remeasure — a poisoned relay typically drains in tens of
+    minutes once the orphaned server-side work completes. Returns the
+    final reading plus the whole history for `extra`."""
+    history = []
+    tflops = device_health()
+    history.append(round(tflops, 1))
+    log(f"device health: {tflops:.1f} f32 TFLOP/s (healthy v5e ~40+)")
+    while tflops < HEALTHY_TFLOPS and remaining() > MIN_FULL_S + 90:
+        log(f"canary {tflops:.1f} < {HEALTHY_TFLOPS} TFLOP/s — relay "
+            f"degraded; sleeping 60s and remeasuring "
+            f"({remaining():.0f}s budget left)")
+        time.sleep(60)
+        tflops = device_health()
+        history.append(round(tflops, 1))
+        log(f"device health: {tflops:.1f} f32 TFLOP/s")
+    return tflops, history
 
 
 def bench_decode(eng) -> tuple[float, dict]:
@@ -274,31 +301,66 @@ def main():
 
     log("devices:", jax.devices())
     acquired.set()
-    tflops = device_health()
-    log(f"device health: {tflops:.1f} f32 TFLOP/s (healthy v5e ~40+)")
+    phase["name"] = "health-canary"
+    tflops, canary_hist = canary_gate(remaining)
+    degraded = tflops < HEALTHY_TFLOPS
+
+    base_extra: dict = {"device_tflops_f32": round(tflops, 1)}
+    if len(canary_hist) > 1:
+        base_extra["canary_history"] = canary_hist
+    if degraded:
+        # The environment is provably sick: a 2s canary predicts every
+        # downstream number is meaningless and the full run won't fit the
+        # budget. Emit a parseable environment-invalid line NOW (so even a
+        # total stall yields rc=0 + marker instead of r04's 0.0/rc=4),
+        # then still attempt a decode-only measurement for a small number.
+        base_extra["environment_invalid"] = True
+        base_extra["note"] = (
+            "axon relay degraded (healthy v5e ~40+ f32 TFLOP/s); "
+            "decode-only fallback, numbers not comparable to baseline")
+        phase["emitted"] = True
+        emit(0.0, dict(base_extra,
+                       error="degraded relay; attempting decode-only"))
+
     from tpullm.runtime import Engine, Model
 
     model_path = ensure_model()
-    t0 = time.time()
     # one Model, many contexts (≡ llama_model / llama_context): the 4.6 GB
     # of packed weights cross the host→HBM link once; the 32-stream and
-    # depth phases build their engines on the same device-resident planes
+    # depth phases build their engines on the same device-resident planes.
+    # Model() and Engine() are timed SEPARATELY: r04's "load 323.9s with
+    # 48s accounted" hole was engine-build compiles over the sick relay,
+    # and the instrumentation must be able to convict the environment.
     phase["name"] = "model-load"
+    t0 = time.time()
     model = Model(model_path, mode="quant")
-    phase["name"] = "engine-build (fuse)"
+    t_model = time.time() - t0
+    phase["name"] = "engine-build (fuse+jit)"
+    t0 = time.time()
     eng = Engine(model, max_seq=2048)
-    t_load = time.time() - t0
-    log(f"load+repack: {t_load:.1f}s [{model.load_breakdown}]")
+    t_engine = time.time() - t0
+    log(f"model load: {t_model:.1f}s [{model.load_breakdown}]")
+    log(f"engine build (fuse + jit setup): {t_engine:.1f}s")
 
     phase["name"] = "decode compile+measure"
     tps, extra = bench_decode(eng)
-    extra["load_s"] = round(t_load, 1)
-    extra["device_tflops_f32"] = round(tflops, 1)
+    extra["load_model_s"] = round(t_model, 1)
+    extra["engine_build_s"] = round(t_engine, 1)
+    extra.update(base_extra)
     phase["emitted"] = True
     emit(tps, extra)  # primary metric is now un-losable
 
-    if os.environ.get("TPULLM_BENCH_QUICK"):  # decode-only A/B runs
-        return
+    if degraded or os.environ.get("TPULLM_BENCH_QUICK"):
+        return  # decode-only: sick environment or explicit A/B run
+
+    # Optional-phase gates scale with the observed compile speed: cold_ttft
+    # is the decode+prefill compile we just paid, ~85s at r03's healthy-ish
+    # relay. Warm persistent-cache runs see ~10s (scale 0.15); a sick relay
+    # sees minutes (scale up to 12) and correctly skips everything.
+    scale = min(max(extra["cold_ttft_s"] / 85.0, 0.15), 12.0)
+
+    def gate(base: float) -> float:
+        return 40.0 + base * scale
 
     # optional phases, cheapest-compile first; each re-emits on success.
     # Worst-case estimates are COLD-compile times over the axon tunnel; with
@@ -307,7 +369,7 @@ def main():
     # every quant schema through the qmm kernel + flash/flash_q8 vs the
     # host numpy oracle. Compile-bound on first run, seconds when the
     # persistent XLA cache is warm.
-    if remaining() > 240:
+    if remaining() > gate(200):
         try:
             phase["name"] = "conformance"
             from tpullm.tools.conformance import run_sweep
@@ -320,9 +382,9 @@ def main():
         except Exception as e:  # noqa: BLE001
             log("conformance failed:", e)
     else:
-        log(f"skipping conformance: {remaining():.0f}s left")
+        log(f"skipping conformance: {remaining():.0f}s left < {gate(200):.0f}")
 
-    if remaining() > 420:
+    if remaining() > gate(380):
         try:
             phase["name"] = "pp512"
             pp = bench_pp512(eng)
@@ -333,9 +395,9 @@ def main():
         except Exception as e:  # noqa: BLE001 — primary metric already out
             log("pp512 failed:", e)
     else:
-        log(f"skipping pp512: {remaining():.0f}s left < 420s worst case")
+        log(f"skipping pp512: {remaining():.0f}s left < {gate(380):.0f}")
 
-    if remaining() > 420:
+    if remaining() > gate(380):
         try:
             phase["name"] = "warm-ttft"
             ttft = bench_warm_ttft(eng)
@@ -345,9 +407,9 @@ def main():
         except Exception as e:  # noqa: BLE001
             log("warm TTFT failed:", e)
     else:
-        log(f"skipping TTFT: {remaining():.0f}s left < 420s worst case")
+        log(f"skipping TTFT: {remaining():.0f}s left < {gate(380):.0f}")
 
-    if remaining() > 700:
+    if remaining() > gate(660):
         del eng  # free HBM before the 32-stream engine loads its own copy
         eng = None
         try:
@@ -359,11 +421,12 @@ def main():
         except Exception as e:  # noqa: BLE001
             log("32-stream failed:", e)
     else:
-        log(f"skipping 32-stream: {remaining():.0f}s left < 700s worst case")
+        log(f"skipping 32-stream: {remaining():.0f}s left < {gate(660):.0f}")
 
-    if remaining() > 700:
+    if remaining() > gate(660):
         if eng is not None:
             del eng  # free HBM for the depth engine's own weight copy
+            eng = None
         try:
             phase["name"] = "depth-4096"
             depth = bench_depth(model)
@@ -374,7 +437,7 @@ def main():
         except Exception as e:  # noqa: BLE001
             log("depth failed:", e)
     else:
-        log(f"skipping depth: {remaining():.0f}s left < 700s worst case")
+        log(f"skipping depth: {remaining():.0f}s left < {gate(660):.0f}")
 
 
 if __name__ == "__main__":
