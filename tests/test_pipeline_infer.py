@@ -237,6 +237,48 @@ def test_pipe_mesh_moe(tmp_path):
                                    rtol=2e-4, atol=2e-4)
 
 
+def test_pipe_mesh_moe_packed(tmp_path):
+    """Quantized MoE through the pipeline with experts kept GGUF-PACKED in
+    stage HBM ([L, E, rows, N] plane stacks decoded by the stack/gather
+    kernels — ≡ MUL_MAT_ID running quantized experts in place, mmid.cu):
+    logits match the unsharded packed engine; nothing widens to bf16."""
+    from jax.sharding import Mesh
+
+    from tpullm.models.testing import make_tiny_moe_gguf
+    from tpullm.runtime.batch_engine import BatchEngine
+    from tpullm.tools.quantize import quantize_model
+
+    path = make_tiny_moe_gguf(tmp_path / "mixp.gguf", arch="qwen3moe",
+                              n_layer=2, n_embd=256, n_head=4, n_head_kv=2,
+                              n_expert=4, n_expert_used=2, n_ff_exp=256)
+    qpath = tmp_path / "mixp-q8.gguf"
+    quantize_model(str(path), str(qpath), "Q8_0", verbose=False)
+
+    def run(mesh):
+        eng = BatchEngine(qpath, n_slots=2, max_seq=32, mode="quant",
+                          dtype=jnp.float32, kv_dtype=jnp.float32, mesh=mesh)
+        lg = eng.prefill_slot(0, [1, 5, 9, 2, 7])
+        step = eng.decode_batch({0: int(np.argmax(lg))})
+        return [lg, step[0]], eng
+
+    ref, eng0 = run(None)
+    # unsharded engine holds QuantExpertStacks (no widened arrays)
+    from tpullm.models.weights import QuantExpertStack
+
+    assert isinstance(eng0.params["layers"][0]["w_up_exps"],
+                      QuantExpertStack)
+    mesh = Mesh(np.asarray(jax.devices()[:2]).reshape(2, 1),
+                ("pipe", "model"))
+    got, eng = run(mesh)
+    # the expert stacks really are packed plane dicts with qmeta entries
+    assert isinstance(eng.params["stack"]["w_up_exps"], dict)
+    assert eng._qmeta["w_up_exps"][3] == 4  # (gtype, n_out, n_in, E)
+    for r, g in zip(ref, got):
+        assert int(np.argmax(g)) == int(np.argmax(r))
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-2, atol=1e-2)
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("pp,tp,kind", [(2, 1, "bias"), (2, 2, "bias"),
                                         (2, 1, "qknorm")])
@@ -614,3 +656,40 @@ def test_pipe_mesh_mla_deepseek2(tmp_path):
     for r, g in zip(ref, got):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_pipe_mesh_mla_deepseek2_packed_experts(tmp_path):
+    """Quantized deepseek2 MLA pipeline with PACKED expert stacks: the MoE
+    layers' experts ride [L, E, rows, N] plane dicts through the MLA scan
+    (qmeta-routed to the stack/gather kernels) while attention widens."""
+    from jax.sharding import Mesh
+
+    from tpullm.models.testing import make_tiny_deepseek2_gguf
+    from tpullm.runtime.batch_engine import BatchEngine
+    from tpullm.tools.quantize import quantize_model
+
+    path = make_tiny_deepseek2_gguf(
+        tmp_path / "ds2p.gguf", n_embd=256, n_ff=256, n_ff_exp=256,
+        n_ff_shexp=256)
+    qpath = tmp_path / "ds2p-q8.gguf"
+    quantize_model(str(path), str(qpath), "Q8_0", verbose=False)
+
+    def run(mesh):
+        eng = BatchEngine(qpath, n_slots=2, max_seq=32, mode="quant",
+                          dtype=jnp.float32, kv_dtype=jnp.float32, mesh=mesh)
+        lg = eng.prefill_slot(0, [1, 5, 9, 2, 7])
+        step = eng.decode_batch({0: int(np.argmax(lg))})
+        return [lg, step[0]], eng
+
+    ref, _ = run(None)
+    mesh = Mesh(np.asarray(jax.devices()[:2]).reshape(2, 1),
+                ("pipe", "model"))
+    got, eng = run(mesh)
+    assert isinstance(eng.params["stack"]["w_up_exps"], dict)
+    assert eng._qmeta["w_up_exps"][3] == 4  # (gtype, n_out, n_in, E)
+    # both sides run packed kernels but in different regimes (pipeline
+    # microbatch padding vs single-slot): bf16-MXU noise bounded
+    for r, g in zip(ref, got):
+        assert int(np.argmax(g)) == int(np.argmax(r))
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=2e-2, atol=2e-2)

@@ -25,7 +25,12 @@ from ..ops.rope import apply_rope
 from ..runtime.kvcache import KVCache
 from .hparams import HParams
 from .llama import Params, output_head
-from .weights import load_embedding, load_linear, load_vector
+from .weights import (
+    load_embedding,
+    load_expert_stack,
+    load_linear,
+    load_vector,
+)
 
 
 def build_params(r: GGUFReader, hp: HParams, mode: str = "auto",
@@ -39,8 +44,7 @@ def build_params(r: GGUFReader, hp: HParams, mode: str = "auto",
         return load_vector(t[name])
 
     def experts(name):
-        w = t[name].to_numpy()
-        return jnp.asarray(np.ascontiguousarray(w.transpose(0, 2, 1)), dtype=dtype)
+        return load_expert_stack(t[name], mode=mode, dtype=dtype)
 
     layers = []
     for i in range(hp.n_layer):

@@ -27,7 +27,12 @@ from ..runtime.kvcache import KVCache
 from .hparams import HParams
 from .llama import Params
 from .phi3 import slice_rows
-from .weights import load_embedding, load_linear, load_vector
+from .weights import (
+    load_embedding,
+    load_expert_stack,
+    load_linear,
+    load_vector,
+)
 
 # archs whose bert-graph attention applies rope (bert.cpp rope branch)
 ROPE_BERT_ARCHS = {"nomic-bert", "nomic-bert-moe", "jina-bert-v3"}
@@ -91,9 +96,7 @@ def build_params(r: GGUFReader, hp: HParams, mode: str = "auto",
         }
         if p + "ffn_up_exps.weight" in t:  # nomic-bert-moe MoE layer
             def experts(name):
-                w = t[name].to_numpy()
-                return jnp.asarray(
-                    np.ascontiguousarray(w.transpose(0, 2, 1)), dtype=dtype)
+                return load_expert_stack(t[name], mode=mode, dtype=dtype)
 
             layer["router"] = linear(t[p + "ffn_gate_inp.weight"])
             layer["w_up_exps"] = experts(p + "ffn_up_exps.weight")

@@ -45,9 +45,9 @@ def build_params(r: GGUFReader, hp: HParams, mode: str = "auto",
             "wo": linear(t[p + "attn_output.weight"]),
             "out_norm": load_vector(t[p + "attn_output_norm.weight"]),
             "router": linear(t[p + "ffn_gate_inp.weight"]),
-            "w_gate_exps": _experts(t[p + "ffn_gate_exps.weight"], dtype),
-            "w_up_exps": _experts(t[p + "ffn_up_exps.weight"], dtype),
-            "w_down_exps": _experts(t[p + "ffn_down_exps.weight"], dtype),
+            "w_gate_exps": _experts(t[p + "ffn_gate_exps.weight"], dtype, mode),
+            "w_up_exps": _experts(t[p + "ffn_up_exps.weight"], dtype, mode),
+            "w_down_exps": _experts(t[p + "ffn_down_exps.weight"], dtype, mode),
         })
 
     return {

@@ -114,9 +114,9 @@ def build_params(r: GGUFReader, hp: HParams, mode: str = "auto",
         else:  # MoE layer
             layer["router"] = linear(p + "ffn_gate_inp.weight")
             layer["exp_probs_b"] = maybe_vec(p + "exp_probs_b.bias")
-            layer["w_gate_exps"] = _experts(t[p + "ffn_gate_exps.weight"], dtype)
-            layer["w_up_exps"] = _experts(t[p + "ffn_up_exps.weight"], dtype)
-            layer["w_down_exps"] = _experts(t[p + "ffn_down_exps.weight"], dtype)
+            layer["w_gate_exps"] = _experts(t[p + "ffn_gate_exps.weight"], dtype, mode)
+            layer["w_up_exps"] = _experts(t[p + "ffn_up_exps.weight"], dtype, mode)
+            layer["w_down_exps"] = _experts(t[p + "ffn_down_exps.weight"], dtype, mode)
             layer["w_gate_shexp"] = linear(p + "ffn_gate_shexp.weight")
             layer["w_up_shexp"] = linear(p + "ffn_up_shexp.weight")
             layer["w_down_shexp"] = linear(p + "ffn_down_shexp.weight")

@@ -23,7 +23,12 @@ from ..ops.rope import apply_rope
 from ..runtime.kvcache import KVCache
 from .hparams import HParams
 from .llama import Params
-from .weights import load_embedding, load_linear, load_vector
+from .weights import (
+    load_embedding,
+    load_expert_stack,
+    load_linear,
+    load_vector,
+)
 
 
 def build_params(r: GGUFReader, hp: HParams, mode: str = "auto",
@@ -40,8 +45,7 @@ def build_params(r: GGUFReader, hp: HParams, mode: str = "auto",
         return vec(name) if name in t else None
 
     def experts(name):
-        w = t[name].to_numpy()
-        return jnp.asarray(np.ascontiguousarray(w.transpose(0, 2, 1)), dtype=dtype)
+        return load_expert_stack(t[name], mode=mode, dtype=dtype)
 
     layers = []
     for i in range(hp.n_layer):

@@ -32,7 +32,12 @@ from ..ops.moe import moe_ffn, route
 from ..ops.norms import rms_norm
 from .llama import Params
 from .mamba import _causal_conv, _selective_scan, _ssd_scan
-from .weights import load_embedding, load_linear, load_vector
+from .weights import (
+    load_embedding,
+    load_expert_stack,
+    load_linear,
+    load_vector,
+)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -89,8 +94,7 @@ def build_params(r: GGUFReader, hp: HParams, mode: str = "auto",
         return vec(name) if name in t else None
 
     def experts(name):
-        w = t[name].to_numpy()  # (E, n_out, n_in)
-        return jnp.asarray(np.ascontiguousarray(w.transpose(0, 2, 1)), dtype=dtype)
+        return load_expert_stack(t[name], mode=mode, dtype=dtype)
 
     layers = []
     for i in range(hp.n_layer):

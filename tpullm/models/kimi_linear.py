@@ -28,7 +28,12 @@ from .hparams import HParams
 from .jamba import HybridCache
 from .llama import Params, output_head
 from .mamba import _causal_conv
-from .weights import load_embedding, load_linear, load_vector
+from .weights import (
+    load_embedding,
+    load_expert_stack,
+    load_linear,
+    load_vector,
+)
 
 
 def make_cache(hp: HParams, batch: int, max_len: int = 2048,
@@ -64,8 +69,7 @@ def build_params(r: GGUFReader, hp: HParams, mode: str = "auto",
             width, hp.ssm_d_conv)
 
     def experts(name):
-        w = t[name].to_numpy()
-        return jnp.asarray(np.ascontiguousarray(w.transpose(0, 2, 1)), dtype=dtype)
+        return load_expert_stack(t[name], mode=mode, dtype=dtype)
 
     d_inner = hp.n_head * hp.head_dim_kda
     layers = []

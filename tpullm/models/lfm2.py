@@ -22,7 +22,12 @@ from .hparams import HParams
 from .jamba import HybridCache
 from .llama import Params
 from .mamba import _causal_conv
-from .weights import load_embedding, load_linear, load_vector
+from .weights import (
+    load_embedding,
+    load_expert_stack,
+    load_linear,
+    load_vector,
+)
 
 
 def build_params(r: GGUFReader, hp: HParams, mode: str = "auto",
@@ -43,9 +48,7 @@ def build_params(r: GGUFReader, hp: HParams, mode: str = "auto",
             import numpy as np
 
             def experts(name):
-                w_ = t[name].to_numpy()
-                return jnp.asarray(
-                    np.ascontiguousarray(w_.transpose(0, 2, 1)), dtype=dtype)
+                return load_expert_stack(t[name], mode=mode, dtype=dtype)
 
             layer["router"] = linear(p + "ffn_gate_inp.weight")
             if p + "exp_probs_b.bias" in t:

@@ -21,7 +21,12 @@ from ..ops.norms import rms_norm
 from ..ops.rope import apply_rope
 from ..runtime.kvcache import KVCache
 from .hparams import HParams
-from .weights import load_embedding, load_linear, load_vector
+from .weights import (
+    load_embedding,
+    load_expert_stack,
+    load_linear,
+    load_vector,
+)
 
 Params = dict[str, Any]
 
@@ -77,9 +82,7 @@ def build_params(r: GGUFReader, hp: HParams, mode: str = "auto",
             import numpy as np
 
             def experts(name):
-                w_ = t[name].to_numpy()
-                return jnp.asarray(
-                    np.ascontiguousarray(w_.transpose(0, 2, 1)), dtype=dtype)
+                return load_expert_stack(t[name], mode=mode, dtype=dtype)
 
             layer["router"] = linear(p + "ffn_gate_inp.weight")
             layer["w_gate_exps"] = experts(p + "ffn_gate_exps.weight")

@@ -19,7 +19,12 @@ from ..gguf.constants import TYPE_TRAITS
 from ..gguf.reader import GGUFReader, GGUFTensorInfo
 from .hparams import HParams
 from .llama import Params, forward as llama_forward  # noqa: F401 (registered with llama.forward)
-from .weights import load_embedding, load_linear, load_vector
+from .weights import (
+    load_embedding,
+    load_expert_stack,
+    load_linear,
+    load_vector,
+)
 
 
 def slice_rows(info: GGUFTensorInfo, start: int, end: int, name: str) -> GGUFTensorInfo:
@@ -97,8 +102,7 @@ def build_params_moe(r: GGUFReader, hp: HParams, mode: str = "auto",
         return load_vector(t[name]) if name in t else None
 
     def experts(name):
-        w = t[name].to_numpy()
-        return jnp.asarray(np.ascontiguousarray(w.transpose(0, 2, 1)), dtype=dtype)
+        return load_expert_stack(t[name], mode=mode, dtype=dtype)
 
     n_q = hp.n_head * hp.head_dim
     n_kv = hp.n_head_kv * hp.head_dim

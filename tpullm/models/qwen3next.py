@@ -29,7 +29,12 @@ from .hparams import HParams
 from .jamba import HybridCache
 from .llama import Params, output_head
 from .mamba import _causal_conv
-from .weights import load_embedding, load_linear, load_vector
+from .weights import (
+    load_embedding,
+    load_expert_stack,
+    load_linear,
+    load_vector,
+)
 
 
 def build_params(r: GGUFReader, hp: HParams, mode: str = "auto",
@@ -43,8 +48,7 @@ def build_params(r: GGUFReader, hp: HParams, mode: str = "auto",
         return load_vector(t[name], dtype=d)
 
     def experts(name):
-        w = t[name].to_numpy()
-        return jnp.asarray(np.ascontiguousarray(w.transpose(0, 2, 1)), dtype=dtype)
+        return load_expert_stack(t[name], mode=mode, dtype=dtype)
 
     conv_w = hp.ssm_d_inner + 2 * hp.ssm_n_group * hp.ssm_d_state
     layers = []

@@ -33,7 +33,8 @@ from ..ops.norms import rms_norm
 from ..runtime.kvcache import KVCache
 from .hparams import HParams
 from .llama import Params, attn_block, output_head
-from .weights import load_embedding, load_linear, load_vector
+from .weights import (load_embedding, load_expert_stack, load_linear,
+                      load_vector)
 
 
 def norm_weights_policy(hp: HParams) -> bool:
@@ -45,11 +46,12 @@ def norm_weights_policy(hp: HParams) -> bool:
         "minimax-m2", "dots1", "bailingmoe2")
 
 
-def _experts(info, dtype) -> jax.Array:
-    """Stacked expert tensor (E, a, b) → device array [E, b, a] so each
-    expert slice is an x@w-ready [n_in, n_out] matrix."""
-    w = info.to_numpy()  # (E, n_out, n_in)
-    return jnp.asarray(np.ascontiguousarray(w.transpose(0, 2, 1)), dtype=dtype)
+def _experts(info, dtype, mode: str = "auto"):
+    """Stacked expert tensor (E, n_out, n_in) → QuantExpertStack (experts
+    stay GGUF-packed in HBM, ≡ MUL_MAT_ID consuming quantized experts in
+    place) or a dense x@w-ready [E, n_in, n_out] array when the type/shape
+    can't stay packed or mode='dense'."""
+    return load_expert_stack(info, mode=mode, dtype=dtype)
 
 
 def build_params(r: GGUFReader, hp: HParams, mode: str = "auto",
@@ -88,9 +90,9 @@ def build_params(r: GGUFReader, hp: HParams, mode: str = "auto",
         if p + "ffn_gate_exps.weight" in t:
             # MoE: router + stacked experts
             layer["router"] = linear(p + "ffn_gate_inp.weight")
-            layer["w_gate_exps"] = _experts(t[p + "ffn_gate_exps.weight"], dtype)
-            layer["w_up_exps"] = _experts(t[p + "ffn_up_exps.weight"], dtype)
-            layer["w_down_exps"] = _experts(t[p + "ffn_down_exps.weight"], dtype)
+            layer["w_gate_exps"] = _experts(t[p + "ffn_gate_exps.weight"], dtype, mode)
+            layer["w_up_exps"] = _experts(t[p + "ffn_up_exps.weight"], dtype, mode)
+            layer["w_down_exps"] = _experts(t[p + "ffn_down_exps.weight"], dtype, mode)
         else:
             # deepseek dense lead layer (hparams.n_layer_dense_lead)
             layer["w_gate"] = linear(p + "ffn_gate.weight")

@@ -187,6 +187,105 @@ def fuse_llama_params(params: dict) -> dict:
     return params
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class QuantExpertStack:
+    """Packed-quantized stacked MoE expert weights, logical (E, n_out, n_in).
+
+    The HBM-resident form of blk.N.ffn_{gate,up,down}_exps.weight: each
+    expert's weight repacked to qmatmul's plane schema and stacked on a
+    leading expert axis ([E, rows, N] per plane). Experts stay at their
+    GGUF-packed size — the property the reference's MUL_MAT_ID path keeps
+    on CUDA (ggml-cuda/mmid.cu + mmq.cu:220 run experts in their quantized
+    form) and that bf16 widening loses (~3.3x HBM + expert-read bandwidth
+    at Q4_K, exactly where MoE decode is bound).
+
+    Compute goes through ops.qmatmul.gather_matmul (decode: only routed
+    experts' packed bytes are read) / stack_matmul (prefill: all experts
+    stream packed once). ops/moe.py dispatches on this type.
+    """
+
+    gtype: GGMLType
+    n_expert: int
+    n_out: int
+    n_in: int
+    planes: dict[str, jax.Array]
+
+    @property
+    def shape(self) -> tuple[int, int, int]:
+        # mirrors the widened array's [E, n_in, n_out] layout
+        return (self.n_expert, self.n_in, self.n_out)
+
+    def tree_flatten(self):
+        keys = tuple(sorted(self.planes))
+        return tuple(self.planes[k] for k in keys), (
+            self.gtype, self.n_expert, self.n_out, self.n_in, keys)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        gtype, n_expert, n_out, n_in, keys = aux
+        return cls(gtype, n_expert, n_out, n_in, dict(zip(keys, children)))
+
+
+def _expert_stack_packable(info: GGUFTensorInfo) -> bool:
+    """Whether a stacked expert tensor can stay packed: quantized, schema'd,
+    and shaped for the stack/gather kernels."""
+    import os
+
+    from ..ops import qmatmul
+    from ..ops.pallas import qmm
+
+    if os.environ.get("TPULLM_PACKED_MOE", "1") == "0":
+        return False
+    if len(info.shape) != 3 or not TYPE_TRAITS[info.ggml_type].is_quantized:
+        return False
+    n_in, n_out = info.shape[0], info.shape[1]
+    return qmatmul.supports(info.ggml_type) and qmm.supports(
+        info.ggml_type, n_in, n_out)
+
+
+def quant_expert_stack(info: GGUFTensorInfo) -> QuantExpertStack:
+    """Repack a stacked (E, n_out, n_in) quantized tensor into stacked
+    planes. Device path: packed bytes upload once, per-expert repack runs
+    vmapped on-chip; host path: per-expert repack_np, stacked."""
+    import time
+
+    from ..ops import device_repack, qmatmul
+
+    n_in, n_out, E = info.shape
+    if device_repack.enabled() and device_repack.supports(info.ggml_type):
+        t0 = time.perf_counter()
+        planes = device_repack.repack_device_stack(
+            info.data, info.ggml_type, n_out, n_in, E)
+        load_stats.add("upload", time.perf_counter() - t0)
+        load_stats.add_bytes(int(np.asarray(info.data).nbytes))
+        return QuantExpertStack(info.ggml_type, E, n_out, n_in, planes)
+    data = np.ascontiguousarray(info.data, dtype=np.uint8).reshape(E, -1)
+    t0 = time.perf_counter()
+    per_expert = [qmatmul.repack_np(data[e], info.ggml_type, n_out, n_in)
+                  for e in range(E)]
+    load_stats.add("repack", time.perf_counter() - t0)
+    stacked = {nm: np.stack([p[nm] for p in per_expert])
+               for nm in per_expert[0]}
+    t0 = time.perf_counter()
+    planes = qmatmul.upload_planes(stacked)
+    load_stats.add("upload", time.perf_counter() - t0)
+    load_stats.add_bytes(sum(v.nbytes for v in stacked.values()))
+    return QuantExpertStack(info.ggml_type, E, n_out, n_in, planes)
+
+
+def load_expert_stack(info: GGUFTensorInfo, mode: str = "auto",
+                      dtype=jnp.bfloat16):
+    """Stacked MoE expert tensor → QuantExpertStack (packed, when the type
+    and shape allow and mode isn't 'dense') or a dense [E, n_in, n_out]
+    device array (the old widening path, kept as fallback)."""
+    if mode != "dense" and _expert_stack_packable(info):
+        return quant_expert_stack(info)
+    w = info.to_numpy()  # (E, n_out, n_in)
+    return jnp.asarray(np.ascontiguousarray(w.transpose(0, 2, 1)),
+                       dtype=dtype)
+
+
 Linear = Any  # DenseLinear | QuantLinear | FusedLinear
 
 

@@ -308,3 +308,23 @@ def repack_device(data: np.ndarray, gtype: GGMLType, n_out: int,
     flat = jnp.asarray(
         np.ascontiguousarray(data, dtype=np.uint8).reshape(-1))
     return dict(_repack_jit(flat, gtype, n_out, n_in, wide))
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def _repack_stack_jit(flat2d, gtype, n_out, n_in, wide):
+    return jax.vmap(
+        lambda f: _repack_planes_jnp(f, gtype, n_out, n_in, wide)
+    )(flat2d)
+
+
+def repack_device_stack(data: np.ndarray, gtype: GGMLType, n_out: int,
+                        n_in: int, n_expert: int) -> dict[str, jax.Array]:
+    """Stacked expert tensor (E contiguous 2-D packed weights): one packed
+    upload, vmapped on-chip repack → planes with a leading expert axis
+    ([E, rows, N] each)."""
+    from . import qmatmul
+
+    wide = gtype in qmatmul.WIDE_TYPES
+    flat = jnp.asarray(
+        np.ascontiguousarray(data, dtype=np.uint8).reshape(n_expert, -1))
+    return dict(_repack_stack_jit(flat, gtype, n_out, n_in, wide))

@@ -130,24 +130,57 @@ def _swiglu(gate: jax.Array, up: jax.Array) -> jax.Array:
     return _glu(gate, up, "silu")
 
 
+def _is_packed(w) -> bool:
+    from ..models.weights import QuantExpertStack
+
+    return isinstance(w, QuantExpertStack)
+
+
+def _n_expert(w) -> int:
+    return w.n_expert if _is_packed(w) else w.shape[0]
+
+
+def _stack_all(x: jax.Array, w) -> jax.Array:
+    """All-experts matmul: x [M, K] (shared) or [E, M, K] (per-expert) →
+    [E, M, F]. Packed stacks stream through the Pallas stack kernel
+    (weights never widen); dense bf16 stacks ride einsum."""
+    if _is_packed(w):
+        from . import qmatmul
+
+        return qmatmul.stack_matmul(x, w)
+    if x.ndim == 3:
+        return jnp.einsum("xne,xef->xnf", x, w)
+    return jnp.einsum("ne,xef->xnf", x, w)
+
+
+def _rows_gather(x: jax.Array, ids: jax.Array, w) -> jax.Array:
+    """Per-row expert-indexed matmul: row t of x [T, K] through expert
+    ids[t] → [T, F]. Packed stacks read only the routed experts' packed
+    bytes (≡ mmid.cu); dense stacks gather bf16 slices."""
+    if _is_packed(w):
+        from . import qmatmul
+
+        return qmatmul.gather_matmul(x, ids, w)
+    return jnp.einsum("tk,tkf->tf", x, w[ids])
+
+
 def _moe_gather(x, weights, idx, w_gate, w_up, w_down, act="silu",
                 weight_before_ffn=False):
-    """Decode regime: gather k experts' weights per token."""
-    # [N, k, n_embd, n_ff] weight gathers ride XLA's dynamic-gather; with
-    # N*k small this is k expert-reads from HBM
-    wu = w_up[idx]
-    wd = w_down[idx]  # [N, k, F, E_in]
+    """Decode regime: gather the k routed experts' weights per token —
+    reads k/E of the expert bytes from HBM (packed bytes when the stack is
+    a QuantExpertStack)."""
+    N, k = idx.shape
+    ids = idx.reshape(N * k)
     if weight_before_ffn:
-        xk = x[:, None, :] * weights[..., None].astype(x.dtype)  # [N, k, e]
-        up = jnp.einsum("nke,nkef->nkf", xk, wu)
-        gate = (jnp.einsum("nke,nkef->nkf", xk, w_gate[idx])
-                if w_gate is not None else None)
+        xk = (x[:, None, :] * weights[..., None].astype(x.dtype)
+              ).reshape(N * k, -1)
     else:
-        up = jnp.einsum("ne,nkef->nkf", x, wu)
-        gate = (jnp.einsum("ne,nkef->nkf", x, w_gate[idx])
-                if w_gate is not None else None)
+        xk = jnp.broadcast_to(
+            x[:, None, :], (N, k, x.shape[-1])).reshape(N * k, -1)
+    up = _rows_gather(xk, ids, w_up)
+    gate = _rows_gather(xk, ids, w_gate) if w_gate is not None else None
     mid = _glu(gate, up, act)
-    out = jnp.einsum("nkf,nkfe->nke", mid, wd)
+    out = _rows_gather(mid, ids, w_down).reshape(N, k, -1)
     if weight_before_ffn:
         return jnp.sum(out.astype(jnp.float32), axis=1).astype(x.dtype)
     return jnp.einsum("nke,nk->ne", out.astype(jnp.float32),
@@ -158,25 +191,23 @@ def _moe_dense(x, weights, idx, w_gate, w_up, w_down, act="silu",
                weight_before_ffn=False):
     """Prefill regime: every expert computes every token on the MXU, then the
     routing weights (zero for unselected experts) combine them."""
-    E = w_up.shape[0]
+    E = _n_expert(w_up)
     onehot = jax.nn.one_hot(idx, E, dtype=jnp.float32)  # [N, k, E]
     dense_w = jnp.einsum("nkx,nk->nx", onehot, weights.astype(jnp.float32))
     if weight_before_ffn:
         # per-(expert, token) scaled inputs: nonlinearity sees w·x
         xs = x[None, :, :] * dense_w.T[:, :, None].astype(x.dtype)  # [E,N,e]
-        up = jnp.einsum("xne,xef->xnf", xs, w_up)
-        gate = (jnp.einsum("xne,xef->xnf", xs, w_gate)
-                if w_gate is not None else None)
+        up = _stack_all(xs, w_up)
+        gate = _stack_all(xs, w_gate) if w_gate is not None else None
         mid = _glu(gate, up, act)
-        out = jnp.einsum("xnf,xfe->xne", mid, w_down)  # [E, N, n_embd]
+        out = _stack_all(mid, w_down)  # [E, N, n_embd]
         sel = (dense_w.T != 0.0)[:, :, None]  # combine selected experts only
         return jnp.sum(jnp.where(sel, out.astype(jnp.float32), 0.0),
                        axis=0).astype(x.dtype)
-    up = jnp.einsum("ne,xef->xnf", x, w_up)  # [E, N, F]
-    gate = (jnp.einsum("ne,xef->xnf", x, w_gate)
-            if w_gate is not None else None)
+    up = _stack_all(x, w_up)  # [E, N, F]
+    gate = _stack_all(x, w_gate) if w_gate is not None else None
     mid = _glu(gate, up, act)
-    out = jnp.einsum("xnf,xfe->xne", mid, w_down)  # [E, N, n_embd]
+    out = _stack_all(mid, w_down)  # [E, N, n_embd]
     # dense per-(token, expert) weight matrix from the top-k selection
     return jnp.einsum("xne,nx->ne", out.astype(jnp.float32),
                       dense_w).astype(x.dtype)

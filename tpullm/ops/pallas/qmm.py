@@ -80,21 +80,12 @@ def supports(gtype: GGMLType, n_in: int, n_out: int) -> bool:
     return n_out % 128 == 0
 
 
-def _kernel_mat(x_ref, *refs, gtype: GGMLType, plane_names: tuple[str, ...],
-                tk: int, tn: int, out_dtype):
-    """Materializing dequant matmul: scaled weights built per tile, one dot.
-    Wins for the simple 32-unit types and G=16 K-quants where the grouped
-    formulation's batched dot lowers poorly (measured on v5e)."""
+def _acc_tile(x, tiles, acc_ref, gtype: GGMLType, tk: int, tn: int):
+    """Shared dequant+dot accumulation: x (tm, tk), plane tiles (already
+    loaded) → acc_ref (tm, tn) += x @ dequant(tiles). The core of every
+    materializing kernel variant (2-D, expert-stack, expert-gather)."""
     from tpullm.ops import qmatmul as qm
 
-    *plane_refs, out_ref, acc_ref = refs
-    k = pl.program_id(2)
-
-    @pl.when(k == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    tiles = {name: ref[:] for name, ref in zip(plane_names, plane_refs)}
     meta = qm._SCHEMA[gtype]
     G = meta["G"]
     n_groups = tk // G
@@ -111,7 +102,7 @@ def _kernel_mat(x_ref, *refs, gtype: GGMLType, plane_names: tuple[str, ...],
         scale = tiles["scale"].astype(jnp.float32)  # planes ride HBM at bf16
         vals = vals.reshape(n_groups, G, tn) * scale.reshape(n_groups, 1, tn)
         w = vals.reshape(tk, tn).astype(jnp.bfloat16)
-    x = x_ref[:].astype(jnp.bfloat16)
+    x = x.astype(jnp.bfloat16)
     acc_ref[:] += jnp.dot(x, w, preferred_element_type=jnp.float32)
     if "minus" in tiles:
         # factored min term (exact algebra): Σ_k (v_k·s_g − m_g)·x_k
@@ -125,6 +116,22 @@ def _kernel_mat(x_ref, *refs, gtype: GGMLType, plane_names: tuple[str, ...],
         sel = (kk // G == gg).astype(jnp.bfloat16)  # exact 0/1
         sx = jnp.dot(x, sel, preferred_element_type=jnp.float32)  # (tm, ng)
         acc_ref[:] -= jnp.dot(sx, minus, preferred_element_type=jnp.float32)
+
+
+def _kernel_mat(x_ref, *refs, gtype: GGMLType, plane_names: tuple[str, ...],
+                tk: int, tn: int, out_dtype):
+    """Materializing dequant matmul: scaled weights built per tile, one dot.
+    Wins for the simple 32-unit types and G=16 K-quants where the grouped
+    formulation's batched dot lowers poorly (measured on v5e)."""
+    *plane_refs, out_ref, acc_ref = refs
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    tiles = {name: ref[:] for name, ref in zip(plane_names, plane_refs)}
+    _acc_tile(x_ref[:], tiles, acc_ref, gtype, tk, tn)
 
     @pl.when(k == pl.num_programs(2) - 1)
     def _():
@@ -268,6 +275,193 @@ def _qmm_2d(x, planes_flat, gtype, M, K, N, plane_names, out_dtype, interpret):
 
 # canonical plane order: codes first, then scale fields
 _ORDER = ("qw", "qs", "qh", "scale", "minus")
+
+
+# ---------------------------------------------------------------------------
+# expert-stack kernels: packed 3-D planes [E, rows, N], the MUL_MAT_ID analog
+# (reference ggml-cuda/mmid.cu + mmq.cu consume quantized experts in place;
+# these kernels keep that packed-weights property on TPU instead of widening
+# expert stacks to bf16)
+# ---------------------------------------------------------------------------
+
+
+def _kernel_stack(x_ref, *refs, gtype: GGMLType,
+                  plane_names: tuple[str, ...], tk: int, tn: int, out_dtype):
+    """All-experts matmul (prefill regime): grid (E, M/tm, N/tn, K/tk);
+    plane blocks carry a leading singleton expert dim."""
+    *plane_refs, out_ref, acc_ref = refs
+    k = pl.program_id(3)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    tiles = {name: ref[0] for name, ref in zip(plane_names, plane_refs)}
+    x = x_ref[0] if x_ref.ndim == 3 else x_ref[:]
+    _acc_tile(x, tiles, acc_ref, gtype, tk, tn)
+
+    @pl.when(k == pl.num_programs(3) - 1)
+    def _():
+        out_ref[0] = acc_ref[:].astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("gtype", "E", "M", "K", "N", "plane_names",
+                     "out_dtype", "interpret", "x_batched"),
+)
+def _qmm_stack(x, planes_flat, gtype, E, M, K, N, plane_names, out_dtype,
+               interpret, x_batched):
+    """x [M, K] (shared across experts) or [E, M, K] → out [E, M, N]."""
+    tk = min(TILE_K, K)
+    tn = min(TILE_N, N)
+    while N % tn and tn > 128:
+        tn -= 128
+    while N % tn:
+        tn //= 2
+    tm = min(MAX_TILE_M, M)
+    grid = (E, M // tm, N // tn, K // tk)
+
+    if x_batched:
+        x_spec = pl.BlockSpec((1, tm, tk), lambda e, m, n, k: (e, m, k),
+                              memory_space=pltpu.VMEM)
+    else:
+        x_spec = pl.BlockSpec((tm, tk), lambda e, m, n, k: (m, k),
+                              memory_space=pltpu.VMEM)
+    in_specs = [x_spec]
+    for name in plane_names:
+        rows = _plane_rows(gtype, name, tk)
+        in_specs.append(pl.BlockSpec(
+            (1, rows, tn), lambda e, m, n, k: (e, k, n),
+            memory_space=pltpu.VMEM))
+
+    kernel = functools.partial(
+        _kernel_stack, gtype=gtype, plane_names=plane_names, tk=tk, tn=tn,
+        out_dtype=out_dtype)
+    flops = 2 * E * M * K * N
+    bytes_accessed = x.size * x.dtype.itemsize + sum(
+        p.size * p.dtype.itemsize for p in planes_flat
+    ) + E * M * N * np.dtype(out_dtype).itemsize
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, tm, tn), lambda e, m, n, k: (e, m, n),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((E, M, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=int(bytes_accessed),
+            transcendentals=0),
+        interpret=interpret,
+    )(x, *planes_flat)
+
+
+def qmatmul_stack(x: jax.Array, stack) -> jax.Array:
+    """All-experts packed matmul: x [..., M, K] ([E, M, K] per-expert inputs
+    or [M, K] shared) through QuantExpertStack planes → [E, M, N]."""
+    E, K, N = stack.n_expert, stack.n_in, stack.n_out
+    x_batched = x.ndim == 3
+    M = x.shape[-2]
+    xp = x
+    tm = M if M >= MAX_TILE_M else max(8, 1 << (M - 1).bit_length())
+    if M % tm or (M > MAX_TILE_M and M % MAX_TILE_M):
+        pad = (-M) % (MAX_TILE_M if M > MAX_TILE_M else tm)
+        padding = ((0, 0), (0, pad), (0, 0)) if x_batched else ((0, pad), (0, 0))
+        xp = jnp.pad(x, padding)
+    Mp = xp.shape[-2]
+    plane_names = tuple(nm for nm in _ORDER if nm in stack.planes)
+    planes_flat = tuple(stack.planes[nm] for nm in plane_names)
+    interpret = jax.default_backend() != "tpu"
+    out = _qmm_stack(xp, planes_flat, stack.gtype, E, Mp, K, N, plane_names,
+                     x.dtype, interpret, x_batched)
+    return out[:, :M]
+
+
+def _kernel_gather(ids_ref, x_ref, *refs, gtype: GGMLType,
+                   plane_names: tuple[str, ...], tk: int, tn: int,
+                   out_dtype):
+    """Expert-gather matmul (decode regime): one token-slot row per grid
+    step; plane blocks are selected by the prefetched expert id (the
+    MUL_MAT_ID row-routing, done with scalar-prefetch block index maps)."""
+    del ids_ref  # consumed by the index maps
+    *plane_refs, out_ref, acc_ref = refs
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    tiles = {name: ref[0] for name, ref in zip(plane_names, plane_refs)}
+    _acc_tile(x_ref[:], tiles, acc_ref, gtype, tk, tn)
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("gtype", "E", "T", "K", "N", "plane_names",
+                     "out_dtype", "interpret"),
+)
+def _qmm_gather(x, ids, planes_flat, gtype, E, T, K, N, plane_names,
+                out_dtype, interpret):
+    """x [T, K] row-per-slot, ids [T] expert per slot → out [T, N].
+    Reads only the selected experts' packed bytes from HBM — the decode
+    bandwidth optimum (k/E of the packed, not widened, expert bytes)."""
+    tk = min(TILE_K, K)
+    tn = min(TILE_N, N)
+    while N % tn and tn > 128:
+        tn -= 128
+    while N % tn:
+        tn //= 2
+    grid = (T, N // tn, K // tk)
+
+    x_spec = pl.BlockSpec((1, tk), lambda t, n, k, ids: (t, k),
+                          memory_space=pltpu.VMEM)
+    in_specs = [x_spec]
+    for name in plane_names:
+        rows = _plane_rows(gtype, name, tk)
+        in_specs.append(pl.BlockSpec(
+            (1, rows, tn), lambda t, n, k, ids: (ids[t], k, n),
+            memory_space=pltpu.VMEM))
+
+    kernel = functools.partial(
+        _kernel_gather, gtype=gtype, plane_names=plane_names, tk=tk, tn=tn,
+        out_dtype=out_dtype)
+    plane_bytes_per_expert = sum(
+        p.size * p.dtype.itemsize for p in planes_flat) // E
+    bytes_accessed = (x.size * x.dtype.itemsize
+                      + T * plane_bytes_per_expert
+                      + T * N * np.dtype(out_dtype).itemsize)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, tn), lambda t, n, k, ids: (t, n)),
+            scratch_shapes=[pltpu.VMEM((1, tn), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((T, N), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * K * N, bytes_accessed=int(bytes_accessed),
+            transcendentals=0),
+        interpret=interpret,
+    )(ids, x, *planes_flat)
+
+
+def qmatmul_gather(x: jax.Array, ids: jax.Array, stack) -> jax.Array:
+    """Expert-indexed packed matmul: row t of x [T, K] through expert
+    ids[t]'s packed weight → [T, N] (≡ MUL_MAT_ID / mmvq for MoE decode)."""
+    E, K, N = stack.n_expert, stack.n_in, stack.n_out
+    T = x.shape[0]
+    plane_names = tuple(nm for nm in _ORDER if nm in stack.planes)
+    planes_flat = tuple(stack.planes[nm] for nm in plane_names)
+    interpret = jax.default_backend() != "tpu"
+    return _qmm_gather(x, ids.astype(jnp.int32), planes_flat, stack.gtype,
+                       E, T, K, N, plane_names, x.dtype, interpret)
 
 
 def qmatmul(x: jax.Array, ql) -> jax.Array:

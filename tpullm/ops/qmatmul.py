@@ -519,3 +519,60 @@ def matmul(x: jax.Array, ql) -> jax.Array:
     if qmm.available() and qmm.supports(ql.gtype, ql.n_in, ql.n_out):
         return qmm.qmatmul(x, ql)
     return matmul_reference(x, ql)
+
+
+# ---------------------------------------------------------------------------
+# packed expert stacks (3-D planes [E, rows, N]) — the MUL_MAT_ID analog
+# ---------------------------------------------------------------------------
+
+
+def _dequant_stack(stack, dtype) -> jax.Array:
+    """Reference dequant of every expert: [E, n_in, n_out]."""
+    return jax.vmap(
+        lambda planes: dequant_planes(planes, stack.gtype, stack.n_out,
+                                      stack.n_in, dtype=dtype)
+    )(stack.planes)
+
+
+def stack_matmul_reference(x: jax.Array, stack) -> jax.Array:
+    w = _dequant_stack(stack, x.dtype)  # [E, K, N]
+    if x.ndim == 3:  # per-expert inputs [E, M, K]
+        return jnp.einsum("emk,ekn->emn", x, w,
+                          preferred_element_type=x.dtype)
+    return jnp.einsum("mk,ekn->emn", x, w, preferred_element_type=x.dtype)
+
+
+def gather_matmul_reference(x: jax.Array, ids: jax.Array, stack) -> jax.Array:
+    gathered = {k: v[ids] for k, v in stack.planes.items()}  # [T, rows, N]
+    w = jax.vmap(
+        lambda planes: dequant_planes(planes, stack.gtype, stack.n_out,
+                                      stack.n_in, dtype=x.dtype)
+    )(gathered)  # [T, K, N]
+    return jnp.einsum("tk,tkn->tn", x, w, preferred_element_type=x.dtype)
+
+
+def stack_matmul(x: jax.Array, stack) -> jax.Array:
+    """All-experts packed matmul (prefill regime): x [M, K] (shared) or
+    [E, M, K] (per-expert) → [E, M, n_out]. Weights stream packed through
+    the Pallas stack kernel on TPU (≡ running every expert through mmq
+    without widening); jnp reference elsewhere."""
+    from .pallas import qmm
+
+    if qmm.available() and qmm.supports(stack.gtype, stack.n_in,
+                                        stack.n_out):
+        return qmm.qmatmul_stack(x, stack)
+    return stack_matmul_reference(x, stack)
+
+
+def gather_matmul(x: jax.Array, ids: jax.Array, stack) -> jax.Array:
+    """Expert-indexed packed matmul (decode regime): row t of x [T, K]
+    through expert ids[t] → [T, n_out]. Reads only the routed experts'
+    PACKED bytes (≡ mmid.cu consuming quantized experts in place — the
+    decode bandwidth optimum, ~3.3x less expert-read traffic than a
+    widened bf16 gather at Q4_K)."""
+    from .pallas import qmm
+
+    if qmm.available() and qmm.supports(stack.gtype, stack.n_in,
+                                        stack.n_out):
+        return qmm.qmatmul_gather(x, ids, stack)
+    return gather_matmul_reference(x, ids, stack)

@@ -153,6 +153,33 @@ _OPT_STACK_SPECS = {
 }
 
 
+def _stack_planes_np(inf, n_out: int, n_in: int, e: int) -> dict | None:
+    """Host repack of a stacked (E, n_out, n_in) quantized expert tensor →
+    numpy planes with a leading expert axis ([E, rows, N] each; scale/minus
+    at bf16, matching ops.qmatmul.upload_planes). None when the type/shape
+    can't ride the stack/gather kernels. Memoized per (tensor name, dims)
+    with consumption counting in the caller."""
+    import os
+
+    from ..gguf.constants import TYPE_TRAITS
+    from ..ops import qmatmul as qm
+    from ..ops.pallas import qmm as qmm_pallas
+
+    if os.environ.get("TPULLM_PACKED_MOE", "1") == "0":
+        return None
+    if not (TYPE_TRAITS[inf.ggml_type].is_quantized
+            and qm.supports(inf.ggml_type)
+            and qmm_pallas.supports(inf.ggml_type, n_in, n_out)):
+        return None
+    data = np.ascontiguousarray(inf.data, dtype=np.uint8).reshape(e, -1)
+    per = [qm.repack_np(data[x], inf.ggml_type, n_out, n_in)
+           for x in range(e)]
+    stacked = {nm: np.stack([p[nm] for p in per]) for nm in per[0]}
+    return {nm: (np.asarray(jnp.asarray(v, jnp.bfloat16))
+                 if nm in ("scale", "minus") else v)
+            for nm, v in stacked.items()}
+
+
 def load_stacked_serving(reader, hp, mesh: Mesh, dtype=jnp.bfloat16,
                          mode: str = "auto"):
     """Load + stack llama-family weights for pipeline serving straight from
@@ -278,13 +305,33 @@ def load_stacked_serving(reader, hp, mesh: Mesh, dtype=jnp.bfloat16,
             # is (n_in, n_out, E); moe_ffn wants [E, n_in, n_out]
             # (models/llama.py experts())
             n_in3, n_out3, e = inf0.shape
+            exp_gtypes = {t[f"blk.{i}.{stem}.weight"].ggml_type
+                          for i in range(hp.n_layer)}
+            packed = _stack_planes_np(inf0, n_out3, n_in3, e)
+            if (mode != "dense" and len(exp_gtypes) == 1
+                    and packed is not None):
+                # experts stay GGUF-packed in stage HBM, stacked
+                # [L, E, rows, N] per plane, decoded by the stack/gather
+                # kernels in the scan (≡ MUL_MAT_ID consuming quantized
+                # experts in place, ggml-cuda/mmid.cu + mmq.cu:220)
+                stack[key] = {
+                    nm: put_stacked(
+                        P(PIPE_AXIS), v0.shape, v0.dtype,
+                        lambda i, nm=nm, stem=stem: _stack_planes_np(
+                            t[f"blk.{i}.{stem}.weight"],
+                            n_out3, n_in3, e)[nm])
+                    for nm, v0 in packed.items()
+                }
+                qmeta[key] = (inf0.ggml_type, n_out3, n_in3, e)
+                continue
             if TYPE_TRAITS[inf0.ggml_type].is_quantized:
                 import logging
 
                 logging.getLogger(__name__).warning(
                     "pipeline serving widens quantized MoE expert stacks "
-                    "(%s, %s) to %s — HBM grows ~%dx vs the packed file; "
-                    "packed 3-D expert kernels are not wired yet",
+                    "(%s, %s) to %s — HBM grows ~%dx vs the packed file "
+                    "(heterogeneous layer types or a kernel-unsupported "
+                    "shape)",
                     stem, inf0.ggml_type.name, np.dtype(dtype).name,
                     max(1, int(np.dtype(dtype).itemsize * 8
                                / max(TYPE_TRAITS[inf0.ggml_type].bits_per_weight, 1))),
@@ -417,17 +464,20 @@ def load_mla_stacked_serving(reader, hp, mesh: Mesh, dtype=jnp.bfloat16,
     serving: the n_layer_dense_lead leading layers replicate on every stage
     (they are tiny next to the expert stacks and their MQA latent cache is
     ~71x smaller than decompressed KV), the remaining layers stack
-    [L_m, ...] sharded on the pipe axis. Weights widen to `dtype` (packed
-    MLA stacks are not wired — the expert stacks dominate and already
-    widen on the non-pipe path too).
+    [L_m, ...] sharded on the pipe axis. Attention weights widen to `dtype`
+    (they are small next to the experts); quantized EXPERT stacks stay
+    GGUF-packed per stage ([L, E, rows, N] plane dicts → stack/gather
+    kernels) when uniform and kernel-shaped, else widen.
 
-    Returns (params, n_vocab_padded): params = {tok_embd, output_norm,
-    output, stack, lead?}.
+    Returns (params, qmeta, n_vocab_padded): params = {tok_embd,
+    output_norm, output, stack, lead?}; qmeta maps packed expert keys →
+    (gtype, n_out, n_in, E).
     """
     from ..models import deepseek2 as _ds2
     from ..models.deepseek2 import _mla_dims
     from ..models.registry import get_arch
 
+    qmeta: dict = {}
     t = reader.tensors
     pp = mesh.shape[PIPE_AXIS]
     tp = mesh.shape[MODEL_AXIS]
@@ -538,6 +588,24 @@ def load_mla_stacked_serving(reader, hp, mesh: Mesh, dtype=jnp.bfloat16,
                               ("w_up_exps", "ffn_up_exps"),
                               ("w_down_exps", "ffn_down_exps")):
                 inf = t[f"{p0}{stem}.weight"]
+                n_in3, n_out3, e3 = inf.shape
+                same_type = len({t[f"blk.{j}.{stem}.weight"].ggml_type
+                                 for j in range(first, first + n)}) == 1
+                packed = (_stack_planes_np(inf, n_out3, n_in3, e3)
+                          if mode != "dense" and same_type else None)
+                if packed is not None:
+                    # experts stay GGUF-packed per stage (see
+                    # load_stacked_serving — the MUL_MAT_ID property)
+                    g[key] = {
+                        nm: put_stacked(
+                            first, n, spec, v0.shape, v0.dtype,
+                            lambda j, nm=nm, stem=stem: _stack_planes_np(
+                                t[f"blk.{j}.{stem}.weight"],
+                                n_out3, n_in3, e3)[nm])
+                        for nm, v0 in packed.items()
+                    }
+                    qmeta[key] = (inf.ggml_type, n_out3, n_in3, e3)
+                    continue
                 g[key] = put_stacked(
                     first, n, spec,
                     (inf.shape[2], inf.shape[0], inf.shape[1]), dtype,
@@ -574,7 +642,7 @@ def load_mla_stacked_serving(reader, hp, mesh: Mesh, dtype=jnp.bfloat16,
     else:
         w_out = params["tok_embd"].T
     params["output"] = put(w_out, P())
-    return params, w_out.shape[1]
+    return params, qmeta, w_out.shape[1]
 
 
 def step_flags(stack: dict, hp=None) -> dict:
@@ -768,7 +836,8 @@ def _layer_cached(hp, tp: int, w, x, positions, c_l, offs, batch_start,
 
         llama_moe = get_arch(hp.arch).forward is _llama.forward
         ffn = _moe_ffn_tokens(hp, w, h.reshape(b * T, E),
-                              llama_moe=llama_moe).reshape(b, T, E)
+                              llama_moe=llama_moe,
+                              qmeta=qmeta).reshape(b, T, E)
         if hp.residual_scale != 1.0:
             ffn = ffn * hp.residual_scale
         return x + ffn, c_l
@@ -820,12 +889,25 @@ def _cache_rw(leaf, new_row, batch_start, start, row_ok):
     return leaf, blk
 
 
-def _moe_ffn_tokens(hp, w, hs, llama_moe: bool = False):
+def _moe_ffn_tokens(hp, w, hs, llama_moe: bool = False,
+                    qmeta: dict | None = None):
     """Routed-MoE FFN over token rows hs [N, E] (shared by the generic and
     MLA scan bodies): hparams-driven routing + optional selection bias and
-    shared expert (≡ build_moe_ffn, llama-graph.h:785)."""
+    shared expert (≡ build_moe_ffn, llama-graph.h:785). Expert stacks whose
+    name carries qmeta are stage-local PACKED plane dicts [E, rows, N]
+    (≡ MUL_MAT_ID running quantized experts in place, mmid.cu) — they are
+    re-wrapped as QuantExpertStack so ops/moe dispatches to the stack/gather
+    kernels; otherwise the entries are widened dense [E, K, N] arrays."""
     from ..models.qwen_moe import norm_weights_policy
+    from ..models.weights import QuantExpertStack
     from ..ops.moe import moe_ffn, route
+
+    def exps(key):
+        meta = (qmeta or {}).get(key)
+        if meta is None:
+            return w[key]
+        gtype, n_out, n_in, e = meta
+        return QuantExpertStack(gtype, e, n_out, n_in, w[key])
 
     rl = (hs @ w["router"]).astype(jnp.float32)
     if llama_moe:  # mixtral-on-llama: softmax + renorm (llama.forward)
@@ -836,8 +918,8 @@ def _moe_ffn_tokens(hp, w, hs, llama_moe: bool = False):
                          norm_weights=norm_w,
                          scale=hp.expert_weights_scale,
                          select_bias=w.get("exp_probs_b"))
-    ffn = moe_ffn(hs, weights, idx, w["w_gate_exps"], w["w_up_exps"],
-                  w["w_down_exps"])
+    ffn = moe_ffn(hs, weights, idx, exps("w_gate_exps"), exps("w_up_exps"),
+                  exps("w_down_exps"))
     if "w_gate_shexp" in w:  # shared expert (qwen2moe gated / plain)
         hd_ = hs.astype(w["w_gate_shexp"].dtype)
         g32 = (hd_ @ w["w_gate_shexp"]).astype(jnp.float32)
@@ -852,7 +934,7 @@ def _moe_ffn_tokens(hp, w, hs, llama_moe: bool = False):
 
 
 def _mla_layer_cached(hp, w, x, positions, c_l, offs, batch_start,
-                      tick_valid, moe: bool):
+                      tick_valid, moe: bool, qmeta: dict | None = None):
     """One absorbed-MLA deepseek2 block against a stage-local latent plane.
 
     ≡ llm_build_deepseek2's is_mla=true branch (src/models/deepseek2.cpp,
@@ -913,7 +995,8 @@ def _mla_layer_cached(hp, w, x, positions, c_l, offs, batch_start,
 
     h = _rms(x, w["ffn_norm"], hp.rms_eps)
     if moe:
-        ffn = _moe_ffn_tokens(hp, w, h.reshape(b * T, E)).reshape(b, T, E)
+        ffn = _moe_ffn_tokens(hp, w, h.reshape(b * T, E),
+                              qmeta=qmeta).reshape(b, T, E)
     else:
         up = h @ w["w_up"]
         if "w_gate" in w:
@@ -1087,6 +1170,7 @@ def make_pipeline_step(hp, mesh: Mesh, qmeta: dict | None = None,
 
 
 def make_mla_pipeline_step(hp, mesh: Mesh, params: dict,
+                           qmeta: dict | None = None,
                            last_only: bool = False,
                            return_hidden: bool = False):
     """Jitted deepseek2-family (absorbed MLA) serving step with the
@@ -1161,7 +1245,7 @@ def make_mla_pipeline_step(hp, mesh: Mesh, params: dict,
             def body(xc, ls):
                 xn, c_l = _mla_layer_cached(
                     hp, ls[0], xc, pos, ls[1], offs, bs, tick_valid,
-                    moe=moe)
+                    moe=moe, qmeta=qmeta)
                 return xn, c_l
 
             x_out, c_stage = jax.lax.scan(body, x, (stack, c_stage))

@@ -21,7 +21,7 @@ import re
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models.weights import DenseLinear, QuantLinear
+from ..models.weights import DenseLinear, QuantExpertStack, QuantLinear
 from ..runtime.kvcache import KVCache, QuantKVCache, SWACache
 from .mesh import DATA_AXIS, EXPERT_AXIS, MODEL_AXIS
 
@@ -96,6 +96,19 @@ def shard_params(params: dict, mesh: Mesh) -> dict:
         for name, val in layer.items():
             if val is None:
                 new[name] = None
+            elif (
+                EXPERT_STACKED.search(name)
+                and isinstance(val, QuantExpertStack)
+                and ep > 1
+                and val.n_expert % ep == 0
+            ):
+                # packed planes shard on their leading expert axis: each
+                # device holds E/ep experts' PACKED bytes (the widened-stack
+                # 3.3x inflation never happens on the expert mesh either)
+                new[name] = QuantExpertStack(
+                    val.gtype, val.n_expert, val.n_out, val.n_in,
+                    {nm: _put(a, mesh, P(EXPERT_AXIS))
+                     for nm, a in val.planes.items()})
             elif (
                 EXPERT_STACKED.search(name)
                 and isinstance(val, jax.Array)

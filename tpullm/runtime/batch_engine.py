@@ -233,14 +233,14 @@ class BatchEngine:
                 make_mla_stacked_cache,
             )
 
-            self.params, _ = load_mla_stacked_serving(
+            self.params, self._qmeta, _ = load_mla_stacked_serving(
                 self.reader, hp, mesh, dtype=dtype, mode=mode)
-            self._qmeta = {}
             self.cache = make_mla_stacked_cache(
                 hp, self.n_slots, self.max_seq, mesh, dtype=self.kv_dtype)
-            self._step = make_mla_pipeline_step(hp, mesh, self.params)
+            self._step = make_mla_pipeline_step(hp, mesh, self.params,
+                                                qmeta=self._qmeta)
             self._prefill_step = make_mla_pipeline_step(
-                hp, mesh, self.params, last_only=True)
+                hp, mesh, self.params, qmeta=self._qmeta, last_only=True)
             return
         try:
             self.params, self._qmeta, _ = load_stacked_serving(
@@ -573,7 +573,8 @@ class BatchEngine:
 
                 if "wkv_a" in self.params["stack"]:  # deepseek2 MLA stack
                     self._hidden_step = make_mla_pipeline_step(
-                        hp, self.mesh, self.params, return_hidden=True)
+                        hp, self.mesh, self.params, qmeta=self._qmeta,
+                        return_hidden=True)
                 else:
                     self._hidden_step = make_pipeline_step(
                         hp, self.mesh, self._qmeta, return_hidden=True,

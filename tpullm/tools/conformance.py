@@ -79,6 +79,77 @@ def sweep_qmm(m_sizes=(1, 128), n_in: int = 512, n_out: int = 256,
     return cases
 
 
+def sweep_qmoe(types=None, e: int = 4, n_in: int = 512, n_out: int = 256,
+               log=None) -> list[dict]:
+    """Packed expert-stack kernels (≡ MUL_MAT_ID / mmid.cu conformance):
+    the gather kernel (decode regime, scalar-prefetch expert routing) and
+    the all-experts stack kernel (prefill regime) vs the host oracle."""
+    import jax.numpy as jnp
+
+    from ..gguf.constants import GGMLType
+    from ..gguf.reader import GGUFTensorInfo
+    from ..models.weights import quant_expert_stack
+    from ..ops import qmatmul
+    from ..ops.pallas import qmm
+    from ..quant import codecs
+
+    if types is None:  # the ftypes MoE models actually ship with
+        types = (GGMLType.Q4_K, GGMLType.Q6_K, GGMLType.Q8_0,
+                 GGMLType.Q5_K, GGMLType.Q4_0, GGMLType.MXFP4)
+    rng = np.random.default_rng(2)
+    cases = []
+    for gtype in types:
+        if not qmm.supports(gtype, n_in, n_out):
+            cases.append({"kernel": "qmoe", "type": gtype.name,
+                          "status": "unsupported_shape"})
+            continue
+        w = rng.standard_normal((e, n_out, n_in)).astype(np.float32) * 0.1
+        packed = np.concatenate(
+            [codecs.quantize(w[i].reshape(-1), gtype) for i in range(e)])
+        w_ref = np.stack([
+            codecs.dequantize(
+                packed[i * len(packed) // e:(i + 1) * len(packed) // e],
+                gtype, n_out * n_in).reshape(n_out, n_in).T
+            for i in range(e)])  # [E, n_in, n_out]
+        info = GGUFTensorInfo(name="exps", ggml_type=gtype,
+                              shape=(n_in, n_out, e), offset=0, data=packed)
+        stack = quant_expert_stack(info)
+
+        t_rows = 8
+        x = rng.standard_normal((t_rows, n_in)).astype(np.float32)
+        ids = rng.integers(0, e, size=t_rows)
+        xb = jnp.asarray(x, jnp.bfloat16)
+        t0 = time.perf_counter()
+        y = np.asarray(qmatmul.gather_matmul(
+            xb, jnp.asarray(ids, jnp.int32), stack)).astype(np.float32)
+        dt = time.perf_counter() - t0
+        ref = np.einsum("tk,tkn->tn", np.asarray(xb, np.float32),
+                        w_ref[ids])
+        eg = _nmse(y, ref)
+        okg = eg <= QMM_NMSE_BOUND
+        cases.append({"kernel": "qmoe_gather", "type": gtype.name,
+                      "nmse": round(eg, 9), "ok": okg, "t_s": round(dt, 3)})
+        if log:
+            log(f"qmoe_gather {gtype.name:8s} nmse={eg:.2e} "
+                f"{'ok' if okg else 'FAIL'}")
+
+        m = 64
+        xs = rng.standard_normal((m, n_in)).astype(np.float32)
+        xsb = jnp.asarray(xs, jnp.bfloat16)
+        t0 = time.perf_counter()
+        ys = np.asarray(qmatmul.stack_matmul(xsb, stack)).astype(np.float32)
+        dt = time.perf_counter() - t0
+        refs = np.einsum("mk,ekn->emn", np.asarray(xsb, np.float32), w_ref)
+        es = _nmse(ys, refs)
+        oks = es <= QMM_NMSE_BOUND
+        cases.append({"kernel": "qmoe_stack", "type": gtype.name,
+                      "nmse": round(es, 9), "ok": oks, "t_s": round(dt, 3)})
+        if log:
+            log(f"qmoe_stack  {gtype.name:8s} nmse={es:.2e} "
+                f"{'ok' if oks else 'FAIL'}")
+    return cases
+
+
 def _ref_attention(q, k, v, offsets, scale):
     """Host f32 causal attention oracle: q [B,T,H,D], k/v [B,Hkv,S,D]."""
     B, T, H, D = q.shape
@@ -156,7 +227,7 @@ def sweep_flash(log=None) -> list[dict]:
 def run_sweep(log=None) -> dict:
     """Full sweep; returns a summary dict (embedded into bench extra)."""
     t0 = time.perf_counter()
-    cases = sweep_qmm(log=log) + sweep_flash(log=log)
+    cases = sweep_qmm(log=log) + sweep_qmoe(log=log) + sweep_flash(log=log)
     ran = [c for c in cases if "ok" in c]
     failed = [c for c in ran if not c["ok"]]
     return {

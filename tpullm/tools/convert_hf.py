@@ -121,6 +121,71 @@ PERMUTE_QK_ARCHS = {"llama", "granite", "granitemoe", "olmo",
                     "chameleon"}
 
 
+class _LazyF32(np.lib.mixins.NDArrayOperatorsMixin):
+    """Deferred-cast float32 view of a checkpoint tensor for family mappers.
+
+    Pure renames / transposes / reshapes / slices stay zero-copy views of
+    the source dtype — the old eager `np.asarray(arr, float32)` doubled
+    peak host memory per tensor on bf16/f16 checkpoints of large
+    custom-code models (Grok/Arctic expert stacks are GBs each) even when
+    the mapper passed the data through unchanged or ignored the name.
+    Any arithmetic (ufunc) or coercion (`np.asarray`, writer add_tensor)
+    materializes float32 at that point, so mapper math still runs at full
+    f32 precision on exactly the slice it needs.
+    """
+
+    def __init__(self, arr: np.ndarray):
+        self._arr = arr
+
+    # shape-only ops stay lazy (views of the source dtype)
+    def reshape(self, *s):
+        return _LazyF32(self._arr.reshape(*s))
+
+    def transpose(self, *axes):
+        return _LazyF32(self._arr.transpose(*axes))
+
+    @property
+    def T(self):
+        return _LazyF32(self._arr.T)
+
+    def __getitem__(self, key):
+        return _LazyF32(self._arr[key])
+
+    @property
+    def shape(self):
+        return self._arr.shape
+
+    @property
+    def ndim(self):
+        return self._arr.ndim
+
+    @property
+    def size(self):
+        return self._arr.size
+
+    def __len__(self):
+        return len(self._arr)
+
+    @property
+    def dtype(self):
+        return np.dtype(np.float32)
+
+    def astype(self, dt):
+        return np.asarray(self._arr, dtype=dt)
+
+    def copy(self):
+        return np.asarray(self._arr, dtype=np.float32)
+
+    def __array__(self, dtype=None, copy=None):
+        return np.asarray(self._arr,
+                          dtype=np.float32 if dtype is None else dtype)
+
+    def __array_ufunc__(self, ufunc, method, *inputs, **kwargs):
+        conv = [np.asarray(i._arr, np.float32) if isinstance(i, _LazyF32)
+                else i for i in inputs]
+        return getattr(ufunc, method)(*conv, **kwargs)
+
+
 def _permute_qk(w: np.ndarray, n_head: int) -> np.ndarray:
     """HF half-rotation layout → GGUF interleaved-pair layout
     (convert_hf_to_gguf.py LlamaModel.permute)."""
@@ -1379,7 +1444,7 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
             elif name.startswith("model.text_model."):
                 name = "model." + name[len("model.text_model."):]
         if fam_mapper is not None:
-            out = fam_mapper(name, np.asarray(arr, dtype=np.float32))
+            out = fam_mapper(name, _LazyF32(np.asarray(arr)))
             if out is not None:
                 for gname, a in out:
                     w.add_tensor(gname, a,

@@ -94,10 +94,20 @@ def train_epoch(
     return params, losses
 
 
+# eval steps shared across evaluate() calls (an epoch loop calling
+# evaluate() per epoch must not re-jit — the compile is minutes on a real
+# TPU model); keyed like runtime/engine._STEP_CACHE
+_EVAL_STEP_CACHE: dict = {}
+
+
 def make_eval_step(forward: Callable, hp: HParams):
     """Jitted (params, tokens) -> (sum_nll, n_correct, n) — the
     loss+accuracy accumulators of ggml_opt_result (ggml-opt.h result
     getters: ggml_opt_result_loss / _accuracy)."""
+    key = (forward, repr(hp))
+    cached = _EVAL_STEP_CACHE.get(key)
+    if cached is not None:
+        return cached
 
     @jax.jit
     def eval_step(params, tokens):
@@ -112,6 +122,7 @@ def make_eval_step(forward: Callable, hp: HParams):
         correct = (jnp.argmax(lg, axis=-1) == tgt).sum()
         return nll.sum(), correct, nll.size
 
+    _EVAL_STEP_CACHE[key] = eval_step
     return eval_step
 
 
@@ -188,9 +199,20 @@ def fit(
             "train_loss": sum(losses) / max(len(losses), 1),
             "train_batches": len(losses),
         }
-        if eval_ds.ndata >= batch_size:
+        if eval_ds.ndata > 0:
+            # an explicit --val-split must always yield eval stats: shrink
+            # the eval batch rather than silently skipping when the split
+            # has fewer windows than batch_size
+            eval_bs = min(batch_size, eval_ds.ndata)
+            if eval_bs < batch_size and epoch == 0:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "eval split has %d windows < batch_size %d — "
+                    "evaluating with batch %d",
+                    eval_ds.ndata, batch_size, eval_bs)
             ev = evaluate(forward, hp, params,
-                          eval_ds.batches(batch_size))
+                          eval_ds.batches(eval_bs))
             stats["eval_loss"] = ev["loss"]
             stats["eval_accuracy"] = ev["accuracy"]
         history.append(stats)
