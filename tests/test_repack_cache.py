@@ -67,18 +67,16 @@ def test_prewarm_attaches_and_quant_load_consumes(quant_gguf, tmp_path,
                                                   monkeypatch):
     monkeypatch.setenv("TPULLM_REPACK_CACHE_DIR", str(tmp_path / "rc"))
     r = GGUFReader(quant_gguf)
-    prewarm_quant_planes(r, "quant")
+    th = prewarm_quant_planes(r, "quant")
     quant_infos = [ti for ti in r.tensors.values()
                    if ti.ggml_type == GGMLType.Q4_K and len(ti.shape) == 2]
     assert quant_infos
     # prewarm is async and bounded: futures attach up to max_inflight ahead
-    # of consumption; consuming releases permits so the rest follow
-    import time
-
-    deadline = time.time() + 60  # xdist workers contend for cores
-    while time.time() < deadline and not any(
-            "_planes_fut" in ti.__dict__ for ti in quant_infos):
-        time.sleep(0.01)
+    # of consumption; consuming releases permits so the rest follow. The
+    # submitter exposes a deterministic first-attach handshake (a 60s poll
+    # here was an xdist core-contention flake).
+    assert th is not None
+    assert th.first_attached.wait(timeout=120)
     assert any("_planes_fut" in ti.__dict__ for ti in quant_infos)
     from tpullm.models.weights import quant_from_info
 

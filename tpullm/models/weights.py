@@ -534,7 +534,7 @@ _NON_LINEAR_NAMES = ("token_embd.weight", "position_embd.weight",
 
 
 def prewarm_quant_planes(reader, mode: str = "auto",
-                         max_inflight: int | None = None) -> None:
+                         max_inflight: int | None = None):
     """Repack quantized linears thread-parallel, ahead of build_params.
 
     The per-tensor repack path releases the GIL (ctypes C++ call, hashlib,
@@ -565,7 +565,7 @@ def prewarm_quant_planes(reader, mode: str = "auto",
         and not (dev and device_repack.supports(ti.ggml_type))
     ]
     if len(infos) < 2:
-        return
+        return None
     workers = min(8, os.cpu_count() or 1, len(infos))
     if max_inflight is None:
         max_inflight = max(2 * workers, 8)
@@ -599,13 +599,22 @@ def prewarm_quant_planes(reader, mode: str = "auto",
             self._release()
             return out
 
+    first_attached = threading.Event()
+
     def _submit_all():
         for ti in infos:  # reader order ≈ build_params consumption order
             unconsumed.acquire()
             ti._planes_fut = _Handle(pool.submit(_planes_np_compute, ti))
+            first_attached.set()
         pool.shutdown(wait=False)
 
-    threading.Thread(target=_submit_all, daemon=True).start()
+    th = threading.Thread(target=_submit_all, daemon=True)
+    th.start()
+    # deterministic handshake for tests/instrumentation: wait on this event
+    # instead of polling tensor infos (the poll was an xdist-contention
+    # flake — a starved submitter thread vs a fixed poll deadline)
+    th.first_attached = first_attached
+    return th
 
 
 def drop_unconsumed_planes(reader) -> None:
