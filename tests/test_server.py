@@ -1068,6 +1068,13 @@ def test_webui_served_at_root(engine):
                 html = await r.text()
                 assert "tpullm" in html
                 assert "/v1/chat/completions" in html
+                # round-5 capability hooks (docs/WEBUI_PARITY.md): syntax
+                # highlighting, LaTeX subset, sampling presets, paste/drop
+                # attachments, live slots dashboard
+                for hook in ("function hl(", "function texToHtml(",
+                             "renderPresets", "addEventListener(\"paste\"",
+                             "addEventListener(\"drop\"", "refreshSlots"):
+                    assert hook in html, hook
         finally:
             await client.close()
 
