@@ -894,6 +894,191 @@ def _convert_vocab_spm(w: GGUFWriter, model_path: str):
     return len(tokens)
 
 
+# --------------------------------------------------------------------------
+# architectures-class fallback: custom-code HF repos often ship a
+# nonstandard (or missing) config.json model_type while the architectures
+# class name is canonical. This table maps EVERY class name registered by
+# the reference converter (@ModelBase.register sweep of
+# /root/reference/convert_hf_to_gguf.py, 191 unique names) onto an
+# existing tpullm model_type; it is consulted only when the model_type
+# itself resolves nothing, so canonical checkpoints are unaffected.
+# Multimodal wrapper classes (Llava*/Ultravox/Qwen2Audio/Glm4v/...) are
+# handled upstream by the vl_wrapped text_config unwrapping instead.
+CLASS_FALLBACK = {
+    "AfmoeForCausalLM": "afmoe",
+    "ApertusForCausalLM": "apertus",
+    "ArceeForCausalLM": "arcee",
+    "ArcticForCausalLM": "arctic",
+    "BaiChuanForCausalLM": "baichuan",
+    "BaichuanForCausalLM": "baichuan",
+    "BailingMoeForCausalLM": "bailing_moe",
+    "BailingMoeV2ForCausalLM": "bailing_moe_v2",
+    "BambaForCausalLM": "granitemoehybrid",
+    "BertForMaskedLM": "bert",
+    "BertForSequenceClassification": "bert",
+    "BertModel": "bert",
+    "BitnetForCausalLM": "bitnet",
+    "BloomForCausalLM": "bloom",
+    "BloomModel": "bloom",
+    "CamembertModel": "xlm-roberta",
+    "ChatGLMForConditionalGeneration": "chatglm",
+    "ChatGLMModel": "chatglm",
+    "CodeShellForCausalLM": "codeshell",
+    "CogVLMForCausalLM": "cogvlm",
+    "Cohere2ForCausalLM": "cohere2",
+    "CohereForCausalLM": "cohere",
+    "DbrxForCausalLM": "dbrx",
+    "DeciLMForCausalLM": "deci",
+    "DeepseekForCausalLM": "deepseek",
+    "DeepseekV2ForCausalLM": "deepseek_v2",
+    "DeepseekV3ForCausalLM": "deepseek_v3",
+    "DistilBertForMaskedLM": "bert",
+    "DistilBertForSequenceClassification": "bert",
+    "DistilBertModel": "bert",
+    "Dots1ForCausalLM": "dots1",
+    "DreamModel": "dream",
+    "Ernie4_5ForCausalLM": "ernie4_5",
+    "Ernie4_5_ForCausalLM": "ernie4_5",
+    "Ernie4_5_MoeForCausalLM": "ernie4_5_moe",
+    "Exaone4ForCausalLM": "exaone4",
+    "ExaoneForCausalLM": "exaone",
+    "ExaoneMoEForCausalLM": "exaone_moe",
+    "FalconForCausalLM": "falcon",
+    "FalconH1ForCausalLM": "falcon_h1",
+    "FalconMambaForCausalLM": "falcon_mamba",
+    "GPT2LMHeadModel": "gpt2",
+    "GPTBigCodeForCausalLM": "gpt_bigcode",
+    "GPTNeoXForCausalLM": "gpt_neox",
+    "Gemma2ForCausalLM": "gemma2",
+    "Gemma3ForCausalLM": "gemma3",
+    "Gemma3ForConditionalGeneration": "gemma3",
+    "Gemma3nForCausalLM": "gemma3n",
+    "Gemma3nForConditionalGeneration": "gemma3n",
+    "GemmaForCausalLM": "gemma",
+    "Glm4ForCausalLM": "glm4",
+    "Glm4MoeForCausalLM": "glm4_moe",
+    "Glm4MoeLiteForCausalLM": "deepseek_v3",
+    "GlmForCausalLM": "glm",
+    "GptOssForCausalLM": "gpt_oss",
+    "GraniteForCausalLM": "granite",
+    "GraniteMoeForCausalLM": "granitemoe",
+    "GraniteMoeHybridForCausalLM": "granitemoehybrid",
+    "GraniteMoeSharedForCausalLM": "granitemoeshared",
+    "Grok1ForCausalLM": "grok-1",
+    "GrokForCausalLM": "grok",
+    "GroveMoeForCausalLM": "grovemoe",
+    "HunYuanDenseV1ForCausalLM": "hunyuan_v1_dense",
+    "HunYuanMoEV1ForCausalLM": "hunyuan_v1_moe",
+    "IQuestCoderForCausalLM": "llama",
+    "InternLM2ForCausalLM": "internlm2",
+    "InternLM3ForCausalLM": "llama",
+    "JAISLMHeadModel": "jais",
+    "JambaForCausalLM": "jamba",
+    "KORMoForCausalLM": "qwen2",
+    "KimiLinearForCausalLM": "kimi_linear",
+    "KimiLinearModel": "kimi_linear",
+    "LFM2ForCausalLM": "lfm2",
+    "LLaDAMoEModel": "llada_moe",
+    "LLaDAMoEModelLM": "llada_moe",
+    "LLaDAModelLM": "llada",
+    "LLaMAForCausalLM": "llama",
+    "Lfm2ForCausalLM": "lfm2",
+    "Lfm2Model": "lfm2",
+    "Lfm2MoeForCausalLM": "lfm2_moe",
+    "Llama4ForCausalLM": "llama4",
+    "Llama4ForConditionalGeneration": "llama4",
+    "LlamaBidirectionalModel": "llama_embed",
+    "LlamaForCausalLM": "llama",
+    "LlavaStableLMEpochForCausalLM": "stablelm",
+    "MPTForCausalLM": "mpt",
+    "MaincoderForCausalLM": "maincoder",
+    "Mamba2ForCausalLM": "mamba2",
+    "MambaForCausalLM": "mamba",
+    "MambaLMHeadModel": "mamba",
+    "MiniCPM3ForCausalLM": "minicpm3",
+    "MiniCPMForCausalLM": "minicpm",
+    "Ministral3ForCausalLM": "mistral3",
+    "Mistral3ForConditionalGeneration": "mistral3",
+    "MistralForCausalLM": "mistral",
+    "MixtralForCausalLM": "mixtral",
+    "ModernBertForMaskedLM": "modernbert",
+    "ModernBertForSequenceClassification": "modernbert",
+    "ModernBertModel": "modernbert",
+    "NemotronForCausalLM": "nemotron",
+    "NemotronHForCausalLM": "nemotron_h",
+    "NeoBERTForSequenceClassification": "neobert",
+    "OLMoForCausalLM": "olmo",
+    "Olmo3ForCausalLM": "olmo3",
+    "OlmoeForCausalLM": "olmoe",
+    "OpenELMForCausalLM": "openelm",
+    "OrionForCausalLM": "orion",
+    "PLMForCausalLM": "plm",
+    "PLaMo2ForCausalLM": "plamo2",
+    "PLaMo3ForCausalLM": "plamo3",
+    "PanguEmbeddedForCausalLM": "PanguEmbedded",
+    "Phi3ForCausalLM": "phi3",
+    "PhiForCausalLM": "phi",
+    "PhiMoEForCausalLM": "phimoe",
+    "Plamo2ForCausalLM": "plamo2",
+    "Plamo3ForCausalLM": "plamo3",
+    "PlamoForCausalLM": "plamo",
+    "QWenLMHeadModel": "qwen",
+    "Qwen2ForCausalLM": "qwen2",
+    "Qwen2Model": "qwen2",
+    "Qwen2MoeForCausalLM": "qwen2_moe",
+    "Qwen2VLForConditionalGeneration": "qwen2_vl",
+    "Qwen2VLModel": "qwen2_vl",
+    "Qwen2_5_VLForConditionalGeneration": "qwen2_5_vl",
+    "Qwen3ForCausalLM": "qwen3",
+    "Qwen3MoeForCausalLM": "qwen3_moe",
+    "Qwen3NextForCausalLM": "qwen3_next",
+    "Qwen3VLForConditionalGeneration": "qwen3_vl",
+    "Qwen3VLMoeForConditionalGeneration": "qwen3_vl_moe",
+    "RND1": "rnd1",
+    "RWForCausalLM": "falcon",
+    "RWKV6Qwen2ForCausalLM": "rwkv6qwen2",
+    "RWKV7ForCausalLM": "rwkv7",
+    "RobertaForSequenceClassification": "xlm-roberta",
+    "RobertaModel": "xlm-roberta",
+    "Rwkv6ForCausalLM": "rwkv6",
+    "Rwkv7ForCausalLM": "rwkv7",
+    "RwkvHybridForCausalLM": "rwkv_hybrid",
+    "SeedOssForCausalLM": "seed_oss",
+    "SmallThinkerForCausalLM": "smallthinker",
+    "SmolLM3ForCausalLM": "smollm3",
+    "SolarOpenForCausalLM": "glm4_moe",
+    "StableLMEpochForCausalLM": "stablelm",
+    "StableLmForCausalLM": "stablelm",
+    "Starcoder2ForCausalLM": "starcoder2",
+    "UMT5Model": "t5",
+    "VLlama3ForCausalLM": "llama",
+    "XverseForCausalLM": "xverse",
+    "YoutuForCausalLM": "deepseek_v2",
+    "modeling_grove_moe.GroveMoeForCausalLM": "grovemoe",
+    # enc-dec + stragglers (classes whose canonical model_type also
+    # resolves; listed so nonstandard forks still dispatch)
+    "T5ForConditionalGeneration": "t5",
+    "T5WithLMHeadModel": "t5",
+    "MT5ForConditionalGeneration": "t5",
+    "UMT5ForConditionalGeneration": "t5",
+    "OlmoForCausalLM": "olmo",
+    "Olmo2ForCausalLM": "olmo2",
+    "ChameleonForCausalLM": "chameleon",
+    "ChameleonForConditionalGeneration": "chameleon",
+}
+
+
+def resolve_alias(model_type: str, architectures) -> str:
+    """Resolve a checkpoint's model_type through the class-alias fallback
+    (unit-testable core of the converter's arch dispatch)."""
+    if ARCH_MAP.get(model_type) is not None:
+        return model_type
+    for cls in architectures or []:
+        if cls in CLASS_FALLBACK:
+            return CLASS_FALLBACK[cls]
+    return model_type
+
+
 def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
                        verbose: bool = True) -> dict:
     cfg = json.load(open(os.path.join(src_dir, "config.json")))
@@ -905,7 +1090,9 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
                                 "voxtral", "idefics3", "janus",
                                 "lfm2_vl", "lfm2-vl", "kimi_vl",
                                 "youtu_vl", "youtuvl",
-                                "glm4v", "glm4v_moe") or (
+                                "glm4v", "glm4v_moe",
+                                "smolvlm", "ultravox", "audio_flamingo3",
+                                "glmasr", "lfm2_audio", "lightonocr") or (
         model_type in ("gemma3", "llama4") and "vision_config" in cfg)
     if model_type == "llava":
         # LLaVA wraps an ordinary llama/mistral/vicuna text model
@@ -918,9 +1105,23 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
         # SmolVLM and Janus-Pro wrap a llama text model
         model_type = (cfg.get("text_config") or {}).get("model_type",
                                                         "llama")
-    if model_type in ("lfm2_vl", "lfm2-vl"):  # wraps an lfm2 hybrid text model
+    if model_type in ("lfm2_vl", "lfm2-vl", "lfm2_audio"):
+        # lfm2-vl / lfm2-audio wrap an lfm2 hybrid text model
         model_type = (cfg.get("text_config") or {}).get("model_type",
                                                         "lfm2")
+    if model_type in ("smolvlm", "ultravox"):
+        # SmolVLM (idefics3-style) and Ultravox wrap a llama text model
+        model_type = (cfg.get("text_config") or {}).get("model_type",
+                                                        "llama")
+    if model_type in ("audio_flamingo3",):  # qwen2 text + audio tower
+        model_type = (cfg.get("text_config") or {}).get("model_type",
+                                                        "qwen2")
+    if model_type in ("glmasr",):  # glm4 text + audio tower
+        model_type = (cfg.get("text_config") or {}).get("model_type",
+                                                        "glm4")
+    if model_type in ("lightonocr",):  # pixtral-style mistral3 text stack
+        model_type = (cfg.get("text_config") or {}).get("model_type",
+                                                        "mistral")
     if model_type in ("kimi_vl", "youtu_vl", "youtuvl"):
         # Kimi-VL's and Youtu-VL's text models are DeepSeek-V2/V3 MLA stacks
         # (reference registers both ForConditionalGeneration classes under
@@ -962,6 +1163,7 @@ def convert_hf_to_gguf(src_dir: str, dst: str, outtype: str = "f16",
     for cls in cfg.get("architectures") or []:
         if cls in _BY_CLASS:
             model_type = _BY_CLASS[cls]
+    model_type = resolve_alias(model_type, cfg.get("architectures"))
     arch = ARCH_MAP.get(model_type)
     if arch is None:
         raise NotImplementedError(f"model_type {model_type!r} not supported yet "
