@@ -1967,6 +1967,8 @@ def test_kimi_linear_kda_mla_hybrid(tmp_path):
     np.testing.assert_allclose(last, full[-1], rtol=2e-3, atol=2e-3)
 
 
+# slow: the altup/laurel stack is the single heaviest arch forward
+@pytest.mark.slow
 def test_gemma3n_altup_laurel(tmp_path):
     """gemma3n: altup stacked hidden state, laurel residual, per-layer
     embeddings, trailing shared-KV layers (llm_build_gemma3n_iswa)."""

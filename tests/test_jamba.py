@@ -2,6 +2,7 @@
 (≡ llm_build_jamba: interleaved mamba/attention layers, dense/MoE FFN)."""
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -114,6 +115,9 @@ def test_jamba_forward_matches_numpy(tmp_path):
     np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
 
 
+# slow: long decode-vs-prefill sweep; the jamba forward/state tests
+# stay fast
+@pytest.mark.slow
 def test_jamba_decode_matches_prefill(tmp_path):
     path = make_tiny_jamba_gguf(tmp_path / "jamba.gguf")
     eng = Engine(path, mode="dense", dtype=jnp.float32, max_seq=64,

@@ -183,6 +183,9 @@ def test_repetition_penalty():
     assert s.sample(logits) != 3
 
 
+# slow: end-to-end q8-KV-vs-dense sweep; the flash_q8 kernel parity
+# test covers the numerics in the fast suite
+@pytest.mark.slow
 def test_q8_kv_cache_close_to_dense(tiny_model):
     """Q8_0-quantized KV cache (≡ -ctk q8_0, the fork's headline config):
     logits stay close to the bf16-cache path, decode matches prefill."""

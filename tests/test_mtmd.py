@@ -324,6 +324,9 @@ def test_generate_with_audio(tmp_path):
     assert isinstance(out, str)
 
 
+# slow: audio-tower serving e2e (~156s); vision chat covers the mtmd
+# serving path fast
+@pytest.mark.slow
 def test_server_audio_chat(tmp_path):
     """OpenAI input_audio content block through /v1/chat/completions
     (≡ server mtmd audio)."""

@@ -125,6 +125,19 @@ def test_sharded_train_step(model8):
     assert np.isfinite(float(loss))
 
 
+def test_graft_entry_compiles():
+    """entry() must stay jittable (the driver compile-checks it every
+    round); eval_shape catches tracing/API breakage in seconds."""
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.eval_shape(fn, *args)
+    assert out.shape[-1] > 0
+
+
+# slow: the driver runs dryrun_multichip(8) every round (MULTICHIP_r*)
+# — in-suite it was the 670s long pole; entry-compile stays fast above
+@pytest.mark.slow
 def test_graft_entry():
     import __graft_entry__ as g
 

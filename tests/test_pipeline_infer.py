@@ -93,7 +93,10 @@ def test_pipeline_decode_steps_match(model_path):
     np.testing.assert_allclose(got2, refs[1], rtol=2e-4, atol=2e-4)
 
 
-@pytest.mark.parametrize("pp,tp", [(2, 1), (2, 2)])
+@pytest.mark.parametrize("pp,tp", [
+    # (2,1) is subsumed by (2,2) plus the dedicated tp tests; keep the
+    # fuller mesh fast and the redundant one in the slow tier
+    pytest.param(2, 1, marks=pytest.mark.slow), (2, 2)])
 def test_batch_engine_pipe_mesh_matches_unsharded(model_path, pp, tp):
     """Continuous-batching serving on a ('pipe','model') mesh: staggered
     per-slot prefills, partial-batch decode, and a speculative verify step
@@ -591,8 +594,12 @@ def test_pipe_mesh_gemma_family(tmp_path, garch):
                                    rtol=2e-4, atol=2e-4)
 
 
-@pytest.mark.parametrize("kind", ["qwen3moe", "qwen2moe_shexp",
-                                  "probs_bias_scale"])
+@pytest.mark.parametrize("kind", [
+    # one fast representative; the structural variants (shared expert,
+    # selection bias/scale) cover the same scan plumbing in the slow tier
+    "qwen3moe",
+    pytest.param("qwen2moe_shexp", marks=pytest.mark.slow),
+    pytest.param("probs_bias_scale", marks=pytest.mark.slow)])
 def test_pipe_mesh_qwen_moe_family(tmp_path, kind):
     """qwen-moe family through the layer-split pipeline: hparams-driven
     routing (renorm policy, gating func, scale, selection bias) and the

@@ -913,6 +913,9 @@ def test_scheduler_cache_reuse_punches_holes(engine):
 # llama_memory_recurrent models through the same update_slots loop)
 
 
+# slow: iswa dual-cache serving e2e; swa ring/full parity is covered
+# fast in test_swa_cache
+@pytest.mark.slow
 def test_serve_iswa_dual_cache(tmp_path):
     from tpullm.models.testing import make_tiny_gemma_gguf
     from tpullm.runtime.engine import Engine
@@ -1028,6 +1031,9 @@ def test_scheduler_lazy_grammar_stays_inactive(engine):
         s.tokens = []
 
 
+# slow: compiles every scheduler shape bucket (~220s); the live-server
+# and scheduler suites exercise the same shapes functionally
+@pytest.mark.slow
 def test_precompile_covers_scheduler_shapes(engine):
     """precompile() must lower+compile without error for every shape the
     loop issues, including the speculative verify width."""

@@ -135,6 +135,8 @@ def test_ring_state_save_load(gemma_model, tmp_path):
     np.testing.assert_allclose(got[1], expect[1], rtol=1e-5, atol=1e-5)
 
 
+# slow: chunked device-generation sweep; ring==full parity stays fast
+@pytest.mark.slow
 def test_ring_device_generation_chunked(gemma_model):
     """generate_tokens_device with a prompt longer than prefill_cap: host
     chunks the prefill, decode stays on-device; greedy output matches the

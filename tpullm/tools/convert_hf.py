@@ -144,6 +144,14 @@ class _LazyF32(np.lib.mixins.NDArrayOperatorsMixin):
     def transpose(self, *axes):
         return _LazyF32(self._arr.transpose(*axes))
 
+    def swapaxes(self, a, b):
+        return _LazyF32(self._arr.swapaxes(a, b))
+
+    def __getattr__(self, name):
+        # any other ndarray API: materialize float32 and delegate —
+        # correctness first; only the common shape-ops stay lazy
+        return getattr(self.__array__(), name)
+
     @property
     def T(self):
         return _LazyF32(self._arr.T)
