@@ -237,14 +237,18 @@ def load_stacked_serving(reader, hp, mesh: Mesh, dtype=jnp.bfloat16,
         )
     # mixtral-style MoE FFN (llama arch + ffn_gate_inp router): every layer
     # must be MoE (a scan over stacked layers needs one homogeneous
-    # structure — deepseek dense-lead mixes are out), tp must be 1 (expert
-    # stacks are stage-local, unsharded)
+    # structure — deepseek dense-lead mixes are out). With tp > 1 the
+    # experts shard over the stage's model axis (expert parallelism inside
+    # a stage: each rank computes its E/tp experts, a psum combines — the
+    # routing weights of non-local experts are zeroed, so the combine is
+    # exact); attention stays head-sharded as usual.
     moe = f"blk.0.ffn_gate_inp.weight" in t
     if moe:
-        if tp > 1:
+        if tp > 1 and hp.n_expert % tp:
             raise NotImplementedError(
-                "MoE pipeline serving runs tp=1 stages (expert stacks are "
-                "stage-local)"
+                f"MoE pipeline serving with tp={tp}: n_expert "
+                f"{hp.n_expert} must divide tp (experts shard over the "
+                "stage model axis)"
             )
         missing = [i for i in range(hp.n_layer)
                    if f"blk.{i}.ffn_gate_inp.weight" not in t]
@@ -307,6 +311,8 @@ def load_stacked_serving(reader, hp, mesh: Mesh, dtype=jnp.bfloat16,
             n_in3, n_out3, e = inf0.shape
             exp_gtypes = {t[f"blk.{i}.{stem}.weight"].ggml_type
                           for i in range(hp.n_layer)}
+            # tp > 1: experts shard over the stage model axis (dim 1 = E)
+            exp_spec = P(PIPE_AXIS, MODEL_AXIS) if tp > 1 else P(PIPE_AXIS)
             packed = _stack_planes_np(inf0, n_out3, n_in3, e)
             if (mode != "dense" and len(exp_gtypes) == 1
                     and packed is not None):
@@ -316,7 +322,7 @@ def load_stacked_serving(reader, hp, mesh: Mesh, dtype=jnp.bfloat16,
                 # experts in place, ggml-cuda/mmid.cu + mmq.cu:220)
                 stack[key] = {
                     nm: put_stacked(
-                        P(PIPE_AXIS), v0.shape, v0.dtype,
+                        exp_spec, v0.shape, v0.dtype,
                         lambda i, nm=nm, stem=stem: _stack_planes_np(
                             t[f"blk.{i}.{stem}.weight"],
                             n_out3, n_in3, e)[nm])
@@ -337,7 +343,7 @@ def load_stacked_serving(reader, hp, mesh: Mesh, dtype=jnp.bfloat16,
                                / max(TYPE_TRAITS[inf0.ggml_type].bits_per_weight, 1))),
                 )
             stack[key] = put_stacked(
-                P(PIPE_AXIS), (e, n_in3, n_out3), dtype,
+                exp_spec, (e, n_in3, n_out3), dtype,
                 lambda i, stem=stem: np.ascontiguousarray(
                     t[f"blk.{i}.{stem}.weight"].to_numpy().transpose(0, 2, 1)
                 ),
@@ -837,7 +843,7 @@ def _layer_cached(hp, tp: int, w, x, positions, c_l, offs, batch_start,
         llama_moe = get_arch(hp.arch).forward is _llama.forward
         ffn = _moe_ffn_tokens(hp, w, h.reshape(b * T, E),
                               llama_moe=llama_moe,
-                              qmeta=qmeta).reshape(b, T, E)
+                              qmeta=qmeta, tp=tp).reshape(b, T, E)
         if hp.residual_scale != 1.0:
             ffn = ffn * hp.residual_scale
         return x + ffn, c_l
@@ -890,14 +896,20 @@ def _cache_rw(leaf, new_row, batch_start, start, row_ok):
 
 
 def _moe_ffn_tokens(hp, w, hs, llama_moe: bool = False,
-                    qmeta: dict | None = None):
+                    qmeta: dict | None = None, tp: int = 1):
     """Routed-MoE FFN over token rows hs [N, E] (shared by the generic and
     MLA scan bodies): hparams-driven routing + optional selection bias and
     shared expert (≡ build_moe_ffn, llama-graph.h:785). Expert stacks whose
     name carries qmeta are stage-local PACKED plane dicts [E, rows, N]
     (≡ MUL_MAT_ID running quantized experts in place, mmid.cu) — they are
     re-wrapped as QuantExpertStack so ops/moe dispatches to the stack/gather
-    kernels; otherwise the entries are widened dense [E, K, N] arrays."""
+    kernels; otherwise the entries are widened dense [E, K, N] arrays.
+
+    tp > 1 = expert parallelism inside the stage: this rank holds E/tp
+    experts (sharded on the leading expert dim); routing runs replicated,
+    non-local experts' routing weights are zeroed and their slots clamped
+    onto local ids (a zero weight nullifies whatever the clamped expert
+    computes — exact algebra), and a psum over the model axis combines."""
     from ..models.qwen_moe import norm_weights_policy
     from ..models.weights import QuantExpertStack
     from ..ops.moe import moe_ffn, route
@@ -906,8 +918,10 @@ def _moe_ffn_tokens(hp, w, hs, llama_moe: bool = False,
         meta = (qmeta or {}).get(key)
         if meta is None:
             return w[key]
-        gtype, n_out, n_in, e = meta
-        return QuantExpertStack(gtype, e, n_out, n_in, w[key])
+        gtype, n_out, n_in, _e = meta
+        # leading dim of the LOCAL shard (E/tp under expert parallelism)
+        e_local = next(iter(w[key].values())).shape[0]
+        return QuantExpertStack(gtype, e_local, n_out, n_in, w[key])
 
     rl = (hs @ w["router"]).astype(jnp.float32)
     if llama_moe:  # mixtral-on-llama: softmax + renorm (llama.forward)
@@ -918,8 +932,19 @@ def _moe_ffn_tokens(hp, w, hs, llama_moe: bool = False,
                          norm_weights=norm_w,
                          scale=hp.expert_weights_scale,
                          select_bias=w.get("exp_probs_b"))
-    ffn = moe_ffn(hs, weights, idx, exps("w_gate_exps"), exps("w_up_exps"),
-                  exps("w_down_exps"))
+    gate_s = exps("w_gate_exps")
+    up_s = exps("w_up_exps")
+    down_s = exps("w_down_exps")
+    if tp > 1:
+        e_local = (up_s.n_expert if isinstance(up_s, QuantExpertStack)
+                   else up_s.shape[0])
+        base = jax.lax.axis_index(MODEL_AXIS) * e_local
+        local = (idx >= base) & (idx < base + e_local)
+        idx = jnp.clip(idx - base, 0, e_local - 1)
+        weights = jnp.where(local, weights, 0.0)
+    ffn = moe_ffn(hs, weights, idx, gate_s, up_s, down_s)
+    if tp > 1:
+        ffn = jax.lax.psum(ffn, MODEL_AXIS)
     if "w_gate_shexp" in w:  # shared expert (qwen2moe gated / plain)
         hd_ = hs.astype(w["w_gate_shexp"].dtype)
         g32 = (hd_ @ w["w_gate_shexp"]).astype(jnp.float32)
@@ -1044,8 +1069,12 @@ def make_pipeline_step(hp, mesh: Mesh, qmeta: dict | None = None,
     if moe:  # router + expert stacks replace the dense FFN weights
         for k in ("w_gate", "w_up", "w_down"):
             del stack_specs[k]
-        for k in ("router", "w_gate_exps", "w_up_exps", "w_down_exps"):
-            stack_specs[k] = P(PIPE_AXIS)
+        stack_specs["router"] = P(PIPE_AXIS)
+        for k in ("w_gate_exps", "w_up_exps", "w_down_exps"):
+            # tp > 1: expert parallelism inside the stage (E shards over
+            # the model axis; _moe_ffn_tokens psums the combine)
+            stack_specs[k] = (P(PIPE_AXIS, MODEL_AXIS) if tp > 1
+                              else P(PIPE_AXIS))
     if gateless:  # arcee/apertus: no ffn_gate stack
         stack_specs.pop("w_gate", None)
     stack_specs["rope_on"] = P(PIPE_AXIS)
