@@ -89,15 +89,20 @@ def canary_gate(remaining) -> tuple[float, list[float]]:
     """Gate the run on device health instead of marching into a 13x-slow
     relay (r04 burned its whole 1546s budget that way: canary read 3.0,
     the run proceeded, and load+compile alone overran the budget).
-    While the relay is degraded AND enough budget remains for a full run,
-    sleep-and-remeasure — a poisoned relay typically drains in tens of
-    minutes once the orphaned server-side work completes. Returns the
-    final reading plus the whole history for `extra`."""
+    While the relay is degraded, sleep-and-remeasure — but only inside a
+    CAPPED window (≤25% of budget, ≤600s): a 2026-08-20 session measured
+    18 consecutive degraded readings over 17 minutes, so an uncapped loop
+    starves the degraded-mode fallback of the budget it needs to at least
+    compile+measure decode. Returns the final reading plus the whole
+    history for `extra`."""
     history = []
+    t0 = time.time()
+    window = min(600.0, 0.25 * (remaining() + (time.time() - t0)))
     tflops = device_health()
     history.append(round(tflops, 1))
     log(f"device health: {tflops:.1f} f32 TFLOP/s (healthy v5e ~40+)")
-    while tflops < HEALTHY_TFLOPS and remaining() > MIN_FULL_S + 90:
+    while (tflops < HEALTHY_TFLOPS and remaining() > MIN_FULL_S + 90
+           and time.time() - t0 < window):
         log(f"canary {tflops:.1f} < {HEALTHY_TFLOPS} TFLOP/s — relay "
             f"degraded; sleeping 60s and remeasuring "
             f"({remaining():.0f}s budget left)")
@@ -299,6 +304,9 @@ def main():
 
     import jax
 
+    # self-documenting cache behavior: misses of the big programs are the
+    # difference between a 90s and a 700s decode phase on a degraded relay
+    jax.config.update("jax_explain_cache_misses", True)
     log("devices:", jax.devices())
     acquired.set()
     phase["name"] = "health-canary"

@@ -240,6 +240,43 @@ def test_pipe_mesh_moe(tmp_path):
                                    rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("arch", ["nemotron_h", "granitehybrid"])
+def test_pipe_mesh_hybrid(tmp_path, arch):
+    """Hybrid attention+SSM archs through layer-split pipeline stages:
+    union-stacked layers with per-layer kind dispatch (attn / mamba2 SSD /
+    ffn-only), stage-resident KV + conv/ssm state. Prefill + decode match
+    the unsharded engine (pipeline_hybrid.py; reference: the ggml
+    scheduler splitting any arch's graph, ggml-backend.cpp:1157)."""
+    from jax.sharding import Mesh
+
+    from tpullm.models.testing import make_tiny_hybrid2_gguf
+    from tpullm.runtime.batch_engine import BatchEngine
+
+    pp = 3 if arch == "nemotron_h" else 2  # one stage per layer kind mix
+    path = make_tiny_hybrid2_gguf(tmp_path / f"{arch}.gguf", arch=arch)
+
+    def run(mesh):
+        eng = BatchEngine(path, n_slots=pp, max_seq=32, mode="dense",
+                          dtype=jnp.float32, kv_dtype=jnp.float32,
+                          mesh=mesh)
+        lg = eng.prefill_slot(0, [1, 5, 9, 2, 7])
+        steps = [lg]
+        cur = int(np.argmax(lg))
+        for _ in range(3):  # a few decode steps exercise the carried state
+            out = eng.decode_batch({0: cur})
+            steps.append(out[0])
+            cur = int(np.argmax(out[0]))
+        return steps
+
+    ref = run(None)
+    mesh = Mesh(np.asarray(jax.devices()[:pp]).reshape(pp, 1),
+                ("pipe", "model"))
+    got = run(mesh)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=3e-4, atol=3e-4)
+
+
 def test_pipe_mesh_moe_tp2(tmp_path):
     """MoE pipeline stages with tp=2: experts shard over the stage model
     axis (expert parallelism inside a stage — non-local routing weights

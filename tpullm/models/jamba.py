@@ -344,14 +344,18 @@ def forward(
                 pad = ((0, 0), (0, hp.n_head_kv - n_kv), (0, 0), (0, 0))
                 kt = jnp.pad(kt, pad)
                 vt = jnp.pad(vt, pad)
-            k_cache = jax.lax.dynamic_update_slice(
-                k_cache, kt[None].astype(k_cache.dtype),
-                (li, 0, 0, jnp.asarray(cache_offset), 0),
-            )
-            v_cache = jax.lax.dynamic_update_slice(
-                v_cache, vt[None].astype(v_cache.dtype),
-                (li, 0, 0, jnp.asarray(cache_offset), 0),
-            )
+            # per-row write offsets (BatchEngine slots decode at different
+            # depths; idle rows are restored wholesale by the recurrent
+            # step's keep_idle, so unmasked writes here are safe)
+            start = jnp.maximum(offsets, 0)
+            k_cache = k_cache.at[li].set(jax.vmap(
+                lambda buf, kn, st: jax.lax.dynamic_update_slice(
+                    buf, kn.astype(buf.dtype), (0, st, 0))
+            )(k_cache[li], kt, start))
+            v_cache = v_cache.at[li].set(jax.vmap(
+                lambda buf, vn, st: jax.lax.dynamic_update_slice(
+                    buf, vn.astype(buf.dtype), (0, st, 0))
+            )(v_cache[li], vt, start))
             attn_out = attention(
                 q, k_cache[li, :, :n_kv], v_cache[li, :, :n_kv], mask, scale,
                 offsets=offsets,
@@ -420,14 +424,15 @@ def forward_falcon_h1(
         v = layer["wv"](h).reshape(B, T, hp.n_head_kv, hp.head_dim_v)
         q = apply_rope(q, positions, hp.rope)
         k = apply_rope(k, positions, hp.rope)
-        k_cache = jax.lax.dynamic_update_slice(
-            k_cache, k.transpose(0, 2, 1, 3)[None].astype(k_cache.dtype),
-            (li, 0, 0, jnp.asarray(cache_offset), 0),
-        )
-        v_cache = jax.lax.dynamic_update_slice(
-            v_cache, v.transpose(0, 2, 1, 3)[None].astype(v_cache.dtype),
-            (li, 0, 0, jnp.asarray(cache_offset), 0),
-        )
+        start = jnp.maximum(offsets, 0)  # per-row slot depths (see forward)
+        k_cache = k_cache.at[li].set(jax.vmap(
+            lambda buf, kn, st: jax.lax.dynamic_update_slice(
+                buf, kn.astype(buf.dtype), (0, st, 0))
+        )(k_cache[li], k.transpose(0, 2, 1, 3), start))
+        v_cache = v_cache.at[li].set(jax.vmap(
+            lambda buf, vn, st: jax.lax.dynamic_update_slice(
+                buf, vn.astype(buf.dtype), (0, st, 0))
+        )(v_cache[li], v.transpose(0, 2, 1, 3), start))
         attn_out = attention(q, k_cache[li], v_cache[li], mask, scale,
                              offsets=offsets)
         attn_out = layer["wo"](attn_out.reshape(B, T, hp.n_head * hp.head_dim_v))

@@ -197,10 +197,13 @@ class BatchEngine:
         tp = mesh.shape[MODEL_AXIS]
         from ..models import deepseek2 as _ds2
 
+        from ..models import jamba as _jamba
+
         mla = (self.arch.forward is _ds2.forward
                and _ds2.mla_absorbed(hp))
-        if not mla and (self.arch.recurrent
-                        or self.arch.make_cache is not None):
+        hybrid = self.arch.forward is _jamba.forward
+        if not mla and not hybrid and (self.arch.recurrent
+                                       or self.arch.make_cache is not None):
             raise NotImplementedError(
                 f"{hp.arch}: pipeline serving needs a plain positional KV "
                 "cache"
@@ -241,6 +244,24 @@ class BatchEngine:
                                                 qmeta=self._qmeta)
             self._prefill_step = make_mla_pipeline_step(
                 hp, mesh, self.params, qmeta=self._qmeta, last_only=True)
+            return
+        if hybrid:
+            # nemotron-h / granite-hybrid: union-stacked layers with
+            # per-layer kind dispatch, stage-resident KV + conv/ssm state
+            from ..parallel.pipeline_hybrid import (
+                load_hybrid_stacked_serving,
+                make_hybrid_pipeline_step,
+                make_hybrid_stacked_cache,
+            )
+
+            self.params, _ = load_hybrid_stacked_serving(
+                self.reader, hp, mesh, dtype=dtype, mode=mode)
+            self._qmeta = {}
+            self.cache = make_hybrid_stacked_cache(
+                hp, self.n_slots, self.max_seq, mesh, dtype=self.kv_dtype)
+            self._step = make_hybrid_pipeline_step(hp, mesh, self.params)
+            self._prefill_step = make_hybrid_pipeline_step(
+                hp, mesh, self.params, last_only=True)
             return
         try:
             self.params, self._qmeta, _ = load_stacked_serving(
