@@ -307,6 +307,14 @@ def main():
     # self-documenting cache behavior: misses of the big programs are the
     # difference between a 90s and a 700s decode phase on a degraded relay
     jax.config.update("jax_explain_cache_misses", True)
+    if os.environ.get("TPULLM_BENCH_DEBUG_KEYS"):
+        # per-component cache-key hashes (computation/devices/
+        # accelerator_config/compile_options/platform/xla_flags) — run
+        # twice and diff to find which component drifts between processes
+        import logging
+
+        logging.getLogger("jax._src.cache_key").setLevel(logging.DEBUG)
+        logging.basicConfig(level=logging.DEBUG)
     log("devices:", jax.devices())
     acquired.set()
     phase["name"] = "health-canary"
