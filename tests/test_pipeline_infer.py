@@ -240,7 +240,7 @@ def test_pipe_mesh_moe(tmp_path):
                                    rtol=2e-4, atol=2e-4)
 
 
-@pytest.mark.parametrize("arch", ["nemotron_h", "granitehybrid"])
+@pytest.mark.parametrize("arch", ["nemotron_h", "granitehybrid", "jamba"])
 def test_pipe_mesh_hybrid(tmp_path, arch):
     """Hybrid attention+SSM archs through layer-split pipeline stages:
     union-stacked layers with per-layer kind dispatch (attn / mamba2 SSD /
@@ -252,8 +252,14 @@ def test_pipe_mesh_hybrid(tmp_path, arch):
     from tpullm.models.testing import make_tiny_hybrid2_gguf
     from tpullm.runtime.batch_engine import BatchEngine
 
-    pp = 3 if arch == "nemotron_h" else 2  # one stage per layer kind mix
-    path = make_tiny_hybrid2_gguf(tmp_path / f"{arch}.gguf", arch=arch)
+    if arch == "jamba":  # mamba1 mixers + paired dense FFN (with_moe off)
+        from tpullm.models.testing import make_tiny_jamba_gguf
+
+        pp = 2
+        path = make_tiny_jamba_gguf(tmp_path / "jamba.gguf", with_moe=False)
+    else:
+        pp = 3 if arch == "nemotron_h" else 2  # one stage per kind mix
+        path = make_tiny_hybrid2_gguf(tmp_path / f"{arch}.gguf", arch=arch)
 
     def run(mesh):
         eng = BatchEngine(path, n_slots=pp, max_seq=32, mode="dense",

@@ -1979,15 +1979,17 @@ def make_tiny_jamba_gguf(
     n_expert_used: int = 2,
     n_ctx: int = 256,
     seed: int = 0,
+    with_moe: bool = True,
 ) -> str:
     """Tiny jamba-shaped GGUF: 4 layers = [mamba+dense, attn+dense,
-    mamba+moe, attn+moe] (llm_build_jamba hybrid dispatch)."""
+    mamba+moe, attn+moe] (llm_build_jamba hybrid dispatch); with_moe=False
+    makes every FFN slot dense (the hybrid-pipeline-servable shape)."""
     rng = np.random.default_rng(seed)
     tokens, scores, types = _byte_vocab(DEFAULT_WORDS)
     n_vocab = len(tokens)
     head_dim = n_embd // n_head
     kinds = ["mamba", "attn", "mamba", "attn"]
-    moe = [False, False, True, True]
+    moe = [False, False, with_moe, with_moe]
     kv_arr = [0 if k == "mamba" else n_head_kv for k in kinds]
     n_layer = len(kinds)
 

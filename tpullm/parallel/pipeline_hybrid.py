@@ -10,7 +10,8 @@ union+flag encoding buys the same generality) and dispatches per layer
 inside the stage scan with `lax.switch` on a stacked kind flag:
 
     kind 0 = attention (GQA, rope-free unless granite rope_finetuned)
-    kind 1 = mamba2 SSD mixer (nemotron-h / granite-hybrid)
+    kind 1 = mamba mixer (mamba2 SSD for nemotron-h / granite-hybrid,
+             mamba1 selective scan for jamba — model-level switch)
     kind 2 = FFN-only sandwich layer (nemotron-h ReLU²)
 
 plus an optional PAIRED second FFN sub-block after the mixer
@@ -18,9 +19,9 @@ plus an optional PAIRED second FFN sub-block after the mixer
 hybrid state leaves pipe-sharded on the layer dim; conv/ssm states update
 masked (idle rows and fill/drain ticks write back unchanged).
 
-v1 scope: mamba2-family hybrids with dense FFN slots, tp=1 stages
-(mamba inner state has no natural head axis to shard), dense (widened)
-weights. jamba's mamba1 mixer and MoE FFN slots stay on the --dp path.
+Scope: hybrids with dense FFN slots, tp=1 stages (mamba inner state has
+no natural head axis to shard), dense (widened) weights. MoE FFN slots
+(nemotron_h_moe, jamba-moe) stay on the --dp path.
 """
 
 from __future__ import annotations
@@ -90,15 +91,14 @@ def load_hybrid_stacked_serving(reader, hp: HParams, mesh: Mesh,
             "has no head axis to shard)")
     if hp.n_layer % pp:
         raise ValueError(f"n_layer {hp.n_layer} must divide pp {pp}")
-    if not hp.ssm_n_group:
-        raise NotImplementedError(
-            "hybrid pipeline serving covers mamba2 (SSD) hybrids; "
-            "jamba's mamba1 mixers serve with --dp")
-    if f"blk.0.ffn_gate_inp.weight" in t or any(
-            f"blk.{i}.ffn_gate_inp.weight" in t for i in range(hp.n_layer)):
+    if any(f"blk.{i}.ffn_gate_inp.weight" in t for i in range(hp.n_layer)):
         raise NotImplementedError(
             "hybrid pipeline serving covers dense FFN slots; MoE hybrids "
-            "(nemotron_h_moe) serve with --dp")
+            "(nemotron_h_moe, jamba-moe) serve with --dp")
+    # a model's mixers are ALL mamba1 (jamba) or ALL mamba2 (nemotron-h /
+    # granite-hybrid) — group_count is the model-level switch, so one slot
+    # table per model suffices
+    mamba1 = not hp.ssm_n_group
 
     E = hp.n_embd
     D = hp.ssm_d_inner
@@ -117,12 +117,11 @@ def load_hybrid_stacked_serving(reader, hp: HParams, mesh: Mesh,
     for i in range(hp.n_layer):
         p = f"blk.{i}."
         if p + "ssm_in.weight" in t:
-            if p + "ssm_x.weight" in t:
+            if (p + "ssm_x.weight" in t) != mamba1:
                 raise NotImplementedError(
-                    "hybrid pipeline serving: mamba1 (jamba) layer found — "
-                    "serve with --dp")
+                    "hybrid pipeline serving: mixed mamba1/mamba2 mixers")
             kinds[i] = K_MAMBA2
-            has_ffn2[i] = p + "ffn_up.weight" in t  # granite pairs mixer+ffn
+            has_ffn2[i] = p + "ffn_up.weight" in t  # jamba/granite pair FFN
         elif p + "attn_q.weight" in t:
             kinds[i] = K_ATTN
             has_ffn2[i] = p + "ffn_up.weight" in t
@@ -132,20 +131,41 @@ def load_hybrid_stacked_serving(reader, hp: HParams, mesh: Mesh,
             raise NotImplementedError(f"layer {i}: no mixer and no FFN")
 
     # union per-layer tensor table: key -> (gguf stem, leaf shape,
-    # transpose-to [n_in, n_out]?)
+    # transpose-to [n_in, n_out]?); the mixer slots switch model-wide
+    # between mamba1 (jamba) and mamba2 (SSD) shapes
+    R = hp.ssm_dt_rank
+    if mamba1:
+        mixer_slots = {
+            "ssm_in": ("ssm_in.weight", (E, 2 * D), True),
+            "conv_w": ("ssm_conv1d.weight", (D, hp.ssm_d_conv), False),
+            "conv_b": ("ssm_conv1d.bias", (D,), False),
+            "ssm_x": ("ssm_x.weight", (D, R + 2 * S), True),
+            "ssm_dt": ("ssm_dt.weight", (R, D), True),
+            "dt_bias": ("ssm_dt.bias", (D,), False),
+            "dt_norm": ("ssm_dt_norm.weight", (R,), False),
+            "b_norm": ("ssm_b_norm.weight", (S,), False),
+            "c_norm": ("ssm_c_norm.weight", (S,), False),
+            "A_log": ("ssm_a", (D, S), False),
+            "D": ("ssm_d", (D,), False),
+            "ssm_out": ("ssm_out.weight", (D, E), True),
+        }
+    else:
+        mixer_slots = {
+            "ssm_in": ("ssm_in.weight", (E, zxbcdt_w), True),
+            "conv_w": ("ssm_conv1d.weight", (conv_w, hp.ssm_d_conv), False),
+            "conv_b": ("ssm_conv1d.bias", (conv_w,), False),
+            "dt_bias": ("ssm_dt.bias", (H,), False),
+            "A_log": ("ssm_a", (H,), False),
+            "D": ("ssm_d", (H,), False),
+            "ssm_norm": ("ssm_norm.weight", (D,), False),
+            "ssm_out": ("ssm_out.weight", (D, E), True),
+        }
     slots = {
         "wq": ("attn_q.weight", (E, hq), True),
         "wk": ("attn_k.weight", (E, hkv), True),
         "wv": ("attn_v.weight", (E, hp.n_head_kv * hp.head_dim_v), True),
         "wo": ("attn_output.weight", (hv, E), True),
-        "ssm_in": ("ssm_in.weight", (E, zxbcdt_w), True),
-        "conv_w": ("ssm_conv1d.weight", (conv_w, hp.ssm_d_conv), False),
-        "conv_b": ("ssm_conv1d.bias", (conv_w,), False),
-        "dt_bias": ("ssm_dt.bias", (H,), False),
-        "A_log": ("ssm_a", (H,), False),
-        "D": ("ssm_d", (H,), False),
-        "ssm_norm": ("ssm_norm.weight", (D,), False),
-        "ssm_out": ("ssm_out.weight", (D, E), True),
+        **mixer_slots,
         "w_up": ("ffn_up.weight", (E, n_ff), True),
         "w_down": ("ffn_down.weight", (n_ff, E), True),
         "w_gate": ("ffn_gate.weight", (E, n_ff), True),
@@ -211,7 +231,7 @@ def load_hybrid_stacked_serving(reader, hp: HParams, mesh: Mesh,
             jnp.asarray(t["output_norm.weight"].to_numpy(), jnp.float32)),
         "output": put(w_out),
         "stack": stack,
-        "flags": {"gated": gated, "biased": biased},
+        "flags": {"gated": gated, "biased": biased, "mamba1": mamba1},
     }
     return params, w_out.shape[1]
 
@@ -236,6 +256,38 @@ def _ffn(hp, w, h, gated: bool, biased: bool):
     if biased and "b_down" in w:
         down = down + w["b_down"].astype(down.dtype)
     return down
+
+
+def _mamba1(hp, w, h, conv0, ssm0):
+    """Mamba-1 selective-scan mixer (jamba) against explicit weight
+    arrays, incl. the optional dt/B/C RMS norms."""
+    from ..models.mamba import _causal_conv, _selective_scan
+
+    D = hp.ssm_d_inner
+    R = hp.ssm_dt_rank
+    S = hp.ssm_d_state
+    xz = (h @ w["ssm_in"].astype(h.dtype)).astype(jnp.float32)
+    xin, z = xz[..., :D], xz[..., D:]
+    conv_out, conv_state = _causal_conv(xin, conv0, w["conv_w"],
+                                        w["conv_b"])
+    xc = jax.nn.silu(conv_out)
+    x_db = (xc.astype(h.dtype) @ w["ssm_x"].astype(h.dtype)
+            ).astype(jnp.float32)
+    dt_raw = x_db[..., :R]
+    Bm = x_db[..., R: R + S]
+    Cm = x_db[..., R + S:]
+    if "dt_norm" in w:
+        dt_raw = _rms(dt_raw, w["dt_norm"], hp.rms_eps)
+        Bm = _rms(Bm, w["b_norm"], hp.rms_eps)
+        Cm = _rms(Cm, w["c_norm"], hp.rms_eps)
+    dt = jax.nn.softplus(
+        (dt_raw.astype(h.dtype) @ w["ssm_dt"].astype(h.dtype)
+         ).astype(jnp.float32) + w["dt_bias"])
+    y, ssm_state = _selective_scan(xc, dt, w["A_log"], Bm, Cm, ssm0)
+    y = y + xc * w["D"][None, None]
+    y = y * jax.nn.silu(z)
+    out = y.astype(h.dtype) @ w["ssm_out"].astype(h.dtype)
+    return out, conv_state, ssm_state
 
 
 def _mamba2(hp, w, h, conv0, ssm0):
@@ -274,7 +326,7 @@ def _mamba2(hp, w, h, conv0, ssm0):
 
 
 def _hybrid_layer(hp, w, x, positions, c_l, offs, batch_start, tick_valid,
-                  gated: bool, biased: bool):
+                  gated: bool, biased: bool, mamba1: bool = False):
     """One hybrid layer (kind-dispatched) against stage-local cache leaves
     c_l = (k, v, conv, ssm), each [B, ...]; the microbatch occupies rows
     [batch_start, batch_start+b). State writes are masked for idle rows
@@ -340,7 +392,8 @@ def _hybrid_layer(hp, w, x, positions, c_l, offs, batch_start, tick_valid,
     def mamba_case(_):
         conv0 = jax.lax.dynamic_slice_in_dim(conv_l, batch_start, b, 0)
         ssm0 = jax.lax.dynamic_slice_in_dim(ssm_l, batch_start, b, 0)
-        out, conv_new, ssm_new = _mamba2(hp, w, h, conv0, ssm0)
+        mixer = _mamba1 if mamba1 else _mamba2
+        out, conv_new, ssm_new = mixer(hp, w, h, conv0, ssm0)
         conv_new = jnp.where(row_ok[:, None, None],
                              conv_new.astype(conv_l.dtype), conv0)
         ssm_new = jnp.where(row_ok[:, None, None],
@@ -382,6 +435,7 @@ def make_hybrid_pipeline_step(hp: HParams, mesh: Mesh, params: dict,
     pp = mesh.shape[PIPE_AXIS]
     gated = params["flags"]["gated"]
     biased = params["flags"]["biased"]
+    mamba1 = params["flags"].get("mamba1", False)
     specs = {
         "tok_embd": P(), "output_norm": P(), "output": P(),
         "stack": {k: P(PIPE_AXIS) for k in params["stack"]},
@@ -429,7 +483,7 @@ def make_hybrid_pipeline_step(hp: HParams, mesh: Mesh, params: dict,
                 w = layer_state[0]
                 xn, c_l = _hybrid_layer(
                     hp, w, xc, pos, layer_state[1:], offs, bs, tick_valid,
-                    gated, biased)
+                    gated, biased, mamba1)
                 return xn, c_l
 
             x_out, c_leaves = jax.lax.scan(body, x, (stack,) + c_leaves)
