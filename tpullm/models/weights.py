@@ -115,34 +115,61 @@ def _concat_cols(arrs: tuple) -> jax.Array:
     return jnp.concatenate(list(arrs), axis=1)
 
 
-def fuse_linears(linears: list) -> "FusedLinear | None":
-    """Concatenate same-type, same-n_in linears along n_out; None when the
-    set is heterogeneous (e.g. Q4_K wq/wk beside a Q6_K wv — the ftype
-    recipes mix per-layer types, so fusion is a per-layer decision)."""
+@jax.jit
+def _concat_groups(groups: tuple) -> tuple:
+    """One dispatch for a whole layer's fuse concats: `groups` is a tuple
+    of plane tuples, each concatenated on axis 1. Shape-keyed like
+    _concat_cols (all layers share one compiled program), but ~7x fewer
+    dispatches — on a degraded axon relay the per-plane dispatch storm
+    (~220 calls for an 8B Q4_K_M) was 4-7 minutes of Engine build."""
+    return tuple(jnp.concatenate(list(g), axis=1) for g in groups)
+
+
+def _fuse_plan(linears: list):
+    """Fusion plan for same-type, same-n_in linears: (plane_tuples, build)
+    where `build(concatenated_arrays)` produces the FusedLinear; None when
+    the set is heterogeneous (e.g. Q4_K wq/wk beside a Q6_K wv — the ftype
+    recipes mix per-layer types, so fusion is a per-layer decision).
+    Splitting the plan from the concat lets fuse_llama_params batch a whole
+    layer's concats into ONE device dispatch."""
     splits = tuple(int(l.n_out) for l in linears)
     if all(isinstance(l, DenseLinear) for l in linears):
         if len({l.w.dtype for l in linears}) != 1 or \
                 len({l.n_in for l in linears}) != 1:
             return None
-        return FusedLinear(
-            DenseLinear(_concat_cols(tuple(l.w for l in linears))),
-            splits,
-        )
+
+        def build_dense(cats):
+            return FusedLinear(DenseLinear(cats[0]), splits)
+
+        return [tuple(l.w for l in linears)], build_dense
     if all(isinstance(l, QuantLinear) for l in linears):
         if len({l.gtype for l in linears}) != 1 or \
                 len({l.n_in for l in linears}) != 1 or \
                 len({tuple(sorted(l.planes)) for l in linears}) != 1:
             return None
-        planes = {
-            nm: _concat_cols(tuple(l.planes[nm] for l in linears))
-            for nm in linears[0].planes
-        }
-        return FusedLinear(
-            QuantLinear(linears[0].gtype, sum(splits), linears[0].n_in,
-                        planes),
-            splits,
-        )
+        names = list(linears[0].planes)
+        gtype, n_in = linears[0].gtype, linears[0].n_in
+
+        def build_quant(cats):
+            return FusedLinear(
+                QuantLinear(gtype, sum(splits), n_in,
+                            dict(zip(names, cats))),
+                splits,
+            )
+
+        return ([tuple(l.planes[nm] for l in linears) for nm in names],
+                build_quant)
     return None
+
+
+def fuse_linears(linears: list) -> "FusedLinear | None":
+    """Concatenate same-type, same-n_in linears along n_out (one batched
+    device dispatch); None when the set is heterogeneous."""
+    plan = _fuse_plan(linears)
+    if plan is None:
+        return None
+    groups, build = plan
+    return build(_concat_groups(tuple(groups)))
 
 
 def maybe_fuse_llama(arch, params: dict, mesh=None, lora: bool = False) -> dict:
@@ -172,18 +199,33 @@ def fuse_llama_params(params: dict) -> dict:
     param layout). Layers whose projections mix quant types keep the
     separate linears. Consumed by attn_block/forward via layer['wqkv'] /
     layer['wgu']; the original keys are cleared so the planes aren't held
-    twice."""
+    twice. Both groups' concats ride ONE _concat_groups dispatch per layer
+    (shape-keyed: all layers share the compiled program) — the per-plane
+    dispatch storm cost minutes of Engine build over a degraded relay."""
     for layer in params["layers"]:
+        plans = []
         if all(layer.get(k) is not None for k in ("wq", "wk", "wv")):
-            f = fuse_linears([layer["wq"], layer["wk"], layer["wv"]])
-            if f is not None:
-                layer["wqkv"] = f
-                layer["wq"] = layer["wk"] = layer["wv"] = None
+            plans.append(("wqkv", ("wq", "wk", "wv"), _fuse_plan(
+                [layer["wq"], layer["wk"], layer["wv"]])))
         if layer.get("w_gate") is not None and layer.get("w_up") is not None:
-            f = fuse_linears([layer["w_gate"], layer["w_up"]])
-            if f is not None:
-                layer["wgu"] = f
-                layer["w_gate"] = layer["w_up"] = None
+            plans.append(("wgu", ("w_gate", "w_up"), _fuse_plan(
+                [layer["w_gate"], layer["w_up"]])))
+        groups = []
+        for _, _, plan in plans:
+            if plan is not None:
+                groups.extend(plan[0])
+        if not groups:
+            continue
+        cats = _concat_groups(tuple(groups))
+        i = 0
+        for fused_key, src_keys, plan in plans:
+            if plan is None:
+                continue
+            n = len(plan[0])
+            layer[fused_key] = plan[1](cats[i:i + n])
+            i += n
+            for k in src_keys:
+                layer[k] = None
     return params
 
 
