@@ -1560,6 +1560,8 @@ def test_llada_moe_diffusion(tmp_path):
     assert len(out) == 6 and all(t != 0 for t in out)
 
 
+# slow: alias-loading breadth (~100s); the qwen-vl forward test is fast
+@pytest.mark.slow
 def test_qwen_vl_text_aliases(tmp_path):
     """qwen2vl/qwen3vl text stacks ride the qwen2/qwen3 graphs (m-rope with
     equal text-position streams ≡ standard neox rope)."""
@@ -1765,6 +1767,9 @@ def test_plamo_parallel_residual(tmp_path):
     np.testing.assert_allclose(last, full[-1], rtol=2e-3, atol=2e-3)
 
 
+# slow: long decode-vs-prefill sweep; the plamo2 forward parity test
+# stays fast
+@pytest.mark.slow
 def test_plamo2_hybrid_decode_matches_prefill(tmp_path):
     """plamo2: mamba (per-head scalar A/dt, normed B/C/dt) + fused-qkv
     attention hybrid with pre+post norm sandwiches."""
@@ -1946,6 +1951,9 @@ def test_cogvlm_text_and_visual_expert_paths(tmp_path):
     assert not np.allclose(np.asarray(txt_logits), np.asarray(vis_logits))
 
 
+# slow: heaviest linear-attention arch sweep (~150s); the kda/mla
+# pieces are covered by deepseek2 + qwen3next fast tests
+@pytest.mark.slow
 def test_kimi_linear_kda_mla_hybrid(tmp_path):
     """kimi-linear: KDA delta rule with per-channel decay + rope-free MLA;
     carried conv/delta state must make decode ≡ prefill."""

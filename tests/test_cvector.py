@@ -57,7 +57,9 @@ def test_cvec_apply_changes_logits(model, tmp_path):
     np.testing.assert_allclose(zero, base, rtol=1e-5, atol=1e-5)
 
 
-@pytest.mark.parametrize("method", ["mean", "pca"])
+@pytest.mark.parametrize("method", [
+    # one generation e2e fast; pca differs only in the direction solve
+    "mean", pytest.param("pca", marks=pytest.mark.slow)])
 def test_cvec_generation(model, tmp_path, method):
     dirs = generate_control_vector(
         model,

@@ -92,6 +92,9 @@ def test_bench_tool_runs(model, capsys):
     assert rows[0]["pp_ts"] > 0 and rows[0]["tg_ts"] > 0
 
 
+# slow: runs the fork's verbatim bench recipe end-to-end (~130s);
+# test_batched_bench_tool_runs keeps the tool fast-covered
+@pytest.mark.slow
 def test_bench_fork_recipe_flags(model, capsys):
     """The MI50 fork's exact bench recipe must run: -fa 1 -ctk q8_0 with
     depth rows and sql/jsonl history output (≡ llama-bench.cpp:313-356,403

@@ -283,42 +283,54 @@ def test_pipe_mesh_hybrid(tmp_path, arch):
                                    rtol=3e-4, atol=3e-4)
 
 
-def test_pipe_mesh_moe_tp2(tmp_path):
-    """MoE pipeline stages with tp=2: experts shard over the stage model
-    axis (expert parallelism inside a stage — non-local routing weights
-    zeroed, psum combine), attention head-shards as usual. Dense f32 run
-    must match the unsharded engine tightly; the packed-quant run within
-    format noise."""
+def _moe_tp2_fixture(tmp_path):
     from jax.sharding import Mesh
 
     from tpullm.models.testing import make_tiny_moe_gguf
-    from tpullm.runtime.batch_engine import BatchEngine
-    from tpullm.tools.quantize import quantize_model
 
     path = make_tiny_moe_gguf(tmp_path / "mtp.gguf", arch="qwen3moe",
                               n_layer=2, n_embd=256, n_head=4, n_head_kv=2,
                               n_expert=4, n_expert_used=2, n_ff_exp=256)
     mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2),
                 ("pipe", "model"))
+    return path, mesh
 
-    def run(mesh_, mode, src):
-        eng = BatchEngine(src, n_slots=2, max_seq=32, mode=mode,
-                          dtype=jnp.float32, kv_dtype=jnp.float32,
-                          mesh=mesh_)
-        lg = eng.prefill_slot(0, [1, 5, 9, 2, 7])
-        step = eng.decode_batch({0: int(np.argmax(lg))})
-        return [lg, step[0]], eng
 
-    ref, _ = run(None, "dense", path)
-    got, eng = run(mesh, "dense", path)
+def _moe_tp2_run(mesh_, mode, src):
+    from tpullm.runtime.batch_engine import BatchEngine
+
+    eng = BatchEngine(src, n_slots=2, max_seq=32, mode=mode,
+                      dtype=jnp.float32, kv_dtype=jnp.float32, mesh=mesh_)
+    lg = eng.prefill_slot(0, [1, 5, 9, 2, 7])
+    step = eng.decode_batch({0: int(np.argmax(lg))})
+    return [lg, step[0]], eng
+
+
+def test_pipe_mesh_moe_tp2(tmp_path):
+    """MoE pipeline stages with tp=2: experts shard over the stage model
+    axis (expert parallelism inside a stage — non-local routing weights
+    zeroed, psum combine), attention head-shards as usual. Dense f32 run
+    must match the unsharded engine tightly."""
+    path, mesh = _moe_tp2_fixture(tmp_path)
+    ref, _ = _moe_tp2_run(None, "dense", path)
+    got, eng = _moe_tp2_run(mesh, "dense", path)
     for r, g in zip(ref, got):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                    rtol=3e-4, atol=3e-4)
 
+
+# slow: the packed-quant variant re-compiles both engines (~130s extra);
+# the EP math is identical to the fast dense case above and the packed
+# stage path is fast-covered by test_pipe_mesh_moe_packed (tp=1)
+@pytest.mark.slow
+def test_pipe_mesh_moe_tp2_packed(tmp_path):
+    from tpullm.tools.quantize import quantize_model
+
+    path, mesh = _moe_tp2_fixture(tmp_path)
     qpath = tmp_path / "mtp-q8.gguf"
     quantize_model(str(path), str(qpath), "Q8_0", verbose=False)
-    refq, _ = run(None, "quant", qpath)
-    gotq, engq = run(mesh, "quant", qpath)
+    refq, _ = _moe_tp2_run(None, "quant", qpath)
+    gotq, engq = _moe_tp2_run(mesh, "quant", qpath)
     assert isinstance(engq.params["stack"]["w_up_exps"], dict)  # packed
     # packed kernels run bf16 MXU dots in different sharding regimes on
     # the two sides — format-noise bounded
