@@ -585,3 +585,41 @@ def test_smallthinker_generates(tmp_path):
     assert eng.hp.no_rope_step == 2
     out = eng.generate("the quick", max_new_tokens=4)
     assert isinstance(out, str)
+
+
+def test_gpt_oss_packed_experts_match_dense(tmp_path):
+    """gpt-oss with PACKED expert stacks (kernel-shaped dims, Q8_0-quantized
+    experts) matches the widened-dense engine in both MoE regimes — the
+    headline MXFP4-MoE family no longer widens its experts."""
+    import jax.numpy as jnp
+
+    from tpullm.models.testing import make_tiny_gpt_oss_gguf
+    from tpullm.models.weights import QuantExpertStack
+    from tpullm.runtime import Engine
+    from tpullm.tools.quantize import quantize_model
+
+    path = make_tiny_gpt_oss_gguf(tmp_path / "oss.gguf", n_embd=256,
+                                  n_ff_exp=256, n_head=4, n_head_kv=2)
+    qpath = tmp_path / "oss-q8.gguf"
+    quantize_model(str(path), str(qpath), "Q8_0", verbose=False)
+
+    eng_d = Engine(qpath, mode="dense", dtype=jnp.float32, max_seq=64,
+                   kv_dtype=jnp.float32)
+    eng_q = Engine(qpath, mode="quant", dtype=jnp.float32, max_seq=64,
+                   kv_dtype=jnp.float32)
+    assert isinstance(
+        eng_q.params["layers"][0]["w_up_exps"], QuantExpertStack)
+
+    toks = [3, 17, 42, 7, 19, 55, 9, 2] * 4  # 32 tokens → dense regime
+    ref = eng_d.prefill(toks)
+    got = eng_q.prefill(toks)
+    assert int(np.argmax(got)) == int(np.argmax(ref))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-2, atol=3e-2)
+    # decode step → gather regime through the scalar-prefetch kernel
+    nxt = int(np.argmax(ref))
+    ref_d = eng_d.decode_step(nxt)
+    got_d = eng_q.decode_step(nxt)
+    assert int(np.argmax(got_d)) == int(np.argmax(ref_d))
+    np.testing.assert_allclose(np.asarray(got_d), np.asarray(ref_d),
+                               rtol=3e-2, atol=3e-2)

@@ -25,7 +25,7 @@ from ..ops.rope import apply_rope
 from ..runtime.kvcache import KVCache
 from .hparams import HParams
 from .llama import Params, output_head
-from .weights import load_embedding, load_linear, load_vector
+from .weights import load_expert_stack, load_embedding, load_linear, load_vector
 
 SWIGLU_ALPHA = 1.702
 SWIGLU_LIMIT = 7.0
@@ -45,6 +45,11 @@ def build_params(r: GGUFReader, hp: HParams, mode: str = "auto",
         return vec(name) if name in t else None
 
     def exps(name):
+        # weights stay GGUF-packed (MXFP4 in the real checkpoints —
+        # ≡ mmid.cu on quantized experts); [E, n_in, n_out] bf16 fallback
+        return load_expert_stack(t[name], mode=mode, dtype=dtype)
+
+    def exp_bias(name):
         return jnp.asarray(t[name].to_numpy(), dtype=dtype)
 
     layers = []
@@ -61,12 +66,12 @@ def build_params(r: GGUFReader, hp: HParams, mode: str = "auto",
             "post_norm": vec(p + "post_attention_norm.weight"),
             "router": linear(p + "ffn_gate_inp.weight"),
             "router_b": maybe(p + "ffn_gate_inp.bias"),
-            "w_gate_exps": exps(p + "ffn_gate_exps.weight"),  # [E, F, D]→ld
-            "b_gate_exps": exps(p + "ffn_gate_exps.bias"),  # [E, F]
+            "w_gate_exps": exps(p + "ffn_gate_exps.weight"),  # [E, D, F]
+            "b_gate_exps": exp_bias(p + "ffn_gate_exps.bias"),  # [E, F]
             "w_up_exps": exps(p + "ffn_up_exps.weight"),
-            "b_up_exps": exps(p + "ffn_up_exps.bias"),
+            "b_up_exps": exp_bias(p + "ffn_up_exps.bias"),
             "w_down_exps": exps(p + "ffn_down_exps.weight"),
-            "b_down_exps": exps(p + "ffn_down_exps.bias"),
+            "b_down_exps": exp_bias(p + "ffn_down_exps.bias"),
         })
 
     return {
@@ -84,23 +89,45 @@ def _swiglu_oai(gate: jax.Array, up: jax.Array) -> jax.Array:
 
 
 def _moe_oai(hs, layer, n_expert_used):
-    """All-experts MoE with SOFTMAX_WEIGHT gating: top-k by raw router
-    logits (+bias), weights = softmax over the selected logits."""
+    """MoE with SOFTMAX_WEIGHT gating: top-k by raw router logits (+bias),
+    weights = softmax over the selected logits. Expert compute rides the
+    shared stack ops (ops/moe._stack_all / _rows_gather), so packed MXFP4
+    stacks stream through the Pallas stack/gather kernels: the decode
+    regime reads only the routed experts' packed bytes, prefill runs all
+    experts (≡ the reference's mmid path on gpt-oss)."""
+    from ..ops.moe import _GATHER_MAX_TOKENS, _n_expert, _rows_gather, \
+        _stack_all
+
     logits = layer["router"](hs).astype(jnp.float32)
     if layer["router_b"] is not None:
         logits = logits + layer["router_b"]
     top_logits, idx = jax.lax.top_k(logits, n_expert_used)  # [N,k]
     weights = jax.nn.softmax(top_logits, axis=-1)
+    E = _n_expert(layer["w_gate_exps"])
+    N, k = idx.shape
 
-    E = layer["w_gate_exps"].shape[0]
-    x32 = hs
-    gate = jnp.einsum("ne,xfe->xnf", x32, layer["w_gate_exps"]) \
-        + layer["b_gate_exps"][:, None, :]
-    up = jnp.einsum("ne,xfe->xnf", x32, layer["w_up_exps"]) \
-        + layer["b_up_exps"][:, None, :]
+    if N <= _GATHER_MAX_TOKENS:  # decode regime: gather routed experts
+        ids = idx.reshape(N * k)
+        xk = jnp.broadcast_to(
+            hs[:, None, :], (N, k, hs.shape[-1])).reshape(N * k, -1)
+        gate = _rows_gather(xk, ids, layer["w_gate_exps"]) \
+            + layer["b_gate_exps"][ids].astype(hs.dtype)
+        up = _rows_gather(xk, ids, layer["w_up_exps"]) \
+            + layer["b_up_exps"][ids].astype(hs.dtype)
+        act = _swiglu_oai(gate, up).astype(hs.dtype)
+        out = _rows_gather(act, ids, layer["w_down_exps"]) \
+            + layer["b_down_exps"][ids].astype(hs.dtype)
+        return jnp.einsum("nke,nk->ne",
+                          out.reshape(N, k, -1).astype(jnp.float32),
+                          weights)
+
+    gate = _stack_all(hs, layer["w_gate_exps"]) \
+        + layer["b_gate_exps"][:, None, :].astype(hs.dtype)
+    up = _stack_all(hs, layer["w_up_exps"]) \
+        + layer["b_up_exps"][:, None, :].astype(hs.dtype)
     act = _swiglu_oai(gate, up).astype(hs.dtype)
-    out = jnp.einsum("xnf,xef->xne", act, layer["w_down_exps"]) \
-        + layer["b_down_exps"][:, None, :]  # [E, N, D]
+    out = _stack_all(act, layer["w_down_exps"]) \
+        + layer["b_down_exps"][:, None, :].astype(hs.dtype)  # [E, N, D]
     onehot = jax.nn.one_hot(idx, E, dtype=jnp.float32)  # [N, k, E]
     mix = jnp.einsum("nkx,nk->nx", onehot, weights)
     return jnp.einsum("xne,nx->ne", out.astype(jnp.float32), mix)
