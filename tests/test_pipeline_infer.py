@@ -240,7 +240,8 @@ def test_pipe_mesh_moe(tmp_path):
                                    rtol=2e-4, atol=2e-4)
 
 
-@pytest.mark.parametrize("arch", ["nemotron_h", "granitehybrid", "jamba"])
+@pytest.mark.parametrize("arch", ["nemotron_h", "granitehybrid", "jamba",
+                                  "falcon_h1"])
 def test_pipe_mesh_hybrid(tmp_path, arch):
     """Hybrid attention+SSM archs through layer-split pipeline stages:
     union-stacked layers with per-layer kind dispatch (attn / mamba2 SSD /
@@ -257,6 +258,11 @@ def test_pipe_mesh_hybrid(tmp_path, arch):
 
         pp = 2
         path = make_tiny_jamba_gguf(tmp_path / "jamba.gguf", with_moe=False)
+    elif arch == "falcon_h1":  # parallel attn+mamba2 per layer
+        from tpullm.models.testing import make_tiny_falcon_h1_gguf
+
+        pp = 2
+        path = make_tiny_falcon_h1_gguf(tmp_path / "fh1.gguf")
     else:
         pp = 3 if arch == "nemotron_h" else 2  # one stage per kind mix
         path = make_tiny_hybrid2_gguf(tmp_path / f"{arch}.gguf", arch=arch)

@@ -13,6 +13,7 @@ inside the stage scan with `lax.switch` on a stacked kind flag:
     kind 1 = mamba mixer (mamba2 SSD for nemotron-h / granite-hybrid,
              mamba1 selective scan for jamba — model-level switch)
     kind 2 = FFN-only sandwich layer (nemotron-h ReLU²)
+    kind 3 = PARALLEL attention + mamba2 summed per layer (falcon-h1)
 
 plus an optional PAIRED second FFN sub-block after the mixer
 (granite-hybrid / jamba layer shape). The stage cache carries all four
@@ -38,7 +39,7 @@ from .mesh import MODEL_AXIS
 from .pipeline import shard_map_compat
 from .pipeline_infer import PIPE_AXIS, _rms
 
-K_ATTN, K_MAMBA2, K_FFN = 0, 1, 2
+K_ATTN, K_MAMBA2, K_FFN, K_PARALLEL = 0, 1, 2, 3
 
 # per-layer weight slots: name -> shape builder (zero-padded when absent)
 _VEC = "vec"
@@ -82,9 +83,11 @@ def load_hybrid_stacked_serving(reader, hp: HParams, mesh: Mesh,
     t = reader.tensors
     pp = mesh.shape[PIPE_AXIS]
     tp = mesh.shape[MODEL_AXIS]
-    if get_arch(hp.arch).forward is not _jamba.forward:
+    fwd = get_arch(hp.arch).forward
+    if fwd not in (_jamba.forward, _jamba.forward_falcon_h1):
         raise NotImplementedError(
             f"{hp.arch}: not a hybrid attention+SSM arch")
+    parallel_mixers = fwd is _jamba.forward_falcon_h1
     if tp > 1:
         raise NotImplementedError(
             "hybrid pipeline serving runs tp=1 stages (mamba inner state "
@@ -120,7 +123,10 @@ def load_hybrid_stacked_serving(reader, hp: HParams, mesh: Mesh,
             if (p + "ssm_x.weight" in t) != mamba1:
                 raise NotImplementedError(
                     "hybrid pipeline serving: mixed mamba1/mamba2 mixers")
-            kinds[i] = K_MAMBA2
+            # falcon-h1: attention and the mamba2 mixer run in PARALLEL
+            # (their outputs sum) on every layer
+            kinds[i] = (K_PARALLEL if parallel_mixers
+                        and p + "attn_q.weight" in t else K_MAMBA2)
             has_ffn2[i] = p + "ffn_up.weight" in t  # jamba/granite pair FFN
         elif p + "attn_q.weight" in t:
             kinds[i] = K_ATTN
@@ -231,7 +237,8 @@ def load_hybrid_stacked_serving(reader, hp: HParams, mesh: Mesh,
             jnp.asarray(t["output_norm.weight"].to_numpy(), jnp.float32)),
         "output": put(w_out),
         "stack": stack,
-        "flags": {"gated": gated, "biased": biased, "mamba1": mamba1},
+        "flags": {"gated": gated, "biased": biased, "mamba1": mamba1,
+                  "use_rope": parallel_mixers or hp.rope_finetuned},
     }
     return params, w_out.shape[1]
 
@@ -326,7 +333,8 @@ def _mamba2(hp, w, h, conv0, ssm0):
 
 
 def _hybrid_layer(hp, w, x, positions, c_l, offs, batch_start, tick_valid,
-                  gated: bool, biased: bool, mamba1: bool = False):
+                  gated: bool, biased: bool, mamba1: bool = False,
+                  use_rope: bool = False):
     """One hybrid layer (kind-dispatched) against stage-local cache leaves
     c_l = (k, v, conv, ssm), each [B, ...]; the microbatch occupies rows
     [batch_start, batch_start+b). State writes are masked for idle rows
@@ -347,7 +355,7 @@ def _hybrid_layer(hp, w, x, positions, c_l, offs, batch_start, tick_valid,
             b, T, n_kv, hp.head_dim)
         v = (h @ w["wv"].astype(h.dtype)).reshape(
             b, T, n_kv, hp.head_dim_v)
-        if hp.rope_finetuned:  # granite-hybrid optional rope
+        if use_rope:  # granite-hybrid rope_finetuned / falcon-h1 always
             from ..ops.rope import apply_rope
 
             q = apply_rope(q, positions, hp.rope)
@@ -408,8 +416,15 @@ def _hybrid_layer(hp, w, x, positions, c_l, offs, batch_start, tick_valid,
     def ffn_case(_):
         return _ffn(hp, w, h, gated, biased), k_l, v_l, conv_l, ssm_l
 
+    def parallel_case(_):
+        # falcon-h1: attention + mamba2 outputs sum; each branch updates
+        # its own cache leaves
+        oa, kn, vn, _, _ = attn_case(None)
+        om, _, _, cn, sn = mamba_case(None)
+        return oa + om, kn, vn, cn, sn
+
     out, k_l, v_l, conv_l, ssm_l = jax.lax.switch(
-        w["kind"], (attn_case, mamba_case, ffn_case), None)
+        w["kind"], (attn_case, mamba_case, ffn_case, parallel_case), None)
     if res_scale != 1.0:
         out = out * jnp.asarray(res_scale, out.dtype)
     x = x + out
@@ -436,6 +451,7 @@ def make_hybrid_pipeline_step(hp: HParams, mesh: Mesh, params: dict,
     gated = params["flags"]["gated"]
     biased = params["flags"]["biased"]
     mamba1 = params["flags"].get("mamba1", False)
+    use_rope = params["flags"].get("use_rope", False)
     specs = {
         "tok_embd": P(), "output_norm": P(), "output": P(),
         "stack": {k: P(PIPE_AXIS) for k in params["stack"]},
@@ -483,7 +499,7 @@ def make_hybrid_pipeline_step(hp: HParams, mesh: Mesh, params: dict,
                 w = layer_state[0]
                 xn, c_l = _hybrid_layer(
                     hp, w, xc, pos, layer_state[1:], offs, bs, tick_valid,
-                    gated, biased, mamba1)
+                    gated, biased, mamba1, use_rope)
                 return xn, c_l
 
             x_out, c_leaves = jax.lax.scan(body, x, (stack,) + c_leaves)

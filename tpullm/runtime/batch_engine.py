@@ -201,7 +201,8 @@ class BatchEngine:
 
         mla = (self.arch.forward is _ds2.forward
                and _ds2.mla_absorbed(hp))
-        hybrid = self.arch.forward is _jamba.forward
+        hybrid = self.arch.forward in (_jamba.forward,
+                                       _jamba.forward_falcon_h1)
         if not mla and not hybrid and (self.arch.recurrent
                                        or self.arch.make_cache is not None):
             raise NotImplementedError(
