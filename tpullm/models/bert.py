@@ -190,20 +190,18 @@ def forward(
                            layer["attn_norm_2_b"], hp.rms_eps)
 
         if "router" in layer:
-            # nomic-bert-moe: GELU up/down-only experts, plain softmax top-k
+            # nomic-bert-moe: GELU up/down-only experts, plain softmax
+            # top-k — the shared MoE ops handle packed QuantExpertStacks
+            # (the old direct `stack[idx]` gather crashed on them)
+            from ..ops.moe import moe_ffn, route
+
             hs = x.reshape(B * T, -1)
             logits = layer["router"](hs).astype(jnp.float32)
-            probs = jax.nn.softmax(logits, axis=-1)
-            w_sel, idx = jax.lax.top_k(probs, hp.n_expert_used)
-            up_sel = layer["w_up_exps"][idx]  # [N,K,E,F]
-            down_sel = layer["w_down_exps"][idx]
-            act = jax.nn.gelu(
-                jnp.einsum("ne,nkef->nkf", hs, up_sel).astype(jnp.float32),
-                approximate=True,
-            ).astype(hs.dtype)
-            out = jnp.einsum("nkf,nkfe->nke", act, down_sel)
-            down = jnp.einsum("nke,nk->ne", out.astype(jnp.float32),
-                              w_sel).astype(hs.dtype).reshape(B, T, -1)
+            w_sel, idx = route(logits, hp.n_expert_used, gating="softmax",
+                               norm_weights=False)
+            down = moe_ffn(hs, w_sel, idx, None, layer["w_up_exps"],
+                           layer["w_down_exps"],
+                           act="gelu").reshape(B, T, -1)
         elif layer["w_gate"] is not None:
             # parallel gated FFN: nomic silu, jina-v2 gelu
             gate = layer["w_gate"](x)

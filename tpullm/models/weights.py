@@ -289,7 +289,10 @@ def _expert_stack_packable(info: GGUFTensorInfo) -> bool:
 def quant_expert_stack(info: GGUFTensorInfo) -> QuantExpertStack:
     """Repack a stacked (E, n_out, n_in) quantized tensor into stacked
     planes. Device path: packed bytes upload once, per-expert repack runs
-    vmapped on-chip; host path: per-expert repack_np, stacked."""
+    vmapped on-chip; host path: per-expert repack_np, stacked. The host
+    path deliberately bypasses the 2-D repack disk cache (its entries are
+    keyed/shaped for single linears); on TPU the device path makes the
+    cache moot, and CPU runs are tests on tiny fixtures."""
     import time
 
     from ..ops import device_repack, qmatmul

@@ -93,7 +93,7 @@ def load_hybrid_stacked_serving(reader, hp: HParams, mesh: Mesh,
             "hybrid pipeline serving runs tp=1 stages (mamba inner state "
             "has no head axis to shard)")
     if hp.n_layer % pp:
-        raise ValueError(f"n_layer {hp.n_layer} must divide pp {pp}")
+        raise ValueError(f"pp {pp} must divide n_layer {hp.n_layer}")
     if any(f"blk.{i}.ffn_gate_inp.weight" in t for i in range(hp.n_layer)):
         raise NotImplementedError(
             "hybrid pipeline serving covers dense FFN slots; MoE hybrids "

@@ -153,12 +153,20 @@ _OPT_STACK_SPECS = {
 }
 
 
+# memo for _stack_planes_np: a loader's per-plane put_stacked callbacks
+# each re-request the SAME layer tensor (once per plane name), and the
+# repack is the expensive half of loading multi-GB expert stacks — without
+# this the work ran n_planes times. Keyed by tensor identity; the loaders
+# clear it when placement finishes, so peak host RAM is bounded by one
+# load's packed planes (≈ the packed file size, transient).
+_STACK_PLANES_MEMO: dict = {}
+
+
 def _stack_planes_np(inf, n_out: int, n_in: int, e: int) -> dict | None:
     """Host repack of a stacked (E, n_out, n_in) quantized expert tensor →
     numpy planes with a leading expert axis ([E, rows, N] each; scale/minus
     at bf16, matching ops.qmatmul.upload_planes). None when the type/shape
-    can't ride the stack/gather kernels. Memoized per (tensor name, dims)
-    with consumption counting in the caller."""
+    can't ride the stack/gather kernels."""
     import os
 
     from ..gguf.constants import TYPE_TRAITS
@@ -171,13 +179,19 @@ def _stack_planes_np(inf, n_out: int, n_in: int, e: int) -> dict | None:
             and qm.supports(inf.ggml_type)
             and qmm_pallas.supports(inf.ggml_type, n_in, n_out)):
         return None
+    key = (inf.name, int(inf.ggml_type), n_out, n_in, e)
+    hit = _STACK_PLANES_MEMO.get(key)
+    if hit is not None:
+        return hit
     data = np.ascontiguousarray(inf.data, dtype=np.uint8).reshape(e, -1)
     per = [qm.repack_np(data[x], inf.ggml_type, n_out, n_in)
            for x in range(e)]
     stacked = {nm: np.stack([p[nm] for p in per]) for nm in per[0]}
-    return {nm: (np.asarray(jnp.asarray(v, jnp.bfloat16))
-                 if nm in ("scale", "minus") else v)
-            for nm, v in stacked.items()}
+    out = {nm: (np.asarray(jnp.asarray(v, jnp.bfloat16))
+                if nm in ("scale", "minus") else v)
+           for nm, v in stacked.items()}
+    _STACK_PLANES_MEMO[key] = out
+    return out
 
 
 def load_stacked_serving(reader, hp, mesh: Mesh, dtype=jnp.bfloat16,
@@ -205,7 +219,7 @@ def load_stacked_serving(reader, hp, mesh: Mesh, dtype=jnp.bfloat16,
     pp = mesh.shape[PIPE_AXIS]
     tp = mesh.shape[MODEL_AXIS]
     if hp.n_layer % pp:
-        raise ValueError(f"n_layer {hp.n_layer} must divide pp {pp}")
+        raise ValueError(f"pp {pp} must divide n_layer {hp.n_layer}")
     # the stage program hard-codes the layer math — sharing llama TENSOR
     # NAMES is not enough (an unknown forward would load but diverge
     # silently). The scan body implements llama.forward exactly plus the
@@ -246,9 +260,9 @@ def load_stacked_serving(reader, hp, mesh: Mesh, dtype=jnp.bfloat16,
     if moe:
         if tp > 1 and hp.n_expert % tp:
             raise NotImplementedError(
-                f"MoE pipeline serving with tp={tp}: n_expert "
-                f"{hp.n_expert} must divide tp (experts shard over the "
-                "stage model axis)"
+                f"MoE pipeline serving with tp={tp}: tp must divide "
+                f"n_expert {hp.n_expert} (experts shard over the stage "
+                "model axis)"
             )
         missing = [i for i in range(hp.n_layer)
                    if f"blk.{i}.ffn_gate_inp.weight" not in t]
@@ -461,6 +475,7 @@ def load_stacked_serving(reader, hp, mesh: Mesh, dtype=jnp.bfloat16,
         "output": put(w_out, P(None, MODEL_AXIS)),
         "stack": stack,
     }
+    _STACK_PLANES_MEMO.clear()  # callbacks all ran (make_array is eager)
     return params, qmeta, w_out.shape[1]
 
 
@@ -648,6 +663,7 @@ def load_mla_stacked_serving(reader, hp, mesh: Mesh, dtype=jnp.bfloat16,
     else:
         w_out = params["tok_embd"].T
     params["output"] = put(w_out, P())
+    _STACK_PLANES_MEMO.clear()  # callbacks all ran (make_array is eager)
     return params, qmeta, w_out.shape[1]
 
 

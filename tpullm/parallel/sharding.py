@@ -104,7 +104,14 @@ def shard_params(params: dict, mesh: Mesh) -> dict:
             ):
                 # packed planes shard on their leading expert axis: each
                 # device holds E/ep experts' PACKED bytes (the widened-stack
-                # 3.3x inflation never happens on the expert mesh either)
+                # 3.3x inflation never happens on the expert mesh either).
+                # CAVEAT (unverifiable on this 1-chip sandbox): under plain
+                # jit GSPMD the pallas stack/gather kernels have no
+                # partitioning rule, so on real multi-chip XLA may
+                # all-gather the planes; the virtual-mesh dryrun runs them
+                # in interpret mode where partitioning works. If real-HW EP
+                # profiling shows gathers, move the MoE block under
+                # shard_map like the pipeline path.
                 new[name] = QuantExpertStack(
                     val.gtype, val.n_expert, val.n_out, val.n_in,
                     {nm: _put(a, mesh, P(EXPERT_AXIS))

@@ -15,6 +15,7 @@ as the reference rejects everything beyond its four supported types.
 from __future__ import annotations
 
 import argparse
+import os
 import shutil
 import struct
 import sys
@@ -145,11 +146,16 @@ def _swap_tensor_payload(data: np.ndarray, gtype: GGMLType,
 
 def convert_endian(src: str, dst: str, order: str,
                    verbose: bool = True) -> dict:
-    """Rewrite `src` as `dst` with the requested byte order ('big' or
-    'little'). Returns {'tensors': n, 'order': order}."""
-    shutil.copyfile(src, dst)
+    """Rewrite `src` as `dst` (in place when equal) with the requested
+    byte order ('big' or 'little'). The payload is mmapped and swapped in
+    place — no file-sized host buffer (models are routinely tens of GB).
+    Returns {'tensors': n, 'order': order}."""
+    import mmap
+
+    if os.path.abspath(src) != os.path.abspath(dst):
+        shutil.copyfile(src, dst)
     with open(dst, "r+b") as f:
-        raw = bytearray(f.read())
+        raw = mmap.mmap(f.fileno(), 0)
         magic = bytes(raw[0:4])
         if magic != b"GGUF":
             raise ValueError(f"{src}: not a GGUF file")
@@ -161,6 +167,7 @@ def convert_endian(src: str, dst: str, order: str,
         if src_big == want_big:
             if verbose:
                 print(f"{src}: already {order}-endian", file=sys.stderr)
+            raw.close()
             return {"tensors": 0, "order": order, "noop": True}
         w = _Walker(raw, src_order)
         w.pos = 4
@@ -193,11 +200,11 @@ def convert_endian(src: str, dst: str, order: str,
             view = np.frombuffer(raw, np.uint8, nbytes,
                                  data_start + offset)
             _swap_tensor_payload(view, gtype, name)
+            del view  # drop the exported mmap pointer before close
             if verbose:
                 print(f"  {name}: {gtype.name} {nbytes} B", file=sys.stderr)
-        f.seek(0)
-        f.write(raw)
-        f.truncate()
+        raw.flush()
+        raw.close()
     return {"tensors": n_tensors, "order": order}
 
 
