@@ -97,7 +97,8 @@ def canary_gate(remaining) -> tuple[float, list[float]]:
     history for `extra`."""
     history = []
     t0 = time.time()
-    window = min(600.0, 0.25 * (remaining() + (time.time() - t0)))
+    window = min(450.0, 0.25 * (remaining() + (time.time() - t0)))
+    window = float(os.environ.get("TPULLM_BENCH_CANARY_WINDOW", window))
     tflops = device_health()
     history.append(round(tflops, 1))
     log(f"device health: {tflops:.1f} f32 TFLOP/s (healthy v5e ~40+)")
@@ -375,8 +376,30 @@ def main():
     phase["emitted"] = True
     emit(tps, extra)  # primary metric is now un-losable
 
-    if degraded or os.environ.get("TPULLM_BENCH_QUICK"):
-        return  # decode-only: sick environment or explicit A/B run
+    if os.environ.get("TPULLM_BENCH_QUICK"):
+        return  # explicit A/B run: decode only
+    force_full = bool(os.environ.get("TPULLM_BENCH_FORCE_FULL"))
+    if degraded and not force_full:
+        # Sick environment: speed numbers are meaningless, but the on-chip
+        # conformance sweep is a CORRECTNESS record — NMSE vs the host
+        # oracle doesn't care how slow the relay is. With the persistent
+        # XLA cache warm it runs in seconds; cold it may overrun, in which
+        # case the budget guard exits cleanly with decode already emitted.
+        if remaining() > 300:
+            try:
+                phase["name"] = "conformance"
+                from tpullm.tools.conformance import run_sweep
+
+                conf = run_sweep()
+                extra["conformance"] = conf
+                log(f"conformance: {conf['passed']}/{conf['cases']} ok, "
+                    f"max qmm nmse {conf['max_nmse_qmm']}, {conf['t_s']}s")
+                emit(tps, extra)
+            except Exception as e:  # noqa: BLE001
+                log("conformance failed:", e)
+        else:
+            log(f"skipping conformance: {remaining():.0f}s left < 300")
+        return
 
     # Optional-phase gates scale with the observed compile speed: cold_ttft
     # is the decode+prefill compile we just paid, ~85s at r03's healthy-ish

@@ -1076,11 +1076,28 @@ def test_webui_served_at_root(engine):
                 assert "/v1/chat/completions" in html
                 # round-5 capability hooks (docs/WEBUI_PARITY.md): syntax
                 # highlighting, LaTeX subset, sampling presets, paste/drop
-                # attachments, live slots dashboard
+                # attachments, live slots dashboard, voice recording, code
+                # preview, in-app confirmations, i18n, PWA registration
                 for hook in ("function hl(", "function texToHtml(",
                              "renderPresets", "addEventListener(\"paste\"",
-                             "addEventListener(\"drop\"", "refreshSlots"):
+                             "addEventListener(\"drop\"", "refreshSlots",
+                             "MediaRecorder", "blobToWavDataUrl",
+                             "prevframe", "uiConfirm", "const I18N",
+                             "serviceWorker"):
                     assert hook in html, hook
+            # PWA surface: manifest + service worker + icon (≡ reference
+            # webui static assets; installable/offline app shell)
+            r = await client.get("/manifest.webmanifest")
+            assert r.status == 200
+            man = await r.json()
+            assert man["display"] == "standalone"
+            assert man["icons"][0]["src"] == "/icon.svg"
+            r = await client.get("/sw.js")
+            assert r.status == 200
+            assert "caches.open" in await r.text()
+            r = await client.get("/icon.svg")
+            assert r.status == 200
+            assert (await r.text()).startswith("<svg")
         finally:
             await client.close()
 

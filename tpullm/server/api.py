@@ -103,8 +103,47 @@ async def _json_errors(request, handler):
 
 # endpoints reachable without a key when --api-key is set (≡ the reference
 # middleware_validate_api_key, tools/server/server-http.cpp:126-143)
+_WEBUI_SW = """\
+// tpullm webui service worker: offline app shell (network-first, cache
+// fallback). Conversations/settings live in localStorage, so the whole UI
+// works offline; only generation needs the server.
+const CACHE = "tpullm-webui-v1";
+const ASSETS = ["/", "/icon.svg", "/manifest.webmanifest"];
+self.addEventListener("install", e => {
+  e.waitUntil(caches.open(CACHE).then(c => c.addAll(ASSETS))
+    .then(() => self.skipWaiting()));
+});
+self.addEventListener("activate", e => {
+  e.waitUntil(self.clients.claim());
+});
+self.addEventListener("fetch", e => {
+  const url = new URL(e.request.url);
+  if (e.request.method !== "GET" || !ASSETS.includes(url.pathname)) return;
+  e.respondWith(
+    fetch(e.request).then(r => {
+      const copy = r.clone();
+      caches.open(CACHE).then(c => c.put(e.request, copy));
+      return r;
+    }).catch(() => caches.match(e.request))
+  );
+});
+"""
+
+_WEBUI_ICON = """\
+<svg xmlns="http://www.w3.org/2000/svg" viewBox="0 0 64 64">
+<rect width="64" height="64" rx="14" fill="#11141a"/>
+<rect x="10" y="14" width="44" height="28" rx="6" fill="none"
+      stroke="#4f8cff" stroke-width="3"/>
+<circle cx="22" cy="28" r="3.5" fill="#4f8cff"/>
+<circle cx="42" cy="28" r="3.5" fill="#4f8cff"/>
+<path d="M24 50h16" stroke="#4f8cff" stroke-width="3" stroke-linecap="round"/>
+<path d="M32 42v8" stroke="#4f8cff" stroke-width="3" stroke-linecap="round"/>
+</svg>
+"""
+
 _PUBLIC_ENDPOINTS = {"/health", "/v1/health", "/models", "/v1/models",
-                     "/api/tags", "/"}
+                     "/api/tags", "/", "/index.html",
+                     "/manifest.webmanifest", "/sw.js", "/icon.svg"}
 
 
 def _api_key_middleware(api_keys: list[str]):
@@ -163,6 +202,11 @@ class Server:
         # dependency-free single file instead of the Svelte bundle)
         r.add_get("/", self.webui)
         r.add_get("/index.html", self.webui)
+        # PWA surface (≡ reference webui static/manifest.json + its vite-pwa
+        # service worker): offline-installable without a build step
+        r.add_get("/manifest.webmanifest", self.webui_manifest)
+        r.add_get("/sw.js", self.webui_sw)
+        r.add_get("/icon.svg", self.webui_icon)
         r.add_get("/health", self.health)
         r.add_get("/v1/health", self.health)  # llama.cpp alias
         r.add_get("/v1/models", self.models)
@@ -210,6 +254,27 @@ class Server:
         path = os.path.join(os.path.dirname(__file__), "webui", "index.html")
         return web.FileResponse(path,
                                 headers={"Cache-Control": "no-cache"})
+
+    async def webui_manifest(self, request):
+        return web.json_response({
+            "name": "tpullm", "short_name": "tpullm",
+            "description": "tpullm server chat UI",
+            "start_url": "/", "display": "standalone",
+            "background_color": "#11141a", "theme_color": "#11141a",
+            "icons": [{"src": "/icon.svg", "sizes": "any",
+                       "type": "image/svg+xml", "purpose": "any"}],
+        }, content_type="application/manifest+json")
+
+    async def webui_sw(self, request):
+        # network-first with cache fallback: UI updates land when online,
+        # the app shell keeps working offline (conversations live in
+        # localStorage so history survives too)
+        return web.Response(text=_WEBUI_SW, content_type="text/javascript",
+                            headers={"Cache-Control": "no-cache"})
+
+    async def webui_icon(self, request):
+        return web.Response(text=_WEBUI_ICON,
+                            content_type="image/svg+xml")
 
     async def props(self, request):
         eng = self.sched.engine

@@ -250,6 +250,9 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="tpullm-conformance")
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args(argv)
+    from ..utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()  # standalone runs warm the same cache bench uses
     log = None if args.json else (
         lambda m: print(m, file=sys.stderr, flush=True))
     out = run_sweep(log=log)
