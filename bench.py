@@ -399,6 +399,28 @@ def main():
                 log("conformance failed:", e)
         else:
             log(f"skipping conformance: {remaining():.0f}s left < 300")
+        # Warm persistent caches (cold_ttft seconds, not minutes) mean the
+        # remaining phases are measure-bound, and a ~10x-slow chip still
+        # finishes short runs: record 32-stream and depth too so the
+        # artifact carries every phase (environment_invalid regardless).
+        if extra.get("cold_ttft_s", 1e9) < 150:
+            del eng
+            if remaining() > 500:
+                try:
+                    phase["name"] = "32-stream"
+                    extra["batch32"] = bench_streams(model, tg=48)
+                    log(f"32-stream: {extra['batch32']['agg_tok_s']} tok/s")
+                    emit(tps, extra)
+                except Exception as e:  # noqa: BLE001
+                    log("32-stream failed:", e)
+            if remaining() > 500:
+                try:
+                    phase["name"] = "depth-4096"
+                    extra["depth4096"] = bench_depth(model)
+                    log(f"d4096: tg {extra['depth4096']['tg_tok_s']} tok/s")
+                    emit(tps, extra)
+                except Exception as e:  # noqa: BLE001
+                    log("depth failed:", e)
         return
 
     # Optional-phase gates scale with the observed compile speed: cold_ttft
