@@ -383,7 +383,11 @@ def _kernel_gather(ids_ref, x_ref, *refs, gtype: GGMLType,
                    out_dtype):
     """Expert-gather matmul (decode regime): one token-slot row per grid
     step; plane blocks are selected by the prefetched expert id (the
-    MUL_MAT_ID row-routing, done with scalar-prefetch block index maps)."""
+    MUL_MAT_ID row-routing, done with scalar-prefetch block index maps).
+    x/out ride as [T, 1, ·] so the single-row blocks are Mosaic-legal
+    (a (1, tk) block of a [T, K] array violates the (8, 128) minor-dims
+    tiling rule — caught by the on-chip conformance sweep; interpret mode
+    never checks)."""
     del ids_ref  # consumed by the index maps
     *plane_refs, out_ref, acc_ref = refs
     k = pl.program_id(2)
@@ -393,11 +397,11 @@ def _kernel_gather(ids_ref, x_ref, *refs, gtype: GGMLType,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     tiles = {name: ref[0] for name, ref in zip(plane_names, plane_refs)}
-    _acc_tile(x_ref[:], tiles, acc_ref, gtype, tk, tn)
+    _acc_tile(x_ref[0], tiles, acc_ref, gtype, tk, tn)
 
     @pl.when(k == pl.num_programs(2) - 1)
     def _():
-        out_ref[:] = acc_ref[:].astype(out_dtype)
+        out_ref[0] = acc_ref[:].astype(out_dtype)
 
 
 @functools.partial(
@@ -418,7 +422,11 @@ def _qmm_gather(x, ids, planes_flat, gtype, E, T, K, N, plane_names,
         tn //= 2
     grid = (T, N // tn, K // tk)
 
-    x_spec = pl.BlockSpec((1, tk), lambda t, n, k, ids: (t, k),
+    # x/out ride as [T, 1, ·]: the middle unit dim makes the per-row block
+    # (1, 1, tile) legal under Mosaic's minor-dims tiling rule (1 == the
+    # array's own dim; the tile is a multiple of 128)
+    x3 = x.reshape(T, 1, K)
+    x_spec = pl.BlockSpec((1, 1, tk), lambda t, n, k, ids: (t, 0, k),
                           memory_space=pltpu.VMEM)
     in_specs = [x_spec]
     for name in plane_names:
@@ -435,21 +443,22 @@ def _qmm_gather(x, ids, planes_flat, gtype, E, T, K, N, plane_names,
     bytes_accessed = (x.size * x.dtype.itemsize
                       + T * plane_bytes_per_expert
                       + T * N * np.dtype(out_dtype).itemsize)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, tn), lambda t, n, k, ids: (t, n)),
+            out_specs=pl.BlockSpec((1, 1, tn), lambda t, n, k, ids: (t, 0, n)),
             scratch_shapes=[pltpu.VMEM((1, tn), jnp.float32)],
         ),
-        out_shape=jax.ShapeDtypeStruct((T, N), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((T, 1, N), out_dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * T * K * N, bytes_accessed=int(bytes_accessed),
             transcendentals=0),
         interpret=interpret,
-    )(ids, x, *planes_flat)
+    )(ids, x3, *planes_flat)
+    return out.reshape(T, N)
 
 
 def qmatmul_gather(x: jax.Array, ids: jax.Array, stack) -> jax.Array:

@@ -64,9 +64,16 @@ def sweep_qmm(m_sizes=(1, 128), n_in: int = 512, n_out: int = 256,
         for m in m_sizes:
             x = rng.standard_normal((m, n_in)).astype(np.float32)
             xb = jnp.asarray(x, jnp.bfloat16)
-            t0 = time.perf_counter()
-            y = np.asarray(qmm.qmatmul(xb, ql)).astype(np.float32)
-            dt = time.perf_counter() - t0
+            try:
+                t0 = time.perf_counter()
+                y = np.asarray(qmm.qmatmul(xb, ql)).astype(np.float32)
+                dt = time.perf_counter() - t0
+            except Exception as exc:  # noqa: BLE001 — record, keep sweeping
+                cases.append({"kernel": "qmm", "type": gtype.name, "m": m,
+                              "ok": False, "error": str(exc)[:300]})
+                if log:
+                    log(f"qmm {gtype.name:8s} m={m:<4d} ERROR {exc}")
+                continue
             ref = np.asarray(xb, dtype=np.float32) @ w_ref.T
             e = _nmse(y, ref)
             ok = e <= QMM_NMSE_BOUND
@@ -119,34 +126,50 @@ def sweep_qmoe(types=None, e: int = 4, n_in: int = 512, n_out: int = 256,
         x = rng.standard_normal((t_rows, n_in)).astype(np.float32)
         ids = rng.integers(0, e, size=t_rows)
         xb = jnp.asarray(x, jnp.bfloat16)
-        t0 = time.perf_counter()
-        y = np.asarray(qmatmul.gather_matmul(
-            xb, jnp.asarray(ids, jnp.int32), stack)).astype(np.float32)
-        dt = time.perf_counter() - t0
-        ref = np.einsum("tk,tkn->tn", np.asarray(xb, np.float32),
-                        w_ref[ids])
-        eg = _nmse(y, ref)
-        okg = eg <= QMM_NMSE_BOUND
-        cases.append({"kernel": "qmoe_gather", "type": gtype.name,
-                      "nmse": round(eg, 9), "ok": okg, "t_s": round(dt, 3)})
-        if log:
-            log(f"qmoe_gather {gtype.name:8s} nmse={eg:.2e} "
-                f"{'ok' if okg else 'FAIL'}")
+        try:
+            t0 = time.perf_counter()
+            y = np.asarray(qmatmul.gather_matmul(
+                xb, jnp.asarray(ids, jnp.int32), stack)).astype(np.float32)
+            dt = time.perf_counter() - t0
+            ref = np.einsum("tk,tkn->tn", np.asarray(xb, np.float32),
+                            w_ref[ids])
+            eg = _nmse(y, ref)
+            okg = eg <= QMM_NMSE_BOUND
+            cases.append({"kernel": "qmoe_gather", "type": gtype.name,
+                          "nmse": round(eg, 9), "ok": okg,
+                          "t_s": round(dt, 3)})
+            if log:
+                log(f"qmoe_gather {gtype.name:8s} nmse={eg:.2e} "
+                    f"{'ok' if okg else 'FAIL'}")
+        except Exception as exc:  # noqa: BLE001 — record, keep sweeping
+            cases.append({"kernel": "qmoe_gather", "type": gtype.name,
+                          "ok": False, "error": str(exc)[:300]})
+            if log:
+                log(f"qmoe_gather {gtype.name:8s} ERROR {exc}")
 
         m = 64
         xs = rng.standard_normal((m, n_in)).astype(np.float32)
         xsb = jnp.asarray(xs, jnp.bfloat16)
-        t0 = time.perf_counter()
-        ys = np.asarray(qmatmul.stack_matmul(xsb, stack)).astype(np.float32)
-        dt = time.perf_counter() - t0
-        refs = np.einsum("mk,ekn->emn", np.asarray(xsb, np.float32), w_ref)
-        es = _nmse(ys, refs)
-        oks = es <= QMM_NMSE_BOUND
-        cases.append({"kernel": "qmoe_stack", "type": gtype.name,
-                      "nmse": round(es, 9), "ok": oks, "t_s": round(dt, 3)})
-        if log:
-            log(f"qmoe_stack  {gtype.name:8s} nmse={es:.2e} "
-                f"{'ok' if oks else 'FAIL'}")
+        try:
+            t0 = time.perf_counter()
+            ys = np.asarray(qmatmul.stack_matmul(xsb, stack)).astype(
+                np.float32)
+            dt = time.perf_counter() - t0
+            refs = np.einsum("mk,ekn->emn", np.asarray(xsb, np.float32),
+                             w_ref)
+            es = _nmse(ys, refs)
+            oks = es <= QMM_NMSE_BOUND
+            cases.append({"kernel": "qmoe_stack", "type": gtype.name,
+                          "nmse": round(es, 9), "ok": oks,
+                          "t_s": round(dt, 3)})
+            if log:
+                log(f"qmoe_stack  {gtype.name:8s} nmse={es:.2e} "
+                    f"{'ok' if oks else 'FAIL'}")
+        except Exception as exc:  # noqa: BLE001
+            cases.append({"kernel": "qmoe_stack", "type": gtype.name,
+                          "ok": False, "error": str(exc)[:300]})
+            if log:
+                log(f"qmoe_stack  {gtype.name:8s} ERROR {exc}")
     return cases
 
 
@@ -227,7 +250,15 @@ def sweep_flash(log=None) -> list[dict]:
 def run_sweep(log=None) -> dict:
     """Full sweep; returns a summary dict (embedded into bench extra)."""
     t0 = time.perf_counter()
-    cases = sweep_qmm(log=log) + sweep_qmoe(log=log) + sweep_flash(log=log)
+    cases = []
+    for fn in (sweep_qmm, sweep_qmoe, sweep_flash):
+        try:
+            cases += fn(log=log)
+        except Exception as exc:  # noqa: BLE001 — one sweep must not lose
+            cases.append({"kernel": fn.__name__, "ok": False,  # the record
+                          "error": str(exc)[:300]})
+            if log:
+                log(f"{fn.__name__} ERROR {exc}")
     ran = [c for c in cases if "ok" in c]
     failed = [c for c in ran if not c["ok"]]
     return {
@@ -236,9 +267,11 @@ def run_sweep(log=None) -> dict:
         "failed": failed,
         "skipped": [c["type"] for c in cases if "ok" not in c],
         "max_nmse_qmm": max((c["nmse"] for c in ran
-                             if c["kernel"] == "qmm"), default=None),
+                             if c["kernel"] == "qmm" and "nmse" in c),
+                            default=None),
         "max_nmse_flash": max((c["nmse"] for c in ran
-                               if c["kernel"].startswith("flash")),
+                               if c["kernel"].startswith("flash")
+                               and "nmse" in c),
                               default=None),
         "t_s": round(time.perf_counter() - t0, 1),
     }
