@@ -160,9 +160,14 @@ def _make_kernel(*, quant: bool, scale: float, tq: int, tk: int, t_real: int,
 
 
 def _head_spec():
-    """[H, 1] per-head column (sink logits / ALiBi slopes)."""
+    """[H, 1] per-head column (sink logits / ALiBi slopes). SMEM: the
+    kernel reads a single scalar per grid step, and a (1, 1) VMEM block of
+    an [H, 1] array violates Mosaic's minor-dims tiling rule (second-minor
+    1 is neither divisible by 8 nor equal to H) — the same latent
+    interpret-mode-only bug the on-chip conformance sweep caught in the
+    MoE gather kernel. SMEM blocks carry no tiling constraint."""
     return pl.BlockSpec((1, 1), lambda b, h, i, j, off: (h, 0),
-                        memory_space=pltpu.VMEM)
+                        memory_space=pltpu.SMEM)
 
 
 def _run(q, kv_inputs, kv_shapes, offsets, *, quant, scale, softcap,

@@ -244,6 +244,61 @@ def sweep_flash(log=None) -> list[dict]:
                       "nmse": round(e8, 9), "ok": ok8, "t_s": round(dt, 3)})
         if log:
             log(f"flash_q8 {label:5s} nmse={e8:.2e} {'ok' if ok8 else 'FAIL'}")
+
+    # sink-logits (gpt-oss attn_sinks) and ALiBi paths: per-head scalars
+    # ride SMEM — only these model families exercise those specs, so the
+    # sweep covers them on hardware explicitly
+    from ..ops.attention import _attention_with_sinks_dense
+
+    T = 8
+    q = rng.standard_normal((B, T, H, D)).astype(np.float32)
+    k = rng.standard_normal((B, Hkv, S, D)).astype(np.float32)
+    v = rng.standard_normal((B, Hkv, S, D)).astype(np.float32)
+    offsets = np.array([S - T], np.int32)
+    qb, kb, vb = (jnp.asarray(a, jnp.bfloat16) for a in (q, k, v))
+    for case, kw in (("sinks", {"sinks": jnp.asarray(
+            rng.standard_normal(H).astype(np.float32))}),
+            ("alibi", {"alibi_slopes": jnp.asarray(
+                (0.5 ** np.arange(1, H + 1)).astype(np.float32))})):
+        try:
+            t0 = time.perf_counter()
+            y = np.asarray(flash.flash_attention(
+                qb, kb, vb, jnp.asarray(offsets), scale, **kw)).astype(
+                    np.float32)
+            dt = time.perf_counter() - t0
+            if case == "sinks":
+                mask = (np.arange(S)[None, :]
+                        <= (offsets[0] + np.arange(T))[:, None])
+                ref = np.asarray(_attention_with_sinks_dense(
+                    qb, kb, vb, jnp.asarray(mask[None]), scale,
+                    kw["sinks"]), np.float32)
+            else:
+                kpos = np.arange(S)[None, :]
+                qpos = (offsets[0] + np.arange(T))[:, None]
+                bias = (kpos - qpos).astype(np.float32)
+                g = H // Hkv
+                ref = np.zeros((B, T, H, D), np.float32)
+                slopes = np.asarray(kw["alibi_slopes"])
+                for h in range(H):
+                    kk, vv = np.asarray(kb, np.float32)[0, h // g], \
+                        np.asarray(vb, np.float32)[0, h // g]
+                    s = (np.asarray(qb, np.float32)[0, :, h] @ kk.T) * scale
+                    s = s + slopes[h] * bias
+                    s = np.where(kpos > qpos, -np.inf, s)
+                    w = np.exp(s - s.max(-1, keepdims=True))
+                    ref[0, :, h] = (w / w.sum(-1, keepdims=True)) @ vv
+            e = _nmse(y, ref)
+            ok = e <= FLASH_NMSE_BOUND
+            cases.append({"kernel": "flash", "case": case,
+                          "nmse": round(e, 9), "ok": ok,
+                          "t_s": round(dt, 3)})
+            if log:
+                log(f"flash {case:8s} nmse={e:.2e} {'ok' if ok else 'FAIL'}")
+        except Exception as exc:  # noqa: BLE001
+            cases.append({"kernel": "flash", "case": case, "ok": False,
+                          "error": str(exc)[:300]})
+            if log:
+                log(f"flash {case:8s} ERROR {exc}")
     return cases
 
 
