@@ -97,7 +97,10 @@ def canary_gate(remaining) -> tuple[float, list[float]]:
     history for `extra`."""
     history = []
     t0 = time.time()
-    window = min(450.0, 0.25 * (remaining() + (time.time() - t0)))
+    # 2026-08-20/21: the relay stayed degraded for 8+ hours straight (and
+    # decode sank to 0.42 tok/s), so a long retry loop only starves the
+    # fallback phases of budget — ~2 retries is the compromise
+    window = min(150.0, 0.25 * (remaining() + (time.time() - t0)))
     window = float(os.environ.get("TPULLM_BENCH_CANARY_WINDOW", window))
     tflops = device_health()
     history.append(round(tflops, 1))
@@ -114,25 +117,31 @@ def canary_gate(remaining) -> tuple[float, list[float]]:
     return tflops, history
 
 
-def bench_decode(eng, chunk: int = CHUNK,
-                 n_steps: int = N_STEPS) -> tuple[float, dict]:
+def bench_decode(eng, chunk: int = CHUNK, n_steps: int = N_STEPS,
+                 warmup: bool = True) -> tuple[float, dict]:
     """Single-stream tg: device-resident scan chunks, ids-only readback.
-    Degraded-relay runs pass a smaller chunk/step count: at ~10x-slow
-    execution the full 512+513 steps alone overran the driver budget
-    (BENCH r04/r05 interim runs)."""
+    Degraded-relay runs pass a smaller chunk/step count and skip the
+    separate warmup pass: at the 2026-08-21 degradation (0.42 tok/s) the
+    129-step warmup + 256-step measurement alone was ~920s — warmup-free
+    single-pass measurement only pollutes the (environment_invalid anyway)
+    number with the cache-deserialize seconds."""
     prompt = list(range(3, 19))  # 16 tokens
     t0 = time.time()
-    out = eng.generate_tokens_device(prompt, max_new_tokens=chunk + 1,
-                                     chunk=chunk, stop_on_eog=False)
-    cold_ttft = time.time() - t0  # includes compile of prefill+decode
-    log(f"prefill+warmup incl. compile: {cold_ttft:.1f}s ({len(out)} tokens)")
-
-    eng.reset()
-    eng.perf = type(eng.perf)()
+    if warmup:
+        out = eng.generate_tokens_device(prompt, max_new_tokens=chunk + 1,
+                                         chunk=chunk, stop_on_eog=False)
+        cold_ttft = time.time() - t0  # includes compile of prefill+decode
+        log(f"prefill+warmup incl. compile: {cold_ttft:.1f}s "
+            f"({len(out)} tokens)")
+        eng.reset()
+        eng.perf = type(eng.perf)()
     out = eng.generate_tokens_device(
         prompt, max_new_tokens=n_steps, chunk=chunk, stop_on_eog=False
     )
     dt, n = eng.perf.t_decode_s, eng.perf.n_decode
+    if not warmup:
+        cold_ttft = time.time() - t0  # single pass: compile rides inside
+        log(f"single-pass prefill+decode incl. compile: {cold_ttft:.1f}s")
     log(f"decode {n} steps in {dt:.2f}s")
     tps = n / dt
 
@@ -365,9 +374,11 @@ def main():
 
     phase["name"] = "decode compile+measure"
     if degraded:
-        # ~10x-slow execution: 128-step chunks keep warmup+measure within
-        # the driver budget (the number carries environment_invalid anyway)
-        tps, extra = bench_decode(eng, chunk=128, n_steps=256)
+        # ~10-100x-slow execution: one warmup-free 128-step chunk keeps
+        # the phase within the driver budget (the number carries
+        # environment_invalid anyway)
+        tps, extra = bench_decode(eng, chunk=128, n_steps=128,
+                                  warmup=False)
     else:
         tps, extra = bench_decode(eng)
     extra["load_model_s"] = round(t_model, 1)
