@@ -208,10 +208,13 @@ def bench_streams(model, n_par: int = 32, ctx: int = 1024,
             "per_stream_tok_s": round(tg / dt, 2)}
 
 
-def bench_depth(model, depth: int = 4096, tg: int = 128) -> dict:
+def bench_depth(model, depth: int = 4096, tg: int = 128,
+                kv_dtype=None) -> dict:
     """tg at a deep prefix (≡ llama-bench -d rows, tools/llama-bench/
     README.md): decode throughput after a `depth`-token prompt, where KV
-    reads are no longer second-order."""
+    reads are no longer second-order. kv_dtype="q8_0" is the fork's own
+    headline recipe (-ctk q8_0: SCRIPT_llama_bench.sh in the gfx906 diff)
+    — halves exactly the KV reads that grow with depth."""
     import numpy as np
 
     from tpullm.runtime import Engine
@@ -219,7 +222,8 @@ def bench_depth(model, depth: int = 4096, tg: int = 128) -> dict:
     # ×256 so the flash kernel keeps its full kv tile (smaller divisor
     # tiles work but pay grid overhead)
     max_seq = -(-(depth + tg + 64) // 256) * 256
-    eng = Engine(model, max_seq=max_seq)
+    kw = {"kv_dtype": kv_dtype} if kv_dtype else {}
+    eng = Engine(model, max_seq=max_seq, **kw)
     prompt = (np.arange(depth) % 900 + 3).tolist()
     t0 = time.time()
     out = eng.generate_tokens_device(prompt, max_new_tokens=tg, chunk=tg,
@@ -519,6 +523,18 @@ def main():
             log("depth failed:", e)
     else:
         log(f"skipping depth: {remaining():.0f}s left < {gate(660):.0f}")
+
+    if remaining() > gate(660):
+        try:
+            phase["name"] = "depth-4096-q8kv"
+            depth = bench_depth(model, kv_dtype="q8_0")
+            extra["depth4096_q8kv"] = depth
+            log(f"d4096 q8 KV: tg {depth['tg_tok_s']} tok/s")
+            emit(tps, extra)
+        except Exception as e:  # noqa: BLE001
+            log("depth q8kv failed:", e)
+    else:
+        log(f"skipping depth q8kv: {remaining():.0f}s < {gate(660):.0f}")
 
 
 if __name__ == "__main__":
