@@ -97,10 +97,11 @@ def canary_gate(remaining) -> tuple[float, list[float]]:
     history for `extra`."""
     history = []
     t0 = time.time()
-    # 2026-08-20/21: the relay stayed degraded for 8+ hours straight (and
-    # decode sank to 0.42 tok/s), so a long retry loop only starves the
-    # fallback phases of budget — ~2 retries is the compromise
-    window = min(150.0, 0.25 * (remaining() + (time.time() - t0)))
+    # 2026-08-20/21: the relay stayed degraded for two full days (decode
+    # sank to 0.42 then ~0.2 tok/s; the 02:30 sim overran its budget
+    # mid-decode), so retrying only starves the fallback phases — one
+    # retry at most
+    window = min(70.0, 0.25 * (remaining() + (time.time() - t0)))
     window = float(os.environ.get("TPULLM_BENCH_CANARY_WINDOW", window))
     tflops = device_health()
     history.append(round(tflops, 1))
@@ -378,11 +379,11 @@ def main():
 
     phase["name"] = "decode compile+measure"
     if degraded:
-        # ~10-100x-slow execution: one warmup-free 128-step chunk keeps
-        # the phase within the driver budget (the number carries
-        # environment_invalid anyway)
-        tps, extra = bench_decode(eng, chunk=128, n_steps=128,
-                                  warmup=False)
+        # 10-200x-slow execution (the 02:30 sim measured ~6 s/step): one
+        # warmup-free 32-step chunk is the largest measurement that
+        # reliably fits the budget (the number carries environment_invalid
+        # anyway)
+        tps, extra = bench_decode(eng, chunk=32, n_steps=32, warmup=False)
     else:
         tps, extra = bench_decode(eng)
     extra["load_model_s"] = round(t_model, 1)
@@ -400,20 +401,27 @@ def main():
         # oracle doesn't care how slow the relay is. With the persistent
         # XLA cache warm it runs in seconds; cold it may overrun, in which
         # case the budget guard exits cleanly with decode already emitted.
-        if remaining() > 300:
-            try:
-                phase["name"] = "conformance"
-                from tpullm.tools.conformance import run_sweep
+        # stage-wise (riskiest/newest kernels first), emitting after each
+        # stage: a budget-guard exit mid-sweep still carries the stages
+        # that finished
+        from tpullm.tools import conformance as conf_mod
 
-                conf = run_sweep()
-                extra["conformance"] = conf
-                log(f"conformance: {conf['passed']}/{conf['cases']} ok, "
-                    f"max qmm nmse {conf['max_nmse_qmm']}, {conf['t_s']}s")
-                emit(tps, extra)
+        cases: list = []
+        for sweep in (conf_mod.sweep_qmoe, conf_mod.sweep_flash,
+                      conf_mod.sweep_qmm):
+            if remaining() < 180:
+                log(f"stopping conformance before {sweep.__name__}: "
+                    f"{remaining():.0f}s left")
+                break
+            phase["name"] = f"conformance:{sweep.__name__}"
+            try:
+                cases += sweep()
             except Exception as e:  # noqa: BLE001
-                log("conformance failed:", e)
-        else:
-            log(f"skipping conformance: {remaining():.0f}s left < 300")
+                log(f"{sweep.__name__} failed:", e)
+            conf = conf_mod.summarize(cases)
+            extra["conformance"] = conf
+            log(f"conformance so far: {conf['passed']}/{conf['cases']} ok")
+            emit(tps, extra)
         # Warm persistent caches (cold_ttft seconds, not minutes) mean the
         # remaining phases are measure-bound, and a ~10x-slow chip still
         # finishes short runs: record 32-stream and depth too so the

@@ -302,18 +302,10 @@ def sweep_flash(log=None) -> list[dict]:
     return cases
 
 
-def run_sweep(log=None) -> dict:
-    """Full sweep; returns a summary dict (embedded into bench extra)."""
-    t0 = time.perf_counter()
-    cases = []
-    for fn in (sweep_qmm, sweep_qmoe, sweep_flash):
-        try:
-            cases += fn(log=log)
-        except Exception as exc:  # noqa: BLE001 — one sweep must not lose
-            cases.append({"kernel": fn.__name__, "ok": False,  # the record
-                          "error": str(exc)[:300]})
-            if log:
-                log(f"{fn.__name__} ERROR {exc}")
+def summarize(cases: list, t0: float | None = None) -> dict:
+    """Summary dict over (possibly partial) sweep cases — embedded into
+    bench `extra` after each stage so a budget-guard exit mid-sweep still
+    carries the finished stages."""
     ran = [c for c in cases if "ok" in c]
     failed = [c for c in ran if not c["ok"]]
     return {
@@ -328,8 +320,23 @@ def run_sweep(log=None) -> dict:
                                if c["kernel"].startswith("flash")
                                and "nmse" in c),
                               default=None),
-        "t_s": round(time.perf_counter() - t0, 1),
+        "t_s": round(time.perf_counter() - t0, 1) if t0 else None,
     }
+
+
+def run_sweep(log=None) -> dict:
+    """Full sweep; returns a summary dict (embedded into bench extra)."""
+    t0 = time.perf_counter()
+    cases = []
+    for fn in (sweep_qmm, sweep_qmoe, sweep_flash):
+        try:
+            cases += fn(log=log)
+        except Exception as exc:  # noqa: BLE001 — one sweep must not lose
+            cases.append({"kernel": fn.__name__, "ok": False,  # the record
+                          "error": str(exc)[:300]})
+            if log:
+                log(f"{fn.__name__} ERROR {exc}")
+    return summarize(cases, t0)
 
 
 def main(argv=None) -> int:
