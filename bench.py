@@ -376,6 +376,15 @@ def main():
     t_engine = time.time() - t0
     log(f"model load: {t_model:.1f}s [{model.load_breakdown}]")
     log(f"engine build (fuse + jit setup): {t_engine:.1f}s")
+    # uploads/repacks/fuse dispatch ASYNC; the first compute sync pays for
+    # whatever is still queued on the device. Attribute that stall here
+    # instead of letting it masquerade as prefill time (the 02:30 sim lost
+    # ~6 min of 'prefill' to it over the degraded relay).
+    phase["name"] = "device-settle (queued repack exec)"
+    t0 = time.time()
+    jax.block_until_ready(eng.params)
+    t_settle = time.time() - t0
+    log(f"device settle (queued uploads+repacks): {t_settle:.1f}s")
 
     phase["name"] = "decode compile+measure"
     if degraded:
@@ -388,6 +397,7 @@ def main():
         tps, extra = bench_decode(eng)
     extra["load_model_s"] = round(t_model, 1)
     extra["engine_build_s"] = round(t_engine, 1)
+    extra["device_settle_s"] = round(t_settle, 1)
     extra.update(base_extra)
     phase["emitted"] = True
     emit(tps, extra)  # primary metric is now un-losable
