@@ -347,15 +347,49 @@ def main():
         # The environment is provably sick: a 2s canary predicts every
         # downstream number is meaningless and the full run won't fit the
         # budget. Emit a parseable environment-invalid line NOW (so even a
-        # total stall yields rc=0 + marker instead of r04's 0.0/rc=4),
-        # then still attempt a decode-only measurement for a small number.
+        # total stall yields rc=0 + marker instead of r04's 0.0/rc=4).
         base_extra["environment_invalid"] = True
         base_extra["note"] = (
             "axon relay degraded (healthy v5e ~40+ f32 TFLOP/s); "
             "decode-only fallback, numbers not comparable to baseline")
         phase["emitted"] = True
         emit(0.0, dict(base_extra,
-                       error="degraded relay; attempting decode-only"))
+                       error="degraded relay; conformance-first fallback"))
+        if not os.environ.get("TPULLM_BENCH_FORCE_FULL"):
+            # Conformance FIRST: the on-chip kernel-correctness record is
+            # the one artifact a sick relay cannot invalidate (NMSE vs the
+            # host oracle doesn't care how slow execution is) — and two
+            # simulated driver runs in a row lost it by putting the 8B
+            # load+decode ahead of it. Stage-wise, riskiest kernels first,
+            # re-emitting after every stage.
+            from tpullm.tools import conformance as conf_mod
+
+            extra = dict(base_extra,
+                         error="degraded relay; conformance-first fallback")
+            cases: list = []
+            for sweep in (conf_mod.sweep_qmoe, conf_mod.sweep_flash,
+                          conf_mod.sweep_qmm):
+                if remaining() < 180:
+                    log(f"stopping conformance before {sweep.__name__}: "
+                        f"{remaining():.0f}s left")
+                    break
+                phase["name"] = f"conformance:{sweep.__name__}"
+                try:
+                    cases += sweep()
+                except Exception as e:  # noqa: BLE001
+                    log(f"{sweep.__name__} failed:", e)
+                conf = conf_mod.summarize(cases)
+                extra["conformance"] = conf
+                log(f"conformance so far: {conf['passed']}/{conf['cases']} "
+                    "ok")
+                emit(0.0, extra)
+            if "conformance" in extra:
+                base_extra["conformance"] = extra["conformance"]
+            # only attempt the (meaningless-anyway) decode number if the
+            # model phases can plausibly fit what remains
+            if remaining() < 700:
+                log(f"skipping degraded decode: {remaining():.0f}s left")
+                return
 
     from tpullm.runtime import Engine, Model
 
@@ -388,11 +422,11 @@ def main():
 
     phase["name"] = "decode compile+measure"
     if degraded:
-        # 10-200x-slow execution (the 02:30 sim measured ~6 s/step): one
-        # warmup-free 32-step chunk is the largest measurement that
-        # reliably fits the budget (the number carries environment_invalid
-        # anyway)
-        tps, extra = bench_decode(eng, chunk=32, n_steps=32, warmup=False)
+        # 10-800x-slow execution (the 03:07 sim measured >9 s/step): one
+        # warmup-free 16-step chunk is the largest measurement that
+        # reliably fits what's left of the budget after conformance (the
+        # number carries environment_invalid anyway)
+        tps, extra = bench_decode(eng, chunk=16, n_steps=16, warmup=False)
     else:
         tps, extra = bench_decode(eng)
     extra["load_model_s"] = round(t_model, 1)
@@ -406,35 +440,10 @@ def main():
         return  # explicit A/B run: decode only
     force_full = bool(os.environ.get("TPULLM_BENCH_FORCE_FULL"))
     if degraded and not force_full:
-        # Sick environment: speed numbers are meaningless, but the on-chip
-        # conformance sweep is a CORRECTNESS record — NMSE vs the host
-        # oracle doesn't care how slow the relay is. With the persistent
-        # XLA cache warm it runs in seconds; cold it may overrun, in which
-        # case the budget guard exits cleanly with decode already emitted.
-        # stage-wise (riskiest/newest kernels first), emitting after each
-        # stage: a budget-guard exit mid-sweep still carries the stages
-        # that finished
-        from tpullm.tools import conformance as conf_mod
-
-        cases: list = []
-        for sweep in (conf_mod.sweep_qmoe, conf_mod.sweep_flash,
-                      conf_mod.sweep_qmm):
-            if remaining() < 180:
-                log(f"stopping conformance before {sweep.__name__}: "
-                    f"{remaining():.0f}s left")
-                break
-            phase["name"] = f"conformance:{sweep.__name__}"
-            try:
-                cases += sweep()
-            except Exception as e:  # noqa: BLE001
-                log(f"{sweep.__name__} failed:", e)
-            conf = conf_mod.summarize(cases)
-            extra["conformance"] = conf
-            log(f"conformance so far: {conf['passed']}/{conf['cases']} ok")
-            emit(tps, extra)
-        # Warm persistent caches (cold_ttft seconds, not minutes) mean the
-        # remaining phases are measure-bound, and a ~10x-slow chip still
-        # finishes short runs: record 32-stream and depth too so the
+        # conformance already ran (before the model load); extra carries it
+        # via base_extra. Fast compiles (cold_ttft seconds, not minutes)
+        # mean the remaining phases are measure-bound, and a ~10x-slow chip
+        # still finishes short runs: record 32-stream and depth too so the
         # artifact carries every phase (environment_invalid regardless).
         if extra.get("cold_ttft_s", 1e9) < 150:
             del eng
