@@ -85,6 +85,7 @@ def _make_kernel(*, quant: bool, scale: float, tq: int, tk: int, t_real: int,
         out_ref, m_scr, l_scr, acc_scr = refs
 
         b = pl.program_id(0)
+        h = pl.program_id(1)
         it = pl.program_id(2)
         jk = pl.program_id(3)
 
@@ -120,7 +121,7 @@ def _make_kernel(*, quant: bool, scale: float, tq: int, tk: int, t_real: int,
             k_pos = jk * tk + jax.lax.broadcasted_iota(
                 jnp.int32, (tq, tk), 1)
             if has_alibi:
-                s = s + slope_ref[0, 0] * (k_pos - q_pos).astype(jnp.float32)
+                s = s + slope_ref[h, 0] * (k_pos - q_pos).astype(jnp.float32)
             mask = k_pos <= q_pos
             if sliding_window > 0:
                 mask &= k_pos > q_pos - sliding_window
@@ -148,7 +149,7 @@ def _make_kernel(*, quant: bool, scale: float, tq: int, tk: int, t_real: int,
             l = l_scr[:, :1]
             acc = acc_scr[:]
             if has_sinks:  # the sink column joins the normalizer only
-                sk = sinks_ref[0, 0]
+                sk = sinks_ref[h, 0]
                 m_f = jnp.maximum(m, sk)
                 corr = jnp.exp(m - m_f)
                 acc = acc * corr
@@ -159,14 +160,14 @@ def _make_kernel(*, quant: bool, scale: float, tq: int, tk: int, t_real: int,
     return kernel
 
 
-def _head_spec():
-    """[H, 1] per-head column (sink logits / ALiBi slopes). SMEM: the
-    kernel reads a single scalar per grid step, and a (1, 1) VMEM block of
-    an [H, 1] array violates Mosaic's minor-dims tiling rule (second-minor
-    1 is neither divisible by 8 nor equal to H) — the same latent
-    interpret-mode-only bug the on-chip conformance sweep caught in the
-    MoE gather kernel. SMEM blocks carry no tiling constraint."""
-    return pl.BlockSpec((1, 1), lambda b, h, i, j, off: (h, 0),
+def _head_spec(H: int):
+    """[H, 1] per-head column (sink logits / ALiBi slopes), whole array
+    per grid step in SMEM. A (1, 1) block of an [H, 1] array violates
+    Mosaic's minor-dims tiling rule even in SMEM (second-minor 1 neither
+    divisible by 8 nor equal to H — confirmed on-chip, conformance r5);
+    block == array is always legal, the constant index map elides
+    re-fetches, and the kernel picks its head's scalar by program_id."""
+    return pl.BlockSpec((H, 1), lambda b, h, i, j, off: (0, 0),
                         memory_space=pltpu.SMEM)
 
 
@@ -213,10 +214,10 @@ def _run(q, kv_inputs, kv_shapes, offsets, *, quant, scale, softcap,
         bytes_kv = kv_inputs[0].size * 2 + kv_inputs[1].size * 2
     extra = []
     if sinks is not None:
-        in_specs.append(_head_spec())
+        in_specs.append(_head_spec(H))
         extra.append(sinks.astype(jnp.float32).reshape(H, 1))
     if slopes is not None:
-        in_specs.append(_head_spec())
+        in_specs.append(_head_spec(H))
         extra.append(slopes.astype(jnp.float32).reshape(H, 1))
 
     kernel = _make_kernel(
