@@ -47,22 +47,25 @@ def sweep_qmm(m_sizes=(1, 128), n_in: int = 512, n_out: int = 256,
     rng = np.random.default_rng(0)
     cases = []
     for gtype in sorted(qmatmul._SCHEMA, key=int):
-        if not qmm.supports(gtype, n_in, n_out):
+        # ternary types pack a 256-wide superblock: their scale plane only
+        # reaches Mosaic's 8-row tile floor at K >= 2048
+        k_in = 2048 if gtype.name.startswith("TQ") else n_in
+        if not qmm.supports(gtype, k_in, n_out):
             cases.append({"kernel": "qmm", "type": gtype.name,
                           "status": "unsupported_shape"})
             continue
-        w = rng.standard_normal((n_out, n_in)).astype(np.float32)
+        w = rng.standard_normal((n_out, k_in)).astype(np.float32)
         packed = codecs.quantize(w.reshape(-1), gtype)
         # the oracle weight is the DEQUANTIZED packed data (the kernel is
         # judged on computing exactly what the codec stored, not on
         # quantization error)
-        w_ref = codecs.dequantize(packed, gtype, n_out * n_in).reshape(
-            n_out, n_in)
+        w_ref = codecs.dequantize(packed, gtype, n_out * k_in).reshape(
+            n_out, k_in)
         planes = qmatmul.repack(packed.reshape(n_out, -1), gtype,
-                                n_out, n_in)
-        ql = QuantLinear(gtype, n_out, n_in, planes)
+                                n_out, k_in)
+        ql = QuantLinear(gtype, n_out, k_in, planes)
         for m in m_sizes:
-            x = rng.standard_normal((m, n_in)).astype(np.float32)
+            x = rng.standard_normal((m, k_in)).astype(np.float32)
             xb = jnp.asarray(x, jnp.bfloat16)
             try:
                 t0 = time.perf_counter()
