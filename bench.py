@@ -390,6 +390,12 @@ def main():
             if remaining() < 700:
                 log(f"skipping degraded decode: {remaining():.0f}s left")
                 return
+        # skip QKV/gate-up fusion: 32 concat dispatches cost 200-250s of
+        # relay RTT on a sick link, for a number that is marked
+        # environment-invalid either way (unfused decode is only a few %
+        # slower on a healthy chip)
+        os.environ.setdefault("TPULLM_FUSE_QKV", "0")
+        base_extra["fused_streams"] = False
 
     from tpullm.runtime import Engine, Model
 
