@@ -58,34 +58,51 @@ HEALTHY_TFLOPS = 15.0  # healthy v5e reads ~40+; r04's poisoned relay read 3.0
 MIN_FULL_S = 750.0  # worst-case cold post-canary full-run wall (load+compile)
 
 
-def device_health() -> float:
-    """Achieved f32 TFLOP/s on 64 chained 4k matmuls — a 2-second canary
-    for the shared axon backend. Healthy v5e ≈ 40+; one measured afternoon
-    ran at 2.5 (other tenants / relay degradation), which made every
-    downstream number meaningless without this context in `extra`."""
+def device_health() -> tuple[float, float]:
+    """(chip f32 TFLOP/s, relay download MB/s) — a 2-second canary for the
+    shared axon backend. The two MUST be probed separately: on 2026-08-21 a
+    single-number canary that fetched its full 64 MB result read 1.4
+    "TFLOP/s" while the chip was actually executing at ~100 — the relay
+    *download link* was at ~10 MB/s, which is irrelevant to decode (ids-only
+    readback, ~2 KB per 512-step chunk) but dominated the canary's wall
+    time. Compute is timed against a 4-byte scalar fetch (one RTT); the
+    link is timed against a 64 MB array fetch. Healthy v5e compute ≈ 40+;
+    real chip degradation (r04: decode 0.2-0.4 tok/s on unchanged code)
+    still shows up in the scalar-fetch timing because the matmul chain
+    itself runs slow."""
     import numpy as np
 
     import jax
+    import jax.numpy as jnp
 
-    x = jax.device_put(np.random.default_rng(0)
-                       .standard_normal((4096, 4096)).astype(np.float32))
-
-    import jax.numpy as jnp  # noqa: F401
+    h = np.random.default_rng(0).standard_normal((4096, 4096)) \
+        .astype(np.float32)
+    t0 = time.perf_counter()
+    x = jax.device_put(h)
+    x.block_until_ready()
+    up_mbps = 64.0 / (time.perf_counter() - t0)
 
     @jax.jit
     def f(x):
         def body(i, a):
             return a @ x * 0.001 + a
-        return jax.lax.fori_loop(0, 64, body, x)
+        return jnp.sum(jax.lax.fori_loop(0, 64, body, x))
 
     np.asarray(f(x))  # compile + settle
+    best = float("inf")
+    for _ in range(2):  # best-of-2: absorb one-off relay RTT spikes
+        t0 = time.perf_counter()
+        np.asarray(f(x))
+        best = min(best, time.perf_counter() - t0)
+    tflops = 64 * 2 * 4096 ** 3 / best / 1e12
     t0 = time.perf_counter()
-    np.asarray(f(x))
-    dt = time.perf_counter() - t0
-    return 64 * 2 * 4096 ** 3 / dt / 1e12
+    np.asarray(x)  # 64 MB download
+    link_mbps = 64.0 / (time.perf_counter() - t0)
+    log(f"canary probes: upload {up_mbps:.0f} MB/s")
+    return tflops, link_mbps
 
 
-def canary_gate(remaining) -> tuple[float, list[float]]:
+def canary_gate(remaining) -> tuple[float, list[float], float]:
     """Gate the run on device health instead of marching into a 13x-slow
     relay (r04 burned its whole 1546s budget that way: canary read 3.0,
     the run proceeded, and load+compile alone overran the budget).
@@ -103,19 +120,21 @@ def canary_gate(remaining) -> tuple[float, list[float]]:
     # retry at most
     window = min(70.0, 0.25 * (remaining() + (time.time() - t0)))
     window = float(os.environ.get("TPULLM_BENCH_CANARY_WINDOW", window))
-    tflops = device_health()
+    tflops, link_mbps = device_health()
     history.append(round(tflops, 1))
-    log(f"device health: {tflops:.1f} f32 TFLOP/s (healthy v5e ~40+)")
+    log(f"device health: {tflops:.1f} f32 TFLOP/s (healthy v5e ~40+), "
+        f"relay download {link_mbps:.0f} MB/s")
     while (tflops < HEALTHY_TFLOPS and remaining() > MIN_FULL_S + 90
            and time.time() - t0 < window):
         log(f"canary {tflops:.1f} < {HEALTHY_TFLOPS} TFLOP/s — relay "
             f"degraded; sleeping 60s and remeasuring "
             f"({remaining():.0f}s budget left)")
         time.sleep(60)
-        tflops = device_health()
+        tflops, link_mbps = device_health()
         history.append(round(tflops, 1))
-        log(f"device health: {tflops:.1f} f32 TFLOP/s")
-    return tflops, history
+        log(f"device health: {tflops:.1f} f32 TFLOP/s, "
+            f"link {link_mbps:.0f} MB/s")
+    return tflops, history, link_mbps
 
 
 def bench_decode(eng, chunk: int = CHUNK, n_steps: int = N_STEPS,
@@ -337,10 +356,11 @@ def main():
     log("devices:", jax.devices())
     acquired.set()
     phase["name"] = "health-canary"
-    tflops, canary_hist = canary_gate(remaining)
+    tflops, canary_hist, link_mbps = canary_gate(remaining)
     degraded = tflops < HEALTHY_TFLOPS
 
-    base_extra: dict = {"device_tflops_f32": round(tflops, 1)}
+    base_extra: dict = {"device_tflops_f32": round(tflops, 1),
+                        "relay_download_mbps": round(link_mbps, 1)}
     if len(canary_hist) > 1:
         base_extra["canary_history"] = canary_hist
     if degraded:
